@@ -1,0 +1,217 @@
+"""Relational pipeline stages — thin declarative lowerings onto DataFrame ops.
+
+The reference implements none of these (SURVEY.md §2C: caller-supplied
+DataFrames only); they are required capabilities of the new engine. Every
+stage is expressed with built-in DataFrame/Column API so Catalyst gets full
+visibility: filters reach the parquet scan as pushed predicates, projections
+prune columns at the reader, joins are reorderable, and AQE can re-plan
+shuffles at runtime. No stage ever collects to the driver.
+
+Scale notes are attached per stage where the 100 TB plan shape matters.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_sort_key(spec: Any) -> Column:
+    """Parse a sort key: ``"col"``, ``"col desc"``, ``"expr asc nulls last"``,
+    or ``{"expr": ..., "desc": bool}``."""
+    if isinstance(spec, dict):
+        col = F.expr(spec["expr"])
+        return col.desc() if spec.get("desc") else col.asc()
+    text = str(spec).strip()
+    lowered = text.lower()
+    nulls: Optional[str] = None
+    for suffix, kind in ((" nulls first", "first"), (" nulls last", "last")):
+        if lowered.endswith(suffix):
+            nulls = kind
+            text, lowered = text[: -len(suffix)], lowered[: -len(suffix)]
+    desc = False
+    if lowered.endswith(" desc"):
+        desc, text = True, text[:-5]
+    elif lowered.endswith(" asc"):
+        text = text[:-4]
+    col = F.expr(text.strip())
+    if desc:
+        return col.desc_nulls_first() if nulls == "first" else (
+            col.desc_nulls_last() if nulls == "last" else col.desc()
+        )
+    return col.asc_nulls_first() if nulls == "first" else (
+        col.asc_nulls_last() if nulls == "last" else col.asc()
+    )
+
+
+def stage_filter(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "filter", "predicate": "<sql>"}`` → ``df.filter``.
+
+    Declarative SQL predicate so Catalyst pushes it into the scan
+    (``PushedFilters`` in ``.explain``) and prunes partitions.
+    """
+    return df.filter(F.expr(spec["predicate"]))
+
+
+def stage_select(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "select", "columns": ["expr AS alias" | {expr, alias}]}``."""
+    cols = []
+    for c in spec["columns"]:
+        if isinstance(c, dict):
+            col = F.expr(c["expr"])
+            cols.append(col.alias(c["alias"]) if "alias" in c else col)
+        else:
+            cols.append(F.expr(c))
+    return df.select(*cols)
+
+
+def stage_with_columns(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "with_columns", "columns": {alias: "<sql expr>"}}`` — one
+    ``withColumns`` call (single Project, not a withColumn loop)."""
+    return df.withColumns({a: F.expr(e) for a, e in spec["columns"].items()})
+
+
+def stage_drop(df: DataFrame, spec: dict) -> DataFrame:
+    return df.drop(*spec["columns"])
+
+
+def stage_rename(df: DataFrame, spec: dict) -> DataFrame:
+    return df.withColumnsRenamed(spec["columns"])
+
+
+def stage_join(df: DataFrame, right: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "join", "right": name, "on": expr|[cols], "how": ...,
+    "broadcast": bool}``.
+
+    Scale: dimension tables (region/nation/customer-sized relative to facts)
+    should set ``broadcast: true`` — a broadcast-hash join removes the
+    fact-side shuffle entirely. Large-large joins shuffle on the key; AQE
+    converts to broadcast at runtime if a side turns out small, and splits
+    skewed partitions (skew-join handling) when enabled.
+    """
+    if spec.get("broadcast"):
+        right = F.broadcast(right)
+    on = spec.get("on")
+    if isinstance(on, str):
+        on = F.expr(on)
+    return df.join(right, on=on, how=spec.get("how", "inner"))
+
+
+def stage_aggregate(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "aggregate", "group_by": [...], "aggs": {alias: expr},
+    "grouping": "none"|"rollup"|"cube"}``.
+
+    Scale: hash aggregation with map-side partial aggregation is automatic
+    for algebraic aggregates expressed via SQL exprs; the shuffle moves only
+    partial states, not rows. High-cardinality group keys should raise
+    ``spark.sql.shuffle.partitions`` (or rely on AQE coalescing).
+    """
+    keys = [F.expr(k) for k in spec.get("group_by", [])]
+    aggs = [F.expr(e).alias(a) for a, e in spec["aggs"].items()]
+    grouping = spec.get("grouping", "none")
+    if grouping == "rollup":
+        grouped = df.rollup(*keys)
+    elif grouping == "cube":
+        grouped = df.cube(*keys)
+    elif keys:
+        grouped = df.groupBy(*keys)
+    else:
+        return df.agg(*aggs)
+    return grouped.agg(*aggs)
+
+
+def stage_window(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "window", "partition_by": [...], "order_by": [...],
+    "frame": "rows between ...", "columns": {alias: "<window fn expr>"}}``.
+
+    Lowered to SQL ``OVER`` clauses inside one Project, so all window columns
+    sharing the spec share a single shuffle+sort.
+    """
+    over_parts = []
+    if spec.get("partition_by"):
+        over_parts.append("PARTITION BY " + ", ".join(spec["partition_by"]))
+    if spec.get("order_by"):
+        over_parts.append("ORDER BY " + ", ".join(spec["order_by"]))
+    if spec.get("frame"):
+        over_parts.append(spec["frame"])
+    over = " OVER (" + " ".join(over_parts) + ")"
+    return df.withColumns(
+        {alias: F.expr(expr + over) for alias, expr in spec["columns"].items()}
+    )
+
+
+def stage_sort(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "sort", "by": [...], "limit": n?}``.
+
+    Scale: a global sort is a range-partitioned shuffle (sampled bounds).
+    With ``limit``, Spark plans ``TakeOrderedAndProject`` — per-partition
+    top-N then a driver merge of N×partitions rows — so top-k never
+    globally sorts 100 TB.
+    """
+    out = df.orderBy(*[parse_sort_key(k) for k in spec["by"]])
+    if "limit" in spec:
+        out = out.limit(int(spec["limit"]))
+    return out
+
+
+def stage_limit(df: DataFrame, spec: dict) -> DataFrame:
+    return df.limit(int(spec["n"]))
+
+
+def stage_distinct(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "distinct", "subset": [cols]?}`` → ``dropDuplicates``."""
+    subset = spec.get("subset")
+    return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+def stage_set_op(df: DataFrame, other: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "union"|"intersect"|"except", "other": name,
+    "distinct": bool, "by_name": bool}``."""
+    kind = spec["stage"]
+    if kind == "union":
+        out = df.unionByName(other) if spec.get("by_name") else df.union(other)
+        return out.distinct() if spec.get("distinct") else out
+    if kind == "intersect":
+        return df.intersect(other) if spec.get("distinct", True) else df.intersectAll(other)
+    if kind == "except":
+        return df.exceptAll(other) if not spec.get("distinct") else df.subtract(other)
+    raise ValueError(f"Unknown set op {kind}")
+
+
+def stage_repartition(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "repartition", "n": int?, "by": [cols]?, "coalesce": bool}``.
+
+    Explicit partition control for co-locating a downstream join/agg or
+    sizing output files; ``coalesce`` narrows without a shuffle.
+    """
+    if spec.get("coalesce"):
+        return df.coalesce(int(spec["n"]))
+    cols = [F.expr(c) for c in spec.get("by", [])]
+    if "n" in spec and cols:
+        return df.repartition(int(spec["n"]), *cols)
+    if cols:
+        return df.repartition(*cols)
+    return df.repartition(int(spec["n"]))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    k: int,
+    rank_col: str = "rn",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Top-k rows per group via ``row_number`` window + filter.
+
+    Scale: one shuffle on the partition keys; within-partition sort only.
+    """
+    over = (
+        "PARTITION BY " + ", ".join(partition_by) + " ORDER BY " + ", ".join(order_by)
+    )
+    out = df.withColumn(rank_col, F.expr(f"row_number() OVER ({over})")).filter(
+        F.col(rank_col) <= k
+    )
+    return out if keep_rank else out.drop(rank_col)

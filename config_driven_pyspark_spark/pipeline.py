@@ -1,0 +1,235 @@
+"""Pipeline — the declarative, config-driven entry point.
+
+The reference's product is "config-driven PySpark" but it ships no config
+loader (``/root/reference/README.md:49`` — parsing is left to the caller;
+its YAML example at ``README.md:55-74`` is a flat ``path: function_name``
+map fed to ``Functioniser.add`` in a loop). The new engine promotes config
+to a full pipeline spec:
+
+.. code-block:: yaml
+
+    pipeline:
+      - stage: source
+        format: parquet
+        path: "${sf_dir}/lineitem.parquet"
+        name: lineitem
+      - stage: filter
+        predicate: "l_shipdate <= timestamp '1998-09-02'"
+      - stage: transform            # the reference-equivalent nested engine;
+        fields:                     # its config format IS the reference's
+          l_returnflag: lower       # `path: function_name` map
+      - stage: aggregate
+        group_by: [l_returnflag]
+        aggs:
+          sum_qty: "sum(l_quantity)"
+
+Stages run in order; each consumes the previous stage's output unless it
+names an ``input``, and may ``name:`` its output for later reference (joins,
+set ops, sql). ``${var}`` placeholders are substituted from ``variables``.
+
+Everything lowers to native DataFrame calls — the whole pipeline is one lazy
+Catalyst plan until an action runs, so cross-stage optimization (pushdown
+through joins, column pruning through transforms) happens globally.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from config_driven_pyspark_spark.functions.registry import DfFunction, FunctionRegistry
+from config_driven_pyspark_spark.operators import relational as R
+from config_driven_pyspark_spark.operators.transform import NestedTransformer
+from config_driven_pyspark_spark.sources.readers import stage_source
+from config_driven_pyspark_spark.sources.writers import stage_sink
+
+try:  # pyyaml is optional: dict configs work without it
+    import yaml as _yaml
+except ImportError:  # pragma: no cover
+    _yaml = None
+
+
+class PipelineContext:
+    """Named DataFrames visible to later stages."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self.frames: dict[str, DataFrame] = {}
+        self.last: Optional[DataFrame] = None
+
+    def get(self, name: str) -> DataFrame:
+        if name not in self.frames:
+            raise ValueError(f"Unknown stage output {name!r}; known: {sorted(self.frames)}")
+        return self.frames[name]
+
+    def resolve_input(self, spec: dict) -> DataFrame:
+        if "input" in spec:
+            return self.get(spec["input"])
+        if self.last is None:
+            raise ValueError(f"Stage {spec.get('stage')!r} has no input (first stage must be a source)")
+        return self.last
+
+
+def _substitute(obj: Any, variables: dict[str, Any]) -> Any:
+    """Recursively substitute ``${var}`` in strings."""
+    if isinstance(obj, str):
+        for key, value in variables.items():
+            obj = obj.replace("${" + key + "}", str(value))
+        return obj
+    if isinstance(obj, dict):
+        return {k: _substitute(v, variables) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_substitute(v, variables) for v in obj]
+    return obj
+
+
+def _field_function(spec: Any, registry: FunctionRegistry) -> Union[str, Column, DfFunction]:
+    """Parse a transform-stage field spec into something the nested engine
+    accepts: ``"upper"`` | ``{"lit": v}`` | ``{"cast": "double"}`` |
+    ``{"fn": name, "args": [...]}`` (extra args appended after the field
+    Column)."""
+    if isinstance(spec, str):
+        return spec
+    if isinstance(spec, dict):
+        if "lit" in spec:
+            return F.lit(spec["lit"])
+        if "cast" in spec:
+            to = spec["cast"]
+            return lambda col: col.cast(to)
+        if "fn" in spec:
+            base = registry.resolve(spec["fn"])
+            args = spec.get("args", [])
+            return lambda col: base(col, *args)
+    raise ValueError(f"Unparseable field function spec: {spec!r}")
+
+
+class Pipeline:
+    """Executable declarative pipeline."""
+
+    def __init__(
+        self,
+        stages: list[dict],
+        registry: Optional[FunctionRegistry] = None,
+    ) -> None:
+        self.stages = stages
+        self.registry = registry or FunctionRegistry()
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_config(cls, config: Union[dict, list], **kwargs: Any) -> "Pipeline":
+        stages = config["pipeline"] if isinstance(config, dict) else config
+        return cls(list(stages), **kwargs)
+
+    @classmethod
+    def from_yaml(cls, text: str, **kwargs: Any) -> "Pipeline":
+        if _yaml is None:
+            raise ImportError("pyyaml not available; use from_config with a dict")
+        return cls.from_config(_yaml.safe_load(text), **kwargs)
+
+    def register_function(self, name: str, func: Union[Column, DfFunction]) -> None:
+        self.registry.register(name, func)
+
+    # -- execution ---------------------------------------------------------
+
+    def run(
+        self,
+        spark: SparkSession,
+        variables: Optional[dict[str, Any]] = None,
+    ) -> DataFrame:
+        """Execute all stages; returns the final stage's DataFrame (lazy)."""
+        ctx = PipelineContext(spark)
+        variables = variables or {}
+        for raw in self.stages:
+            spec = _substitute(dict(raw), variables)
+            out = self._run_stage(ctx, spec)
+            ctx.last = out
+            if spec.get("name"):
+                ctx.frames[spec["name"]] = out
+        if ctx.last is None:
+            raise ValueError("Empty pipeline")
+        return ctx.last
+
+    _KINDS = frozenset(
+        {
+            "source", "sql", "transform", "filter", "select", "with_columns",
+            "drop", "rename", "join", "aggregate", "window", "sort", "limit",
+            "distinct", "union", "intersect", "except", "repartition",
+            "top_k", "dedup", "similarity", "text", "multimodal", "sink",
+        }
+    )
+
+    def _run_stage(self, ctx: PipelineContext, spec: dict) -> DataFrame:
+        kind = spec.get("stage")
+        if kind not in self._KINDS:
+            raise ValueError(f"Unknown stage kind {kind!r}; expected one of {sorted(self._KINDS)}")
+        if kind == "source":
+            return stage_source(ctx.spark, spec)
+        if kind == "sql":
+            for alias, name in (spec.get("views") or {}).items():
+                ctx.get(name).createOrReplaceTempView(alias)
+            return ctx.spark.sql(spec["query"])
+
+        df = ctx.resolve_input(spec)
+
+        if kind == "transform":
+            engine = NestedTransformer()
+            engine.registry = self.registry
+            for path, fn_spec in spec["fields"].items():
+                engine.add(path, _field_function(fn_spec, self.registry))
+            return engine.apply(df)
+        if kind == "filter":
+            return R.stage_filter(df, spec)
+        if kind == "select":
+            return R.stage_select(df, spec)
+        if kind == "with_columns":
+            return R.stage_with_columns(df, spec)
+        if kind == "drop":
+            return R.stage_drop(df, spec)
+        if kind == "rename":
+            return R.stage_rename(df, spec)
+        if kind == "join":
+            return R.stage_join(df, ctx.get(spec["right"]), spec)
+        if kind == "aggregate":
+            return R.stage_aggregate(df, spec)
+        if kind == "window":
+            return R.stage_window(df, spec)
+        if kind == "sort":
+            return R.stage_sort(df, spec)
+        if kind == "limit":
+            return R.stage_limit(df, spec)
+        if kind == "distinct":
+            return R.stage_distinct(df, spec)
+        if kind in ("union", "intersect", "except"):
+            return R.stage_set_op(df, ctx.get(spec["other"]), spec)
+        if kind == "repartition":
+            return R.stage_repartition(df, spec)
+        if kind == "top_k":
+            return R.top_k_per_group(
+                df,
+                spec["partition_by"],
+                spec["order_by"],
+                int(spec["k"]),
+                keep_rank=spec.get("keep_rank", False),
+            )
+        if kind == "dedup":
+            from config_driven_pyspark_spark.operators.dedup import stage_dedup
+
+            return stage_dedup(df, spec)
+        if kind == "similarity":
+            from config_driven_pyspark_spark.operators.similarity import stage_similarity
+
+            return stage_similarity(df, spec, ctx)
+        if kind == "text":
+            from config_driven_pyspark_spark.functions.text import stage_text
+
+            return stage_text(df, spec)
+        if kind == "multimodal":
+            from config_driven_pyspark_spark.operators.multimodal import stage_multimodal
+
+            return stage_multimodal(df, spec)
+        if kind == "sink":
+            return stage_sink(df, spec)
+        raise ValueError(f"Unknown stage kind {kind!r}")

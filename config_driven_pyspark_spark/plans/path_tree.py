@@ -1,0 +1,117 @@
+"""PathNode — the logical plan for nested-field transforms.
+
+Role parity: the reference's ``NodeFunctions`` UserDict tree
+(``/root/reference/src/config_driven_pyspark/functioniser.py:210-233``) built
+by ``_build_nodes`` (``functioniser.py:152-196``). Differences by design:
+
+- a plain dataclass tree instead of a UserDict subclass;
+- each node records ``array_depth`` (count of ``[]`` on its schema segment)
+  rather than a boolean ``is_array``. The lowering emits one ``F.transform``
+  per array level, which fixes the reference's nested-``array<array<T>>``
+  edge where both brackets collapse into a single boolean and functions
+  receive the inner array instead of its elements (SURVEY.md §1.2).
+- case-insensitive child addressing via a lowercased key dict (the reference
+  scans keys with ``.lower()`` in ``iget`` — ``functioniser.py:229-233``).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Optional
+
+from config_driven_pyspark_spark.functions.registry import DfFunction
+from config_driven_pyspark_spark.schema import array_depth_of, limit_depth, strip_brackets
+
+_logger = logging.getLogger(__name__)
+
+
+@dataclass
+class PathNode:
+    """One segment of a configured nested path.
+
+    ``name`` is the bracket-free field name (schema casing when the segment
+    was resolved from the schema, config casing for created fields);
+    ``array_depth`` is how many ``F.transform`` levels the lowering must wrap
+    around this node; ``function`` is the (possibly composed) Column function
+    to apply at this node, or None for pass-through interior nodes.
+    """
+
+    name: str
+    array_depth: int = 0
+    function: Optional[DfFunction] = None
+    children: dict[str, "PathNode"] = field(default_factory=dict)
+
+    def child(self, name: str) -> Optional["PathNode"]:
+        """Case-insensitive child lookup."""
+        return self.children.get(name.lower())
+
+    def put_child(self, node: "PathNode") -> "PathNode":
+        existing = self.children.get(node.name.lower())
+        if existing is not None:
+            return existing
+        self.children[node.name.lower()] = node
+        return node
+
+
+def resolve_tokens(config_path: str, flat_schema: list[str]) -> Optional[str]:
+    """Resolve a config path against the flattened schema.
+
+    Returns the tokenized path (with ``[]`` markers and schema casing), or
+    None when absent. Supports partial paths that target a struct/array node
+    itself: prefix match then depth-limit. Parity:
+    ``functioniser.py:130-149`` (``_get_field_name_with_tokens``).
+    """
+    want = config_path.lower()
+    for tokenised in flat_schema:
+        plain = tokenised.lower().replace("[]", "")
+        if plain == want or plain.startswith(want + "."):
+            return limit_depth(tokenised, config_path)
+    return None
+
+
+def build_path_tree(
+    functions: dict[str, DfFunction], flat_schema: list[str]
+) -> PathNode:
+    """Build the PathNode tree for all configured ``path → function`` entries.
+
+    Creation contract (parity with ``functioniser.py:160-183``, pinned by
+    ``test_functioniser.py:289-318``):
+
+    - path found in schema → transform it;
+    - path absent, no dot → new root column (warn);
+    - path absent, dotted, parent resolves → new member on that parent (warn);
+    - path absent, parent absent → ``ValueError``.
+    """
+    root = PathNode("<root>")
+
+    for config_path, fn in functions.items():
+        tokens = resolve_tokens(config_path, flat_schema)
+        if tokens is None:
+            _logger.warning(
+                "Field %s not found in input schema. Will attempt to create on parent.",
+                config_path,
+            )
+            if "." not in config_path:
+                tokens = config_path
+            else:
+                parent_path, leaf = config_path.rsplit(".", 1)
+                parent_tokens = resolve_tokens(parent_path, flat_schema)
+                if not parent_tokens:
+                    raise ValueError(
+                        f"Parent struct for {config_path} not found in input schema"
+                    )
+                tokens = f"{parent_tokens}.{leaf}"
+
+        current = root
+        segments = tokens.split(".")
+        for segment in segments:
+            node = current.child(strip_brackets(segment))
+            if node is None:
+                node = current.put_child(
+                    PathNode(strip_brackets(segment), array_depth_of(segment))
+                )
+            current = node
+        current.function = fn
+
+    return root

@@ -1,0 +1,44 @@
+"""Source stage — declarative reads.
+
+The reference has no sources (the caller passes a DataFrame; its tests build
+inputs with ``spark.read.json`` — ``/root/reference/test/conftest.py:14-19``).
+The new engine makes reading a first-class config stage.
+
+Scale notes: parquet/orc readers get predicate pushdown + column pruning from
+downstream declarative stages for free; ``spark.sql.files.maxPartitionBytes``
+governs split sizing (128 MB default → a 100 TB scan is ~800k tasks; raise it
+or coalesce for small-file-heavy layouts). Partitioned layouts
+(``.../date=2024-01-01/``) get partition pruning from filter stages.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMATS = {"parquet", "json", "csv", "orc", "text", "avro", "delta"}
+
+
+def stage_source(spark: SparkSession, spec: dict) -> DataFrame:
+    """``{"stage": "source", "format": "parquet", "path": ..., "options": {},
+    "schema": "<ddl>"?, "table": name?, "streaming": bool?}``.
+
+    ``table`` reads a catalog table instead of a path. ``streaming: true``
+    switches to ``readStream`` (schema required for file sources).
+    """
+    if "table" in spec:
+        return spark.table(spec["table"])
+
+    fmt = spec.get("format", "parquet")
+    if fmt not in _FORMATS:
+        raise ValueError(f"Unknown source format {fmt!r}; expected one of {sorted(_FORMATS)}")
+
+    reader = spark.readStream if spec.get("streaming") else spark.read
+    reader = reader.format(fmt)
+    schema: Optional[str] = spec.get("schema")
+    if schema:
+        reader = reader.schema(schema)
+    for key, value in (spec.get("options") or {}).items():
+        reader = reader.option(key, value)
+    return reader.load(spec["path"])
