@@ -1,0 +1,136 @@
+"""Text-analysis Column functions + the ``text`` pipeline stage.
+
+Capability gap the reference doesn't cover (SURVEY.md §2C): language-ID,
+quality scoring, token counting, shingling, and document fingerprinting for
+large-scale training-data pipelines. Everything is built-in Column
+expressions (split/regexp/aggregate) — JVM-side, no UDFs — and each function
+is written so an ANSI-SQL oracle (DuckDB) can reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword panels for the n-gram/stopword-hit language
+# heuristic; order is the deterministic tie-break (first wins)
+LANG_STOPWORDS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of", "to", "a"]),
+    ("fr", ["le", "la", "et", "les", "des"]),
+    ("de", ["der", "die", "und", "das", "ist"]),
+    ("es", ["el", "la", "y", "los", "que"]),
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (empty tokens removed)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    return F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.size(toks)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    stripped = F.regexp_replace(text, r"[!-/:-@\[-`{-~]", "")
+    return (F.length(text) - F.length(stripped)) / F.length(text)
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    wordset = [w for w in words]
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*wordset)))
+
+
+def stopword_ratio(text: Column, words: list[str]) -> Column:
+    return stopword_hits(text, words) / token_count(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic heuristic quality score in [0, 1]: rewards reasonable
+    length, penalizes extreme punctuation density and very short tokens.
+    (Heuristic family: Gopher/C4-style quality rules, public domain knowledge.)
+    """
+    n_tok = token_count(text)
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    word_len_term = F.when(avg_token_length(text).between(2.0, 12.0), 1.0).otherwise(0.5)
+    return F.round(0.5 * length_term + 0.3 * punct_term + 0.2 * word_len_term, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-panel language guess; ties break by panel order, zero hits
+    everywhere → 'und' (undetermined)."""
+    scores = {lang: stopword_hits(text, words) for lang, words in LANG_STOPWORDS}
+    best = F.greatest(*scores.values()) if len(scores) > 1 else list(scores.values())[0]
+    result = F.lit("und")
+    # build the CASE from last panel to first so earlier panels win ties
+    for lang, _ in reversed(LANG_STOPWORDS):
+        result = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(result)
+    return result
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lowercased text. Stable across engines (md5 is md5 everywhere), used as
+    the exact-dedup key."""
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")).cast("binary")
+    )
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text — the unit set
+    for n-gram Jaccard / MinHash dedup. Pure expression: ``sequence`` over
+    start offsets + ``transform`` + ``array_distinct``."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    starts = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.substring(norm, i, k))
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) — alternative shingle unit."""
+    toks = tokens(F.lower(text))
+    count = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+_TEXT_OPS = {
+    "token_count": token_count,
+    "char_count": char_count,
+    "avg_token_length": avg_token_length,
+    "punct_ratio": punct_ratio,
+    "quality_score": quality_score,
+    "lang_id": lang_id,
+    "fingerprint": fingerprint,
+}
+
+
+def stage_text(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "text", "column": "text", "ops": ["token_count", ...]}`` —
+    appends one derived column per requested op (single Project)."""
+    col = F.col(spec.get("column", "text"))
+    ops = spec.get("ops") or list(_TEXT_OPS)
+    unknown = [op for op in ops if op not in _TEXT_OPS]
+    if unknown:
+        raise ValueError(f"Unknown text ops {unknown}; available: {sorted(_TEXT_OPS)}")
+    return df.withColumns({op: _TEXT_OPS[op](col) for op in ops})

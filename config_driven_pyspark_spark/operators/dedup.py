@@ -1,0 +1,351 @@
+"""Deduplication operators — exact and near-duplicate, at 100 TB shapes.
+
+Capability gap vs the reference (SURVEY.md §2C). Methods:
+
+- ``exact``        — hash-groupBy on a normalized key (md5 fingerprint or
+                     raw columns); one shuffle, map-side combinable.
+- ``ngram_jaccard``— exact n-gram Jaccard pairs via shingle-explode +
+                     self-join on shingle; fully SQL-expressible (oracle-able).
+- ``minhash_lsh``  — MinHash signatures over shingles + banded LSH to
+                     generate candidates, verified with true Jaccard. The
+                     scale path: candidate generation is O(n·bands), never
+                     O(n²).
+- ``simhash``      — 64-bit SimHash over tokens + pigeonhole banding for
+                     Hamming-distance ≤ k pairs.
+- ``embedding``    — cosine ≥ threshold pairs over a vector column, either
+                     brute-force (small corpora) or SRP-LSH bucketed.
+
+All signature/banding math is built-in Column expressions (``transform``,
+``aggregate``, ``xxhash64``) — no Python UDFs. Frequent-shingle capping
+(``max_df``) bounds the explode-join blowup on pathological shingles.
+
+Output modes: ``output: "pairs"`` → (id_a, id_b, score) candidate/dup pairs;
+``output: "dedup"`` (default) → input rows minus any row that has a
+duplicate partner with a smaller id (cheap single-pass policy; full
+transitive closure would need iterative connected components).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from config_driven_pyspark_spark.functions import text as TX
+from config_driven_pyspark_spark.functions import vectors as V
+
+
+def _pairs_to_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Drop rows whose id appears as the larger member of any dup pair."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text", normalize: bool = True
+) -> DataFrame:
+    """Keep the smallest id per identical (optionally normalized) text.
+
+    Scale: a single hash-shuffle on the md5 fingerprint (16 bytes/row moves,
+    not the document body); partial ``min`` runs map-side.
+    """
+    key = TX.fingerprint(F.col(text_col)) if normalize else F.md5(F.col(text_col).cast("binary"))
+    keyed = df.withColumn("__fp", key)
+    keepers = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
+    return keyed.join(keepers, on=id_col, how="left_semi").drop("__fp")
+
+
+def _shingle_df(
+    df: DataFrame, id_col: str, text_col: str, k: int, unit: str
+) -> DataFrame:
+    sh = (
+        TX.shingles(F.col(text_col), k)
+        if unit == "char"
+        else TX.word_ngrams(F.col(text_col), k)
+    )
+    return df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    unit: str = "char",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle inverted index.
+
+    |A∩B| comes from a self-join on exploded distinct shingles (group count
+    per pair); |A∪B| = |A|+|B|−|A∩B|. Scale: the join key is the shingle —
+    an inverted index — so cost is Σ df(s)² over shingles, not n²; ``max_df``
+    drops stop-shingles that would dominate that sum.
+    """
+    shingled = _shingle_df(df, id_col, text_col, k, unit)
+    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
+    inverted = shingled.select("id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        rare = (
+            inverted.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        inverted = inverted.join(rare, on="s", how="left_semi")
+    a = inverted.alias("a")
+    b = inverted.alias("b")
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signature(sh: Column, num_hashes: int) -> Column:
+    """MinHash signature as array<bigint>: element i = min over shingles of
+    ``xxhash64(i, shingle)`` (xxhash64 with a per-function seed column —
+    JVM-side, vectorizable)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    unit: str = "char",
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, optionally verified with true
+    Jaccard (on the shingle sets) so output quality is exact.
+
+    Banding: ``bands`` bands of ``num_hashes/bands`` rows; candidate iff some
+    band hashes equal. With 64 hashes / 16 bands (r=4), pair-capture
+    probability at j=0.8 is 1-(1-0.8⁴)¹⁶ ≈ 0.9996. Scale: only (band,
+    band_hash) groups join — shuffle moves 8-byte hashes; the O(n²) pair
+    space is never materialized.
+    """
+    rows = num_hashes // bands
+    shingled = _shingle_df(df, id_col, text_col, k, unit).withColumn(
+        "sig", minhash_signature(F.col("sh"), num_hashes)
+    )
+    banded = shingled.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(F.slice("sig", bi * rows + 1, rows)).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bh"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    sets_a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sets_b = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, pure Column expressions.
+
+    Per token: 64 hash bits (xxhash64 shifted); per bit: +1/−1 vote summed
+    with ``aggregate``+``zip_with``; sign of each vote → final bit.
+    """
+    toks = TX.tokens(F.lower(text))
+    # bit positions are static → unroll driver-side (shiftright/shiftleft
+    # take Python-int bit counts); the per-token ±1 vote array is one
+    # expression, folded over tokens with aggregate+zip_with
+    bit_votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("bigint"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, 1
+                    )
+                    .otherwise(-1)
+                    .cast("bigint")
+                    for j in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    sig = F.lit(0).cast("bigint")
+    for j in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.element_at(bit_votes, j + 1) > 0,
+                F.shiftleft(F.lit(1).cast("bigint"), j),
+            ).otherwise(0)
+        )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-distance ≤ k pairs via pigeonhole banding: split 64 bits into
+    k+1 chunks; any pair within distance k matches exactly on ≥1 chunk.
+    Candidates verified with exact ``bit_count(a XOR b)``.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftright("sh", ci * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for ci in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.chunk", "c.key")
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["chunk", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    lsh_bits: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs over a vector column.
+
+    ``lsh_bits=0`` → brute-force all-pairs (baseline; only for small/sampled
+    corpora). ``lsh_bits>0`` → SRP-LSH: pairs must share a ``lsh_bits``-bit
+    random-hyperplane bucket first (the scale path — near-identical vectors
+    collide with prob ≈ (1−θ/π)^bits).
+    """
+    base = df.select(F.col(id_col).alias("id"), V.unit_normalize(F.col(vec_col)).alias("v"))
+    if lsh_bits > 0:
+        dim = len(df.select(vec_col).first()[0])
+        rng = random.Random(seed)
+        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(lsh_bits)]
+        base = base.withColumn("bucket", V.hyperplane_signature(F.col("v"), planes))
+        join_on = ["bucket"]
+        a, b = base.alias("x"), base.alias("y")
+        joined = a.join(b, on=join_on)
+    else:
+        a, b = base.alias("x"), base.alias("y")
+        joined = a.crossJoin(b)
+    return (
+        joined.filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round(V.dot(F.col("x.v"), F.col("y.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "dedup", "method": "exact|ngram_jaccard|minhash_lsh|
+    simhash|embedding", "id_col": ..., "output": "dedup"|"pairs", ...}``."""
+    method = spec.get("method", "exact")
+    id_col = spec.get("id_col", "id")
+    out = spec.get("output", "dedup")
+
+    if method == "exact":
+        return exact_dedup(
+            df, id_col, spec.get("column", "text"), spec.get("normalize", True)
+        )
+
+    if method == "ngram_jaccard":
+        pairs = ngram_jaccard_pairs(
+            df, id_col, spec.get("column", "text"), int(spec.get("k", 5)),
+            float(spec.get("threshold", 0.8)), spec.get("unit", "char"),
+            spec.get("max_df"),
+        )
+    elif method == "minhash_lsh":
+        pairs = minhash_lsh_pairs(
+            df, id_col, spec.get("column", "text"), int(spec.get("k", 5)),
+            int(spec.get("num_hashes", 64)), int(spec.get("bands", 16)),
+            float(spec.get("threshold", 0.8)), spec.get("unit", "char"),
+            spec.get("verify", True),
+        )
+    elif method == "simhash":
+        pairs = simhash_pairs(
+            df, id_col, spec.get("column", "text"), int(spec.get("max_hamming", 3))
+        )
+    elif method == "embedding":
+        pairs = embedding_pairs(
+            df, id_col, spec.get("column", "embedding"),
+            float(spec.get("threshold", 0.95)), int(spec.get("lsh_bits", 0)),
+            int(spec.get("seed", 42)),
+        )
+    else:
+        raise ValueError(f"Unknown dedup method {method!r}")
+
+    return pairs if out == "pairs" else _pairs_to_dedup(df, pairs, id_col)

