@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship config-driven pipeline at sf0.001;
+``queries()`` exposes every implemented operator family from SURVEY.md §2 as
+(spark, sf_dir) → DataFrame callables; ``oracle_sql()`` gives the DuckDB
+equivalent for each SQL-expressible query.
+
+Float determinism policy: every aggregated money/measure column is summed as
+DECIMAL(18,2|4) (exact) and cast to DOUBLE at the end, and per-row double
+math uses identical operation order in the Spark expression and the oracle
+SQL (most aggregate fragments are literally the same SQL text on both
+sides), so value hashes match bit-for-bit. Non-SQL-expressible ops (MinHash
+banding, SimHash, SRP-LSH, multimodal decode, streaming) have no oracle
+entry → the driver records rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +19,802 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from config_driven_pyspark_spark import NestedTransformer, Pipeline
+from config_driven_pyspark_spark.functions import text as TX
+from config_driven_pyspark_spark.operators import dedup as D
+from config_driven_pyspark_spark.operators import similarity as SIM
+from config_driven_pyspark_spark.operators import multimodal as MM
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments — used verbatim in BOTH the Spark plan and the DuckDB
+# oracle so floating-point op order is identical on both sides
+# ---------------------------------------------------------------------------
+
+SUM_QTY = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+SUM_BASE = "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+DISC_PRICE_DEC = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))"
+)
+SUM_DISC_PRICE = f"CAST(sum({DISC_PRICE_DEC}) AS DOUBLE)"
+SUM_CHARGE = (
+    f"CAST(sum(CAST({DISC_PRICE_DEC} * "
+    "CAST(1 + l_tax AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DOUBLE)"
+)
+SUM_DISC = "CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+SUM_TOTALPRICE = "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+SUM_VALUE = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _src(sf_dir: str, table: str, name: str | None = None) -> dict:
+    return {
+        "stage": "source",
+        "format": "parquet",
+        "path": f"{sf_dir}/{table}.parquet",
+        "name": name or table,
+    }
+
+
+def _events_stages(sf_dir: str) -> list[dict]:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects; read nanos as long (legacy conf) and rebuild a
+    microsecond timestamp with integer division (matches DuckDB's
+    nanos→micros truncation)."""
+    return [
+        {**_src(sf_dir, "events"),
+         "spark_confs": {"spark.sql.legacy.parquet.nanosAsLong": "true"}},
+        {"stage": "with_columns",
+         "columns": {"ts": "timestamp_micros(ts div 1000)"}},
+    ]
+
+
+def _run(spark: SparkSession, stages: list[dict]) -> DataFrame:
+    return Pipeline.from_config(stages).run(spark)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: config-driven multi-join revenue pipeline at sf0.001.
+
+    Exercises source, broadcast joins, nested transform, aggregation, window
+    ranking, and sort in one declarative spec; driver checks rows > 0.
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    return _run(spark, [
+        _src(sf_dir, "region"),
+        _src(sf_dir, "nation"),
+        _src(sf_dir, "customer"),
+        _src(sf_dir, "orders"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "join", "input": "orders", "right": "customer",
+         "on": "o_custkey = c_custkey", "broadcast": True, "name": "oc"},
+        {"stage": "join", "input": "lineitem", "right": "oc",
+         "on": "l_orderkey = o_orderkey", "name": "locn"},
+        {"stage": "join", "right": "nation",
+         "on": "c_nationkey = n_nationkey", "broadcast": True},
+        {"stage": "join", "right": "region",
+         "on": "n_regionkey = r_regionkey", "broadcast": True},
+        {"stage": "aggregate",
+         "group_by": ["r_name", "n_name"],
+         "aggs": {"revenue": SUM_DISC_PRICE, "n_items": "count(*)"}},
+        {"stage": "window", "partition_by": ["r_name"],
+         "order_by": ["revenue DESC", "n_name"],
+         "columns": {"rank_in_region": "row_number()"}},
+        {"stage": "sort", "by": ["r_name", "rank_in_region"]},
+    ])
+
+
+# ---------------------------------------------------------------------------
+# queries — one per operator family (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter → groupBy agg (map-side
+    combinable, decimal-exact) → sort."""
+    return _run(spark, [
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter", "predicate": "l_shipdate <= timestamp '2000-09-02 00:00:00'"},
+        {"stage": "aggregate", "group_by": ["l_returnflag", "l_linestatus"],
+         "aggs": {
+             "sum_qty": SUM_QTY,
+             "sum_base_price": SUM_BASE,
+             "sum_disc_price": SUM_DISC_PRICE,
+             "sum_charge": SUM_CHARGE,
+             "avg_qty": f"{SUM_QTY} / count(*)",
+             "avg_price": f"{SUM_BASE} / count(*)",
+             "avg_disc": f"{SUM_DISC} / count(*)",
+             "count_order": "count(*)",
+         }},
+        {"stage": "sort", "by": ["l_returnflag", "l_linestatus"]},
+    ])
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join, revenue per order, deterministic top-10."""
+    return _run(spark, [
+        _src(sf_dir, "customer"),
+        _src(sf_dir, "orders"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter", "input": "customer",
+         "predicate": "c_mktsegment = 'BUILDING'", "name": "cust_b"},
+        {"stage": "join", "input": "orders", "right": "cust_b",
+         "on": "o_custkey = c_custkey", "broadcast": True, "name": "ord_b"},
+        {"stage": "filter", "input": "lineitem",
+         "predicate": "l_shipdate > timestamp '1998-03-15 00:00:00'"},
+        {"stage": "join", "right": "ord_b", "on": "l_orderkey = o_orderkey"},
+        {"stage": "filter", "predicate": "o_orderdate < timestamp '1998-03-15 00:00:00'"},
+        {"stage": "aggregate",
+         "group_by": ["l_orderkey", "o_orderdate", "o_orderpriority"],
+         "aggs": {"revenue": SUM_DISC_PRICE}},
+        {"stage": "sort", "by": ["revenue DESC", "l_orderkey"], "limit": 10},
+    ])
+
+
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join with broadcast dims, revenue per nation."""
+    return _run(spark, [
+        _src(sf_dir, "region"),
+        _src(sf_dir, "nation"),
+        _src(sf_dir, "customer"),
+        _src(sf_dir, "supplier"),
+        _src(sf_dir, "orders"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter", "input": "region", "predicate": "r_name = 'ASIA'",
+         "name": "region_f"},
+        {"stage": "join", "input": "nation", "right": "region_f",
+         "on": "n_regionkey = r_regionkey", "broadcast": True, "name": "nat_f"},
+        {"stage": "join", "input": "customer", "right": "nat_f",
+         "on": "c_nationkey = n_nationkey", "broadcast": True, "name": "cust_f"},
+        {"stage": "filter", "input": "orders",
+         "predicate": "o_orderdate >= timestamp '1996-01-01 00:00:00' "
+                      "AND o_orderdate < timestamp '1997-01-01 00:00:00'"},
+        {"stage": "join", "right": "cust_f", "on": "o_custkey = c_custkey",
+         "name": "ord_f"},
+        {"stage": "join", "input": "lineitem", "right": "ord_f",
+         "on": "l_orderkey = o_orderkey"},
+        {"stage": "join", "right": "supplier",
+         "on": "l_suppkey = s_suppkey AND c_nationkey = s_nationkey",
+         "broadcast": True},
+        {"stage": "aggregate", "group_by": ["n_name"],
+         "aggs": {"revenue": SUM_DISC_PRICE}},
+        {"stage": "sort", "by": ["revenue DESC", "n_name"]},
+    ])
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: tight filter + single global agg (scan-heavy;
+    predicate fully pushed to parquet)."""
+    return _run(spark, [
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter",
+         "predicate": "l_shipdate >= timestamp '1996-01-01 00:00:00' "
+                      "AND l_shipdate < timestamp '1997-01-01 00:00:00' "
+                      "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"},
+        {"stage": "aggregate", "group_by": [],
+         "aggs": {"revenue": "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+                             "CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"}},
+    ])
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over orders."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "aggregate", "grouping": "rollup",
+         "group_by": ["o_orderstatus", "o_orderpriority"],
+         "aggs": {"total": SUM_TOTALPRICE, "n": "count(*)"}},
+    ])
+
+
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over lineitem flags."""
+    return _run(spark, [
+        _src(sf_dir, "lineitem"),
+        {"stage": "aggregate", "grouping": "cube",
+         "group_by": ["l_returnflag", "l_linestatus"],
+         "aggs": {"sum_qty": SUM_QTY, "n": "count(*)"}},
+    ])
+
+
+def q_window_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price — window row_number + filter."""
+    return _run(spark, [
+        _src(sf_dir, "part"),
+        {"stage": "top_k", "partition_by": ["p_brand"],
+         "order_by": ["p_retailprice DESC", "p_partkey"], "k": 3,
+         "keep_rank": True},
+        {"stage": "select", "columns": [
+            "p_brand", "p_partkey", "p_retailprice",
+            {"expr": "CAST(rn AS BIGINT)", "alias": "rnk"}]},
+    ])
+
+
+def q_window_lag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-over-order delta via lag()."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "window", "partition_by": ["o_custkey"],
+         "order_by": ["o_orderdate", "o_orderkey"],
+         "columns": {"prev_price": "lag(o_totalprice, 1)"}},
+        {"stage": "select", "columns": [
+            "o_orderkey", "o_custkey", "o_totalprice", "prev_price",
+            {"expr": "CAST(CAST(o_totalprice AS DECIMAL(18,2)) - "
+                     "CAST(prev_price AS DECIMAL(18,2)) AS DOUBLE)",
+             "alias": "delta"}]},
+    ])
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer — frame ROWS UNBOUNDED PRECEDING,
+    decimal-exact accumulation."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "window", "partition_by": ["o_custkey"],
+         "order_by": ["o_orderdate", "o_orderkey"],
+         "frame": "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+         "columns": {"running_dec": "sum(CAST(o_totalprice AS DECIMAL(18,2)))"}},
+        {"stage": "select",
+         "columns": ["o_orderkey", "o_custkey",
+                     {"expr": "CAST(running_dec AS DOUBLE)",
+                      "alias": "running_total"}]},
+    ])
+
+
+def q_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one order — left_semi join."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        _src(sf_dir, "customer"),
+        {"stage": "join", "input": "customer", "right": "orders",
+         "on": "c_custkey = o_custkey", "how": "left_semi"},
+        {"stage": "select", "columns": ["c_custkey", "c_name", "c_acctbal"]},
+    ])
+
+
+def q_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders before 1996 — left_anti join."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        _src(sf_dir, "customer"),
+        {"stage": "filter", "input": "orders",
+         "predicate": "o_orderdate < timestamp '1996-01-01 00:00:00'",
+         "name": "orders_95"},
+        {"stage": "join", "input": "customer", "right": "orders_95",
+         "on": "c_custkey = o_custkey", "how": "left_anti"},
+        {"stage": "select", "columns": ["c_custkey", "c_name", "c_nationkey"]},
+    ])
+
+
+def q_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two market-segment customer-key sets."""
+    return _run(spark, [
+        _src(sf_dir, "customer"),
+        {"stage": "filter", "input": "customer",
+         "predicate": "c_mktsegment = 'AUTOMOBILE'", "name": "seg_a"},
+        {"stage": "filter", "input": "customer",
+         "predicate": "c_mktsegment = 'BUILDING' AND c_acctbal > 0",
+         "name": "seg_b"},
+        {"stage": "select", "input": "seg_a", "columns": ["c_custkey"],
+         "name": "keys_a"},
+        {"stage": "select", "input": "seg_b", "columns": ["c_custkey"],
+         "name": "keys_b"},
+        {"stage": "union", "input": "keys_a", "other": "keys_b",
+         "distinct": True},
+    ])
+
+
+def q_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOMOBILE customer keys EXCEPT keys of customers with a >300k order."""
+    return _run(spark, [
+        _src(sf_dir, "customer"),
+        _src(sf_dir, "orders"),
+        {"stage": "filter", "input": "customer",
+         "predicate": "c_mktsegment = 'AUTOMOBILE'", "name": "auto_cust"},
+        {"stage": "select", "input": "auto_cust",
+         "columns": [{"expr": "c_custkey", "alias": "custkey"}],
+         "name": "auto_keys"},
+        {"stage": "filter", "input": "orders",
+         "predicate": "o_totalprice > 300000", "name": "big_orders"},
+        {"stage": "select", "input": "big_orders",
+         "columns": [{"expr": "o_custkey", "alias": "custkey"}],
+         "name": "big_keys"},
+        {"stage": "except", "input": "auto_keys", "other": "big_keys",
+         "distinct": True},
+    ])
+
+
+def q_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over two lineitem flag columns."""
+    return _run(spark, [
+        _src(sf_dir, "lineitem"),
+        {"stage": "select", "columns": ["l_returnflag", "l_linestatus"]},
+        {"stage": "distinct"},
+    ])
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic top-10 orders by total price
+    (TakeOrderedAndProject — no full sort at scale)."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "sort", "by": ["o_totalprice DESC", "o_orderkey"], "limit": 10},
+        {"stage": "select", "columns": ["o_orderkey", "o_custkey", "o_totalprice"]},
+    ])
+
+
+def q_agg_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate with exact count-distinct per order priority."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "aggregate", "group_by": ["o_orderpriority"],
+         "aggs": {
+             "n_orders": "count(*)",
+             "n_customers": "count(DISTINCT o_custkey)",
+             "first_date": "min(o_orderdate)",
+             "last_date": "max(o_orderdate)",
+             "total": SUM_TOTALPRICE,
+         }},
+        {"stage": "sort", "by": ["o_orderpriority"]},
+    ])
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour event aggregation (the batch twin of the streaming
+    windowed agg)."""
+    return _run(spark, [
+        *_events_stages(sf_dir),
+        {"stage": "with_columns",
+         "columns": {"hour": "date_trunc('hour', ts)"}},
+        {"stage": "aggregate", "group_by": ["hour", "event_type"],
+         "aggs": {"n": "count(*)", "total_value": SUM_VALUE,
+                  "n_users": "count(DISTINCT user_id)"}},
+    ])
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column + aggregation."""
+    return _run(spark, [
+        *_events_stages(sf_dir),
+        {"stage": "with_columns",
+         "columns": {"k": "CAST(get_json_object(props, '$.k') AS BIGINT)"}},
+        {"stage": "aggregate", "group_by": ["event_type"],
+         "aggs": {"n": "count(*)", "sum_k": "sum(k)", "max_k": "max(k)"}},
+    ])
+
+
+def q_nested_transform_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core capability end-to-end: build nested structs from
+    events, transform nested fields via the config-driven nested engine
+    (upper/trim on struct members, element-wise array math), then project
+    back to flat columns so DuckDB can verify values."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nested = events.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("etype"),
+            F.struct(F.col("value").alias("v"), F.col("user_id").alias("uid")).alias("inner"),
+        ).alias("evt"),
+        F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+    )
+    engine = (
+        NestedTransformer()
+        .add("evt.etype", "upper")
+        .add("evt.inner.v", lambda c: c + 1)
+        .add("vals", lambda c: c * 10)
+    )
+    out = engine.apply(nested)
+    return out.select(
+        "event_id",
+        F.col("evt.etype").alias("etype_upper"),
+        F.col("evt.inner.v").alias("v_plus_1"),
+        F.col("evt.inner.uid").alias("uid"),
+        F.element_at("vals", 1).alias("val_x10"),
+        F.element_at("vals", 2).alias("val_x20"),
+    )
+
+
+# -- LLM-data ---------------------------------------------------------------
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: smallest doc_id per md5 fingerprint of normalized text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.exact_dedup(docs, "doc_id", "text").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char statistics + md5 fingerprint per document."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "text", "column": "text",
+         "ops": ["token_count", "char_count", "avg_token_length", "fingerprint"]},
+        {"stage": "select", "columns": [
+            "doc_id", "token_count", "char_count", "avg_token_length", "fingerprint"]},
+    ])
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-panel language identification per document."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "text", "column": "text", "ops": ["lang_id"]},
+        {"stage": "select", "columns": ["doc_id", "lang", "lang_id"]},
+    ])
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "text", "column": "text", "ops": ["token_count", "quality_score"]},
+        {"stage": "select", "columns": ["doc_id", "token_count", "quality_score"]},
+    ])
+
+
+def q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-duplicate pairs (inverted-index join)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors vec_id < 10 —
+    brute-force baseline with broadcast queries."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs at cosine ≥ 0.30 (brute force)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return D.embedding_pairs(emb, "vec_id", "embedding", threshold=0.30)
+
+
+# -- rows-only (no SQL oracle): LSH/banding/sketch/multimodal ---------------
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (64 hashes, 16 bands), verified with true
+    Jaccard ≥ 0.8. Rows-only: banding is not SQL-expressible."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", k=5, num_hashes=64,
+                               bands=16, threshold=0.8)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming ≤ 3 candidate pairs via pigeonhole banding."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via signed-random-projection LSH buckets."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.srp_lsh_topk(emb, queries, k=5, bits=4)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over binary columns: documents' text bytes as
+    opaque media content → Arrow-batched feature extraction (fake decoder)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.lit(None).cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int>"
+        ).alias("meta"),
+    )
+    return MM.extract_features(media, dim=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q_rollup_orders": q_rollup_orders,
+        "q_cube_lineitem": q_cube_lineitem,
+        "q_window_topk_parts": q_window_topk_parts,
+        "q_window_lag_orders": q_window_lag_orders,
+        "q_window_running_total": q_window_running_total,
+        "q_semi_customers": q_semi_customers,
+        "q_anti_customers": q_anti_customers,
+        "q_union_segments": q_union_segments,
+        "q_except_nations": q_except_nations,
+        "q_distinct_flags": q_distinct_flags,
+        "q_topk_orders": q_topk_orders,
+        "q_agg_orders_stats": q_agg_orders_stats,
+        "q_events_hourly": q_events_hourly,
+        "q_events_json": q_events_json,
+        "q_nested_transform_events": q_nested_transform_events,
+        "q_dedup_exact_docs": q_dedup_exact_docs,
+        "q_text_stats": q_text_stats,
+        "q_lang_id": q_lang_id,
+        "q_quality_score": q_quality_score,
+        "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "q_knn_cosine": q_knn_cosine,
+        "q_embedding_dups": q_embedding_dups,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_srp_ann": q_srp_ann,
+        "q_multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 5)
+                        for i in range(1, greatest(length(t)-4, 1)+1)]) AS s
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents)
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+_COSINE_CTE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+unitv AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+  FROM v
+)
+"""
+
+_LANG_HITS = {
+    "en": "('the','and','of','to','a')",
+    "fr": "('le','la','et','les','des')",
+    "de": "('der','die','und','das','ist')",
+    "es": "('el','la','y','los','que')",
+}
+_LANG_HIT_EXPRS = ", ".join(
+    f"len(list_filter(string_split(lower(text), ' '), t -> t IN {words})) AS h_{lang}"
+    for lang, words in _LANG_HITS.items()
+)
+
+_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_PUNCT_RATIO = (
+    "(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) "
+    "* 1.0 / length(text)"
+)
+_AVG_TOK_LEN = (
+    f"list_aggregate(list_transform({_TOKENS}, t -> length(t)), 'sum') "
+    f"* 1.0 / len({_TOKENS})"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {SUM_QTY} AS sum_qty,
+                   {SUM_BASE} AS sum_base_price,
+                   {SUM_DISC_PRICE} AS sum_disc_price,
+                   {SUM_CHARGE} AS sum_charge,
+                   {SUM_QTY} / count(*) AS avg_qty,
+                   {SUM_BASE} / count(*) AS avg_price,
+                   {SUM_DISC} / count(*) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= timestamp '2000-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q03_shipping_priority": f"""
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   {SUM_DISC_PRICE} AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < timestamp '1998-03-15 00:00:00'
+              AND l_shipdate > timestamp '1998-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q05_region_revenue": f"""
+            SELECT n_name, {SUM_DISC_PRICE} AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+              AND o_orderdate < timestamp '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "q06_forecast_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+              AND l_shipdate < timestamp '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+        """,
+        "q_rollup_orders": f"""
+            SELECT o_orderstatus, o_orderpriority,
+                   {SUM_TOTALPRICE} AS total, count(*) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q_cube_lineitem": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {SUM_QTY} AS sum_qty, count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q_window_topk_parts": """
+            SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rnk
+            FROM part
+            QUALIFY rnk <= 3
+        """,
+        "q_window_lag_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey) AS prev_price,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) -
+                        CAST(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS DECIMAL(18,2))
+                        AS DOUBLE) AS delta
+            FROM orders
+        """,
+        "q_window_running_total": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_total
+            FROM orders
+        """,
+        "q_semi_customers": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "q_anti_customers": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate < timestamp '1996-01-01 00:00:00')
+        """,
+        "q_union_segments": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+            UNION
+            SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+        """,
+        "q_except_nations": """
+            SELECT c_custkey AS custkey FROM customer
+            WHERE c_mktsegment = 'AUTOMOBILE'
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_totalprice > 300000
+        """,
+        "q_distinct_flags": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "q_topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_agg_orders_stats": f"""
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   min(o_orderdate) AS first_date,
+                   max(o_orderdate) AS last_date,
+                   {SUM_TOTALPRICE} AS total
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_events_hourly": f"""
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, {SUM_VALUE} AS total_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "q_events_json": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "q_nested_transform_events": """
+            SELECT event_id,
+                   upper(event_type) AS etype_upper,
+                   value + 1 AS v_plus_1,
+                   user_id AS uid,
+                   value * 10 AS val_x10,
+                   (value * 2) * 10 AS val_x20
+            FROM events
+        """,
+        "q_dedup_exact_docs": f"""
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (
+              SELECT min(doc_id) FROM documents
+              GROUP BY md5({_NORM_TEXT})
+            )
+        """,
+        "q_text_stats": f"""
+            SELECT doc_id,
+                   len({_TOKENS}) AS token_count,
+                   length(text) AS char_count,
+                   {_AVG_TOK_LEN} AS avg_token_length,
+                   md5({_NORM_TEXT}) AS fingerprint
+            FROM documents
+        """,
+        "q_lang_id": f"""
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN h_en > 0 AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_es THEN 'en'
+                     WHEN h_fr > 0 AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+                     WHEN h_de > 0 AND h_de >= h_es THEN 'de'
+                     WHEN h_es > 0 THEN 'es'
+                     ELSE 'und'
+                   END AS lang_id
+            FROM (SELECT doc_id, lang, {_LANG_HIT_EXPRS} FROM documents)
+        """,
+        "q_quality_score": f"""
+            SELECT doc_id,
+                   len({_TOKENS}) AS token_count,
+                   round(0.5 * least(len({_TOKENS}) / 100.0, 1.0)
+                       + 0.3 * (1.0 - least({_PUNCT_RATIO} * 5.0, 1.0))
+                       + 0.2 * (CASE WHEN {_AVG_TOK_LEN} BETWEEN 2.0 AND 12.0
+                                     THEN 1.0 ELSE 0.5 END), 6) AS quality_score
+            FROM documents
+        """,
+        "q_ngram_dedup_pairs": _SHINGLES_CTE + """
+            SELECT id_a, id_b,
+                   round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        """,
+        "q_knn_cosine": _COSINE_CTE + """
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.u, c.u), 6) AS cosine,
+                     row_number() OVER (PARTITION BY q.vec_id
+                                        ORDER BY round(list_dot_product(q.u, c.u), 6) DESC,
+                                                 c.vec_id) AS rank
+              FROM unitv q JOIN unitv c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 10
+            ) WHERE rank <= 5
+        """,
+        "q_embedding_dups": _COSINE_CTE + """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.u, b.u), 6) AS cosine
+            FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.u, b.u), 6) >= 0.30
+        """,
+    }

@@ -28,11 +28,11 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    return F.size(tokens(text)).cast("bigint")
 
 
 def char_count(text: Column) -> Column:
-    return F.length(text)
+    return F.length(text).cast("bigint")
 
 
 def avg_token_length(text: Column) -> Column:

@@ -66,7 +66,7 @@ def brute_force_topk(
             Window.partitionBy("query_id").orderBy(
                 F.col("cosine").desc(), F.col("neighbor_id")
             )
-        ),
+        ).cast("bigint"),
     )
     return ranked.filter(F.col("rank") <= k).select(
         "query_id", "neighbor_id", "rank", "cosine"
@@ -119,7 +119,7 @@ def srp_lsh_topk(
             Window.partitionBy("query_id").orderBy(
                 F.col("cosine").desc(), F.col("neighbor_id")
             )
-        ),
+        ).cast("bigint"),
     )
     return ranked.filter(F.col("rank") <= k).select(
         "query_id", "neighbor_id", "rank", "cosine"

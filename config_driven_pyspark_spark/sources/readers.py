@@ -27,6 +27,11 @@ def stage_source(spark: SparkSession, spec: dict) -> DataFrame:
     ``table`` reads a catalog table instead of a path. ``streaming: true``
     switches to ``readStream`` (schema required for file sources).
     """
+    # session-level reader confs (e.g. legacy nanos-timestamp handling);
+    # applied before the read so schema inference sees them
+    for key, value in (spec.get("spark_confs") or {}).items():
+        spark.conf.set(key, value)
+
     if "table" in spec:
         return spark.table(spec["table"])
 
