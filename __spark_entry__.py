@@ -464,9 +464,16 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-gram Jaccard near-duplicate pairs (inverted-index join)."""
+    """Exact word-5-gram Jaccard near-duplicate pairs (inverted-index join).
+
+    Word shingles, not char shingles: join cost is Σ df(s)² over the
+    inverted index, and word 5-grams are ~500× more selective on this
+    corpus (measured max df 4 vs 402 at sf0.01) — the difference between
+    28k and 15.6M intermediate rows, i.e. the shape that survives 100 TB.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8,
+                                 unit="word")
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,10 +494,14 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (64 hashes, 16 bands), verified with true
-    Jaccard ≥ 0.8. Rows-only: banding is not SQL-expressible."""
+    Jaccard ≥ 0.8. Rows-only: banding is not SQL-expressible.
+
+    Word shingles (see q_ngram_dedup_pairs): signature cost is
+    |shingles|·num_hashes xxhash64 evals per doc — 6× cheaper than char
+    shingles at identical recall on near-identical documents."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.minhash_lsh_pairs(docs, "doc_id", "text", k=5, num_hashes=64,
-                               bands=16, threshold=0.8)
+                               bands=16, threshold=0.8, unit="word")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,13 +572,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _SHINGLES_CTE = """
-WITH sh AS (
+WITH toks AS (
   SELECT doc_id,
-         list_distinct([substring(t, i, 5)
-                        for i in range(1, greatest(length(t)-4, 1)+1)]) AS s
-  FROM (SELECT doc_id,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-        FROM documents)
+         list_filter(string_split(lower(text), ' '), t -> t != '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+4], ' ')
+                        for i in range(1, greatest(len(w)-4, 1)+1)]) AS s
+  FROM toks
 ),
 sizes AS (SELECT doc_id, len(s) AS n FROM sh),
 ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),

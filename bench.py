@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+``{"metric": "total_query_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}``
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side result transfer). Session uses AQE + broadcast thresholds the
+way a production cluster would.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+
+# headline subset: scan-heavy agg, multi-join, window, set-op, nested
+# transform, dedup, text, vector search — one per operator family
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q_cube_lineitem",
+    "q_window_topk_parts",
+    "q_window_running_total",
+    "q_semi_customers",
+    "q_events_hourly",
+    "q_nested_transform_events",
+    "q_dedup_exact_docs",
+    "q_text_stats",
+    "q_ngram_dedup_pairs",
+    "q_minhash_pairs",
+    "q_knn_cosine",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("config-driven-pyspark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    queries = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
