@@ -392,6 +392,25 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap via the
+    batch/stream-symmetric ``session_window`` stage
+    (config_driven_pyspark_spark/streaming/stages.py) — window end is
+    last event + gap, matching the gaps-and-islands oracle.
+
+    Scale: one shuffle on user_id; session merge state is bounded by the
+    watermark when run streaming (identical config, ``streaming: true``).
+    """
+    return _run(spark, [
+        *_events_stages(sf_dir),
+        {"stage": "session_window", "column": "ts", "gap": "30 minutes",
+         "group_by": ["user_id"],
+         "aggs": {"n_events": "count(*)", "total_value": SUM_VALUE}},
+        {"stage": "select", "columns": [
+            "window_start", "window_end", "user_id", "n_events", "total_value"]},
+    ])
+
+
 def q_nested_transform_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core capability end-to-end: build nested structs from
     events, transform nested fields via the config-driven nested engine
@@ -551,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders": q_topk_orders,
         "q_agg_orders_stats": q_agg_orders_stats,
         "q_events_hourly": q_events_hourly,
+        "q_sessionize_events": q_sessionize_events,
         "q_events_json": q_events_json,
         "q_nested_transform_events": q_nested_transform_events,
         "q_dedup_exact_docs": q_dedup_exact_docs,
@@ -755,6 +775,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, {SUM_VALUE} AS total_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "q_sessionize_events": f"""
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               < INTERVAL 30 MINUTE
+                          THEN 0 ELSE 1 END AS new_sess
+              FROM events
+            ),
+            sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT min(ts) AS window_start,
+                   max(ts) + INTERVAL 30 MINUTE AS window_end,
+                   user_id,
+                   count(*) AS n_events,
+                   {SUM_VALUE} AS total_value
+            FROM sess GROUP BY user_id, sid
         """,
         "q_events_json": """
             SELECT event_type, count(*) AS n,

@@ -158,6 +158,8 @@ class Pipeline:
             "drop", "rename", "join", "aggregate", "window", "sort", "limit",
             "distinct", "union", "intersect", "except", "repartition",
             "top_k", "dedup", "similarity", "text", "multimodal", "sink",
+            "watermark", "time_window", "session_window", "stream_dedup",
+            "stateful", "stream_sink",
         }
     )
 
@@ -230,6 +232,20 @@ class Pipeline:
             from config_driven_pyspark_spark.operators.multimodal import stage_multimodal
 
             return stage_multimodal(df, spec)
+        if kind in (
+            "watermark", "time_window", "session_window", "stream_dedup",
+            "stateful", "stream_sink",
+        ):
+            from config_driven_pyspark_spark.streaming import stages as S
+
+            return {
+                "watermark": S.stage_watermark,
+                "time_window": S.stage_time_window,
+                "session_window": S.stage_session_window,
+                "stream_dedup": S.stage_stream_dedup,
+                "stateful": S.stage_stateful,
+                "stream_sink": S.stage_stream_sink,
+            }[kind](df, spec)
         if kind == "sink":
             return stage_sink(df, spec)
         raise ValueError(f"Unknown stage kind {kind!r}")

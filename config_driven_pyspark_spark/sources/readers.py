@@ -13,6 +13,7 @@ or coalesce for small-file-heavy layouts). Partitioned layouts
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,11 +40,19 @@ def stage_source(spark: SparkSession, spec: dict) -> DataFrame:
     if fmt not in _FORMATS:
         raise ValueError(f"Unknown source format {fmt!r}; expected one of {sorted(_FORMATS)}")
 
-    reader = spark.readStream if spec.get("streaming") else spark.read
+    streaming = bool(spec.get("streaming"))
+    reader = spark.readStream if streaming else spark.read
     reader = reader.format(fmt)
     schema: Optional[str] = spec.get("schema")
     if schema:
         reader = reader.schema(schema)
     for key, value in (spec.get("options") or {}).items():
         reader = reader.option(key, value)
-    return reader.load(spec["path"])
+    path = spec["path"]
+    # the streaming file source only accepts directories; make a single-file
+    # path work identically batch/streaming (pipeline-config symmetry) by
+    # reading its parent dir filtered to that file
+    if streaming and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.load(path)

@@ -1,0 +1,219 @@
+"""Streaming pipeline stages over Structured Streaming.
+
+The reference is batch-only (``apply(df)`` over a static DataFrame —
+``/root/reference/src/config_driven_pyspark/functioniser.py:58``); streaming
+is a capability gap the new engine fills (SURVEY.md §2C). Design rule:
+**every stage here is batch/stream symmetric** — ``window()``,
+``session_window()``, and aggregations behave identically on a static
+DataFrame and on a stream, so one pipeline config can be smoke-tested in
+batch and deployed streaming (parity pinned by
+``tests/test_streaming.py``). Only watermarks, ``stream_dedup``'s
+within-watermark variant, the ``stateful`` stage, and sinks are
+streaming-specific, and each falls back to its exact batch twin when the
+input is not streaming.
+
+Scale notes: windowed aggregations keep state per (key, window) in the state
+store — the watermark bounds state size, so always set one upstream of a
+windowed agg on an unbounded stream. ``dropDuplicatesWithinWatermark`` keeps
+only in-horizon keys. Shuffle partition count fixes state-store partition
+count at first checkpoint — size ``spark.sql.shuffle.partitions`` for the
+target throughput *before* the first run.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def stage_watermark(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "watermark", "column": "ts", "delay": "10 minutes"}``.
+
+    Declares event-time lateness tolerance; bounds windowed-agg /
+    stream-dedup state. No-op semantics on batch inputs (Spark ignores
+    watermarks in batch queries), so the stage is safe in shared configs.
+    """
+    return df.withWatermark(spec["column"], spec["delay"])
+
+
+def _flatten_window(df: DataFrame, window_col: str = "window") -> DataFrame:
+    """Replace the ``window`` struct with sortable ``window_start`` /
+    ``window_end`` columns (stable, oracle-friendly schema)."""
+    others = [c for c in df.columns if c != window_col]
+    return df.select(
+        F.col(f"{window_col}.start").alias("window_start"),
+        F.col(f"{window_col}.end").alias("window_end"),
+        *others,
+    )
+
+
+def _agg_exprs(aggs: dict[str, str]) -> list[Column]:
+    return [F.expr(expr).alias(alias) for alias, expr in aggs.items()]
+
+
+def stage_time_window(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "time_window", "column": "ts", "duration": "1 hour",
+    "slide": "15 minutes"?, "group_by": [keys]?, "aggs": {alias: expr},
+    "flatten": true?}``.
+
+    Tumbling (no ``slide``) or sliding event-time windows; identical
+    semantics batch and streaming. Scale: one shuffle on
+    (window, *group_by); sliding windows multiply state/output by
+    duration/slide — prefer tumbling + downstream rollup when possible.
+    """
+    col = spec.get("column", "ts")
+    if spec.get("slide"):
+        win = F.window(col, spec["duration"], spec["slide"])
+    else:
+        win = F.window(col, spec["duration"])
+    keys = [F.col(k) for k in spec.get("group_by", [])]
+    out = df.groupBy(win.alias("window"), *keys).agg(*_agg_exprs(spec["aggs"]))
+    return _flatten_window(out) if spec.get("flatten", True) else out
+
+
+def stage_session_window(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "session_window", "column": "ts", "gap": "30 minutes",
+    "group_by": [keys], "aggs": {alias: expr}, "flatten": true?}``.
+
+    Sessionization: windows extend while consecutive events per key arrive
+    within ``gap``; window end = last event + gap. Batch/stream symmetric
+    (``F.session_window`` merges partial sessions in both modes). Scale:
+    state per open session; the watermark closes sessions and evicts state.
+    """
+    win = F.session_window(spec.get("column", "ts"), spec["gap"])
+    keys = [F.col(k) for k in spec.get("group_by", [])]
+    out = df.groupBy(win.alias("window"), *keys).agg(*_agg_exprs(spec["aggs"]))
+    return _flatten_window(out) if spec.get("flatten", True) else out
+
+
+def stage_stream_dedup(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "stream_dedup", "subset": [cols], "within_watermark":
+    true?}``.
+
+    Streaming exact dedup. With ``within_watermark`` (and a watermark set
+    upstream) uses ``dropDuplicatesWithinWatermark`` so state is evicted at
+    the horizon — the only sane shape for unbounded streams. On a batch
+    input both variants are plain ``dropDuplicates`` (exact twin).
+    """
+    subset = spec.get("subset")
+    if df.isStreaming and spec.get("within_watermark"):
+        return (
+            df.dropDuplicatesWithinWatermark(subset)
+            if subset
+            else df.dropDuplicatesWithinWatermark()
+        )
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def _running_totals(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Per-key running (count, sum) via ``applyInPandasWithState``.
+
+    The Arrow-batched stateful path for semantics windowed aggs can't
+    express (cross-batch cumulative totals emitted every trigger). State is
+    two floats per key — O(distinct keys) total, hash-partitioned across
+    the cluster like any keyed state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    out_schema = f"{key_fields}, n bigint, total double"
+
+    def update(key: tuple, pdfs: Iterable, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            [{**dict(zip(keys, key)), "n": n, "total": total}]
+        )
+
+    cast = df.withColumns({k: F.col(k).cast("string") for k in keys})
+    return cast.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stage_stateful(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "stateful", "method": "running_totals", "keys": [...],
+    "value": "value"}``.
+
+    On a batch input, falls back to the equivalent terminal aggregate
+    (``groupBy(keys).agg(count, sum)``) — after the final trigger the
+    streaming running totals converge to exactly that result, which is the
+    batch/stream parity contract the tests pin.
+    """
+    method = spec.get("method", "running_totals")
+    keys = spec["keys"]
+    value_col = spec.get("value", "value")
+    if method != "running_totals":
+        raise ValueError(f"Unknown stateful method {method!r}")
+    if not df.isStreaming:
+        return (
+            df.withColumns({k: F.col(k).cast("string") for k in keys})
+            .groupBy(*keys)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col(value_col).cast("double")).alias("total"),
+            )
+        )
+    return _running_totals(df, keys, value_col)
+
+
+# ---------------------------------------------------------------------------
+# stream sink
+# ---------------------------------------------------------------------------
+
+
+def stage_stream_sink(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "stream_sink", "format": "memory"|"parquet"|"noop"|
+    "console", "query_name": str?, "path": str?, "checkpoint": str?,
+    "output_mode": "append"|"update"|"complete", "trigger":
+    "available_now"|{"processing_time": "10 seconds"}, "await": true?}``.
+
+    Starts the streaming query. ``available_now`` (default) drains all
+    available input then stops — the batch-like trigger used for parity
+    tests and backfills. For ``memory`` sinks, returns the result table as
+    a DataFrame so downstream code can read what was emitted; otherwise
+    returns the input (the query keeps running when ``await`` is false).
+    """
+    if not df.isStreaming:
+        raise ValueError("stream_sink requires a streaming input DataFrame")
+    fmt = spec.get("format", "memory")
+    writer = df.writeStream.format(fmt).outputMode(spec.get("output_mode", "append"))
+    if spec.get("query_name"):
+        writer = writer.queryName(spec["query_name"])
+    if spec.get("checkpoint"):
+        writer = writer.option("checkpointLocation", spec["checkpoint"])
+    if spec.get("path"):
+        writer = writer.option("path", spec["path"])
+    for key, value in (spec.get("options") or {}).items():
+        writer = writer.option(key, value)
+
+    trigger = spec.get("trigger", "available_now")
+    if trigger == "available_now":
+        writer = writer.trigger(availableNow=True)
+    elif isinstance(trigger, dict) and "processing_time" in trigger:
+        writer = writer.trigger(processingTime=trigger["processing_time"])
+    elif trigger is not None:
+        raise ValueError(f"Unknown trigger spec {trigger!r}")
+
+    query = writer.start()
+    if spec.get("await", True):
+        query.awaitTermination()
+    if fmt == "memory" and spec.get("query_name"):
+        return df.sparkSession.table(spec["query_name"])
+    return df

@@ -1,0 +1,187 @@
+"""Batch/stream parity tests for the streaming stages.
+
+The contract (streaming/stages.py): the same pipeline config produces the
+same result whether the source is a static DataFrame or a file stream
+drained with an ``available_now`` trigger. Windowed aggregations are
+compared in ``complete`` output mode (every window emitted); the stateful
+running-totals operator is compared on its final per-key state.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from config_driven_pyspark_spark import Pipeline
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Deterministic mini event log written as TWO parquet files so
+    ``maxFilesPerTrigger=1`` forces genuinely multi-batch streaming."""
+    base = datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + timedelta(minutes=7 * i + (i % 3)),
+            i % 5,
+            ["view", "click", "buy"][i % 3],
+            float(i % 10) + 0.25,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, EVENTS_DDL)
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    df.repartition(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _source(events_dir: str, streaming: bool) -> dict:
+    spec = {
+        "stage": "source",
+        "format": "parquet",
+        "path": events_dir,
+        "schema": EVENTS_DDL,
+    }
+    if streaming:
+        spec["streaming"] = True
+        spec["options"] = {"maxFilesPerTrigger": "1"}
+    return spec
+
+
+def _collect_sorted(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def _run_stream(spark, events_dir, tmp_path, stages, query_name, mode):
+    pipeline = [
+        _source(events_dir, streaming=True),
+        *stages,
+        {
+            "stage": "stream_sink",
+            "format": "memory",
+            "query_name": query_name,
+            "output_mode": mode,
+            "checkpoint": str(tmp_path / f"ckpt_{query_name}"),
+        },
+    ]
+    return Pipeline.from_config(pipeline).run(spark)
+
+
+def test_time_window_batch_stream_parity(spark, events_dir, tmp_path):
+    stages = [
+        {
+            "stage": "time_window",
+            "column": "ts",
+            "duration": "1 hour",
+            "group_by": ["event_type"],
+            "aggs": {"n": "count(*)", "total": "sum(value)"},
+        }
+    ]
+    batch = Pipeline.from_config(
+        [_source(events_dir, streaming=False), *stages]
+    ).run(spark)
+    stream = _run_stream(spark, events_dir, tmp_path, stages, "tw", "complete")
+    cols = ["window_start", "window_end", "event_type", "n", "total"]
+    assert _collect_sorted(stream, cols) == _collect_sorted(batch, cols)
+    assert len(batch.collect()) > 3
+
+
+def test_sliding_window_batch_stream_parity(spark, events_dir, tmp_path):
+    stages = [
+        {
+            "stage": "time_window",
+            "column": "ts",
+            "duration": "2 hours",
+            "slide": "1 hour",
+            "aggs": {"n": "count(*)"},
+        }
+    ]
+    batch = Pipeline.from_config(
+        [_source(events_dir, streaming=False), *stages]
+    ).run(spark)
+    stream = _run_stream(spark, events_dir, tmp_path, stages, "sw", "complete")
+    cols = ["window_start", "window_end", "n"]
+    assert _collect_sorted(stream, cols) == _collect_sorted(batch, cols)
+    # sliding: every event lands in duration/slide = 2 windows
+    assert batch.agg(F.sum("n")).first()[0] == 400
+
+
+def test_session_window_batch_stream_parity(spark, events_dir, tmp_path):
+    stages = [
+        {
+            "stage": "session_window",
+            "column": "ts",
+            "gap": "30 minutes",
+            "group_by": ["user_id"],
+            "aggs": {"n": "count(*)", "total": "sum(value)"},
+        }
+    ]
+    batch = Pipeline.from_config(
+        [_source(events_dir, streaming=False), *stages]
+    ).run(spark)
+    stream = _run_stream(spark, events_dir, tmp_path, stages, "sess", "complete")
+    cols = ["window_start", "window_end", "user_id", "n", "total"]
+    assert _collect_sorted(stream, cols) == _collect_sorted(batch, cols)
+
+
+def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
+    stages = [
+        {"stage": "watermark", "column": "ts", "delay": "10 minutes"},
+        {
+            "stage": "stream_dedup",
+            "subset": ["user_id", "event_type"],
+            "within_watermark": True,
+        },
+        {"stage": "select", "columns": ["user_id", "event_type"]},
+    ]
+    batch = Pipeline.from_config(
+        [_source(events_dir, streaming=False), *stages]
+    ).run(spark)
+    stream = _run_stream(spark, events_dir, tmp_path, stages, "dd", "append")
+    cols = ["user_id", "event_type"]
+    # 5 users x 3 types, all seen within the horizon → same distinct keys
+    assert _collect_sorted(stream.distinct(), cols) == _collect_sorted(batch, cols)
+    assert len(batch.collect()) == 15
+
+
+def test_stateful_running_totals_converges_to_batch(spark, events_dir, tmp_path):
+    stages = [
+        {"stage": "stateful", "keys": ["user_id"], "value": "value"},
+    ]
+    batch = Pipeline.from_config(
+        [_source(events_dir, streaming=False), *stages]
+    ).run(spark)
+    emitted = _run_stream(spark, events_dir, tmp_path, stages, "st", "update")
+    # update mode emits one row per key per trigger; with 2 files and
+    # maxFilesPerTrigger=1 some keys emit twice — final state = max n
+    final = emitted.withColumn(
+        "rk",
+        F.expr("row_number() OVER (PARTITION BY user_id ORDER BY n DESC)"),
+    ).filter("rk = 1").drop("rk")
+    cols = ["user_id", "n"]
+    assert _collect_sorted(final, cols) == _collect_sorted(batch, cols)
+    b = {r["user_id"]: r["total"] for r in batch.collect()}
+    s = {r["user_id"]: r["total"] for r in final.collect()}
+    assert set(b) == set(s)
+    for k in b:
+        assert abs(b[k] - s[k]) < 1e-6
+    # genuinely incremental: at least one key was updated across >1 trigger
+    assert emitted.count() > batch.count()
+
+
+def test_stream_sink_requires_streaming_input(spark, events_dir):
+    with pytest.raises(Exception, match="streaming"):
+        Pipeline.from_config(
+            [
+                _source(events_dir, streaming=False),
+                {"stage": "stream_sink", "format": "memory", "query_name": "x"},
+            ]
+        ).run(spark)
