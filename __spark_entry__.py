@@ -411,6 +411,54 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the user's most recent view event at or
+    before it (inclusive backward as-of join).
+
+    Implemented as the union+window as-of join
+    (config_driven_pyspark_spark/operators/joins.py): one shuffle on
+    user_id, no inequality-join nested loop. Oracle: DuckDB's native
+    ASOF JOIN."""
+    ev = _events_stages(sf_dir)
+    ev[-1] = {**ev[-1], "name": "ev"}
+    return _run(spark, [
+        *ev,
+        {"stage": "filter", "predicate": "event_type = 'view'", "input": "ev"},
+        {"stage": "select", "name": "views",
+         "columns": ["user_id", "ts", "event_id AS view_event_id"]},
+        {"stage": "filter", "predicate": "event_type = 'purchase'", "input": "ev"},
+        {"stage": "select", "columns": ["event_id", "user_id", "ts", "value"]},
+        {"stage": "asof_join", "right": "views", "on": "ts", "by": ["user_id"],
+         "how": "inner", "right_prefix": "view_"},
+        {"stage": "select", "columns": [
+            "event_id", "user_id", "ts", "value",
+            "view_ts", "view_view_event_id AS view_event_id"]},
+    ])
+
+
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts bucketed into $10 retail-price bands via the equi-ized range
+    join (operators/joins.py): intervals explode into covered buckets,
+    points hash-join on bucket — no BroadcastNestedLoopJoin at any scale.
+    """
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    bands = spark.range(90, 100).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    from config_driven_pyspark_spark.operators import joins as J
+
+    joined = J.range_join(part, bands, point="p_retailprice",
+                          lower="lo", upper="hi", bucket_width=10.0)
+    return joined.groupBy("band_id", "lo", "hi").agg(
+        F.expr("count(*)").alias("n_parts"),
+        F.expr(
+            "CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sum_price"),
+    )
+
+
 def q_nested_transform_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core capability end-to-end: build nested structs from
     events, transform nested fields via the config-driven nested engine
@@ -571,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_orders_stats": q_agg_orders_stats,
         "q_events_hourly": q_events_hourly,
         "q_sessionize_events": q_sessionize_events,
+        "q_asof_purchase_view": q_asof_purchase_view,
+        "q_range_join_price_bands": q_range_join_price_bands,
         "q_events_json": q_events_json,
         "q_nested_transform_events": q_nested_transform_events,
         "q_dedup_exact_docs": q_dedup_exact_docs,
@@ -796,6 +846,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    {SUM_VALUE} AS total_value
             FROM sess GROUP BY user_id, sid
+        """,
+        "q_asof_purchase_view": """
+            WITH v AS (SELECT user_id, ts, event_id AS view_event_id
+                       FROM events WHERE event_type = 'view'),
+                 p AS (SELECT event_id, user_id, ts, value
+                       FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   v.ts AS view_ts, v.view_event_id
+            FROM p ASOF JOIN v
+              ON p.user_id = v.user_id AND v.ts <= p.ts
+        """,
+        "q_range_join_price_bands": """
+            WITH bands AS (SELECT r AS band_id, r * 10.0 AS lo,
+                                  (r + 1) * 10.0 AS hi
+                           FROM range(90, 100) t(r))
+            SELECT band_id, lo, hi, count(*) AS n_parts,
+                   CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM part JOIN bands
+              ON p_retailprice >= lo AND p_retailprice < hi
+            GROUP BY 1, 2, 3
         """,
         "q_events_json": """
             SELECT event_type, count(*) AS n,

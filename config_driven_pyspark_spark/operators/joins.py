@@ -1,0 +1,190 @@
+"""Temporal/interval join operators Spark lacks as built-ins.
+
+Capability-gap operators (SURVEY.md §2C "joins" row): the reference has no
+joins at all, and vanilla Spark expresses as-of and point-in-interval joins
+only as inequality joins that plan as BroadcastNestedLoopJoin — O(n·m) and a
+non-starter at 100 TB. Both operators here are re-expressed as single
+equi-join/shuffle shapes over built-in DataFrame ops:
+
+- ``asof_join``  — union both sides, one window pass per key carries the
+  latest right-side payload forward onto each left row. One shuffle on the
+  ``by`` keys + an in-partition sort; never materializes candidate pairs.
+  (The merge-as-union-plus-window formulation is the standard distributed
+  as-of technique, e.g. pandas ``merge_asof`` semantics on Spark.)
+- ``range_join`` — bucket the point side by a fixed width, explode each
+  interval into the buckets it covers, equi-join on (keys, bucket), then
+  apply the exact bounds filter. Hash join O(|points| + |intervals|·spans)
+  instead of a nested loop; each matching pair is produced exactly once
+  because a point lives in exactly one bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] = (),
+    right_on: Optional[str] = None,
+    direction: str = "backward",
+    tolerance: Optional[str] = None,
+    how: str = "left",
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """For each left row, attach the nearest right row at-or-before
+    (``backward``) / at-or-after (``forward``) its ``on`` time, per ``by``
+    key group. Inclusive on equality (ties: right row at the exact left
+    time matches it).
+
+    ``tolerance`` (an INTERVAL SQL string, e.g. ``"2 hours"``) drops
+    matches farther than that from the left time. ``how``: ``left`` keeps
+    unmatched left rows with nulls; ``inner`` drops them. Right payload
+    columns are prefixed with ``right_prefix``; ``by`` keys keep one copy.
+
+    Scale: one hash-shuffle of (left ∪ right) on ``by`` + per-key sort —
+    the same cost as any keyed window; no pair blowup, no nested loop.
+    Skewed keys are the caveat (same as any groupBy) — AQE skew handling
+    applies to the shuffle.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right_on = right_on or on
+    by = list(by)
+
+    payload_cols = [c for c in right.columns if c not in set(by)]
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(right_on).alias("__t"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__r"),
+        F.lit(0).alias("__side"),
+    )
+    l = left.select(
+        "*",
+        F.col(on).alias("__t"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        F.lit(1).alias("__side"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # backward: latest right at-or-before; right rows sort before left rows
+    # at equal time so equality matches (inclusive). forward: mirror image.
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__t").desc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
+        F.col("__side") == 1
+    )
+
+    if tolerance is not None:
+        delta = (
+            F.col("__t") - F.col(f"__m.{right_on}")
+            if direction == "backward"
+            else F.col(f"__m.{right_on}") - F.col("__t")
+        )
+        matched = matched.withColumn(
+            "__m",
+            F.when(delta <= F.expr(f"INTERVAL {tolerance}"), F.col("__m")),
+        )
+
+    if how == "inner":
+        matched = matched.filter(F.col("__m").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be left|inner, got {how!r}")
+
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__m.{c}").alias(f"{right_prefix}{c}") for c in payload_cols
+    ]
+    return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lower: str,
+    upper: str,
+    by: Sequence[str] = (),
+    bucket_width: float = 1.0,
+    bounds: str = "[)",
+) -> DataFrame:
+    """Point-in-interval equi-ized join: left rows whose ``point`` falls in
+    right's [``lower``, ``upper``) interval (``bounds`` picks ``"[)"``,
+    ``"[]"``, ``"()"``, or ``"(]"``).
+
+    ``bucket_width`` trades explode factor against join selectivity: each
+    interval materializes (span/width + 1) bucket rows. Pick it near the
+    median interval span so most intervals cover ≤ 2 buckets.
+
+    Scale: plain hash equi-join on (``by``, bucket) — shuffles both sides
+    once; never a BroadcastNestedLoopJoin. Exact bounds applied post-join.
+    """
+    if bounds not in ("[)", "[]", "()", "(]"):
+        raise ValueError(f"bounds must be one of [) [] () (], got {bounds!r}")
+    by = list(by)
+    w = float(bucket_width)
+
+    lb = left.withColumn("__b", F.floor(F.col(point) / w))
+    rb = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lower) / w).cast("long"),
+                F.floor(F.col(upper) / w).cast("long"),
+            )
+        ),
+    )
+    lo_ok = (
+        F.col(point) >= F.col(lower) if bounds[0] == "[" else F.col(point) > F.col(lower)
+    )
+    hi_ok = (
+        F.col(point) <= F.col(upper) if bounds[1] == "]" else F.col(point) < F.col(upper)
+    )
+    return lb.join(rb, on=by + ["__b"], how="inner").filter(lo_ok & hi_ok).drop("__b")
+
+
+def stage_asof_join(left: DataFrame, right: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "asof_join", "right": name, "on": "ts", "by": [keys],
+    "right_on": col?, "direction": "backward"|"forward", "tolerance":
+    "2 hours"?, "how": "left"|"inner", "right_prefix": "right_"}``."""
+    return asof_join(
+        left,
+        right,
+        on=spec["on"],
+        by=spec.get("by", ()),
+        right_on=spec.get("right_on"),
+        direction=spec.get("direction", "backward"),
+        tolerance=spec.get("tolerance"),
+        how=spec.get("how", "left"),
+        right_prefix=spec.get("right_prefix", "right_"),
+    )
+
+
+def stage_range_join(left: DataFrame, right: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "range_join", "right": name, "point": col, "lower": col,
+    "upper": col, "by": [keys]?, "bucket_width": num, "bounds": "[)"}``."""
+    return range_join(
+        left,
+        right,
+        point=spec["point"],
+        lower=spec["lower"],
+        upper=spec["upper"],
+        by=spec.get("by", ()),
+        bucket_width=spec.get("bucket_width", 1.0),
+        bounds=spec.get("bounds", "[)"),
+    )

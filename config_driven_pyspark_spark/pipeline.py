@@ -72,6 +72,21 @@ class PipelineContext:
         return self.last
 
 
+def _fix_yaml_bool_keys(obj: Any) -> Any:
+    """YAML 1.1 parses bare ``on``/``off`` keys as booleans; map them back to
+    the strings the stage specs expect (``on:`` is the join-key field)."""
+    if isinstance(obj, dict):
+        return {
+            (
+                "on" if key is True else "off" if key is False else key
+            ): _fix_yaml_bool_keys(value)
+            for key, value in obj.items()
+        }
+    if isinstance(obj, list):
+        return [_fix_yaml_bool_keys(v) for v in obj]
+    return obj
+
+
 def _substitute(obj: Any, variables: dict[str, Any]) -> Any:
     """Recursively substitute ``${var}`` in strings."""
     if isinstance(obj, str):
@@ -127,7 +142,7 @@ class Pipeline:
     def from_yaml(cls, text: str, **kwargs: Any) -> "Pipeline":
         if _yaml is None:
             raise ImportError("pyyaml not available; use from_config with a dict")
-        return cls.from_config(_yaml.safe_load(text), **kwargs)
+        return cls.from_config(_fix_yaml_bool_keys(_yaml.safe_load(text)), **kwargs)
 
     def register_function(self, name: str, func: Union[Column, DfFunction]) -> None:
         self.registry.register(name, func)
@@ -159,7 +174,7 @@ class Pipeline:
             "distinct", "union", "intersect", "except", "repartition",
             "top_k", "dedup", "similarity", "text", "multimodal", "sink",
             "watermark", "time_window", "session_window", "stream_dedup",
-            "stateful", "stream_sink",
+            "stateful", "stream_sink", "asof_join", "range_join",
         }
     )
 
@@ -194,6 +209,11 @@ class Pipeline:
             return R.stage_rename(df, spec)
         if kind == "join":
             return R.stage_join(df, ctx.get(spec["right"]), spec)
+        if kind in ("asof_join", "range_join"):
+            from config_driven_pyspark_spark.operators import joins as J
+
+            stage_fn = J.stage_asof_join if kind == "asof_join" else J.stage_range_join
+            return stage_fn(df, ctx.get(spec["right"]), spec)
         if kind == "aggregate":
             return R.stage_aggregate(df, spec)
         if kind == "window":

@@ -1,0 +1,136 @@
+"""Unit tests for the as-of and range join operators (operators/joins.py).
+
+Golden-value semantics: inclusive equality matches, backward/forward
+directions, tolerance horizons, left-vs-inner null handling, and the
+exactly-once pair guarantee of the bucketed range join.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from config_driven_pyspark_spark.operators.joins import asof_join, range_join
+
+TRADES_DDL = "sym string, t timestamp, qty bigint"
+QUOTES_DDL = "sym string, t timestamp, px double"
+
+
+def ts(minute: int) -> datetime:
+    return datetime(2024, 1, 1, 12, minute)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [("A", ts(1), 10), ("A", ts(5), 20), ("A", ts(9), 30), ("B", ts(2), 5)],
+        TRADES_DDL,
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [("A", ts(0), 1.0), ("A", ts(5), 2.0), ("A", ts(7), 3.0), ("C", ts(0), 9.0)],
+        QUOTES_DDL,
+    )
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_asof_backward_inclusive(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="t", by=["sym"], how="inner")
+    # ts(5) trade matches the ts(5) quote (inclusive), not ts(0)
+    assert rows(out, "sym", "qty", "right_px") == [
+        ("A", 10, 1.0),
+        ("A", 20, 2.0),
+        ("A", 30, 3.0),
+    ]
+
+
+def test_asof_left_keeps_unmatched(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="t", by=["sym"], how="left")
+    got = rows(out, "sym", "qty", "right_px")
+    assert ("B", 5, None) in got and len(got) == 4
+
+
+def test_asof_forward(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="t", by=["sym"], direction="forward",
+                    how="inner")
+    # ts(1)→ts(5) quote; ts(5)→ts(5) (inclusive); ts(9)→none
+    assert rows(out, "sym", "qty", "right_px") == [("A", 10, 2.0), ("A", 20, 2.0)]
+
+
+def test_asof_tolerance(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="t", by=["sym"], tolerance="1 minute",
+                    how="inner")
+    # ts(1) is 1 min from ts(0) (kept); ts(5) exact (kept); ts(9) is 2 min
+    # from ts(7) (dropped)
+    assert rows(out, "sym", "qty", "right_px") == [("A", 10, 1.0), ("A", 20, 2.0)]
+
+
+def test_asof_no_by_keys(spark, trades, quotes):
+    out = asof_join(
+        trades.filter("sym = 'A'").drop("sym"),
+        quotes.filter("sym = 'A'").drop("sym"),
+        on="t",
+        how="inner",
+    )
+    assert rows(out, "qty", "right_px") == [(10, 1.0), (20, 2.0), (30, 3.0)]
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(
+        [(1, 0.5), (2, 10.0), (3, 15.0), (4, 25.0), (5, 99.0)], "id bigint, x double"
+    )
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    return spark.createDataFrame(
+        [("r1", 0.0, 10.0), ("r2", 10.0, 20.0), ("r3", 5.0, 30.0)],
+        "name string, lo double, hi double",
+    )
+
+
+def test_range_join_half_open(spark, points, intervals):
+    out = range_join(points, intervals, point="x", lower="lo", upper="hi",
+                     bucket_width=10.0)
+    assert rows(out, "id", "name") == [
+        (1, "r1"),
+        (2, "r2"),  # 10.0 excluded from r1's [0,10), included in r2
+        (2, "r3"),
+        (3, "r2"),
+        (3, "r3"),
+        (4, "r3"),
+    ]
+
+
+def test_range_join_closed_bounds(spark, points, intervals):
+    out = range_join(points, intervals, point="x", lower="lo", upper="hi",
+                     bucket_width=10.0, bounds="[]")
+    assert (2, "r1") in rows(out, "id", "name")  # 10.0 == hi now matches
+
+
+def test_range_join_exactly_once(spark, points, intervals):
+    # wide intervals spanning many buckets must not duplicate pairs
+    out = range_join(points, intervals, point="x", lower="lo", upper="hi",
+                     bucket_width=2.0)
+    got = rows(out, "id", "name")
+    assert len(got) == len(set(got)) == 6
+
+
+def test_range_join_with_by_keys(spark):
+    pts = spark.createDataFrame(
+        [("u1", 5.0), ("u2", 5.0)], "grp string, x double"
+    )
+    ivs = spark.createDataFrame(
+        [("u1", 0.0, 10.0)], "grp string, lo double, hi double"
+    )
+    out = range_join(pts, ivs, point="x", lower="lo", upper="hi",
+                     by=["grp"], bucket_width=10.0)
+    assert rows(out, "grp", "x") == [("u1", 5.0)]
