@@ -33,6 +33,9 @@ HEADLINE = [
     "q_window_running_total",
     "q_semi_customers",
     "q_events_hourly",
+    "q_sessionize_events",
+    "q_asof_purchase_view",
+    "q_range_join_price_bands",
     "q_nested_transform_events",
     "q_dedup_exact_docs",
     "q_text_stats",

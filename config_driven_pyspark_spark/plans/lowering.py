@@ -13,6 +13,9 @@ Plan-shape choices, both deliberate:
   ``transform`` per struct member plus one per node function
   (``functioniser.py:96-110``); fusing them is semantically identical
   (composition of per-element maps) and yields a smaller expression tree.
+- Maps lower to one ``F.transform_values`` per map level (``TransformValues``
+  higher-order function); paths continue into the map's value type. Wrapper
+  order is preserved: ``array<map<T>>`` nests ``transform(transform_values)``.
 
 Untouched columns and untouched struct subtrees never enter the plan:
 roots without a PathNode pass through as bare ``F.col`` (parity with
@@ -44,17 +47,23 @@ def _apply_at_value(ctx: Column, node: PathNode) -> Column:
     return ctx
 
 
-def _wrap_array_levels(ctx: Column, depth: int, node: PathNode) -> Column:
-    """Wrap the element-level computation in ``depth`` nested ``F.transform``s."""
-    if depth == 0:
+def _wrap_levels(ctx: Column, wrappers: tuple[str, ...], node: PathNode) -> Column:
+    """Wrap the value-level computation in nested ``F.transform`` (array
+    levels) / ``F.transform_values`` (map levels), outermost first."""
+    if not wrappers:
         return _apply_at_value(ctx, node)
-    return F.transform(ctx, lambda element: _wrap_array_levels(element, depth - 1, node))
+    head, rest = wrappers[0], wrappers[1:]
+    if head == "a":
+        return F.transform(ctx, lambda element: _wrap_levels(element, rest, node))
+    return F.transform_values(
+        ctx, lambda _key, value: _wrap_levels(value, rest, node)
+    )
 
 
 def _lower_node(ctx: Column, node: Optional[PathNode]) -> Column:
     if node is None:
         return ctx
-    return _wrap_array_levels(ctx, node.array_depth, node)
+    return _wrap_levels(ctx, node.wrappers, node)
 
 
 def lower_root(ctx: Column, node: Optional[PathNode]) -> Column:

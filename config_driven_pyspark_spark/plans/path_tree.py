@@ -5,11 +5,13 @@ Role parity: the reference's ``NodeFunctions`` UserDict tree
 by ``_build_nodes`` (``functioniser.py:152-196``). Differences by design:
 
 - a plain dataclass tree instead of a UserDict subclass;
-- each node records ``array_depth`` (count of ``[]`` on its schema segment)
-  rather than a boolean ``is_array``. The lowering emits one ``F.transform``
-  per array level, which fixes the reference's nested-``array<array<T>>``
-  edge where both brackets collapse into a single boolean and functions
-  receive the inner array instead of its elements (SURVEY.md §1.2).
+- each node records ``wrappers`` — the ordered container tokens on its
+  schema segment (``'a'`` per ``[]``, ``'m'`` per ``{}``) — rather than a
+  boolean ``is_array``. The lowering emits one ``F.transform`` per array
+  level (fixing the reference's nested-``array<array<T>>`` edge where both
+  brackets collapse into a single boolean — SURVEY.md §1.2) and one
+  ``F.transform_values`` per map level (maps are opaque leaves in the
+  reference).
 - case-insensitive child addressing via a lowercased key dict (the reference
   scans keys with ``.lower()`` in ``iget`` — ``functioniser.py:229-233``).
 """
@@ -21,7 +23,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from config_driven_pyspark_spark.functions.registry import DfFunction
-from config_driven_pyspark_spark.schema import array_depth_of, limit_depth, strip_brackets
+from config_driven_pyspark_spark.schema import limit_depth, strip_brackets, wrappers_of
 
 _logger = logging.getLogger(__name__)
 
@@ -32,13 +34,14 @@ class PathNode:
 
     ``name`` is the bracket-free field name (schema casing when the segment
     was resolved from the schema, config casing for created fields);
-    ``array_depth`` is how many ``F.transform`` levels the lowering must wrap
-    around this node; ``function`` is the (possibly composed) Column function
-    to apply at this node, or None for pass-through interior nodes.
+    ``wrappers`` is the ordered container-unwrap sequence the lowering must
+    emit around this node (``'a'`` → ``F.transform``, ``'m'`` →
+    ``F.transform_values``); ``function`` is the (possibly composed) Column
+    function to apply at this node, or None for pass-through interior nodes.
     """
 
     name: str
-    array_depth: int = 0
+    wrappers: tuple[str, ...] = ()
     function: Optional[DfFunction] = None
     children: dict[str, "PathNode"] = field(default_factory=dict)
 
@@ -64,7 +67,7 @@ def resolve_tokens(config_path: str, flat_schema: list[str]) -> Optional[str]:
     """
     want = config_path.lower()
     for tokenised in flat_schema:
-        plain = tokenised.lower().replace("[]", "")
+        plain = tokenised.lower().replace("[]", "").replace("{}", "")
         if plain == want or plain.startswith(want + "."):
             return limit_depth(tokenised, config_path)
     return None
@@ -109,7 +112,7 @@ def build_path_tree(
             node = current.child(strip_brackets(segment))
             if node is None:
                 node = current.put_child(
-                    PathNode(strip_brackets(segment), array_depth_of(segment))
+                    PathNode(strip_brackets(segment), wrappers_of(segment))
                 )
             current = node
         current.function = fn

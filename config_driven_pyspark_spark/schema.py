@@ -7,9 +7,15 @@ output format is identical: a list of dotted paths in schema order, with
 ``[]`` appended to a segment once per array level (so ``array<array<long>>``
 named ``aa`` flattens to ``aa[][]``).
 
-Unlike the reference, ``MapType`` is treated as an opaque leaf (the reference
-raises ``KeyError`` on maps because a map's JSON node has no ``fields`` key);
-any non-struct, non-array type is a leaf here.
+Unlike the reference (which raises ``KeyError`` on maps because a map's JSON
+node has no ``fields`` key), ``MapType`` is traversed: a map-typed segment
+carries a ``{}`` token per map level and paths continue into the map's
+*value* type, lowered with ``F.transform_values`` (SURVEY.md §1.2
+parity-plus). Wrapper tokens are ordered — ``array<map<...>>`` flattens to
+``seg[]{}``, ``map<array<...>>`` to ``seg{}[]`` — because the lowering must
+nest ``transform`` / ``transform_values`` in that order. Map *keys* are not
+addressable by path; transform keys with a whole-map leaf function
+(``lambda m: F.transform_keys(m, ...)``), which leaf opacity supports.
 """
 
 from __future__ import annotations
@@ -32,9 +38,15 @@ def flatten_schema(df_or_schema: Union[DataFrame, T.StructType]) -> list[str]:
     out: list[str] = []
 
     def walk(path: str, dtype: T.DataType) -> None:
-        while isinstance(dtype, T.ArrayType):
-            path += "[]"
-            dtype = dtype.elementType
+        while True:
+            if isinstance(dtype, T.ArrayType):
+                path += "[]"
+                dtype = dtype.elementType
+            elif isinstance(dtype, T.MapType):
+                path += "{}"
+                dtype = dtype.valueType
+            else:
+                break
         if isinstance(dtype, T.StructType):
             for field in dtype.fields:
                 walk(f"{path}.{field.name}" if path else field.name, field.dataType)
@@ -66,6 +78,24 @@ def array_depth_of(segment: str) -> int:
     return segment.count("[]")
 
 
+def wrappers_of(segment: str) -> tuple[str, ...]:
+    """Ordered container wrappers on a segment: ``'a'`` per ``[]`` (array)
+    and ``'m'`` per ``{}`` (map), outermost first (``x[]{}`` → ``('a','m')``)."""
+    out: list[str] = []
+    i = 0
+    while i < len(segment) - 1:
+        pair = segment[i : i + 2]
+        if pair == "[]":
+            out.append("a")
+            i += 2
+        elif pair == "{}":
+            out.append("m")
+            i += 2
+        else:
+            i += 1
+    return tuple(out)
+
+
 def strip_brackets(segment: str) -> str:
-    """Remove ``[]`` tokens from a path segment."""
-    return segment.replace("[]", "")
+    """Remove ``[]`` / ``{}`` tokens from a path segment."""
+    return segment.replace("[]", "").replace("{}", "")

@@ -55,8 +55,8 @@ def test_flatten_schema_from_ddl(spark):
     schema = StructType.fromDDL(
         "m map<string,int>, s struct<a: array<struct<b: int>>>"
     )
-    # maps are opaque leaves; arrays of structs recurse
-    assert flatten_schema(schema) == ["m", "s.a[].b"]
+    # maps carry a {} token and recurse into values; arrays of structs recurse
+    assert flatten_schema(schema) == ["m{}", "s.a[].b"]
 
 
 @pytest.mark.parametrize(
