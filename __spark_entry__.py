@@ -584,6 +584,16 @@ def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.srp_lsh_topk(emb, queries, k=5, bits=4)
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via IVF cells (16 centroids, 4 probes);
+    Arrow-batched numpy centroid assignment, Column-native scoring.
+    Rows-only: approximate recall is pinned by tests/test_llm_ops.py
+    (probing all cells reproduces exact brute force)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over binary columns: documents' text bytes as
     opaque media content → Arrow-batched feature extraction (fake decoder)."""
@@ -633,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_srp_ann": q_srp_ann,
+        "q_ivf_ann": q_ivf_ann,
         "q_multimodal_features": q_multimodal_features,
     }
 

@@ -10,9 +10,16 @@ Capability gap vs the reference (SURVEY.md §2C). Two strategies:
   sides; only same-bucket (or neighboring-probe) pairs are scored. At 100 TB
   corpus scale this prunes the cross product to O(n · bucket occupancy);
   multi-probe (flipping each signature bit) trades recall for fan-out.
+- ``ivf``         — inverted-file ANN: corpus vectors are assigned to their
+  nearest centroid cell; each query probes its ``nprobe`` nearest cells and
+  scores only those cells' vectors. Centroid assignment is the one place a
+  Pandas UDF beats Column exprs (a b×d @ d×c numpy matmul per Arrow batch
+  vs c unrolled dot expressions), so it uses ``pandas_udf``; scoring stays
+  Column-native. ``nprobe = n_centroids`` degrades to exact brute force
+  (pinned by test), the recall/cost dial in between.
 
-All math is ``zip_with``/``aggregate`` Column expressions in double
-precision — no UDFs, whole-stage codegen applies.
+Scoring math is ``zip_with``/``aggregate`` Column expressions in double
+precision — whole-stage codegen applies.
 """
 
 from __future__ import annotations
@@ -126,10 +133,99 @@ def srp_lsh_topk(
     )
 
 
+def _nearest_cells_udf(centroids, nprobe: int):
+    """Arrow-batched assignment to the ``nprobe`` nearest (by dot product)
+    unit centroids. ``centroids`` is a small driver-side numpy array
+    broadcast with the serialized UDF — fine for the usual 2⁸–2¹⁶ cells."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids.T.copy()  # d×c, contiguous for the matmul
+
+    def assign(vecs):
+        mat = np.stack(vecs.to_numpy())  # b×d
+        sims = mat @ cent  # b×c
+        # stable sort so equal similarities break ties by cell id —
+        # deterministic across runs/partitions
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx.astype("int32")))
+
+    # explicit real annotations (the module uses `from __future__ import
+    # annotations`, which stringifies hints and breaks pandas_udf inference)
+    assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "array<int>")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate cosine top-k.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors, unit
+    normalized (deterministic sampled-centroid IVF — no iterative training;
+    at real scale swap in k-means centroids computed offline). Corpus rows
+    land in exactly one cell; queries fan out to ``nprobe`` cells, so cost
+    is |corpus|/cells × nprobe per query instead of |corpus|.
+
+    Scale: the corpus-side shuffle is on cell id (bounded cardinality =
+    ``n_centroids``); per-cell skew is data-dependent — more centroids
+    flatten it. Probing all cells reproduces brute force exactly.
+    """
+    import numpy as np
+
+    cent_rows = (
+        corpus.select(F.col(id_col), V.unit_normalize(F.col(vec_col)).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([r["v"] for r in cent_rows], dtype="float64")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        V.unit_normalize(F.col(vec_col)).alias("cv"),
+    ).withColumn(
+        "cell", _nearest_cells_udf(centroids, 1)(F.col("cv")).getItem(0)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.unit_normalize(F.col(vec_col)).alias("qv"),
+    ).withColumn(
+        "cell", F.explode(_nearest_cells_udf(centroids, nprobe)(F.col("qv")))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id")
+            )
+        ).cast("bigint"),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", "cosine"
+    )
+
+
 def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
-    """``{"stage": "similarity", "method": "brute_force"|"srp_lsh", "k": 10,
-    "queries": <stage name, default: self>, "id_col": ..., "vec_col": ...,
-    "bits": 8}``."""
+    """``{"stage": "similarity", "method": "brute_force"|"srp_lsh"|"ivf",
+    "k": 10, "queries": <stage name, default: self>, "id_col": ...,
+    "vec_col": ..., "bits": 8, "n_centroids": 16, "nprobe": 4}``."""
     queries = ctx.get(spec["queries"]) if (ctx and spec.get("queries")) else df
     method = spec.get("method", "brute_force")
     k = int(spec.get("k", 10))
@@ -143,5 +239,10 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
         return srp_lsh_topk(
             df, queries, k, id_col, vec_col,
             int(spec.get("bits", 8)), int(spec.get("seed", 42)),
+        )
+    if method == "ivf":
+        return ivf_topk(
+            df, queries, k, id_col, vec_col,
+            int(spec.get("n_centroids", 16)), int(spec.get("nprobe", 4)),
         )
     raise ValueError(f"Unknown similarity method {method!r}")

@@ -194,6 +194,30 @@ def test_brute_force_topk_matches_numpy(spark, embeddings):
         assert by_query[int(ids[qi])] == expected
 
 
+def test_ivf_full_probe_equals_brute_force(spark, embeddings):
+    """Probing every IVF cell scores the whole corpus → exact brute-force
+    results, bit for bit (the correctness anchor for the approximate path)."""
+    queries = embeddings.limit(3)
+    exact = S.brute_force_topk(embeddings, queries, k=5)
+    full = S.ivf_topk(embeddings, queries, k=5, n_centroids=8, nprobe=8)
+    assert sorted(map(tuple, full.collect()), key=lambda t: (t[0], t[2])) == \
+        sorted(map(tuple, exact.collect()), key=lambda t: (t[0], t[2]))
+
+
+def test_ivf_partial_probe_returns_ranked_subset(spark, embeddings):
+    queries = embeddings.limit(3)
+    out = S.ivf_topk(embeddings, queries, k=5, n_centroids=8, nprobe=2).collect()
+    assert len(out) > 0
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        # ranks contiguous from 1, cosine non-increasing
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+
+
 def test_srp_lsh_topk_subset_quality(spark, embeddings):
     queries = embeddings.limit(3)
     exact = S.brute_force_topk(embeddings, queries, k=10)
