@@ -206,6 +206,31 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: order-priority counts for a quarter, restricted to
+    orders with at least one high-quantity lineitem (EXISTS → left-semi
+    join; the testdata lineitem has no commit/receipt dates, so quantity
+    stands in as the line-level predicate).
+
+    Scale: the semi join shuffles only (o_orderkey) vs lineitem's
+    (l_orderkey, two dates → filtered map-side first); AQE converts to
+    broadcast when the filtered quarter is small."""
+    return _run(spark, [
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter", "predicate": "l_quantity > 45"},
+        {"stage": "select", "columns": ["l_orderkey AS o_orderkey"],
+         "name": "late"},
+        _src(sf_dir, "orders"),
+        {"stage": "filter",
+         "predicate": "o_orderdate >= timestamp '1996-07-01 00:00:00' "
+                      "AND o_orderdate < timestamp '1996-10-01 00:00:00'"},
+        {"stage": "join", "right": "late", "on": ["o_orderkey"],
+         "how": "left_semi"},
+        {"stage": "aggregate", "group_by": ["o_orderpriority"],
+         "aggs": {"order_count": "count(*)"}},
+    ])
+
+
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over orders."""
     return _run(spark, [
@@ -615,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_shipping_priority": q03_shipping_priority,
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
+        "q04_order_priority": q04_order_priority,
         "q_rollup_orders": q_rollup_orders,
         "q_cube_lineitem": q_cube_lineitem,
         "q_window_topk_parts": q_window_topk_parts,
@@ -753,6 +779,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
               AND l_shipdate < timestamp '1997-01-01 00:00:00'
               AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+        """,
+        "q04_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= timestamp '1996-07-01 00:00:00'
+              AND o_orderdate < timestamp '1996-10-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity > 45)
+            GROUP BY o_orderpriority
         """,
         "q_rollup_orders": f"""
             SELECT o_orderstatus, o_orderpriority,

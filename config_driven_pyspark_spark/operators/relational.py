@@ -81,19 +81,59 @@ def stage_rename(df: DataFrame, spec: dict) -> DataFrame:
     return df.withColumnsRenamed(spec["columns"])
 
 
+def salted_join(
+    df: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with manual key salting for skewed hot keys.
+
+    Left rows get a uniform random salt in [0, salt); the right side is
+    replicated once per salt value; the join runs on (keys..., salt). A hot
+    left key's rows thus spread over ``salt`` shuffle partitions instead of
+    one straggler. Results are identical to the unsalted join (pinned by
+    test) — salting only changes data placement.
+
+    Scale: use when one side has pathological key skew AND AQE's automatic
+    skew-join splitting doesn't apply (e.g. broadcast-ineligible
+    shuffled-hash joins, or skew concentrated in a single key). Cost: the
+    right side is shuffled ``salt``× — keep the replicated side the smaller
+    one.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted join supports inner|left, got {how!r}")
+    salted_left = df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return (
+        salted_left.join(salted_right, on=list(on) + ["__salt"], how=how)
+        .drop("__salt")
+    )
+
+
 def stage_join(df: DataFrame, right: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "join", "right": name, "on": expr|[cols], "how": ...,
-    "broadcast": bool}``.
+    "broadcast": bool, "salt": int?}``.
 
     Scale: dimension tables (region/nation/customer-sized relative to facts)
     should set ``broadcast: true`` — a broadcast-hash join removes the
     fact-side shuffle entirely. Large-large joins shuffle on the key; AQE
     converts to broadcast at runtime if a side turns out small, and splits
-    skewed partitions (skew-join handling) when enabled.
+    skewed partitions (skew-join handling) when enabled. ``salt: N`` opts
+    into manual key salting (see :func:`salted_join`) for skew AQE can't
+    fix.
     """
+    on = spec.get("on")
+    if spec.get("salt"):
+        if not isinstance(on, list):
+            raise ValueError("salted join requires a column-list `on`")
+        return salted_join(df, right, on, spec.get("how", "inner"),
+                           int(spec["salt"]))
     if spec.get("broadcast"):
         right = F.broadcast(right)
-    on = spec.get("on")
     if isinstance(on, str):
         on = F.expr(on)
     return df.join(right, on=on, how=spec.get("how", "inner"))

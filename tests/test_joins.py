@@ -124,6 +124,29 @@ def test_range_join_exactly_once(spark, points, intervals):
     assert len(got) == len(set(got)) == 6
 
 
+def test_salted_join_matches_unsalted(spark):
+    from config_driven_pyspark_spark.operators.relational import salted_join
+
+    # skewed left: 900 of 1000 rows share key 7
+    left = spark.range(1000).selectExpr(
+        "CASE WHEN id < 900 THEN 7 ELSE id END AS k", "id AS lv"
+    )
+    right = spark.range(50).selectExpr("id AS k", "id * 100 AS rv")
+    plain = left.join(right, on="k", how="inner")
+    salted = salted_join(left, right, on=["k"], how="inner", salt=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from config_driven_pyspark_spark.operators.relational import salted_join
+
+    left = spark.range(10).selectExpr("id AS k", "id AS lv")
+    right = spark.range(3).selectExpr("id AS k", "id * 100 AS rv")
+    plain = left.join(right, on="k", how="left")
+    salted = salted_join(left, right, on=["k"], how="left", salt=4)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_range_join_with_by_keys(spark):
     pts = spark.createDataFrame(
         [("u1", 5.0), ("u2", 5.0)], "grp string, x double"
