@@ -36,6 +36,21 @@ from config_driven_pyspark_spark.functions import text as TX
 from config_driven_pyspark_spark.functions import vectors as V
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the input
+    arrives in fewer partitions (e.g. one small parquet file → 1 partition).
+
+    The signature/shingle expressions below are CPU-heavy per row; on a
+    under-partitioned input they'd run on a handful of cores. At real scale
+    inputs already exceed default parallelism and this is a no-op — the
+    shuffle only triggers for small/few-file reads, where it's cheap.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _pairs_to_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Drop rows whose id appears as the larger member of any dup pair."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
@@ -64,7 +79,7 @@ def _shingle_df(
         if unit == "char"
         else TX.word_ngrams(F.col(text_col), k)
     )
-    return df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    return _spread(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -240,7 +255,9 @@ def simhash_pairs(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
     banded = sh.select(
         "id",
         "sh",
