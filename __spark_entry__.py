@@ -377,6 +377,36 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation at explicit grouping sets — (status, priority), (status),
+    and grand total — the generalization rollup/cube shorthand."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "aggregate",
+         "group_by": ["o_orderstatus", "o_orderpriority"],
+         "grouping": "sets",
+         "sets": [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+         "aggs": {"total": SUM_TOTALPRICE, "n": "count(*)"}},
+    ])
+
+
+def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of quantity + extended price per return
+    flag (percentile → DuckDB quantile_cont; both are exact interpolation on
+    the sorted values, no sketches)."""
+    return _run(spark, [
+        _src(sf_dir, "lineitem"),
+        {"stage": "aggregate", "group_by": ["l_returnflag"],
+         "aggs": {
+             "q25_qty": "round(percentile(l_quantity, 0.25), 6)",
+             "q50_qty": "round(percentile(l_quantity, 0.50), 6)",
+             "q75_qty": "round(percentile(l_quantity, 0.75), 6)",
+             "q50_price": "round(percentile(l_extendedprice, 0.50), 6)",
+         }},
+        {"stage": "sort", "by": ["l_returnflag"]},
+    ])
+
+
 def q_agg_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-aggregate with exact count-distinct per order priority."""
     return _run(spark, [
@@ -652,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_except_nations": q_except_nations,
         "q_distinct_flags": q_distinct_flags,
         "q_topk_orders": q_topk_orders,
+        "q_grouping_sets_orders": q_grouping_sets_orders,
+        "q_percentiles_lineitem": q_percentiles_lineitem,
         "q_agg_orders_stats": q_agg_orders_stats,
         "q_events_hourly": q_events_hourly,
         "q_sessionize_events": q_sessionize_events,
@@ -789,6 +821,21 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_quantity > 45)
             GROUP BY o_orderpriority
+        """,
+        "q_grouping_sets_orders": f"""
+            SELECT o_orderstatus, o_orderpriority,
+                   {SUM_TOTALPRICE} AS total, count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
+        """,
+        "q_percentiles_lineitem": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS q25_qty,
+                   round(quantile_cont(l_quantity, 0.50), 6) AS q50_qty,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS q75_qty,
+                   round(quantile_cont(l_extendedprice, 0.50), 6) AS q50_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "q_rollup_orders": f"""
             SELECT o_orderstatus, o_orderpriority,

@@ -141,7 +141,11 @@ def stage_join(df: DataFrame, right: DataFrame, spec: dict) -> DataFrame:
 
 def stage_aggregate(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "aggregate", "group_by": [...], "aggs": {alias: expr},
-    "grouping": "none"|"rollup"|"cube"}``.
+    "grouping": "none"|"rollup"|"cube"|"sets", "sets": [[cols], ...]}``.
+
+    ``grouping: sets`` aggregates at exactly the listed key combinations
+    (``sets`` entries must be subsets of ``group_by``; ``[]`` is the grand
+    total) — the generalization rollup/cube are shorthands for.
 
     Scale: hash aggregation with map-side partial aggregation is automatic
     for algebraic aggregates expressed via SQL exprs; the shuffle moves only
@@ -155,6 +159,9 @@ def stage_aggregate(df: DataFrame, spec: dict) -> DataFrame:
         grouped = df.rollup(*keys)
     elif grouping == "cube":
         grouped = df.cube(*keys)
+    elif grouping == "sets":
+        sets = [[F.expr(c) for c in s] for s in spec["sets"]]
+        grouped = df.groupingSets(sets, *keys)
     elif keys:
         grouped = df.groupBy(*keys)
     else:
