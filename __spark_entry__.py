@@ -377,6 +377,38 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q22_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: per nation, count DORMANT high-value customers —
+    above-average (positive) balance, no orders since 2000 — scalar
+    subquery (broadcast single-row agg) + left-anti join.
+
+    Scale: the average is one map-side-combinable agg broadcast to the
+    filter; the anti join shuffles only (c_custkey) vs the date-filtered
+    order custkeys (filter pushed to the orders scan)."""
+    return _run(spark, [
+        _src(sf_dir, "customer"),
+        {"stage": "filter", "predicate": "c_acctbal > 0.0", "name": "pos"},
+        {"stage": "aggregate", "group_by": [],
+         "aggs": {"avg_bal": "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) "
+                             "AS DOUBLE) / count(*)"},
+         "name": "avg_bal_t"},
+        _src(sf_dir, "orders"),
+        {"stage": "filter",
+         "predicate": "o_orderdate >= timestamp '2000-01-01 00:00:00'"},
+        {"stage": "select", "columns": ["o_custkey AS c_custkey"],
+         "name": "have_orders"},
+        {"stage": "join", "input": "pos", "right": "avg_bal_t", "on": "1=1",
+         "how": "cross", "broadcast": True},
+        {"stage": "filter", "predicate": "c_acctbal > avg_bal"},
+        {"stage": "join", "right": "have_orders", "on": ["c_custkey"],
+         "how": "left_anti"},
+        {"stage": "aggregate", "group_by": ["c_nationkey"],
+         "aggs": {"n_custs": "count(*)",
+                  "total_bal": "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) "
+                               "AS DOUBLE)"}},
+    ])
+
+
 def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation at explicit grouping sets — (status, priority), (status),
     and grand total — the generalization rollup/cube shorthand."""
@@ -682,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_except_nations": q_except_nations,
         "q_distinct_flags": q_distinct_flags,
         "q_topk_orders": q_topk_orders,
+        "q22_lost_customers": q22_lost_customers,
         "q_grouping_sets_orders": q_grouping_sets_orders,
         "q_percentiles_lineitem": q_percentiles_lineitem,
         "q_agg_orders_stats": q_agg_orders_stats,
@@ -821,6 +854,22 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_quantity > 45)
             GROUP BY o_orderpriority
+        """,
+        "q22_lost_customers": """
+            SELECT c_nationkey, count(*) AS n_custs,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_bal
+            FROM customer
+            WHERE c_acctbal > (
+                    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                                AS DOUBLE) / count(*)
+                    FROM customer WHERE c_acctbal > 0.0)
+              AND c_acctbal > 0.0
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >=
+                                    timestamp '2000-01-01 00:00:00')
+            GROUP BY c_nationkey
         """,
         "q_grouping_sets_orders": f"""
             SELECT o_orderstatus, o_orderpriority,
