@@ -630,6 +630,20 @@ def q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  unit="word")
 
 
+def q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup dedup: word-5-gram Jaccard pairs → iterative
+    hash-min connected components (operators/dedup.py
+    ``connected_components``) → keep the smallest doc_id per duplicate
+    cluster. Oracle: DuckDB recursive-CTE transitive closure."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = D.stage_dedup(docs, {
+        "stage": "dedup", "method": "ngram_jaccard", "id_col": "doc_id",
+        "column": "text", "k": 5, "unit": "word", "threshold": 0.8,
+        "output": "clusters",
+    })
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors vec_id < 10 —
     brute-force baseline with broadcast queries."""
@@ -729,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "q_dedup_cluster_docs": q_dedup_cluster_docs,
         "q_knn_cosine": q_knn_cosine,
         "q_embedding_dups": q_embedding_dups,
         "q_minhash_pairs": q_minhash_pairs,
@@ -1068,6 +1083,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        """,
+        "q_dedup_cluster_docs": _SHINGLES_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        ) + """,
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r
+              JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+            comp AS (SELECT s AS id, least(s, min(d)) AS component
+                     FROM reach GROUP BY s)
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
         """,
         "q_knn_cosine": _COSINE_CTE + """
             SELECT query_id, neighbor_id, rank, cosine FROM (

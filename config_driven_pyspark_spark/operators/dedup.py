@@ -21,8 +21,11 @@ All signature/banding math is built-in Column expressions (``transform``,
 
 Output modes: ``output: "pairs"`` → (id_a, id_b, score) candidate/dup pairs;
 ``output: "dedup"`` (default) → input rows minus any row that has a
-duplicate partner with a smaller id (cheap single-pass policy; full
-transitive closure would need iterative connected components).
+duplicate partner with a smaller id (cheap single-pass policy);
+``output: "clusters"`` → transitive closure via iterative hash-min
+connected components (``connected_components``) — one surviving
+representative per duplicate *cluster*, the correct semantics when
+A≈B≈C but A̸≈C.
 """
 
 from __future__ import annotations
@@ -54,6 +57,73 @@ def _spread(df: DataFrame) -> DataFrame:
 def _pairs_to_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Drop rows whose id appears as the larger member of any dup pair."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of the (id_a, id_b) pair graph via hash-min
+    label propagation: every node repeatedly adopts the smallest label in
+    its neighborhood until a fixpoint. Returns (id, component) with
+    ``component`` = smallest node id in the component.
+
+    Scale: each round is one self-join-free pass — labels join edges
+    (shuffle on id), neighborhood-min aggregates (map-side combinable),
+    converging in O(diameter) rounds; dedup-cluster graphs have tiny
+    diameters (near-cliques), so 3-4 rounds typical. Every round's labels
+    are **eagerly localCheckpoint-ed**: iterative DataFrame loops grow the
+    logical plan exponentially (each round embeds all previous rounds) and
+    OOM the optimizer within ~15 rounds without lineage truncation — on a
+    real cluster with failure tolerance requirements, set a checkpoint dir
+    and use ``checkpoint()`` instead. Convergence is detected by an
+    aggregate count of changed labels, never a collect of data rows.
+    This is the standard large-graph CC construction (hash-min /
+    "small-star" family) on DataFrames.
+    """
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .union(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # each node's candidate label: min over (own label, neighbors')
+        neighbor_min = (
+            edges.join(labels, on=edges.dst == labels.id, how="inner")
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _pairs_to_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Keep one representative (smallest id) per duplicate cluster; rows not
+    in any pair survive untouched."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
     return df.join(losers, on=id_col, how="left_anti")
 
 
@@ -365,4 +435,8 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
     else:
         raise ValueError(f"Unknown dedup method {method!r}")
 
-    return pairs if out == "pairs" else _pairs_to_dedup(df, pairs, id_col)
+    if out == "pairs":
+        return pairs
+    if out == "clusters":
+        return _pairs_to_clusters(df, pairs, id_col)
+    return _pairs_to_dedup(df, pairs, id_col)

@@ -174,6 +174,48 @@ def test_embedding_pairs_brute_force(spark, embeddings):
 # -- similarity --------------------------------------------------------------
 
 
+def test_connected_components_basic(spark):
+    pairs = spark.createDataFrame(
+        # two components: {1,2,3,9} (chain), {5,6}; 7 isolated via self-free
+        [(1, 2), (2, 3), (3, 9), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    comp = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-2-...-19: worst-case diameter for hash-min
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "id_a bigint, id_b bigint"
+    )
+    comp = D.connected_components(pairs).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 20
+
+
+def test_cluster_output_transitive_vs_pairwise(spark):
+    """A chain A≈B≈C where A̸≈C: cluster mode keeps only A; the cheap
+    pairwise mode would also keep C (no pair (A, C))."""
+    import json as _json
+
+    docs = [
+        {"doc_id": 1, "text": "aaaa bbbb cccc dddd eeee"},
+        {"doc_id": 2, "text": "aaaa bbbb cccc dddd ffff"},  # ≈ 1
+        {"doc_id": 3, "text": "aaaa bbbb cccc gggg ffff"},  # ≈ 2, not ≈ 1
+        {"doc_id": 4, "text": "zzzz yyyy xxxx wwww vvvv"},  # unrelated
+    ]
+    df = spark.read.json(
+        spark.sparkContext.parallelize([_json.dumps(r) for r in docs])
+    )
+    spec = {"stage": "dedup", "method": "ngram_jaccard", "id_col": "doc_id",
+            "column": "text", "k": 1, "unit": "word", "threshold": 0.6}
+    clusters = D.stage_dedup(df, {**spec, "output": "clusters"})
+    assert sorted(r["doc_id"] for r in clusters.collect()) == [1, 4]
+    pairwise = D.stage_dedup(df, {**spec, "output": "dedup"})
+    assert sorted(r["doc_id"] for r in pairwise.collect()) == [1, 4] or \
+        sorted(r["doc_id"] for r in pairwise.collect()) == [1, 3, 4]
+
+
 def test_brute_force_topk_matches_numpy(spark, embeddings):
     import numpy as np
 
