@@ -10,7 +10,15 @@ from __future__ import annotations
 
 import pytest
 
+import bench as _bench
 import __spark_entry__ as entry
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py's HEADLINE list must stay a subset of queries() — a renamed
+    query would otherwise only fail at driver bench time."""
+    missing = [n for n in _bench.HEADLINE if n not in entry.queries()]
+    assert not missing, f"bench.py HEADLINE not in queries(): {missing}"
 
 SF_DIR = "/root/testdata/sf0.001"
 
