@@ -50,7 +50,10 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    except ValueError:  # non-sf<N> dir name; sf is informational only
+        sf = None
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -62,7 +62,7 @@ def _pairs_to_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
 
 def connected_components(
     pairs: DataFrame,
-    max_iterations: int = 20,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """Connected components of the (id_a, id_b) pair graph via hash-min
     label propagation: every node repeatedly adopts the smallest label in
@@ -94,6 +94,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iterations):
         # each node's candidate label: min over (own label, neighbors')
         neighbor_min = (
@@ -114,6 +115,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silent partial labels would keep duplicates undetected — refuse
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations ({changed} labels still changing); the pair graph "
+            "has a longer diameter than expected — raise max_iterations"
+        )
     return labels
 
 
@@ -139,6 +147,26 @@ def exact_dedup(
     keyed = df.withColumn("__fp", key)
     keepers = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
     return keyed.join(keepers, on=id_col, how="left_semi").drop("__fp")
+
+
+def exact_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", normalize: bool = True
+) -> DataFrame:
+    """Identical-content pairs (id_a < id_b, score 1.0) via fingerprint
+    self-join — the inverted index is the fingerprint itself, so cost is
+    Σ dup_count² per distinct content, never n²."""
+    key = TX.fingerprint(F.col(text_col)) if normalize else F.md5(F.col(text_col).cast("binary"))
+    fp = df.select(F.col(id_col).alias("id"), key.alias("__fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, on="__fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.lit(1.0).alias("score"),
+        )
+    )
 
 
 def _shingle_df(
@@ -405,6 +433,11 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
     out = spec.get("output", "dedup")
 
     if method == "exact":
+        if out == "pairs":
+            return exact_pairs(
+                df, id_col, spec.get("column", "text"), spec.get("normalize", True)
+            )
+        # equality is transitive, so "clusters" and "dedup" coincide
         return exact_dedup(
             df, id_col, spec.get("column", "text"), spec.get("normalize", True)
         )

@@ -20,11 +20,14 @@ equi-join/shuffle shapes over built-in DataFrame ops:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_logger = logging.getLogger(__name__)
 
 
 def asof_join(
@@ -57,8 +60,24 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_on = right_on or on
     by = list(by)
+    if not by:
+        _logger.warning(
+            "asof_join with no `by` keys sorts ALL rows in one window "
+            "partition — fine for small inputs, a single-task straggler at "
+            "scale; supply partition keys for large data"
+        )
 
+    reserved = {"__t", "__r", "__side", "__m"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}")
     payload_cols = [c for c in right.columns if c not in set(by)]
+    out_clash = {f"{right_prefix}{c}" for c in payload_cols} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"asof_join output columns {sorted(out_clash)} collide with left "
+            "columns; pick a different right_prefix"
+        )
     r = right.select(
         *[F.col(c) for c in by],
         F.col(right_on).alias("__t"),
@@ -138,6 +157,17 @@ def range_join(
         raise ValueError(f"bounds must be one of [) [] () (], got {bounds!r}")
     by = list(by)
     w = float(bucket_width)
+
+    reserved = {"__b", "__point", "__lo", "__hi"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"range_join reserves column names {sorted(clash)}")
+    if point in right.columns or lower in left.columns or upper in left.columns:
+        # shared names would make the post-join bounds filter ambiguous
+        raise ValueError(
+            "range_join requires point/lower/upper column names to be "
+            "unique to their side; rename the clashing columns first"
+        )
 
     lb = left.withColumn("__b", F.floor(F.col(point) / w))
     rb = right.withColumn(

@@ -128,6 +128,11 @@ def stage_join(df: DataFrame, right: DataFrame, spec: dict) -> DataFrame:
     """
     on = spec.get("on")
     if spec.get("salt"):
+        if spec.get("broadcast"):
+            raise ValueError(
+                "broadcast and salt are contradictory: a broadcast join has "
+                "no shuffle to skew — drop one of the two"
+            )
         if not isinstance(on, list):
             raise ValueError("salted join requires a column-list `on`")
         return salted_join(df, right, on, spec.get("how", "inner"),

@@ -165,6 +165,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 4,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-flat approximate cosine top-k.
 
@@ -177,6 +178,9 @@ def ivf_topk(
     Scale: the corpus-side shuffle is on cell id (bounded cardinality =
     ``n_centroids``); per-cell skew is data-dependent — more centroids
     flatten it. Probing all cells reproduces brute force exactly.
+    ``broadcast_queries=True`` fits the usual small-query-set case; set it
+    False for query sets too big to broadcast (e.g. all-pairs over the
+    corpus itself) — the join then shuffles both sides on the cell id.
     """
     import numpy as np
 
@@ -201,7 +205,7 @@ def ivf_topk(
         "cell", F.explode(_nearest_cells_udf(centroids, nprobe)(F.col("qv")))
     )
     scored = (
-        c.join(F.broadcast(q), on="cell")
+        c.join(F.broadcast(q) if broadcast_queries else q, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -244,5 +248,8 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
         return ivf_topk(
             df, queries, k, id_col, vec_col,
             int(spec.get("n_centroids", 16)), int(spec.get("nprobe", 4)),
+            # self-search (no explicit queries) means |queries| = |corpus|:
+            # too big to broadcast by default
+            spec.get("broadcast_queries", bool(spec.get("queries"))),
         )
     raise ValueError(f"Unknown similarity method {method!r}")

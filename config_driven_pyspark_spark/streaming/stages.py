@@ -189,6 +189,11 @@ def stage_stream_sink(df: DataFrame, spec: dict) -> DataFrame:
     tests and backfills. For ``memory`` sinks, returns the result table as
     a DataFrame so downstream code can read what was emitted; otherwise
     returns the input (the query keeps running when ``await`` is false).
+
+    ``await`` defaults to true only for ``available_now`` (which
+    terminates); a ``processing_time`` query never terminates on its own,
+    so awaiting it would hang the pipeline — those default to
+    fire-and-return, and asking to await one is an error.
     """
     if not df.isStreaming:
         raise ValueError("stream_sink requires a streaming input DataFrame")
@@ -204,15 +209,22 @@ def stage_stream_sink(df: DataFrame, spec: dict) -> DataFrame:
         writer = writer.option(key, value)
 
     trigger = spec.get("trigger", "available_now")
-    if trigger == "available_now":
+    terminating = trigger == "available_now"
+    if terminating:
         writer = writer.trigger(availableNow=True)
     elif isinstance(trigger, dict) and "processing_time" in trigger:
         writer = writer.trigger(processingTime=trigger["processing_time"])
     elif trigger is not None:
         raise ValueError(f"Unknown trigger spec {trigger!r}")
 
+    should_await = spec.get("await", terminating)
+    if should_await and not terminating:
+        raise ValueError(
+            "await: true with a non-terminating trigger would block forever; "
+            "use trigger: available_now or await: false"
+        )
     query = writer.start()
-    if spec.get("await", True):
+    if should_await:
         query.awaitTermination()
     if fmt == "memory" and spec.get("query_name"):
         return df.sparkSession.table(spec["query_name"])

@@ -193,6 +193,26 @@ def test_connected_components_long_chain_converges(spark):
     assert len(comp) == 20
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iterations=3)
+
+
+def test_exact_dedup_pairs_output(spark, documents):
+    out = D.stage_dedup(
+        documents, {"stage": "dedup", "method": "exact", "id_col": "doc_id",
+                    "column": "text", "output": "pairs"}
+    )
+    assert out.columns == ["id_a", "id_b", "score"]
+    rows = out.collect()
+    assert all(r["id_a"] < r["id_b"] and r["score"] == 1.0 for r in rows)
+
+
 def test_cluster_output_transitive_vs_pairwise(spark):
     """A chain A≈B≈C where A̸≈C: cluster mode keeps only A; the cheap
     pairwise mode would also keep C (no pair (A, C))."""

@@ -177,6 +177,23 @@ def test_stateful_running_totals_converges_to_batch(spark, events_dir, tmp_path)
     assert emitted.count() > batch.count()
 
 
+def test_stream_sink_await_with_nonterminating_trigger_errors(spark, events_dir, tmp_path):
+    with pytest.raises(Exception, match="block forever"):
+        Pipeline.from_config(
+            [
+                _source(events_dir, streaming=True),
+                {
+                    "stage": "stream_sink",
+                    "format": "memory",
+                    "query_name": "nt",
+                    "trigger": {"processing_time": "10 seconds"},
+                    "await": True,
+                    "checkpoint": str(tmp_path / "ckpt_nt"),
+                },
+            ]
+        ).run(spark)
+
+
 def test_stream_sink_requires_streaming_input(spark, events_dir):
     with pytest.raises(Exception, match="streaming"):
         Pipeline.from_config(
