@@ -439,6 +439,36 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts pivoted to one column per event type per user segment
+    (hour-of-day). Explicit values list → static schema, no distinct scan."""
+    return _run(spark, [
+        *_events_stages(sf_dir),
+        {"stage": "with_columns", "columns": {"hour_of_day": "hour(ts)"}},
+        {"stage": "pivot", "group_by": ["hour_of_day"], "pivot": "event_type",
+         "values": ["view", "click", "purchase", "signup", "error"],
+         "aggs": {"n": "count(*)"}},
+        # pivot leaves empty cells null; count semantics say 0
+        {"stage": "with_columns", "columns": {
+            t: f"coalesce({t}, 0)"
+            for t in ["view", "click", "purchase", "signup", "error"]}},
+    ])
+
+
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 words across documents via explode (inverted token index) —
+    the word-count shape: explode, map-side-combinable count, top-k."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "explode",
+         "column": "filter(split(lower(text), ' '), t -> t != '')",
+         "alias": "word", "keep": []},
+        {"stage": "aggregate", "group_by": ["word"],
+         "aggs": {"n": "count(*)"}},
+        {"stage": "sort", "by": ["n desc", "word"], "limit": 20},
+    ])
+
+
 def q_agg_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-aggregate with exact count-distinct per order priority."""
     return _run(spark, [
@@ -731,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_lost_customers": q22_lost_customers,
         "q_grouping_sets_orders": q_grouping_sets_orders,
         "q_percentiles_lineitem": q_percentiles_lineitem,
+        "q_pivot_events": q_pivot_events,
+        "q_top_words": q_top_words,
         "q_agg_orders_stats": q_agg_orders_stats,
         "q_events_hourly": q_events_hourly,
         "q_sessionize_events": q_sessionize_events,
@@ -885,6 +917,22 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >=
                                     timestamp '2000-01-01 00:00:00')
             GROUP BY c_nationkey
+        """,
+        "q_pivot_events": """
+            SELECT hour(ts) AS hour_of_day,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'error') AS error
+            FROM events GROUP BY 1
+        """,
+        "q_top_words": """
+            SELECT word, count(*) AS n FROM (
+              SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t != '')) AS word
+              FROM documents)
+            GROUP BY word ORDER BY n DESC, word LIMIT 20
         """,
         "q_grouping_sets_orders": f"""
             SELECT o_orderstatus, o_orderpriority,

@@ -174,6 +174,37 @@ def stage_aggregate(df: DataFrame, spec: dict) -> DataFrame:
     return grouped.agg(*aggs)
 
 
+def stage_pivot(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "pivot", "group_by": [...], "pivot": col,
+    "values": [...], "aggs": {alias: expr}}``.
+
+    ``values`` is required: naming the pivot values up front keeps the
+    output schema static AND skips Spark's extra distinct-values job over
+    the full input (an unbounded scan at 100 TB). One agg → plain value
+    column names; multiple aggs → ``value_alias`` columns (Spark
+    convention).
+    """
+    keys = [F.expr(k) for k in spec.get("group_by", [])]
+    aggs = [F.expr(e).alias(a) for a, e in spec["aggs"].items()]
+    return (
+        df.groupBy(*keys)
+        .pivot(spec["pivot"], spec["values"])
+        .agg(*aggs)
+    )
+
+
+def stage_explode(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "explode", "column": "<array expr>", "alias": name,
+    "keep": [cols]?, "outer": bool}`` — one output row per array element
+    (``outer: true`` keeps rows with empty/null arrays, element null).
+    """
+    gen = F.explode_outer if spec.get("outer") else F.explode
+    exploded = gen(F.expr(spec["column"])).alias(spec.get("alias", "value"))
+    keep = spec.get("keep")
+    cols = ([F.col(c) for c in keep] if keep is not None else [F.col("*")])
+    return df.select(*cols, exploded)
+
+
 def stage_window(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "window", "partition_by": [...], "order_by": [...],
     "frame": "rows between ...", "columns": {alias: "<window fn expr>"}}``.

@@ -170,7 +170,8 @@ class Pipeline:
     _KINDS = frozenset(
         {
             "source", "sql", "transform", "filter", "select", "with_columns",
-            "drop", "rename", "join", "aggregate", "window", "sort", "limit",
+            "drop", "rename", "join", "aggregate", "pivot", "explode",
+            "window", "sort", "limit",
             "distinct", "union", "intersect", "except", "repartition",
             "top_k", "dedup", "similarity", "text", "multimodal", "sink",
             "watermark", "time_window", "session_window", "stream_dedup",
@@ -216,6 +217,10 @@ class Pipeline:
             return stage_fn(df, ctx.get(spec["right"]), spec)
         if kind == "aggregate":
             return R.stage_aggregate(df, spec)
+        if kind == "pivot":
+            return R.stage_pivot(df, spec)
+        if kind == "explode":
+            return R.stage_explode(df, spec)
         if kind == "window":
             return R.stage_window(df, spec)
         if kind == "sort":
