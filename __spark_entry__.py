@@ -647,6 +647,20 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_text_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pre-tokenizer counts, Rabin–Karp rolling hash, and PII redaction
+    over documents — the token-budget / fingerprint / scrub trio of a
+    training-data pipeline, all single-Project Column expressions."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "text", "column": "text",
+         "ops": ["bpe_token_count", "rolling_hash", "redact"]},
+        {"stage": "select", "columns": [
+            "doc_id", "bpe_token_count", "rolling_hash",
+            "length(redact) AS redacted_len"]},
+    ])
+
+
 def q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-5-gram Jaccard near-duplicate pairs (inverted-index join).
 
@@ -774,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
+        "q_text_advanced": q_text_advanced,
         "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
         "q_dedup_cluster_docs": q_dedup_cluster_docs,
         "q_knn_cosine": q_knn_cosine,
@@ -1122,6 +1137,22 @@ def oracle_sql() -> dict[str, str]:
                        + 0.3 * (1.0 - least({_PUNCT_RATIO} * 5.0, 1.0))
                        + 0.2 * (CASE WHEN {_AVG_TOK_LEN} BETWEEN 2.0 AND 12.0
                                      THEN 1.0 ELSE 0.5 END), 6) AS quality_score
+            FROM documents
+        """,
+        "q_text_advanced": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_token_count,
+                   list_reduce(list_prepend(0::BIGINT,
+                       [ascii(text[i])::BIGINT
+                        for i in range(1, length(text)+1)]),
+                       (acc, c) -> (acc*31 + c) % 2147483647) AS rolling_hash,
+                   length(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+                       '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'))
+                     AS redacted_len
             FROM documents
         """,
         "q_ngram_dedup_pairs": _SHINGLES_CTE + """

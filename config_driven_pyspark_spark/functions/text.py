@@ -90,6 +90,50 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+_BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-style pre-tokenizer count: letter runs, single digits, and
+    punctuation marks each count as one pre-token (the GPT-2-family
+    pre-tokenization shape — real BPE merges only split these further, so
+    this is a stable lower bound usable for length filtering/budgeting)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_PRETOKEN_RE), 0)).cast("bigint")
+
+
+def rolling_hash(text: Column, modulus: int = 2_147_483_647, base: int = 31) -> Column:
+    """Polynomial rolling hash (Rabin–Karp) over the character codes:
+    ``h = (h*base + code) mod M`` folded left-to-right with ``aggregate``.
+    Order-sensitive (anagrams differ) and engine-portable — the oracle
+    reproduces it exactly with a list_reduce. ``M = 2^31-1`` keeps
+    ``h*base + code`` within bigint under ANSI mode."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % modulus,
+    )
+
+
+# PII-shaped patterns for training-data scrubbing; deliberately simple,
+# deterministic, and reproducible in any regex engine
+_REDACT_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+    (r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+]
+
+
+def redact(text: Column) -> Column:
+    """Replace email/phone/IP-shaped substrings with typed placeholders —
+    the standard scrub pass before training-data use. Single Project, one
+    regexp_replace per pattern."""
+    out = text
+    for pattern, replacement in _REDACT_PATTERNS:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Distinct character k-shingles of the normalized text — the unit set
     for n-gram Jaccard / MinHash dedup. Pure expression: ``sequence`` over
@@ -122,6 +166,9 @@ _TEXT_OPS = {
     "quality_score": quality_score,
     "lang_id": lang_id,
     "fingerprint": fingerprint,
+    "bpe_token_count": bpe_token_count,
+    "rolling_hash": rolling_hash,
+    "redact": redact,
 }
 
 

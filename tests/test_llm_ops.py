@@ -53,6 +53,30 @@ def test_shingles(spark):
     assert out == ["abc", "bcd", "cde", "def"]
 
 
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([("Hello, world! v2",)], "text string")
+    # [Hello][,][world][!][v][2] = 6 pre-tokens
+    assert df.select(TX.bpe_token_count(F.col("text")).alias("n")).first()["n"] == 6
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame([("ab",), ("ba",), ("ab",)], "text string")
+    vals = [r["h"] for r in df.select(TX.rolling_hash(F.col("text")).alias("h")).collect()]
+    assert vals[0] == vals[2] != vals[1]
+    # golden: ((0*31+97)*31+98) % (2^31-1)
+    assert vals[0] == (97 * 31 + 98)
+
+
+def test_redact(spark):
+    df = spark.createDataFrame(
+        [("mail me at a.b@example.com or call +1 (555) 123-4567 from 10.0.0.1",)],
+        "text string",
+    )
+    out = df.select(TX.redact(F.col("text")).alias("r")).first()["r"]
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
+    assert "example.com" not in out and "555" not in out
+
+
 def test_word_ngrams(spark):
     df = spark.createDataFrame([("a b c d",)], ["text"])
     out = df.select(TX.word_ngrams(F.col("text"), 2).alias("g")).first()["g"]
