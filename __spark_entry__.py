@@ -264,6 +264,26 @@ def q_window_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_window_ranks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per priority: ntile quartiles,
+    percent_rank, cume_dist, dense_rank over order price."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "window", "partition_by": ["o_orderpriority"],
+         "order_by": ["o_totalprice", "o_orderkey"],
+         "columns": {
+             "quartile": "ntile(4)",
+             "pct_rank_raw": "percent_rank()",
+             "cume_raw": "cume_dist()",
+             "dens": "dense_rank()",
+         }},
+        {"stage": "select", "columns": [
+            "o_orderkey", "o_orderpriority", "o_totalprice", "quartile",
+            "round(pct_rank_raw, 6) AS pct_rank",
+            "round(cume_raw, 6) AS cume", "dens"]},
+    ])
+
+
 def q_window_lag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order-over-order delta via lag()."""
     return _run(spark, [
@@ -764,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_orders": q_rollup_orders,
         "q_cube_lineitem": q_cube_lineitem,
         "q_window_topk_parts": q_window_topk_parts,
+        "q_window_ranks_orders": q_window_ranks_orders,
         "q_window_lag_orders": q_window_lag_orders,
         "q_window_running_total": q_window_running_total,
         "q_semi_customers": q_semi_customers,
@@ -982,6 +1003,16 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY p_retailprice DESC, p_partkey) AS rnk
             FROM part
             QUALIFY rnk <= 3
+        """,
+        "q_window_ranks_orders": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume,
+                   dense_rank() OVER w AS dens
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
         """,
         "q_window_lag_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice,

@@ -180,9 +180,15 @@ def stage_stateful(df: DataFrame, spec: dict) -> DataFrame:
 
 def stage_stream_sink(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "stream_sink", "format": "memory"|"parquet"|"noop"|
-    "console", "query_name": str?, "path": str?, "checkpoint": str?,
-    "output_mode": "append"|"update"|"complete", "trigger":
-    "available_now"|{"processing_time": "10 seconds"}, "await": true?}``.
+    "console"|"foreach_batch", "query_name": str?, "path": str?,
+    "checkpoint": str?, "output_mode": "append"|"update"|"complete",
+    "trigger": "available_now"|{"processing_time": "10 seconds"},
+    "await": true?, "sink": {<batch sink spec>}?}``.
+
+    ``foreach_batch`` routes every micro-batch through the ordinary batch
+    ``sink`` stage spec given under ``sink`` (mode forced to append) — any
+    batch format/partitioning/bucketing works for streaming output without
+    a native streaming sink.
 
     Starts the streaming query. ``available_now`` (default) drains all
     available input then stops — the batch-like trigger used for parity
@@ -198,7 +204,21 @@ def stage_stream_sink(df: DataFrame, spec: dict) -> DataFrame:
     if not df.isStreaming:
         raise ValueError("stream_sink requires a streaming input DataFrame")
     fmt = spec.get("format", "memory")
-    writer = df.writeStream.format(fmt).outputMode(spec.get("output_mode", "append"))
+    if fmt == "foreach_batch":
+        from config_driven_pyspark_spark.sources.writers import stage_sink
+
+        sink_spec = {**spec["sink"], "mode": "append"}
+
+        def _handle(batch_df: DataFrame, _batch_id: int) -> None:
+            stage_sink(batch_df, sink_spec)
+
+        writer = df.writeStream.foreachBatch(_handle).outputMode(
+            spec.get("output_mode", "append")
+        )
+    else:
+        writer = df.writeStream.format(fmt).outputMode(
+            spec.get("output_mode", "append")
+        )
     if spec.get("query_name"):
         writer = writer.queryName(spec["query_name"])
     if spec.get("checkpoint"):

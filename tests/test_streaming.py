@@ -194,6 +194,56 @@ def test_stream_sink_await_with_nonterminating_trigger_errors(spark, events_dir,
         ).run(spark)
 
 
+def test_foreach_batch_sink_writes_parquet(spark, events_dir, tmp_path):
+    out_dir = str(tmp_path / "fb_out")
+    Pipeline.from_config(
+        [
+            _source(events_dir, streaming=True),
+            {"stage": "filter", "predicate": "event_type = 'buy'"},
+            {
+                "stage": "stream_sink",
+                "format": "foreach_batch",
+                "sink": {"stage": "sink", "format": "parquet", "path": out_dir},
+                "checkpoint": str(tmp_path / "ckpt_fb"),
+            },
+        ]
+    ).run(spark)
+    written = spark.read.parquet(out_dir)
+    batch = Pipeline.from_config(
+        [_source(events_dir, streaming=False),
+         {"stage": "filter", "predicate": "event_type = 'buy'"}]
+    ).run(spark)
+    cols = ["event_id"]
+    assert _collect_sorted(written, cols) == _collect_sorted(batch, cols)
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
+    """Stream-stream inner equi-join (existing join stage, both sides
+    streaming) drained with availableNow equals the batch join."""
+    def stages(streaming):
+        return [
+            {**_source(events_dir, streaming), "name": "src"},
+            {"stage": "filter", "predicate": "event_type = 'buy'"},
+            {"stage": "select", "columns": ["user_id", "event_id AS buy_id"],
+             "name": "buys"},
+            {"stage": "filter", "predicate": "event_type = 'view'",
+             "input": "src"},
+            {"stage": "select", "columns": ["user_id", "event_id AS view_id"]},
+            {"stage": "join", "right": "buys", "on": ["user_id"]},
+        ]
+
+    batch = Pipeline.from_config(stages(False)).run(spark)
+    stream = Pipeline.from_config(
+        stages(True) + [{
+            "stage": "stream_sink", "format": "memory", "query_name": "ssj",
+            "output_mode": "append",
+            "checkpoint": str(tmp_path / "ckpt_ssj"),
+        }]
+    ).run(spark)
+    cols = ["user_id", "view_id", "buy_id"]
+    assert _collect_sorted(stream, cols) == _collect_sorted(batch, cols)
+
+
 def test_stream_sink_requires_streaming_input(spark, events_dir):
     with pytest.raises(Exception, match="streaming"):
         Pipeline.from_config(
