@@ -397,6 +397,44 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations by year —
+    supplier-nation × customer-nation pairs in both directions.
+
+    Scale: lineitem joins orders (fact-fact, shuffle on orderkey);
+    supplier/customer/nation are broadcast dims; the two-direction
+    predicate is one OR filter after the dim joins."""
+    n1, n2 = "NATION_1", "NATION_2"
+    return _run(spark, [
+        _src(sf_dir, "nation"),
+        _src(sf_dir, "supplier"),
+        _src(sf_dir, "customer"),
+        _src(sf_dir, "orders"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "join", "input": "supplier", "right": "nation",
+         "on": "s_nationkey = n_nationkey", "broadcast": True},
+        {"stage": "select", "columns": ["s_suppkey", "n_name AS supp_nation"],
+         "name": "supp_n"},
+        {"stage": "join", "input": "customer", "right": "nation",
+         "on": "c_nationkey = n_nationkey", "broadcast": True},
+        {"stage": "select", "columns": ["c_custkey", "n_name AS cust_nation"],
+         "name": "cust_n"},
+        {"stage": "join", "input": "orders", "right": "cust_n",
+         "on": "o_custkey = c_custkey", "name": "ord_n"},
+        {"stage": "join", "input": "lineitem", "right": "ord_n",
+         "on": "l_orderkey = o_orderkey"},
+        {"stage": "join", "right": "supp_n", "on": "l_suppkey = s_suppkey",
+         "broadcast": True},
+        {"stage": "filter", "predicate":
+            f"(supp_nation = '{n1}' AND cust_nation = '{n2}') OR "
+            f"(supp_nation = '{n2}' AND cust_nation = '{n1}')"},
+        {"stage": "aggregate",
+         "group_by": ["supp_nation", "cust_nation", "year(l_shipdate)"],
+         "aggs": {"volume": SUM_DISC_PRICE}},
+        {"stage": "rename", "columns": {"year(l_shipdate)": "l_year"}},
+    ])
+
+
 def q22_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-style: per nation, count DORMANT high-value customers —
     above-average (positive) balance, no orders since 2000 — scalar
@@ -793,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_except_nations": q_except_nations,
         "q_distinct_flags": q_distinct_flags,
         "q_topk_orders": q_topk_orders,
+        "q07_nation_volume": q07_nation_volume,
         "q22_lost_customers": q22_lost_customers,
         "q_grouping_sets_orders": q_grouping_sets_orders,
         "q_percentiles_lineitem": q_percentiles_lineitem,
@@ -937,6 +976,19 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_quantity > 45)
             GROUP BY o_orderpriority
+        """,
+        "q07_nation_volume": f"""
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year, {SUM_DISC_PRICE} AS volume
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+               OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
         """,
         "q22_lost_customers": """
             SELECT c_nationkey, count(*) AS n_custs,

@@ -29,6 +29,7 @@ _MAY_BE_EMPTY = {
     "q_minhash_pairs",
     "q_embedding_dups",
     "q_except_nations",
+    "q07_nation_volume",  # two-nation trade is sparse at sf0.001; 14 rows at sf0.01
 }
 
 

@@ -1,0 +1,71 @@
+"""Source/sink round-trip tests across formats, plus partitioned layouts."""
+
+from __future__ import annotations
+
+import pytest
+
+from config_driven_pyspark_spark import Pipeline
+
+
+@pytest.fixture(scope="module")
+def nation_rows(spark):
+    return sorted(
+        tuple(r)
+        for r in spark.read.parquet("/root/testdata/sf0.001/nation.parquet").collect()
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_sink_source_round_trip(spark, tmp_path, fmt, nation_rows):
+    out = str(tmp_path / f"rt_{fmt}")
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet",
+         "path": "/root/testdata/sf0.001/nation.parquet"},
+        {"stage": "sink", "format": fmt, "path": out, "mode": "overwrite",
+         "options": {"header": "true"} if fmt == "csv" else {}},
+    ]).run(spark)
+    back = Pipeline.from_config([
+        {"stage": "source", "format": fmt, "path": out,
+         # csv/json don't persist types; give csv the schema back
+         **({"schema": "n_nationkey int, n_name string, n_regionkey int"}
+            if fmt == "csv" else {}),
+         "options": {"header": "true"} if fmt == "csv" else {}},
+    ]).run(spark)
+    got = sorted(tuple(r) for r in back.select(
+        "n_nationkey", "n_name", "n_regionkey").collect())
+    want = sorted((r[0], r[1], r[2]) for r in nation_rows)
+    assert got == want
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    out = str(tmp_path / "part_out")
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet",
+         "path": "/root/testdata/sf0.001/orders.parquet"},
+        {"stage": "sink", "format": "parquet", "path": out,
+         "mode": "overwrite", "partition_by": ["o_orderpriority"]},
+    ]).run(spark)
+    back = Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": out},
+        {"stage": "filter", "predicate": "o_orderpriority = '1-URGENT'"},
+    ]).run(spark)
+    # partition pruning: the filter must reach PartitionFilters, not a scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "1-URGENT" in plan
+    n_urgent = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter("o_orderpriority = '1-URGENT'").count()
+    )
+    assert back.count() == n_urgent
+
+
+def test_sink_default_mode_errors_on_existing(spark, tmp_path):
+    out = str(tmp_path / "exists")
+    cfg = [
+        {"stage": "source", "format": "parquet",
+         "path": "/root/testdata/sf0.001/region.parquet"},
+        {"stage": "sink", "format": "parquet", "path": out},
+    ]
+    Pipeline.from_config(cfg).run(spark)
+    with pytest.raises(Exception):  # default mode=error protects outputs
+        Pipeline.from_config(cfg).run(spark)
