@@ -567,6 +567,33 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    distinct actives per (cohort_week, weeks_since) cell.
+
+    Scale: first-touch is a per-user min (one shuffle, map-side
+    combinable); the cohort join broadcasts the per-user table when small,
+    shuffles on user_id otherwise; the final distinct-count shuffles once
+    on the cell key."""
+    ev = _events_stages(sf_dir)
+    ev[-1] = {**ev[-1], "name": "ev"}
+    return _run(spark, [
+        *ev,
+        {"stage": "aggregate", "group_by": ["user_id"],
+         "aggs": {"first_week": "date_trunc('week', min(ts))"},
+         "name": "cohorts", "input": "ev"},
+        {"stage": "join", "input": "ev", "right": "cohorts",
+         "on": ["user_id"]},
+        {"stage": "with_columns", "columns": {
+            # datediff casts to DATE in Spark = DuckDB date_diff('day', ...)
+            "weeks_since":
+                "CAST(floor(datediff(ts, first_week) / 7.0) AS BIGINT)"}},
+        {"stage": "aggregate", "group_by": ["first_week", "weeks_since"],
+         "aggs": {"active_users": "count(DISTINCT user_id)",
+                  "n_events": "count(*)"}},
+    ])
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sessionization with a 30-minute inactivity gap via the
     batch/stream-symmetric ``session_window`` stage
@@ -839,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_words": q_top_words,
         "q_agg_orders_stats": q_agg_orders_stats,
         "q_events_hourly": q_events_hourly,
+        "q_retention_cohorts": q_retention_cohorts,
         "q_sessionize_events": q_sessionize_events,
         "q_asof_purchase_view": q_asof_purchase_view,
         "q_range_join_price_bands": q_range_join_price_bands,
@@ -1129,6 +1157,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, {SUM_VALUE} AS total_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "q_retention_cohorts": """
+            WITH cohorts AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS first_week
+              FROM events GROUP BY user_id
+            )
+            SELECT first_week,
+                   CAST(floor(date_diff('day', first_week, ts) / 7.0)
+                        AS BIGINT) AS weeks_since,
+                   count(DISTINCT e.user_id) AS active_users,
+                   count(*) AS n_events
+            FROM events e JOIN cohorts c ON e.user_id = c.user_id
+            GROUP BY 1, 2
         """,
         "q_sessionize_events": f"""
             WITH marked AS (

@@ -28,7 +28,10 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_region_revenue",
     "q06_forecast_revenue",
+    "q07_nation_volume",
     "q_cube_lineitem",
+    "q_pivot_events",
+    "q_text_advanced",
     "q_window_topk_parts",
     "q_window_running_total",
     "q_semi_customers",
