@@ -1,0 +1,54 @@
+"""Error-path contract for the Pipeline config surface: bad configs fail
+fast with actionable messages, never produce silently-wrong plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from config_driven_pyspark_spark import Pipeline
+
+SRC = {"stage": "source", "format": "parquet",
+       "path": "/root/testdata/sf0.001/region.parquet"}
+
+
+def test_unknown_stage_kind(spark):
+    with pytest.raises(ValueError, match="Unknown stage kind 'aggregat'"):
+        Pipeline.from_config([SRC, {"stage": "aggregat", "aggs": {}}]).run(spark)
+
+
+def test_first_stage_without_source(spark):
+    with pytest.raises(ValueError, match="no input"):
+        Pipeline.from_config([{"stage": "filter", "predicate": "1=1"}]).run(spark)
+
+
+def test_unknown_named_input(spark):
+    with pytest.raises(ValueError, match="Unknown stage output 'nope'"):
+        Pipeline.from_config(
+            [SRC, {"stage": "filter", "predicate": "1=1", "input": "nope"}]
+        ).run(spark)
+
+
+def test_empty_pipeline(spark):
+    with pytest.raises(ValueError, match="Empty pipeline"):
+        Pipeline.from_config([]).run(spark)
+
+
+def test_unknown_source_format(spark):
+    with pytest.raises(ValueError, match="Unknown source format"):
+        Pipeline.from_config(
+            [{"stage": "source", "format": "xlsx", "path": "/tmp/x"}]
+        ).run(spark)
+
+
+def test_unknown_dedup_method(spark):
+    with pytest.raises(ValueError, match="Unknown dedup method"):
+        Pipeline.from_config(
+            [SRC, {"stage": "dedup", "method": "magic"}]
+        ).run(spark)
+
+
+def test_unknown_text_op(spark):
+    with pytest.raises(ValueError, match="Unknown text ops"):
+        Pipeline.from_config(
+            [SRC, {"stage": "text", "column": "r_name", "ops": ["sentiment"]}]
+        ).run(spark)

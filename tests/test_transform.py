@@ -330,6 +330,46 @@ def test_yaml_config_loop(spark):
     assert (row["firstname"], row["lastname"]) == ("CHRISTOPHER", "lee")
 
 
+def test_mechanics_lower_root_once_per_root(spark, monkeypatch):
+    """Invariant (reference mechanics pin, test_functioniser.py:244-273):
+    the lowering runs exactly once per output root column, and node
+    application exactly once per configured path segment."""
+    from config_driven_pyspark_spark.operators import transform as TR
+    from config_driven_pyspark_spark.plans import lowering as LW
+
+    root_calls = []
+    orig_root = LW.lower_root
+
+    def counting_root(ctx, node):
+        root_calls.append(node.name if node is not None else None)
+        return orig_root(ctx, node)
+
+    monkeypatch.setattr(TR, "lower_root", counting_root)
+
+    value_calls = []
+    orig_value = LW._apply_at_value
+
+    def counting_value(ctx, node):
+        value_calls.append(node.name)
+        return orig_value(ctx, node)
+
+    monkeypatch.setattr(LW, "_apply_at_value", counting_value)
+
+    df = to_df(spark, PETS)
+    out = (
+        NestedTransformer()
+        .add("pets.pet_names", "upper")
+        .add("pets.has_pets", "trim")
+        .apply(df)
+    )
+    out.collect()
+    # one lower_root call per output column (configured or passthrough)
+    assert len(root_calls) == len(df.columns)
+    # node application once per distinct touched node (array levels fuse
+    # into the same node); passthrough roots never enter the node walk
+    assert sorted(value_calls) == ["has_pets", "pet_names", "pets"]
+
+
 def test_single_select_plan_shape(spark):
     # the whole transform must be ONE Project over the scan — no stacked
     # projections, no shuffles
