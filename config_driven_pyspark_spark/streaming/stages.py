@@ -207,6 +207,18 @@ def stage_stream_sink(df: DataFrame, spec: dict) -> DataFrame:
     if fmt == "foreach_batch":
         from config_driven_pyspark_spark.sources.writers import stage_sink
 
+        if "sink" not in spec:
+            raise ValueError(
+                "stream_sink format foreach_batch requires a `sink` sub-spec "
+                '(e.g. {"stage": "sink", "format": "parquet", "path": ...})'
+            )
+        if spec.get("output_mode", "append") != "append":
+            # update/complete re-emit rows every trigger; appending those to
+            # a batch sink would silently accumulate duplicate/stale copies
+            raise ValueError(
+                "foreach_batch only supports output_mode append; "
+                "update/complete would append duplicated rows per trigger"
+            )
         sink_spec = {**spec["sink"], "mode": "append"}
 
         def _handle(batch_df: DataFrame, _batch_id: int) -> None:

@@ -217,6 +217,23 @@ def test_foreach_batch_sink_writes_parquet(spark, events_dir, tmp_path):
     assert _collect_sorted(written, cols) == _collect_sorted(batch, cols)
 
 
+def test_foreach_batch_rejects_bad_configs(spark, events_dir, tmp_path):
+    base = [_source(events_dir, streaming=True)]
+    with pytest.raises(ValueError, match="requires a `sink` sub-spec"):
+        Pipeline.from_config(base + [
+            {"stage": "stream_sink", "format": "foreach_batch",
+             "checkpoint": str(tmp_path / "c1")},
+        ]).run(spark)
+    with pytest.raises(ValueError, match="only supports output_mode append"):
+        Pipeline.from_config(base + [
+            {"stage": "stream_sink", "format": "foreach_batch",
+             "output_mode": "complete",
+             "sink": {"stage": "sink", "format": "parquet",
+                      "path": str(tmp_path / "o1")},
+             "checkpoint": str(tmp_path / "c2")},
+        ]).run(spark)
+
+
 def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
     """Stream-stream inner equi-join (existing join stage, both sides
     streaming) drained with availableNow equals the batch join."""
