@@ -49,7 +49,7 @@ HEADLINE = [
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    from config_driven_pyspark_spark import build_session
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -58,16 +58,14 @@ def main() -> None:
     except ValueError:  # non-sf<N> dir name; sf is informational only
         sf = None
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("config-driven-pyspark-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    spark = build_session(
+        app_name="config-driven-pyspark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        confs={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+            "spark.ui.enabled": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -20,6 +20,7 @@ from config_driven_pyspark_spark.schema import flatten_schema, limit_depth
 from config_driven_pyspark_spark.functions.registry import FunctionRegistry
 from config_driven_pyspark_spark.operators.transform import NestedTransformer
 from config_driven_pyspark_spark.pipeline import Pipeline
+from config_driven_pyspark_spark.session import build_session
 
 __all__ = [
     "flatten_schema",
@@ -27,6 +28,7 @@ __all__ = [
     "FunctionRegistry",
     "NestedTransformer",
     "Pipeline",
+    "build_session",
 ]
 
 __version__ = "0.1.0"

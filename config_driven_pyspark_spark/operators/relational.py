@@ -263,6 +263,37 @@ def stage_set_op(df: DataFrame, other: DataFrame, spec: dict) -> DataFrame:
     raise ValueError(f"Unknown set op {kind}")
 
 
+def stage_sample(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "sample", "fraction": 0.1, "seed": 42, "replacement":
+    false}`` — per-partition Bernoulli (or Poisson) sampling; row counts are
+    approximate (binomial around fraction·n) and depend on partitioning, so
+    samples have no value-level oracle by design.
+    """
+    return df.sample(
+        withReplacement=bool(spec.get("replacement", False)),
+        fraction=float(spec["fraction"]),
+        seed=int(spec.get("seed", 42)),
+    )
+
+
+def stage_persist(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "persist", "level": "MEMORY_AND_DISK"}`` — cache an
+    intermediate consumed by multiple later stages (e.g. a frame used on
+    both sides of a self-join) so it is computed once.
+
+    Scale: prefer MEMORY_AND_DISK(_SER); pure MEMORY evicts under pressure
+    and recomputes. Don't persist frames consumed once — the cache write
+    costs more than it saves.
+    """
+    from pyspark import StorageLevel
+
+    level_name = spec.get("level", "MEMORY_AND_DISK")
+    level = getattr(StorageLevel, level_name, None)
+    if level is None:
+        raise ValueError(f"Unknown storage level {level_name!r}")
+    return df.persist(level)
+
+
 def stage_repartition(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "repartition", "n": int?, "by": [cols]?, "coalesce": bool}``.
 

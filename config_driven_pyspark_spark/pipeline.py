@@ -173,6 +173,7 @@ class Pipeline:
             "drop", "rename", "join", "aggregate", "pivot", "explode",
             "window", "sort", "limit",
             "distinct", "union", "intersect", "except", "repartition",
+            "sample", "persist",
             "top_k", "dedup", "similarity", "text", "multimodal", "sink",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "range_join",
@@ -233,6 +234,10 @@ class Pipeline:
             return R.stage_set_op(df, ctx.get(spec["other"]), spec)
         if kind == "repartition":
             return R.stage_repartition(df, spec)
+        if kind == "sample":
+            return R.stage_sample(df, spec)
+        if kind == "persist":
+            return R.stage_persist(df, spec)
         if kind == "top_k":
             return R.top_k_per_group(
                 df,

@@ -47,6 +47,32 @@ def test_unknown_dedup_method(spark):
         ).run(spark)
 
 
+def test_sample_stage_fraction(spark):
+    out = Pipeline.from_config([
+        {"stage": "source", "format": "parquet",
+         "path": "/root/testdata/sf0.001/orders.parquet"},
+        {"stage": "sample", "fraction": 0.2, "seed": 7},
+    ]).run(spark)
+    n = out.count()
+    assert 150 < n < 450  # binomial around 0.2 * 1500
+
+
+def test_persist_stage_levels(spark):
+    out = Pipeline.from_config([
+        {"stage": "source", "format": "parquet",
+         "path": "/root/testdata/sf0.001/region.parquet"},
+        {"stage": "persist", "level": "MEMORY_AND_DISK"},
+    ]).run(spark)
+    assert out.count() == 5 and out.storageLevel.useMemory
+    out.unpersist()
+    with pytest.raises(ValueError, match="Unknown storage level"):
+        Pipeline.from_config([
+            {"stage": "source", "format": "parquet",
+             "path": "/root/testdata/sf0.001/region.parquet"},
+            {"stage": "persist", "level": "TURBO"},
+        ]).run(spark)
+
+
 def test_unknown_text_op(spark):
     with pytest.raises(ValueError, match="Unknown text ops"):
         Pipeline.from_config(
