@@ -527,6 +527,24 @@ def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-family aggregates: HyperLogLog++ distinct counts and
+    approximate percentiles over lineitem. Rows-only: sketch outputs are
+    engine-specific by construction (Spark HLL++ vs DuckDB HLL give
+    different estimates); the exact twins are oracled in
+    q_agg_orders_stats / q_percentiles_lineitem."""
+    return _run(spark, [
+        _src(sf_dir, "lineitem"),
+        {"stage": "aggregate", "group_by": ["l_returnflag"],
+         "aggs": {
+             "approx_parts": "approx_count_distinct(l_partkey)",
+             "approx_p50_qty": "approx_percentile(l_quantity, 0.5, 1000)",
+             "approx_p99_price": "approx_percentile(l_extendedprice, 0.99, 1000)",
+         }},
+        {"stage": "sort", "by": ["l_returnflag"]},
+    ])
+
+
 def q_agg_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-aggregate with exact count-distinct per order priority."""
     return _run(spark, [
@@ -864,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles_lineitem": q_percentiles_lineitem,
         "q_pivot_events": q_pivot_events,
         "q_top_words": q_top_words,
+        "q_approx_sketches": q_approx_sketches,
         "q_agg_orders_stats": q_agg_orders_stats,
         "q_events_hourly": q_events_hourly,
         "q_retention_cohorts": q_retention_cohorts,
