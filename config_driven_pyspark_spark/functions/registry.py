@@ -36,13 +36,28 @@ def _snapshot_builtins() -> dict[str, DfFunction]:
     }
 
 
+def _engine_functions() -> dict[str, DfFunction]:
+    """The engine's own single-arg Column functions (text ops: redact,
+    fingerprint, lang_id, quality_score, …) — callable by name anywhere a
+    Spark builtin is, e.g. nested-transform ``fields``. Imported lazily so
+    the registry module has no import-order dependency."""
+    from config_driven_pyspark_spark.functions.text import _TEXT_OPS
+
+    return dict(_TEXT_OPS)
+
+
 class FunctionRegistry:
-    """Resolves config values (string name / Column / callable) to Column functions."""
+    """Resolves config values (string name / Column / callable) to Column
+    functions. Name precedence: user registrations, then engine text ops,
+    then the ``pyspark.sql.functions`` snapshot."""
 
     _builtins: dict[str, DfFunction] = _snapshot_builtins()
+    _engine: dict[str, DfFunction] = {}
 
     def __init__(self) -> None:
         self._custom: dict[str, Union[Column, DfFunction]] = {}
+        if not FunctionRegistry._engine:
+            FunctionRegistry._engine = _engine_functions()
 
     def register(self, name: str, func: Union[Column, DfFunction]) -> None:
         """Register a custom function usable by name; shadows Spark builtins."""
@@ -61,6 +76,8 @@ class FunctionRegistry:
         if isinstance(function, str):
             if function in self._custom:
                 function = self._custom[function]
+            elif function in self._engine:
+                function = self._engine[function]
             elif function in self._builtins:
                 function = self._builtins[function]
             else:

@@ -1,0 +1,31 @@
+"""The shipped example configs must run end-to-end on the testdata."""
+
+from __future__ import annotations
+
+import os
+
+from config_driven_pyspark_spark import Pipeline
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+def test_training_data_prep_example(spark, tmp_path):
+    out = str(tmp_path / "clean_docs")
+    with open(os.path.join(EXAMPLES, "training_data_prep.yaml")) as fh:
+        text = fh.read()
+    result = Pipeline.from_yaml(text).run(
+        spark,
+        variables={
+            "input": "/root/testdata/sf0.001/documents.parquet",
+            "output": out,
+        },
+    )
+    assert result.columns == [
+        "doc_id", "lang", "source", "text", "quality_score",
+        "bpe_token_count", "fingerprint",
+    ]
+    written = spark.read.parquet(out)
+    n = written.count()
+    assert 0 < n < 500  # filters + dedup must actually drop rows
+    # partitioned layout on disk
+    assert any(d.startswith("lang=") for d in os.listdir(out))

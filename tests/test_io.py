@@ -59,6 +59,48 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     assert back.count() == n_urgent
 
 
+def test_bucketed_tables_join_without_shuffle(spark):
+    """The 100 TB co-location story, end to end through the config surface:
+    two tables bucketed on the join key via the sink stage join with NO
+    Exchange in the physical plan (bucketed SortMergeJoin)."""
+    for t in ("orders_bk", "cust_bk"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        Pipeline.from_config([
+            {"stage": "source", "format": "parquet",
+             "path": "/root/testdata/sf0.001/orders.parquet"},
+            {"stage": "sink", "format": "parquet", "mode": "overwrite",
+             "bucket_by": {"n": 4, "cols": ["o_custkey"]},
+             "sort_by": ["o_custkey"], "table": "orders_bk"},
+        ]).run(spark)
+        Pipeline.from_config([
+            {"stage": "source", "format": "parquet",
+             "path": "/root/testdata/sf0.001/customer.parquet"},
+            {"stage": "select",
+             "columns": ["c_custkey AS o_custkey", "c_mktsegment"]},
+            {"stage": "sink", "format": "parquet", "mode": "overwrite",
+             "bucket_by": {"n": 4, "cols": ["o_custkey"]},
+             "sort_by": ["o_custkey"], "table": "cust_bk"},
+        ]).run(spark)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = Pipeline.from_config([
+                {"stage": "source", "table": "cust_bk", "name": "cb"},
+                {"stage": "source", "table": "orders_bk"},
+                {"stage": "join", "right": "cb", "on": ["o_custkey"]},
+            ]).run(spark)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, "bucketed join must not shuffle"
+            assert "Bucketed: true" in plan
+            assert joined.count() == 1500
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for t in ("orders_bk", "cust_bk"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_sink_default_mode_errors_on_existing(spark, tmp_path):
     out = str(tmp_path / "exists")
     cfg = [
