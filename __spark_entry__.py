@@ -467,6 +467,209 @@ def q22_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returned items per customer for a
+    quarter — fact-fact join + broadcast dims + deterministic top-20.
+
+    Scale: the orders quarter filter and the returnflag filter both push to
+    their parquet scans before the orderkey shuffle; customer/nation are
+    broadcast; top-20 lowers to TakeOrderedAndProject (no global sort)."""
+    return _run(spark, [
+        _src(sf_dir, "nation"),
+        _src(sf_dir, "customer"),
+        _src(sf_dir, "orders"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter", "input": "orders",
+         "predicate": "o_orderdate >= timestamp '1996-01-01 00:00:00' "
+                      "AND o_orderdate < timestamp '1996-04-01 00:00:00'",
+         "name": "ord_q"},
+        {"stage": "filter", "input": "lineitem",
+         "predicate": "l_returnflag = 'R'"},
+        {"stage": "join", "right": "ord_q", "on": "l_orderkey = o_orderkey"},
+        {"stage": "join", "right": "customer", "on": "o_custkey = c_custkey",
+         "broadcast": True},
+        {"stage": "join", "right": "nation", "on": "c_nationkey = n_nationkey",
+         "broadcast": True},
+        {"stage": "aggregate",
+         "group_by": ["c_custkey", "c_name", "c_acctbal", "n_name"],
+         "aggs": {"revenue": SUM_DISC_PRICE}},
+        {"stage": "sort", "by": ["revenue DESC", "c_custkey"], "limit": 20},
+    ])
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of customers by order count, keeping
+    zero-order customers — left outer join with the filter on the orders
+    side, then a two-level aggregation.
+
+    Scale: first agg shuffles on c_custkey (same key as the join — one
+    exchange reused); second agg's key space is tiny (distinct counts)."""
+    return _run(spark, [
+        _src(sf_dir, "customer"),
+        _src(sf_dir, "orders"),
+        {"stage": "filter", "input": "orders",
+         "predicate": "o_orderpriority <> '1-URGENT'", "name": "ord_np"},
+        {"stage": "join", "input": "customer", "right": "ord_np",
+         "on": "c_custkey = o_custkey", "how": "left"},
+        {"stage": "aggregate", "group_by": ["c_custkey"],
+         "aggs": {"c_count": "count(o_orderkey)"}},
+        {"stage": "aggregate", "group_by": ["c_count"],
+         "aggs": {"custdist": "count(*)"}},
+        {"stage": "sort", "by": ["custdist DESC", "c_count DESC"]},
+    ])
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: share of a month's revenue from PROMO parts —
+    conditional aggregation over a broadcast dim join, exact-decimal sums
+    with the ratio computed identically on both sides."""
+    promo_sum = (
+        f"CAST(sum(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE_DEC} "
+        "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
+    )
+    return _run(spark, [
+        _src(sf_dir, "part"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter",
+         "predicate": "l_shipdate >= timestamp '1996-09-01 00:00:00' "
+                      "AND l_shipdate < timestamp '1996-10-01 00:00:00'"},
+        {"stage": "join", "right": "part", "on": "l_partkey = p_partkey",
+         "broadcast": True},
+        {"stage": "aggregate", "group_by": [],
+         "aggs": {"promo_rev": promo_sum, "total_rev": SUM_DISC_PRICE}},
+        {"stage": "select",
+         "columns": ["100.00 * promo_rev / total_rev AS promo_pct"]},
+    ])
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with the maximum quarterly revenue —
+    aggregate, take the scalar max, filter revenue = max (exact-decimal
+    sums make the double equality deterministic).
+
+    Scale: per-supplier revenue is one map-side-combinable agg; the scalar
+    max is a single-row broadcast; no second pass over lineitem."""
+    return _run(spark, [
+        _src(sf_dir, "supplier"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter",
+         "predicate": "l_shipdate >= timestamp '1996-01-01 00:00:00' "
+                      "AND l_shipdate < timestamp '1996-04-01 00:00:00'"},
+        {"stage": "aggregate", "group_by": ["l_suppkey"],
+         "aggs": {"total_revenue": SUM_DISC_PRICE}, "name": "rev"},
+        {"stage": "aggregate", "input": "rev", "group_by": [],
+         "aggs": {"max_rev": "max(total_revenue)"}, "name": "max_rev_t"},
+        {"stage": "join", "input": "rev", "right": "max_rev_t", "on": "1=1",
+         "how": "cross", "broadcast": True},
+        {"stage": "filter", "predicate": "total_revenue = max_rev"},
+        {"stage": "join", "right": "supplier", "on": "l_suppkey = s_suppkey",
+         "broadcast": True},
+        {"stage": "select",
+         "columns": ["s_suppkey", "s_name", "total_revenue"]},
+        {"stage": "sort", "by": ["s_suppkey"]},
+    ])
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: average yearly revenue lost if small-quantity
+    orders for one brand's parts were not taken — correlated avg subquery
+    decorrelated into a per-part aggregate joined back.
+
+    Scale: the per-part avg aggregates the brand-filtered lineitem slice
+    only (filter pushed through the part join by Catalyst); the join back
+    is on l_partkey, and AQE broadcasts the small agg side."""
+    avg_qty = ("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+               "/ count(*)")
+    return _run(spark, [
+        _src(sf_dir, "part"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter", "input": "part",
+         "predicate": "p_brand = 'Brand#23'", "name": "part_b"},
+        {"stage": "join", "input": "lineitem", "right": "part_b",
+         "on": "l_partkey = p_partkey", "broadcast": True, "name": "li_b"},
+        {"stage": "aggregate", "input": "li_b", "group_by": ["l_partkey"],
+         "aggs": {"avg_qty": avg_qty}, "name": "part_avg"},
+        {"stage": "join", "input": "li_b", "right": "part_avg",
+         "on": ["l_partkey"]},
+        {"stage": "filter", "predicate": "l_quantity < 0.2 * avg_qty"},
+        {"stage": "aggregate", "group_by": [],
+         "aggs": {"avg_yearly": f"{SUM_BASE} / 7.0"}},
+    ])
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: customers with any order totaling > 300 units —
+    HAVING on an exact-decimal sum, then join back to orders + customer.
+
+    Scale: the having-filtered orderkey set is tiny relative to lineitem,
+    so the join back broadcasts it; the first agg is map-side combinable
+    on the natural lineitem clustering key."""
+    return _run(spark, [
+        _src(sf_dir, "customer"),
+        _src(sf_dir, "orders"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "aggregate", "input": "lineitem", "group_by": ["l_orderkey"],
+         "aggs": {"sum_qty": SUM_QTY}, "having": "sum_qty > 300",
+         "name": "big"},
+        {"stage": "join", "input": "orders", "right": "big",
+         "on": "o_orderkey = l_orderkey"},
+        {"stage": "join", "right": "customer", "on": "o_custkey = c_custkey",
+         "broadcast": True},
+        {"stage": "select",
+         "columns": ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice", "sum_qty"]},
+        {"stage": "sort", "by": ["o_totalprice DESC", "o_orderkey"],
+         "limit": 100},
+    ])
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue from three brand/size/quantity bands — an
+    OR-of-ANDs predicate spanning both join sides.
+
+    Scale: Catalyst extracts the common `l_partkey = p_partkey` equi-key
+    (hash join, never nested-loop) and pushes the derivable per-side
+    disjuncts (brand/size to the part scan, quantity to lineitem)."""
+    bands = (
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+        " AND l_quantity BETWEEN 1 AND 11) OR "
+        "(p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+        " AND l_quantity BETWEEN 10 AND 20) OR "
+        "(p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+        " AND l_quantity BETWEEN 20 AND 30)"
+    )
+    return _run(spark, [
+        _src(sf_dir, "part"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "join", "right": "part", "on": "l_partkey = p_partkey",
+         "broadcast": True},
+        {"stage": "filter", "predicate": bands},
+        {"stage": "aggregate", "group_by": [],
+         "aggs": {"revenue": SUM_DISC_PRICE, "n_items": "count(*)"}},
+    ])
+
+
+def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): high-balance customer keys ∩ keys holding a
+    large order — completes the set-op family with union/except."""
+    return _run(spark, [
+        _src(sf_dir, "customer"),
+        _src(sf_dir, "orders"),
+        {"stage": "filter", "input": "customer",
+         "predicate": "c_acctbal > 5000", "name": "rich"},
+        {"stage": "select", "input": "rich",
+         "columns": [{"expr": "c_custkey", "alias": "custkey"}],
+         "name": "rich_keys"},
+        {"stage": "filter", "input": "orders",
+         "predicate": "o_totalprice > 200000", "name": "big_orders"},
+        {"stage": "select", "input": "big_orders",
+         "columns": [{"expr": "o_custkey", "alias": "custkey"}],
+         "name": "big_keys"},
+        {"stage": "intersect", "input": "rich_keys", "other": "big_keys",
+         "distinct": True},
+    ])
+
+
 def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation at explicit grouping sets — (status, priority), (status),
     and grand total — the generalization rollup/cube shorthand."""
@@ -878,6 +1081,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders": q_topk_orders,
         "q07_nation_volume": q07_nation_volume,
         "q22_lost_customers": q22_lost_customers,
+        "q10_returned_items": q10_returned_items,
+        "q13_order_distribution": q13_order_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q_intersect_keys": q_intersect_keys,
         "q_grouping_sets_orders": q_grouping_sets_orders,
         "q_percentiles_lineitem": q_percentiles_lineitem,
         "q_pivot_events": q_pivot_events,
@@ -1052,6 +1263,96 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >=
                                     timestamp '2000-01-01 00:00:00')
             GROUP BY c_nationkey
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   {SUM_DISC_PRICE} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+              AND o_orderdate < timestamp '1996-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q13_order_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders
+                    ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q14_promo_revenue": f"""
+            SELECT 100.00 * promo_rev / total_rev AS promo_pct
+            FROM (SELECT
+                    CAST(sum(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE_DEC}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                      AS promo_rev,
+                    {SUM_DISC_PRICE} AS total_rev
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE l_shipdate >= timestamp '1996-09-01 00:00:00'
+                    AND l_shipdate < timestamp '1996-10-01 00:00:00')
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey, {SUM_DISC_PRICE} AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+                AND l_shipdate < timestamp '1996-04-01 00:00:00'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q17_small_qty_revenue": f"""
+            WITH li_b AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#23'),
+            part_avg AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS avg_qty
+              FROM li_b GROUP BY l_partkey)
+            SELECT {SUM_BASE} / 7.0 AS avg_yearly
+            FROM li_b JOIN part_avg USING (l_partkey)
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "q18_large_volume_customers": f"""
+            WITH big AS (
+              SELECT l_orderkey, {SUM_QTY} AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING {SUM_QTY} > 300)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM big
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT {SUM_DISC_PRICE} AS revenue, count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q_intersect_keys": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_totalprice > 200000
         """,
         "q_pivot_events": """
             SELECT hour(ts) AS hour_of_day,

@@ -146,11 +146,16 @@ def stage_join(df: DataFrame, right: DataFrame, spec: dict) -> DataFrame:
 
 def stage_aggregate(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "aggregate", "group_by": [...], "aggs": {alias: expr},
-    "grouping": "none"|"rollup"|"cube"|"sets", "sets": [[cols], ...]}``.
+    "grouping": "none"|"rollup"|"cube"|"sets", "sets": [[cols], ...],
+    "having": "<predicate over aliases>"?}``.
 
     ``grouping: sets`` aggregates at exactly the listed key combinations
     (``sets`` entries must be subsets of ``group_by``; ``[]`` is the grand
     total) — the generalization rollup/cube are shorthands for.
+
+    ``having`` filters on the aggregated output (aliases are in scope) —
+    Catalyst evaluates it post-aggregation, so at scale it prunes groups
+    before any downstream join materializes them.
 
     Scale: hash aggregation with map-side partial aggregation is automatic
     for algebraic aggregates expressed via SQL exprs; the shuffle moves only
@@ -170,8 +175,11 @@ def stage_aggregate(df: DataFrame, spec: dict) -> DataFrame:
     elif keys:
         grouped = df.groupBy(*keys)
     else:
-        return df.agg(*aggs)
-    return grouped.agg(*aggs)
+        grouped = None
+    out = df.agg(*aggs) if grouped is None else grouped.agg(*aggs)
+    if "having" in spec:
+        out = out.filter(F.expr(spec["having"]))
+    return out
 
 
 def stage_pivot(df: DataFrame, spec: dict) -> DataFrame:
