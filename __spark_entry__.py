@@ -1060,6 +1060,172 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media, dim=8)
 
 
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: for ECONOMY parts sold to AMERICA
+    customers, the yearly revenue share supplied by NATION_3 suppliers.
+    (Adapted: testdata has no partsupp, so supplier nation comes straight
+    from supplier.) Conditional decimal aggregation; the share ratio is
+    divided identically on both sides.
+
+    Scale: region→nation→customer and part are broadcast dims; the only
+    big shuffles are lineitem⋈orders on orderkey. The supplier-nation
+    rename keeps the second nation join collision-free."""
+    nation_rev = (
+        f"CAST(sum(CASE WHEN s_nation = 'NATION_3' THEN {DISC_PRICE_DEC} "
+        "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
+    )
+    return _run(spark, [
+        _src(sf_dir, "region"),
+        _src(sf_dir, "nation"),
+        _src(sf_dir, "customer"),
+        _src(sf_dir, "supplier"),
+        _src(sf_dir, "part"),
+        _src(sf_dir, "orders"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter", "input": "region",
+         "predicate": "r_name = 'AMERICA'", "name": "region_f"},
+        {"stage": "join", "input": "nation", "right": "region_f",
+         "on": "n_regionkey = r_regionkey", "broadcast": True, "name": "nat_f"},
+        {"stage": "join", "input": "customer", "right": "nat_f",
+         "on": "c_nationkey = n_nationkey", "broadcast": True, "name": "cust_f"},
+        {"stage": "select", "input": "nation",
+         "columns": ["n_nationkey AS sn_key", "n_name AS s_nation"],
+         "name": "supp_nation"},
+        {"stage": "filter", "input": "part",
+         "predicate": "p_type = 'ECONOMY'", "name": "part_f"},
+        {"stage": "filter", "input": "orders",
+         "predicate": "o_orderdate >= timestamp '1996-01-01 00:00:00' "
+                      "AND o_orderdate < timestamp '1998-01-01 00:00:00'"},
+        {"stage": "join", "right": "cust_f", "on": "o_custkey = c_custkey",
+         "name": "ord_f"},
+        {"stage": "join", "input": "lineitem", "right": "part_f",
+         "on": "l_partkey = p_partkey", "broadcast": True},
+        {"stage": "join", "right": "ord_f", "on": "l_orderkey = o_orderkey"},
+        {"stage": "join", "right": "supplier", "on": "l_suppkey = s_suppkey",
+         "broadcast": True},
+        {"stage": "join", "right": "supp_nation", "on": "s_nationkey = sn_key",
+         "broadcast": True},
+        {"stage": "with_columns", "columns": {"o_year": "year(o_orderdate)"}},
+        {"stage": "aggregate", "group_by": ["o_year"],
+         "aggs": {"mkt_share": f"round({nation_rev} / {SUM_DISC_PRICE}, 6)",
+                  "total_rev": SUM_DISC_PRICE}},
+        {"stage": "sort", "by": ["o_year"]},
+    ])
+
+
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit by supplier nation and year over
+    widget parts. (Adapted: no partsupp/supplycost in testdata, so profit
+    is the discounted revenue.)
+
+    Scale: part and supplier/nation are broadcast dims; lineitem⋈orders on
+    orderkey is the one real shuffle, then a map-side-combinable agg on
+    (nation, year)."""
+    return _run(spark, [
+        _src(sf_dir, "nation"),
+        _src(sf_dir, "supplier"),
+        _src(sf_dir, "part"),
+        _src(sf_dir, "orders"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter", "input": "part",
+         "predicate": "p_name LIKE '%widget%'", "name": "part_f"},
+        {"stage": "join", "input": "lineitem", "right": "part_f",
+         "on": "l_partkey = p_partkey", "broadcast": True},
+        {"stage": "join", "right": "supplier", "on": "l_suppkey = s_suppkey",
+         "broadcast": True},
+        {"stage": "join", "right": "nation", "on": "s_nationkey = n_nationkey",
+         "broadcast": True},
+        {"stage": "join", "right": "orders", "on": "l_orderkey = o_orderkey"},
+        {"stage": "with_columns", "columns": {"o_year": "year(o_orderdate)"}},
+        {"stage": "aggregate", "group_by": ["n_name", "o_year"],
+         "aggs": {"profit": SUM_DISC_PRICE}},
+        {"stage": "sort", "by": ["n_name", "o_year DESC"]},
+    ])
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier counts per (brand, type, size) for
+    non-PROMO, non-Brand#13 parts in selected sizes, excluding suppliers
+    with negative balances (the complaints NOT-IN stands in as an anti
+    join on acctbal — testdata has no comment column).
+
+    Scale: filtered part is a broadcast dim; the excluded-supplier set is
+    a tiny broadcast anti join; count(DISTINCT l_suppkey) shuffles
+    (brand, type, size, suppkey) once for the distinct then combines."""
+    return _run(spark, [
+        _src(sf_dir, "supplier"),
+        _src(sf_dir, "part"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter", "input": "part",
+         "predicate": "p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%' "
+                      "AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25, 28)",
+         "name": "part_f"},
+        {"stage": "filter", "input": "supplier", "predicate": "s_acctbal < 0",
+         "name": "bad_supp_raw"},
+        {"stage": "select", "input": "bad_supp_raw",
+         "columns": ["s_suppkey AS l_suppkey"], "name": "bad_supp"},
+        {"stage": "join", "input": "lineitem", "right": "part_f",
+         "on": "l_partkey = p_partkey", "broadcast": True},
+        {"stage": "join", "right": "bad_supp", "on": ["l_suppkey"],
+         "how": "left_anti", "broadcast": True},
+        {"stage": "aggregate", "group_by": ["p_brand", "p_type", "p_size"],
+         "aggs": {"supplier_cnt": "count(DISTINCT l_suppkey)"}},
+        {"stage": "sort",
+         "by": ["supplier_cnt DESC", "p_brand", "p_type", "p_size"]},
+    ])
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document: token count,
+    type-token ratio, duplicate-3-gram fraction, top-word share — the
+    filters a training pipeline applies before dedup. Map-only array math
+    plus one (doc, token) count shuffle."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "repetition", "id_col": "doc_id",
+         "column": "text", "n": 3},
+    ])
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by md5 bucket of doc_id: 25% of
+    'en' documents, 50% of everything else — reproducible across runs and
+    cluster sizes (unlike df.sample), map-only."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "hash_sample", "on": "doc_id",
+         "rates": {"en": 0.25, "*": 0.5}, "stratify_by": "lang"},
+        {"stage": "select",
+         "columns": ["doc_id", "lang", "source", "sample_bucket"]},
+    ])
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination check: per corpus document (source <>
+    'src0'), the number of distinct 3-word n-grams shared with the src0
+    'benchmark' set. Benchmark n-grams broadcast; corpus side map-only +
+    one groupBy."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "filter", "predicate": "source = 'src0'", "name": "bench"},
+        {"stage": "filter", "input": "documents",
+         "predicate": "source <> 'src0'"},
+        {"stage": "corpus", "op": "contamination_flags", "id_col": "doc_id",
+         "column": "text", "n": 3, "benchmark": "bench"},
+    ])
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: split every document into 50-token chunks
+    (doc_id, chunk_idx, n_tokens, chunk_text). Map-only tokenize +
+    sequence + explode + slice."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "chunk", "id_col": "doc_id",
+         "column": "text", "chunk_size": 50},
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1088,6 +1254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q08_market_share": q08_market_share,
+        "q09_product_profit": q09_product_profit,
+        "q16_supplier_counts": q16_supplier_counts,
         "q_intersect_keys": q_intersect_keys,
         "q_grouping_sets_orders": q_grouping_sets_orders,
         "q_percentiles_lineitem": q_percentiles_lineitem,
@@ -1116,6 +1285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_srp_ann": q_srp_ann,
         "q_ivf_ann": q_ivf_ann,
         "q_multimodal_features": q_multimodal_features,
+        "q_repetition_stats": q_repetition_stats,
+        "q_hash_sample": q_hash_sample,
+        "q_contamination": q_contamination,
+        "q_chunk_documents": q_chunk_documents,
     }
 
 
@@ -1643,5 +1816,129 @@ def oracle_sql() -> dict[str, str]:
                    round(list_dot_product(a.u, b.u), 6) AS cosine
             FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.u, b.u), 6) >= 0.30
+        """,
+        "q08_market_share": f"""
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN s_nation = 'NATION_3'
+                                       THEN {DISC_PRICE_DEC}
+                                       ELSE CAST(0 AS DECIMAL(18,4)) END)
+                              AS DOUBLE)
+                         / {SUM_DISC_PRICE}, 6) AS mkt_share,
+                   {SUM_DISC_PRICE} AS total_rev
+            FROM (
+              SELECT year(o_orderdate) AS o_year,
+                     l_extendedprice, l_discount, n2.n_name AS s_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+                         AND r_name = 'AMERICA'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE o_orderdate >= timestamp '1996-01-01 00:00:00'
+                AND o_orderdate < timestamp '1998-01-01 00:00:00'
+            )
+            GROUP BY o_year
+        """,
+        "q09_product_profit": f"""
+            SELECT n_name, year(o_orderdate) AS o_year,
+                   {SUM_DISC_PRICE} AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25, 28)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "q_repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), t -> t != '') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     [array_to_string(w[i:i+2], ' ')
+                      for i in range(1, greatest(len(w)-2, 1)+1)] AS g
+              FROM toks
+            ),
+            freq AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+              GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT doc_id,
+                     round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_frac
+              FROM freq GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   len(w) AS n_tokens,
+                   round(CAST(len(list_distinct(w)) AS DOUBLE)
+                         / greatest(len(w), 1), 6) AS ttr,
+                   round(1 - CAST(len(list_distinct(g)) AS DOUBLE)
+                         / greatest(len(g), 1), 6) AS dup_ngram_frac,
+                   coalesce(top_word_frac, 0.0) AS top_word_frac
+            FROM toks t
+            JOIN grams USING (doc_id)
+            LEFT JOIN top USING (doc_id)
+        """,
+        "q_hash_sample": """
+            SELECT doc_id, lang, source,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_bucket
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                  (CASE WHEN lang = 'en' THEN '40' ELSE '80' END)
+        """,
+        "q_contamination": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     list_filter(string_split(lower(text), ' '), t -> t != '') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, source,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                                    for i in range(1, greatest(len(w)-2, 1)+1)]) AS g
+              FROM toks
+            ),
+            bench AS (SELECT DISTINCT unnest(g) AS tok FROM grams
+                      WHERE source = 'src0'),
+            corpus AS (SELECT doc_id, unnest(g) AS tok FROM grams
+                       WHERE source <> 'src0')
+            SELECT doc_id, count(*) AS n_shared
+            FROM corpus JOIN bench USING (tok)
+            GROUP BY doc_id
+        """,
+        "q_chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS w
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, w,
+                     unnest([i for i in
+                             range(0, CAST(ceil(len(w) / 50.0) AS BIGINT))])
+                       AS chunk_idx
+              FROM toks WHERE len(w) > 0
+            )
+            SELECT doc_id, chunk_idx,
+                   len(w[chunk_idx*50+1 : chunk_idx*50+50]) AS n_tokens,
+                   array_to_string(w[chunk_idx*50+1 : chunk_idx*50+50], ' ')
+                     AS chunk_text
+            FROM c
         """,
     }

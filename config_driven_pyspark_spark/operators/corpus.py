@@ -1,0 +1,253 @@
+"""Training-corpus operators — repetition/quality signals, deterministic
+sampling, benchmark decontamination, and token-window chunking.
+
+Capability gap vs the reference (SURVEY.md §2C): the reference
+(`/root/reference/src/config_driven_pyspark/functioniser.py`) transforms
+fields in place and has no corpus-preparation surface; these are the
+operations a large-scale LLM training-data pipeline runs between raw text
+and tokenized shards. All of them are pure built-in Column expressions +
+relational ops — no Python UDFs — so they stay inside whole-stage codegen
+at 100 TB.
+
+- ``repetition_stats``  — Gopher-style repetition signals per document:
+  type-token ratio, duplicate n-gram fraction, top-word frequency share.
+- ``hash_sample``       — deterministic (re-runnable) sampling by md5 of a
+  key column, with optional per-stratum rates. Unlike ``df.sample`` this is
+  stable across runs/partitionings — the property training pipelines need
+  for reproducible mixtures.
+- ``contamination_flags`` / ``decontaminate`` — flag or drop corpus
+  documents sharing word n-grams with a benchmark set (eval-set leakage).
+- ``chunk_documents``   — split each document into fixed-size token
+  windows (optional stride overlap) for context-length packing.
+
+Scale notes per operator are on the functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from config_driven_pyspark_spark.functions import text as TX
+from config_driven_pyspark_spark.operators.dedup import _spread
+
+
+def word_ngrams_all(toks, n: int):
+    """Non-distinct word n-grams of a token array (space-joined). Short
+    inputs (< n tokens) yield one partial gram — mirrored exactly by the
+    DuckDB oracles."""
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str = "text", ngram_n: int = 3
+) -> DataFrame:
+    """Per-document repetition signals: ``n_tokens``, ``ttr`` (distinct /
+    total tokens), ``dup_ngram_frac`` (1 − distinct/total n-grams) and
+    ``top_word_frac`` (most frequent token's share).
+
+    Scale: the array ratios are map-only (no shuffle). The top-word share
+    explodes tokens and aggregates (id, token) — one shuffle with map-side
+    partial counts; token arrays never cross the wire, only 8-byte counts.
+    """
+    base = _spread(df).select(
+        F.col(id_col).alias("id"), TX.tokens(F.lower(F.col(text_col))).alias("w")
+    )
+    arr = base.select(
+        "id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("w")).cast("double")
+            / F.greatest(F.size("w"), F.lit(1)),
+            6,
+        ).alias("ttr"),
+        F.round(
+            1
+            - F.size(F.array_distinct(word_ngrams_all(F.col("w"), ngram_n))).cast(
+                "double"
+            )
+            / F.greatest(F.size(word_ngrams_all(F.col("w"), ngram_n)), F.lit(1)),
+            6,
+        ).alias("dup_ngram_frac"),
+    )
+    freq = (
+        base.select("id", F.explode("w").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top = freq.groupBy("id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_word_frac")
+    )
+    return (
+        arr.join(top, "id", "left")
+        .na.fill({"top_word_frac": 0.0})
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float | None = None,
+    rates: dict[str, float] | None = None,
+    stratify_by: str | None = None,
+) -> DataFrame:
+    """Deterministic sample: keep rows whose md5(key) falls below the rate
+    threshold. ``rates`` maps stratum value → rate (``"*"`` = default) over
+    ``stratify_by``. Granularity is 1/256 (first md5 byte).
+
+    Scale: a map-only filter — no shuffle, no RNG state, identical output
+    for any partitioning/cluster size, which ``df.sample`` does not give.
+    The predicate is a plain string compare on the md5 hex prefix so the
+    DuckDB oracle is the byte-identical expression.
+    """
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+
+    def thr(r: float) -> str:
+        n = max(0, min(256, int(r * 256)))
+        # 256 ("100") would compare lexicographically below "ff"; any
+        # letter past 'f' is greater than every 2-char hex bucket
+        return "g" if n == 256 else format(n, "02x")
+
+    if rates is not None:
+        if stratify_by is None:
+            raise ValueError("rates requires stratify_by")
+        default = thr(rates.get("*", 0.0))
+        cond = F.lit(default)
+        for value, r in rates.items():
+            if value == "*":
+                continue
+            cond = F.when(F.col(stratify_by) == value, F.lit(thr(r))).otherwise(cond)
+        keep = bucket < cond
+    else:
+        if rate is None:
+            raise ValueError("hash_sample needs rate or rates")
+        keep = bucket < F.lit(thr(rate))
+    return df.withColumn("sample_bucket", bucket).filter(keep)
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngram_n: int = 8,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """(id, n_shared) for corpus documents sharing ≥1 distinct word n-gram
+    with the benchmark set — the standard eval-decontamination check.
+
+    Scale: benchmark sets (eval suites) are tiny next to a 100 TB corpus, so
+    the distinct benchmark n-grams are broadcast; the corpus side is a
+    map-side explode + broadcast-hash semi-join + one groupBy(id) with
+    partial counts. No corpus self-join ever happens.
+    """
+    bench_grams = benchmark.select(
+        F.explode(
+            TX.word_ngrams(F.col(bench_text_col or text_col), ngram_n)
+        ).alias("g")
+    ).distinct()
+    doc_grams = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.word_ngrams(F.col(text_col), ngram_n)).alias("g"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngram_n: int = 8,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Drop contaminated documents (those flagged by ``contamination_flags``)."""
+    flags = contamination_flags(
+        df, benchmark, id_col, text_col, ngram_n, bench_text_col
+    ).select(id_col)
+    return df.join(flags, on=id_col, how="left_anti")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into fixed token windows: (id, chunk_idx, n_tokens,
+    chunk_text). ``stride`` < ``chunk_size`` gives overlapping windows
+    (defaults to non-overlapping).
+
+    Scale: map-only — tokenize, ``sequence`` over window starts, explode,
+    ``slice``. Output rows ≈ input tokens / stride; no shuffle until the
+    caller repartitions for shard writing.
+    """
+    stride = stride or chunk_size
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    n_chunks = F.ceil(F.size("w") / F.lit(float(stride)))
+    windows = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), TX.tokens(F.col(text_col)).alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            "id",
+            "w",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.slice(
+                "w", F.col("chunk_idx") * stride + 1, chunk_size
+            ).alias("cw"),
+        )
+    )
+    return windows.select(
+        F.col("id").alias(id_col),
+        "chunk_idx",
+        F.size("cw").cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", "cw").alias("chunk_text"),
+    )
+
+
+def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
+    """``{"stage": "corpus", "op": "repetition|hash_sample|decontaminate|
+    contamination_flags|chunk", ...}`` — config-driven entry points.
+    ``decontaminate``/``contamination_flags`` take ``benchmark`` (a named
+    frame from an earlier stage)."""
+    op = spec.get("op")
+    id_col = spec.get("id_col", "id")
+    text_col = spec.get("column", "text")
+    if op == "repetition":
+        return repetition_stats(df, id_col, text_col, int(spec.get("n", 3)))
+    if op == "hash_sample":
+        return hash_sample(
+            df,
+            spec.get("on", id_col),
+            spec.get("rate"),
+            spec.get("rates"),
+            spec.get("stratify_by"),
+        )
+    if op in ("decontaminate", "contamination_flags"):
+        bench = ctx.get(spec["benchmark"])
+        fn = decontaminate if op == "decontaminate" else contamination_flags
+        return fn(
+            df, bench, id_col, text_col, int(spec.get("n", 8)),
+            spec.get("benchmark_column"),
+        )
+    if op == "chunk":
+        return chunk_documents(
+            df, id_col, text_col, int(spec.get("chunk_size", 64)),
+            spec.get("stride"),
+        )
+    raise ValueError(f"Unknown corpus op {op!r}")

@@ -174,7 +174,8 @@ class Pipeline:
             "window", "sort", "limit",
             "distinct", "union", "intersect", "except", "repartition",
             "sample", "persist",
-            "top_k", "dedup", "similarity", "text", "multimodal", "sink",
+            "top_k", "dedup", "similarity", "text", "multimodal", "corpus",
+            "sink",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "range_join",
         }
@@ -262,6 +263,10 @@ class Pipeline:
             from config_driven_pyspark_spark.operators.multimodal import stage_multimodal
 
             return stage_multimodal(df, spec)
+        if kind == "corpus":
+            from config_driven_pyspark_spark.operators.corpus import stage_corpus
+
+            return stage_corpus(df, spec, ctx)
         if kind in (
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink",

@@ -1,0 +1,160 @@
+"""Tests for training-corpus operators (operators/corpus.py): repetition
+signals, deterministic hash sampling, decontamination, and token-window
+chunking — hand-computed goldens plus invariants on real sf0.001 data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from config_driven_pyspark_spark import Pipeline
+from config_driven_pyspark_spark.operators import corpus as C
+from tests.conftest import to_df
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+# -- repetition stats --------------------------------------------------------
+
+
+def test_repetition_stats_golden(spark):
+    df = to_df(spark, [
+        {"id": 1, "text": "a b a b a b"},          # 6 toks, 2 distinct
+        {"id": 2, "text": "w x y z"},              # all distinct
+    ])
+    rows = {r["id"]: r for r in C.repetition_stats(df, "id").collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6
+    assert r1["ttr"] == pytest.approx(2 / 6, abs=1e-6)
+    # 3-grams: "a b a","b a b","a b a","b a b" → 4 total, 2 distinct
+    assert r1["dup_ngram_frac"] == pytest.approx(0.5, abs=1e-6)
+    assert r1["top_word_frac"] == pytest.approx(0.5, abs=1e-6)
+    r2 = rows[2]
+    assert r2["ttr"] == 1.0
+    assert r2["dup_ngram_frac"] == 0.0
+    assert r2["top_word_frac"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_repetition_stats_case_fold(spark):
+    df = to_df(spark, [{"id": 1, "text": "The THE the"}])
+    row = C.repetition_stats(df, "id").collect()[0]
+    assert row["ttr"] == pytest.approx(1 / 3, abs=1e-6)
+    assert row["top_word_frac"] == 1.0
+
+
+# -- hash sampling -----------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_stable(documents):
+    a = C.hash_sample(documents, "doc_id", rate=0.5)
+    b = C.hash_sample(documents.repartition(7), "doc_id", rate=0.5)
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b          # partitioning-independent
+    n_total = documents.count()
+    assert 0.3 * n_total < len(ids_a) < 0.7 * n_total
+
+
+def test_hash_sample_rate_extremes(documents):
+    assert C.hash_sample(documents, "doc_id", rate=0.0).count() == 0
+    assert C.hash_sample(documents, "doc_id", rate=1.0).count() == documents.count()
+
+
+def test_hash_sample_stratified_rates(documents):
+    out = C.hash_sample(
+        documents, "doc_id", rates={"en": 0.0, "*": 1.0}, stratify_by="lang"
+    )
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert "en" not in langs
+    non_en = documents.filter("lang <> 'en'").count()
+    assert out.count() == non_en
+
+
+def test_hash_sample_requires_config(documents):
+    with pytest.raises(ValueError):
+        C.hash_sample(documents, "doc_id")
+    with pytest.raises(ValueError):
+        C.hash_sample(documents, "doc_id", rates={"*": 0.5})
+
+
+# -- decontamination ---------------------------------------------------------
+
+
+def test_decontaminate_drops_overlapping(spark):
+    bench = to_df(spark, [{"id": 100, "text": "the quick brown fox jumps"}])
+    corpus = to_df(spark, [
+        {"id": 1, "text": "totally unrelated words here now"},
+        {"id": 2, "text": "prefix the quick brown fox suffix"},  # shares 3-grams
+    ])
+    flags = C.contamination_flags(corpus, bench, "id", ngram_n=3)
+    assert {r["id"]: r["n_shared"] for r in flags.collect()} == {2: 2}
+    kept = C.decontaminate(corpus, bench, "id", ngram_n=3)
+    assert [r["id"] for r in kept.collect()] == [1]
+
+
+def test_contamination_case_insensitive(spark):
+    bench = to_df(spark, [{"id": 9, "text": "Alpha Beta Gamma"}])
+    corpus = to_df(spark, [{"id": 1, "text": "alpha beta gamma"}])
+    assert C.contamination_flags(corpus, bench, "id", ngram_n=3).count() == 1
+
+
+# -- chunking ----------------------------------------------------------------
+
+
+def test_chunk_reconstructs_document(spark):
+    text = " ".join(f"t{i}" for i in range(120))
+    df = to_df(spark, [{"id": 1, "text": text}])
+    chunks = C.chunk_documents(df, "id", chunk_size=50).orderBy("chunk_idx").collect()
+    assert [c["n_tokens"] for c in chunks] == [50, 50, 20]
+    assert " ".join(c["chunk_text"] for c in chunks) == text
+
+
+def test_chunk_overlapping_stride(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = to_df(spark, [{"id": 1, "text": text}])
+    chunks = C.chunk_documents(df, "id", chunk_size=4, stride=2).orderBy(
+        "chunk_idx"
+    ).collect()
+    assert chunks[0]["chunk_text"].split() == ["t0", "t1", "t2", "t3"]
+    assert chunks[1]["chunk_text"].split() == ["t2", "t3", "t4", "t5"]
+    # every consecutive pair overlaps by chunk_size - stride tokens
+    for a, b in zip(chunks, chunks[1:]):
+        assert a["chunk_text"].split()[2:] == b["chunk_text"].split()[:2]
+
+
+def test_chunk_rejects_bad_sizes(spark):
+    df = to_df(spark, [{"id": 1, "text": "a b c"}])
+    with pytest.raises(ValueError):
+        C.chunk_documents(df, "id", chunk_size=0)
+
+
+# -- pipeline stage wiring ---------------------------------------------------
+
+
+def test_corpus_stage_in_pipeline(spark):
+    out = Pipeline.from_config([
+        {"stage": "source", "format": "parquet",
+         "path": f"{SF_DIR}/documents.parquet", "name": "docs"},
+        {"stage": "filter", "predicate": "source = 'src0'", "name": "bench"},
+        {"stage": "filter", "input": "docs", "predicate": "source <> 'src0'"},
+        {"stage": "corpus", "op": "decontaminate", "id_col": "doc_id",
+         "column": "text", "n": 3, "benchmark": "bench"},
+        {"stage": "corpus", "op": "chunk", "id_col": "doc_id",
+         "column": "text", "chunk_size": 50},
+    ]).run(spark)
+    assert out.columns == ["doc_id", "chunk_idx", "n_tokens", "chunk_text"]
+    assert out.count() > 0
+    assert out.agg(F.max("n_tokens")).collect()[0][0] <= 50
+
+
+def test_corpus_stage_unknown_op(spark):
+    df = to_df(spark, [{"id": 1, "text": "x"}])
+    from config_driven_pyspark_spark.operators.corpus import stage_corpus
+
+    with pytest.raises(ValueError, match="Unknown corpus op"):
+        stage_corpus(df, {"op": "nope"}, None)
