@@ -45,6 +45,9 @@ HEADLINE = [
     "q_ngram_dedup_pairs",
     "q_minhash_pairs",
     "q_knn_cosine",
+    "q08_market_share",
+    "q_repetition_stats",
+    "q_chunk_documents",
 ]
 
 
