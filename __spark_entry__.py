@@ -1175,6 +1175,47 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: each order's count and average order value
+    over the same customer's trailing 90 days (RANGE BETWEEN INTERVAL —
+    value-based frame, not row-based). One shuffle+sort on (custkey,
+    orderdate) shared by both window columns."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "window", "partition_by": ["o_custkey"],
+         "order_by": ["o_orderdate"],
+         "frame": "RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW",
+         "columns": {"n_90d": "count(*)",
+                     "sum_dec_90d": "sum(CAST(o_totalprice AS DECIMAL(18,2)))"}},
+        {"stage": "select",
+         "columns": ["o_orderkey", "o_custkey", "n_90d",
+                     {"expr": "CAST(sum_dec_90d AS DOUBLE) / n_90d",
+                      "alias": "avg_90d"}]},
+    ])
+
+
+def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf-style top-3 salient terms per document, ranked tf-major then
+    rarity (corpus document frequency) then term — integer-only ordering so
+    both engines agree bit-for-bit (no float log). Exercises explode →
+    per-doc tf agg → corpus df agg (broadcast back) → window top-k."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "with_columns",
+         "columns": {"tok": "filter(split(lower(text), ' '), t -> t != '')"}},
+        {"stage": "explode", "column": "tok", "alias": "term"},
+        {"stage": "select", "columns": ["doc_id", "term"], "name": "terms"},
+        {"stage": "aggregate", "group_by": ["doc_id", "term"],
+         "aggs": {"tf": "count(*)"}, "name": "tf_t"},
+        {"stage": "aggregate", "input": "terms", "group_by": ["term"],
+         "aggs": {"df": "count(DISTINCT doc_id)"}, "name": "df_t"},
+        {"stage": "join", "input": "tf_t", "right": "df_t", "on": ["term"],
+         "broadcast": True},
+        {"stage": "top_k", "partition_by": ["doc_id"],
+         "order_by": ["tf DESC", "df", "term"], "k": 3, "keep_rank": True},
+    ])
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality signals per document: token count,
     type-token ratio, duplicate-3-gram fraction, top-word share — the
@@ -1285,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_srp_ann": q_srp_ann,
         "q_ivf_ann": q_ivf_ann,
         "q_multimodal_features": q_multimodal_features,
+        "q_window_range_frame": q_window_range_frame,
+        "q_top_terms_per_doc": q_top_terms_per_doc,
         "q_repetition_stats": q_repetition_stats,
         "q_hash_sample": q_hash_sample,
         "q_contamination": q_contamination,
@@ -1861,6 +1904,33 @@ def oracle_sql() -> dict[str, str]:
               AND l_suppkey NOT IN
                   (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
             GROUP BY 1, 2, 3
+        """,
+        "q_window_range_frame": """
+            SELECT o_orderkey, o_custkey,
+                   count(*) OVER w AS n_90d,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                        AS DOUBLE) / count(*) OVER w AS avg_90d
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                         RANGE BETWEEN INTERVAL 90 DAY PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "q_top_terms_per_doc": """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t != '')) AS term
+              FROM documents
+            ),
+            tf_t AS (SELECT doc_id, term, count(*) AS tf
+                     FROM terms GROUP BY 1, 2),
+            df_t AS (SELECT term, count(DISTINCT doc_id) AS df
+                     FROM terms GROUP BY 1)
+            SELECT doc_id, term, tf, df,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tf DESC, df, term) AS rn
+            FROM tf_t JOIN df_t USING (term)
+            QUALIFY rn <= 3
         """,
         "q_repetition_stats": """
             WITH toks AS (

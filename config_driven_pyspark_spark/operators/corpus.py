@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from config_driven_pyspark_spark.functions import text as TX
-from config_driven_pyspark_spark.operators.dedup import _spread
+from config_driven_pyspark_spark.operators.dedup import _materialize, _spread
 
 
 def word_ngrams_all(toks, n: int):
@@ -50,8 +50,12 @@ def repetition_stats(
     explodes tokens and aggregates (id, token) — one shuffle with map-side
     partial counts; token arrays never cross the wire, only 8-byte counts.
     """
-    base = _spread(df).select(
-        F.col(id_col).alias("id"), TX.tokens(F.lower(F.col(text_col))).alias("w")
+    # materialized: the token array feeds both the ratio projection and the
+    # top-word explode — without it each branch re-scans and re-tokenizes
+    base = _materialize(
+        _spread(df).select(
+            F.col(id_col).alias("id"), TX.tokens(F.lower(F.col(text_col))).alias("w")
+        )
     )
     arr = base.select(
         "id",
