@@ -1175,6 +1175,30 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_nested_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested drop-select (the extension the reference sketches at
+    README.md:98-102 but never implements): build a nested struct, drop a
+    deep field by path, and prove the shape via the remaining JSON keys.
+    Zero-shuffle narrow Project."""
+    return _run(spark, [
+        *_events_stages(sf_dir),
+        {"stage": "with_columns",
+         "columns": {"info": "named_struct('etype', event_type, "
+                             "'vals', named_struct('v', value, 'junk', props), "
+                             "'uid', user_id)"}},
+        {"stage": "drop",
+         "columns": ["info.vals.junk", "event_type", "value", "user_id",
+                     "props", "ts"]},
+        {"stage": "select",
+         "columns": ["event_id",
+                     {"expr": "info.etype", "alias": "etype"},
+                     {"expr": "info.vals.v", "alias": "v"},
+                     {"expr": "info.uid", "alias": "uid"},
+                     {"expr": "json_object_keys(to_json(info.vals))",
+                      "alias": "vals_keys"}]},
+    ])
+
+
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range window frame: each order's count and average order value
     over the same customer's trailing 90 days (RANGE BETWEEN INTERVAL —
@@ -1326,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_srp_ann": q_srp_ann,
         "q_ivf_ann": q_ivf_ann,
         "q_multimodal_features": q_multimodal_features,
+        "q_nested_drop_events": q_nested_drop_events,
         "q_window_range_frame": q_window_range_frame,
         "q_top_terms_per_doc": q_top_terms_per_doc,
         "q_repetition_stats": q_repetition_stats,
@@ -1904,6 +1929,11 @@ def oracle_sql() -> dict[str, str]:
               AND l_suppkey NOT IN
                   (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
             GROUP BY 1, 2, 3
+        """,
+        "q_nested_drop_events": """
+            SELECT event_id, event_type AS etype, value AS v,
+                   user_id AS uid, ['v'] AS vals_keys
+            FROM events
         """,
         "q_window_range_frame": """
             SELECT o_orderkey, o_custkey,

@@ -74,6 +74,13 @@ def stage_with_columns(df: DataFrame, spec: dict) -> DataFrame:
 
 
 def stage_drop(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "drop", "columns": [...]}`` — plain column drops, or
+    nested struct-field drops for dotted paths (``a.b.c`` case-insensitive,
+    array/map levels implicit — see ``transform.drop_nested``)."""
+    if any("." in c for c in spec["columns"]):
+        from config_driven_pyspark_spark.operators.transform import drop_nested
+
+        return drop_nested(df, spec["columns"])
     return df.drop(*spec["columns"])
 
 
