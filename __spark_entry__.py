@@ -1175,6 +1175,21 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_pandas_udf_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True serialized-Python UDF through the ``udf`` stage: Arrow-batched
+    pandas Series in/out (the deliberate slow path for logic Column exprs
+    can't express — here a trivial affine map so the DuckDB oracle is exact:
+    double multiply/add is IEEE-identical in pandas and SQL)."""
+    p = Pipeline.from_config([
+        *_events_stages(sf_dir),
+        {"stage": "udf", "fn": "affine", "args": ["value"],
+         "alias": "value_affine"},
+        {"stage": "select", "columns": ["event_id", "value", "value_affine"]},
+    ])
+    p.register_udf("affine", lambda s: s * 2.0 + 1.0, "double")
+    return p.run(spark)
+
+
 def q_nested_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested drop-select (the extension the reference sketches at
     README.md:98-102 but never implements): build a nested struct, drop a
@@ -1350,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_srp_ann": q_srp_ann,
         "q_ivf_ann": q_ivf_ann,
         "q_multimodal_features": q_multimodal_features,
+        "q_pandas_udf_affine": q_pandas_udf_affine,
         "q_nested_drop_events": q_nested_drop_events,
         "q_window_range_frame": q_window_range_frame,
         "q_top_terms_per_doc": q_top_terms_per_doc,
@@ -1929,6 +1945,10 @@ def oracle_sql() -> dict[str, str]:
               AND l_suppkey NOT IN
                   (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
             GROUP BY 1, 2, 3
+        """,
+        "q_pandas_udf_affine": """
+            SELECT event_id, value, value * 2.0 + 1.0 AS value_affine
+            FROM events
         """,
         "q_nested_drop_events": """
             SELECT event_id, event_type AS etype, value AS v,

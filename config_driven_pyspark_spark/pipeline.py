@@ -130,6 +130,7 @@ class Pipeline:
     ) -> None:
         self.stages = stages
         self.registry = registry or FunctionRegistry()
+        self.udfs: dict[str, Any] = {}
 
     # -- constructors ------------------------------------------------------
 
@@ -146,6 +147,17 @@ class Pipeline:
 
     def register_function(self, name: str, func: Union[Column, DfFunction]) -> None:
         self.registry.register(name, func)
+
+    def register_udf(self, name: str, func: Any, returns: str) -> "Pipeline":
+        """Register a true (serialized-Python) UDF for the ``udf`` stage,
+        Arrow-batched via ``pandas_udf``: ``func`` takes/returns pandas
+        Series. This is the slow path by design — prefer ``register_function``
+        (Column builders, JVM-side) wherever the logic is expressible; use
+        this only when it genuinely isn't. The return type is explicit
+        because inferred annotations break under
+        ``from __future__ import annotations`` (stringified hints)."""
+        self.udfs[name] = F.pandas_udf(func, returnType=returns)
+        return self
 
     # -- execution ---------------------------------------------------------
 
@@ -175,7 +187,7 @@ class Pipeline:
             "distinct", "union", "intersect", "except", "repartition",
             "sample", "persist",
             "top_k", "dedup", "similarity", "text", "multimodal", "corpus",
-            "sink",
+            "udf", "sink",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "range_join",
         }
@@ -267,6 +279,16 @@ class Pipeline:
             from config_driven_pyspark_spark.operators.corpus import stage_corpus
 
             return stage_corpus(df, spec, ctx)
+        if kind == "udf":
+            # {"stage": "udf", "fn": name, "args": [cols/exprs], "alias": out}
+            if spec["fn"] not in self.udfs:
+                raise ValueError(
+                    f"Unknown UDF {spec['fn']!r}; register it with "
+                    f"Pipeline.register_udf(name, func, returns)"
+                )
+            fn = self.udfs[spec["fn"]]
+            args = [F.expr(a) for a in spec.get("args", [])]
+            return df.withColumn(spec["alias"], fn(*args))
         if kind in (
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink",
