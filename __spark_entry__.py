@@ -1190,6 +1190,28 @@ def q_pandas_udf_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.run(spark)
 
 
+def q_grouped_map_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF (UDAF-shaped) through ``applyInPandas``: each user's
+    2 earliest events with a per-group sequence number — integer/timestamp
+    ordering only, so the window-function oracle is exact. One shuffle on
+    user_id, Arrow-batched per-group pandas."""
+    def first_two(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"]).head(2)
+        return pdf.assign(rn=range(1, len(pdf) + 1))[
+            ["user_id", "event_id", "ts", "rn"]
+        ]
+
+    p = Pipeline.from_config([
+        *_events_stages(sf_dir),
+        {"stage": "grouped_map", "group_by": ["user_id"], "fn": "first_two"},
+    ])
+    p.register_grouped_udf(
+        "first_two", first_two,
+        "user_id bigint, event_id bigint, ts timestamp, rn bigint",
+    )
+    return p.run(spark)
+
+
 def q_nested_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested drop-select (the extension the reference sketches at
     README.md:98-102 but never implements): build a nested struct, drop a
@@ -1366,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": q_ivf_ann,
         "q_multimodal_features": q_multimodal_features,
         "q_pandas_udf_affine": q_pandas_udf_affine,
+        "q_grouped_map_first_events": q_grouped_map_first_events,
         "q_nested_drop_events": q_nested_drop_events,
         "q_window_range_frame": q_window_range_frame,
         "q_top_terms_per_doc": q_top_terms_per_doc,
@@ -1949,6 +1972,14 @@ def oracle_sql() -> dict[str, str]:
         "q_pandas_udf_affine": """
             SELECT event_id, value, value * 2.0 + 1.0 AS value_affine
             FROM events
+        """,
+        "q_grouped_map_first_events": """
+            SELECT user_id, event_id, ts, rn FROM (
+              SELECT user_id, event_id, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn <= 2
         """,
         "q_nested_drop_events": """
             SELECT event_id, event_type AS etype, value AS v,

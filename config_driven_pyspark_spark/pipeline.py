@@ -131,6 +131,7 @@ class Pipeline:
         self.stages = stages
         self.registry = registry or FunctionRegistry()
         self.udfs: dict[str, Any] = {}
+        self.grouped_udfs: dict[str, tuple[Any, str]] = {}
 
     # -- constructors ------------------------------------------------------
 
@@ -157,6 +158,16 @@ class Pipeline:
         because inferred annotations break under
         ``from __future__ import annotations`` (stringified hints)."""
         self.udfs[name] = F.pandas_udf(func, returnType=returns)
+        return self
+
+    def register_grouped_udf(self, name: str, func: Any, schema: str) -> "Pipeline":
+        """Register a grouped-map UDF (UDAF-shaped) for the ``grouped_map``
+        stage: ``func`` takes one pandas DataFrame per group and returns a
+        pandas DataFrame matching ``schema``. Runs via ``applyInPandas`` —
+        one shuffle on the group keys, Arrow-batched; per-group state is
+        bounded by the largest group, so salt or pre-aggregate skewed keys
+        before this stage at scale."""
+        self.grouped_udfs[name] = (func, schema)
         return self
 
     # -- execution ---------------------------------------------------------
@@ -187,7 +198,7 @@ class Pipeline:
             "distinct", "union", "intersect", "except", "repartition",
             "sample", "persist",
             "top_k", "dedup", "similarity", "text", "multimodal", "corpus",
-            "udf", "sink",
+            "udf", "grouped_map", "sink",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "range_join",
         }
@@ -289,6 +300,15 @@ class Pipeline:
             fn = self.udfs[spec["fn"]]
             args = [F.expr(a) for a in spec.get("args", [])]
             return df.withColumn(spec["alias"], fn(*args))
+        if kind == "grouped_map":
+            # {"stage": "grouped_map", "group_by": [...], "fn": name}
+            if spec["fn"] not in self.grouped_udfs:
+                raise ValueError(
+                    f"Unknown grouped UDF {spec['fn']!r}; register it with "
+                    f"Pipeline.register_grouped_udf(name, func, schema)"
+                )
+            gfn, gschema = self.grouped_udfs[spec["fn"]]
+            return df.groupBy(*spec["group_by"]).applyInPandas(gfn, gschema)
         if kind in (
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink",

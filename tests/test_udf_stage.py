@@ -44,3 +44,32 @@ def test_udf_stage_unregistered_errors(spark):
     ])
     with pytest.raises(ValueError, match="Unknown UDF"):
         p.run(spark)
+
+
+def test_grouped_map_stage(spark):
+    rows = [{"g": g, "v": v} for g in (1, 2) for v in (5, 3, 9, 1)]
+    df = to_df(spark, rows)
+    df.createOrReplaceTempView("t_gm_in")
+
+    def min_two(pdf):
+        pdf = pdf.sort_values("v").head(2)
+        return pdf.assign(rn=range(1, len(pdf) + 1))[["g", "v", "rn"]]
+
+    p = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_gm_in"},
+        {"stage": "grouped_map", "group_by": ["g"], "fn": "min_two"},
+    ])
+    p.register_grouped_udf("min_two", min_two, "g bigint, v bigint, rn bigint")
+    got = sorted((r["g"], r["v"], r["rn"]) for r in p.run(spark).collect())
+    assert got == [(1, 1, 1), (1, 3, 2), (2, 1, 1), (2, 3, 2)]
+
+
+def test_grouped_map_unregistered_errors(spark):
+    df = to_df(spark, [{"g": 1, "v": 1}])
+    df.createOrReplaceTempView("t_gm_in2")
+    p = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_gm_in2"},
+        {"stage": "grouped_map", "group_by": ["g"], "fn": "ghost"},
+    ])
+    with pytest.raises(ValueError, match="Unknown grouped UDF"):
+        p.run(spark)
