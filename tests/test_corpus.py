@@ -158,3 +158,16 @@ def test_corpus_stage_unknown_op(spark):
 
     with pytest.raises(ValueError, match="Unknown corpus op"):
         stage_corpus(df, {"op": "nope"}, None)
+
+
+def test_corpus_ops_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world hello"), (2, None), (3, "")], "id long, text string"
+    )
+    rep = {r["id"]: r for r in C.repetition_stats(df, "id").collect()}
+    assert rep[2]["n_tokens"] is None          # null text → null counts, no crash
+    assert rep[3]["n_tokens"] == 0
+    assert rep[3]["top_word_frac"] == 0.0
+    # chunking skips docs with no tokens; sampling keys on id so null text kept
+    assert C.chunk_documents(df, "id", chunk_size=2).select("id").distinct().count() == 1
+    assert C.hash_sample(df, "id", rate=1.0).count() == 3
