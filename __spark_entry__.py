@@ -1175,6 +1175,19 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_sql_stage_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL escape hatch: the ``sql`` stage registers earlier named
+    frames as temp views and runs arbitrary Spark SQL — here a decimal-
+    exact revenue rollup by order status."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "sql", "views": {"o": "orders"},
+         "query": "SELECT o_orderstatus, count(*) AS n, "
+                  f"{SUM_TOTALPRICE} AS total "
+                  "FROM o GROUP BY o_orderstatus"},
+    ])
+
+
 def q_pandas_udf_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True serialized-Python UDF through the ``udf`` stage: Arrow-batched
     pandas Series in/out (the deliberate slow path for logic Column exprs
@@ -1387,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_srp_ann": q_srp_ann,
         "q_ivf_ann": q_ivf_ann,
         "q_multimodal_features": q_multimodal_features,
+        "q_sql_stage_status_revenue": q_sql_stage_status_revenue,
         "q_pandas_udf_affine": q_pandas_udf_affine,
         "q_grouped_map_first_events": q_grouped_map_first_events,
         "q_nested_drop_events": q_nested_drop_events,
@@ -1968,6 +1982,10 @@ def oracle_sql() -> dict[str, str]:
               AND l_suppkey NOT IN
                   (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
             GROUP BY 1, 2, 3
+        """,
+        "q_sql_stage_status_revenue": f"""
+            SELECT o_orderstatus, count(*) AS n, {SUM_TOTALPRICE} AS total
+            FROM orders GROUP BY o_orderstatus
         """,
         "q_pandas_udf_affine": """
             SELECT event_id, value, value * 2.0 + 1.0 AS value_affine
