@@ -1003,9 +1003,16 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs at cosine ≥ 0.30 (brute force)."""
+    """Embedding near-duplicate pairs at cosine ≥ 0.30 on the SRP-bucketed
+    scale path: pairs must share an 8-bit random-hyperplane bucket before
+    being scored, so the plan is an equi-join on the bucket id — never a
+    cartesian product. The oracle regenerates the identical seeded planes
+    (``D.srp_planes``) as SQL literals, so the approximate result is still
+    exactly reproducible."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return D.embedding_pairs(emb, "vec_id", "embedding", threshold=0.30)
+    return D.embedding_pairs(
+        emb, "vec_id", "embedding", threshold=0.30, lsh_bits=8, dim=64
+    )
 
 
 # -- rows-only (no SQL oracle): LSH/banding/sketch/multimodal ---------------
@@ -1446,6 +1453,18 @@ unitv AS (
   FROM v
 )
 """
+
+# SRP bucket id replicating D.embedding_pairs(lsh_bits=8, seed=42, dim=64):
+# the seeded plane generator is shared with the Spark path, inlined here as
+# full-precision DOUBLE literals; plane i contributes bit 2^(bits-1-i),
+# matching hyperplane_signature's sig = sig*2 + bit fold order.
+_SRP_BUCKET_SQL = " + ".join(
+    "(CASE WHEN list_dot_product(u, [{vals}]::DOUBLE[]) >= 0 "
+    "THEN {weight} ELSE 0 END)".format(
+        vals=",".join(repr(x) for x in plane), weight=1 << (8 - 1 - i)
+    )
+    for i, plane in enumerate(D.srp_planes(dim=64, bits=8, seed=42))
+)
 
 _LANG_HITS = {
     "en": "('the','and','of','to','a')",
@@ -1932,10 +1951,14 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 10
             ) WHERE rank <= 5
         """,
-        "q_embedding_dups": _COSINE_CTE + """
+        "q_embedding_dups": _COSINE_CTE + f"""
+            , bucketed AS (
+              SELECT vec_id, u, {_SRP_BUCKET_SQL} AS bucket FROM unitv
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(a.u, b.u), 6) AS cosine
-            FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.u, b.u), 6) >= 0.30
         """,
         "q08_market_share": f"""

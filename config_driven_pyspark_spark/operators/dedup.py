@@ -41,16 +41,29 @@ from config_driven_pyspark_spark.functions import vectors as V
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's default parallelism when the input
-    arrives in fewer partitions (e.g. one small parquet file → 1 partition).
+    """Repartition up to the session's shuffle parallelism when the input
+    arrives from fewer files than that (e.g. one small parquet file → 1
+    scan partition).
 
     The signature/shingle expressions below are CPU-heavy per row; on a
     under-partitioned input they'd run on a handful of cores. At real scale
-    inputs already exceed default parallelism and this is a no-op — the
-    shuffle only triggers for small/few-file reads, where it's cheap.
+    inputs already span many files/splits and this is a no-op — the shuffle
+    only triggers for small/few-file reads, where it's cheap.
+
+    Deliberately avoids the RDD API (``df.rdd.getNumPartitions``): it is
+    unavailable under Spark Connect and forces a plan conversion. File
+    count via ``inputFiles()`` is a plan-metadata read that works on both
+    classic and Connect sessions; streaming inputs (no file listing, no
+    repartition-before-shuffle need) pass through untouched.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if df.isStreaming:
+        return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans (createDataFrame, views)
+        return df
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -414,35 +427,57 @@ def simhash_pairs(
     )
 
 
+def srp_planes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic random-hyperplane set for SRP-LSH — seeded so an
+    external oracle can regenerate the identical planes and replicate the
+    bucketing bit-for-bit."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
+
+
 def embedding_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    lsh_bits: int = 0,
+    lsh_bits: int = 8,
     seed: int = 42,
+    dim: int | None = None,
+    allow_brute_force: bool = False,
 ) -> DataFrame:
     """Cosine ≥ threshold pairs over a vector column.
 
-    ``lsh_bits=0`` → brute-force all-pairs (baseline; only for small/sampled
-    corpora). ``lsh_bits>0`` → SRP-LSH: pairs must share a ``lsh_bits``-bit
-    random-hyperplane bucket first (the scale path — near-identical vectors
-    collide with prob ≈ (1−θ/π)^bits).
+    Default (``lsh_bits>0``) is SRP-LSH: pairs must share a ``lsh_bits``-bit
+    random-hyperplane bucket before being scored — the scale path;
+    near-identical vectors collide with prob ≈ (1−θ/π)^bits, and identical
+    vectors always do. ``lsh_bits=0`` is brute-force all-pairs — an O(n²)
+    cartesian plan that is never acceptable by accident at scale, so it
+    additionally requires ``allow_brute_force=True`` (exact baseline for
+    small/sampled corpora only).
+
+    ``dim`` (vector length) is needed to draw the hyperplanes; when omitted
+    it is probed with a single-row driver action. An empty input yields an
+    empty pair frame rather than an error.
     """
+    if lsh_bits <= 0 and not allow_brute_force:
+        raise ValueError(
+            "embedding_pairs with lsh_bits=0 builds an all-pairs cartesian "
+            "plan (O(n²)) — pass allow_brute_force=True to opt in for a "
+            "small corpus, or keep lsh_bits > 0 for the SRP-bucketed path"
+        )
     base = _materialize(
         df.select(F.col(id_col).alias("id"), V.unit_normalize(F.col(vec_col)).alias("v"))
     )
     if lsh_bits > 0:
-        dim = len(df.select(vec_col).first()[0])
-        rng = random.Random(seed)
-        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(lsh_bits)]
+        if dim is None:
+            row = df.select(vec_col).first()
+            # empty input: any plane set works — the join below yields no rows
+            dim = len(row[0]) if row is not None and row[0] is not None else 1
+        planes = srp_planes(dim, lsh_bits, seed)
         base = base.withColumn("bucket", V.hyperplane_signature(F.col("v"), planes))
-        join_on = ["bucket"]
-        a, b = base.alias("x"), base.alias("y")
-        joined = a.join(b, on=join_on)
+        joined = base.alias("x").join(base.alias("y"), on=["bucket"])
     else:
-        a, b = base.alias("x"), base.alias("y")
-        joined = a.crossJoin(b)
+        joined = base.alias("x").crossJoin(base.alias("y"))
     return (
         joined.filter(F.col("x.id") < F.col("y.id"))
         .select(
@@ -456,7 +491,17 @@ def embedding_pairs(
 
 def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "dedup", "method": "exact|ngram_jaccard|minhash_lsh|
-    simhash|embedding", "id_col": ..., "output": "dedup"|"pairs", ...}``."""
+    simhash|embedding", "id_col": ..., "output": "dedup"|"pairs"|"clusters",
+    ...}``.
+
+    ``output: "pairs"`` always carries a method-agnostic ``score`` double in
+    [0, 1] (higher = more similar) so downstream config stages can consume
+    any method's pairs uniformly: exact → 1.0, ngram/minhash → ``jaccard``,
+    embedding → ``cosine``, simhash → ``1 − hamming/64``. The
+    method-specific column (``jaccard``/``cosine``/``hamming``) is kept
+    alongside. Unverified minhash (``verify: false``) emits candidates with
+    no similarity value — its ``score`` is null.
+    """
     method = spec.get("method", "exact")
     id_col = spec.get("id_col", "id")
     out = spec.get("output", "dedup")
@@ -491,14 +536,24 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
     elif method == "embedding":
         pairs = embedding_pairs(
             df, id_col, spec.get("column", "embedding"),
-            float(spec.get("threshold", 0.95)), int(spec.get("lsh_bits", 0)),
-            int(spec.get("seed", 42)),
+            float(spec.get("threshold", 0.95)), int(spec.get("lsh_bits", 8)),
+            int(spec.get("seed", 42)), spec.get("dim"),
+            bool(spec.get("allow_brute_force", False)),
         )
     else:
         raise ValueError(f"Unknown dedup method {method!r}")
 
     if out == "pairs":
-        return pairs
+        # method-agnostic similarity score (see docstring)
+        if "jaccard" in pairs.columns:
+            score = F.col("jaccard").cast("double")
+        elif "cosine" in pairs.columns:
+            score = F.col("cosine").cast("double")
+        elif "hamming" in pairs.columns:
+            score = 1.0 - F.col("hamming") / F.lit(64.0)
+        else:  # unverified candidates: no similarity value
+            score = F.lit(None).cast("double")
+        return pairs.withColumn("score", score)
     if out == "clusters":
         return _pairs_to_clusters(df, pairs, id_col)
     return _pairs_to_dedup(df, pairs, id_col)

@@ -60,6 +60,14 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_on = right_on or on
     by = list(by)
+    if right_on in by:
+        # the right payload struct excludes `by` keys, so the tolerance path
+        # could not read the match time back — refuse up front with a clear
+        # message instead of an unresolved-field analysis error later
+        raise ValueError(
+            f"asof_join right_on {right_on!r} cannot also be a `by` key; "
+            "join on a separate time column"
+        )
     if not by:
         _logger.warning(
             "asof_join with no `by` keys sorts ALL rows in one window "

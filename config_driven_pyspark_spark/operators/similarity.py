@@ -24,7 +24,6 @@ precision — whole-stage codegen applies.
 
 from __future__ import annotations
 
-import random
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -97,9 +96,12 @@ def srp_lsh_topk(
     wanting guaranteed k should fall back to brute force for those ids.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
+        row = corpus.select(vec_col).first()
+        # empty corpus: any plane set works — the bucket join yields no rows
+        dim = len(row[0]) if row is not None and row[0] is not None else 1
+    from config_driven_pyspark_spark.operators.dedup import srp_planes
+
+    planes = srp_planes(dim, bits, seed)
 
     def prep(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         v = V.unit_normalize(F.col(vec_col))

@@ -111,3 +111,20 @@ def test_sink_default_mode_errors_on_existing(spark, tmp_path):
     Pipeline.from_config(cfg).run(spark)
     with pytest.raises(Exception):  # default mode=error protects outputs
         Pipeline.from_config(cfg).run(spark)
+
+
+def test_source_spark_confs_are_scoped(spark):
+    """A source stage's spark_confs must not leak into the session: the conf
+    is applied for the read (schema resolution sees it) and restored after,
+    so later reads in the same session are unaffected."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+    assert prior in (None, "false")  # precondition: not already leaked
+    df = Pipeline.from_config([
+        {"stage": "source", "format": "parquet",
+         "path": "/root/testdata/sf0.001/events.parquet",
+         "spark_confs": {key: "true"}},
+    ]).run(spark)
+    assert dict(df.dtypes)["ts"] == "bigint"  # conf was honored at load
+    assert spark.conf.get(key, None) == prior  # and restored after
+    assert df.count() > 0  # restored conf doesn't break the loaded frame

@@ -157,3 +157,8 @@ def test_range_join_with_by_keys(spark):
     out = range_join(pts, ivs, point="x", lower="lo", upper="hi",
                      by=["grp"], bucket_width=10.0)
     assert rows(out, "grp", "x") == [("u1", 5.0)]
+
+
+def test_asof_right_on_in_by_rejected(spark, trades, quotes):
+    with pytest.raises(ValueError, match="cannot also be a `by` key"):
+        asof_join(trades, quotes, on="t", by=["sym", "t"], right_on="t")

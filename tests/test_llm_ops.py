@@ -189,10 +189,42 @@ def test_embedding_pairs_brute_force(spark, embeddings):
         (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
     )
     df = embeddings.limit(50).unionByName(dup)
+    pairs = D.embedding_pairs(
+        df, "vec_id", "embedding", threshold=0.999, lsh_bits=0,
+        allow_brute_force=True,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    first_id = embeddings.first()["vec_id"]
+    assert (first_id, first_id + 10_000) in got
+
+
+def test_embedding_pairs_default_is_bucketed(spark, embeddings):
+    """The default path is SRP-bucketed (no cartesian plan); identical
+    vectors always share every hyperplane sign, so exact dups survive."""
+    dup = embeddings.limit(1).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    df = embeddings.limit(50).unionByName(dup)
     pairs = D.embedding_pairs(df, "vec_id", "embedding", threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     first_id = embeddings.first()["vec_id"]
     assert (first_id, first_id + 10_000) in got
+    # and the physical plan must not contain a cartesian/nested-loop join
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_pairs_brute_force_requires_opt_in(spark, embeddings):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="allow_brute_force"):
+        D.embedding_pairs(embeddings, "vec_id", "embedding", lsh_bits=0)
+
+
+def test_embedding_pairs_empty_input(spark, embeddings):
+    empty = embeddings.filter(F.col("vec_id") < 0)
+    assert D.embedding_pairs(empty, "vec_id", "embedding").count() == 0
 
 
 # -- similarity --------------------------------------------------------------
