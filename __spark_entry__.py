@@ -1232,6 +1232,38 @@ def q_grouped_map_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.run(spark)
 
 
+def q_flat_map_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped flat-map through the ``flat_map`` stage (``mapInPandas``):
+    one output row per whitespace token with its 1-based position — 0..n
+    rows per input row under a declared schema, Arrow-batched. Filter runs
+    BEFORE the flat-map so the scan is pruned (predicates don't push through
+    opaque Python). Oracle parity: Python ``str.split()`` ≡ DuckDB
+    regexp-split on ``\\s+`` with empties dropped."""
+    def explode_tokens(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, pos, toks = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").split()
+                ids.extend([doc_id] * len(words))
+                pos.extend(range(1, len(words) + 1))
+                toks.extend(words)
+            yield pd.DataFrame({"doc_id": ids, "pos": pos, "token": toks})
+
+    p = Pipeline.from_config([
+        {"stage": "source", "format": "parquet",
+         "path": f"{sf_dir}/documents.parquet"},
+        {"stage": "filter", "predicate": "doc_id < 100"},
+        {"stage": "select", "columns": ["doc_id", "text"]},
+        {"stage": "flat_map", "fn": "tokens"},
+    ])
+    p.register_flat_map(
+        "tokens", explode_tokens, "doc_id bigint, pos bigint, token string"
+    )
+    return p.run(spark)
+
+
 def q_nested_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested drop-select (the extension the reference sketches at
     README.md:98-102 but never implements): build a nested struct, drop a
@@ -1410,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_stage_status_revenue": q_sql_stage_status_revenue,
         "q_pandas_udf_affine": q_pandas_udf_affine,
         "q_grouped_map_first_events": q_grouped_map_first_events,
+        "q_flat_map_tokens": q_flat_map_tokens,
         "q_nested_drop_events": q_nested_drop_events,
         "q_window_range_frame": q_window_range_frame,
         "q_top_terms_per_doc": q_top_terms_per_doc,
@@ -2021,6 +2054,17 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts, event_id) AS rn
               FROM events
             ) WHERE rn <= 2
+        """,
+        "q_flat_map_tokens": r"""
+            SELECT doc_id,
+                   unnest(generate_series(1, len(toks))) AS pos,
+                   unnest(toks) AS token
+            FROM (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents WHERE doc_id < 100
+            )
         """,
         "q_nested_drop_events": """
             SELECT event_id, event_type AS etype, value AS v,

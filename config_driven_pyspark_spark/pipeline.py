@@ -132,6 +132,7 @@ class Pipeline:
         self.registry = registry or FunctionRegistry()
         self.udfs: dict[str, Any] = {}
         self.grouped_udfs: dict[str, tuple[Any, str]] = {}
+        self.flat_maps: dict[str, tuple[Any, str]] = {}
 
     # -- constructors ------------------------------------------------------
 
@@ -170,6 +171,18 @@ class Pipeline:
         self.grouped_udfs[name] = (func, schema)
         return self
 
+    def register_flat_map(self, name: str, func: Any, schema: str) -> "Pipeline":
+        """Register a UDTF-shaped flat-map for the ``flat_map`` stage:
+        ``func`` is an iterator-of-pandas-DataFrames transform (each input
+        batch → zero or more output DataFrames matching ``schema``), run via
+        ``mapInPandas`` — Arrow-batched, zero shuffle, 0..n output rows per
+        input row. This completes the UDF family (scalar ``udf``, grouped
+        ``grouped_map``, flat-map ``flat_map``); like the others it is the
+        deliberate Python path — prefer ``explode``/built-in generators when
+        the expansion is Column-expressible."""
+        self.flat_maps[name] = (func, schema)
+        return self
+
     # -- execution ---------------------------------------------------------
 
     def run(
@@ -198,7 +211,7 @@ class Pipeline:
             "distinct", "union", "intersect", "except", "repartition",
             "sample", "persist",
             "top_k", "dedup", "similarity", "text", "multimodal", "corpus",
-            "udf", "grouped_map", "sink",
+            "udf", "grouped_map", "flat_map", "sink",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "range_join",
         }
@@ -309,6 +322,15 @@ class Pipeline:
                 )
             gfn, gschema = self.grouped_udfs[spec["fn"]]
             return df.groupBy(*spec["group_by"]).applyInPandas(gfn, gschema)
+        if kind == "flat_map":
+            # {"stage": "flat_map", "fn": name}
+            if spec["fn"] not in self.flat_maps:
+                raise ValueError(
+                    f"Unknown flat-map {spec['fn']!r}; register it with "
+                    f"Pipeline.register_flat_map(name, func, schema)"
+                )
+            ffn, fschema = self.flat_maps[spec["fn"]]
+            return df.mapInPandas(ffn, fschema)
         if kind in (
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink",

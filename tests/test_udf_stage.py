@@ -73,3 +73,45 @@ def test_grouped_map_unregistered_errors(spark):
     ])
     with pytest.raises(ValueError, match="Unknown grouped UDF"):
         p.run(spark)
+
+
+def test_flat_map_stage_expands_and_contracts(spark):
+    """A flat-map may emit 0..n rows per input row: 'a b' → 2 token rows,
+    '' → none; output schema is the declared one, not the input's."""
+    rows = [{"doc_id": 1, "text": "a b"}, {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "c"}]
+    df = to_df(spark, rows)
+    df.createOrReplaceTempView("t_fm_in")
+
+    def toks(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, pos, out = [], [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                words = (t or "").split()
+                ids.extend([i] * len(words))
+                pos.extend(range(1, len(words) + 1))
+                out.extend(words)
+            yield pd.DataFrame({"doc_id": ids, "pos": pos, "token": out})
+
+    p = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_fm_in"},
+        {"stage": "flat_map", "fn": "toks"},
+    ])
+    p.register_flat_map("toks", toks, "doc_id bigint, pos bigint, token string")
+    out = p.run(spark)
+    assert out.columns == ["doc_id", "pos", "token"]
+    got = sorted((r["doc_id"], r["pos"], r["token"]) for r in out.collect())
+    assert got == [(1, 1, "a"), (1, 2, "b"), (3, 1, "c")]
+
+
+def test_flat_map_unregistered_errors(spark):
+    df = to_df(spark, [{"a": 1}])
+    df.createOrReplaceTempView("t_fm_in2")
+    p = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_fm_in2"},
+        {"stage": "flat_map", "fn": "ghost"},
+    ])
+    with pytest.raises(ValueError, match="Unknown flat-map"):
+        p.run(spark)
