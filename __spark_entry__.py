@@ -26,6 +26,7 @@ from config_driven_pyspark_spark.functions import text as TX
 from config_driven_pyspark_spark.operators import dedup as D
 from config_driven_pyspark_spark.operators import similarity as SIM
 from config_driven_pyspark_spark.operators import multimodal as MM
+from config_driven_pyspark_spark.sources.readers import stage_source
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments — used verbatim in BOTH the Spark plan and the DuckDB
@@ -887,8 +888,10 @@ def q_nested_transform_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, transform nested fields via the config-driven nested engine
     (upper/trim on struct members, element-wise array math), then project
     back to flat columns so DuckDB can verify values."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = stage_source(spark, {
+        "format": "parquet", "path": f"{sf_dir}/events.parquet",
+        "spark_confs": {"spark.sql.legacy.parquet.nanosAsLong": "true"},
+    })
     nested = events.select(
         "event_id",
         F.struct(
