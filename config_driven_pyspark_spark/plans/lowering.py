@@ -47,23 +47,34 @@ def _apply_at_value(ctx: Column, node: PathNode) -> Column:
     return ctx
 
 
-def _wrap_levels(ctx: Column, wrappers: tuple[str, ...], node: PathNode) -> Column:
+def _wrap_levels(
+    ctx: Column,
+    wrappers: tuple[str, ...],
+    node: PathNode,
+    key_fn=None,
+) -> Column:
     """Wrap the value-level computation in nested ``F.transform`` (array
-    levels) / ``F.transform_values`` (map levels), outermost first."""
+    levels) / ``F.transform_values`` (map levels), outermost first.
+    ``key_fn`` (the node's ``{keys}`` transform, if any) is consumed at the
+    first map level reached — ``F.transform_keys`` over the
+    already-value-rewritten map — and not propagated further down."""
     if not wrappers:
         return _apply_at_value(ctx, node)
     head, rest = wrappers[0], wrappers[1:]
     if head == "a":
-        return F.transform(ctx, lambda element: _wrap_levels(element, rest, node))
-    return F.transform_values(
-        ctx, lambda _key, value: _wrap_levels(value, rest, node)
-    )
+        return F.transform(
+            ctx, lambda element: _wrap_levels(element, rest, node, key_fn)
+        )
+    out = F.transform_values(ctx, lambda _key, value: _wrap_levels(value, rest, node))
+    if key_fn is not None:
+        out = F.transform_keys(out, lambda key, _value: key_fn(key))
+    return out
 
 
 def _lower_node(ctx: Column, node: Optional[PathNode]) -> Column:
     if node is None:
         return ctx
-    return _wrap_levels(ctx, node.wrappers, node)
+    return _wrap_levels(ctx, node.wrappers, node, node.key_function)
 
 
 def lower_root(ctx: Column, node: Optional[PathNode]) -> Column:

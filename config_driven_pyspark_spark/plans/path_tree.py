@@ -44,6 +44,9 @@ class PathNode:
     wrappers: tuple[str, ...] = ()
     function: Optional[DfFunction] = None
     children: dict[str, "PathNode"] = field(default_factory=dict)
+    # function applied to this node's map KEYS (the `{keys}` path token);
+    # lowered with F.transform_keys at the node's first map wrapper level
+    key_function: Optional[DfFunction] = None
 
     def child(self, name: str) -> Optional["PathNode"]:
         """Case-insensitive child lookup."""
@@ -73,6 +76,43 @@ def resolve_tokens(config_path: str, flat_schema: list[str]) -> Optional[str]:
     return None
 
 
+KEY_TOKEN = "{keys}"
+
+
+def _add_key_function(
+    root: PathNode, config_path: str, fn: DfFunction, flat_schema: list[str]
+) -> None:
+    """Attach a map-KEY transform: path ``some.map.{keys}`` applies ``fn``
+    to the keys of the map at ``some.map`` (which must resolve to a
+    map-typed node — its schema segment carries a ``{}`` token). For nested
+    containers the rewrite binds to the node's FIRST map level in wrapper
+    order: ``array<map<..>>`` rewrites each element map's keys,
+    ``map<map<..>>`` the outer map's keys (inner-map keys are not
+    addressable — extend the token if ever needed). Repeat-adds compose via
+    the transformer's per-path composition, exactly like value paths."""
+    parent_path = config_path.rsplit(".", 1)[0]
+    if parent_path == config_path:  # bare "{keys}" with no map path
+        raise ValueError(f"{KEY_TOKEN} requires a map path before it: {config_path!r}")
+    parent_tokens = resolve_tokens(parent_path, flat_schema)
+    if parent_tokens is None:
+        raise ValueError(f"Map path {parent_path!r} for {KEY_TOKEN} not found in input schema")
+    segments = parent_tokens.split(".")
+    if "m" not in wrappers_of(segments[-1]):
+        raise ValueError(
+            f"{KEY_TOKEN} target {parent_path!r} is not map-typed "
+            f"(resolved segment {segments[-1]!r} has no map level)"
+        )
+    current = root
+    for segment in segments:
+        node = current.child(strip_brackets(segment))
+        if node is None:
+            node = current.put_child(
+                PathNode(strip_brackets(segment), wrappers_of(segment))
+            )
+        current = node
+    current.key_function = fn
+
+
 def build_path_tree(
     functions: dict[str, DfFunction], flat_schema: list[str]
 ) -> PathNode:
@@ -89,6 +129,9 @@ def build_path_tree(
     root = PathNode("<root>")
 
     for config_path, fn in functions.items():
+        if config_path.split(".")[-1] == KEY_TOKEN:
+            _add_key_function(root, config_path, fn, flat_schema)
+            continue
         tokens = resolve_tokens(config_path, flat_schema)
         if tokens is None:
             _logger.warning(

@@ -13,9 +13,11 @@ carries a ``{}`` token per map level and paths continue into the map's
 *value* type, lowered with ``F.transform_values`` (SURVEY.md §1.2
 parity-plus). Wrapper tokens are ordered — ``array<map<...>>`` flattens to
 ``seg[]{}``, ``map<array<...>>`` to ``seg{}[]`` — because the lowering must
-nest ``transform`` / ``transform_values`` in that order. Map *keys* are not
-addressable by path; transform keys with a whole-map leaf function
-(``lambda m: F.transform_keys(m, ...)``), which leaf opacity supports.
+nest ``transform`` / ``transform_values`` in that order. Map *keys* are
+addressable with the ``{keys}`` path token (``some.map.{keys}`` →
+``F.transform_keys`` at that node's first map level —
+``plans/path_tree.py``); whole-map leaf functions remain available for
+anything fancier.
 """
 
 from __future__ import annotations

@@ -81,3 +81,67 @@ def test_untouched_map_passes_through(spark, map_df):
     out = NestedTransformer().add("id", lambda c: c + 1).apply(map_df).first()
     assert out["tags"] == {"a": " x ", "b": "y"}
     assert out["id"] == 2
+
+
+# -- the {keys} path token ---------------------------------------------------
+
+
+def test_map_keys_token_rewrites_keys(spark, map_df):
+    out = NestedTransformer().add("tags.{keys}", "upper").apply(map_df).first()
+    assert out["tags"] == {"A": " x ", "B": "y"}
+
+
+def test_map_keys_token_composes_with_value_path(spark, map_df):
+    """Key and value transforms on the same map node apply independently."""
+    out = (
+        NestedTransformer()
+        .add("tags", "trim")
+        .add("tags.{keys}", "upper")
+        .apply(map_df)
+        .first()
+    )
+    assert out["tags"] == {"A": "x", "B": "y"}
+
+
+def test_map_keys_token_repeat_add_composes(spark, map_df):
+    out = (
+        NestedTransformer()
+        .add("tags.{keys}", "upper")
+        .add("tags.{keys}", lambda k: F.concat(k, F.lit("!")))
+        .apply(map_df)
+        .first()
+    )
+    assert out["tags"] == {"A!": " x ", "B!": "y"}
+
+
+def test_map_keys_token_through_array_of_maps(spark):
+    df = spark.createDataFrame(
+        [(1, [{"a": 1}, {"b": 2}])],
+        "id bigint, aom array<map<string,int>>",
+    )
+    out = NestedTransformer().add("aom.{keys}", "upper").apply(df).first()
+    assert out["aom"] == [{"A": 1}, {"B": 2}]
+
+
+def test_map_keys_token_on_map_of_structs(spark, map_df):
+    """Keys of a map whose values are structs — value paths continue to work
+    beside the key rewrite."""
+    out = (
+        NestedTransformer()
+        .add("nested.inner", "trim")
+        .add("nested.{keys}", "upper")
+        .apply(map_df)
+        .first()
+    )
+    assert set(out["nested"]) == {"K"}
+    assert out["nested"]["K"]["inner"] == "v"
+
+
+def test_map_keys_token_non_map_raises(spark, map_df):
+    with pytest.raises(ValueError, match="not map-typed"):
+        NestedTransformer().add("id.{keys}", "upper").apply(map_df)
+
+
+def test_map_keys_token_missing_parent_raises(spark, map_df):
+    with pytest.raises(ValueError, match="not found"):
+        NestedTransformer().add("ghost.{keys}", "upper").apply(map_df)
