@@ -1046,13 +1046,16 @@ def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via IVF cells (16 centroids, 4 probes);
+    """Approximate top-5 neighbors via IVF cells (16 spherical-k-means
+    centroids trained on a deterministic bounded sample, 4 probes);
     Arrow-batched numpy centroid assignment, Column-native scoring.
     Rows-only: approximate recall is pinned by tests/test_llm_ops.py
-    (probing all cells reproduces exact brute force)."""
+    (probing all cells reproduces exact brute force; trained centroids beat
+    lowest-id sampling on clustered corpora)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4,
+                        centroids="kmeans")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,6 +56,20 @@ def asof_join(
     Skewed keys are the caveat (same as any groupBy) — AQE skew handling
     applies to the shuffle.
     """
+    if left.isStreaming or right.isStreaming:
+        # honest contract rather than Spark's obscure analysis error: the
+        # union+window formulation orders an unbounded-preceding window per
+        # key, which Structured Streaming cannot execute (unbounded state,
+        # non-time ordering). A streaming as-of needs a bounded lookback by
+        # construction — express it as a watermarked time-interval
+        # stream-stream join (tolerance becomes the interval bound), or use
+        # the `stateful` stage (applyInPandasWithState) for exact last-value
+        # semantics with explicit state eviction.
+        raise NotImplementedError(
+            "asof_join does not support streaming inputs: its union+window "
+            "plan needs an unbounded ordered window. Use a watermarked "
+            "time-interval stream-stream join or the 'stateful' stage."
+        )
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_on = right_on or on
@@ -160,6 +174,13 @@ def range_join(
 
     Scale: plain hash equi-join on (``by``, bucket) — shuffles both sides
     once; never a BroadcastNestedLoopJoin. Exact bounds applied post-join.
+
+    Streaming: because this lowers to a stateless explode + equi-join +
+    filter, a streaming *point* side against a static interval side runs as
+    a standard stream-static join with no extra state (parity pinned by
+    ``tests/test_streaming.py``). Stream-stream use falls under Spark's
+    watermark requirements for stateful joins — supply watermarks on both
+    sides or Spark's analyzer will refuse it.
     """
     if bounds not in ("[)", "[]", "()", "(]"):
         raise ValueError(f"bounds must be one of [) [] () (], got {bounds!r}")

@@ -159,6 +159,71 @@ def _nearest_cells_udf(centroids, nprobe: int):
     return pandas_udf(assign, "array<int>")
 
 
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    method: str = "sample",
+    kmeans_iters: int = 10,
+    sample_rows: int = 20_000,
+    seed: int = 42,
+):
+    """Centroid matrix (n_centroids × dim numpy, unit rows) for IVF.
+
+    ``method="sample"``: the ``n_centroids`` lowest-id corpus vectors —
+    deterministic, training-free, cell-balance-blind.
+    ``method="kmeans"``: spherical k-means (Lloyd) on a deterministic
+    hash-ordered sample of ≤ ``sample_rows`` vectors. The sample is a
+    bounded driver action (the one acceptable collect: training set size is
+    capped regardless of corpus size); assignment/update iterations run as
+    numpy matmuls driver-side, so training cost is O(sample·cells·iters)
+    and independent of the 100 TB corpus. Initialization is the first
+    ``n_centroids`` sample rows; empty cells keep their previous centroid;
+    all centroids stay unit-normalized so dot product = cosine.
+    """
+    import numpy as np
+
+    if method == "sample":
+        cent_rows = (
+            corpus.select(F.col(id_col), V.unit_normalize(F.col(vec_col)).alias("v"))
+            .orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .collect()
+        )
+        return np.array([r["v"] for r in cent_rows], dtype="float64")
+    if method != "kmeans":
+        raise ValueError(f"centroids must be sample|kmeans, got {method!r}")
+
+    # hash-ordered sample: deterministic across partitionings/runs, and
+    # unbiased w.r.t. id locality (unlike lowest-id)
+    rows = (
+        corpus.select(
+            V.unit_normalize(F.col(vec_col)).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype="float64")
+    if len(X) < n_centroids:
+        raise ValueError(
+            f"kmeans training needs >= n_centroids={n_centroids} sample rows, got {len(X)}"
+        )
+    cent = X[:n_centroids].copy()
+    for _ in range(kmeans_iters):
+        assign = (X @ cent.T).argmax(axis=1)  # spherical: max dot = min angle
+        for ci in range(n_centroids):
+            members = X[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[ci] = m / norm
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -168,31 +233,32 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     broadcast_queries: bool = True,
+    centroids: str = "sample",
+    kmeans_iters: int = 10,
+    sample_rows: int = 20_000,
+    seed: int = 42,
 ) -> DataFrame:
     """IVF-flat approximate cosine top-k.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors, unit
-    normalized (deterministic sampled-centroid IVF — no iterative training;
-    at real scale swap in k-means centroids computed offline). Corpus rows
-    land in exactly one cell; queries fan out to ``nprobe`` cells, so cost
-    is |corpus|/cells × nprobe per query instead of |corpus|.
+    ``centroids`` picks the codebook: ``"sample"`` (deterministic lowest-id
+    vectors, training-free) or ``"kmeans"`` (spherical k-means on a bounded
+    driver-side sample — better cell balance and recall at equal nprobe;
+    see ``train_centroids``). Corpus rows land in exactly one cell; queries
+    fan out to ``nprobe`` cells, so cost is |corpus|/cells × nprobe per
+    query instead of |corpus|.
 
     Scale: the corpus-side shuffle is on cell id (bounded cardinality =
-    ``n_centroids``); per-cell skew is data-dependent — more centroids
-    flatten it. Probing all cells reproduces brute force exactly.
-    ``broadcast_queries=True`` fits the usual small-query-set case; set it
-    False for query sets too big to broadcast (e.g. all-pairs over the
-    corpus itself) — the join then shuffles both sides on the cell id.
+    ``n_centroids``); per-cell skew is data-dependent — k-means centroids
+    flatten it, more centroids flatten it further. Probing all cells
+    reproduces brute force exactly. ``broadcast_queries=True`` fits the
+    usual small-query-set case; set it False for query sets too big to
+    broadcast (e.g. all-pairs over the corpus itself) — the join then
+    shuffles both sides on the cell id.
     """
-    import numpy as np
-
-    cent_rows = (
-        corpus.select(F.col(id_col), V.unit_normalize(F.col(vec_col)).alias("v"))
-        .orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .collect()
+    centroids = train_centroids(
+        corpus, id_col, vec_col, n_centroids, centroids,
+        kmeans_iters, sample_rows, seed,
     )
-    centroids = np.array([r["v"] for r in cent_rows], dtype="float64")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -253,5 +319,9 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
             # self-search (no explicit queries) means |queries| = |corpus|:
             # too big to broadcast by default
             spec.get("broadcast_queries", bool(spec.get("queries"))),
+            spec.get("centroids", "sample"),
+            int(spec.get("kmeans_iters", 10)),
+            int(spec.get("sample_rows", 20_000)),
+            int(spec.get("seed", 42)),
         )
     raise ValueError(f"Unknown similarity method {method!r}")

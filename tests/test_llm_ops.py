@@ -336,6 +336,54 @@ def test_ivf_partial_probe_returns_ranked_subset(spark, embeddings):
         assert cos == sorted(cos, reverse=True)
 
 
+def test_ivf_kmeans_beats_sample_centroids_on_clustered_corpus(spark):
+    """On a corpus with real cluster structure (the case IVF exists for),
+    trained spherical-k-means centroids align cells with clusters; lowest-id
+    sample centroids split/miss clusters. Recall@5 at nprobe=1 must be
+    strictly higher for kmeans (measured: 1.00 vs 0.59 on this seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.concatenate([c + 0.15 * rng.normal(size=(100, 32)) for c in centers])
+    X = X[rng.permutation(len(X))]  # lowest ids must not be one cluster
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 40)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(df, queries, k=5).collect()
+    }
+
+    def recall(method):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_topk(
+                df, queries, k=5, n_centroids=8, nprobe=1, centroids=method
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_kmeans, r_sample = recall("kmeans"), recall("sample")
+    assert r_kmeans > r_sample
+    assert r_kmeans >= 0.95
+
+
+def test_ivf_kmeans_full_probe_still_exact(spark, embeddings):
+    """The brute-force anchor holds for trained centroids too: probing all
+    cells is exact regardless of codebook quality."""
+    queries = embeddings.limit(3)
+    exact = S.brute_force_topk(embeddings, queries, k=5)
+    full = S.ivf_topk(
+        embeddings, queries, k=5, n_centroids=8, nprobe=8, centroids="kmeans"
+    )
+    assert sorted(map(tuple, full.collect()), key=lambda t: (t[0], t[2])) == \
+        sorted(map(tuple, exact.collect()), key=lambda t: (t[0], t[2]))
+
+
 def test_srp_lsh_topk_subset_quality(spark, embeddings):
     queries = embeddings.limit(3)
     exact = S.brute_force_topk(embeddings, queries, k=10)

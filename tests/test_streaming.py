@@ -269,3 +269,48 @@ def test_stream_sink_requires_streaming_input(spark, events_dir):
                 {"stage": "stream_sink", "format": "memory", "query_name": "x"},
             ]
         ).run(spark)
+
+
+def test_asof_join_streaming_rejected_with_clear_error(spark, events_dir):
+    from config_driven_pyspark_spark.operators.joins import asof_join
+
+    stream = (
+        spark.readStream.format("parquet").schema(EVENTS_DDL).load(events_dir)
+    )
+    static = spark.read.format("parquet").schema(EVENTS_DDL).load(events_dir)
+    with pytest.raises(NotImplementedError, match="streaming"):
+        asof_join(stream, static.select("user_id", "ts", "value"),
+                  on="ts", by=["user_id"])
+
+
+def test_range_join_stream_static_matches_batch(spark, events_dir, tmp_path):
+    """range_join is stateless explode + equi-join + filter, so a streaming
+    point side against static intervals is a plain stream-static join —
+    same rows as batch once drained."""
+    from config_driven_pyspark_spark.operators.joins import range_join
+
+    bands = spark.createDataFrame(
+        [(1, 0.0, 4.0), (2, 4.0, 8.0), (3, 8.0, 12.0)],
+        "band_id bigint, lo double, hi double",
+    )
+    batch_src = spark.read.format("parquet").schema(EVENTS_DDL).load(events_dir)
+    batch = range_join(batch_src, bands, point="value", lower="lo", upper="hi",
+                       bucket_width=4.0)
+
+    stream_src = (
+        spark.readStream.format("parquet").schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1").load(events_dir)
+    )
+    streamed = range_join(stream_src, bands, point="value", lower="lo",
+                          upper="hi", bucket_width=4.0)
+    q = (
+        streamed.writeStream.format("memory").queryName("rj_ss")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rj_ss"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("rj_ss")
+    cols = ["event_id", "band_id"]
+    assert _collect_sorted(got, cols) == _collect_sorted(batch, cols)
+    assert len(got.collect()) > 0
