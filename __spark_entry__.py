@@ -468,6 +468,174 @@ def q22_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style (no partsupp table in this schema — lineitem is the
+    part↔supplier relationship; unit cost = min l_extendedprice): for small
+    STANDARD parts, the cheapest ASIA supplier(s) per part via a correlated
+    min re-expressed as aggregate + join-back.
+
+    Scale: the part filter pushes to its scan and broadcasts into lineitem;
+    the supplier→nation→region chain broadcasts; one (part, supp) shuffle
+    for the cost agg, the per-part min reuses the same key prefix, and the
+    join-back is a broadcast of the tiny min table."""
+    return _run(spark, [
+        _src(sf_dir, "region"),
+        _src(sf_dir, "nation"),
+        _src(sf_dir, "supplier"),
+        _src(sf_dir, "part"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter", "input": "part",
+         "predicate": "p_type = 'STANDARD' AND p_size <= 10",
+         "name": "parts_f"},
+        {"stage": "join", "input": "supplier", "right": "nation",
+         "on": "s_nationkey = n_nationkey", "broadcast": True},
+        {"stage": "join", "right": "region",
+         "on": "n_regionkey = r_regionkey", "broadcast": True},
+        {"stage": "filter", "predicate": "r_name = 'ASIA'"},
+        {"stage": "select", "columns": ["s_suppkey", "s_name"],
+         "name": "supp_asia"},
+        {"stage": "join", "input": "lineitem", "right": "parts_f",
+         "on": "l_partkey = p_partkey", "broadcast": True},
+        {"stage": "join", "right": "supp_asia", "on": "l_suppkey = s_suppkey",
+         "broadcast": True},
+        {"stage": "aggregate", "group_by": ["p_partkey", "s_suppkey", "s_name"],
+         "aggs": {"cost": "min(l_extendedprice)"}, "name": "costs"},
+        {"stage": "aggregate", "group_by": ["p_partkey"],
+         "aggs": {"min_cost": "min(cost)"}},
+        {"stage": "select", "columns": ["p_partkey AS mp", "min_cost"],
+         "name": "mins"},
+        {"stage": "join", "input": "costs", "right": "mins",
+         "on": "p_partkey = mp AND cost = min_cost", "broadcast": True},
+        {"stage": "select", "columns": ["p_partkey", "s_name", "cost"]},
+        {"stage": "sort", "by": ["cost", "p_partkey", "s_name"], "limit": 20},
+    ])
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style (lineitem standing in for partsupp): parts whose
+    NATION_3-supplied revenue exceeds a fraction of the nation's total —
+    group agg + scalar-subquery threshold (single-row cross broadcast).
+
+    Scale: nation/supplier broadcast into lineitem; one (partkey) shuffle;
+    the grand total is a second pass over the tiny per-part aggregate, not
+    the fact table, and broadcasts as one row."""
+    return _run(spark, [
+        _src(sf_dir, "nation"),
+        _src(sf_dir, "supplier"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "join", "input": "supplier", "right": "nation",
+         "on": "s_nationkey = n_nationkey", "broadcast": True},
+        {"stage": "filter", "predicate": "n_name = 'NATION_3'"},
+        {"stage": "select", "columns": ["s_suppkey"], "name": "supp_n"},
+        {"stage": "join", "input": "lineitem", "right": "supp_n",
+         "on": "l_suppkey = s_suppkey", "broadcast": True},
+        {"stage": "aggregate", "group_by": ["l_partkey"],
+         "aggs": {"val": SUM_DISC_PRICE}, "name": "part_val"},
+        {"stage": "aggregate", "group_by": [],
+         "aggs": {"total": "sum(val)"}, "name": "tot"},
+        {"stage": "join", "input": "part_val", "right": "tot", "on": "1=1",
+         "how": "cross", "broadcast": True},
+        {"stage": "filter", "predicate": "val > 0.001 * total"},
+        {"stage": "select", "columns": ["l_partkey", "val"]},
+        {"stage": "sort", "by": ["val DESC", "l_partkey"]},
+    ])
+
+
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style (no l_shipmode in this schema — l_returnflag stands
+    in for the mode dimension): high- vs low-priority line counts per flag
+    for one ship-year; conditional aggregation over a fact-fact join.
+
+    Scale: the shipdate window pushes to the lineitem scan; one orderkey
+    shuffle joins orders; the CASE WHEN counts combine map-side into 3
+    groups."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter", "input": "lineitem",
+         "predicate": "l_shipdate >= timestamp '1998-01-01 00:00:00' AND "
+                      "l_shipdate < timestamp '1999-01-01 00:00:00'"},
+        {"stage": "join", "right": "orders", "on": "l_orderkey = o_orderkey"},
+        {"stage": "aggregate", "group_by": ["l_returnflag"],
+         "aggs": {
+             "high_count": "sum(CASE WHEN o_orderpriority IN "
+                           "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)",
+             "low_count": "sum(CASE WHEN o_orderpriority NOT IN "
+                          "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)",
+         }},
+        {"stage": "sort", "by": ["l_returnflag"]},
+    ])
+
+
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style (lineitem quantities standing in for partsupp
+    availability): suppliers who moved > 300 units of PROMO parts in 1997,
+    as a left-semi join against an aggregated-threshold subquery.
+
+    Scale: part filter broadcasts into the date-pruned lineitem scan; one
+    (suppkey) shuffle for the quantity agg; the surviving supplier keys
+    semi-join supplier (broadcast), nation broadcasts for the name."""
+    return _run(spark, [
+        _src(sf_dir, "nation"),
+        _src(sf_dir, "supplier"),
+        _src(sf_dir, "part"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "filter", "input": "part", "predicate": "p_type = 'PROMO'",
+         "name": "promo_parts"},
+        {"stage": "filter", "input": "lineitem",
+         "predicate": "l_shipdate >= timestamp '1997-01-01 00:00:00' AND "
+                      "l_shipdate < timestamp '1998-01-01 00:00:00'"},
+        {"stage": "join", "right": "promo_parts", "on": "l_partkey = p_partkey",
+         "broadcast": True},
+        {"stage": "aggregate", "group_by": ["l_suppkey"],
+         "aggs": {"total_qty": SUM_QTY}},
+        {"stage": "filter", "predicate": "total_qty > 300.0"},
+        {"stage": "select", "columns": ["l_suppkey AS s_suppkey"],
+         "name": "bulk"},
+        {"stage": "join", "input": "supplier", "right": "bulk",
+         "on": ["s_suppkey"], "how": "left_semi"},
+        {"stage": "join", "right": "nation", "on": "s_nationkey = n_nationkey",
+         "broadcast": True},
+        {"stage": "select", "columns": ["s_suppkey", "s_name", "n_name"]},
+        {"stage": "sort", "by": ["s_suppkey"]},
+    ])
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style (no receipt/commit dates — l_returnflag='R' marks
+    the late line): per supplier, multi-supplier orders where THAT supplier
+    was the only one with a returned line. The classic formulation is two
+    correlated exists/not-exists self-joins of lineitem; here it collapses
+    into ONE per-order aggregate (distinct-supplier counts + the single
+    culprit via max) and a per-culprit re-aggregate — two shuffles total,
+    no self-join, same semantics.
+
+    Scale: first shuffle on l_orderkey with map-side distinct partials;
+    second on the culprit suppkey over one row per qualifying order;
+    supplier names broadcast."""
+    return _run(spark, [
+        _src(sf_dir, "supplier"),
+        _src(sf_dir, "lineitem"),
+        {"stage": "aggregate", "input": "lineitem", "group_by": ["l_orderkey"],
+         "aggs": {
+             "n_supp": "count(DISTINCT l_suppkey)",
+             "n_r_supp": "count(DISTINCT CASE WHEN l_returnflag = 'R' "
+                         "THEN l_suppkey END)",
+             "culprit": "max(CASE WHEN l_returnflag = 'R' "
+                        "THEN l_suppkey END)",
+         }},
+        {"stage": "filter", "predicate": "n_supp > 1 AND n_r_supp = 1"},
+        {"stage": "aggregate", "group_by": ["culprit"],
+         "aggs": {"n_waiting": "count(*)"}},
+        {"stage": "select", "columns": ["culprit AS s_suppkey", "n_waiting"],
+         "name": "waits"},
+        {"stage": "join", "input": "waits", "right": "supplier",
+         "on": ["s_suppkey"], "broadcast": True},
+        {"stage": "select", "columns": ["s_suppkey", "s_name", "n_waiting"]},
+        {"stage": "sort", "by": ["n_waiting DESC", "s_suppkey"], "limit": 20},
+    ])
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style: revenue lost to returned items per customer for a
     quarter — fact-fact join + broadcast dims + deterministic top-20.
@@ -1407,6 +1575,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders": q_topk_orders,
         "q07_nation_volume": q07_nation_volume,
         "q22_lost_customers": q22_lost_customers,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
+        "q11_important_parts": q11_important_parts,
+        "q12_priority_by_flag": q12_priority_by_flag,
+        "q20_bulk_suppliers": q20_bulk_suppliers,
+        "q21_waiting_supplier": q21_waiting_supplier,
         "q10_returned_items": q10_returned_items,
         "q13_order_distribution": q13_order_distribution,
         "q14_promo_revenue": q14_promo_revenue,
@@ -2034,6 +2207,84 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1, 2
+        """,
+        "q02_min_cost_supplier": """
+            WITH parts_f AS (
+              SELECT p_partkey FROM part
+              WHERE p_type = 'STANDARD' AND p_size <= 10),
+            supp_asia AS (
+              SELECT s_suppkey, s_name FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'),
+            costs AS (
+              SELECT p_partkey, s_suppkey, s_name,
+                     min(l_extendedprice) AS cost
+              FROM lineitem
+              JOIN parts_f ON l_partkey = p_partkey
+              JOIN supp_asia ON l_suppkey = s_suppkey
+              GROUP BY 1, 2, 3),
+            mins AS (SELECT p_partkey AS mp, min(cost) AS min_cost
+                     FROM costs GROUP BY 1)
+            SELECT p_partkey, s_name, cost
+            FROM costs JOIN mins ON p_partkey = mp AND cost = min_cost
+            ORDER BY cost, p_partkey, s_name LIMIT 20
+        """,
+        "q11_important_parts": f"""
+            WITH part_val AS (
+              SELECT l_partkey, {SUM_DISC_PRICE} AS val
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'
+              GROUP BY 1),
+            tot AS (SELECT sum(val) AS total FROM part_val)
+            SELECT l_partkey, val FROM part_val, tot
+            WHERE val > 0.001 * total
+            ORDER BY val DESC, l_partkey
+        """,
+        "q12_priority_by_flag": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= timestamp '1998-01-01'
+              AND l_shipdate < timestamp '1999-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q20_bulk_suppliers": f"""
+            WITH bulk AS (
+              SELECT l_suppkey AS s_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'PROMO'
+                AND l_shipdate >= timestamp '1997-01-01'
+                AND l_shipdate < timestamp '1998-01-01'
+              GROUP BY 1
+              HAVING {SUM_QTY} > 300.0)
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (SELECT s_suppkey FROM bulk)
+            ORDER BY s_suppkey
+        """,
+        "q21_waiting_supplier": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                         THEN l_suppkey END) AS n_r_supp,
+                     max(CASE WHEN l_returnflag = 'R'
+                              THEN l_suppkey END) AS culprit
+              FROM lineitem GROUP BY 1),
+            waits AS (
+              SELECT culprit AS s_suppkey, count(*) AS n_waiting
+              FROM per_order WHERE n_supp > 1 AND n_r_supp = 1
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, n_waiting
+            FROM waits JOIN supplier USING (s_suppkey)
+            ORDER BY n_waiting DESC, s_suppkey LIMIT 20
         """,
         "q16_supplier_counts": """
             SELECT p_brand, p_type, p_size,
