@@ -1165,6 +1165,21 @@ def q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_dedup_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware transitive dedup: same near-dup clusters as
+    q_dedup_cluster_docs, but each cluster keeps its LONGEST member
+    (``keep_by: n_chars``, ties toward the smaller doc_id) — the policy a
+    training pipeline actually wants. Oracle: recursive-CTE closure + a
+    per-component window top-1."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = D.stage_dedup(docs, {
+        "stage": "dedup", "method": "ngram_jaccard", "id_col": "doc_id",
+        "column": "text", "k": 5, "unit": "word", "threshold": 0.8,
+        "output": "clusters", "keep_by": "n_chars",
+    })
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors vec_id < 10 —
     brute-force baseline with broadcast queries."""
@@ -1611,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_advanced": q_text_advanced,
         "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
         "q_dedup_cluster_docs": q_dedup_cluster_docs,
+        "q_dedup_best_docs": q_dedup_best_docs,
         "q_knn_cosine": q_knn_cosine,
         "q_embedding_dups": q_embedding_dups,
         "q_minhash_pairs": q_minhash_pairs,
@@ -2151,6 +2167,31 @@ def oracle_sql() -> dict[str, str]:
                      FROM reach GROUP BY s)
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        """,
+        "q_dedup_best_docs": _SHINGLES_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        ) + """,
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r
+              JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+            comp AS (SELECT s AS id, least(s, min(d)) AS component
+                     FROM reach GROUP BY s),
+            ranked AS (
+              SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                     row_number() OVER (
+                       PARTITION BY coalesce(c.component, d.doc_id)
+                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+            SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
         """,
         "q_knn_cosine": _COSINE_CTE + """
             SELECT query_id, neighbor_id, rank, cosine FROM (

@@ -68,9 +68,29 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _pairs_to_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
-    """Drop rows whose id appears as the larger member of any dup pair."""
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+def _pairs_to_dedup(
+    df: DataFrame, pairs: DataFrame, id_col: str, keep_by: str | None = None
+) -> DataFrame:
+    """Drop the losing member of every dup pair. Default policy: the larger
+    id loses. With ``keep_by`` (a SQL expression over the input columns,
+    higher = better): the lower-scoring member loses, ties broken toward
+    the smaller id — so a training pipeline keeps the *best* duplicate
+    (e.g. ``keep_by: "quality_score"``), not an arbitrary one."""
+    if keep_by is None:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, on=id_col, how="left_anti")
+    scores = df.select(F.col(id_col).alias("__kid"), F.expr(keep_by).alias("__ks"))
+    sa = scores.select(F.col("__kid").alias("id_a"), F.col("__ks").alias("__sa"))
+    sb = scores.select(F.col("__kid").alias("id_b"), F.col("__ks").alias("__sb"))
+    a_loses = (F.col("__sa") < F.col("__sb")) | (
+        (F.col("__sa") == F.col("__sb")) & (F.col("id_a") > F.col("id_b"))
+    )
+    losers = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(F.when(a_loses, F.col("id_a")).otherwise(F.col("id_b")).alias(id_col))
+        .distinct()
+    )
     return df.join(losers, on=id_col, how="left_anti")
 
 
@@ -139,28 +159,64 @@ def connected_components(
     return labels
 
 
-def _pairs_to_clusters(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
-    """Keep one representative (smallest id) per duplicate cluster; rows not
-    in any pair survive untouched."""
+def _pairs_to_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str, keep_by: str | None = None
+) -> DataFrame:
+    """Keep one representative per duplicate cluster; rows not in any pair
+    survive untouched. Default representative: smallest id. With
+    ``keep_by`` (SQL expression, higher = better): the best-scoring member,
+    ties toward the smaller id — one extra shuffle on the component key
+    (a window top-1), same scale shape as the anti join it replaces."""
     comp = connected_components(pairs)
-    losers = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    if keep_by is None:
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(losers, on=id_col, how="left_anti")
+    from pyspark.sql.window import Window
+
+    labeled = df.join(
+        comp.select(F.col("id").alias(id_col), "component"), on=id_col, how="left"
+    ).withColumn("__comp", F.coalesce(F.col("component"), F.col(id_col)))
+    w = Window.partitionBy("__comp").orderBy(
+        F.expr(keep_by).desc(), F.col(id_col).asc()
     )
-    return df.join(losers, on=id_col, how="left_anti")
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("component", "__comp", "__rn")
+    )
 
 
 def exact_dedup(
-    df: DataFrame, id_col: str, text_col: str = "text", normalize: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    normalize: bool = True,
+    keep_by: str | None = None,
 ) -> DataFrame:
-    """Keep the smallest id per identical (optionally normalized) text.
+    """Keep one row per identical (optionally normalized) text — the
+    smallest id by default, or the best by ``keep_by`` (SQL expression,
+    higher wins, ties toward the smaller id).
 
-    Scale: a single hash-shuffle on the md5 fingerprint (16 bytes/row moves,
-    not the document body); partial ``min`` runs map-side.
+    Scale: one hash-shuffle on the md5 fingerprint either way. The default
+    groupBy+semi-join moves 16-byte keys with a map-side partial ``min``;
+    ``keep_by`` instead runs a window top-1 over the fingerprint (full rows
+    shuffle once — the price of scoring arbitrary expressions).
     """
     key = TX.fingerprint(F.col(text_col)) if normalize else F.md5(F.col(text_col).cast("binary"))
     keyed = df.withColumn("__fp", key)
-    keepers = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
-    return keyed.join(keepers, on=id_col, how="left_semi").drop("__fp")
+    if keep_by is None:
+        keepers = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
+        return keyed.join(keepers, on=id_col, how="left_semi").drop("__fp")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__fp").orderBy(F.expr(keep_by).desc(), F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
 
 
 def exact_pairs(
@@ -520,7 +576,12 @@ def embedding_pairs(
 def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "dedup", "method": "exact|ngram_jaccard|minhash_lsh|
     simhash|embedding", "id_col": ..., "output": "dedup"|"pairs"|"clusters",
-    ...}``.
+    "keep_by": <SQL expr>?, ...}``.
+
+    ``keep_by`` changes which duplicate survives in ``dedup``/``clusters``
+    outputs: the highest-scoring row by the expression (ties → smallest id)
+    instead of the default smallest id — e.g. ``keep_by: "n_chars"`` keeps
+    the longest member of each duplicate cluster.
 
     ``output: "pairs"`` always carries a method-agnostic ``score`` double in
     [0, 1] (higher = more similar) so downstream config stages can consume
@@ -533,6 +594,7 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
     method = spec.get("method", "exact")
     id_col = spec.get("id_col", "id")
     out = spec.get("output", "dedup")
+    keep_by = spec.get("keep_by")
 
     if method == "exact":
         if out == "pairs":
@@ -541,7 +603,8 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
             )
         # equality is transitive, so "clusters" and "dedup" coincide
         return exact_dedup(
-            df, id_col, spec.get("column", "text"), spec.get("normalize", True)
+            df, id_col, spec.get("column", "text"), spec.get("normalize", True),
+            keep_by,
         )
 
     if method == "ngram_jaccard":
@@ -583,5 +646,5 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
             score = F.lit(None).cast("double")
         return pairs.withColumn("score", score)
     if out == "clusters":
-        return _pairs_to_clusters(df, pairs, id_col)
-    return _pairs_to_dedup(df, pairs, id_col)
+        return _pairs_to_clusters(df, pairs, id_col, keep_by)
+    return _pairs_to_dedup(df, pairs, id_col, keep_by)

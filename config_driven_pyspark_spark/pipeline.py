@@ -133,6 +133,9 @@ class Pipeline:
         self.udfs: dict[str, Any] = {}
         self.grouped_udfs: dict[str, tuple[Any, str]] = {}
         self.flat_maps: dict[str, tuple[Any, str]] = {}
+        # Observation handles registered by the `observe` stage, keyed by the
+        # stage's `as` name; read .get after an action completes
+        self.observations: dict[str, Any] = {}
 
     # -- constructors ------------------------------------------------------
 
@@ -211,6 +214,7 @@ class Pipeline:
             "distinct", "union", "intersect", "except", "repartition",
             "sample", "persist",
             "top_k", "dedup", "similarity", "text", "multimodal", "corpus",
+            "observe",
             "udf", "grouped_map", "flat_map", "sink",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "range_join",
@@ -322,6 +326,22 @@ class Pipeline:
                 )
             gfn, gschema = self.grouped_udfs[spec["fn"]]
             return df.groupBy(*spec["group_by"]).applyInPandas(gfn, gschema)
+        if kind == "observe":
+            # {"stage": "observe", "as": "qa", "metrics": {"rows": "count(*)",
+            #  "null_ids": "count_if(id IS NULL)"}} — piggybacks aggregate
+            # metrics on the existing pass (zero extra scans/shuffles; at
+            # 100 TB a separate count() would re-read the table). Batch:
+            # read Pipeline.observations["qa"].get after an action.
+            # Streaming: metrics surface per-batch in the streaming query's
+            # progress events (observedMetrics) under the same name.
+            metrics = [F.expr(e).alias(k) for k, e in spec["metrics"].items()]
+            if df.isStreaming:
+                return df.observe(spec["as"], *metrics)
+            from pyspark.sql import Observation
+
+            obs = Observation(spec["as"])
+            self.observations[spec["as"]] = obs
+            return df.observe(obs, *metrics)
         if kind == "flat_map":
             # {"stage": "flat_map", "fn": name}
             if spec["fn"] not in self.flat_maps:

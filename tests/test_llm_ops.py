@@ -438,3 +438,47 @@ def test_sample_frames_fanout(spark, media):
 def test_real_decoder_raises(spark, media):
     with pytest.raises(NotImplementedError):
         M.extract_features(media, decoder="real")
+
+
+def test_exact_dedup_keep_by_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "same text", 2.0), (2, "same text", 9.0), (3, "other", 1.0)],
+        "doc_id bigint, text string, quality double",
+    )
+    out = D.stage_dedup(df, {"stage": "dedup", "method": "exact",
+                             "id_col": "doc_id", "column": "text",
+                             "keep_by": "quality"})
+    assert {r["doc_id"] for r in out.collect()} == {2, 3}
+
+
+def test_cluster_dedup_keep_by_longest(spark):
+    """A≈B≈C chain: cluster mode with keep_by keeps the single best member
+    of the whole component, not the smallest id."""
+    docs = [
+        (1, "aaaa bbbb cccc dddd eeee", 5),
+        (2, "aaaa bbbb cccc dddd ffff", 9),   # best in cluster {1,2,3}
+        (3, "aaaa bbbb cccc gggg ffff", 7),
+        (4, "zzzz yyyy xxxx wwww vvvv", 1),   # untouched singleton
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, score bigint")
+    out = D.stage_dedup(df, {
+        "stage": "dedup", "method": "ngram_jaccard", "id_col": "doc_id",
+        "column": "text", "k": 1, "unit": "word", "threshold": 0.6,
+        "output": "clusters", "keep_by": "score",
+    })
+    assert {r["doc_id"] for r in out.collect()} == {2, 4}
+
+
+def test_pairwise_dedup_keep_by(spark):
+    docs = [
+        (1, "aaaa bbbb cccc dddd eeee", 5),
+        (2, "aaaa bbbb cccc dddd ffff", 9),  # beats 1 pairwise
+        (4, "zzzz yyyy xxxx wwww vvvv", 1),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, score bigint")
+    out = D.stage_dedup(df, {
+        "stage": "dedup", "method": "ngram_jaccard", "id_col": "doc_id",
+        "column": "text", "k": 1, "unit": "word", "threshold": 0.6,
+        "output": "dedup", "keep_by": "score",
+    })
+    assert {r["doc_id"] for r in out.collect()} == {2, 4}

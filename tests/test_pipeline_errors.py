@@ -78,3 +78,25 @@ def test_unknown_text_op(spark):
         Pipeline.from_config(
             [SRC, {"stage": "text", "column": "r_name", "ops": ["sentiment"]}]
         ).run(spark)
+
+
+def test_observe_stage_collects_metrics_without_extra_pass(spark):
+    """The observe stage piggybacks metrics on the existing action — one
+    scan produces both the result and the QA metrics."""
+    from config_driven_pyspark_spark import Pipeline
+
+    p = Pipeline.from_config([
+        {"stage": "source", "format": "parquet",
+         "path": "/root/testdata/sf0.001/orders.parquet"},
+        {"stage": "observe", "as": "qa",
+         "metrics": {"rows": "count(*)",
+                     "max_price": "max(o_totalprice)"}},
+        {"stage": "aggregate", "group_by": ["o_orderstatus"],
+         "aggs": {"n": "count(*)"}},
+    ])
+    out = p.run(spark)
+    n_groups = out.count()  # the action that materializes the metrics
+    got = p.observations["qa"].get
+    assert n_groups > 0
+    assert got["rows"] == 1_500
+    assert got["max_price"] > 0

@@ -86,3 +86,51 @@ import pytest  # noqa: E402
 def docs_pool(spark):
     rows = [(i, f"doc number {i}") for i in range(200)]
     return spark.createDataFrame(rows, "id long, text string").cache()
+
+
+def _py_minhash(shingles, num_hashes, seed=7):
+    """Pure-Python reference of dedup.minhash_signature: xxhash64 is not
+    reimplemented (JVM-side); instead the base hashes are fetched from Spark
+    once, and the universal-hash fold is replicated exactly."""
+    import random as _random
+
+    P = (1 << 31) - 1
+    rng = _random.Random(seed)
+    ab = [(rng.randrange(1, P), rng.randrange(0, P)) for _ in range(num_hashes)]
+    return [
+        min(((a * x + b) % P for x in shingles), default=P)
+        for a, b in ab
+    ]
+
+
+def test_minhash_signature_matches_python_reference(spark):
+    """The Column-expression fold (aggregate+zip_with over one base hash per
+    shingle) computes exactly min_i over shingles of (a_i*x+b_i) mod P —
+    pinned against an independent Python evaluation of the same recipe on
+    the same base hashes."""
+    from config_driven_pyspark_spark.operators.dedup import (
+        _MH_P, minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["alpha", "beta", "gamma"]), (2, ["beta"]), (3, [])],
+        "id bigint, sh array<string>",
+    )
+    bases = {
+        r["id"]: r["bases"]
+        for r in df.select(
+            "id",
+            F.transform("sh", lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MH_P)))
+            .alias("bases"),
+        ).collect()
+    }
+    sigs = {
+        r["id"]: r["sig"]
+        for r in df.select("id", minhash_signature(F.col("sh"), 16).alias("sig"))
+        .collect()
+    }
+    for doc_id, sig in sigs.items():
+        assert sig == _py_minhash(bases[doc_id], 16), f"doc {doc_id}"
+    # identical shingle sets → identical signatures; disjoint sets differ
+    assert sigs[1] != sigs[2]
+    assert sigs[3] == [_MH_P] * 16  # empty doc: init value everywhere
