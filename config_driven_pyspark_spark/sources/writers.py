@@ -15,13 +15,21 @@ from pyspark.sql import DataFrame
 def stage_sink(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "sink", "format": "parquet", "path": ..., "mode":
     "error"|"overwrite"|"append", "partition_by": [cols], "bucket_by":
-    {"n": int, "cols": [...]}, "sort_by": [cols], "table": name?,
-    "options": {}}``.
+    {"n": int, "cols": [...]}, "sort_by": [cols],
+    "sort_within_partitions": [cols], "table": name?, "options": {}}``.
+
+    ``sort_within_partitions`` clusters rows inside each output file
+    (no shuffle — a per-partition sort) so parquet column min/max stats
+    become selective and downstream range predicates skip row groups; the
+    cheap half of Z-ordering, worth it on any large sorted-read workload.
 
     Returns the input DataFrame unchanged so a sink can sit mid-pipeline
     (write-through).
     """
-    writer = df.write.format(spec.get("format", "parquet")).mode(spec.get("mode", "error"))
+    out = df
+    if spec.get("sort_within_partitions"):
+        out = out.sortWithinPartitions(*spec["sort_within_partitions"])
+    writer = out.write.format(spec.get("format", "parquet")).mode(spec.get("mode", "error"))
     for key, value in (spec.get("options") or {}).items():
         writer = writer.option(key, value)
     if spec.get("partition_by"):

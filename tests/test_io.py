@@ -128,3 +128,21 @@ def test_source_spark_confs_are_scoped(spark):
     assert dict(df.dtypes)["ts"] == "bigint"  # conf was honored at load
     assert spark.conf.get(key, None) == prior  # and restored after
     assert df.count() > 0  # restored conf doesn't break the loaded frame
+
+
+def test_sink_sort_within_partitions_clusters_rows(spark, tmp_path):
+    out = str(tmp_path / "clustered")
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet",
+         "path": "/root/testdata/sf0.001/orders.parquet"},
+        {"stage": "repartition", "n": 2, "by": ["o_orderstatus"]},
+        {"stage": "sink", "format": "parquet", "path": out,
+         "sort_within_partitions": ["o_totalprice"]},
+    ]).run(spark)
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    for f in _glob.glob(f"{out}/*.parquet"):
+        vals = pq.read_table(f, columns=["o_totalprice"])["o_totalprice"].to_pylist()
+        assert vals == sorted(vals), f  # each file internally sorted

@@ -314,3 +314,35 @@ def test_range_join_stream_static_matches_batch(spark, events_dir, tmp_path):
     cols = ["event_id", "band_id"]
     assert _collect_sorted(got, cols) == _collect_sorted(batch, cols)
     assert len(got.collect()) > 0
+
+
+def test_flat_map_stage_works_on_streams(spark, events_dir, tmp_path):
+    """flat_map (mapInPandas) is stateless, so the same registered function
+    runs on a streaming source; drained output matches batch."""
+    def doubler(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "event_id": pd.concat([pdf["event_id"], pdf["event_id"]]),
+            })
+
+    def build(streaming):
+        p = Pipeline.from_config([
+            _source(events_dir, streaming=streaming),
+            {"stage": "flat_map", "fn": "doubler"},
+        ])
+        p.register_flat_map("doubler", doubler, "event_id bigint")
+        return p.run(spark)
+
+    batch = build(False)
+    q = (
+        build(True).writeStream.format("memory").queryName("fm_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fm"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("fm_stream")
+    assert _collect_sorted(got, ["event_id"]) == _collect_sorted(batch, ["event_id"])
+    assert got.count() == 400
