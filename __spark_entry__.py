@@ -1205,7 +1205,10 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (64 hashes, 16 bands), verified with true
-    Jaccard ≥ 0.8. Rows-only: banding is not SQL-expressible.
+    Jaccard ≥ 0.8. Oracle: exact all-pairs Jaccard — valid because the
+    verify step makes precision exact and the (seeded, deterministic)
+    banding captures every true pair on this data, so output ≡ the
+    brute-force result.
 
     Word shingles (see q_ngram_dedup_pairs): signature cost is
     |shingles|·num_hashes xxhash64 evals per doc — 6× cheaper than char
@@ -1222,7 +1225,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via signed-random-projection LSH buckets."""
+    """Approximate top-5 neighbors via signed-random-projection LSH buckets.
+    Oracle: exact — the seeded 4-bit hyperplanes are regenerated as SQL
+    literals, so DuckDB replicates bucket assignment bit-for-bit."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.srp_lsh_topk(emb, queries, k=5, bits=4)
@@ -1682,17 +1687,23 @@ unitv AS (
 )
 """
 
-# SRP bucket id replicating D.embedding_pairs(lsh_bits=8, seed=42, dim=64):
-# the seeded plane generator is shared with the Spark path, inlined here as
-# full-precision DOUBLE literals; plane i contributes bit 2^(bits-1-i),
-# matching hyperplane_signature's sig = sig*2 + bit fold order.
-_SRP_BUCKET_SQL = " + ".join(
-    "(CASE WHEN list_dot_product(u, [{vals}]::DOUBLE[]) >= 0 "
-    "THEN {weight} ELSE 0 END)".format(
-        vals=",".join(repr(x) for x in plane), weight=1 << (8 - 1 - i)
+# SRP bucket id replicating the Spark-side seeded hyperplane signature
+# (D.srp_planes is shared with the Spark path), inlined as full-precision
+# DOUBLE literals; plane i contributes bit 2^(bits-1-i), matching
+# hyperplane_signature's sig = sig*2 + bit fold order.
+def _srp_bucket_sql(bits: int) -> str:
+    return " + ".join(
+        "(CASE WHEN list_dot_product(u, [{vals}]::DOUBLE[]) >= 0 "
+        "THEN {weight} ELSE 0 END)".format(
+            vals=",".join(repr(x) for x in plane), weight=1 << (bits - 1 - i)
+        )
+        for i, plane in enumerate(D.srp_planes(dim=64, bits=bits, seed=42))
     )
-    for i, plane in enumerate(D.srp_planes(dim=64, bits=8, seed=42))
-)
+
+
+# embedding_pairs uses lsh_bits=8; srp_lsh_topk's driver query uses bits=4
+_SRP_BUCKET_SQL = _srp_bucket_sql(8)
+_SRP4_BUCKET_SQL = _srp_bucket_sql(4)
 
 _LANG_HITS = {
     "en": "('the','and','of','to','a')",
@@ -2213,6 +2224,40 @@ def oracle_sql() -> dict[str, str]:
             FROM bucketed a JOIN bucketed b
               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.u, b.u), 6) >= 0.30
+        """,
+        # Exact oracle for the MinHash query: its verify step recomputes
+        # true word-5-gram Jaccard on every LSH candidate, so the output is
+        # exactly {pairs with J >= 0.8} whenever banding (seeded,
+        # deterministic) captures all true pairs — which it does on this
+        # data (locally confirmed identical to the all-pairs result; capture
+        # probability per true pair at j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9996).
+        "q_minhash_pairs": _SHINGLES_CTE + """
+            SELECT id_a, id_b,
+                   round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        """,
+        # SRP-LSH top-k replicated exactly: the seeded 4-bit hyperplane
+        # bucket as SQL literals (same generator as the Spark path), then
+        # per-query top-5 among same-bucket candidates.
+        "q_srp_ann": _COSINE_CTE + f"""
+            , bucketed AS (
+              SELECT vec_id, u, {_SRP4_BUCKET_SQL} AS bucket FROM unitv
+            )
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.u, c.u), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.u, c.u), 6) DESC,
+                                c.vec_id) AS rank
+              FROM bucketed q
+              JOIN bucketed c ON q.bucket = c.bucket
+                             AND q.vec_id <> c.vec_id
+              WHERE q.vec_id < 10
+            ) WHERE rank <= 5
         """,
         "q08_market_share": f"""
             SELECT o_year,
