@@ -1574,6 +1574,35 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture assembly: subsample languages to a 40/20/20/20
+    en/fr/de/es target (zh dropped), rates derived from observed counts for
+    max retention, applied via the deterministic md5-prefix filter.
+    Scale: one tiny stratum-count agg broadcast back; the corpus sees a
+    broadcast join + map-only filter — no driver collect, no RNG."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "mixture", "on": "doc_id",
+         "stratify_by": "lang",
+         "weights": {"en": 0.4, "fr": 0.2, "de": 0.2, "es": 0.2}},
+        {"stage": "select", "columns": ["doc_id", "lang", "source", "n_chars"]},
+    ])
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget fill: keep documents in md5(doc_id)
+    pseudo-random order until each language reaches 500 tokens (straddling
+    doc kept). Scale: the md5-byte pre-bucketing bounds every window span
+    to one bucket — no corpus-wide single-task window."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "token_budget", "id_col": "doc_id",
+         "column": "text", "budget": 500, "by": "lang"},
+        {"stage": "select",
+         "columns": ["doc_id", "lang", "source", "n_tokens"]},
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1650,6 +1679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_sample": q_hash_sample,
         "q_contamination": q_contamination,
         "q_chunk_documents": q_chunk_documents,
+        "q_mixture_sample": q_mixture_sample,
+        "q_token_budget": q_token_budget,
     }
 
 
@@ -2519,5 +2550,51 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(w[chunk_idx*50+1 : chunk_idx*50+50], ' ')
                      AS chunk_text
             FROM c
+        """,
+        # threshold arithmetic mirrors mixture_sample op-for-op (IEEE
+        # doubles, same operation order) so the md5 cut is bit-identical
+        "q_mixture_sample": """
+            WITH w AS (
+              SELECT * FROM (VALUES
+                ('en', CAST(0.4 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+                ('de', CAST(0.2 AS DOUBLE)), ('es', CAST(0.2 AS DOUBLE))
+              ) AS t(lang, wt)
+            ),
+            cnt AS (
+              SELECT d.lang, wt, CAST(count(*) AS DOUBLE) AS c
+              FROM documents d JOIN w ON d.lang = w.lang
+              GROUP BY d.lang, wt
+            ),
+            mx AS (SELECT min(c / wt) AS tv FROM cnt),
+            thr AS (
+              SELECT lang,
+                     CASE WHEN floor(tv * wt / c * 256) >= 256 THEN 'g'
+                          ELSE printf('%02x',
+                                      CAST(floor(tv * wt / c * 256) AS INT))
+                     END AS h
+              FROM cnt, mx
+            )
+            SELECT doc_id, d.lang, source, n_chars
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < h
+        """,
+        "q_token_budget": """
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t != '')) AS BIGINT)
+                       AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS ok
+              FROM documents
+            ),
+            c AS (
+              SELECT *, coalesce(sum(n_tokens) OVER (
+                  PARTITION BY lang ORDER BY ok, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS cum_before
+              FROM d
+            )
+            SELECT doc_id, lang, source, n_tokens FROM c
+            WHERE cum_before < 500
         """,
     }

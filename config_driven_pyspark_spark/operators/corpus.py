@@ -19,13 +19,18 @@ at 100 TB.
   documents sharing word n-grams with a benchmark set (eval-set leakage).
 - ``chunk_documents``   — split each document into fixed-size token
   windows (optional stride overlap) for context-length packing.
+- ``mixture_sample``    — deterministic source/language mixing: derive
+  per-stratum sampling rates from target mixture weights (max retention)
+  and apply them with the md5-prefix filter.
+- ``token_budget_sample`` — deterministic "~N tokens, reproducibly":
+  md5-ordered fill until a (global or per-stratum) token budget.
 
 Scale notes per operator are on the functions.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from config_driven_pyspark_spark.functions import text as TX
 from config_driven_pyspark_spark.operators.dedup import _materialize, _spread
@@ -130,6 +135,116 @@ def hash_sample(
     return df.withColumn("sample_bucket", bucket).filter(keep)
 
 
+def mixture_sample(
+    df: DataFrame,
+    stratify_by: str,
+    weights: dict[str, float],
+    key_col: str,
+) -> DataFrame:
+    """Deterministic data mixing: subsample strata so the output
+    approximates the target ``weights`` (stratum → proportion) with maximum
+    retention — the per-source mixing step of training-corpus assembly
+    (Pile/Dolma-style source weighting). Strata absent from ``weights`` are
+    dropped.
+
+    Rates are derived, not given: with observed counts ``c_g`` and targets
+    ``w_g``, the largest feasible output is ``T = min_g c_g/w_g``; stratum
+    ``g`` keeps ``T·w_g`` rows via the same md5-prefix filter as
+    ``hash_sample`` (granularity 1/256), so results are identical for any
+    partitioning or cluster size.
+
+    Scale: one tiny groupBy on the stratum column (map-side partial
+    counts), the scalar ``T`` and per-stratum thresholds stay DataFrame-side
+    (broadcast back) — no driver collect; the corpus itself sees one
+    broadcast-hash join + a map-only filter.
+    """
+    if not weights:
+        raise ValueError("mixture_sample needs non-empty weights")
+    w_expr = None
+    for value, w in weights.items():
+        clause = F.when(F.col(stratify_by) == value, F.lit(float(w)))
+        w_expr = clause if w_expr is None else w_expr.when(
+            F.col(stratify_by) == value, F.lit(float(w))
+        )
+    counts = (
+        df.select(stratify_by)
+        .withColumn("w", w_expr)
+        .filter(F.col("w").isNotNull())
+        .groupBy(stratify_by, "w")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tmax = counts.agg(F.min(F.col("c") / F.col("w")).alias("t"))
+    # threshold arithmetic mirrors the DuckDB oracle op-for-op so the md5
+    # cut is bit-identical: rate = (t*w)/c, n = floor(rate*256)
+    n = F.floor(F.col("t") * F.col("w") / F.col("c") * 256)
+    rates = (
+        counts.crossJoin(F.broadcast(tmax))
+        .select(
+            stratify_by,
+            F.when(n >= 256, F.lit("g"))
+            .otherwise(F.format_string("%02x", n.cast("int")))
+            .alias("__thr"),
+        )
+    )
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+    return (
+        df.join(F.broadcast(rates), stratify_by)
+        .filter(bucket < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    budget: int = 1_000_000,
+    by: str | None = None,
+) -> DataFrame:
+    """Deterministic token-budget fill: keep documents in md5(id) pseudo-
+    random order until the cumulative token count reaches ``budget``
+    (per-``by``-stratum when given, else global) — "give me ~N tokens,
+    reproducibly". The straddling document is kept, so overshoot is bounded
+    by one document. Output adds ``n_tokens``.
+
+    Scale: a naive global running sum is one unpartitioned window task. Here
+    the order key's first md5 byte pre-buckets rows into 256 uniform groups:
+    per-bucket token totals (tiny agg) get prefix-summed in a 256-row
+    window, then each bucket computes its local running sum in parallel and
+    adds its offset — same semantics as the global window (the bucket is a
+    prefix of the order key), but the widest window span is |bucket|, not
+    |corpus|.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    keys = [by] if by else []
+    okey = F.md5(F.col(id_col).cast("string"))
+    base = df.withColumn("n_tokens", TX.token_count(F.col(text_col))).withColumn(
+        "__ok", okey
+    ).withColumn("__b", F.substring("__ok", 1, 2))
+    btot = base.groupBy(*keys, "__b").agg(F.sum("n_tokens").alias("__bt"))
+    w_off = (
+        Window.partitionBy(*keys).orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        *keys, "__b", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_local = (
+        Window.partitionBy(*(keys + ["__b"])).orderBy("__ok", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offsets), keys + ["__b"])
+        .withColumn(
+            "__before",
+            F.col("__off") + F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)),
+        )
+        .filter(F.col("__before") < budget)
+        .drop("__ok", "__b", "__off", "__before")
+    )
+
+
 def contamination_flags(
     df: DataFrame,
     benchmark: DataFrame,
@@ -226,9 +341,11 @@ def chunk_documents(
 
 def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     """``{"stage": "corpus", "op": "repetition|hash_sample|decontaminate|
-    contamination_flags|chunk", ...}`` — config-driven entry points.
-    ``decontaminate``/``contamination_flags`` take ``benchmark`` (a named
-    frame from an earlier stage)."""
+    contamination_flags|chunk|mixture|token_budget", ...}`` — config-driven
+    entry points. ``decontaminate``/``contamination_flags`` take
+    ``benchmark`` (a named frame from an earlier stage); ``mixture`` takes
+    ``stratify_by`` + ``weights``; ``token_budget`` takes ``budget`` and
+    optional ``by``."""
     op = spec.get("op")
     id_col = spec.get("id_col", "id")
     text_col = spec.get("column", "text")
@@ -253,5 +370,13 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return chunk_documents(
             df, id_col, text_col, int(spec.get("chunk_size", 64)),
             spec.get("stride"),
+        )
+    if op == "mixture":
+        return mixture_sample(
+            df, spec["stratify_by"], spec["weights"], spec.get("on", id_col)
+        )
+    if op == "token_budget":
+        return token_budget_sample(
+            df, id_col, text_col, int(spec["budget"]), spec.get("by")
         )
     raise ValueError(f"Unknown corpus op {op!r}")

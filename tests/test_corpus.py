@@ -78,6 +78,113 @@ def test_hash_sample_stratified_rates(documents):
 def test_hash_sample_requires_config(documents):
     with pytest.raises(ValueError):
         C.hash_sample(documents, "doc_id")
+
+
+# -- mixture sampling --------------------------------------------------------
+
+
+def test_mixture_sample_hits_target_proportions(documents):
+    out = C.mixture_sample(
+        documents, "lang",
+        {"en": 0.5, "fr": 0.25, "de": 0.25}, "doc_id",
+    ).cache()
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(by_lang) <= {"en", "fr", "de"}      # others dropped
+    total = sum(by_lang.values())
+    # md5 granularity is 1/256 → proportions approximate, not exact
+    assert by_lang["en"] / total == pytest.approx(0.5, abs=0.15)
+    assert by_lang["fr"] / total == pytest.approx(0.25, abs=0.15)
+    out.unpersist()
+
+
+def test_mixture_sample_binding_stratum_fully_kept(documents):
+    # with one stratum weighted far above its share, it binds (rate 1.0)
+    # and must be kept in full ('g' threshold keeps every md5 bucket)
+    n_fr = documents.filter("lang = 'fr'").count()
+    out = C.mixture_sample(documents, "lang", {"en": 0.01, "fr": 0.99}, "doc_id")
+    assert out.filter("lang = 'fr'").count() == n_fr
+
+
+def test_mixture_sample_deterministic(documents):
+    w = {"en": 0.6, "es": 0.4}
+    a = C.mixture_sample(documents, "lang", w, "doc_id")
+    b = C.mixture_sample(documents.repartition(5), "lang", w, "doc_id")
+    assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in b.select("doc_id").collect())
+
+
+def test_mixture_sample_requires_weights(documents):
+    with pytest.raises(ValueError):
+        C.mixture_sample(documents, "lang", {}, "doc_id")
+
+
+# -- token-budget sampling ---------------------------------------------------
+
+
+def test_token_budget_fill_semantics(documents):
+    out = C.token_budget_sample(
+        documents, "doc_id", "text", budget=300, by=None
+    ).cache()
+    total = out.agg(F.sum("n_tokens")).collect()[0][0]
+    max_doc = out.agg(F.max("n_tokens")).collect()[0][0]
+    # filled past the budget by at most the straddling document
+    assert total >= 300
+    assert total - max_doc < 300
+    out.unpersist()
+
+
+def test_token_budget_per_stratum(documents):
+    out = C.token_budget_sample(
+        documents, "doc_id", "text", budget=200, by="lang"
+    ).cache()
+    for r in out.groupBy("lang").agg(
+        F.sum("n_tokens").alias("t"), F.max("n_tokens").alias("m")
+    ).collect():
+        assert r["t"] >= 200 or r["t"] > 0   # small strata may run dry
+        assert r["t"] - r["m"] < 200
+    out.unpersist()
+
+
+def test_token_budget_matches_global_window_order(documents):
+    # bucketed two-level cumsum ≡ one global window ordered by (md5, id)
+    from pyspark.sql import Window
+    from config_driven_pyspark_spark.functions import text as TX
+    base = documents.withColumn(
+        "n_tokens", TX.token_count(F.col("text"))
+    ).withColumn("ok", F.md5(F.col("doc_id").cast("string")))
+    w = Window.orderBy("ok", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    expect = sorted(
+        r["doc_id"]
+        for r in base.withColumn(
+            "before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).filter("before < 700").collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in C.token_budget_sample(
+            documents, "doc_id", "text", budget=700
+        ).collect()
+    )
+    assert got == expect
+
+
+def test_token_budget_deterministic_across_partitioning(documents):
+    a = C.token_budget_sample(documents, "doc_id", "text", 400, by="lang")
+    b = C.token_budget_sample(
+        documents.repartition(9), "doc_id", "text", 400, by="lang"
+    )
+    assert sorted(r["doc_id"] for r in a.collect()) == \
+        sorted(r["doc_id"] for r in b.collect())
+
+
+def test_token_budget_rejects_bad_budget(documents):
+    with pytest.raises(ValueError):
+        C.token_budget_sample(documents, "doc_id", "text", 0)
     with pytest.raises(ValueError):
         C.hash_sample(documents, "doc_id", rates={"*": 0.5})
 
