@@ -360,6 +360,53 @@ def minhash_signature(sh: Column, num_hashes: int, seed: int = 7) -> Column:
     )
 
 
+def minhash_signatures_df(
+    shingled: DataFrame, num_hashes: int, seed: int = 7
+) -> DataFrame:
+    """(id, sh) → (id, sig): the same signature recipe as
+    ``minhash_signature`` (identical seeded (a,b) constants, identical
+    xxhash64 base hash — pinned equal in tests), shaped for whole-stage
+    codegen.
+
+    Spark's higher-order functions (``aggregate``/``zip_with``) are
+    interpreted per array element — at 64 hashes that interpretation was
+    ~2/3 of the whole LSH query. Here shingles are exploded once, each
+    hashed once, and the permutations fold in 64 codegen'd ``min()``
+    aggregate buffers with map-side combine: the shuffle moves at most
+    |docs|·64 longs per map partition, not shingle strings. Docs with an
+    empty shingle set (dropped by the explode) rejoin with the fold's
+    all-P signature so both forms agree row-for-row.
+    """
+    rng = random.Random(seed)
+    ab = [
+        (rng.randrange(1, _MH_P), rng.randrange(0, _MH_P))
+        for _ in range(num_hashes)
+    ]
+    exploded = shingled.select("id", F.explode("sh").alias("s")).withColumn(
+        "h", F.xxhash64("s").bitwiseAND(F.lit(_MH_P))
+    )
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(a).cast("bigint") * F.col("h") + F.lit(b)) % _MH_P
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(ab)
+        ]
+    )
+    sig = F.array(*[f"m{i}" for i in range(num_hashes)])
+    empty_sig = F.array_repeat(F.lit(_MH_P).cast("bigint"), num_hashes)
+    # a missing mins row surfaces as null m0 (never null otherwise: the
+    # mod keeps every hash non-null), not as a null array — test the field
+    return (
+        shingled.select("id")
+        .join(mins, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("m0").isNull(), empty_sig).otherwise(sig).alias("sig"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -381,10 +428,9 @@ def minhash_lsh_pairs(
     space is never materialized.
     """
     rows = num_hashes // bands
-    shingled = _shingle_df(df, id_col, text_col, k, unit).withColumn(
-        "sig", minhash_signature(F.col("sh"), num_hashes)
-    )
-    banded = shingled.select(
+    shingled = _shingle_df(df, id_col, text_col, k, unit)
+    sigs = minhash_signatures_df(shingled, num_hashes)
+    banded = sigs.select(
         "id",
         F.explode(
             F.transform(

@@ -134,3 +134,29 @@ def test_minhash_signature_matches_python_reference(spark):
     # identical shingle sets → identical signatures; disjoint sets differ
     assert sigs[1] != sigs[2]
     assert sigs[3] == [_MH_P] * 16  # empty doc: init value everywhere
+
+
+def test_minhash_signatures_df_matches_column_fold(spark):
+    """The codegen-shaped explode+min-aggregate form (what minhash_lsh_pairs
+    runs) produces row-identical signatures to the Column-expression fold,
+    including the all-P signature for empty shingle sets."""
+    from config_driven_pyspark_spark.operators.dedup import (
+        minhash_signature, minhash_signatures_df,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["alpha", "beta", "gamma"]), (2, ["beta"]), (3, []),
+         (4, ["alpha", "beta", "gamma"])],
+        "id bigint, sh array<string>",
+    )
+    fold = {
+        r["id"]: r["sig"]
+        for r in df.select(
+            "id", minhash_signature(F.col("sh"), 16).alias("sig")
+        ).collect()
+    }
+    agg = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures_df(df, 16).collect()
+    }
+    assert fold == agg
