@@ -1603,6 +1603,32 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style exact span dedup: every document is split into
+    16-token windows, only the globally first occurrence of each distinct
+    window survives (first = lowest (doc_id, idx)), and documents are
+    reassembled from their surviving windows. One skew-safe
+    groupBy(segment).min(struct) + equi-join back + one groupBy(doc)."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "line_dedup", "id_col": "doc_id",
+         "column": "text", "window": 16},
+    ])
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate all document tokens in
+    md5(doc_id) pseudo-random order and cut every 128 tokens, splitting
+    straddling documents — (seq_id, n_docs, n_tokens, seq_text), every
+    sequence exactly 128 tokens except the final partial. Global offsets
+    via the two-level 256-bucket prefix sum (no corpus-wide window)."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "pack", "id_col": "doc_id",
+         "column": "text", "seq_len": 128},
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1681,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": q_chunk_documents,
         "q_mixture_sample": q_mixture_sample,
         "q_token_budget": q_token_budget,
+        "q_line_dedup": q_line_dedup,
+        "q_pack_sequences": q_pack_sequences,
     }
 
 
@@ -2596,5 +2624,85 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, source, n_tokens FROM c
             WHERE cum_before < 500
+        """,
+        # first-occurrence choice replicated with a window rn=1 (same
+        # (doc_id, idx) lexicographic order as Spark's min(struct))
+        "q_line_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS w
+              FROM documents
+            ),
+            segs AS (
+              SELECT doc_id, chunk_idx AS idx,
+                     array_to_string(w[chunk_idx*16+1 : chunk_idx*16+16], ' ')
+                       AS seg
+              FROM (
+                SELECT doc_id, w,
+                       unnest([i for i in
+                               range(0, CAST(ceil(len(w)/16.0) AS BIGINT))])
+                         AS chunk_idx
+                FROM toks WHERE len(w) > 0
+              )
+            ),
+            kept AS (
+              SELECT doc_id, idx, seg FROM (
+                SELECT doc_id, idx, seg,
+                       row_number() OVER (PARTITION BY seg
+                                          ORDER BY doc_id, idx) AS rn
+                FROM segs) WHERE rn = 1
+            ),
+            rebuilt AS (
+              SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ),
+            totals AS (
+              SELECT doc_id,
+                     CAST(ceil(len(w)/16.0) AS BIGINT) AS n_segments
+              FROM toks
+            )
+            SELECT t.doc_id, coalesce(r.text, '') AS text, t.n_segments,
+                   t.n_segments - coalesce(r.n_kept, 0) AS n_removed
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # same md5(doc_id) stream order as the Spark path; the oracle may
+        # use one global window (sf0.01), the engine never does
+        "q_pack_sequences": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS w,
+                     md5(CAST(doc_id AS VARCHAR)) AS ok
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+                     CAST(coalesce(sum(len(w)) OVER (
+                         ORDER BY ok, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS s
+              FROM d WHERE len(w) > 0
+            ),
+            pieces AS (
+              SELECT doc_id, w, n, s,
+                     unnest([i for i in
+                             range(s // 128, (s + n - 1) // 128 + 1)])
+                       AS seq_id
+              FROM p
+            ),
+            cut AS (
+              SELECT seq_id,
+                     greatest(s, seq_id*128) - s + 1 AS a,
+                     least(s + n, (seq_id+1)*128) - greatest(s, seq_id*128)
+                       AS m,
+                     greatest(s, seq_id*128) - seq_id*128 AS off,
+                     w
+              FROM pieces
+            )
+            SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(m) AS BIGINT) AS n_tokens,
+                   string_agg(array_to_string(w[a : a+m-1], ' '), ' '
+                              ORDER BY off) AS seq_text
+            FROM cut GROUP BY seq_id
         """,
     }

@@ -24,6 +24,10 @@ at 100 TB.
   and apply them with the md5-prefix filter.
 - ``token_budget_sample`` — deterministic "~N tokens, reproducibly":
   md5-ordered fill until a (global or per-stratum) token budget.
+- ``line_dedup``        — C4/RefinedWeb-style exact span dedup: keep the
+  globally first occurrence of every line / token window, reassemble docs.
+- ``pack_sequences``    — GPT-style concat-and-cut packing of document
+  tokens into fixed ``seq_len`` training sequences.
 
 Scale notes per operator are on the functions.
 """
@@ -339,6 +343,185 @@ def chunk_documents(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    delimiter: str = "\n",
+    window: int | None = None,
+) -> DataFrame:
+    """C4/RefinedWeb-style exact span dedup across the whole corpus: split
+    every document into segments — ``delimiter`` lines (regex) by default,
+    fixed non-overlapping ``window``-token windows when given — keep only
+    the globally first occurrence of each distinct segment (first = lowest
+    (id, segment index)), and reassemble the survivors in original order.
+
+    Output: one row per input document — (id, text, n_segments,
+    n_removed); a document whose every segment was seen earlier keeps an
+    empty text rather than disappearing, so the caller decides the
+    drop threshold.
+
+    Scale: the first-occurrence choice is ``groupBy(segment).min(struct(id,
+    idx))`` — map-side partial aggregation collapses skewed segments (blank
+    lines, boilerplate headers) to one row per map partition before the
+    shuffle, and the join back on the segment is an equi-join AQE can
+    skew-split. Reassembly is one groupBy(id) whose state is bounded by
+    document size. Nothing driver-side, no windows over the corpus.
+    """
+    joiner = " " if window else delimiter
+    if window is not None and window <= 0:
+        raise ValueError("window must be positive")
+    if window:
+        w = F.coalesce(
+            TX.tokens(F.col(text_col)), F.array().cast("array<string>")
+        )
+        arr = F.when(
+            F.size(w) > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.ceil(F.size(w) / F.lit(float(window))) - 1,
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, i.cast("int") * window + 1, window)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        arr = F.coalesce(
+            F.split(F.col(text_col), delimiter), F.array().cast("array<string>")
+        )
+    base = _spread(df).select(F.col(id_col).alias("id"), arr.alias("segs"))
+    segs = base.select("id", F.posexplode("segs").alias("idx", "seg"))
+    firsts = segs.groupBy("seg").agg(
+        F.min(F.struct(F.col("id"), F.col("idx"))).alias("f")
+    )
+    kept = segs.join(firsts, "seg").filter(
+        (F.col("id") == F.col("f.id")) & (F.col("idx") == F.col("f.idx"))
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("__text"),
+        F.count("*").alias("__n_kept"),
+    )
+    return (
+        base.select("id", F.size("segs").cast("bigint").alias("n_segments"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__text", F.lit("")).alias(text_col),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    seq_len: int = 512,
+    by: str | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens in
+    deterministic md5(id) pseudo-random order and cut the stream every
+    ``seq_len`` tokens; a document straddling a cut is split across the
+    adjacent sequences (the standard concat-and-split batching for causal
+    LM training). One row per sequence — (seq_id, n_docs, n_tokens,
+    seq_text); every sequence has exactly ``seq_len`` tokens except the
+    final partial one. ``by`` packs each stratum independently (seq ids
+    restart per stratum).
+
+    Scale: the global token offset reuses ``token_budget_sample``'s
+    two-level prefix sum — md5-prefix buckets give 256 parallel local
+    windows plus one 256-row offset window, never a corpus-wide
+    single-task sort. The boundary explode emits ceil(n/seq_len)+1 pieces
+    per document at most, and the final groupBy(seq_id) moves each token
+    through the shuffle exactly once with perfectly uniform keys.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    keys = [by] if by else []
+    base = (
+        _spread(df)
+        .select(
+            *keys,
+            F.col(id_col).alias("id"),
+            TX.tokens(F.col(text_col)).alias("w"),
+        )
+        .withColumn("n", F.size("w").cast("bigint"))
+        .filter(F.col("n") > 0)
+        .withColumn("__ok", F.md5(F.col("id").cast("string")))
+        .withColumn("__b", F.substring("__ok", 1, 2))
+    )
+    btot = base.groupBy(*keys, "__b").agg(F.sum("n").alias("__bt"))
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        *keys, "__b", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_local = (
+        Window.partitionBy(*(keys + ["__b"]))
+        .orderBy("__ok", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = base.join(F.broadcast(offsets), keys + ["__b"]).withColumn(
+        "__s", F.col("__off") + F.coalesce(F.sum("n").over(w_local), F.lit(0))
+    )
+    pieces = (
+        pos.select(
+            *keys,
+            "id",
+            "w",
+            "n",
+            "__s",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__s") / seq_len),
+                    F.floor((F.col("__s") + F.col("n") - 1) / seq_len),
+                )
+            ).alias("seq_id"),
+        )
+        .withColumn("__ps", F.greatest("__s", F.col("seq_id") * seq_len))
+        .withColumn(
+            "__pe", F.least(F.col("__s") + F.col("n"), (F.col("seq_id") + 1) * seq_len)
+        )
+        .select(
+            *keys,
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            (F.col("__ps") - F.col("seq_id") * seq_len).alias("__off_in_seq"),
+            F.slice(
+                "w",
+                (F.col("__ps") - F.col("__s") + 1).cast("int"),
+                (F.col("__pe") - F.col("__ps")).cast("int"),
+            ).alias("pw"),
+        )
+    )
+    return pieces.groupBy(*keys, "seq_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size("pw")).cast("bigint").alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__off_in_seq", "pw"))),
+                    lambda s: s["pw"],
+                )
+            ),
+        ).alias("seq_text"),
+    )
+
+
 def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     """``{"stage": "corpus", "op": "repetition|hash_sample|decontaminate|
     contamination_flags|chunk|mixture|token_budget", ...}`` — config-driven
@@ -378,5 +561,15 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     if op == "token_budget":
         return token_budget_sample(
             df, id_col, text_col, int(spec["budget"]), spec.get("by")
+        )
+    if op == "line_dedup":
+        win = spec.get("window")
+        return line_dedup(
+            df, id_col, text_col, spec.get("delimiter", "\n"),
+            int(win) if win is not None else None,
+        )
+    if op == "pack":
+        return pack_sequences(
+            df, id_col, text_col, int(spec.get("seq_len", 512)), spec.get("by")
         )
     raise ValueError(f"Unknown corpus op {op!r}")

@@ -278,3 +278,114 @@ def test_corpus_ops_null_and_empty_text(spark):
     # chunking skips docs with no tokens; sampling keys on id so null text kept
     assert C.chunk_documents(df, "id", chunk_size=2).select("id").distinct().count() == 1
     assert C.hash_sample(df, "id", rate=1.0).count() == 3
+
+
+# -- line/span dedup ---------------------------------------------------------
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb\nc"), (2, "b\nd"), (3, "c\na"), (4, None)],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in C.line_dedup(df, "id").collect()}
+    assert rows[1]["text"] == "a\nb\nc" and rows[1]["n_removed"] == 0
+    assert rows[2]["text"] == "d" and rows[2]["n_removed"] == 1
+    assert rows[3]["text"] == "" and rows[3]["n_removed"] == 2
+    assert rows[4]["n_segments"] == 0 and rows[4]["text"] == ""
+
+
+def test_line_dedup_within_doc_repeat(spark):
+    df = spark.createDataFrame([(1, "x\ny\nx")], "id long, text string")
+    r = C.line_dedup(df, "id").collect()[0]
+    # second in-document occurrence of "x" is removed too
+    assert r["text"] == "x\ny" and r["n_removed"] == 1
+
+
+def test_line_dedup_token_windows(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b e f"), (3, "c d")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in C.line_dedup(df, "id", window=2).collect()}
+    assert rows[1]["text"] == "a b c d"
+    assert rows[2]["text"] == "e f"          # "a b" window seen in doc 1
+    assert rows[3]["text"] == ""             # "c d" window seen in doc 1
+    with pytest.raises(ValueError, match="window"):
+        C.line_dedup(df, "id", window=0)
+
+
+def test_line_dedup_on_documents(documents):
+    out = C.line_dedup(documents, "doc_id", window=16).cache()
+    try:
+        # one row per input document, counts consistent
+        assert out.count() == documents.count()
+        bad = out.filter(
+            (F.col("n_removed") < 0) | (F.col("n_removed") > F.col("n_segments"))
+        ).count()
+        assert bad == 0
+        # a surviving corpus has no duplicate window left across docs
+        segs = C.line_dedup(out, "doc_id", window=16).agg(
+            F.sum("n_removed")
+        ).collect()[0][0]
+        assert segs == 0
+    finally:
+        out.unpersist()
+
+
+# -- sequence packing --------------------------------------------------------
+
+
+def test_pack_sequences_exact_lengths_and_conservation(documents):
+    packed = C.pack_sequences(documents, "doc_id", seq_len=128).cache()
+    try:
+        n_seq = packed.count()
+        assert packed.filter(F.col("n_tokens") != 128).count() <= 1
+        total_in = documents.select(
+            F.sum(F.size(F.filter(F.split("text", " "), lambda t: t != "")))
+        ).collect()[0][0]
+        assert packed.agg(F.sum("n_tokens")).collect()[0][0] == total_in
+        # seq ids are dense 0..n-1
+        assert packed.agg(F.max("seq_id")).collect()[0][0] == n_seq - 1
+        # every full sequence text really has 128 whitespace tokens
+        assert packed.filter(
+            F.size(F.split("seq_text", " ")) != F.col("n_tokens")
+        ).count() == 0
+    finally:
+        packed.unpersist()
+
+
+def test_pack_sequences_split_doc_preserves_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a1 a2 a3"), (2, "b1 b2 b3"), (3, "c1 c2 c3")],
+        "id long, text string",
+    )
+    rows = sorted(
+        C.pack_sequences(df, "id", seq_len=4).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    # concatenating all sequences reproduces the md5-ordered token stream
+    stream = " ".join(r["seq_text"] for r in rows).split()
+    import hashlib
+
+    order = sorted([1, 2, 3], key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    expect = [f"{'abc'[i-1]}{j}" for i in order for j in (1, 2, 3)]
+    assert stream == expect
+    assert [r["n_tokens"] for r in rows] == [4, 4, 1]
+
+
+def test_pack_sequences_per_stratum(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "a a a"), (2, "fr", "b b"), (3, "en", "c c c")],
+        "id long, lang string, text string",
+    )
+    rows = C.pack_sequences(df, "id", seq_len=4, by="lang").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # seq ids restart per stratum; strata never mix
+    assert min(r["seq_id"] for r in by_lang["en"]) == 0
+    assert min(r["seq_id"] for r in by_lang["fr"]) == 0
+    assert all("b" not in r["seq_text"] for r in by_lang["en"])
+    with pytest.raises(ValueError, match="seq_len"):
+        C.pack_sequences(df, "id", seq_len=0)
