@@ -48,6 +48,8 @@ HEADLINE = [
     "q08_market_share",
     "q_repetition_stats",
     "q_chunk_documents",
+    "q_line_dedup",
+    "q_pack_sequences",
 ]
 
 
