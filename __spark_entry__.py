@@ -1458,6 +1458,29 @@ def q_flat_map_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.run(spark)
 
 
+def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True pandas UDAF (``GROUPED_AGG``) through the session function
+    catalog: ``register_udaf`` makes ``py_median`` callable from a plain
+    ``aggregate`` expression string. Median is an order statistic — no
+    float-summation-order sensitivity — so pandas and DuckDB agree
+    bit-for-bit. (A real pipeline would use the built-in ``median``; this
+    pins the custom-UDAF mechanism.)"""
+    p = Pipeline.from_config([
+        {"stage": "source", "format": "parquet",
+         "path": f"{sf_dir}/lineitem.parquet"},
+        {"stage": "with_columns",
+         "columns": {"qty": "CAST(l_quantity AS DOUBLE)"}},
+        {"stage": "aggregate", "group_by": ["l_returnflag"],
+         "aggs": {"median_qty": "py_median(qty)",
+                  "n": "py_count(qty)"}},
+    ])
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates in
+    # one aggregation, so the row count is a pandas UDAF too
+    p.register_udaf("py_median", lambda s: float(s.median()), "double")
+    p.register_udaf("py_count", lambda s: int(s.size), "bigint")
+    return p.run(spark)
+
+
 def q_nested_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested drop-select (the extension the reference sketches at
     README.md:98-102 but never implements): build a nested struct, drop a
@@ -1709,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget": q_token_budget,
         "q_line_dedup": q_line_dedup,
         "q_pack_sequences": q_pack_sequences,
+        "q_udaf_median": q_udaf_median,
     }
 
 
@@ -2704,5 +2728,13 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(array_to_string(w[a : a+m-1], ' '), ' '
                               ORDER BY off) AS seq_text
             FROM cut GROUP BY seq_id
+        """,
+        # median is an order statistic (both engines interpolate the middle
+        # pair identically on doubles) — no float-sum order sensitivity
+        "q_udaf_median": """
+            SELECT l_returnflag,
+                   median(CAST(l_quantity AS DOUBLE)) AS median_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
         """,
     }

@@ -131,6 +131,7 @@ class Pipeline:
         self.stages = stages
         self.registry = registry or FunctionRegistry()
         self.udfs: dict[str, Any] = {}
+        self.udafs: dict[str, Any] = {}
         self.grouped_udfs: dict[str, tuple[Any, str]] = {}
         self.flat_maps: dict[str, tuple[Any, str]] = {}
         # Observation handles registered by the `observe` stage, keyed by the
@@ -174,6 +175,31 @@ class Pipeline:
         self.grouped_udfs[name] = (func, schema)
         return self
 
+    def register_udaf(self, name: str, func: Any, returns: str) -> "Pipeline":
+        """Register a true pandas UDAF (``GROUPED_AGG``): ``func`` takes one
+        pandas Series per argument column and returns a single scalar per
+        group. The name is registered on the SparkSession at ``run()`` so any
+        ``aggregate`` stage (or raw ``sql`` stage) can call it inside a plain
+        expression string — ``aggs: {m: "my_median(v)"}``. Arrow-batched with
+        map-side partial application unavailable (whole group ships to one
+        task), so pre-aggregate or salt skewed keys; prefer built-in
+        aggregates whenever the statistic is expressible."""
+        import inspect
+
+        import pandas as pd
+
+        params = list(inspect.signature(func).parameters)
+        # pandas_udf infers GROUPED_AGG from a Series... -> scalar signature;
+        # synthesize the annotations so callers can pass plain lambdas
+        args = ", ".join(f"s{i}" for i in range(len(params)))
+        ns: dict[str, Any] = {"__f": func}
+        exec(f"def __w({args}): return __f({args})", ns)  # noqa: S102
+        wrapper = ns["__w"]
+        wrapper.__annotations__ = {f"s{i}": pd.Series for i in range(len(params))}
+        wrapper.__annotations__["return"] = float
+        self.udafs[name] = F.pandas_udf(wrapper, returnType=returns)
+        return self
+
     def register_flat_map(self, name: str, func: Any, schema: str) -> "Pipeline":
         """Register a UDTF-shaped flat-map for the ``flat_map`` stage:
         ``func`` is an iterator-of-pandas-DataFrames transform (each input
@@ -196,6 +222,11 @@ class Pipeline:
         """Execute all stages; returns the final stage's DataFrame (lazy)."""
         ctx = PipelineContext(spark)
         variables = variables or {}
+        # session-level by Spark's design (expression strings resolve against
+        # the session's function catalog); re-registering overwrites, so the
+        # last-run pipeline wins on a name collision
+        for name, udaf in self.udafs.items():
+            spark.udf.register(name, udaf)
         for raw in self.stages:
             spec = _substitute(dict(raw), variables)
             out = self._run_stage(ctx, spec)

@@ -115,3 +115,38 @@ def test_flat_map_unregistered_errors(spark):
     ])
     with pytest.raises(ValueError, match="Unknown flat-map"):
         p.run(spark)
+
+
+def test_udaf_stage_grouped_agg(spark):
+    df = to_df(spark, [
+        {"k": "a", "v": 1.0}, {"k": "a", "v": 3.0}, {"k": "a", "v": 100.0},
+        {"k": "b", "v": 7.0},
+    ])
+    df.createOrReplaceTempView("t_udaf_in")
+    p = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_udaf_in"},
+        {"stage": "aggregate", "group_by": ["k"],
+         "aggs": {"med": "py_med(v)", "n": "py_n(v)"}},
+    ])
+    p.register_udaf("py_med", lambda s: float(s.median()), "double")
+    p.register_udaf("py_n", lambda s: int(s.size), "bigint")
+    rows = {r["k"]: r for r in p.run(spark).collect()}
+    assert rows["a"]["med"] == 3.0 and rows["a"]["n"] == 3
+    assert rows["b"]["med"] == 7.0 and rows["b"]["n"] == 1
+
+
+def test_udaf_two_column_args(spark):
+    df = to_df(spark, [
+        {"k": "a", "x": 1.0, "w": 1.0}, {"k": "a", "x": 3.0, "w": 3.0},
+    ])
+    df.createOrReplaceTempView("t_udaf_in2")
+    p = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_udaf_in2"},
+        {"stage": "aggregate", "group_by": ["k"],
+         "aggs": {"wm": "py_wmean(x, w)"}},
+    ])
+    p.register_udaf(
+        "py_wmean", lambda x, w: float((x * w).sum() / w.sum()), "double"
+    )
+    [r] = p.run(spark).collect()
+    assert r["wm"] == pytest.approx((1.0 + 9.0) / 4.0)
