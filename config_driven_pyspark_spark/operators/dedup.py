@@ -256,13 +256,22 @@ def _materialize(df: DataFrame) -> DataFrame:
 
 
 def _shingle_df(
-    df: DataFrame, id_col: str, text_col: str, k: int, unit: str
+    df: DataFrame, id_col: str, text_col: str, k: int, unit: str,
+    hashed: bool = False,
 ) -> DataFrame:
+    """(id, sh): the distinct shingle set per document. With ``hashed``,
+    ``sh`` is ``array<bigint>`` of raw xxhash64 per shingle — strings never
+    leave the scan stage, so everything downstream (inverted-index joins,
+    signature folds, verify intersections) persists, shuffles, and compares
+    8-byte longs instead of ~k-word strings. Distinctness survives hashing
+    modulo xxhash64 collisions (~|corpus shingles|²/2⁶⁴ — negligible)."""
     sh = (
         TX.shingles(F.col(text_col), k)
         if unit == "char"
         else TX.word_ngrams(F.col(text_col), k)
     )
+    if hashed:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
     return _materialize(
         _spread(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
     )
@@ -282,9 +291,11 @@ def ngram_jaccard_pairs(
     |A∩B| comes from a self-join on exploded distinct shingles (group count
     per pair); |A∪B| = |A|+|B|−|A∩B|. Scale: the join key is the shingle —
     an inverted index — so cost is Σ df(s)² over shingles, not n²; ``max_df``
-    drops stop-shingles that would dominate that sum.
+    drops stop-shingles that would dominate that sum. The index keys are
+    8-byte xxhash64 values, not shingle strings (see ``_shingle_df``):
+    exact modulo hash collisions, which the birthday bound makes negligible.
     """
-    shingled = _shingle_df(df, id_col, text_col, k, unit)
+    shingled = _shingle_df(df, id_col, text_col, k, unit, hashed=True)
     sizes = shingled.select("id", F.size("sh").alias("n_sh"))
     inverted = shingled.select("id", F.explode("sh").alias("s"))
     if max_df is not None:
@@ -361,7 +372,11 @@ def minhash_signature(sh: Column, num_hashes: int, seed: int = 7) -> Column:
 
 
 def minhash_signatures_df(
-    shingled: DataFrame, num_hashes: int, seed: int = 7
+    shingled: DataFrame,
+    num_hashes: int,
+    seed: int = 7,
+    pre_hashed: bool = False,
+    include_empty: bool = True,
 ) -> DataFrame:
     """(id, sh) → (id, sig): the same signature recipe as
     ``minhash_signature`` (identical seeded (a,b) constants, identical
@@ -373,17 +388,25 @@ def minhash_signatures_df(
     ~2/3 of the whole LSH query. Here shingles are exploded once, each
     hashed once, and the permutations fold in 64 codegen'd ``min()``
     aggregate buffers with map-side combine: the shuffle moves at most
-    |docs|·64 longs per map partition, not shingle strings. Docs with an
-    empty shingle set (dropped by the explode) rejoin with the fold's
-    all-P signature so both forms agree row-for-row.
+    |docs|·64 longs per map partition, not shingle strings.
+
+    ``pre_hashed``: ``sh`` already holds raw xxhash64 longs (see
+    ``_shingle_df(hashed=True)``) — only the 31-bit mask is applied, so the
+    signatures equal the string path's exactly. ``include_empty``: docs
+    with an empty shingle set (dropped by the explode) rejoin with the
+    fold's all-P signature so both forms agree row-for-row; with False they
+    are omitted entirely and the join-back is skipped — the right call for
+    LSH banding, where degenerate all-P signatures would band-collide into
+    an all-pairs clique of empty documents.
     """
     rng = random.Random(seed)
     ab = [
         (rng.randrange(1, _MH_P), rng.randrange(0, _MH_P))
         for _ in range(num_hashes)
     ]
+    base = F.col("s") if pre_hashed else F.xxhash64("s")
     exploded = shingled.select("id", F.explode("sh").alias("s")).withColumn(
-        "h", F.xxhash64("s").bitwiseAND(F.lit(_MH_P))
+        "h", base.bitwiseAND(F.lit(_MH_P))
     )
     mins = exploded.groupBy("id").agg(
         *[
@@ -394,6 +417,8 @@ def minhash_signatures_df(
         ]
     )
     sig = F.array(*[f"m{i}" for i in range(num_hashes)])
+    if not include_empty:
+        return mins.select("id", sig.alias("sig"))
     empty_sig = F.array_repeat(F.lit(_MH_P).cast("bigint"), num_hashes)
     # a missing mins row surfaces as null m0 (never null otherwise: the
     # mod keeps every hash non-null), not as a null array — test the field
@@ -425,11 +450,29 @@ def minhash_lsh_pairs(
     band hashes equal. With 64 hashes / 16 bands (r=4), pair-capture
     probability at j=0.8 is 1-(1-0.8⁴)¹⁶ ≈ 0.9996. Scale: only (band,
     band_hash) groups join — shuffle moves 8-byte hashes; the O(n²) pair
-    space is never materialized.
+    space is never materialized. Shingles are carried as raw xxhash64 longs
+    end-to-end (signature fold, verify intersection) — strings never leave
+    the scan stage; exact modulo negligible 64-bit collisions.
+
+    Empty/short documents all share the single partial shingle ``""`` (see
+    ``word_ngrams``), so they pair with each other at Jaccard 1.0 — they
+    ARE exact duplicates under the shingle definition, but a corpus with
+    millions of them makes the verified output itself quadratic: drop or
+    length-filter such docs upstream. Shingle-less rows (possible only via
+    ``minhash_signatures_df`` on pre-shingled frames) are excluded from
+    banding (``include_empty=False``) instead of emitting degenerate all-P
+    signatures.
     """
     rows = num_hashes // bands
-    shingled = _shingle_df(df, id_col, text_col, k, unit)
-    sigs = minhash_signatures_df(shingled, num_hashes)
+    shingled = _shingle_df(df, id_col, text_col, k, unit, hashed=True)
+    # materialized: both sides of the band self-join consume the signatures,
+    # and the broadcast side breaks exchange reuse — without the persist the
+    # 64-buffer min-aggregate (the query's hottest stage) runs twice
+    sigs = _materialize(
+        minhash_signatures_df(
+            shingled, num_hashes, pre_hashed=True, include_empty=False
+        )
+    )
     banded = sigs.select(
         "id",
         F.explode(

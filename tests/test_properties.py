@@ -160,3 +160,56 @@ def test_minhash_signatures_df_matches_column_fold(spark):
         for r in minhash_signatures_df(df, 16).collect()
     }
     assert fold == agg
+
+
+def test_minhash_prehashed_signatures_equal_string_path(spark):
+    """_shingle_df(hashed=True) + pre_hashed signatures equal the string
+    path bit-for-bit (only the xxhash64 site moves), and include_empty=False
+    drops exactly the empty-set docs instead of emitting all-P rows."""
+    from config_driven_pyspark_spark.operators.dedup import (
+        minhash_signatures_df,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["alpha", "beta"]), (2, ["gamma"]), (3, [])],
+        "id bigint, sh array<string>",
+    )
+    hashed = df.select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    )
+    via_str = {
+        r["id"]: r["sig"] for r in minhash_signatures_df(df, 16).collect()
+    }
+    via_hash = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures_df(hashed, 16, pre_hashed=True).collect()
+    }
+    assert via_str == via_hash
+    non_empty = {
+        r["id"]
+        for r in minhash_signatures_df(
+            hashed, 16, pre_hashed=True, include_empty=False
+        ).collect()
+    }
+    assert non_empty == {1, 2}
+
+
+def test_minhash_lsh_pairs_empty_docs_are_exact_dups(spark):
+    """Empty/short docs share the single partial shingle "" — they pair at
+    Jaccard 1.0 (exact dups under the shingle definition), pinned here so a
+    length-filter upstream stays the documented mitigation."""
+    from config_driven_pyspark_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, ""), (4, "")],
+        "id bigint, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "id", "text", k=5, num_hashes=16, bands=4, unit="word"
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0, (3, 4): 1.0}
