@@ -21,6 +21,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 _FORMATS = {"parquet", "json", "csv", "orc", "text", "avro", "delta"}
 
+# formats whose DataSource implementation ships outside core Spark — valid
+# cluster-side with the package on the classpath (spark-avro / delta-spark),
+# but absent from a stock PySpark install. Probed lazily so the error is a
+# clear actionable message at the source stage, not an opaque
+# "Failed to find data source" from deep inside load().
+_EXTERNAL_FORMATS = {
+    "avro": "org.apache.spark:spark-avro (add via spark.jars.packages)",
+    "delta": "delta-spark (pip) + io.delta:delta-spark jars",
+}
+
+
+def _check_format_available(spark: SparkSession, fmt: str) -> None:
+    if fmt not in _EXTERNAL_FORMATS:
+        return
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(  # noqa: E501
+            fmt, spark._jsparkSession.sessionState().conf()
+        )
+    except Exception:
+        raise ValueError(
+            f"Source format {fmt!r} needs an external Spark package that is "
+            f"not on this cluster's classpath: {_EXTERNAL_FORMATS[fmt]}"
+        ) from None
+
 
 @contextmanager
 def _scoped_confs(spark: SparkSession, confs: dict):
@@ -64,6 +88,7 @@ def stage_source(spark: SparkSession, spec: dict) -> DataFrame:
             raise ValueError(
                 f"Unknown source format {fmt!r}; expected one of {sorted(_FORMATS)}"
             )
+        _check_format_available(spark, fmt)
 
         streaming = bool(spec.get("streaming"))
         reader = spark.readStream if streaming else spark.read

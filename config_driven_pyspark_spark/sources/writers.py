@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from config_driven_pyspark_spark.sources.readers import _check_format_available
+
 
 def stage_sink(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "sink", "format": "parquet", "path": ..., "mode":
@@ -27,6 +29,7 @@ def stage_sink(df: DataFrame, spec: dict) -> DataFrame:
     (write-through).
     """
     out = df
+    _check_format_available(df.sparkSession, spec.get("format", "parquet"))
     if spec.get("sort_within_partitions"):
         out = out.sortWithinPartitions(*spec["sort_within_partitions"])
     writer = out.write.format(spec.get("format", "parquet")).mode(spec.get("mode", "error"))

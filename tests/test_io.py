@@ -146,3 +146,18 @@ def test_sink_sort_within_partitions_clusters_rows(spark, tmp_path):
     for f in _glob.glob(f"{out}/*.parquet"):
         vals = pq.read_table(f, columns=["o_totalprice"])["o_totalprice"].to_pylist()
         assert vals == sorted(vals), f  # each file internally sorted
+
+
+def test_external_formats_fail_with_actionable_error(spark, tmp_path):
+    """avro/delta are valid formats cluster-side but need external packages;
+    a stock PySpark install should fail at the stage boundary with a clear
+    message, not an opaque lookup error from inside load()."""
+    from config_driven_pyspark_spark.sources.readers import stage_source
+    from config_driven_pyspark_spark.sources.writers import stage_sink
+
+    df = spark.range(3)
+    for fmt in ("avro", "delta"):
+        with pytest.raises(ValueError, match="external Spark package"):
+            stage_source(spark, {"format": fmt, "path": str(tmp_path)})
+        with pytest.raises(ValueError, match="external Spark package"):
+            stage_sink(df, {"format": fmt, "path": str(tmp_path / "out")})
