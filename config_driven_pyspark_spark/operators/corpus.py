@@ -198,6 +198,41 @@ def mixture_sample(
     )
 
 
+def _md5_stream_offsets(
+    base: DataFrame, id_col: str, n_col: str, keys: list[str]
+) -> DataFrame:
+    """Add ``__s`` — the sum of ``n_col`` over all rows strictly before this
+    one in md5(id) pseudo-random order (per-``keys`` stratum) — without a
+    corpus-wide window.
+
+    A naive global running sum is one unpartitioned window task. Here the
+    order key's first md5 byte pre-buckets rows into 256 uniform groups:
+    per-bucket totals (tiny agg) get prefix-summed in a 256-row window,
+    then each bucket computes its local running sum in parallel and adds
+    its offset — same semantics as the global window (the bucket is a
+    prefix of the order key), but the widest window span is |bucket|, not
+    |corpus|. Also leaves ``__ok``/``__b``/``__off`` for the caller to drop.
+    """
+    base = base.withColumn(
+        "__ok", F.md5(F.col(id_col).cast("string"))
+    ).withColumn("__b", F.substring("__ok", 1, 2))
+    btot = base.groupBy(*keys, "__b").agg(F.sum(n_col).alias("__bt"))
+    w_off = (
+        Window.partitionBy(*keys).orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        *keys, "__b", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_local = (
+        Window.partitionBy(*(keys + ["__b"])).orderBy("__ok", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.join(F.broadcast(offsets), keys + ["__b"]).withColumn(
+        "__s", F.col("__off") + F.coalesce(F.sum(n_col).over(w_local), F.lit(0))
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     id_col: str,
@@ -211,41 +246,16 @@ def token_budget_sample(
     reproducibly". The straddling document is kept, so overshoot is bounded
     by one document. Output adds ``n_tokens``.
 
-    Scale: a naive global running sum is one unpartitioned window task. Here
-    the order key's first md5 byte pre-buckets rows into 256 uniform groups:
-    per-bucket token totals (tiny agg) get prefix-summed in a 256-row
-    window, then each bucket computes its local running sum in parallel and
-    adds its offset — same semantics as the global window (the bucket is a
-    prefix of the order key), but the widest window span is |bucket|, not
-    |corpus|.
+    Scale: see ``_md5_stream_offsets`` — no corpus-wide single-task window.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
     keys = [by] if by else []
-    okey = F.md5(F.col(id_col).cast("string"))
-    base = df.withColumn("n_tokens", TX.token_count(F.col(text_col))).withColumn(
-        "__ok", okey
-    ).withColumn("__b", F.substring("__ok", 1, 2))
-    btot = base.groupBy(*keys, "__b").agg(F.sum("n_tokens").alias("__bt"))
-    w_off = (
-        Window.partitionBy(*keys).orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = btot.select(
-        *keys, "__b", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off")
-    )
-    w_local = (
-        Window.partitionBy(*(keys + ["__b"])).orderBy("__ok", id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    base = df.withColumn("n_tokens", TX.token_count(F.col(text_col)))
     return (
-        base.join(F.broadcast(offsets), keys + ["__b"])
-        .withColumn(
-            "__before",
-            F.col("__off") + F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)),
-        )
-        .filter(F.col("__before") < budget)
-        .drop("__ok", "__b", "__off", "__before")
+        _md5_stream_offsets(base, id_col, "n_tokens", keys)
+        .filter(F.col("__s") < budget)
+        .drop("__ok", "__b", "__off", "__s")
     )
 
 
@@ -439,12 +449,12 @@ def pack_sequences(
     final partial one. ``by`` packs each stratum independently (seq ids
     restart per stratum).
 
-    Scale: the global token offset reuses ``token_budget_sample``'s
-    two-level prefix sum — md5-prefix buckets give 256 parallel local
-    windows plus one 256-row offset window, never a corpus-wide
-    single-task sort. The boundary explode emits ceil(n/seq_len)+1 pieces
-    per document at most, and the final groupBy(seq_id) moves each token
-    through the shuffle exactly once with perfectly uniform keys.
+    Scale: the global token offset is ``_md5_stream_offsets`` — md5-prefix
+    buckets give 256 parallel local windows plus one 256-row offset window,
+    never a corpus-wide single-task sort. The boundary explode emits
+    ceil(n/seq_len)+1 pieces per document at most, and the final
+    groupBy(seq_id) moves each token through the shuffle exactly once with
+    perfectly uniform keys.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
@@ -458,26 +468,8 @@ def pack_sequences(
         )
         .withColumn("n", F.size("w").cast("bigint"))
         .filter(F.col("n") > 0)
-        .withColumn("__ok", F.md5(F.col("id").cast("string")))
-        .withColumn("__b", F.substring("__ok", 1, 2))
     )
-    btot = base.groupBy(*keys, "__b").agg(F.sum("n").alias("__bt"))
-    w_off = (
-        Window.partitionBy(*keys)
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = btot.select(
-        *keys, "__b", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off")
-    )
-    w_local = (
-        Window.partitionBy(*(keys + ["__b"]))
-        .orderBy("__ok", "id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pos = base.join(F.broadcast(offsets), keys + ["__b"]).withColumn(
-        "__s", F.col("__off") + F.coalesce(F.sum("n").over(w_local), F.lit(0))
-    )
+    pos = _md5_stream_offsets(base, "id", "n", keys)
     pieces = (
         pos.select(
             *keys,
