@@ -9,9 +9,52 @@ accidental overwrite of large outputs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 from config_driven_pyspark_spark.sources.readers import _check_format_available
+
+_Z_BITS = 4  # 16 quantile buckets per column
+
+
+def z_value(df: DataFrame, cols: list[str]) -> Column:
+    """Morton (Z-curve) value over 2+ numeric columns: each column is
+    quantile-bucketed to ``_Z_BITS`` bits, then the bucket bits are
+    interleaved so rows close in every dimension get close z values.
+
+    The bucket boundaries come from ``approxQuantile`` — a bounded driver
+    action (15 doubles per column, sketch-based single pass, the same
+    sampling trade RangePartitioner makes) — so the z expression itself is
+    pure literal-folded Column arithmetic: fully distributed, no UDF.
+    Quantile (not equal-width) bucketing keeps skewed columns from
+    collapsing into one bucket. Nulls sort first (bucket 0).
+    """
+    if len(cols) < 2:
+        raise ValueError("z_order_by needs at least 2 columns")
+    numeric = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in cols:
+        t = numeric.get(c, "")
+        if not any(t.startswith(p) for p in
+                   ("int", "bigint", "smallint", "tinyint", "float",
+                    "double", "decimal", "date", "timestamp")):
+            raise ValueError(
+                f"z_order_by column {c!r} has type {t!r}; z-ordering needs "
+                "an orderable numeric/temporal column"
+            )
+    probe = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    probs = [i / (1 << _Z_BITS) for i in range(1, 1 << _Z_BITS)]
+    bounds = dict(zip(cols, probe.approxQuantile(cols, probs, 0.001)))
+    z = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("double")
+        bucket = F.lit(0)
+        for q in bounds[c]:
+            bucket = bucket + F.when(v > q, 1).otherwise(0)
+        for j in range(_Z_BITS):
+            bit = F.shiftright(bucket.cast("bigint"), j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * len(cols) + i))
+    return z
 
 
 def stage_sink(df: DataFrame, spec: dict) -> DataFrame:
@@ -25,11 +68,29 @@ def stage_sink(df: DataFrame, spec: dict) -> DataFrame:
     become selective and downstream range predicates skip row groups; the
     cheap half of Z-ordering, worth it on any large sorted-read workload.
 
+    ``z_order_by: [c1, c2, ...]`` is the full version: rows are
+    range-repartitioned and sorted by a Morton value interleaving the
+    quantile-bucket bits of every listed column (see ``z_value``), so
+    files get tight min/max ranges on ALL the columns at once and
+    predicates on any subset skip files — what a single-column sort can
+    only give the leading column. One range shuffle; mutually exclusive
+    with ``sort_within_partitions``.
+
     Returns the input DataFrame unchanged so a sink can sit mid-pipeline
     (write-through).
     """
     out = df
     _check_format_available(df.sparkSession, spec.get("format", "parquet"))
+    if spec.get("z_order_by") and spec.get("sort_within_partitions"):
+        raise ValueError("z_order_by and sort_within_partitions are exclusive")
+    if spec.get("z_order_by"):
+        zcols = list(spec["z_order_by"])
+        out = (
+            out.withColumn("__z", z_value(out, zcols))
+            .repartitionByRange("__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
     if spec.get("sort_within_partitions"):
         out = out.sortWithinPartitions(*spec["sort_within_partitions"])
     writer = out.write.format(spec.get("format", "parquet")).mode(spec.get("mode", "error"))

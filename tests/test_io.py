@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from config_driven_pyspark_spark import Pipeline
 
@@ -161,3 +162,53 @@ def test_external_formats_fail_with_actionable_error(spark, tmp_path):
             stage_source(spark, {"format": fmt, "path": str(tmp_path)})
         with pytest.raises(ValueError, match="external Spark package"):
             stage_sink(df, {"format": fmt, "path": str(tmp_path / "out")})
+
+
+def test_z_order_sink_clusters_both_dimensions(spark, tmp_path):
+    """z_order_by writes files whose min/max ranges are tight on BOTH
+    columns (multi-dimensional clustering), the property that lets parquet
+    file/row-group stats skip data for predicates on either column."""
+    from config_driven_pyspark_spark.sources.writers import stage_sink
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "zorder")
+    stage_sink(df, {
+        "format": "parquet", "path": path, "mode": "overwrite",
+        "z_order_by": ["o_custkey", "o_totalprice"],
+    })
+    back = spark.read.parquet(path)
+    # content preserved exactly
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+    # per-file spans: each file should cover a small fraction of both
+    # dimensions (an unclustered write covers ~the whole range in every file)
+    stats = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("ck_span"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp_span"),
+        )
+    )
+    n_files = stats.count()
+    if n_files >= 4:  # meaningful only when the write actually split
+        full_ck = df.agg(F.max("o_custkey") - F.min("o_custkey")).first()[0]
+        full_tp = df.agg(F.max("o_totalprice") - F.min("o_totalprice")).first()[0]
+        avg = stats.agg(F.avg("ck_span"), F.avg("tp_span")).first()
+        assert avg[0] < full_ck * 0.8
+        assert avg[1] < full_tp * 0.8
+
+
+def test_z_order_rejects_bad_specs(spark, tmp_path):
+    from config_driven_pyspark_spark.sources.writers import stage_sink, z_value
+
+    df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s",
+                                    "id * 2 AS v")
+    with pytest.raises(ValueError, match="at least 2"):
+        z_value(df, ["id"])
+    with pytest.raises(ValueError, match="orderable numeric"):
+        z_value(df, ["id", "s"])
+    with pytest.raises(ValueError, match="exclusive"):
+        stage_sink(df, {"path": str(tmp_path / "x"),
+                        "z_order_by": ["id", "v"],
+                        "sort_within_partitions": ["id"]})
