@@ -16,6 +16,9 @@ from pyspark.sql import SparkSession
 #: - AQE + coalescing + skew-join: runtime re-planning from real sizes
 #: - broadcast threshold raised to 64m: dim tables broadcast, facts don't
 #: - 128m parquet split target: ~1 task per HDFS-ish block, bounded memory
+#: - runtime bloom-filter join: a selective dim-side filter is pushed into
+#:   the fact scan as a bloom probe, cutting shuffle input for joins too
+#:   big to broadcast — the 100 TB case where it matters most
 DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -23,6 +26,7 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 
