@@ -29,3 +29,23 @@ def test_training_data_prep_example(spark, tmp_path):
     assert 0 < n < 500  # filters + dedup must actually drop rows
     # partitioned layout on disk
     assert any(d.startswith("lang=") for d in os.listdir(out))
+
+
+def test_pretraining_shards_example(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    with open(os.path.join(EXAMPLES, "pretraining_shards.yaml")) as fh:
+        text = fh.read()
+    result = Pipeline.from_yaml(text).run(
+        spark,
+        variables={
+            "input": "/root/testdata/sf0.001/documents.parquet",
+            "output": out,
+            "seq_len": 256,
+        },
+    )
+    assert result.columns == ["seq_id", "n_docs", "n_tokens", "seq_text"]
+    written = spark.read.parquet(out)
+    n_seq = written.count()
+    assert n_seq > 0
+    # every sequence is exactly seq_len tokens except at most the last
+    assert written.filter("n_tokens <> 256").count() <= 1

@@ -213,3 +213,71 @@ def test_minhash_lsh_pairs_empty_docs_are_exact_dups(spark):
         ).collect()
     }
     assert got == {(1, 2): 1.0, (3, 4): 1.0}
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1,
+        max_size=8,
+    ),
+    seq_len=st.integers(min_value=1, max_value=7),
+)
+def test_pack_sequences_conserves_token_stream(spark, texts, seq_len):
+    """Packing is a pure re-cut of the md5-ordered token stream: concat of
+    sequences == concat of per-doc tokens in md5(id) order, and every
+    sequence except the last is exactly seq_len tokens."""
+    import hashlib
+
+    from config_driven_pyspark_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id bigint, text string"
+    )
+    rows = sorted(
+        pack_sequences(df, "id", seq_len=seq_len).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    got = [t for r in rows for t in r["seq_text"].split()]
+    order = sorted(range(len(texts)),
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    want = [t for i in order for t in texts[i].split()]
+    assert got == want
+    assert all(r["n_tokens"] == seq_len for r in rows[:-1])
+    if rows:
+        assert 0 < rows[-1]["n_tokens"] <= seq_len
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="xy z", min_size=0, max_size=30), min_size=1,
+        max_size=6,
+    ),
+    window=st.integers(min_value=1, max_value=4),
+)
+def test_line_dedup_each_distinct_segment_survives_once(spark, texts, window):
+    """Span dedup keeps every distinct segment exactly once across the
+    whole corpus and never invents tokens."""
+    from config_driven_pyspark_spark.operators.corpus import line_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id bigint, text string"
+    )
+    out = line_dedup(df, "id", window=window).collect()
+    surviving = [
+        seg
+        for r in out if r["text"]
+        for seg in _windows(r["text"], window)
+    ]
+    expected = set()
+    for t in texts:
+        expected.update(_windows(t, window))
+    assert sorted(surviving) == sorted(expected)
+
+
+def _windows(text, window):
+    toks = text.split()
+    return [
+        " ".join(toks[i : i + window]) for i in range(0, len(toks), window)
+    ]
