@@ -1458,6 +1458,27 @@ def q_flat_map_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.run(spark)
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt through the ``unpivot`` stage (``DataFrame.unpivot``
+    → a map-only Generate, no shuffle beyond the upstream aggregate).
+    Decimal sums cast to double only at the end, so both engines agree
+    exactly."""
+    return _run(spark, [
+        {"stage": "source", "format": "parquet",
+         "path": f"{sf_dir}/lineitem.parquet"},
+        {"stage": "aggregate", "group_by": ["l_returnflag"],
+         "aggs": {
+             "sum_qty":
+                 "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)",
+             "sum_disc":
+                 "CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)",
+         }},
+        {"stage": "unpivot", "ids": ["l_returnflag"],
+         "values": ["sum_qty", "sum_disc"],
+         "var_name": "metric", "value_name": "value"},
+    ])
+
+
 def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True pandas UDAF (``GROUPED_AGG``) through the session function
     catalog: ``register_udaf`` makes ``py_median`` callable from a plain
@@ -1733,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_pack_sequences": q_pack_sequences,
         "q_udaf_median": q_udaf_median,
+        "q_unpivot_metrics": q_unpivot_metrics,
     }
 
 
@@ -2728,6 +2750,21 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(array_to_string(w[a : a+m-1], ' '), ' '
                               ORDER BY off) AS seq_text
             FROM cut GROUP BY seq_id
+        """,
+        "q_unpivot_metrics": """
+            WITH agg AS (
+              SELECT l_returnflag,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                     CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_disc
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value
+            FROM agg
+            UNION ALL
+            SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value
+            FROM agg
         """,
         # median is an order statistic (both engines interpolate the middle
         # pair identically on doubles) — no float-sum order sensitivity

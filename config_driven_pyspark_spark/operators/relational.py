@@ -208,6 +208,23 @@ def stage_pivot(df: DataFrame, spec: dict) -> DataFrame:
     )
 
 
+def stage_unpivot(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "unpivot", "ids": [cols], "values": [cols],
+    "var_name": "metric"?, "value_name": "value"?}`` — wide→long melt via
+    ``DataFrame.unpivot``: one output row per (row, value column).
+
+    Scale: plans as a Generate (same as explode) — map-only row expansion,
+    no shuffle; value columns are cast to their common type by Spark, so
+    mixing incompatible types errors at analysis, not mid-job.
+    """
+    return df.unpivot(
+        [F.col(c) for c in spec["ids"]],
+        [F.col(c) for c in spec["values"]],
+        spec.get("var_name", "metric"),
+        spec.get("value_name", "value"),
+    )
+
+
 def stage_explode(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "explode", "column": "<array expr>", "alias": name,
     "keep": [cols]?, "outer": bool}`` — one output row per array element

@@ -240,7 +240,8 @@ class Pipeline:
     _KINDS = frozenset(
         {
             "source", "sql", "transform", "filter", "select", "with_columns",
-            "drop", "rename", "join", "aggregate", "pivot", "explode",
+            "drop", "rename", "join", "aggregate", "pivot", "unpivot",
+            "explode",
             "window", "sort", "limit",
             "distinct", "union", "intersect", "except", "repartition",
             "sample", "persist",
@@ -292,6 +293,8 @@ class Pipeline:
             return R.stage_aggregate(df, spec)
         if kind == "pivot":
             return R.stage_pivot(df, spec)
+        if kind == "unpivot":
+            return R.stage_unpivot(df, spec)
         if kind == "explode":
             return R.stage_explode(df, spec)
         if kind == "window":

@@ -28,3 +28,19 @@ def test_aggregate_having_on_global_agg(spark):
          "aggs": {"total": "sum(v)"}, "having": "total > 100"},
     ]).run(spark)
     assert empty.count() == 0
+
+
+def test_unpivot_stage_melts_wide_to_long(spark):
+    df = to_df(spark, [
+        {"k": "a", "x": 1.0, "y": 2.0},
+        {"k": "b", "x": 3.0, "y": 4.0},
+    ])
+    df.createOrReplaceTempView("t_unpivot_in")
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_unpivot_in"},
+        {"stage": "unpivot", "ids": ["k"], "values": ["x", "y"]},
+    ]).run(spark)
+    assert out.columns == ["k", "metric", "value"]
+    got = {(r["k"], r["metric"]): r["value"] for r in out.collect()}
+    assert got == {("a", "x"): 1.0, ("a", "y"): 2.0,
+                   ("b", "x"): 3.0, ("b", "y"): 4.0}
