@@ -957,6 +957,28 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series with a 3-hour moving sum: sparse hourly
+    counts per event type are gap-filled to every hour between the global
+    min and max (missing hours → 0), then a rows-frame window computes the
+    moving statistic — correct only on the dense grid. The bounds agg is a
+    1-row broadcast; the grid is built from two tiny sides, never by
+    expanding the input."""
+    return _run(spark, [
+        *_events_stages(sf_dir),
+        {"stage": "with_columns",
+         "columns": {"hour": "date_trunc('hour', ts)"}},
+        {"stage": "aggregate", "group_by": ["event_type", "hour"],
+         "aggs": {"n": "count(*)"}},
+        {"stage": "gap_fill", "time_col": "hour", "step": "1 hour",
+         "group_by": ["event_type"], "fill": {"n": 0}},
+        {"stage": "window", "partition_by": ["event_type"],
+         "order_by": ["hour"],
+         "frame": "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+         "columns": {"n_3h": "sum(n)"}},
+    ])
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-activity week,
     distinct actives per (cohort_week, weeks_since) cell.
@@ -1717,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_sketches": q_approx_sketches,
         "q_agg_orders_stats": q_agg_orders_stats,
         "q_events_hourly": q_events_hourly,
+        "q_events_gapfill": q_events_gapfill,
         "q_retention_cohorts": q_retention_cohorts,
         "q_sessionize_events": q_sessionize_events,
         "q_asof_purchase_view": q_asof_purchase_view,
@@ -2750,6 +2773,33 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(array_to_string(w[a : a+m-1], ' '), ' '
                               ORDER BY off) AS seq_text
             FROM cut GROUP BY seq_id
+        """,
+        # DuckDB sum(BIGINT) over a window yields HUGEINT — cast back so the
+        # moving sum hashes as the same bigint Spark produces
+        "q_events_gapfill": """
+            WITH agg AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM agg),
+            hours AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM b
+            ),
+            grid AS (
+              SELECT t.event_type, h.hour
+              FROM (SELECT DISTINCT event_type FROM agg) t CROSS JOIN hours h
+            ),
+            filled AS (
+              SELECT g.event_type, g.hour, coalesce(a.n, 0) AS n
+              FROM grid g LEFT JOIN agg a USING (event_type, hour)
+            )
+            SELECT event_type, hour, n,
+                   CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+                                     ROWS BETWEEN 2 PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS n_3h
+            FROM filled
         """,
         "q_unpivot_metrics": """
             WITH agg AS (

@@ -257,6 +257,36 @@ def stage_window(df: DataFrame, spec: dict) -> DataFrame:
     )
 
 
+def stage_gap_fill(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "gap_fill", "time_col": col, "step": "1 hour",
+    "group_by": [keys]?, "fill": {col: literal}?}`` — densify a (possibly
+    grouped) time series: one row per group per ``step`` between the
+    global min and max of ``time_col``, with ``fill`` defaults (else null)
+    where no input row exists. Feed it aggregated series, then window
+    stages compute correct moving statistics over the dense grid.
+
+    Scale: the bounds aggregate is a tiny all-reduce whose 1-row result
+    broadcasts into the grid generator; the grid itself is |groups| ×
+    |steps| — exactly the output size, inherent to densification — built
+    by a broadcast nested-loop of two small sides, never by expanding the
+    input; the final fill is one equi-join on (keys, time).
+    """
+    tc = spec["time_col"]
+    keys = list(spec.get("group_by", []))
+    step = spec.get("step", "1 hour")
+    bounds = df.agg(F.min(tc).alias("__lo"), F.max(tc).alias("__hi"))
+    steps = bounds.select(
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"interval {step}"))
+        ).alias(tc)
+    )
+    grid = df.select(*keys).distinct().crossJoin(steps) if keys else steps
+    out = grid.join(df, on=keys + [tc], how="left")
+    for col, val in (spec.get("fill") or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
+    return out
+
+
 def stage_sort(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "sort", "by": [...], "limit": n?}``.
 

@@ -44,3 +44,38 @@ def test_unpivot_stage_melts_wide_to_long(spark):
     got = {(r["k"], r["metric"]): r["value"] for r in out.collect()}
     assert got == {("a", "x"): 1.0, ("a", "y"): 2.0,
                    ("b", "x"): 3.0, ("b", "y"): 4.0}
+
+
+def test_gap_fill_densifies_grouped_series(spark):
+    df = to_df(spark, [
+        {"k": "a", "h": "2024-01-01 00:00:00", "n": 2},
+        {"k": "a", "h": "2024-01-01 03:00:00", "n": 5},
+        {"k": "b", "h": "2024-01-01 01:00:00", "n": 1},
+    ]).selectExpr("k", "CAST(h AS TIMESTAMP) AS h", "n")
+    df.createOrReplaceTempView("t_gapfill_in")
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_gapfill_in"},
+        {"stage": "gap_fill", "time_col": "h", "step": "1 hour",
+         "group_by": ["k"], "fill": {"n": 0}},
+    ]).run(spark)
+    rows = {(r["k"], str(r["h"])): r["n"] for r in out.collect()}
+    # dense: 2 groups x 4 hours (global 00:00..03:00)
+    assert len(rows) == 8
+    assert rows[("a", "2024-01-01 00:00:00")] == 2
+    assert rows[("a", "2024-01-01 01:00:00")] == 0
+    assert rows[("b", "2024-01-01 01:00:00")] == 1
+    assert rows[("b", "2024-01-01 03:00:00")] == 0
+
+
+def test_gap_fill_ungrouped_null_fill(spark):
+    df = to_df(spark, [
+        {"h": "2024-01-01 00:00:00", "v": 1.5},
+        {"h": "2024-01-01 02:00:00", "v": 2.5},
+    ]).selectExpr("CAST(h AS TIMESTAMP) AS h", "v")
+    df.createOrReplaceTempView("t_gapfill_in2")
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_gapfill_in2"},
+        {"stage": "gap_fill", "time_col": "h", "step": "1 hour"},
+    ]).run(spark)
+    rows = {str(r["h"]): r["v"] for r in out.collect()}
+    assert len(rows) == 3 and rows["2024-01-01 01:00:00"] is None
