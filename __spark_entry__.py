@@ -979,6 +979,26 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + last-observation-carried-forward: the sparse hourly mean
+    value per event type is densified (missing hours → null) and each null
+    takes the most recent observed mean — the standard sensor/price-series
+    treatment. One window, all LOCF columns share its shuffle+sort;
+    leading nulls stay null."""
+    return _run(spark, [
+        *_events_stages(sf_dir),
+        {"stage": "with_columns",
+         "columns": {"hour": "date_trunc('hour', ts)"}},
+        {"stage": "filter", "predicate": "value > 90"},  # sparsify
+        {"stage": "aggregate", "group_by": ["event_type", "hour"],
+         "aggs": {"mean_value": "round(avg(value), 6)"}},
+        {"stage": "gap_fill", "time_col": "hour", "step": "1 hour",
+         "group_by": ["event_type"]},
+        {"stage": "fill_forward", "columns": ["mean_value"],
+         "partition_by": ["event_type"], "order_by": ["hour"]},
+    ])
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-activity week,
     distinct actives per (cohort_week, weeks_since) cell.
@@ -1740,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_orders_stats": q_agg_orders_stats,
         "q_events_hourly": q_events_hourly,
         "q_events_gapfill": q_events_gapfill,
+        "q_events_locf": q_events_locf,
         "q_retention_cohorts": q_retention_cohorts,
         "q_sessionize_events": q_sessionize_events,
         "q_asof_purchase_view": q_asof_purchase_view,
@@ -2799,6 +2820,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
                                      ROWS BETWEEN 2 PRECEDING
                                      AND CURRENT ROW) AS BIGINT) AS n_3h
+            FROM filled
+        """,
+        "q_events_locf": """
+            WITH agg AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     round(avg(value), 6) AS mean_value
+              FROM events WHERE value > 90 GROUP BY 1, 2
+            ),
+            b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM agg),
+            hours AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM b
+            ),
+            grid AS (
+              SELECT t.event_type, h.hour
+              FROM (SELECT DISTINCT event_type FROM agg) t CROSS JOIN hours h
+            ),
+            filled AS (
+              SELECT g.event_type, g.hour, a.mean_value
+              FROM grid g LEFT JOIN agg a USING (event_type, hour)
+            )
+            SELECT event_type, hour,
+                   last_value(mean_value IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS mean_value
             FROM filled
         """,
         "q_unpivot_metrics": """

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -285,6 +285,31 @@ def stage_gap_fill(df: DataFrame, spec: dict) -> DataFrame:
     for col, val in (spec.get("fill") or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
     return out
+
+
+def stage_fill_forward(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "fill_forward", "columns": [cols], "order_by": [...],
+    "partition_by": [...]?}`` — last-observation-carried-forward: each null
+    takes the most recent non-null value in order (per partition). The
+    classic companion to ``gap_fill`` for sensor/price series.
+
+    Scale: one window per spec (all columns share the single shuffle+sort);
+    ``last(ignorenulls)`` over an unbounded-preceding rows frame is a
+    running state of one value per column — no second pass, no self-join.
+    Leading nulls (no prior observation) stay null.
+    """
+    w = Window.orderBy(*[parse_sort_key(k) for k in spec["order_by"]]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    if spec.get("partition_by"):
+        w = (
+            Window.partitionBy(*spec["partition_by"])
+            .orderBy(*[parse_sort_key(k) for k in spec["order_by"]])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    return df.withColumns(
+        {c: F.last(c, ignorenulls=True).over(w) for c in spec["columns"]}
+    )
 
 
 def stage_sort(df: DataFrame, spec: dict) -> DataFrame:

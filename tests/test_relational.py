@@ -79,3 +79,21 @@ def test_gap_fill_ungrouped_null_fill(spark):
     ]).run(spark)
     rows = {str(r["h"]): r["v"] for r in out.collect()}
     assert len(rows) == 3 and rows["2024-01-01 01:00:00"] is None
+
+
+def test_fill_forward_locf(spark):
+    df = to_df(spark, [
+        {"k": "a", "i": 1, "v": 10.0}, {"k": "a", "i": 2, "v": None},
+        {"k": "a", "i": 3, "v": None}, {"k": "a", "i": 4, "v": 7.0},
+        {"k": "b", "i": 1, "v": None}, {"k": "b", "i": 2, "v": 3.0},
+    ])
+    df.createOrReplaceTempView("t_locf_in")
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_locf_in"},
+        {"stage": "fill_forward", "columns": ["v"],
+         "partition_by": ["k"], "order_by": ["i"]},
+    ]).run(spark)
+    rows = {(r["k"], r["i"]): r["v"] for r in out.collect()}
+    assert rows[("a", 2)] == 10.0 and rows[("a", 3)] == 10.0
+    assert rows[("a", 4)] == 7.0
+    assert rows[("b", 1)] is None  # leading null stays null
