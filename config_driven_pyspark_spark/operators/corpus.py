@@ -212,24 +212,38 @@ def _md5_stream_offsets(
     its offset — same semantics as the global window (the bucket is a
     prefix of the order key), but the widest window span is |bucket|, not
     |corpus|. Also leaves ``__ok``/``__b``/``__off`` for the caller to drop.
+
+    Stratum keys are joined through a null-coalesced string surrogate: a
+    NULL stratum is a legitimate group (groupBy already treats it as one),
+    and a plain equi-join would silently drop every such row.
     """
-    base = base.withColumn(
+    sk = [f"__k{i}" for i in range(len(keys))]
+    base = base.withColumns(
+        {
+            s: F.coalesce(F.col(k).cast("string"), F.lit("\x00"))
+            for s, k in zip(sk, keys)
+        }
+    ).withColumn(
         "__ok", F.md5(F.col(id_col).cast("string"))
     ).withColumn("__b", F.substring("__ok", 1, 2))
-    btot = base.groupBy(*keys, "__b").agg(F.sum(n_col).alias("__bt"))
+    btot = base.groupBy(*sk, "__b").agg(F.sum(n_col).alias("__bt"))
     w_off = (
-        Window.partitionBy(*keys).orderBy("__b")
+        Window.partitionBy(*sk).orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = btot.select(
-        *keys, "__b", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off")
+        *sk, "__b", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off")
     )
     w_local = (
-        Window.partitionBy(*(keys + ["__b"])).orderBy("__ok", id_col)
+        Window.partitionBy(*(sk + ["__b"])).orderBy("__ok", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return base.join(F.broadcast(offsets), keys + ["__b"]).withColumn(
-        "__s", F.col("__off") + F.coalesce(F.sum(n_col).over(w_local), F.lit(0))
+    return (
+        base.join(F.broadcast(offsets), sk + ["__b"])
+        .withColumn(
+            "__s", F.col("__off") + F.coalesce(F.sum(n_col).over(w_local), F.lit(0))
+        )
+        .drop(*sk)
     )
 
 
@@ -361,10 +375,13 @@ def line_dedup(
     window: int | None = None,
 ) -> DataFrame:
     """C4/RefinedWeb-style exact span dedup across the whole corpus: split
-    every document into segments — ``delimiter`` lines (regex) by default,
+    every document into segments — literal-``delimiter`` lines by default,
     fixed non-overlapping ``window``-token windows when given — keep only
     the globally first occurrence of each distinct segment (first = lowest
     (id, segment index)), and reassemble the survivors in original order.
+    The delimiter is treated as a literal string on both the split and the
+    rejoin (regex-quoted for ``F.split``), so reassembled text round-trips
+    exactly.
 
     Output: one row per input document — (id, text, n_segments,
     n_removed); a document whose every segment was seen earlier keeps an
@@ -398,8 +415,11 @@ def line_dedup(
             ),
         ).otherwise(F.array().cast("array<string>"))
     else:
+        # \Q...\E: Java-regex literal quoting — split and rejoin must agree
+        # on the delimiter being a literal or rebuilt text can't round-trip
         arr = F.coalesce(
-            F.split(F.col(text_col), delimiter), F.array().cast("array<string>")
+            F.split(F.col(text_col), "\\Q" + delimiter + "\\E"),
+            F.array().cast("array<string>"),
         )
     base = _spread(df).select(F.col(id_col).alias("id"), arr.alias("segs"))
     segs = base.select("id", F.posexplode("segs").alias("idx", "seg"))

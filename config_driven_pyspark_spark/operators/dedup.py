@@ -421,13 +421,18 @@ def minhash_signatures_df(
         return mins.select("id", sig.alias("sig"))
     empty_sig = F.array_repeat(F.lit(_MH_P).cast("bigint"), num_hashes)
     # a missing mins row surfaces as null m0 (never null otherwise: the
-    # mod keeps every hash non-null), not as a null array — test the field
+    # mod keeps every hash non-null), not as a null array — test the field.
+    # A null sh array (also dropped by the explode) must stay null, not
+    # become the all-P signature, to match minhash_signature's fold exactly
     return (
-        shingled.select("id")
+        shingled.select("id", F.col("sh").isNull().alias("__sh_null"))
         .join(mins, "id", "left")
         .select(
             "id",
-            F.when(F.col("m0").isNull(), empty_sig).otherwise(sig).alias("sig"),
+            F.when(F.col("__sh_null"), F.lit(None).cast("array<bigint>"))
+            .when(F.col("m0").isNull(), empty_sig)
+            .otherwise(sig)
+            .alias("sig"),
         )
     )
 

@@ -265,6 +265,12 @@ def stage_gap_fill(df: DataFrame, spec: dict) -> DataFrame:
     where no input row exists. Feed it aggregated series, then window
     stages compute correct moving statistics over the dense grid.
 
+    Input rows whose time is not exactly on the generated grid (lo +
+    k·step) are PRESERVED as extra rows via the full-outer fill join —
+    never silently dropped — so a mis-matched ``step`` surfaces as
+    off-grid rows downstream instead of vanishing data. Truncate/bucket
+    times upstream (e.g. ``date_trunc``) so the series is on-grid.
+
     Scale: the bounds aggregate is a tiny all-reduce whose 1-row result
     broadcasts into the grid generator; the grid itself is |groups| ×
     |steps| — exactly the output size, inherent to densification — built
@@ -281,7 +287,7 @@ def stage_gap_fill(df: DataFrame, spec: dict) -> DataFrame:
         ).alias(tc)
     )
     grid = df.select(*keys).distinct().crossJoin(steps) if keys else steps
-    out = grid.join(df, on=keys + [tc], how="left")
+    out = grid.join(df, on=keys + [tc], how="full")
     for col, val in (spec.get("fill") or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
     return out
@@ -296,17 +302,15 @@ def stage_fill_forward(df: DataFrame, spec: dict) -> DataFrame:
     Scale: one window per spec (all columns share the single shuffle+sort);
     ``last(ignorenulls)`` over an unbounded-preceding rows frame is a
     running state of one value per column — no second pass, no self-join.
-    Leading nulls (no prior observation) stay null.
+    Leading nulls (no prior observation) stay null. Without
+    ``partition_by`` the window is global — a single sorted task, fine for
+    aggregated series, wrong for raw 100 TB input.
     """
-    w = Window.orderBy(*[parse_sort_key(k) for k in spec["order_by"]]).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w = (
+        Window.partitionBy(*spec.get("partition_by", []))
+        .orderBy(*[parse_sort_key(k) for k in spec["order_by"]])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    if spec.get("partition_by"):
-        w = (
-            Window.partitionBy(*spec["partition_by"])
-            .orderBy(*[parse_sort_key(k) for k in spec["order_by"]])
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
     return df.withColumns(
         {c: F.last(c, ignorenulls=True).over(w) for c in spec["columns"]}
     )

@@ -9,6 +9,7 @@ accidental overwrite of large outputs.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
 from config_driven_pyspark_spark.sources.readers import _check_format_available
@@ -30,24 +31,28 @@ def z_value(df: DataFrame, cols: list[str]) -> Column:
     """
     if len(cols) < 2:
         raise ValueError("z_order_by needs at least 2 columns")
-    numeric = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    for c in cols:
-        t = numeric.get(c, "")
-        if not any(t.startswith(p) for p in
-                   ("int", "bigint", "smallint", "tinyint", "float",
-                    "double", "decimal", "date", "timestamp")):
-            raise ValueError(
-                f"z_order_by column {c!r} has type {t!r}; z-ordering needs "
-                "an orderable numeric/temporal column"
-            )
-    probe = df.select(
-        *[F.col(c).cast("double").alias(c) for c in cols]
-    )
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+    def as_double(c: str) -> Column:
+        t = types.get(c, "")
+        if t in numeric or t.startswith("decimal"):
+            return F.col(c).cast("double")
+        # DATE/TIMESTAMP cannot cast straight to double; go through the
+        # epoch instead (day/second resolution is plenty for bucketing)
+        if t == "date" or t.startswith("timestamp"):
+            return F.col(c).cast("timestamp").cast("double")
+        raise ValueError(
+            f"z_order_by column {c!r} has type {t!r}; z-ordering needs "
+            "an orderable numeric/temporal column"
+        )
+
+    probe = df.select(*[as_double(c).alias(c) for c in cols])
     probs = [i / (1 << _Z_BITS) for i in range(1, 1 << _Z_BITS)]
     bounds = dict(zip(cols, probe.approxQuantile(cols, probs, 0.001)))
     z = F.lit(0).cast("bigint")
     for i, c in enumerate(cols):
-        v = F.col(c).cast("double")
+        v = as_double(c)
         bucket = F.lit(0)
         for q in bounds[c]:
             bucket = bucket + F.when(v > q, 1).otherwise(0)
@@ -80,33 +85,43 @@ def stage_sink(df: DataFrame, spec: dict) -> DataFrame:
     (write-through).
     """
     out = df
+    persisted = None
     _check_format_available(df.sparkSession, spec.get("format", "parquet"))
     if spec.get("z_order_by") and spec.get("sort_within_partitions"):
         raise ValueError("z_order_by and sort_within_partitions are exclusive")
     if spec.get("z_order_by"):
+        # the quantile probe is an eager action over the input and the write
+        # replays the same plan — persist so the upstream DAG runs once
+        persisted = out.persist(StorageLevel.MEMORY_AND_DISK)
         zcols = list(spec["z_order_by"])
         out = (
-            out.withColumn("__z", z_value(out, zcols))
+            persisted.withColumn("__z", z_value(persisted, zcols))
             .repartitionByRange("__z")
             .sortWithinPartitions("__z")
             .drop("__z")
         )
     if spec.get("sort_within_partitions"):
         out = out.sortWithinPartitions(*spec["sort_within_partitions"])
-    writer = out.write.format(spec.get("format", "parquet")).mode(spec.get("mode", "error"))
-    for key, value in (spec.get("options") or {}).items():
-        writer = writer.option(key, value)
-    if spec.get("partition_by"):
-        writer = writer.partitionBy(*spec["partition_by"])
-    bucket = spec.get("bucket_by")
-    if bucket:
-        writer = writer.bucketBy(int(bucket["n"]), *bucket["cols"])
-        if spec.get("sort_by"):
-            writer = writer.sortBy(*spec["sort_by"])
-        writer.saveAsTable(spec["table"])
+    try:
+        writer = out.write.format(spec.get("format", "parquet")).mode(
+            spec.get("mode", "error")
+        )
+        for key, value in (spec.get("options") or {}).items():
+            writer = writer.option(key, value)
+        if spec.get("partition_by"):
+            writer = writer.partitionBy(*spec["partition_by"])
+        bucket = spec.get("bucket_by")
+        if bucket:
+            writer = writer.bucketBy(int(bucket["n"]), *bucket["cols"])
+            if spec.get("sort_by"):
+                writer = writer.sortBy(*spec["sort_by"])
+            writer.saveAsTable(spec["table"])
+            return df
+        if "table" in spec:
+            writer.saveAsTable(spec["table"])
+        else:
+            writer.save(spec["path"])
         return df
-    if "table" in spec:
-        writer.saveAsTable(spec["table"])
-    else:
-        writer.save(spec["path"])
-    return df
+    finally:
+        if persisted is not None:
+            persisted.unpersist(blocking=False)

@@ -389,3 +389,36 @@ def test_pack_sequences_per_stratum(spark):
     assert all("b" not in r["seq_text"] for r in by_lang["en"])
     with pytest.raises(ValueError, match="seq_len"):
         C.pack_sequences(df, "id", seq_len=0)
+
+
+def test_line_dedup_literal_delimiter_round_trips(spark):
+    """The delimiter is literal on both split and rejoin — a regex
+    metacharacter delimiter must round-trip unchanged."""
+    df = spark.createDataFrame([(1, "a|b|c"), (2, "b|d")],
+                               "id long, text string")
+    rows = {r["id"]: r for r in C.line_dedup(df, "id", delimiter="|").collect()}
+    assert rows[1]["text"] == "a|b|c" and rows[1]["n_removed"] == 0
+    assert rows[2]["text"] == "d" and rows[2]["n_removed"] == 1
+
+
+def test_pack_sequences_null_stratum_not_dropped(spark):
+    """Docs with a NULL `by` value form their own stratum instead of
+    silently vanishing from the packed output."""
+    df = spark.createDataFrame(
+        [(1, "en", "a a"), (2, None, "b b b"), (3, None, "c")],
+        "id long, lang string, text string",
+    )
+    packed = C.pack_sequences(df, "id", seq_len=4, by="lang").collect()
+    total = sum(r["n_tokens"] for r in packed)
+    assert total == 6  # 2 + 3 + 1 — nothing lost
+    null_rows = [r for r in packed if r["lang"] is None]
+    assert sum(r["n_tokens"] for r in null_rows) == 4
+
+
+def test_token_budget_null_stratum_not_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "a a"), (2, None, "b b b")],
+        "id long, lang string, text string",
+    )
+    out = C.token_budget_sample(df, "id", budget=100, by="lang").collect()
+    assert {r["id"] for r in out} == {1, 2}

@@ -212,3 +212,20 @@ def test_z_order_rejects_bad_specs(spark, tmp_path):
         stage_sink(df, {"path": str(tmp_path / "x"),
                         "z_order_by": ["id", "v"],
                         "sort_within_partitions": ["id"]})
+
+
+def test_z_order_on_temporal_column(spark, tmp_path):
+    """DATE/TIMESTAMP z_order_by columns bucket via the epoch instead of
+    crashing on a direct double cast."""
+    from config_driven_pyspark_spark.sources.writers import stage_sink
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = str(tmp_path / "ztime")
+    stage_sink(df, {
+        "format": "parquet", "path": path, "mode": "overwrite",
+        "z_order_by": ["o_orderdate", "o_totalprice"],
+    })
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()

@@ -146,7 +146,7 @@ def test_minhash_signatures_df_matches_column_fold(spark):
 
     df = spark.createDataFrame(
         [(1, ["alpha", "beta", "gamma"]), (2, ["beta"]), (3, []),
-         (4, ["alpha", "beta", "gamma"])],
+         (4, ["alpha", "beta", "gamma"]), (5, None)],
         "id bigint, sh array<string>",
     )
     fold = {

@@ -97,3 +97,21 @@ def test_fill_forward_locf(spark):
     assert rows[("a", 2)] == 10.0 and rows[("a", 3)] == 10.0
     assert rows[("a", 4)] == 7.0
     assert rows[("b", 1)] is None  # leading null stays null
+
+
+def test_gap_fill_preserves_off_grid_rows(spark):
+    """Rows not on the generated grid surface as extra rows instead of
+    silently disappearing."""
+    df = to_df(spark, [
+        {"h": "2024-01-01 00:00:00", "n": 1},
+        {"h": "2024-01-01 01:30:00", "n": 7},
+    ]).selectExpr("CAST(h AS TIMESTAMP) AS h", "n")
+    df.createOrReplaceTempView("t_gapfill_og")
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_gapfill_og"},
+        {"stage": "gap_fill", "time_col": "h", "step": "1 hour",
+         "fill": {"n": 0}},
+    ]).run(spark)
+    rows = {str(r["h"]): r["n"] for r in out.collect()}
+    assert rows["2024-01-01 01:30:00"] == 7   # off-grid row preserved
+    assert rows["2024-01-01 01:00:00"] == 0   # grid hole filled
