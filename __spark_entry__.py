@@ -999,6 +999,27 @@ def q_events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_events_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + linear interpolation: densified hourly means get nulls
+    replaced by the line between the surrounding observations (edge nulls
+    stay null). Two windows over one shuffle+sort; identical IEEE op order
+    in the oracle makes the interpolated doubles bit-exact."""
+    return _run(spark, [
+        *_events_stages(sf_dir),
+        {"stage": "with_columns",
+         "columns": {"hour": "date_trunc('hour', ts)"}},
+        {"stage": "filter", "predicate": "value > 90"},  # sparsify
+        {"stage": "aggregate", "group_by": ["event_type", "hour"],
+         "aggs": {"mean_value": "round(avg(value), 6)"}},
+        {"stage": "gap_fill", "time_col": "hour", "step": "1 hour",
+         "group_by": ["event_type"]},
+        {"stage": "interpolate", "columns": ["mean_value"],
+         "time_col": "hour", "partition_by": ["event_type"]},
+        {"stage": "with_columns",
+         "columns": {"mean_value": "round(mean_value, 6)"}},
+    ])
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-activity week,
     distinct actives per (cohort_week, weeks_since) cell.
@@ -1761,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": q_events_hourly,
         "q_events_gapfill": q_events_gapfill,
         "q_events_locf": q_events_locf,
+        "q_events_interp": q_events_interp,
         "q_retention_cohorts": q_retention_cohorts,
         "q_sessionize_events": q_sessionize_events,
         "q_asof_purchase_view": q_asof_purchase_view,
@@ -2847,6 +2869,52 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS mean_value
             FROM filled
+        """,
+        # epoch() == Spark's timestamp→double cast (UTC session); the
+        # interpolation arithmetic mirrors the stage op-for-op so the
+        # doubles are bit-exact before the final round
+        "q_events_interp": """
+            WITH agg AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     round(avg(value), 6) AS mean_value
+              FROM events WHERE value > 90 GROUP BY 1, 2
+            ),
+            b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM agg),
+            hours AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM b
+            ),
+            grid AS (
+              SELECT t.event_type, h.hour
+              FROM (SELECT DISTINCT event_type FROM agg) t CROSS JOIN hours h
+            ),
+            filled AS (
+              SELECT g.event_type, g.hour, a.mean_value
+              FROM grid g LEFT JOIN agg a USING (event_type, hour)
+            ),
+            w AS (
+              SELECT event_type, hour, mean_value, epoch(hour) AS t,
+                     last_value(mean_value IGNORE NULLS) OVER back AS pv,
+                     last_value(CASE WHEN mean_value IS NOT NULL
+                                     THEN epoch(hour) END IGNORE NULLS)
+                       OVER back AS pt,
+                     first_value(mean_value IGNORE NULLS) OVER fwd AS nv,
+                     first_value(CASE WHEN mean_value IS NOT NULL
+                                      THEN epoch(hour) END IGNORE NULLS)
+                       OVER fwd AS nt
+              FROM filled
+              WINDOW back AS (PARTITION BY event_type ORDER BY hour
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW),
+                     fwd AS (PARTITION BY event_type ORDER BY hour
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_type, hour,
+                   round(CASE WHEN mean_value IS NOT NULL THEN mean_value
+                              ELSE pv + (nv - pv) * ((t - pt) / (nt - pt))
+                         END, 6) AS mean_value
+            FROM w
         """,
         "q_unpivot_metrics": """
             WITH agg AS (

@@ -316,6 +316,48 @@ def stage_fill_forward(df: DataFrame, spec: dict) -> DataFrame:
     )
 
 
+def stage_interpolate(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "interpolate", "columns": [cols], "time_col": t,
+    "partition_by": [...]?}`` — linear interpolation of nulls between the
+    surrounding observations: each null gets
+    ``prev + (next − prev) · (t − t_prev)/(t_next − t_prev)``; leading and
+    trailing nulls (no observation on one side) stay null. The numeric
+    companion to ``fill_forward`` for gap-filled sensor/price series.
+
+    Scale: two windows over the same partitioning+sort — a running "last
+    observed (value, time)" backward and a "next observed" forward — so
+    the whole stage is one shuffle+sort with O(1) state per row; no
+    self-join, no second pass.
+    """
+    tc = spec["time_col"]
+    order = [parse_sort_key(k) for k in [tc]]
+    part = spec.get("partition_by", [])
+    w_back = (
+        Window.partitionBy(*part).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*part).orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_num = F.col(tc).cast("double")
+    out = df
+    for c in spec["columns"]:
+        obs_t = F.when(F.col(c).isNotNull(), t_num)
+        prev_v = F.last(c, ignorenulls=True).over(w_back)
+        prev_t = F.last(obs_t, ignorenulls=True).over(w_back)
+        next_v = F.first(c, ignorenulls=True).over(w_fwd)
+        next_t = F.first(obs_t, ignorenulls=True).over(w_fwd)
+        frac = (t_num - prev_t) / (next_t - prev_t)
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+                prev_v + (next_v - prev_v) * frac
+            ),
+        )
+    return out
+
+
 def stage_sort(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "sort", "by": [...], "limit": n?}``.
 

@@ -242,7 +242,8 @@ class Pipeline:
             "source", "sql", "transform", "filter", "select", "with_columns",
             "drop", "rename", "join", "aggregate", "pivot", "unpivot",
             "explode",
-            "window", "gap_fill", "fill_forward", "sort", "limit",
+            "window", "gap_fill", "fill_forward", "interpolate", "sort",
+            "limit",
             "distinct", "union", "intersect", "except", "repartition",
             "sample", "persist",
             "top_k", "dedup", "similarity", "text", "multimodal", "corpus",
@@ -303,6 +304,8 @@ class Pipeline:
             return R.stage_gap_fill(df, spec)
         if kind == "fill_forward":
             return R.stage_fill_forward(df, spec)
+        if kind == "interpolate":
+            return R.stage_interpolate(df, spec)
         if kind == "sort":
             return R.stage_sort(df, spec)
         if kind == "limit":

@@ -115,3 +115,27 @@ def test_gap_fill_preserves_off_grid_rows(spark):
     rows = {str(r["h"]): r["n"] for r in out.collect()}
     assert rows["2024-01-01 01:30:00"] == 7   # off-grid row preserved
     assert rows["2024-01-01 01:00:00"] == 0   # grid hole filled
+
+
+def test_interpolate_linear_between_observations(spark):
+    df = to_df(spark, [
+        {"k": "a", "h": "2024-01-01 00:00:00", "v": 10.0},
+        {"k": "a", "h": "2024-01-01 01:00:00", "v": None},
+        {"k": "a", "h": "2024-01-01 02:00:00", "v": None},
+        {"k": "a", "h": "2024-01-01 03:00:00", "v": 40.0},
+        {"k": "a", "h": "2024-01-01 04:00:00", "v": None},  # trailing
+        {"k": "b", "h": "2024-01-01 00:00:00", "v": None},  # leading
+        {"k": "b", "h": "2024-01-01 01:00:00", "v": 5.0},
+    ]).selectExpr("k", "CAST(h AS TIMESTAMP) AS h", "v")
+    df.createOrReplaceTempView("t_interp_in")
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_interp_in"},
+        {"stage": "interpolate", "columns": ["v"], "time_col": "h",
+         "partition_by": ["k"]},
+    ]).run(spark)
+    rows = {(r["k"], str(r["h"])): r["v"] for r in out.collect()}
+    assert rows[("a", "2024-01-01 01:00:00")] == 20.0
+    assert rows[("a", "2024-01-01 02:00:00")] == 30.0
+    assert rows[("a", "2024-01-01 04:00:00")] is None
+    assert rows[("b", "2024-01-01 00:00:00")] is None
+    assert rows[("a", "2024-01-01 00:00:00")] == 10.0  # observed untouched
