@@ -114,21 +114,34 @@ def test_sink_default_mode_errors_on_existing(spark, tmp_path):
         Pipeline.from_config(cfg).run(spark)
 
 
-def test_source_spark_confs_are_scoped(spark):
+def test_source_spark_confs_are_scoped(spark, tmp_path):
     """A source stage's spark_confs must not leak into the session: the conf
     is applied for the read (schema resolution sees it) and restored after,
-    so later reads in the same session are unaffected."""
+    so later reads in the same session are unaffected. Uses a test-owned
+    TIMESTAMP(NANOS) fixture — driver testdata's physical encoding is not
+    part of this contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "nanos.parquet")
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([10**18, 2 * 10**18, 3 * 10**18], pa.timestamp("ns")),
+        }),
+        path,
+        store_schema=False,  # force Spark to see the parquet NANOS type
+    )
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prior = spark.conf.get(key, None)
     assert prior in (None, "false")  # precondition: not already leaked
     df = Pipeline.from_config([
-        {"stage": "source", "format": "parquet",
-         "path": "/root/testdata/sf0.001/events.parquet",
+        {"stage": "source", "format": "parquet", "path": path,
          "spark_confs": {key: "true"}},
     ]).run(spark)
     assert dict(df.dtypes)["ts"] == "bigint"  # conf was honored at load
     assert spark.conf.get(key, None) == prior  # and restored after
-    assert df.count() > 0  # restored conf doesn't break the loaded frame
+    assert df.count() == 3  # restored conf doesn't break the loaded frame
 
 
 def test_sink_sort_within_partitions_clusters_rows(spark, tmp_path):
