@@ -12,10 +12,13 @@ Scale notes are attached per stage where the 100 TB plan shape matters.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_logger = logging.getLogger(__name__)
 
 
 def parse_sort_key(spec: Any) -> Column:
@@ -306,6 +309,12 @@ def stage_fill_forward(df: DataFrame, spec: dict) -> DataFrame:
     ``partition_by`` the window is global — a single sorted task, fine for
     aggregated series, wrong for raw 100 TB input.
     """
+    if not spec.get("partition_by"):
+        _logger.warning(
+            "fill_forward with no `partition_by` sorts ALL rows in one "
+            "window partition — fine for aggregated series, a single-task "
+            "straggler at scale; supply partition keys for large data"
+        )
     w = (
         Window.partitionBy(*spec.get("partition_by", []))
         .orderBy(*[parse_sort_key(k) for k in spec["order_by"]])
@@ -332,6 +341,12 @@ def stage_interpolate(df: DataFrame, spec: dict) -> DataFrame:
     tc = spec["time_col"]
     order = [parse_sort_key(k) for k in [tc]]
     part = spec.get("partition_by", [])
+    if not part:
+        _logger.warning(
+            "interpolate with no `partition_by` sorts ALL rows in one "
+            "window partition — fine for aggregated series, a single-task "
+            "straggler at scale; supply partition keys for large data"
+        )
     w_back = (
         Window.partitionBy(*part).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -99,6 +99,30 @@ def test_fill_forward_locf(spark):
     assert rows[("b", 1)] is None  # leading null stays null
 
 
+def test_fill_forward_and_interpolate_warn_without_partition_by(spark, caplog):
+    """A global window is a single-task straggler at scale — both stages
+    warn (matching asof_join's contract) but still compute correctly."""
+    df = to_df(spark, [
+        {"i": 1, "v": 1.0}, {"i": 2, "v": None}, {"i": 3, "v": 3.0},
+    ])
+    df.createOrReplaceTempView("t_warn_in")
+    with caplog.at_level("WARNING"):
+        out = Pipeline.from_config([
+            {"stage": "sql", "query": "SELECT * FROM t_warn_in"},
+            {"stage": "fill_forward", "columns": ["v"], "order_by": ["i"]},
+        ]).run(spark)
+        assert {r["v"] for r in out.collect()} == {1.0, 3.0}
+    assert "fill_forward with no `partition_by`" in caplog.text
+    caplog.clear()
+    with caplog.at_level("WARNING"):
+        out = Pipeline.from_config([
+            {"stage": "sql", "query": "SELECT * FROM t_warn_in"},
+            {"stage": "interpolate", "columns": ["v"], "time_col": "i"},
+        ]).run(spark)
+        assert {r["v"] for r in out.collect()} == {1.0, 2.0, 3.0}
+    assert "interpolate with no `partition_by`" in caplog.text
+
+
 def test_gap_fill_preserves_off_grid_rows(spark):
     """Rows not on the generated grid surface as extra rows instead of
     silently disappearing."""
