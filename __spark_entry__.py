@@ -1100,6 +1100,32 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-capable as-of formulation (watermarked interval join +
+    windowed max_by, operators/joins.py::streaming_asof_join) run on batch
+    inputs: each purchase gets the user's latest view within a 2-hour
+    lookback. Unlike q_asof_purchase_view the lookback is bounded by
+    construction — the property that makes the same plan executable as a
+    chained-stateful Structured Streaming query (parity pinned by
+    tests/test_streaming.py)."""
+    ev = _events_stages(sf_dir)
+    ev[-1] = {**ev[-1], "name": "ev"}
+    return _run(spark, [
+        *ev,
+        {"stage": "filter", "predicate": "event_type = 'view'", "input": "ev"},
+        {"stage": "select", "name": "views",
+         "columns": ["user_id", "ts AS vts", "event_id AS view_event_id"]},
+        {"stage": "filter", "predicate": "event_type = 'purchase'", "input": "ev"},
+        {"stage": "select", "columns": ["event_id", "user_id", "ts", "value"]},
+        {"stage": "streaming_asof_join", "right": "views", "on": "ts",
+         "right_on": "vts", "tolerance": "2 hours", "left_id": "event_id",
+         "by": ["user_id"], "how": "inner", "right_prefix": "v_"},
+        {"stage": "select", "columns": [
+            "event_id", "user_id", "ts", "value",
+            "v_vts AS view_ts", "v_view_event_id AS view_event_id"]},
+    ])
+
+
 def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts bucketed into $10 retail-price bands via the equi-ized range
     join (operators/joins.py): intervals explode into covered buckets,
@@ -1801,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention_cohorts": q_retention_cohorts,
         "q_sessionize_events": q_sessionize_events,
         "q_asof_purchase_view": q_asof_purchase_view,
+        "q_streaming_asof": q_streaming_asof,
         "q_events_json": q_events_json,
         # --- relational/window shapes not yet driver-checked ---
         "q_window_range_frame": q_window_range_frame,
@@ -1810,7 +1837,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
         "q_range_join_price_bands": q_range_join_price_bands,
-        "q_approx_sketches": q_approx_sketches,
         "q_window_topk_parts": q_window_topk_parts,
         "q_grouping_sets_orders": q_grouping_sets_orders,
         # --- tail: near-duplicate TPC-H / relational variants (families
@@ -1848,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_intersect_keys": q_intersect_keys,
         "q_percentiles_lineitem": q_percentiles_lineitem,
         "q_agg_orders_stats": q_agg_orders_stats,
+        "q_approx_sketches": q_approx_sketches,
     }
 
 
@@ -2271,6 +2298,20 @@ def oracle_sql() -> dict[str, str]:
                    v.ts AS view_ts, v.view_event_id
             FROM p ASOF JOIN v
               ON p.user_id = v.user_id AND v.ts <= p.ts
+        """,
+        "q_streaming_asof": """
+            WITH v AS (SELECT user_id, ts AS vts, event_id AS view_event_id
+                       FROM events WHERE event_type = 'view'),
+                 p AS (SELECT event_id, user_id, ts, value
+                       FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   arg_max(v.vts, v.vts) AS view_ts,
+                   arg_max(v.view_event_id, v.vts) AS view_event_id
+            FROM p JOIN v
+              ON p.user_id = v.user_id
+             AND v.vts <= p.ts
+             AND v.vts >= p.ts - INTERVAL 2 HOUR
+            GROUP BY p.event_id, p.user_id, p.ts, p.value
         """,
         "q_range_join_price_bands": """
             WITH bands AS (SELECT r AS band_id, r * 10.0 AS lo,

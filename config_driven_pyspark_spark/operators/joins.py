@@ -16,6 +16,11 @@ equi-join/shuffle shapes over built-in DataFrame ops:
   apply the exact bounds filter. Hash join O(|points| + |intervals|·spans)
   instead of a nested loop; each matching pair is produced exactly once
   because a point lives in exactly one bucket.
+- ``streaming_asof_join`` — the streaming-capable as-of: a watermarked
+  time-interval stream-stream join (state bounded by the mandatory
+  ``tolerance``) followed by a time-window ``max_by`` reduction per left
+  row. Runs identically on batch inputs, where it matches ``asof_join``
+  with the same tolerance.
 """
 
 from __future__ import annotations
@@ -67,8 +72,9 @@ def asof_join(
         # semantics with explicit state eviction.
         raise NotImplementedError(
             "asof_join does not support streaming inputs: its union+window "
-            "plan needs an unbounded ordered window. Use a watermarked "
-            "time-interval stream-stream join or the 'stateful' stage."
+            "plan needs an unbounded ordered window. Use streaming_asof_join "
+            "(bounded lookback via a watermarked time-interval join) or the "
+            "'stateful' stage."
         )
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -154,6 +160,100 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def streaming_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    tolerance: str,
+    left_id: str,
+    by: Sequence[str] = (),
+    right_on: Optional[str] = None,
+    left_watermark: str = "0 seconds",
+    right_watermark: Optional[str] = None,
+    window_step: str = "1 hour",
+    how: str = "left",
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Streaming-capable backward as-of join with a *mandatory* bounded
+    lookback: each left row gets the latest right row in
+    ``[left.on − tolerance, left.on]`` per ``by`` key.
+
+    Unlike :func:`asof_join` (union + unbounded window — inexpressible in
+    Structured Streaming), this lowers to the two stateful shapes streaming
+    *does* support, chained: a watermarked time-interval stream-stream join
+    (state bounded by ``tolerance``) followed by a time-window aggregation
+    (``max_by`` picks the latest candidate per left row). ``left_id`` must
+    uniquely identify left rows — it is the reduction key.
+
+    The same code runs on batch inputs (watermarks are no-ops there), where
+    it matches ``asof_join(direction="backward", tolerance=...)`` exactly —
+    parity is pinned by tests. ``window_step`` is any bucket size; it only
+    shapes the aggregation's group key (each left row falls in exactly one
+    window, and ``left_id`` disambiguates within it), so correctness never
+    depends on it. Pick it ≥ the typical watermark delay so streaming
+    emits aren't needlessly fragmented.
+
+    Scale: join state holds only ``tolerance`` worth of right rows per key
+    (watermark-evicted); the aggregation holds one open window per key.
+    Both shuffle on the same ``by`` keys. No unbounded state anywhere.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    right_on = right_on or on
+    by = list(by)
+    if right_on in by:
+        raise ValueError(
+            f"streaming_asof_join right_on {right_on!r} cannot also be a "
+            "`by` key; join on a separate time column"
+        )
+    if left_id not in left.columns:
+        raise ValueError(f"left_id {left_id!r} is not a left column")
+
+    reserved = {"__rt", "__r", "__m", "__w"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"streaming_asof_join reserves column names {sorted(clash)}"
+        )
+    by_aliases = [f"__rb{i}" for i in range(len(by))]
+    payload_cols = [c for c in right.columns if c not in set(by)]
+    out_clash = {f"{right_prefix}{c}" for c in payload_cols} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"streaming_asof_join output columns {sorted(out_clash)} collide "
+            "with left columns; pick a different right_prefix"
+        )
+
+    l = left.withWatermark(on, left_watermark)
+    r = (
+        right.withWatermark(right_on, right_watermark or left_watermark)
+        .select(
+            *[F.col(c).alias(a) for c, a in zip(by, by_aliases)],
+            F.col(right_on).alias("__rt"),
+            F.struct(*[F.col(c) for c in payload_cols]).alias("__r"),
+        )
+    )
+
+    # inclusive at the far edge (delta <= tolerance), matching asof_join
+    cond = (F.col("__rt") <= F.col(on)) & (
+        F.col("__rt") >= F.col(on) - F.expr(f"INTERVAL {tolerance}")
+    )
+    for c, a in zip(by, by_aliases):
+        cond = cond & (F.col(c) == F.col(a))
+    joined = l.join(r, cond, "leftOuter" if how == "left" else "inner")
+
+    group = [F.window(F.col(on), window_step).alias("__w"), F.col(left_id)]
+    carry = [c for c in left.columns if c != left_id]
+    agg = [F.first(F.col(c)).alias(c) for c in carry] + [
+        F.max_by(F.col("__r"), F.col("__rt")).alias("__m")
+    ]
+    reduced = joined.groupBy(*group).agg(*agg)
+    return reduced.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(f"{right_prefix}{c}") for c in payload_cols],
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -229,6 +329,30 @@ def stage_asof_join(left: DataFrame, right: DataFrame, spec: dict) -> DataFrame:
         right_on=spec.get("right_on"),
         direction=spec.get("direction", "backward"),
         tolerance=spec.get("tolerance"),
+        how=spec.get("how", "left"),
+        right_prefix=spec.get("right_prefix", "right_"),
+    )
+
+
+def stage_streaming_asof_join(
+    left: DataFrame, right: DataFrame, spec: dict
+) -> DataFrame:
+    """``{"stage": "streaming_asof_join", "right": name, "on": "ts",
+    "tolerance": "2 hours", "left_id": col, "by": [keys]?, "right_on":
+    col?, "left_watermark": "10 minutes"?, "right_watermark": ...?,
+    "window_step": "1 hour"?, "how": "left"|"inner",
+    "right_prefix": "right_"}``."""
+    return streaming_asof_join(
+        left,
+        right,
+        on=spec["on"],
+        tolerance=spec["tolerance"],
+        left_id=spec["left_id"],
+        by=spec.get("by", ()),
+        right_on=spec.get("right_on"),
+        left_watermark=spec.get("left_watermark", "0 seconds"),
+        right_watermark=spec.get("right_watermark"),
+        window_step=spec.get("window_step", "1 hour"),
         how=spec.get("how", "left"),
         right_prefix=spec.get("right_prefix", "right_"),
     )

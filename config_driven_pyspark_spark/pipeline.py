@@ -250,7 +250,8 @@ class Pipeline:
             "observe",
             "udf", "grouped_map", "flat_map", "sink",
             "watermark", "time_window", "session_window", "stream_dedup",
-            "stateful", "stream_sink", "asof_join", "range_join",
+            "stateful", "stream_sink", "asof_join", "streaming_asof_join",
+            "range_join",
         }
     )
 
@@ -285,10 +286,14 @@ class Pipeline:
             return R.stage_rename(df, spec)
         if kind == "join":
             return R.stage_join(df, ctx.get(spec["right"]), spec)
-        if kind in ("asof_join", "range_join"):
+        if kind in ("asof_join", "streaming_asof_join", "range_join"):
             from config_driven_pyspark_spark.operators import joins as J
 
-            stage_fn = J.stage_asof_join if kind == "asof_join" else J.stage_range_join
+            stage_fn = {
+                "asof_join": J.stage_asof_join,
+                "streaming_asof_join": J.stage_streaming_asof_join,
+                "range_join": J.stage_range_join,
+            }[kind]
             return stage_fn(df, ctx.get(spec["right"]), spec)
         if kind == "aggregate":
             return R.stage_aggregate(df, spec)

@@ -162,3 +162,47 @@ def test_range_join_with_by_keys(spark):
 def test_asof_right_on_in_by_rejected(spark, trades, quotes):
     with pytest.raises(ValueError, match="cannot also be a `by` key"):
         asof_join(trades, quotes, on="t", by=["sym", "t"], right_on="t")
+
+
+# -- streaming_asof_join (batch-mode semantics) ------------------------------
+
+
+def test_streaming_asof_matches_asof_in_batch(spark, trades, quotes):
+    """On batch inputs the interval-join+max_by formulation must equal the
+    union+window asof_join with the same (backward, tolerance) contract."""
+    from config_driven_pyspark_spark.operators.joins import streaming_asof_join
+
+    ref = asof_join(trades, quotes, on="t", by=["sym"],
+                    tolerance="3 minutes", how="left")
+    out = streaming_asof_join(trades, quotes, on="t", tolerance="3 minutes",
+                              left_id="qty", by=["sym"])
+    cols = ("sym", "qty", "right_px")
+    assert rows(out, *cols) == rows(ref, *cols)
+
+
+def test_streaming_asof_tolerance_edge_inclusive(spark, trades, quotes):
+    from config_driven_pyspark_spark.operators.joins import streaming_asof_join
+
+    # A@12:01 vs quote@12:00 is exactly the 1-minute horizon: inclusive
+    out = streaming_asof_join(trades, quotes, on="t", tolerance="1 minute",
+                              left_id="qty", by=["sym"], how="inner")
+    got = rows(out, "sym", "qty", "right_px")
+    assert ("A", 10, 1.0) in got
+    # A@12:09's nearest quote is 12:07 (2 min away): outside, dropped
+    assert all(q != 30 for _, q, _ in got)
+
+
+def test_streaming_asof_inner_drops_unmatched(spark, trades, quotes):
+    from config_driven_pyspark_spark.operators.joins import streaming_asof_join
+
+    out = streaming_asof_join(trades, quotes, on="t", tolerance="10 minutes",
+                              left_id="qty", by=["sym"], how="inner")
+    assert all(s == "A" for s, *_ in rows(out, "sym", "qty", "right_px"))
+
+
+def test_streaming_asof_requires_valid_left_id(spark, trades, quotes):
+    from config_driven_pyspark_spark.operators.joins import streaming_asof_join
+
+    with pytest.raises(ValueError, match="left_id"):
+        streaming_asof_join(trades, quotes, on="t", tolerance="1 minute",
+                            left_id="nope", by=["sym"])

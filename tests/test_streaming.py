@@ -346,3 +346,42 @@ def test_flat_map_stage_works_on_streams(spark, events_dir, tmp_path):
     got = spark.table("fm_stream")
     assert _collect_sorted(got, ["event_id"]) == _collect_sorted(batch, ["event_id"])
     assert got.count() == 400
+
+
+def test_streaming_asof_join_stream_stream(spark, events_dir, tmp_path):
+    """streaming_asof_join runs as a genuine stream-stream chained-stateful
+    plan (watermarked interval join → windowed max_by) and every emitted
+    row equals the batch answer. Append mode can't flush the final open
+    window before the source drains, so the check is emitted ⊆ batch with
+    a liveness floor, not exact set equality."""
+    def stages(streaming):
+        return [
+            {**_source(events_dir, streaming), "name": "src"},
+            {"stage": "filter", "predicate": "event_type = 'buy'"},
+            {"stage": "select",
+             "columns": ["ts AS qts", "user_id", "value AS buy_value"],
+             "name": "buys"},
+            {"stage": "filter", "predicate": "event_type = 'view'",
+             "input": "src"},
+            {"stage": "streaming_asof_join", "right": "buys", "on": "ts",
+             "right_on": "qts", "tolerance": "30 minutes",
+             "left_id": "event_id", "by": ["user_id"],
+             "window_step": "15 minutes"},
+        ]
+
+    cols = ["event_id", "user_id", "right_qts", "right_buy_value"]
+    batch = {t[0]: t for t in _collect_sorted(
+        Pipeline.from_config(stages(False)).run(spark), cols)}
+    stream = Pipeline.from_config(
+        stages(True) + [{
+            "stage": "stream_sink", "format": "memory",
+            "query_name": "sasof", "output_mode": "append",
+            "checkpoint": str(tmp_path / "ckpt_sasof"),
+        }]
+    ).run(spark)
+    emitted = _collect_sorted(stream, cols)
+    assert emitted, "stream emitted nothing"
+    for t in emitted:
+        assert t == batch[t[0]], f"stream row {t} != batch {batch[t[0]]}"
+    # liveness: all but the final unflushed window must have emitted
+    assert len(emitted) >= len(batch) // 2
