@@ -277,6 +277,67 @@ def _shingle_df(
     )
 
 
+def _shingle_ex_df(
+    df: DataFrame, id_col: str, text_col: str, k: int, unit: str
+) -> DataFrame:
+    """(id, h): the distinct hashed shingles of each document in EXPLODED
+    form — one row per (doc, shingle), ``h`` the raw xxhash64 long.
+
+    Hash-identical to ``explode(_shingle_df(hashed=True).sh)`` (pinned by
+    tests) but ~20× cheaper to produce: the array form builds shingles with
+    ``sequence``+``transform`` higher-order functions, which Spark evaluates
+    INTERPRETED per array element (measured 36 s for 1M shingles at sf0.1);
+    here the k-gram enumeration is ``explode`` over start offsets with a
+    plain ``substr``+``xxhash64`` per row — all whole-stage codegen
+    (0.6 s for the same shingles). Distinctness (``array_distinct`` in the
+    array form) becomes one partial-aggregated (id, h) dedup shuffle of
+    8-byte pairs. Consumers that need the per-doc set size aggregate this
+    frame; consumers that need the set intersection join it — neither ever
+    materializes shingle arrays or strings.
+    """
+    spread = _spread(df)
+    if unit == "char":
+        norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        ex = (
+            spread.select(F.col(id_col).alias("id"), norm.alias("__t"))
+            .select(
+                "id",
+                "__t",
+                F.explode(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length("__t") - (k - 1), F.lit(1)),
+                    )
+                ).alias("__p"),
+            )
+            .select(
+                "id",
+                F.xxhash64(F.col("__t").substr(F.col("__p"), F.lit(k))).alias("h"),
+            )
+        )
+    else:
+        toks = TX.tokens(F.lower(F.col(text_col)))
+        ex = (
+            spread.select(F.col(id_col).alias("id"), toks.alias("__w"))
+            .select(
+                "id",
+                "__w",
+                F.explode(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("__w") - k, F.lit(0))
+                    )
+                ).alias("__p"),
+            )
+            .select(
+                "id",
+                F.xxhash64(
+                    F.concat_ws(" ", F.slice("__w", F.col("__p") + 1, k))
+                ).alias("h"),
+            )
+        )
+    return ex.dropDuplicates(["id", "h"])
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -292,12 +353,12 @@ def ngram_jaccard_pairs(
     per pair); |A∪B| = |A|+|B|−|A∩B|. Scale: the join key is the shingle —
     an inverted index — so cost is Σ df(s)² over shingles, not n²; ``max_df``
     drops stop-shingles that would dominate that sum. The index keys are
-    8-byte xxhash64 values, not shingle strings (see ``_shingle_df``):
+    8-byte xxhash64 values, not shingle strings (see ``_shingle_ex_df``):
     exact modulo hash collisions, which the birthday bound makes negligible.
     """
-    shingled = _shingle_df(df, id_col, text_col, k, unit, hashed=True)
-    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
-    inverted = shingled.select("id", F.explode("sh").alias("s"))
+    ex = _materialize(_shingle_ex_df(df, id_col, text_col, k, unit))
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inverted = ex.select("id", F.col("h").alias("s"))
     if max_df is not None:
         rare = (
             inverted.groupBy("s").agg(F.count("*").alias("df"))
@@ -330,6 +391,17 @@ def ngram_jaccard_pairs(
 _MH_P = (1 << 31) - 1  # Mersenne prime 2³¹−1, the universal-hash modulus
 
 
+def _mh_ab(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """The seeded (a, b) universal-hash constants shared by every MinHash
+    path — one generation order, so signatures agree bit-for-bit across the
+    Column fold, the DataFrame aggregate, and the LSH pipeline."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MH_P), rng.randrange(0, _MH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature(sh: Column, num_hashes: int, seed: int = 7) -> Column:
     """MinHash signature as array<bigint> via the standard one-hash
     construction (Broder): each shingle is xxhash64'd ONCE (masked to 31
@@ -349,14 +421,13 @@ def minhash_signature(sh: Column, num_hashes: int, seed: int = 7) -> Column:
     31-bit masking keeps ``a·x + b < 2⁶²`` — no bigint overflow under ANSI
     mode; the hash-space collision loss (~|shingles|²/2³²) is negligible
     for the estimate."""
-    rng = random.Random(seed)
     ab = F.array(
         *[
             F.struct(
-                F.lit(rng.randrange(1, _MH_P)).cast("bigint").alias("a"),
-                F.lit(rng.randrange(0, _MH_P)).cast("bigint").alias("b"),
+                F.lit(a).cast("bigint").alias("a"),
+                F.lit(b).cast("bigint").alias("b"),
             )
-            for _ in range(num_hashes)
+            for a, b in _mh_ab(num_hashes, seed)
         ]
     )
     bases = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MH_P)))
@@ -399,11 +470,7 @@ def minhash_signatures_df(
     LSH banding, where degenerate all-P signatures would band-collide into
     an all-pairs clique of empty documents.
     """
-    rng = random.Random(seed)
-    ab = [
-        (rng.randrange(1, _MH_P), rng.randrange(0, _MH_P))
-        for _ in range(num_hashes)
-    ]
+    ab = _mh_ab(num_hashes, seed)
     base = F.col("s") if pre_hashed else F.xxhash64("s")
     exploded = shingled.select("id", F.explode("sh").alias("s")).withColumn(
         "h", base.bitwiseAND(F.lit(_MH_P))
@@ -463,19 +530,30 @@ def minhash_lsh_pairs(
     ``word_ngrams``), so they pair with each other at Jaccard 1.0 — they
     ARE exact duplicates under the shingle definition, but a corpus with
     millions of them makes the verified output itself quadratic: drop or
-    length-filter such docs upstream. Shingle-less rows (possible only via
-    ``minhash_signatures_df`` on pre-shingled frames) are excluded from
-    banding (``include_empty=False``) instead of emitting degenerate all-P
-    signatures.
+    length-filter such docs upstream.
+
+    Both the signature fold and the verify intersection consume the
+    EXPLODED distinct-shingle frame (``_shingle_ex_df``, persisted once):
+    signatures are 64 codegen'd ``min`` aggregate buffers over it, and
+    verify counts intersections through it as an inverted index — shingle
+    arrays are never materialized (the array-building higher-order
+    functions were the query's hottest stage: interpreted per element).
     """
     rows = num_hashes // bands
-    shingled = _shingle_df(df, id_col, text_col, k, unit, hashed=True)
+    ex = _materialize(_shingle_ex_df(df, id_col, text_col, k, unit))
+    hm = F.col("h").bitwiseAND(F.lit(_MH_P))
+    mins = ex.groupBy("id").agg(
+        *[
+            F.min((F.lit(a).cast("bigint") * hm + F.lit(b)) % _MH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(_mh_ab(num_hashes))
+        ]
+    )
     # materialized: both sides of the band self-join consume the signatures,
     # and the broadcast side breaks exchange reuse — without the persist the
-    # 64-buffer min-aggregate (the query's hottest stage) runs twice
+    # 64-buffer min-aggregate (the hottest remaining stage) runs twice
     sigs = _materialize(
-        minhash_signatures_df(
-            shingled, num_hashes, pre_hashed=True, include_empty=False
+        mins.select(
+            "id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
         )
     )
     banded = sigs.select(
@@ -499,15 +577,27 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sets_a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sets_b = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # exact Jaccard via the same inverted index: |A∩B| as a per-pair match
+    # count through the candidate set, |A∪B| = |A|+|B|−|A∩B|. Candidates
+    # broadcast into the (persisted) index scans under AQE; per-pair cost
+    # is |shingles(a)| rows, never an array materialization.
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    ex_a = ex.select(F.col("id").alias("id_a"), "h")
+    ex_b = ex.select(F.col("id").alias("id_b"), "h")
+    inter = (
+        cand.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        cand.join(sets_a, "id_a")
-        .join(sets_b, "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

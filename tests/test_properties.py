@@ -281,3 +281,36 @@ def _windows(text, window):
     return [
         " ".join(toks[i : i + window]) for i in range(0, len(toks), window)
     ]
+
+
+def test_shingle_ex_df_matches_array_form(spark):
+    """The exploded codegen shingle path (_shingle_ex_df) must produce the
+    exact (id, xxhash64) set of explode(_shingle_df(hashed=True)) — same
+    normalization, same partial-shingle short/empty behavior, same null
+    propagation — for both char and word units."""
+    from config_driven_pyspark_spark.operators.dedup import (
+        _shingle_df, _shingle_ex_df,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The  quick   brown fox jumps over the lazy dog"),
+            (2, "ab"),                      # shorter than k: one partial
+            (3, ""),                        # empty: the "" shingle
+            (4, None),                      # null text
+            (5, "  padded   WHITESPACE  "), # normalization matters
+            (6, "aaaaaaaaaa"),              # heavy duplicate shingles
+        ],
+        "doc_id bigint, text string",
+    )
+    for unit, k in (("char", 5), ("word", 3)):
+        arr = {
+            (r["id"], r["h"])
+            for r in _shingle_df(df, "doc_id", "text", k, unit, hashed=True)
+            .select("id", F.explode_outer("sh").alias("h")).collect()
+        }
+        ex = {
+            (r["id"], r["h"])
+            for r in _shingle_ex_df(df, "doc_id", "text", k, unit).collect()
+        }
+        assert ex == arr, f"unit={unit}: {ex ^ arr}"
