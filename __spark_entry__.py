@@ -1346,7 +1346,11 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over binary columns: documents' text bytes as
-    opaque media content → Arrow-batched feature extraction (fake decoder)."""
+    opaque media content → Arrow-batched feature extraction (fake decoder).
+    The ``array<float>`` feature is projected to a comma-joined string of
+    its underlying sha256 digest bytes (exactly recoverable: each float is
+    digest[i]/255, so round(x*255) is the byte) — driver-hashable AND
+    exactly replicable by the DuckDB oracle's hex-substring extraction."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -1356,7 +1360,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "struct<width:int,height:int,sample_rate:int,n_frames:int>"
         ).alias("meta"),
     )
-    return MM.extract_features(media, dim=8)
+    feats = MM.extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.expr(
+            "array_join(transform(feature, x -> CAST(round(x * 255) AS INT)), ',')"
+        ).alias("feature_sig"),
+    )
 
 
 def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1619,7 +1631,7 @@ def q_nested_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      {"expr": "info.etype", "alias": "etype"},
                      {"expr": "info.vals.v", "alias": "v"},
                      {"expr": "info.uid", "alias": "uid"},
-                     {"expr": "json_object_keys(to_json(info.vals))",
+                     {"expr": "array_join(json_object_keys(to_json(info.vals)), ',')",
                       "alias": "vals_keys"}]},
     ])
 
@@ -2326,7 +2338,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_events_json": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,
@@ -2650,8 +2663,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_nested_drop_events": """
             SELECT event_id, event_type AS etype, value AS v,
-                   user_id AS uid, ['v'] AS vals_keys
+                   user_id AS uid, 'v' AS vals_keys
             FROM events
+        """,
+        # The fake feature is sha256(utf8(text)) bytes / 255 (multimodal.py
+        # _fake_feature); DuckDB recovers each byte from the hex digest, so
+        # this is an exact value oracle for the Arrow-batched mapInPandas path.
+        "q_multimodal_features": """
+            SELECT doc_id AS media_id,
+                   'text' AS kind,
+                   strlen(text) AS n_bytes,
+                   array_to_string(
+                     [CAST(concat('0x', substr(sha256(text), 2*i - 1, 2)) AS INT)
+                      for i in range(1, 9)], ',') AS feature_sig
+            FROM documents
         """,
         "q_window_range_frame": """
             SELECT o_orderkey, o_custkey,
