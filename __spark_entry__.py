@@ -1332,16 +1332,18 @@ def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via IVF cells (16 spherical-k-means
-    centroids trained on a deterministic bounded sample, 4 probes);
-    Arrow-batched numpy centroid assignment, Column-native scoring.
-    Rows-only: approximate recall is pinned by tests/test_llm_ops.py
-    (probing all cells reproduces exact brute force; trained centroids beat
-    lowest-id sampling on clustered corpora)."""
+    """Approximate top-5 neighbors via IVF cells (16 deterministic sample
+    centroids — the lowest-id unit vectors — 4 probes); Arrow-batched numpy
+    centroid assignment, Column-native scoring. The sample-centroid path is
+    fully deterministic, so the DuckDB oracle replicates it exactly
+    (argmax of list dot products, ties to the lower cell index — matching
+    the stable argsort in _nearest_cells_udf). The spherical-k-means
+    variant stays pinned by recall tests in tests/test_llm_ops.py (probing
+    all cells reproduces exact brute force)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4,
-                        centroids="kmeans")
+                        centroids="sample")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2509,6 +2511,42 @@ def oracle_sql() -> dict[str, str]:
               JOIN bucketed c ON q.bucket = c.bucket
                              AND q.vec_id <> c.vec_id
               WHERE q.vec_id < 10
+            ) WHERE rank <= 5
+        """,
+        # IVF with centroids="sample" is fully deterministic: the codebook
+        # is the 16 lowest-vec_id unit vectors (cell index = rank by id),
+        # corpus rows go to their argmax-dot cell (ties -> lower cell index,
+        # matching the UDF's stable argsort), queries probe the 4 nearest
+        # cells. Everything is float64 on both sides.
+        "q_ivf_ann": _COSINE_CTE + """
+            , cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx,
+                     u AS cu
+              FROM unitv ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT v.vec_id, v.u, c.cell_idx,
+                     row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.u, c.cu) DESC,
+                                c.cell_idx) AS pr
+              FROM unitv v CROSS JOIN cent c
+            ),
+            corpus_cells AS (
+              SELECT vec_id, u, cell_idx FROM assign WHERE pr = 1),
+            query_cells AS (
+              SELECT vec_id, u, cell_idx FROM assign
+              WHERE pr <= 4 AND vec_id < 10)
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.u, c.u), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.u, c.u), 6) DESC,
+                                c.vec_id) AS rank
+              FROM query_cells q
+              JOIN corpus_cells c ON q.cell_idx = c.cell_idx
+                                 AND q.vec_id <> c.vec_id
             ) WHERE rank <= 5
         """,
         "q08_market_share": f"""
