@@ -97,6 +97,8 @@ def _pairs_to_dedup(
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 50,
+    check_every: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of the (id_a, id_b) pair graph via hash-min
     label propagation: every node repeatedly adopts the smallest label in
@@ -107,49 +109,69 @@ def connected_components(
     (shuffle on id), neighborhood-min aggregates (map-side combinable),
     converging in O(diameter) rounds; dedup-cluster graphs have tiny
     diameters (near-cliques), so 3-4 rounds typical. Every round's labels
-    are **eagerly localCheckpoint-ed**: iterative DataFrame loops grow the
+    have their lineage truncated: iterative DataFrame loops grow the
     logical plan exponentially (each round embeds all previous rounds) and
-    OOM the optimizer within ~15 rounds without lineage truncation — on a
-    real cluster with failure tolerance requirements, set a checkpoint dir
-    and use ``checkpoint()`` instead. Convergence is detected by an
-    aggregate count of changed labels, never a collect of data rows.
+    OOM the optimizer within ~15 rounds otherwise. With ``checkpoint_dir``
+    set the truncation is a reliable ``checkpoint()`` to that directory
+    (survives executor loss — use on real clusters); the default is
+    ``localCheckpoint`` (executor-local blocks, fastest, fine for
+    single-node / fault-free runs).
+
+    Convergence is detected by an aggregate count of changed labels, never
+    a collect of data rows — and only every ``check_every`` rounds, so the
+    convergence-check job amortizes over deep graphs (hash-min labels are
+    monotone non-increasing, so "no change across a k-round block" is
+    exactly "fixpoint reached within the block"; the only cost of k > 1 is
+    up to k−1 extra no-op rounds after the fixpoint).
+
     This is the standard large-graph CC construction (hash-min /
     "small-star" family) on DataFrames.
     """
-    edges = (
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    edges = _truncate(
         pairs.selectExpr("id_a AS src", "id_b AS dst")
         .union(pairs.selectExpr("id_b AS src", "id_a AS dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _truncate(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
-    changed = -1
-    for _ in range(max_iterations):
-        # each node's candidate label: min over (own label, neighbors')
-        neighbor_min = (
-            edges.join(labels, on=edges.dst == labels.id, how="inner")
-            .select(F.col("src").alias("id"), "component")
-        )
-        new_labels = (
-            labels.unionByName(neighbor_min)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
+    it = 0
+    converged = False
+    while it < max_iterations and not converged:
+        anchor = labels  # labels as of the last convergence check
+        for _ in range(min(check_every, max_iterations - it)):
+            # each node's candidate label: min over (own label, neighbors')
+            neighbor_min = (
+                edges.join(labels, on=edges.dst == labels.id, how="inner")
+                .select(F.col("src").alias("id"), "component")
+            )
+            labels = _truncate(
+                labels.unionByName(neighbor_min)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+            it += 1
         changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            labels.join(anchor.withColumnRenamed("component", "old"), "id")
             .filter(F.col("component") != F.col("old"))
             .count()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
+        converged = changed == 0
+    if not converged:
         # silent partial labels would keep duplicates undetected — refuse
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
@@ -160,14 +182,17 @@ def connected_components(
 
 
 def _pairs_to_clusters(
-    df: DataFrame, pairs: DataFrame, id_col: str, keep_by: str | None = None
+    df: DataFrame, pairs: DataFrame, id_col: str, keep_by: str | None = None,
+    cc_kwargs: dict | None = None,
 ) -> DataFrame:
     """Keep one representative per duplicate cluster; rows not in any pair
     survive untouched. Default representative: smallest id. With
     ``keep_by`` (SQL expression, higher = better): the best-scoring member,
     ties toward the smaller id — one extra shuffle on the component key
-    (a window top-1), same scale shape as the anti join it replaces."""
-    comp = connected_components(pairs)
+    (a window top-1), same scale shape as the anti join it replaces.
+    ``cc_kwargs`` passes through to :func:`connected_components`
+    (max_iterations / check_every / checkpoint_dir)."""
+    comp = connected_components(pairs, **(cc_kwargs or {}))
     if keep_by is None:
         losers = comp.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias(id_col)
@@ -767,6 +792,12 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
     instead of the default smallest id — e.g. ``keep_by: "n_chars"`` keeps
     the longest member of each duplicate cluster.
 
+    ``output: "clusters"`` additionally honors the connected-components
+    knobs ``max_iterations`` (int, default 50), ``check_every`` (int,
+    default 1 — convergence-check cadence in rounds) and ``checkpoint_dir``
+    (str — reliable ``checkpoint()`` lineage truncation for real clusters
+    instead of the default ``localCheckpoint``).
+
     ``output: "pairs"`` always carries a method-agnostic ``score`` double in
     [0, 1] (higher = more similar) so downstream config stages can consume
     any method's pairs uniformly: exact → 1.0, ngram/minhash → ``jaccard``,
@@ -830,5 +861,10 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
             score = F.lit(None).cast("double")
         return pairs.withColumn("score", score)
     if out == "clusters":
-        return _pairs_to_clusters(df, pairs, id_col, keep_by)
+        cc_kwargs = {
+            k: spec[k]
+            for k in ("max_iterations", "check_every", "checkpoint_dir")
+            if k in spec
+        }
+        return _pairs_to_clusters(df, pairs, id_col, keep_by, cc_kwargs)
     return _pairs_to_dedup(df, pairs, id_col, keep_by)

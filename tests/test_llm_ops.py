@@ -259,6 +259,62 @@ def test_connected_components_nonconvergence_raises(spark):
         D.connected_components(pairs, max_iterations=3)
 
 
+def test_connected_components_check_every_k(spark):
+    # amortized convergence check (k=3) must land on the same fixpoint as
+    # per-round checking, including on a worst-case path graph whose
+    # diameter is not a multiple of k
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(13)], "id_a bigint, id_b bigint"
+    )
+    comp = D.connected_components(pairs, check_every=3).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 14
+
+
+def test_connected_components_check_every_respects_max_iterations(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a bigint, id_b bigint"
+    )
+    # path diameter needs ~14 hash-min rounds; cap at 4 (not a multiple of
+    # check_every) and require the partial-block convergence check to refuse
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iterations=4, check_every=3)
+    with _pytest.raises(ValueError, match="check_every"):
+        D.connected_components(pairs, check_every=0)
+
+
+def test_connected_components_checkpoint_dir(spark, tmp_path):
+    # reliable checkpoint() truncation path (real-cluster mode)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in D.connected_components(
+            pairs, checkpoint_dir=str(tmp_path / "cc")
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_stage_dedup_clusters_cc_knobs(spark, documents):
+    out = D.stage_dedup(
+        documents,
+        {"stage": "dedup", "method": "ngram_jaccard", "id_col": "doc_id",
+         "output": "clusters", "k": 5, "unit": "word", "threshold": 0.8,
+         "check_every": 2, "max_iterations": 20},
+    )
+    base = D.stage_dedup(
+        documents,
+        {"stage": "dedup", "method": "ngram_jaccard", "id_col": "doc_id",
+         "output": "clusters", "k": 5, "unit": "word", "threshold": 0.8},
+    )
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in base.select("doc_id").collect())
+
+
 def test_exact_dedup_pairs_output(spark, documents):
     out = D.stage_dedup(
         documents, {"stage": "dedup", "method": "exact", "id_col": "doc_id",
