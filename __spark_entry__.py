@@ -1119,7 +1119,10 @@ def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"stage": "select", "columns": ["event_id", "user_id", "ts", "value"]},
         {"stage": "streaming_asof_join", "right": "views", "on": "ts",
          "right_on": "vts", "tolerance": "2 hours", "left_id": "event_id",
-         "by": ["user_id"], "how": "inner", "right_prefix": "v_"},
+         "by": ["user_id"], "how": "inner", "right_prefix": "v_",
+         # equal-vts views tie-break on view_event_id, deterministically,
+         # matching the oracle's composite arg_max key
+         "tie_break": "view_event_id"},
         {"stage": "select", "columns": [
             "event_id", "user_id", "ts", "value",
             "v_vts AS view_ts", "v_view_event_id AS view_event_id"]},
@@ -2318,14 +2321,18 @@ def oracle_sql() -> dict[str, str]:
                        FROM events WHERE event_type = 'view'),
                  p AS (SELECT event_id, user_id, ts, value
                        FROM events WHERE event_type = 'purchase')
-            SELECT p.event_id, p.user_id, p.ts, p.value,
-                   arg_max(v.vts, v.vts) AS view_ts,
-                   arg_max(v.view_event_id, v.vts) AS view_event_id
-            FROM p JOIN v
-              ON p.user_id = v.user_id
-             AND v.vts <= p.ts
-             AND v.vts >= p.ts - INTERVAL 2 HOUR
-            GROUP BY p.event_id, p.user_id, p.ts, p.value
+            SELECT event_id, user_id, ts, value, view_ts, view_event_id
+            FROM (
+              SELECT p.event_id, p.user_id, p.ts, p.value,
+                     v.vts AS view_ts, v.view_event_id,
+                     row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY v.vts DESC, v.view_event_id DESC) AS rn
+              FROM p JOIN v
+                ON p.user_id = v.user_id
+               AND v.vts <= p.ts
+               AND v.vts >= p.ts - INTERVAL 2 HOUR
+            ) WHERE rn = 1
         """,
         "q_range_join_price_bands": """
             WITH bands AS (SELECT r AS band_id, r * 10.0 AS lo,

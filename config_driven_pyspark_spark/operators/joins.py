@@ -173,6 +173,7 @@ def streaming_asof_join(
     window_step: str = "1 hour",
     how: str = "left",
     right_prefix: str = "right_",
+    tie_break: Optional[str] = None,
 ) -> DataFrame:
     """Streaming-capable backward as-of join with a *mandatory* bounded
     lookback: each left row gets the latest right row in
@@ -193,6 +194,18 @@ def streaming_asof_join(
     depends on it. Pick it ≥ the typical watermark delay so streaming
     emits aren't needlessly fragmented.
 
+    When several right rows share the winning timestamp, ``max_by`` picks
+    one nondeterministically; pass ``tie_break`` (a right payload column,
+    larger wins) to make the choice — and therefore the whole output —
+    deterministic.
+
+    ``left_id`` uniqueness is a *contract, not a validated precondition*:
+    two left rows sharing (``left_id``, time-window bucket) are silently
+    merged by the reduction — ``first`` picks one row's carry values and
+    the other row disappears. Validating it would cost an extra stateful
+    aggregation in streaming, so it is deliberately unchecked; ensure the
+    id really is unique (or pre-dedup) before joining.
+
     Scale: join state holds only ``tolerance`` worth of right rows per key
     (watermark-evicted); the aggregation holds one open window per key.
     Both shuffle on the same ``by`` keys. No unbounded state anywhere.
@@ -209,14 +222,19 @@ def streaming_asof_join(
     if left_id not in left.columns:
         raise ValueError(f"left_id {left_id!r} is not a left column")
 
-    reserved = {"__rt", "__r", "__m", "__w"}
+    by_aliases = [f"__rb{i}" for i in range(len(by))]
+    reserved = {"__rt", "__r", "__m", "__w", *by_aliases}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(
             f"streaming_asof_join reserves column names {sorted(clash)}"
         )
-    by_aliases = [f"__rb{i}" for i in range(len(by))]
     payload_cols = [c for c in right.columns if c not in set(by)]
+    if tie_break is not None and tie_break not in payload_cols:
+        raise ValueError(
+            f"tie_break {tie_break!r} is not a right payload column "
+            f"(available: {payload_cols})"
+        )
     out_clash = {f"{right_prefix}{c}" for c in payload_cols} & set(left.columns)
     if out_clash:
         raise ValueError(
@@ -244,8 +262,15 @@ def streaming_asof_join(
 
     group = [F.window(F.col(on), window_step).alias("__w"), F.col(left_id)]
     carry = [c for c in left.columns if c != left_id]
+    # struct ordering is lexicographic by field, so (ts, tie_break) makes
+    # equal-timestamp winners deterministic
+    order_key = (
+        F.struct(F.col("__rt"), F.col(f"__r.{tie_break}"))
+        if tie_break is not None
+        else F.col("__rt")
+    )
     agg = [F.first(F.col(c)).alias(c) for c in carry] + [
-        F.max_by(F.col("__r"), F.col("__rt")).alias("__m")
+        F.max_by(F.col("__r"), order_key).alias("__m")
     ]
     reduced = joined.groupBy(*group).agg(*agg)
     return reduced.select(
@@ -341,7 +366,13 @@ def stage_streaming_asof_join(
     "tolerance": "2 hours", "left_id": col, "by": [keys]?, "right_on":
     col?, "left_watermark": "10 minutes"?, "right_watermark": ...?,
     "window_step": "1 hour"?, "how": "left"|"inner",
-    "right_prefix": "right_"}``."""
+    "right_prefix": "right_", "tie_break": right col?}``.
+
+    ``left_id`` must uniquely identify left rows: duplicates sharing a
+    (left_id, window bucket) are silently merged by the reduction (see
+    :func:`streaming_asof_join`). ``tie_break`` names a right payload
+    column that deterministically breaks equal-timestamp ties (larger
+    wins)."""
     return streaming_asof_join(
         left,
         right,
@@ -355,6 +386,7 @@ def stage_streaming_asof_join(
         window_step=spec.get("window_step", "1 hour"),
         how=spec.get("how", "left"),
         right_prefix=spec.get("right_prefix", "right_"),
+        tie_break=spec.get("tie_break"),
     )
 
 

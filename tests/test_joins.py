@@ -206,3 +206,40 @@ def test_streaming_asof_requires_valid_left_id(spark, trades, quotes):
     with pytest.raises(ValueError, match="left_id"):
         streaming_asof_join(trades, quotes, on="t", tolerance="1 minute",
                             left_id="nope", by=["sym"])
+
+
+def test_streaming_asof_tie_break_deterministic(spark):
+    """Two right rows at the identical winning timestamp: tie_break picks
+    the larger value of the named payload column, every run."""
+    from datetime import datetime
+
+    from config_driven_pyspark_spark.operators.joins import streaming_asof_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, "A", t0)], "lid bigint, k string, t timestamp")
+    right = spark.createDataFrame(
+        [("A", t0, 100), ("A", t0, 200)], "k string, t timestamp, rid bigint"
+    )
+    out = streaming_asof_join(left, right, on="t", tolerance="5 minutes",
+                              left_id="lid", by=["k"], tie_break="rid")
+    assert rows(out, "lid", "right_rid") == [(1, 200)]
+    with pytest.raises(ValueError, match="tie_break"):
+        streaming_asof_join(left, right, on="t", tolerance="5 minutes",
+                            left_id="lid", by=["k"], tie_break="nope")
+
+
+def test_streaming_asof_reserved_by_alias_rejected(spark):
+    from datetime import datetime
+
+    from config_driven_pyspark_spark.operators.joins import streaming_asof_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, "A", t0, "x")], "lid bigint, k string, t timestamp, __rb0 string"
+    )
+    right = spark.createDataFrame(
+        [("A", t0, 1.0)], "k string, t timestamp, px double"
+    )
+    with pytest.raises(ValueError, match="reserves column names"):
+        streaming_asof_join(left, right, on="t", tolerance="1 minute",
+                            left_id="lid", by=["k"])
