@@ -1320,7 +1320,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming ≤ 3 candidate pairs via pigeonhole banding."""
+    """SimHash Hamming ≤ 3 pairs via pigeonhole banding. Rows-only at the
+    driver by design (DuckDB has no xxhash64 to replicate the signature),
+    but the banding is EXACT, not approximate, and its full correctness is
+    gated by tests/test_llm_ops.py::test_simhash_pairs_equal_brute_force —
+    an all-pairs (500 docs → 124,750 pair) driver-side cross-check at
+    sf0.001 that requires set-equality with the banded output."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
@@ -1374,6 +1379,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(transform(feature, x -> CAST(round(x * 255) AS INT)), ',')"
         ).alias("feature_sig"),
     )
+
+
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink stage exercised end-to-end through the driver surface: orders
+    are written to a scratch parquet layout that is hive-partitioned by
+    status AND Z-ordered on (custkey, totalprice) — the write path
+    sources/writers.py::stage_sink with its quantile-bucketed Morton
+    clustering — then read back and aggregated. The write is lossless, so
+    the oracle computes the same aggregate straight from the source table;
+    a hash-green row proves the partitioned/Z-ordered roundtrip preserved
+    every row and value. mode=overwrite keeps reruns idempotent."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_sink_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "select",
+         "columns": ["o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_totalprice", "o_orderdate"]},
+        {"stage": "sink", "format": "parquet", "path": out_dir,
+         "mode": "overwrite", "partition_by": ["o_orderstatus"],
+         "z_order_by": ["o_custkey", "o_totalprice"]},
+    ])
+    return _run(spark, [
+        {"stage": "source", "format": "parquet", "path": out_dir},
+        {"stage": "aggregate", "group_by": ["o_orderstatus"],
+         "aggs": {
+             "n": "count(*)",
+             "n_cust": "count(DISTINCT o_custkey)",
+             "sum_price": "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)",
+             "min_key": "min(o_orderkey)",
+             "max_key": "max(o_orderkey)",
+         }},
+    ])
 
 
 def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1829,6 +1872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         # --- multimodal plumbing ---
         "q_multimodal_features": q_multimodal_features,
+        # --- sink path (partitioned + Z-ordered write, read back) ---
+        "q_sink_roundtrip": q_sink_roundtrip,
         # --- UDF / UDAF / UDTF surface ---
         "q_pandas_udf_affine": q_pandas_udf_affine,
         "q_grouped_map_first_events": q_grouped_map_first_events,
@@ -2519,6 +2564,19 @@ def oracle_sql() -> dict[str, str]:
                              AND q.vec_id <> c.vec_id
               WHERE q.vec_id < 10
             ) WHERE rank <= 5
+        """,
+        # the sink roundtrip is lossless, so the oracle aggregates the
+        # source table directly — equality proves the partitioned/Z-ordered
+        # write+read preserved every row
+        "q_sink_roundtrip": """
+            SELECT o_orderstatus,
+                   count(*) AS n,
+                   count(DISTINCT o_custkey) AS n_cust,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price,
+                   min(o_orderkey) AS min_key,
+                   max(o_orderkey) AS max_key
+            FROM orders GROUP BY o_orderstatus
         """,
         # IVF with centroids="sample" is fully deterministic: the codebook
         # is the 16 lowest-vec_id unit vectors (cell index = rank by id),

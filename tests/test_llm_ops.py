@@ -183,6 +183,41 @@ def test_simhash_identical_distance_zero(spark):
     assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} >= {(1, 2, 0)}
 
 
+def test_simhash_pairs_equal_brute_force(spark, documents):
+    """Banding is exact, not approximate: pigeonhole on k+1 chunks
+    guarantees every pair within hamming k shares a chunk, so the banded
+    output must EQUAL the all-pairs answer — verified here against a
+    driver-side brute force over every signature at sf0.001 (500 docs =
+    124,750 pairs), the cross-check the DuckDB oracle can't do (no
+    xxhash64). q_simhash_pairs stays rows-only at the driver by design;
+    this test is its correctness gate."""
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in documents.select(
+            "doc_id", D.simhash64(F.col("text")).alias("sh")
+        ).collect()
+    }
+    ids = sorted(sigs)
+
+    def ham(a: int, b: int) -> int:
+        # signatures come back as signed 64-bit; mask to unsigned before
+        # bit_count (Python XOR sign-extends infinitely)
+        return ((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).bit_count()
+
+    expected = {
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(a, b) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_pairs(documents, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == expected
+    assert all(a < b for a, b, _ in got)  # canonical orientation, no dupes
+
+
 def test_embedding_pairs_brute_force(spark, embeddings):
     # plant an exact duplicate vector → cosine 1.0
     dup = embeddings.limit(1).select(
