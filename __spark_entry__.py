@@ -1832,77 +1832,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so every operator family's flagship lands in the first 50
-    entries (the driver's observed correctness-snapshot window): first the
-    LLM-pipeline / nested-transform / UDF queries, then the events
-    time-series family, then one representative per already-proven
-    relational family. Near-duplicate TPC-H shapes sit at the tail — they
-    re-exercise families already represented earlier."""
+    """Ordered for the driver's 50-entry correctness-snapshot window,
+    rotated each round so every declared query gets a post-testdata-regen
+    green row (VERDICT r3 gap #2 / ADVICE): round 4 fronts (a) the 34
+    TPC-H/relational tail queries unverified since the regen, (b) every
+    query changed or added this round, and (c) one representative per
+    family that went green in round 3. The r3-green remainder sits past 50
+    — each has a hash-green CORRECTNESS_r03 row on current testdata."""
     return {
-        # --- nested-transform parity (the reference's core) ---
-        "q_nested_transform_events": q_nested_transform_events,
-        "q_nested_drop_events": q_nested_drop_events,
-        # --- dedup family ---
-        "q_dedup_exact_docs": q_dedup_exact_docs,
-        "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
-        "q_dedup_cluster_docs": q_dedup_cluster_docs,
-        "q_dedup_best_docs": q_dedup_best_docs,
-        "q_minhash_pairs": q_minhash_pairs,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_embedding_dups": q_embedding_dups,
-        "q_line_dedup": q_line_dedup,
-        # --- similarity search ---
-        "q_knn_cosine": q_knn_cosine,
-        "q_srp_ann": q_srp_ann,
-        "q_ivf_ann": q_ivf_ann,
-        # --- text analysis ---
-        "q_text_stats": q_text_stats,
-        "q_lang_id": q_lang_id,
-        "q_quality_score": q_quality_score,
-        "q_text_advanced": q_text_advanced,
-        "q_top_words": q_top_words,
-        "q_top_terms_per_doc": q_top_terms_per_doc,
-        # --- corpus / training-data ops ---
-        "q_repetition_stats": q_repetition_stats,
-        "q_hash_sample": q_hash_sample,
-        "q_contamination": q_contamination,
-        "q_chunk_documents": q_chunk_documents,
-        "q_mixture_sample": q_mixture_sample,
-        "q_token_budget": q_token_budget,
-        "q_pack_sequences": q_pack_sequences,
-        # --- multimodal plumbing ---
-        "q_multimodal_features": q_multimodal_features,
-        # --- sink path (partitioned + Z-ordered write, read back) ---
-        "q_sink_roundtrip": q_sink_roundtrip,
-        # --- UDF / UDAF / UDTF surface ---
-        "q_pandas_udf_affine": q_pandas_udf_affine,
-        "q_grouped_map_first_events": q_grouped_map_first_events,
-        "q_flat_map_tokens": q_flat_map_tokens,
-        "q_udaf_median": q_udaf_median,
-        "q_sql_stage_status_revenue": q_sql_stage_status_revenue,
-        # --- events time-series family (loader fixed this round) ---
-        "q_pivot_events": q_pivot_events,
-        "q_events_hourly": q_events_hourly,
-        "q_events_gapfill": q_events_gapfill,
-        "q_events_locf": q_events_locf,
-        "q_events_interp": q_events_interp,
-        "q_retention_cohorts": q_retention_cohorts,
-        "q_sessionize_events": q_sessionize_events,
-        "q_asof_purchase_view": q_asof_purchase_view,
-        "q_streaming_asof": q_streaming_asof,
-        "q_events_json": q_events_json,
-        # --- relational/window shapes not yet driver-checked ---
-        "q_window_range_frame": q_window_range_frame,
-        "q_unpivot_metrics": q_unpivot_metrics,
-        "q12_priority_by_flag": q12_priority_by_flag,
-        # --- representatives of already-green relational families ---
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q_range_join_price_bands": q_range_join_price_bands,
-        "q_window_topk_parts": q_window_topk_parts,
-        "q_grouping_sets_orders": q_grouping_sets_orders,
-        # --- tail: near-duplicate TPC-H / relational variants (families
-        # above already cover their operators; all were driver-green in r2)
+        # --- (a) relational/TPC-H tail, last driver-checked pre-regen ---
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "q04_order_priority": q04_order_priority,
@@ -1937,6 +1875,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles_lineitem": q_percentiles_lineitem,
         "q_agg_orders_stats": q_agg_orders_stats,
         "q_approx_sketches": q_approx_sketches,
+        # --- (b) changed or added in round 4 ---
+        "q_nested_drop_events": q_nested_drop_events,
+        "q_multimodal_features": q_multimodal_features,
+        "q_events_json": q_events_json,
+        "q_ivf_ann": q_ivf_ann,
+        "q_streaming_asof": q_streaming_asof,
+        "q_sink_roundtrip": q_sink_roundtrip,
+        # --- (c) one representative per r3-green family ---
+        "q_nested_transform_events": q_nested_transform_events,
+        "q_dedup_exact_docs": q_dedup_exact_docs,
+        "q_dedup_cluster_docs": q_dedup_cluster_docs,  # CC hardened in r4
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_knn_cosine": q_knn_cosine,
+        "q_text_advanced": q_text_advanced,
+        "q_pack_sequences": q_pack_sequences,
+        "q_sessionize_events": q_sessionize_events,
+        "q_asof_purchase_view": q_asof_purchase_view,
+        "q01_pricing_summary": q01_pricing_summary,
+        # --- past the window: hash-green in CORRECTNESS_r03 on current
+        # testdata; rotate back in future rounds ---
+        "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "q_dedup_best_docs": q_dedup_best_docs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_embedding_dups": q_embedding_dups,
+        "q_line_dedup": q_line_dedup,
+        "q_srp_ann": q_srp_ann,
+        "q_text_stats": q_text_stats,
+        "q_lang_id": q_lang_id,
+        "q_quality_score": q_quality_score,
+        "q_top_words": q_top_words,
+        "q_top_terms_per_doc": q_top_terms_per_doc,
+        "q_repetition_stats": q_repetition_stats,
+        "q_hash_sample": q_hash_sample,
+        "q_contamination": q_contamination,
+        "q_chunk_documents": q_chunk_documents,
+        "q_mixture_sample": q_mixture_sample,
+        "q_token_budget": q_token_budget,
+        "q_pandas_udf_affine": q_pandas_udf_affine,
+        "q_grouped_map_first_events": q_grouped_map_first_events,
+        "q_flat_map_tokens": q_flat_map_tokens,
+        "q_udaf_median": q_udaf_median,
+        "q_sql_stage_status_revenue": q_sql_stage_status_revenue,
+        "q_pivot_events": q_pivot_events,
+        "q_events_hourly": q_events_hourly,
+        "q_events_gapfill": q_events_gapfill,
+        "q_events_locf": q_events_locf,
+        "q_events_interp": q_events_interp,
+        "q_retention_cohorts": q_retention_cohorts,
+        "q_window_range_frame": q_window_range_frame,
+        "q_unpivot_metrics": q_unpivot_metrics,
+        "q12_priority_by_flag": q12_priority_by_flag,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q_range_join_price_bands": q_range_join_price_bands,
+        "q_window_topk_parts": q_window_topk_parts,
+        "q_grouping_sets_orders": q_grouping_sets_orders,
     }
 
 
