@@ -1831,6 +1831,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + shard layout (corpus op
+    ``split_assign``, operators/corpus.py): split, shard and intra-shard
+    shuffle key are disjoint slices of md5(doc_id) — map-only, no shuffle,
+    identical under any partitioning, and byte-replicable in DuckDB (the
+    oracle recomputes the same md5 slices), so the whole export-layout
+    assignment is value-checked end to end."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "split_assign", "id_col": "doc_id",
+         "splits": {"train": 0.8, "val": 0.1, "test": 0.1}, "n_shards": 8},
+        {"stage": "select",
+         "columns": ["doc_id", "split", "shard", "shuffle_key"]},
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's 50-entry correctness-snapshot window,
     rotated each round so every declared query gets a post-testdata-regen
@@ -1882,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": q_ivf_ann,
         "q_streaming_asof": q_streaming_asof,
         "q_sink_roundtrip": q_sink_roundtrip,
+        "q_split_assign": q_split_assign,
         # --- (c) one representative per r3-green family ---
         "q_nested_transform_events": q_nested_transform_events,
         "q_dedup_exact_docs": q_dedup_exact_docs,
@@ -1892,9 +1909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_sessionize_events": q_sessionize_events,
         "q_asof_purchase_view": q_asof_purchase_view,
-        "q01_pricing_summary": q01_pricing_summary,
         # --- past the window: hash-green in CORRECTNESS_r03 on current
         # testdata; rotate back in future rounds ---
+        "q01_pricing_summary": q01_pricing_summary,
         "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
         "q_dedup_best_docs": q_dedup_best_docs,
         "q_simhash_pairs": q_simhash_pairs,
@@ -2557,6 +2574,23 @@ def oracle_sql() -> dict[str, str]:
                              AND q.vec_id <> c.vec_id
               WHERE q.vec_id < 10
             ) WHERE rank <= 5
+        """,
+        # split/shard/shuffle_key are md5(doc_id) slices; thresholds are
+        # round(cum*65536) for splits {train:0.8, val:0.1, test:0.1}
+        "q_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN b16 < 52429 THEN 'train'
+                        WHEN b16 < 58982 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(concat('0x', substr(h, 5, 4)) AS BIGINT) % 8 AS shard,
+                   CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) AS shuffle_key
+            FROM (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS h,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS BIGINT) AS b16
+              FROM documents
+            )
         """,
         # the sink roundtrip is lossless, so the oracle aggregates the
         # source table directly — equality proves the partitioned/Z-ordered

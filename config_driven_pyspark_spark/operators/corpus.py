@@ -28,6 +28,9 @@ at 100 TB.
   globally first occurrence of every line / token window, reassemble docs.
 - ``pack_sequences``    — GPT-style concat-and-cut packing of document
   tokens into fixed ``seq_len`` training sequences.
+- ``split_assign``      — deterministic train/val/test split + shard id +
+  intra-shard shuffle key, all md5-derived: the reproducible export layout
+  step before writing training shards.
 
 Scale notes per operator are on the functions.
 """
@@ -534,10 +537,60 @@ def pack_sequences(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    n_shards: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split + shard layout: adds ``split``
+    (named bucket by cumulative ``splits`` fractions, insertion order),
+    ``shard`` (0..n_shards−1), and ``shuffle_key`` (intra-shard
+    pseudo-random sort key) — every one a disjoint slice of
+    ``md5(salt ‖ key)``, so assignment is a pure function of the key:
+    identical across runs, partitionings, and cluster sizes, and any row
+    is traceable to its shard from the key alone. ``salt`` re-rolls all
+    assignments (e.g. per training run) without touching the data.
+
+    Split granularity is 1/65536 (16 bits); fractions must sum to 1.
+    Writing ``partitionBy(split).bucketBy/repartition(shard)`` then sorting
+    by ``shuffle_key`` yields the standard reproducibly-shuffled shard
+    export without any corpus-wide sort (each shard sorts independently).
+
+    Scale: map-only — no shuffle, no RNG state; stays in whole-stage
+    codegen (md5 + conv + case are all JVM built-ins).
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError(f"splits must sum to 1, got {sum(splits.values())}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    b16 = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint")
+    cum = 0.0
+    expr = None
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        thr = int(round(cum * 65536))
+        cond = b16 < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split_col = (
+        expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumns({
+        "split": split_col,
+        "shard": (F.conv(F.substring(h, 5, 4), 16, 10).cast("bigint")
+                  % F.lit(n_shards)),
+        "shuffle_key": F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint"),
+    })
+
+
 def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     """``{"stage": "corpus", "op": "repetition|hash_sample|decontaminate|
-    contamination_flags|chunk|mixture|token_budget", ...}`` — config-driven
-    entry points. ``decontaminate``/``contamination_flags`` take
+    contamination_flags|chunk|mixture|token_budget|line_dedup|pack|
+    split_assign", ...}`` — config-driven entry points. ``decontaminate``/``contamination_flags`` take
     ``benchmark`` (a named frame from an earlier stage); ``mixture`` takes
     ``stratify_by`` + ``weights``; ``token_budget`` takes ``budget`` and
     optional ``by``."""
@@ -583,5 +636,10 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     if op == "pack":
         return pack_sequences(
             df, id_col, text_col, int(spec.get("seq_len", 512)), spec.get("by")
+        )
+    if op == "split_assign":
+        return split_assign(
+            df, spec.get("on", id_col), spec.get("splits"),
+            int(spec.get("n_shards", 64)), spec.get("salt", ""),
         )
     raise ValueError(f"Unknown corpus op {op!r}")

@@ -422,3 +422,42 @@ def test_token_budget_null_stratum_not_dropped(spark):
     )
     out = C.token_budget_sample(df, "id", budget=100, by="lang").collect()
     assert {r["id"] for r in out} == {1, 2}
+
+
+def test_split_assign_deterministic_and_complete(documents):
+    out = C.split_assign(documents, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1}, n_shards=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == documents.count()  # map-only: every row survives
+    assert all(0 <= r["shard"] < 8 for r in rows.values())
+    # fractions approximately honored (16-bit buckets on 500 docs)
+    n = len(rows)
+    n_train = sum(1 for r in rows.values() if r["split"] == "train")
+    assert 0.7 * n < n_train < 0.9 * n
+    # identical under a different partitioning (the df.sample failure mode)
+    redo = {
+        r["doc_id"]: r
+        for r in C.split_assign(documents.repartition(13), "doc_id",
+                                {"train": 0.8, "val": 0.1, "test": 0.1},
+                                n_shards=8).collect()
+    }
+    assert all(
+        (rows[k]["split"], rows[k]["shard"], rows[k]["shuffle_key"])
+        == (redo[k]["split"], redo[k]["shard"], redo[k]["shuffle_key"])
+        for k in rows
+    )
+
+
+def test_split_assign_salt_rerolls(documents):
+    base = {r["doc_id"]: r["split"] for r in
+            C.split_assign(documents, "doc_id").collect()}
+    salted = {r["doc_id"]: r["split"] for r in
+              C.split_assign(documents, "doc_id", salt="run2").collect()}
+    assert base != salted  # a salt change re-rolls assignments
+
+
+def test_split_assign_validation(documents):
+    with pytest.raises(ValueError, match="sum to 1"):
+        C.split_assign(documents, "doc_id", {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError, match="n_shards"):
+        C.split_assign(documents, "doc_id", n_shards=0)
