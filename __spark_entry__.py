@@ -913,7 +913,9 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate percentiles over lineitem. Rows-only: sketch outputs are
     engine-specific by construction (Spark HLL++ vs DuckDB HLL give
     different estimates); the exact twins are oracled in
-    q_agg_orders_stats / q_percentiles_lineitem."""
+    q_agg_orders_stats / q_percentiles_lineitem, and estimate accuracy is
+    gated against exact answers on real testdata by tests/
+    test_relational.py::test_approx_sketches_within_error_bounds."""
     return _run(spark, [
         _src(sf_dir, "lineitem"),
         {"stage": "aggregate", "group_by": ["l_returnflag"],

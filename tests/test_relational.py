@@ -163,3 +163,42 @@ def test_interpolate_linear_between_observations(spark):
     assert rows[("a", "2024-01-01 04:00:00")] is None
     assert rows[("b", "2024-01-01 00:00:00")] is None
     assert rows[("a", "2024-01-01 00:00:00")] == 10.0  # observed untouched
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """Correctness gate for the rows-only q_approx_sketches driver row:
+    sketch estimates must sit within their published error envelopes of the
+    exact answers on real testdata (HLL++ default rsd ≈ 5%; percentile
+    accuracy 1000 → rank error ≤ n/1000)."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.createOrReplaceTempView("t_sketch_li")
+    got = {
+        r["l_returnflag"]: r
+        for r in Pipeline.from_config([
+            {"stage": "sql", "query": "SELECT * FROM t_sketch_li"},
+            {"stage": "aggregate", "group_by": ["l_returnflag"],
+             "aggs": {
+                 "approx_parts": "approx_count_distinct(l_partkey)",
+                 "approx_p50_qty": "approx_percentile(l_quantity, 0.5, 1000)",
+             }},
+        ]).run(spark).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("nd"))
+        .collect()
+    }
+    p50 = {
+        r["l_returnflag"]: r["p50"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, 0.5)").alias("p50"))
+        .collect()
+    }
+    for flag, e in exact.items():
+        g = got[flag]
+        assert abs(g["approx_parts"] - e["nd"]) <= 0.15 * e["nd"] + 2
+        # quantity is small integers; rank error n/1000 stays within ±2
+        assert abs(g["approx_p50_qty"] - p50[flag]) <= 2
