@@ -43,9 +43,15 @@ def test_pretraining_shards_example(spark, tmp_path):
             "seq_len": 256,
         },
     )
-    assert result.columns == ["seq_id", "n_docs", "n_tokens", "seq_text"]
+    assert result.columns == [
+        "seq_id", "n_docs", "n_tokens", "seq_text",
+        "split", "shard", "shuffle_key",
+    ]
     written = spark.read.parquet(out)
     n_seq = written.count()
     assert n_seq > 0
     # every sequence is exactly seq_len tokens except at most the last
     assert written.filter("n_tokens <> 256").count() <= 1
+    # split landed as hive partitions; shards within bounds
+    assert any(d.startswith("split=") for d in os.listdir(out))
+    assert written.filter("shard < 0 OR shard >= 4").count() == 0
