@@ -1833,6 +1833,21 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap sampling (corpus op ``cap``, operators/corpus.py::
+    cap_per_stratum): at most 15 documents per source, chosen in md5
+    pseudo-random order through the skew-safe two-level bucket prefix sum
+    (a hot domain spreads over 256 bucket windows, never one straggler
+    task). The oracle's row_number over (source, md5 order) is the exact
+    same selection."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "cap", "id_col": "doc_id",
+         "by": "source", "cap": 15},
+        {"stage": "select", "columns": ["doc_id", "lang", "source", "n_chars"]},
+    ])
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split + shard layout (corpus op
     ``split_assign``, operators/corpus.py): split, shard and intra-shard
@@ -1901,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_asof": q_streaming_asof,
         "q_sink_roundtrip": q_sink_roundtrip,
         "q_split_assign": q_split_assign,
+        "q_source_cap": q_source_cap,
         # --- (c) one representative per r3-green family ---
         "q_nested_transform_events": q_nested_transform_events,
         "q_dedup_exact_docs": q_dedup_exact_docs,
@@ -1910,9 +1926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_advanced": q_text_advanced,
         "q_pack_sequences": q_pack_sequences,
         "q_sessionize_events": q_sessionize_events,
-        "q_asof_purchase_view": q_asof_purchase_view,
         # --- past the window: hash-green in CORRECTNESS_r03 on current
-        # testdata; rotate back in future rounds ---
+        # testdata; rotate back in future rounds (as-of family is covered
+        # in-window by q_streaming_asof) ---
+        "q_asof_purchase_view": q_asof_purchase_view,
         "q01_pricing_summary": q01_pricing_summary,
         "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
         "q_dedup_best_docs": q_dedup_best_docs,
@@ -2576,6 +2593,17 @@ def oracle_sql() -> dict[str, str]:
                              AND q.vec_id <> c.vec_id
               WHERE q.vec_id < 10
             ) WHERE rank <= 5
+        """,
+        # same deterministic md5-order selection as the two-level Spark
+        # plan: strictly-before count < cap  ≡  row_number <= cap
+        "q_source_cap": """
+            SELECT doc_id, lang, source, n_chars FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 15
         """,
         # split/shard/shuffle_key are md5(doc_id) slices; thresholds are
         # round(cum*65536) for splits {train:0.8, val:0.1, test:0.1}

@@ -31,6 +31,8 @@ at 100 TB.
 - ``split_assign``      — deterministic train/val/test split + shard id +
   intra-shard shuffle key, all md5-derived: the reproducible export layout
   step before writing training shards.
+- ``cap_per_stratum``   — at most N documents per domain/source, picked in
+  md5 pseudo-random order via the same skew-safe two-level prefix sum.
 
 Scale notes per operator are on the functions.
 """
@@ -273,6 +275,34 @@ def token_budget_sample(
         _md5_stream_offsets(base, id_col, "n_tokens", keys)
         .filter(F.col("__s") < budget)
         .drop("__ok", "__b", "__off", "__s")
+    )
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    by: str,
+    cap: int,
+) -> DataFrame:
+    """Domain/source caps: keep at most ``cap`` rows per ``by`` stratum,
+    chosen deterministically in md5(id) pseudo-random order — the standard
+    guard against one domain dominating a pretraining mixture. Re-runnable:
+    the survivor set is a pure function of the ids.
+
+    Scale: reuses the two-level md5-bucket prefix sum
+    (``_md5_stream_offsets`` with a unit weight), so a hot stratum (one
+    domain = 30% of the corpus — exactly when you need caps) is processed
+    by 256 parallel bucket windows instead of one straggler task; a plain
+    ``row_number() over (partition by domain)`` would put the whole hot
+    domain in a single window task.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    base = df.withColumn("__one", F.lit(1))
+    return (
+        _md5_stream_offsets(base, id_col, "__one", [by])
+        .filter(F.col("__s") < cap)
+        .drop("__ok", "__b", "__off", "__s", "__one")
     )
 
 
@@ -590,7 +620,7 @@ def split_assign(
 def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     """``{"stage": "corpus", "op": "repetition|hash_sample|decontaminate|
     contamination_flags|chunk|mixture|token_budget|line_dedup|pack|
-    split_assign", ...}`` — config-driven entry points. ``decontaminate``/``contamination_flags`` take
+    split_assign|cap", ...}`` — config-driven entry points. ``decontaminate``/``contamination_flags`` take
     ``benchmark`` (a named frame from an earlier stage); ``mixture`` takes
     ``stratify_by`` + ``weights``; ``token_budget`` takes ``budget`` and
     optional ``by``."""
@@ -642,4 +672,6 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             df, spec.get("on", id_col), spec.get("splits"),
             int(spec.get("n_shards", 64)), spec.get("salt", ""),
         )
+    if op == "cap":
+        return cap_per_stratum(df, id_col, spec["by"], int(spec["cap"]))
     raise ValueError(f"Unknown corpus op {op!r}")

@@ -461,3 +461,24 @@ def test_split_assign_validation(documents):
         C.split_assign(documents, "doc_id", {"train": 0.5, "val": 0.1})
     with pytest.raises(ValueError, match="n_shards"):
         C.split_assign(documents, "doc_id", n_shards=0)
+
+
+def test_cap_per_stratum(documents):
+    out = C.cap_per_stratum(documents, "doc_id", "source", cap=15)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 15 for n in counts.values())
+    # selection is deterministic: a different partitioning keeps the
+    # identical survivor set
+    base_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    redo_ids = {
+        r["doc_id"]
+        for r in C.cap_per_stratum(documents.repartition(7), "doc_id",
+                                   "source", cap=15).select("doc_id").collect()
+    }
+    assert base_ids == redo_ids
+    # strata smaller than the cap survive whole
+    assert C.cap_per_stratum(documents, "doc_id", "source", cap=10**6).count() \
+        == documents.count()
+    with pytest.raises(ValueError, match="cap"):
+        C.cap_per_stratum(documents, "doc_id", "source", cap=0)
