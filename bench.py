@@ -50,6 +50,11 @@ HEADLINE = [
     "q_chunk_documents",
     "q_line_dedup",
     "q_pack_sequences",
+    # round 4: families previously unbenched
+    "q_ivf_ann",
+    "q_streaming_asof",
+    "q_split_assign",
+    "q_source_cap",
 ]
 
 
