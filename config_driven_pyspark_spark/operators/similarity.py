@@ -148,9 +148,14 @@ def _nearest_cells_udf(centroids, nprobe: int):
     def assign(vecs):
         mat = np.stack(vecs.to_numpy())  # b×d
         sims = mat @ cent  # b×c
-        # stable sort so equal similarities break ties by cell id —
-        # deterministic across runs/partitions
-        idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        if nprobe == 1:
+            # argmax (ties → lowest cell id, same as the stable sort) —
+            # O(c) per row vs O(c log c); this is the corpus-sized path
+            idx = np.argmax(sims, axis=1).reshape(-1, 1)
+        else:
+            # stable sort so equal similarities break ties by cell id —
+            # deterministic across runs/partitions
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(idx.astype("int32")))
 
     # explicit real annotations (the module uses `from __future__ import
