@@ -1383,6 +1383,30 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second multimodal surface: the resize path (operators/multimodal.py::
+    resize_images) over binary content via Arrow-batched mapInPandas. The
+    stubbed thumb is sha256(content) — 32 bytes, so the [:64] cap is the
+    whole digest — projected to lowercase hex, which DuckDB's sha256()
+    returns natively: an exact value oracle over the Python batch path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.lit(None).cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int>"
+        ).alias("meta"),
+    )
+    thumbs = MM.resize_images(media, width=64, height=48)
+    return thumbs.select(
+        "media_id",
+        "width",
+        "height",
+        F.lower(F.hex(F.col("thumb"))).alias("thumb_hex"),
+    )
+
+
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink stage exercised end-to-end through the driver surface: orders
     are written to a scratch parquet layout that is hive-partitioned by
@@ -1911,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b) changed or added in round 4 ---
         "q_nested_drop_events": q_nested_drop_events,
         "q_multimodal_features": q_multimodal_features,
+        "q_multimodal_thumbs": q_multimodal_thumbs,
         "q_events_json": q_events_json,
         "q_ivf_ann": q_ivf_ann,
         "q_streaming_asof": q_streaming_asof,
@@ -1924,11 +1949,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_pairs": q_minhash_pairs,
         "q_knn_cosine": q_knn_cosine,
         "q_text_advanced": q_text_advanced,
-        "q_pack_sequences": q_pack_sequences,
         "q_sessionize_events": q_sessionize_events,
         # --- past the window: hash-green in CORRECTNESS_r03 on current
         # testdata; rotate back in future rounds (as-of family is covered
-        # in-window by q_streaming_asof) ---
+        # in-window by q_streaming_asof; corpus by q_split_assign and
+        # q_source_cap) ---
+        "q_pack_sequences": q_pack_sequences,
         "q_asof_purchase_view": q_asof_purchase_view,
         "q01_pricing_summary": q01_pricing_summary,
         "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
@@ -2825,6 +2851,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type AS etype, value AS v,
                    user_id AS uid, 'v' AS vals_keys
             FROM events
+        """,
+        # the stubbed thumb is the full sha256 digest; DuckDB sha256()
+        # returns the same bytes as lowercase hex
+        "q_multimodal_thumbs": """
+            SELECT doc_id AS media_id,
+                   64 AS width,
+                   48 AS height,
+                   sha256(text) AS thumb_hex
+            FROM documents
         """,
         # The fake feature is sha256(utf8(text)) bytes / 255 (multimodal.py
         # _fake_feature); DuckDB recovers each byte from the hex digest, so
