@@ -1407,6 +1407,28 @@ def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew-salting exercised at the driver surface (relational.py::
+    salted_join): orders join customer on a 4-way salted key — the left
+    side gets a uniform salt, the right side replicates once per salt
+    value, the join runs on (key, salt). Results are provably identical to
+    the unsalted join (the oracle IS the plain join), so a green row pins
+    that salting only changes data placement, never semantics."""
+    return _run(spark, [
+        _src(sf_dir, "customer", name="cust"),
+        _src(sf_dir, "orders"),
+        {"stage": "select",
+         "columns": ["o_orderkey", "o_custkey AS c_custkey", "o_totalprice"]},
+        {"stage": "join", "right": "cust", "on": ["c_custkey"], "salt": 4},
+        {"stage": "aggregate", "group_by": ["c_mktsegment"],
+         "aggs": {
+             "n": "count(*)",
+             "sum_price": "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)",
+         }},
+        {"stage": "sort", "by": ["c_mktsegment"]},
+    ])
+
+
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink stage exercised end-to-end through the driver surface: orders
     are written to a scratch parquet layout that is hive-partitioned by
@@ -1942,18 +1964,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sink_roundtrip": q_sink_roundtrip,
         "q_split_assign": q_split_assign,
         "q_source_cap": q_source_cap,
+        "q_salted_join_orders": q_salted_join_orders,
         # --- (c) one representative per r3-green family ---
         "q_nested_transform_events": q_nested_transform_events,
         "q_dedup_exact_docs": q_dedup_exact_docs,
         "q_dedup_cluster_docs": q_dedup_cluster_docs,  # CC hardened in r4
         "q_minhash_pairs": q_minhash_pairs,
         "q_knn_cosine": q_knn_cosine,
-        "q_text_advanced": q_text_advanced,
         "q_sessionize_events": q_sessionize_events,
         # --- past the window: hash-green in CORRECTNESS_r03 on current
         # testdata; rotate back in future rounds (as-of family is covered
         # in-window by q_streaming_asof; corpus by q_split_assign and
-        # q_source_cap) ---
+        # q_source_cap; text code untouched this round, all 6 green r3) ---
+        "q_text_advanced": q_text_advanced,
         "q_pack_sequences": q_pack_sequences,
         "q_asof_purchase_view": q_asof_purchase_view,
         "q01_pricing_summary": q01_pricing_summary,
@@ -2851,6 +2874,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type AS etype, value AS v,
                    user_id AS uid, 'v' AS vals_keys
             FROM events
+        """,
+        # the oracle is the UNSALTED join: salting must be placement-only
+        "q_salted_join_orders": """
+            SELECT c_mktsegment,
+                   count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         # the stubbed thumb is the full sha256 digest; DuckDB sha256()
         # returns the same bytes as lowercase hex
