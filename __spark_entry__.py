@@ -1383,6 +1383,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (similarity.py::
+    project_embeddings): unit-normalized embeddings projected onto 4
+    seeded Gaussian planes — map-only Column math, no shuffle/UDF. The
+    oracle regenerates the identical planes as SQL literals (same
+    generator as the SRP oracles), so the reduction is value-exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = SIM.project_embeddings(emb, out_dim=4)
+    return proj.select(
+        "vec_id",
+        *[F.round(F.col("proj").getItem(i), 6).alias(f"p{i}") for i in range(4)],
+    )
+
+
 def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second multimodal surface: the resize path (operators/multimodal.py::
     resize_images) over binary content via Arrow-batched mapInPandas. The
@@ -1965,17 +1979,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_source_cap": q_source_cap,
         "q_salted_join_orders": q_salted_join_orders,
+        "q_jl_projection": q_jl_projection,
         # --- (c) one representative per r3-green family ---
         "q_nested_transform_events": q_nested_transform_events,
         "q_dedup_exact_docs": q_dedup_exact_docs,
         "q_dedup_cluster_docs": q_dedup_cluster_docs,  # CC hardened in r4
         "q_minhash_pairs": q_minhash_pairs,
-        "q_knn_cosine": q_knn_cosine,
         "q_sessionize_events": q_sessionize_events,
         # --- past the window: hash-green in CORRECTNESS_r03 on current
         # testdata; rotate back in future rounds (as-of family is covered
         # in-window by q_streaming_asof; corpus by q_split_assign and
-        # q_source_cap; text code untouched this round, all 6 green r3) ---
+        # q_source_cap; similarity by q_ivf_ann and q_jl_projection; text
+        # untouched this round, all 6 green r3) ---
+        "q_knn_cosine": q_knn_cosine,
         "q_text_advanced": q_text_advanced,
         "q_pack_sequences": q_pack_sequences,
         "q_asof_purchase_view": q_asof_purchase_view,
@@ -2069,6 +2085,15 @@ def _srp_bucket_sql(bits: int) -> str:
 # embedding_pairs uses lsh_bits=8; srp_lsh_topk's driver query uses bits=4
 _SRP_BUCKET_SQL = _srp_bucket_sql(8)
 _SRP4_BUCKET_SQL = _srp_bucket_sql(4)
+
+# JL projection: plain dot products with the same seeded planes (bits=4
+# planes == project_embeddings(out_dim=4) planes — same generator+seed)
+_JL4_PROJ_SQL = ", ".join(
+    "round(list_dot_product(u, [{vals}]::DOUBLE[]), 6) AS p{i}".format(
+        vals=",".join(repr(x) for x in plane), i=i
+    )
+    for i, plane in enumerate(D.srp_planes(dim=64, bits=4, seed=42))
+)
 
 _LANG_HITS = {
     "en": "('the','and','of','to','a')",
@@ -2874,6 +2899,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type AS etype, value AS v,
                    user_id AS uid, 'v' AS vals_keys
             FROM events
+        """,
+        "q_jl_projection": _COSINE_CTE + f"""
+            SELECT vec_id, {_JL4_PROJ_SQL} FROM unitv
         """,
         # the oracle is the UNSALTED join: salting must be placement-only
         "q_salted_join_orders": """

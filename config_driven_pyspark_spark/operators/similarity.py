@@ -299,10 +299,47 @@ def ivf_topk(
     )
 
 
+def project_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    seed: int = 42,
+    normalize: bool = True,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random Gaussian projection: adds ``proj``
+    (``array<double>``, length ``out_dim``) where ``proj[j]`` is the dot
+    product with the j-th seeded Gaussian plane — the dimensionality-
+    reduction step before ANN indexing / clustering when raw embeddings
+    are wide. Planes come from the same deterministic generator as SRP-LSH
+    (``srp_planes``), so an external oracle regenerates them as literals
+    and replicates the projection bit-for-bit. ``normalize`` projects the
+    unit vector (cosine-geometry pipelines); set False for raw dots.
+
+    Scale: pure Column expressions — one map-only whole-stage-codegen
+    Project, no shuffle, no UDF; planes are literal-folded into the plan.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    if dim is None:
+        row = df.select(vec_col).first()
+        dim = len(row[0]) if row is not None and row[0] is not None else 1
+    from config_driven_pyspark_spark.operators.dedup import srp_planes
+
+    planes = srp_planes(dim, out_dim, seed)
+    v = V.unit_normalize(F.col(vec_col)) if normalize else F.col(vec_col)
+    proj = F.array(
+        *[V.dot(v, F.array(*[F.lit(x) for x in p])) for p in planes]
+    )
+    return df.withColumn("proj", proj)
+
+
 def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
-    """``{"stage": "similarity", "method": "brute_force"|"srp_lsh"|"ivf",
-    "k": 10, "queries": <stage name, default: self>, "id_col": ...,
-    "vec_col": ..., "bits": 8, "n_centroids": 16, "nprobe": 4}``."""
+    """``{"stage": "similarity", "method": "brute_force"|"srp_lsh"|"ivf"|
+    "project", "k": 10, "queries": <stage name, default: self>, "id_col":
+    ..., "vec_col": ..., "bits": 8, "n_centroids": 16, "nprobe": 4,
+    "out_dim": 8 (project)}``."""
     queries = ctx.get(spec["queries"]) if (ctx and spec.get("queries")) else df
     method = spec.get("method", "brute_force")
     k = int(spec.get("k", 10))
@@ -328,5 +365,11 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
             int(spec.get("kmeans_iters", 10)),
             int(spec.get("sample_rows", 20_000)),
             int(spec.get("seed", 42)),
+        )
+    if method == "project":
+        return project_embeddings(
+            df, id_col, vec_col, int(spec.get("out_dim", 8)),
+            int(spec.get("seed", 42)), bool(spec.get("normalize", True)),
+            spec.get("dim"),
         )
     raise ValueError(f"Unknown similarity method {method!r}")

@@ -573,3 +573,41 @@ def test_pairwise_dedup_keep_by(spark):
         "output": "dedup", "keep_by": "score",
     })
     assert {r["doc_id"] for r in out.collect()} == {2, 4}
+
+
+def test_project_embeddings_shape_and_determinism(embeddings):
+    out = S.project_embeddings(embeddings, out_dim=4)
+    rows = {r["vec_id"]: r["proj"] for r in out.collect()}
+    assert all(len(p) == 4 for p in rows.values())
+    # deterministic under repartitioning; seed changes the projection
+    redo = {r["vec_id"]: r["proj"] for r in
+            S.project_embeddings(embeddings.repartition(5), out_dim=4).collect()}
+    assert rows == redo
+    other = {r["vec_id"]: r["proj"] for r in
+             S.project_embeddings(embeddings, out_dim=4, seed=7).collect()}
+    assert rows != other
+    with pytest.raises(ValueError, match="out_dim"):
+        S.project_embeddings(embeddings, out_dim=0)
+
+
+def test_project_embeddings_preserves_similarity_order(embeddings):
+    """JL property smoke check: for a planted near-duplicate pair, the
+    projected vectors stay much closer to each other than to a random
+    third vector (distance ratios are approximately preserved)."""
+    import numpy as np
+
+    emb = {r["vec_id"]: np.array(r["proj"]) for r in
+           S.project_embeddings(embeddings, out_dim=8).limit(0).unionByName(
+               S.project_embeddings(embeddings, out_dim=8)).collect()}
+    ids = sorted(emb)[:50]
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype="float64") /
+           np.linalg.norm(r["embedding"])
+           for r in embeddings.filter(F.col("vec_id").isin(ids)).collect()}
+    # rank correlation between raw and projected distances for one anchor
+    a = ids[0]
+    raw_d = [np.linalg.norm(raw[a] - raw[b]) for b in ids[1:]]
+    prj_d = [np.linalg.norm(emb[a] - emb[b]) for b in ids[1:]]
+    order_raw = np.argsort(raw_d)
+    order_prj = np.argsort(prj_d)
+    # top-10 nearest by raw distance mostly survive in projected top-20
+    assert len(set(order_raw[:10]) & set(order_prj[:20])) >= 5
