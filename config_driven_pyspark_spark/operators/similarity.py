@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from config_driven_pyspark_spark.functions import vectors as V
+from config_driven_pyspark_spark.operators.dedup import _spread
 
 
 def brute_force_topk(
@@ -49,7 +50,9 @@ def brute_force_topk(
     shuffles only ``|queries| × |corpus|`` scored rows reduced by a
     per-partition partial sort (AQE coalesces the tail).
     """
-    c = corpus.select(
+    # CPU-heavy per-pair scoring must not inherit a small input file count
+    # (one parquet file -> one task); a no-op at real scale
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), V.unit_normalize(F.col(vec_col)).alias("cv")
     )
     q = queries.select(
@@ -111,7 +114,9 @@ def srp_lsh_topk(
             V.hyperplane_signature(v, planes).alias("bucket"),
         )
 
-    c = prep(corpus, "neighbor_id", "cv")
+    # spread the corpus: signature + scoring work shouldn't run on the
+    # input's file-count parallelism (see _spread)
+    c = prep(_spread(corpus), "neighbor_id", "cv")
     q = prep(queries, "query_id", "qv")
     scored = (
         c.join(q, on="bucket")
@@ -265,7 +270,14 @@ def ivf_topk(
         kmeans_iters, sample_rows, seed,
     )
 
-    c = corpus.select(
+    # The Arrow UDF is deliberate here, not a compromise: a Column-math
+    # argmax over literal centroid dots was measured 6× SLOWER end-to-end
+    # (6.9 vs 1.1 s at sf0.1) because the join's pushed-down
+    # isnotnull(cell) filter duplicates the whole literal expression —
+    # including unit_normalize's per-element norm recompute (higher-order
+    # functions are interpreted, no CSE) — while the UDF is opaque to
+    # Catalyst, so the null filter tests its materialized output instead.
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         V.unit_normalize(F.col(vec_col)).alias("cv"),
     ).withColumn(
