@@ -1383,6 +1383,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming dedup stage (streaming/stages.py::stage_stream_dedup)
+    on its batch twin: dropDuplicates on (user_id, event_type), then a
+    per-type count of the surviving keys. On a stream the same stage is
+    dropDuplicatesWithinWatermark with horizon-evicted state (parity in
+    tests/test_streaming.py); in batch it is exactly DISTINCT, which the
+    oracle states directly."""
+    return _run(spark, [
+        *_events_stages(sf_dir),
+        {"stage": "select", "columns": ["user_id", "event_type"]},
+        {"stage": "stream_dedup", "subset": ["user_id", "event_type"]},
+        {"stage": "aggregate", "group_by": ["event_type"],
+         "aggs": {"n_users": "count(*)"}},
+    ])
+
+
 def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss random projection (similarity.py::
     project_embeddings): unit-normalized embeddings projected onto 4
@@ -1980,9 +1996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_cap": q_source_cap,
         "q_salted_join_orders": q_salted_join_orders,
         "q_jl_projection": q_jl_projection,
+        "q_stream_dedup": q_stream_dedup,
         # --- (c) one representative per r3-green family ---
         "q_nested_transform_events": q_nested_transform_events,
-        "q_dedup_exact_docs": q_dedup_exact_docs,
         "q_dedup_cluster_docs": q_dedup_cluster_docs,  # CC hardened in r4
         "q_minhash_pairs": q_minhash_pairs,
         "q_sessionize_events": q_sessionize_events,
@@ -1996,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_asof_purchase_view": q_asof_purchase_view,
         "q01_pricing_summary": q01_pricing_summary,
+        "q_dedup_exact_docs": q_dedup_exact_docs,
         "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
         "q_dedup_best_docs": q_dedup_best_docs,
         "q_simhash_pairs": q_simhash_pairs,
@@ -2899,6 +2916,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type AS etype, value AS v,
                    user_id AS uid, 'v' AS vals_keys
             FROM events
+        """,
+        "q_stream_dedup": """
+            SELECT event_type, count(*) AS n_users
+            FROM (SELECT DISTINCT user_id, event_type FROM events)
+            GROUP BY event_type
         """,
         "q_jl_projection": _COSINE_CTE + f"""
             SELECT vec_id, {_JL4_PROJ_SQL} FROM unitv
