@@ -39,9 +39,22 @@ def cosine(a: Column, b: Column) -> Column:
 def unit_normalize(a: Column) -> Column:
     """Scale to unit L2 norm — pre-normalizing the corpus once turns cosine
     top-k into a plain dot-product top-k (the scale path: normalize at write
-    time, never per-query)."""
-    n = norm(a)
-    return F.transform(as_double(a), lambda v: v / n)
+    time, never per-query).
+
+    Built as one ``aggregate`` whose *finish* lambda divides by the final
+    accumulator: the sum of squares is computed once per row and captured
+    as a lambda variable. The naive ``transform(a, x -> x / norm(a))``
+    embeds the whole norm aggregate inside the per-element lambda, and
+    higher-order functions evaluate interpreted with no common-
+    subexpression elimination — measured 64× redundant summation per row
+    on 64-dim vectors. Same float semantics (identical summation order and
+    division), just evaluated once."""
+    return F.aggregate(
+        as_double(a),
+        F.lit(0.0),
+        lambda acc, v: acc + v * v,
+        lambda s: F.transform(as_double(a), lambda v: v / F.sqrt(s)),
+    )
 
 
 def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:

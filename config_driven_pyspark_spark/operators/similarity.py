@@ -143,7 +143,13 @@ def srp_lsh_topk(
 def _nearest_cells_udf(centroids, nprobe: int):
     """Arrow-batched assignment to the ``nprobe`` nearest (by dot product)
     unit centroids. ``centroids`` is a small driver-side numpy array
-    broadcast with the serialized UDF — fine for the usual 2⁸–2¹⁶ cells."""
+    broadcast with the serialized UDF — fine for the usual 2⁸–2¹⁶ cells.
+
+    Takes the RAW vector column: against unit centroids, the dot-product
+    ORDERING is invariant under positive scaling of the input, so cell
+    choice needs no normalization (and a plain attribute input keeps the
+    ArrowEvalPython projection trivial — nested-lambda normalize
+    expressions are not evaluable as UDF inputs in Spark 4)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -277,17 +283,20 @@ def ivf_topk(
     # including unit_normalize's per-element norm recompute (higher-order
     # functions are interpreted, no CSE) — while the UDF is opaque to
     # Catalyst, so the null filter tests its materialized output instead.
+    # assignment reads the RAW vector (cell ordering is scale-invariant
+    # against unit centroids); the unit vector is computed alongside for
+    # scoring only
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         V.unit_normalize(F.col(vec_col)).alias("cv"),
-    ).withColumn(
-        "cell", _nearest_cells_udf(centroids, 1)(F.col("cv")).getItem(0)
+        _nearest_cells_udf(centroids, 1)(F.col(vec_col)).getItem(0).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         V.unit_normalize(F.col(vec_col)).alias("qv"),
-    ).withColumn(
-        "cell", F.explode(_nearest_cells_udf(centroids, nprobe)(F.col("qv")))
+        F.explode(
+            _nearest_cells_udf(centroids, nprobe)(F.col(vec_col))
+        ).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q) if broadcast_queries else q, on="cell")
