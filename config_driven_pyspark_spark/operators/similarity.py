@@ -360,7 +360,14 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     """``{"stage": "similarity", "method": "brute_force"|"srp_lsh"|"ivf"|
     "project", "k": 10, "queries": <stage name, default: self>, "id_col":
     ..., "vec_col": ..., "bits": 8, "n_centroids": 16, "nprobe": 4,
-    "out_dim": 8 (project)}``."""
+    "out_dim": 8 (project), "broadcast_queries": bool}``.
+
+    ``broadcast_queries`` (brute_force/ivf) assumes the query set fits in
+    a broadcast — the usual few-to-thousands lookup case. Set it false for
+    query sets too large to broadcast (e.g. corpus-vs-itself search); the
+    join then shuffles both sides on its key. For ivf it defaults to true
+    only when an explicit ``queries`` frame is named — self-search implies
+    |queries| = |corpus| and defaults to the shuffle path."""
     queries = ctx.get(spec["queries"]) if (ctx and spec.get("queries")) else df
     method = spec.get("method", "brute_force")
     k = int(spec.get("k", 10))
