@@ -1437,6 +1437,37 @@ def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV reader/writer driver coverage: nation is written to a scratch
+    header CSV through the sink stage and read back through the source
+    stage with an explicit DDL schema (CSV persists no types), then joined
+    back and aggregated. Lossless for this all-int/string table, so the
+    oracle works straight off the parquet source — a green row pins the
+    text-format codec path end to end."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_csv_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    _run(spark, [
+        _src(sf_dir, "nation"),
+        {"stage": "sink", "format": "csv", "path": out_dir,
+         "mode": "overwrite", "options": {"header": "true"}},
+    ])
+    return _run(spark, [
+        {"stage": "source", "format": "csv", "path": out_dir,
+         "schema": ("n_nationkey BIGINT, n_name STRING, "
+                    "n_regionkey BIGINT, n_comment STRING"),
+         "options": {"header": "true"}},
+        {"stage": "aggregate", "group_by": ["n_regionkey"],
+         "aggs": {"n_nations": "count(*)",
+                  "first_nation": "min(n_name)",
+                  "sum_keys": "sum(n_nationkey)"}},
+    ])
+
+
 def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manual skew-salting exercised at the driver surface (relational.py::
     salted_join): orders join customer on a 4-way salted key — the left
@@ -1956,7 +1987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_orders": q_rollup_orders,
         "q_cube_lineitem": q_cube_lineitem,
         "q_window_ranks_orders": q_window_ranks_orders,
-        "q_window_lag_orders": q_window_lag_orders,
         "q_window_running_total": q_window_running_total,
         "q_semi_customers": q_semi_customers,
         "q_anti_customers": q_anti_customers,
@@ -1997,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join_orders": q_salted_join_orders,
         "q_jl_projection": q_jl_projection,
         "q_stream_dedup": q_stream_dedup,
+        "q_csv_roundtrip": q_csv_roundtrip,
         # --- (c) one representative per r3-green family ---
         "q_nested_transform_events": q_nested_transform_events,
         "q_dedup_cluster_docs": q_dedup_cluster_docs,  # CC hardened in r4
@@ -2012,6 +2043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_asof_purchase_view": q_asof_purchase_view,
         "q01_pricing_summary": q01_pricing_summary,
+        # window family stays triple-covered up front (ranks, running
+        # total, range frame r3-green); lag rotates out to hold 50
+        "q_window_lag_orders": q_window_lag_orders,
         "q_dedup_exact_docs": q_dedup_exact_docs,
         "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
         "q_dedup_best_docs": q_dedup_best_docs,
@@ -2916,6 +2950,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type AS etype, value AS v,
                    user_id AS uid, 'v' AS vals_keys
             FROM events
+        """,
+        # the CSV roundtrip is lossless for this table, so the oracle
+        # aggregates the parquet source directly
+        "q_csv_roundtrip": """
+            SELECT n_regionkey,
+                   count(*) AS n_nations,
+                   min(n_name) AS first_nation,
+                   CAST(sum(n_nationkey) AS BIGINT) AS sum_keys
+            FROM nation GROUP BY n_regionkey
         """,
         "q_stream_dedup": """
             SELECT event_type, count(*) AS n_users
