@@ -1437,6 +1437,49 @@ def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist — over each customer's orders by value. One shuffle+sort
+    shared by all three (same window spec)."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "window", "partition_by": ["o_custkey"],
+         "order_by": ["o_totalprice", "o_orderkey"],
+         "columns": {"quartile": "ntile(4)",
+                     "pr": "percent_rank()",
+                     "cd": "cume_dist()"}},
+        {"stage": "select",
+         "columns": ["o_orderkey", "o_custkey", "quartile",
+                     {"expr": "round(pr, 6)", "alias": "pct_rank"},
+                     {"expr": "round(cd, 6)", "alias": "cume"}]},
+    ])
+
+
+def q_date_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal feature surface: date_trunc, quarter/week extraction,
+    month arithmetic, month-end alignment, and day deltas against a fixed
+    anchor — all Column-native, map-only over the scan."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "select", "columns": [
+            "o_orderkey",
+            # dates go out as ISO strings: Spark DATE and DuckDB DATE
+            # canonicalize differently in pandas (date objects vs
+            # datetime64), which would false-fail the value hash
+            {"expr": "date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd')",
+             "alias": "order_month"},
+            {"expr": "quarter(o_orderdate)", "alias": "qtr"},
+            {"expr": "weekofyear(o_orderdate)", "alias": "week"},
+            {"expr": "date_format(add_months(o_orderdate, 3), 'yyyy-MM-dd')",
+             "alias": "plus_quarter"},
+            {"expr": "date_format(last_day(o_orderdate), 'yyyy-MM-dd')",
+             "alias": "month_end"},
+            {"expr": "datediff(DATE '1998-12-31', o_orderdate)",
+             "alias": "days_to_close"},
+        ]},
+    ])
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV reader/writer driver coverage: nation is written to a scratch
     header CSV through the sink stage and read back through the source
@@ -2082,6 +2125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join_price_bands": q_range_join_price_bands,
         "q_window_topk_parts": q_window_topk_parts,
         "q_grouping_sets_orders": q_grouping_sets_orders,
+        "q_window_ntile_orders": q_window_ntile_orders,
+        "q_date_features_orders": q_date_features_orders,
     }
 
 
@@ -2950,6 +2995,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type AS etype, value AS v,
                    user_id AS uid, 'v' AS vals_keys
             FROM events
+        """,
+        "q_window_ntile_orders": """
+            SELECT o_orderkey, o_custkey,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice, o_orderkey)
+        """,
+        "q_date_features_orders": """
+            SELECT o_orderkey,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                     AS order_month,
+                   quarter(o_orderdate) AS qtr,
+                   weekofyear(o_orderdate) AS week,
+                   strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')
+                     AS plus_quarter,
+                   strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+                   datediff('day', CAST(o_orderdate AS DATE),
+                            DATE '1998-12-31') AS days_to_close
+            FROM orders
         """,
         # the CSV roundtrip is lossless for this table, so the oracle
         # aggregates the parquet source directly
