@@ -1437,6 +1437,28 @@ def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    (0, "spark table join"),
+    (1, "fast filter value"),
+    (2, "window agg row"),
+]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/corpus.py::bm25_topk): top-10
+    documents per keyword query. Per-term contributions are rounded to 9
+    decimals and summed as DECIMAL(18,9) — exact, order-independent
+    addition — so the DuckDB oracle reproduces every score bit-for-bit
+    despite float logs in the idf."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id bigint, query_text string"
+    )
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    return CORPUS.bm25_topk(docs, queries, k=10)
+
+
 def q_window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — ntile quartiles, percent_rank,
     cume_dist — over each customer's orders by value. One shuffle+sort
@@ -2127,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets_orders": q_grouping_sets_orders,
         "q_window_ntile_orders": q_window_ntile_orders,
         "q_date_features_orders": q_date_features_orders,
+        "q_bm25_search": q_bm25_search,
     }
 
 
@@ -2995,6 +3018,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type AS etype, value AS v,
                    user_id AS uid, 'v' AS vals_keys
             FROM events
+        """,
+        # full BM25 replica: same tokenization, same +1-idf, contributions
+        # rounded to 9 decimals and decimal-summed on both sides
+        "q_bm25_search": """
+            WITH q(query_id, query_text) AS (VALUES
+                (CAST(0 AS BIGINT), 'spark table join'),
+                (CAST(1 AS BIGINT), 'fast filter value'),
+                (CAST(2 AS BIGINT), 'window agg row')),
+            qterms AS (
+              SELECT query_id,
+                     unnest(list_distinct(list_filter(
+                       string_split(lower(query_text), ' '), t -> t != '')))
+                       AS term
+              FROM q),
+            vocab AS (SELECT DISTINCT term FROM qterms),
+            b2 AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t != '') AS toks
+              FROM documents),
+            b3 AS (SELECT doc_id, len(toks) AS dl, toks FROM b2),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM b3),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b3)
+              WHERE term IN (SELECT term FROM vocab)
+              GROUP BY doc_id, dl, term),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT qt.query_id, tf.doc_id,
+                     CAST(round(
+                       ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)),
+                       9) AS DECIMAL(18,9)) AS c
+              FROM tf
+              JOIN dft USING (term)
+              JOIN qterms qt USING (term)
+              CROSS JOIN stats s),
+            scored AS (
+              SELECT query_id, doc_id, CAST(sum(c) AS DOUBLE) AS score
+              FROM contrib GROUP BY 1, 2)
+            SELECT query_id, doc_id, rank, score FROM (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
         """,
         "q_window_ntile_orders": """
             SELECT o_orderkey, o_custkey,

@@ -33,6 +33,9 @@ at 100 TB.
   step before writing training shards.
 - ``cap_per_stratum``   — at most N documents per domain/source, picked in
   md5 pseudo-random order via the same skew-safe two-level prefix sum.
+- ``bm25_topk``         — BM25 keyword retrieval over the corpus (search,
+  keyword quality filters, lexical decontamination sweeps), with decimal-
+  summed contributions so scores are aggregation-order independent.
 
 Scale notes per operator are on the functions.
 """
@@ -617,10 +620,113 @@ def split_assign(
     })
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``k`` documents per query with the
+    Robertson/Sparck-Jones BM25 score (the ``+1`` idf variant, always
+    positive) — the workhorse for corpus search, keyword-based quality
+    filtering, and lexical decontamination sweeps.
+
+    Output: (query_id, doc_id, rank, score); ties break to the smaller
+    doc_id. Per-term contributions are rounded to 9 decimals and summed as
+    DECIMAL(18, 9): decimal addition is exact and order-independent, so
+    the score never depends on aggregation order — an external oracle
+    reproduces it bit-for-bit (float += across rows would not).
+
+    Scale: docs tokenize map-side and explode to (doc, term, tf); only
+    terms appearing in some query survive (semi-join against the broadcast
+    query vocabulary), so the per-term frame is |query vocab|-bounded per
+    doc, never the full posting list. Corpus stats (N, avgdl) are a 1-row
+    broadcast; df(term) aggregates only the surviving terms. One shuffle
+    on (query, doc) for the final sum, one window top-k.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).withColumn("dl", F.size("__toks"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col(query_text_col)), " "),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    vocab = qterms.select("term").distinct()
+
+    tf = (
+        base.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        .join(F.broadcast(vocab), "term", "left_semi")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__c",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ).cast("decimal(18,9)"),
+        )
+    )
+    scored = (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(F.sum("__c").cast("double").alias("score"))
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("doc_id")
+            )
+        ).cast("bigint"),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", "rank", "score"
+    )
+
+
 def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     """``{"stage": "corpus", "op": "repetition|hash_sample|decontaminate|
     contamination_flags|chunk|mixture|token_budget|line_dedup|pack|
-    split_assign|cap", ...}`` — config-driven entry points. ``decontaminate``/``contamination_flags`` take
+    split_assign|cap|bm25", ...}`` — config-driven entry points. ``bm25``
+    takes ``queries`` (a named frame with query_id/query_text) plus
+    optional ``k``/``k1``/``b``. ``decontaminate``/``contamination_flags`` take
     ``benchmark`` (a named frame from an earlier stage); ``mixture`` takes
     ``stratify_by`` + ``weights``; ``token_budget`` takes ``budget`` and
     optional ``by``."""
@@ -674,4 +780,12 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         )
     if op == "cap":
         return cap_per_stratum(df, id_col, spec["by"], int(spec["cap"]))
+    if op == "bm25":
+        return bm25_topk(
+            df, ctx.get(spec["queries"]), int(spec.get("k", 10)),
+            id_col, text_col,
+            spec.get("query_id_col", "query_id"),
+            spec.get("query_text_col", "query_text"),
+            float(spec.get("k1", 1.2)), float(spec.get("b", 0.75)),
+        )
     raise ValueError(f"Unknown corpus op {op!r}")

@@ -482,3 +482,43 @@ def test_cap_per_stratum(documents):
         == documents.count()
     with pytest.raises(ValueError, match="cap"):
         C.cap_per_stratum(documents, "doc_id", "source", cap=0)
+
+
+def test_bm25_topk_relevance_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark join table spark join"),   # both terms, high tf
+         (2, "spark filter row"),              # one term
+         (3, "totally unrelated words here"),  # zero terms
+         (4, "join join join join join")],     # one term, high tf
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "spark join")], "query_id bigint, query_text string"
+    )
+    out = C.bm25_topk(docs, queries, k=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 3 not in rows                       # no matching term, no row
+    assert rows[1]["rank"] == 1                # covers both query terms
+    assert rows[1]["score"] > rows[2]["score"]
+    # deterministic under repartitioning (decimal-summed contributions)
+    redo = {r["doc_id"]: r["score"]
+            for r in C.bm25_topk(docs.repartition(7), queries, k=10).collect()}
+    assert redo == {d: r["score"] for d, r in rows.items()}
+
+
+def test_bm25_stage_dispatch(spark):
+    from config_driven_pyspark_spark import Pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id bigint, text string")
+    docs.createOrReplaceTempView("t_bm25_docs")
+    qs = spark.createDataFrame(
+        [(0, "beta")], "query_id bigint, query_text string")
+    qs.createOrReplaceTempView("t_bm25_q")
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_bm25_q", "name": "qs"},
+        {"stage": "sql", "query": "SELECT * FROM t_bm25_docs"},
+        {"stage": "corpus", "op": "bm25", "id_col": "doc_id",
+         "queries": "qs", "k": 5},
+    ]).run(spark)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
