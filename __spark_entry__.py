@@ -2036,16 +2036,63 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+# Names whose semantics changed (or that were added) in the CURRENT round.
+# These always sort to the very front of queries() so the driver's 50-entry
+# correctness window is guaranteed to re-verify them this round.  Reset this
+# list at the start of each round.
+_CHANGED_THIS_ROUND: list[str] = []
+
+
+def _last_driver_checked() -> dict[str, int]:
+    """name -> highest round N whose CORRECTNESS_r{N}.json has a row for it.
+
+    Read from the repo root next to this file; a query never present in any
+    driver record maps to nothing (treated as round -1 by the sort)."""
+    import json
+    import re
+    from pathlib import Path
+
+    seen: dict[str, int] = {}
+    for path in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            seen[name] = max(seen.get(name, rnd), rnd)
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered for the driver's 50-entry correctness-snapshot window,
-    rotated each round so every declared query gets a post-testdata-regen
-    green row (VERDICT r3 gap #2 / ADVICE): round 4 fronts (a) the 34
-    TPC-H/relational tail queries unverified since the regen, (b) every
-    query changed or added this round, and (c) one representative per
-    family that went green in round 3. The r3-green remainder sits past 50
-    — each has a hash-green CORRECTNESS_r03 row on current testdata."""
+    """Programmatically ordered for the driver's 50-entry correctness window
+    (VERDICT r4 "what's wrong" #1: hand-maintained ordering let late-round
+    additions land past the window).  Sort key: (a) ``_CHANGED_THIS_ROUND``
+    names first, in listed order; (b) then ascending by the last round a
+    driver CORRECTNESS_r*.json recorded the query (never-recorded sorts
+    first); (c) declaration order below as the stable tie-break.  New or
+    stale queries therefore self-front — no hand rotation to forget."""
+    declared = _declared_queries()
+    changed_rank = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+    last = _last_driver_checked()
+    decl_rank = {n: i for i, n in enumerate(declared)}
+
+    def key(name: str) -> tuple:
+        if name in changed_rank:
+            return (0, changed_rank[name], 0)
+        return (1, last.get(name, -1), decl_rank[name])
+
+    return {n: declared[n] for n in sorted(declared, key=key)}
+
+
+def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every declared query, in declaration (family-grouped) order."""
     return {
-        # --- (a) relational/TPC-H tail, last driver-checked pre-regen ---
+        # (declaration order is only the sort tie-break — see queries())
+        # --- relational / TPC-H family ---
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "q04_order_priority": q04_order_priority,
@@ -2079,7 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles_lineitem": q_percentiles_lineitem,
         "q_agg_orders_stats": q_agg_orders_stats,
         "q_approx_sketches": q_approx_sketches,
-        # --- (b) changed or added in round 4 ---
+        # --- nested / multimodal / streaming / sources ---
         "q_nested_drop_events": q_nested_drop_events,
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_thumbs": q_multimodal_thumbs,
@@ -2093,23 +2140,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jl_projection": q_jl_projection,
         "q_stream_dedup": q_stream_dedup,
         "q_csv_roundtrip": q_csv_roundtrip,
-        # --- (c) one representative per r3-green family ---
+        # --- dedup / similarity / text / corpus / UDF families ---
         "q_nested_transform_events": q_nested_transform_events,
         "q_dedup_cluster_docs": q_dedup_cluster_docs,  # CC hardened in r4
         "q_minhash_pairs": q_minhash_pairs,
         "q_sessionize_events": q_sessionize_events,
-        # --- past the window: hash-green in CORRECTNESS_r03 on current
-        # testdata; rotate back in future rounds (as-of family is covered
-        # in-window by q_streaming_asof; corpus by q_split_assign and
-        # q_source_cap; similarity by q_ivf_ann and q_jl_projection; text
-        # untouched this round, all 6 green r3) ---
         "q_knn_cosine": q_knn_cosine,
         "q_text_advanced": q_text_advanced,
         "q_pack_sequences": q_pack_sequences,
         "q_asof_purchase_view": q_asof_purchase_view,
         "q01_pricing_summary": q01_pricing_summary,
-        # window family stays triple-covered up front (ranks, running
-        # total, range frame r3-green); lag rotates out to hold 50
         "q_window_lag_orders": q_window_lag_orders,
         "q_dedup_exact_docs": q_dedup_exact_docs,
         "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
