@@ -2040,7 +2040,15 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # These always sort to the very front of queries() so the driver's 50-entry
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
-_CHANGED_THIS_ROUND: list[str] = []
+_CHANGED_THIS_ROUND: list[str] = [
+    # round 5: underlying operators hardened per ADVICE r4 (null-key guard
+    # in split_assign, non-null dim probe in project_embeddings, final-block
+    # convergence check in connected_components) — behavior-preserving on
+    # driver inputs, fronted for re-verification anyway
+    "q_split_assign",
+    "q_jl_projection",
+    "q_dedup_cluster_docs",
+]
 
 
 def _last_driver_checked() -> dict[str, int]:

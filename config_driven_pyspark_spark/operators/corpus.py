@@ -587,6 +587,7 @@ def split_assign(
     assignments (e.g. per training run) without touching the data.
 
     Split granularity is 1/65536 (16 bits); fractions must sum to 1.
+    A NULL ``key_col`` raises at execution time (no deterministic home).
     Writing ``partitionBy(split).bucketBy/repartition(shard)`` then sorting
     by ``shuffle_key`` yields the standard reproducibly-shuffled shard
     export without any corpus-wide sort (each shard sorts independently).
@@ -599,7 +600,18 @@ def split_assign(
         raise ValueError(f"splits must sum to 1, got {sum(splits.values())}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    # NULL keys would hash to NULL and silently land in the last-named
+    # split with NULL shard (ADVICE r4) — fail loudly instead: assignment
+    # is a pure function of the key, so a null key has no deterministic
+    # home. raise_error stays JVM-side (still whole-stage codegen).
+    key_s = F.col(key_col).cast("string")
+    key_checked = F.when(key_s.isNotNull(), key_s).otherwise(
+        F.raise_error(F.lit(
+            f"split_assign: NULL {key_col} — split/shard assignment is a "
+            "pure function of the key; filter or fill null keys first"
+        ))
+    )
+    h = F.md5(F.concat(F.lit(salt), key_checked))
     b16 = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint")
     cum = 0.0
     expr = None

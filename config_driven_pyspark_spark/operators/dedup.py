@@ -122,7 +122,10 @@ def connected_components(
     convergence-check job amortizes over deep graphs (hash-min labels are
     monotone non-increasing, so "no change across a k-round block" is
     exactly "fixpoint reached within the block"; the only cost of k > 1 is
-    up to k−1 extra no-op rounds after the fixpoint).
+    up to k−1 extra no-op rounds after the fixpoint). A fixpoint reached
+    inside the final block (when ``max_iterations`` truncates it) is
+    confirmed by one extra single-round check instead of being refused as
+    non-convergence.
 
     This is the standard large-graph CC construction (hash-min /
     "small-star" family) on DataFrames.
@@ -149,27 +152,42 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    def _propagate(lbl: DataFrame) -> DataFrame:
+        # each node's candidate label: min over (own label, neighbors')
+        neighbor_min = (
+            edges.join(lbl, on=edges.dst == lbl.id, how="inner")
+            .select(F.col("src").alias("id"), "component")
+        )
+        return _truncate(
+            lbl.unionByName(neighbor_min)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+
+    def _n_changed(new: DataFrame, old: DataFrame) -> int:
+        return (
+            new.join(old.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+
     it = 0
     converged = False
     while it < max_iterations and not converged:
         anchor = labels  # labels as of the last convergence check
         for _ in range(min(check_every, max_iterations - it)):
-            # each node's candidate label: min over (own label, neighbors')
-            neighbor_min = (
-                edges.join(labels, on=edges.dst == labels.id, how="inner")
-                .select(F.col("src").alias("id"), "component")
-            )
-            labels = _truncate(
-                labels.unionByName(neighbor_min)
-                .groupBy("id")
-                .agg(F.min("component").alias("component"))
-            )
+            labels = _propagate(labels)
             it += 1
-        changed = (
-            labels.join(anchor.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
+        changed = _n_changed(labels, anchor)
+        converged = changed == 0
+    if not converged and check_every > 1:
+        # The block-anchor comparison cannot see a fixpoint reached INSIDE
+        # the final block: changed > 0 only says the block did *some* work.
+        # One extra single-round check disambiguates, so a run that
+        # converged right at the max_iterations boundary isn't refused.
+        next_labels = _propagate(labels)
+        changed = _n_changed(next_labels, labels)
+        labels = next_labels
         converged = changed == 0
     if not converged:
         # silent partial labels would keep duplicates undetected — refuse

@@ -285,7 +285,12 @@ def ivf_topk(
     # Catalyst, so the null filter tests its materialized output instead.
     # assignment reads the RAW vector (cell ordering is scale-invariant
     # against unit centroids); the unit vector is computed alongside for
-    # scoring only
+    # scoring only. Known risk (documented, accepted): an exact oracle
+    # that dots UNIT vectors instead can resolve a floating-point
+    # NEAR-TIE between two centroids differently — mathematically the
+    # same argmax, but the two computations round differently. On random
+    # embeddings a meaningful tie is vanishingly unlikely; if a
+    # hash-mismatch flake ever appears here, check tie distances first.
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         V.unit_normalize(F.col(vec_col)).alias("cv"),
@@ -344,8 +349,17 @@ def project_embeddings(
     if out_dim < 1:
         raise ValueError(f"out_dim must be >= 1, got {out_dim}")
     if dim is None:
-        row = df.select(vec_col).first()
-        dim = len(row[0]) if row is not None and row[0] is not None else 1
+        # probe the first NON-NULL vector: a leading NULL row must not
+        # silently yield wrong-length planes (ADVICE r4); the filtered
+        # probe is one bounded driver job at plan-build time — pass
+        # ``dim`` explicitly to skip it in latency-sensitive planning
+        row = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if row is None:
+            raise ValueError(
+                f"project_embeddings: no non-null '{vec_col}' row to infer "
+                "the input dimension from — pass dim= explicitly"
+            )
+        dim = len(row[0])
     from config_driven_pyspark_spark.operators.dedup import srp_planes
 
     planes = srp_planes(dim, out_dim, seed)

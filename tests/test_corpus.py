@@ -463,6 +463,14 @@ def test_split_assign_validation(documents):
         C.split_assign(documents, "doc_id", n_shards=0)
 
 
+def test_split_assign_null_key_raises(spark):
+    # ADVICE r4: a NULL key used to hash to NULL and silently land in the
+    # last-named split with NULL shard; it must fail loudly instead
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    with pytest.raises(Exception, match="split_assign"):
+        C.split_assign(df, "k").collect()
+
+
 def test_cap_per_stratum(documents):
     out = C.cap_per_stratum(documents, "doc_id", "source", cap=15)
     counts = {r["source"]: r["n"] for r in

@@ -320,6 +320,21 @@ def test_connected_components_check_every_respects_max_iterations(spark):
         D.connected_components(pairs, check_every=0)
 
 
+def test_connected_components_fixpoint_inside_final_block(spark):
+    # ADVICE r4: diameter-10 path, max_iterations=12, check_every=3 — the
+    # fixpoint (round 10) lands INSIDE the final block, so the block-anchor
+    # comparison at it=12 still sees changes; the extra single-round check
+    # must confirm convergence instead of refusing
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
+    )
+    comp = D.connected_components(
+        pairs, max_iterations=12, check_every=3
+    ).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 11
+
+
 def test_connected_components_checkpoint_dir(spark, tmp_path):
     # reliable checkpoint() truncation path (real-cluster mode)
     pairs = spark.createDataFrame(
@@ -588,6 +603,24 @@ def test_project_embeddings_shape_and_determinism(embeddings):
     assert rows != other
     with pytest.raises(ValueError, match="out_dim"):
         S.project_embeddings(embeddings, out_dim=0)
+
+
+def test_project_embeddings_null_probe(spark):
+    # ADVICE r4: dim inference must skip leading NULL vectors (was:
+    # silently fell back to dim=1 → wrong-length planes), and an all-null
+    # column must raise instead of projecting garbage
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r["proj"]
+            for r in S.project_embeddings(df, out_dim=2).collect()}
+    assert len(rows[2]) == 2
+    all_null = spark.createDataFrame(
+        [(1, None)], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        S.project_embeddings(all_null, out_dim=2)
 
 
 def test_project_embeddings_preserves_similarity_order(embeddings):
