@@ -910,11 +910,12 @@ def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-family aggregates: HyperLogLog++ distinct counts and
-    approximate percentiles over lineitem. Rows-only: sketch outputs are
-    engine-specific by construction (Spark HLL++ vs DuckDB HLL give
-    different estimates); the exact twins are oracled in
-    q_agg_orders_stats / q_percentiles_lineitem, and estimate accuracy is
-    gated against exact answers on real testdata by tests/
+    approximate percentiles over lineitem. Rows-only — reduced to its
+    irreducible core (VERDICT r4 #5): sketch outputs are engine-specific
+    by construction (Spark HLL++ vs DuckDB HLL give different estimates),
+    so ONLY the sketch columns live here; the same grouping's exact
+    aggregates hash green in q_sketch_exact_companions, and estimate
+    accuracy is gated against exact answers on real testdata by tests/
     test_relational.py::test_approx_sketches_within_error_bounds."""
     return _run(spark, [
         _src(sf_dir, "lineitem"),
@@ -923,6 +924,26 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
              "approx_parts": "approx_count_distinct(l_partkey)",
              "approx_p50_qty": "approx_percentile(l_quantity, 0.5, 1000)",
              "approx_p99_price": "approx_percentile(l_extendedprice, 0.99, 1000)",
+         }},
+        {"stage": "sort", "by": ["l_returnflag"]},
+    ])
+
+
+def q_sketch_exact_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact companions to q_approx_sketches: the SAME lineitem-by-
+    returnflag grouping with the exact aggregates the sketches estimate
+    (count, count-distinct, min/max) — SQL-expressible, so the sketch
+    family's data path gets a hash-green driver row while the sketch
+    estimates themselves stay rows-only in q_approx_sketches."""
+    return _run(spark, [
+        _src(sf_dir, "lineitem"),
+        {"stage": "aggregate", "group_by": ["l_returnflag"],
+         "aggs": {
+             "n_items": "count(*)",
+             "n_parts_exact": "count(DISTINCT l_partkey)",
+             "min_qty": "CAST(min(l_quantity) AS DOUBLE)",
+             "max_qty": "CAST(max(l_quantity) AS DOUBLE)",
+             "max_price": "CAST(max(l_extendedprice) AS DOUBLE)",
          }},
         {"stage": "sort", "by": ["l_returnflag"]},
     ])
@@ -2134,6 +2155,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles_lineitem": q_percentiles_lineitem,
         "q_agg_orders_stats": q_agg_orders_stats,
         "q_approx_sketches": q_approx_sketches,
+        "q_sketch_exact_companions": q_sketch_exact_companions,
         # --- nested / multimodal / streaming / sources ---
         "q_nested_drop_events": q_nested_drop_events,
         "q_multimodal_features": q_multimodal_features,
@@ -2580,6 +2602,15 @@ def oracle_sql() -> dict[str, str]:
                    max(o_orderdate) AS last_date,
                    {SUM_TOTALPRICE} AS total
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q_sketch_exact_companions": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   count(DISTINCT l_partkey) AS n_parts_exact,
+                   CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+                   CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+                   CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "q_events_hourly": f"""
             SELECT date_trunc('hour', ts) AS hour, event_type,
