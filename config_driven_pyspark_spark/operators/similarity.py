@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -240,6 +240,27 @@ def train_centroids(
     return cent
 
 
+def save_centroids(spark: SparkSession, centroids, path: str) -> None:
+    """Persist a trained IVF codebook (n×d unit rows) as a one-file parquet
+    of ``(cell int, centroid array<double>)`` — readable by any Spark/
+    DuckDB/Arrow consumer, tiny (2⁸–2¹⁶ rows), cheap to overwrite."""
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark: SparkSession, path: str):
+    """Load a codebook written by :func:`save_centroids` (cell-ordered)."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    if not rows:
+        raise ValueError(f"no centroids found at {path!r}")
+    return np.array([r["centroid"] for r in rows], dtype="float64")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -253,6 +274,7 @@ def ivf_topk(
     kmeans_iters: int = 10,
     sample_rows: int = 20_000,
     seed: int = 42,
+    centroids_path: Optional[str] = None,
 ) -> DataFrame:
     """IVF-flat approximate cosine top-k.
 
@@ -270,11 +292,32 @@ def ivf_topk(
     usual small-query-set case; set it False for query sets too big to
     broadcast (e.g. all-pairs over the corpus itself) — the join then
     shuffles both sides on the cell id.
+
+    ``centroids_path``: persistent codebook. When set, an existing parquet
+    at the path is loaded and training is SKIPPED entirely; when absent,
+    centroids are trained once and saved there. At scale this is the
+    difference between one k-means sample pass per *index build* and one
+    per *query batch* — repeated lookups against a stable corpus reuse the
+    codebook, and cell assignments stay consistent across runs (required
+    if corpus cell ids are themselves persisted downstream).
     """
-    centroids = train_centroids(
-        corpus, id_col, vec_col, n_centroids, centroids,
-        kmeans_iters, sample_rows, seed,
-    )
+    from pyspark.errors import AnalysisException
+
+    spark = corpus.sparkSession
+    trained = None
+    if centroids_path is not None:
+        try:
+            trained = load_centroids(spark, centroids_path)
+        except AnalysisException:  # path absent → train and save below
+            trained = None
+    if trained is None:
+        trained = train_centroids(
+            corpus, id_col, vec_col, n_centroids, centroids,
+            kmeans_iters, sample_rows, seed,
+        )
+        if centroids_path is not None:
+            save_centroids(spark, trained, centroids_path)
+    centroids = trained
 
     # The Arrow UDF is deliberate here, not a compromise: a Column-math
     # argmax over literal centroid dots was measured 6× SLOWER end-to-end
@@ -374,7 +417,8 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     """``{"stage": "similarity", "method": "brute_force"|"srp_lsh"|"ivf"|
     "project", "k": 10, "queries": <stage name, default: self>, "id_col":
     ..., "vec_col": ..., "bits": 8, "n_centroids": 16, "nprobe": 4,
-    "out_dim": 8 (project), "broadcast_queries": bool}``.
+    "out_dim": 8 (project), "broadcast_queries": bool, "centroids_path":
+    <parquet path — ivf loads an existing codebook / saves after training>}``.
 
     ``broadcast_queries`` (brute_force/ivf) assumes the query set fits in
     a broadcast — the usual few-to-thousands lookup case. Set it false for
@@ -407,6 +451,7 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
             int(spec.get("kmeans_iters", 10)),
             int(spec.get("sample_rows", 20_000)),
             int(spec.get("seed", 42)),
+            spec.get("centroids_path"),
         )
     if method == "project":
         return project_embeddings(
