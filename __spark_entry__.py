@@ -1529,7 +1529,13 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage with an explicit DDL schema (CSV persists no types), then joined
     back and aggregated. Lossless for this all-int/string table, so the
     oracle works straight off the parquet source — a green row pins the
-    text-format codec path end to end."""
+    text-format codec path end to end.
+
+    Temp-dir lifecycle: the scratch path is deterministic per sf_dir
+    (tempfile.gettempdir()/cdp_csv_roundtrip_<sf>), written with
+    mode=overwrite, so repeated runs replace it in place and never
+    accumulate; it is left on disk after the run (OS tmp reaping owns it)
+    so the correctness harness can re-read the same artifact."""
     import os
     import tempfile
 

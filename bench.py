@@ -55,6 +55,15 @@ HEADLINE = [
     "q_streaming_asof",
     "q_split_assign",
     "q_source_cap",
+    # round 5: remaining unbenched families (VERDICT r4 #3). Totals are
+    # NOT comparable across rounds when this set widens — compare
+    # per-query (PLANS.md convention).
+    "q_bm25_search",
+    "q_jl_projection",
+    "q_stream_dedup",
+    "q_salted_join_orders",
+    "q_csv_roundtrip",
+    "q_sink_roundtrip",
 ]
 
 
