@@ -657,9 +657,14 @@ def bm25_topk(
     Scale: docs tokenize map-side and explode to (doc, term, tf); only
     terms appearing in some query survive (semi-join against the broadcast
     query vocabulary), so the per-term frame is |query vocab|-bounded per
-    doc, never the full posting list. Corpus stats (N, avgdl) are a 1-row
-    broadcast; df(term) aggregates only the surviving terms. One shuffle
-    on (query, doc) for the final sum, one window top-k.
+    doc, never the full posting list. That posting frame is persisted —
+    both its consumers (df(term) and the per-term contributions) would
+    otherwise recompute the full tokenize+explode+semi-join corpus scan
+    (plan-audited: two `Scan parquet documents` branches before, one
+    after). Corpus stats (N, avgdl) are a 1-row broadcast from a second,
+    column-pruned scan (text only) — irreducible, since avgdl needs the
+    length of EVERY doc, not just vocab-hitting ones. One shuffle on
+    (query, doc) for the final sum, one window top-k.
     """
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
@@ -687,7 +692,7 @@ def bm25_topk(
     )
     vocab = qterms.select("term").distinct()
 
-    tf = (
+    tf = _materialize(
         base.select("doc_id", "dl", F.explode("__toks").alias("term"))
         .join(F.broadcast(vocab), "term", "left_semi")
         .groupBy("doc_id", "dl", "term")
