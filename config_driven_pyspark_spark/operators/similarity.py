@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from config_driven_pyspark_spark.functions import vectors as V
-from config_driven_pyspark_spark.operators.dedup import _spread
+from config_driven_pyspark_spark.operators.dedup import _materialize, _spread
 
 
 def brute_force_topk(
@@ -346,6 +346,15 @@ def ivf_topk(
             _nearest_cells_udf(centroids, nprobe)(F.col(vec_col))
         ).alias("cell"),
     )
+    return _score_probed_cells(c, q, k, broadcast_queries)
+
+
+def _score_probed_cells(
+    c: DataFrame, q: DataFrame, k: int, broadcast_queries: bool
+) -> DataFrame:
+    """Shared IVF tail: cell equi-join → cosine → per-query top-k.
+    ``c`` is (neighbor_id, cv unit vector, cell); ``q`` is
+    (query_id, qv unit vector, cell) with one row per probed cell."""
     scored = (
         c.join(F.broadcast(q) if broadcast_queries else q, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -366,6 +375,86 @@ def ivf_topk(
     return ranked.filter(F.col("rank") <= k).select(
         "query_id", "neighbor_id", "rank", "cosine"
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroids: str = "sample",
+    kmeans_iters: int = 10,
+    sample_rows: int = 20_000,
+    seed: int = 42,
+) -> None:
+    """Build a PERSISTED IVF index: ``<path>/centroids`` (the codebook,
+    via :func:`save_centroids`) plus ``<path>/postings`` — every corpus
+    vector unit-normalized and assigned to its nearest cell, written as
+    parquet **partitioned by cell**.
+
+    This is the build-once / query-many layout for ANN at scale: the
+    corpus is scanned and assigned exactly once per index build, and
+    because ``cell`` is a physical partition directory, a query batch
+    that probes ``nprobe`` of ``n_centroids`` cells reads only
+    ``nprobe/n_centroids`` of the index from storage (static partition
+    pruning — see :func:`ivf_query_index`), instead of rescanning and
+    re-assigning 100 TB of embeddings per batch.
+    """
+    spark = corpus.sparkSession
+    cent = train_centroids(
+        corpus, id_col, vec_col, n_centroids, centroids,
+        kmeans_iters, sample_rows, seed,
+    )
+    save_centroids(spark, cent, f"{path}/centroids")
+    postings = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        V.unit_normalize(F.col(vec_col)).alias("cv"),
+        _nearest_cells_udf(cent, 1)(F.col(vec_col)).getItem(0).alias("cell"),
+    )
+    postings.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/postings"
+    )
+
+
+def ivf_query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Query a persisted IVF index built by :func:`ivf_build_index`.
+
+    The codebook is loaded (no training), query vectors are assigned to
+    their ``nprobe`` nearest cells, and the postings scan is filtered
+    with a LITERAL ``cell IN (probed...)`` predicate computed from the
+    query batch — ``cell`` is the parquet partition column, so the
+    filter becomes a static PartitionFilter and only the probed cell
+    directories are read at all (plan-pinned by test). The driver-side
+    probe-cell computation is one bounded action over the query batch
+    (the usual few-to-thousands lookup case; for corpus-sized query sets
+    use :func:`ivf_topk` with ``broadcast_queries=False`` instead).
+    Results are identical to :func:`ivf_topk` with the same codebook.
+    """
+    cent = load_centroids(spark, f"{path}/centroids")
+    q = _materialize(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            V.unit_normalize(F.col(vec_col)).alias("qv"),
+            F.explode(
+                _nearest_cells_udf(cent, nprobe)(F.col(vec_col))
+            ).alias("cell"),
+        )
+    )
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    c = spark.read.parquet(f"{path}/postings").filter(
+        F.col("cell").isin(probed)
+    )
+    return _score_probed_cells(c, q, k, broadcast_queries)
 
 
 def project_embeddings(
@@ -418,7 +507,9 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     "project", "k": 10, "queries": <stage name, default: self>, "id_col":
     ..., "vec_col": ..., "bits": 8, "n_centroids": 16, "nprobe": 4,
     "out_dim": 8 (project), "broadcast_queries": bool, "centroids_path":
-    <parquet path — ivf loads an existing codebook / saves after training>}``.
+    <parquet path — ivf loads an existing codebook / saves after training>,
+    "index_path": <dir — ivf queries a persisted cell-partitioned index,
+    building it first if absent (see ivf_build_index/ivf_query_index)>}``.
 
     ``broadcast_queries`` (brute_force/ivf) assumes the query set fits in
     a broadcast — the usual few-to-thousands lookup case. Set it false for
@@ -441,6 +532,30 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
             int(spec.get("bits", 8)), int(spec.get("seed", 42)),
         )
     if method == "ivf":
+        index_path = spec.get("index_path")
+        if index_path:
+            # persisted-index path: build once if absent, then query with
+            # static partition pruning on the probed cells
+            from pyspark.errors import AnalysisException
+
+            spark = df.sparkSession
+            query_args = (
+                spark, index_path, queries, k, id_col, vec_col,
+                int(spec.get("nprobe", 4)),
+                spec.get("broadcast_queries", bool(spec.get("queries"))),
+            )
+            try:
+                return ivf_query_index(*query_args)
+            except AnalysisException:  # no index there yet → build it
+                ivf_build_index(
+                    df, index_path, id_col, vec_col,
+                    int(spec.get("n_centroids", 16)),
+                    spec.get("centroids", "sample"),
+                    int(spec.get("kmeans_iters", 10)),
+                    int(spec.get("sample_rows", 20_000)),
+                    int(spec.get("seed", 42)),
+                )
+                return ivf_query_index(*query_args)
         return ivf_topk(
             df, queries, k, id_col, vec_col,
             int(spec.get("n_centroids", 16)), int(spec.get("nprobe", 4)),

@@ -468,6 +468,44 @@ def test_ivf_centroids_path_roundtrip(spark, embeddings, tmp_path):
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
 
 
+def test_ivf_persisted_index_matches_ivf_topk_and_prunes(spark, embeddings, tmp_path):
+    """Build-once/query-many IVF index: querying the persisted
+    cell-partitioned index returns exactly what ivf_topk computes with the
+    same codebook, and the postings scan carries a static PartitionFilter
+    on the probed cells — only nprobe/n_centroids of the index is read."""
+    path = str(tmp_path / "ivf_index")
+    queries = embeddings.limit(3)
+    S.ivf_build_index(embeddings, path, n_centroids=8)
+    via_index = S.ivf_query_index(spark, path, queries, k=5, nprobe=2)
+    direct = S.ivf_topk(embeddings, queries, k=5, n_centroids=8, nprobe=2)
+    assert sorted(map(tuple, via_index.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    # the probed-cell filter must reach the postings scan as a partition
+    # filter (cell is the partition directory column)
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+
+
+def test_ivf_index_path_stage_builds_then_queries(spark, embeddings, tmp_path):
+    """Config-driven surface: the similarity stage with index_path builds
+    the index on first use and queries it afterwards."""
+    from config_driven_pyspark_spark.operators.similarity import stage_similarity
+
+    path = str(tmp_path / "stage_index")
+    ctx = {"q": embeddings.limit(2)}
+    spec = {"stage": "similarity", "method": "ivf", "k": 3, "nprobe": 2,
+            "n_centroids": 8, "queries": "q", "index_path": path}
+
+    class Ctx(dict):
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+    first = stage_similarity(embeddings, spec, Ctx(ctx)).collect()
+    assert (tmp_path / "stage_index" / "postings").exists()
+    second = stage_similarity(embeddings, spec, Ctx(ctx)).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
 def test_ivf_kmeans_beats_sample_centroids_on_clustered_corpus(spark):
     """On a corpus with real cluster structure (the case IVF exists for),
     trained spherical-k-means centroids align cells with clusters; lowest-id
