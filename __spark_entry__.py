@@ -1377,6 +1377,30 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                         centroids="sample")
 
 
+def q_ivf_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF-index ANN (similarity.py::ivf_build_index /
+    ivf_query_index): the index — sample codebook + postings parquet
+    partitioned by cell — is rebuilt into a scratch dir, then queried with
+    a literal probed-cells filter that prunes to 3 of 16 cell directories
+    (static PartitionFilters, plan-pinned in tests/test_llm_ops.py). The
+    deterministic sample-centroid path lets the DuckDB oracle replicate
+    cell assignment exactly (same construction as q_ivf_ann), so a green
+    row pins the persisted layout end to end: write, partition discovery,
+    pruned read, scoring. Scratch-dir lifecycle mirrors q_csv_roundtrip
+    (per-sf path, overwritten in place each run)."""
+    import os
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    SIM.ivf_build_index(emb, path, n_centroids=16, centroids="sample")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivf_query_index(spark, path, queries, k=5, nprobe=3)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over binary columns: documents' text bytes as
     opaque media content → Arrow-batched feature extraction (fake decoder).
@@ -2168,6 +2192,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_thumbs": q_multimodal_thumbs,
         "q_events_json": q_events_json,
         "q_ivf_ann": q_ivf_ann,
+        "q_ivf_index_ann": q_ivf_index_ann,
         "q_streaming_asof": q_streaming_asof,
         "q_sink_roundtrip": q_sink_roundtrip,
         "q_split_assign": q_split_assign,
@@ -2937,6 +2962,37 @@ def oracle_sql() -> dict[str, str]:
             query_cells AS (
               SELECT vec_id, u, cell_idx FROM assign
               WHERE pr <= 4 AND vec_id < 10)
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.u, c.u), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.u, c.u), 6) DESC,
+                                c.vec_id) AS rank
+              FROM query_cells q
+              JOIN corpus_cells c ON q.cell_idx = c.cell_idx
+                                 AND q.vec_id <> c.vec_id
+            ) WHERE rank <= 5
+        """,
+        "q_ivf_index_ann": _COSINE_CTE + """
+            , cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx,
+                     u AS cu
+              FROM unitv ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT v.vec_id, v.u, c.cell_idx,
+                     row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.u, c.cu) DESC,
+                                c.cell_idx) AS pr
+              FROM unitv v CROSS JOIN cent c
+            ),
+            corpus_cells AS (
+              SELECT vec_id, u, cell_idx FROM assign WHERE pr = 1),
+            query_cells AS (
+              SELECT vec_id, u, cell_idx FROM assign
+              WHERE pr <= 3 AND vec_id < 8)
             SELECT query_id, neighbor_id, rank, cosine FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      round(list_dot_product(q.u, c.u), 6) AS cosine,
