@@ -64,6 +64,7 @@ HEADLINE = [
     "q_salted_join_orders",
     "q_csv_roundtrip",
     "q_sink_roundtrip",
+    "q_ivf_index_ann",
 ]
 
 
