@@ -55,3 +55,22 @@ def test_pretraining_shards_example(spark, tmp_path):
     # split landed as hive partitions; shards within bounds
     assert any(d.startswith("split=") for d in os.listdir(out))
     assert written.filter("shard < 0 OR shard >= 4").count() == 0
+
+
+def test_ann_index_search_example(spark, tmp_path):
+    idx = str(tmp_path / "ann_index")
+    with open(os.path.join(EXAMPLES, "ann_index_search.yaml")) as fh:
+        text = fh.read()
+    variables = {
+        "corpus": "/root/testdata/sf0.001/embeddings.parquet",
+        "queries": "/root/testdata/sf0.001/embeddings.parquet",
+        "index": idx,
+    }
+    result = Pipeline.from_yaml(text).run(spark, variables=variables)
+    rows = result.collect()
+    assert result.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    assert 0 < len(rows) <= 100 * 10
+    # the index persisted; a second run reuses it and agrees exactly
+    assert os.path.isdir(os.path.join(idx, "postings"))
+    again = Pipeline.from_yaml(text).run(spark, variables=variables)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
