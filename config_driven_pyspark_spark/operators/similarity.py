@@ -412,9 +412,15 @@ def ivf_build_index(
         V.unit_normalize(F.col(vec_col)).alias("cv"),
         _nearest_cells_udf(cent, 1)(F.col(vec_col)).getItem(0).alias("cell"),
     )
-    postings.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/postings"
-    )
+    # co-locate each cell before the partitioned write: without this every
+    # upstream task writes a file into every cell directory (tasks × cells
+    # small files — measured at sf0.1 / 16 cells / 32 partitions: 501
+    # files, 1.7-2.1 s vs 16 files, 0.9-1.1 s with the repartition), and
+    # small-file count is what kills a 100 TB index read; files-per-cell
+    # after = shuffle partitions holding that cell (AQE coalesces)
+    postings.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/postings")
 
 
 def ivf_query_index(
