@@ -1391,24 +1391,39 @@ def q_ivf_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse the built index — the build-once/query-many contract, and what
     the bench measures as steady state — while a testdata regen changes
     the fingerprint and forces a fresh build (never a stale index)."""
+    import glob
     import os
+    import shutil
     import tempfile
 
     src = f"{sf_dir}/embeddings.parquet"
+    # nanosecond mtimes + a SORTED walk (ADVICE r5): second-resolution
+    # mtime let a same-second testdata regen with same-size files reuse a
+    # stale index, and os.walk listing-order instability churned the key
     stamp = 0
-    for root, _dirs, files in os.walk(src):
-        for f in files:
-            st = os.stat(os.path.join(root, f))
-            stamp = (stamp * 1_000_003 + int(st.st_mtime) + st.st_size) % (1 << 62)
     if os.path.isfile(src):
         st = os.stat(src)
-        stamp = int(st.st_mtime) + st.st_size
+        stamp = st.st_mtime_ns + st.st_size
+    else:
+        walked = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(src)
+            for f in files
+        )
+        for p in walked:
+            st = os.stat(p)
+            stamp = (stamp * 1_000_003 + st.st_mtime_ns + st.st_size) % (1 << 62)
     emb = spark.read.parquet(src)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"cdp_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}_{stamp}",
-    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"cdp_ivf_index_{sf_tag}_{stamp}")
     if not os.path.isdir(os.path.join(path, "postings")):
+        # a fingerprint change obsoletes this sf's earlier cache dirs —
+        # drop them so regens don't accumulate dead indexes in tmp
+        for old in glob.glob(
+            os.path.join(tempfile.gettempdir(), f"cdp_ivf_index_{sf_tag}_*")
+        ):
+            if old != path:
+                shutil.rmtree(old, ignore_errors=True)
         SIM.ivf_build_index(emb, path, n_centroids=16, centroids="sample")
     queries = emb.filter(F.col("vec_id") < 8)
     return SIM.ivf_query_index(spark, path, queries, k=5, nprobe=3)

@@ -115,20 +115,30 @@ def main() -> None:
         # starts with an empty block manager (no memory pressure carryover)
         spark.catalog.clearCache()
         spark._jvm.System.gc()
-    # min of N timed passes per query: single-pass numbers swing up to 2×
-    # under background machine load; the min is the reproducible
+    # min of N timed passes per query: single-pass numbers swing up to 3×
+    # under background machine load (PLANS.md: q_ivf_ann spans 1.1-3.7 s
+    # on an IDLE container, identical code); the min is the reproducible
     # data-throughput cost (the quantity that extrapolates to cluster
-    # scale). SPARK_GRAFT_REPEAT=1 restores single-pass timing.
+    # scale). Queries whose first pass exceeds SLOW_CUTOFF get a third
+    # run — min-of-2 on the high-variance family is exactly what produced
+    # the r5 q_ivf_ann false regression (×1.98 flagged, A/B-measured ×1.09).
+    # Per-run spreads are emitted so regressions can be judged against the
+    # distribution, not a point estimate.
+    # SPARK_GRAFT_REPEAT=1 restores single-pass timing.
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "2")))
+    SLOW_CUTOFF = 1.0  # sec; above this, variance dominates min-of-2
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = None
-        for _ in range(repeat):
+        runs: list[float] = []
+        budget = repeat
+        while len(runs) < budget:
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
+            runs.append(round(time.perf_counter() - start, 3))
+            if len(runs) == 1 and repeat > 1 and runs[0] > SLOW_CUTOFF:
+                budget = max(budget, 3)
             # Each headline query models an independent production job (own
             # JVM there); here they share one block manager, and query-scoped
             # persisted intermediates (dedup/corpus `_materialize`) stay
@@ -139,7 +149,8 @@ def main() -> None:
             if not os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
                 spark.catalog.clearCache()
                 spark._jvm.System.gc()
-        timings[name] = round(best, 3)
+        timings[name] = min(runs)
+        spreads[name] = runs
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -147,6 +158,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": spreads,
+        "repeat_base": repeat,
         "sf": sf,
     }))
     spark.stop()

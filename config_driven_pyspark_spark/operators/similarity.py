@@ -261,6 +261,115 @@ def load_centroids(spark: SparkSession, path: str):
     return np.array([r["centroid"] for r in rows], dtype="float64")
 
 
+INDEX_FORMAT_VERSION = 1
+
+# build params that change the index contents — recorded in the manifest
+# and validated against the spec on every reuse of a persisted index
+_INDEX_PARAMS = (
+    "n_centroids", "centroids", "kmeans_iters", "sample_rows", "seed",
+    "id_col", "vec_col",
+)
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists, via the Hadoop FileSystem API — works for
+    any Spark-readable scheme (local, HDFS, s3a...), unlike os.path."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _corpus_fingerprint(corpus: DataFrame) -> Optional[str]:
+    """Cheap identity for a file-backed corpus: sha256 of the sorted input
+    file list (Spark part files carry write-scoped UUIDs, so a regenerated
+    corpus changes the list even at identical sizes). Reads file locations
+    from the ANALYZED logical plan, not ``DataFrame.inputFiles()`` — the
+    latter runs after cache substitution, so a cached (or cache-matching)
+    plan reports no files at all. None for genuinely non-file sources
+    (in-memory frames); fingerprint checks are then skipped (best-effort
+    guard: param checks still apply)."""
+    import hashlib
+
+    files: list = []
+    try:
+        leaves = corpus._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            try:  # LogicalRelation over HadoopFsRelation
+                files.extend(leaf.relation().location().inputFiles())
+            except Exception:  # non-file leaf (LocalRelation, v2, ...)
+                continue
+    except Exception:  # e.g. Spark Connect: no _jdf — fall back
+        files = list(corpus.inputFiles())
+    if not files:
+        return None
+    return hashlib.sha256(
+        "\n".join(sorted(files)).encode("utf-8")
+    ).hexdigest()[:16]
+
+
+def write_index_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    """Persist ``<path>/manifest`` as one JSON line via a Spark text write
+    (works on any Hadoop-compatible FS; no driver-local file assumptions)."""
+    import json
+
+    spark.createDataFrame(
+        [(json.dumps(manifest, sort_keys=True),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/manifest")
+
+
+def read_index_manifest(spark: SparkSession, path: str) -> Optional[dict]:
+    """The manifest written by :func:`ivf_build_index`, or None for a
+    pre-manifest index (built by an older version of this module)."""
+    import json
+
+    if not _fs_exists(spark, f"{path}/manifest"):
+        return None
+    rows = spark.read.text(f"{path}/manifest").collect()
+    return json.loads("".join(r["value"] for r in rows))
+
+
+def validate_index_manifest(
+    spark: SparkSession, path: str, corpus: Optional[DataFrame] = None, **params
+) -> None:
+    """Guard against silently reusing a stale/mismatched persisted index:
+    compare the spec's build params (and, for file-backed corpora, the
+    corpus fingerprint) against ``<path>/manifest`` and raise ValueError
+    on any difference. A manifest-less index (older build) only warns —
+    it cannot be checked, but reuse should not hard-break on upgrade."""
+    import warnings
+
+    manifest = read_index_manifest(spark, path)
+    if manifest is None:
+        warnings.warn(
+            f"IVF index at {path!r} has no manifest (built before manifest "
+            "support); cannot verify its build params or source corpus match "
+            "this spec — rebuild the index to silence this warning",
+            stacklevel=2,
+        )
+        return
+    mismatches = {
+        key: (manifest.get(key), val)
+        for key, val in params.items()
+        if key in manifest and manifest.get(key) != val
+    }
+    fp = _corpus_fingerprint(corpus) if corpus is not None else None
+    stored_fp = manifest.get("corpus_fingerprint")
+    if fp is not None and stored_fp is not None and fp != stored_fp:
+        mismatches["corpus_fingerprint"] = (stored_fp, fp)
+    if mismatches:
+        detail = ", ".join(
+            f"{key}: index has {old!r}, spec wants {new!r}"
+            for key, (old, new) in sorted(mismatches.items())
+        )
+        raise ValueError(
+            f"persisted IVF index at {path!r} does not match this spec "
+            f"({detail}); delete the index directory to rebuild it, or "
+            "point index_path at a fresh location"
+        )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -294,22 +403,33 @@ def ivf_topk(
     shuffles both sides on the cell id.
 
     ``centroids_path``: persistent codebook. When set, an existing parquet
-    at the path is loaded and training is SKIPPED entirely; when absent,
-    centroids are trained once and saved there. At scale this is the
+    at the path is loaded and training is SKIPPED entirely (the training
+    method/seed args are then ignored by design — only the codebook SIZE
+    is validated; for fully validated reuse build a manifested index via
+    ``ivf_build_index``); when absent, centroids are trained once and
+    saved there. At scale this is the
     difference between one k-means sample pass per *index build* and one
     per *query batch* — repeated lookups against a stable corpus reuse the
     codebook, and cell assignments stay consistent across runs (required
     if corpus cell ids are themselves persisted downstream).
     """
-    from pyspark.errors import AnalysisException
-
     spark = corpus.sparkSession
     trained = None
-    if centroids_path is not None:
-        try:
-            trained = load_centroids(spark, centroids_path)
-        except AnalysisException:  # path absent → train and save below
-            trained = None
+    if centroids_path is not None and _fs_exists(spark, centroids_path):
+        # explicit existence probe (not a broad except AnalysisException):
+        # a real read error on a present-but-corrupt codebook must surface,
+        # not silently trigger an expensive retrain (ADVICE r5)
+        trained = load_centroids(spark, centroids_path)
+        # reuse is the documented contract (training method/seed are
+        # intentionally NOT re-checked — use ivf_build_index's manifest
+        # for validated reuse), but a codebook of the wrong SIZE would
+        # silently change nprobe/n_centroids semantics: hard error.
+        if len(trained) != n_centroids:
+            raise ValueError(
+                f"codebook at {centroids_path!r} has {len(trained)} "
+                f"centroids but n_centroids={n_centroids} was requested — "
+                "delete it to retrain, or pass the matching n_centroids"
+            )
     if trained is None:
         trained = train_centroids(
             corpus, id_col, vec_col, n_centroids, centroids,
@@ -421,6 +541,23 @@ def ivf_build_index(
     postings.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/postings")
+    # manifest last: its presence marks a COMPLETE build (params + corpus
+    # identity), and every reuse validates against it instead of silently
+    # querying an index built from different params or an older corpus.
+    # n_rows comes from the just-written postings' parquet footers (no
+    # second corpus scan).
+    write_index_manifest(spark, path, {
+        "format_version": INDEX_FORMAT_VERSION,
+        "n_centroids": n_centroids,
+        "centroids": centroids,
+        "kmeans_iters": kmeans_iters,
+        "sample_rows": sample_rows,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "corpus_fingerprint": _corpus_fingerprint(corpus),
+        "n_rows": spark.read.parquet(f"{path}/postings").count(),
+    })
 
 
 def ivf_query_index(
@@ -446,6 +583,18 @@ def ivf_query_index(
     use :func:`ivf_topk` with ``broadcast_queries=False`` instead).
     Results are identical to :func:`ivf_topk` with the same codebook.
     """
+    # name the exact missing piece rather than letting a downstream
+    # AnalysisException (which could equally mean a bad queries frame)
+    # masquerade as "index absent" (ADVICE r5)
+    missing = [
+        part for part in ("centroids", "postings")
+        if not _fs_exists(spark, f"{path}/{part}")
+    ]
+    if missing:
+        raise ValueError(
+            f"no IVF index at {path!r}: missing {', '.join(missing)} — "
+            "build one with ivf_build_index first"
+        )
     cent = load_centroids(spark, f"{path}/centroids")
     q = _materialize(
         queries.select(
@@ -540,28 +689,37 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     if method == "ivf":
         index_path = spec.get("index_path")
         if index_path:
-            # persisted-index path: build once if absent, then query with
-            # static partition pruning on the probed cells
-            from pyspark.errors import AnalysisException
-
+            # persisted-index path: build once if absent, validate the
+            # manifest if present (reusing an index built with different
+            # params or from a different corpus must fail loudly, never
+            # silently return stale neighbors), then query with static
+            # partition pruning on the probed cells
             spark = df.sparkSession
-            query_args = (
+            build_params = {
+                "n_centroids": int(spec.get("n_centroids", 16)),
+                "centroids": spec.get("centroids", "sample"),
+                "kmeans_iters": int(spec.get("kmeans_iters", 10)),
+                "sample_rows": int(spec.get("sample_rows", 20_000)),
+                "seed": int(spec.get("seed", 42)),
+                "id_col": id_col,
+                "vec_col": vec_col,
+            }
+            if not _fs_exists(spark, f"{index_path}/postings"):
+                ivf_build_index(
+                    df, index_path, id_col, vec_col,
+                    build_params["n_centroids"], build_params["centroids"],
+                    build_params["kmeans_iters"], build_params["sample_rows"],
+                    build_params["seed"],
+                )
+            else:
+                validate_index_manifest(
+                    spark, index_path, corpus=df, **build_params
+                )
+            return ivf_query_index(
                 spark, index_path, queries, k, id_col, vec_col,
                 int(spec.get("nprobe", 4)),
                 spec.get("broadcast_queries", bool(spec.get("queries"))),
             )
-            try:
-                return ivf_query_index(*query_args)
-            except AnalysisException:  # no index there yet → build it
-                ivf_build_index(
-                    df, index_path, id_col, vec_col,
-                    int(spec.get("n_centroids", 16)),
-                    spec.get("centroids", "sample"),
-                    int(spec.get("kmeans_iters", 10)),
-                    int(spec.get("sample_rows", 20_000)),
-                    int(spec.get("seed", 42)),
-                )
-                return ivf_query_index(*query_args)
         return ivf_topk(
             df, queries, k, id_col, vec_col,
             int(spec.get("n_centroids", 16)), int(spec.get("nprobe", 4)),

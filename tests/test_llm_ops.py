@@ -506,6 +506,73 @@ def test_ivf_index_path_stage_builds_then_queries(spark, embeddings, tmp_path):
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
 
 
+def test_ivf_index_manifest_validates_params_and_corpus(
+    spark, embeddings, tmp_path
+):
+    """A persisted index carries a manifest of its build params + corpus
+    fingerprint; reusing it with a different spec or corpus must FAIL
+    loudly (ADVICE r5: silent reuse returned stale/mismatched neighbors)."""
+    from config_driven_pyspark_spark.operators.similarity import stage_similarity
+
+    path = str(tmp_path / "mf_index")
+    ctx = {"q": embeddings.limit(2)}
+
+    class Ctx(dict):
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+    base = {"stage": "similarity", "method": "ivf", "k": 3, "nprobe": 2,
+            "n_centroids": 8, "queries": "q", "index_path": path}
+    stage_similarity(embeddings, base, Ctx(ctx))  # builds index + manifest
+    manifest = S.read_index_manifest(spark, path)
+    assert manifest["n_centroids"] == 8
+    assert manifest["centroids"] == "sample"
+    assert manifest["n_rows"] == embeddings.count()
+    assert manifest["corpus_fingerprint"]  # file-backed corpus → non-null
+
+    # changed build param → refuse to reuse
+    with pytest.raises(ValueError, match="does not match this spec"):
+        stage_similarity(embeddings, {**base, "n_centroids": 16}, Ctx(ctx))
+    with pytest.raises(ValueError, match="centroids"):
+        stage_similarity(embeddings, {**base, "centroids": "kmeans"}, Ctx(ctx))
+
+    # changed corpus (different file set) → refuse to reuse
+    other = str(tmp_path / "other_corpus")
+    embeddings.limit(50).write.parquet(other)
+    other_df = spark.read.parquet(other)
+    with pytest.raises(ValueError, match="corpus_fingerprint"):
+        stage_similarity(other_df, base, Ctx(ctx))
+
+    # matching spec + corpus keeps working
+    assert stage_similarity(embeddings, base, Ctx(ctx)).count() > 0
+
+    # manifest-less (pre-manifest) index: warn, don't break
+    import shutil
+    shutil.rmtree(tmp_path / "mf_index" / "manifest")
+    with pytest.warns(UserWarning, match="no manifest"):
+        assert stage_similarity(embeddings, base, Ctx(ctx)).count() > 0
+
+
+def test_ivf_query_index_names_missing_pieces(spark, embeddings, tmp_path):
+    """Querying a nonexistent/partial index raises a ValueError naming the
+    missing piece — never a masked AnalysisException (ADVICE r5)."""
+    queries = embeddings.limit(2)
+    with pytest.raises(ValueError, match="missing centroids, postings"):
+        S.ivf_query_index(spark, str(tmp_path / "nope"), queries, k=3)
+
+
+def test_ivf_centroids_path_size_mismatch_errors(spark, embeddings, tmp_path):
+    """A saved codebook reused with a different n_centroids is a hard
+    error (silent reuse would change cell semantics)."""
+    path = str(tmp_path / "codebook8")
+    queries = embeddings.limit(2)
+    S.ivf_topk(embeddings, queries, k=3, n_centroids=8, centroids_path=path)
+    with pytest.raises(ValueError, match="8 centroids"):
+        S.ivf_topk(
+            embeddings, queries, k=3, n_centroids=16, centroids_path=path
+        )
+
+
 def test_ivf_kmeans_beats_sample_centroids_on_clustered_corpus(spark):
     """On a corpus with real cluster structure (the case IVF exists for),
     trained spherical-k-means centroids align cells with clusters; lowest-id

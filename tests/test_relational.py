@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from config_driven_pyspark_spark import Pipeline
 
 from conftest import to_df
@@ -204,15 +208,71 @@ def test_approx_sketches_within_error_bounds(spark):
         assert abs(g["approx_p50_qty"] - p50[flag]) <= 2
 
 
+def test_skew_join_aqe_split_engages(spark):
+    """Deterministic skew check (always-on): AQE's skew-join split engages
+    on a plain shuffled join with one hot key — the automatic complement
+    to manual salting. Plan-shape assertion only; the wall-clock race
+    lives in test_salted_join_beats_plain_shuffle_on_skew (env-gated)."""
+    from pyspark.sql import functions as F
+
+    conf_keys = [
+        "spark.sql.shuffle.partitions",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in conf_keys}
+    n = 600_000
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB"
+        )
+        left = spark.range(n).select(
+            F.when(F.col("id") < int(n * 0.85), "hot")
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 2000).cast("string")))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(2001).select(
+            F.when(F.col("id") == 2000, "hot")
+            .otherwise(F.concat(F.lit("k"), F.col("id").cast("string")))
+            .alias("k"),
+            (F.col("id") * 7).alias("w"),
+        )
+        aqe = left.join(right, on="k").groupBy().agg(
+            F.sum(F.col("v") + F.col("w")).alias("s")
+        )
+        aqe.collect()
+        final_plan = aqe._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="wall-clock race over a 6M-row join: inherently flaky on loaded "
+    "CI hosts and adds tens of seconds per run (ADVICE r5) — set "
+    "SPARK_GRAFT_SLOW=1 to run; the deterministic skew plan assertion "
+    "is always-on in test_skew_join_aqe_split_engages",
+)
 def test_salted_join_beats_plain_shuffle_on_skew(spark):
     """Skew stress proof (VERDICT r4 #4): one key carries 85% of the left
-    rows. Measures (a) the salted plan's wall-clock beats the plain
+    rows. Measures the salted plan's wall-clock beating the plain
     shuffled sort-merge join — salting spreads the hot key over `salt`
-    shuffle partitions instead of one straggler task — and (b) AQE's
-    skew-join split engages on the plain plan when enabled (the automatic
-    alternative manual salting complements). The hot fraction is 85%
-    (not 50%) because the achievable gap is core-bound: on the 4-core CI
-    session a 50% hot key caps the ideal speedup at 2x and scheduler
+    shuffle partitions instead of one straggler task. The hot fraction is
+    85% (not 50%) because the achievable gap is core-bound: on the 4-core
+    CI session a 50% hot key caps the ideal speedup at 2x and scheduler
     overhead erases it; at 85% the straggler dominates regardless
     (measured 1.5x stable, asserted with min-of-2 runs and 1.15x
     margin)."""
@@ -262,22 +322,6 @@ def test_salted_join_beats_plain_shuffle_on_skew(spark):
         assert t_salted * 1.15 < t_plain, (
             f"salted {t_salted:.2f}s should beat plain {t_plain:.2f}s"
         )
-
-        # (b) AQE skew-join split engages on the same skewed plain join
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set(
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "64KB",
-        )
-        spark.conf.set(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB"
-        )
-        aqe = left.join(right, on="k").groupBy().agg(
-            F.sum(F.col("v") + F.col("w")).alias("s")
-        )
-        aqe.collect()
-        final_plan = aqe._jdf.queryExecution().executedPlan().toString()
-        assert "skew=true" in final_plan
     finally:
         left.unpersist(), right.unpersist()
         for k, v in saved.items():
