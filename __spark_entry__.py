@@ -1510,6 +1510,23 @@ def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel math end-to-end (multimodal.py BMP codec, r6): one
+    deterministic 8×6 test-pattern BMP per document (synthesize_bmp's
+    documented integer pixel formula) → genuine binary decode →
+    nearest-neighbor resize to 4×3 on actual pixels → re-encode →
+    second decode → exact int64 channel sums. The oracle replicates
+    analytically: resized pixel (x,y) samples source (2x, 2y), so the
+    sums are closed-form integer arithmetic over a 4×3 grid — any byte
+    slip in encode, decode, row padding, BGR ordering, or the vertical
+    flip changes the sums. Float-free by construction."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    media = MM.synthesize_bmp(ids, id_col="doc_id", width=8, height=6)
+    thumbs = MM.resize_images(media, width=4, height=3, decoder="bmp")
+    return MM.image_stats(thumbs, content_col="thumb")
+
+
 _BM25_QUERIES = [
     (0, "spark table join"),
     (1, "fast filter value"),
@@ -2120,13 +2137,12 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 5: underlying operators hardened per ADVICE r4 (null-key guard
-    # in split_assign, non-null dim probe in project_embeddings, final-block
-    # convergence check in connected_components) — behavior-preserving on
-    # driver inputs, fronted for re-verification anyway
-    "q_split_assign",
-    "q_jl_projection",
-    "q_dedup_cluster_docs",
+    # round 6: new real-pixel BMP decode query; IVF index/codebook reuse
+    # now manifest-validated (same results, changed guard paths) — fronted
+    # for driver verification
+    "q_multimodal_decode",
+    "q_ivf_index_ann",
+    "q_ivf_ann",
 ]
 
 
@@ -2218,6 +2234,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nested_drop_events": q_nested_drop_events,
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_thumbs": q_multimodal_thumbs,
+        "q_multimodal_decode": q_multimodal_decode,  # real BMP pixels, r6
         "q_events_json": q_events_json,
         "q_ivf_ann": q_ivf_ann,
         "q_ivf_index_ann": q_ivf_index_ann,
@@ -3295,6 +3312,27 @@ def oracle_sql() -> dict[str, str]:
                    48 AS height,
                    sha256(text) AS thumb_hex
             FROM documents
+        """,
+        # Closed-form replica of the BMP decode→resize→stats pipeline:
+        # synthesize_bmp's pixel formula sampled at the nearest-neighbor
+        # source coordinates ((x*8)//4, (y*6)//3) = (2x, 2y) — integer
+        # math only, so the channel sums are exact
+        "q_multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   4 AS width,
+                   3 AS height,
+                   CAST(SUM((doc_id * 7  + sx * 13 + sy * 17) % 256) AS BIGINT)
+                     AS sum_r,
+                   CAST(SUM((doc_id * 11 + sx * 3  + sy * 5 ) % 256) AS BIGINT)
+                     AS sum_g,
+                   CAST(SUM((doc_id * 13 + sx * 23 + sy * 29) % 256) AS BIGINT)
+                     AS sum_b
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 64)
+            CROSS JOIN (
+                SELECT (x.range * 8) // 4 AS sx, (y.range * 6) // 3 AS sy
+                FROM range(0, 4) x, range(0, 3) y
+            )
+            GROUP BY doc_id
         """,
         # The fake feature is sha256(utf8(text)) bytes / 255 (multimodal.py
         # _fake_feature); DuckDB recovers each byte from the hex digest, so

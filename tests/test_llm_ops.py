@@ -677,6 +677,91 @@ def test_real_decoder_raises(spark, media):
         M.extract_features(media, decoder="real")
 
 
+def test_bmp_roundtrip_exact():
+    """encode_bmp → decode_bmp is the identity on uint8 RGB arrays,
+    including odd widths that need row padding."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for h, w in [(6, 8), (5, 7), (1, 1), (3, 2)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype="uint8")
+        assert np.array_equal(M.decode_bmp(M.encode_bmp(arr)), arr), (h, w)
+
+
+def test_bmp_decode_top_down_and_rejects_unsupported():
+    """Negative-height (top-down) BMPs decode correctly; compressed or
+    non-24-bit payloads are refused with a diagnostic, not garbage."""
+    import numpy as np
+
+    arr = np.arange(2 * 3 * 3, dtype="uint8").reshape(2, 3, 3)
+    payload = bytearray(M.encode_bmp(arr))
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    payload[22:26] = (-h).to_bytes(4, "little", signed=True)
+    off = int.from_bytes(payload[10:14], "little")
+    row = (3 * 3 + 3) & ~3
+    body = bytes(payload[off:])
+    payload[off:] = body[row:] + body[:row]  # reorder rows to top-down
+    assert np.array_equal(M.decode_bmp(bytes(payload)), arr)
+
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_bmp(b"XX" + bytes(60))
+    bad_bpp = bytearray(M.encode_bmp(arr))
+    bad_bpp[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="bpp=8"):
+        M.decode_bmp(bytes(bad_bpp))
+
+
+def test_resize_nearest_integer_mapping():
+    import numpy as np
+
+    arr = np.arange(6 * 8 * 3, dtype="uint8").reshape(6, 8, 3)
+    out = M.resize_nearest(arr, 4, 3)
+    assert out.shape == (3, 4, 3)
+    # dst (x,y) samples src ((x*8)//4, (y*6)//3) = (2x, 2y)
+    for y in range(3):
+        for x in range(4):
+            assert np.array_equal(out[y, x], arr[2 * y, 2 * x])
+
+
+def test_bmp_pipeline_real_pixels(spark):
+    """synthesize_bmp → resize(decoder='bmp') → image_stats runs real
+    pixel math through two encode/decode roundtrips; channel sums equal
+    an independent numpy computation of the same formula."""
+    import numpy as np
+
+    ids = spark.range(5).select(F.col("id").alias("media_id"))
+    media = M.synthesize_bmp(ids, width=8, height=6)
+    thumbs = M.resize_images(media, width=4, height=3, decoder="bmp")
+    got = {r["media_id"]: r for r in M.image_stats(thumbs, "thumb").collect()}
+    ys, xs = np.mgrid[0:3, 0:4]
+    sx, sy = 2 * xs, 2 * ys
+    for mid in range(5):
+        r = ((mid * 7 + sx * 13 + sy * 17) % 256).sum()
+        g = ((mid * 11 + sx * 3 + sy * 5) % 256).sum()
+        b = ((mid * 13 + sx * 23 + sy * 29) % 256).sum()
+        row = got[mid]
+        assert (row["sum_r"], row["sum_g"], row["sum_b"]) == (r, g, b), mid
+        assert (row["width"], row["height"]) == (4, 3)
+
+
+def test_bmp_feature_extraction_real_stats(spark):
+    """decoder='bmp' features are the decoded image's channel mean/std,
+    not a hash of the bytes."""
+    import numpy as np
+
+    arr = np.zeros((4, 4, 3), dtype="uint8")
+    arr[:, :, 0] = 200  # solid red
+    media = spark.createDataFrame(
+        [(1, "image", M.encode_bmp(arr), None)], schema=M.MEDIA_SCHEMA
+    )
+    feats = M.extract_features(media, decoder="bmp", dim=8).collect()[0]
+    f = feats["feature"]
+    assert abs(f[0] - 200 / 255) < 1e-6  # mean_r
+    assert abs(f[1]) < 1e-6 and abs(f[2]) < 1e-6  # mean_g, mean_b
+    assert abs(f[3]) < 1e-6  # std_r of a solid color
+    assert abs(f[6] - 4 / 1024) < 1e-6  # width
+
+
 def test_exact_dedup_keep_by_quality(spark):
     df = spark.createDataFrame(
         [(1, "same text", 2.0), (2, "same text", 9.0), (3, "other", 1.0)],
