@@ -978,6 +978,26 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_time_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows through the batch/stream-symmetric
+    ``time_window`` stage (streaming/stages.py::stage_time_window —
+    ``F.window``, not date_trunc), so the driver pins the streaming
+    stage's own output contract: the flattened window_start/window_end
+    pair. Oracle: date_trunc + 1-hour offset replicates tumbling-window
+    boundaries exactly for epoch-aligned durations.
+
+    Scale: one shuffle on (window, event_type); in streaming mode the
+    same config runs with a watermark bounding state."""
+    return _run(spark, [
+        *_events_stages(sf_dir),
+        {"stage": "time_window", "column": "ts", "duration": "1 hour",
+         "group_by": ["event_type"],
+         "aggs": {"n": "count(*)", "total_value": SUM_VALUE}},
+        {"stage": "select", "columns": [
+            "window_start", "window_end", "event_type", "n", "total_value"]},
+    ])
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the props column + aggregation."""
     return _run(spark, [
@@ -2141,6 +2161,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # now manifest-validated (same results, changed guard paths) — fronted
     # for driver verification
     "q_multimodal_decode",
+    "q_time_window_hourly",
     "q_ivf_index_ann",
     "q_ivf_ann",
 ]
@@ -2282,6 +2303,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_stage_status_revenue": q_sql_stage_status_revenue,
         "q_pivot_events": q_pivot_events,
         "q_events_hourly": q_events_hourly,
+        "q_time_window_hourly": q_time_window_hourly,  # F.window stage, r6
         "q_events_gapfill": q_events_gapfill,
         "q_events_locf": q_events_locf,
         "q_events_interp": q_events_interp,
@@ -2693,6 +2715,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, {SUM_VALUE} AS total_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        # tumbling F.window boundaries == date_trunc for epoch-aligned
+        # 1-hour durations; window_end = start + duration
+        "q_time_window_hourly": f"""
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   count(*) AS n,
+                   {SUM_VALUE} AS total_value
+            FROM events GROUP BY 1, 2, 3
         """,
         "q_retention_cohorts": """
             WITH cohorts AS (
