@@ -99,6 +99,7 @@ def connected_components(
     max_iterations: int = 50,
     check_every: int = 1,
     checkpoint_dir: str | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Connected components of the (id_a, id_b) pair graph via hash-min
     label propagation: every node repeatedly adopts the smallest label in
@@ -125,7 +126,21 @@ def connected_components(
     up to k−1 extra no-op rounds after the fixpoint). A fixpoint reached
     inside the final block (when ``max_iterations`` truncates it) is
     confirmed by one extra single-round check instead of being refused as
-    non-convergence.
+    non-convergence — including at ``check_every=1``, whose final round
+    can do work with no round left in budget to observe the no-op. That
+    confirmation round intentionally runs one round PAST
+    ``max_iterations``; it is a no-op on converged labels.
+
+    Skew: each round shuffles edges on ``dst`` to meet labels — a hub
+    node (one vertex in a large fraction of the pairs, e.g. a boilerplate
+    document matching everything) concentrates its whole edge list in one
+    shuffle partition. Dedup graphs are near-cliques with tiny hubs, so
+    the default plan is right for them; for hub-heavy graphs pass
+    ``salt=k`` to spread each node's edges over ``k`` partitions (labels
+    replicated ``k``×, same placement-only construction as
+    ``relational.salted_join``; results identical, pinned by the
+    star-graph test). AQE's skew-join split is the automatic fallback
+    when partition-size thresholds trip.
 
     This is the standard large-graph CC construction (hash-min /
     "small-star" family) on DataFrames.
@@ -154,10 +169,32 @@ def connected_components(
     )
     def _propagate(lbl: DataFrame) -> DataFrame:
         # each node's candidate label: min over (own label, neighbors')
-        neighbor_min = (
-            edges.join(lbl, on=edges.dst == lbl.id, how="inner")
-            .select(F.col("src").alias("id"), "component")
-        )
+        if salt:
+            # hub-skew variant: edges carry a uniform salt, labels are
+            # replicated once per salt value, and the join key becomes
+            # (dst, salt) — a hub's edge list spreads over `salt` shuffle
+            # partitions instead of one straggler. Placement-only: the
+            # joined rows are identical to the unsalted plan's.
+            salted_edges = edges.withColumn(
+                "__salt", (F.rand(seed=42) * salt).cast("int")
+            )
+            salted_lbl = lbl.withColumn(
+                "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+            )
+            neighbor_min = (
+                salted_edges.join(
+                    salted_lbl,
+                    on=(salted_edges.dst == salted_lbl.id)
+                    & (salted_edges["__salt"] == salted_lbl["__salt"]),
+                    how="inner",
+                )
+                .select(F.col("src").alias("id"), "component")
+            )
+        else:
+            neighbor_min = (
+                edges.join(lbl, on=edges.dst == lbl.id, how="inner")
+                .select(F.col("src").alias("id"), "component")
+            )
         return _truncate(
             lbl.unionByName(neighbor_min)
             .groupBy("id")
@@ -180,11 +217,14 @@ def connected_components(
             it += 1
         changed = _n_changed(labels, anchor)
         converged = changed == 0
-    if not converged and check_every > 1:
+    if not converged:
         # The block-anchor comparison cannot see a fixpoint reached INSIDE
-        # the final block: changed > 0 only says the block did *some* work.
-        # One extra single-round check disambiguates, so a run that
-        # converged right at the max_iterations boundary isn't refused.
+        # the final block (at check_every=1: BY the final round): changed >
+        # 0 only says the block did *some* work. One extra single-round
+        # check — deliberately one round past max_iterations, a no-op on
+        # converged labels — disambiguates, so a run that converged right
+        # at the max_iterations boundary isn't refused (ADVICE r5: the
+        # check_every > 1 gate re-created the boundary case it fixed).
         next_labels = _propagate(labels)
         changed = _n_changed(next_labels, labels)
         labels = next_labels

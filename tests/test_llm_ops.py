@@ -335,6 +335,40 @@ def test_connected_components_fixpoint_inside_final_block(spark):
     assert len(comp) == 11
 
 
+def test_connected_components_boundary_fixpoint_check_every_1(spark):
+    """ADVICE r5: path graph whose fixpoint lands EXACTLY at the
+    max_iterations boundary with check_every=1 — the final round does
+    work, leaving no in-budget round to observe the no-op. The
+    unconditional extra confirmation round must accept it."""
+    # path 0-1-...-7: hash-min needs 7 rounds; cap at exactly 7
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "id_a bigint, id_b bigint"
+    )
+    comp = D.connected_components(
+        pairs, max_iterations=7, check_every=1
+    ).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 8
+
+
+def test_connected_components_star_graph_salted_matches_plain(spark):
+    """Hub-skew shape (one node in every pair — the boilerplate-document
+    case): salted propagation must produce labels identical to the
+    default plan, and both converge in the star's 2-round diameter."""
+    n = 500
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, n + 1)], "id_a bigint, id_b bigint"
+    )
+    plain = {r["id"]: r["component"]
+             for r in D.connected_components(pairs, max_iterations=4).collect()}
+    salted = {r["id"]: r["component"]
+              for r in D.connected_components(
+                  pairs, max_iterations=4, salt=8).collect()}
+    assert plain == salted
+    assert set(plain.values()) == {0}
+    assert len(plain) == n + 1
+
+
 def test_connected_components_checkpoint_dir(spark, tmp_path):
     # reliable checkpoint() truncation path (real-cluster mode)
     pairs = spark.createDataFrame(
