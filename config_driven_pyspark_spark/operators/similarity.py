@@ -91,13 +91,27 @@ def srp_lsh_topk(
     bits: int = 8,
     seed: int = 42,
     dim: Optional[int] = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: score only same-SRP-bucket pairs.
 
     Recall is tunable via ``bits`` (fewer bits → bigger buckets → higher
-    recall and cost). Queries with an empty bucket return < k rows — callers
-    wanting guaranteed k should fall back to brute force for those ids.
+    recall and cost) and ``multiprobe``: at ``1``, each query also probes
+    every bucket at Hamming distance 1 from its own (one single-bit XOR
+    per plane — a near-miss on one hyperplane no longer hides a close
+    neighbor). Query fan-out becomes ``1 + bits`` buckets; the corpus
+    side is untouched, so cost scales with |queries|, not |corpus| —
+    measured recall@5 lift on a 16-cluster corpus: 0.315 → 0.705 at
+    bits=4, 0.105 → 0.375 at bits=8 (PLANS.md r6 table). Radius ≥ 2 is combinatorial fan-out and
+    deliberately unsupported. Queries with empty buckets return < k rows —
+    callers wanting guaranteed k should fall back to brute force for
+    those ids.
     """
+    if multiprobe not in (0, 1):
+        raise ValueError(
+            f"multiprobe must be 0 or 1 (radius >= 2 fans out "
+            f"combinatorially), got {multiprobe}"
+        )
     if dim is None:
         row = corpus.select(vec_col).first()
         # empty corpus: any plane set works — the bucket join yields no rows
@@ -118,6 +132,21 @@ def srp_lsh_topk(
     # input's file-count parallelism (see _spread)
     c = prep(_spread(corpus), "neighbor_id", "cv")
     q = prep(queries, "query_id", "qv")
+    if multiprobe:
+        # each probed bucket is distinct and a corpus row has exactly one
+        # bucket, so the explode cannot duplicate a (query, neighbor) pair
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                        for j in range(bits)
+                    ],
+                )
+            ),
+        )
     scored = (
         c.join(q, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -685,6 +714,7 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
         return srp_lsh_topk(
             df, queries, k, id_col, vec_col,
             int(spec.get("bits", 8)), int(spec.get("seed", 42)),
+            spec.get("dim"), int(spec.get("multiprobe", 0)),
         )
     if method == "ivf":
         index_path = spec.get("index_path")

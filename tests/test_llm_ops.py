@@ -643,6 +643,76 @@ def test_ivf_kmeans_beats_sample_centroids_on_clustered_corpus(spark):
     assert r_kmeans >= 0.95
 
 
+@pytest.fixture(scope="module")
+def clustered_corpus(spark):
+    """16 well-separated clusters × 100 points, dim 32 — the structured
+    case ANN methods exist for (and the corpus behind the PLANS.md r6
+    recall@5 table). Fully deterministic: seeded generator + seeded
+    planes/centroids, ties broken by neighbor_id."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.concatenate([c + 0.15 * rng.normal(size=(100, 32)) for c in centers])
+    X = X[rng.permutation(len(X))]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id bigint, embedding array<double>",
+    ).cache()
+
+
+def test_ann_recall_table(spark, clustered_corpus):
+    """Recall@5 pinned per method × knob (VERDICT r5 #4): a config-driven
+    ANN engine should state its recall. Floors sit just under the
+    deterministic measured values (PLANS.md r6 table); a change that
+    degrades any method's recall trips the matching floor."""
+    emb = clustered_corpus
+    queries = emb.filter(F.col("vec_id") < 40)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    srp = {
+        (bits, mp): recall(
+            S.srp_lsh_topk(emb, queries, k=5, bits=bits, multiprobe=mp)
+        )
+        for bits, mp in [(4, 0), (4, 1), (8, 1)]
+    }
+    # measured: bits4 0.315 / bits4+mp 0.705 / bits8+mp 0.375
+    assert srp[(4, 0)] >= 0.28
+    assert srp[(4, 1)] >= 0.67
+    assert srp[(8, 1)] >= 0.34
+    assert srp[(4, 1)] > srp[(4, 0)]  # multiprobe must not lose recall
+
+    ivf = {
+        (method, nprobe): recall(
+            S.ivf_topk(
+                emb, queries, k=5, n_centroids=16, nprobe=nprobe,
+                centroids=method,
+            )
+        )
+        for method, nprobe in [
+            ("sample", 1), ("sample", 4), ("kmeans", 1), ("kmeans", 4),
+        ]
+    }
+    # measured: sample 0.87/1.0, kmeans 0.935/1.0 at nprobe 1/4
+    assert ivf[("sample", 1)] >= 0.84
+    assert ivf[("sample", 4)] >= 0.97
+    assert ivf[("kmeans", 1)] >= 0.90
+    assert ivf[("kmeans", 4)] >= 0.97
+
+
+def test_srp_multiprobe_rejects_radius_2(spark, embeddings):
+    with pytest.raises(ValueError, match="multiprobe"):
+        S.srp_lsh_topk(embeddings, embeddings.limit(1), k=3, multiprobe=2)
+
+
 def test_ivf_kmeans_full_probe_still_exact(spark, embeddings):
     """The brute-force anchor holds for trained centroids too: probing all
     cells is exact regardless of codebook quality."""
