@@ -212,6 +212,69 @@ def test_z_order_sink_clusters_both_dimensions(spark, tmp_path):
         assert avg[1] < full_tp * 0.8
 
 
+def test_z_order_reduces_row_groups_scanned(spark, tmp_path):
+    """The IO claim behind z_order_by, measured (VERDICT r5 #5): for a
+    2-column range predicate, count the parquet row groups whose min/max
+    stats overlap the predicate box — exactly the set a stats-aware
+    reader (Spark's parquet row-group pruning, or file-level skipping)
+    must read. Plain layout: every row group spans ~the full range of
+    both columns, so ALL must be read. Z-ordered: only the row groups
+    whose Morton range intersects the box. Measured at these shapes:
+    plain 104/104 vs z-ordered 7/99 — a ~15x scan reduction (PLANS.md
+    r6). Both writes use a small parquet.block.size so granularities are
+    comparable (AQE otherwise coalesces the z write into 2 fat files)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from config_driven_pyspark_spark.sources.writers import stage_sink
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.pmod(F.hash("id"), F.lit(1000)).alias("x"),
+        F.pmod(F.hash("id", F.lit(7)), F.lit(1000)).alias("y"),
+        F.col("id"),
+    )
+    plain = str(tmp_path / "plain")
+    zpath = str(tmp_path / "zord")
+    df.repartition(8).write.mode("overwrite").option(
+        "parquet.block.size", 32768
+    ).parquet(plain)
+    stage_sink(df, {
+        "format": "parquet", "path": zpath, "mode": "overwrite",
+        "z_order_by": ["x", "y"],
+        "options": {"parquet.block.size": 32768},
+    })
+
+    def row_groups_to_read(path: str, lo: int, hi: int) -> tuple[int, int]:
+        must_read = total = 0
+        for f in glob.glob(path + "/*.parquet"):
+            pf = pq.ParquetFile(f)
+            idx = [pf.schema_arrow.names.index(c) for c in ("x", "y")]
+            for rg in range(pf.num_row_groups):
+                md = pf.metadata.row_group(rg)
+                total += 1
+                if all(
+                    md.column(ci).statistics.min <= hi
+                    and md.column(ci).statistics.max >= lo
+                    for ci in idx
+                ):
+                    must_read += 1
+        return must_read, total
+
+    p_hit, p_tot = row_groups_to_read(plain, 100, 200)
+    z_hit, z_tot = row_groups_to_read(zpath, 100, 200)
+    assert p_tot >= 50 and z_tot >= 50  # comparable granularity
+    assert p_hit == p_tot  # unclustered: stats prune nothing
+    # z-ordered: the box predicate must skip the overwhelming majority
+    assert z_hit * 5 <= z_tot, (z_hit, z_tot)
+    # and both layouts return identical query results
+    pred = "x BETWEEN 100 AND 200 AND y BETWEEN 100 AND 200"
+    a = sorted(map(tuple, spark.read.parquet(plain).filter(pred).collect()))
+    b = sorted(map(tuple, spark.read.parquet(zpath).filter(pred).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_z_order_rejects_bad_specs(spark, tmp_path):
     from config_driven_pyspark_spark.sources.writers import stage_sink, z_value
 
