@@ -1530,6 +1530,21 @@ def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood (corpus.py::
+    bigram_perplexity, r6) — the KenLM-style quality-filter signal:
+    add-0.5-smoothed bigram model self-trained on the corpus, vocabulary
+    capped to the 500 most frequent tokens (deterministic tie-break) so
+    the <unk> path is exercised on real data. Emits the exact
+    DECIMAL-summed NLL total and bigram count rather than a divided
+    perplexity, so the oracle (same model in SQL) matches bit-for-bit —
+    the BM25 rounding discipline applied to language-model scoring."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    return CORPUS.bigram_perplexity(docs, vocab_size=500, k_smoothing=0.5)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel math end-to-end (multimodal.py BMP codec, r6): one
     deterministic 8×6 test-pattern BMP per document (synthesize_bmp's
@@ -2162,6 +2177,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # for driver verification
     "q_multimodal_decode",
     "q_time_window_hourly",
+    "q_bigram_perplexity",
     "q_ivf_index_ann",
     "q_ivf_ann",
 ]
@@ -2256,6 +2272,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_thumbs": q_multimodal_thumbs,
         "q_multimodal_decode": q_multimodal_decode,  # real BMP pixels, r6
+        "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
         "q_events_json": q_events_json,
         "q_ivf_ann": q_ivf_ann,
         "q_ivf_index_ann": q_ivf_index_ann,
@@ -3344,6 +3361,51 @@ def oracle_sql() -> dict[str, str]:
                    48 AS height,
                    sha256(text) AS thumb_hex
             FROM documents
+        """,
+        # Same bigram LM in SQL: 500-word vocab (count desc, word asc —
+        # the operator's deterministic tie-break), <unk> mapping via left
+        # joins, add-0.5 smoothing, per-bigram NLL rounded to 9 decimals
+        # and DECIMAL-summed (exact, order-independent) before one double
+        # cast — the BM25 replication discipline
+        "q_bigram_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t != '') AS w
+              FROM documents),
+            uni AS (
+              SELECT u.word, count(*) AS c
+              FROM (SELECT unnest(w) AS word FROM toks) u
+              GROUP BY u.word),
+            vocab AS (
+              SELECT word FROM uni ORDER BY c DESC, word ASC LIMIT 500),
+            vtot AS (SELECT count(*) + 1 AS v FROM vocab),
+            bigraw AS (
+              SELECT doc_id, w[t.i] AS r1, w[t.i + 1] AS r2
+              FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+            big AS (
+              SELECT doc_id,
+                     COALESCE(v1.word, '<unk>') AS w1,
+                     COALESCE(v2.word, '<unk>') AS w2
+              FROM bigraw
+              LEFT JOIN vocab v1 ON bigraw.r1 = v1.word
+              LEFT JOIN vocab v2 ON bigraw.r2 = v2.word),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+            scored AS (
+              SELECT b.doc_id,
+                     CAST(round(-ln((c12.c12 + 0.5)
+                                    / (c1.c1 + 0.5 * (SELECT v FROM vtot))),
+                                9) AS DECIMAL(18,9)) AS t
+              FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+            agg AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(t) AS DOUBLE) AS nll_sum
+              FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   COALESCE(a.nll_sum, 0.0) AS nll_sum
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # Closed-form replica of the BMP decode→resize→stats pipeline:
         # synthesize_bmp's pixel formula sampled at the nearest-neighbor

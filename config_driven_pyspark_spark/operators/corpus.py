@@ -738,6 +738,113 @@ def bm25_topk(
     )
 
 
+def bigram_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 10_000,
+    k_smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram language-model negative log-likelihood — the
+    classic KenLM-style quality signal for training-data filtering
+    (gibberish / boilerplate / wrong-language text scores high NLL
+    against a model trained on the corpus itself).
+
+    Model: add-k-smoothed bigram LM trained on this corpus.
+    ``P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V)`` with the vocabulary
+    capped to the ``vocab_size`` most frequent tokens (ties: count desc,
+    token asc — deterministic) and everything else mapped to ``<unk>``;
+    ``V`` = |vocab| + 1 for ``<unk>``. Output: (doc_id, n_bigrams,
+    nll_sum) where ``nll_sum = Σ −ln P`` over the document's bigrams.
+    Per-bigram NLL terms are rounded to 9 decimals and summed as
+    DECIMAL(18,9) — exact, order-independent addition (the BM25 trick) —
+    so an external oracle replicates the double output bit-for-bit.
+    Docs with < 2 tokens get (0, 0.0). Perplexity = exp(nll_sum /
+    n_bigrams) is left to the caller: emitting the exact sum avoids a
+    division whose rounding an oracle could disagree on.
+
+    Scale: tokens stay array-side until one explode; bigram frame built
+    by a map-only slice/transform (no self-join on positions); the
+    vocabulary is a ``vocab_size``-bounded TakeOrdered broadcast either
+    side of the ``<unk>`` mapping; model counts are two map-side-
+    combinable aggregations of the (persisted) bigram frame; scoring
+    re-joins bigrams to the model on (w1) then (w1, w2) — the model
+    table is vocab²-bounded, the only unbounded shuffles key on word
+    pairs. Self-scoring guarantees every scored bigram exists in the
+    model, so the joins are inner.
+    """
+    k = float(k_smoothing)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    base = _materialize(
+        _spread(docs).select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    )
+    vocab = _materialize(
+        base.select(F.explode("__toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("word").asc())
+        .limit(vocab_size)
+        .select("word")
+    )
+    v_total = vocab.count() + 1  # bounded driver action: ≤ vocab_size rows
+
+    # bigrams via array slice + transform: map-only, no positional join
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(__toks, 1, size(__toks) - 1),"
+                " (w, i) -> struct(w AS w1, __toks[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bi = _materialize(
+        bi.join(
+            F.broadcast(vocab.select(F.col("word").alias("w1"),
+                                     F.lit(True).alias("__in1"))),
+            "w1", "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("word").alias("w2"),
+                                     F.lit(True).alias("__in2"))),
+            "w2", "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("__in1").isNotNull(), F.col("w1"))
+            .otherwise(F.lit("<unk>")).alias("w1"),
+            F.when(F.col("__in2").isNotNull(), F.col("w2"))
+            .otherwise(F.lit("<unk>")).alias("w2"),
+        )
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("__c1"))
+    model = c12.join(c1, "w1")
+    nll_term = F.round(
+        -F.log(
+            (F.col("__c12") + F.lit(k)) / (F.col("__c1") + F.lit(k * v_total))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    per_doc = (
+        bi.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(nll_term).cast("double").alias("nll_sum"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("nll_sum", F.lit(0.0)).alias("nll_sum"),
+        )
+    )
+
+
 def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     """``{"stage": "corpus", "op": "repetition|hash_sample|decontaminate|
     contamination_flags|chunk|mixture|token_budget|line_dedup|pack|
@@ -797,6 +904,12 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         )
     if op == "cap":
         return cap_per_stratum(df, id_col, spec["by"], int(spec["cap"]))
+    if op == "perplexity":
+        return bigram_perplexity(
+            df, id_col, text_col,
+            int(spec.get("vocab_size", 10_000)),
+            float(spec.get("k_smoothing", 0.5)),
+        )
     if op == "bm25":
         return bm25_topk(
             df, ctx.get(spec["queries"]), int(spec.get("k", 10)),

@@ -530,3 +530,67 @@ def test_bm25_stage_dispatch(spark):
          "queries": "qs", "k": 5},
     ]).run(spark)
     assert {r["doc_id"] for r in out.collect()} == {1, 2}
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """2-doc corpus small enough to verify the smoothed model by hand.
+    Corpus: 'a b a b' + 'a b c' + 'solo'. Bigrams: (a,b)x3, (b,a)x1,
+    (b,c)x1. C1: a->3, b->2. Vocab (cap 10) covers all four tokens
+    {a, b, c, solo}, so V = 5 with <unk>.
+    P(b|a) = 3.5/5.5, P(a|b) = 1.5/4.5, P(c|b) = 1.5/4.5."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in C.bigram_perplexity(
+        docs, vocab_size=10, k_smoothing=0.5).collect()}
+    p_ba, p_ab, p_cb = 3.5 / 5.5, 1.5 / 4.5, 1.5 / 4.5
+    exp1 = round(-math.log(p_ba), 9) * 2 + round(-math.log(p_ab), 9)
+    exp2 = round(-math.log(p_ba), 9) + round(-math.log(p_cb), 9)
+    assert rows[1]["n_bigrams"] == 3
+    assert abs(rows[1]["nll_sum"] - exp1) < 1e-9
+    assert rows[2]["n_bigrams"] == 2
+    assert abs(rows[2]["nll_sum"] - exp2) < 1e-9
+    # a 1-token doc has no bigrams and scores zero, not NULL
+    assert (rows[3]["n_bigrams"], rows[3]["nll_sum"]) == (0, 0.0)
+
+
+def test_bigram_perplexity_vocab_cap_unk(spark):
+    """With vocab_size=1 only the most frequent token survives; every
+    other token maps to <unk>, so distinct bigram keys collapse to at
+    most 4 combinations of {top, <unk>} and scores still sum per doc."""
+    docs = spark.createDataFrame(
+        [(1, "x x y z"), (2, "x q r x")], "doc_id bigint, text string",
+    )
+    out = C.bigram_perplexity(docs, vocab_size=1, k_smoothing=0.5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 3
+    assert rows[1]["nll_sum"] > 0 and rows[2]["nll_sum"] > 0
+
+
+def test_bigram_perplexity_flags_gibberish(spark):
+    """The signal works: a document of corpus-typical bigrams scores a
+    lower per-bigram NLL than a same-length shuffled/gibberish one."""
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(10)]
+        + [(99, "mat the on sat cat the")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r["nll_sum"] / r["n_bigrams"]
+            for r in C.bigram_perplexity(docs, vocab_size=100).collect()}
+    assert rows[0] < rows[99]
+
+
+def test_perplexity_stage_dispatch(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b a")], "doc_id bigint, text string")
+    docs.createOrReplaceTempView("t_ppl_docs")
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_ppl_docs"},
+        {"stage": "corpus", "op": "perplexity", "id_col": "doc_id",
+         "vocab_size": 100},
+    ]).run(spark)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
