@@ -1530,6 +1530,20 @@ def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.py::pq_topk, r6): corpus
+    compressed to 4 codes/vector (4 sub-codebooks × 16 codes over the
+    64-dim embeddings — 128× smaller than raw float64), scored by
+    reconstruction against the unit query (classic ADC). The sample
+    codebook — the 16 lowest-id unit vectors, sliced per subspace — is
+    deterministic, so the DuckDB oracle regenerates codebooks, code
+    assignment (argmin |c|²−2·u·c, ties to lower code) and the
+    reconstructed dot bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.pq_topk(emb, queries, k=5, m=4, n_codes=16)
+
+
 def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM negative log-likelihood (corpus.py::
     bigram_perplexity, r6) — the KenLM-style quality-filter signal:
@@ -2178,6 +2192,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_multimodal_decode",
     "q_time_window_hourly",
     "q_bigram_perplexity",
+    "q_pq_ann",
     "q_ivf_index_ann",
     "q_ivf_ann",
 ]
@@ -2273,6 +2288,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_thumbs": q_multimodal_thumbs,
         "q_multimodal_decode": q_multimodal_decode,  # real BMP pixels, r6
         "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
+        "q_pq_ann": q_pq_ann,  # product-quantization ADC, r6
         "q_events_json": q_events_json,
         "q_ivf_ann": q_ivf_ann,
         "q_ivf_index_ann": q_ivf_index_ann,
@@ -3361,6 +3377,46 @@ def oracle_sql() -> dict[str, str]:
                    48 AS height,
                    sha256(text) AS thumb_hex
             FROM documents
+        """,
+        # PQ replica: codebook j = subspace slice j of the 16 lowest-id
+        # unit vectors; encode = argmin(|c|^2 - 2 u·c) per subspace (ties
+        # to lower code); score = dot(query unit, reconstruction). Slices
+        # are 1-based 16-wide; round(6) absorbs codebook-literal ulps.
+        "q_pq_ann": _COSINE_CTE + """
+            , cb AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, u
+              FROM unitv ORDER BY vec_id LIMIT 16),
+            enc AS (
+              SELECT v.vec_id, j.j, cb.code,
+                     row_number() OVER (
+                       PARTITION BY v.vec_id, j.j
+                       ORDER BY
+                         list_dot_product(
+                           list_slice(cb.u, j.j*16 + 1, j.j*16 + 16),
+                           list_slice(cb.u, j.j*16 + 1, j.j*16 + 16))
+                         - 2 * list_dot_product(
+                             list_slice(v.u, j.j*16 + 1, j.j*16 + 16),
+                             list_slice(cb.u, j.j*16 + 1, j.j*16 + 16)),
+                         cb.code) AS pr
+              FROM unitv v, UNNEST([0, 1, 2, 3]) AS j(j), cb),
+            recon AS (
+              SELECT e.vec_id,
+                     flatten(list(list_slice(cb.u, e.j*16 + 1, e.j*16 + 16)
+                                  ORDER BY e.j)) AS r
+              FROM (SELECT vec_id, j, code FROM enc WHERE pr = 1) e
+              JOIN cb USING (code)
+              GROUP BY e.vec_id)
+            SELECT query_id, neighbor_id, rank, approx_cosine FROM (
+              SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                     round(list_dot_product(q.u, r.r), 6) AS approx_cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.u, r.r), 6) DESC,
+                                r.vec_id) AS rank
+              FROM unitv q
+              JOIN recon r ON q.vec_id <> r.vec_id
+              WHERE q.vec_id < 10
+            ) WHERE rank <= 5
         """,
         # Same bigram LM in SQL: 500-word vocab (count desc, word asc —
         # the operator's deterministic tie-break), <unk> mapping via left

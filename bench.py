@@ -65,6 +65,11 @@ HEADLINE = [
     "q_csv_roundtrip",
     "q_sink_roundtrip",
     "q_ivf_index_ann",
+    # round 6 additions (totals not comparable across rounds when the set
+    # widens — compare per-query, PLANS.md convention)
+    "q_multimodal_decode",
+    "q_time_window_hourly",
+    "q_bigram_perplexity",
 ]
 
 

@@ -708,6 +708,60 @@ def test_ann_recall_table(spark, clustered_corpus):
     assert ivf[("kmeans", 4)] >= 0.97
 
 
+def test_pq_reconstruction_exact_on_codebook_vectors(spark, embeddings):
+    """A corpus consisting exactly of the 16 training vectors encodes each
+    vector to its own codes (squared distance 0 per subspace), so the
+    reconstruction IS the unit vector and PQ scores equal exact cosine."""
+    base = embeddings.filter(F.col("vec_id") < 16)
+    queries = base.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.brute_force_topk(base, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["approx_cosine"]
+        for r in S.pq_topk(base, queries, k=5, m=4, n_codes=16).collect()
+    }
+    assert approx == exact
+
+
+def test_pq_recall_and_compression_shape(spark, clustered_corpus):
+    """Code-only ADC honestly collapses tight clusters (recall@5 0.44 at
+    m=8/n_codes=64: same-cell members reconstruct identically, ranking
+    within a 100-member cluster is tie-broken by id); exact reranking of
+    the ADC top-50 pool restores it (measured 0.975 sample / 0.995
+    kmeans — the PLANS.md r6 table). Codebook tensor has the documented
+    m × n_codes × dim/m shape."""
+    emb = clustered_corpus
+    queries = emb.filter(F.col("vec_id") < 40)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(method, rerank=0):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.pq_topk(
+                emb, queries, k=5, m=8, n_codes=64, method=method,
+                rerank=rerank,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    code_only = recall("sample")
+    assert code_only >= 0.40
+    assert recall("sample", rerank=50) >= 0.94
+    assert recall("kmeans", rerank=50) >= 0.96
+    cb = S.pq_train_codebooks(emb, m=4, n_codes=16)
+    assert cb.shape == (4, 16, 8)  # dim 32 / m 4
+
+
+def test_pq_rejects_indivisible_subspaces(spark, embeddings):
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_topk(embeddings, embeddings.limit(1), k=3, m=5)
+
+
 def test_srp_multiprobe_rejects_radius_2(spark, embeddings):
     with pytest.raises(ValueError, match="multiprobe"):
         S.srp_lsh_topk(embeddings, embeddings.limit(1), k=3, multiprobe=2)
