@@ -2186,15 +2186,16 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 6: new real-pixel BMP decode query; IVF index/codebook reuse
-    # now manifest-validated (same results, changed guard paths) — fronted
-    # for driver verification
+    # round 6: the four NEW queries (real-pixel BMP decode, F.window
+    # stage, bigram-LM perplexity, product quantization). The IVF
+    # manifest/guard changes are deliberately NOT fronted: their queries'
+    # semantics are unchanged (r5 driver-green, r6 pytest + local-oracle
+    # exact), and fronting them would push two r4-cohort queries past the
+    # driver's 50-entry window — 4 new + 46 r4-stale fills it exactly.
     "q_multimodal_decode",
     "q_time_window_hourly",
     "q_bigram_perplexity",
     "q_pq_ann",
-    "q_ivf_index_ann",
-    "q_ivf_ann",
 ]
 
 

@@ -74,3 +74,48 @@ def test_ann_index_search_example(spark, tmp_path):
     assert os.path.isdir(os.path.join(idx, "postings"))
     again = Pipeline.from_yaml(text).run(spark, variables=variables)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_quality_filter_perplexity_example(spark, tmp_path):
+    out = str(tmp_path / "quality_docs")
+    with open(os.path.join(EXAMPLES, "quality_filter_perplexity.yaml")) as fh:
+        text = fh.read()
+    result = Pipeline.from_yaml(text).run(
+        spark,
+        variables={
+            "input": "/root/testdata/sf0.001/documents.parquet",
+            "output": out,
+        },
+    )
+    assert result.columns == ["doc_id", "text", "n_bigrams", "nll_per_bigram"]
+    n_total = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    n_kept = spark.read.parquet(out).count()
+    assert 0 < n_kept < n_total  # the filter must actually drop a tail
+    # every surviving row satisfies the declared thresholds
+    bad = spark.read.parquet(out).filter(
+        "n_bigrams < 5 OR nll_per_bigram > 3.43"
+    ).count()
+    assert bad == 0
+
+
+def test_pq_compressed_search_example(spark):
+    with open(os.path.join(EXAMPLES, "pq_compressed_search.yaml")) as fh:
+        text = fh.read()
+    result = Pipeline.from_yaml(text).run(
+        spark,
+        variables={"corpus": "/root/testdata/sf0.001/embeddings.parquet"},
+    )
+    rows = result.collect()
+    # rerank path outputs exact cosines for the final ranking
+    assert result.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    assert 0 < len(rows) <= 10 * 5
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, rs in per_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1)), q
+        cos = [c for _, c in rs]
+        assert cos == sorted(cos, reverse=True), q
