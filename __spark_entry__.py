@@ -1544,6 +1544,21 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(emb, queries, k=5, m=4, n_codes=16)
 
 
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composition (similarity.py::ivfpq_topk, r6): IVF prunes the
+    candidate set to 4-of-16 probed cells, PQ compresses what each
+    candidate costs to score (4 codes/vector, ADC by reconstruction) —
+    the standard billion-scale ANN stack. Both codebooks are the
+    deterministic sample kind, so the DuckDB oracle composes the
+    q_ivf_ann cell-assignment CTE with the q_pq_ann encode/reconstruct
+    CTEs and replicates every approx score bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivfpq_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=4, m=4, n_codes=16
+    )
+
+
 def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM negative log-likelihood (corpus.py::
     bigram_perplexity, r6) — the KenLM-style quality-filter signal:
@@ -2186,16 +2201,18 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 6: the four NEW queries (real-pixel BMP decode, F.window
-    # stage, bigram-LM perplexity, product quantization). The IVF
-    # manifest/guard changes are deliberately NOT fronted: their queries'
-    # semantics are unchanged (r5 driver-green, r6 pytest + local-oracle
-    # exact), and fronting them would push two r4-cohort queries past the
-    # driver's 50-entry window — 4 new + 46 r4-stale fills it exactly.
+    # round 6: the five NEW queries (real-pixel BMP decode, F.window
+    # stage, bigram-LM perplexity, product quantization, IVF x PQ). The
+    # IVF manifest/guard changes are deliberately NOT fronted: their
+    # queries' semantics are unchanged (r5 driver-green, r6 pytest +
+    # local-oracle exact). 5 new + 45 of the 47 r4-stale queries fill the
+    # driver's 50-entry window; the 2 left (declaration-order tail) catch
+    # up in r7 — never-verified queries outrank one-round-stale ones.
     "q_multimodal_decode",
     "q_time_window_hourly",
     "q_bigram_perplexity",
     "q_pq_ann",
+    "q_ivfpq_ann",
 ]
 
 
@@ -2290,6 +2307,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_decode": q_multimodal_decode,  # real BMP pixels, r6
         "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
         "q_pq_ann": q_pq_ann,  # product-quantization ADC, r6
+        "q_ivfpq_ann": q_ivfpq_ann,  # IVF x PQ composition, r6
         "q_events_json": q_events_json,
         "q_ivf_ann": q_ivf_ann,
         "q_ivf_index_ann": q_ivf_index_ann,
@@ -3378,6 +3396,62 @@ def oracle_sql() -> dict[str, str]:
                    48 AS height,
                    sha256(text) AS thumb_hex
             FROM documents
+        """,
+        # IVF x PQ: q_ivf_ann's cell assignment composed with q_pq_ann's
+        # encode/reconstruct — candidates from probed cells, scores from
+        # reconstructed codes
+        "q_ivfpq_ann": _COSINE_CTE + """
+            , cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx,
+                     u AS cu
+              FROM unitv ORDER BY vec_id LIMIT 16),
+            cassign AS (
+              SELECT v.vec_id, v.u, c.cell_idx,
+                     row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.u, c.cu) DESC,
+                                c.cell_idx) AS pr
+              FROM unitv v CROSS JOIN cent c),
+            corpus_cells AS (
+              SELECT vec_id, cell_idx FROM cassign WHERE pr = 1),
+            query_cells AS (
+              SELECT vec_id, u, cell_idx FROM cassign
+              WHERE pr <= 4 AND vec_id < 10),
+            cb AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, u
+              FROM unitv ORDER BY vec_id LIMIT 16),
+            enc AS (
+              SELECT v.vec_id, j.j, cb.code,
+                     row_number() OVER (
+                       PARTITION BY v.vec_id, j.j
+                       ORDER BY
+                         list_dot_product(
+                           list_slice(cb.u, j.j*16 + 1, j.j*16 + 16),
+                           list_slice(cb.u, j.j*16 + 1, j.j*16 + 16))
+                         - 2 * list_dot_product(
+                             list_slice(v.u, j.j*16 + 1, j.j*16 + 16),
+                             list_slice(cb.u, j.j*16 + 1, j.j*16 + 16)),
+                         cb.code) AS pr
+              FROM unitv v, UNNEST([0, 1, 2, 3]) AS j(j), cb),
+            recon AS (
+              SELECT e.vec_id,
+                     flatten(list(list_slice(cb.u, e.j*16 + 1, e.j*16 + 16)
+                                  ORDER BY e.j)) AS r
+              FROM (SELECT vec_id, j, code FROM enc WHERE pr = 1) e
+              JOIN cb USING (code)
+              GROUP BY e.vec_id)
+            SELECT query_id, neighbor_id, rank, approx_cosine FROM (
+              SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                     round(list_dot_product(q.u, r.r), 6) AS approx_cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.u, r.r), 6) DESC,
+                                cc.vec_id) AS rank
+              FROM query_cells q
+              JOIN corpus_cells cc ON q.cell_idx = cc.cell_idx
+                                  AND q.vec_id <> cc.vec_id
+              JOIN recon r ON r.vec_id = cc.vec_id
+            ) WHERE rank <= 5
         """,
         # PQ replica: codebook j = subspace slice j of the 16 lowest-id
         # unit vectors; encode = argmin(|c|^2 - 2 u·c) per subspace (ties

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -740,6 +740,29 @@ def _pq_encode_udf(codebooks):
     return pandas_udf(encode, "array<int>")
 
 
+def _pq_recon_col(codebooks) -> Column:
+    """Reconstruction of a PQ-coded vector from the ``__codes`` column:
+    per subspace, a literal codebook lookup (1-based ``element_at``),
+    concatenated — pure Column math, whole-stage-codegen eligible."""
+    m, n_codes, _sub = codebooks.shape
+    return F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    F.array(
+                        *[
+                            F.array(*[F.lit(float(x)) for x in codebooks[j][code]])
+                            for code in range(n_codes)
+                        ]
+                    ),
+                    F.element_at(F.col("__codes"), j + 1) + 1,
+                )
+                for j in range(m)
+            ]
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -791,30 +814,11 @@ def pq_topk(
         corpus, id_col, vec_col, m, n_codes, method,
         sample_rows, kmeans_iters, seed,
     )
-    sub = cb.shape[2]
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _pq_encode_udf(cb)(F.col(vec_col)).alias("__codes"),
     )
-    # reconstruction: literal codebook lookup per subspace, concatenated —
-    # pure Column math over the stored codes (1-based element_at)
-    recon = F.flatten(
-        F.array(
-            *[
-                F.element_at(
-                    F.array(
-                        *[
-                            F.array(*[F.lit(float(x)) for x in cb[j][code]])
-                            for code in range(n_codes)
-                        ]
-                    ),
-                    F.element_at(F.col("__codes"), j + 1) + 1,
-                )
-                for j in range(m)
-            ]
-        )
-    )
-    c = c.select("neighbor_id", recon.alias("cv"))
+    c = c.select("neighbor_id", _pq_recon_col(cb).alias("cv"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         V.unit_normalize(F.col(vec_col)).alias("qv"),
@@ -850,6 +854,118 @@ def pq_topk(
     exact = (
         pool.join(truev, "neighbor_id")
         .join(F.broadcast(q) if broadcast_queries else q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    rr = exact.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id")
+            )
+        ).cast("bigint"),
+    )
+    return rr.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", "cosine"
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    centroids: str = "sample",
+    codebooks: str = "sample",
+    broadcast_queries: bool = True,
+    rerank: int = 0,
+    sample_rows: int = 20_000,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF×PQ — the standard billion-scale ANN composition: IVF prunes
+    WHICH vectors are scored (each query touches ``nprobe/n_centroids``
+    of the corpus), PQ shrinks WHAT scoring a candidate costs (codes,
+    ``m·log2(n_codes)`` bits, instead of the raw vector). One corpus
+    pass computes both the cell id and the PQ codes; the probed-cell
+    equi-join then carries only (id, cell, codes) — at 100 TB the
+    scored payload is ~128× lighter than IVF-flat's unit vectors, and
+    the candidate count is ~nprobe/n_centroids of PQ-alone's full scan.
+
+    Scoring is ADC by literal-lookup reconstruction (see
+    :func:`pq_topk`); ``rerank=R`` re-scores the per-query top-R pool
+    against true vectors (one |queries|·R join back to the corpus) and
+    is the standard way to recover recall lost to quantization collapse.
+    Both codebook kinds default to the deterministic ``sample`` path so
+    an external oracle can replicate end to end; ``kmeans`` trains each
+    on a bounded driver-side sample.
+    """
+    if rerank and rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
+    cent = train_centroids(
+        corpus, id_col, vec_col, n_centroids, centroids,
+        kmeans_iters, sample_rows, seed,
+    )
+    cb = pq_train_codebooks(
+        corpus, id_col, vec_col, m, n_codes, codebooks,
+        sample_rows, kmeans_iters, seed,
+    )
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _nearest_cells_udf(cent, 1)(F.col(vec_col)).getItem(0).alias("cell"),
+        _pq_encode_udf(cb)(F.col(vec_col)).alias("__codes"),
+    )
+    c = c.select("neighbor_id", "cell", _pq_recon_col(cb).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.unit_normalize(F.col(vec_col)).alias("qv"),
+        F.explode(
+            _nearest_cells_udf(cent, nprobe)(F.col(vec_col))
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q) if broadcast_queries else q, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("approx_cosine"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("approx_cosine").desc(), F.col("neighbor_id")
+            )
+        ).cast("bigint"),
+    )
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "rank", "approx_cosine"
+        )
+    pool = ranked.filter(F.col("rank") <= rerank).select(
+        "query_id", "neighbor_id"
+    )
+    truev = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        V.unit_normalize(F.col(vec_col)).alias("cv"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.unit_normalize(F.col(vec_col)).alias("qv"),
+    )
+    exact = (
+        pool.join(truev, "neighbor_id")
+        .join(F.broadcast(qv) if broadcast_queries else qv, "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -916,7 +1032,7 @@ def project_embeddings(
 
 def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     """``{"stage": "similarity", "method": "brute_force"|"srp_lsh"|"ivf"|
-    "pq"|"project", "k": 10, "queries": <stage name, default: self>, "id_col":
+    "pq"|"ivfpq"|"project", "k": 10, "queries": <stage name, default: self>, "id_col":
     ..., "vec_col": ..., "bits": 8, "n_centroids": 16, "nprobe": 4,
     "out_dim": 8 (project), "broadcast_queries": bool, "centroids_path":
     <parquet path — ivf loads an existing codebook / saves after training>,
@@ -989,6 +1105,19 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
             int(spec.get("sample_rows", 20_000)),
             int(spec.get("seed", 42)),
             spec.get("centroids_path"),
+        )
+    if method == "ivfpq":
+        return ivfpq_topk(
+            df, queries, k, id_col, vec_col,
+            int(spec.get("n_centroids", 16)), int(spec.get("nprobe", 4)),
+            int(spec.get("m", 4)), int(spec.get("n_codes", 16)),
+            spec.get("centroids", "sample"),
+            spec.get("codebooks", "sample"),
+            spec.get("broadcast_queries", bool(spec.get("queries"))),
+            int(spec.get("rerank", 0)),
+            int(spec.get("sample_rows", 20_000)),
+            int(spec.get("kmeans_iters", 10)),
+            int(spec.get("seed", 42)),
         )
     if method == "pq":
         return pq_topk(
