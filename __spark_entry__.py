@@ -1544,6 +1544,19 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(emb, queries, k=5, m=4, n_codes=16)
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over the documents corpus (corpus.py::
+    top_collocations, r6): phrase mining by pointwise mutual information
+    with a min-count floor. All count inputs are exact integers and the
+    PMI ratio is one double expression replicated verbatim (same casts,
+    same association order) in the oracle, rounded to 9 decimals —
+    deterministic top-k with (pmi desc, w1, w2) ordering."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    return CORPUS.top_collocations(docs, k=50, min_count=5)
+
+
 def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF×PQ composition (similarity.py::ivfpq_topk, r6): IVF prunes the
     candidate set to 4-of-16 probed cells, PQ compresses what each
@@ -2201,18 +2214,20 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 6: the five NEW queries (real-pixel BMP decode, F.window
-    # stage, bigram-LM perplexity, product quantization, IVF x PQ). The
-    # IVF manifest/guard changes are deliberately NOT fronted: their
-    # queries' semantics are unchanged (r5 driver-green, r6 pytest +
-    # local-oracle exact). 5 new + 45 of the 47 r4-stale queries fill the
-    # driver's 50-entry window; the 2 left (declaration-order tail) catch
-    # up in r7 — never-verified queries outrank one-round-stale ones.
+    # round 6: the six NEW queries (real-pixel BMP decode, F.window
+    # stage, bigram-LM perplexity, product quantization, IVF x PQ, PMI
+    # collocations). The IVF manifest/guard changes are deliberately NOT
+    # fronted: their queries' semantics are unchanged (r5 driver-green,
+    # r6 pytest + local-oracle exact). 6 new + 44 of the 47 r4-stale
+    # queries fill the driver's 50-entry window; the 3 left
+    # (declaration-order tail) catch up in r7 — never-verified queries
+    # outrank one-round-stale ones.
     "q_multimodal_decode",
     "q_time_window_hourly",
     "q_bigram_perplexity",
     "q_pq_ann",
     "q_ivfpq_ann",
+    "q_collocations",
 ]
 
 
@@ -2308,6 +2323,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
         "q_pq_ann": q_pq_ann,  # product-quantization ADC, r6
         "q_ivfpq_ann": q_ivfpq_ann,  # IVF x PQ composition, r6
+        "q_collocations": q_collocations,  # PMI phrase mining, r6
         "q_events_json": q_events_json,
         "q_ivf_ann": q_ivf_ann,
         "q_ivf_index_ann": q_ivf_index_ann,
@@ -3492,6 +3508,36 @@ def oracle_sql() -> dict[str, str]:
               JOIN recon r ON q.vec_id <> r.vec_id
               WHERE q.vec_id < 10
             ) WHERE rank <= 5
+        """,
+        # PMI with the identical double expression (casts + association
+        # order) over exact integer counts; bigram total = sum of
+        # max(len-1, 0) per doc
+        "q_collocations": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t != '') AS w
+              FROM documents),
+            uni AS (
+              SELECT u.w, count(*) AS c
+              FROM (SELECT unnest(w) AS w FROM toks) u GROUP BY u.w),
+            totals AS (
+              SELECT (SELECT sum(c) FROM uni) AS n_uni,
+                     (SELECT sum(greatest(len(w) - 1, 0)) FROM toks) AS n_big),
+            bi AS (
+              SELECT w[t.i] AS w1, w[t.i + 1] AS w2, count(*) AS n12
+              FROM toks, UNNEST(range(1, len(w))) AS t(i)
+              GROUP BY 1, 2
+              HAVING count(*) >= 5)
+            SELECT w1, w2, n12,
+                   round(ln((n12::DOUBLE * n_uni * n_uni)
+                            / (n_big::DOUBLE * c1.c * c2.c)), 9) AS pmi
+            FROM bi
+            JOIN uni c1 ON bi.w1 = c1.w
+            JOIN uni c2 ON bi.w2 = c2.w
+            CROSS JOIN totals
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
+            LIMIT 50
         """,
         # Same bigram LM in SQL: 500-word vocab (count desc, word asc —
         # the operator's deterministic tie-break), <unk> mapping via left

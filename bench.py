@@ -70,6 +70,8 @@ HEADLINE = [
     "q_multimodal_decode",
     "q_time_window_hourly",
     "q_bigram_perplexity",
+    "q_pq_ann",
+    "q_ivfpq_ann",
 ]
 
 

@@ -845,6 +845,83 @@ def bigram_perplexity(
     )
 
 
+def top_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-``k`` collocations (corpus-wide bigrams) by pointwise mutual
+    information — the standard phrase-mining signal (PMI surfaces
+    "new york"-style units whose co-occurrence beats chance; raw bigram
+    counts surface "of the"). ``PMI = ln(P(w1,w2) / (P(w1)·P(w2)))``
+    with bigram probability over total bigram count and unigram
+    probabilities over total token count; ``min_count`` suppresses the
+    unstable low-frequency tail (a hapax pair has spuriously maximal
+    PMI). Output: (w1, w2, n12, pmi), PMI rounded to 9 decimals, ties
+    broken (w1, w2) ascending — fully deterministic, and every input to
+    the single ``ln`` is an exact integer ratio, so an external oracle
+    reproduces the doubles bit-for-bit.
+
+    Scale: bigrams are a map-only array slice (no positional join); all
+    counts are map-side-combinable aggs shuffling on words; the two
+    1-row totals broadcast; the final top-k is a ``TakeOrdered`` —
+    nothing keys on documents, so doc-count growth only widens the agg
+    inputs."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    base = _materialize(
+        _spread(docs).select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    )
+    uni = _materialize(
+        base.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        base.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__toks, 1, size(__toks) - 1),"
+                    " (w, i) -> struct(w AS w1, __toks[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").alias("n12"))
+        .filter(F.col("n12") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_big = base.select(
+        F.greatest(F.size("__toks") - 1, F.lit(0)).alias("nb")
+    ).agg(F.sum("nb").alias("n_big"))
+    scored = (
+        bi.join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                       F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                     F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1", "w2", "n12",
+            # the ratio is computed in DOUBLE from the first factor on
+            # (n_uni² overflows int64 on a 100 TB corpus); the oracle uses
+            # the identical cast + left-associated multiply order, so the
+            # ln input is the same double bit pattern
+            F.round(
+                F.log(
+                    (F.col("n12").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_big").cast("double") * F.col("c1") * F.col("c2"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+
+
 def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     """``{"stage": "corpus", "op": "repetition|hash_sample|decontaminate|
     contamination_flags|chunk|mixture|token_budget|line_dedup|pack|
@@ -904,6 +981,11 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         )
     if op == "cap":
         return cap_per_stratum(df, id_col, spec["by"], int(spec["cap"]))
+    if op == "collocations":
+        return top_collocations(
+            df, id_col, text_col,
+            int(spec.get("k", 100)), int(spec.get("min_count", 5)),
+        )
     if op == "perplexity":
         return bigram_perplexity(
             df, id_col, text_col,

@@ -594,3 +594,38 @@ def test_perplexity_stage_dispatch(spark):
          "vocab_size": 100},
     ]).run(spark)
     assert {r["doc_id"] for r in out.collect()} == {1, 2}
+
+
+def test_top_collocations_hand_computed(spark):
+    """Every count hand-checkable. Tokens: x->6, y->5, z->2 (N_uni=13);
+    bigrams per doc 2+2+2+1+1 = 8; (x,y) occurs 4 times."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "x y x"), (4, "x y"), (5, "y x")],
+        "doc_id bigint, text string",
+    )
+    rows = C.top_collocations(docs, k=10, min_count=2).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    assert got[("x", "y")]["n12"] == 4
+    exp = round(math.log((4 * 13.0 * 13) / (8 * 6.0 * 5)), 9)
+    assert abs(got[("x", "y")]["pmi"] - exp) < 1e-12
+    # min_count suppresses pairs below the floor
+    assert ("y", "z") in got and got[("y", "z")]["n12"] == 2
+    assert ("z", "x") not in got  # appears once
+    # ordering: pmi desc, then lexicographic
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_collocations_stage_dispatch(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id bigint, text string")
+    docs.createOrReplaceTempView("t_coll_docs")
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM t_coll_docs"},
+        {"stage": "corpus", "op": "collocations", "id_col": "doc_id",
+         "k": 5, "min_count": 2},
+    ]).run(spark)
+    rows = out.collect()
+    assert [r["w1"] for r in rows] and rows[0]["n12"] >= 2
