@@ -1438,11 +1438,15 @@ def q_ivf_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"cdp_ivf_index_{sf_tag}_{stamp}")
     if not os.path.isdir(os.path.join(path, "postings")):
         # a fingerprint change obsoletes this sf's earlier cache dirs —
-        # drop them so regens don't accumulate dead indexes in tmp
+        # drop them so regens don't accumulate dead indexes in tmp. Only
+        # dirs whose suffix after the tag is a bare numeric stamp belong
+        # to THIS sf (an underscore-extended tag like "<tag>_v2_<stamp>"
+        # is a different dataset's live cache — never remove it)
         for old in glob.glob(
             os.path.join(tempfile.gettempdir(), f"cdp_ivf_index_{sf_tag}_*")
         ):
-            if old != path:
+            suffix = os.path.basename(old)[len(f"cdp_ivf_index_{sf_tag}_"):]
+            if old != path and suffix.isdigit():
                 shutil.rmtree(old, ignore_errors=True)
         SIM.ivf_build_index(emb, path, n_centroids=16, centroids="sample")
     queries = emb.filter(F.col("vec_id") < 8)

@@ -793,7 +793,7 @@ def bigram_perplexity(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(slice(__toks, 1, size(__toks) - 1),"
+                "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
                 " (w, i) -> struct(w AS w1, __toks[i + 1] AS w2))"
             )
         ).alias("b"),
@@ -882,7 +882,7 @@ def top_collocations(
         base.select(
             F.explode(
                 F.expr(
-                    "transform(slice(__toks, 1, size(__toks) - 1),"
+                    "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
                     " (w, i) -> struct(w AS w1, __toks[i + 1] AS w2))"
                 )
             ).alias("b")

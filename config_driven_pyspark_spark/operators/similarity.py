@@ -34,6 +34,61 @@ from config_driven_pyspark_spark.functions import vectors as V
 from config_driven_pyspark_spark.operators.dedup import _materialize, _spread
 
 
+def _topk_by(scored: DataFrame, k: int, score_col: str) -> DataFrame:
+    """Shared per-query top-k tail: rank by (score desc, neighbor_id asc —
+    the deterministic tie-break every oracle replicates) and keep k.
+    Output column order: (query_id, neighbor_id, rank, <score_col>)."""
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col(score_col).desc(), F.col("neighbor_id")
+            )
+        ).cast("bigint"),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", score_col
+    )
+
+
+def _rerank_exact(
+    approx_ranked: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """Exact re-scoring of an approximate candidate pool (the standard
+    ANN+rerank deployment): take the per-query top-``rerank`` rows of
+    ``approx_ranked`` (which carries a ``rank`` column), join back to the
+    TRUE corpus vectors — a |queries|·rerank-row join, the only place a
+    full vector is touched again — and re-rank to top-k exact cosines."""
+    pool = approx_ranked.filter(F.col("rank") <= rerank).select(
+        "query_id", "neighbor_id"
+    )
+    truev = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        V.unit_normalize(F.col(vec_col)).alias("cv"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.unit_normalize(F.col(vec_col)).alias("qv"),
+    )
+    exact = (
+        pool.join(truev, "neighbor_id")
+        .join(F.broadcast(qv) if broadcast_queries else qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    return _topk_by(exact, k, "cosine")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,17 +124,7 @@ def brute_force_topk(
             F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
     )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.col("cosine").desc(), F.col("neighbor_id")
-            )
-        ).cast("bigint"),
-    )
-    return ranked.filter(F.col("rank") <= k).select(
-        "query_id", "neighbor_id", "rank", "cosine"
-    )
+    return _topk_by(scored, k, "cosine")
 
 
 def srp_lsh_topk(
@@ -156,17 +201,7 @@ def srp_lsh_topk(
             F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
     )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.col("cosine").desc(), F.col("neighbor_id")
-            )
-        ).cast("bigint"),
-    )
-    return ranked.filter(F.col("rank") <= k).select(
-        "query_id", "neighbor_id", "rank", "cosine"
-    )
+    return _topk_by(scored, k, "cosine")
 
 
 def _nearest_cells_udf(centroids, nprobe: int):
@@ -369,6 +404,14 @@ def validate_index_manifest(
     it cannot be checked, but reuse should not hard-break on upgrade."""
     import warnings
 
+    missing = set(_INDEX_PARAMS) - set(params)
+    if missing:
+        # a caller that forgets a build param would silently skip its
+        # check — the central key list IS the validation contract
+        raise ValueError(
+            f"validate_index_manifest called without {sorted(missing)}; "
+            "every _INDEX_PARAMS key must be supplied"
+        )
     manifest = read_index_manifest(spark, path)
     if manifest is None:
         warnings.warn(
@@ -513,17 +556,7 @@ def _score_probed_cells(
             F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
     )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.col("cosine").desc(), F.col("neighbor_id")
-            )
-        ).cast("bigint"),
-    )
-    return ranked.filter(F.col("rank") <= k).select(
-        "query_id", "neighbor_id", "rank", "cosine"
-    )
+    return _topk_by(scored, k, "cosine")
 
 
 def ivf_build_index(
@@ -686,14 +719,14 @@ def pq_train_codebooks(
         X = np.array([r["v"] for r in rows], dtype="float64")
     else:
         raise ValueError(f"method must be sample|kmeans, got {method!r}")
-    d = X.shape[1]
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
-    sub = d // m
     if len(X) < n_codes:
         raise ValueError(
             f"PQ needs >= n_codes={n_codes} training rows, got {len(X)}"
         )
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
     if method == "sample":
         return X[:n_codes].reshape(n_codes, m, sub).transpose(1, 0, 2).copy()
     cbs = []
@@ -832,44 +865,12 @@ def pq_topk(
             F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("approx_cosine"),
         )
     )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.col("approx_cosine").desc(), F.col("neighbor_id")
-            )
-        ).cast("bigint"),
-    )
+    approx = _topk_by(scored, rerank or k, "approx_cosine")
     if not rerank:
-        return ranked.filter(F.col("rank") <= k).select(
-            "query_id", "neighbor_id", "rank", "approx_cosine"
-        )
-    pool = ranked.filter(F.col("rank") <= rerank).select(
-        "query_id", "neighbor_id"
-    )
-    truev = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        V.unit_normalize(F.col(vec_col)).alias("cv"),
-    )
-    exact = (
-        pool.join(truev, "neighbor_id")
-        .join(F.broadcast(q) if broadcast_queries else q, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-        )
-    )
-    rr = exact.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.col("cosine").desc(), F.col("neighbor_id")
-            )
-        ).cast("bigint"),
-    )
-    return rr.filter(F.col("rank") <= k).select(
-        "query_id", "neighbor_id", "rank", "cosine"
+        return approx
+    return _rerank_exact(
+        approx, corpus, queries, k, rerank, id_col, vec_col,
+        broadcast_queries,
     )
 
 
@@ -940,48 +941,12 @@ def ivfpq_topk(
             F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("approx_cosine"),
         )
     )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.col("approx_cosine").desc(), F.col("neighbor_id")
-            )
-        ).cast("bigint"),
-    )
+    approx = _topk_by(scored, rerank or k, "approx_cosine")
     if not rerank:
-        return ranked.filter(F.col("rank") <= k).select(
-            "query_id", "neighbor_id", "rank", "approx_cosine"
-        )
-    pool = ranked.filter(F.col("rank") <= rerank).select(
-        "query_id", "neighbor_id"
-    )
-    truev = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        V.unit_normalize(F.col(vec_col)).alias("cv"),
-    )
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        V.unit_normalize(F.col(vec_col)).alias("qv"),
-    )
-    exact = (
-        pool.join(truev, "neighbor_id")
-        .join(F.broadcast(qv) if broadcast_queries else qv, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-        )
-    )
-    rr = exact.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(
-                F.col("cosine").desc(), F.col("neighbor_id")
-            )
-        ).cast("bigint"),
-    )
-    return rr.filter(F.col("rank") <= k).select(
-        "query_id", "neighbor_id", "rank", "cosine"
+        return approx
+    return _rerank_exact(
+        approx, corpus, queries, k, rerank, id_col, vec_col,
+        broadcast_queries,
     )
 
 
@@ -1034,7 +999,9 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     """``{"stage": "similarity", "method": "brute_force"|"srp_lsh"|"ivf"|
     "pq"|"ivfpq"|"project", "k": 10, "queries": <stage name, default: self>, "id_col":
     ..., "vec_col": ..., "bits": 8, "n_centroids": 16, "nprobe": 4,
-    "out_dim": 8 (project), "broadcast_queries": bool, "centroids_path":
+    "out_dim": 8 (project), "m"/"n_codes"/"codebooks"/"rerank" (pq, ivfpq —
+    "codebooks" picks the PQ training method; for ivfpq "centroids" picks
+    the IVF one), "broadcast_queries": bool, "centroids_path":
     <parquet path — ivf loads an existing codebook / saves after training>,
     "index_path": <dir — ivf queries a persisted cell-partitioned index,
     building it first if absent (see ivf_build_index/ivf_query_index)>}``.
@@ -1123,7 +1090,10 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
         return pq_topk(
             df, queries, k, id_col, vec_col,
             int(spec.get("m", 4)), int(spec.get("n_codes", 16)),
-            spec.get("centroids", "sample"),
+            # "codebooks" is the canonical key (matching ivfpq, where
+            # "centroids" means the IVF codebook); "centroids" accepted
+            # as a fallback so the two methods stay config-compatible
+            spec.get("codebooks", spec.get("centroids", "sample")),
             spec.get("broadcast_queries", bool(spec.get("queries"))),
             int(spec.get("sample_rows", 20_000)),
             int(spec.get("kmeans_iters", 10)),

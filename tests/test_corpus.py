@@ -629,3 +629,30 @@ def test_collocations_stage_dispatch(spark):
     ]).run(spark)
     rows = out.collect()
     assert [r["w1"] for r in rows] and rows[0]["n12"] >= 2
+
+
+def test_bigram_perplexity_empty_and_whitespace_docs(spark):
+    """Regression (r6 review): a 0-token document made slice() length -1
+    and crashed the whole job; empty/whitespace docs must instead score
+    (0, 0.0) like any other sub-2-token doc."""
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, ""), (3, "   "), (4, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in C.bigram_perplexity(
+        docs, vocab_size=10).collect()}
+    assert len(rows) == 4
+    for did in (2, 3):
+        assert (rows[did]["n_bigrams"], rows[did]["nll_sum"]) == (0, 0.0)
+    assert rows[1]["n_bigrams"] == 2
+
+
+def test_top_collocations_tolerates_empty_docs(spark):
+    """Same regression for PMI mining: empty/whitespace docs contribute
+    zero bigrams instead of aborting the job."""
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, ""), (3, " ")],
+        "doc_id bigint, text string",
+    )
+    rows = C.top_collocations(docs, k=5, min_count=2).collect()
+    assert {(r["w1"], r["w2"]) for r in rows} == {("x", "y"), ("y", "x")}
