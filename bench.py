@@ -72,6 +72,7 @@ HEADLINE = [
     "q_bigram_perplexity",
     "q_pq_ann",
     "q_ivfpq_ann",
+    "q_ivfpq_index_ann",
 ]
 
 

@@ -520,6 +520,71 @@ def test_ivf_persisted_index_matches_ivf_topk_and_prunes(spark, embeddings, tmp_
     assert "PartitionFilters: [cell" in plan
 
 
+def test_ivfpq_persisted_index_matches_ivfpq_topk(spark, embeddings, tmp_path):
+    """IVF-PQ index (pq=... on ivf_build_index): querying the persisted
+    code-carrying postings returns exactly what ivfpq_topk computes with
+    the same codebooks; the probed-cell filter still prunes partitions;
+    and the code postings are several times smaller on disk than the
+    flat unit-vector postings over the same corpus."""
+    import os
+
+    flat, pqp = str(tmp_path / "flat_idx"), str(tmp_path / "pq_idx")
+    queries = embeddings.limit(3)
+    S.ivf_build_index(embeddings, flat, n_centroids=8)
+    S.ivf_build_index(
+        embeddings, pqp, n_centroids=8, pq={"m": 4, "n_codes": 16}
+    )
+    via_index = S.ivf_query_index(spark, pqp, queries, k=5, nprobe=2)
+    direct = S.ivfpq_topk(
+        embeddings, queries, k=5, n_centroids=8, nprobe=2, m=4, n_codes=16
+    )
+    assert via_index.columns == ["query_id", "neighbor_id", "rank",
+                                 "approx_cosine"]
+    assert sorted(map(tuple, via_index.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+
+    def postings_bytes(path):
+        total = 0
+        for root, _dirs, files in os.walk(os.path.join(path, "postings")):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files if f.endswith(".parquet")
+            )
+        return total
+
+    assert postings_bytes(pqp) * 3 < postings_bytes(flat)
+
+
+def test_ivf_index_layout_mismatch_is_refused(spark, embeddings, tmp_path):
+    """A flat index queried through a pq spec (or vice versa) is a layout
+    mismatch the manifest must catch — silent reuse would score the
+    wrong payload."""
+    from config_driven_pyspark_spark.operators.similarity import stage_similarity
+
+    path = str(tmp_path / "flat_for_pq")
+    ctx = {"q": embeddings.limit(2)}
+
+    class Ctx(dict):
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+    base = {"stage": "similarity", "method": "ivf", "k": 3, "nprobe": 2,
+            "n_centroids": 8, "queries": "q", "index_path": path}
+    stage_similarity(embeddings, base, Ctx(ctx))  # builds FLAT index
+    with pytest.raises(ValueError, match="pq_m"):
+        stage_similarity(
+            embeddings, {**base, "pq": {"m": 4, "n_codes": 16}}, Ctx(ctx)
+        )
+    # and a PQ-built index refuses a flat spec
+    path2 = str(tmp_path / "pq_for_flat")
+    pq_spec = {**base, "index_path": path2, "pq": {"m": 4, "n_codes": 16}}
+    stage_similarity(embeddings, pq_spec, Ctx(ctx))
+    with pytest.raises(ValueError, match="pq_m"):
+        stage_similarity(embeddings, {**base, "index_path": path2}, Ctx(ctx))
+
+
 def test_ivf_index_path_stage_builds_then_queries(spark, embeddings, tmp_path):
     """Config-driven surface: the similarity stage with index_path builds
     the index on first use and queries it afterwards."""
