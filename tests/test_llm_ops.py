@@ -557,6 +557,30 @@ def test_ivfpq_persisted_index_matches_ivfpq_topk(spark, embeddings, tmp_path):
     assert postings_bytes(pqp) * 3 < postings_bytes(flat)
 
 
+def test_ivf_index_metadata_cache_invalidates_on_rebuild(
+    spark, embeddings, tmp_path
+):
+    """The driver-side metadata cache (codebooks/manifest — added r6 to
+    kill ~1s of fixed per-batch Spark jobs) is stamp-validated: an index
+    REBUILT at the same path with different params must serve the new
+    codebook, never the cached one."""
+    path = str(tmp_path / "rebuild_idx")
+    queries = embeddings.limit(3)
+    S.ivf_build_index(embeddings, path, n_centroids=8)
+    first = S.ivf_query_index(spark, path, queries, k=5, nprobe=8).collect()
+    # same session, same path, different geometry: 4 cells
+    S.ivf_build_index(embeddings, path, n_centroids=4)
+    second = S.ivf_query_index(spark, path, queries, k=5, nprobe=4).collect()
+    # full probe in both → identical exact results, which proves the NEW
+    # 4-cell codebook was used (nprobe=4 of a stale 8-cell codebook would
+    # drop half the corpus)
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    direct = S.ivf_topk(
+        embeddings, queries, k=5, n_centroids=4, nprobe=4
+    ).collect()
+    assert sorted(map(tuple, second)) == sorted(map(tuple, direct))
+
+
 def test_ivf_index_layout_mismatch_is_refused(spark, embeddings, tmp_path):
     """A flat index queried through a pq spec (or vice versa) is a layout
     mismatch the manifest must catch — silent reuse would score the
