@@ -314,3 +314,83 @@ def test_shingle_ex_df_matches_array_form(spark):
             for r in _shingle_ex_df(df, "doc_id", "text", k, unit).collect()
         }
         assert ex == arr, f"unit={unit}: {ex ^ arr}"
+
+
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_bmp_roundtrip_property(h, w, seed):
+    """encode→decode is the identity for ANY geometry (row padding,
+    odd widths, 1×1) and any pixel content — no Spark job needed."""
+    import numpy as np
+
+    from config_driven_pyspark_spark.operators import multimodal as M
+
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype="uint8"
+    )
+    assert np.array_equal(M.decode_bmp(M.encode_bmp(arr)), arr)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    h2=st.integers(min_value=1, max_value=9),
+    w2=st.integers(min_value=1, max_value=9),
+)
+@settings(**SETTINGS)
+def test_resize_nearest_integer_contract(h, w, h2, w2):
+    """Every destination pixel equals src[(y*h)//h2][(x*w)//w2] exactly,
+    for any up/down-scale combination — the contract the SQL oracles
+    replicate."""
+    import numpy as np
+
+    from config_driven_pyspark_spark.operators import multimodal as M
+
+    arr = np.arange(h * w * 3, dtype="uint8").reshape(h, w, 3)
+    out = M.resize_nearest(arr, w2, h2)
+    assert out.shape == (h2, w2, 3)
+    for y in range(h2):
+        for x in range(w2):
+            assert np.array_equal(out[y, x], arr[(y * h) // h2, (x * w) // w2])
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    k=st.floats(min_value=0.1, max_value=2.0),
+)
+@settings(**SETTINGS)
+def test_bigram_perplexity_matches_python_reference(spark, texts, k):
+    """The distributed bigram LM equals a direct Python reimplementation
+    on arbitrary tiny corpora — including empty docs, repeated docs, and
+    non-default smoothing."""
+    import math
+    from collections import Counter
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in C.bigram_perplexity(
+        docs, vocab_size=100, k_smoothing=k).collect()}
+
+    toks = {i: [w for w in t.split(" ") if w] for i, t in enumerate(texts)}
+    bigrams = {i: list(zip(ws, ws[1:])) for i, ws in toks.items()}
+    c12 = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+    vocab = {w for ws in toks.values() for w in ws}
+    v = len(vocab) + 1
+    for i, bs in bigrams.items():
+        exp = sum(
+            round(-math.log((c12[b] + k) / (c1[b[0]] + k * v)), 9) for b in bs
+        )
+        assert got[i]["n_bigrams"] == len(bs), (i, texts)
+        assert abs(got[i]["nll_sum"] - exp) < 1e-9, (i, texts)
