@@ -1397,6 +1397,47 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                         centroids="sample")
 
 
+def _cached_index_dir(sf_dir: str, prefix: str) -> tuple[str, str, bool]:
+    """Shared fingerprint-keyed scratch-dir lifecycle for persisted-index
+    driver queries: returns (source parquet path, index dir, needs_build).
+    The key is a nanosecond-mtime + size walk (sorted) of the SOURCE
+    parquet, so repeated runs reuse the built index (build-once/query-many
+    steady state) while a testdata regen forces a fresh build. A
+    fingerprint change removes superseded cache dirs for the same sf —
+    but ONLY dirs whose suffix is a bare numeric stamp (an
+    underscore-extended tag is a different dataset's live cache)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    src = f"{sf_dir}/embeddings.parquet"
+    stamp = 0
+    if os.path.isfile(src):
+        st = os.stat(src)
+        stamp = st.st_mtime_ns + st.st_size
+    else:
+        walked = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(src)
+            for f in files
+        )
+        for p in walked:
+            st = os.stat(p)
+            stamp = (stamp * 1_000_003 + st.st_mtime_ns + st.st_size) % (1 << 62)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{sf_tag}_{stamp}")
+    needs_build = not os.path.isdir(os.path.join(path, "postings"))
+    if needs_build:
+        for old in glob.glob(
+            os.path.join(tempfile.gettempdir(), f"{prefix}_{sf_tag}_*")
+        ):
+            suffix = os.path.basename(old)[len(f"{prefix}_{sf_tag}_"):]
+            if old != path and suffix.isdigit():
+                shutil.rmtree(old, ignore_errors=True)
+    return src, path, needs_build
+
+
 def q_ivf_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF-index ANN (similarity.py::ivf_build_index /
     ivf_query_index): the index — sample codebook + postings parquet
@@ -1411,43 +1452,9 @@ def q_ivf_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse the built index — the build-once/query-many contract, and what
     the bench measures as steady state — while a testdata regen changes
     the fingerprint and forces a fresh build (never a stale index)."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    src = f"{sf_dir}/embeddings.parquet"
-    # nanosecond mtimes + a SORTED walk (ADVICE r5): second-resolution
-    # mtime let a same-second testdata regen with same-size files reuse a
-    # stale index, and os.walk listing-order instability churned the key
-    stamp = 0
-    if os.path.isfile(src):
-        st = os.stat(src)
-        stamp = st.st_mtime_ns + st.st_size
-    else:
-        walked = sorted(
-            os.path.join(root, f)
-            for root, _dirs, files in os.walk(src)
-            for f in files
-        )
-        for p in walked:
-            st = os.stat(p)
-            stamp = (stamp * 1_000_003 + st.st_mtime_ns + st.st_size) % (1 << 62)
+    src, path, needs_build = _cached_index_dir(sf_dir, "cdp_ivf_index")
     emb = spark.read.parquet(src)
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"cdp_ivf_index_{sf_tag}_{stamp}")
-    if not os.path.isdir(os.path.join(path, "postings")):
-        # a fingerprint change obsoletes this sf's earlier cache dirs —
-        # drop them so regens don't accumulate dead indexes in tmp. Only
-        # dirs whose suffix after the tag is a bare numeric stamp belong
-        # to THIS sf (an underscore-extended tag like "<tag>_v2_<stamp>"
-        # is a different dataset's live cache — never remove it)
-        for old in glob.glob(
-            os.path.join(tempfile.gettempdir(), f"cdp_ivf_index_{sf_tag}_*")
-        ):
-            suffix = os.path.basename(old)[len(f"cdp_ivf_index_{sf_tag}_"):]
-            if old != path and suffix.isdigit():
-                shutil.rmtree(old, ignore_errors=True)
+    if needs_build:
         SIM.ivf_build_index(emb, path, n_centroids=16, centroids="sample")
     queries = emb.filter(F.col("vec_id") < 8)
     return SIM.ivf_query_index(spark, path, queries, k=5, nprobe=3)
@@ -1558,35 +1565,9 @@ def q_ivfpq_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, so results equal ivfpq_topk with the same knobs and
     the q_ivfpq_ann oracle construction applies verbatim (nprobe=4,
     queries vec_id < 10)."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    src = f"{sf_dir}/embeddings.parquet"
-    stamp = 0
-    if os.path.isfile(src):
-        st = os.stat(src)
-        stamp = st.st_mtime_ns + st.st_size
-    else:
-        walked = sorted(
-            os.path.join(root, f)
-            for root, _dirs, files in os.walk(src)
-            for f in files
-        )
-        for p in walked:
-            st = os.stat(p)
-            stamp = (stamp * 1_000_003 + st.st_mtime_ns + st.st_size) % (1 << 62)
+    src, path, needs_build = _cached_index_dir(sf_dir, "cdp_ivfpq_index")
     emb = spark.read.parquet(src)
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"cdp_ivfpq_index_{sf_tag}_{stamp}")
-    if not os.path.isdir(os.path.join(path, "postings")):
-        for old in glob.glob(
-            os.path.join(tempfile.gettempdir(), f"cdp_ivfpq_index_{sf_tag}_*")
-        ):
-            suffix = os.path.basename(old)[len(f"cdp_ivfpq_index_{sf_tag}_"):]
-            if old != path and suffix.isdigit():
-                shutil.rmtree(old, ignore_errors=True)
+    if needs_build:
         SIM.ivf_build_index(
             emb, path, n_centroids=16, centroids="sample",
             pq={"m": 4, "n_codes": 16},
@@ -3533,7 +3514,7 @@ def oracle_sql() -> dict[str, str]:
         # (codes in postings, partition pruning, reconstruction) against
         # the SQL that pins the in-memory operator
         "q_ivfpq_index_ann": _IVFPQ_ORACLE_SQL,
-                # PQ replica: codebook j = subspace slice j of the 16 lowest-id
+        # PQ replica: codebook j = subspace slice j of the 16 lowest-id
         # unit vectors; encode = argmin(|c|^2 - 2 u·c) per subspace (ties
         # to lower code); score = dot(query unit, reconstruction). Slices
         # are 1-based 16-wide; round(6) absorbs codebook-literal ulps.

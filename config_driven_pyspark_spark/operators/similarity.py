@@ -417,13 +417,19 @@ def write_index_manifest(spark: SparkSession, path: str, manifest: dict) -> None
 
 def read_index_manifest(spark: SparkSession, path: str) -> Optional[dict]:
     """The manifest written by :func:`ivf_build_index`, or None for a
-    pre-manifest index (built by an older version of this module)."""
+    pre-manifest index (built by an older version of this module).
+    Served from the stamp-validated driver cache — validation plus the
+    query path otherwise each pay a small Spark job per query batch."""
     import json
 
     if not _fs_exists(spark, f"{path}/manifest"):
         return None
-    rows = spark.read.text(f"{path}/manifest").collect()
-    return json.loads("".join(r["value"] for r in rows))
+
+    def load():
+        rows = spark.read.text(f"{path}/manifest").collect()
+        return json.loads("".join(r["value"] for r in rows))
+
+    return _cached_meta(spark, f"{path}/manifest", load)
 
 
 def validate_index_manifest(
@@ -752,14 +758,28 @@ def ivf_query_index(
     c = spark.read.parquet(f"{path}/postings").filter(
         F.col("cell").isin(probed)
     )
-    manifest = _cached_meta(
-        spark, f"{path}/manifest",
-        lambda: read_index_manifest(spark, path),
-    ) if _fs_exists(spark, f"{path}/manifest") else None
-    manifest = manifest or {}
+    manifest = read_index_manifest(spark, path) or {}
+    # the postings schema is ground truth for the LAYOUT: a build that
+    # died between the postings write and the manifest write (or a lost
+    # manifest) must not fall through to the wrong scoring path — code
+    # postings on the flat path would raise an unrelated
+    # unresolved-column error; vector postings on the PQ path likewise
+    has_codes = "__codes" in c.columns
+    if has_codes != bool(manifest.get("pq_m")):
+        raise ValueError(
+            f"IVF index at {path!r} is incomplete or mislabeled: postings "
+            f"carry {'PQ codes' if has_codes else 'unit vectors'} but the "
+            f"manifest says {'flat' if has_codes else 'PQ'} layout — "
+            "rebuild the index with ivf_build_index"
+        )
     if manifest.get("pq_m"):
         import numpy as np
 
+        if not _fs_exists(spark, f"{path}/pq_codebooks"):
+            raise ValueError(
+                f"no IVF index at {path!r}: missing pq_codebooks — "
+                "build one with ivf_build_index first"
+            )
         pq_m = int(manifest["pq_m"])
         pq_n_codes = int(manifest["pq_n_codes"])
 

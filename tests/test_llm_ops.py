@@ -557,6 +557,28 @@ def test_ivfpq_persisted_index_matches_ivfpq_topk(spark, embeddings, tmp_path):
     assert postings_bytes(pqp) * 3 < postings_bytes(flat)
 
 
+def test_ivf_index_partial_builds_name_the_problem(spark, embeddings, tmp_path):
+    """Review r6: a build that died between the postings write and the
+    manifest write (or a lost manifest/pq_codebooks dir) must raise a
+    named layout error, not an unresolved-column AnalysisException or a
+    raw Py4J FileNotFound from the missing directory."""
+    import shutil
+
+    queries = embeddings.limit(2)
+    # PQ postings + lost manifest → layout mismatch, named
+    p1 = str(tmp_path / "lost_manifest")
+    S.ivf_build_index(embeddings, p1, n_centroids=8, pq={"m": 4, "n_codes": 16})
+    shutil.rmtree(tmp_path / "lost_manifest" / "manifest")
+    with pytest.raises(ValueError, match="incomplete or mislabeled"):
+        S.ivf_query_index(spark, p1, queries, k=3, nprobe=2)
+    # PQ manifest + lost sub-codebooks → missing piece, named
+    p2 = str(tmp_path / "lost_codebooks")
+    S.ivf_build_index(embeddings, p2, n_centroids=8, pq={"m": 4, "n_codes": 16})
+    shutil.rmtree(tmp_path / "lost_codebooks" / "pq_codebooks")
+    with pytest.raises(ValueError, match="missing pq_codebooks"):
+        S.ivf_query_index(spark, p2, queries, k=3, nprobe=2)
+
+
 def test_ivf_index_metadata_cache_invalidates_on_rebuild(
     spark, embeddings, tmp_path
 ):
