@@ -1576,6 +1576,27 @@ def q_ivfpq_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_query_index(spark, path, queries, k=5, nprobe=4)
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization (similarity.py::quantize_embeddings, r6):
+    per-vector symmetric scale + floor(x/scale + 0.5) codes — map-only
+    Column math, no UDF/shuffle. Output is oracle-exact by construction:
+    integer code sums/extremes plus the scale rounded to 9 decimals
+    (floor-based rounding has identical semantics in DuckDB, unlike
+    round()'s half-even/half-away dialect split)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.round(F.col("qscale"), 9).alias("qscale_r"),
+        F.aggregate(
+            F.col("qcodes"), F.lit(0).cast("bigint"),
+            lambda acc, c: acc + c.cast("bigint"),
+        ).alias("code_sum"),
+        F.array_max("qcodes").cast("int").alias("code_max"),
+        F.array_min("qcodes").cast("int").alias("code_min"),
+    )
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 PMI collocations over the documents corpus (corpus.py::
     top_collocations, r6): phrase mining by pointwise mutual information
@@ -2261,6 +2282,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_ivfpq_ann",
     "q_collocations",
     "q_ivfpq_index_ann",
+    "q_quantize_embeddings",
 ]
 
 
@@ -2358,6 +2380,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivfpq_ann": q_ivfpq_ann,  # IVF x PQ composition, r6
         "q_collocations": q_collocations,  # PMI phrase mining, r6
         "q_ivfpq_index_ann": q_ivfpq_index_ann,  # persisted IVF-PQ, r6
+        "q_quantize_embeddings": q_quantize_embeddings,  # int8 SQ, r6
         "q_events_json": q_events_json,
         "q_ivf_ann": q_ivf_ann,
         "q_ivf_index_ann": q_ivf_index_ann,
@@ -3553,6 +3576,30 @@ def oracle_sql() -> dict[str, str]:
               JOIN recon r ON q.vec_id <> r.vec_id
               WHERE q.vec_id < 10
             ) WHERE rank <= 5
+        """,
+        # int8 scalar quantization: scale = max|x|/127, code =
+        # floor(x/scale + 0.5) — floor semantics identical across
+        # engines; zero vectors quantize to all-zero codes
+        "q_quantize_embeddings": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            s AS (
+              SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+              FROM v),
+            c AS (
+              SELECT vec_id, sc,
+                     CASE WHEN sc = 0
+                          THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(
+                                 e, x -> CAST(floor(x / sc + 0.5) AS BIGINT))
+                     END AS codes
+              FROM s)
+            SELECT vec_id,
+                   round(sc, 9) AS qscale_r,
+                   CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                   CAST(list_max(codes) AS INT) AS code_max,
+                   CAST(list_min(codes) AS INT) AS code_min
+            FROM c
         """,
         # PMI with the identical double expression (casts + association
         # order) over exact integer counts; bigram total = sum of

@@ -1076,6 +1076,58 @@ def ivfpq_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qcodes",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization — the storage/bandwidth step
+    between raw float embeddings (8 bytes/dim) and PQ (sub-byte/vector):
+    per-vector ``scale = max|x| / 127`` and
+    ``code_i = floor(x_i / scale + 0.5)`` ∈ [−127, 127], stored as
+    ``array<smallint>`` + one double — 8× smaller than float64 with
+    near-lossless cosine ranking (recall pinned by test).
+
+    Pure Column math (``transform``/``aggregate``), map-only: no UDF, no
+    shuffle, whole-stage codegen. Rounding is explicit floor(x+0.5) —
+    identical semantics in every SQL engine, unlike round()'s
+    half-even/half-away dialect differences — so an external oracle
+    replicates codes bit-for-bit. The all-zero vector gets scale 0 and
+    all-zero codes (not NULLs). :func:`dequantize_embeddings` inverts.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    max_abs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = (max_abs / F.lit(127.0)).alias(scale_col)
+    codes = F.when(max_abs == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x / (max_abs / F.lit(127.0)) + F.lit(0.5)),
+        )
+    ).cast("array<smallint>")
+    return df.withColumn(scale_col, scale).withColumn(out_col, codes)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    codes_col: str = "qcodes",
+    scale_col: str = "qscale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``x̂_i = code_i · scale``
+    (map-only Column math). Max reconstruction error is scale/2 per
+    component."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(codes_col),
+            lambda c: c.cast("double") * F.col(scale_col),
+        ),
+    )
+
+
 def project_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1123,7 +1175,8 @@ def project_embeddings(
 
 def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     """``{"stage": "similarity", "method": "brute_force"|"srp_lsh"|"ivf"|
-    "pq"|"ivfpq"|"project", "k": 10, "queries": <stage name, default: self>, "id_col":
+    "pq"|"ivfpq"|"project"|"quantize"|"dequantize", "k": 10,
+    "queries": <stage name, default: self>, "id_col":
     ..., "vec_col": ..., "bits": 8, "n_centroids": 16, "nprobe": 4,
     "out_dim": 8 (project), "m"/"n_codes"/"codebooks"/"rerank" (pq, ivfpq —
     "codebooks" picks the PQ training method; for ivfpq "centroids" picks
@@ -1239,5 +1292,15 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
             df, id_col, vec_col, int(spec.get("out_dim", 8)),
             int(spec.get("seed", 42)), bool(spec.get("normalize", True)),
             spec.get("dim"),
+        )
+    if method == "quantize":
+        return quantize_embeddings(
+            df, vec_col, spec.get("out_col", "qcodes"),
+            spec.get("scale_col", "qscale"),
+        )
+    if method == "dequantize":
+        return dequantize_embeddings(
+            df, spec.get("codes_col", "qcodes"),
+            spec.get("scale_col", "qscale"), spec.get("out_col", vec_col),
         )
     raise ValueError(f"Unknown similarity method {method!r}")

@@ -924,6 +924,52 @@ def test_pq_rejects_indivisible_subspaces(spark, embeddings):
         S.pq_topk(embeddings, embeddings.limit(1), k=3, m=5)
 
 
+def test_quantize_embeddings_roundtrip_and_ranking(spark, embeddings):
+    """int8 SQ invariants: codes bounded to [-127, 127]; dequantized
+    reconstruction within scale/2 per component; and cosine top-5 over
+    the dequantized corpus matches exact top-5 almost everywhere (the
+    near-lossless claim, pinned at recall >= 0.95)."""
+    q = S.quantize_embeddings(embeddings)
+    rows = q.select("vec_id", "embedding", "qscale", "qcodes").collect()
+    for r in rows[:50]:
+        assert all(-127 <= c <= 127 for c in r["qcodes"]), r["vec_id"]
+        for x, c in zip(r["embedding"], r["qcodes"]):
+            assert abs(float(x) - c * r["qscale"]) <= r["qscale"] / 2 + 1e-12
+    deq = S.dequantize_embeddings(
+        q.select("vec_id", "qscale", "qcodes"), out_col="embedding"
+    )
+    queries = embeddings.limit(20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(embeddings, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(deq, queries, k=5).collect()
+    }
+    assert len(approx & truth) / len(truth) >= 0.95
+
+
+def test_quantize_zero_vector_and_stage_dispatch(spark):
+    from config_driven_pyspark_spark.operators.similarity import stage_similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = stage_similarity(df, {"stage": "similarity", "method": "quantize"})
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[1]["qscale"] == 0.0 and rows[1]["qcodes"] == [0, 0, 0]
+    assert rows[2]["qcodes"] == [64, -127, 32]  # scale = 2/127
+    back = stage_similarity(
+        out.select("vec_id", "qscale", "qcodes"),
+        {"stage": "similarity", "method": "dequantize"},
+    )
+    r2 = {r["vec_id"]: r["embedding"] for r in back.collect()}
+    assert r2[1] == [0.0, 0.0, 0.0]
+    assert abs(r2[2][1] - (-2.0)) < 1e-12  # max-abs component is exact
+
+
 def test_srp_multiprobe_rejects_radius_2(spark, embeddings):
     with pytest.raises(ValueError, match="multiprobe"):
         S.srp_lsh_topk(embeddings, embeddings.limit(1), k=3, multiprobe=2)
