@@ -73,6 +73,7 @@ HEADLINE = [
     "q_pq_ann",
     "q_ivfpq_ann",
     "q_ivfpq_index_ann",
+    "q_quantize_embeddings",
 ]
 
 
