@@ -2267,23 +2267,13 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 6: the eight NEW queries (real-pixel BMP decode, F.window
-    # stage, bigram-LM perplexity, product quantization, IVF x PQ, PMI
-    # collocations, persisted IVF-PQ index, int8 scalar quantization).
-    # The IVF manifest/guard changes are deliberately NOT fronted: their
-    # queries' semantics are unchanged (r5 driver-green, r6 pytest +
-    # local-oracle exact). 8 new + 42 of the 47 r4-stale queries fill
-    # the driver's 50-entry window; the 5 left (declaration-order tail)
-    # catch up in r7 — never-verified queries outrank one-round-stale
-    # ones, and every past-window query stayed green in this round's
-    # local full-oracle runs.
-    "q_multimodal_decode",
-    "q_time_window_hourly",
-    "q_bigram_perplexity",
-    "q_pq_ann",
-    "q_ivfpq_ann",
-    "q_collocations",
-    "q_ivfpq_index_ann",
+    # round 7: NEW queries only (added as they land this round).  Keep
+    # this list EXACT — it is the rotation's primary control (VERDICT r6
+    # flagged r6's "eight new" comment listing seven).  The five
+    # two-rounds-stale queries (q_csv_roundtrip, q_minhash_pairs,
+    # q_nested_transform_events, q_sessionize_events, q_stream_dedup,
+    # last green r4) need no entry here: the least-recently-verified
+    # sort fronts them automatically right after this list.
 ]
 
 

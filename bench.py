@@ -162,15 +162,28 @@ def main() -> None:
         spreads[name] = runs
 
     total = round(sum(timings.values()), 3)
+    # stdout carries EXACTLY the compact one-line summary the driver parses
+    # (r6 lesson: appending per-run spreads to this line pushed it past the
+    # driver's tail capture and BENCH_r06.json recorded parsed:null). The
+    # spreads still matter for judging regressions against a distribution,
+    # so they go to stderr AND to bench_runs_latest.json next to this file.
     print(json.dumps({
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "runs": spreads,
-        "repeat_base": repeat,
         "sf": sf,
     }))
+    detail = {"runs": spreads, "repeat_base": repeat, "sf": sf, "total": total}
+    print(json.dumps(detail), file=sys.stderr)
+    try:
+        runs_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_runs_latest.json"
+        )
+        with open(runs_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # spreads are advisory; never fail the bench over them
     spark.stop()
 
 
