@@ -348,12 +348,22 @@ _META_CACHE: dict = {}
 
 
 def _dir_stamp(spark: SparkSession, path: str) -> int:
+    import zlib
+
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     stamp = 1
     for st in fs.listStatus(hpath):
-        stamp = (stamp * 1_000_003 + st.getModificationTime() + st.getLen()) % (1 << 62)
+        # the file NAME goes into the stamp (ADVICE r6): mtime+size alone
+        # collide when a rebuild writes same-size files within the FS's
+        # mtime granularity (e.g. same n_centroids, different seed) —
+        # Spark part-file names carry per-write UUIDs, so mixing them in
+        # makes that collision practically impossible
+        name_mix = zlib.crc32(st.getPath().getName().encode("utf-8"))
+        stamp = (
+            stamp * 1_000_003 + st.getModificationTime() + st.getLen() + name_mix
+        ) % (1 << 62)
     return stamp
 
 
@@ -429,7 +439,21 @@ def read_index_manifest(spark: SparkSession, path: str) -> Optional[dict]:
         rows = spark.read.text(f"{path}/manifest").collect()
         return json.loads("".join(r["value"] for r in rows))
 
-    return _cached_meta(spark, f"{path}/manifest", load)
+    manifest = _cached_meta(spark, f"{path}/manifest", load)
+    # reject manifests from a NEWER layout than this reader understands
+    # (ADVICE r6: format_version was written but never checked, so a
+    # future layout bump would validate cleanly against old reader code).
+    # Checked here — the one chokepoint both validation and the query
+    # path read through — and on every call, not just cache misses.
+    version = manifest.get("format_version", 1)
+    if version > INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"IVF index at {path!r} has manifest format_version {version}, "
+            f"newer than this reader's {INDEX_FORMAT_VERSION} — upgrade "
+            "config_driven_pyspark_spark or rebuild the index with this "
+            "version"
+        )
+    return manifest
 
 
 def validate_index_manifest(
@@ -887,7 +911,20 @@ def _pq_encode_udf(codebooks):
 
     def encode(vecs):
         X = np.stack(vecs.to_numpy())  # b × d
-        U = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+        sq = (X * X).sum(axis=1, keepdims=True)
+        if not sq.all():
+            # a zero vector has no direction to encode; dividing through
+            # would yield NaN subspace keys whose argmin picks an
+            # arbitrary code, silently diverging from the SQL oracle's
+            # NaN ordering (ADVICE r6) — fail loudly instead, matching
+            # the documented all-zero contract of quantize_embeddings
+            # (which CAN represent it: scale 0, zero codes)
+            raise ValueError(
+                "pq encode: all-zero embedding vector cannot be "
+                "PQ-encoded (cosine is undefined); filter zero-norm rows "
+                "out or use quantize_embeddings for storage compression"
+            )
+        U = X / np.sqrt(sq)
         codes = np.empty((len(X), m), dtype="int32")
         for j in range(m):
             Uj = U[:, j * sub:(j + 1) * sub]
@@ -1100,14 +1137,26 @@ def quantize_embeddings(
     max_abs = F.aggregate(
         v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
     )
-    scale = (max_abs / F.lit(127.0)).alias(scale_col)
-    codes = F.when(max_abs == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
-        F.transform(
-            v,
-            lambda x: F.floor(x / (max_abs / F.lit(127.0)) + F.lit(0.5)),
-        )
+    # one aggregate whose FINISH lambda does the guard + per-element
+    # division: higher-order functions evaluate interpreted with no
+    # common-subexpression elimination, so embedding max_abs inside the
+    # transform lambda would recompute the whole O(d) aggregate per
+    # element (O(d²)/row — the unit_normalize docstring pitfall; was
+    # ADVICE r6). Same float semantics: identical max order, division,
+    # and explicit floor(x+0.5) rounding.
+    codes = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x)),
+        lambda m: F.when(
+            m == 0, F.transform(v, lambda x: F.lit(0).cast("bigint"))
+        ).otherwise(
+            F.transform(v, lambda x: F.floor(x / (m / F.lit(127.0)) + F.lit(0.5)))
+        ),
     ).cast("array<smallint>")
-    return df.withColumn(scale_col, scale).withColumn(out_col, codes)
+    return df.withColumn(scale_col, max_abs / F.lit(127.0)).withColumn(
+        out_col, codes
+    )
 
 
 def dequantize_embeddings(

@@ -970,6 +970,53 @@ def test_quantize_zero_vector_and_stage_dispatch(spark):
     assert abs(r2[2][1] - (-2.0)) < 1e-12  # max-abs component is exact
 
 
+def test_pq_encode_rejects_zero_vector(spark):
+    """An all-zero embedding has no direction: PQ encoding must fail
+    loudly instead of emitting NaN-keyed arbitrary codes that silently
+    diverge from the oracle (ADVICE r6)."""
+    clean = spark.createDataFrame(
+        [(i, [float(i), -2.0, 0.5, 3.0]) for i in range(1, 9)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cb = S.pq_train_codebooks(
+        clean, "vec_id", "embedding", 2, 2, "sample", 20_000, 10, 42
+    )
+    dirty = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5, 3.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    # a zero vector the TRAINING SAMPLE happened to miss still reaches
+    # the encode UDF — it must fail loudly there, not produce NaN codes
+    with pytest.raises(Exception, match="cannot be PQ-encoded"):
+        dirty.select(
+            S._pq_encode_udf(cb)(F.col("embedding")).alias("__codes")
+        ).collect()
+    # clean rows still encode
+    n = clean.select(
+        S._pq_encode_udf(cb)(F.col("embedding")).alias("__codes")
+    ).count()
+    assert n == 8
+
+
+def test_manifest_format_version_rejected_when_newer(spark, embeddings, tmp_path):
+    """A manifest stamped with a NEWER format_version than this reader
+    understands must be refused (ADVICE r6: the field was written but
+    never checked, so a future layout bump would validate cleanly
+    against old reader code)."""
+    path = str(tmp_path / "vidx")
+    queries = embeddings.limit(2)
+    S.ivf_build_index(embeddings, path, n_centroids=4)
+    manifest = S.read_index_manifest(spark, path)
+    S.write_index_manifest(
+        spark, path, {**manifest, "format_version": S.INDEX_FORMAT_VERSION + 1}
+    )
+    with pytest.raises(ValueError, match="format_version"):
+        S.ivf_query_index(spark, path, queries, k=3)
+    # current-version manifests keep working
+    S.write_index_manifest(spark, path, manifest)
+    assert S.ivf_query_index(spark, path, queries, k=3).count() > 0
+
+
 def test_srp_multiprobe_rejects_radius_2(spark, embeddings):
     with pytest.raises(ValueError, match="multiprobe"):
         S.srp_lsh_topk(embeddings, embeddings.limit(1), k=3, multiprobe=2)
