@@ -2218,6 +2218,25 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-length repeated-span dedup (operators/corpus.py::
+    span_dedup) — the bucketed stand-in for suffix-array ExactSubstr:
+    every overlapping 16-token window is fingerprinted (stride 1, so
+    detection is offset-independent), the globally first occurrence of
+    each distinct window is kept, and each document's remaining
+    duplicate windows merge into MAXIMAL spans — a repeated block of
+    L >= 16 tokens comes back as one (span_start, span_end) of exactly
+    length L even when it straddles line_dedup's fixed window grid.
+    Windows shuffle as 8-byte xxhash64 longs; first-occurrence is the
+    skew-safe groupBy(key).min(struct); merging is a per-document
+    lag/sum island window."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "span_dedup", "id_col": "doc_id",
+         "column": "text", "window": 16},
+    ])
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: concatenate all document tokens in
     md5(doc_id) pseudo-random order and cut every 128 tokens, splitting
@@ -2274,6 +2293,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # q_nested_transform_events, q_sessionize_events, q_stream_dedup,
     # last green r4) need no entry here: the least-recently-verified
     # sort fronts them automatically right after this list.
+    "q_span_dedup",
 ]
 
 
@@ -2400,6 +2420,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_dups": q_embedding_dups,
         "q_line_dedup": q_line_dedup,
+        "q_span_dedup": q_span_dedup,
         "q_srp_ann": q_srp_ann,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
@@ -3892,6 +3913,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, coalesce(r.text, '') AS text, t.n_segments,
                    t.n_segments - coalesce(r.n_kept, 0) AS n_removed
             FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # the oracle groups by the window's raw token string where the
+        # engine shuffles xxhash64(window) — identical selection barring a
+        # 64-bit collision; span merge is the same lag/sum island logic
+        "q_span_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS w
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, pos,
+                     array_to_string(w[pos+1 : pos+16], ' ') AS seg
+              FROM (
+                SELECT doc_id, w,
+                       unnest([i for i in range(0, len(w) - 16 + 1)]) AS pos
+                FROM toks WHERE len(w) >= 16
+              )
+            ),
+            dups AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY seg
+                                          ORDER BY doc_id, pos) AS rn
+                FROM wins) WHERE rn > 1
+            ),
+            lagged AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dups
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL OR pos > prev + 16
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 16 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 16 - min(pos) AS BIGINT) AS span_len,
+                   count(*) AS n_windows
+            FROM isl GROUP BY doc_id, island
         """,
         # same md5(doc_id) stream order as the Spark path; the oracle may
         # use one global window (sf0.01), the engine never does

@@ -26,6 +26,9 @@ at 100 TB.
   md5-ordered fill until a (global or per-stratum) token budget.
 - ``line_dedup``        — C4/RefinedWeb-style exact span dedup: keep the
   globally first occurrence of every line / token window, reassemble docs.
+- ``span_dedup``        — arbitrary-length repeated-span detection/removal
+  via overlapping stride-1 window fingerprints merged into maximal spans
+  (the bucketed approximation of suffix-array ExactSubstr dedup).
 - ``pack_sequences``    — GPT-style concat-and-cut packing of document
   tokens into fixed ``seq_len`` training sequences.
 - ``split_assign``      — deterministic train/val/test split + shard id +
@@ -489,6 +492,125 @@ def line_dedup(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 16,
+    mode: str = "spans",
+) -> DataFrame:
+    """Arbitrary-length repeated-span detection/removal — the bucketed
+    approximation of suffix-array ExactSubstr dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    fingerprint every OVERLAPPING ``window``-token window (stride 1 —
+    stride > 1 only matches copies whose offsets agree mod the stride),
+    keep the globally first occurrence of each distinct window (first =
+    lowest ``(id, pos)``), and merge each document's remaining duplicate
+    windows into MAXIMAL spans. A repeated region of L >= window tokens
+    at token offset p yields duplicate windows at p..p+L-window, which
+    merge back to exactly ``[p, p+L)`` — arbitrary-length spans from
+    fixed-size fingerprints, and regions separated by any non-duplicated
+    gap stay separate spans. This is what :func:`line_dedup`'s fixed
+    non-overlapping windows cannot see: a repeated block straddling a
+    window boundary (VERDICT r6 ask #3).
+
+    ``mode="spans"`` returns one row per maximal span —
+    ``(id, span_start, span_end, span_len, n_windows)``, token offsets,
+    end exclusive. ``mode="strip"`` removes every span-covered token and
+    reassembles — ``(id, text, n_tokens, n_removed)``; like
+    ``line_dedup(window=...)`` the rebuilt text is space-joined tokens.
+
+    Scale: windows travel as 8-byte xxhash64 longs (the token text never
+    shuffles); first-occurrence choice is the same skew-safe
+    ``groupBy(key).min(struct(id, pos))`` as line_dedup — map-side
+    partial aggregation collapses a boilerplate window repeated millions
+    of times to one row per map partition before the shuffle, and the
+    join back is an equi-join AQE can skew-split. Stride 1 costs
+    ~``window``x the hashing work of non-overlapping windows (keys are
+    built array-side via ``transform``, never duplicating the token
+    array per window row) — the price of offset-independent detection;
+    the suffix-array alternative is a global sort the cluster pays far
+    more for. Span merging is a lag/sum window PARTITIONED BY document
+    (state bounded by windows-per-doc, same bound as line_dedup's
+    reassembly); equal-length windows make ends monotone in start, so
+    the single-lag island test is exact interval merging.
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+    if mode not in ("spans", "strip"):
+        raise ValueError(f"mode must be 'spans' or 'strip', got {mode!r}")
+    w = F.coalesce(TX.tokens(F.col(text_col)), F.array().cast("array<string>"))
+    base = _materialize(
+        _spread(df).select(F.col(id_col).alias("id"), w.alias("w"))
+    )
+    # per-position window fingerprints, built array-side: one 8-byte long
+    # per position instead of an exploded row carrying the whole token
+    # array (explode-then-slice copies O(n) tokens per window row)
+    keys = F.when(
+        F.size("w") >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - window),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("w"), i.cast("int") + 1, window))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    segs = base.select("id", F.posexplode(keys).alias("pos", "key"))
+    firsts = segs.groupBy("key").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("f")
+    )
+    dups = (
+        segs.join(firsts, "key")
+        .filter((F.col("id") != F.col("f.id")) | (F.col("pos") != F.col("f.pos")))
+        .select("id", "pos")
+    )
+    byid = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(byid)
+    isl = dups.withColumn(
+        "island",
+        F.sum(
+            F.when(prev.isNull() | (F.col("pos") > prev + window), 1).otherwise(0)
+        ).over(byid),
+    )
+    spans = isl.groupBy("id", "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + window).cast("bigint").alias("span_end"),
+        F.count("*").cast("bigint").alias("n_windows"),
+    )
+    if mode == "spans":
+        return spans.select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+            "n_windows",
+        )
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    sp = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    kept = F.filter(
+        F.col("w"),
+        lambda t, i: ~F.exists(
+            sp,
+            lambda s: (i.cast("bigint") >= s["span_start"])
+            & (i.cast("bigint") < s["span_end"]),
+        ),
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.concat_ws(" ", kept).alias(text_col),
+            F.size("w").cast("bigint").alias("n_tokens"),
+            (F.size("w") - F.size(kept)).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -928,8 +1050,8 @@ def top_collocations(
 
 def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     """``{"stage": "corpus", "op": "repetition|hash_sample|decontaminate|
-    contamination_flags|chunk|mixture|token_budget|line_dedup|pack|
-    split_assign|cap|bm25", ...}`` — config-driven entry points. ``bm25``
+    contamination_flags|chunk|mixture|token_budget|line_dedup|span_dedup|
+    pack|split_assign|cap|bm25", ...}`` — config-driven entry points. ``bm25``
     takes ``queries`` (a named frame with query_id/query_text) plus
     optional ``k``/``k1``/``b``. ``decontaminate``/``contamination_flags`` take
     ``benchmark`` (a named frame from an earlier stage); ``mixture`` takes
@@ -973,6 +1095,11 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return line_dedup(
             df, id_col, text_col, spec.get("delimiter", "\n"),
             int(win) if win is not None else None,
+        )
+    if op == "span_dedup":
+        return span_dedup(
+            df, id_col, text_col, int(spec.get("window", 16)),
+            spec.get("mode", "spans"),
         )
     if op == "pack":
         return pack_sequences(

@@ -401,6 +401,81 @@ def test_line_dedup_literal_delimiter_round_trips(spark):
     assert rows[2]["text"] == "d" and rows[2]["n_removed"] == 1
 
 
+def test_span_dedup_boilerplate_across_window_boundaries(spark):
+    """A long repeated block at DIFFERENT offsets in two documents —
+    invisible to fixed non-overlapping windows whenever the offsets
+    disagree mod the window — merges into one maximal span covering
+    exactly the block (VERDICT r6 ask #3)."""
+    bp = " ".join(f"bp{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            ("a", "x1 x2 x3 " + bp + " y1 y2"),  # first occurrence, pos 3
+            ("b", "z1 z2 z3 z4 z5 z6 z7 " + bp + " q1"),  # copy at pos 7
+            ("c", "unrelated tokens only here nothing repeated at all"),
+        ],
+        "doc_id string, text string",
+    )
+    spans = C.span_dedup(df, "doc_id", window=8).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    # maximal merge: 33 overlapping stride-1 windows -> exactly [7, 47)
+    assert (s["doc_id"], s["span_start"], s["span_end"]) == ("b", 7, 47)
+    assert s["span_len"] == 40 and s["n_windows"] == 33
+    rows = {
+        r["doc_id"]: r
+        for r in C.span_dedup(df, "doc_id", window=8, mode="strip").collect()
+    }
+    assert rows["a"]["n_removed"] == 0  # first occurrence kept intact
+    assert rows["b"]["n_removed"] == 40
+    assert rows["b"]["text"] == "z1 z2 z3 z4 z5 z6 z7 q1"
+    assert rows["c"]["n_removed"] == 0
+
+
+def test_span_dedup_separate_gapped_regions_stay_separate(spark):
+    """Two repeated regions with a non-duplicated gap between them must
+    NOT merge; contiguous duplicate windows must."""
+    r1 = " ".join(f"r{i}" for i in range(10))
+    r2 = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            ("a", r1 + " " + r2),
+            ("b", r1 + " gap1 gap2 gap3 " + r2),
+            ("d", "self " + r1),  # third occurrence of r1 only
+        ],
+        "doc_id string, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in C.span_dedup(df, "doc_id", window=5).collect()
+    }
+    # doc a is first for both regions (and they're contiguous there);
+    # doc b repeats both but the gap splits them into two spans
+    assert ("b", 0, 10) in spans and ("b", 13, 23) in spans
+    assert ("d", 1, 11) in spans
+    assert not any(d == "a" for d, _, _ in spans)
+
+
+def test_span_dedup_stage_dispatch_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a", "t1 t2 t3 t4 t5 t6"), ("b", "t1 t2 t3 t4 t5 t6")],
+        "doc_id string, text string",
+    )
+    from config_driven_pyspark_spark.operators.corpus import stage_corpus
+
+    spans = stage_corpus(
+        df,
+        {"stage": "corpus", "op": "span_dedup", "id_col": "doc_id",
+         "window": 3},
+        {},
+    ).collect()
+    assert len(spans) == 1 and spans[0]["doc_id"] == "b"
+    assert (spans[0]["span_start"], spans[0]["span_end"]) == (0, 6)
+    with pytest.raises(ValueError, match="mode"):
+        C.span_dedup(df, "doc_id", mode="bogus")
+    with pytest.raises(ValueError, match="window"):
+        C.span_dedup(df, "doc_id", window=0)
+
+
 def test_pack_sequences_null_stratum_not_dropped(spark):
     """Docs with a NULL `by` value form their own stratum instead of
     silently vanishing from the packed output."""
