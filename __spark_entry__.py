@@ -2218,6 +2218,70 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenizer training as a config stage (operators/bpe.py::
+    bpe_train, VERDICT r6 ask #4): per-character base symbols, 8 rounds
+    of corpus-wide adjacent-pair counting, each round merging the most
+    frequent pair (ties -> lexicographically smallest (lhs, rhs)) via a
+    greedy left-to-right fold. The ONE full-corpus pass is the word-
+    frequency groupBy; the iterative rounds run on the capped top-10k
+    distinct-word table (vocab-bounded, corpus-size independent), one
+    tiny groupBy + single-row collect each, with per-round
+    localCheckpoint keeping plan depth constant. The oracle replays all
+    8 rounds as chained CTEs whose merge application is the identical
+    fold (DuckDB list_reduce over singleton lists) — any divergence in
+    pair counts, tie-breaks, or greedy merge order breaks the hash."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "bpe_train", "column": "text",
+         "n_merges": 8, "max_words": 10000},
+    ])
+
+
+def _bpe_vocab_oracle(n_merges: int = 8, max_words: int = 10_000) -> str:
+    """Chained-CTE DuckDB replay of bpe_train: w0 = capped word table with
+    char symbols; round k = (m{k}: argmax pair by (count DESC, lhs, rhs);
+    w{k}: greedy fold applying it). Generated programmatically — the
+    rounds are textually identical up to the index."""
+    parts = [f"""
+freq AS (
+  SELECT t AS word, count(*) AS freq
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+          AS t
+        FROM documents)
+  GROUP BY t
+),
+w0 AS (
+  SELECT word, freq, [word[i:i] for i in range(1, len(word)+1)] AS syms
+  FROM (SELECT word, freq FROM freq
+        ORDER BY freq DESC, word LIMIT {max_words})
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+m{k} AS (
+  SELECT lhs, rhs, c FROM (
+    SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS c
+    FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w{k-1}
+          WHERE len(syms) >= 2)
+    GROUP BY 1, 2)
+  ORDER BY c DESC, lhs, rhs LIMIT 1
+),
+w{k} AS (
+  SELECT word, freq,
+    list_reduce(list_transform(syms, s -> [s]),
+      (acc, x) -> CASE WHEN acc[len(acc)] = m{k}.lhs AND x[1] = m{k}.rhs
+                  THEN acc[1:len(acc)-1] || [m{k}.lhs || m{k}.rhs]
+                  ELSE acc || x END) AS syms
+  FROM w{k-1}, m{k}
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, lhs, rhs, "
+        f"lhs || rhs AS merged, c AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + unions
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-length repeated-span dedup (operators/corpus.py::
     span_dedup) — the bucketed stand-in for suffix-array ExactSubstr:
@@ -2294,6 +2358,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # last green r4) need no entry here: the least-recently-verified
     # sort fronts them automatically right after this list.
     "q_span_dedup",
+    "q_bpe_vocab",
 ]
 
 
@@ -2421,6 +2486,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_dups": q_embedding_dups,
         "q_line_dedup": q_line_dedup,
         "q_span_dedup": q_span_dedup,
+        "q_bpe_vocab": q_bpe_vocab,
         "q_srp_ann": q_srp_ann,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
@@ -3914,6 +3980,9 @@ def oracle_sql() -> dict[str, str]:
                    t.n_segments - coalesce(r.n_kept, 0) AS n_removed
             FROM totals t LEFT JOIN rebuilt r USING (doc_id)
         """,
+        # programmatically generated 8-round chained-CTE replay of BPE
+        # training (see _bpe_vocab_oracle)
+        "q_bpe_vocab": _bpe_vocab_oracle(8, 10_000),
         # the oracle groups by the window's raw token string where the
         # engine shuffles xxhash64(window) — identical selection barring a
         # 64-bit collision; span merge is the same lag/sum island logic

@@ -74,6 +74,9 @@ HEADLINE = [
     "q_ivfpq_ann",
     "q_ivfpq_index_ann",
     "q_quantize_embeddings",
+    # round 7 additions (same per-query comparison convention)
+    "q_span_dedup",
+    "q_bpe_vocab",
 ]
 
 

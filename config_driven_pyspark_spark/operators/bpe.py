@@ -1,0 +1,214 @@
+"""Byte-pair-encoding tokenizer training and application.
+
+Capability gap vs the reference (SURVEY.md §2C / VERDICT r6 ask #4): the
+reference (`/root/reference/src/config_driven_pyspark/functioniser.py`)
+has no tokenizer surface at all, and this repo's corpus operators
+(``token_budget_sample``, ``pack_sequences``, ``chunk_documents``)
+previously counted whitespace tokens only. Real training pipelines
+budget and pack by TOKENIZER tokens — so train the tokenizer on the
+corpus itself, Spark-first:
+
+- ``bpe_train``  — classic BPE (Sennrich et al. 2016): start from
+  per-character symbols, repeatedly count adjacent symbol pairs across
+  the corpus and merge the most frequent pair (ties -> lexicographically
+  smallest), recording the merge table.
+- ``apply_bpe``  — map-only encode: re-play the merge table over each
+  document's words (Arrow-batched pandas UDF with a per-batch word
+  memo — encoding is inherently sequential per word, the same reason
+  real tokenizers are native code).
+
+Determinism contract (what the DuckDB oracle replicates bit-for-bit):
+words are whitespace tokens; the trainable word table is the top
+``max_words`` by (freq DESC, word ASC); base symbols are the word's
+characters (no end-of-word marker — documented simplification); each
+round's winning pair is argmax by (count DESC, lhs ASC, rhs ASC); merge
+application is a greedy LEFT-TO-RIGHT fold (accumulate symbols, merging
+whenever the accumulator's last symbol is ``lhs`` and the next is
+``rhs`` — so "a a a" under merge (a,a) becomes [aa, a], exactly
+DuckDB's ``list_reduce`` over singleton lists).
+
+Scale (the 100 TB shape): the ONE full-corpus pass is the word-frequency
+groupBy (map-side combine collapses repeated words before the shuffle).
+Everything iterative runs on the capped distinct-word table — vocab-
+bounded (``max_words`` rows), the same corpus-to-word-counts reduction
+every production BPE trainer performs — so each merge round is one tiny
+groupBy job plus a single-row driver collect, and round cost is
+independent of corpus size. The word table is re-materialized per round
+(persist, unpersist previous) to keep the plan depth constant instead of
+stacking ``n_merges`` nested higher-order functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from config_driven_pyspark_spark.functions import text as TX
+from config_driven_pyspark_spark.operators.dedup import _spread
+
+MERGES_SCHEMA = (
+    "rank bigint, lhs string, rhs string, merged string, pair_count bigint"
+)
+
+
+def _merge_fold(syms: Column, lhs: str, rhs: str) -> Column:
+    """Greedy left-to-right application of one merge to a symbol array:
+    fold symbols into an accumulator, replacing the accumulator's tail
+    with ``lhs+rhs`` whenever (tail == lhs, next == rhs). ``F.get`` (not
+    ``element_at``) for the empty-accumulator probe — ANSI element_at
+    raises on out-of-bounds."""
+    merged = lhs + rhs
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.get(acc, F.size(acc) - 1) == lhs) & (s == rhs),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    max_words: int = 10_000,
+) -> DataFrame:
+    """Train a BPE merge table on the corpus; returns a small DataFrame
+    ``(rank, lhs, rhs, merged, pair_count)`` in merge order. Stops early
+    when no adjacent pair remains (every word fully merged)."""
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    if max_words <= 0:
+        raise ValueError("max_words must be positive")
+    spark = df.sparkSession
+    toks = F.coalesce(
+        TX.tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
+    freq = (
+        _spread(df)
+        .select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    # localCheckpoint (not bare persist): each round's fold references the
+    # symbol column several times, so stacking rounds multiplies the
+    # LOGICAL plan ~5x per merge — by round ~15 the analyzer OOMs just
+    # stringifying it. Checkpointing cuts the lineage to a LogicalRDD so
+    # plan size stays constant per round. Local (not HDFS) is right here:
+    # the table is vocab-bounded and deterministically retrainable; on a
+    # long-lived production cluster use spark.checkpoint() for executor-
+    # loss resilience.
+    words = (
+        freq.orderBy(F.desc("freq"), "word")
+        .limit(max_words)
+        .select("word", "freq", F.split("word", "").alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            pairs = (
+                words.filter(F.size("syms") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("syms") - 2),
+                            lambda i: F.struct(
+                                F.get(F.col("syms"), i.cast("int")).alias("lhs"),
+                                F.get(F.col("syms"), i.cast("int") + 1).alias(
+                                    "rhs"
+                                ),
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+                .agg(F.sum("freq").alias("c"))
+            )
+            top = (
+                pairs.orderBy(F.desc("c"), "lhs", "rhs").limit(1).collect()
+            )
+            if not top:
+                break
+            lhs, rhs, c = top[0]["lhs"], top[0]["rhs"], int(top[0]["c"])
+            merges.append((rank, lhs, rhs, lhs + rhs, c))
+            nxt = words.withColumn(
+                "syms", _merge_fold(F.col("syms"), lhs, rhs)
+            ).localCheckpoint()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Map-only BPE encode: split each document into whitespace words and
+    re-play the merge table per word (training-order, same greedy
+    left-to-right fold as :func:`bpe_train`), emitting one flat
+    ``array<string>`` of BPE tokens per document plus
+    ``n_bpe_tokens``. ``merges`` is the DataFrame from :func:`bpe_train`
+    (collected here — it's ``n_merges`` rows, driver-bounded by
+    construction) or a pre-collected ``[(lhs, rhs), ...]`` list.
+
+    Arrow-batched pandas UDF with a per-batch memo keyed by distinct
+    word — natural-language batches repeat words heavily, so each
+    distinct word pays the O(n_merges · len) replay once per batch. No
+    shuffle; composes with ``pack_sequences(tokens_col=...)`` /
+    ``token_budget_sample`` so downstream packing and budgeting run on
+    TOKENIZER counts, not whitespace counts.
+    """
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in merges.orderBy("rank").collect()
+        ]
+    table = [(lhs, rhs) for lhs, rhs in merges]
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        for lhs, rhs in table:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == lhs and s == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    def encode(texts):
+        memo: dict[str, list[str]] = {}
+        res = []
+        for text in texts:
+            if text is None:
+                res.append([])
+                continue
+            doc: list[str] = []
+            for word in text.split(" "):
+                if not word:
+                    continue
+                enc = memo.get(word)
+                if enc is None:
+                    enc = memo[word] = encode_word(word)
+                doc.extend(enc)
+            res.append(doc)
+        return pd.Series(res)
+
+    encode.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = pandas_udf(encode, "array<string>")
+    return df.withColumn(out_col, udf(F.col(text_col))).withColumn(
+        f"n_{out_col}", F.size(out_col).cast("bigint")
+    )

@@ -617,6 +617,7 @@ def pack_sequences(
     text_col: str = "text",
     seq_len: int = 512,
     by: str | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate every document's tokens in
     deterministic md5(id) pseudo-random order and cut the stream every
@@ -625,7 +626,10 @@ def pack_sequences(
     LM training). One row per sequence — (seq_id, n_docs, n_tokens,
     seq_text); every sequence has exactly ``seq_len`` tokens except the
     final partial one. ``by`` packs each stratum independently (seq ids
-    restart per stratum).
+    restart per stratum). ``tokens_col`` names a precomputed
+    ``array<string>`` token column (e.g. ``apply_bpe``'s output) to pack
+    by TOKENIZER tokens instead of whitespace tokens; ``text_col`` is
+    ignored then.
 
     Scale: the global token offset is ``_md5_stream_offsets`` — md5-prefix
     buckets give 256 parallel local windows plus one 256-row offset window,
@@ -637,12 +641,15 @@ def pack_sequences(
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     keys = [by] if by else []
+    w = (
+        F.col(tokens_col) if tokens_col else TX.tokens(F.col(text_col))
+    )
     base = (
         _spread(df)
         .select(
             *keys,
             F.col(id_col).alias("id"),
-            TX.tokens(F.col(text_col)).alias("w"),
+            w.alias("w"),
         )
         .withColumn("n", F.size("w").cast("bigint"))
         .filter(F.col("n") > 0)
@@ -1103,7 +1110,22 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         )
     if op == "pack":
         return pack_sequences(
-            df, id_col, text_col, int(spec.get("seq_len", 512)), spec.get("by")
+            df, id_col, text_col, int(spec.get("seq_len", 512)),
+            spec.get("by"), spec.get("tokens_col"),
+        )
+    if op == "bpe_train":
+        from config_driven_pyspark_spark.operators.bpe import bpe_train
+
+        return bpe_train(
+            df, text_col, int(spec.get("n_merges", 50)),
+            int(spec.get("max_words", 10_000)),
+        )
+    if op == "bpe_encode":
+        from config_driven_pyspark_spark.operators.bpe import apply_bpe
+
+        return apply_bpe(
+            df, ctx.get(spec["merges"]), text_col,
+            spec.get("out_col", "bpe_tokens"),
         )
     if op == "split_assign":
         return split_assign(
