@@ -1460,6 +1460,30 @@ def q_ivf_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_query_index(spark, path, queries, k=5, nprobe=3)
 
 
+def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index growth (similarity.py::ivf_append_index, VERDICT
+    r6 ask #5): the index is built on the EVEN vec_ids only, then the odd
+    half is appended — encoded with the persisted centroids, never
+    retrained, written mode("append") into the existing cell partitions.
+    Queries then run against the combined index. Because the sample
+    codebook is the 16 lowest EVEN ids, the DuckDB oracle re-derives the
+    same centroids from the even half and scores the FULL corpus — a
+    green row proves the appended half landed in the right cells with
+    the right payloads, end to end through the on-disk layout. Scratch
+    lifecycle identical to q_ivf_index_ann (fingerprint-keyed reuse =
+    build+append once, query many)."""
+    src, path, needs_build = _cached_index_dir(sf_dir, "cdp_ivf_append")
+    emb = spark.read.parquet(src)
+    if needs_build:
+        SIM.ivf_build_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path,
+            n_centroids=16, centroids="sample",
+        )
+        SIM.ivf_append_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivf_query_index(spark, path, queries, k=5, nprobe=3)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over binary columns: documents' text bytes as
     opaque media content → Arrow-batched feature extraction (fake decoder).
@@ -2359,6 +2383,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # sort fronts them automatically right after this list.
     "q_span_dedup",
     "q_bpe_vocab",
+    "q_ivf_index_append",
 ]
 
 
@@ -2460,6 +2485,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_json": q_events_json,
         "q_ivf_ann": q_ivf_ann,
         "q_ivf_index_ann": q_ivf_index_ann,
+        "q_ivf_index_append": q_ivf_index_append,
         "q_streaming_asof": q_streaming_asof,
         "q_sink_roundtrip": q_sink_roundtrip,
         "q_split_assign": q_split_assign,
@@ -3317,6 +3343,41 @@ def oracle_sql() -> dict[str, str]:
               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx,
                      u AS cu
               FROM unitv ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT v.vec_id, v.u, c.cell_idx,
+                     row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.u, c.cu) DESC,
+                                c.cell_idx) AS pr
+              FROM unitv v CROSS JOIN cent c
+            ),
+            corpus_cells AS (
+              SELECT vec_id, u, cell_idx FROM assign WHERE pr = 1),
+            query_cells AS (
+              SELECT vec_id, u, cell_idx FROM assign
+              WHERE pr <= 3 AND vec_id < 8)
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.u, c.u), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.u, c.u), 6) DESC,
+                                c.vec_id) AS rank
+              FROM query_cells q
+              JOIN corpus_cells c ON q.cell_idx = c.cell_idx
+                                 AND q.vec_id <> c.vec_id
+            ) WHERE rank <= 5
+        """,
+        # centroids = the 16 lowest EVEN vec_ids (the index was BUILT on
+        # the even half); the appended odd half is scored as part of the
+        # full corpus — any append-path slip (wrong cell, wrong payload,
+        # stale manifest) breaks the hash
+        "q_ivf_index_append": _COSINE_CTE + """
+            , cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx,
+                     u AS cu
+              FROM unitv WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16
             ),
             assign AS (
               SELECT v.vec_id, v.u, c.cell_idx,

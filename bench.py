@@ -77,6 +77,7 @@ HEADLINE = [
     # round 7 additions (same per-query comparison convention)
     "q_span_dedup",
     "q_bpe_vocab",
+    "q_ivf_index_append",
 ]
 
 
