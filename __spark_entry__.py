@@ -1484,6 +1484,27 @@ def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_query_index(spark, path, queries, k=5, nprobe=3)
 
 
+def q_sq_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized persisted IVF index (similarity.py::ivf_build_index
+    quantization="int8", VERDICT r6 ask #6): postings store each UNIT
+    vector as int8 codes + one per-vector scale — 8x smaller than flat
+    float64 — and scoring dequantizes with pure Column math before the
+    dot product. Unlike PQ's float-argmin codes, the floor(x+0.5) codes
+    are bit-exact across engines, so the oracle re-derives codes, scales,
+    dequantized vectors, and the rounded approx_cosine EXACTLY — a green
+    row is a bit-level pin of the whole quantized layout. Same scratch
+    lifecycle / sample codebook / probe shape as q_ivf_index_ann."""
+    src, path, needs_build = _cached_index_dir(sf_dir, "cdp_sq_index")
+    emb = spark.read.parquet(src)
+    if needs_build:
+        SIM.ivf_build_index(
+            emb, path, n_centroids=16, centroids="sample",
+            quantization="int8",
+        )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivf_query_index(spark, path, queries, k=5, nprobe=3)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over binary columns: documents' text bytes as
     opaque media content → Arrow-batched feature extraction (fake decoder).
@@ -2384,6 +2405,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_span_dedup",
     "q_bpe_vocab",
     "q_ivf_index_append",
+    "q_sq_index_ann",
 ]
 
 
@@ -2486,6 +2508,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": q_ivf_ann,
         "q_ivf_index_ann": q_ivf_index_ann,
         "q_ivf_index_append": q_ivf_index_append,
+        "q_sq_index_ann": q_sq_index_ann,
         "q_streaming_asof": q_streaming_asof,
         "q_sink_roundtrip": q_sink_roundtrip,
         "q_split_assign": q_split_assign,
@@ -3363,6 +3386,54 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (
                        PARTITION BY q.vec_id
                        ORDER BY round(list_dot_product(q.u, c.u), 6) DESC,
+                                c.vec_id) AS rank
+              FROM query_cells q
+              JOIN corpus_cells c ON q.cell_idx = c.cell_idx
+                                 AND q.vec_id <> c.vec_id
+            ) WHERE rank <= 5
+        """,
+        # int8-quantized persisted index: corpus vectors scored as their
+        # DEQUANTIZED unit vectors (codes = floor(u/sc + 0.5), sc =
+        # max|u|/127 — both bit-exact), queries exact; assignment and
+        # probe shape identical to q_ivf_index_ann
+        "q_sq_index_ann": _COSINE_CTE + """
+            , cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx,
+                     u AS cu
+              FROM unitv ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT v.vec_id, v.u, c.cell_idx,
+                     row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.u, c.cu) DESC,
+                                c.cell_idx) AS pr
+              FROM unitv v CROSS JOIN cent c
+            ),
+            q8 AS (
+              SELECT vec_id,
+                     list_max(list_transform(u, x -> abs(x))) / 127.0 AS sc,
+                     u
+              FROM unitv
+            ),
+            deq AS (
+              SELECT vec_id,
+                     list_transform(u, x -> floor(x / sc + 0.5) * sc) AS uq
+              FROM q8
+            ),
+            corpus_cells AS (
+              SELECT a.vec_id, d.uq, a.cell_idx
+              FROM assign a JOIN deq d ON a.vec_id = d.vec_id
+              WHERE a.pr = 1),
+            query_cells AS (
+              SELECT vec_id, u, cell_idx FROM assign
+              WHERE pr <= 3 AND vec_id < 8)
+            SELECT query_id, neighbor_id, rank, approx_cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.u, c.uq), 6) AS approx_cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.u, c.uq), 6) DESC,
                                 c.vec_id) AS rank
               FROM query_cells q
               JOIN corpus_cells c ON q.cell_idx = c.cell_idx

@@ -351,6 +351,7 @@ INDEX_FORMAT_VERSION = 1
 _INDEX_PARAMS = (
     "n_centroids", "centroids", "kmeans_iters", "sample_rows", "seed",
     "id_col", "vec_col", "pq_m", "pq_n_codes", "pq_codebooks",
+    "quantization",
 )
 
 
@@ -654,11 +655,21 @@ def ivf_build_index(
     sample_rows: int = 20_000,
     seed: int = 42,
     pq: Optional[dict] = None,
+    quantization: Optional[str] = None,
 ) -> None:
     """Build a PERSISTED IVF index: ``<path>/centroids`` (the codebook,
     via :func:`save_centroids`) plus ``<path>/postings`` — every corpus
     vector unit-normalized and assigned to its nearest cell, written as
     parquet **partitioned by cell**.
+
+    ``quantization="int8"`` is the THIRD postings layout (VERDICT r6 ask
+    #6), between flat and PQ on the compression ladder: each unit vector
+    is stored as int8 codes + one per-vector scale
+    (:func:`quantize_embeddings` — explicit floor(x+0.5), so codes are
+    bit-exact across engines and the driver oracle stays exact, unlike
+    PQ's float-argmin codes) — 8× smaller than flat float64 with
+    near-lossless recall (pinned ≈1.0 by test). Scoring dequantizes with
+    pure Column math (map-only, codegen) and ranks by approx_cosine.
 
     This is the build-once / query-many layout for ANN at scale: the
     corpus is scanned and assigned exactly once per index build, and
@@ -681,6 +692,15 @@ def ivf_build_index(
     training — the primitive behind bit-identical rebuilds and the
     :func:`ivf_append_index` equivalence guarantee.
     """
+    if quantization not in (None, "int8"):
+        raise ValueError(
+            f"quantization must be None or 'int8', got {quantization!r}"
+        )
+    if quantization and pq:
+        raise ValueError(
+            "quantization='int8' and pq=... are mutually exclusive postings "
+            "layouts — pick one"
+        )
     spark = corpus.sparkSession
     if centroids.startswith("path:"):
         cent = load_centroids(spark, centroids[len("path:"):])
@@ -716,16 +736,12 @@ def ivf_build_index(
             ],
             "subspace int, code int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
-        payload = _pq_encode_udf(cb)(F.col(vec_col)).alias("__codes")
         pq_manifest = {
             "pq_m": pq_m, "pq_n_codes": pq_n_codes, "pq_codebooks": pq_method,
         }
-    else:
-        payload = V.unit_normalize(F.col(vec_col)).alias("cv")
-    postings = _spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        payload,
-        _nearest_cells_udf(cent, 1)(F.col(vec_col)).getItem(0).alias("cell"),
+    postings = _encode_postings(
+        corpus, id_col, vec_col, cent,
+        pq_cb=cb if pq else None, quantization=quantization,
     )
     # co-locate each cell before the partitioned write: without this every
     # upstream task writes a file into every cell directory (tasks × cells
@@ -752,8 +768,41 @@ def ivf_build_index(
         "vec_col": vec_col,
         "corpus_fingerprint": _corpus_fingerprint(corpus),
         "n_rows": spark.read.parquet(f"{path}/postings").count(),
+        "quantization": quantization,
         **pq_manifest,
     })
+
+
+def _encode_postings(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent,
+    pq_cb=None,
+    quantization: Optional[str] = None,
+) -> DataFrame:
+    """(neighbor_id, <layout payload>, cell) rows for a persisted-index
+    write — ONE encode path shared by :func:`ivf_build_index` and
+    :func:`ivf_append_index`, so appended vectors are encoded exactly as
+    built ones. Payload by layout: flat → ``cv`` unit vector; pq →
+    ``__codes``; int8 → ``__qcodes`` + ``__qscale`` (int8 SQ of the
+    UNIT vector, :func:`quantize_embeddings`)."""
+    if pq_cb is not None:
+        payload = _pq_encode_udf(pq_cb)(F.col(vec_col)).alias("__codes")
+    elif quantization == "int8":
+        payload = V.unit_normalize(F.col(vec_col)).alias("__u")
+    else:
+        payload = V.unit_normalize(F.col(vec_col)).alias("cv")
+    out = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        payload,
+        _nearest_cells_udf(cent, 1)(F.col(vec_col)).getItem(0).alias("cell"),
+    )
+    if quantization == "int8":
+        out = quantize_embeddings(out, "__u", "__qcodes", "__qscale").drop(
+            "__u"
+        ).select("neighbor_id", "__qcodes", "__qscale", "cell")
+    return out
 
 
 def ivf_append_index(
@@ -813,6 +862,7 @@ def ivf_append_index(
                 f"{manifest.get(key)!r}"
             )
     cent = load_centroids(spark, f"{path}/centroids")
+    cb = None
     if manifest.get("pq_m"):
         cb = load_pq_codebooks(
             spark,
@@ -820,13 +870,9 @@ def ivf_append_index(
             int(manifest["pq_m"]),
             int(manifest["pq_n_codes"]),
         )
-        payload = _pq_encode_udf(cb)(F.col(vec_col)).alias("__codes")
-    else:
-        payload = V.unit_normalize(F.col(vec_col)).alias("cv")
-    postings = _spread(corpus_new).select(
-        F.col(id_col).alias("neighbor_id"),
-        payload,
-        _nearest_cells_udf(cent, 1)(F.col(vec_col)).getItem(0).alias("cell"),
+    postings = _encode_postings(
+        corpus_new, id_col, vec_col, cent,
+        pq_cb=cb, quantization=manifest.get("quantization"),
     )
     postings.repartition(F.col("cell")).write.mode("append").partitionBy(
         "cell"
@@ -913,13 +959,37 @@ def ivf_query_index(
     # manifest) must not fall through to the wrong scoring path — code
     # postings on the flat path would raise an unrelated
     # unresolved-column error; vector postings on the PQ path likewise
-    has_codes = "__codes" in c.columns
-    if has_codes != bool(manifest.get("pq_m")):
+    actual = (
+        "pq" if "__codes" in c.columns
+        else "int8" if "__qcodes" in c.columns
+        else "flat"
+    )
+    declared = (
+        "pq" if manifest.get("pq_m")
+        else "int8" if manifest.get("quantization") == "int8"
+        else "flat"
+    )
+    if actual != declared:
         raise ValueError(
             f"IVF index at {path!r} is incomplete or mislabeled: postings "
-            f"carry {'PQ codes' if has_codes else 'unit vectors'} but the "
-            f"manifest says {'flat' if has_codes else 'PQ'} layout — "
+            f"carry the {actual} layout but the manifest says {declared} — "
             "rebuild the index with ivf_build_index"
+        )
+    if declared == "int8":
+        # dequantize in pure Column math (map-only, codegen): every code
+        # is an exact small integer and the scale an exact double, so the
+        # reconstruction — and therefore the rounded score — is bit-
+        # replicable by the SQL oracle, unlike PQ's float-argmin codes
+        c = c.select(
+            "neighbor_id",
+            "cell",
+            F.transform(
+                F.col("__qcodes"),
+                lambda x: x.cast("double") * F.col("__qscale"),
+            ).alias("cv"),
+        )
+        return _score_probed_cells(
+            c, q, k, broadcast_queries, score_col="approx_cosine"
         )
     if manifest.get("pq_m"):
         import numpy as np
@@ -1402,6 +1472,7 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
                 "pq_codebooks": (
                     pq_spec.get("codebooks", "sample") if pq_spec else None
                 ),
+                "quantization": spec.get("quantization"),
             }
             if not _fs_exists(spark, f"{index_path}/postings"):
                 ivf_build_index(
@@ -1409,6 +1480,7 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
                     build_params["n_centroids"], build_params["centroids"],
                     build_params["kmeans_iters"], build_params["sample_rows"],
                     build_params["seed"], pq_spec,
+                    spec.get("quantization"),
                 )
             else:
                 validate_index_manifest(

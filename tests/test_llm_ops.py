@@ -979,18 +979,24 @@ def test_ivf_append_equals_full_rebuild_bit_for_bit(spark, embeddings, tmp_path)
     half_b = embeddings.filter("vec_id % 2 = 1")
     queries = embeddings.limit(3)
 
-    for pq in (None, {"m": 4, "n_codes": 8}):
-        tag = "pq" if pq else "flat"
+    layouts = [
+        ("flat", {}),
+        ("pq", {"pq": {"m": 4, "n_codes": 8}}),
+        ("int8", {"quantization": "int8"}),
+    ]
+    for tag, kw in layouts:
         p1 = str(tmp_path / f"appended_{tag}")
-        S.ivf_build_index(half_a, p1, n_centroids=8, pq=pq)
+        S.ivf_build_index(half_a, p1, n_centroids=8, **kw)
         S.ivf_append_index(half_b, p1)
         p2 = str(tmp_path / f"rebuilt_{tag}")
-        pq2 = (
-            {**pq, "codebooks": f"path:{p1}/pq_codebooks"} if pq else None
-        )
+        kw2 = dict(kw)
+        if "pq" in kw2:
+            kw2["pq"] = {
+                **kw2["pq"], "codebooks": f"path:{p1}/pq_codebooks"
+            }
         S.ivf_build_index(
             embeddings, p2, n_centroids=8,
-            centroids=f"path:{p1}/centroids", pq=pq2,
+            centroids=f"path:{p1}/centroids", **kw2,
         )
         r1 = sorted(
             map(tuple, S.ivf_query_index(spark, p1, queries, k=5).collect())
@@ -1011,7 +1017,7 @@ def test_ivf_append_equals_full_rebuild_bit_for_bit(spark, embeddings, tmp_path)
             n_centroids=8, centroids="sample", kmeans_iters=10,
             sample_rows=20_000, seed=42, id_col="vec_id",
             vec_col="embedding", pq_m=None, pq_n_codes=None,
-            pq_codebooks=None,
+            pq_codebooks=None, quantization=None,
         )
 
 
@@ -1053,6 +1059,43 @@ def test_ivf_append_invalidates_metadata_cache(spark, embeddings, tmp_path):
         ).collect()
     }
     assert after  # appended region is searchable
+
+
+def test_int8_index_layout_recall_and_guards(spark, embeddings, tmp_path):
+    """int8 SQ postings (third persisted layout): near-lossless recall vs
+    the flat index (pinned >= 0.95 full-probe), layout recorded in the
+    manifest, mutual exclusion with PQ, and mislabel refusal."""
+    p8, pf = str(tmp_path / "i8"), str(tmp_path / "fl")
+    S.ivf_build_index(embeddings, p8, n_centroids=8, quantization="int8")
+    S.ivf_build_index(embeddings, pf, n_centroids=8)
+    q = embeddings.limit(20)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_query_index(spark, p8, q, k=5, nprobe=8).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_query_index(spark, pf, q, k=5, nprobe=8).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.95
+    m = S.read_index_manifest(spark, p8)
+    assert m["quantization"] == "int8"
+    assert {"__qcodes", "__qscale"} <= set(
+        spark.read.parquet(f"{p8}/postings").columns
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        S.ivf_build_index(
+            embeddings, str(tmp_path / "bad"), quantization="int8",
+            pq={"m": 4},
+        )
+    with pytest.raises(ValueError, match="quantization"):
+        S.ivf_build_index(
+            embeddings, str(tmp_path / "bad2"), quantization="int4"
+        )
+    # mislabeled manifest (claims flat, postings carry int8) is refused
+    S.write_index_manifest(spark, p8, {**m, "quantization": None})
+    with pytest.raises(ValueError, match="int8 layout but the manifest"):
+        S.ivf_query_index(spark, p8, q, k=3)
 
 
 def test_pq_encode_rejects_zero_vector(spark):
