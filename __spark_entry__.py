@@ -2327,6 +2327,27 @@ w{k} AS (
     return "WITH " + ",".join(parts) + "\n" + unions
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus distribution report (operators/corpus.py::
+    corpus_profile, VERDICT r6 ask #7): char-count and token-count
+    percentiles/mean/min/max per source in ONE groupBy (all metrics
+    aggregated as structs in the same pass, exploded to long form).
+    This row runs the EXACT interpolating percentile so DuckDB's
+    quantile_cont (identical interpolation) hash-checks it; the
+    percentile_approx scale path is the default and is pytest-gated
+    against exact within quantile-rank error — the
+    q_sketch_exact_companions pattern."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "with_columns", "columns": {
+            "n_tokens": "CAST(size(filter(split(text, ' '), t -> t != ''))"
+                        " AS BIGINT)",
+        }},
+        {"stage": "corpus", "op": "profile", "by": "source",
+         "metrics": ["n_chars", "n_tokens"], "method": "exact"},
+    ])
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-length repeated-span dedup (operators/corpus.py::
     span_dedup) — the bucketed stand-in for suffix-array ExactSubstr:
@@ -2406,6 +2427,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_bpe_vocab",
     "q_ivf_index_append",
     "q_sq_index_ann",
+    "q_corpus_profile",
 ]
 
 
@@ -2536,6 +2558,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_span_dedup": q_span_dedup,
         "q_bpe_vocab": q_bpe_vocab,
+        "q_corpus_profile": q_corpus_profile,
         "q_srp_ann": q_srp_ann,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
@@ -4115,6 +4138,40 @@ def oracle_sql() -> dict[str, str]:
         # programmatically generated 8-round chained-CTE replay of BPE
         # training (see _bpe_vocab_oracle)
         "q_bpe_vocab": _bpe_vocab_oracle(8, 10_000),
+        # quantile_cont interpolates identically to Spark's exact
+        # percentile (lo + (hi-lo)*frac at rank p*(n-1)); both sides
+        # round to 6
+        "q_corpus_profile": """
+            WITH d AS (
+              SELECT source,
+                     CAST(n_chars AS DOUBLE) AS n_chars,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t != '')) AS DOUBLE)
+                       AS n_tokens
+              FROM documents
+            )
+            SELECT source, 'n_chars' AS metric,
+                   count(n_chars) AS n_docs,
+                   round(avg(n_chars), 6) AS mean,
+                   min(n_chars) AS min, max(n_chars) AS max,
+                   round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   round(quantile_cont(n_chars, 0.50), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS p75,
+                   round(quantile_cont(n_chars, 0.90), 6) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99
+            FROM d GROUP BY source
+            UNION ALL
+            SELECT source, 'n_tokens' AS metric,
+                   count(n_tokens) AS n_docs,
+                   round(avg(n_tokens), 6) AS mean,
+                   min(n_tokens) AS min, max(n_tokens) AS max,
+                   round(quantile_cont(n_tokens, 0.25), 6) AS p25,
+                   round(quantile_cont(n_tokens, 0.50), 6) AS p50,
+                   round(quantile_cont(n_tokens, 0.75), 6) AS p75,
+                   round(quantile_cont(n_tokens, 0.90), 6) AS p90,
+                   round(quantile_cont(n_tokens, 0.99), 6) AS p99
+            FROM d GROUP BY source
+        """,
         # the oracle groups by the window's raw token string where the
         # engine shuffles xxhash64(window) — identical selection barring a
         # 64-bit collision; span merge is the same lag/sum island logic

@@ -79,6 +79,7 @@ HEADLINE = [
     "q_bpe_vocab",
     "q_ivf_index_append",
     "q_sq_index_ann",
+    "q_corpus_profile",
 ]
 
 

@@ -401,6 +401,56 @@ def test_line_dedup_literal_delimiter_round_trips(spark):
     assert rows[2]["text"] == "d" and rows[2]["n_removed"] == 1
 
 
+def test_corpus_profile_exact_and_approx(documents):
+    """Profile report: long form (one row per stratum x metric), exact
+    percentiles match a direct computation, and the percentile_approx
+    scale path stays within quantile-rank error of exact."""
+    df = documents.withColumn(
+        "n_tokens",
+        F.expr("CAST(size(filter(split(text, ' '), t -> t != '')) AS BIGINT)"),
+    )
+    exact = C.corpus_profile(
+        df, by="source", metrics=["n_chars", "n_tokens"], method="exact"
+    )
+    rows = exact.collect()
+    n_sources = df.select("source").distinct().count()
+    assert len(rows) == n_sources * 2
+    assert set(exact.columns) == {
+        "source", "metric", "n_docs", "mean", "min", "max",
+        "p25", "p50", "p75", "p90", "p99",
+    }
+    one = next(r for r in rows if r["metric"] == "n_chars")
+    vals = sorted(
+        r["n_chars"]
+        for r in df.filter(F.col("source") == one["source"])
+        .select("n_chars").collect()
+    )
+    assert one["n_docs"] == len(vals)
+    assert one["min"] == vals[0] and one["max"] == vals[-1]
+    import math
+
+    pos = 0.5 * (len(vals) - 1)
+    lo, hi = vals[math.floor(pos)], vals[math.ceil(pos)]
+    assert abs(one["p50"] - (lo + (hi - lo) * (pos - math.floor(pos)))) < 1e-6
+    # approx within quantile-RANK tolerance: the approx p50 must sit
+    # between the exact p25 and p75 of the same stratum (loose but
+    # distribution-free)
+    approx = {
+        (r["source"], r["metric"]): r
+        for r in C.corpus_profile(
+            df, by="source", metrics=["n_chars", "n_tokens"]
+        ).collect()
+    }
+    for r in rows:
+        a = approx[(r["source"], r["metric"])]
+        assert r["p25"] <= a["p50"] <= r["p75"]
+        assert a["n_docs"] == r["n_docs"]
+    with pytest.raises(ValueError, match="metrics"):
+        C.corpus_profile(df, by="source")
+    with pytest.raises(ValueError, match="method"):
+        C.corpus_profile(df, metrics=["n_chars"], method="bogus")
+
+
 def test_span_dedup_boilerplate_across_window_boundaries(spark):
     """A long repeated block at DIFFERENT offsets in two documents —
     invisible to fixed non-overlapping windows whenever the offsets
