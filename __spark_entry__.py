@@ -998,6 +998,29 @@ def q_time_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful stage's batch twin at PER-EVENT granularity
+    (streaming/stages.py::stage_stateful emit="per_event", VERDICT r6 ask
+    #8): running (n, total) per event_type over (ts, event_id) order —
+    the sequence whose trigger-boundary samples are exactly what the
+    streaming ``applyInPandasWithState`` running_totals emit in update
+    mode (parity suite tests/test_streaming.py pins the final-trigger
+    convergence; this row pins the cumulative contract itself with a
+    window-function oracle). Decimal-exact accumulation keeps the
+    running doubles order-independent. Capped to the first 2000 events
+    to keep the driver compare bounded; the cap is BY the same
+    deterministic order the totals run over."""
+    return _run(spark, [
+        *_events_stages(sf_dir),
+        {"stage": "sort", "by": ["ts", "event_id"]},
+        {"stage": "limit", "n": 2000},
+        {"stage": "stateful", "keys": ["event_type"], "value": "value",
+         "emit": "per_event", "order_by": ["ts", "event_id"]},
+        {"stage": "select", "columns": ["event_type", "event_id", "n",
+                                        "total"]},
+    ])
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the props column + aggregation."""
     return _run(spark, [
@@ -2428,6 +2451,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_ivf_index_append",
     "q_sq_index_ann",
     "q_corpus_profile",
+    "q_stateful_running",
 ]
 
 
@@ -2559,6 +2583,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_bpe_vocab": q_bpe_vocab,
         "q_corpus_profile": q_corpus_profile,
+        "q_stateful_running": q_stateful_running,
         "q_srp_ann": q_srp_ann,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
@@ -4138,6 +4163,22 @@ def oracle_sql() -> dict[str, str]:
         # programmatically generated 8-round chained-CTE replay of BPE
         # training (see _bpe_vocab_oracle)
         "q_bpe_vocab": _bpe_vocab_oracle(8, 10_000),
+        # per-event running totals over the deterministic (ts, event_id)
+        # order — the window-function statement of the stateful stage's
+        # cumulative contract; decimal accumulation on both sides
+        "q_stateful_running": """
+            WITH capped AS (
+              SELECT event_type, event_id, ts, value
+              FROM events ORDER BY ts, event_id LIMIT 2000
+            )
+            SELECT event_type, event_id,
+                   count(*) OVER w AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     AS total
+            FROM capped
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
         # quantile_cont interpolates identically to Spark's exact
         # percentile (lo + (hi-lo)*frac at rank p*(n-1)); both sides
         # round to 6

@@ -80,6 +80,7 @@ HEADLINE = [
     "q_ivf_index_append",
     "q_sq_index_ann",
     "q_corpus_profile",
+    "q_stateful_running",
 ]
 
 

@@ -149,26 +149,62 @@ def _running_totals(df: DataFrame, keys: list[str], value_col: str) -> DataFrame
 
 def stage_stateful(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "stateful", "method": "running_totals", "keys": [...],
-    "value": "value"}``.
+    "value": "value", "emit": "final"|"per_event", "order_by": [...]}``.
 
-    On a batch input, falls back to the equivalent terminal aggregate
-    (``groupBy(keys).agg(count, sum)``) — after the final trigger the
-    streaming running totals converge to exactly that result, which is the
-    batch/stream parity contract the tests pin.
+    On a batch input, ``emit="final"`` (default) falls back to the
+    equivalent terminal aggregate (``groupBy(keys).agg(count, sum)``) —
+    after the final trigger the streaming running totals converge to
+    exactly that result, which is the batch/stream parity contract the
+    tests pin. ``emit="per_event"`` is the batch-twin REFINEMENT of the
+    stateful contract (VERDICT r6 ask #8): one row per input event with
+    the running (n, total) up to and including it, over a deterministic
+    ``order_by`` — the streaming side's per-trigger update emissions are
+    trigger-boundary samples of exactly this sequence (decimal-exact
+    accumulation so the totals are order-independent doubles). Batch
+    only: the per-key window is a plain window function there, while
+    ``applyInPandasWithState`` can only emit at trigger granularity.
     """
     method = spec.get("method", "running_totals")
     keys = spec["keys"]
     value_col = spec.get("value", "value")
+    emit = spec.get("emit", "final")
     if method != "running_totals":
         raise ValueError(f"Unknown stateful method {method!r}")
+    if emit not in ("final", "per_event"):
+        raise ValueError(f"emit must be 'final' or 'per_event', got {emit!r}")
     if not df.isStreaming:
-        return (
-            df.withColumns({k: F.col(k).cast("string") for k in keys})
-            .groupBy(*keys)
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.col(value_col).cast("double")).alias("total"),
+        cast = df.withColumns({k: F.col(k).cast("string") for k in keys})
+        if emit == "per_event":
+            from pyspark.sql import Window
+
+            order_by = spec.get("order_by")
+            if not order_by:
+                raise ValueError(
+                    "emit='per_event' requires order_by — running totals "
+                    "are only well-defined over a deterministic event order"
+                )
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(*order_by)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
+            return cast.select(
+                *keys,
+                *order_by,
+                F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+                F.sum(F.col(value_col).cast("decimal(18,2)"))
+                .over(w)
+                .cast("double")
+                .alias("total"),
+            )
+        return cast.groupBy(*keys).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("double")).alias("total"),
+        )
+    if emit == "per_event":
+        raise ValueError(
+            "emit='per_event' is batch-only; a stream emits running totals "
+            "per trigger (update mode) — drop emit or run on a batch input"
         )
     return _running_totals(df, keys, value_col)
 

@@ -177,6 +177,51 @@ def test_stateful_running_totals_converges_to_batch(spark, events_dir, tmp_path)
     assert emitted.count() > batch.count()
 
 
+def test_stateful_per_event_running_totals(spark, events_dir, tmp_path):
+    """emit='per_event' (batch twin refinement): one row per event with
+    the cumulative (n, total); the last row per key equals the terminal
+    aggregate, and a streaming input / missing order_by are refused."""
+    per_event = Pipeline.from_config([
+        _source(events_dir, streaming=False),
+        {"stage": "stateful", "keys": ["user_id"], "value": "value",
+         "emit": "per_event", "order_by": ["ts", "event_id"]},
+    ]).run(spark)
+    final = Pipeline.from_config([
+        _source(events_dir, streaming=False),
+        {"stage": "stateful", "keys": ["user_id"], "value": "value"},
+    ]).run(spark)
+    n_events = Pipeline.from_config(
+        [_source(events_dir, streaming=False)]
+    ).run(spark).count()
+    assert per_event.count() == n_events  # one row per event
+    last = per_event.withColumn(
+        "rk", F.expr("row_number() OVER (PARTITION BY user_id ORDER BY n DESC)")
+    ).filter("rk = 1")
+    b = {r["user_id"]: (r["n"], r["total"]) for r in final.collect()}
+    s = {r["user_id"]: (r["n"], r["total"]) for r in last.collect()}
+    assert set(b) == set(s)
+    for k in b:
+        assert b[k][0] == s[k][0] and abs(b[k][1] - s[k][1]) < 1e-6
+    with pytest.raises(ValueError, match="order_by"):
+        Pipeline.from_config([
+            _source(events_dir, streaming=False),
+            {"stage": "stateful", "keys": ["user_id"], "value": "value",
+             "emit": "per_event"},
+        ]).run(spark)
+    with pytest.raises(ValueError, match="batch-only"):
+        Pipeline.from_config([
+            _source(events_dir, streaming=True),
+            {"stage": "stateful", "keys": ["user_id"], "value": "value",
+             "emit": "per_event", "order_by": ["ts"]},
+        ]).run(spark)
+    with pytest.raises(ValueError, match="emit"):
+        Pipeline.from_config([
+            _source(events_dir, streaming=False),
+            {"stage": "stateful", "keys": ["user_id"], "value": "value",
+             "emit": "bogus"},
+        ]).run(spark)
+
+
 def test_stream_sink_await_with_nonterminating_trigger_errors(spark, events_dir, tmp_path):
     with pytest.raises(Exception, match="block forever"):
         Pipeline.from_config(
