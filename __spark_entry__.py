@@ -2286,6 +2286,21 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_dedup's STRIP mode (the removal surface of the round's
+    repeated-span operator): every span-covered token is removed and
+    documents are reassembled — (doc_id, text, n_tokens, n_removed),
+    one row per input document. The oracle recomputes spans exactly as
+    q_span_dedup, anti-joins covered token positions, and rebuilds the
+    text in position order — rebuild joining, empty-document handling,
+    and removal accounting all hash-checked."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "span_dedup", "id_col": "doc_id",
+         "column": "text", "window": 16, "mode": "strip"},
+    ])
+
+
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE tokenizer training as a config stage (operators/bpe.py::
     bpe_train, VERDICT r6 ask #4): per-character base symbols, 8 rounds
@@ -2556,6 +2571,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # last green r4) need no entry here: the least-recently-verified
     # sort fronts them automatically right after this list.
     "q_span_dedup",
+    "q_span_strip",
     "q_bpe_vocab",
     "q_bpe_pack",
     "q_ivf_index_append",
@@ -2691,6 +2707,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_dups": q_embedding_dups,
         "q_line_dedup": q_line_dedup,
         "q_span_dedup": q_span_dedup,
+        "q_span_strip": q_span_strip,
         "q_bpe_vocab": q_bpe_vocab,
         "q_bpe_pack": q_bpe_pack,
         "q_corpus_profile": q_corpus_profile,
@@ -4325,6 +4342,72 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_tokens, 0.90), 6) AS p90,
                    round(quantile_cont(n_tokens, 0.99), 6) AS p99
             FROM d GROUP BY source
+        """,
+        # strip mode: same span derivation as q_span_dedup, then covered
+        # positions anti-joined away and text rebuilt in position order
+        "q_span_strip": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS w
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, pos,
+                     array_to_string(w[pos+1 : pos+16], ' ') AS seg
+              FROM (
+                SELECT doc_id, w,
+                       unnest([i for i in range(0, len(w) - 16 + 1)]) AS pos
+                FROM toks WHERE len(w) >= 16
+              )
+            ),
+            dups AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY seg
+                                          ORDER BY doc_id, pos) AS rn
+                FROM wins) WHERE rn > 1
+            ),
+            lagged AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dups
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL OR pos > prev + 16
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS a, max(pos) + 16 AS b
+              FROM isl GROUP BY doc_id, island
+            ),
+            pos AS (
+              SELECT doc_id, t.i AS pos1, w[t.i] AS tok
+              FROM toks, unnest(range(1, coalesce(len(w), 0) + 1)) AS t(i)
+            ),
+            covered AS (
+              SELECT DISTINCT p.doc_id, p.pos1
+              FROM pos p JOIN spans s
+                ON p.doc_id = s.doc_id
+               AND p.pos1 - 1 >= s.a AND p.pos1 - 1 < s.b
+            ),
+            keep AS (
+              SELECT p.doc_id, p.pos1, p.tok
+              FROM pos p ANTI JOIN covered c
+                ON p.doc_id = c.doc_id AND p.pos1 = c.pos1
+            ),
+            rebuilt AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos1) AS text,
+                     count(*) AS n_kept
+              FROM keep GROUP BY doc_id
+            )
+            SELECT t.doc_id, coalesce(r.text, '') AS text,
+                   CAST(coalesce(len(t.w), 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(len(t.w), 0) - coalesce(r.n_kept, 0)
+                        AS BIGINT) AS n_removed
+            FROM toks t LEFT JOIN rebuilt r USING (doc_id)
         """,
         # the oracle groups by the window's raw token string where the
         # engine shuffles xxhash64(window) — identical selection barring a

@@ -76,6 +76,7 @@ HEADLINE = [
     "q_quantize_embeddings",
     # round 7 additions (same per-query comparison convention)
     "q_span_dedup",
+    "q_span_strip",
     "q_bpe_vocab",
     "q_ivf_index_append",
     "q_sq_index_ann",

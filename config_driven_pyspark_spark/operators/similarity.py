@@ -892,6 +892,74 @@ def ivf_append_index(
     })
 
 
+def ivf_compact_index(spark: SparkSession, path: str) -> None:
+    """Compact a persisted index's postings after many small appends —
+    the third piece of the build/append/compact lifecycle. Every
+    :func:`ivf_append_index` adds roughly one file per touched cell;
+    after N appends a cell directory holds N+1 files, and small-file
+    count is what kills a 100 TB index read (every file is a parquet
+    footer fetch + task). Compaction rewrites the postings with the
+    same per-cell repartition the build uses — files-per-cell returns
+    to the AQE-coalesced shuffle-partition count — without touching
+    payloads: rows are copied as-is (any layout: flat/PQ/int8), so
+    query results are bit-for-bit unchanged (pytest-pinned).
+
+    The rewrite goes to a sibling ``postings_compacting`` directory,
+    is row-count-verified against the manifest BEFORE the swap (a
+    short write can never replace good postings), then swapped in via
+    two FS renames; the manifest is rewritten last with a bumped
+    ``compactions`` counter, so every driver-cache stamp invalidates.
+    The swap window is two renames wide — run compaction from the
+    writer that owns the index, like build/append."""
+    missing = [
+        part for part in ("centroids", "postings")
+        if not _fs_exists(spark, f"{path}/{part}")
+    ]
+    if missing:
+        raise ValueError(
+            f"no IVF index at {path!r}: missing {', '.join(missing)} — "
+            "build one with ivf_build_index first"
+        )
+    manifest = read_index_manifest(spark, path)
+    if manifest is None:
+        raise ValueError(
+            f"IVF index at {path!r} has no manifest; compacting would "
+            "trust unverifiable postings — rebuild it with this version"
+        )
+    tmp = f"{path}/postings_compacting"
+    old = f"{path}/postings_precompact"
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for stale in (tmp, old):  # debris from a crashed earlier compaction
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
+    postings = spark.read.parquet(f"{path}/postings")
+    postings.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    expected = int(manifest.get("n_rows") or 0)
+    if n != expected:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        raise ValueError(
+            f"compaction of {path!r} produced {n} rows but the manifest "
+            f"records {expected} — aborted, original postings untouched"
+        )
+    p_post = jvm.org.apache.hadoop.fs.Path(f"{path}/postings")
+    if not fs.rename(p_post, jvm.org.apache.hadoop.fs.Path(old)):
+        raise IOError(f"could not move aside {path}/postings")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p_post):
+        # roll back so the index stays queryable
+        fs.rename(jvm.org.apache.hadoop.fs.Path(old), p_post)
+        raise IOError(f"could not swap compacted postings into {path!r}")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    write_index_manifest(spark, path, {
+        **manifest,
+        "compactions": int(manifest.get("compactions") or 0) + 1,
+    })
+
+
 def ivf_query_index(
     spark: SparkSession,
     path: str,

@@ -1061,6 +1061,43 @@ def test_ivf_append_invalidates_metadata_cache(spark, embeddings, tmp_path):
     assert after  # appended region is searchable
 
 
+def test_ivf_compact_after_appends(spark, embeddings, tmp_path):
+    """Compaction after many small appends shrinks files-per-cell back to
+    the build-time shape with bit-identical query results; a row-count
+    mismatch aborts without touching the original postings."""
+    import glob
+
+    path = str(tmp_path / "cmp")
+    S.ivf_build_index(embeddings.filter("vec_id < 300"), path, n_centroids=4)
+    for lo in (300, 350, 400, 450):
+        S.ivf_append_index(
+            embeddings.filter(f"vec_id >= {lo} AND vec_id < {lo + 50}"), path
+        )
+    queries = embeddings.limit(3)
+    before = sorted(
+        map(tuple, S.ivf_query_index(spark, path, queries, k=5, nprobe=4).collect())
+    )
+    files_before = len(glob.glob(f"{path}/postings/cell=*/*.parquet"))
+    S.ivf_compact_index(spark, path)
+    files_after = len(glob.glob(f"{path}/postings/cell=*/*.parquet"))
+    assert files_after < files_before
+    after = sorted(
+        map(tuple, S.ivf_query_index(spark, path, queries, k=5, nprobe=4).collect())
+    )
+    assert after == before
+    m = S.read_index_manifest(spark, path)
+    assert m["compactions"] == 1 and m["n_rows"] == embeddings.count()
+    # corrupt the manifest's n_rows -> compaction must refuse and leave
+    # the index queryable
+    S.write_index_manifest(spark, path, {**m, "n_rows": 1})
+    with pytest.raises(ValueError, match="aborted, original postings"):
+        S.ivf_compact_index(spark, path)
+    S.write_index_manifest(spark, path, m)
+    assert sorted(
+        map(tuple, S.ivf_query_index(spark, path, queries, k=5, nprobe=4).collect())
+    ) == before
+
+
 def test_int8_index_layout_recall_and_guards(spark, embeddings, tmp_path):
     """int8 SQ postings (third persisted layout): near-lossless recall vs
     the flat index (pinned >= 0.95 full-probe), layout recorded in the
