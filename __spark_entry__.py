@@ -2286,6 +2286,36 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 + exact embedding cosine
+    top-20 fused by reciprocal-rank fusion (similarity.py::rrf_fuse,
+    Cormack et al. 2009) into one top-10 per query — the standard hybrid
+    search-engine combiner, rank-based so the two score scales never
+    need calibration. Queries are the first three documents (their text
+    drives BM25, their embeddings drive the ANN side). Contributions
+    sum in explicit list order (Column + chain, not an aggregate), so
+    the fused doubles are bit-reproducible and the oracle — which
+    re-derives BOTH component rankings exactly (both already have green
+    standalone rows) and adds the same coalesced terms in the same
+    order — hashes exactly. Fusion inputs are |queries|x20 rows: the
+    joins are trivial at any corpus scale; the heavy lifting stays in
+    the components."""
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qd = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    bm = CORPUS.bm25_topk(docs, qd, k=20).select(
+        "query_id", F.col("doc_id").alias("neighbor_id"), "rank"
+    )
+    kn = SIM.brute_force_topk(
+        embs, embs.filter(F.col("vec_id") < 3), k=20
+    ).select("query_id", "neighbor_id", "rank")
+    return SIM.rrf_fuse([bm, kn], k=10)
+
+
 def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """span_dedup's STRIP mode (the removal surface of the round's
     repeated-span operator): every span-covered token is removed and
@@ -2572,6 +2602,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # sort fronts them automatically right after this list.
     "q_span_dedup",
     "q_span_strip",
+    "q_hybrid_search",
     "q_bpe_vocab",
     "q_bpe_pack",
     "q_ivf_index_append",
@@ -2708,6 +2739,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_span_dedup": q_span_dedup,
         "q_span_strip": q_span_strip,
+        "q_hybrid_search": q_hybrid_search,
         "q_bpe_vocab": q_bpe_vocab,
         "q_bpe_pack": q_bpe_pack,
         "q_corpus_profile": q_corpus_profile,
@@ -4342,6 +4374,89 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_tokens, 0.90), 6) AS p90,
                    round(quantile_cont(n_tokens, 0.99), 6) AS p99
             FROM d GROUP BY source
+        """,
+        # RRF hybrid: BM25 (query text = first 3 documents, k=20) and
+        # exact cosine (k=20) re-derived exactly as their standalone
+        # oracles, then fused with the identical bm-then-knn coalesced
+        # addition order and round-9-before-rank
+        "q_hybrid_search": """
+            WITH q(query_id, query_text) AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 3
+            ),
+            qterms AS (
+              SELECT query_id,
+                     unnest(list_distinct(list_filter(
+                       string_split(lower(query_text), ' '), t -> t != '')))
+                       AS term
+              FROM q),
+            vocab AS (SELECT DISTINCT term FROM qterms),
+            b2 AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t != '') AS toks
+              FROM documents),
+            b3 AS (SELECT doc_id, len(toks) AS dl, toks FROM b2),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM b3),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b3)
+              WHERE term IN (SELECT term FROM vocab)
+              GROUP BY doc_id, dl, term),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT qt.query_id, tf.doc_id,
+                     CAST(round(
+                       ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)),
+                       9) AS DECIMAL(18,9)) AS c
+              FROM tf
+              JOIN dft USING (term)
+              JOIN qterms qt USING (term)
+              CROSS JOIN stats s),
+            bm AS (
+              SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY CAST(sum(c) AS DOUBLE) DESC, doc_id)
+                         AS rank
+                FROM contrib GROUP BY query_id, doc_id
+              ) WHERE rank <= 20),
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            unitv AS (
+              SELECT vec_id,
+                     list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                       AS u
+              FROM v),
+            kn AS (
+              SELECT query_id, neighbor_id, rank FROM (
+                SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY qv.vec_id
+                         ORDER BY round(list_dot_product(qv.u, c.u), 6) DESC,
+                                  c.vec_id) AS rank
+                FROM unitv qv JOIN unitv c ON qv.vec_id <> c.vec_id
+                WHERE qv.vec_id < 3
+              ) WHERE rank <= 20),
+            fused AS (
+              SELECT coalesce(b.query_id, n.query_id) AS query_id,
+                     coalesce(b.doc_id, n.neighbor_id) AS neighbor_id,
+                     round(coalesce(1.0/(60 + b.rank), 0)
+                           + coalesce(1.0/(60 + n.rank), 0), 9) AS rrf_score
+              FROM bm b FULL OUTER JOIN kn n
+                ON b.query_id = n.query_id AND b.doc_id = n.neighbor_id
+            )
+            SELECT query_id, neighbor_id, rank, rrf_score FROM (
+              SELECT query_id, neighbor_id, rrf_score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rrf_score DESC,
+                                                 neighbor_id) AS rank
+              FROM fused
+            ) WHERE rank <= 10
         """,
         # strip mode: same span derivation as q_span_dedup, then covered
         # positions anti-joined away and text rebuilt in position order

@@ -77,6 +77,7 @@ HEADLINE = [
     # round 7 additions (same per-query comparison convention)
     "q_span_dedup",
     "q_span_strip",
+    "q_hybrid_search",
     "q_bpe_vocab",
     "q_ivf_index_append",
     "q_sq_index_ann",

@@ -892,6 +892,66 @@ def ivf_append_index(
     })
 
 
+def rrf_fuse(
+    rankings: list,
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    retrieval combiner: given N per-query rankings of the same id space
+    (e.g. BM25 lexical + embedding ANN), score every candidate
+    ``Σ_i 1/(rrf_k + rank_i)`` (absent from a ranking contributes 0) and
+    re-rank. Rank-based, so the component scores never need calibrating
+    against each other — exactly why RRF is the default fusion in hybrid
+    search engines.
+
+    Determinism: the per-ranking contributions are summed EXPLICITLY in
+    list order (a left-to-right Column ``+`` chain over the full-outer
+    join of the rankings, not a ``sum()`` aggregate), so the float
+    result is bit-reproducible and an external oracle adding the same
+    coalesced terms in the same order matches exactly. Ties break to the
+    smaller id (:func:`_topk_by`).
+
+    Scale: N-1 equi-joins on (query, id) over frames that are already
+    top-k-per-query (|queries|·k rows each) — the fusion input is tiny
+    by construction regardless of corpus size; the expensive work
+    happened inside the component retrievers, which scale on their own
+    terms (BM25's bounded postings, ANN's pruned cells)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    scored = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            (
+                F.lit(1.0)
+                / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double"))
+            ).alias(f"__s{i}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    from functools import reduce
+
+    joined = reduce(
+        lambda a, b: a.join(b, ["query_id", "neighbor_id"], "full_outer"),
+        scored,
+    )
+    contrib = [
+        F.coalesce(F.col(f"__s{i}"), F.lit(0.0)) for i in range(len(scored))
+    ]
+    total = reduce(lambda a, b: a + b, contrib)
+    return _topk_by(
+        joined.select(
+            "query_id", "neighbor_id", F.round(total, 9).alias("rrf_score")
+        ),
+        k,
+        "rrf_score",
+    )
+
+
 def ivf_compact_index(spark: SparkSession, path: str) -> None:
     """Compact a persisted index's postings after many small appends —
     the third piece of the build/append/compact lifecycle. Every
@@ -1505,6 +1565,21 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     k = int(spec.get("k", 10))
     id_col = spec.get("id_col", "vec_id")
     vec_col = spec.get("vec_col", "embedding")
+    if method == "rrf":
+        names = spec.get("rankings")
+        if not names or ctx is None:
+            raise ValueError(
+                "method='rrf' needs rankings: [<named stages>] — each a "
+                "per-query ranking frame (query_id, <id>, rank)"
+            )
+        return rrf_fuse(
+            [ctx.get(n) for n in names],
+            k,
+            int(spec.get("rrf_k", 60)),
+            spec.get("query_col", "query_id"),
+            spec.get("fuse_id_col", "neighbor_id"),
+            spec.get("rank_col", "rank"),
+        )
     if method == "brute_force":
         return brute_force_topk(
             df, queries, k, id_col, vec_col, spec.get("broadcast_queries", True)

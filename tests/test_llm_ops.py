@@ -1061,6 +1061,42 @@ def test_ivf_append_invalidates_metadata_cache(spark, embeddings, tmp_path):
     assert after  # appended region is searchable
 
 
+def test_rrf_fuse_hybrid_ranking(spark):
+    """RRF: contributions sum in list order, absent candidates contribute
+    zero, ties break to the smaller id, and a candidate present in both
+    rankings outranks single-source candidates with comparable ranks."""
+    bm = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    kn = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    rows = S.rrf_fuse([bm, kn], k=4).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rows] == [11, 10, 13, 12]
+    # 11: 1/62 + 1/61; 10: 1/61; 13: 1/62; 12: 1/63
+    assert abs(rows[0]["rrf_score"] - round(1 / 62 + 1 / 61, 9)) < 1e-12
+    assert rows[1]["rrf_score"] == round(1 / 61, 9)
+    with pytest.raises(ValueError, match="at least one"):
+        S.rrf_fuse([])
+    # stage dispatch with named frames
+    from config_driven_pyspark_spark.operators.similarity import stage_similarity
+
+    class Ctx(dict):
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+    out = stage_similarity(
+        bm, {"stage": "similarity", "method": "rrf",
+             "rankings": ["a", "b"], "k": 2},
+        Ctx({"a": bm, "b": kn}),
+    )
+    assert [r["neighbor_id"] for r in out.orderBy("rank").collect()] == [11, 10]
+    with pytest.raises(ValueError, match="rankings"):
+        stage_similarity(bm, {"stage": "similarity", "method": "rrf"}, Ctx())
+
+
 def test_ivf_compact_after_appends(spark, embeddings, tmp_path):
     """Compaction after many small appends shrinks files-per-cell back to
     the build-time shape with bit-identical query results; a row-count
