@@ -1420,7 +1420,10 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                         centroids="sample")
 
 
-def _cached_index_dir(sf_dir: str, prefix: str) -> tuple[str, str, bool]:
+def _cached_index_dir(
+    sf_dir: str, prefix: str, table: str = "embeddings",
+    marker: str = "postings",
+) -> tuple[str, str, bool]:
     """Shared fingerprint-keyed scratch-dir lifecycle for persisted-index
     driver queries: returns (source parquet path, index dir, needs_build).
     The key is a nanosecond-mtime + size walk (sorted) of the SOURCE
@@ -1434,7 +1437,7 @@ def _cached_index_dir(sf_dir: str, prefix: str) -> tuple[str, str, bool]:
     import shutil
     import tempfile
 
-    src = f"{sf_dir}/embeddings.parquet"
+    src = f"{sf_dir}/{table}.parquet"
     stamp = 0
     if os.path.isfile(src):
         st = os.stat(src)
@@ -1450,7 +1453,7 @@ def _cached_index_dir(sf_dir: str, prefix: str) -> tuple[str, str, bool]:
             stamp = (stamp * 1_000_003 + st.st_mtime_ns + st.st_size) % (1 << 62)
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), f"{prefix}_{sf_tag}_{stamp}")
-    needs_build = not os.path.isdir(os.path.join(path, "postings"))
+    needs_build = not os.path.isdir(os.path.join(path, marker))
     if needs_build:
         for old in glob.glob(
             os.path.join(tempfile.gettempdir(), f"{prefix}_{sf_tag}_*")
@@ -2286,6 +2289,33 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against a persisted fingerprint store
+    (operators/dedup.py::exact_dedup_incremental) — the daily-ingest
+    pattern: history never rescans; today's batch anti-joins the store.
+    The store is seeded once per testdata fingerprint with the first 250
+    documents' fingerprints; the query then dedups the FULL table
+    against it with update_store=False (idempotent across driver
+    re-runs). Output = documents that are first-in-batch for their
+    fingerprint AND unseen in the store — the oracle states both
+    conditions directly."""
+    from config_driven_pyspark_spark.operators.dedup import (
+        exact_dedup_incremental,
+    )
+
+    src, store, needs_seed = _cached_index_dir(
+        sf_dir, "cdp_fp_store", table="documents", marker="fps"
+    )
+    docs = spark.read.parquet(src)
+    if needs_seed:
+        exact_dedup_incremental(
+            docs.filter(F.col("doc_id") < 250), "doc_id", f"{store}/fps"
+        ).count()
+    return exact_dedup_incremental(
+        docs, "doc_id", f"{store}/fps", update_store=False
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 lexical top-20 + exact embedding cosine
     top-20 fused by reciprocal-rank fusion (similarity.py::rrf_fuse,
@@ -2603,6 +2633,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_span_dedup",
     "q_span_strip",
     "q_hybrid_search",
+    "q_incremental_dedup",
     "q_bpe_vocab",
     "q_bpe_pack",
     "q_ivf_index_append",
@@ -2740,6 +2771,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_span_strip": q_span_strip,
         "q_hybrid_search": q_hybrid_search,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_bpe_vocab": q_bpe_vocab,
         "q_bpe_pack": q_bpe_pack,
         "q_corpus_profile": q_corpus_profile,
@@ -4374,6 +4406,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_tokens, 0.90), 6) AS p90,
                    round(quantile_cont(n_tokens, 0.99), 6) AS p99
             FROM d GROUP BY source
+        """,
+        # store = fingerprints of doc_id < 250; survivors are first-in-
+        # batch AND unseen-in-store — both conditions stated directly
+        "q_incremental_dedup": r"""
+            WITH fp AS (
+              SELECT doc_id, lang, source, n_chars,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS f
+              FROM documents
+            ),
+            seen AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
+            firsts AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM fp d JOIN firsts USING (doc_id, f)
+            WHERE d.f NOT IN (SELECT f FROM seen)
         """,
         # RRF hybrid: BM25 (query text = first 3 documents, k=20) and
         # exact cosine (k=20) re-derived exactly as their standalone

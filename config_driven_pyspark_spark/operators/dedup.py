@@ -302,6 +302,67 @@ def exact_dedup(
     )
 
 
+def exact_dedup_incremental(
+    df: DataFrame,
+    id_col: str,
+    store_path: str,
+    text_col: str = "text",
+    normalize: bool = True,
+    update_store: bool = True,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against a persisted fingerprint store —
+    the incremental-ingest pattern: yesterday's corpus never rescans,
+    today's batch drops (a) rows duplicating any fingerprint already in
+    the store and (b) within-batch duplicates (smallest id kept), and
+    the store grows by the survivors' fingerprints.
+
+    The store is a parquet directory of 16-byte ``fingerprint`` strings
+    — O(distinct docs ever seen), readable by any engine, append-only.
+    A missing/empty store means "first batch" (everything is new).
+    ``update_store=False`` runs the check without growing the store
+    (idempotent re-runs, dry-run QA).
+
+    Scale: the batch fingerprints shuffle once for the within-batch
+    ``groupBy(fp).min(id)``; the store probe is a left-anti equi-join on
+    the 16-byte key that AQE turns into a broadcast when today's batch
+    is small against history — history itself streams through the join,
+    it is never collected or rewritten. The store append writes only
+    the NEW fingerprints.
+    """
+    spark = df.sparkSession
+    key = (
+        TX.fingerprint(F.col(text_col))
+        if normalize
+        else F.md5(F.col(text_col).cast("binary"))
+    )
+    keyed = _materialize(df.withColumn("__fp", key))
+    firsts = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    batch_fresh = keyed.join(
+        firsts, on=[id_col, "__fp"], how="left_semi"
+    )
+    from config_driven_pyspark_spark.operators.similarity import _fs_exists
+
+    if _fs_exists(spark, store_path):
+        seen = spark.read.parquet(store_path).select(
+            F.col("fingerprint").alias("__fp")
+        )
+        fresh = batch_fresh.join(seen, on="__fp", how="left_anti")
+    else:
+        fresh = batch_fresh
+    # localCheckpoint (not persist): appending to store_path triggers
+    # Spark's refreshByPath, which INVALIDATES any cached plan that reads
+    # that path — a persisted `fresh` would silently recompute against
+    # the just-updated store and return zero rows. Checkpointing cuts
+    # the file-source lineage, so the result is pinned to the pre-append
+    # store state whatever the caller does next.
+    fresh = fresh.localCheckpoint()
+    if update_store:
+        fresh.select(F.col("__fp").alias("fingerprint")).write.mode(
+            "append"
+        ).parquet(store_path)
+    return fresh.drop("__fp")
+
+
 def exact_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", normalize: bool = True
 ) -> DataFrame:
@@ -870,6 +931,17 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
     keep_by = spec.get("keep_by")
 
     if method == "exact":
+        if spec.get("store_path"):
+            if out != "dedup" or keep_by:
+                raise ValueError(
+                    "store_path (incremental dedup) supports only "
+                    "output='dedup' without keep_by — the store keeps "
+                    "fingerprints, not scored rows"
+                )
+            return exact_dedup_incremental(
+                df, id_col, spec["store_path"], spec.get("column", "text"),
+                spec.get("normalize", True), spec.get("update_store", True),
+            )
         if out == "pairs":
             return exact_pairs(
                 df, id_col, spec.get("column", "text"), spec.get("normalize", True)

@@ -1061,6 +1061,50 @@ def test_ivf_append_invalidates_metadata_cache(spark, embeddings, tmp_path):
     assert after  # appended region is searchable
 
 
+def test_exact_dedup_incremental_store(spark, tmp_path):
+    """Incremental dedup: batch 1 seeds the store; batch 2 drops rows
+    duplicating history AND within-batch repeats; update_store=False is
+    idempotent; the store grows only by survivors."""
+    store = str(tmp_path / "fps")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "Alpha   TEXT")],
+        "id long, text string",
+    )
+    out1 = D.exact_dedup_incremental(b1, "id", store)
+    assert sorted(r["id"] for r in out1.collect()) == [1, 2]  # 3 ~ 1
+    b2 = spark.createDataFrame(
+        [(4, "beta text"), (5, "gamma text"), (6, "gamma text"),
+         (7, "delta text")],
+        "id long, text string",
+    )
+    # dry-run first: same result twice, store unchanged
+    dry = D.exact_dedup_incremental(b2, "id", store, update_store=False)
+    assert sorted(r["id"] for r in dry.collect()) == [5, 7]
+    n_store = spark.read.parquet(store).count()
+    assert n_store == 2
+    out2 = D.exact_dedup_incremental(b2, "id", store)
+    assert sorted(r["id"] for r in out2.collect()) == [5, 7]
+    assert spark.read.parquet(store).count() == 4
+    # third batch sees everything
+    b3 = spark.createDataFrame(
+        [(8, "delta text"), (9, "ALPHA text")], "id long, text string"
+    )
+    assert D.exact_dedup_incremental(b3, "id", store).count() == 0
+    # stage dispatch + guards
+    from config_driven_pyspark_spark.operators.dedup import stage_dedup
+
+    out = stage_dedup(
+        b3, {"stage": "dedup", "method": "exact", "id_col": "id",
+             "store_path": store, "update_store": False},
+    )
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="store_path"):
+        stage_dedup(
+            b3, {"stage": "dedup", "method": "exact", "id_col": "id",
+                 "store_path": store, "output": "pairs"},
+        )
+
+
 def test_rrf_fuse_hybrid_ranking(spark):
     """RRF: contributions sum in list order, absent candidates contribute
     zero, ties break to the smaller id, and a candidate present in both
