@@ -2289,6 +2289,28 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/corpus.py::
+    semantic_contamination_flags) — the semantic complement of the
+    word-n-gram q_decontaminate family: corpus vectors whose cosine
+    against ANY benchmark vector (here the first five embeddings,
+    broadcast) reaches 0.3 (chosen so the sf-synthetic corpus yields
+    real NON-self matches — the argmax and tie-break paths are
+    exercised, not just the trivial self-hits), with the
+    highest-cosine match (ties to the
+    smaller benchmark id). The corpus side never shuffles: broadcast
+    nested-loop dot products in codegen, aggregation collapsing
+    map-side. Cosines round to 6 so the oracle reproduces the argmax
+    and tie-break exactly."""
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = embs.filter(F.col("vec_id") < 5)
+    return CORPUS.semantic_contamination_flags(
+        embs, bench, "vec_id", threshold=0.3
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup against a persisted fingerprint store
     (operators/dedup.py::exact_dedup_incremental) — the daily-ingest
@@ -2634,6 +2656,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_span_strip",
     "q_hybrid_search",
     "q_incremental_dedup",
+    "q_semantic_decon",
     "q_bpe_vocab",
     "q_bpe_pack",
     "q_ivf_index_append",
@@ -2772,6 +2795,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_strip": q_span_strip,
         "q_hybrid_search": q_hybrid_search,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_semantic_decon": q_semantic_decon,
         "q_bpe_vocab": q_bpe_vocab,
         "q_bpe_pack": q_bpe_pack,
         "q_corpus_profile": q_corpus_profile,
@@ -4406,6 +4430,27 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_tokens, 0.90), 6) AS p90,
                    round(quantile_cont(n_tokens, 0.99), 6) AS p99
             FROM d GROUP BY source
+        """,
+        # benchmark = the 5 lowest vec_ids; flags carry the max cosine
+        # and the tie-broken argmax benchmark id
+        "q_semantic_decon": _COSINE_CTE + """
+            , bench AS (
+              SELECT vec_id AS bench_id, u AS bu FROM unitv WHERE vec_id < 5
+            ),
+            hits AS (
+              SELECT c.vec_id, b.bench_id,
+                     round(list_dot_product(c.u, b.bu), 6) AS cos
+              FROM unitv c CROSS JOIN bench b
+              WHERE round(list_dot_product(c.u, b.bu), 6) >= 0.3
+            ),
+            mx AS (
+              SELECT vec_id, max(cos) AS max_cosine FROM hits GROUP BY vec_id
+            )
+            SELECT h.vec_id, m.max_cosine,
+                   min(h.bench_id) AS matched_bench_id
+            FROM hits h JOIN mx m
+              ON h.vec_id = m.vec_id AND h.cos = m.max_cosine
+            GROUP BY h.vec_id, m.max_cosine
         """,
         # store = fingerprints of doc_id < 250; survivors are first-in-
         # batch AND unseen-in-store — both conditions stated directly

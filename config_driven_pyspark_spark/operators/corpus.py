@@ -360,6 +360,85 @@ def decontaminate(
     return df.join(flags, on=id_col, how="left_anti")
 
 
+def semantic_contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+) -> DataFrame:
+    """EMBEDDING-space benchmark leakage (the semantic complement of the
+    word-n-gram :func:`contamination_flags`): flag corpus rows whose
+    cosine against ANY benchmark vector reaches ``threshold`` — catches
+    paraphrased/translated eval contamination that exact n-grams miss.
+    One row per contaminated corpus id:
+    ``(id, max_cosine, matched_bench_id)`` — the highest-cosine
+    benchmark match (ties to the smaller benchmark id), cosine rounded
+    to 6 so an external oracle reproduces the argmax exactly.
+
+    Scale: the benchmark side (an eval set — thousands of rows) is
+    unit-normalized and BROADCAST; the corpus side never shuffles — the
+    comparison is a map-side broadcast nested loop of |corpus|·|bench|
+    dot products inside codegen, embarrassingly parallel, with the
+    aggregation collapsing map-side to one row per contaminated id.
+    For benchmark sets too big to broadcast, pre-prune with SRP buckets
+    (:func:`~.similarity.srp_lsh_topk`) and verify survivors here."""
+    from config_driven_pyspark_spark.functions import vectors as V
+
+    bid = bench_id_col or id_col
+    bvec = bench_vec_col or vec_col
+    b = F.broadcast(
+        benchmark.select(
+            F.col(bid).alias("__bench_id"),
+            V.unit_normalize(F.col(bvec)).alias("__bv"),
+        )
+    )
+    scored = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            V.unit_normalize(F.col(vec_col)).alias("__cv"),
+        )
+        .join(b, F.lit(True))
+        .select(
+            id_col,
+            "__bench_id",
+            F.round(V.dot(F.col("__cv"), F.col("__bv")), 6).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+    )
+    return (
+        scored.withColumn(
+            "__mx", F.max("__cos").over(Window.partitionBy(id_col))
+        )
+        .filter(F.col("__cos") == F.col("__mx"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__cos").alias("max_cosine"),
+            F.min("__bench_id").alias("matched_bench_id"),
+        )
+    )
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+) -> DataFrame:
+    """Drop corpus rows flagged by :func:`semantic_contamination_flags`."""
+    flags = semantic_contamination_flags(
+        df, benchmark, id_col, vec_col, threshold, bench_id_col,
+        bench_vec_col,
+    ).select(id_col)
+    return df.join(flags, on=id_col, how="left_anti")
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,
@@ -1158,6 +1237,18 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return fn(
             df, bench, id_col, text_col, int(spec.get("n", 8)),
             spec.get("benchmark_column"),
+        )
+    if op in ("semantic_decontaminate", "semantic_contamination_flags"):
+        bench = ctx.get(spec["benchmark"])
+        fn = (
+            semantic_decontaminate
+            if op == "semantic_decontaminate"
+            else semantic_contamination_flags
+        )
+        return fn(
+            df, bench, id_col, spec.get("vec_col", "embedding"),
+            float(spec.get("threshold", 0.95)),
+            spec.get("benchmark_id_col"), spec.get("benchmark_vec_col"),
         )
     if op == "chunk":
         return chunk_documents(

@@ -401,6 +401,54 @@ def test_line_dedup_literal_delimiter_round_trips(spark):
     assert rows[2]["text"] == "d" and rows[2]["n_removed"] == 1
 
 
+def test_semantic_decontamination(spark):
+    """Embedding-space decontamination: exact-duplicate and near-
+    paraphrase vectors are flagged with the argmax benchmark match
+    (ties to the smaller bench id); decontaminate drops exactly the
+    flagged ids; sub-threshold rows survive."""
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),    # exact copy of bench 0
+            (11, [0.9, 0.1, 0.0]),    # near bench 0
+            (12, [0.0, 0.0, 1.0]),    # orthogonal to both benches
+            (13, [0.7071, 0.7071, 0.0]),  # equidistant from bench 0 and 1
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    flags = {
+        r["vec_id"]: r
+        for r in C.semantic_contamination_flags(
+            corpus, bench, "vec_id", threshold=0.6
+        ).collect()
+    }
+    assert set(flags) == {10, 11, 13}
+    assert flags[10]["max_cosine"] == 1.0
+    assert flags[10]["matched_bench_id"] == 0
+    assert flags[11]["matched_bench_id"] == 0
+    # 13 hits both benches at identical (rounded) cosine -> smaller id
+    assert flags[13]["matched_bench_id"] == 0
+    survivors = C.semantic_decontaminate(
+        corpus, bench, "vec_id", threshold=0.6
+    )
+    assert [r["vec_id"] for r in survivors.collect()] == [12]
+    # stage dispatch
+    class Ctx(dict):
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+    out = C.stage_corpus(
+        corpus,
+        {"stage": "corpus", "op": "semantic_decontaminate",
+         "id_col": "vec_id", "benchmark": "b", "threshold": 0.6},
+        Ctx({"b": bench}),
+    )
+    assert out.count() == 1
+
+
 def test_corpus_profile_exact_and_approx(documents):
     """Profile report: long form (one row per stratum x metric), exact
     percentiles match a direct computation, and the percentile_approx
