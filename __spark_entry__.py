@@ -2289,6 +2289,24 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (operators/corpus.py::
+    temperature_mixture, the mT5/UL2 recipe): target weights derived
+    from observed counts as c^0.5 — the skewed lang distribution
+    (en dominates) is flattened toward uniform, the smallest language
+    kept in full, larger ones downsampled by sqrt ratio. alpha=0.5
+    computes via IEEE sqrt (correctly rounded everywhere), so the md5
+    prefix cut is bit-identical to the oracle's replication of the same
+    threshold arithmetic."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "mixture", "id_col": "doc_id",
+         "stratify_by": "lang", "alpha": 0.5, "on": "doc_id"},
+        {"stage": "select", "columns": ["doc_id", "lang", "source",
+                                        "n_chars"]},
+    ])
+
+
 def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space benchmark decontamination (operators/corpus.py::
     semantic_contamination_flags) — the semantic complement of the
@@ -2657,6 +2675,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_hybrid_search",
     "q_incremental_dedup",
     "q_semantic_decon",
+    "q_temperature_mixture",
     "q_bpe_vocab",
     "q_bpe_pack",
     "q_ivf_index_append",
@@ -2796,6 +2815,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hybrid_search": q_hybrid_search,
         "q_incremental_dedup": q_incremental_dedup,
         "q_semantic_decon": q_semantic_decon,
+        "q_temperature_mixture": q_temperature_mixture,
         "q_bpe_vocab": q_bpe_vocab,
         "q_bpe_pack": q_bpe_pack,
         "q_corpus_profile": q_corpus_profile,
@@ -4430,6 +4450,27 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_tokens, 0.90), 6) AS p90,
                    round(quantile_cont(n_tokens, 0.99), 6) AS p99
             FROM d GROUP BY source
+        """,
+        # same threshold arithmetic as q_mixture_sample with w = sqrt(c)
+        # (IEEE sqrt is correctly rounded — bit-identical across engines)
+        "q_temperature_mixture": """
+            WITH cnt AS (
+              SELECT lang, CAST(count(*) AS DOUBLE) AS c
+              FROM documents GROUP BY lang
+            ),
+            mx AS (SELECT min(c / sqrt(c)) AS tv FROM cnt),
+            thr AS (
+              SELECT lang,
+                     CASE WHEN floor(tv * sqrt(c) / c * 256) >= 256 THEN 'g'
+                          ELSE printf('%02x',
+                                      CAST(floor(tv * sqrt(c) / c * 256)
+                                           AS INT))
+                     END AS h
+              FROM cnt, mx
+            )
+            SELECT doc_id, d.lang, source, n_chars
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < h
         """,
         # benchmark = the 5 lowest vec_ids; flags carry the max cosine
         # and the tie-broken argmax benchmark id

@@ -188,9 +188,19 @@ def mixture_sample(
         .groupBy(stratify_by, "w")
         .agg(F.count("*").cast("double").alias("c"))
     )
+    return _apply_stratum_weights(df, stratify_by, key_col, counts)
+
+
+def _apply_stratum_weights(
+    df: DataFrame, stratify_by: str, key_col: str, counts: DataFrame
+) -> DataFrame:
+    """Shared max-retention tail for weighted mixing: given per-stratum
+    ``(stratify_by, w, c)``, keep ``T·w_g`` rows of stratum ``g`` where
+    ``T = min_g c_g/w_g``, via the md5-prefix filter (granularity 1/256,
+    partitioning-invariant). Threshold arithmetic mirrors the DuckDB
+    oracle op-for-op so the md5 cut is bit-identical:
+    rate = (t*w)/c, n = floor(rate*256)."""
     tmax = counts.agg(F.min(F.col("c") / F.col("w")).alias("t"))
-    # threshold arithmetic mirrors the DuckDB oracle op-for-op so the md5
-    # cut is bit-identical: rate = (t*w)/c, n = floor(rate*256)
     n = F.floor(F.col("t") * F.col("w") / F.col("c") * 256)
     rates = (
         counts.crossJoin(F.broadcast(tmax))
@@ -207,6 +217,44 @@ def mixture_sample(
         .filter(bucket < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    stratify_by: str,
+    key_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/UL2 recipe): target
+    weights are DERIVED from the observed stratum counts as
+    ``w_g ∝ c_g^alpha`` — ``alpha=1`` keeps natural proportions,
+    ``alpha→0`` flattens toward uniform — then applied with the same
+    max-retention md5 machinery as :func:`mixture_sample` (sampling only
+    removes rows, so the smallest stratum is kept in full and larger
+    strata are downsampled toward the tempered proportions:
+    ``rate_g = (min_h c_h^{1-alpha}) · c_g^{alpha-1}``).
+
+    ``alpha=0.5`` (the default) computes the tempering as ``sqrt`` —
+    IEEE-correctly-rounded on every engine, so the md5 cut is
+    bit-identical to an external oracle. Other alphas use ``pow``,
+    where a 1-ulp engine difference could flip a 1/256 boundary
+    (documented; the pytest covers alpha=1 equivalence too).
+
+    Scale: identical to mixture_sample — one tiny stratum groupBy, no
+    driver collect, broadcast rates, map-only filter."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    w = (
+        F.sqrt(F.col("c"))
+        if alpha == 0.5
+        else F.pow(F.col("c"), F.lit(float(alpha)))
+    )
+    counts = (
+        df.groupBy(stratify_by)
+        .agg(F.count("*").cast("double").alias("c"))
+        .withColumn("w", w)
+    )
+    return _apply_stratum_weights(df, stratify_by, key_col, counts)
 
 
 def _md5_stream_offsets(
@@ -1256,6 +1304,11 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             spec.get("stride"),
         )
     if op == "mixture":
+        if spec.get("alpha") is not None and spec.get("weights") is None:
+            return temperature_mixture(
+                df, spec["stratify_by"], spec.get("on", id_col),
+                float(spec["alpha"]),
+            )
         return mixture_sample(
             df, spec["stratify_by"], spec["weights"], spec.get("on", id_col)
         )

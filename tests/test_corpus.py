@@ -401,6 +401,51 @@ def test_line_dedup_literal_delimiter_round_trips(spark):
     assert rows[2]["text"] == "d" and rows[2]["n_removed"] == 1
 
 
+def test_temperature_mixture_flattens_skew(documents):
+    """alpha=0.5 keeps the smallest lang in full (within 1/256 md5
+    granularity) and downsamples larger ones by the sqrt ratio;
+    alpha=1 keeps natural proportions (everything, max retention);
+    alpha out of range is refused; results are partitioning-invariant."""
+    before = {
+        r["lang"]: r["n"]
+        for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    out = C.temperature_mixture(documents, "lang", "doc_id", alpha=0.5)
+    after = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    import math
+
+    smallest = min(before, key=before.get)
+    t = min(math.sqrt(c) for c in before.values())
+    for lang, c in before.items():
+        expected_rate = math.floor(t * math.sqrt(c) / c * 256) / 256
+        assert after.get(lang, 0) <= c
+        # md5 buckets are uniform-ish; allow generous slack on 25-218 rows
+        assert abs(after.get(lang, 0) - expected_rate * c) <= 0.35 * c + 3, lang
+    # ratio skew shrinks: max/min count ratio decreases
+    assert (
+        max(after.values()) / max(1, min(after.values()))
+        < max(before.values()) / min(before.values()) + 1e-9
+    )
+    assert after[smallest] >= before[smallest] * 0.6  # near-full retention
+    # alpha=1: w = c so every rate is 1 -> everything kept
+    assert (
+        C.temperature_mixture(documents, "lang", "doc_id", alpha=1.0).count()
+        == documents.count()
+    )
+    # partitioning-invariant
+    assert (
+        C.temperature_mixture(
+            documents.repartition(7), "lang", "doc_id", alpha=0.5
+        ).count()
+        == out.count()
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        C.temperature_mixture(documents, "lang", "doc_id", alpha=0.0)
+
+
 def test_semantic_decontamination(spark):
     """Embedding-space decontamination: exact-duplicate and near-
     paraphrase vectors are flagged with the argmax benchmark match
