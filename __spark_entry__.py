@@ -1728,6 +1728,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_stats(thumbs, content_col="thumb")
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio sample math end-to-end (multimodal.py WAV PCM16 codec
+    — the audio counterpart of the r6 BMP row): one deterministic
+    64-sample test tone per document (synthesize_wav's integer formula)
+    → genuine RIFF/WAVE binary decode → decimate by 2 on actual samples
+    → re-encode at the halved rate → second decode → exact int64
+    sum/sum-of-squares/peak. The oracle replicates analytically over
+    i in {0, 2, ..., 62} — any byte slip in the chunk walk, int16
+    endianness, interleave, or decimation changes the sums. Float-free
+    by construction."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    media = MM.synthesize_wav(ids, id_col="doc_id", n_samples=64,
+                              sample_rate=8000)
+    half = MM.downsample_audio(media, factor=2)
+    return MM.audio_stats(half)
+
+
 _BM25_QUERIES = [
     (0, "spark table join"),
     (1, "fast filter value"),
@@ -2676,6 +2694,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_incremental_dedup",
     "q_semantic_decon",
     "q_temperature_mixture",
+    "q_audio_decode",
     "q_bpe_vocab",
     "q_bpe_pack",
     "q_ivf_index_append",
@@ -2816,6 +2835,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_dedup": q_incremental_dedup,
         "q_semantic_decon": q_semantic_decon,
         "q_temperature_mixture": q_temperature_mixture,
+        "q_audio_decode": q_audio_decode,
         "q_bpe_vocab": q_bpe_vocab,
         "q_bpe_pack": q_bpe_pack,
         "q_corpus_profile": q_corpus_profile,
@@ -4450,6 +4470,26 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_tokens, 0.90), 6) AS p90,
                    round(quantile_cont(n_tokens, 0.99), 6) AS p99
             FROM d GROUP BY source
+        """,
+        # closed-form replay of synthesize_wav's integer tone decimated
+        # by 2: s(i) = ((id*31 + i*57) % 4096) - 2048 over even i < 64
+        "q_audio_decode": """
+            WITH ids AS (
+              SELECT doc_id AS media_id FROM documents WHERE doc_id < 64
+            ),
+            samp AS (
+              SELECT media_id,
+                     ((media_id * 31 + t.i * 57) % 4096) - 2048 AS s
+              FROM ids, unnest(range(0, 64, 2)) AS t(i)
+            )
+            SELECT media_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(4000 AS INT) AS sample_rate,
+                   CAST(sum(s) AS BIGINT) AS sum_samples,
+                   CAST(sum(s * s) AS BIGINT) AS sum_squares,
+                   CAST(max(abs(s)) AS INT) AS peak_abs
+            FROM samp GROUP BY media_id
         """,
         # same threshold arithmetic as q_mixture_sample with w = sqrt(c)
         # (IEEE sqrt is correctly rounded — bit-identical across engines)

@@ -81,6 +81,7 @@ HEADLINE = [
     "q_incremental_dedup",
     "q_semantic_decon",
     "q_temperature_mixture",
+    "q_audio_decode",
     "q_bpe_vocab",
     "q_ivf_index_append",
     "q_sq_index_ann",

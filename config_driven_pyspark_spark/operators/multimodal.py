@@ -8,8 +8,12 @@ shapes, partition sizing. Codecs:
   for uncompressed 24-bit BI_RGB BMP (encode + decode + nearest-neighbor
   resize + channel statistics). End-to-end image work (decode → resize →
   re-encode → stats) runs on actual decoded pixels.
+- WAV codec — REAL audio sample math, dependency-free: a pure-numpy
+  PCM16 RIFF/WAVE encoder/decoder with proper chunk walking, integer
+  decimation, and exact int64 sample statistics (the audio counterpart
+  of the BMP path). Compressed audio (MP3/AAC/OGG) stays gated.
 - ``decoder="fake"`` — deterministic hash-derived stand-ins for compressed
-  formats (JPEG/WAV/MP4) whose codec libraries are not in this container;
+  formats (JPEG/MP4) whose codec libraries are not in this container;
   tests stay reproducible.
 - ``decoder="real"`` — raises ``NotImplementedError`` naming the
   integration point (PIL/ffmpeg) for compressed formats.
@@ -324,6 +328,169 @@ def image_stats(
     return df.mapInPandas(compute, schema=_STATS_SCHEMA)
 
 
+# -- pure-numpy WAV codec (PCM16 RIFF/WAVE) ---------------------------------
+#
+# The audio counterpart of the BMP codec: 16-bit PCM WAV is the one audio
+# container decodable with zero codec dependencies (RIFF header + 'fmt '
+# chunk + little-endian int16 'data' chunk). decode → decimate → re-encode
+# → stats runs on actual sample bytes; compressed audio (MP3/AAC/OGG)
+# stays honestly gated behind decoder="real".
+
+_AUDIO_STATS_SCHEMA = (
+    "media_id bigint, n_samples bigint, n_channels int, sample_rate int, "
+    "sum_samples bigint, sum_squares bigint, peak_abs int"
+)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Encode an (n, channels) int16 numpy array as a PCM16 RIFF/WAVE
+    blob (little-endian, interleaved)."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    payload = samples.tobytes()  # row-major = interleaved frames
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM16 RIFF/WAVE blob → ((n, channels) int16 array,
+    sample_rate). Walks the chunk list properly (extra chunks like LIST
+    are skipped); non-PCM16 raises ``NotImplementedError`` naming the
+    gate rather than mis-parsing."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_fmt, ch, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 WAV is decodable dependency-free (got format "
+            f"{audio_fmt}, {bits}-bit); route compressed audio through "
+            "decoder='real' (ffmpeg integration point)"
+        )
+    arr = np.frombuffer(data, dtype="<i2")
+    return arr.reshape(-1, ch), rate
+
+
+def synthesize_wav(
+    df: DataFrame,
+    id_col: str = "media_id",
+    n_samples: int = 64,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic mono test-tone generator: one real PCM16 WAV per
+    input row. Sample formula (the external-oracle contract — pure
+    integer math, exactly replicable in SQL):
+
+        s(i) = ((id*31 + i*57) % 4096) - 2048
+    """
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype="int64")
+        for pdf in batches:
+            content = [
+                encode_wav(
+                    (((int(mid) * 31 + i * 57) % 4096) - 2048).astype("<i2"),
+                    sample_rate,
+                )
+                for mid in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "audio",
+                    "content": content,
+                    "meta": [
+                        {"width": None, "height": None,
+                         "sample_rate": sample_rate, "n_frames": n_samples}
+                    ] * len(pdf),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def downsample_audio(
+    df: DataFrame, factor: int, content_col: str = "content"
+) -> DataFrame:
+    """Integer decimation (every ``factor``-th frame kept) through a real
+    decode → slice → re-encode roundtrip; sample_rate divides by the
+    factor. Anti-alias filtering is a float DSP concern out of scope for
+    the exact-math path — documented, and irrelevant to the byte-level
+    contract this pins."""
+    if factor <= 0:
+        raise ValueError("factor must be positive")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for payload in pdf[content_col]:
+                arr, rate = decode_wav(payload)
+                content.append(encode_wav(arr[::factor], rate // factor))
+            pdf = pdf.copy()
+            pdf[content_col] = content
+            yield pdf
+
+    return df.mapInPandas(compute, schema=df.schema)
+
+
+def audio_stats(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode each WAV and emit exact integer observables — int64 sample
+    sum, int64 sum of squares (the energy numerator), and the peak
+    absolute amplitude. Float-free, so the whole audio roundtrip pins
+    bit-exactly against an external reimplementation (the BMP
+    ``image_stats`` pattern)."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "n_samples", "n_channels", "sample_rate",
+                "sum_samples", "sum_squares", "peak_abs",
+            )}
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                arr, rate = decode_wav(payload)
+                a = arr.astype("int64")
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(int(arr.shape[0]))
+                out["n_channels"].append(int(arr.shape[1]))
+                out["sample_rate"].append(int(rate))
+                out["sum_samples"].append(int(a.sum()))
+                out["sum_squares"].append(int((a * a).sum()))
+                out["peak_abs"].append(int(abs(a).max()) if a.size else 0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(compute, schema=_AUDIO_STATS_SCHEMA)
+
+
 def stage_multimodal(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "multimodal", "op": "extract_features"|"resize"|
     "sample_frames", "decoder": "fake"|"real", ...}``."""
@@ -342,6 +509,21 @@ def stage_multimodal(df: DataFrame, spec: dict) -> DataFrame:
         )
     if op == "image_stats":
         return image_stats(
+            df, spec.get("content_col", "content"),
+            spec.get("id_col", "media_id"),
+        )
+    if op == "synthesize_wav":
+        return synthesize_wav(
+            df, spec.get("id_col", "media_id"),
+            int(spec.get("n_samples", 64)),
+            int(spec.get("sample_rate", 8000)),
+        )
+    if op == "downsample_audio":
+        return downsample_audio(
+            df, int(spec["factor"]), spec.get("content_col", "content")
+        )
+    if op == "audio_stats":
+        return audio_stats(
             df, spec.get("content_col", "content"),
             spec.get("id_col", "media_id"),
         )

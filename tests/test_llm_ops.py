@@ -1420,6 +1420,70 @@ def test_bmp_feature_extraction_real_stats(spark):
     assert abs(f[6] - 4 / 1024) < 1e-6  # width
 
 
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    rng = np.arange(-300, 300, 7, dtype="<i2")
+    blob = M.encode_wav(rng, 8000)
+    arr, rate = M.decode_wav(blob)
+    assert rate == 8000 and arr.shape == (len(rng), 1)
+    assert (arr[:, 0] == rng).all()
+    # stereo interleave round-trips too
+    st = np.stack([rng, -rng], axis=1).astype("<i2")
+    arr2, _ = M.decode_wav(M.encode_wav(st, 44100))
+    assert (arr2 == st).all()
+
+
+def test_wav_chunk_walk_and_gates():
+    import struct
+
+    import numpy as np
+
+    blob = M.encode_wav(np.array([1, -2, 3], dtype="<i2"), 8000)
+    # inject an extra odd-sized chunk between WAVE and fmt — the walker
+    # must skip it (word-aligned) and still find fmt/data
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    patched = blob[:12] + extra + blob[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    arr, rate = M.decode_wav(patched)
+    assert arr[:, 0].tolist() == [1, -2, 3] and rate == 8000
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav(b"not audio at all")
+    # 8-bit / non-PCM formats are honestly gated
+    bad = bytearray(blob)
+    fmt_off = blob.index(b"fmt ") + 8
+    bad[fmt_off:fmt_off + 2] = struct.pack("<H", 3)  # IEEE float format
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        M.decode_wav(bytes(bad))
+
+
+def test_wav_pipeline_real_samples(spark):
+    """synthesize → decimate → stats over real WAV bytes matches the
+    closed-form integer expectation."""
+    ids = spark.createDataFrame([(7,), (12,)], "media_id bigint")
+    media = M.synthesize_wav(ids, n_samples=16, sample_rate=8000)
+    half = M.downsample_audio(media, factor=2)
+    rows = {r["media_id"]: r for r in M.audio_stats(half).collect()}
+    for mid in (7, 12):
+        samples = [((mid * 31 + i * 57) % 4096) - 2048 for i in range(0, 16, 2)]
+        r = rows[mid]
+        assert r["n_samples"] == 8 and r["sample_rate"] == 4000
+        assert r["sum_samples"] == sum(samples)
+        assert r["sum_squares"] == sum(s * s for s in samples)
+        assert r["peak_abs"] == max(abs(s) for s in samples)
+    # stage dispatch
+    out = M.stage_multimodal(
+        M.stage_multimodal(
+            ids, {"stage": "multimodal", "op": "synthesize_wav",
+                  "n_samples": 16}
+        ),
+        {"stage": "multimodal", "op": "audio_stats"},
+    )
+    assert out.count() == 2
+    with pytest.raises(ValueError, match="factor"):
+        M.downsample_audio(media, factor=0)
+
+
 def test_exact_dedup_keep_by_quality(spark):
     df = spark.createDataFrame(
         [(1, "same text", 2.0), (2, "same text", 9.0), (3, "other", 1.0)],
