@@ -790,17 +790,28 @@ def span_dedup(
     per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
-    sp = F.coalesce(
-        F.col("spans"),
-        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    # covered token positions as one flat array, tested with
+    # array_contains — NOT an exists() lambda nested inside the filter
+    # lambda: Spark 4's interpreted projection (e.g. the input projection
+    # of a downstream Arrow-batched UDF) cannot evaluate a
+    # nested-lambda-over-outer-index expression (INTERNAL_ERROR "Cannot
+    # evaluate expression", hit when bpe_encode consumed strip output);
+    # the flattened form evaluates everywhere. Size is bounded by
+    # tokens-per-doc either way.
+    covered = F.flatten(
+        F.transform(
+            F.coalesce(
+                F.col("spans"),
+                F.array().cast(
+                    "array<struct<span_start:bigint,span_end:bigint>>"
+                ),
+            ),
+            lambda s: F.sequence(s["span_start"], s["span_end"] - 1),
+        )
     )
     kept = F.filter(
         F.col("w"),
-        lambda t, i: ~F.exists(
-            sp,
-            lambda s: (i.cast("bigint") >= s["span_start"])
-            & (i.cast("bigint") < s["span_end"]),
-        ),
+        lambda t, i: ~F.array_contains(covered, i.cast("bigint")),
     )
     return (
         base.join(per_doc, "id", "left")

@@ -119,3 +119,24 @@ def test_pq_compressed_search_example(spark):
         assert [r for r, _ in rs] == list(range(1, len(rs) + 1)), q
         cos = [c for _, c in rs]
         assert cos == sorted(cos, reverse=True), q
+
+
+def test_tokenizer_pipeline_example(spark):
+    with open(os.path.join(EXAMPLES, "tokenizer_pipeline.yaml")) as fh:
+        text = fh.read()
+    result = Pipeline.from_yaml(text).run(
+        spark,
+        variables={
+            "input": "/root/testdata/sf0.001/documents.parquet",
+            "seq_len": 256,
+        },
+    )
+    assert result.columns == ["seq_id", "n_docs", "n_tokens", "seq_text"]
+    rows = result.orderBy("seq_id").collect()
+    assert len(rows) > 1
+    # every sequence except the final partial is exactly seq_len BPE
+    # tokens, and the packed text is BPE symbols (merged subwords occur)
+    assert all(r["n_tokens"] == 256 for r in rows[:-1])
+    assert 0 < rows[-1]["n_tokens"] <= 256
+    toks = set(rows[0]["seq_text"].split(" "))
+    assert any(len(t) > 1 for t in toks)  # at least one merge applied
