@@ -2681,26 +2681,15 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 7: NEW queries only (added as they land this round).  Keep
-    # this list EXACT — it is the rotation's primary control (VERDICT r6
-    # flagged r6's "eight new" comment listing seven).  The five
-    # two-rounds-stale queries (q_csv_roundtrip, q_minhash_pairs,
-    # q_nested_transform_events, q_sessionize_events, q_stream_dedup,
-    # last green r4) need no entry here: the least-recently-verified
-    # sort fronts them automatically right after this list.
-    "q_span_dedup",
-    "q_span_strip",
-    "q_hybrid_search",
-    "q_incremental_dedup",
-    "q_semantic_decon",
-    "q_temperature_mixture",
-    "q_audio_decode",
-    "q_bpe_vocab",
-    "q_bpe_pack",
-    "q_ivf_index_append",
-    "q_sq_index_ann",
-    "q_corpus_profile",
-    "q_stateful_running",
+    # round 8: NEW queries only (added as they land this round).  Keep
+    # this list EXACT — it is the rotation's primary control.  The 18
+    # r5-stale queries (q03, q12, q_bm25_search, q_date_features_orders,
+    # q_events_gapfill/hourly/interp/locf, q_grouping_sets_orders,
+    # q_pivot_events, q_range_join_price_bands, q_retention_cohorts,
+    # q_sql_stage_status_revenue, q_udaf_median, q_unpivot_metrics,
+    # q_window_ntile_orders, q_window_range_frame, q_window_topk_parts)
+    # need no entry here: the least-recently-verified sort fronts them
+    # automatically right after this list (VERDICT r7 ask #2).
 ]
 
 

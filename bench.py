@@ -175,20 +175,12 @@ def main() -> None:
         spreads[name] = runs
 
     total = round(sum(timings.values()), 3)
-    # stdout carries EXACTLY the compact one-line summary the driver parses
-    # (r6 lesson: appending per-run spreads to this line pushed it past the
-    # driver's tail capture and BENCH_r06.json recorded parsed:null). The
-    # spreads still matter for judging regressions against a distribution,
-    # so they go to stderr AND to bench_runs_latest.json next to this file.
-    print(json.dumps({
-        "metric": "total_query_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }))
+    # Per-run spreads persist ONLY to bench_runs_latest.json (committed, so
+    # regressions can be judged against a distribution without re-running).
+    # They must never hit stdout OR stderr: the driver's tail capture merges
+    # both streams, and in r6 (stdout) and r7 (stderr) the ~3 kB detail line
+    # displaced the summary line out of the capture window (parsed:null).
     detail = {"runs": spreads, "repeat_base": repeat, "sf": sf, "total": total}
-    print(json.dumps(detail), file=sys.stderr)
     try:
         runs_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_runs_latest.json"
@@ -197,7 +189,17 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass  # spreads are advisory; never fail the bench over them
+    # Stop Spark BEFORE printing the summary so its shutdown logging (stderr)
+    # cannot land after — the summary must be the FINAL line of the merged
+    # stdout+stderr stream the driver captures.
     spark.stop()
+    print(json.dumps({
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }), flush=True)
 
 
 if __name__ == "__main__":
