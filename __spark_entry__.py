@@ -2404,6 +2404,47 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.rrf_fuse([bm, kn], k=10)
 
 
+def q_hybrid_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval riding the PERSISTED ANN tier (VERDICT r7 ask
+    #4): BM25 lexical top-20 fused with the int8-quantized persisted IVF
+    index queried through similarity.py::ivf_query_index with the new
+    exact-rerank tail — per query, the top-40 candidates by DEQUANTIZED
+    cosine come off the pruned postings scan (static PartitionFilters on
+    3 probed cell directories), then are exact-rescored against the true
+    corpus vectors and cut to top-20 (the standard ANN+rerank
+    deployment). rrf_fuse combines both rankings into one top-10. Every
+    piece is bit-replicable: int8 codes/scales are floor-exact (the
+    q_sq_index_ann pin), the rerank pool is therefore exact, and the
+    oracle re-derives BM25, the dequantized pool, the exact re-scoring,
+    and the list-order RRF sum. The index itself is SHARED with
+    q_sq_index_ann (same fingerprint-keyed scratch dir, same build
+    params) — built once, queried by both rows, exactly the
+    build-once/query-many economics the persisted tier exists for. At
+    100 TB the fusion inputs stay |queries|x20 rows; the corpus-sized
+    work is the pruned cell scan plus a |queries|x40-row rerank join."""
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src, path, needs_build = _cached_index_dir(sf_dir, "cdp_sq_index")
+    emb = spark.read.parquet(src)
+    if needs_build:
+        SIM.ivf_build_index(
+            emb, path, n_centroids=16, centroids="sample",
+            quantization="int8",
+        )
+    qd = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    bm = CORPUS.bm25_topk(docs, qd, k=20).select(
+        "query_id", F.col("doc_id").alias("neighbor_id"), "rank"
+    )
+    ann = SIM.ivf_query_index(
+        spark, path, emb.filter(F.col("vec_id") < 3), k=20, nprobe=3,
+        rerank=40, corpus=emb,
+    ).select("query_id", "neighbor_id", "rank")
+    return SIM.rrf_fuse([bm, ann], k=10)
+
+
 def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """span_dedup's STRIP mode (the removal surface of the round's
     repeated-span operator): every span-covered token is removed and
@@ -2690,6 +2731,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # q_window_ntile_orders, q_window_range_frame, q_window_topk_parts)
     # need no entry here: the least-recently-verified sort fronts them
     # automatically right after this list (VERDICT r7 ask #2).
+    "q_hybrid_index_search",
 ]
 
 
@@ -2821,6 +2863,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_span_strip": q_span_strip,
         "q_hybrid_search": q_hybrid_search,
+        "q_hybrid_index_search": q_hybrid_index_search,  # persisted-tier, r8
         "q_incremental_dedup": q_incremental_dedup,
         "q_semantic_decon": q_semantic_decon,
         "q_temperature_mixture": q_temperature_mixture,
@@ -3006,6 +3049,85 @@ _AVG_TOK_LEN = (
     f"list_aggregate(list_transform({_TOKENS}, t -> length(t)), 'sum') "
     f"* 1.0 / len({_TOKENS})"
 )
+
+
+# BM25 top-20 for the first three documents as queries (the lexical
+# component) + the unit-vector base CTEs — shared by q_hybrid_search
+# and q_hybrid_index_search, which differ only in their ANN side (exact
+# brute force vs persisted int8 index + exact rerank)
+_HYBRID_BM25_CTES = """
+            WITH q(query_id, query_text) AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 3
+            ),
+            qterms AS (
+              SELECT query_id,
+                     unnest(list_distinct(list_filter(
+                       string_split(lower(query_text), ' '), t -> t != '')))
+                       AS term
+              FROM q),
+            vocab AS (SELECT DISTINCT term FROM qterms),
+            b2 AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t != '') AS toks
+              FROM documents),
+            b3 AS (SELECT doc_id, len(toks) AS dl, toks FROM b2),
+            stats AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM b3),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b3)
+              WHERE term IN (SELECT term FROM vocab)
+              GROUP BY doc_id, dl, term),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT qt.query_id, tf.doc_id,
+                     CAST(round(
+                       ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)),
+                       9) AS DECIMAL(18,9)) AS c
+              FROM tf
+              JOIN dft USING (term)
+              JOIN qterms qt USING (term)
+              CROSS JOIN stats s),
+            bm AS (
+              SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY CAST(sum(c) AS DOUBLE) DESC, doc_id)
+                         AS rank
+                FROM contrib GROUP BY query_id, doc_id
+              ) WHERE rank <= 20),
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            unitv AS (
+              SELECT vec_id,
+                     list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                       AS u
+              FROM v)"""
+
+# list-order RRF sum + top-10 cut over (bm, kn) — the fusion tail both
+# hybrid oracles share
+_HYBRID_FUSE_SQL = """,
+            fused AS (
+              SELECT coalesce(b.query_id, n.query_id) AS query_id,
+                     coalesce(b.doc_id, n.neighbor_id) AS neighbor_id,
+                     round(coalesce(1.0/(60 + b.rank), 0)
+                           + coalesce(1.0/(60 + n.rank), 0), 9) AS rrf_score
+              FROM bm b FULL OUTER JOIN kn n
+                ON b.query_id = n.query_id AND b.doc_id = n.neighbor_id
+            )
+            SELECT query_id, neighbor_id, rank, rrf_score FROM (
+              SELECT query_id, neighbor_id, rrf_score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rrf_score DESC,
+                                                 neighbor_id) AS rank
+              FROM fused
+            ) WHERE rank <= 10
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4541,59 +4663,7 @@ def oracle_sql() -> dict[str, str]:
         # exact cosine (k=20) re-derived exactly as their standalone
         # oracles, then fused with the identical bm-then-knn coalesced
         # addition order and round-9-before-rank
-        "q_hybrid_search": """
-            WITH q(query_id, query_text) AS (
-              SELECT doc_id, text FROM documents WHERE doc_id < 3
-            ),
-            qterms AS (
-              SELECT query_id,
-                     unnest(list_distinct(list_filter(
-                       string_split(lower(query_text), ' '), t -> t != '')))
-                       AS term
-              FROM q),
-            vocab AS (SELECT DISTINCT term FROM qterms),
-            b2 AS (
-              SELECT doc_id,
-                     list_filter(string_split(lower(text), ' '),
-                                 t -> t != '') AS toks
-              FROM documents),
-            b3 AS (SELECT doc_id, len(toks) AS dl, toks FROM b2),
-            stats AS (
-              SELECT count(*) AS n_docs,
-                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-              FROM b3),
-            tf AS (
-              SELECT doc_id, dl, term, count(*) AS tf
-              FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b3)
-              WHERE term IN (SELECT term FROM vocab)
-              GROUP BY doc_id, dl, term),
-            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-            contrib AS (
-              SELECT qt.query_id, tf.doc_id,
-                     CAST(round(
-                       ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
-                       * (tf.tf * 2.2)
-                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)),
-                       9) AS DECIMAL(18,9)) AS c
-              FROM tf
-              JOIN dft USING (term)
-              JOIN qterms qt USING (term)
-              CROSS JOIN stats s),
-            bm AS (
-              SELECT query_id, doc_id, rank FROM (
-                SELECT query_id, doc_id,
-                       row_number() OVER (
-                         PARTITION BY query_id
-                         ORDER BY CAST(sum(c) AS DOUBLE) DESC, doc_id)
-                         AS rank
-                FROM contrib GROUP BY query_id, doc_id
-              ) WHERE rank <= 20),
-            v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-            unitv AS (
-              SELECT vec_id,
-                     list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
-                       AS u
-              FROM v),
+        "q_hybrid_search": _HYBRID_BM25_CTES + """,
             kn AS (
               SELECT query_id, neighbor_id, rank FROM (
                 SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -4603,23 +4673,66 @@ def oracle_sql() -> dict[str, str]:
                                   c.vec_id) AS rank
                 FROM unitv qv JOIN unitv c ON qv.vec_id <> c.vec_id
                 WHERE qv.vec_id < 3
-              ) WHERE rank <= 20),
-            fused AS (
-              SELECT coalesce(b.query_id, n.query_id) AS query_id,
-                     coalesce(b.doc_id, n.neighbor_id) AS neighbor_id,
-                     round(coalesce(1.0/(60 + b.rank), 0)
-                           + coalesce(1.0/(60 + n.rank), 0), 9) AS rrf_score
-              FROM bm b FULL OUTER JOIN kn n
-                ON b.query_id = n.query_id AND b.doc_id = n.neighbor_id
-            )
-            SELECT query_id, neighbor_id, rank, rrf_score FROM (
-              SELECT query_id, neighbor_id, rrf_score,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY rrf_score DESC,
-                                                 neighbor_id) AS rank
-              FROM fused
-            ) WHERE rank <= 10
-        """,
+              ) WHERE rank <= 20)
+        """ + _HYBRID_FUSE_SQL,
+        # hybrid over the PERSISTED index: same BM25 block; the ANN side
+        # replays the int8 index (q_sq_index_ann's assignment + floor-
+        # exact dequantized scoring), widens to a top-40 approx pool,
+        # exact-rescores it against the true unit vectors (the rerank
+        # tail), and fuses identically
+        "q_hybrid_index_search": _HYBRID_BM25_CTES + """,
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx,
+                     u AS cu
+              FROM unitv ORDER BY vec_id LIMIT 16),
+            assign AS (
+              SELECT v2.vec_id, v2.u, c.cell_idx,
+                     row_number() OVER (
+                       PARTITION BY v2.vec_id
+                       ORDER BY list_dot_product(v2.u, c.cu) DESC,
+                                c.cell_idx) AS pr
+              FROM unitv v2 CROSS JOIN cent c),
+            q8 AS (
+              SELECT vec_id,
+                     list_max(list_transform(u, x -> abs(x))) / 127.0 AS sc,
+                     u
+              FROM unitv),
+            deq AS (
+              SELECT vec_id,
+                     list_transform(u, x -> floor(x / sc + 0.5) * sc) AS uq
+              FROM q8),
+            corpus_cells AS (
+              SELECT a.vec_id, d.uq, a.cell_idx
+              FROM assign a JOIN deq d ON a.vec_id = d.vec_id
+              WHERE a.pr = 1),
+            query_cells AS (
+              SELECT vec_id, u, cell_idx FROM assign
+              WHERE pr <= 3 AND vec_id < 3),
+            pool AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT qc.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY qc.vec_id
+                         ORDER BY round(list_dot_product(qc.u, c.uq), 6)
+                                    DESC,
+                                  c.vec_id) AS arank
+                FROM query_cells qc
+                JOIN corpus_cells c ON qc.cell_idx = c.cell_idx
+                                   AND qc.vec_id <> c.vec_id
+              ) WHERE arank <= 40),
+            kn AS (
+              SELECT query_id, neighbor_id, rank FROM (
+                SELECT p.query_id, p.neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY p.query_id
+                         ORDER BY round(list_dot_product(qu.u, cu2.u), 6)
+                                    DESC,
+                                  p.neighbor_id) AS rank
+                FROM pool p
+                JOIN unitv qu ON qu.vec_id = p.query_id
+                JOIN unitv cu2 ON cu2.vec_id = p.neighbor_id
+              ) WHERE rank <= 20)
+        """ + _HYBRID_FUSE_SQL,
         # strip mode: same span derivation as q_span_dedup, then covered
         # positions anti-joined away and text rebuilt in position order
         "q_span_strip": """

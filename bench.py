@@ -87,6 +87,8 @@ HEADLINE = [
     "q_sq_index_ann",
     "q_corpus_profile",
     "q_stateful_running",
+    # round 8 additions (same per-query comparison convention)
+    "q_hybrid_index_search",
 ]
 
 

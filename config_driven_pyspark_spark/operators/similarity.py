@@ -1029,6 +1029,8 @@ def ivf_query_index(
     vec_col: str = "embedding",
     nprobe: int = 4,
     broadcast_queries: bool = True,
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index built by :func:`ivf_build_index`.
 
@@ -1048,7 +1050,26 @@ def ivf_query_index(
     loaded, and candidates are ADC-scored on reconstructions — results
     identical to :func:`ivfpq_topk` with the same codebooks, score
     column ``approx_cosine``.
+
+    ``rerank`` (>= k) switches on the standard ANN+rerank deployment:
+    the per-query approximate pool is widened to ``rerank`` candidates,
+    then exact-rescored against ``corpus`` (the TRUE vectors — required,
+    since pq/int8 postings only store lossy codes) and cut to top-k
+    exact cosines (score column ``cosine``). A |queries|·rerank-row
+    join — the only place full vectors are touched again — so the
+    pruned-cells scan economics are unchanged at scale.
     """
+    if rerank:
+        if rerank < k:
+            raise ValueError(
+                f"rerank pool ({rerank}) must be >= k ({k})"
+            )
+        if corpus is None:
+            raise ValueError(
+                "rerank needs corpus=<the true-vector DataFrame>: pq/int8 "
+                "postings store only lossy codes, so exact re-scoring must "
+                "read the original vectors"
+            )
     # name the exact missing piece rather than letting a downstream
     # AnalysisException (which could equally mean a bad queries frame)
     # masquerade as "index absent" (ADVICE r5)
@@ -1103,6 +1124,16 @@ def ivf_query_index(
             f"carry the {actual} layout but the manifest says {declared} — "
             "rebuild the index with ivf_build_index"
         )
+    pool_k = rerank or k
+
+    def _tail(approx: DataFrame) -> DataFrame:
+        if not rerank:
+            return approx
+        return _rerank_exact(
+            approx, corpus, queries, k, rerank, id_col, vec_col,
+            broadcast_queries,
+        )
+
     if declared == "int8":
         # dequantize in pure Column math (map-only, codegen): every code
         # is an exact small integer and the scale an exact double, so the
@@ -1116,9 +1147,9 @@ def ivf_query_index(
                 lambda x: x.cast("double") * F.col("__qscale"),
             ).alias("cv"),
         )
-        return _score_probed_cells(
-            c, q, k, broadcast_queries, score_col="approx_cosine"
-        )
+        return _tail(_score_probed_cells(
+            c, q, pool_k, broadcast_queries, score_col="approx_cosine"
+        ))
     if manifest.get("pq_m"):
         import numpy as np
 
@@ -1138,10 +1169,10 @@ def ivf_query_index(
             ),
         )
         c = c.select("neighbor_id", "cell", _pq_recon_col(cb).alias("cv"))
-        return _score_probed_cells(
-            c, q, k, broadcast_queries, score_col="approx_cosine"
-        )
-    return _score_probed_cells(c, q, k, broadcast_queries)
+        return _tail(_score_probed_cells(
+            c, q, pool_k, broadcast_queries, score_col="approx_cosine"
+        ))
+    return _tail(_score_probed_cells(c, q, pool_k, broadcast_queries))
 
 
 def pq_train_codebooks(
@@ -1552,7 +1583,9 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     the IVF one), "broadcast_queries": bool, "centroids_path":
     <parquet path — ivf loads an existing codebook / saves after training>,
     "index_path": <dir — ivf queries a persisted cell-partitioned index,
-    building it first if absent (see ivf_build_index/ivf_query_index)>}``.
+    building it first if absent (see ivf_build_index/ivf_query_index);
+    with "rerank": N the approximate pool widens to N and is
+    exact-rescored against the stage input's true vectors>}``.
 
     ``broadcast_queries`` (brute_force/ivf) assumes the query set fits in
     a broadcast — the usual few-to-thousands lookup case. Set it false for
@@ -1633,6 +1666,10 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
                 spark, index_path, queries, k, id_col, vec_col,
                 int(spec.get("nprobe", 4)),
                 spec.get("broadcast_queries", bool(spec.get("queries"))),
+                int(spec.get("rerank", 0)),
+                # df is the corpus the index was built from/validated
+                # against — the true vectors exact rerank re-scores with
+                df if spec.get("rerank") else None,
             )
         return ivf_topk(
             df, queries, k, id_col, vec_col,

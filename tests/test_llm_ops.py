@@ -557,6 +557,73 @@ def test_ivfpq_persisted_index_matches_ivfpq_topk(spark, embeddings, tmp_path):
     assert postings_bytes(pqp) * 3 < postings_bytes(flat)
 
 
+def test_ivf_query_index_exact_rerank(spark, embeddings, tmp_path):
+    """VERDICT r7 ask #4: ivf_query_index(rerank=N) widens the approx
+    pool to N and exact-rescores it against the true corpus vectors —
+    on an int8 index the reranked scores must be the TRUE cosines (the
+    flat index's values for the same pool), the score column is
+    ``cosine``, and validation names bad arguments."""
+    flat, sq = str(tmp_path / "flat_idx"), str(tmp_path / "sq_idx")
+    queries = embeddings.limit(3)
+    S.ivf_build_index(embeddings, flat, n_centroids=8)
+    S.ivf_build_index(embeddings, sq, n_centroids=8, quantization="int8")
+    # rerank pool = everything the probed cells hold → the reranked int8
+    # result must EQUAL the flat index's exact result (same candidates,
+    # both scored by true cosine)
+    reranked = S.ivf_query_index(
+        spark, sq, queries, k=5, nprobe=2, rerank=10_000, corpus=embeddings
+    )
+    exact = S.ivf_query_index(spark, flat, queries, k=5, nprobe=2)
+    assert reranked.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    assert sorted(map(tuple, reranked.collect())) == \
+        sorted(map(tuple, exact.collect()))
+    with pytest.raises(ValueError, match="rerank needs corpus"):
+        S.ivf_query_index(spark, sq, queries, k=5, rerank=20)
+    with pytest.raises(ValueError, match="must be >= k"):
+        S.ivf_query_index(
+            spark, sq, queries, k=5, rerank=3, corpus=embeddings
+        )
+
+
+def test_stage_similarity_index_rerank_and_hybrid_config(
+    spark, embeddings, tmp_path
+):
+    """Config story for hybrid-over-the-persisted-tier: an ivf stage with
+    index_path + rerank rides the persisted index and exact-reranks; its
+    named output fuses through method=rrf — the whole composition
+    expressible as stages, no code."""
+    from config_driven_pyspark_spark.operators.similarity import stage_similarity
+
+    path = str(tmp_path / "cfg_idx")
+
+    class Ctx(dict):
+        pass
+
+    ctx = Ctx()
+    ctx["qs"] = embeddings.limit(3)
+    ann = stage_similarity(
+        embeddings,
+        {"stage": "similarity", "method": "ivf", "index_path": path,
+         "n_centroids": 8, "nprobe": 2, "k": 5, "rerank": 20,
+         "quantization": "int8", "queries": "qs"},
+        ctx,
+    )
+    assert ann.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    ctx["ann"] = ann
+    ctx["lex"] = ann  # stand-in second ranking; fusion math is what's under test
+    fused = stage_similarity(
+        embeddings,
+        {"stage": "similarity", "method": "rrf",
+         "rankings": ["lex", "ann"], "k": 3},
+        ctx,
+    )
+    rows = fused.collect()
+    assert len(rows) == 9  # 3 queries x top-3
+    # identical rankings fused => score is exactly 2/(60+rank)
+    for r in rows:
+        assert r["rrf_score"] == round(2.0 / (60 + r["rank"]), 9)
+
+
 def test_ivf_index_partial_builds_name_the_problem(spark, embeddings, tmp_path):
     """Review r6: a build that died between the postings write and the
     manifest write (or a lost manifest/pq_codebooks dir) must raise a
