@@ -1510,6 +1510,46 @@ def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_query_index(spark, path, queries, k=5, nprobe=3)
 
 
+def q_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance lifecycle in one row (similarity.py::
+    ivf_compact_index, VERDICT r7 ask #7): build on the even vec_ids,
+    append the odd half (mode-append leaves the appended cells with
+    extra small files), COMPACT — a manifest-row-count-verified rewrite
+    to one file per cell, swapped in atomically — then query. The
+    query function itself asserts the physical contract the DataFrame
+    can't show: after compaction every cell directory holds exactly one
+    parquet file, and the manifest records the compaction. The oracle
+    is q_ivf_index_append's VERBATIM (same build/append/query shape):
+    a green hash proves compaction changed the physical layout and
+    nothing else — no row lost, duplicated, or re-celled. Scratch
+    lifecycle identical to q_ivf_index_ann (fingerprint-keyed reuse)."""
+    import glob as _glob
+    import os as _os
+
+    src, path, needs_build = _cached_index_dir(sf_dir, "cdp_ivf_compact")
+    emb = spark.read.parquet(src)
+    if needs_build:
+        SIM.ivf_build_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path,
+            n_centroids=16, centroids="sample",
+        )
+        SIM.ivf_append_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+        SIM.ivf_compact_index(spark, path)
+        per_cell = [
+            len(_glob.glob(_os.path.join(cell_dir, "*.parquet")))
+            for cell_dir in _glob.glob(_os.path.join(path, "postings", "cell=*"))
+        ]
+        if not per_cell or any(n != 1 for n in per_cell):
+            raise AssertionError(
+                f"compaction left files-per-cell {per_cell} (want all 1)"
+            )
+        manifest = SIM.read_index_manifest(spark, path) or {}
+        if int(manifest.get("compactions") or 0) < 1:
+            raise AssertionError("manifest does not record the compaction")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivf_query_index(spark, path, queries, k=5, nprobe=3)
+
+
 def q_sq_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized persisted IVF index (similarity.py::ivf_build_index
     quantization="int8", VERDICT r6 ask #6): postings store each UNIT
@@ -2732,6 +2772,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # need no entry here: the least-recently-verified sort fronts them
     # automatically right after this list (VERDICT r7 ask #2).
     "q_hybrid_index_search",
+    "q_ivf_compact",
 ]
 
 
@@ -2834,6 +2875,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": q_ivf_ann,
         "q_ivf_index_ann": q_ivf_index_ann,
         "q_ivf_index_append": q_ivf_index_append,
+        "q_ivf_compact": q_ivf_compact,  # append->compact->query, r8
         "q_sq_index_ann": q_sq_index_ann,
         "q_streaming_asof": q_streaming_asof,
         "q_sink_roundtrip": q_sink_roundtrip,
@@ -3108,6 +3150,41 @@ _HYBRID_BM25_CTES = """
                      list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
                        AS u
               FROM v)"""
+
+# IVF built on the even half, odd half appended, queries vec_id < 8 at
+# k=5/nprobe=3 — shared verbatim by q_ivf_index_append and q_ivf_compact
+# (compaction is a pure physical rewrite, so the answers must be equal)
+_IVF_APPEND_ORACLE_SQL = _COSINE_CTE + """
+            , cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx,
+                     u AS cu
+              FROM unitv WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT v.vec_id, v.u, c.cell_idx,
+                     row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.u, c.cu) DESC,
+                                c.cell_idx) AS pr
+              FROM unitv v CROSS JOIN cent c
+            ),
+            corpus_cells AS (
+              SELECT vec_id, u, cell_idx FROM assign WHERE pr = 1),
+            query_cells AS (
+              SELECT vec_id, u, cell_idx FROM assign
+              WHERE pr <= 3 AND vec_id < 8)
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.u, c.u), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.u, c.u), 6) DESC,
+                                c.vec_id) AS rank
+              FROM query_cells q
+              JOIN corpus_cells c ON q.cell_idx = c.cell_idx
+                                 AND q.vec_id <> c.vec_id
+            ) WHERE rank <= 5
+        """
 
 # list-order RRF sum + top-10 cut over (bm, kn) — the fusion tail both
 # hybrid oracles share
@@ -3859,37 +3936,13 @@ def oracle_sql() -> dict[str, str]:
         # the even half); the appended odd half is scored as part of the
         # full corpus — any append-path slip (wrong cell, wrong payload,
         # stale manifest) breaks the hash
-        "q_ivf_index_append": _COSINE_CTE + """
-            , cent AS (
-              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx,
-                     u AS cu
-              FROM unitv WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16
-            ),
-            assign AS (
-              SELECT v.vec_id, v.u, c.cell_idx,
-                     row_number() OVER (
-                       PARTITION BY v.vec_id
-                       ORDER BY list_dot_product(v.u, c.cu) DESC,
-                                c.cell_idx) AS pr
-              FROM unitv v CROSS JOIN cent c
-            ),
-            corpus_cells AS (
-              SELECT vec_id, u, cell_idx FROM assign WHERE pr = 1),
-            query_cells AS (
-              SELECT vec_id, u, cell_idx FROM assign
-              WHERE pr <= 3 AND vec_id < 8)
-            SELECT query_id, neighbor_id, rank, cosine FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     round(list_dot_product(q.u, c.u), 6) AS cosine,
-                     row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY round(list_dot_product(q.u, c.u), 6) DESC,
-                                c.vec_id) AS rank
-              FROM query_cells q
-              JOIN corpus_cells c ON q.cell_idx = c.cell_idx
-                                 AND q.vec_id <> c.vec_id
-            ) WHERE rank <= 5
-        """,
+        "q_ivf_index_append": _IVF_APPEND_ORACLE_SQL,
+        # compaction must be a pure physical rewrite: the compacted
+        # index answers EXACTLY like the freshly-appended one, so the
+        # oracle is q_ivf_index_append's verbatim — any row lost,
+        # duplicated, or re-celled by the rewrite breaks the hash (the
+        # files-per-cell restoration is asserted inside the query fn)
+        "q_ivf_compact": _IVF_APPEND_ORACLE_SQL,
         "q08_market_share": f"""
             SELECT o_year,
                    round(CAST(sum(CASE WHEN s_nation = 'NATION_3'

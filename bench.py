@@ -89,6 +89,7 @@ HEADLINE = [
     "q_stateful_running",
     # round 8 additions (same per-query comparison convention)
     "q_hybrid_index_search",
+    "q_ivf_compact",
 ]
 
 
