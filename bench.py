@@ -90,6 +90,7 @@ HEADLINE = [
     # round 8 additions (same per-query comparison convention)
     "q_hybrid_index_search",
     "q_ivf_compact",
+    "q_png_decode",
 ]
 
 
