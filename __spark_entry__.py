@@ -2539,19 +2539,22 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
-def _bpe_train_ctes(n_merges: int = 8, max_words: int = 10_000) -> list[str]:
+def _bpe_train_ctes(
+    n_merges: int = 8, max_words: int = 10_000, src: str = "documents"
+) -> list[str]:
     """Chained-CTE DuckDB replay of bpe_train: w0 = capped word table with
     char symbols; round k = (m{k}: argmax pair by (count DESC, lhs, rhs);
     w{k}: greedy fold applying it). Generated programmatically — the
     rounds are textually identical up to the index. Shared by
-    q_bpe_vocab (emits the merge table) and q_bpe_pack (re-applies the
-    merges to encode + pack)."""
+    q_bpe_vocab (emits the merge table), q_bpe_pack (re-applies the
+    merges to encode + pack) and q_e2e_pretrain (``src`` = the cleaned
+    corpus CTE instead of the raw table)."""
     parts = [f"""
 freq AS (
   SELECT t AS word, count(*) AS freq
   FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
           AS t
-        FROM documents)
+        FROM {src})
   GROUP BY t
 ),
 w0 AS (
@@ -2590,25 +2593,25 @@ def _bpe_vocab_oracle(n_merges: int = 8, max_words: int = 10_000) -> str:
     return "WITH " + ",".join(parts) + "\n" + unions
 
 
-def _bpe_pack_oracle(
-    n_merges: int = 8, max_words: int = 10_000, seq_len: int = 128
-) -> str:
-    """q_bpe_pack's replay: train (shared CTEs), ENCODE every distinct
-    document word by re-applying the merges in rank order (same fold),
-    rebuild each document's BPE token stream, then run the exact
+def _bpe_encode_pack_parts(
+    n_merges: int = 8, seq_len: int = 128, src: str = "documents"
+) -> tuple[list[str], str]:
+    """The encode+pack half of the BPE replay, parameterized by source
+    relation: (CTE parts, final SELECT). ENCODE every distinct document
+    word by re-applying the merges in rank order (same fold), rebuild
+    each document's BPE token stream, then run the exact
     q_pack_sequences packing logic over the BPE tokens."""
-    parts = _bpe_train_ctes(n_merges, max_words)
-    parts.append("""
+    parts = [f"""
 dwords AS (
   SELECT DISTINCT t AS word
   FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
           AS t
-        FROM documents)
+        FROM {src})
 ),
 e0 AS (
   SELECT word, [word[i:i] for i in range(1, len(word)+1)] AS syms
   FROM dwords
-)""")
+)"""]
     for k in range(1, n_merges + 1):
         parts.append(f"""
 e{k} AS (
@@ -2624,7 +2627,7 @@ toks2 AS (
   SELECT doc_id,
          list_filter(string_split(text, ' '), x -> x != '') AS dw,
          md5(CAST(doc_id AS VARCHAR)) AS ok
-  FROM documents
+  FROM {src}
 ),
 dt AS (
   SELECT doc_id, ok, t.i AS pos, dw[t.i] AS word
@@ -2659,14 +2662,153 @@ cut AS (
          w
   FROM pieces
 )""")
-    return (
-        "WITH " + ",".join(parts) + f"""
+    final = """
 SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(m) AS BIGINT) AS n_tokens,
        string_agg(array_to_string(w[a : a+m-1], ' '), ' '
                   ORDER BY off) AS seq_text
 FROM cut GROUP BY seq_id"""
+    return parts, final
+
+
+def _bpe_pack_oracle(
+    n_merges: int = 8, max_words: int = 10_000, seq_len: int = 128
+) -> str:
+    """q_bpe_pack's replay: train (shared CTEs) + encode + pack."""
+    parts = _bpe_train_ctes(n_merges, max_words)
+    ep, final = _bpe_encode_pack_parts(n_merges, seq_len)
+    return "WITH " + ",".join(parts + ep) + "\n" + final
+
+
+def _e2e_clean_ctes(window: int = 16, ngram_n: int = 5) -> list[str]:
+    """The cleaning half of q_e2e_pretrain's replay, ending in a
+    ``clean(doc_id, text)`` CTE: temperature mixture (alpha=0.5 over
+    lang — q_temperature_mixture's SQL), benchmark split-off (source =
+    'src0'), span-strip over the rest (q_span_strip's SQL), exact dedup
+    on the STRIPPED text (q_dedup_exact_docs' fingerprint), and n-gram
+    decontamination against the benchmark (q_contamination's gram
+    formula at n={ngram_n}). Each block is the already-green standalone
+    oracle re-sourced from the previous stage's CTE."""
+    n1 = ngram_n - 1
+    return [f"""
+cnt0 AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY lang
+),
+mx0 AS (SELECT min(c / sqrt(c)) AS tv FROM cnt0),
+thr0 AS (
+  SELECT lang,
+         CASE WHEN floor(tv * sqrt(c) / c * 256) >= 256 THEN 'g'
+              ELSE printf('%02x', CAST(floor(tv * sqrt(c) / c * 256) AS INT))
+         END AS h
+  FROM cnt0, mx0
+),
+mix AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN thr0 ON d.lang = thr0.lang
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < h
+),
+bench AS (SELECT doc_id, text FROM mix WHERE source = 'src0'),
+rest AS (SELECT doc_id, text FROM mix WHERE source <> 'src0'),
+toks0 AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS w
+  FROM rest
+),
+wins AS (
+  SELECT doc_id, pos, array_to_string(w[pos+1 : pos+{window}], ' ') AS seg
+  FROM (
+    SELECT doc_id, w,
+           unnest([i for i in range(0, len(w) - {window} + 1)]) AS pos
+    FROM toks0 WHERE len(w) >= {window}
+  )
+),
+dups AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+    FROM wins) WHERE rn > 1
+),
+lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM dups
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + {window}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, min(pos) AS a, max(pos) + {window} AS b
+  FROM isl GROUP BY doc_id, island
+),
+pos0 AS (
+  SELECT doc_id, t.i AS pos1, w[t.i] AS tok
+  FROM toks0, unnest(range(1, coalesce(len(w), 0) + 1)) AS t(i)
+),
+covered AS (
+  SELECT DISTINCT p.doc_id, p.pos1
+  FROM pos0 p JOIN spans s
+    ON p.doc_id = s.doc_id
+   AND p.pos1 - 1 >= s.a AND p.pos1 - 1 < s.b
+),
+keep AS (
+  SELECT p.doc_id, p.pos1, p.tok
+  FROM pos0 p ANTI JOIN covered c
+    ON p.doc_id = c.doc_id AND p.pos1 = c.pos1
+),
+stripped AS (
+  SELECT t.doc_id, coalesce(r.text, '') AS text
+  FROM toks0 t LEFT JOIN (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos1) AS text
+    FROM keep GROUP BY doc_id
+  ) r USING (doc_id)
+),
+ded AS (
+  SELECT doc_id, text FROM stripped
+  WHERE doc_id IN (
+    SELECT min(doc_id) FROM stripped GROUP BY md5({_NORM_TEXT})
+  )
+),
+bgrams AS (
+  SELECT DISTINCT unnest(g) AS g FROM (
+    SELECT list_distinct([array_to_string(w[i:i+{n1}], ' ')
+                          for i in range(1, greatest(len(w)-{n1}, 1)+1)]) AS g
+    FROM (SELECT list_filter(string_split(lower(text), ' '), t -> t != '')
+            AS w
+          FROM bench)
+  )
+),
+flagged AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           unnest(list_distinct(
+             [array_to_string(w[i:i+{n1}], ' ')
+              for i in range(1, greatest(len(w)-{n1}, 1)+1)])) AS g
+    FROM (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), t -> t != '')
+                   AS w
+          FROM ded)
+  ) dg JOIN bgrams USING (g)
+),
+clean AS MATERIALIZED (
+  SELECT d.doc_id, d.text
+  FROM ded d ANTI JOIN flagged f ON d.doc_id = f.doc_id
+)"""]
+
+
+def _e2e_pretrain_oracle(
+    n_merges: int = 8, max_words: int = 10_000, seq_len: int = 128
+) -> str:
+    """q_e2e_pretrain's replay: the full cleaning chain, then BPE
+    train/encode/pack re-sourced from the ``clean`` CTE."""
+    parts = (
+        _e2e_clean_ctes()
+        + _bpe_train_ctes(n_merges, max_words, src="clean")
     )
+    ep, final = _bpe_encode_pack_parts(n_merges, seq_len, src="clean")
+    return "WITH " + ",".join(parts + ep) + "\n" + final
 
 
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2708,6 +2850,44 @@ def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
          "n_merges": 8, "max_words": 10000, "name": "m"},
         {"stage": "corpus", "op": "bpe_encode", "column": "text",
          "merges": "m", "input": "docs"},
+        {"stage": "corpus", "op": "pack", "id_col": "doc_id",
+         "tokens_col": "bpe_tokens", "seq_len": 128},
+    ])
+
+
+def q_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining-data pipeline as ONE config chain (VERDICT
+    r7 ask #6 — every prior row exercises 1-2 stages; the r7 strip→Arrow
+    composition bug proved stage COMPOSITION is where bugs hide):
+    temperature mixture (alpha=0.5 over lang) → benchmark held out
+    (source='src0') → arbitrary-length span-STRIP over the rest → exact
+    dedup on the STRIPPED text (docs identical after boilerplate removal
+    collapse) → 5-gram decontamination against the held-out benchmark →
+    BPE trained ON the surviving corpus → encode → pack into 128-token
+    sequences by TOKENIZER counts. Output (seq_id, n_docs, n_tokens,
+    seq_text). The oracle chains each stage's already-green standalone
+    SQL as CTEs re-sourced from the previous stage — one hash pins six
+    operators composing end to end. Scale: every stage keeps its
+    standalone plan shape (tiny stratum agg + map filter; 8-byte window
+    shuffle; 16-byte fingerprint shuffle; broadcast benchmark grams;
+    one corpus pass + capped-vocab merges; bucketed prefix-sum pack) —
+    composition adds no new shuffle beyond the stages' own."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "mixture", "on": "doc_id",
+         "stratify_by": "lang", "alpha": 0.5, "name": "mix"},
+        {"stage": "filter", "predicate": "source = 'src0'", "name": "bench"},
+        {"stage": "filter", "input": "mix", "predicate": "source <> 'src0'"},
+        {"stage": "corpus", "op": "span_dedup", "id_col": "doc_id",
+         "column": "text", "window": 16, "mode": "strip"},
+        {"stage": "dedup", "method": "exact", "id_col": "doc_id",
+         "column": "text"},
+        {"stage": "corpus", "op": "decontaminate", "id_col": "doc_id",
+         "column": "text", "n": 5, "benchmark": "bench", "name": "clean"},
+        {"stage": "corpus", "op": "bpe_train", "column": "text",
+         "n_merges": 8, "max_words": 10000, "name": "merges"},
+        {"stage": "corpus", "op": "bpe_encode", "input": "clean",
+         "column": "text", "merges": "merges"},
         {"stage": "corpus", "op": "pack", "id_col": "doc_id",
          "tokens_col": "bpe_tokens", "seq_len": 128},
     ])
@@ -2793,6 +2973,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_hybrid_index_search",
     "q_ivf_compact",
     "q_png_decode",
+    "q_e2e_pretrain",
 ]
 
 
@@ -2933,6 +3114,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_decode": q_audio_decode,
         "q_bpe_vocab": q_bpe_vocab,
         "q_bpe_pack": q_bpe_pack,
+        "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
         "q_stateful_running": q_stateful_running,
         "q_srp_ann": q_srp_ann,
@@ -4615,6 +4797,10 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_vocab": _bpe_vocab_oracle(8, 10_000),
         # train + encode + pack replay (see _bpe_pack_oracle)
         "q_bpe_pack": _bpe_pack_oracle(8, 10_000, 128),
+        # six stages chained: mixture -> strip -> dedup -> decon -> BPE
+        # train/encode -> pack, each block the standalone row's SQL
+        # re-sourced from the previous CTE
+        "q_e2e_pretrain": _e2e_pretrain_oracle(8, 10_000, 128),
         # per-event running totals over the deterministic (ts, event_id)
         # order — the window-function statement of the stateful stage's
         # cumulative contract; decimal accumulation on both sides

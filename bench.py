@@ -91,6 +91,7 @@ HEADLINE = [
     "q_hybrid_index_search",
     "q_ivf_compact",
     "q_png_decode",
+    "q_e2e_pretrain",
 ]
 
 
