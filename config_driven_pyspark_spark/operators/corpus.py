@@ -435,19 +435,34 @@ def semantic_contamination_flags(
     (:func:`~.similarity.srp_lsh_topk`) and verify survivors here."""
     from config_driven_pyspark_spark.functions import vectors as V
 
+    def guarded_unit(col, side: str):
+        # explicit zero-norm guard (ADVICE r7): a zero vector would
+        # otherwise abort with an opaque DIVIDE_BY_ZERO under ANSI mode —
+        # or, with ANSI off, silently produce NaN cosines that Spark
+        # orders ABOVE the threshold, flagging everything. Name the
+        # operator and the fix instead (_pq_encode_udf's convention).
+        msg = (
+            f"semantic_contamination_flags: zero-norm {side} vector — "
+            "drop or fix zero embeddings before decontamination"
+        )
+        return F.when(
+            F.assert_true(V.dot(col, col) != 0, F.lit(msg)).isNull(),
+            V.unit_normalize(col),
+        )
+
     bid = bench_id_col or id_col
     bvec = bench_vec_col or vec_col
     b = F.broadcast(
         benchmark.select(
             F.col(bid).alias("__bench_id"),
-            V.unit_normalize(F.col(bvec)).alias("__bv"),
+            guarded_unit(F.col(bvec), "benchmark").alias("__bv"),
         )
     )
     scored = (
         _spread(df)
         .select(
             F.col(id_col),
-            V.unit_normalize(F.col(vec_col)).alias("__cv"),
+            guarded_unit(F.col(vec_col), "corpus").alias("__cv"),
         )
         .join(b, F.lit(True))
         .select(
@@ -790,28 +805,53 @@ def span_dedup(
     per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
-    # covered token positions as one flat array, tested with
-    # array_contains — NOT an exists() lambda nested inside the filter
-    # lambda: Spark 4's interpreted projection (e.g. the input projection
-    # of a downstream Arrow-batched UDF) cannot evaluate a
-    # nested-lambda-over-outer-index expression (INTERNAL_ERROR "Cannot
-    # evaluate expression", hit when bpe_encode consumed strip output);
-    # the flattened form evaluates everywhere. Size is bounded by
-    # tokens-per-doc either way.
-    covered = F.flatten(
-        F.transform(
-            F.coalesce(
-                F.col("spans"),
-                F.array().cast(
-                    "array<struct<span_start:bigint,span_end:bigint>>"
-                ),
+    # Linear coverage mask (ADVICE r7: the previous flat covered-array +
+    # array_contains membership test was O(covered × tokens) per doc —
+    # quadratic for long heavily-duplicated documents). Islands merge
+    # into strictly DISJOINT spans (a new island starts only past
+    # prev + window), so after array_sort one fold concatenates
+    # [gap falses][span trues] per span and pads the tail to n —
+    # O(spans + tokens). zip_with's element-wise lambda also keeps clear
+    # of Spark 4's interpreted-projection limit on nested lambdas that
+    # reference an outer index (INTERNAL_ERROR "Cannot evaluate
+    # expression", hit in r7 when bpe_encode consumed strip output).
+    spans_sorted = F.array_sort(
+        F.coalesce(
+            F.col("spans"),
+            F.array().cast(
+                "array<struct<span_start:bigint,span_end:bigint>>"
             ),
-            lambda s: F.sequence(s["span_start"], s["span_end"] - 1),
         )
     )
+    mask = F.aggregate(
+        spans_sorted,
+        F.struct(
+            F.lit(0).cast("bigint").alias("end"),
+            F.array().cast("array<boolean>").alias("m"),
+        ),
+        lambda acc, s: F.struct(
+            s["span_end"].alias("end"),
+            F.concat(
+                acc["m"],
+                F.array_repeat(
+                    F.lit(False), (s["span_start"] - acc["end"]).cast("int")
+                ),
+                F.array_repeat(
+                    F.lit(True),
+                    (s["span_end"] - s["span_start"]).cast("int"),
+                ),
+            ).alias("m"),
+        ),
+        lambda acc: F.concat(
+            acc["m"],
+            F.array_repeat(
+                F.lit(False), (F.size(F.col("w")) - acc["end"]).cast("int")
+            ),
+        ),
+    )
     kept = F.filter(
-        F.col("w"),
-        lambda t, i: ~F.array_contains(covered, i.cast("bigint")),
+        F.zip_with(F.col("w"), mask, lambda t, m: F.when(~m, t)),
+        lambda x: x.isNotNull(),
     )
     return (
         base.join(per_doc, "id", "left")

@@ -322,6 +322,20 @@ def exact_dedup_incremental(
     ``update_store=False`` runs the check without growing the store
     (idempotent re-runs, dry-run QA).
 
+    **Failure/concurrency contract (read before wiring into a real
+    ingest).** With the default ``update_store=True`` the store append
+    is NOT transactional with the caller's downstream consumption: the
+    fingerprints commit when this function returns, so if the caller's
+    own write of the returned batch then fails, a retry sees its
+    fingerprints already in the store and returns 0 rows — the batch is
+    silently lost (at-most-once). The store also assumes a SINGLE
+    writer: concurrent appends interleave files without coordination
+    and two racing batches can both pass the anti-join probe. For
+    exactly-once ingest use the two-phase pattern — run with
+    ``update_store=False``, write your downstream output, then call
+    :func:`commit_fingerprints` on the returned survivors — and
+    serialize writers externally (one ingest job per store).
+
     Scale: the batch fingerprints shuffle once for the within-batch
     ``groupBy(fp).min(id)``; the store probe is a left-anti equi-join on
     the 16-byte key that AQE turns into a broadcast when today's batch
@@ -361,6 +375,32 @@ def exact_dedup_incremental(
             "append"
         ).parquet(store_path)
     return fresh.drop("__fp")
+
+
+def commit_fingerprints(
+    survivors: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    normalize: bool = True,
+) -> None:
+    """Phase 2 of the two-phase incremental-dedup pattern (see
+    :func:`exact_dedup_incremental`'s failure contract): after the
+    batch's own downstream output has succeeded, append the surviving
+    rows' fingerprints to the store. ``survivors`` is the frame
+    :func:`exact_dedup_incremental` returned (``update_store=False``);
+    fingerprints are recomputed with the same key derivation, so the
+    bytes appended are identical to what the single-phase mode would
+    have written — a crash between the downstream write and this call
+    re-ingests the batch on retry (at-least-once, dedupable by the
+    store itself) instead of silently dropping it."""
+    key = (
+        TX.fingerprint(F.col(text_col))
+        if normalize
+        else F.md5(F.col(text_col).cast("binary"))
+    )
+    survivors.select(key.alias("fingerprint")).write.mode("append").parquet(
+        store_path
+    )
 
 
 def exact_pairs(

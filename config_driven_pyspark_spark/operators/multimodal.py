@@ -613,6 +613,12 @@ def decode_wav(payload: bytes):
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            # validate before unpacking (ADVICE r7: a truncated chunk
+            # previously surfaced as a raw struct.error)
+            if len(body) < 16:
+                raise ValueError(
+                    f"WAV 'fmt ' chunk is {len(body)} bytes, need >= 16"
+                )
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -625,6 +631,16 @@ def decode_wav(payload: bytes):
             f"only PCM16 WAV is decodable dependency-free (got format "
             f"{audio_fmt}, {bits}-bit); route compressed audio through "
             "decoder='real' (ffmpeg integration point)"
+        )
+    # malformed-input diagnostics in the RIFF-check style (ADVICE r7:
+    # ch=0 previously hit ZeroDivisionError in reshape, and a ragged
+    # data length failed inside frombuffer/reshape)
+    if ch < 1:
+        raise ValueError(f"WAV 'fmt ' chunk declares {ch} channels")
+    if len(data) % (2 * ch) != 0:
+        raise ValueError(
+            f"WAV data chunk is {len(data)} bytes — not a whole number "
+            f"of {ch}-channel int16 frames ({2 * ch} bytes each)"
         )
     arr = np.frombuffer(data, dtype="<i2")
     return arr.reshape(-1, ch), rate

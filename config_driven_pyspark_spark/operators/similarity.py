@@ -810,9 +810,21 @@ def ivf_append_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_duplicate: str = "allow",
 ) -> None:
     """Incrementally append NEW vectors to a persisted IVF / IVF-PQ index
     (VERDICT r6 ask #5) — growing corpora no longer force a full rebuild.
+
+    Duplicate-id contract (``on_duplicate``): the default ``"allow"``
+    trusts the caller to append each id once — re-appending a batch (or
+    overlapping batches) duplicates its neighbor rows and inflates the
+    manifest ``n_rows``, and compaction's row-count check then validates
+    the duplicated total. ``"error"`` probes the existing postings ids
+    (a semi-join on the pruned id column) and refuses overlapping
+    appends by name; ``"skip"`` anti-joins already-present ids away and
+    appends only the genuinely new rows — the idempotent-retry mode.
+    Both probe modes read the postings id column once; ``"allow"`` keeps
+    the append write-only (never reads existing postings).
 
     The new vectors are encoded with the SAME persisted artifacts the
     index was built with (centroids loaded, PQ sub-codebooks loaded,
@@ -861,6 +873,35 @@ def ivf_append_index(
                 f"append {key}={val!r} does not match the index's "
                 f"{manifest.get(key)!r}"
             )
+    if on_duplicate not in ("allow", "error", "skip"):
+        raise ValueError(
+            f"on_duplicate must be 'allow', 'error' or 'skip', "
+            f"got {on_duplicate!r}"
+        )
+    if on_duplicate != "allow":
+        existing = spark.read.parquet(f"{path}/postings").select(
+            F.col("neighbor_id").alias(id_col)
+        )
+        if on_duplicate == "error":
+            dup = corpus_new.select(id_col).join(
+                existing, on=id_col, how="left_semi"
+            )
+            n_dup = dup.count()
+            if n_dup:
+                sample = [r[0] for r in dup.limit(5).collect()]
+                raise ValueError(
+                    f"ivf_append_index: {n_dup} id(s) in the append batch "
+                    f"already exist in the index at {path!r} (e.g. "
+                    f"{sample}) — re-appending would duplicate neighbor "
+                    "rows; dedup the batch or use on_duplicate='skip'"
+                )
+        else:
+            # localCheckpoint: this frame READS the postings path the
+            # append below writes to — Spark's refreshByPath would
+            # otherwise recompute it against the grown postings
+            corpus_new = corpus_new.join(
+                existing, on=id_col, how="left_anti"
+            ).localCheckpoint()
     cent = load_centroids(spark, f"{path}/centroids")
     cb = None
     if manifest.get("pq_m"):

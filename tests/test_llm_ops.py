@@ -1172,6 +1172,100 @@ def test_exact_dedup_incremental_store(spark, tmp_path):
         )
 
 
+def test_exact_dedup_two_phase_commit(spark, tmp_path):
+    """ADVICE r7: the two-phase pattern — check with update_store=False,
+    commit fingerprints only after the downstream write succeeds.
+    Pre-commit retries keep returning the batch (nothing lost on a
+    downstream failure); post-commit the store state is byte-equivalent
+    to single-phase mode."""
+    store = str(tmp_path / "fps2")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "id long, text string"
+    )
+    out = D.exact_dedup_incremental(b1, "id", store, update_store=False)
+    assert out.count() == 2
+    # downstream failed → retry still sees the full batch
+    retry = D.exact_dedup_incremental(b1, "id", store, update_store=False)
+    assert retry.count() == 2
+    # downstream succeeded → phase 2
+    D.commit_fingerprints(retry, store)
+    assert spark.read.parquet(store).count() == 2
+    # committed fingerprints now dedup the next batch exactly like
+    # single-phase mode would have
+    b2 = spark.createDataFrame(
+        [(3, "ALPHA   text"), (4, "new text")], "id long, text string"
+    )
+    assert sorted(
+        r["id"] for r in D.exact_dedup_incremental(b2, "id", store).collect()
+    ) == [4]
+
+
+def test_ivf_append_on_duplicate_modes(spark, embeddings, tmp_path):
+    """ADVICE r7: re-appending ids is caller-managed by default, but
+    on_duplicate='error' names the overlap and on_duplicate='skip' makes
+    re-appends idempotent (index state identical to a single append)."""
+    p_err = str(tmp_path / "dup_err")
+    S.ivf_build_index(
+        embeddings.filter("vec_id < 200"), p_err, n_centroids=8
+    )
+    with pytest.raises(ValueError, match="already exist in the index"):
+        S.ivf_append_index(
+            embeddings.filter("vec_id >= 150"), p_err, on_duplicate="error"
+        )
+    with pytest.raises(ValueError, match="on_duplicate"):
+        S.ivf_append_index(
+            embeddings.filter("vec_id >= 200"), p_err, on_duplicate="maybe"
+        )
+    # skip mode: overlapping batch appends only the new half; a full
+    # re-append is then a no-op and queries match the clean append
+    p_skip = str(tmp_path / "dup_skip")
+    S.ivf_build_index(
+        embeddings.filter("vec_id < 200"), p_skip, n_centroids=8
+    )
+    batch = embeddings.filter("vec_id >= 150")
+    S.ivf_append_index(batch, p_skip, on_duplicate="skip")
+    S.ivf_append_index(batch, p_skip, on_duplicate="skip")  # idempotent
+    got = spark.read.parquet(f"{p_skip}/postings")
+    assert got.count() == embeddings.count()
+    assert got.select("neighbor_id").distinct().count() == embeddings.count()
+    manifest = S.read_index_manifest(spark, p_skip)
+    assert manifest["n_rows"] == embeddings.count()
+
+
+def test_decode_wav_malformed_inputs_named(spark):
+    """ADVICE r7: truncated fmt chunk, zero channels, and ragged data
+    length raise descriptive ValueErrors, not struct/ZeroDivision/
+    reshape internals."""
+    import struct
+
+    import numpy as np
+
+    good = M.encode_wav(np.arange(8, dtype="<i2"), 8000)
+
+    def rebuild(fmt_body=None, data_cut=0):
+        fmt = fmt_body if fmt_body is not None else struct.pack(
+            "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+        )
+        data = good[-16:] if not data_cut else good[-16:-data_cut]
+        chunks = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    with pytest.raises(ValueError, match="need >= 16"):
+        M.decode_wav(rebuild(fmt_body=b"\x01\x00\x01\x00"))
+    with pytest.raises(ValueError, match="0 channels"):
+        M.decode_wav(
+            rebuild(fmt_body=struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16))
+        )
+    with pytest.raises(ValueError, match="not a whole number"):
+        M.decode_wav(
+            rebuild(
+                fmt_body=struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16),
+                data_cut=2,
+            )
+        )
+
+
 def test_rrf_fuse_hybrid_ranking(spark):
     """RRF: contributions sum in list order, absent candidates contribute
     zero, ties break to the smaller id, and a candidate present in both
