@@ -140,3 +140,32 @@ def test_tokenizer_pipeline_example(spark):
     assert 0 < rows[-1]["n_tokens"] <= 256
     toks = set(rows[0]["seq_text"].split(" "))
     assert any(len(t) > 1 for t in toks)  # at least one merge applied
+
+
+def test_hybrid_index_search_example(spark, tmp_path):
+    """Hybrid retrieval over the persisted int8 index with exact rerank,
+    fused with BM25 — all from YAML stages (r8)."""
+    with open(os.path.join(EXAMPLES, "hybrid_index_search.yaml")) as fh:
+        text = fh.read()
+    variables = {
+        "documents": "/root/testdata/sf0.001/documents.parquet",
+        "embeddings": "/root/testdata/sf0.001/embeddings.parquet",
+        "index": str(tmp_path / "hybrid_idx"),
+    }
+    result = Pipeline.from_yaml(text).run(spark, variables=variables)
+    rows = result.collect()
+    assert result.columns == ["query_id", "neighbor_id", "rank", "rrf_score"]
+    assert len(rows) == 3 * 10
+    # a candidate ranked by both components must outscore one ranked by a
+    # single component at the same rank; scores decrease with rank
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["rrf_score"]))
+    for q, rs in per_q.items():
+        rs.sort()
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True), q
+    # second run reuses the persisted index (build-once/query-many):
+    # identical output
+    again = Pipeline.from_yaml(text).run(spark, variables=variables)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
