@@ -1368,6 +1368,37 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means over the full corpus (similarity.py::
+    kmeans_clusters, r8): 8 clusters, sample init (lowest-id unit
+    vectors), TWO full Lloyd iterations where assignment is an
+    Arrow-batched argmax map and the centroid update is one
+    groupBy(cluster, dim) with 12-decimal DECIMAL sums — exact and
+    partition-order-independent, so the chained-CTE oracle replays both
+    iterations bit-for-bit (assign → decimal mean → left-to-right
+    normalize, empty clusters keeping their centroid). Output
+    (vec_id, cluster) for every vector. The clustering primitive under
+    SemDeDup-style curation; cost is iters × one corpus pass, nothing
+    corpus-sized at the driver."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.kmeans_clusters(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup.py::semdedup, r8 — Abbas et al. 2023): semantic
+    dedup by cluster-then-compare. K-means (8 clusters, 2 iterations,
+    the q_kmeans_clusters contract) buckets the embeddings; cosine
+    pairs are scored ONLY within a cluster (equi-join on cluster id —
+    Σ|cluster|² pairs, never n²); a row survives iff it has no
+    lower-id cluster-mate at cosine ≥ 0.30. The declarative survivor
+    rule lets the oracle state membership directly on top of the
+    k-means replay. Returns surviving (vec_id, n_chars-free) rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return D.semdedup(
+        emb, "vec_id", "embedding", n_clusters=8, iters=2, threshold=0.30
+    ).select("vec_id")
+
+
 # -- rows-only (no SQL oracle): LSH/banding/sketch/multimodal ---------------
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2680,6 +2711,59 @@ def _bpe_pack_oracle(
     return "WITH " + ",".join(parts + ep) + "\n" + final
 
 
+def _kmeans_ctes(k: int = 8, iters: int = 2) -> list[str]:
+    """Chained-CTE replay of similarity.py::kmeans_clusters on top of
+    ``unitv``: cent0 = the k lowest-id unit vectors; iteration t =
+    (a{t}: argmax-dot assignment, ties to lower cluster; s{t}:
+    per-(cluster, dim) 12-decimal DECIMAL sums + counts; m{t}: means;
+    cent{t}: left-to-right-normalized means, empty clusters falling
+    back to cent{t-1}); afinal = assignment under cent{iters}.
+    cent{t} is MATERIALIZED — it is referenced three times downstream
+    and DuckDB would otherwise re-inline the whole upstream chain per
+    reference. Shared by q_kmeans_clusters and q_semdedup."""
+    parts = [f"""
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, u AS cu
+  FROM unitv ORDER BY vec_id LIMIT {k})"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+a{t} AS MATERIALIZED (
+  SELECT vec_id, u, cl FROM (
+    SELECT v.vec_id, v.u, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.u, c.cu) DESC,
+                                       c.cl) AS pr
+    FROM unitv v CROSS JOIN cent{t - 1} c) WHERE pr = 1
+),
+s{t} AS (
+  SELECT cl, d.i AS d,
+         CAST(sum(CAST(round(u[d.i], 12) AS DECIMAL(32,12))) AS DOUBLE)
+           AS s,
+         count(*) AS n
+  FROM a{t}, unnest(range(1, len(u)+1)) AS d(i)
+  GROUP BY cl, d.i
+),
+m{t} AS (SELECT cl, list(s / n ORDER BY d) AS m FROM s{t} GROUP BY cl),
+cent{t} AS MATERIALIZED (
+  SELECT cl, list_transform(m, x -> x / sqrt(list_dot_product(m, m)))
+           AS cu
+  FROM m{t}
+  UNION ALL
+  SELECT cl, cu FROM cent{t - 1}
+  WHERE cl NOT IN (SELECT cl FROM m{t})
+)""")
+    parts.append(f"""
+afinal AS (
+  SELECT vec_id, CAST(cl AS INT) AS cluster FROM (
+    SELECT v.vec_id, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.u, c.cu) DESC,
+                                       c.cl) AS pr
+    FROM unitv v CROSS JOIN cent{iters} c) WHERE pr = 1
+)""")
+    return parts
+
+
 def _e2e_clean_ctes(window: int = 16, ngram_n: int = 5) -> list[str]:
     """The cleaning half of q_e2e_pretrain's replay, ending in a
     ``clean(doc_id, text)`` CTE: temperature mixture (alpha=0.5 over
@@ -2880,10 +2964,18 @@ def q_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"stage": "filter", "input": "mix", "predicate": "source <> 'src0'"},
         {"stage": "corpus", "op": "span_dedup", "id_col": "doc_id",
          "column": "text", "window": 16, "mode": "strip"},
+        # persist at stage boundaries consumed more than once downstream:
+        # dedup/decon each reference their input on two join sides, and
+        # clean feeds bpe_train + bpe_encode + pack — without these the
+        # upstream chain re-executes MULTIPLICATIVELY (measured 31.6 s ->
+        # 4.7 s at sf0.1; the composed plan held ~350 exchange nodes)
+        {"stage": "persist"},
         {"stage": "dedup", "method": "exact", "id_col": "doc_id",
          "column": "text"},
+        {"stage": "persist"},
         {"stage": "corpus", "op": "decontaminate", "id_col": "doc_id",
-         "column": "text", "n": 5, "benchmark": "bench", "name": "clean"},
+         "column": "text", "n": 5, "benchmark": "bench"},
+        {"stage": "persist", "name": "clean"},
         {"stage": "corpus", "op": "bpe_train", "column": "text",
          "n_merges": 8, "max_words": 10000, "name": "merges"},
         {"stage": "corpus", "op": "bpe_encode", "input": "clean",
@@ -2974,6 +3066,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_ivf_compact",
     "q_png_decode",
     "q_e2e_pretrain",
+    "q_kmeans_clusters",
+    "q_semdedup",
 ]
 
 
@@ -3103,6 +3197,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_best_docs": q_dedup_best_docs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_dups": q_embedding_dups,
+        "q_kmeans_clusters": q_kmeans_clusters,  # distributed Lloyd, r8
+        "q_semdedup": q_semdedup,  # cluster-then-dedup, r8
         "q_line_dedup": q_line_dedup,
         "q_span_dedup": q_span_dedup,
         "q_span_strip": q_span_strip,
@@ -4801,6 +4897,28 @@ def oracle_sql() -> dict[str, str]:
         # train/encode -> pack, each block the standalone row's SQL
         # re-sourced from the previous CTE
         "q_e2e_pretrain": _e2e_pretrain_oracle(8, 10_000, 128),
+        # two full Lloyd iterations replayed as chained CTEs; the
+        # 12-decimal DECIMAL sums make the centroid means exact and
+        # partition-order-independent on both engines
+        "q_kmeans_clusters": _COSINE_CTE + "\n, "
+        + ",".join(_kmeans_ctes(8, 2))
+        + "\nSELECT vec_id, cluster FROM afinal",
+        # survivor rule stated directly on the k-means replay: keep iff
+        # no lower-id cluster-mate at rounded cosine >= 0.30
+        "q_semdedup": _COSINE_CTE + "\n, "
+        + ",".join(_kmeans_ctes(8, 2))
+        + """,
+            uu AS (
+              SELECT a.vec_id, u.u, a.cluster
+              FROM afinal a JOIN unitv u ON a.vec_id = u.vec_id),
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM uu a JOIN uu b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.u, b.u), 6) >= 0.30)
+            SELECT u.vec_id
+            FROM unitv u ANTI JOIN dropped d ON u.vec_id = d.vec_id
+        """,
         # per-event running totals over the deterministic (ts, event_id)
         # order — the window-function statement of the stateful stage's
         # cumulative contract; decimal accumulation on both sides

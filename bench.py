@@ -92,6 +92,8 @@ HEADLINE = [
     "q_ivf_compact",
     "q_png_decode",
     "q_e2e_pretrain",
+    "q_kmeans_clusters",
+    "q_semdedup",
 ]
 
 

@@ -897,7 +897,13 @@ def pack_sequences(
     w = (
         F.col(tokens_col) if tokens_col else TX.tokens(F.col(text_col))
     )
-    base = (
+    # _materialize: _md5_stream_offsets references this frame on BOTH
+    # sides of its offsets join, so without it the token derivation runs
+    # twice — cheap for a whitespace split, but when tokens_col carries
+    # an Arrow-batched BPE encode the whole UDF re-executed (measured
+    # ~2x the encode cost in the e2e pipeline). Cache-once is strictly
+    # cheaper than recompute here (see _materialize's rationale).
+    base = _materialize(
         _spread(df)
         .select(
             *keys,

@@ -887,6 +887,67 @@ def srp_planes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication by cluster-then-compare: k-means-cluster the
+    embeddings (:func:`~.similarity.kmeans_clusters`), score cosine
+    pairs ONLY within each cluster, and keep a row iff it has NO
+    lower-id cluster-mate at cosine ≥ ``threshold`` (rounded to 6, the
+    repo-wide convention). Declarative survivor rule — independent of
+    which other rows were dropped — so an external oracle states it
+    directly. Returns the surviving rows of ``df``.
+
+    Scale: the cluster step is the whole point — pairwise scoring
+    drops from O(n²) to Σ|cluster|² with the equi-join on the cluster
+    id; grow ``n_clusters`` with the corpus (SemDeDup uses ~10⁴-10⁵
+    clusters at web scale) to keep clusters bounded. For clusters
+    still too hot, pre-prune inside them with SRP buckets
+    (:func:`embedding_pairs`'s shape). Complement, not replacement,
+    of :func:`embedding_pairs`: that one reports cross-corpus dup
+    PAIRS via hashing; this one enforces a survivor set via clustering
+    — the two standard shapes of embedding-level dedup."""
+    from config_driven_pyspark_spark.functions import vectors as V
+    from config_driven_pyspark_spark.operators.similarity import (
+        kmeans_clusters,
+    )
+
+    assign = kmeans_clusters(df, id_col, vec_col, n_clusters, iters)
+    unit = _materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            V.unit_normalize(F.col(vec_col)).alias("u"),
+        ).join(
+            assign.select(
+                F.col(id_col).alias("id"), F.col("cluster")
+            ),
+            "id",
+        )
+    )
+    a = unit.select(
+        F.col("id").alias("id_a"), F.col("u").alias("ua"), "cluster"
+    )
+    b = unit.select(
+        F.col("id").alias("id_b"), F.col("u").alias("ub"), "cluster"
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(V.dot(F.col("ua"), F.col("ub")), 6) >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, on=id_col, how="left_anti")
+
+
 def embedding_pairs(
     df: DataFrame,
     id_col: str,
@@ -1008,6 +1069,18 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
     elif method == "simhash":
         pairs = simhash_pairs(
             df, id_col, spec.get("column", "text"), int(spec.get("max_hamming", 3))
+        )
+    elif method == "semdedup":
+        if out != "dedup" or keep_by:
+            raise ValueError(
+                "semdedup defines a survivor SET (keep iff no lower-id "
+                "cluster-mate within threshold) — only output='dedup' "
+                "without keep_by; use method='embedding' for pairs"
+            )
+        return semdedup(
+            df, id_col, spec.get("column", "embedding"),
+            int(spec.get("n_clusters", 8)), int(spec.get("iters", 2)),
+            float(spec.get("threshold", 0.95)),
         )
     elif method == "embedding":
         pairs = embedding_pairs(

@@ -304,6 +304,94 @@ def train_centroids(
     return cent
 
 
+def kmeans_clusters(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Distributed spherical k-means over the FULL corpus (unlike
+    :func:`train_centroids`'s bounded driver-side sample): every Lloyd
+    iteration assigns all vectors Arrow-batched and updates centroids
+    with one map-side-combinable groupBy — the clustering primitive for
+    corpus curation (SemDeDup-style cluster-then-dedup, mixture
+    analysis, per-cluster sampling). Returns ``(id_col, cluster)``.
+
+    Determinism contract (what the chained-CTE oracle replays): init =
+    the ``k`` lowest-id unit vectors (the IVF sample convention);
+    assignment = argmax dot, ties to the lower cluster index; update =
+    per-dimension mean of member unit vectors with each component
+    rounded to 12 decimals and summed as DECIMAL(32,12) — exact and
+    partition-order-independent, the BM25 decimal-sum trick — divided
+    by the member count, then unit-normalized with a LEFT-TO-RIGHT
+    sum of squares (replicating ``list_dot_product``); an empty cluster
+    keeps its previous centroid.
+
+    Scale: per iteration, one Arrow-batched assignment map plus one
+    groupBy over (cluster, dimension) — k·dim result rows, partial
+    aggregation collapses map-side, nothing corpus-sized ever reaches
+    the driver (the k×dim centroid table is the only collect). Fixed
+    small ``iters`` is the production IVF-training shape; cost is
+    iters × (one corpus pass)."""
+    import math
+
+    import numpy as np
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    unit = _materialize(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            V.unit_normalize(F.col(vec_col)).alias("u"),
+        )
+    )
+    cent = train_centroids(corpus, id_col, vec_col, k, "sample")
+    dim = cent.shape[1]
+    for _ in range(iters):
+        assigned = unit.select(
+            "id",
+            "u",
+            F.get(_nearest_cells_udf(cent, 1)(F.col("u")), 0).alias("cl"),
+        )
+        rows = (
+            assigned.select("cl", F.posexplode("u").alias("d", "v"))
+            .groupBy("cl", "d")
+            .agg(
+                F.sum(
+                    F.round(F.col("v"), 12).cast("decimal(32,12)")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()  # k·dim rows — bounded regardless of corpus size
+        )
+        sums: dict = {}
+        for r in rows:
+            sums[(int(r["cl"]), int(r["d"]))] = (float(r["s"]), int(r["n"]))
+        new = cent.copy()
+        for ci in range(k):
+            if (ci, 0) not in sums:
+                continue  # empty cluster keeps its previous centroid
+            m = [
+                sums[(ci, d)][0] / sums[(ci, d)][1] for d in range(dim)
+            ]
+            ss = 0.0
+            for x in m:  # left-to-right, matching list_dot_product
+                ss += x * x
+            nrm = math.sqrt(ss)
+            if nrm > 0:
+                new[ci] = [x / nrm for x in m]
+        cent = np.asarray(new, dtype="float64")
+    return unit.select(
+        F.col("id").alias(id_col),
+        F.get(_nearest_cells_udf(cent, 1)(F.col("u")), 0)
+        .cast("int")
+        .alias("cluster"),
+    )
+
+
 def save_centroids(spark: SparkSession, centroids, path: str) -> None:
     """Persist a trained IVF codebook (n×d unit rows) as a one-file parquet
     of ``(cell int, centroid array<double>)`` — readable by any Spark/
@@ -1750,6 +1838,12 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
             int(spec.get("kmeans_iters", 10)),
             int(spec.get("seed", 42)),
             int(spec.get("rerank", 0)),
+        )
+    if method == "kmeans":
+        # "n_clusters" (not "k" — that's reserved for top-k above)
+        return kmeans_clusters(
+            df, id_col, vec_col, int(spec.get("n_clusters", 8)),
+            int(spec.get("iters", 2)),
         )
     if method == "project":
         return project_embeddings(

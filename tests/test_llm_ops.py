@@ -1266,6 +1266,61 @@ def test_decode_wav_malformed_inputs_named(spark):
         )
 
 
+def test_kmeans_clusters_separates_and_validates(spark):
+    """Distributed Lloyd (r8): two tight direction bundles in 3-D must
+    land in two clusters with all bundle members together after
+    iterations, regardless of the (poor) lowest-id init; validation
+    names bad arguments."""
+    rows = []
+    # bundle A around +x, bundle B around +y; ids interleaved so the
+    # sample init starts with one centroid in each... actually ids 0,1
+    # are both A — the update steps must still separate the bundles
+    for i, v in enumerate([
+        [1.0, 0.05, 0.0], [1.0, -0.04, 0.02], [0.97, 0.01, -0.03],
+        [0.02, 1.0, 0.0], [-0.03, 0.98, 0.04], [0.01, 1.0, -0.05],
+    ]):
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["cluster"]
+           for r in S.kmeans_clusters(df, k=2, iters=3).collect()}
+    assert len(out) == 6
+    a = {out[0], out[1], out[2]}
+    b = {out[3], out[4], out[5]}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    with pytest.raises(ValueError, match="k must be"):
+        S.kmeans_clusters(df, k=0)
+    with pytest.raises(ValueError, match="iters"):
+        S.kmeans_clusters(df, iters=-1)
+
+
+def test_semdedup_survivor_rule(spark):
+    """SemDeDup (r8): a row is dropped iff a LOWER-id cluster-mate sits
+    within the cosine threshold — duplicates in the same cluster
+    collapse to the lowest id; a duplicate pair split across clusters
+    is (by design) not compared."""
+    from config_driven_pyspark_spark.operators.dedup import stage_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),      # cluster x, survivor
+        (1, [0.999, 0.01, 0.0]),   # ~ id 0, same cluster -> dropped
+        (2, [0.998, -0.02, 0.0]),  # ~ id 0 too -> dropped
+        (3, [0.0, 1.0, 0.0]),      # cluster y, survivor
+        (4, [0.01, 0.999, 0.0]),   # ~ id 3 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = stage_dedup(
+        df, {"stage": "dedup", "method": "semdedup", "id_col": "vec_id",
+             "column": "embedding", "n_clusters": 2, "iters": 2,
+             "threshold": 0.95},
+    )
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 3]
+    with pytest.raises(ValueError, match="survivor SET"):
+        stage_dedup(
+            df, {"stage": "dedup", "method": "semdedup", "id_col": "vec_id",
+                 "output": "pairs"},
+        )
+
+
 def test_rrf_fuse_hybrid_ranking(spark):
     """RRF: contributions sum in list order, absent candidates contribute
     zero, ties break to the smaller id, and a candidate present in both
