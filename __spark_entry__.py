@@ -2968,7 +2968,7 @@ def q_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dedup/decon each reference their input on two join sides, and
         # clean feeds bpe_train + bpe_encode + pack — without these the
         # upstream chain re-executes MULTIPLICATIVELY (measured 31.6 s ->
-        # 4.7 s at sf0.1; the composed plan held ~350 exchange nodes)
+        # ~11 s at sf0.1; the composed plan held ~350 exchange nodes)
         {"stage": "persist"},
         {"stage": "dedup", "method": "exact", "id_col": "doc_id",
          "column": "text"},
