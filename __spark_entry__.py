@@ -1368,6 +1368,33 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized search (similarity.py::quantize_binary/bq_topk,
+    r8): sign bits packed 32-per-BIGINT (two longs per 64-dim vector —
+    32x smaller than float64), Hamming distance (bit_count of XOR)
+    ranks a 50-candidate pool per query, exact cosines rerank to
+    top-5. Packing and Hamming are exact integer math and the rerank
+    is exact, so the oracle replays codes, pool membership, and the
+    final ranking bit-for-bit. The memory-tier ANN stack: the corpus
+    scan touches 16-byte codes; full vectors only for the pool."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.bq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, rerank=50
+    )
+
+
+def q_matryoshka_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated search (similarity.py::matryoshka_embeddings,
+    r8 — Kusupati et al. 2022): the corpus is cut to its FIRST 16 unit-
+    vector components and re-normalized (the MRL cheap tier, 4x less
+    vector math), then brute-force cosine top-5 runs in the truncated
+    space. Slice + two renormalizations are deterministic IEEE ops the
+    oracle mirrors operation-for-operation."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m = SIM.matryoshka_embeddings(emb, out_dim=16)
+    return SIM.brute_force_topk(m, m.filter(F.col("vec_id") < 5), k=5)
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means over the full corpus (similarity.py::
     kmeans_clusters, r8): 8 clusters, sample init (lowest-id unit
@@ -3068,6 +3095,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_e2e_pretrain",
     "q_kmeans_clusters",
     "q_semdedup",
+    "q_bq_ann",
+    "q_matryoshka_ann",
 ]
 
 
@@ -3199,6 +3228,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_dups": q_embedding_dups,
         "q_kmeans_clusters": q_kmeans_clusters,  # distributed Lloyd, r8
         "q_semdedup": q_semdedup,  # cluster-then-dedup, r8
+        "q_bq_ann": q_bq_ann,  # binary codes + Hamming + rerank, r8
+        "q_matryoshka_ann": q_matryoshka_ann,  # MRL truncated tier, r8
         "q_line_dedup": q_line_dedup,
         "q_span_dedup": q_span_dedup,
         "q_span_strip": q_span_strip,
@@ -4903,6 +4934,75 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans_clusters": _COSINE_CTE + "\n, "
         + ",".join(_kmeans_ctes(8, 2))
         + "\nSELECT vec_id, cluster FROM afinal",
+        # sign-packed codes (32 bits/word, MSB-first acc*2+b fold —
+        # list_reduce's first-element seed equals the zero seed here),
+        # integer Hamming pool of 50, exact-cosine rerank to 5
+        "q_bq_ann": _COSINE_CTE + """
+            , codes AS (
+              SELECT vec_id, u,
+                     [list_reduce(
+                        list_transform(u[w*32+1 : w*32+32],
+                                       x -> CASE WHEN x >= 0
+                                            THEN CAST(1 AS BIGINT)
+                                            ELSE CAST(0 AS BIGINT) END),
+                        (acc, b) -> acc * 2 + b)
+                      for w in range(0, CAST(ceil(len(u) / 32.0) AS BIGINT))]
+                       AS c
+              FROM unitv),
+            pool AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY list_aggregate(
+                                    list_transform(
+                                      range(1, len(q.c) + 1),
+                                      i -> bit_count(xor(q.c[i], c.c[i]))),
+                                    'sum') ASC,
+                                  c.vec_id) AS hr
+                FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 5
+              ) WHERE hr <= 50),
+            reranked AS (
+              SELECT p.query_id, p.neighbor_id,
+                     round(list_dot_product(qu.u, cu.u), 6) AS cosine
+              FROM pool p
+              JOIN unitv qu ON qu.vec_id = p.query_id
+              JOIN unitv cu ON cu.vec_id = p.neighbor_id)
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC,
+                                                 neighbor_id) AS rank
+              FROM reranked
+            ) WHERE rank <= 5
+        """,
+        # slice to 16 dims + renormalize (matryoshka), then the brute-
+        # force path's own renormalize — mirrored op-for-op
+        "q_matryoshka_ann": _COSINE_CTE + """
+            , m1 AS (
+              SELECT vec_id, u[1:16] AS s FROM unitv),
+            m2 AS (
+              SELECT vec_id,
+                     list_transform(s, x -> x / sqrt(list_dot_product(s, s)))
+                       AS t
+              FROM m1),
+            m3 AS (
+              SELECT vec_id,
+                     list_transform(t, x -> x / sqrt(list_dot_product(t, t)))
+                       AS v
+              FROM m2)
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.v, c.v), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.v, c.v), 6) DESC,
+                                c.vec_id) AS rank
+              FROM m3 q JOIN m3 c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 5
+            ) WHERE rank <= 5
+        """,
         # survivor rule stated directly on the k-means replay: keep iff
         # no lower-id cluster-mate at rounded cosine >= 0.30
         "q_semdedup": _COSINE_CTE + "\n, "

@@ -94,6 +94,8 @@ HEADLINE = [
     "q_e2e_pretrain",
     "q_kmeans_clusters",
     "q_semdedup",
+    "q_bq_ann",
+    "q_matryoshka_ann",
 ]
 
 

@@ -1657,6 +1657,123 @@ def dequantize_embeddings(
     )
 
 
+def matryoshka_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    out_col: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022, MRL): keep the FIRST
+    ``out_dim`` components of the unit vector and (by default)
+    re-normalize — the standard cheap-tier trick for embeddings trained
+    with matryoshka losses, where prefixes are themselves usable
+    representations. Map-only Column math (slice + one aggregate), no
+    shuffle, exactly replicable in SQL; composes with every search tier
+    here (brute force / LSH / IVF) at ``out_dim``-sized cost."""
+    if out_dim <= 0:
+        raise ValueError("out_dim must be positive")
+    sliced = F.slice(
+        V.unit_normalize(F.col(vec_col)), 1, out_dim
+    )
+    out = V.unit_normalize(sliced) if normalize else sliced
+    return df.withColumn(out_col or vec_col, out)
+
+
+def quantize_binary(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "bcode",
+    word_bits: int = 32,
+) -> DataFrame:
+    """1-bit (sign) quantization: each unit-vector component becomes the
+    bit ``(u_i >= 0)``, packed ``word_bits`` components per BIGINT word
+    (MSB-first within a word via the ``acc*2 + bit`` fold) — a
+    64-dim embedding shrinks to two longs (16 bytes vs 512, 32×), and
+    Hamming distance between codes approximates angular distance (the
+    sign-LSH bound). 32 bits per word, not 64: the fold stays far from
+    BIGINT overflow, which ANSI mode would turn into a runtime error.
+    Map-only Column math; the packing is exact integer arithmetic, so
+    an external oracle reproduces every code bit-for-bit."""
+    if word_bits <= 0 or word_bits > 62:
+        raise ValueError("word_bits must be in 1..62")
+    u = V.unit_normalize(F.col(vec_col))
+    n_words = F.ceil(F.size(u) / F.lit(word_bits)).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            F.slice(u, w * word_bits + 1, word_bits),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc * 2
+            + F.when(v >= 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+    return df.withColumn(out_col, words)
+
+
+def bq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 50,
+    word_bits: int = 32,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Binary-quantized search: Hamming distance over sign-packed codes
+    selects a per-query pool of ``rerank`` candidates (ties to the
+    smaller id), which is exact-rescored to top-k true cosines — the
+    modern memory-tier ANN stack (e.g. binary embedding search), where
+    the scan touches 32×-smaller codes and full vectors are read only
+    for the pool. Hamming = Σ words ``bit_count(a XOR b)`` — integer
+    math, bit-replicable by the oracle; the rerank tail is
+    :func:`_rerank_exact`.
+
+    Scale: the code scan is map-side against broadcast query codes
+    (16 bytes/vector for 64 dims); the only full-vector touch is the
+    |queries|·rerank join. For corpora where even the code scan is too
+    hot, pre-prune with SRP buckets and Hamming-rank inside buckets."""
+    if rerank < k:
+        raise ValueError(f"rerank pool ({rerank}) must be >= k ({k})")
+    c = quantize_binary(
+        _spread(corpus).select(F.col(id_col).alias("neighbor_id"), vec_col),
+        vec_col, "cc", word_bits,
+    ).drop(vec_col)
+    q = quantize_binary(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        vec_col, "qc", word_bits,
+    ).drop(vec_col)
+    if broadcast_queries:
+        q = F.broadcast(q)
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("cc"), F.col("qc"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", hamming.cast("int").alias("hamming")
+        )
+    )
+    pool = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("hamming"), F.col("neighbor_id")
+            )
+        ),
+    ).filter(F.col("rank") <= rerank)
+    return _rerank_exact(
+        pool, corpus, queries, k, rerank, id_col, vec_col, broadcast_queries
+    )
+
+
 def project_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1844,6 +1961,17 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
         return kmeans_clusters(
             df, id_col, vec_col, int(spec.get("n_clusters", 8)),
             int(spec.get("iters", 2)),
+        )
+    if method == "matryoshka":
+        return matryoshka_embeddings(
+            df, vec_col, int(spec.get("out_dim", 16)),
+            spec.get("out_col"), bool(spec.get("normalize", True)),
+        )
+    if method == "binary":
+        return bq_topk(
+            df, queries, k, id_col, vec_col,
+            int(spec.get("rerank", 50)), int(spec.get("word_bits", 32)),
+            spec.get("broadcast_queries", bool(spec.get("queries"))),
         )
     if method == "project":
         return project_embeddings(

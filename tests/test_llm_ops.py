@@ -1266,6 +1266,59 @@ def test_decode_wav_malformed_inputs_named(spark):
         )
 
 
+def test_quantize_binary_packing_and_bq_topk(spark, embeddings):
+    """Binary quantization (r8): codes are sign bits packed 32-per-word
+    MSB-first; bq_topk's Hamming pool + exact rerank recovers exact
+    brute-force top-k when the pool covers the whole corpus; validation
+    names bad arguments."""
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5, -0.25])], "vec_id long, embedding array<double>"
+    )
+    code = S.quantize_binary(df, word_bits=4).collect()[0]["bcode"]
+    # signs + - + -  -> bits 1010 (MSB-first) = 10
+    assert code == [10]
+    # 64-dim real vectors -> 2 words of 32 bits
+    two = S.quantize_binary(embeddings.limit(1)).collect()[0]["bcode"]
+    assert len(two) == 2 and all(0 <= w < (1 << 32) for w in two)
+    # pool = whole corpus => exact equality with brute force
+    queries = embeddings.filter("vec_id < 3")
+    exact = S.brute_force_topk(embeddings, queries, k=5)
+    viabq = S.bq_topk(embeddings, queries, k=5, rerank=10_000)
+    assert sorted(map(tuple, viabq.collect())) == \
+        sorted(map(tuple, exact.collect()))
+    with pytest.raises(ValueError, match="must be >= k"):
+        S.bq_topk(embeddings, queries, k=5, rerank=3)
+    with pytest.raises(ValueError, match="word_bits"):
+        S.quantize_binary(df, word_bits=63)
+
+
+def test_matryoshka_truncation(spark, embeddings):
+    """MRL truncation (r8): output is the renormalized 16-dim prefix —
+    unit norm, first components proportional to the full unit vector's;
+    normalize=False keeps the raw slice."""
+    import math
+
+    row = embeddings.limit(1).collect()[0]
+    full = row["embedding"]
+    out = S.matryoshka_embeddings(
+        embeddings.limit(1), out_dim=16
+    ).collect()[0]["embedding"]
+    assert len(out) == 16
+    assert abs(sum(x * x for x in out) - 1.0) < 1e-9
+    # direction preserved: out ∝ full[:16]
+    fn = math.sqrt(sum(x * x for x in full))
+    pref = [x / fn for x in full[:16]]
+    pn = math.sqrt(sum(x * x for x in pref))
+    for a, b in zip(out, pref):
+        assert abs(a - b / pn) < 1e-9
+    raw = S.matryoshka_embeddings(
+        embeddings.limit(1), out_dim=16, normalize=False
+    ).collect()[0]["embedding"]
+    assert abs(sum(x * x for x in raw) - pn * pn) < 1e-9
+    with pytest.raises(ValueError, match="out_dim"):
+        S.matryoshka_embeddings(embeddings, out_dim=0)
+
+
 def test_kmeans_clusters_separates_and_validates(spark):
     """Distributed Lloyd (r8): two tight direction bundles in 3-D must
     land in two clusters with all bundle members together after
