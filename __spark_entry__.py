@@ -3059,6 +3059,48 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_shard_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget shard layout (corpus op ``shard_by_size``, r8):
+    documents stream in md5(doc_id) pseudo-random order and land in
+    shard floor(cum_bytes_before / 16 KiB) — every shard ~16 KiB of
+    UTF-8 text within one document, the "~1 GB files" export layout
+    (split_assign fixes the COUNT of shards; this fixes their SIZE).
+    Same skew-safe two-level bucket prefix sum as token_budget; the
+    oracle's global window cumsum is the identical selection."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "shard_by_size", "id_col": "doc_id",
+         "column": "text", "shard_bytes": 16384},
+        {"stage": "select",
+         "columns": ["doc_id", "lang", "source", "n_bytes", "shard"]},
+    ])
+
+
+_QUALITY_WEIGHTS = [
+    ("the", 0.5), ("and", 0.4), ("of", 0.3), ("data", 0.2),
+    ("le", -0.3), ("la", -0.2), ("der", -0.4), ("que", -0.2),
+]
+
+
+def q_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier inference (corpus op
+    ``quality_classify``, r8 — the CCNet/LLaMA filter shape): score =
+    mean of per-token weights over lowercased whitespace tokens
+    (vocabulary broadcast, absent tokens weigh 0), keep = score >=
+    threshold. Weights ship as config — this row uses a small literal
+    table the oracle re-states as VALUES. Matched weights are
+    9-decimal DECIMAL sums (exact, order-independent), one double
+    division, round(9) — bit-replicable end to end."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "quality_classify", "id_col": "doc_id",
+         "column": "text", "weights": dict(_QUALITY_WEIGHTS),
+         "threshold": 0.01},
+        {"stage": "select",
+         "columns": ["doc_id", "lang", "n_tokens", "score", "keep"]},
+    ])
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split + shard layout (corpus op
     ``split_assign``, operators/corpus.py): split, shard and intra-shard
@@ -3097,6 +3139,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_semdedup",
     "q_bq_ann",
     "q_matryoshka_ann",
+    "q_shard_by_size",
+    "q_quality_classify",
 ]
 
 
@@ -3206,6 +3250,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sink_roundtrip": q_sink_roundtrip,
         "q_split_assign": q_split_assign,
         "q_source_cap": q_source_cap,
+        "q_shard_by_size": q_shard_by_size,  # byte-budget shards, r8
+        "q_quality_classify": q_quality_classify,  # linear filter, r8
         "q_salted_join_orders": q_salted_join_orders,
         "q_jl_projection": q_jl_projection,
         "q_stream_dedup": q_stream_dedup,
@@ -4858,6 +4904,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, d.lang, source, n_chars
             FROM documents d JOIN thr ON d.lang = thr.lang
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < h
+        """,
+        # UTF-8 octet lengths (encode -> BLOB) cumsummed in the same
+        # md5(doc_id) stream order; HUGEINT window sum cast back before
+        # the double division so floor matches Spark's
+        "q_shard_by_size": """
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     md5(CAST(doc_id AS VARCHAR)) AS ok
+              FROM documents
+            ),
+            c AS (
+              SELECT *, CAST(coalesce(sum(n_bytes) OVER (
+                  ORDER BY ok, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS s
+              FROM d
+            )
+            SELECT doc_id, lang, source, n_bytes,
+                   CAST(floor(s / 16384.0) AS BIGINT) AS shard
+            FROM c
+        """,
+        "q_quality_classify": """
+            WITH w(tok, wt) AS (VALUES
+              ('the', 0.5), ('and', 0.4), ('of', 0.3), ('data', 0.2),
+              ('le', -0.3), ('la', -0.2), ('der', -0.4), ('que', -0.2)
+            ),
+            t AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x != '')) AS tok
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(sum(CAST(round(wt, 9) AS DECIMAL(18,9)))
+                          AS DOUBLE) AS sw
+              FROM t JOIN w USING (tok) GROUP BY doc_id),
+            n AS (
+              SELECT doc_id, lang,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                                          x -> x != '')) AS BIGINT)
+                       AS n_tokens
+              FROM documents)
+            SELECT doc_id, lang, n_tokens,
+                   round(CASE WHEN n_tokens > 0
+                         THEN 0.0 + coalesce(sw, 0.0) / n_tokens
+                         ELSE 0.0 END, 9) AS score,
+                   (round(CASE WHEN n_tokens > 0
+                          THEN 0.0 + coalesce(sw, 0.0) / n_tokens
+                          ELSE 0.0 END, 9) >= 0.01) AS keep
+            FROM n LEFT JOIN s USING (doc_id)
         """,
         "q_token_budget": """
             WITH d AS (

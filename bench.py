@@ -96,6 +96,8 @@ HEADLINE = [
     "q_semdedup",
     "q_bq_ann",
     "q_matryoshka_ann",
+    "q_shard_by_size",
+    "q_quality_classify",
 ]
 
 

@@ -360,6 +360,107 @@ def cap_per_stratum(
     )
 
 
+def shard_by_size(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shard_bytes: int = 1_000_000,
+    by: str | None = None,
+) -> DataFrame:
+    """Byte-budget shard layout: documents stream in md5(id) pseudo-random
+    order and a document lands in shard ``floor(cum_bytes_before /
+    shard_bytes)`` — so every shard holds ~``shard_bytes`` of UTF-8 text
+    (within one document), the export layout training-data writers
+    actually want ("~1 GB files"), where :func:`split_assign`'s
+    ``n_shards`` fixes the COUNT instead. Adds ``n_bytes`` (UTF-8
+    octets) and ``shard``; per-``by`` stratum restarts shard ids.
+    Deterministic: a pure function of the ids and texts — identical
+    across runs and partitionings.
+
+    Scale: see ``_md5_stream_offsets`` — two-level md5-bucket prefix
+    sums, no corpus-wide single-task window; map-only besides the tiny
+    bucket-offset agg."""
+    if shard_bytes <= 0:
+        raise ValueError("shard_bytes must be positive")
+    keys = [by] if by else []
+    base = df.withColumn(
+        "n_bytes",
+        F.coalesce(F.octet_length(F.col(text_col)), F.lit(0)).cast("bigint"),
+    )
+    return (
+        _md5_stream_offsets(base, id_col, "n_bytes", keys)
+        .withColumn(
+            "shard", F.floor(F.col("__s") / shard_bytes).cast("bigint")
+        )
+        .drop("__ok", "__b", "__off", "__s")
+    )
+
+
+def quality_classify(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    text_col: str = "text",
+    bias: float = 0.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear quality-classifier inference — the
+    CCNet/LLaMA corpus-filter shape: ``score = bias + (Σ weight(token))
+    / n_tokens`` over the document's lowercased whitespace tokens
+    (absent vocabulary tokens weigh 0; a token occurring twice counts
+    twice), ``keep = score >= threshold``. Inference only — train the
+    weights offline (fastText, logistic regression) and ship them as
+    config. Adds ``n_tokens``, ``score``, ``keep``.
+
+    Determinism: each matched weight is rounded to 9 decimals and
+    summed as DECIMAL(18,9) — exact, order-independent (the BM25
+    trick) — then one double division by ``n_tokens``; an empty
+    document scores exactly ``bias``. Bit-replicable by the oracle.
+
+    Scale: the vocabulary (10⁴-10⁶ tokens) is broadcast; the corpus
+    side is explode → broadcast-hash join → one groupBy(id) with
+    map-side partial sums — the :func:`contamination_flags` shape, no
+    corpus self-join."""
+    if not weights:
+        raise ValueError("quality_classify needs a non-empty weights dict")
+    spark = df.sparkSession
+    w = F.broadcast(
+        spark.createDataFrame(
+            [(t, float(x)) for t, x in weights.items()],
+            "__tok string, __w double",
+        )
+    )
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("__tok"),
+    )
+    sums = (
+        toks.join(w, "__tok")
+        .groupBy("id")
+        .agg(
+            F.sum(F.round(F.col("__w"), 9).cast("decimal(18,9)")).alias(
+                "__sw"
+            )
+        )
+    )
+    base = df.withColumn(
+        "n_tokens", TX.token_count(F.lower(F.col(text_col)))
+    )
+    score = F.when(F.col("n_tokens") > 0,
+        F.lit(float(bias))
+        + F.coalesce(F.col("__sw").cast("double"), F.lit(0.0))
+        / F.col("n_tokens"),
+    ).otherwise(F.lit(float(bias)))
+    return (
+        base.join(
+            sums.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .withColumn("score", F.round(score, 9))
+        .withColumn("keep", F.col("score") >= F.lit(float(threshold)))
+        .drop("__sw")
+    )
+
+
 def contamination_flags(
     df: DataFrame,
     benchmark: DataFrame,
@@ -1417,6 +1518,16 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         )
     if op == "cap":
         return cap_per_stratum(df, id_col, spec["by"], int(spec["cap"]))
+    if op == "shard_by_size":
+        return shard_by_size(
+            df, id_col, text_col, int(spec.get("shard_bytes", 1_000_000)),
+            spec.get("by"),
+        )
+    if op == "quality_classify":
+        return quality_classify(
+            df, id_col, spec["weights"], text_col,
+            float(spec.get("bias", 0.0)), float(spec.get("threshold", 0.0)),
+        )
     if op == "collocations":
         return top_collocations(
             df, id_col, text_col,

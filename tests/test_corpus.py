@@ -148,6 +148,47 @@ def test_token_budget_per_stratum(documents):
     out.unpersist()
 
 
+def test_shard_by_size_budgets(documents):
+    """r8: every shard's byte total stays within one document of the
+    budget; shard ids are contiguous from 0; assignment is
+    partitioning-invariant."""
+    out = C.shard_by_size(documents, "doc_id", "text", shard_bytes=4000)
+    rows = out.groupBy("shard").agg(
+        F.sum("n_bytes").alias("b"), F.max("n_bytes").alias("m")
+    ).collect()
+    shards = sorted(r["shard"] for r in rows)
+    assert shards == list(range(len(shards)))
+    for r in rows:
+        if r["shard"] != shards[-1]:  # every shard but the last is full
+            assert r["b"] + r["m"] > 4000 or r["b"] >= 4000
+        assert r["b"] - r["m"] < 4000  # within one straddling doc
+    a = sorted(map(tuple, out.select("doc_id", "shard").collect()))
+    b = sorted(map(tuple, C.shard_by_size(
+        documents.repartition(7), "doc_id", "text", shard_bytes=4000
+    ).select("doc_id", "shard").collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="shard_bytes"):
+        C.shard_by_size(documents, "doc_id", shard_bytes=0)
+
+
+def test_quality_classify_linear_scores(spark):
+    """r8: score is the mean of matched token weights (+bias), repeats
+    count, unknown tokens weigh 0, empty docs score exactly bias."""
+    df = spark.createDataFrame(
+        [(1, "the the cat"), (2, "zz yy"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in C.quality_classify(
+        df, "doc_id", {"the": 0.6, "cat": -0.3}, bias=0.1, threshold=0.2
+    ).collect()}
+    assert abs(out[1]["score"] - round(0.1 + (0.6 + 0.6 - 0.3) / 3, 9)) < 1e-12
+    assert out[1]["keep"] is True
+    assert out[2]["score"] == 0.1 and out[2]["keep"] is False
+    assert out[3]["score"] == 0.1 and out[4]["score"] == 0.1
+    with pytest.raises(ValueError, match="weights"):
+        C.quality_classify(df, "doc_id", {})
+
+
 def test_token_budget_matches_global_window_order(documents):
     # bucketed two-level cumsum ≡ one global window ordered by (md5, id)
     from pyspark.sql import Window
