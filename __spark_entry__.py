@@ -3101,6 +3101,51 @@ def q_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (corpus op ``pii_scrub``, r8 — the
+    BigCode/Dolma pre-release scrub): the word-soup corpus carries no
+    real PII, so deterministic synthetic PII is injected first (an
+    email into every doc_id%7 document, an IPv4 into %11, a phone into
+    %13 — some docs get all three), then counted on the injected text
+    and redacted to <EMAIL>/<IPV4>/<PHONE> tags. The patterns live in
+    the RE2 ∩ java.util.regex common subset (no lookarounds, ASCII
+    classes; parity pytest-pinned per byte), so the DuckDB oracle
+    replays injection, every count, and every redacted byte. The scrub
+    itself is pure map-side Column regexes — 0 exchanges at any
+    corpus size."""
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.concat(
+                F.lit(" Contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com for data."),
+            )).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.concat(
+                F.lit(" Host 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit("."),
+                ((F.col("doc_id") * 3) % 256).cast("string"),
+                F.lit(" responded."),
+            )).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.concat(
+                F.lit(" Call +1 555 "),
+                (F.col("doc_id") % 900 + 100).cast("string"), F.lit(" "),
+                (F.col("doc_id") % 9000 + 1000).cast("string"), F.lit("."),
+            )).otherwise(F.lit("")),
+        ),
+    )
+    return CORPUS.pii_scrub(injected).select(
+        "doc_id", "lang",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        "has_pii", "text",
+    )
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split + shard layout (corpus op
     ``split_assign``, operators/corpus.py): split, shard and intra-shard
@@ -3141,6 +3186,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_matryoshka_ann",
     "q_shard_by_size",
     "q_quality_classify",
+    "q_pii_scrub",
 ]
 
 
@@ -3252,6 +3298,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_cap": q_source_cap,
         "q_shard_by_size": q_shard_by_size,  # byte-budget shards, r8
         "q_quality_classify": q_quality_classify,  # linear filter, r8
+        "q_pii_scrub": q_pii_scrub,  # PII detect + redact, r8
         "q_salted_join_orders": q_salted_join_orders,
         "q_jl_projection": q_jl_projection,
         "q_stream_dedup": q_stream_dedup,
@@ -3606,6 +3653,12 @@ _HYBRID_FUSE_SQL = """,
 
 
 def oracle_sql() -> dict[str, str]:
+    from config_driven_pyspark_spark.operators.corpus import PII_PATTERNS
+
+    # single source of truth for the q_pii_scrub regexes (RE2 ∩ Java)
+    _pii_e = PII_PATTERNS["email"]
+    _pii_i = PII_PATTERNS["ipv4"]
+    _pii_p = PII_PATTERNS["phone"]
     return {
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -4955,6 +5008,44 @@ def oracle_sql() -> dict[str, str]:
                           THEN 0.0 + coalesce(sw, 0.0) / n_tokens
                           ELSE 0.0 END, 9) >= 0.01) AS keep
             FROM n LEFT JOIN s USING (doc_id)
+        """,
+        # same injection arithmetic, same regexes (shared constants), same
+        # email→ipv4→phone replace order as pii_scrub
+        "q_pii_scrub": f"""
+            WITH injected AS (
+              SELECT doc_id, lang,
+                text
+                || CASE WHEN doc_id % 7 = 0 THEN ' Contact user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com for data.'
+                   ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN ' Host 10.0.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST((doc_id * 3) % 256 AS VARCHAR) || ' responded.'
+                   ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN ' Call +1 555 '
+                     || CAST(doc_id % 900 + 100 AS VARCHAR) || ' '
+                     || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '.'
+                   ELSE '' END AS text
+              FROM documents
+            ),
+            counted AS (
+              SELECT doc_id, lang,
+                CAST(len(regexp_extract_all(text, '{_pii_e}')) AS BIGINT)
+                  AS n_email,
+                CAST(len(regexp_extract_all(text, '{_pii_i}')) AS BIGINT)
+                  AS n_ipv4,
+                CAST(len(regexp_extract_all(text, '{_pii_p}')) AS BIGINT)
+                  AS n_phone,
+                regexp_replace(regexp_replace(regexp_replace(
+                  text, '{_pii_e}', '<EMAIL>', 'g'),
+                        '{_pii_i}', '<IPV4>', 'g'),
+                        '{_pii_p}', '<PHONE>', 'g') AS text
+              FROM injected
+            )
+            SELECT doc_id, lang, n_email, n_ipv4, n_phone,
+                   (n_email > 0 OR n_ipv4 > 0 OR n_phone > 0) AS has_pii,
+                   text
+            FROM counted
         """,
         "q_token_budget": """
             WITH d AS (

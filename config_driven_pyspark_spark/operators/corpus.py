@@ -461,6 +461,68 @@ def quality_classify(
     )
 
 
+#: PII patterns written to the RE2 ∩ java.util.regex common subset —
+#: no lookarounds, no backreferences, ASCII \d/\b in both engines — so
+#: Spark's regexp_count/regexp_replace and an external RE2 oracle
+#: (DuckDB regexp_extract_all/regexp_replace 'g') match and redact the
+#: exact same spans.  Deliberately recall-leaning (e.g. the ipv4
+#: pattern accepts 999.999.999.999): corpus scrubbing prefers false
+#: redactions over leaked PII, the BigCode/Dolma convention.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d{1,2}[ \-]\d{3}[ \-]\d{3,4}[ \-]\d{4}",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    types: list[str] | None = None,
+    out_col: str | None = None,
+    tag_format: str = "<{TYPE}>",
+) -> DataFrame:
+    """PII detection + redaction — the pre-release scrub every public
+    training corpus runs (emails, IPv4 addresses, phone numbers).  Adds
+    one ``n_<type>`` count per requested type (counted on the ORIGINAL
+    text, so later redactions never mask earlier counts), ``has_pii``,
+    and rewrites ``out_col`` (default: in place) with each match
+    replaced by ``tag_format`` (``<EMAIL>``, ``<IPV4>``, ...).
+    Replacement applies in the declared ``types`` order; patterns are
+    chosen non-overlapping, and counts are order-independent by
+    construction.
+
+    Scale: pure map-side Column regexes (JVM codegen, no UDF), 0
+    exchanges — partition-count-invariant and embarrassingly parallel
+    at any corpus size."""
+    types = list(types or PII_PATTERNS)
+    unknown = sorted(set(types) - set(PII_PATTERNS))
+    if unknown:
+        raise ValueError(
+            f"pii_scrub: unknown PII types {unknown}; "
+            f"available: {sorted(PII_PATTERNS)}"
+        )
+    out = df
+    flags = []
+    for t in types:
+        out = out.withColumn(
+            f"n_{t}",
+            F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[t])),
+        )
+        flags.append(F.col(f"n_{t}") > 0)
+    has = flags[0]
+    for f in flags[1:]:
+        has = has | f
+    redacted = F.col(text_col)
+    for t in types:
+        redacted = F.regexp_replace(
+            redacted, PII_PATTERNS[t], tag_format.format(TYPE=t.upper())
+        )
+    return out.withColumn("has_pii", has).withColumn(
+        out_col or text_col, redacted
+    )
+
+
 def contamination_flags(
     df: DataFrame,
     benchmark: DataFrame,
@@ -1527,6 +1589,11 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return quality_classify(
             df, id_col, spec["weights"], text_col,
             float(spec.get("bias", 0.0)), float(spec.get("threshold", 0.0)),
+        )
+    if op == "pii_scrub":
+        return pii_scrub(
+            df, text_col, spec.get("types"), spec.get("out_col"),
+            spec.get("tag_format", "<{TYPE}>"),
         )
     if op == "collocations":
         return top_collocations(

@@ -189,6 +189,78 @@ def test_quality_classify_linear_scores(spark):
         C.quality_classify(df, "doc_id", {})
 
 
+def test_pii_scrub_goldens_and_duckdb_parity(spark):
+    """r8: counts are computed on the original text, redaction replaces
+    every match in declared order, and — the oracle contract — Spark's
+    java.util.regex and DuckDB's RE2 agree on every count and every
+    redacted byte for the shipped patterns."""
+    texts = [
+        "contact user5@example.com or admin@sub.domain.org.",
+        "server at 192.168.1.255 and 10.0.0.1, version 1.2.3.4.5 though",
+        "call +1 555 123 4567 or +44 204-7946-0958 x",
+        "no pii here at all 1.2 3.4",
+        "edge a@b.co end, 999.999.999.999, +1-555-123-4567",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    out = {r["id"]: r for r in C.pii_scrub(df).collect()}
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (2, 0, 0)
+    assert out[0]["text"] == "contact <EMAIL> or <EMAIL>."
+    # recall-leaning: "1.2.3.4.5" partially matches as "1.2.3.4" + ".5"
+    # (\b holds between a digit and a dot), so the version string is the
+    # third hit — both engines agree, which is what the oracle needs
+    assert (out[1]["n_email"], out[1]["n_ipv4"]) == (0, 3)
+    assert out[1]["text"].count("<IPV4>") == 3
+    assert "<IPV4>.5" in out[1]["text"]
+    assert out[2]["n_phone"] == 2
+    assert out[2]["text"] == "call <PHONE> or <PHONE> x"
+    assert out[3]["has_pii"] is False and out[3]["text"] == texts[3]
+    # recall-leaning by design: the out-of-range IPv4 still redacts
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (1, 1, 1)
+    assert out[5]["has_pii"] is False
+
+    import duckdb
+    from config_driven_pyspark_spark.operators.corpus import PII_PATTERNS
+    con = duckdb.connect()
+    con.execute("create table t(id bigint, text varchar)")
+    con.executemany("insert into t values (?, ?)", list(enumerate(texts)))
+    for name, pat in PII_PATTERNS.items():
+        for rid, n in con.execute(
+            "select id, len(regexp_extract_all(text, ?)) from t order by id",
+            [pat],
+        ).fetchall():
+            assert out[rid][f"n_{name}"] == n, (name, rid)
+    # full-pipeline byte parity: replay the chained replace in DuckDB
+    chained = "text"
+    for name, pat in PII_PATTERNS.items():
+        chained = (
+            f"regexp_replace({chained}, '{pat}', '<{name.upper()}>', 'g')"
+        )
+    for rid, red in con.execute(
+        f"select id, {chained} from t order by id"
+    ).fetchall():
+        assert red == out[rid]["text"], rid
+    with pytest.raises(ValueError, match="unknown PII types"):
+        C.pii_scrub(df, types=["email", "ssn"])
+
+
+def test_pii_scrub_config_stage(spark, tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "mail me: x@y.io")], "id long, text string"
+    ).write.parquet(p)
+    out = Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": p},
+        {"stage": "corpus", "op": "pii_scrub", "column": "text",
+         "types": ["email"], "out_col": "clean"},
+    ]).run(spark)
+    row = out.collect()[0]
+    assert row["clean"] == "mail me: <EMAIL>"
+    assert row["text"] == "mail me: x@y.io" and row["n_email"] == 1
+
+
 def test_token_budget_matches_global_window_order(documents):
     # bucketed two-level cumsum ≡ one global window ordered by (md5, id)
     from pyspark.sql import Window
