@@ -3146,6 +3146,27 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (corpus op ``dsir``, r8 — Xie et al.
+    2023, arXiv:2302.03169): every document scored by how 'en-like'
+    its hashed-n-gram profile is, with the lang='en' subset as the
+    target domain. Unigrams+bigrams hash into 1024 md5 buckets; each
+    bucket's add-0.5-smoothed ln(p_target/p_raw) is rounded to 9
+    decimals and per-document sums are DECIMAL(18,9) — exact and
+    order-independent, so the oracle replays every score bit-for-bit.
+    The data-selection primitive behind targeted pretraining mixes;
+    two map-side-combinable corpus passes, ratio table broadcast."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "filter", "predicate": "lang = 'en'", "name": "tgt"},
+        {"stage": "corpus", "op": "dsir", "input": "documents",
+         "id_col": "doc_id", "column": "text", "target": "tgt",
+         "n_buckets": 1024},
+        {"stage": "select",
+         "columns": ["doc_id", "lang", "source", "n_grams", "dsir_score"]},
+    ])
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split + shard layout (corpus op
     ``split_assign``, operators/corpus.py): split, shard and intra-shard
@@ -3187,6 +3208,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_shard_by_size",
     "q_quality_classify",
     "q_pii_scrub",
+    "q_dsir_weights",
 ]
 
 
@@ -3299,6 +3321,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_by_size": q_shard_by_size,  # byte-budget shards, r8
         "q_quality_classify": q_quality_classify,  # linear filter, r8
         "q_pii_scrub": q_pii_scrub,  # PII detect + redact, r8
+        "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_salted_join_orders": q_salted_join_orders,
         "q_jl_projection": q_jl_projection,
         "q_stream_dedup": q_stream_dedup,
@@ -5008,6 +5031,54 @@ def oracle_sql() -> dict[str, str]:
                           THEN 0.0 + coalesce(sw, 0.0) / n_tokens
                           ELSE 0.0 END, 9) >= 0.01) AS keep
             FROM n LEFT JOIN s USING (doc_id)
+        """,
+        # same gram expansion (unigrams + space-joined bigrams), same md5
+        # bucket slice, same smoothing arithmetic and 9-decimal rounding,
+        # decimal-summed per document on both sides
+        "q_dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x != '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, lang,
+                     unnest(t || list_transform(
+                       range(1, greatest(len(t), 1)),
+                       i -> t[i] || ' ' || t[i+1])) AS g
+              FROM toks
+            ),
+            b AS (
+              SELECT doc_id, lang,
+                     CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+                       % 1024 AS bucket
+              FROM grams
+            ),
+            raw AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS cr
+                    FROM b GROUP BY bucket),
+            tgt AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS ct
+                    FROM b WHERE lang = 'en' GROUP BY bucket),
+            totr AS (SELECT CAST(count(*) AS DOUBLE) AS tr FROM b),
+            tott AS (SELECT CAST(count(*) AS DOUBLE) AS tt
+                     FROM b WHERE lang = 'en'),
+            ratio AS (
+              SELECT raw.bucket,
+                     CAST(round(ln(
+                       ((coalesce(ct, 0.0) + 0.5) * (tr + 512.0)) /
+                       ((cr + 0.5) * (tt + 512.0))), 9)
+                       AS DECIMAL(18,9)) AS lr
+              FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, totr, tott
+            ),
+            s AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     CAST(sum(lr) AS DOUBLE) AS dsir_score
+              FROM b JOIN ratio USING (bucket) GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang, d.source,
+                   coalesce(s.n_grams, 0) AS n_grams,
+                   coalesce(s.dsir_score, 0.0) AS dsir_score
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         # same injection arithmetic, same regexes (shared constants), same
         # email→ipv4→phone replace order as pii_scrub

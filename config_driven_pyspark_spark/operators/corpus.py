@@ -523,6 +523,110 @@ def pii_scrub(
     )
 
 
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    n_buckets: int = 1024,
+    lam: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    "Data Selection for Language Models via Importance Resampling"):
+    score each raw-corpus document by how target-like its hashed n-gram
+    profile is.  Features are lowercased whitespace unigrams + bigrams
+    hashed into ``n_buckets`` md5 buckets (the paper's hashed n-gram
+    estimator); each bucket gets an add-``lam``-smoothed log probability
+    ratio ``ln(p_target(b) / p_raw(b))`` and a document's weight is the
+    sum of its grams' ratios (multiplicity counts).  Adds ``n_grams``
+    and ``dsir_score``; resample downstream by score (top-fraction, or
+    Gumbel top-k for the paper's stochastic variant).
+
+    Determinism: bucket = md5 slice (no RNG); per-bucket log ratios are
+    computed once on the bounded bucket table, rounded to 9 decimals,
+    and per-document sums are DECIMAL(18,9) — exact, order-independent
+    — so an external oracle replays every score bit-for-bit.
+
+    Scale: two corpus passes (bucket counts; scoring), both map-side-
+    combinable explode→groupBy shapes.  The ratio table is ≤``n_buckets``
+    rows and broadcast; the target side (a quality/domain sample) is
+    typically tiny.  Nothing corpus-sized is ever collected or
+    self-joined."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    if lam <= 0:
+        raise ValueError("lam (smoothing) must be positive")
+
+    def grams_of(frame: DataFrame, col: str, key) -> DataFrame:
+        t = TX.tokens(F.lower(F.col(col)))
+        n1 = F.greatest(F.size(t) - 1, F.lit(0))
+        bigrams = F.zip_with(
+            F.slice(t, 1, n1), F.slice(t, 2, n1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        return frame.select(
+            key.alias("id"),
+            F.explode(F.concat(t, bigrams)).alias("__g"),
+        ).withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10)
+            .cast("bigint") % n_buckets,
+        )
+
+    raw_g = grams_of(_spread(df), text_col, F.col(id_col))
+    tgt_g = grams_of(
+        target, target_text_col or text_col, F.monotonically_increasing_id()
+    )
+    raw_b = raw_g.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("__cr")
+    )
+    tgt_b = tgt_g.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("__ct")
+    )
+    tot_r = raw_g.agg(F.count("*").cast("double").alias("__tr"))
+    tot_t = tgt_g.agg(F.count("*").cast("double").alias("__tt"))
+    lam_b = float(lam) * n_buckets
+    ratio = (
+        raw_b.join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("__ct"), F.lit(0.0)) + F.lit(float(lam)))
+                        * (F.col("__tr") + F.lit(lam_b))
+                    )
+                    / (
+                        (F.col("__cr") + F.lit(float(lam)))
+                        * (F.col("__tt") + F.lit(lam_b))
+                    )
+                ),
+                9,
+            ).cast("decimal(18,9)").alias("__lr"),
+        )
+    )
+    scores = (
+        raw_g.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("__lr").cast("double").alias("dsir_score"),
+        )
+    )
+    return (
+        df.join(
+            scores.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0)))
+        .withColumn(
+            "dsir_score", F.coalesce(F.col("dsir_score"), F.lit(0.0))
+        )
+    )
+
+
 def contamination_flags(
     df: DataFrame,
     benchmark: DataFrame,
@@ -1594,6 +1698,13 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return pii_scrub(
             df, text_col, spec.get("types"), spec.get("out_col"),
             spec.get("tag_format", "<{TYPE}>"),
+        )
+    if op == "dsir":
+        return dsir_weights(
+            df, ctx.get(spec["target"]), id_col, text_col,
+            spec.get("target_column"),
+            int(spec.get("n_buckets", 1024)),
+            float(spec.get("lam", 0.5)),
         )
     if op == "collocations":
         return top_collocations(

@@ -189,6 +189,65 @@ def test_quality_classify_linear_scores(spark):
         C.quality_classify(df, "doc_id", {})
 
 
+def test_dsir_weights_python_replication(spark):
+    """r8: dsir_weights matches an independent pure-Python replay of the
+    paper's hashed-n-gram estimator (md5 buckets, add-λ smoothing,
+    9-decimal HALF_UP rounding, exact decimal sums) bit-for-bit, and
+    target-like documents outscore off-target ones."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    B, lam = 64, 0.5
+    docs = [(1, "aa bb aa"), (2, "zz yy xx"), (3, "aa bb"), (4, "")]
+    target = ["aa bb aa bb", "aa aa"]
+
+    def grams(text):
+        t = [x for x in text.lower().split(" ") if x]
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    raw = [bucket(g) for _, text in docs for g in grams(text)]
+    tgt = [bucket(g) for text in target for g in grams(text)]
+    cr, ct = Counter(raw), Counter(tgt)
+    tr, tt = float(len(raw)), float(len(tgt))
+    lr = {}
+    for b_ in cr:
+        v = math.log(
+            ((ct.get(b_, 0) + lam) * (tr + lam * B))
+            / ((cr[b_] + lam) * (tt + lam * B))
+        )
+        lr[b_] = Decimal(repr(v)).quantize(
+            Decimal("1.000000000"), ROUND_HALF_UP
+        )
+    expect = {}
+    for did, text in docs:
+        gs = [bucket(g) for g in grams(text)]
+        expect[did] = (
+            len(gs), float(sum((lr[b_] for b_ in gs), Decimal(0)))
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tdf = spark.createDataFrame([(t,) for t in target], "text string")
+    out = {r["doc_id"]: r for r in C.dsir_weights(
+        df, tdf, "doc_id", n_buckets=B, lam=lam
+    ).collect()}
+    for did, (n, s) in expect.items():
+        assert out[did]["n_grams"] == n, did
+        assert out[did]["dsir_score"] == s, did
+    # the all-target-gram docs outscore the no-target-gram doc
+    assert out[1]["dsir_score"] > out[2]["dsir_score"]
+    assert out[3]["dsir_score"] > out[2]["dsir_score"]
+    assert out[4]["n_grams"] == 0 and out[4]["dsir_score"] == 0.0
+    with pytest.raises(ValueError, match="n_buckets"):
+        C.dsir_weights(df, tdf, "doc_id", n_buckets=0)
+    with pytest.raises(ValueError, match="lam"):
+        C.dsir_weights(df, tdf, "doc_id", lam=0.0)
+
+
 def test_pii_scrub_goldens_and_duckdb_parity(spark):
     """r8: counts are computed on the original text, redaction replaces
     every match in declared order, and — the oracle contract — Spark's
