@@ -1395,6 +1395,22 @@ def q_matryoshka_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(m, m.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall evaluation (similarity.py::recall_at_k, r8 — the
+    measure-don't-guess harness as a first-class operator): per-query
+    recall@5 of the SRP-LSH tier against exact brute force, on the same
+    10 queries as q_srp_ann/q_knn_cosine. Both sides are independently
+    oracle-replicable (seeded planes as SQL literals; exact cosine), so
+    the recall ratios — exact integer arithmetic — hash-match
+    bit-for-bit. |queries|·k-row joins only; corpus cost is the two
+    underlying searches."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = SIM.srp_lsh_topk(emb, queries, k=5, bits=4)
+    exact = SIM.brute_force_topk(emb, queries, k=5)
+    return SIM.recall_at_k(approx, exact)
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means over the full corpus (similarity.py::
     kmeans_clusters, r8): 8 clusters, sample init (lowest-id unit
@@ -3209,6 +3225,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_quality_classify",
     "q_pii_scrub",
     "q_dsir_weights",
+    "q_ann_recall",
 ]
 
 
@@ -3346,6 +3363,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,  # cluster-then-dedup, r8
         "q_bq_ann": q_bq_ann,  # binary codes + Hamming + rerank, r8
         "q_matryoshka_ann": q_matryoshka_ann,  # MRL truncated tier, r8
+        "q_ann_recall": q_ann_recall,  # recall@k harness, r8
         "q_line_dedup": q_line_dedup,
         "q_span_dedup": q_span_dedup,
         "q_span_strip": q_span_strip,
@@ -4249,6 +4267,46 @@ def oracle_sql() -> dict[str, str]:
                              AND q.vec_id <> c.vec_id
               WHERE q.vec_id < 10
             ) WHERE rank <= 5
+        """,
+        # both tiers replayed from the shared CTEs (seeded SRP planes as
+        # literals; exact cosine with the same 6-decimal tie-break), then
+        # recall joined as exact integer arithmetic
+        "q_ann_recall": _COSINE_CTE + f"""
+            , bucketed AS (
+              SELECT vec_id, u, {_SRP4_BUCKET_SQL} AS bucket FROM unitv
+            ),
+            approx AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY round(list_dot_product(q.u, c.u), 6) DESC,
+                                  c.vec_id) AS rank
+                FROM bucketed q
+                JOIN bucketed c ON q.bucket = c.bucket
+                               AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+              ) WHERE rank <= 5
+            ),
+            exact AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY round(list_dot_product(q.u, c.u), 6) DESC,
+                                  c.vec_id) AS rank
+                FROM unitv q JOIN unitv c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+              ) WHERE rank <= 5
+            )
+            SELECT e.query_id,
+                   CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 9)
+                     AS recall
+            FROM exact e LEFT JOIN approx a
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY e.query_id
         """,
         # same deterministic md5-order selection as the two-level Spark
         # plan: strictly-before count < cap  ≡  row_number <= cap

@@ -1021,6 +1021,45 @@ def ivf_append_index(
     })
 
 
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """ANN quality evaluation — per-query recall of an approximate result
+    set against the exact one: ``recall = |approx ∩ exact| / |exact|``
+    over each query's neighbor ids.  Output: (query, n_hits, n_exact,
+    recall), one row per query present in ``exact``.  This is the
+    measure-don't-guess harness every approximate tier here is tuned
+    against (the pytest recall pins on IVF/PQ/SQ use the same
+    definition); as an operator it lets a config pipeline score any ANN
+    stage against a brute-force stage on live data.
+
+    Scale: both inputs are |queries|·k rows — tiny next to the corpus —
+    so the join and groupBy are negligible at any corpus size; recall is
+    an exact integer ratio, bit-replicable by an external oracle."""
+    a = approx.select(query_col, neighbor_col).withColumn(
+        "__hit", F.lit(1)
+    )
+    e = exact.select(query_col, neighbor_col)
+    return (
+        e.join(a, [query_col, neighbor_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint").alias("n_hits"),
+            F.count("*").cast("bigint").alias("n_exact"),
+        )
+        .withColumn(
+            "recall",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact"), 9
+            ),
+        )
+    )
+
+
 def rrf_fuse(
     rankings: list,
     k: int = 10,
@@ -1858,6 +1897,17 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
             spec.get("query_col", "query_id"),
             spec.get("fuse_id_col", "neighbor_id"),
             spec.get("rank_col", "rank"),
+        )
+    if method == "recall":
+        if ctx is None or not spec.get("approx") or not spec.get("exact"):
+            raise ValueError(
+                "method='recall' needs approx: <named stage> and "
+                "exact: <named stage> — two per-query ranking frames"
+            )
+        return recall_at_k(
+            ctx.get(spec["approx"]), ctx.get(spec["exact"]),
+            spec.get("query_col", "query_id"),
+            spec.get("fuse_id_col", "neighbor_id"),
         )
     if method == "brute_force":
         return brute_force_topk(

@@ -1374,6 +1374,36 @@ def test_semdedup_survivor_rule(spark):
         )
 
 
+def test_recall_at_k_goldens(spark):
+    """r8: per-query recall counts intersection over the exact set;
+    queries missing from approx score 0; extras in approx don't count."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    out = {r["query_id"]: r for r in S.recall_at_k(approx, exact).collect()}
+    assert (out[1]["n_hits"], out[1]["n_exact"], out[1]["recall"]) == (1, 2, 0.5)
+    assert out[2]["recall"] == 1.0
+    assert (out[3]["n_hits"], out[3]["recall"]) == (0, 0.0)
+    # exact-vs-itself recall is exactly 1.0 for every query; the SRP
+    # tier lands strictly between 0 and 1 on this tiny fragmented corpus
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = S.brute_force_topk(emb, q, k=5)
+    self_rec = S.recall_at_k(bf, bf)
+    assert self_rec.filter("recall <> 1.0").count() == 0
+    srp_rec = S.recall_at_k(
+        S.srp_lsh_topk(emb, q, k=5, bits=4), bf
+    ).agg(F.avg("recall")).collect()[0][0]
+    assert 0.0 <= srp_rec <= 1.0
+    with pytest.raises(ValueError, match="recall"):
+        S.stage_similarity(emb, {"method": "recall"}, None)
+
+
 def test_rrf_fuse_hybrid_ranking(spark):
     """RRF: contributions sum in list order, absent candidates contribute
     zero, ties break to the smaller id, and a candidate present in both
