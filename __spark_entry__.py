@@ -3183,6 +3183,30 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step (corpus op ``importance_resample``, r8 —
+    Gumbel top-k, Xie et al. 2023 §2): sample 100 documents without
+    replacement ∝ exp(dsir_score) by ranking score + Gumbel(md5(id))
+    noise — the draw is a pure function of the id (re-rollable via
+    salt), keys are 9-decimal-rounded with id tie-break, so the
+    selected SET is bit-replicable. Spark executes the top-n as
+    TakeOrderedAndProject (per-partition top-100 + driver merge),
+    never a global sort. Chained from the dsir scoring stage in one
+    config pipeline."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "filter", "predicate": "lang = 'en'", "name": "tgt"},
+        {"stage": "corpus", "op": "dsir", "input": "documents",
+         "id_col": "doc_id", "column": "text", "target": "tgt",
+         "n_buckets": 1024},
+        {"stage": "corpus", "op": "importance_resample",
+         "id_col": "doc_id", "n": 100},
+        {"stage": "select",
+         "columns": ["doc_id", "lang", "source", "n_grams",
+                     "dsir_score", "resample_key"]},
+    ])
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split + shard layout (corpus op
     ``split_assign``, operators/corpus.py): split, shard and intra-shard
@@ -3225,6 +3249,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_quality_classify",
     "q_pii_scrub",
     "q_dsir_weights",
+    "q_dsir_resample",
     "q_ann_recall",
 ]
 
@@ -3339,6 +3364,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classify": q_quality_classify,  # linear filter, r8
         "q_pii_scrub": q_pii_scrub,  # PII detect + redact, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
+        "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
         "q_salted_join_orders": q_salted_join_orders,
         "q_jl_projection": q_jl_projection,
         "q_stream_dedup": q_stream_dedup,
@@ -3700,6 +3726,56 @@ def oracle_sql() -> dict[str, str]:
     _pii_e = PII_PATTERNS["email"]
     _pii_i = PII_PATTERNS["ipv4"]
     _pii_p = PII_PATTERNS["phone"]
+    # shared DSIR chain: same gram expansion (unigrams + space-joined
+    # bigrams), same md5 bucket slice, same smoothing arithmetic and
+    # 9-decimal rounding, decimal-summed per document on both sides
+    _dsir_cte = """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x != '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, lang,
+                     unnest(t || list_transform(
+                       range(1, greatest(len(t), 1)),
+                       i -> t[i] || ' ' || t[i+1])) AS g
+              FROM toks
+            ),
+            b AS (
+              SELECT doc_id, lang,
+                     CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+                       % 1024 AS bucket
+              FROM grams
+            ),
+            raw AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS cr
+                    FROM b GROUP BY bucket),
+            tgt AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS ct
+                    FROM b WHERE lang = 'en' GROUP BY bucket),
+            totr AS (SELECT CAST(count(*) AS DOUBLE) AS tr FROM b),
+            tott AS (SELECT CAST(count(*) AS DOUBLE) AS tt
+                     FROM b WHERE lang = 'en'),
+            ratio AS (
+              SELECT raw.bucket,
+                     CAST(round(ln(
+                       ((coalesce(ct, 0.0) + 0.5) * (tr + 512.0)) /
+                       ((cr + 0.5) * (tt + 512.0))), 9)
+                       AS DECIMAL(18,9)) AS lr
+              FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, totr, tott
+            ),
+            s AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     CAST(sum(lr) AS DOUBLE) AS dsir_score
+              FROM b JOIN ratio USING (bucket) GROUP BY doc_id
+            ),
+            scored AS (
+              SELECT d.doc_id, d.lang, d.source,
+                     coalesce(s.n_grams, 0) AS n_grams,
+                     coalesce(s.dsir_score, 0.0) AS dsir_score
+              FROM documents d LEFT JOIN s USING (doc_id)
+            )
+    """
     return {
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -5090,53 +5166,19 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END, 9) >= 0.01) AS keep
             FROM n LEFT JOIN s USING (doc_id)
         """,
-        # same gram expansion (unigrams + space-joined bigrams), same md5
-        # bucket slice, same smoothing arithmetic and 9-decimal rounding,
-        # decimal-summed per document on both sides
-        "q_dsir_weights": """
-            WITH toks AS (
-              SELECT doc_id, lang,
-                     list_filter(string_split(lower(text), ' '),
-                                 x -> x != '') AS t
-              FROM documents
-            ),
-            grams AS (
-              SELECT doc_id, lang,
-                     unnest(t || list_transform(
-                       range(1, greatest(len(t), 1)),
-                       i -> t[i] || ' ' || t[i+1])) AS g
-              FROM toks
-            ),
-            b AS (
-              SELECT doc_id, lang,
-                     CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
-                       % 1024 AS bucket
-              FROM grams
-            ),
-            raw AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS cr
-                    FROM b GROUP BY bucket),
-            tgt AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS ct
-                    FROM b WHERE lang = 'en' GROUP BY bucket),
-            totr AS (SELECT CAST(count(*) AS DOUBLE) AS tr FROM b),
-            tott AS (SELECT CAST(count(*) AS DOUBLE) AS tt
-                     FROM b WHERE lang = 'en'),
-            ratio AS (
-              SELECT raw.bucket,
-                     CAST(round(ln(
-                       ((coalesce(ct, 0.0) + 0.5) * (tr + 512.0)) /
-                       ((cr + 0.5) * (tt + 512.0))), 9)
-                       AS DECIMAL(18,9)) AS lr
-              FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, totr, tott
-            ),
-            s AS (
-              SELECT doc_id, count(*) AS n_grams,
-                     CAST(sum(lr) AS DOUBLE) AS dsir_score
-              FROM b JOIN ratio USING (bucket) GROUP BY doc_id
+        "q_dsir_weights": _dsir_cte + """
+            SELECT * FROM scored
+        """,
+        "q_dsir_resample": _dsir_cte + """
+            SELECT * FROM (
+              SELECT *, round(dsir_score / 1.0 +
+                -ln(-ln((CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 0.5) / 4294967296.0)), 9)
+                AS resample_key
+              FROM scored
+              ORDER BY resample_key DESC, doc_id LIMIT 100
             )
-            SELECT d.doc_id, d.lang, d.source,
-                   coalesce(s.n_grams, 0) AS n_grams,
-                   coalesce(s.dsir_score, 0.0) AS dsir_score
-            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         # same injection arithmetic, same regexes (shared constants), same
         # email→ipv4→phone replace order as pii_scrub

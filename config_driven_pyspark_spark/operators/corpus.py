@@ -627,6 +627,52 @@ def dsir_weights(
     )
 
 
+def importance_resample(
+    df: DataFrame,
+    id_col: str,
+    n: int,
+    score_col: str = "dsir_score",
+    temperature: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Gumbel top-k importance resampling — DSIR's selection step (Xie
+    et al. 2023 §2; Vieira 2014): draw ``n`` documents WITHOUT
+    replacement with probability ∝ exp(score/temperature) by ranking
+    ``key = score/temperature + Gumbel(md5(salt‖id))`` and keeping the
+    top ``n``.  The Gumbel noise is derived from md5 — u = (hash32 +
+    0.5)/2³² ∈ (0,1), G = −ln(−ln u) — so the "random" draw is a pure
+    function of (salt, id): re-runnable, partitioning-invariant, and
+    re-rollable per training run via ``salt``.  Keys are rounded to 9
+    decimals with id tie-break, making the selected SET bit-replicable
+    by an external oracle.  Adds ``resample_key``.
+
+    Scale: map-only key computation + ``orderBy(key).limit(n)``, which
+    Spark executes as TakeOrderedAndProject — per-partition top-n then
+    a driver merge of n·n_partitions candidates, never a global sort."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.round(
+        F.col(score_col) / F.lit(float(temperature)) + -F.log(-F.log(u)), 9
+    )
+    return (
+        df.withColumn("resample_key", key)
+        .orderBy(F.desc("resample_key"), F.col(id_col))
+        .limit(n)
+    )
+
+
 def contamination_flags(
     df: DataFrame,
     benchmark: DataFrame,
@@ -1705,6 +1751,13 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             spec.get("target_column"),
             int(spec.get("n_buckets", 1024)),
             float(spec.get("lam", 0.5)),
+        )
+    if op == "importance_resample":
+        return importance_resample(
+            df, id_col, int(spec["n"]),
+            spec.get("score_col", "dsir_score"),
+            float(spec.get("temperature", 1.0)),
+            spec.get("salt", ""),
         )
     if op == "collocations":
         return top_collocations(

@@ -248,6 +248,36 @@ def test_dsir_weights_python_replication(spark):
         C.dsir_weights(df, tdf, "doc_id", lam=0.0)
 
 
+def test_importance_resample_gumbel_topk(documents):
+    """r8: the Gumbel top-k draw is a pure function of (salt, id) —
+    deterministic and partitioning-invariant; a new salt re-rolls the
+    set; as temperature → 0 selection degenerates to exact top-n by
+    score (noise washed out)."""
+    scored = documents.withColumn(
+        "dsir_score", (F.col("doc_id") % 10).cast("double")
+    )
+    a = C.importance_resample(scored, "doc_id", 50)
+    b = C.importance_resample(scored.repartition(7), "doc_id", 50)
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert len(ids_a) == 50
+    rerolled = sorted(
+        r["doc_id"]
+        for r in C.importance_resample(scored, "doc_id", 50, salt="run2")
+        .select("doc_id").collect()
+    )
+    assert rerolled != ids_a
+    # temperature → 0: pure exploitation — only max-score docs survive
+    cold = C.importance_resample(
+        scored, "doc_id", 20, temperature=1e-9
+    ).select("dsir_score").collect()
+    assert all(r["dsir_score"] == 9.0 for r in cold)
+    with pytest.raises(ValueError, match="n must"):
+        C.importance_resample(scored, "doc_id", 0)
+    with pytest.raises(ValueError, match="temperature"):
+        C.importance_resample(scored, "doc_id", 5, temperature=0.0)
+
+
 def test_pii_scrub_goldens_and_duckdb_parity(spark):
     """r8: counts are computed on the original text, redaction replaces
     every match in declared order, and — the oracle contract — Spark's
