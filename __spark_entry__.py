@@ -3162,6 +3162,32 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-text normalization (functions/text.py::normalize, r8): ASCII
+    controls → spaces, accent fold (translate over a pinned 53-char
+    map), lowercase, space-run collapse — the canonical pre-dedup
+    cleanup, as one Column chain in a single Project. The word-soup
+    corpus is already clean, so accents / tabs / newlines / double
+    spaces are deterministically injected first; the oracle replays
+    injection and every normalization step byte-for-byte (translate is
+    code-point-wise in both engines)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("  Été à NOËL ÇA")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" X\ttab\nnl")).otherwise(F.lit("")),
+        ),
+    )
+    return injected.select(
+        "doc_id", "lang",
+        TX.normalize(F.col("text")).alias("normalized"),
+    ).withColumn("n_tokens", TX.token_count(F.col("normalized")))
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (corpus op ``dsir``, r8 — Xie et al.
     2023, arXiv:2302.03169): every document scored by how 'en-like'
@@ -3248,6 +3274,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_shard_by_size",
     "q_quality_classify",
     "q_pii_scrub",
+    "q_normalize_text",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3363,6 +3390,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_by_size": q_shard_by_size,  # byte-budget shards, r8
         "q_quality_classify": q_quality_classify,  # linear filter, r8
         "q_pii_scrub": q_pii_scrub,  # PII detect + redact, r8
+        "q_normalize_text": q_normalize_text,  # accent/control/ws fold, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
         "q_salted_join_orders": q_salted_join_orders,
@@ -5165,6 +5193,32 @@ def oracle_sql() -> dict[str, str]:
                           THEN 0.0 + coalesce(sw, 0.0) / n_tokens
                           ELSE 0.0 END, 9) >= 0.01) AS keep
             FROM n LEFT JOIN s USING (doc_id)
+        """,
+        # same injection, then the same fixed chain: controls→spaces,
+        # translate accent fold (shared 53-char map), lower, collapse+trim
+        "q_normalize_text": f"""
+            WITH injected AS (
+              SELECT doc_id, lang,
+                text
+                || CASE WHEN doc_id % 3 = 0 THEN '  Été à NOËL ÇA'
+                   ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                   THEN ' X' || chr(9) || 'tab' || chr(10) || 'nl'
+                   ELSE '' END AS text
+              FROM documents
+            ),
+            norm AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(lower(translate(
+                       regexp_replace(text, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+                       '{TX._ACCENT_SRC}', '{TX._ACCENT_DST}')),
+                       ' +', ' ', 'g')) AS normalized
+              FROM injected
+            )
+            SELECT doc_id, lang, normalized,
+                   CAST(len(list_filter(string_split(normalized, ' '),
+                                        x -> x != '')) AS BIGINT) AS n_tokens
+            FROM norm
         """,
         "q_dsir_weights": _dsir_cte + """
             SELECT * FROM scored

@@ -134,6 +134,37 @@ def redact(text: Column) -> Column:
     return out
 
 
+# Latin-1/Latin-Extended accent fold map (same length by construction —
+# pytest-pinned); applied with translate(), which is code-point-wise in
+# both Spark (StringTranslate) and DuckDB (utf8proc), so the fold is
+# byte-replicable cross-engine.
+_ACCENT_SRC = "ÁÀÂÄÃÅáàâäãåÉÈÊËéèêëÍÌÎÏíìîïÓÒÔÖÕóòôöõÚÙÛÜúùûüÇçÑñÝýÿ"
+_ACCENT_DST = "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOoooooUUUUuuuuCcNnYyy"
+
+
+def normalize(
+    text: Column,
+    lowercase: bool = True,
+    strip_accents: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Standard web-text normalization before dedup/fingerprinting:
+    ASCII control characters (``\\x00-\\x1F``, ``\\x7F``) become spaces,
+    accents fold to their base letters, text lowercases, and space runs
+    collapse to one space with ends trimmed — in that fixed order, so
+    the collapse pass sees the spaces the control strip introduced.
+    Pure Column expression chain (regexp_replace + translate + lower),
+    single Project, byte-replicable by an external oracle."""
+    out = F.regexp_replace(text, r"[\x00-\x1F\x7F]", " ")
+    if strip_accents:
+        out = F.translate(out, _ACCENT_SRC, _ACCENT_DST)
+    if lowercase:
+        out = F.lower(out)
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r" +", " "))
+    return out
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Distinct character k-shingles of the normalized text — the unit set
     for n-gram Jaccard / MinHash dedup. Pure expression: ``sequence`` over
@@ -169,6 +200,7 @@ _TEXT_OPS = {
     "bpe_token_count": bpe_token_count,
     "rolling_hash": rolling_hash,
     "redact": redact,
+    "normalized": normalize,
 }
 
 

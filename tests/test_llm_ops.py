@@ -1374,6 +1374,35 @@ def test_semdedup_survivor_rule(spark):
         )
 
 
+def test_normalize_text_goldens(spark):
+    """r8: fixed order — controls→spaces, accent fold, lower, collapse —
+    and the fold map stays length-matched (translate alignment)."""
+    from config_driven_pyspark_spark.functions.text import (
+        _ACCENT_DST, _ACCENT_SRC,
+    )
+    assert len(_ACCENT_SRC) == len(_ACCENT_DST)
+    df = spark.createDataFrame(
+        [(1, "  Été à\tNOËL\x07ÇA  x  "), (2, ""), (3, None)],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", TX.normalize(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert rows[1] == "ete a noel ca x"
+    assert rows[2] == ""
+    assert rows[3] is None
+    kept = df.filter("id = 1").select(
+        TX.normalize(
+            F.col("text"), lowercase=False, strip_accents=False,
+            collapse_whitespace=False,
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert "Été" in kept and "\t" not in kept and "\x07" not in kept
+
+
 def test_recall_at_k_goldens(spark):
     """r8: per-query recall counts intersection over the exact set;
     queries missing from approx score 0; extras in approx don't count."""
