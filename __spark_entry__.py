@@ -3188,6 +3188,38 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_tokens", TX.token_count(F.col("normalized")))
 
 
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation features (corpus op ``url_features``, r8 — the
+    CommonCrawl web-corpus shape): synthetic mixed-case URLs are
+    minted per document (no url column in the corpus), then host /
+    registrable-domain / tld extract map-side with regexes in the
+    RE2 ∩ Java common subset, plus a domain-blocklist flag. The oracle
+    mints the same URLs and extracts with the same expressions —
+    byte parity end to end."""
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m3 = F.col("doc_id") % 3
+    tld = (
+        F.when(m3 == 0, F.lit("com"))
+        .when(m3 == 1, F.lit("org"))
+        .otherwise(F.lit("net"))
+    )
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://WWW."), F.col("source"), F.lit("-"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".Site"), m3.cast("string"), F.lit("."), tld,
+            F.lit("/doc/"), F.col("doc_id").cast("string"),
+            F.lit("?ref=x"),
+        ),
+    )
+    return CORPUS.url_features(
+        with_url, "url", blocklist=["site1.org", "spam.example"]
+    ).select("doc_id", "url", "host", "domain", "tld", "blocked")
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (corpus op ``dsir``, r8 — Xie et al.
     2023, arXiv:2302.03169): every document scored by how 'en-like'
@@ -3275,6 +3307,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_quality_classify",
     "q_pii_scrub",
     "q_normalize_text",
+    "q_url_features",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3391,6 +3424,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classify": q_quality_classify,  # linear filter, r8
         "q_pii_scrub": q_pii_scrub,  # PII detect + redact, r8
         "q_normalize_text": q_normalize_text,  # accent/control/ws fold, r8
+        "q_url_features": q_url_features,  # host/domain/tld/blocklist, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
         "q_salted_join_orders": q_salted_join_orders,
@@ -5193,6 +5227,33 @@ def oracle_sql() -> dict[str, str]:
                           THEN 0.0 + coalesce(sw, 0.0) / n_tokens
                           ELSE 0.0 END, 9) >= 0.01) AS keep
             FROM n LEFT JOIN s USING (doc_id)
+        """,
+        # same minting arithmetic, same extraction regexes (RE2 ∩ Java),
+        # same lowercased-host slicing and blocklist membership
+        "q_url_features": """
+            WITH minted AS (
+              SELECT doc_id,
+                'https://WWW.' || source || '-'
+                  || CAST(doc_id % 5 AS VARCHAR)
+                  || '.Site' || CAST(doc_id % 3 AS VARCHAR) || '.'
+                  || CASE WHEN doc_id % 3 = 0 THEN 'com'
+                          WHEN doc_id % 3 = 1 THEN 'org'
+                          ELSE 'net' END
+                  || '/doc/' || CAST(doc_id AS VARCHAR) || '?ref=x' AS url
+              FROM documents
+            ),
+            hosts AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]+).*$', 1)) AS host
+              FROM minted
+            )
+            SELECT doc_id, url, host,
+                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+                   regexp_extract(host, '\\.([^.]+)$', 1) AS tld,
+                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                     IN ('site1.org', 'spam.example') AS blocked
+            FROM hosts
         """,
         # same injection, then the same fixed chain: controls→spaces,
         # translate accent fold (shared 53-char map), lower, collapse+trim

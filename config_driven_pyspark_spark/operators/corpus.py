@@ -627,6 +627,44 @@ def dsir_weights(
     )
 
 
+#: scheme://host extractor and host-suffix slices, all in the RE2 ∩
+#: java.util.regex common subset (see PII_PATTERNS) so an external
+#: oracle extracts identical spans.
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]+).*$"
+
+
+def url_features(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """URL → curation features, the CommonCrawl-style web-corpus shape:
+    adds ``host`` (lowercased authority), ``domain`` (last two host
+    labels — the blocklist/cap granularity), ``tld``, and — when a
+    ``blocklist`` of domains is given — ``blocked``.  Unparseable URLs
+    yield empty strings (and ``blocked = false``), never nulls, so
+    downstream groupBys keep one well-defined bucket.  Compose with
+    ``cap`` (per-domain caps), ``hash_sample`` (per-domain rates), or a
+    filter on ``blocked`` for the usual pipeline.
+
+    Scale: pure map-side regexp_extract + isin against a literal
+    blocklist (for blocklists past ~10⁴ entries, broadcast-join a
+    blocklist frame on ``domain`` instead) — 0 exchanges."""
+    host = F.lower(F.regexp_extract(F.col(url_col), _URL_HOST_RE, 1))
+    out = (
+        df.withColumn("host", host)
+        .withColumn(
+            "domain", F.regexp_extract(F.col("host"), r"([^.]+\.[^.]+)$", 1)
+        )
+        .withColumn("tld", F.regexp_extract(F.col("host"), r"\.([^.]+)$", 1))
+    )
+    if blocklist is not None:
+        out = out.withColumn(
+            "blocked", F.col("domain").isin([d.lower() for d in blocklist])
+        )
+    return out
+
+
 def importance_resample(
     df: DataFrame,
     id_col: str,
@@ -1751,6 +1789,10 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             spec.get("target_column"),
             int(spec.get("n_buckets", 1024)),
             float(spec.get("lam", 0.5)),
+        )
+    if op == "url_features":
+        return url_features(
+            df, spec.get("url_col", "url"), spec.get("blocklist")
         )
     if op == "importance_resample":
         return importance_resample(

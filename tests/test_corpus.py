@@ -248,6 +248,35 @@ def test_dsir_weights_python_replication(spark):
         C.dsir_weights(df, tdf, "doc_id", lam=0.0)
 
 
+def test_url_features_extraction(spark):
+    """r8: host lowercases, domain is the last two labels, unparseable
+    URLs give empty strings (never null), blocklist matches on domain."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://WWW.News.Site1.ORG/a/b?x=1"),
+            (2, "http://sub.deep.spam.example:8080/p"),
+            (3, "ftp://files.example.net"),
+            (4, "not a url at all"),
+            (5, None),
+        ],
+        "id long, url string",
+    )
+    out = {r["id"]: r for r in C.url_features(
+        df, "url", blocklist=["spam.example", "SITE1.org"]
+    ).collect()}
+    assert out[1]["host"] == "www.news.site1.org"
+    assert out[1]["domain"] == "site1.org" and out[1]["tld"] == "org"
+    assert out[1]["blocked"] is True          # blocklist case-folded
+    # the authority slice stops at ':' — ports never reach the domain
+    assert out[2]["host"] == "sub.deep.spam.example"
+    assert out[2]["domain"] == "spam.example"
+    assert out[2]["blocked"] is True
+    assert out[3]["domain"] == "example.net" and out[3]["blocked"] is False
+    assert out[4]["host"] == "" and out[4]["domain"] == ""
+    assert out[4]["blocked"] is False
+    assert out[5]["host"] == "" and out[5]["blocked"] is False
+
+
 def test_importance_resample_gumbel_topk(documents):
     """r8: the Gumbel top-k draw is a pure function of (salt, id) —
     deterministic and partitioning-invariant; a new salt re-rolls the
