@@ -650,7 +650,11 @@ def url_features(
     Scale: pure map-side regexp_extract + isin against a literal
     blocklist (for blocklists past ~10⁴ entries, broadcast-join a
     blocklist frame on ``domain`` instead) — 0 exchanges."""
-    host = F.lower(F.regexp_extract(F.col(url_col), _URL_HOST_RE, 1))
+    host = F.lower(
+        F.regexp_extract(
+            F.coalesce(F.col(url_col), F.lit("")), _URL_HOST_RE, 1
+        )
+    )
     out = (
         df.withColumn("host", host)
         .withColumn(
