@@ -430,3 +430,51 @@ def test_streaming_asof_join_stream_stream(spark, events_dir, tmp_path):
         assert t == batch[t[0]], f"stream row {t} != batch {batch[t[0]]}"
     # liveness: all but the final unflushed window must have emitted
     assert len(emitted) >= len(batch) // 2
+
+
+def test_map_only_corpus_ops_work_on_streams(spark, tmp_path):
+    """r8: pii_scrub, url_features, and text-op normalization are pure
+    Column maps, so the identical config stages run unchanged on a
+    streaming source and the drained output equals batch — the corpus
+    cleanup tier is streaming-safe by construction."""
+    ddl = "doc_id bigint, text string, url string"
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"Döc  {i}\tping user{i}@ex.com now",
+                f"https://W.Site{i % 3}.com/d/{i}",
+            )
+            for i in range(40)
+        ],
+        ddl,
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(2).write.parquet(src)
+    stages = [
+        {"stage": "corpus", "op": "pii_scrub", "column": "text"},
+        {"stage": "corpus", "op": "url_features", "url_col": "url",
+         "blocklist": ["site0.com"]},
+        {"stage": "text", "column": "text", "ops": ["normalized"]},
+    ]
+
+    batch = Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": src, "schema": ddl},
+        *stages,
+    ]).run(spark)
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": src, "schema": ddl,
+         "streaming": True, "options": {"maxFilesPerTrigger": "1"}},
+        *stages,
+        {"stage": "stream_sink", "format": "memory",
+         "query_name": "corpus_maps", "output_mode": "append",
+         "checkpoint": str(tmp_path / "ckpt_cm"),
+         "trigger": "available_now", "await": True},
+    ]).run(spark)
+    got = spark.table("corpus_maps")
+    cols = ["doc_id", "n_email", "has_pii", "domain", "blocked", "normalized"]
+    assert _collect_sorted(got, cols) == _collect_sorted(batch, cols)
+    assert got.count() == 40
+    one = got.filter("doc_id = 7").collect()[0]
+    assert one["normalized"].endswith("ping <email> now")
+    assert one["blocked"] is (7 % 3 == 0)
