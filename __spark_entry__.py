@@ -3220,6 +3220,53 @@ def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "url", "host", "domain", "tld", "blocked")
 
 
+def q_e2e_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE web-corpus curation pipeline as ONE config chain (r8 —
+    the q_e2e_pretrain lesson applied to this round's cleanup tier):
+    mint URLs + inject PII → url_features + domain blocklist filter →
+    email scrub → normalization (controls/accents/case/whitespace) →
+    linear quality classifier on the NORMALIZED text → exact dedup on
+    normalized text → byte-budget shard layout. Output one row per
+    surviving document with its provenance (domain), scrub counts,
+    quality score, and shard assignment. Every stage keeps its
+    standalone plan shape (map-only regex/translate chain; broadcast
+    weight join + one groupBy; 16-byte fingerprint shuffle; bucketed
+    byte prefix sums); the oracle re-sources each stage's already-green
+    standalone SQL as chained CTEs — one hash pins seven operators
+    composing."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "with_columns", "columns": {
+            "url": "concat('https://WWW.', source, '-', "
+                   "cast(doc_id % 5 as string), '.Site', "
+                   "cast(doc_id % 3 as string), '.', "
+                   "case when doc_id % 3 = 0 then 'com' "
+                   "when doc_id % 3 = 1 then 'org' else 'net' end, "
+                   "'/doc/', cast(doc_id as string))",
+            "text": "concat(text, case when doc_id % 7 = 0 then "
+                    "concat(' Contact user', cast(doc_id as string), "
+                    "'@example.com for data.') else '' end)",
+        }},
+        {"stage": "corpus", "op": "url_features", "url_col": "url",
+         "blocklist": ["site1.org"]},
+        {"stage": "filter", "predicate": "NOT blocked"},
+        {"stage": "corpus", "op": "pii_scrub", "column": "text",
+         "types": ["email"]},
+        {"stage": "text", "column": "text", "ops": ["normalized"]},
+        {"stage": "corpus", "op": "quality_classify", "id_col": "doc_id",
+         "column": "normalized", "weights": dict(_QUALITY_WEIGHTS),
+         "threshold": 0.005},
+        {"stage": "filter", "predicate": "keep"},
+        {"stage": "dedup", "method": "exact", "id_col": "doc_id",
+         "column": "normalized"},
+        {"stage": "corpus", "op": "shard_by_size", "id_col": "doc_id",
+         "column": "normalized", "shard_bytes": 8192},
+        {"stage": "select",
+         "columns": ["doc_id", "lang", "domain", "n_email", "n_tokens",
+                     "score", "n_bytes", "shard"]},
+    ])
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (corpus op ``dsir``, r8 — Xie et al.
     2023, arXiv:2302.03169): every document scored by how 'en-like'
@@ -3308,6 +3355,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_pii_scrub",
     "q_normalize_text",
     "q_url_features",
+    "q_e2e_web_curation",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3425,6 +3473,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,  # PII detect + redact, r8
         "q_normalize_text": q_normalize_text,  # accent/control/ws fold, r8
         "q_url_features": q_url_features,  # host/domain/tld/blocklist, r8
+        "q_e2e_web_curation": q_e2e_web_curation,  # 7-stage chain, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
         "q_salted_join_orders": q_salted_join_orders,
@@ -5227,6 +5276,97 @@ def oracle_sql() -> dict[str, str]:
                           THEN 0.0 + coalesce(sw, 0.0) / n_tokens
                           ELSE 0.0 END, 9) >= 0.01) AS keep
             FROM n LEFT JOIN s USING (doc_id)
+        """,
+        # each stage's already-green standalone SQL re-sourced from the
+        # previous stage as a chained CTE: mint+inject → url features +
+        # blocklist → email scrub → normalize → linear quality → exact
+        # dedup on normalized → byte-budget shards (global-window twin)
+        "q_e2e_web_curation": f"""
+            WITH minted AS (
+              SELECT doc_id, lang, source,
+                text || CASE WHEN doc_id % 7 = 0 THEN ' Contact user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com for data.'
+                   ELSE '' END AS text,
+                'https://WWW.' || source || '-'
+                  || CAST(doc_id % 5 AS VARCHAR)
+                  || '.Site' || CAST(doc_id % 3 AS VARCHAR) || '.'
+                  || CASE WHEN doc_id % 3 = 0 THEN 'com'
+                          WHEN doc_id % 3 = 1 THEN 'org'
+                          ELSE 'net' END
+                  || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ),
+            feat AS (
+              SELECT *, regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                          AS domain
+              FROM (
+                SELECT *, lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]+).*$', 1)) AS host
+                FROM minted
+              )
+            ),
+            unblocked AS (
+              SELECT * FROM feat WHERE domain NOT IN ('site1.org')
+            ),
+            scrubbed AS (
+              SELECT doc_id, lang, domain,
+                CAST(len(regexp_extract_all(text, '{_pii_e}')) AS BIGINT)
+                  AS n_email,
+                regexp_replace(text, '{_pii_e}', '<EMAIL>', 'g') AS text
+              FROM unblocked
+            ),
+            norm AS (
+              SELECT *, trim(regexp_replace(lower(translate(
+                regexp_replace(text, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+                '{TX._ACCENT_SRC}', '{TX._ACCENT_DST}')),
+                ' +', ' ', 'g')) AS normalized
+              FROM scrubbed
+            ),
+            w(tok, wt) AS (VALUES
+              ('the', 0.5), ('and', 0.4), ('of', 0.3), ('data', 0.2),
+              ('le', -0.3), ('la', -0.2), ('der', -0.4), ('que', -0.2)
+            ),
+            t AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(normalized), ' '),
+                                        x -> x != '')) AS tok
+              FROM norm),
+            sw AS (
+              SELECT doc_id,
+                     CAST(sum(CAST(round(wt, 9) AS DECIMAL(18,9)))
+                          AS DOUBLE) AS sw
+              FROM t JOIN w USING (tok) GROUP BY doc_id),
+            scoredq AS (
+              SELECT norm.*,
+                CAST(len(list_filter(string_split(lower(normalized), ' '),
+                                     x -> x != '')) AS BIGINT) AS n_tokens,
+                round(CASE WHEN len(list_filter(
+                        string_split(lower(normalized), ' '),
+                        x -> x != '')) > 0
+                      THEN 0.0 + coalesce(sw.sw, 0.0)
+                        / len(list_filter(string_split(lower(normalized),
+                                                       ' '), x -> x != ''))
+                      ELSE 0.0 END, 9) AS score
+              FROM norm LEFT JOIN sw USING (doc_id)),
+            kept AS (SELECT * FROM scoredq WHERE score >= 0.005),
+            deduped AS (
+              SELECT * FROM kept WHERE doc_id IN (
+                SELECT min(doc_id) FROM kept GROUP BY md5(normalized))
+            ),
+            sharded AS (
+              SELECT doc_id, lang, domain, n_email, n_tokens, score,
+                CAST(octet_length(encode(normalized)) AS BIGINT)
+                  AS n_bytes,
+                CAST(coalesce(sum(CAST(octet_length(encode(normalized))
+                    AS BIGINT)) OVER (
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s
+              FROM deduped
+            )
+            SELECT doc_id, lang, domain, n_email, n_tokens, score, n_bytes,
+                   CAST(floor(s / 8192.0) AS BIGINT) AS shard
+            FROM sharded
         """,
         # same minting arithmetic, same extraction regexes (RE2 ∩ Java),
         # same lowercased-host slicing and blocklist membership
