@@ -584,12 +584,18 @@ def dsir_weights(
     tgt_b = tgt_g.groupBy("bucket").agg(
         F.count("*").cast("double").alias("__ct")
     )
-    tot_r = raw_g.agg(F.count("*").cast("double").alias("__tr"))
-    tot_t = tgt_g.agg(F.count("*").cast("double").alias("__tt"))
+    # the raw total folds as a whole-frame window over the ≤n_buckets
+    # joined count table (left join preserves every raw bucket), NOT a
+    # second aggregate over the gram table — one corpus pass, not two.
+    # The target total does need its own agg (target-only buckets would
+    # be dropped by the join), but the target side is tiny by assumption.
+    # Integer-valued doubles sum exactly, so totals match count() to the
+    # bit.  (plan-audited r8: corpus passes 3 → 2, exchanges 13 → 12)
+    tot_t = tgt_b.agg(F.sum("__ct").alias("__tt"))
     lam_b = float(lam) * n_buckets
     ratio = (
         raw_b.join(tgt_b, "bucket", "left")
-        .crossJoin(F.broadcast(tot_r))
+        .withColumn("__tr", F.sum("__cr").over(Window.partitionBy()))
         .crossJoin(F.broadcast(tot_t))
         .select(
             "bucket",
