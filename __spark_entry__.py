@@ -3267,6 +3267,22 @@ def q_e2e_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with document-boundary metadata (corpus op
+    ``pack`` + ``boundaries: true``, r8): every packed 128-token
+    sequence also carries space-joined ``doc_id:offset:len`` triples in
+    sequence order — what a trainer needs to mask cross-document
+    attention inside packed sequences (and to trace any token back to
+    its source document). Same groupBy as plain packing, one extra
+    aggregate; the oracle extends the green pack replica with a
+    string_agg ordered by in-sequence offset."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "pack", "id_col": "doc_id",
+         "column": "text", "seq_len": 128, "boundaries": True},
+    ])
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (corpus op ``dsir``, r8 — Xie et al.
     2023, arXiv:2302.03169): every document scored by how 'en-like'
@@ -3356,6 +3372,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_normalize_text",
     "q_url_features",
     "q_e2e_web_curation",
+    "q_pack_boundaries",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3474,6 +3491,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_text": q_normalize_text,  # accent/control/ws fold, r8
         "q_url_features": q_url_features,  # host/domain/tld/blocklist, r8
         "q_e2e_web_curation": q_e2e_web_curation,  # 7-stage chain, r8
+        "q_pack_boundaries": q_pack_boundaries,  # attention-mask meta, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
         "q_salted_join_orders": q_salted_join_orders,
@@ -5946,6 +5964,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same md5(doc_id) stream order as the Spark path; the oracle may
         # use one global window (sf0.01), the engine never does
+        # the green pack replica + one string_agg of doc_id:offset:len
+        # triples ordered by in-sequence offset
+        "q_pack_boundaries": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t != '') AS w,
+                     md5(CAST(doc_id AS VARCHAR)) AS ok
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+                     CAST(coalesce(sum(len(w)) OVER (
+                         ORDER BY ok, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS s
+              FROM d WHERE len(w) > 0
+            ),
+            pieces AS (
+              SELECT doc_id, w, n, s,
+                     unnest([i for i in
+                             range(s // 128, (s + n - 1) // 128 + 1)])
+                       AS seq_id
+              FROM p
+            ),
+            cut AS (
+              SELECT doc_id, seq_id,
+                     greatest(s, seq_id*128) - s + 1 AS a,
+                     least(s + n, (seq_id+1)*128) - greatest(s, seq_id*128)
+                       AS m,
+                     greatest(s, seq_id*128) - seq_id*128 AS off,
+                     w
+              FROM pieces
+            )
+            SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(m) AS BIGINT) AS n_tokens,
+                   string_agg(array_to_string(w[a : a+m-1], ' '), ' '
+                              ORDER BY off) AS seq_text,
+                   string_agg(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(off AS VARCHAR) || ':'
+                              || CAST(m AS VARCHAR), ' '
+                              ORDER BY off) AS boundaries
+            FROM cut GROUP BY seq_id
+        """,
         "q_pack_sequences": """
             WITH d AS (
               SELECT doc_id,

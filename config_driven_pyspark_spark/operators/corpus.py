@@ -1232,6 +1232,7 @@ def pack_sequences(
     seq_len: int = 512,
     by: str | None = None,
     tokens_col: str | None = None,
+    boundaries: bool = False,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate every document's tokens in
     deterministic md5(id) pseudo-random order and cut the stream every
@@ -1243,7 +1244,10 @@ def pack_sequences(
     restart per stratum). ``tokens_col`` names a precomputed
     ``array<string>`` token column (e.g. ``apply_bpe``'s output) to pack
     by TOKENIZER tokens instead of whitespace tokens; ``text_col`` is
-    ignored then.
+    ignored then.  ``boundaries=True`` adds a ``boundaries`` column —
+    space-joined ``doc_id:offset:len`` triples in sequence order — the
+    metadata a trainer needs to mask cross-document attention inside a
+    packed sequence (same groupBy, one extra aggregate expression).
 
     Scale: the global token offset is ``_md5_stream_offsets`` — md5-prefix
     buckets give 256 parallel local windows plus one 256-row offset window,
@@ -1295,6 +1299,7 @@ def pack_sequences(
         )
         .select(
             *keys,
+            F.col("id"),
             F.col("seq_id").cast("bigint").alias("seq_id"),
             (F.col("__ps") - F.col("seq_id") * seq_len).alias("__off_in_seq"),
             F.slice(
@@ -1304,7 +1309,7 @@ def pack_sequences(
             ).alias("pw"),
         )
     )
-    return pieces.groupBy(*keys, "seq_id").agg(
+    aggs = [
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.size("pw")).cast("bigint").alias("n_tokens"),
         F.concat_ws(
@@ -1316,7 +1321,31 @@ def pack_sequences(
                 )
             ),
         ).alias("seq_text"),
-    )
+    ]
+    if boundaries:
+        aggs.append(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "__off_in_seq",
+                                F.col("id").alias("__id"),
+                                F.size("pw").alias("__m"),
+                            )
+                        )
+                    ),
+                    lambda t: F.concat_ws(
+                        ":",
+                        t["__id"].cast("string"),
+                        t["__off_in_seq"].cast("string"),
+                        t["__m"].cast("string"),
+                    ),
+                ),
+            ).alias("boundaries")
+        )
+    return pieces.groupBy(*keys, "seq_id").agg(*aggs)
 
 
 def split_assign(
@@ -1755,6 +1784,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return pack_sequences(
             df, id_col, text_col, int(spec.get("seq_len", 512)),
             spec.get("by"), spec.get("tokens_col"),
+            bool(spec.get("boundaries", False)),
         )
     if op == "bpe_train":
         from config_driven_pyspark_spark.operators.bpe import bpe_train

@@ -1105,3 +1105,23 @@ def test_top_collocations_tolerates_empty_docs(spark):
     )
     rows = C.top_collocations(docs, k=5, min_count=2).collect()
     assert {(r["w1"], r["w2"]) for r in rows} == {("x", "y"), ("y", "x")}
+
+
+def test_pack_boundaries_metadata(documents):
+    """r8: boundaries triples are contiguous (offsets tile the sequence),
+    count n_docs pieces, and their lengths sum to n_tokens — exactly the
+    metadata needed to build a cross-document attention mask."""
+    rows = C.pack_sequences(
+        documents, "doc_id", "text", seq_len=64, boundaries=True
+    ).collect()
+    assert rows
+    doc_ids = {r["doc_id"] for r in documents.select("doc_id").collect()}
+    for r in rows:
+        parts = [p.split(":") for p in r["boundaries"].split(" ")]
+        assert len(parts) == r["n_docs"]
+        off = 0
+        for pid, po, pl in parts:
+            assert int(pid) in doc_ids
+            assert int(po) == off            # contiguous tiling
+            off += int(pl)
+        assert off == r["n_tokens"]
