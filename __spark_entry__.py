@@ -3267,6 +3267,37 @@ def q_e2e_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum repetition (corpus op ``upsample``, r8 — the
+    data-constrained-scaling mixing knob): en ×2, fr ×1.5, zh ×0.25,
+    other languages ×1. floor(f) copies per doc plus one more when the
+    16-bit md5 slice falls under frac(f)·65536 — expected multiplicity
+    is exactly the factor, realized copies a pure function of doc_id.
+    Map-only CASE + sequence + explode, no shuffle; oracle replays the
+    same slice arithmetic with generate-series unnest."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "upsample", "stratify_by": "lang",
+         "factors": {"en": 2.0, "fr": 1.5, "zh": 0.25}, "on": "doc_id"},
+        {"stage": "select",
+         "columns": ["doc_id", "lang", "source", "copy_idx"]},
+    ])
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter skew diagnostic (relational.py::skew_report, r8 —
+    the report to run before sizing a salt factor): top-20 order
+    customers by row count with each key's share of the table and its
+    skew multiple vs the average key. One map-side-combinable groupBy,
+    TakeOrderedAndProject top-k, totals broadcast to the 20 winners;
+    ratios are exact integer quotients rounded to 9 decimals, so the
+    oracle replays every row."""
+    return _run(spark, [
+        _src(sf_dir, "orders"),
+        {"stage": "skew_report", "keys": ["o_custkey"], "k": 20},
+    ])
+
+
 def q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing with document-boundary metadata (corpus op
     ``pack`` + ``boundaries: true``, r8): every packed 128-token
@@ -3373,6 +3404,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_url_features",
     "q_e2e_web_curation",
     "q_pack_boundaries",
+    "q_skew_report",
+    "q_upsample",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3492,6 +3525,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_features": q_url_features,  # host/domain/tld/blocklist, r8
         "q_e2e_web_curation": q_e2e_web_curation,  # 7-stage chain, r8
         "q_pack_boundaries": q_pack_boundaries,  # attention-mask meta, r8
+        "q_skew_report": q_skew_report,  # heavy-hitter diagnostic, r8
+        "q_upsample": q_upsample,  # per-stratum repetition, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
         "q_salted_join_orders": q_salted_join_orders,
@@ -5964,6 +5999,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same md5(doc_id) stream order as the Spark path; the oracle may
         # use one global window (sf0.01), the engine never does
+        # same md5 16-bit slice, same per-stratum floor/threshold split:
+        # en 2+0, fr 1+32768/65536, zh 0+16384/65536, default 1+0
+        "q_upsample": """
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) AS b16,
+                CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 1
+                          WHEN 'zh' THEN 0 ELSE 1 END AS nfull,
+                CASE lang WHEN 'en' THEN 0 WHEN 'fr' THEN 32768
+                          WHEN 'zh' THEN 16384 ELSE 0 END AS thr
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, lang, source,
+                     nfull + CASE WHEN b16 < thr THEN 1 ELSE 0 END AS copies
+              FROM d
+            )
+            SELECT doc_id, lang, source,
+                   CAST(unnest(range(0, copies)) AS INT) AS copy_idx
+            FROM c
+        """,
+        # same count/total/ranking arithmetic; ties to the key
+        "q_skew_report": """
+            WITH c AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY o_custkey
+            ),
+            s AS (
+              SELECT CAST(sum(n) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS n_keys
+              FROM c
+            ),
+            top AS (
+              SELECT * FROM c ORDER BY n DESC, o_custkey LIMIT 20
+            )
+            SELECT o_custkey, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, o_custkey)
+                     AS BIGINT) AS rank,
+                   round(CAST(n AS DOUBLE) / total, 9) AS share,
+                   round(CAST(n AS DOUBLE)
+                         / (CAST(total AS DOUBLE) / n_keys), 9) AS skew_x
+            FROM top, s
+        """,
         # the green pack replica + one string_agg of doc_id:offset:len
         # triples ordered by in-sequence offset
         "q_pack_boundaries": """

@@ -675,6 +675,59 @@ def url_features(
     return out
 
 
+def upsample(
+    df: DataFrame,
+    stratify_by: str,
+    factors: dict[str, float],
+    on: str,
+) -> DataFrame:
+    """Per-stratum repetition / upsampling — the "repeat wiki 4×, books
+    1.5×, drop 3/4 of crawl" mixing knob every pretraining recipe uses
+    (data-constrained scaling, Muennighoff et al. 2023): each document
+    gets ``floor(f)`` copies plus one more when its 16-bit md5 slice
+    falls below ``frac(f)·65536`` — expected multiplicity is the
+    stratum's factor (granularity 1/65536) and the realized copy count
+    is a pure function of the id.  Strata absent from ``factors``
+    default to 1.0; factor 0 drops the stratum.  Output: input rows
+    exploded with ``copy_idx`` (0..copies−1), so downstream packing /
+    sharding sees each repetition as its own row.
+
+    Scale: map-only CASE + sequence + explode — no shuffle, no RNG
+    state; output size is Σ factor·|stratum| by construction."""
+    if not factors:
+        raise ValueError("upsample needs a non-empty factors dict")
+    if any(f < 0 for f in factors.values()):
+        raise ValueError("upsample factors must be >= 0")
+    b16 = F.conv(
+        F.substring(F.md5(F.col(on).cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    full_c = None
+    thr_c = None
+    for val, f in factors.items():
+        full = int(f)
+        thr = int((f - full) * 65536 + 0.5)
+        cond = F.col(stratify_by) == val
+        full_c = (
+            F.when(cond, F.lit(full))
+            if full_c is None
+            else full_c.when(cond, F.lit(full))
+        )
+        thr_c = (
+            F.when(cond, F.lit(thr))
+            if thr_c is None
+            else thr_c.when(cond, F.lit(thr))
+        )
+    full_c = full_c.otherwise(F.lit(1))
+    thr_c = thr_c.otherwise(F.lit(0))
+    copies = full_c + F.when(b16 < thr_c, F.lit(1)).otherwise(F.lit(0))
+    # sequence(0, n-1) would run DESCENDING for n=0 — guard with an
+    # empty array, which explode() then drops entirely
+    idx = F.when(
+        copies >= 1, F.sequence(F.lit(0), copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("copy_idx", F.explode(idx))
+
+
 def importance_resample(
     df: DataFrame,
     id_col: str,
@@ -1833,6 +1886,10 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     if op == "url_features":
         return url_features(
             df, spec.get("url_col", "url"), spec.get("blocklist")
+        )
+    if op == "upsample":
+        return upsample(
+            df, spec["stratify_by"], spec["factors"], spec.get("on", id_col)
         )
     if op == "importance_resample":
         return importance_resample(

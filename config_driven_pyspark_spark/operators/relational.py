@@ -477,3 +477,58 @@ def top_k_per_group(
         F.col(rank_col) <= k
     )
     return out if keep_rank else out.drop(rank_col)
+
+
+def skew_report(df: DataFrame, keys: list[str], k: int = 20) -> DataFrame:
+    """Heavy-hitter skew diagnostic — the report to run BEFORE picking a
+    salt factor for a skewed join or aggregation: for the top-``k`` key
+    groups by row count, emit (keys..., n, rank, share, skew_x) where
+    ``share = n/total_rows`` and ``skew_x = n / (total/n_keys)`` — how
+    many times hotter than the average key this key runs. A skew_x of
+    40 on the top key says a plain hash partition on this key leaves
+    one task 40× the median; salt by ~that factor (see the salted-join
+    stage) or let AQE split it.
+
+    Determinism: ties rank by the key columns; ratios are 9-decimal
+    rounded exact integer quotients — bit-replicable by an external
+    oracle.
+
+    Scale: one map-side-combinable groupBy(keys) builds the count
+    table; the top-k is ``orderBy(n desc).limit(k)`` — planned as
+    TakeOrderedAndProject, never a full sort — and totals are one
+    aggregate of the count table broadcast back to the k winners.  The
+    count table's lineage is evaluated twice (top-k + totals); persist
+    it upstream if the key cardinality is corpus-scale and the input
+    scan is expensive."""
+    if not keys:
+        raise ValueError("skew_report needs at least one key column")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    counts = df.groupBy(*keys).agg(F.count("*").cast("bigint").alias("n"))
+    stats = counts.agg(
+        F.sum("n").cast("bigint").alias("__total"),
+        F.count("*").cast("bigint").alias("__n_keys"),
+    )
+    top = counts.orderBy(F.desc("n"), *keys).limit(int(k))
+    ranked = (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), *[F.col(c) for c in keys])
+            ),
+        )
+        .withColumn(
+            "share",
+            F.round(F.col("n").cast("double") / F.col("__total"), 9),
+        )
+        .withColumn(
+            "skew_x",
+            F.round(
+                F.col("n").cast("double")
+                / (F.col("__total").cast("double") / F.col("__n_keys")),
+                9,
+            ),
+        )
+    )
+    return ranked.select(*keys, "n", "rank", "share", "skew_x")

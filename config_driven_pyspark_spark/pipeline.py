@@ -246,7 +246,8 @@ class Pipeline:
             "limit",
             "distinct", "union", "intersect", "except", "repartition",
             "sample", "persist",
-            "top_k", "dedup", "similarity", "text", "multimodal", "corpus",
+            "top_k", "skew_report", "dedup", "similarity", "text",
+            "multimodal", "corpus",
             "observe",
             "udf", "grouped_map", "flat_map", "sink",
             "watermark", "time_window", "session_window", "stream_dedup",
@@ -333,6 +334,8 @@ class Pipeline:
                 int(spec["k"]),
                 keep_rank=spec.get("keep_rank", False),
             )
+        if kind == "skew_report":
+            return R.skew_report(df, spec["keys"], int(spec.get("k", 20)))
         if kind == "dedup":
             from config_driven_pyspark_spark.operators.dedup import stage_dedup
 

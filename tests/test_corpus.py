@@ -1125,3 +1125,45 @@ def test_pack_boundaries_metadata(documents):
             assert int(po) == off            # contiguous tiling
             off += int(pl)
         assert off == r["n_tokens"]
+
+
+def test_upsample_factors(documents):
+    """r8: expected multiplicity ≈ factor per stratum (1/65536
+    granularity), copies are a pure function of the id (partitioning-
+    invariant), factor 0 drops, absent strata default to 1x."""
+    factors = {"en": 2.0, "fr": 1.5, "zh": 0.0}
+    out = C.upsample(documents, "lang", factors, "doc_id").cache()
+    base = {r["lang"]: r["n"] for r in documents.groupBy("lang")
+            .agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang")
+           .agg(F.count("*").alias("n")).collect()}
+    assert got["en"] == 2 * base["en"]              # integer factor exact
+    assert "zh" not in got                          # factor 0 drops
+    assert got["de"] == base["de"]                  # default 1x
+    assert abs(got["fr"] / base["fr"] - 1.5) < 0.25  # fractional ≈
+    a = sorted(map(tuple, out.select("doc_id", "copy_idx").collect()))
+    b = sorted(map(tuple, C.upsample(
+        documents.repartition(7), "lang", factors, "doc_id"
+    ).select("doc_id", "copy_idx").collect()))
+    assert a == b
+    out.unpersist()
+    with pytest.raises(ValueError, match="factors"):
+        C.upsample(documents, "lang", {}, "doc_id")
+    with pytest.raises(ValueError, match=">= 0"):
+        C.upsample(documents, "lang", {"en": -1.0}, "doc_id")
+
+
+def test_skew_report_shares_and_ranks(documents):
+    """r8: shares sum to ≤1 over the top-k, ranks are 1..k dense by
+    count desc, and skew_x is count / average-count exactly."""
+    from config_driven_pyspark_spark.operators.relational import skew_report
+    out = skew_report(documents, ["lang"], k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["n"] >= out[1]["n"] >= out[2]["n"]
+    total = documents.count()
+    n_keys = documents.select("lang").distinct().count()
+    for r in out:
+        assert r["share"] == round(r["n"] / total, 9)
+        assert r["skew_x"] == round(r["n"] / (total / n_keys), 9)
+    with pytest.raises(ValueError, match="key column"):
+        skew_report(documents, [], k=3)
