@@ -169,3 +169,34 @@ def test_hybrid_index_search_example(spark, tmp_path):
     # identical output
     again = Pipeline.from_yaml(text).run(spark, variables=variables)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_web_curation_example(spark, tmp_path):
+    """r8: the cleanup-tier example runs end to end on a snapshot that
+    carries a url column; survivors are scrubbed, scored, deduped, and
+    sharded within budget."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "docs_with_urls")
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+     .withColumn("url", F.concat(
+         F.lit("https://www.s"), (F.col("doc_id") % 7).cast("string"),
+         F.lit(".example.com/doc/"), F.col("doc_id").cast("string")))
+     .write.parquet(src))
+    with open(os.path.join(EXAMPLES, "web_curation.yaml")) as fh:
+        text = fh.read()
+    result = Pipeline.from_yaml(text).run(
+        spark, variables={"input": src, "shard_bytes": 4000}
+    ).cache()
+    rows = result.collect()
+    assert rows
+    assert result.columns == ["doc_id", "lang", "domain", "n_email",
+                              "n_ipv4", "n_phone", "score", "n_bytes",
+                              "shard"]
+    assert all(r["domain"] == "example.com" for r in rows)
+    assert all(r["score"] >= 0.005 for r in rows)
+    per_shard = result.groupBy("shard").agg(
+        F.sum("n_bytes").alias("b"), F.max("n_bytes").alias("m")).collect()
+    for r in per_shard:
+        assert r["b"] - r["m"] < 4000
+    result.unpersist()
