@@ -3267,6 +3267,22 @@ def q_e2e_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report (corpus op ``diff``, r8 — the check every
+    pipeline re-run wants): new snapshot = the corpus minus every 10th
+    document and the whole zh stratum, diffed per language against the
+    full baseline — exact doc/token deltas, 9-decimal pct, vanished
+    strata surfacing with new_docs = 0. Two map-side-combinable
+    groupBys + a stratum-cardinality full outer join."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "filter", "input": "documents",
+         "predicate": "doc_id % 10 <> 0 AND lang <> 'zh'"},
+        {"stage": "corpus", "op": "diff", "by": "lang", "column": "text",
+         "baseline": "documents"},
+    ])
+
+
 def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum repetition (corpus op ``upsample``, r8 — the
     data-constrained-scaling mixing knob): en ×2, fr ×1.5, zh ×0.25,
@@ -3406,6 +3422,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_pack_boundaries",
     "q_skew_report",
     "q_upsample",
+    "q_corpus_diff",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3527,6 +3544,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_boundaries": q_pack_boundaries,  # attention-mask meta, r8
         "q_skew_report": q_skew_report,  # heavy-hitter diagnostic, r8
         "q_upsample": q_upsample,  # per-stratum repetition, r8
+        "q_corpus_diff": q_corpus_diff,  # snapshot drift report, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
         "q_salted_join_orders": q_salted_join_orders,
@@ -5999,6 +6017,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same md5(doc_id) stream order as the Spark path; the oracle may
         # use one global window (sf0.01), the engine never does
+        # same two aggregates + full outer join; same integer deltas and
+        # 9-decimal pct quotient
+        "q_corpus_diff": f"""
+            WITH olds AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS old_docs,
+                     CAST(sum(len({_TOKENS})) AS BIGINT) AS old_tokens
+              FROM documents GROUP BY lang
+            ),
+            news AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS new_docs,
+                     CAST(sum(len({_TOKENS})) AS BIGINT) AS new_tokens
+              FROM documents
+              WHERE doc_id % 10 <> 0 AND lang <> 'zh'
+              GROUP BY lang
+            )
+            SELECT coalesce(o.lang, n.lang) AS lang,
+                   coalesce(old_docs, 0) AS old_docs,
+                   coalesce(new_docs, 0) AS new_docs,
+                   coalesce(new_docs, 0) - coalesce(old_docs, 0)
+                     AS delta_docs,
+                   coalesce(old_tokens, 0) AS old_tokens,
+                   coalesce(new_tokens, 0) AS new_tokens,
+                   coalesce(new_tokens, 0) - coalesce(old_tokens, 0)
+                     AS delta_tokens,
+                   CASE WHEN coalesce(old_docs, 0) > 0 THEN
+                     round(CAST(coalesce(new_docs, 0)
+                                - coalesce(old_docs, 0) AS DOUBLE)
+                           / coalesce(old_docs, 0) * 100.0, 9)
+                   END AS pct_docs
+            FROM olds o FULL OUTER JOIN news n ON o.lang = n.lang
+        """,
         # same md5 16-bit slice, same per-stratum floor/threshold split:
         # en 2+0, fr 1+32768/65536, zh 0+16384/65536, default 1+0
         "q_upsample": """

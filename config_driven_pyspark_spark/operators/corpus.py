@@ -675,6 +675,49 @@ def url_features(
     return out
 
 
+def corpus_diff(
+    new: DataFrame,
+    baseline: DataFrame,
+    by: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot drift report between two corpus versions — the check
+    every pipeline re-run wants before shipping: per-``by`` stratum,
+    document and token counts of baseline vs new with absolute deltas
+    and percent change (NULL pct where the baseline stratum is empty —
+    a new stratum, not an infinite growth).  Full outer on the stratum
+    key, so vanished and newborn strata both surface.
+
+    Scale: one map-side-combinable groupBy per side over bounded
+    stratum keys; the join is stratum-cardinality rows.  Exact integer
+    deltas; pct is an integer quotient rounded to 9 decimals —
+    bit-replicable by an external oracle."""
+
+    def side(df: DataFrame, pfx: str) -> DataFrame:
+        return df.groupBy(F.col(by).alias(by)).agg(
+            F.count("*").cast("bigint").alias(f"{pfx}_docs"),
+            F.sum(TX.token_count(F.col(text_col)))
+            .cast("bigint").alias(f"{pfx}_tokens"),
+        )
+
+    j = side(baseline, "old").join(side(new, "new"), by, "full_outer")
+    od = F.coalesce(F.col("old_docs"), F.lit(0))
+    nd = F.coalesce(F.col("new_docs"), F.lit(0))
+    ot = F.coalesce(F.col("old_tokens"), F.lit(0))
+    nt = F.coalesce(F.col("new_tokens"), F.lit(0))
+    return j.select(
+        by,
+        od.alias("old_docs"), nd.alias("new_docs"),
+        (nd - od).alias("delta_docs"),
+        ot.alias("old_tokens"), nt.alias("new_tokens"),
+        (nt - ot).alias("delta_tokens"),
+        F.when(
+            od > 0,
+            F.round((nd - od).cast("double") / od * 100.0, 9),
+        ).alias("pct_docs"),
+    )
+
+
 def upsample(
     df: DataFrame,
     stratify_by: str,
@@ -1886,6 +1929,10 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     if op == "url_features":
         return url_features(
             df, spec.get("url_col", "url"), spec.get("blocklist")
+        )
+    if op == "diff":
+        return corpus_diff(
+            df, ctx.get(spec["baseline"]), spec["by"], text_col
         )
     if op == "upsample":
         return upsample(

@@ -1167,3 +1167,21 @@ def test_skew_report_shares_and_ranks(documents):
         assert r["skew_x"] == round(r["n"] / (total / n_keys), 9)
     with pytest.raises(ValueError, match="key column"):
         skew_report(documents, [], k=3)
+
+
+def test_corpus_diff_drift_report(documents):
+    """r8: exact per-stratum deltas, NULL pct for newborn strata,
+    vanished strata surface with new counts of zero."""
+    new = documents.filter("lang <> 'zh'").union(
+        documents.filter("lang = 'en'")      # en doubled → +100%
+    )
+    out = {r["lang"]: r for r in C.corpus_diff(
+        new, documents, "lang"
+    ).collect()}
+    assert out["zh"]["new_docs"] == 0
+    assert out["zh"]["delta_docs"] == -out["zh"]["old_docs"]
+    assert out["zh"]["pct_docs"] == -100.0
+    assert out["en"]["new_docs"] == 2 * out["en"]["old_docs"]
+    assert out["en"]["pct_docs"] == 100.0
+    assert out["fr"]["delta_docs"] == 0 and out["fr"]["pct_docs"] == 0.0
+    assert out["fr"]["delta_tokens"] == 0
