@@ -3267,6 +3267,39 @@ def q_e2e_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection against a persisted MinHash store
+    (operators/dedup.py::minhash_incremental, r8 — the daily-ingest
+    counterpart of q_incremental_dedup for NEAR duplicates): the store
+    is seeded once with the first 250 documents' signatures + shingle
+    index; the query then probes the doc_id >= 250 batch with
+    update_store=False (idempotent across driver re-runs). History is
+    never re-shingled; banding runs store×new; candidates verify with
+    TRUE word-5-gram Jaccard through the stored inverted index. Output
+    = pairs involving the new batch at J >= 0.8 — the oracle states
+    exactly that (id_b >= 250 both for cross and within-batch pairs,
+    id_a < id_b), exact precision from verify, banding capture locally
+    confirmed complete on this data (the q_minhash_pairs argument)."""
+    from config_driven_pyspark_spark.operators.dedup import (
+        minhash_incremental,
+    )
+
+    src, store, needs_seed = _cached_index_dir(
+        sf_dir, "cdp_mh_store", table="documents",
+        marker="mh/signatures",
+    )
+    docs = spark.read.parquet(src)
+    if needs_seed:
+        minhash_incremental(
+            docs.filter(F.col("doc_id") < 250), "doc_id",
+            f"{store}/mh", unit="word",
+        ).count()
+    return minhash_incremental(
+        docs.filter(F.col("doc_id") >= 250), "doc_id",
+        f"{store}/mh", unit="word", update_store=False,
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot drift report (corpus op ``diff``, r8 — the check every
     pipeline re-run wants): new snapshot = the corpus minus every 10th
@@ -3423,6 +3456,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_skew_report",
     "q_upsample",
     "q_corpus_diff",
+    "q_minhash_incremental",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3545,6 +3579,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_report": q_skew_report,  # heavy-hitter diagnostic, r8
         "q_upsample": q_upsample,  # per-stratum repetition, r8
         "q_corpus_diff": q_corpus_diff,  # snapshot drift report, r8
+        "q_minhash_incremental": q_minhash_incremental,  # near-dup store, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
         "q_salted_join_orders": q_salted_join_orders,
@@ -4498,6 +4533,19 @@ def oracle_sql() -> dict[str, str]:
         # deterministic) captures all true pairs — which it does on this
         # data (locally confirmed identical to the all-pairs result; capture
         # probability per true pair at j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9996).
+        # same true-Jaccard ground truth as q_minhash_pairs, restricted
+        # to pairs involving the new batch (id_a < id_b, so id_b >= 250
+        # covers both cross and within-batch pairs); precision is exact
+        # via the verify step and banding capture is locally complete
+        "q_minhash_incremental": _SHINGLES_CTE + """
+            SELECT id_a, id_b,
+                   round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+              AND id_b >= 250
+        """,
         "q_minhash_pairs": _SHINGLES_CTE + """
             SELECT id_a, id_b,
                    round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard

@@ -788,6 +788,139 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_incremental(
+    df: DataFrame,
+    id_col: str,
+    store_path: str,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    unit: str = "char",
+    update_store: bool = True,
+) -> DataFrame:
+    """NEAR-duplicate pairs of a NEW batch against a persisted MinHash
+    store — :func:`exact_dedup_incremental`'s counterpart for near
+    duplicates: history is never re-shingled or re-signed.  Today's
+    batch signs once, bands against the STORED signatures, candidates
+    verify with TRUE Jaccard through the stored shingle inverted index,
+    and (with ``update_store``) the store grows by the batch's
+    signatures and shingles.
+
+    Store layout (parquet, readable by any engine):
+      ``<store>/signatures`` — (id, sig array<bigint>, n_sh)
+      ``<store>/shingles``   — (id, h): exploded distinct xxhash64 longs
+    Returned pairs always involve the new batch (store×new and
+    within-new; old×old pairs were reported when history ingested):
+    (id_a, id_b, jaccard), id_a < id_b, true Jaccard ≥ ``threshold`` on
+    banding-captured candidates — the same seeded, deterministic
+    banding recall shape as :func:`minhash_lsh_pairs`, with exact
+    precision from the verify step.  Ids must be unique across store
+    and batch (the exact_dedup_incremental single-writer/at-most-once
+    contract applies verbatim; use ``update_store=False`` + a second
+    ingest call for two-phase).
+
+    Scale: the probe shuffles (band, bh) 8-byte keys — store
+    signatures stream through the band join, never collected; verify
+    routes candidates through the combined shingle index at
+    |shingles(doc)| rows per pair; per-doc set sizes ride the
+    signature store (``n_sh``), so no pass over stored shingles is
+    needed for sizes.  Store growth is O(batch), append-only."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide into bands ({bands})"
+        )
+    rows = num_hashes // bands
+    spark = df.sparkSession
+    from config_driven_pyspark_spark.operators.similarity import _fs_exists
+
+    ex_new = _materialize(_shingle_ex_df(df, id_col, text_col, k, unit))
+    hm = F.col("h").bitwiseAND(F.lit(_MH_P))
+    mins = ex_new.groupBy("id").agg(
+        *[
+            F.min((F.lit(a).cast("bigint") * hm + F.lit(b)) % _MH_P).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(_mh_ab(num_hashes))
+        ],
+        F.count("*").alias("n_sh"),
+    )
+    sigs_new = _materialize(
+        mins.select(
+            "id",
+            F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"),
+            "n_sh",
+        )
+    )
+
+    def banded(sigs: DataFrame, is_new: bool) -> DataFrame:
+        return sigs.select(
+            "id",
+            F.lit(is_new).alias("is_new"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bi: F.struct(
+                        bi.alias("band"),
+                        F.hash(F.slice("sig", bi * rows + 1, rows)).alias(
+                            "bh"
+                        ),
+                    ),
+                )
+            ).alias("b"),
+        ).select("id", "is_new", "b.band", "b.bh")
+
+    sig_store = f"{store_path}/signatures"
+    sh_store = f"{store_path}/shingles"
+    all_b = banded(sigs_new, True)
+    ex_all = ex_new.select("id", "h")
+    sizes = sigs_new.select("id", "n_sh")
+    if _fs_exists(spark, sig_store):
+        sigs_old = spark.read.parquet(sig_store)
+        all_b = banded(sigs_old, False).unionByName(all_b)
+        ex_all = spark.read.parquet(sh_store).unionByName(ex_all)
+        sizes = sigs_old.select("id", "n_sh").unionByName(sizes)
+    cand = (
+        all_b.alias("x")
+        .join(all_b.alias("y"), on=["band", "bh"])
+        .filter(
+            (F.col("x.id") < F.col("y.id"))
+            & (F.col("x.is_new") | F.col("y.is_new"))
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(ex_all.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(ex_all.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    # localCheckpoint BEFORE the append: the result must stay pinned to
+    # the pre-append store state (same refreshByPath pitfall as
+    # exact_dedup_incremental — a cached plan over the store path would
+    # recompute against the just-grown store and self-match the batch)
+    out = out.localCheckpoint()
+    if update_store:
+        sigs_new.write.mode("append").parquet(sig_store)
+        ex_new.select("id", "h").write.mode("append").parquet(sh_store)
+    return out
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over whitespace tokens, pure Column expressions.
 
@@ -1060,6 +1193,22 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
             spec.get("max_df"),
         )
     elif method == "minhash_lsh":
+        if spec.get("store_path"):
+            if out != "pairs" or keep_by:
+                raise ValueError(
+                    "store_path (incremental minhash) supports only "
+                    "output='pairs' without keep_by — pairs involving "
+                    "the new batch; resolve survivors downstream"
+                )
+            return minhash_incremental(
+                df, id_col, spec["store_path"],
+                spec.get("column", "text"), int(spec.get("k", 5)),
+                int(spec.get("num_hashes", 64)),
+                int(spec.get("bands", 16)),
+                float(spec.get("threshold", 0.8)),
+                spec.get("unit", "char"),
+                spec.get("update_store", True),
+            )
         pairs = minhash_lsh_pairs(
             df, id_col, spec.get("column", "text"), int(spec.get("k", 5)),
             int(spec.get("num_hashes", 64)), int(spec.get("bands", 16)),

@@ -1982,3 +1982,47 @@ def test_project_embeddings_preserves_similarity_order(embeddings):
     order_prj = np.argsort(prj_d)
     # top-10 nearest by raw distance mostly survive in projected top-20
     assert len(set(order_raw[:10]) & set(order_prj[:20])) >= 5
+
+
+def test_minhash_incremental_matches_batch_run(spark, documents, tmp_path):
+    """r8: seeding the store with batch 1 then probing batch 2 returns
+    exactly the full-corpus LSH pairs that involve batch 2; the seed
+    call returns the within-batch-1 pairs; update_store=False re-runs
+    are idempotent; the store carries signatures + shingles."""
+    store = str(tmp_path / "mh_store")
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(
+            documents, "doc_id", "text", k=5, unit="word"
+        ).collect()
+    }
+    b1 = documents.filter("doc_id < 250")
+    b2 = documents.filter("doc_id >= 250")
+    seeded = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_incremental(
+            b1, "doc_id", store, unit="word"
+        ).collect()
+    }
+    assert seeded == {p for p in full if p[1] < 250}
+    probed = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_incremental(
+            b2, "doc_id", store, unit="word", update_store=False
+        ).collect()
+    }
+    assert probed == {p for p in full if p[1] >= 250}
+    assert probed | seeded == full
+    # idempotent: the store did not grow, so a re-probe is identical
+    again = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_incremental(
+            b2, "doc_id", store, unit="word", update_store=False
+        ).collect()
+    }
+    assert again == probed
+    sigs = spark.read.parquet(f"{store}/signatures")
+    assert sigs.count() == b1.count()       # only batch 1 committed
+    assert set(sigs.columns) == {"id", "sig", "n_sh"}
+    with pytest.raises(ValueError, match="divide"):
+        D.minhash_incremental(b2, "doc_id", store, num_hashes=10, bands=16)
