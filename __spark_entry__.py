@@ -3300,6 +3300,25 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level (substring) benchmark decontamination (corpus op
+    ``contamination_flags`` + ``unit: char``, r8 — the GPT-4/Llama-style
+    overlap variant): per corpus document, the count of distinct
+    whitespace-normalized 24-char shingles shared with the held-out
+    src0 'benchmark'. Robust to tokenization and small word-boundary
+    edits the word form misses. Benchmark grams broadcast; corpus side
+    map-only + one groupBy — the contamination_flags shape at char
+    granularity."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "filter", "predicate": "source = 'src0'", "name": "bench"},
+        {"stage": "filter", "input": "documents",
+         "predicate": "source <> 'src0'"},
+        {"stage": "corpus", "op": "contamination_flags", "id_col": "doc_id",
+         "column": "text", "n": 24, "unit": "char", "benchmark": "bench"},
+    ])
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot drift report (corpus op ``diff``, r8 — the check every
     pipeline re-run wants): new snapshot = the corpus minus every 10th
@@ -3457,6 +3476,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_upsample",
     "q_corpus_diff",
     "q_minhash_incremental",
+    "q_char_decon",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3580,6 +3600,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_upsample": q_upsample,  # per-stratum repetition, r8
         "q_corpus_diff": q_corpus_diff,  # snapshot drift report, r8
         "q_minhash_incremental": q_minhash_incremental,  # near-dup store, r8
+        "q_char_decon": q_char_decon,  # substring decontamination, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
         "q_salted_join_orders": q_salted_join_orders,
@@ -6065,6 +6086,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same md5(doc_id) stream order as the Spark path; the oracle may
         # use one global window (sf0.01), the engine never does
+        # same whitespace-normalized 24-char shingle expansion on both
+        # sides (partials under 24 chars included, exactly as
+        # TX.shingles), benchmark distinct, per-doc shared-gram counts
+        "q_char_decon": """
+            WITH bn AS (
+              SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS norm
+              FROM documents WHERE source = 'src0'
+            ),
+            b AS (
+              SELECT DISTINCT unnest(list_distinct(
+                [substr(norm, i, 24)
+                 for i in range(1, greatest(len(norm)-23, 1)+1)])) AS g
+              FROM bn
+            ),
+            dn AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS norm
+              FROM documents WHERE source <> 'src0'
+            ),
+            d AS (
+              SELECT doc_id, unnest(list_distinct(
+                [substr(norm, i, 24)
+                 for i in range(1, greatest(len(norm)-23, 1)+1)])) AS g
+              FROM dn
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM d JOIN b USING (g) GROUP BY doc_id
+        """,
         # same two aggregates + full outer join; same integer deltas and
         # 9-decimal pct quotient
         "q_corpus_diff": f"""

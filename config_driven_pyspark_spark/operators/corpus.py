@@ -45,7 +45,7 @@ Scale notes per operator are on the functions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from config_driven_pyspark_spark.functions import text as TX
 from config_driven_pyspark_spark.operators.dedup import _materialize, _spread
@@ -824,23 +824,37 @@ def contamination_flags(
     text_col: str = "text",
     ngram_n: int = 8,
     bench_text_col: str | None = None,
+    unit: str = "word",
 ) -> DataFrame:
-    """(id, n_shared) for corpus documents sharing ≥1 distinct word n-gram
+    """(id, n_shared) for corpus documents sharing ≥1 distinct n-gram
     with the benchmark set — the standard eval-decontamination check.
+    ``unit="word"`` (default) matches word ``ngram_n``-grams;
+    ``unit="char"`` matches whitespace-normalized character
+    ``ngram_n``-grams — the GPT-4/Llama-style substring-overlap variant
+    (e.g. n=24..50 chars), robust to tokenization and small
+    word-boundary edits the word form misses.
 
     Scale: benchmark sets (eval suites) are tiny next to a 100 TB corpus, so
     the distinct benchmark n-grams are broadcast; the corpus side is a
     map-side explode + broadcast-hash semi-join + one groupBy(id) with
     partial counts. No corpus self-join ever happens.
     """
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+
+    def grams(col: Column) -> Column:
+        if unit == "word":
+            return TX.word_ngrams(col, ngram_n)
+        return TX.shingles(col, ngram_n)
+
     bench_grams = benchmark.select(
         F.explode(
-            TX.word_ngrams(F.col(bench_text_col or text_col), ngram_n)
+            grams(F.col(bench_text_col or text_col))
         ).alias("g")
     ).distinct()
     doc_grams = _spread(df).select(
         F.col(id_col).alias("id"),
-        F.explode(TX.word_ngrams(F.col(text_col), ngram_n)).alias("g"),
+        F.explode(grams(F.col(text_col))).alias("g"),
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), "g")
@@ -857,10 +871,11 @@ def decontaminate(
     text_col: str = "text",
     ngram_n: int = 8,
     bench_text_col: str | None = None,
+    unit: str = "word",
 ) -> DataFrame:
     """Drop contaminated documents (those flagged by ``contamination_flags``)."""
     flags = contamination_flags(
-        df, benchmark, id_col, text_col, ngram_n, bench_text_col
+        df, benchmark, id_col, text_col, ngram_n, bench_text_col, unit
     ).select(id_col)
     return df.join(flags, on=id_col, how="left_anti")
 
@@ -1827,7 +1842,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         fn = decontaminate if op == "decontaminate" else contamination_flags
         return fn(
             df, bench, id_col, text_col, int(spec.get("n", 8)),
-            spec.get("benchmark_column"),
+            spec.get("benchmark_column"), spec.get("unit", "word"),
         )
     if op in ("semantic_decontaminate", "semantic_contamination_flags"):
         bench = ctx.get(spec["benchmark"])

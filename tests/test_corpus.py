@@ -1185,3 +1185,31 @@ def test_corpus_diff_drift_report(documents):
     assert out["en"]["pct_docs"] == 100.0
     assert out["fr"]["delta_docs"] == 0 and out["fr"]["pct_docs"] == 0.0
     assert out["fr"]["delta_tokens"] == 0
+
+
+def test_contamination_char_unit(spark):
+    """r8: unit='char' flags substring overlap the word form misses —
+    a doc sharing a 12-char run with the benchmark but no full 3-word
+    gram is caught by char grams only; unknown units raise."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "xx quick brown xx"),     # shares 'quick brown' substring
+         (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    char_hits = {r["doc_id"] for r in C.contamination_flags(
+        docs, bench, "doc_id", ngram_n=11, unit="char"
+    ).collect()}
+    word_hits = {r["doc_id"] for r in C.contamination_flags(
+        docs, bench, "doc_id", ngram_n=3, unit="word"
+    ).collect()}
+    assert 1 in char_hits and 2 not in char_hits
+    assert 1 not in word_hits                # word 3-grams miss it
+    kept = {r["doc_id"] for r in C.decontaminate(
+        docs, bench, "doc_id", ngram_n=11, unit="char"
+    ).collect()}
+    assert kept == {2}
+    with pytest.raises(ValueError, match="unit"):
+        C.contamination_flags(docs, bench, "doc_id", unit="byte")
