@@ -3300,6 +3300,21 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length trim (corpus op ``length_filter``, r8): keep
+    documents inside each language's [5%, 95%] token-count band — the
+    data-driven Gopher length rule. Bounds from the exact interpolating
+    percentile (hash-equal to quantile_cont, the corpus_profile
+    contract), broadcast back per stratum; the filter is map-side."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "length_filter", "column": "text",
+         "by": "lang", "lo": 0.05, "hi": 0.95},
+        {"stage": "select",
+         "columns": ["doc_id", "lang", "source", "n_tokens"]},
+    ])
+
+
 def q_char_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level (substring) benchmark decontamination (corpus op
     ``contamination_flags`` + ``unit: char``, r8 — the GPT-4/Llama-style
@@ -3477,6 +3492,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_corpus_diff",
     "q_minhash_incremental",
     "q_char_decon",
+    "q_length_filter",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3601,6 +3617,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_diff": q_corpus_diff,  # snapshot drift report, r8
         "q_minhash_incremental": q_minhash_incremental,  # near-dup store, r8
         "q_char_decon": q_char_decon,  # substring decontamination, r8
+        "q_length_filter": q_length_filter,  # percentile length trim, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
         "q_salted_join_orders": q_salted_join_orders,
@@ -6086,6 +6103,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same md5(doc_id) stream order as the Spark path; the oracle may
         # use one global window (sf0.01), the engine never does
+        # same exact interpolating quantiles (the corpus_profile
+        # quantile_cont parity), inclusive band, integer counts
+        "q_length_filter": f"""
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            b AS (
+              SELECT lang,
+                     quantile_cont(CAST(n_tokens AS DOUBLE), 0.05) AS lo,
+                     quantile_cont(CAST(n_tokens AS DOUBLE), 0.95) AS hi
+              FROM d GROUP BY lang
+            )
+            SELECT doc_id, lang, source, n_tokens
+            FROM d JOIN b USING (lang)
+            WHERE CAST(n_tokens AS DOUBLE) >= lo
+              AND CAST(n_tokens AS DOUBLE) <= hi
+        """,
         # same whitespace-normalized 24-char shingle expansion on both
         # sides (partials under 24 chars included, exactly as
         # TX.shingles), benchmark distinct, per-doc shared-gram counts

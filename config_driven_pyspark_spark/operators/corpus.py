@@ -675,6 +675,53 @@ def url_features(
     return out
 
 
+def length_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str | None = None,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Percentile outlier trim: keep documents whose token count lies
+    inside the corpus's [``lo``, ``hi``] quantile band (inclusive),
+    per-``by`` stratum when given — the data-driven version of
+    Gopher's absolute length rules: degenerate ultra-short docs and
+    runaway concatenations both go, with thresholds that adapt to each
+    stratum's own distribution.  Adds ``n_tokens``.
+
+    Determinism: bounds use the exact interpolating ``percentile``
+    (hash-equal to DuckDB ``quantile_cont`` — the corpus_profile
+    contract), compared inclusively against integer counts.
+
+    Scale: one aggregate computes the bounds (exact percentile buffers
+    per stratum — for corpus-scale strata switch to
+    ``corpus_profile(method="approx")`` thresholds and a plain filter);
+    the bounds table is stratum-cardinality and broadcast back, so the
+    filter itself is map-side."""
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got [{lo}, {hi}]")
+    keys = [by] if by else []
+    base = _spread(df).withColumn(
+        "__n", TX.token_count(F.col(text_col)).cast("double")
+    )
+    bounds = base.groupBy(*keys).agg(
+        F.percentile("__n", F.lit(float(lo))).alias("__lo"),
+        F.percentile("__n", F.lit(float(hi))).alias("__hi"),
+    )
+    joined = (
+        base.join(F.broadcast(bounds), keys)
+        if keys
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    return (
+        joined.filter(
+            (F.col("__n") >= F.col("__lo")) & (F.col("__n") <= F.col("__hi"))
+        )
+        .withColumn("n_tokens", F.col("__n").cast("bigint"))
+        .drop("__n", "__lo", "__hi")
+    )
+
+
 def corpus_diff(
     new: DataFrame,
     baseline: DataFrame,
@@ -1944,6 +1991,11 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     if op == "url_features":
         return url_features(
             df, spec.get("url_col", "url"), spec.get("blocklist")
+        )
+    if op == "length_filter":
+        return length_filter(
+            df, text_col, spec.get("by"),
+            float(spec.get("lo", 0.01)), float(spec.get("hi", 0.99)),
         )
     if op == "diff":
         return corpus_diff(

@@ -1213,3 +1213,32 @@ def test_contamination_char_unit(spark):
     assert kept == {2}
     with pytest.raises(ValueError, match="unit"):
         C.contamination_flags(docs, bench, "doc_id", unit="byte")
+
+
+def test_length_filter_percentile_band(documents):
+    """r8: global band keeps exactly the docs inside [lo, hi] exact
+    quantiles; per-stratum bands adapt to each stratum; degenerate
+    [0.5, 0.5] keeps only median-length docs; bad bounds raise."""
+    from config_driven_pyspark_spark.functions import text as TX
+    counts = sorted(
+        r["n"] for r in documents.select(
+            TX.token_count(F.col("text")).alias("n")).collect()
+    )
+    out = C.length_filter(documents, "text", lo=0.1, hi=0.9)
+    got = sorted(r["n_tokens"] for r in out.collect())
+    import math
+
+    def q(p):
+        # linear interpolation, the percentile/quantile_cont definition
+        i = p * (len(counts) - 1)
+        f, c = math.floor(i), math.ceil(i)
+        return counts[f] + (i - f) * (counts[c] - counts[f])
+
+    expect = [n for n in counts if q(0.1) <= n <= q(0.9)]
+    assert got == expect
+    per_lang = C.length_filter(documents, "text", by="lang", lo=0.2, hi=0.8)
+    n_langs = documents.select("lang").distinct().count()
+    assert per_lang.select("lang").distinct().count() == n_langs
+    assert 0 < per_lang.count() < documents.count()
+    with pytest.raises(ValueError, match="lo <= hi"):
+        C.length_filter(documents, "text", lo=0.9, hi=0.1)
