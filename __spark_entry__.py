@@ -3300,6 +3300,28 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum z-normalization (corpus op ``score_normalize``, r8):
+    quality scores calibrated per language — z = (x−mean)/std with
+    BOTH moments as exact order-independent DECIMAL sums (Σx at
+    (28,9), Σx² at (38,18) from a (14,9)-narrowed input so the square
+    never hits Spark's silent decimal-scale reduction), then one fixed
+    double expression — never the builtin stddev, whose streaming
+    accumulation is partition-order-dependent. The oracle replays
+    moments and z bit-for-bit. One stratum-cardinality groupBy
+    broadcast back; the projection is map-side."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "quality_classify", "id_col": "doc_id",
+         "column": "text", "weights": dict(_QUALITY_WEIGHTS),
+         "threshold": 0.01},
+        {"stage": "corpus", "op": "score_normalize", "score_col": "score",
+         "by": "lang"},
+        {"stage": "select",
+         "columns": ["doc_id", "lang", "score", "z_score"]},
+    ])
+
+
 def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile length trim (corpus op ``length_filter``, r8): keep
     documents inside each language's [5%, 95%] token-count band — the
@@ -3493,6 +3515,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_minhash_incremental",
     "q_char_decon",
     "q_length_filter",
+    "q_score_normalize",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3618,6 +3641,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_incremental": q_minhash_incremental,  # near-dup store, r8
         "q_char_decon": q_char_decon,  # substring decontamination, r8
         "q_length_filter": q_length_filter,  # percentile length trim, r8
+        "q_score_normalize": q_score_normalize,  # per-stratum z-calib, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
         "q_salted_join_orders": q_salted_join_orders,
@@ -6103,6 +6127,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same md5(doc_id) stream order as the Spark path; the oracle may
         # use one global window (sf0.01), the engine never does
+        # the quality oracle's scored CTE + exact decimal moments and the
+        # identical fixed double expression for z (never builtin stddev)
+        "q_score_normalize": """
+            WITH w(tok, wt) AS (VALUES
+              ('the', 0.5), ('and', 0.4), ('of', 0.3), ('data', 0.2),
+              ('le', -0.3), ('la', -0.2), ('der', -0.4), ('que', -0.2)
+            ),
+            t AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x != '')) AS tok
+              FROM documents),
+            sw AS (
+              SELECT doc_id,
+                     CAST(sum(CAST(round(wt, 9) AS DECIMAL(18,9)))
+                          AS DOUBLE) AS sw
+              FROM t JOIN w USING (tok) GROUP BY doc_id),
+            nn AS (
+              SELECT doc_id, lang,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                                          x -> x != '')) AS BIGINT)
+                       AS n_tokens
+              FROM documents),
+            scored AS (
+              SELECT doc_id, lang,
+                     round(CASE WHEN n_tokens > 0
+                           THEN 0.0 + coalesce(sw.sw, 0.0) / n_tokens
+                           ELSE 0.0 END, 9) AS score
+              FROM nn LEFT JOIN sw USING (doc_id)),
+            xd AS (
+              SELECT doc_id, lang, score,
+                     CAST(round(score, 9) AS DECIMAL(14,9)) AS x
+              FROM scored),
+            m AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS DECIMAL(28,9)) AS sx,
+                     sum(CAST(x * x AS DECIMAL(38,18))) AS sxx
+              FROM xd GROUP BY lang)
+            SELECT doc_id, lang, score,
+              CASE WHEN n >= 2
+                    AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+               THEN round(
+                 (CAST(x AS DOUBLE)
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0))), 9)
+               ELSE 0.0 END AS z_score
+            FROM xd JOIN m USING (lang)
+        """,
         # same exact interpolating quantiles (the corpus_profile
         # quantile_cont parity), inclusive band, integer counts
         "q_length_filter": f"""

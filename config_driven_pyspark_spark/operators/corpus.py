@@ -675,6 +675,62 @@ def url_features(
     return out
 
 
+def score_normalize(
+    df: DataFrame,
+    score_col: str,
+    by: str | None = None,
+    out_col: str = "z_score",
+) -> DataFrame:
+    """Per-stratum z-normalization of a score column — the calibration
+    step before mixing quality scores across sources whose classifiers
+    run hot or cold: ``z = (x − mean)/std`` with mean and SAMPLE std
+    per ``by`` stratum (global without).  Strata with fewer than 2 rows
+    or zero variance get ``z = 0.0`` (no information, not infinity).
+
+    Determinism: scores are rounded to 9 decimals and cast to
+    DECIMAL(14,9) — narrow enough that the x·x product type (29,18)
+    stays inside the 38-digit cap WITHOUT Spark's silent scale
+    reduction — and both moments accumulate as exact, order-
+    independent DECIMAL sums; then
+    ``std = sqrt((n·Σx² − (Σx)²) / (n·(n−1)))`` evaluates in one
+    fixed double expression, so an external oracle replays every z
+    bit-for-bit.  (Never use the builtin ``stddev`` for cross-engine
+    checks: its streaming accumulation is partition-order-dependent.)
+
+    Scale: one map-side-combinable groupBy for the moments (stratum-
+    cardinality result, broadcast back) + a map-side projection."""
+    keys = [by] if by else []
+    x = F.round(F.col(score_col), 9).cast("decimal(14,9)")
+    base = _spread(df).withColumn("__x", x)
+    moments = base.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__x").cast("decimal(28,9)").alias("__sx"),
+        F.sum(
+            (F.col("__x") * F.col("__x")).cast("decimal(38,18)")
+        ).alias("__sxx"),
+    )
+    joined = (
+        base.join(F.broadcast(moments), keys)
+        if keys
+        else base.crossJoin(F.broadcast(moments))
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    var_num = n * sxx - sx * sx
+    z = F.when(
+        (F.col("__n") >= 2) & (var_num > 0),
+        F.round(
+            (F.col("__x").cast("double") - sx / n)
+            / F.sqrt(var_num / (n * (n - F.lit(1.0)))),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn(out_col, z).drop(
+        "__x", "__n", "__sx", "__sxx"
+    )
+
+
 def length_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -1991,6 +2047,11 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     if op == "url_features":
         return url_features(
             df, spec.get("url_col", "url"), spec.get("blocklist")
+        )
+    if op == "score_normalize":
+        return score_normalize(
+            df, spec["score_col"], spec.get("by"),
+            spec.get("out_col", "z_score"),
         )
     if op == "length_filter":
         return length_filter(

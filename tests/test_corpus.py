@@ -1242,3 +1242,29 @@ def test_length_filter_percentile_band(documents):
     assert 0 < per_lang.count() < documents.count()
     with pytest.raises(ValueError, match="lo <= hi"):
         C.length_filter(documents, "text", lo=0.9, hi=0.1)
+
+
+def test_score_normalize_exact_moments(spark):
+    """r8: z matches a hand computation with sample std; zero-variance
+    and singleton strata yield exactly 0.0; partitioning-invariant
+    (the whole point of decimal moments over builtin stddev)."""
+    import math
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0),
+         (4, "b", 5.0), (5, "b", 5.0),          # zero variance
+         (6, "c", 7.0)],                        # singleton
+        "doc_id long, lang string, score double",
+    )
+    out = {r["doc_id"]: r["z_score"] for r in C.score_normalize(
+        df, "score", by="lang"
+    ).collect()}
+    std = math.sqrt((3 * 14.0 - 36.0) / (3 * 2))   # sample std of 1,2,3
+    assert out[1] == round((1.0 - 2.0) / std, 9)
+    assert out[2] == 0.0
+    assert out[3] == round((3.0 - 2.0) / std, 9)
+    assert out[4] == 0.0 and out[5] == 0.0 and out[6] == 0.0
+    a = sorted(C.score_normalize(df, "score", by="lang")
+               .select("doc_id", "z_score").collect())
+    b = sorted(C.score_normalize(df.repartition(5), "score", by="lang")
+               .select("doc_id", "z_score").collect())
+    assert a == b
