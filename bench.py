@@ -98,6 +98,21 @@ HEADLINE = [
     "q_matryoshka_ann",
     "q_shard_by_size",
     "q_quality_classify",
+    "q_pii_scrub",
+    "q_normalize_text",
+    "q_url_features",
+    "q_dsir_weights",
+    "q_dsir_resample",
+    "q_ann_recall",
+    "q_e2e_web_curation",
+    "q_pack_boundaries",
+    "q_skew_report",
+    "q_upsample",
+    "q_corpus_diff",
+    "q_minhash_incremental",
+    "q_char_decon",
+    "q_length_filter",
+    "q_score_normalize",
 ]
 
 
