@@ -1919,14 +1919,21 @@ def top_collocations(
 
 
 def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
-    """``{"stage": "corpus", "op": "repetition|hash_sample|decontaminate|
-    contamination_flags|chunk|mixture|token_budget|line_dedup|span_dedup|
-    pack|split_assign|cap|bm25", ...}`` — config-driven entry points. ``bm25``
-    takes ``queries`` (a named frame with query_id/query_text) plus
-    optional ``k``/``k1``/``b``. ``decontaminate``/``contamination_flags`` take
-    ``benchmark`` (a named frame from an earlier stage); ``mixture`` takes
-    ``stratify_by`` + ``weights``; ``token_budget`` takes ``budget`` and
-    optional ``by``."""
+    """``{"stage": "corpus", "op": <name>, ...}`` — config-driven entry
+    points for every corpus operator in this module: ``repetition``,
+    ``hash_sample``, ``decontaminate``/``contamination_flags`` (word or
+    ``unit: char`` grams), ``semantic_decontaminate``/
+    ``semantic_contamination_flags``, ``chunk``, ``mixture``
+    (target weights, or ``alpha`` for temperature), ``token_budget``,
+    ``line_dedup``, ``span_dedup``, ``pack`` (``tokens_col`` for BPE
+    counts, ``boundaries`` for attention-mask metadata), ``profile``,
+    ``split_assign``, ``cap``, ``shard_by_size``, ``quality_classify``,
+    ``pii_scrub``, ``dsir`` + ``importance_resample``, ``upsample``,
+    ``url_features``, ``diff``, ``length_filter``, ``score_normalize``,
+    ``bpe_train``/``bpe_encode``, ``collocations``, ``perplexity``,
+    ``bm25``.  Named-frame inputs (``benchmark``/``target``/``baseline``/
+    ``queries``/``merges``) resolve through ``ctx`` from earlier
+    ``name:``-tagged stages."""
     op = spec.get("op")
     id_col = spec.get("id_col", "id")
     text_col = spec.get("column", "text")
