@@ -1411,6 +1411,20 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.recall_at_k(approx, exact)
 
 
+def q_ncm_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean classification (similarity.py::ncm_classify,
+    r8): every embedding assigned to the closest per-label prototype —
+    the fastest label-quality check a curation pipeline has (NCM
+    disagreements are mislabel candidates). Prototypes are exact
+    DECIMAL(32,12) component means of the unit vectors (the k-means
+    update contract), unit-normalized left-to-right; assignment is the
+    highest 6-decimal cosine with label tie-break — all replayed
+    bit-for-bit by the oracle. One (label, dim) groupBy + broadcast
+    prototypes + map-side scoring."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ncm_classify(emb)
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means over the full corpus (similarity.py::
     kmeans_clusters, r8): 8 clusters, sample init (lowest-id unit
@@ -3516,6 +3530,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_char_decon",
     "q_length_filter",
     "q_score_normalize",
+    "q_ncm_classify",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3669,6 +3684,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bq_ann": q_bq_ann,  # binary codes + Hamming + rerank, r8
         "q_matryoshka_ann": q_matryoshka_ann,  # MRL truncated tier, r8
         "q_ann_recall": q_ann_recall,  # recall@k harness, r8
+        "q_ncm_classify": q_ncm_classify,  # nearest-class-mean, r8
         "q_line_dedup": q_line_dedup,
         "q_span_dedup": q_span_dedup,
         "q_span_strip": q_span_strip,
@@ -4635,6 +4651,52 @@ def oracle_sql() -> dict[str, str]:
                              AND q.vec_id <> c.vec_id
               WHERE q.vec_id < 10
             ) WHERE rank <= 5
+        """,
+        # per-label DECIMAL(32,12) component means of the unit vectors
+        # (the k-means update contract), left-to-right normalize, argmax
+        # by 6-decimal cosine with label tie-break
+        "q_ncm_classify": """
+            WITH v AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS e
+              FROM embeddings
+            ),
+            unitv AS (
+              SELECT vec_id, label,
+                     list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                       AS u
+              FROM v
+            ),
+            comp AS (
+              SELECT label, i AS d,
+                     CAST(sum(CAST(round(u[i], 12) AS DECIMAL(32,12)))
+                          AS DOUBLE) / count(*) AS m
+              FROM (SELECT label, u,
+                           unnest(range(1, len(u)+1)) AS i
+                    FROM unitv)
+              GROUP BY label, i
+            ),
+            cent AS (
+              SELECT label AS pred, list(m ORDER BY d) AS c
+              FROM comp GROUP BY label
+            ),
+            protos AS (
+              SELECT pred,
+                     list_transform(c, x -> x / sqrt(list_dot_product(c, c)))
+                       AS cn
+              FROM cent
+            ),
+            scored AS (
+              SELECT v.vec_id, v.label, p.pred,
+                     round(list_dot_product(v.u, p.cn), 6) AS cosine
+              FROM unitv v CROSS JOIN protos p
+            )
+            SELECT vec_id, label, pred, cosine,
+                   (label = pred) AS correct
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, pred) AS rn
+              FROM scored
+            ) WHERE rn = 1
         """,
         # both tiers replayed from the shared CTEs (seeded SRP planes as
         # literals; exact cosine with the same 6-decimal tie-break), then

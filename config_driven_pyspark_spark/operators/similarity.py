@@ -1021,6 +1021,75 @@ def ivf_append_index(
     })
 
 
+def ncm_classify(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-class-mean classification over an embedding column — the
+    classic embedding-space prototype classifier (and the fastest
+    label-quality check a curation pipeline has: vectors whose NCM
+    prediction disagrees with their label are mislabel/outlier
+    candidates).  Class prototypes are the per-label means of the unit
+    vectors — each component summed as DECIMAL(32,12) of 12-decimal
+    roundings (exact, partition-order-independent — the k-means update
+    contract) then unit-normalized — and every vector is assigned the
+    prototype with the highest 6-decimal-rounded cosine, ties to the
+    smaller label.  Output: (id, label, pred, cosine, correct).
+
+    Scale: one groupBy over (label, dimension) — label·dim result rows,
+    map-side partials — then a broadcast of the tiny prototype table
+    and a |corpus|·|labels| map-side scoring with a per-vector
+    row_number.  Nothing corpus-sized shuffles beyond the one
+    aggregate."""
+    unit = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        V.unit_normalize(F.col(vec_col)).alias("u"),
+    )
+    comp = (
+        unit.select("label", F.posexplode("u").alias("d", "v"))
+        .groupBy("label", "d")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("v"), 12).cast("decimal(32,12)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+    protos = cent.select(
+        F.col("label").alias("pred"),
+        V.unit_normalize(F.col("c")).alias("cn"),
+    )
+    scored = unit.crossJoin(F.broadcast(protos)).select(
+        "id",
+        "label",
+        "pred",
+        F.round(V.dot(F.col("u"), F.col("cn")), 6).alias("cosine"),
+    )
+    best = scored.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(
+                F.desc("cosine"), F.col("pred")
+            )
+        ),
+    ).filter(F.col("__rn") == 1)
+    return best.select(
+        F.col("id").alias(id_col), "label", "pred", "cosine",
+        (F.col("label") == F.col("pred")).alias("correct"),
+    )
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,
@@ -1897,6 +1966,10 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
             spec.get("query_col", "query_id"),
             spec.get("fuse_id_col", "neighbor_id"),
             spec.get("rank_col", "rank"),
+        )
+    if method == "ncm":
+        return ncm_classify(
+            df, id_col, vec_col, spec.get("label_col", "label")
         )
     if method == "recall":
         if ctx is None or not spec.get("approx") or not spec.get("exact"):

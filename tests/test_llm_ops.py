@@ -2026,3 +2026,32 @@ def test_minhash_incremental_matches_batch_run(spark, documents, tmp_path):
     assert set(sigs.columns) == {"id", "sig", "n_sh"}
     with pytest.raises(ValueError, match="divide"):
         D.minhash_incremental(b2, "doc_id", store, num_hashes=10, bands=16)
+
+
+def test_ncm_classify_prototypes(spark):
+    """r8: with two well-separated classes every vector classifies to
+    its own class; a planted outlier carrying the wrong label surfaces
+    as correct=false; one row per vector, partitioning-invariant."""
+    rows = [
+        (1, 0, [1.0, 0.1, 0.0, 0.0]),
+        (2, 0, [0.9, 0.0, 0.1, 0.0]),
+        (3, 1, [0.0, 0.1, 1.0, 0.2]),
+        (4, 1, [0.1, 0.0, 0.9, 0.0]),
+        (5, 1, [1.0, 0.0, 0.0, 0.1]),   # label-1 vector in class-0 space
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in S.ncm_classify(df).collect()}
+    assert len(out) == 5
+    assert out[1]["correct"] is True and out[2]["correct"] is True
+    assert out[3]["correct"] is True and out[4]["correct"] is True
+    assert out[5]["pred"] == 0 and out[5]["correct"] is False
+    for r in out.values():
+        assert r["correct"] is (r["label"] == r["pred"])
+    a = sorted((r["vec_id"], r["pred"]) for r in out.values())
+    b = sorted(
+        (r["vec_id"], r["pred"])
+        for r in S.ncm_classify(df.repartition(3)).collect()
+    )
+    assert a == b
