@@ -113,6 +113,7 @@ HEADLINE = [
     "q_char_decon",
     "q_length_filter",
     "q_score_normalize",
+    "q_ncm_classify",
 ]
 
 
