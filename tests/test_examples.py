@@ -200,3 +200,25 @@ def test_web_curation_example(spark, tmp_path):
     for r in per_shard:
         assert r["b"] - r["m"] < 4000
     result.unpersist()
+
+
+def test_embedding_curation_example(spark):
+    """r8: NCM label filter then SemDeDup — survivors are a subset of
+    the label-consistent vectors, deduped within clusters."""
+    from config_driven_pyspark_spark.operators import similarity as S
+
+    with open(os.path.join(EXAMPLES, "embedding_curation.yaml")) as fh:
+        text = fh.read()
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    result = Pipeline.from_yaml(text).run(
+        spark, variables={"input": src, "n_clusters": 4}
+    ).cache()
+    emb = spark.read.parquet(src)
+    good = {
+        r["vec_id"]
+        for r in S.ncm_classify(emb).filter("correct").collect()
+    }
+    got = {r["vec_id"] for r in result.collect()}
+    assert got and got <= good
+    assert set(result.columns) == set(emb.columns)
+    result.unpersist()
