@@ -515,9 +515,12 @@ def pii_scrub(
         has = has | f
     redacted = F.col(text_col)
     for t in types:
-        redacted = F.regexp_replace(
-            redacted, PII_PATTERNS[t], tag_format.format(TYPE=t.upper())
-        )
+        tag = tag_format.format(TYPE=t.upper())
+        # Java's regexp_replace treats $ and \ in the REPLACEMENT as
+        # group references/escapes (RE2 oracles treat them literally) —
+        # quote them so any custom tag lands byte-for-byte as written
+        tag = tag.replace("\\", "\\\\").replace("$", "\\$")
+        redacted = F.regexp_replace(redacted, PII_PATTERNS[t], tag)
     return out.withColumn("has_pii", has).withColumn(
         out_col or text_col, redacted
     )

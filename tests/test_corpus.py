@@ -1268,3 +1268,15 @@ def test_score_normalize_exact_moments(spark):
     b = sorted(C.score_normalize(df.repartition(5), "score", by="lang")
                .select("doc_id", "z_score").collect())
     assert a == b
+
+
+def test_pii_scrub_custom_tag_literal(spark):
+    """r8: $ and backslash in a custom tag_format land literally
+    (Java replacement metacharacters are quoted)."""
+    df = spark.createDataFrame(
+        [(1, "mail x@y.io now")], "id long, text string"
+    )
+    row = C.pii_scrub(
+        df, types=["email"], tag_format="<$1-{TYPE}\\>"
+    ).collect()[0]
+    assert row["text"] == "mail <$1-EMAIL\\> now"
