@@ -478,3 +478,54 @@ def test_map_only_corpus_ops_work_on_streams(spark, tmp_path):
     one = got.filter("doc_id = 7").collect()[0]
     assert one["normalized"].endswith("ping <email> now")
     assert one["blocked"] is (7 % 3 == 0)
+
+
+def test_foreach_batch_incremental_dedup(spark, tmp_path):
+    """r8: exact_dedup_incremental inside foreachBatch is the streaming
+    ingest pattern — each microbatch dedups against the fingerprint
+    store and commits its survivors. Whatever order the two file
+    batches arrive in, the surviving CONTENT set equals the distinct
+    contents (content survival is order-independent; only which id
+    carries it varies)."""
+    import time as _time
+
+    from config_driven_pyspark_spark.operators.dedup import (
+        exact_dedup_incremental,
+    )
+
+    ddl = "doc_id bigint, text string"
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    a = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ddl
+    )
+    b = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma")], ddl
+    )
+    a.coalesce(1).write.parquet(str(src / "f0"))
+    _time.sleep(1.1)          # distinct mtimes → deterministic batching
+    b.coalesce(1).write.parquet(str(src / "f1"))
+
+    store = str(tmp_path / "fp_store")
+    out = str(tmp_path / "survivors")
+
+    def ingest(batch_df, batch_id):
+        fresh = exact_dedup_incremental(batch_df, "doc_id", store)
+        fresh.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt_inc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["alpha", "beta", "gamma"]
+    # the store holds exactly one fingerprint per distinct content
+    fps = spark.read.parquet(store)
+    assert fps.distinct().count() == 3
