@@ -3370,6 +3370,31 @@ def q_char_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_perplexity_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity scoring against a PERSISTED bigram LM (corpus ops
+    ``perplexity_train`` / ``perplexity`` + ``model_path``, r8 — the
+    KenLM deployment shape): the model (capped-500 vocab, unigram and
+    bigram counts) trains once on the first 250 documents and persists;
+    the query scores the FULL corpus against it — unseen bigrams take
+    add-k smoothing's unseen-event mass, so cross-corpus novelty shows
+    up as high NLL. History never retrains; 9-decimal DECIMAL-summed
+    NLL replays bit-for-bit in the oracle (model CTEs restricted to the
+    training slice, scoring side left-joined)."""
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    src, store, needs_seed = _cached_index_dir(
+        sf_dir, "cdp_lm_store", table="documents", marker="lm/vocab"
+    )
+    docs = spark.read.parquet(src)
+    if needs_seed:
+        CORPUS.bigram_lm_train(
+            docs.filter(F.col("doc_id") < 250), "text", 500, f"{store}/lm"
+        ).collect()
+    return CORPUS.bigram_perplexity_stored(
+        docs, "doc_id", "text", f"{store}/lm"
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot drift report (corpus op ``diff``, r8 — the check every
     pipeline re-run wants): new snapshot = the corpus minus every 10th
@@ -3531,6 +3556,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_length_filter",
     "q_score_normalize",
     "q_ncm_classify",
+    "q_perplexity_stored",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3656,6 +3682,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_incremental": q_minhash_incremental,  # near-dup store, r8
         "q_char_decon": q_char_decon,  # substring decontamination, r8
         "q_length_filter": q_length_filter,  # percentile length trim, r8
+        "q_perplexity_stored": q_perplexity_stored,  # persisted LM, r8
         "q_score_normalize": q_score_normalize,  # per-stratum z-calib, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
@@ -5276,6 +5303,65 @@ def oracle_sql() -> dict[str, str]:
         # joins, add-0.5 smoothing, per-bigram NLL rounded to 9 decimals
         # and DECIMAL-summed (exact, order-independent) before one double
         # cast — the BM25 replication discipline
+        # model CTEs restricted to the doc_id < 250 training slice; the
+        # scoring side left-joins so unseen bigrams take add-k's
+        # unseen-event mass — same 9-decimal DECIMAL-summed NLL
+        "q_perplexity_stored": """
+            WITH ttoks AS (
+              SELECT list_filter(string_split(lower(text), ' '),
+                                 t -> t != '') AS w
+              FROM documents WHERE doc_id < 250),
+            tuni AS (
+              SELECT u.word, count(*) AS c
+              FROM (SELECT unnest(w) AS word FROM ttoks) u
+              GROUP BY u.word),
+            vocab AS (
+              SELECT word FROM tuni ORDER BY c DESC, word ASC LIMIT 500),
+            vtot AS (SELECT count(*) + 1 AS v FROM vocab),
+            tbigraw AS (
+              SELECT w[t.i] AS r1, w[t.i + 1] AS r2
+              FROM ttoks, UNNEST(range(1, len(w))) AS t(i)),
+            tbig AS (
+              SELECT COALESCE(v1.word, '<unk>') AS w1,
+                     COALESCE(v2.word, '<unk>') AS w2
+              FROM tbigraw
+              LEFT JOIN vocab v1 ON tbigraw.r1 = v1.word
+              LEFT JOIN vocab v2 ON tbigraw.r2 = v2.word),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbig GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM tbig GROUP BY 1),
+            stoks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t != '') AS w
+              FROM documents),
+            sbigraw AS (
+              SELECT doc_id, w[t.i] AS r1, w[t.i + 1] AS r2
+              FROM stoks, UNNEST(range(1, len(w))) AS t(i)),
+            sbig AS (
+              SELECT doc_id,
+                     COALESCE(v1.word, '<unk>') AS w1,
+                     COALESCE(v2.word, '<unk>') AS w2
+              FROM sbigraw
+              LEFT JOIN vocab v1 ON sbigraw.r1 = v1.word
+              LEFT JOIN vocab v2 ON sbigraw.r2 = v2.word),
+            scored AS (
+              SELECT b.doc_id,
+                     CAST(round(-ln((COALESCE(c12.c12, 0) + 0.5)
+                                    / (COALESCE(c1.c1, 0)
+                                       + 0.5 * (SELECT v FROM vtot))),
+                                9) AS DECIMAL(18,9)) AS t
+              FROM sbig b
+              LEFT JOIN c12 USING (w1, w2)
+              LEFT JOIN c1 USING (w1)),
+            agg AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(t) AS DOUBLE) AS nll_sum
+              FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   COALESCE(a.nll_sum, 0.0) AS nll_sum
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "q_bigram_perplexity": """
             WITH toks AS (
               SELECT doc_id,

@@ -114,6 +114,7 @@ HEADLINE = [
     "q_length_filter",
     "q_score_normalize",
     "q_ncm_classify",
+    "q_perplexity_stored",
 ]
 
 

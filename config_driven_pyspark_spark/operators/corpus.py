@@ -1844,6 +1844,170 @@ def bigram_perplexity(
     )
 
 
+def _unk_bigrams(
+    docs: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """(doc_id, w1, w2): the document bigram frame with out-of-vocab
+    tokens mapped to ``<unk>`` — the shared construction between the
+    self-trained and stored-model perplexity paths (array slice +
+    transform, map-only; vocab broadcast on both endpoints)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    base = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    )
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
+                " (w, i) -> struct(w AS w1, __toks[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    return (
+        bi.join(
+            F.broadcast(vocab.select(F.col("word").alias("w1"),
+                                     F.lit(True).alias("__in1"))),
+            "w1", "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("word").alias("w2"),
+                                     F.lit(True).alias("__in2"))),
+            "w2", "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("__in1").isNotNull(), F.col("w1"))
+            .otherwise(F.lit("<unk>")).alias("w1"),
+            F.when(F.col("__in2").isNotNull(), F.col("w2"))
+            .otherwise(F.lit("<unk>")).alias("w2"),
+        )
+    )
+
+
+def bigram_lm_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 10_000,
+    model_path: str | None = None,
+) -> DataFrame:
+    """Train the add-k bigram LM ONCE and persist it — the
+    train-once/score-many counterpart of the self-training
+    :func:`bigram_perplexity`: a reference model built on a curated
+    corpus scores every future batch without retraining (the KenLM
+    deployment shape).  Persists three parquet tables under
+    ``model_path``: ``vocab`` (word), ``unigrams`` (w1, c1),
+    ``bigrams`` (w1, w2, c12) — counts over the <unk>-mapped training
+    bigrams, the exact quantities the smoothed probability needs.
+    Returns a 1-row summary (n_vocab, n_unigrams, n_bigram_types,
+    n_bigram_tokens).
+
+    Scale: the same bounded shapes as self-training — capped-vocab
+    TakeOrdered, two map-side-combinable counts; the persisted model
+    is vocab²-bounded, independent of corpus size."""
+    if not model_path:
+        raise ValueError("bigram_lm_train needs a model_path")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    base = _materialize(_spread(docs).select(toks.alias("__toks")))
+    vocab = _materialize(
+        base.select(F.explode("__toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("word").asc())
+        .limit(vocab_size)
+        .select("word")
+    )
+    # rejoin the token arrays so the shared bigram builder (which owns
+    # the tokenize-and-<unk> recipe) sees the identical token stream —
+    # tokens are non-empty by construction, so split(join(t)) ≡ t
+    big = _materialize(
+        _unk_bigrams(
+            base.select(
+                F.monotonically_increasing_id().alias("__id"),
+                F.array_join("__toks", " ").alias("__text"),
+            ),
+            "__id", "__text", vocab,
+        )
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab.write.mode("overwrite").parquet(f"{model_path}/vocab")
+    c1.write.mode("overwrite").parquet(f"{model_path}/unigrams")
+    c12.write.mode("overwrite").parquet(f"{model_path}/bigrams")
+    spark = docs.sparkSession
+    v = spark.read.parquet(f"{model_path}/vocab")
+    u = spark.read.parquet(f"{model_path}/unigrams")
+    b2 = spark.read.parquet(f"{model_path}/bigrams")
+    return (
+        v.agg(F.count("*").cast("bigint").alias("n_vocab"))
+        .crossJoin(u.agg(F.count("*").cast("bigint").alias("n_unigrams")))
+        .crossJoin(
+            b2.agg(
+                F.count("*").cast("bigint").alias("n_bigram_types"),
+                F.sum("c12").cast("bigint").alias("n_bigram_tokens"),
+            )
+        )
+    )
+
+
+def bigram_perplexity_stored(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_path: str | None = None,
+    k_smoothing: float = 0.5,
+) -> DataFrame:
+    """Score documents against a PERSISTED bigram LM (see
+    :func:`bigram_lm_train`) — unlike the self-training scorer, unseen
+    bigrams are expected: a bigram absent from the model backs off to
+    ``P = (0 + k) / (C(w1) + k·V)`` and an unseen context to
+    ``P = 1/V`` — exactly add-k smoothing's unseen-event mass, which is
+    what makes the NLL a cross-corpus novelty/quality signal.  Output
+    (doc_id, n_bigrams, nll_sum); per-bigram terms are 9-decimal
+    DECIMAL sums (bit-replicable by the oracle); < 2-token docs get
+    (0, 0.0).
+
+    Scale: the model streams from parquet (vocab²-bounded tables); the
+    corpus side is the same map-only bigram build + two joins keyed on
+    word pairs.  History (the training corpus) is never rescanned."""
+    if not model_path:
+        raise ValueError("bigram_perplexity_stored needs a model_path")
+    k = float(k_smoothing)
+    spark = docs.sparkSession
+    vocab = spark.read.parquet(f"{model_path}/vocab")
+    uni = spark.read.parquet(f"{model_path}/unigrams")
+    bi2 = spark.read.parquet(f"{model_path}/bigrams")
+    v_total = vocab.agg((F.count("*") + 1).alias("__v"))
+    big = _unk_bigrams(docs, id_col, text_col, vocab)
+    nll_term = F.round(
+        -F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("__v"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    per_doc = (
+        big.join(bi2, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(v_total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(nll_term).cast("double").alias("nll_sum"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+            .alias("n_bigrams"),
+            F.coalesce("nll_sum", F.lit(0.0)).alias("nll_sum"),
+        )
+    )
+
+
 def top_collocations(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -2089,10 +2253,20 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             int(spec.get("k", 100)), int(spec.get("min_count", 5)),
         )
     if op == "perplexity":
+        if spec.get("model_path"):
+            return bigram_perplexity_stored(
+                df, id_col, text_col, spec["model_path"],
+                float(spec.get("k_smoothing", 0.5)),
+            )
         return bigram_perplexity(
             df, id_col, text_col,
             int(spec.get("vocab_size", 10_000)),
             float(spec.get("k_smoothing", 0.5)),
+        )
+    if op == "perplexity_train":
+        return bigram_lm_train(
+            df, text_col, int(spec.get("vocab_size", 10_000)),
+            spec["model_path"],
         )
     if op == "bm25":
         return bm25_topk(

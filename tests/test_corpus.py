@@ -1280,3 +1280,40 @@ def test_pii_scrub_custom_tag_literal(spark):
         df, types=["email"], tag_format="<$1-{TYPE}\\>"
     ).collect()[0]
     assert row["text"] == "mail <$1-EMAIL\\> now"
+
+
+def test_bigram_lm_stored_vs_self_trained(documents, tmp_path):
+    """r8: scoring the training corpus against its own persisted model
+    is bit-identical to the self-training scorer (same vocab cap, same
+    counts, left joins degenerate to inner on seen bigrams); a novel
+    document takes add-k's unseen-event mass and scores higher NLL than
+    an in-distribution one."""
+    model = str(tmp_path / "lm")
+    summary = C.bigram_lm_train(documents, "text", 500, model).collect()[0]
+    assert summary["n_vocab"] <= 500 and summary["n_bigram_tokens"] > 0
+    stored = sorted(map(tuple, C.bigram_perplexity_stored(
+        documents, "doc_id", "text", model
+    ).collect()))
+    selftr = sorted(map(tuple, C.bigram_perplexity(
+        documents, "doc_id", "text", 500
+    ).collect()))
+    assert stored == selftr
+    # an all-novel document maps to (<unk>,<unk>) bigrams unseen in
+    # training: P = k/(0 + k·V) = 1/V exactly — the add-k unseen-event
+    # mass in closed form
+    import math
+
+    spark = documents.sparkSession
+    probe = spark.createDataFrame(
+        [(9002, "zzz qqq vvv kkk jjj www")], "doc_id long, text string"
+    )
+    row = C.bigram_perplexity_stored(
+        probe, "doc_id", "text", model
+    ).collect()[0]
+    v = summary["n_vocab"] + 1
+    assert row["n_bigrams"] == 5
+    assert row["nll_sum"] == 5 * round(math.log(v), 9)
+    with pytest.raises(ValueError, match="model_path"):
+        C.bigram_lm_train(documents, "text", 500, None)
+    with pytest.raises(ValueError, match="model_path"):
+        C.bigram_perplexity_stored(documents, "doc_id", "text", None)
