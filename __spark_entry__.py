@@ -3336,6 +3336,23 @@ def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier flags (corpus op ``mad_outliers``, r8): per
+    language, documents whose character count deviates from the median
+    by more than 2× the median absolute deviation — the heavy-tail-safe
+    screen where mean/std misread. Both medians are the exact
+    interpolating percentile (quantile_cont parity); two bounded
+    aggregates broadcast back, the flag map-side."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "mad_outliers", "score_col": "n_chars",
+         "by": "lang", "c": 2.0},
+        {"stage": "select",
+         "columns": ["doc_id", "lang", "n_chars", "med", "mad",
+                     "is_outlier"]},
+    ])
+
+
 def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile length trim (corpus op ``length_filter``, r8): keep
     documents inside each language's [5%, 95%] token-count band — the
@@ -3557,6 +3574,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_score_normalize",
     "q_ncm_classify",
     "q_perplexity_stored",
+    "q_mad_outliers",
     "q_dsir_weights",
     "q_dsir_resample",
     "q_ann_recall",
@@ -3683,6 +3701,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_char_decon": q_char_decon,  # substring decontamination, r8
         "q_length_filter": q_length_filter,  # percentile length trim, r8
         "q_perplexity_stored": q_perplexity_stored,  # persisted LM, r8
+        "q_mad_outliers": q_mad_outliers,  # robust outlier screen, r8
         "q_score_normalize": q_score_normalize,  # per-stratum z-calib, r8
         "q_dsir_weights": q_dsir_weights,  # hashed-ngram importance, r8
         "q_dsir_resample": q_dsir_resample,  # Gumbel top-k selection, r8
@@ -6326,6 +6345,27 @@ def oracle_sql() -> dict[str, str]:
                            * (CAST(n AS DOUBLE) - 1.0))), 9)
                ELSE 0.0 END AS z_score
             FROM xd JOIN m USING (lang)
+        """,
+        # same two exact-quantile aggregates (median, median of absolute
+        # deviations), same fixed double comparison
+        "q_mad_outliers": """
+            WITH d AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(n_chars AS DOUBLE) AS x
+              FROM documents
+            ),
+            m AS (
+              SELECT lang, quantile_cont(x, 0.5) AS med
+              FROM d GROUP BY lang
+            ),
+            dm AS (SELECT d.*, m.med FROM d JOIN m USING (lang)),
+            a AS (
+              SELECT lang, quantile_cont(abs(x - med), 0.5) AS mad
+              FROM dm GROUP BY lang
+            )
+            SELECT doc_id, lang, n_chars, dm.med, a.mad,
+                   (abs(x - dm.med) > 2.0 * a.mad) AS is_outlier
+            FROM dm JOIN a USING (lang)
         """,
         # same exact interpolating quantiles (the corpus_profile
         # quantile_cont parity), inclusive band, integer counts

@@ -115,6 +115,7 @@ HEADLINE = [
     "q_score_normalize",
     "q_ncm_classify",
     "q_perplexity_stored",
+    "q_mad_outliers",
 ]
 
 

@@ -678,6 +678,59 @@ def url_features(
     return out
 
 
+def mad_outliers(
+    df: DataFrame,
+    score_col: str,
+    by: str | None = None,
+    c: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flags by median absolute deviation — the
+    heavy-tail-safe alternative to z-scores for corpus metrics (token
+    counts, quality scores) whose distributions mean/std misread:
+    ``outlier = |x − median| > c·MAD`` with ``MAD = median(|x −
+    median|)`` per ``by`` stratum (global without).  Adds ``med``,
+    ``mad``, ``is_outlier``; a zero-MAD stratum (over half the values
+    identical) flags only values different from the median.
+
+    Determinism: both medians use the exact interpolating
+    ``percentile`` (hash-equal to DuckDB ``quantile_cont`` — the
+    corpus_profile contract); the comparison is one fixed double
+    expression.
+
+    Scale: two stratum-cardinality aggregates (median, then median of
+    deviations) broadcast back; the flag itself is map-side.  For
+    corpus-scale strata swap in ``corpus_profile(method="approx")``
+    thresholds, the same trade documented on :func:`length_filter`."""
+    if c <= 0:
+        raise ValueError("c must be positive")
+    keys = [by] if by else []
+    base = _spread(df).withColumn("__x", F.col(score_col).cast("double"))
+
+    def attach(frame: DataFrame, agg: DataFrame) -> DataFrame:
+        return (
+            frame.join(F.broadcast(agg), keys)
+            if keys
+            else frame.crossJoin(F.broadcast(agg))
+        )
+
+    med = base.groupBy(*keys).agg(
+        F.percentile("__x", F.lit(0.5)).alias("med")
+    )
+    with_med = attach(base, med)
+    mad = with_med.groupBy(*keys).agg(
+        F.percentile(F.abs(F.col("__x") - F.col("med")), F.lit(0.5))
+        .alias("mad")
+    )
+    out = attach(with_med, mad)
+    return (
+        out.withColumn(
+            "is_outlier",
+            F.abs(F.col("__x") - F.col("med")) > F.lit(float(c)) * F.col("mad"),
+        )
+        .drop("__x")
+    )
+
+
 def score_normalize(
     df: DataFrame,
     score_col: str,
@@ -2221,6 +2274,11 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     if op == "url_features":
         return url_features(
             df, spec.get("url_col", "url"), spec.get("blocklist")
+        )
+    if op == "mad_outliers":
+        return mad_outliers(
+            df, spec["score_col"], spec.get("by"),
+            float(spec.get("c", 3.0)),
         )
     if op == "score_normalize":
         return score_normalize(

@@ -1317,3 +1317,25 @@ def test_bigram_lm_stored_vs_self_trained(documents, tmp_path):
         C.bigram_lm_train(documents, "text", 500, None)
     with pytest.raises(ValueError, match="model_path"):
         C.bigram_perplexity_stored(documents, "doc_id", "text", None)
+
+
+def test_mad_outliers_robust_flags(spark):
+    """r8: med/MAD match hand values; a far point flags, the bulk
+    doesn't; zero-MAD strata flag exactly the off-median values."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 12.0), (3, "a", 11.0),
+         (4, "a", 11.5), (5, "a", 100.0),
+         (6, "b", 7.0), (7, "b", 7.0), (8, "b", 7.0), (9, "b", 9.0)],
+        "id long, g string, v double",
+    )
+    out = {r["id"]: r for r in C.mad_outliers(df, "v", by="g").collect()}
+    # stratum a: sorted [10, 11, 11.5, 12, 100] → med 11.5; dev
+    # [1.5, .5, 0, .5, 88.5] → MAD .5; only 100 exceeds 3*.5
+    assert out[1]["med"] == 11.5 and out[1]["mad"] == 0.5
+    assert out[5]["is_outlier"] is True
+    assert all(not out[i]["is_outlier"] for i in (1, 2, 3, 4))
+    # stratum b: med 7, MAD 0 → only the 9 flags
+    assert out[6]["mad"] == 0.0
+    assert out[9]["is_outlier"] is True and out[6]["is_outlier"] is False
+    with pytest.raises(ValueError, match="c must"):
+        C.mad_outliers(df, "v", c=0.0)
