@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE JSON line (the driver captures only the final ~2,000 chars of
+the merged stdout+stderr stream, so this line is fixed-size by design):
 ``{"metric": "total_query_seconds", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}``
+   "sf": 0.1, "n_queries": M}``
+Per-query timings and per-run spreads persist to the committed
+``bench_runs_latest.json`` — never to stdout/stderr.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side result transfer). Session uses AQE + broadcast thresholds the
@@ -209,7 +212,13 @@ def main() -> None:
     # They must never hit stdout OR stderr: the driver's tail capture merges
     # both streams, and in r6 (stdout) and r7 (stderr) the ~3 kB detail line
     # displaced the summary line out of the capture window (parsed:null).
-    detail = {"runs": spreads, "repeat_base": repeat, "sf": sf, "total": total}
+    detail = {
+        "runs": spreads,
+        "min": timings,
+        "repeat_base": repeat,
+        "sf": sf,
+        "total": total,
+    }
     try:
         runs_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_runs_latest.json"
@@ -220,15 +229,28 @@ def main() -> None:
         pass  # spreads are advisory; never fail the bench over them
     # Stop Spark BEFORE printing the summary so its shutdown logging (stderr)
     # cannot land after — the summary must be the FINAL line of the merged
-    # stdout+stderr stream the driver captures.
-    spark.stop()
-    print(json.dumps({
+    # stdout+stderr stream the driver captures. stop() failures (e.g. py4j
+    # connection loss) must never suppress the summary.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    print(summary_line(total, sf, len(timings)), flush=True)
+
+
+def summary_line(total: float, sf: float | None, n_queries: int) -> str:
+    """The driver-parsed summary. MUST stay well under the driver's
+    2,000-char tail-capture window: the per-query map alone was 2,330
+    chars at 84 queries (r8 ``parsed: null``), so it lives ONLY in the
+    committed ``bench_runs_latest.json``. Pinned < 1,900 chars by
+    ``tests/test_bench_summary.py``."""
+    return json.dumps({
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
-    }), flush=True)
+        "n_queries": n_queries,
+    })
 
 
 if __name__ == "__main__":
