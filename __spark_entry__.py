@@ -3206,7 +3206,7 @@ def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL curation features (corpus op ``url_features``, r8 — the
     CommonCrawl web-corpus shape): synthetic mixed-case URLs are
     minted per document (no url column in the corpus), then host /
-    registrable-domain / tld extract map-side with regexes in the
+    last-two-label domain / tld extract map-side with regexes in the
     RE2 ∩ Java common subset, plus a domain-blocklist flag. The oracle
     mints the same URLs and extracts with the same expressions —
     byte parity end to end."""

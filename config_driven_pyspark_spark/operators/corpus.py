@@ -646,29 +646,55 @@ def url_features(
     df: DataFrame,
     url_col: str = "url",
     blocklist: list[str] | None = None,
+    public_suffixes: list[str] | None = None,
 ) -> DataFrame:
     """URL → curation features, the CommonCrawl-style web-corpus shape:
-    adds ``host`` (lowercased authority), ``domain`` (last two host
-    labels — the blocklist/cap granularity), ``tld``, and — when a
-    ``blocklist`` of domains is given — ``blocked``.  Unparseable URLs
-    yield empty strings (and ``blocked = false``), never nulls, so
-    downstream groupBys keep one well-defined bucket.  Compose with
-    ``cap`` (per-domain caps), ``hash_sample`` (per-domain rates), or a
-    filter on ``blocked`` for the usual pipeline.
+    adds ``host`` (lowercased authority), ``domain``, ``tld``, and —
+    when a ``blocklist`` of domains is given — ``blocked``.  By default
+    ``domain`` is the LAST TWO host labels (NOT the registrable domain:
+    ``bbc.co.uk`` → ``co.uk``, so blocklists/caps on multi-part public
+    suffixes scope to the whole suffix).  Pass ``public_suffixes`` — a
+    list of multi-label public suffixes such as ``["co.uk",
+    "com.au"]``, e.g. sliced from the Mozilla Public Suffix List — to
+    get true registrable domains: a host ending in a listed suffix
+    takes one extra label (``bbc.co.uk`` → ``bbc.co.uk``); longest
+    suffix wins.  Unparseable URLs yield empty strings (and ``blocked
+    = false``), never nulls, so downstream groupBys keep one
+    well-defined bucket.  Compose with ``cap`` (per-domain caps),
+    ``hash_sample`` (per-domain rates), or a filter on ``blocked`` for
+    the usual pipeline.
 
     Scale: pure map-side regexp_extract + isin against a literal
     blocklist (for blocklists past ~10⁴ entries, broadcast-join a
-    blocklist frame on ``domain`` instead) — 0 exchanges."""
+    blocklist frame on ``domain`` instead); the suffix list compiles
+    into one CASE chain evaluated per row — keep it to the suffixes
+    your corpus actually has (or broadcast-join a full PSL frame on
+    the host suffix) — 0 exchanges."""
+    import re as _re
+
     host = F.lower(
         F.regexp_extract(
             F.coalesce(F.col(url_col), F.lit("")), _URL_HOST_RE, 1
         )
     )
+    domain = F.regexp_extract(F.col("host"), r"([^.]+\.[^.]+)$", 1)
+    if public_suffixes:
+        # each wrap becomes the OUTERMOST (first-evaluated) branch, so
+        # iterating shortest-first leaves the longest suffix on top —
+        # "plc.co.im" beats "co.im"; one extra label ahead of the
+        # matched suffix = the registrable domain
+        for sfx in sorted(
+            {s.lower().strip(".") for s in public_suffixes},
+            key=lambda s: s.count("."),
+        ):
+            pat = r"([^.]+\." + _re.escape(sfx) + r")$"
+            domain = F.when(
+                F.col("host").endswith("." + sfx),
+                F.regexp_extract(F.col("host"), pat, 1),
+            ).otherwise(domain)
     out = (
         df.withColumn("host", host)
-        .withColumn(
-            "domain", F.regexp_extract(F.col("host"), r"([^.]+\.[^.]+)$", 1)
-        )
+        .withColumn("domain", domain)
         .withColumn("tld", F.regexp_extract(F.col("host"), r"\.([^.]+)$", 1))
     )
     if blocklist is not None:
@@ -2273,7 +2299,8 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         )
     if op == "url_features":
         return url_features(
-            df, spec.get("url_col", "url"), spec.get("blocklist")
+            df, spec.get("url_col", "url"), spec.get("blocklist"),
+            spec.get("public_suffixes"),
         )
     if op == "mad_outliers":
         return mad_outliers(

@@ -818,8 +818,21 @@ def minhash_incremental(
     banding recall shape as :func:`minhash_lsh_pairs`, with exact
     precision from the verify step.  Ids must be unique across store
     and batch (the exact_dedup_incremental single-writer/at-most-once
-    contract applies verbatim; use ``update_store=False`` + a second
-    ingest call for two-phase).
+    contract applies verbatim; for two-phase/exactly-once run with
+    ``update_store=False``, write your downstream output, then call
+    :func:`commit_minhash_store` on the batch).
+
+    **Crash safety of the append.** The two store tables commit in a
+    fixed order — shingles FIRST, signatures LAST — so the signature
+    write is the single commit point: a crash between the writes
+    leaves orphan shingle rows, which are inert (candidates only ever
+    come from banding the SIGNATURES; an id with shingles but no
+    signature is never probed).  Re-ingesting the batch after such a
+    crash (at-least-once) duplicates rows in either table, which the
+    probe tolerates by construction: banded candidates are
+    ``distinct()``, verify counts DISTINCT common shingle hashes, and
+    set sizes ride the deduplicated signature projection — so no store
+    repair is ever required; partial appends self-heal on retry.
 
     Scale: the probe shuffles (band, bh) 8-byte keys — store
     signatures stream through the band join, never collected; verify
@@ -835,24 +848,8 @@ def minhash_incremental(
     spark = df.sparkSession
     from config_driven_pyspark_spark.operators.similarity import _fs_exists
 
-    ex_new = _materialize(_shingle_ex_df(df, id_col, text_col, k, unit))
-    hm = F.col("h").bitwiseAND(F.lit(_MH_P))
-    mins = ex_new.groupBy("id").agg(
-        *[
-            F.min((F.lit(a).cast("bigint") * hm + F.lit(b)) % _MH_P).alias(
-                f"m{i}"
-            )
-            for i, (a, b) in enumerate(_mh_ab(num_hashes))
-        ],
-        F.count("*").alias("n_sh"),
-    )
-    sigs_new = _materialize(
-        mins.select(
-            "id",
-            F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"),
-            "n_sh",
-        )
-    )
+    ex_new, sigs_new = _minhash_sign(df, id_col, text_col, k, num_hashes, unit)
+    sigs_new = _materialize(sigs_new)
 
     def banded(sigs: DataFrame, is_new: bool) -> DataFrame:
         return sigs.select(
@@ -891,12 +888,17 @@ def minhash_incremental(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    # count_distinct + sizes.distinct(): identical results on a clean
+    # store (shingle rows are distinct per (id, h) by construction) but
+    # tolerant of duplicated store rows from an at-least-once re-append
+    # after a crash — see the docstring's crash-safety contract
     inter = (
         cand.join(ex_all.select(F.col("id").alias("id_a"), "h"), "id_a")
         .join(ex_all.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(F.count_distinct("h").alias("n_common"))
     )
+    sizes = sizes.distinct()
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
@@ -916,9 +918,75 @@ def minhash_incremental(
     # recompute against the just-grown store and self-match the batch)
     out = out.localCheckpoint()
     if update_store:
-        sigs_new.write.mode("append").parquet(sig_store)
+        # shingles FIRST, signatures LAST: the signature write is the
+        # commit point (docstring crash-safety contract) — orphan
+        # shingles from a crash in between are never banded, and a
+        # retry's duplicate rows are neutralized by the distinct
+        # counting above
         ex_new.select("id", "h").write.mode("append").parquet(sh_store)
+        sigs_new.write.mode("append").parquet(sig_store)
     return out
+
+
+def commit_minhash_store(
+    batch: DataFrame,
+    id_col: str,
+    store_path: str,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 64,
+    unit: str = "char",
+) -> None:
+    """Phase 2 of the two-phase incremental near-dup pattern (the
+    :func:`commit_fingerprints` counterpart for :func:`minhash_incremental`):
+    after the batch's downstream output has succeeded, append its shingle
+    index and signatures to the store.  ``batch`` is the frame that was
+    probed with ``update_store=False``; shingles and signatures are
+    recomputed with the same seeded derivation, so the bytes appended are
+    identical to what the single-phase mode would have written.  Writes in
+    the crash-safe order (shingles first, signatures last — the commit
+    point); a crash before the signature write re-ingests the batch on
+    retry (at-least-once), and the duplicate rows that can leave behind
+    are neutralized by the probe's distinct counting."""
+    ex_new, sigs_new = _minhash_sign(
+        batch, id_col, text_col, k, num_hashes, unit
+    )
+    ex_new.select("id", "h").write.mode("append").parquet(
+        f"{store_path}/shingles"
+    )
+    sigs_new.write.mode("append").parquet(f"{store_path}/signatures")
+    ex_new.unpersist()
+
+
+def _minhash_sign(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    unit: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared seeded MinHash derivation: (exploded distinct shingles
+    ``(id, h)`` — persisted, signatures ``(id, sig, n_sh)``).  Both
+    :func:`minhash_incremental` and :func:`commit_minhash_store` sign
+    through here so two-phase commits append byte-identical rows."""
+    ex = _materialize(_shingle_ex_df(df, id_col, text_col, k, unit))
+    hm = F.col("h").bitwiseAND(F.lit(_MH_P))
+    mins = ex.groupBy("id").agg(
+        *[
+            F.min((F.lit(a).cast("bigint") * hm + F.lit(b)) % _MH_P).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(_mh_ab(num_hashes))
+        ],
+        F.count("*").alias("n_sh"),
+    )
+    sigs = mins.select(
+        "id",
+        F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"),
+        "n_sh",
+    )
+    return ex, sigs
 
 
 def simhash64(text: Column) -> Column:
@@ -1208,7 +1276,7 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
                 float(spec.get("threshold", 0.8)),
                 spec.get("unit", "char"),
                 spec.get("update_store", True),
-            )
+            ).withColumn("score", F.col("jaccard").cast("double"))
         pairs = minhash_lsh_pairs(
             df, id_col, spec.get("column", "text"), int(spec.get("k", 5)),
             int(spec.get("num_hashes", 64)), int(spec.get("bands", 16)),

@@ -1107,11 +1107,14 @@ def recall_at_k(
 
     Scale: both inputs are |queries|·k rows — tiny next to the corpus —
     so the join and groupBy are negligible at any corpus size; recall is
-    an exact integer ratio, bit-replicable by an external oracle."""
-    a = approx.select(query_col, neighbor_col).withColumn(
+    an exact integer ratio, bit-replicable by an external oracle.
+    Duplicate (query, neighbor) pairs in either input are collapsed
+    before the join — a duplicated approx pair must not multiply exact
+    rows (that would inflate both n_hits and the n_exact denominator)."""
+    a = approx.select(query_col, neighbor_col).distinct().withColumn(
         "__hit", F.lit(1)
     )
-    e = exact.select(query_col, neighbor_col)
+    e = exact.select(query_col, neighbor_col).distinct()
     return (
         e.join(a, [query_col, neighbor_col], "left")
         .groupBy(query_col)

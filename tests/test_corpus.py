@@ -1339,3 +1339,37 @@ def test_mad_outliers_robust_flags(spark):
     assert out[9]["is_outlier"] is True and out[6]["is_outlier"] is False
     with pytest.raises(ValueError, match="c must"):
         C.mad_outliers(df, "v", c=0.0)
+
+
+def test_url_features_public_suffixes(spark):
+    """r9 (ADVICE): the default domain is the LAST TWO labels (bbc.co.uk
+    → co.uk, documented as such); an opt-in public_suffixes list yields
+    true registrable domains with longest-suffix-wins, and blocklists
+    then scope to the registrable domain instead of the whole suffix."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.BBC.co.uk/news"),
+            (2, "https://news.example.COM/x"),
+            (3, "http://foo.plc.co.im/"),
+            (4, "https://co.uk/"),  # bare suffix: no extra label exists
+        ],
+        "id long, url string",
+    )
+    base = {r["id"]: r["domain"] for r in C.url_features(df, "url").collect()}
+    assert base[1] == "co.uk" and base[2] == "example.com"
+    out = {r["id"]: r for r in C.url_features(
+        df, "url",
+        blocklist=["bbc.co.uk"],
+        public_suffixes=["co.uk", "plc.co.im", "co.im"],
+    ).collect()}
+    assert out[1]["domain"] == "bbc.co.uk" and out[1]["blocked"] is True
+    assert out[2]["domain"] == "example.com"      # unlisted: last two labels
+    assert out[3]["domain"] == "foo.plc.co.im"    # longest suffix wins
+    assert out[4]["domain"] == "co.uk"            # bare suffix falls back
+    assert out[2]["blocked"] is False
+    # stage dispatch carries the knob
+    staged = C.stage_corpus(
+        df, {"op": "url_features", "url_col": "url",
+             "public_suffixes": ["co.uk"]}, None,
+    )
+    assert {r["id"]: r["domain"] for r in staged.collect()}[1] == "bbc.co.uk"

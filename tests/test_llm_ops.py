@@ -2055,3 +2055,89 @@ def test_ncm_classify_prototypes(spark):
         for r in S.ncm_classify(df.repartition(3)).collect()
     )
     assert a == b
+
+
+def test_commit_minhash_store_two_phase_and_crash_retry(spark, tmp_path):
+    """r9: the two-phase pattern (probe with update_store=False →
+    downstream write → commit_minhash_store) leaves a store bit-identical
+    to the single-phase append; a crash-retry that re-appends the batch
+    (duplicate store rows) and an orphan-shingle partial append are both
+    neutralized by the probe's distinct counting — same pairs, same
+    jaccard, no store repair."""
+    texts = [
+        (i, "the quick brown fox jumps over the lazy dog " * 3 + str(i % 3))
+        for i in range(8)
+    ] + [(8, "completely different content about spark engines and parquet")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    b1 = docs.filter("doc_id < 5")
+    b2 = docs.filter("doc_id >= 5")
+
+    one = str(tmp_path / "one_phase")
+    two = str(tmp_path / "two_phase")
+    D.minhash_incremental(b1, "doc_id", one, unit="word").count()
+    D.minhash_incremental(
+        b1, "doc_id", two, unit="word", update_store=False
+    ).count()
+    D.commit_minhash_store(b1, "doc_id", two, unit="word")
+    for table in ("signatures", "shingles"):
+        a = spark.read.parquet(f"{one}/{table}")
+        b = spark.read.parquet(f"{two}/{table}")
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    probe = lambda store: {  # noqa: E731
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_incremental(
+            b2, "doc_id", store, unit="word", update_store=False
+        ).collect()
+    }
+    clean = probe(one)
+    assert clean  # the fixture plants real near-dups across the batches
+    # crash-retry: batch 1 re-commits in full (duplicate rows everywhere)
+    D.commit_minhash_store(b1, "doc_id", two, unit="word")
+    assert probe(two) == clean
+    # partial append: shingles landed, signatures did not (crash between
+    # the ordered writes) — orphans are inert, pairs unchanged
+    b1_ex, _ = D._minhash_sign(b1, "doc_id", "text", 5, 64, "word")
+    b1_ex.select("id", "h").write.mode("append").parquet(f"{one}/shingles")
+    assert probe(one) == clean
+
+
+def test_stage_dedup_incremental_minhash_score_contract(spark, tmp_path):
+    """r9: the incremental minhash stage honors the pairs contract — a
+    method-agnostic double `score` equal to jaccard rides every row."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + str(i % 2))
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "st")
+    D.minhash_incremental(
+        docs.filter("doc_id < 3"), "doc_id", store, unit="word"
+    ).count()
+    out = D.stage_dedup(
+        docs.filter("doc_id >= 3"),
+        {"method": "minhash_lsh", "id_col": "doc_id", "output": "pairs",
+         "store_path": store, "unit": "word", "update_store": False},
+    )
+    assert "score" in out.columns
+    assert dict(out.dtypes)["score"] == "double"
+    rows = out.collect()
+    assert rows and all(r["score"] == r["jaccard"] for r in rows)
+
+
+def test_recall_at_k_duplicate_pairs_collapse(spark):
+    """r9 (ADVICE): duplicate (query, neighbor) pairs in either input
+    must not multiply join rows — recall counts SET intersection over
+    the exact SET, so a duplicated approx hit cannot inflate n_hits or
+    the n_exact denominator."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10)],  # duplicated exact pair
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10), (1, 99)],  # duplicated approx hit
+        "query_id long, neighbor_id long",
+    )
+    r = S.recall_at_k(approx, exact).collect()[0]
+    assert (r["n_hits"], r["n_exact"], r["recall"]) == (1, 2, 0.5)
