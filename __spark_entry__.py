@@ -3541,43 +3541,16 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 8: NEW queries only (added as they land this round).  Keep
-    # this list EXACT — it is the rotation's primary control.  The 18
-    # r5-stale queries (q03, q12, q_bm25_search, q_date_features_orders,
-    # q_events_gapfill/hourly/interp/locf, q_grouping_sets_orders,
-    # q_pivot_events, q_range_join_price_bands, q_retention_cohorts,
-    # q_sql_stage_status_revenue, q_udaf_median, q_unpivot_metrics,
-    # q_window_ntile_orders, q_window_range_frame, q_window_topk_parts)
-    # need no entry here: the least-recently-verified sort fronts them
-    # automatically right after this list (VERDICT r7 ask #2).
-    "q_hybrid_index_search",
-    "q_ivf_compact",
-    "q_png_decode",
-    "q_e2e_pretrain",
-    "q_kmeans_clusters",
-    "q_semdedup",
-    "q_bq_ann",
-    "q_matryoshka_ann",
-    "q_shard_by_size",
-    "q_quality_classify",
-    "q_pii_scrub",
-    "q_normalize_text",
-    "q_url_features",
-    "q_e2e_web_curation",
-    "q_pack_boundaries",
-    "q_skew_report",
-    "q_upsample",
-    "q_corpus_diff",
-    "q_minhash_incremental",
-    "q_char_decon",
-    "q_length_filter",
-    "q_score_normalize",
-    "q_ncm_classify",
-    "q_perplexity_stored",
-    "q_mad_outliers",
-    "q_dsir_weights",
-    "q_dsir_resample",
-    "q_ann_recall",
+    # round 9: queries whose implementation was touched this round (the
+    # r8 ADVICE fixes), plus NEW queries as they land.  Keep this list
+    # EXACT and SHORT — it is the rotation's primary control, and every
+    # slot it takes comes out of the stale-cohort budget: the 46
+    # r6-stale queries (VERDICT r8 ask #3) need no entry here because
+    # the least-recently-verified sort fronts them automatically right
+    # after this list (new never-recorded queries front even earlier).
+    "q_minhash_incremental",  # verify now duplicate-tolerant (r9)
+    "q_ann_recall",           # distinct-before-join (r9)
+    "q_url_features",         # public_suffixes knob added (r9)
 ]
 
 
