@@ -403,6 +403,7 @@ def quality_classify(
     text_col: str = "text",
     bias: float = 0.0,
     threshold: float = 0.0,
+    mode: str | None = None,
 ) -> DataFrame:
     """fastText-style linear quality-classifier inference — the
     CCNet/LLaMA corpus-filter shape: ``score = bias + (Σ weight(token))
@@ -417,44 +418,89 @@ def quality_classify(
     trick) — then one double division by ``n_tokens``; an empty
     document scores exactly ``bias``. Bit-replicable by the oracle.
 
-    Scale: the vocabulary (10⁴-10⁶ tokens) is broadcast; the corpus
-    side is explode → broadcast-hash join → one groupBy(id) with
-    map-side partial sums — the :func:`contamination_flags` shape, no
-    corpus self-join."""
+    Scale: two evaluation modes, same values bit-for-bit.  ``"join"``
+    (the batch default): the vocabulary (10⁴-10⁶ tokens) is broadcast;
+    the corpus side is explode → broadcast-hash join → one groupBy(id)
+    with map-side partial sums — the :func:`contamination_flags` shape,
+    no corpus self-join.  ``"map_literal"``: the vocabulary compiles
+    into a literal MAP column and each row scores with
+    ``aggregate(transform(tokens, element_at))`` — 0 exchanges, so it
+    runs unchanged on STREAMING inputs (the auto-pick there); the plan
+    carries the whole vocabulary, so keep it for vocabularies that fit
+    a plan comfortably (≲10⁴ entries — past that, use the join mode
+    batch-side or score in foreachBatch)."""
     if not weights:
         raise ValueError("quality_classify needs a non-empty weights dict")
-    spark = df.sparkSession
-    w = F.broadcast(
-        spark.createDataFrame(
-            [(t, float(x)) for t, x in weights.items()],
-            "__tok string, __w double",
+    if mode is None:
+        mode = "map_literal" if df.isStreaming else "join"
+    if mode not in ("join", "map_literal"):
+        raise ValueError(
+            f"quality_classify mode must be 'join' or 'map_literal', "
+            f"got {mode!r}"
         )
-    )
-    toks = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("__tok"),
-    )
-    sums = (
-        toks.join(w, "__tok")
-        .groupBy("id")
-        .agg(
-            F.sum(F.round(F.col("__w"), 9).cast("decimal(18,9)")).alias(
-                "__sw"
-            )
+    if mode == "join" and df.isStreaming:
+        raise ValueError(
+            "quality_classify mode='join' aggregates per document — "
+            "unsupported on streams; use mode='map_literal'"
         )
-    )
     base = df.withColumn(
         "n_tokens", TX.token_count(F.lower(F.col(text_col)))
     )
+    if mode == "map_literal":
+        # one literal map + a per-row higher-order fold: the same
+        # round-to-9-decimals DECIMAL(18,9) terms as the join path,
+        # accumulated at the join path's own F.sum type DECIMAL(28,9)
+        # (each add yields (29,9), cast back — exact at 9 decimals), so
+        # both modes produce bit-identical scores
+        wmap = F.map_from_arrays(
+            F.array(*[F.lit(t) for t in weights]),
+            F.array(*[
+                F.round(F.lit(float(x)), 9).cast("decimal(18,9)")
+                for x in weights.values()
+            ]),
+        )
+        sw = F.aggregate(
+            TX.tokens(F.lower(F.col(text_col))),
+            F.lit(0).cast("decimal(28,9)"),
+            lambda acc, t: (
+                acc
+                + F.coalesce(
+                    F.element_at(wmap, t), F.lit(0).cast("decimal(18,9)")
+                )
+            ).cast("decimal(28,9)"),
+        )
+        scored = base.withColumn("__sw", sw)
+    else:
+        spark = df.sparkSession
+        w = F.broadcast(
+            spark.createDataFrame(
+                [(t, float(x)) for t, x in weights.items()],
+                "__tok string, __w double",
+            )
+        )
+        toks = _spread(df).select(
+            F.col(id_col).alias("id"),
+            F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("__tok"),
+        )
+        sums = (
+            toks.join(w, "__tok")
+            .groupBy("id")
+            .agg(
+                F.sum(F.round(F.col("__w"), 9).cast("decimal(18,9)")).alias(
+                    "__sw"
+                )
+            )
+        )
+        scored = base.join(
+            sums.withColumnRenamed("id", id_col), id_col, "left"
+        )
     score = F.when(F.col("n_tokens") > 0,
         F.lit(float(bias))
         + F.coalesce(F.col("__sw").cast("double"), F.lit(0.0))
         / F.col("n_tokens"),
     ).otherwise(F.lit(float(bias)))
     return (
-        base.join(
-            sums.withColumnRenamed("id", id_col), id_col, "left"
-        )
+        scored
         .withColumn("score", F.round(score, 9))
         .withColumn("keep", F.col("score") >= F.lit(float(threshold)))
         .drop("__sw")
@@ -2284,6 +2330,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return quality_classify(
             df, id_col, spec["weights"], text_col,
             float(spec.get("bias", 0.0)), float(spec.get("threshold", 0.0)),
+            spec.get("mode"),
         )
     if op == "pii_scrub":
         return pii_scrub(

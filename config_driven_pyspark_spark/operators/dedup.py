@@ -286,9 +286,25 @@ def exact_dedup(
     groupBy+semi-join moves 16-byte keys with a map-side partial ``min``;
     ``keep_by`` instead runs a window top-1 over the fingerprint (full rows
     shuffle once — the price of scoring arbitrary expressions).
+
+    Streaming inputs lower to ``dropDuplicates`` on the fingerprint —
+    the same one-survivor-per-content contract with FIRST-ARRIVAL
+    survivor selection instead of smallest id (a stream has no total
+    order to take a min over; state is one 16-byte key per distinct
+    content, exactly the batch store's footprint — bound it with a
+    watermark upstream or the ``stream_dedup`` stage for age-limited
+    windows).  ``keep_by`` needs the batch total order and raises.
     """
     key = TX.fingerprint(F.col(text_col)) if normalize else F.md5(F.col(text_col).cast("binary"))
     keyed = df.withColumn("__fp", key)
+    if df.isStreaming:
+        if keep_by is not None:
+            raise ValueError(
+                "exact_dedup keep_by needs a total order over the data; "
+                "a stream has none — drop keep_by (first-arrival "
+                "survivor) or dedup in foreachBatch"
+            )
+        return keyed.dropDuplicates(["__fp"]).drop("__fp")
     if keep_by is None:
         keepers = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
         return keyed.join(keepers, on=id_col, how="left_semi").drop("__fp")

@@ -1373,3 +1373,23 @@ def test_url_features_public_suffixes(spark):
              "public_suffixes": ["co.uk"]}, None,
     )
     assert {r["id"]: r["domain"] for r in staged.collect()}[1] == "bbc.co.uk"
+
+
+def test_quality_classify_mode_parity(spark, documents):
+    """r9: the 0-exchange map_literal mode (the streaming path) scores
+    bit-identically to the broadcast-join mode on real corpus text —
+    same DECIMAL(18,9) terms, same (28,9) accumulation; join mode on a
+    stream and unknown modes raise."""
+    weights = {"the": 0.11, "and": -0.07, "data": 0.311111111,
+               "of": 0.000000001, "spark": 2.5}
+    a = C.quality_classify(
+        documents, "doc_id", weights, "text", bias=0.01, threshold=0.02,
+        mode="join",
+    ).select("doc_id", "n_tokens", "score", "keep")
+    b = C.quality_classify(
+        documents, "doc_id", weights, "text", bias=0.01, threshold=0.02,
+        mode="map_literal",
+    ).select("doc_id", "n_tokens", "score", "keep")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with pytest.raises(ValueError, match="mode"):
+        C.quality_classify(documents, "doc_id", weights, mode="bogus")

@@ -529,3 +529,92 @@ def test_foreach_batch_incremental_dedup(spark, tmp_path):
     # the store holds exactly one fingerprint per distinct content
     fps = spark.read.parquet(store)
     assert fps.distinct().count() == 3
+
+
+def test_web_curation_chain_stream_batch_parity(spark, tmp_path):
+    """r9 (VERDICT r8 ask #5): the q_e2e_web_curation stage chain minus
+    the shard sink — mint/inject → url_features+blocklist → scrub →
+    normalize → quality_classify → keep-filter → exact dedup — runs
+    UNCHANGED on a streaming source: the cleanup stages are map-only,
+    quality_classify auto-switches to its 0-exchange map-literal mode,
+    and the dedup stage lowers to fingerprint dropDuplicates.  A drained
+    available_now stream must match batch on (a) the surviving CONTENT
+    set exactly (dedup keeps first-arrival on a stream vs min-id in
+    batch, so ids can differ between duplicates) and (b) every column of
+    every row whose content is unique."""
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                # i%10==0: identical shared body (the dedup leg);
+                # i%4==3: junk-flooded (the quality-reject leg);
+                # i%7==0: planted email (the scrub leg)
+                ("shared duplicate body words" if i % 10 == 0
+                 else f"Döc number {i} body words unique {i}")
+                + (" junk" * 8 if i % 4 == 3 else "")
+                + (f" mail user{i}@ex.com" if i % 7 == 0 else ""),
+                ["web", "wiki", "books"][i % 3],
+            )
+            for i in range(90)
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    src = str(tmp_path / "cur_src")
+    docs.repartition(3).write.parquet(src)
+    weights = {"döc": 0.4, "number": 0.2, "unique": 0.3, "shared": -0.1,
+               "words": 0.15, "body": 0.05, "junk": -0.2}
+    stages = [
+        {"stage": "with_columns", "columns": {
+            "url": "concat('https://WWW.', source, '.Site', "
+                   "cast(doc_id % 3 as string), '.com/doc/', "
+                   "cast(doc_id as string))",
+        }},
+        {"stage": "corpus", "op": "url_features", "url_col": "url",
+         "blocklist": ["site1.com"]},
+        {"stage": "filter", "predicate": "NOT blocked"},
+        {"stage": "corpus", "op": "pii_scrub", "column": "text",
+         "types": ["email"]},
+        {"stage": "text", "column": "text", "ops": ["normalized"]},
+        {"stage": "corpus", "op": "quality_classify", "id_col": "doc_id",
+         "column": "normalized", "weights": weights, "threshold": 0.005},
+        {"stage": "filter", "predicate": "keep"},
+        {"stage": "dedup", "method": "exact", "id_col": "doc_id",
+         "column": "normalized"},
+    ]
+    ddl = "doc_id bigint, text string, source string"
+    batch = Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": src, "schema": ddl},
+        *stages,
+    ]).run(spark)
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": src, "schema": ddl,
+         "streaming": True, "options": {"maxFilesPerTrigger": "1"}},
+        *stages,
+        {"stage": "stream_sink", "format": "memory",
+         "query_name": "web_curation", "output_mode": "append",
+         "checkpoint": str(tmp_path / "ckpt_wc"),
+         "trigger": "available_now", "await": True},
+    ]).run(spark)
+    got = spark.table("web_curation")
+
+    # (a) surviving content set: exact match, duplicates collapsed once
+    b_contents = sorted(r["normalized"] for r in batch.collect())
+    s_contents = sorted(r["normalized"] for r in got.collect())
+    assert s_contents == b_contents
+    assert len(set(b_contents)) == len(b_contents)  # dedup left no dups
+    # the fixture really exercised every leg: 30 blocked urls dropped,
+    # 15 junk docs quality-rejected, 5 planted duplicates collapsed
+    # into 1, and the scrub leg redacted the planted addresses
+    assert len(b_contents) == 41
+    assert sum("<email>" in c for c in b_contents) > 0
+    assert not any("@ex.com" in c for c in b_contents)
+
+    # (b) rows with corpus-unique content survive with identical columns
+    cols = ["doc_id", "source", "domain", "n_email", "n_tokens",
+            "score", "keep", "normalized"]
+    uniq = [c for c in b_contents if "unique" in c]
+    b_rows = {r["normalized"]: tuple(r[c] for c in cols)
+              for r in batch.filter(F.col("normalized").isin(uniq)).collect()}
+    s_rows = {r["normalized"]: tuple(r[c] for c in cols)
+              for r in got.filter(F.col("normalized").isin(uniq)).collect()}
+    assert s_rows == b_rows
