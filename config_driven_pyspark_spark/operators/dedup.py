@@ -1111,6 +1111,9 @@ def semdedup(
     n_clusters: int = 8,
     iters: int = 2,
     threshold: float = 0.95,
+    max_cluster_size: int | None = None,
+    srp_bits: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     deduplication by cluster-then-compare: k-means-cluster the
@@ -1124,9 +1127,20 @@ def semdedup(
     Scale: the cluster step is the whole point — pairwise scoring
     drops from O(n²) to Σ|cluster|² with the equi-join on the cluster
     id; grow ``n_clusters`` with the corpus (SemDeDup uses ~10⁴-10⁵
-    clusters at web scale) to keep clusters bounded. For clusters
-    still too hot, pre-prune inside them with SRP buckets
-    (:func:`embedding_pairs`'s shape). Complement, not replacement,
+    clusters at web scale) to keep clusters bounded. Clusters can
+    still run hot (a skewed corpus can land half its rows in one
+    cluster no matter how many centroids exist): setting
+    ``max_cluster_size`` sub-buckets every cluster LARGER than it by a
+    seeded ``srp_bits``-bit random-hyperplane signature of the unit
+    vector, so the pair join keys on (cluster, bucket) and a hot
+    cluster's |c|² collapses to Σ|bucket|² — the guard is the
+    :func:`embedding_pairs` SRP shape applied inside clusters.  The
+    trade is explicit and the standard one: within an oversized
+    cluster the survivor rule then sees only same-bucket mates
+    (identical vectors ALWAYS share a bucket; cosine-θ pairs collide
+    with prob (1−θ/π)^srp_bits per the SRP bound — recall loss shows
+    up as extra survivors, never lost rows).  Clusters at or under the
+    bound are exact as before.  Complement, not replacement,
     of :func:`embedding_pairs`: that one reports cross-corpus dup
     PAIRS via hashing; this one enforces a survivor set via clustering
     — the two standard shapes of embedding-level dedup."""
@@ -1147,14 +1161,39 @@ def semdedup(
             "id",
         )
     )
+    join_keys = ["cluster"]
+    if max_cluster_size is not None:
+        if max_cluster_size < 1:
+            raise ValueError("max_cluster_size must be >= 1")
+        if srp_bits < 1:
+            raise ValueError("srp_bits must be >= 1 when sub-bucketing")
+        row = df.select(vec_col).first()
+        dim = len(row[0]) if row is not None and row[0] is not None else 1
+        planes = srp_planes(dim, srp_bits, seed)
+        # cluster sizes: one count over the assignment (k rows out),
+        # broadcast back; only OVERSIZED clusters pay the bucket split —
+        # everything else keeps the exact single-bucket path
+        sizes = unit.groupBy("cluster").agg(F.count("*").alias("__csz"))
+        unit = (
+            unit.join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "bucket",
+                F.when(
+                    F.col("__csz") > max_cluster_size,
+                    V.hyperplane_signature(F.col("u"), planes),
+                ).otherwise(F.lit(-1)),
+            )
+            .drop("__csz")
+        )
+        join_keys = ["cluster", "bucket"]
     a = unit.select(
-        F.col("id").alias("id_a"), F.col("u").alias("ua"), "cluster"
+        F.col("id").alias("id_a"), F.col("u").alias("ua"), *join_keys
     )
     b = unit.select(
-        F.col("id").alias("id_b"), F.col("u").alias("ub"), "cluster"
+        F.col("id").alias("id_b"), F.col("u").alias("ub"), *join_keys
     )
     dropped = (
-        a.join(b, "cluster")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.round(V.dot(F.col("ua"), F.col("ub")), 6) >= threshold
@@ -1310,10 +1349,13 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
                 "cluster-mate within threshold) — only output='dedup' "
                 "without keep_by; use method='embedding' for pairs"
             )
+        mcs = spec.get("max_cluster_size")
         return semdedup(
             df, id_col, spec.get("column", "embedding"),
             int(spec.get("n_clusters", 8)), int(spec.get("iters", 2)),
             float(spec.get("threshold", 0.95)),
+            int(mcs) if mcs is not None else None,
+            int(spec.get("srp_bits", 4)), int(spec.get("seed", 42)),
         )
     elif method == "embedding":
         pairs = embedding_pairs(

@@ -2141,3 +2141,52 @@ def test_recall_at_k_duplicate_pairs_collapse(spark):
     )
     r = S.recall_at_k(approx, exact).collect()[0]
     assert (r["n_hits"], r["n_exact"], r["recall"]) == (1, 2, 0.5)
+
+
+def test_semdedup_hot_cluster_guard(spark):
+    """r9 (VERDICT r8 ask #6): with max_cluster_size set, a cluster
+    holding 50% of all rows sub-buckets by the seeded SRP signature —
+    the pair join keys on (cluster, bucket), so the hot cluster's |c|²
+    collapses to Σ|bucket|²; identical vectors always share a bucket so
+    true duplicates still drop; small clusters keep the exact
+    single-bucket path and results there match the unguarded run."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # hot half: 100 rows fanned across one hemisphere (x>0) — one
+    # k-means cluster; 10 planted EXACT duplicate pairs inside it
+    for i in range(100):
+        theta = rng.uniform(-1.2, 1.2)
+        phi = rng.uniform(-1.2, 1.2)
+        v = [math.cos(theta) * math.cos(phi),
+             math.sin(theta) * 0.3, math.sin(phi) * 0.3]
+        rows.append((i, v))
+    for j in range(10):
+        rows.append((100 + j, list(rows[j * 7][1])))  # exact dup of id 7j
+    # cold half: 100 rows in tight distinct directions around -x
+    for i in range(100):
+        rows.append((200 + i, [-1.0, 0.002 * i, -0.001 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    guarded = D.semdedup(
+        df, "vec_id", "embedding", n_clusters=2, iters=2,
+        threshold=0.999999, max_cluster_size=50, srp_bits=4,
+    )
+    ids = sorted(r["vec_id"] for r in guarded.collect())
+    # every planted exact duplicate dropped despite the sub-bucketing
+    assert all(100 + j not in ids for j in range(10))
+    assert all(j * 7 in ids for j in range(10))
+    # the join runs on (cluster, bucket): visible in the physical plan
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+    unguarded_plan = D.semdedup(
+        df, "vec_id", "embedding", n_clusters=2, iters=2,
+        threshold=0.999999,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" not in unguarded_plan
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        D.semdedup(df, "vec_id", max_cluster_size=0)
+    with pytest.raises(ValueError, match="srp_bits"):
+        D.semdedup(df, "vec_id", max_cluster_size=5, srp_bits=0)
