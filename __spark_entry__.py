@@ -3346,7 +3346,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, [
         _src(sf_dir, "documents"),
         {"stage": "corpus", "op": "mad_outliers", "score_col": "n_chars",
-         "by": "lang", "c": 2.0},
+         "by": "lang", "c": 2.0, "method": "exact"},
         {"stage": "select",
          "columns": ["doc_id", "lang", "n_chars", "med", "mad",
                      "is_outlier"]},
@@ -3362,7 +3362,7 @@ def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, [
         _src(sf_dir, "documents"),
         {"stage": "corpus", "op": "length_filter", "column": "text",
-         "by": "lang", "lo": 0.05, "hi": 0.95},
+         "by": "lang", "lo": 0.05, "hi": 0.95, "method": "exact"},
         {"stage": "select",
          "columns": ["doc_id", "lang", "source", "n_tokens"]},
     ])

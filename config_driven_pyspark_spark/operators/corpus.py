@@ -51,6 +51,34 @@ from config_driven_pyspark_spark.functions import text as TX
 from config_driven_pyspark_spark.operators.dedup import _materialize, _spread
 
 
+def _resolve_percentile_method(op: str, method: str | None) -> str:
+    """The exact→approx percentile escape hatch, flagged at PLAN time
+    (VERDICT r8 ask #7).  ``method=None`` (the caller never chose)
+    resolves to ``"exact"`` for backward-compatible bit-exact results
+    but emits a warning: the exact interpolating ``percentile`` buffers
+    every value of a stratum in one aggregation buffer — fine to ~10⁷
+    rows per stratum, a genuine single-buffer sort on a corpus-scale
+    stratum.  Passing ``method="exact"`` explicitly pins today's
+    behavior silently; ``method="approx"`` switches to the fixed-memory
+    ``percentile_approx`` sketch (the 100 TB path)."""
+    if method is None:
+        import warnings
+
+        warnings.warn(
+            f"{op}: exact percentiles buffer each stratum in memory — "
+            "a genuine bottleneck on corpus-scale strata. Pass "
+            "method='exact' to pin bit-exact behavior (silences this) "
+            "or method='approx' for the fixed-memory sketch.",
+            stacklevel=3,
+        )
+        return "exact"
+    if method not in ("exact", "approx"):
+        raise ValueError(
+            f"{op}: method must be 'exact' or 'approx', got {method!r}"
+        )
+    return method
+
+
 def word_ngrams_all(toks, n: int):
     """Non-distinct word n-grams of a token array (space-joined). Short
     inputs (< n tokens) yield one partial gram — mirrored exactly by the
@@ -755,6 +783,8 @@ def mad_outliers(
     score_col: str,
     by: str | None = None,
     c: float = 3.0,
+    method: str | None = None,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Robust outlier flags by median absolute deviation — the
     heavy-tail-safe alternative to z-scores for corpus metrics (token
@@ -764,19 +794,24 @@ def mad_outliers(
     ``mad``, ``is_outlier``; a zero-MAD stratum (over half the values
     identical) flags only values different from the median.
 
-    Determinism: both medians use the exact interpolating
-    ``percentile`` (hash-equal to DuckDB ``quantile_cont`` — the
-    corpus_profile contract); the comparison is one fixed double
-    expression.
-
-    Scale: two stratum-cardinality aggregates (median, then median of
-    deviations) broadcast back; the flag itself is map-side.  For
-    corpus-scale strata swap in ``corpus_profile(method="approx")``
-    thresholds, the same trade documented on :func:`length_filter`."""
+    Determinism: with ``method="exact"`` both medians use the exact
+    interpolating ``percentile`` (hash-equal to DuckDB
+    ``quantile_cont`` — the corpus_profile contract); the comparison is
+    one fixed double expression.  ``method="approx"`` swaps in the
+    fixed-memory ``percentile_approx`` sketch (±1/``accuracy``
+    rank error) — the corpus-scale-stratum path.  Leaving ``method``
+    unset keeps exact and WARNS at plan time (the documented
+    escape-hatch contract, :func:`_resolve_percentile_method`)."""
     if c <= 0:
         raise ValueError("c must be positive")
+    method = _resolve_percentile_method("mad_outliers", method)
     keys = [by] if by else []
     base = _spread(df).withColumn("__x", F.col(score_col).cast("double"))
+
+    def med_of(col):
+        if method == "approx":
+            return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
+        return F.percentile(col, F.lit(0.5))
 
     def attach(frame: DataFrame, agg: DataFrame) -> DataFrame:
         return (
@@ -785,13 +820,10 @@ def mad_outliers(
             else frame.crossJoin(F.broadcast(agg))
         )
 
-    med = base.groupBy(*keys).agg(
-        F.percentile("__x", F.lit(0.5)).alias("med")
-    )
+    med = base.groupBy(*keys).agg(med_of("__x").alias("med"))
     with_med = attach(base, med)
     mad = with_med.groupBy(*keys).agg(
-        F.percentile(F.abs(F.col("__x") - F.col("med")), F.lit(0.5))
-        .alias("mad")
+        med_of(F.abs(F.col("__x") - F.col("med"))).alias("mad")
     )
     out = attach(with_med, mad)
     return (
@@ -865,6 +897,8 @@ def length_filter(
     by: str | None = None,
     lo: float = 0.01,
     hi: float = 0.99,
+    method: str | None = None,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Percentile outlier trim: keep documents whose token count lies
     inside the corpus's [``lo``, ``hi``] quantile band (inclusive),
@@ -873,25 +907,38 @@ def length_filter(
     runaway concatenations both go, with thresholds that adapt to each
     stratum's own distribution.  Adds ``n_tokens``.
 
-    Determinism: bounds use the exact interpolating ``percentile``
-    (hash-equal to DuckDB ``quantile_cont`` — the corpus_profile
-    contract), compared inclusively against integer counts.
+    Determinism: with ``method="exact"`` bounds use the exact
+    interpolating ``percentile`` (hash-equal to DuckDB
+    ``quantile_cont`` — the corpus_profile contract), compared
+    inclusively against integer counts.  ``method="approx"`` swaps in
+    the fixed-memory ``percentile_approx`` sketch — on corpus-scale
+    strata the right trade (the band edges move by at most
+    1/``accuracy`` of a stratum's rank range).  Leaving ``method``
+    unset keeps exact and WARNS at plan time (the documented
+    escape-hatch contract, :func:`_resolve_percentile_method`).
 
-    Scale: one aggregate computes the bounds (exact percentile buffers
-    per stratum — for corpus-scale strata switch to
-    ``corpus_profile(method="approx")`` thresholds and a plain filter);
-    the bounds table is stratum-cardinality and broadcast back, so the
-    filter itself is map-side."""
+    Scale: one aggregate computes the bounds; the bounds table is
+    stratum-cardinality and broadcast back, so the filter itself is
+    map-side."""
     if not (0.0 <= lo <= hi <= 1.0):
         raise ValueError(f"need 0 <= lo <= hi <= 1, got [{lo}, {hi}]")
+    method = _resolve_percentile_method("length_filter", method)
     keys = [by] if by else []
     base = _spread(df).withColumn(
         "__n", TX.token_count(F.col(text_col)).cast("double")
     )
-    bounds = base.groupBy(*keys).agg(
-        F.percentile("__n", F.lit(float(lo))).alias("__lo"),
-        F.percentile("__n", F.lit(float(hi))).alias("__hi"),
-    )
+    if method == "approx":
+        bounds = base.groupBy(*keys).agg(
+            F.percentile_approx("__n", F.lit(float(lo)), F.lit(accuracy))
+            .alias("__lo"),
+            F.percentile_approx("__n", F.lit(float(hi)), F.lit(accuracy))
+            .alias("__hi"),
+        )
+    else:
+        bounds = base.groupBy(*keys).agg(
+            F.percentile("__n", F.lit(float(lo))).alias("__lo"),
+            F.percentile("__n", F.lit(float(hi))).alias("__hi"),
+        )
     joined = (
         base.join(F.broadcast(bounds), keys)
         if keys
@@ -2353,6 +2400,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return mad_outliers(
             df, spec["score_col"], spec.get("by"),
             float(spec.get("c", 3.0)),
+            spec.get("method"), int(spec.get("accuracy", 10_000)),
         )
     if op == "score_normalize":
         return score_normalize(
@@ -2363,6 +2411,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return length_filter(
             df, text_col, spec.get("by"),
             float(spec.get("lo", 0.01)), float(spec.get("hi", 0.99)),
+            spec.get("method"), int(spec.get("accuracy", 10_000)),
         )
     if op == "diff":
         return corpus_diff(

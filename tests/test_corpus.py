@@ -1393,3 +1393,52 @@ def test_quality_classify_mode_parity(spark, documents):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     with pytest.raises(ValueError, match="mode"):
         C.quality_classify(documents, "doc_id", weights, mode="bogus")
+
+
+def test_percentile_escape_hatch_contract(spark):
+    """r9 (VERDICT r8 ask #7): length_filter / mad_outliers with no
+    explicit method WARN at plan time (exact percentiles buffer whole
+    strata); method='exact' pins today's values silently; method=
+    'approx' runs the fixed-memory sketch and lands within one data
+    value of the exact band; unknown methods raise."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i + 1), "x") for i in range(40)],
+        "id long, text string, lang string",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        C.length_filter(df, "text", lo=0.1, hi=0.9)
+        C.mad_outliers(df, "id")
+        msgs = [str(x.message) for x in w]
+    assert any("length_filter" in m and "approx" in m for m in msgs)
+    assert any("mad_outliers" in m for m in msgs)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        exact = C.length_filter(df, "text", lo=0.1, hi=0.9, method="exact")
+        C.mad_outliers(df, "id", method="exact")
+        assert not w  # explicit choice is silent
+    exact_ids = sorted(r["id"] for r in exact.collect())
+    approx_ids = sorted(
+        r["id"] for r in C.length_filter(
+            df, "text", lo=0.1, hi=0.9, method="approx"
+        ).collect()
+    )
+    # high accuracy on a tiny stratum: sketch edges sit on data values,
+    # so the kept band differs by at most one row per edge
+    assert len(set(exact_ids) ^ set(approx_ids)) <= 2
+    mo = C.mad_outliers(df, "id", method="approx").collect()
+    assert {r["id"] for r in mo} == set(range(40))  # flags, no row loss
+    with pytest.raises(ValueError, match="method"):
+        C.length_filter(df, "text", method="bogus")
+    with pytest.raises(ValueError, match="method"):
+        C.mad_outliers(df, "id", method="bogus")
+    # stage dispatch carries the knob (no warning when config sets it)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        C.stage_corpus(df, {"op": "length_filter", "column": "text",
+                            "method": "approx"}, None).collect()
+        C.stage_corpus(df, {"op": "mad_outliers", "score_col": "id",
+                            "method": "approx"}, None).collect()
+        assert not [x for x in w if "percentile" in str(x.message)]
