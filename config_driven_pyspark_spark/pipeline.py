@@ -406,14 +406,48 @@ class Pipeline:
         ):
             from config_driven_pyspark_spark.streaming import stages as S
 
+            if kind == "stream_sink":
+                return S.stage_stream_sink(
+                    df, spec, batch_stages_fn=self._batch_stages_fn(spec)
+                )
             return {
                 "watermark": S.stage_watermark,
                 "time_window": S.stage_time_window,
                 "session_window": S.stage_session_window,
                 "stream_dedup": S.stage_stream_dedup,
                 "stateful": S.stage_stateful,
-                "stream_sink": S.stage_stream_sink,
             }[kind](df, spec)
         if kind == "sink":
             return stage_sink(df, spec)
         raise ValueError(f"Unknown stage kind {kind!r}")
+
+    def _batch_stages_fn(self, spec: dict):
+        """Compile a ``stream_sink`` spec's optional ``stages`` list — a
+        batch sub-pipeline run on every micro-batch inside
+        ``foreachBatch`` — into ``batch_df -> DataFrame``.  The
+        sub-stages share this pipeline's function/UDF registries and run
+        with a fresh context seeded by the micro-batch (each batch is an
+        independent small batch job — the streaming ingest pattern where
+        e.g. incremental dedup probes and grows its store per batch).
+        Returns ``None`` when the spec declares no stages."""
+        sub_specs = spec.get("stages")
+        if not sub_specs:
+            return None
+        if spec.get("format", "memory") != "foreach_batch":
+            raise ValueError(
+                "stream_sink `stages` (per-micro-batch sub-pipeline) "
+                "requires format: foreach_batch"
+            )
+
+        def apply(batch_df: DataFrame) -> DataFrame:
+            ctx = PipelineContext(batch_df.sparkSession)
+            ctx.last = batch_df
+            for raw in sub_specs:
+                sub = dict(raw)
+                out = self._run_stage(ctx, sub)
+                ctx.last = out
+                if sub.get("name"):
+                    ctx.frames[sub["name"]] = out
+            return ctx.last
+
+        return apply

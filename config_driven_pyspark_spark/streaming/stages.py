@@ -214,17 +214,24 @@ def stage_stateful(df: DataFrame, spec: dict) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def stage_stream_sink(df: DataFrame, spec: dict) -> DataFrame:
+def stage_stream_sink(
+    df: DataFrame, spec: dict, batch_stages_fn=None
+) -> DataFrame:
     """``{"stage": "stream_sink", "format": "memory"|"parquet"|"noop"|
     "console"|"foreach_batch", "query_name": str?, "path": str?,
     "checkpoint": str?, "output_mode": "append"|"update"|"complete",
     "trigger": "available_now"|{"processing_time": "10 seconds"},
-    "await": true?, "sink": {<batch sink spec>}?}``.
+    "await": true?, "sink": {<batch sink spec>}?, "stages": [...]?}``.
 
     ``foreach_batch`` routes every micro-batch through the ordinary batch
     ``sink`` stage spec given under ``sink`` (mode forced to append) — any
     batch format/partitioning/bucketing works for streaming output without
-    a native streaming sink.
+    a native streaming sink.  An optional ``stages`` list (compiled by the
+    Pipeline into ``batch_stages_fn``) runs a BATCH sub-pipeline on each
+    micro-batch first — batch-only operators become streaming-ingestible
+    this way, e.g. ``dedup`` with a ``store_path`` probes and grows the
+    persisted fingerprint store per micro-batch (the incremental-ingest
+    pattern, config-drivable end to end).
 
     Starts the streaming query. ``available_now`` (default) drains all
     available input then stops — the batch-like trigger used for parity
@@ -239,6 +246,12 @@ def stage_stream_sink(df: DataFrame, spec: dict) -> DataFrame:
     """
     if not df.isStreaming:
         raise ValueError("stream_sink requires a streaming input DataFrame")
+    if spec.get("stages") and batch_stages_fn is None:
+        raise ValueError(
+            "stream_sink `stages` need the Pipeline to compile them — "
+            "run through Pipeline.from_config/from_yaml (direct "
+            "stage_stream_sink calls must pass batch_stages_fn)"
+        )
     fmt = spec.get("format", "memory")
     if fmt == "foreach_batch":
         from config_driven_pyspark_spark.sources.writers import stage_sink
@@ -258,6 +271,8 @@ def stage_stream_sink(df: DataFrame, spec: dict) -> DataFrame:
         sink_spec = {**spec["sink"], "mode": "append"}
 
         def _handle(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_stages_fn is not None:
+                batch_df = batch_stages_fn(batch_df)
             stage_sink(batch_df, sink_spec)
 
         writer = df.writeStream.foreachBatch(_handle).outputMode(
