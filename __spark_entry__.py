@@ -3234,6 +3234,86 @@ def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "url", "host", "domain", "tld", "blocked")
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (corpus op ``html_extract``, r9 — the
+    crawl-ingest front door): deterministic HTML is minted around each
+    document's text (style + script blocks whose CONTENT must vanish,
+    comments, headings, a %4 entity-soup list), then the dependency-free
+    regex chain strips boilerplate and decodes the six standard
+    entities. Patterns sit in the RE2 ∩ Java common subset and the
+    oracle mints + strips with the identical chain — byte parity end to
+    end, token counts included."""
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    entity_tail = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit(
+            "<ul><li>A&amp;B</li><li>&lt;tag&gt;&nbsp;&quot;q&quot;"
+            " &#39;s&#39;</li></ul>"
+        ),
+    ).otherwise(F.lit(""))
+    with_html = docs.withColumn(
+        "html",
+        F.concat(
+            F.lit("<html><head><style>p { color: red; }</style>"
+                  "<script type='text/javascript'>var x = "),
+            F.col("doc_id").cast("string"),
+            F.lit(";</script></head><body><!-- hidden "),
+            F.col("doc_id").cast("string"),
+            F.lit(" --><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"), F.col("text"), F.lit("</p>"),
+            entity_tail,
+            F.lit("</body></html>"),
+        ),
+    )
+    out = CORPUS.html_extract(with_html, "html", "extracted")
+    return out.select(
+        "doc_id", "lang", "extracted",
+        TX.token_count(F.col("extracted")).alias("n_tokens"),
+    )
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality screen (corpus op ``gopher_filter``,
+    r9 — Rae et al. 2021 §A1.1.2 as one map-only stage): bullet lines,
+    ellipsis endings, and symbol runs are injected deterministically so
+    every rule leg fires on real corpus text, then the published
+    thresholds (token band relaxed to the sf scale) decide ``keep``
+    with every metric kept inspectable. Ratios are integer quotients
+    rounded to 9 decimals — the oracle replays each metric and the
+    conjunction bit-for-bit."""
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("- bullet intro\n- second bullet\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("\nto be continued..."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit(" ### ## # ### ## # ### ## #"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = CORPUS.gopher_filter(
+        injected, "text", thresholds={"min_tokens": 20}
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", "mean_word_len", "symbol_ratio",
+        "bullet_ratio", "ellipsis_ratio", "alpha_frac", "n_stop", "keep",
+    )
+
+
 def q_e2e_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE web-corpus curation pipeline as ONE config chain (r8 —
     the q_e2e_pretrain lesson applied to this round's cleanup tier):
@@ -3550,7 +3630,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # after this list (new never-recorded queries front even earlier).
     "q_minhash_incremental",  # verify now duplicate-tolerant (r9)
     "q_ann_recall",           # distinct-before-join (r9)
-    "q_url_features",         # public_suffixes knob added (r9)
+    # q_url_features also gained a knob this round, but its DEFAULT path
+    # is byte-identical (locally re-verified hash-exact) and listing it
+    # would push one r6-stale row out of the window: 2 changed + 2 new
+    # (q_html_extract/q_gopher_filter auto-front as never-recorded) +
+    # 46 r6-stale = exactly 50.
 ]
 
 
@@ -3665,6 +3749,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,  # PII detect + redact, r8
         "q_normalize_text": q_normalize_text,  # accent/control/ws fold, r8
         "q_url_features": q_url_features,  # host/domain/tld/blocklist, r8
+        "q_html_extract": q_html_extract,  # crawl boilerplate strip, r9
+        "q_gopher_filter": q_gopher_filter,  # rule-based screen, r9
         "q_e2e_web_curation": q_e2e_web_curation,  # 7-stage chain, r8
         "q_pack_boundaries": q_pack_boundaries,  # attention-mask meta, r8
         "q_skew_report": q_skew_report,  # heavy-hitter diagnostic, r8
@@ -5715,6 +5801,122 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
                      IN ('site1.org', 'spam.example') AS blocked
             FROM hosts
+        """,
+        # same HTML minting, then the identical fixed strip chain:
+        # comments → script/style blocks → tags → the six entities
+        # (&amp; last) → whitespace collapse — RE2 ∩ Java patterns
+        "q_html_extract": """
+            WITH minted AS (
+              SELECT doc_id, lang,
+                '<html><head><style>p { color: red; }</style>'
+                  || '<script type=''text/javascript''>var x = '
+                  || CAST(doc_id AS VARCHAR)
+                  || ';</script></head><body><!-- hidden '
+                  || CAST(doc_id AS VARCHAR) || ' --><h1>Doc '
+                  || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+                  || '</p>'
+                  || CASE WHEN doc_id % 4 = 0 THEN
+                       '<ul><li>A&amp;B</li><li>&lt;tag&gt;&nbsp;'
+                       || '&quot;q&quot; &#39;s&#39;</li></ul>'
+                     ELSE '' END
+                  || '</body></html>' AS html
+              FROM documents
+            ),
+            stripped AS (
+              SELECT doc_id, lang,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(replace(
+                    regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                      '(?s)<[^>]*>', ' ', 'g'),
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+                    '&amp;', '&'),
+                  '\\s+', ' ', 'g')) AS extracted
+              FROM minted
+            )
+            SELECT doc_id, lang, extracted,
+                   CAST(len(list_filter(string_split(extracted, ' '),
+                        t -> t <> '')) AS BIGINT) AS n_tokens
+            FROM stripped
+        """,
+        # same injection, then every Gopher metric replayed: whitespace
+        # tokens, per-line trims, integer-quotient ratios rounded to 9,
+        # and the identical threshold conjunction (min_tokens relaxed
+        # to 20 in both engines)
+        "q_gopher_filter": """
+            WITH injected AS (
+              SELECT doc_id, lang,
+                CASE WHEN doc_id % 7 = 0 THEN '- bullet intro' || chr(10)
+                     || '- second bullet' || chr(10) ELSE '' END
+                || text
+                || CASE WHEN doc_id % 11 = 0 THEN chr(10)
+                     || 'to be continued...' ELSE '' END
+                || CASE WHEN doc_id % 13 = 0
+                     THEN ' ### ## # ### ## # ### ## #' ELSE '' END AS text
+              FROM documents
+            ),
+            split AS (
+              SELECT doc_id, lang, text,
+                list_filter(string_split(text, ' '), t -> t <> '')
+                  AS toks,
+                list_filter(string_split(lower(text), ' '), t -> t <> '')
+                  AS ltoks,
+                list_filter(string_split(text, chr(10)),
+                            l -> trim(l) <> '') AS lns
+              FROM injected
+            ),
+            counts AS (
+              SELECT doc_id, lang,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                coalesce(list_sum(list_transform(toks,
+                  t -> length(t))), 0) AS sum_len,
+                len(list_filter(toks,
+                  t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+                len(list_filter(ltoks, t -> list_contains(
+                  ['the','be','to','of','and','that','have','with'], t)))
+                  AS n_stop,
+                (length(text) - length(replace(text, '#', '')))
+                  + len(regexp_extract_all(text, '\\.\\.\\.'))
+                  + len(regexp_extract_all(text, '…')) AS n_symbol,
+                len(lns) AS n_lines,
+                len(list_filter(lns,
+                  l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+                len(list_filter(lns,
+                  l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                  AS n_ellipsis
+              FROM split
+            ),
+            metrics AS (
+              SELECT doc_id, lang, n_tokens,
+                CASE WHEN n_tokens > 0
+                     THEN round(sum_len * 1.0 / n_tokens, 9)
+                     ELSE 0.0 END AS mean_word_len,
+                CASE WHEN n_tokens > 0
+                     THEN round(n_symbol * 1.0 / n_tokens, 9)
+                     ELSE 0.0 END AS symbol_ratio,
+                CASE WHEN n_lines > 0
+                     THEN round(n_bullet * 1.0 / n_lines, 9)
+                     ELSE 0.0 END AS bullet_ratio,
+                CASE WHEN n_lines > 0
+                     THEN round(n_ellipsis * 1.0 / n_lines, 9)
+                     ELSE 0.0 END AS ellipsis_ratio,
+                CASE WHEN n_tokens > 0
+                     THEN round(n_alpha * 1.0 / n_tokens, 9)
+                     ELSE 0.0 END AS alpha_frac,
+                CAST(n_stop AS BIGINT) AS n_stop
+              FROM counts
+            )
+            SELECT doc_id, lang, n_tokens, mean_word_len, symbol_ratio,
+                   bullet_ratio, ellipsis_ratio, alpha_frac, n_stop,
+                   (n_tokens >= 20 AND n_tokens <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+                    AND ellipsis_ratio <= 0.3 AND alpha_frac >= 0.8
+                    AND n_stop >= 2) AS keep
+            FROM metrics
         """,
         # same injection, then the same fixed chain: controls→spaces,
         # translate accent fold (shared 53-char map), lower, collapse+trim

@@ -119,6 +119,9 @@ HEADLINE = [
     "q_ncm_classify",
     "q_perplexity_stored",
     "q_mad_outliers",
+    # round 9 additions (same per-query comparison convention)
+    "q_html_extract",
+    "q_gopher_filter",
 ]
 
 

@@ -600,6 +600,171 @@ def pii_scrub(
     )
 
 
+#: HTML boilerplate patterns, RE2 ∩ java.util.regex common subset
+#: (non-greedy + (?is) flags work identically in both engines) so a
+#: DuckDB oracle strips byte-identical text.  Order matters and is
+#: fixed: comments → script/style blocks (their TEXT content must go,
+#: not just the tags) → remaining tags → entities → collapse.
+_HTML_STRIP_RES: list[tuple[str, str]] = [
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<[^>]*>", " "),
+]
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+]
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+) -> DataFrame:
+    """Dependency-free HTML → text extraction — the first stage of any
+    web-crawl curation pipeline (the trafilatura/resiliparse niche,
+    reduced to the deterministic regex core): strips comments, whole
+    ``<script>``/``<style>`` blocks (content included), every remaining
+    tag, decodes the six standard entities (``&amp; &lt; &gt; &quot;
+    &#39;/&apos; &nbsp;`` — ``&amp;`` last so ``&amp;lt;`` decodes to
+    the literal ``&lt;``), and collapses whitespace.  NULL input yields
+    an empty string — the one well-defined empty bucket, the
+    :func:`url_features` convention.  This is a text-recovery pass, not
+    a sanitizer — do not reuse it as an XSS defense.
+
+    Scale: a fixed chain of map-side Column regexes (JVM codegen, no
+    UDF), 0 exchanges — streaming-safe and partition-count-invariant.
+    Patterns sit in the RE2 ∩ Java common subset, so an external
+    oracle replays the extraction byte-for-byte."""
+    text = F.coalesce(F.col(html_col), F.lit(""))
+    for pat, repl in _HTML_STRIP_RES:
+        text = F.regexp_replace(text, pat, repl)
+    for ent, ch in _HTML_ENTITIES:
+        text = F.replace(text, F.lit(ent), F.lit(ch))
+    text = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return df.withColumn(out_col, text)
+
+
+#: Gopher rule thresholds (Rae et al. 2021, arXiv:2112.11446 §A1.1.2 —
+#: the published repetition-free quality heuristics). Every value is a
+#: config knob on :func:`gopher_filter`.
+GOPHER_DEFAULTS: dict[str, float] = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_ratio": 0.9,
+    "max_ellipsis_ratio": 0.3,
+    "min_alpha_frac": 0.8,
+    "min_stopwords": 2,
+}
+
+#: Gopher's "has 2 of ..." stopword list (the paper's exact eight).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """The Gopher rule-based quality filter (Rae et al. 2021, §A1.1.2)
+    as one map-only stage — the standard pre-LM heuristic screen:
+    token-count band, mean-word-length band, symbol-to-word ratio
+    (``#`` and ``...`` hits per token), bullet-started and
+    ellipsis-ended line fractions, alphabetic-word fraction, and the
+    2-of-8 stopword requirement.  Adds every metric (``n_tokens``,
+    ``mean_word_len``, ``symbol_ratio``, ``bullet_ratio``,
+    ``ellipsis_ratio``, ``alpha_frac``, ``n_stop``) plus the combined
+    ``keep`` — metrics stay inspectable so a pipeline can report WHY
+    documents died (the usual curation audit).  Thresholds are config
+    (``thresholds`` merges over :data:`GOPHER_DEFAULTS`).  Empty/NULL
+    documents fail the token band and keep well-defined zero metrics.
+
+    Determinism: tokens are the whitespace split used repo-wide;
+    ratios are integer quotients evaluated in one fixed double
+    expression, rounded to 9 decimals — bit-replicable by an external
+    oracle.
+
+    Scale: pure Column math (array folds, no UDF, no explode), 0
+    exchanges — streaming-safe and embarrassingly parallel."""
+    th = {**GOPHER_DEFAULTS, **(thresholds or {})}
+    unknown = sorted(set(th) - set(GOPHER_DEFAULTS))
+    if unknown:
+        raise ValueError(
+            f"gopher_filter: unknown thresholds {unknown}; "
+            f"available: {sorted(GOPHER_DEFAULTS)}"
+        )
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = TX.tokens(text)
+    n = F.size(toks).cast("bigint")
+    nd = n.cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.length(t).cast("bigint"),
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    low = F.lower(text)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(
+        F.filter(TX.tokens(low), lambda t: F.array_contains(stop_arr, t))
+    )
+    n_symbol = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ) + F.regexp_count(text, F.lit(r"\.\.\.")) + F.regexp_count(
+        text, F.lit("…")
+    )
+    lines = F.filter(
+        F.split(text, "\n"),
+        lambda ln: F.length(F.trim(ln)) > 0,
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).rlike(r"^[-*•]"),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"),
+        )
+    )
+
+    def ratio(num, den):
+        return F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 9)
+        ).otherwise(F.lit(0.0))
+
+    out = (
+        df.withColumn("n_tokens", n)
+        .withColumn("mean_word_len", ratio(sum_len, n))
+        .withColumn("symbol_ratio", ratio(n_symbol, n))
+        .withColumn("bullet_ratio", ratio(n_bullet, n_lines))
+        .withColumn("ellipsis_ratio", ratio(n_ellipsis, n_lines))
+        .withColumn("alpha_frac", ratio(n_alpha, n))
+        .withColumn("n_stop", n_stop.cast("bigint"))
+    )
+    keep = (
+        (F.col("n_tokens") >= F.lit(int(th["min_tokens"])))
+        & (F.col("n_tokens") <= F.lit(int(th["max_tokens"])))
+        & (F.col("mean_word_len") >= F.lit(float(th["min_mean_word_len"])))
+        & (F.col("mean_word_len") <= F.lit(float(th["max_mean_word_len"])))
+        & (F.col("symbol_ratio") <= F.lit(float(th["max_symbol_ratio"])))
+        & (F.col("bullet_ratio") <= F.lit(float(th["max_bullet_ratio"])))
+        & (F.col("ellipsis_ratio") <= F.lit(float(th["max_ellipsis_ratio"])))
+        & (F.col("alpha_frac") >= F.lit(float(th["min_alpha_frac"])))
+        & (F.col("n_stop") >= F.lit(int(th["min_stopwords"])))
+    )
+    return out.withColumn("keep", keep)
+
+
 def dsir_weights(
     df: DataFrame,
     target: DataFrame,
@@ -2268,7 +2433,8 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     counts, ``boundaries`` for attention-mask metadata), ``profile``,
     ``split_assign``, ``cap``, ``shard_by_size``, ``quality_classify``,
     ``pii_scrub``, ``dsir`` + ``importance_resample``, ``upsample``,
-    ``url_features``, ``diff``, ``length_filter``, ``score_normalize``,
+    ``url_features``, ``html_extract``, ``gopher_filter``, ``diff``,
+    ``length_filter``, ``score_normalize``,
     ``bpe_train``/``bpe_encode``, ``collocations``, ``perplexity``,
     ``bm25``.  Named-frame inputs (``benchmark``/``target``/``baseline``/
     ``queries``/``merges``) resolve through ``ctx`` from earlier
@@ -2395,6 +2561,15 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return url_features(
             df, spec.get("url_col", "url"), spec.get("blocklist"),
             spec.get("public_suffixes"),
+        )
+    if op == "html_extract":
+        return html_extract(
+            df, spec.get("html_col", "html"), spec.get("out_col", "text")
+        )
+    if op == "gopher_filter":
+        return gopher_filter(
+            df, text_col, spec.get("thresholds"),
+            tuple(spec.get("stopwords", GOPHER_STOPWORDS)),
         )
     if op == "mad_outliers":
         return mad_outliers(

@@ -1442,3 +1442,75 @@ def test_percentile_escape_hatch_contract(spark):
         C.stage_corpus(df, {"op": "mad_outliers", "score_col": "id",
                             "method": "approx"}, None).collect()
         assert not [x for x in w if "percentile" in str(x.message)]
+
+
+def test_html_extract_goldens(spark):
+    """r9: script/style CONTENT vanishes (not just the tags), comments
+    go, entities decode in the fixed order (&amp; last, so double
+    encodings resolve one level), whitespace collapses, NULL input
+    yields the empty string; the op is map-only (plan has no
+    exchanges)."""
+    df = spark.createDataFrame(
+        [
+            (1, "<p>Hello <b>world</b></p><script>var hidden = 1;"
+                "</script><style>p{x}</style><!-- gone -->"),
+            (2, "A &amp;amp; B &lt;i&gt; &nbsp;&quot;q&quot; &#39;s&#39;"
+                " &apos;t&apos;"),
+            (3, None),
+            (4, "no markup at   all"),
+            (5, "<SCRIPT SRC='x'>multi\nline\njs</SCRIPT>ok"),
+        ],
+        "id long, html string",
+    )
+    out = {r["id"]: r["text"] for r in C.html_extract(df).collect()}
+    assert out[1] == "Hello world"
+    assert out[2] == 'A &amp; B <i> "q" \'s\' \'t\''
+    assert out[3] == ""
+    assert out[4] == "no markup at all"
+    assert out[5] == "ok"  # case-insensitive, dotall block strip
+    plan = C.html_extract(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_gopher_filter_rule_legs(spark):
+    """r9: each Gopher rule fires independently — token band, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, 2-of-8 stopwords; thresholds are config; unknown
+    threshold keys raise; empty/NULL text fails closed with zero
+    metrics."""
+    good = ("the quick brown fox and that dog have fun with it "
+            "running of course to the park every single day") * 2
+    rows = [
+        (1, good),
+        (2, "the of and"),                        # too few tokens
+        (3, " ".join(["a"] * 60)),                # mean word len < 3
+        (4, good + " " + "#" * 10 + " # # # # # # # # # #"),  # symbols
+        (5, "\n".join(f"- {good}" for _ in range(3))),        # bullets
+        (6, "\n".join(f"{good}..." for _ in range(3))),       # ellipses
+        (7, " ".join(["12345"] * 30) + " the of"),            # non-alpha
+        (8, " ".join(["word"] * 60)),             # no stopwords
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in C.gopher_filter(
+        df, thresholds={"min_tokens": 10}
+    ).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_tokens"] == 3
+    assert out[3]["keep"] is False and out[3]["mean_word_len"] == 1.0
+    assert out[4]["keep"] is False and out[4]["symbol_ratio"] > 0.1
+    assert out[5]["keep"] is False and out[5]["bullet_ratio"] == 1.0
+    assert out[6]["keep"] is False and out[6]["ellipsis_ratio"] == 1.0
+    assert out[7]["keep"] is False and out[7]["alpha_frac"] < 0.8
+    assert out[8]["keep"] is False and out[8]["n_stop"] == 0
+    assert out[9]["keep"] is False and out[9]["n_tokens"] == 0
+    # config thresholds flip an outcome deterministically
+    relaxed = {r["id"]: r["keep"] for r in C.gopher_filter(
+        df, thresholds={"min_tokens": 10, "max_bullet_ratio": 1.0}
+    ).collect()}
+    assert relaxed[5] is True
+    with pytest.raises(ValueError, match="unknown thresholds"):
+        C.gopher_filter(df, thresholds={"bogus": 1})
+    # streaming-safe by construction: both ops are pure Column maps
+    plan = C.gopher_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
