@@ -3275,6 +3275,50 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition screen (corpus op ``repetition_filter``, r9 —
+    Rae et al. 2021 §A1.1.1, completing the Gopher pair with
+    ``q_gopher_filter``): a repeated 2-gram run, a tripled 6-gram
+    phrase, and duplicated lines are injected deterministically so the
+    top-gram, dup-gram, and line/paragraph legs all fire on real corpus
+    text. Every metric is WITHIN-document (array_distinct ratios + one
+    sorted struct-fold per n — 0 exchanges); the oracle recomputes each
+    count/char-mass with unnest+GROUP BY and replays the threshold
+    conjunction bit-for-bit."""
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" tick tock tick tock tick tock tick tock"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit(
+                    "\nrepeat me please now ok fine repeat me please now"
+                    " ok fine repeat me please now ok fine"
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit("\nsame line\nsame line\nsame line"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = CORPUS.repetition_filter(injected)
+    from config_driven_pyspark_spark.operators.corpus import (
+        GOPHER_REPETITION_DEFAULTS,
+    )
+
+    return out.select(
+        "doc_id", "lang", *GOPHER_REPETITION_DEFAULTS, "keep"
+    )
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality screen (corpus op ``gopher_filter``,
     r9 — Rae et al. 2021 §A1.1.2 as one map-only stage): bullet lines,
@@ -3750,6 +3794,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_text": q_normalize_text,  # accent/control/ws fold, r8
         "q_url_features": q_url_features,  # host/domain/tld/blocklist, r8
         "q_html_extract": q_html_extract,  # crawl boilerplate strip, r9
+        "q_repetition_filter": q_repetition_filter,  # Gopher A1.1.1, r9
         "q_gopher_filter": q_gopher_filter,  # rule-based screen, r9
         "q_e2e_web_curation": q_e2e_web_curation,  # 7-stage chain, r8
         "q_pack_boundaries": q_pack_boundaries,  # attention-mask meta, r8
@@ -3972,6 +4017,127 @@ _LANG_HIT_EXPRS = ", ".join(
 )
 
 _TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _build_repetition_oracle() -> str:
+    """DuckDB replay of q_repetition_filter: same injection, then each
+    Gopher §A1.1.1 metric recomputed independently — line/paragraph
+    ratios with list ops, n-gram count/char masses with unnest+GROUP BY
+    (the set-semantics twin of the Spark side's within-row sorted
+    folds) — and the identical threshold conjunction generated from
+    the SAME defaults dict, so the two engines cannot drift."""
+    from config_driven_pyspark_spark.operators.corpus import (
+        GOPHER_REPETITION_DEFAULTS as TH,
+    )
+
+    gram_ctes = ",\n".join(
+        f"""g{n} AS (
+              SELECT doc_id, gram, count(*) AS c, length(gram) AS l
+              FROM (
+                SELECT doc_id, unnest(CASE WHEN len(toks) >= {n}
+                  THEN list_transform(
+                         generate_series(1, len(toks) - {n} + 1),
+                         i -> array_to_string(toks[i:i+{n - 1}], ' '))
+                  ELSE [] END) AS gram
+                FROM base)
+              GROUP BY doc_id, gram
+            )"""
+        for n in (2, 3, 4, 5, 6, 7, 8, 9, 10)
+    )
+    mass_ctes = ",\n".join(
+        [
+            f"t{n} AS (SELECT doc_id, max(c * l) AS mass "
+            f"FROM g{n} GROUP BY doc_id)"
+            for n in (2, 3, 4)
+        ]
+        + [
+            f"d{n} AS (SELECT doc_id, "
+            f"sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS mass "
+            f"FROM g{n} GROUP BY doc_id)"
+            for n in (5, 6, 7, 8, 9, 10)
+        ]
+    )
+    mass_cols = ",\n".join(
+        [
+            f"""CASE WHEN b.n_chars > 0
+                 THEN round(coalesce(t{n}.mass, 0) * 1.0 / b.n_chars, 9)
+                 ELSE 0.0 END AS top_{n}gram_char_frac"""
+            for n in (2, 3, 4)
+        ]
+        + [
+            f"""CASE WHEN b.n_chars > 0
+                 THEN round(coalesce(d{n}.mass, 0) * 1.0 / b.n_chars, 9)
+                 ELSE 0.0 END AS dup_{n}gram_char_frac"""
+            for n in (5, 6, 7, 8, 9, 10)
+        ]
+    )
+    mass_joins = "\n".join(
+        [f"LEFT JOIN t{n} ON t{n}.doc_id = b.doc_id" for n in (2, 3, 4)]
+        + [f"LEFT JOIN d{n} ON d{n}.doc_id = b.doc_id"
+           for n in (5, 6, 7, 8, 9, 10)]
+    )
+    keep = " AND ".join(f"{name} <= {TH[name]}" for name in TH)
+    seg_frac = (
+        lambda col, p: f"""
+            CASE WHEN len({col}) > 0 THEN round(
+              (len({col}) - len(list_distinct({col}))) * 1.0 / len({col}), 9)
+              ELSE 0.0 END AS dup_{p}_frac,
+            CASE WHEN coalesce(list_sum(list_transform({col},
+                   s -> length(s))), 0) > 0 THEN round(
+              (list_sum(list_transform({col}, s -> length(s)))
+               - list_sum(list_transform(list_distinct({col}),
+                   s -> length(s)))) * 1.0
+              / list_sum(list_transform({col}, s -> length(s))), 9)
+              ELSE 0.0 END AS dup_{p}_char_frac"""
+    )
+    return f"""
+        WITH injected AS (
+          SELECT doc_id, lang,
+            coalesce(text, '')
+            || CASE WHEN doc_id % 4 = 0
+                 THEN ' tick tock tick tock tick tock tick tock'
+                 ELSE '' END
+            || CASE WHEN doc_id % 6 = 0 THEN chr(10)
+                 || 'repeat me please now ok fine repeat me please now'
+                 || ' ok fine repeat me please now ok fine' ELSE '' END
+            || CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'same line'
+                 || chr(10) || 'same line' || chr(10) || 'same line'
+                 ELSE '' END AS text
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, lang, text,
+            {_TOKENS} AS toks,
+            length(text) AS n_chars,
+            list_filter(list_transform(
+              string_split_regex(text, chr(10)), s -> trim(s)),
+              s -> s <> '') AS lns,
+            list_filter(list_transform(
+              string_split_regex(text, chr(10) || chr(10)), s -> trim(s)),
+              s -> s <> '') AS paras
+          FROM injected
+        ),
+        segm AS (
+          SELECT doc_id, lang, n_chars,
+            {seg_frac('lns', 'line')},
+            {seg_frac('paras', 'para')}
+          FROM base
+        ),
+        {gram_ctes},
+        {mass_ctes},
+        metrics AS (
+          SELECT b.doc_id, b.lang,
+            s.dup_line_frac, s.dup_line_char_frac,
+            s.dup_para_frac, s.dup_para_char_frac,
+            {mass_cols}
+          FROM base b
+          JOIN segm s ON s.doc_id = b.doc_id
+          {mass_joins}
+        )
+        SELECT doc_id, lang, {", ".join(TH)},
+               ({keep}) AS keep
+        FROM metrics
+    """
 _NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _PUNCT_RATIO = (
     "(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) "
@@ -5842,6 +6008,10 @@ def oracle_sql() -> dict[str, str]:
                         t -> t <> '')) AS BIGINT) AS n_tokens
             FROM stripped
         """,
+        # generated replay of the 13 repetition metrics (see
+        # _build_repetition_oracle): unnest+GROUP BY per n, thresholds
+        # generated from the same defaults dict as the Spark side
+        "q_repetition_filter": _build_repetition_oracle(),
         # same injection, then every Gopher metric replayed: whitespace
         # tokens, per-line trims, integer-quotient ratios rounded to 9,
         # and the identical threshold conjunction (min_tokens relaxed

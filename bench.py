@@ -122,6 +122,7 @@ HEADLINE = [
     # round 9 additions (same per-query comparison convention)
     "q_html_extract",
     "q_gopher_filter",
+    "q_repetition_filter",
 ]
 
 

@@ -765,6 +765,188 @@ def gopher_filter(
     return out.withColumn("keep", keep)
 
 
+#: Gopher repetition thresholds (Rae et al. 2021 §A1.1.1 Table A1 —
+#: keep a document iff every metric is ≤ its bound).
+GOPHER_REPETITION_DEFAULTS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _grams_or_empty(toks: Column, n: int) -> Column:
+    """All word n-grams of a token array, or an empty array when the
+    document is shorter than ``n`` tokens (``word_ngrams_all`` would
+    otherwise emit one short gram)."""
+    return F.when(
+        F.size(toks) >= n, word_ngrams_all(toks, n)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_gram_chars(grams: Column) -> Column:
+    """max over distinct grams of count·len(gram) — the character mass
+    of the most repeated n-gram, as ONE sorted fold over the array
+    (equal grams are adjacent after array_sort, so a (prev, run, best)
+    struct accumulator tracks the best run·len without any shuffle or
+    per-gram rescans)."""
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.greatest(
+                acc["best"],
+                (
+                    F.when(g == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("bigint"))
+                ) * F.length(g),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def _dup_gram_chars(grams: Column) -> Column:
+    """Σ over distinct grams with count ≥ 2 of count·len(gram) — the
+    character mass of ALL occurrences of duplicated n-grams, same
+    sorted-fold shape as :func:`_top_gram_chars` (the second occurrence
+    retroactively adds the first occurrence's length)."""
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("dup"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint")).alias("run"),
+            (
+                acc["dup"]
+                + F.when(
+                    g == acc["prev"],
+                    F.length(g).cast("bigint")
+                    + F.when(
+                        acc["run"] == 1, F.length(g).cast("bigint")
+                    ).otherwise(F.lit(0).cast("bigint")),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("dup"),
+        ),
+        lambda acc: acc["dup"],
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """The Gopher repetition rules (Rae et al. 2021 §A1.1.1) — the
+    companion screen to :func:`gopher_filter`'s quality rules, catching
+    boilerplate-looped and keyboard-mash documents: duplicate line /
+    paragraph fractions (count and character mass), the character share
+    of the single most repeated {2,3,4}-gram, and the character mass of
+    all duplicated {5..10}-grams.  Adds all 13 metrics plus ``keep``
+    (every metric ≤ its bound; :data:`GOPHER_REPETITION_DEFAULTS`,
+    overridable per key via ``thresholds``).
+
+    Metric definitions (pinned, oracle-replicable): lines split on
+    ``\\n`` (paragraphs on ``\\n\\n``), trimmed, empties dropped;
+    ``dup_line_frac = (n_lines − n_distinct)/n_lines`` and
+    ``dup_line_char_frac`` the same on summed lengths;
+    ``top_Ngram_char_frac = max_g count(g)·len(g) / len(text)`` over
+    raw-token word n-grams; ``dup_Ngram_char_frac = Σ_{count(g)≥2}
+    count(g)·len(g) / len(text)``.  Empty/NULL documents score all
+    zeros and keep.  Ratios round to 9 decimals.  Note the top-gram
+    metric counts the most frequent gram EVEN AT COUNT 1 (the paper's
+    definition), so very short documents legitimately fail it — run
+    the length rules (:func:`gopher_filter`) alongside, as Gopher does.
+
+    Scale: every metric is WITHIN-document — array_distinct ratios and
+    one sorted fold per n (struct accumulator over the array_sort'ed
+    gram array, O(G log G) per doc) — so the stage is map-only with 0
+    exchanges at any corpus size, streaming-safe, and never explodes
+    tokens into rows."""
+    th = {**GOPHER_REPETITION_DEFAULTS, **(thresholds or {})}
+    unknown = sorted(set(th) - set(GOPHER_REPETITION_DEFAULTS))
+    if unknown:
+        raise ValueError(
+            f"repetition_filter: unknown thresholds {unknown}; "
+            f"available: {sorted(GOPHER_REPETITION_DEFAULTS)}"
+        )
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = TX.tokens(text)
+    n_chars = F.length(text).cast("bigint")
+
+    def seg_metrics(sep: str, prefix: str):
+        segs = F.filter(
+            F.transform(F.split(text, sep), lambda s: F.trim(s)),
+            lambda s: F.length(s) > 0,
+        )
+        n = F.size(segs).cast("bigint")
+        nd = F.size(F.array_distinct(segs)).cast("bigint")
+        chars = F.aggregate(
+            segs, F.lit(0).cast("bigint"),
+            lambda acc, s: acc + F.length(s).cast("bigint"),
+        )
+        chars_d = F.aggregate(
+            F.array_distinct(segs), F.lit(0).cast("bigint"),
+            lambda acc, s: acc + F.length(s).cast("bigint"),
+        )
+        frac = F.when(
+            n > 0, F.round((n - nd).cast("double") / n.cast("double"), 9)
+        ).otherwise(F.lit(0.0))
+        cfrac = F.when(
+            chars > 0,
+            F.round((chars - chars_d).cast("double") / chars.cast("double"), 9),
+        ).otherwise(F.lit(0.0))
+        return {f"dup_{prefix}_frac": frac, f"dup_{prefix}_char_frac": cfrac}
+
+    cols = {}
+    cols.update(seg_metrics(r"\n\n", "para"))
+    cols.update(seg_metrics(r"\n", "line"))
+
+    def char_frac(mass: Column) -> Column:
+        return F.when(
+            n_chars > 0,
+            F.round(mass.cast("double") / n_chars.cast("double"), 9),
+        ).otherwise(F.lit(0.0))
+
+    for n in (2, 3, 4):
+        cols[f"top_{n}gram_char_frac"] = char_frac(
+            _top_gram_chars(_grams_or_empty(toks, n))
+        )
+    for n in (5, 6, 7, 8, 9, 10):
+        cols[f"dup_{n}gram_char_frac"] = char_frac(
+            _dup_gram_chars(_grams_or_empty(toks, n))
+        )
+    out = df
+    for name in GOPHER_REPETITION_DEFAULTS:
+        out = out.withColumn(name, cols[name])
+    keep = None
+    for name in GOPHER_REPETITION_DEFAULTS:
+        cond = F.col(name) <= F.lit(float(th[name]))
+        keep = cond if keep is None else (keep & cond)
+    return out.withColumn("keep", keep)
+
+
 def dsir_weights(
     df: DataFrame,
     target: DataFrame,
@@ -2571,6 +2753,8 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             df, text_col, spec.get("thresholds"),
             tuple(spec.get("stopwords", GOPHER_STOPWORDS)),
         )
+    if op == "repetition_filter":
+        return repetition_filter(df, text_col, spec.get("thresholds"))
     if op == "mad_outliers":
         return mad_outliers(
             df, spec["score_col"], spec.get("by"),

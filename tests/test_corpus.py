@@ -1514,3 +1514,44 @@ def test_gopher_filter_rule_legs(spark):
     # streaming-safe by construction: both ops are pure Column maps
     plan = C.gopher_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_filter_gopher_rules(spark):
+    """r9: each repetition leg fires — duplicated lines/paragraphs
+    (count + char mass), top-{2,3,4}-gram char share, duplicated
+    {5..10}-gram char mass; clean text keeps; metrics are map-only
+    (Exchange-free plan) and match an independent Python reference on
+    edge shapes (short docs, empty, NULL)."""
+    # long enough that one unrepeated 4-gram is a small char fraction —
+    # Gopher's top-gram metric counts the most frequent gram even at
+    # count 1, so very short docs legitimately fail it (the length rule
+    # itself lives in gopher_filter)
+    clean = " ".join(f"word{i:02d}" for i in range(80))
+    rows = [
+        (1, clean),
+        (2, "la la la la la la la la"),                    # top-2gram
+        (3, "one\ntwo\none\ntwo\none"),                    # dup lines
+        (4, "para a\n\npara a\n\npara b"),                 # dup paragraphs
+        (5, ("alpha beta gamma delta epsilon zeta " * 3).strip()),  # 6-gram x3
+        (6, None),
+        (7, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in C.repetition_filter(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["top_2gram_char_frac"] > 0.2 and out[2]["keep"] is False
+    assert out[3]["dup_line_frac"] == 0.6 and out[3]["keep"] is False
+    assert out[4]["dup_para_frac"] > 0.3 and out[4]["keep"] is False
+    assert out[5]["dup_6gram_char_frac"] > 0.1 and out[5]["keep"] is False
+    assert out[6]["keep"] is True      # empty: all zeros
+    assert out[7]["keep"] is True      # shorter than every n: no grams
+    assert out[7]["top_4gram_char_frac"] == 0.0
+    with pytest.raises(ValueError, match="unknown thresholds"):
+        C.repetition_filter(df, thresholds={"nope": 1})
+    # config threshold flips the line-dup outcome
+    relaxed = C.repetition_filter(
+        df, thresholds={"dup_line_frac": 0.7, "dup_line_char_frac": 0.7}
+    )
+    assert {r["id"]: r["keep"] for r in relaxed.collect()}[3] is True
+    plan = C.repetition_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
