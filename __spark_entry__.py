@@ -3275,6 +3275,39 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical URL form (corpus op ``url_normalize``, r9 — the
+    pre-dedup crawl canonicalization): four deterministic URL shapes
+    are minted per document — mixed-case scheme/host with default port
+    + tracking params + fragment, a bare default-port host, a
+    non-default port with an UPPERCASE tracking name, and an
+    unparseable string (pass-through leg). Lowercasing, default-port
+    and fragment stripping, tracking-parameter removal (case-folded
+    name match), empty-query collapse, and empty-path → ``/`` all
+    replay in the oracle with the same RE2 ∩ Java expressions."""
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m4 = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    minted = docs.withColumn(
+        "url",
+        F.when(m4 == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"),
+            F.lit(".COM:443/Doc/"), sid,
+            F.lit("?utm_source=feed&id="), sid, F.lit("&fbclid=zz#sec"),
+        )).when(m4 == 1, F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".org:80"),
+        )).when(m4 == 2, F.concat(
+            F.lit("http://mirror."), F.col("source"),
+            F.lit(".net:8080/a/"), sid, F.lit("?b=1&utm_campaign=x&REF=z"),
+        )).otherwise(F.concat(F.lit("doc "), sid)),
+    )
+    return CORPUS.url_normalize(minted, "url").select(
+        "doc_id", "url", "url_norm"
+    )
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition screen (corpus op ``repetition_filter``, r9 —
     Rae et al. 2021 §A1.1.1, completing the Gopher pair with
@@ -3795,6 +3828,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_features": q_url_features,  # host/domain/tld/blocklist, r8
         "q_html_extract": q_html_extract,  # crawl boilerplate strip, r9
         "q_repetition_filter": q_repetition_filter,  # Gopher A1.1.1, r9
+        "q_url_normalize": q_url_normalize,  # URL canonicalization, r9
         "q_gopher_filter": q_gopher_filter,  # rule-based screen, r9
         "q_e2e_web_curation": q_e2e_web_curation,  # 7-stage chain, r8
         "q_pack_boundaries": q_pack_boundaries,  # attention-mask meta, r8
@@ -4017,6 +4051,61 @@ _LANG_HIT_EXPRS = ", ".join(
 )
 
 _TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+#: DuckDB replay of q_url_normalize — same minting, then the same
+#: canonicalization: lower scheme/authority, default-port strip,
+#: fragment drop, case-folded tracking-param filter (anchored RE2/Java
+#: pattern), empty-query collapse, empty path → '/'.
+_URL_RE_SQL = (
+    "'^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$'"
+)
+_URL_NORMALIZE_ORACLE = f"""
+    WITH minted AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN
+          'HTTPS://WWW.' || source || '.COM:443/Doc/'
+          || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id='
+          || CAST(doc_id AS VARCHAR) || '&fbclid=zz#sec'
+        WHEN doc_id % 4 = 1 THEN
+          'http://' || source || '.org:80'
+        WHEN doc_id % 4 = 2 THEN
+          'http://mirror.' || source || '.net:8080/a/'
+          || CAST(doc_id AS VARCHAR) || '?b=1&utm_campaign=x&REF=z'
+        ELSE 'doc ' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, {_URL_RE_SQL}, 1)) AS scheme,
+        lower(regexp_extract(url, {_URL_RE_SQL}, 2)) AS auth0,
+        regexp_extract(url, {_URL_RE_SQL}, 3) AS path0,
+        regexp_extract(url, {_URL_RE_SQL}, 4) AS qs
+      FROM minted
+    ),
+    canon AS (
+      SELECT doc_id, url, scheme,
+        CASE WHEN scheme = 'http' AND auth0 LIKE '%:80'
+               THEN regexp_replace(auth0, ':80$', '')
+             WHEN scheme = 'https' AND auth0 LIKE '%:443'
+               THEN regexp_replace(auth0, ':443$', '')
+             ELSE auth0 END AS auth,
+        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        list_filter(string_split(regexp_replace(qs, '^\\?', ''), '&'),
+          p -> length(p) > 0 AND NOT regexp_matches(
+            lower(regexp_extract(p, '^([^=]*)', 1)),
+            '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|ref_src|mc_cid|mc_eid)$'))
+          AS params
+      FROM parts
+    )
+    SELECT doc_id, url,
+      CASE WHEN scheme = '' THEN url
+           ELSE scheme || '://' || auth || path ||
+             CASE WHEN len(params) > 0
+                  THEN '?' || array_to_string(params, '&')
+                  ELSE '' END
+      END AS url_norm
+    FROM canon
+"""
 
 
 def _build_repetition_oracle() -> str:
@@ -6012,6 +6101,7 @@ def oracle_sql() -> dict[str, str]:
         # _build_repetition_oracle): unnest+GROUP BY per n, thresholds
         # generated from the same defaults dict as the Spark side
         "q_repetition_filter": _build_repetition_oracle(),
+        "q_url_normalize": _URL_NORMALIZE_ORACLE,
         # same injection, then every Gopher metric replayed: whitespace
         # tokens, per-line trims, integer-quotient ratios rounded to 9,
         # and the identical threshold conjunction (min_tokens relaxed

@@ -123,6 +123,7 @@ HEADLINE = [
     "q_html_extract",
     "q_gopher_filter",
     "q_repetition_filter",
+    "q_url_normalize",
 ]
 
 

@@ -765,6 +765,72 @@ def gopher_filter(
     return out.withColumn("keep", keep)
 
 
+#: query parameters stripped by :func:`url_normalize` — the usual
+#: tracking/session noise that splits one logical page into many URLs.
+URL_TRACKING_PARAMS_RE = (
+    r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|ref_src|mc_cid|mc_eid)$"
+)
+
+
+def url_normalize(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_norm",
+    sort_params: bool = False,
+    strip_params_re: str = URL_TRACKING_PARAMS_RE,
+) -> DataFrame:
+    """Canonical URL form for URL-level dedup and per-page caps — the
+    standard crawl canonicalization: lowercase scheme and authority,
+    strip the default port (``:80`` for http, ``:443`` for https),
+    drop the fragment, remove tracking query parameters (name matches
+    ``strip_params_re``, case-insensitively — utm_*/fbclid/gclid/... by
+    default), drop the ``?`` when no parameters survive, and normalize
+    an empty path to ``/``.  ``sort_params=True`` additionally sorts
+    surviving parameters bytewise (order-insensitive canonical form —
+    opt-in because it changes which URLs unify).  Unparseable URLs
+    (no ``scheme://``) pass through unchanged into ``out_col``; NULLs
+    become empty strings.  Two pages differing only in tracking noise
+    then fingerprint identically — compose with ``dedup`` on
+    ``url_norm`` or ``cap`` for the usual pipeline.
+
+    Scale: one Project of regexp extracts + an array filter/rejoin for
+    the query string — map-only, 0 exchanges, streaming-safe; patterns
+    in the RE2 ∩ Java common subset, oracle-replicable."""
+    raw = F.coalesce(F.col(url_col), F.lit(""))
+    url_re = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+    scheme = F.lower(F.regexp_extract(raw, url_re, 1))
+    auth = F.lower(F.regexp_extract(raw, url_re, 2))
+    auth = F.when(
+        (scheme == "http") & auth.endswith(":80"),
+        F.regexp_replace(auth, r":80$", ""),
+    ).when(
+        (scheme == "https") & auth.endswith(":443"),
+        F.regexp_replace(auth, r":443$", ""),
+    ).otherwise(auth)
+    path = F.regexp_extract(raw, url_re, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.regexp_extract(raw, url_re, 4)  # includes the leading '?'
+    params = F.filter(
+        F.split(F.regexp_replace(qs, r"^\?", ""), "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).rlike(
+            strip_params_re
+        ),
+    )
+    if sort_params:
+        params = F.array_sort(params)
+    query = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    normalized = F.when(
+        scheme == "", raw  # unparseable: pass through
+    ).otherwise(
+        F.concat(scheme, F.lit("://"), auth, path, query)
+    )
+    return df.withColumn(out_col, normalized)
+
+
 #: Gopher repetition thresholds (Rae et al. 2021 §A1.1.1 Table A1 —
 #: keep a document iff every metric is ≤ its bound).
 GOPHER_REPETITION_DEFAULTS: dict[str, float] = {
@@ -2615,7 +2681,8 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     counts, ``boundaries`` for attention-mask metadata), ``profile``,
     ``split_assign``, ``cap``, ``shard_by_size``, ``quality_classify``,
     ``pii_scrub``, ``dsir`` + ``importance_resample``, ``upsample``,
-    ``url_features``, ``html_extract``, ``gopher_filter``, ``diff``,
+    ``url_features``, ``url_normalize``, ``html_extract``,
+    ``gopher_filter``, ``repetition_filter``, ``diff``,
     ``length_filter``, ``score_normalize``,
     ``bpe_train``/``bpe_encode``, ``collocations``, ``perplexity``,
     ``bm25``.  Named-frame inputs (``benchmark``/``target``/``baseline``/
@@ -2755,6 +2822,13 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         )
     if op == "repetition_filter":
         return repetition_filter(df, text_col, spec.get("thresholds"))
+    if op == "url_normalize":
+        return url_normalize(
+            df, spec.get("url_col", "url"),
+            spec.get("out_col", "url_norm"),
+            bool(spec.get("sort_params", False)),
+            spec.get("strip_params_re", URL_TRACKING_PARAMS_RE),
+        )
     if op == "mad_outliers":
         return mad_outliers(
             df, spec["score_col"], spec.get("by"),

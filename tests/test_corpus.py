@@ -1555,3 +1555,43 @@ def test_repetition_filter_gopher_rules(spark):
     assert {r["id"]: r["keep"] for r in relaxed.collect()}[3] is True
     plan = C.repetition_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_url_normalize_canonicalization(spark):
+    """r9: lowercased scheme/host, default-port strip (non-default
+    ports kept), fragment drop, case-folded tracking-param removal,
+    empty-query collapse, empty path -> '/', unparseable pass-through,
+    NULL -> empty; sort_params gives the order-insensitive form;
+    map-only plan."""
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://Example.COM:443/P?utm_source=x&id=7&FBCLID=a#f"),
+            (2, "http://site.org:80"),
+            (3, "http://site.org:8080/a?b=1&utm_campaign=z"),
+            (4, "not a url"),
+            (5, None),
+            (6, "https://h.io/p?z=1&a=2"),
+            (7, "https://h.io/p?utm_source=1&UTM_MEDIUM=2"),
+        ],
+        "id long, url string",
+    )
+    out = {r["id"]: r["url_norm"] for r in C.url_normalize(df).collect()}
+    assert out[1] == "https://example.com/P?id=7"
+    assert out[2] == "http://site.org/"
+    assert out[3] == "http://site.org:8080/a?b=1"  # non-default port kept
+    assert out[4] == "not a url"
+    assert out[5] == ""
+    assert out[6] == "https://h.io/p?z=1&a=2"      # order kept by default
+    assert out[7] == "https://h.io/p"              # all params tracking
+    srt = {r["id"]: r["url_norm"]
+           for r in C.url_normalize(df, sort_params=True).collect()}
+    assert srt[6] == "https://h.io/p?a=2&z=1"
+    # dedup-readiness: tracking variants of one page unify
+    variants = spark.createDataFrame(
+        [(1, "https://a.io/x?utm_source=tw"), (2, "https://A.IO/x#top"),
+         (3, "https://a.io:443/x")],
+        "id long, url string",
+    )
+    assert C.url_normalize(variants).select("url_norm").distinct().count() == 1
+    plan = C.url_normalize(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
