@@ -1638,6 +1638,55 @@ def q_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_query_index(spark, path, queries, k=5, nprobe=3)
 
 
+def q_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DELETE lifecycle (similarity.py::ivf_delete_index, r9 —
+    completing build/append/compact with the LSM tombstone shape):
+    build on all embeddings, tombstone every vec_id % 10 == 3 (an
+    O(batch) id append — no postings rewrite), query THROUGH the
+    tombstones (anti-join on the pruned scan), then COMPACT (physical
+    removal + tombstone clear + manifest n_rows/deletes_applied
+    update) and query again. The build block asserts the contract the
+    returned frame can't show: tombstone-filtered results ≡
+    post-compact results bit-for-bit, no deleted id ever surfaces, the
+    manifest records the applied deletes, and the tombstone table is
+    gone after compaction. The oracle replays the probe arithmetic
+    over the corpus MINUS the deleted ids — a green hash pins both the
+    logical delete and its physical application."""
+    src, path, needs_build = _cached_index_dir(sf_dir, "cdp_ivf_delete")
+    emb = spark.read.parquet(src)
+    queries = emb.filter(F.col("vec_id") < 8)
+    if needs_build:
+        SIM.ivf_build_index(emb, path, n_centroids=16, centroids="sample")
+        n_tomb = SIM.ivf_delete_index(
+            spark, path, emb.filter(F.col("vec_id") % 10 == 3), "vec_id"
+        )
+        if n_tomb == 0:
+            raise AssertionError("delete batch was empty")
+        before = sorted(
+            map(tuple, SIM.ivf_query_index(
+                spark, path, queries, k=5, nprobe=3
+            ).collect())
+        )
+        if any(r[1] % 10 == 3 for r in before):
+            raise AssertionError("tombstoned id surfaced in a query")
+        SIM.ivf_compact_index(spark, path)
+        after = sorted(
+            map(tuple, SIM.ivf_query_index(
+                spark, path, queries, k=5, nprobe=3
+            ).collect())
+        )
+        if before != after:
+            raise AssertionError(
+                "tombstone-filtered results != physically compacted results"
+            )
+        manifest = SIM.read_index_manifest(spark, path) or {}
+        if int(manifest.get("deletes_applied") or 0) != n_tomb:
+            raise AssertionError("manifest does not record the deletes")
+        if SIM._fs_exists(spark, f"{path}/tombstones"):
+            raise AssertionError("tombstones not cleared by compaction")
+    return SIM.ivf_query_index(spark, path, queries, k=5, nprobe=3)
+
+
 def q_sq_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized persisted IVF index (similarity.py::ivf_build_index
     quantization="int8", VERDICT r6 ask #6): postings store each UNIT
@@ -3816,6 +3865,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_index_ann": q_ivf_index_ann,
         "q_ivf_index_append": q_ivf_index_append,
         "q_ivf_compact": q_ivf_compact,  # append->compact->query, r8
+        "q_ivf_delete": q_ivf_delete,  # tombstone delete lifecycle, r9
         "q_sq_index_ann": q_sq_index_ann,
         "q_streaming_asof": q_streaming_asof,
         "q_sink_roundtrip": q_sink_roundtrip,
@@ -4337,6 +4387,42 @@ _IVF_APPEND_ORACLE_SQL = _COSINE_CTE + """
             ),
             corpus_cells AS (
               SELECT vec_id, u, cell_idx FROM assign WHERE pr = 1),
+            query_cells AS (
+              SELECT vec_id, u, cell_idx FROM assign
+              WHERE pr <= 3 AND vec_id < 8)
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.u, c.u), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.u, c.u), 6) DESC,
+                                c.vec_id) AS rank
+              FROM query_cells q
+              JOIN corpus_cells c ON q.cell_idx = c.cell_idx
+                                 AND q.vec_id <> c.vec_id
+            ) WHERE rank <= 5
+        """
+
+# q_ivf_delete replay: centroids sampled from the FULL corpus (the
+# build saw every id), assignment unchanged, corpus minus the deleted
+# ids (deletion never retrains centroids), same probe/top-5 arithmetic
+_IVF_DELETE_ORACLE_SQL = _COSINE_CTE + """
+            , cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx,
+                     u AS cu
+              FROM unitv ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT v.vec_id, v.u, c.cell_idx,
+                     row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.u, c.cu) DESC,
+                                c.cell_idx) AS pr
+              FROM unitv v CROSS JOIN cent c
+            ),
+            corpus_cells AS (
+              SELECT vec_id, u, cell_idx FROM assign
+              WHERE pr = 1 AND vec_id % 10 <> 3),
             query_cells AS (
               SELECT vec_id, u, cell_idx FROM assign
               WHERE pr <= 3 AND vec_id < 8)
@@ -5265,6 +5351,7 @@ def oracle_sql() -> dict[str, str]:
         # duplicated, or re-celled by the rewrite breaks the hash (the
         # files-per-cell restoration is asserted inside the query fn)
         "q_ivf_compact": _IVF_APPEND_ORACLE_SQL,
+        "q_ivf_delete": _IVF_DELETE_ORACLE_SQL,
         "q08_market_share": f"""
             SELECT o_year,
                    round(CAST(sum(CASE WHEN s_nation = 'NATION_3'

@@ -124,6 +124,7 @@ HEADLINE = [
     "q_gopher_filter",
     "q_repetition_filter",
     "q_url_normalize",
+    "q_ivf_delete",
 ]
 
 

@@ -1192,6 +1192,62 @@ def rrf_fuse(
     )
 
 
+def ivf_delete_index(
+    spark: SparkSession,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> int:
+    """Delete vectors from a persisted IVF index by id — the fourth
+    piece of the lifecycle (build / append / compact / delete), in the
+    LSM shape that actually scales: deletes append 8-byte ids to
+    ``<path>/tombstones`` (O(batch), no postings rewrite), every
+    :func:`ivf_query_index` anti-joins the tombstones against the
+    pruned postings scan (tombstones are tiny → broadcast, partition
+    pruning untouched), and :func:`ivf_compact_index` physically drops
+    tombstoned rows and clears the table.  Returns the number of
+    tombstone rows appended (pre-existing duplicates are fine — the
+    anti-join is idempotent).
+
+    Contract: a tombstoned id is dead to queries even if a later
+    :func:`ivf_append_index` re-adds it (the anti-join matches ids,
+    not epochs) — compact FIRST to resurrect an id.  Single-writer,
+    same as build/append/compact."""
+    missing = [
+        part for part in ("centroids", "postings")
+        if not _fs_exists(spark, f"{path}/{part}")
+    ]
+    if missing:
+        raise ValueError(
+            f"no IVF index at {path!r}: missing {', '.join(missing)} — "
+            "build one with ivf_build_index first"
+        )
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(
+            F.col(id_col).cast("bigint").alias("neighbor_id")
+        ).distinct()
+    else:
+        tomb = spark.createDataFrame(
+            [(int(i),) for i in ids], "neighbor_id bigint"
+        ).distinct()
+    n = tomb.count()
+    if n:
+        tomb.coalesce(1).write.mode("append").parquet(f"{path}/tombstones")
+    return n
+
+
+def _apply_tombstones(
+    spark: SparkSession, path: str, postings: DataFrame
+) -> DataFrame:
+    """Anti-join ``<path>/tombstones`` (if any) against a postings scan.
+    Broadcast by size: the tombstone table is ids-only and tiny next to
+    the postings, so the join never disturbs partition pruning."""
+    if not _fs_exists(spark, f"{path}/tombstones"):
+        return postings
+    tomb = spark.read.parquet(f"{path}/tombstones")
+    return postings.join(F.broadcast(tomb), "neighbor_id", "left_anti")
+
+
 def ivf_compact_index(spark: SparkSession, path: str) -> None:
     """Compact a persisted index's postings after many small appends —
     the third piece of the build/append/compact lifecycle. Every
@@ -1235,11 +1291,25 @@ def ivf_compact_index(spark: SparkSession, path: str) -> None:
     for stale in (tmp, old):  # debris from a crashed earlier compaction
         fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
     postings = spark.read.parquet(f"{path}/postings")
+    # physical removal point for ivf_delete_index tombstones: count the
+    # tombstoned rows actually present FIRST (ids deleted twice or never
+    # present must not shift the verification target), rewrite without
+    # them, clear the table after the swap
+    has_tombs = _fs_exists(spark, f"{path}/tombstones")
+    n_dead = 0
+    if has_tombs:
+        tomb = spark.read.parquet(f"{path}/tombstones")
+        n_dead = postings.join(
+            F.broadcast(tomb), "neighbor_id", "left_semi"
+        ).count()
+        postings = postings.join(
+            F.broadcast(tomb), "neighbor_id", "left_anti"
+        )
     postings.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    expected = int(manifest.get("n_rows") or 0)
+    expected = int(manifest.get("n_rows") or 0) - n_dead
     if n != expected:
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
         raise ValueError(
@@ -1254,9 +1324,14 @@ def ivf_compact_index(spark: SparkSession, path: str) -> None:
         fs.rename(jvm.org.apache.hadoop.fs.Path(old), p_post)
         raise IOError(f"could not swap compacted postings into {path!r}")
     fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    if has_tombs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones"), True)
     write_index_manifest(spark, path, {
         **manifest,
+        "n_rows": n,
         "compactions": int(manifest.get("compactions") or 0) + 1,
+        "deletes_applied": int(manifest.get("deletes_applied") or 0)
+        + n_dead,
     })
 
 
@@ -1339,8 +1414,11 @@ def ivf_query_index(
         )
     )
     probed = [r["cell"] for r in q.select("cell").distinct().collect()]
-    c = spark.read.parquet(f"{path}/postings").filter(
-        F.col("cell").isin(probed)
+    c = _apply_tombstones(
+        spark, path,
+        spark.read.parquet(f"{path}/postings").filter(
+            F.col("cell").isin(probed)
+        ),
     )
     manifest = read_index_manifest(spark, path) or {}
     # the postings schema is ground truth for the LAYOUT: a build that

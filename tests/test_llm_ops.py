@@ -2190,3 +2190,44 @@ def test_semdedup_hot_cluster_guard(spark):
         D.semdedup(df, "vec_id", max_cluster_size=0)
     with pytest.raises(ValueError, match="srp_bits"):
         D.semdedup(df, "vec_id", max_cluster_size=5, srp_bits=0)
+
+
+def test_ivf_delete_tombstone_lifecycle(spark, embeddings, tmp_path):
+    """r9: ivf_delete_index appends tombstones (O(batch), postings
+    untouched); queries anti-join them off the pruned scan; compaction
+    physically removes them, clears the table, and updates n_rows and
+    deletes_applied; tombstone-filtered == post-compact results; the
+    id-list form, idempotent re-deletes, the missing-index error, and
+    the re-append contract (tombstone kills re-added ids until
+    compaction) all hold."""
+    path = str(tmp_path / "ivf_del")
+    with pytest.raises(ValueError, match="no IVF index"):
+        S.ivf_delete_index(spark, path, [1, 2])
+    S.ivf_build_index(embeddings, path, n_centroids=8, centroids="sample")
+    before_manifest = S.read_index_manifest(spark, path)
+    dead = [r["vec_id"] for r in embeddings.select("vec_id")
+            .filter("vec_id % 7 = 2").limit(12).collect()]
+    assert S.ivf_delete_index(spark, path, dead) == len(dead)
+    # idempotent: deleting again appends rows but never changes results
+    assert S.ivf_delete_index(spark, path, dead[:3]) == 3
+    q = embeddings.filter("vec_id < 6")
+    res = S.ivf_query_index(spark, path, q, k=5, nprobe=8).collect()
+    assert res and not any(r["neighbor_id"] in set(dead) for r in res)
+    # re-append contract: a re-added tombstoned id stays dead pre-compact
+    S.ivf_append_index(
+        embeddings.filter(F.col("vec_id").isin(dead[:2])), path,
+        on_duplicate="allow",
+    )
+    res2 = S.ivf_query_index(spark, path, q, k=5, nprobe=8).collect()
+    assert not any(r["neighbor_id"] in set(dead) for r in res2)
+    S.ivf_compact_index(spark, path)
+    manifest = S.read_index_manifest(spark, path)
+    assert manifest["deletes_applied"] == len(dead) + 2  # re-adds swept too
+    assert manifest["n_rows"] == before_manifest["n_rows"] + 2 - (
+        len(dead) + 2
+    )
+    assert not S._fs_exists(spark, f"{path}/tombstones")
+    res3 = sorted(map(tuple, S.ivf_query_index(
+        spark, path, q, k=5, nprobe=8
+    ).collect()))
+    assert res3 == sorted(map(tuple, res2))
