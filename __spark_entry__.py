@@ -3324,6 +3324,31 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-content matrix (corpus op
+    ``source_overlap``, r9 — the pre-mixing provenance diagnostic):
+    shared boilerplate is injected across sources deterministically
+    (every doc_id % 5 == 0 document becomes one of three constant
+    texts, landing in whichever source that id carries), then the
+    distinct-content overlap, per-source totals, and content Jaccard
+    compute per unordered source pair. Fingerprints are the repo-wide
+    whitespace-normalized md5 — the oracle replays them exactly."""
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("Boiler plate "),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return CORPUS.source_overlap(injected, "source", "text")
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical URL form (corpus op ``url_normalize``, r9 — the
     pre-dedup crawl canonicalization): four deterministic URL shapes
@@ -3765,7 +3790,8 @@ _CHANGED_THIS_ROUND: list[str] = [
 # locally-verified new queries in rounds where the stale-cohort budget
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
-    "q_url_normalize",  # r9-new, locally hash-exact; fronts in r10
+    "q_url_normalize",   # r9-new, locally hash-exact; fronts in r10
+    "q_source_overlap",  # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -3888,6 +3914,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_extract": q_html_extract,  # crawl boilerplate strip, r9
         "q_repetition_filter": q_repetition_filter,  # Gopher A1.1.1, r9
         "q_url_normalize": q_url_normalize,  # URL canonicalization, r9
+        "q_source_overlap": q_source_overlap,  # provenance matrix, r9
         "q_gopher_filter": q_gopher_filter,  # rule-based screen, r9
         "q_e2e_web_curation": q_e2e_web_curation,  # 7-stage chain, r8
         "q_pack_boundaries": q_pack_boundaries,  # attention-mask meta, r8
@@ -4110,6 +4137,38 @@ _LANG_HIT_EXPRS = ", ".join(
 )
 
 _TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+#: DuckDB replay of q_source_overlap — same injection, same
+#: whitespace-normalized md5 fingerprints, same distinct-content pair
+#: counting and 9-decimal Jaccard; zero-overlap pairs omitted by the
+#: inner join on both sides.
+_SOURCE_OVERLAP_ORACLE = """
+    WITH injected AS (
+      SELECT doc_id, source,
+        CASE WHEN doc_id % 5 = 0
+             THEN 'Boiler plate ' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE text END AS text
+      FROM documents
+    ),
+    fs AS (
+      SELECT DISTINCT
+        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+        source AS s
+      FROM injected
+    ),
+    totals AS (SELECT s, count(DISTINCT fp) AS n FROM fs GROUP BY s),
+    pairs AS (
+      SELECT a.s AS stratum_a, b.s AS stratum_b,
+             count(DISTINCT a.fp) AS n_shared
+      FROM fs a JOIN fs b ON a.fp = b.fp AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT stratum_a, stratum_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+           round(n_shared * 1.0 / (ta.n + tb.n - n_shared), 9) AS jaccard
+    FROM pairs
+    JOIN totals ta ON ta.s = stratum_a
+    JOIN totals tb ON tb.s = stratum_b
+"""
 
 #: DuckDB replay of q_url_normalize — same minting, then the same
 #: canonicalization: lower scheme/authority, default-port strip,
@@ -6198,6 +6257,7 @@ def oracle_sql() -> dict[str, str]:
         # generated from the same defaults dict as the Spark side
         "q_repetition_filter": _build_repetition_oracle(),
         "q_url_normalize": _URL_NORMALIZE_ORACLE,
+        "q_source_overlap": _SOURCE_OVERLAP_ORACLE,
         # same injection, then every Gopher metric replayed: whitespace
         # tokens, per-line trims, integer-quotient ratios rounded to 9,
         # and the identical threshold conjunction (min_tokens relaxed

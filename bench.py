@@ -125,6 +125,7 @@ HEADLINE = [
     "q_repetition_filter",
     "q_url_normalize",
     "q_ivf_delete",
+    "q_source_overlap",
 ]
 
 

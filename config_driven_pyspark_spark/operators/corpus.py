@@ -765,6 +765,73 @@ def gopher_filter(
     return out.withColumn("keep", keep)
 
 
+def source_overlap(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Cross-stratum duplicate-content matrix — the provenance
+    diagnostic run before mixing sources: for every unordered stratum
+    pair (a < b bytewise), how many DISTINCT contents appear in both
+    (``n_shared``), each side's distinct-content total (``n_a``,
+    ``n_b``), and the content-level Jaccard (9 decimals).  "How much of
+    wiki is already inside crawl" is one row of this table; a high
+    overlap says dedup BEFORE mixing or the mixture weights lie.
+    Contents are the standard fingerprint (whitespace-normalized md5;
+    ``normalize=False`` for byte-exact).  Pairs with zero overlap are
+    omitted (strata² rows of zeros help nobody at 10³ sources).
+
+    Scale: one groupBy to (fingerprint, stratum) distinct pairs, a
+    fingerprint self-join that fans out only Σ strata(fp)² per
+    fingerprint (bounded by the stratum count, not the corpus), and a
+    stratum-pair count — never a corpus self-join."""
+    key = (
+        TX.fingerprint(F.col(text_col))
+        if normalize
+        else F.md5(F.col(text_col).cast("binary"))
+    )
+    fs = _materialize(
+        _spread(df).select(
+            key.alias("__fp"), F.col(by).cast("string").alias("__s")
+        ).distinct()
+    )
+    totals = fs.groupBy("__s").agg(
+        F.count_distinct("__fp").alias("__n")
+    )
+    pairs = (
+        fs.alias("a")
+        .join(fs.alias("b"), "__fp")
+        .filter(F.col("a.__s") < F.col("b.__s"))
+        .groupBy(
+            F.col("a.__s").alias("stratum_a"),
+            F.col("b.__s").alias("stratum_b"),
+        )
+        .agg(F.count_distinct("__fp").alias("n_shared"))
+    )
+    ta = totals.select(
+        F.col("__s").alias("stratum_a"), F.col("__n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("__s").alias("stratum_b"), F.col("__n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "stratum_a")
+        .join(F.broadcast(tb), "stratum_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                9,
+            ),
+        )
+        .select(
+            "stratum_a", "stratum_b", "n_shared", "n_a", "n_b", "jaccard"
+        )
+    )
+
+
 #: query parameters stripped by :func:`url_normalize` — the usual
 #: tracking/session noise that splits one logical page into many URLs.
 URL_TRACKING_PARAMS_RE = (
@@ -2681,7 +2748,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     counts, ``boundaries`` for attention-mask metadata), ``profile``,
     ``split_assign``, ``cap``, ``shard_by_size``, ``quality_classify``,
     ``pii_scrub``, ``dsir`` + ``importance_resample``, ``upsample``,
-    ``url_features``, ``url_normalize``, ``html_extract``,
+    ``url_features``, ``url_normalize``, ``source_overlap``, ``html_extract``,
     ``gopher_filter``, ``repetition_filter``, ``diff``,
     ``length_filter``, ``score_normalize``,
     ``bpe_train``/``bpe_encode``, ``collocations``, ``perplexity``,
@@ -2822,6 +2889,11 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         )
     if op == "repetition_filter":
         return repetition_filter(df, text_col, spec.get("thresholds"))
+    if op == "source_overlap":
+        return source_overlap(
+            df, spec.get("by", "source"), text_col,
+            spec.get("normalize", True),
+        )
     if op == "url_normalize":
         return url_normalize(
             df, spec.get("url_col", "url"),

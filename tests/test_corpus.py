@@ -1595,3 +1595,32 @@ def test_url_normalize_canonicalization(spark):
     assert C.url_normalize(variants).select("url_norm").distinct().count() == 1
     plan = C.url_normalize(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_source_overlap_matrix(spark):
+    """r9: distinct shared contents count once per unordered stratum
+    pair (bytewise a < b), totals are per-side distinct contents,
+    jaccard = shared/(a+b-shared), zero-overlap pairs are omitted, and
+    normalization folds whitespace/case before fingerprinting."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", "web"), (2, "  ALPHA  ", "wiki"),  # normalized dup
+            (3, "beta", "web"), (4, "beta", "wiki"), (5, "beta", "books"),
+            (6, "gamma", "web"), (7, "delta", "books"),
+            (8, "alpha", "web"),  # within-source dup: counts once
+        ],
+        "id long, text string, source string",
+    )
+    out = {(r["stratum_a"], r["stratum_b"]): r
+           for r in C.source_overlap(df, "source", "text").collect()}
+    assert set(out) == {("web", "wiki"), ("books", "web"), ("books", "wiki")}
+    ww = out[("web", "wiki")]
+    assert (ww["n_shared"], ww["n_a"], ww["n_b"]) == (2, 3, 2)
+    assert ww["jaccard"] == round(2 / 3, 9)
+    bw = out[("books", "web")]
+    assert (bw["n_shared"], bw["n_a"], bw["n_b"]) == (1, 2, 3)
+    # byte-exact mode splits the normalized alpha pair
+    exact = {(r["stratum_a"], r["stratum_b"]): r["n_shared"]
+             for r in C.source_overlap(df, "source", "text",
+                                       normalize=False).collect()}
+    assert exact[("web", "wiki")] == 1
