@@ -3324,6 +3324,23 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (similarity.py::mmr_rerank, r9 — Carbonell
+    & Goldstein 1998): a 30-candidate exact pool per query is reranked
+    to 5 by λ·rel − (1−λ)·max-sim-to-selected with λ=0.7.  Every value
+    the greedy loop compares is a 6-rounded cosine of the shared unit
+    vectors (the repo convention) and each step's MMR value rounds
+    before the argmax with smaller-id ties, so the oracle replays the
+    selection EXACTLY as five unrolled SQL steps — a green hash pins
+    the whole sequential algorithm, not just the final scores."""
+    from config_driven_pyspark_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    pool = S.brute_force_topk(emb, queries, k=30)
+    return S.mmr_rerank(pool, emb, queries, k=5, lam=0.7)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplicate-content matrix (corpus op
     ``source_overlap``, r9 — the pre-mixing provenance diagnostic):
@@ -3792,6 +3809,7 @@ _CHANGED_THIS_ROUND: list[str] = [
 _DEFER_THIS_ROUND: list[str] = [
     "q_url_normalize",   # r9-new, locally hash-exact; fronts in r10
     "q_source_overlap",  # r9-new, locally hash-exact; fronts in r10
+    "q_mmr_rerank",      # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -3915,6 +3933,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_filter": q_repetition_filter,  # Gopher A1.1.1, r9
         "q_url_normalize": q_url_normalize,  # URL canonicalization, r9
         "q_source_overlap": q_source_overlap,  # provenance matrix, r9
+        "q_mmr_rerank": q_mmr_rerank,  # MMR diversity rerank, r9
         "q_gopher_filter": q_gopher_filter,  # rule-based screen, r9
         "q_e2e_web_curation": q_e2e_web_curation,  # 7-stage chain, r8
         "q_pack_boundaries": q_pack_boundaries,  # attention-mask meta, r8
@@ -4137,6 +4156,75 @@ _LANG_HIT_EXPRS = ", ".join(
 )
 
 _TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+def _build_mmr_oracle(pool: int = 30, k: int = 5) -> str:
+    """DuckDB replay of q_mmr_rerank: the 30-candidate exact pool (same
+    cosine/tie-break as q_knn_cosine), then the greedy MMR selection
+    UNROLLED into k chained CTE steps — each step anti-joins the
+    already-selected set, takes max 6-rounded candidate-candidate
+    cosine per survivor, scores round(0.7·rel − (1−0.7)·maxsim, 6) with
+    the same double constants as the Python loop, and argmaxes with
+    smaller-id ties.  Window functions sit in plain (non-recursive)
+    CTEs, so the replay is engine-portable."""
+    steps = []
+    for i in range(2, k + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT * FROM sel{j}" for j in range(1, i)
+        )
+        steps.append(f"""
+        selu{i - 1} AS ({prev_union}),
+        sel{i} AS (
+          SELECT query_id, neighbor_id, {i} AS rank, mmr, cu FROM (
+            SELECT m.query_id, m.neighbor_id, m.mmr, m.cu,
+                   row_number() OVER (PARTITION BY m.query_id
+                                      ORDER BY m.mmr DESC, m.neighbor_id)
+                     AS rn
+            FROM (
+              SELECT c.query_id, c.neighbor_id,
+                     round(0.7::DOUBLE * any_value(c.rel)
+                           - (1 - 0.7::DOUBLE)
+                             * max(round(list_dot_product(c.cu, s.cu), 6)),
+                           6) AS mmr,
+                     any_value(c.cu) AS cu
+              FROM cand c
+              JOIN selu{i - 1} s ON s.query_id = c.query_id
+              LEFT JOIN selu{i - 1} x ON x.query_id = c.query_id
+                                     AND x.neighbor_id = c.neighbor_id
+              WHERE x.neighbor_id IS NULL
+              GROUP BY c.query_id, c.neighbor_id
+            ) m
+          ) WHERE rn = 1
+        )""")
+    return _COSINE_CTE + f"""
+        , qs AS (SELECT vec_id AS query_id, u AS qu FROM unitv
+                 WHERE vec_id < 8),
+        cand AS (
+          SELECT query_id, neighbor_id, rel, cu FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(q.qu, c.u), 6) AS rel,
+                   c.u AS cu,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY round(list_dot_product(q.qu, c.u), 6) DESC,
+                              c.vec_id) AS rn
+            FROM qs q JOIN unitv c ON c.vec_id <> q.query_id
+          ) WHERE rn <= {pool}
+        ),
+        sel1 AS (
+          SELECT query_id, neighbor_id, 1 AS rank, rel AS mmr, cu FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, neighbor_id)
+                      AS rn
+            FROM cand
+          ) WHERE rn = 1
+        ),
+        {",".join(steps)}
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+               mmr AS mmr_score
+        FROM ({" UNION ALL ".join(f"SELECT * FROM sel{j}"
+                                  for j in range(1, k + 1))})
+    """
+
 
 #: DuckDB replay of q_source_overlap — same injection, same
 #: whitespace-normalized md5 fingerprints, same distinct-content pair
@@ -6258,6 +6346,7 @@ def oracle_sql() -> dict[str, str]:
         "q_repetition_filter": _build_repetition_oracle(),
         "q_url_normalize": _URL_NORMALIZE_ORACLE,
         "q_source_overlap": _SOURCE_OVERLAP_ORACLE,
+        "q_mmr_rerank": _build_mmr_oracle(),
         # same injection, then every Gopher metric replayed: whitespace
         # tokens, per-line trims, integer-quotient ratios rounded to 9,
         # and the identical threshold conjunction (min_tokens relaxed

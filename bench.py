@@ -126,6 +126,7 @@ HEADLINE = [
     "q_url_normalize",
     "q_ivf_delete",
     "q_source_overlap",
+    "q_mmr_rerank",
 ]
 
 

@@ -1132,6 +1132,116 @@ def recall_at_k(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    cand_col: str = "neighbor_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    the standard diversity pass over an ANN candidate pool: per query,
+    greedily select ``k`` of the pool, first by pure relevance, then by
+    ``λ·rel − (1−λ)·max_sim_to_selected``, so near-duplicate hits stop
+    crowding out distinct ones.  Input ``candidates`` is any per-query
+    pool (``query_col``, ``cand_col`` — e.g. a widened
+    :func:`brute_force_topk`/:func:`ivf_query_index` result); true
+    vectors come from ``corpus``/``queries``.  Output: (query, cand,
+    rank, mmr_score) with mmr_score = the value that won each step
+    (step 1: the relevance itself).
+
+    Determinism (oracle-replicable): relevance and candidate-candidate
+    similarities are cosines of unit vectors rounded to 6 (the repo
+    convention, computed with the same sequential-fold dot the SQL
+    engines use); each step's MMR value rounds to 6 before the argmax
+    and ties break to the smaller candidate id.
+
+    Scale: the pool is |queries|·pool_size rows — tiny next to the
+    corpus — so the joins are broadcast-sized and the greedy selection
+    runs per query group in ONE Arrow-batched ``applyInPandas`` (the
+    justified-UDF case: a data-dependent sequential argmax loop, O(k·
+    pool) dots on an already-small pool, never corpus-touching)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cu = corpus.select(
+        F.col(id_col).alias(cand_col),
+        V.unit_normalize(F.col(vec_col)).alias("__cu"),
+    )
+    qu = queries.select(
+        F.col(id_col).alias(query_col),
+        V.unit_normalize(F.col(vec_col)).alias("__qu"),
+    )
+    pool = (
+        candidates.select(query_col, cand_col)
+        .join(cu, cand_col)
+        .join(F.broadcast(qu), query_col)
+        .select(
+            query_col,
+            cand_col,
+            F.round(V.dot(F.col("__qu"), F.col("__cu")), 6).alias("__rel"),
+            "__cu",
+        )
+    )
+    lam_f = float(lam)
+    k_i = int(k)
+    q_name, c_name = query_col, cand_col
+
+    def _dot(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    def pick(pdf):
+        import pandas as pd
+
+        qid = pdf[q_name].iloc[0]
+        pool_rows = {
+            int(r[c_name]): (float(r["__rel"]), list(r["__cu"]))
+            for r in pdf.to_dict("records")
+        }
+        selected: list[tuple[int, float]] = []
+        maxsim: dict[int, float] = {}
+        while pool_rows and len(selected) < k_i:
+            best_id, best_score = None, None
+            for cid in sorted(pool_rows):
+                rel, _ = pool_rows[cid]
+                if not selected:
+                    score = rel
+                else:
+                    score = round(
+                        lam_f * rel - (1.0 - lam_f) * maxsim[cid], 6
+                    )
+                if best_score is None or score > best_score:
+                    best_id, best_score = cid, score
+            _, best_vec = pool_rows.pop(best_id)
+            maxsim.pop(best_id, None)
+            selected.append((best_id, best_score))
+            for cid, (_, vec) in pool_rows.items():
+                sim = round(_dot(vec, best_vec), 6)
+                prev = maxsim.get(cid)
+                if prev is None or sim > prev:
+                    maxsim[cid] = sim
+        return pd.DataFrame(
+            [
+                (qid, cid, i + 1, score)
+                for i, (cid, score) in enumerate(selected)
+            ],
+            columns=[q_name, c_name, "rank", "mmr_score"],
+        )
+
+    schema = (
+        f"{q_name} bigint, {c_name} bigint, rank int, mmr_score double"
+    )
+    return pool.groupBy(q_name).applyInPandas(pick, schema)
+
+
 def rrf_fuse(
     rankings: list,
     k: int = 10,
@@ -2033,6 +2143,20 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     k = int(spec.get("k", 10))
     id_col = spec.get("id_col", "vec_id")
     vec_col = spec.get("vec_col", "embedding")
+    if method == "mmr":
+        cand_name = spec.get("candidates")
+        if not cand_name or ctx is None:
+            raise ValueError(
+                "method='mmr' needs candidates: <named stage> — a "
+                "per-query candidate pool (query_id, neighbor_id)"
+            )
+        return mmr_rerank(
+            ctx.get(cand_name), df, queries, k,
+            float(spec.get("lam", 0.7)),
+            spec.get("query_col", "query_id"),
+            spec.get("cand_col", "neighbor_id"),
+            id_col, vec_col,
+        )
     if method == "rrf":
         names = spec.get("rankings")
         if not names or ctx is None:

@@ -2231,3 +2231,43 @@ def test_ivf_delete_tombstone_lifecycle(spark, embeddings, tmp_path):
         spark, path, q, k=5, nprobe=8
     ).collect()))
     assert res3 == sorted(map(tuple, res2))
+
+
+def test_mmr_rerank_diversifies(spark):
+    """r9: after the top pick, a near-duplicate of it is penalized by
+    (1-lam)*maxsim and a less-relevant-but-distinct candidate wins step
+    2; lam=1 degenerates to pure relevance order; ties break to the
+    smaller id; k caps at pool size; bad params raise."""
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.01, 0.0]),   # most relevant
+            (11, [1.0, 0.012, 0.0]),  # near-dup of 10
+            (12, [0.75, 0.66, 0.0]),  # distinct direction, decent rel
+            (13, [0.0, 1.0, 0.0]),    # orthogonal-ish
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cand = spark.createDataFrame(
+        [(1, n) for n in (10, 11, 12, 13)],
+        "query_id long, neighbor_id long",
+    )
+    out = S.mmr_rerank(cand, corpus, queries, k=4, lam=0.3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order[0] == 10          # pure relevance first
+    assert order[1] in (12, 13)    # a distinct direction beats the near-dup
+    assert order.index(11) > order.index(13)  # dup sinks below orthogonal
+    pure = S.mmr_rerank(cand, corpus, queries, k=4, lam=1.0).collect()
+    pure_order = [r["neighbor_id"]
+                  for r in sorted(pure, key=lambda r: r["rank"])]
+    assert pure_order == [10, 11, 12, 13]  # relevance order at lam=1
+    small = S.mmr_rerank(cand, corpus, queries, k=9, lam=0.3)
+    assert small.count() == 4      # k caps at pool size
+    with pytest.raises(ValueError, match="lam"):
+        S.mmr_rerank(cand, corpus, queries, lam=1.5)
+    with pytest.raises(ValueError, match="k must"):
+        S.mmr_rerank(cand, corpus, queries, k=0)
+    with pytest.raises(ValueError, match="candidates"):
+        S.stage_similarity(corpus, {"method": "mmr"}, None)
