@@ -222,3 +222,52 @@ def test_embedding_curation_example(spark):
     assert got and got <= good
     assert set(result.columns) == set(emb.columns)
     result.unpersist()
+
+
+def test_crawl_curation_example(spark, tmp_path):
+    """r9: the raw-crawl front half — html_extract → url_normalize →
+    url_features(blocklist on the canonical form) → gopher_filter →
+    repetition_filter → exact dedup → byte shards — runs end-to-end
+    from YAML; every planted failure mode (blocked domain via tracking
+    variant, junk doc, looped doc, exact dup) is dropped."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    good = " ".join(f"tok{i}" for i in range(30))
+    crawl = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><script>x=1;</script><p>"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("junk " * 40))
+            .when(F.col("doc_id") % 13 == 0, F.lit("loop me " * 40))
+            .when(F.col("doc_id") % 17 == 0, F.lit(good))  # exact dups
+            .otherwise(F.col("text")),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("https://SPAM.example:443/p"))
+            .otherwise(F.concat(F.lit("https://ok.site/d/"),
+                                F.col("doc_id").cast("string"))),
+            F.lit("?utm_source=feed"),
+        ).alias("url"),
+    )
+    src = str(tmp_path / "crawl_src")
+    crawl.write.parquet(src)
+    with open(os.path.join(EXAMPLES, "crawl_curation.yaml")) as fh:
+        out = Pipeline.from_yaml(fh.read()).run(
+            spark, variables={"src": src}
+        )
+    rows = out.collect()
+    assert out.columns == [
+        "doc_id", "url_norm", "domain", "n_tokens", "n_bytes", "shard",
+    ]
+    ids = {r["doc_id"] for r in rows}
+    assert ids and not any(i % 7 == 0 for i in ids)    # blocklist leg
+    assert not any(i % 11 == 0 for i in ids)           # gopher junk leg
+    assert not any(i % 13 == 0 for i in ids)           # repetition leg
+    dup_ids = sorted(i for i in ids if i % 17 == 0)
+    assert len(dup_ids) <= 1                           # exact-dup leg
+    assert all("utm_source" not in r["url_norm"] for r in rows)
