@@ -3399,6 +3399,100 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style boilerplate removal (corpus op
+    ``boilerplate_strip``, r9 — the high-document-frequency complement
+    of keep-first ``q_line_dedup``): three line classes are minted per
+    document — a per-source NAV header (df = n/5 docs, stripped), a
+    Copyright footer on even ids (df = n/2, stripped), a Subscribe line
+    on ids % 31 = 0 (df ≈ n/31, UNDER the ceil(0.05·n) bar at every sf,
+    kept) — plus the unique body line (kept). EVERY occurrence of an
+    over-threshold line is removed, unlike line_dedup's first-survivor
+    rule. Doc-frequency is one partial-aggregated groupBy(line); the
+    removal is an anti-join against the tiny over-threshold set; the
+    fractional bar rides a 1-row broadcast count."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "with_columns", "columns": {
+            "text": "concat('NAV | Home | About | ', source, chr(10), "
+                    "'doc ', cast(doc_id as string), ': ', text, "
+                    "case when doc_id % 2 = 0 then concat(chr(10), "
+                    "'Copyright 2026 example.com') else '' end, "
+                    "case when doc_id % 31 = 0 then concat(chr(10), "
+                    "'Subscribe to the newsletter') else '' end)",
+        }},
+        {"stage": "corpus", "op": "boilerplate_strip", "id_col": "doc_id",
+         "column": "text", "max_frac": 0.05},
+    ])
+
+
+def q_bloom_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (corpus op
+    ``bloom_contamination_flags``, r9 — the Dolma/NeMo-Curator scale
+    path of q_contamination): the src0 'benchmark' 3-gram set folds
+    into a 2^20-bit Bloom bitmap (4 md5 positions per gram); every
+    other document's grams probe the broadcast bitmap with pure integer
+    bit math — the corpus side never joins, and the broadcast is 128
+    KiB regardless of benchmark size. Flags are a deterministic
+    superset of the exact check (false-positive rate ~(1-e^(-kn/m))^k);
+    the oracle recomputes the SAME md5 positions and replays every
+    flag, false positives included, bit-for-bit."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "filter", "predicate": "source = 'src0'", "name": "bench"},
+        {"stage": "filter", "input": "documents",
+         "predicate": "source <> 'src0'"},
+        {"stage": "corpus", "op": "bloom_contamination_flags",
+         "id_col": "doc_id", "column": "text", "n": 3,
+         "benchmark": "bench", "m_bits": 1 << 20, "k_hashes": 4},
+    ])
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (corpus op
+    ``quantile_bucket``, r9 — Wenzek et al. 2020): per-document average
+    bigram-LM NLL (the q_bigram_perplexity model, exact DECIMAL sums ÷
+    bigram count) bucketed into terciles WITHIN each language — every
+    document labeled by where it sits in its own language's quality
+    distribution. Exact interpolating percentiles (hash-equal to
+    quantile_cont); thresholds land on an order statistic or strictly
+    between two adjacent ones, so engine ulp differences in the
+    interpolation can never flip a label. One aggregate for the
+    thresholds, broadcast back; labeling is map-side."""
+    from config_driven_pyspark_spark.operators import corpus as CORPUS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = CORPUS.bigram_perplexity(docs, vocab_size=500, k_smoothing=0.5)
+    joined = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("n_bigrams") > 0)
+        .withColumn("avg_nll", F.col("nll_sum") / F.col("n_bigrams"))
+    )
+    return CORPUS.quantile_bucket(
+        joined, "avg_nll", by="lang", method="exact"
+    ).select("doc_id", "lang", "avg_nll", "bucket")
+
+
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (multimodal.py::image_ahash +
+    dedup.py::hamming_pairs, r9 — the LAION-style curation primitive,
+    bridging the real-codec tier to the dedup tier): one deterministic
+    8×6 BMP per doc_id < 64 → genuine binary decode → nearest resize to
+    8×8 → integer grayscale (r+g+b)//3 → bit = gray·64 > Σgray (exact
+    integer mean, float-free) → packed signed 64-bit aHash → banded
+    Hamming ≤ 8 pairs. Pigeonhole banding is LOSSLESS (any pair within
+    k differs in ≤k of the k+1 chunks, so ≥1 chunk matches exactly), so
+    the oracle is simply every pair with bit_count(xor) ≤ 8 over codes
+    it recomputes closed-form from the documented pixel formula — any
+    byte slip in the codec, resize mapping, gray math, mean tie, or bit
+    packing (incl. the sign bit) changes the pair set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    media = MM.synthesize_bmp(ids, id_col="doc_id", width=8, height=6)
+    codes = MM.image_ahash(media, content_col="content")
+    return D.hamming_pairs(codes, "media_id", "ahash", max_hamming=8)
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition screen (corpus op ``repetition_filter``, r9 —
     Rae et al. 2021 §A1.1.1, completing the Gopher pair with
@@ -3810,6 +3904,10 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_url_normalize",   # r9-new, locally hash-exact; fronts in r10
     "q_source_overlap",  # r9-new, locally hash-exact; fronts in r10
     "q_mmr_rerank",      # r9-new, locally hash-exact; fronts in r10
+    "q_boilerplate_strip",  # r9-new, locally hash-exact; fronts in r10
+    "q_bloom_decon",     # r9-new, locally hash-exact; fronts in r10
+    "q_image_ahash",     # r9-new, locally hash-exact; fronts in r10
+    "q_perplexity_buckets",  # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -3932,6 +4030,10 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_extract": q_html_extract,  # crawl boilerplate strip, r9
         "q_repetition_filter": q_repetition_filter,  # Gopher A1.1.1, r9
         "q_url_normalize": q_url_normalize,  # URL canonicalization, r9
+        "q_boilerplate_strip": q_boilerplate_strip,  # high-df line strip, r9
+        "q_bloom_decon": q_bloom_decon,  # Bloom-bitmap decontamination, r9
+        "q_image_ahash": q_image_ahash,  # perceptual image near-dup, r9
+        "q_perplexity_buckets": q_perplexity_buckets,  # CCNet terciles, r9
         "q_source_overlap": q_source_overlap,  # provenance matrix, r9
         "q_mmr_rerank": q_mmr_rerank,  # MMR diversity rerank, r9
         "q_gopher_filter": q_gopher_filter,  # rule-based screen, r9
@@ -6560,6 +6662,186 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, coalesce(r.text, '') AS text, t.n_segments,
                    t.n_segments - coalesce(r.n_kept, 0) AS n_removed
             FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "q_boilerplate_strip": """
+            WITH docs AS (
+              SELECT doc_id,
+                     'NAV | Home | About | ' || source || chr(10) ||
+                     'doc ' || CAST(doc_id AS VARCHAR) || ': ' || text ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || 'Copyright 2026 example.com'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 31 = 0
+                          THEN chr(10) || 'Subscribe to the newsletter'
+                          ELSE '' END AS text
+              FROM documents
+            ),
+            splits AS (
+              SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs
+            ),
+            expl AS (
+              SELECT doc_id, parts, unnest(range(len(parts))) AS idx
+              FROM splits
+            ),
+            segs AS (
+              SELECT doc_id, idx, parts[CAST(idx AS INT) + 1] AS seg
+              FROM expl
+            ),
+            n AS (SELECT count(*) AS n_docs FROM docs),
+            dfreq AS (
+              SELECT seg, count(DISTINCT doc_id) AS df
+              FROM segs GROUP BY seg
+            ),
+            bad AS (
+              SELECT seg FROM dfreq, n
+              WHERE df > ceil(n_docs * 0.05::DOUBLE)
+            ),
+            kept AS (
+              SELECT s.doc_id, s.idx, s.seg FROM segs s
+              ANTI JOIN bad b ON s.seg = b.seg
+            ),
+            rebuilt AS (
+              SELECT doc_id, string_agg(seg, chr(10) ORDER BY idx) AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ),
+            totals AS (
+              SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_segments
+              FROM splits
+            )
+            SELECT t.doc_id, coalesce(r.text, '') AS text, t.n_segments,
+                   CAST(t.n_segments - coalesce(r.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "q_bloom_decon": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t != '') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, source,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                                    for i in
+                                    range(1, greatest(len(w)-2, 1)+1)]) AS g
+              FROM toks
+            ),
+            hashes AS (SELECT unnest(range(4)) AS i),
+            bgram AS (SELECT DISTINCT unnest(g) AS tok FROM grams
+                      WHERE source = 'src0'),
+            bpos AS (
+              SELECT DISTINCT
+                     CAST(concat('0x', substr(md5(
+                       CAST(i AS VARCHAR) || ':' || tok), 1, 8)) AS BIGINT)
+                       % 1048576 AS pos
+              FROM bgram, hashes
+            ),
+            cg AS (SELECT doc_id, unnest(g) AS tok FROM grams
+                   WHERE source <> 'src0'),
+            cpos AS (
+              SELECT doc_id, tok, i,
+                     CAST(concat('0x', substr(md5(
+                       CAST(i AS VARCHAR) || ':' || tok), 1, 8)) AS BIGINT)
+                       % 1048576 AS pos
+              FROM cg, hashes
+            ),
+            hit AS (
+              SELECT doc_id, tok FROM cpos JOIN bpos USING (pos)
+              GROUP BY doc_id, tok HAVING count(DISTINCT i) = 4
+            )
+            SELECT doc_id, count(*) AS n_flagged FROM hit GROUP BY doc_id
+        """,
+        # q_bigram_perplexity's model CTEs + per-language quantile_cont
+        # terciles on the average NLL; threshold comparisons can't be
+        # flipped by interpolation ulp (see the query docstring)
+        "q_perplexity_buckets": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t != '') AS w
+              FROM documents),
+            uni AS (
+              SELECT u.word, count(*) AS c
+              FROM (SELECT unnest(w) AS word FROM toks) u
+              GROUP BY u.word),
+            vocab AS (
+              SELECT word FROM uni ORDER BY c DESC, word ASC LIMIT 500),
+            vtot AS (SELECT count(*) + 1 AS v FROM vocab),
+            bigraw AS (
+              SELECT doc_id, w[t.i] AS r1, w[t.i + 1] AS r2
+              FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+            big AS (
+              SELECT doc_id,
+                     COALESCE(v1.word, '<unk>') AS w1,
+                     COALESCE(v2.word, '<unk>') AS w2
+              FROM bigraw
+              LEFT JOIN vocab v1 ON bigraw.r1 = v1.word
+              LEFT JOIN vocab v2 ON bigraw.r2 = v2.word),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+            scored AS (
+              SELECT b.doc_id,
+                     CAST(round(-ln((c12.c12 + 0.5)
+                                    / (c1.c1 + 0.5 * (SELECT v FROM vtot))),
+                                9) AS DECIMAL(18,9)) AS t
+              FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+            agg AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(t) AS DOUBLE) AS nll_sum
+              FROM scored GROUP BY doc_id),
+            perdoc AS (
+              SELECT d.doc_id, d.lang, a.nll_sum / a.n_bigrams AS avg_nll
+              FROM documents d JOIN agg a USING (doc_id)
+              WHERE a.n_bigrams > 0),
+            qs AS (
+              SELECT lang,
+                     quantile_cont(avg_nll, 0.3333333333333333::DOUBLE) AS q0,
+                     quantile_cont(avg_nll, 0.6666666666666666::DOUBLE) AS q1
+              FROM perdoc GROUP BY lang)
+            SELECT p.doc_id, p.lang, p.avg_nll,
+                   CASE WHEN p.avg_nll <= q.q0 THEN 'head'
+                        WHEN p.avg_nll <= q.q1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM perdoc p JOIN qs q USING (lang)
+        """,
+        # closed-form replay of synthesize_bmp's pixel formula through
+        # resize (src = (dst*src_size)//dst_size), integer grayscale,
+        # exact integer mean bits, two's-complement packing, and the
+        # exact (lossless-pigeonhole) Hamming <= 8 pair set
+        "q_image_ahash": """
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+            grid AS (
+              SELECT doc_id, x, y, (y * 6) // 8 AS sy
+              FROM ids,
+                   (SELECT unnest(range(8)) AS x),
+                   (SELECT unnest(range(8)) AS y)
+            ),
+            cells AS (
+              SELECT doc_id, x, y,
+                     (((doc_id*7  + x*13 + sy*17) % 256)
+                    + ((doc_id*11 + x*3  + sy*5 ) % 256)
+                    + ((doc_id*13 + x*23 + sy*29) % 256)) // 3 AS gray
+              FROM grid
+            ),
+            tot AS (
+              SELECT doc_id, sum(gray) AS total FROM cells GROUP BY doc_id
+            ),
+            codes AS (
+              SELECT c.doc_id,
+                     CAST(sum(CASE WHEN c.gray * 64 > t.total THEN
+                           CASE WHEN y*8 + x = 63
+                                THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                                ELSE (CAST(1 AS BIGINT)
+                                      << CAST(y*8 + x AS INT)) END
+                         ELSE 0 END) AS BIGINT) AS code
+              FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
+            FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.code, b.code)) <= 8
         """,
         # programmatically generated 8-round chained-CTE replay of BPE
         # training (see _bpe_vocab_oracle)

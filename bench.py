@@ -127,6 +127,9 @@ HEADLINE = [
     "q_ivf_delete",
     "q_source_overlap",
     "q_mmr_rerank",
+    "q_boilerplate_strip",
+    "q_bloom_decon",
+    "q_image_ahash",
 ]
 
 
@@ -161,6 +164,14 @@ def main() -> None:
 
     queries = entry.queries()
 
+    # SPARK_GRAFT_ONLY=a,b,c: time just that headline subset (host-speed
+    # probes / new-query spot checks). Subset runs never overwrite the
+    # committed full-record bench_runs_latest.json.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = (
+        [q for q in only.split(",") if q] if only else list(HEADLINE)
+    )
+
     # one untimed pass of every headline query at the smallest SF: identical
     # expression trees and schemas → the Janino codegen cache is hot for the
     # timed run, so timings measure data throughput (the quantity that
@@ -169,7 +180,7 @@ def main() -> None:
     # unchanged. Skippable via SPARK_GRAFT_NO_WARMUP=1 to see cold numbers.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.environ.get("SPARK_GRAFT_NO_WARMUP") and os.path.isdir(warm_dir):
-        for name in HEADLINE:
+        for name in headline:
             queries[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
@@ -191,7 +202,7 @@ def main() -> None:
     SLOW_CUTOFF = 1.0  # sec; above this, variance dominates min-of-2
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = queries[name]
         runs: list[float] = []
         budget = repeat
@@ -228,6 +239,8 @@ def main() -> None:
         "total": total,
     }
     try:
+        if only:
+            raise OSError("subset run: keep the committed full record")
         runs_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_runs_latest.json"
         )

@@ -1433,6 +1433,75 @@ def length_filter(
     )
 
 
+def quantile_bucket(
+    df: DataFrame,
+    score_col: str,
+    by: str | None = None,
+    edges: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    out_col: str = "bucket",
+    method: str | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-stratum quantile-band labeling — the CCNet recipe (Wenzek et
+    al. 2020): bucket every document by where its ``score_col`` (there,
+    LM perplexity) falls in its ``by``-stratum's own distribution —
+    ``head``/``middle``/``tail`` terciles by default, arbitrary
+    ascending ``edges`` + ``len(edges)+1`` ``labels`` in general.  A row
+    lands in the first bucket whose quantile threshold is >= its score
+    (inclusive, ties to the better bucket); scores above the last edge
+    take the final label.
+
+    Determinism: with ``method="exact"`` thresholds use the exact
+    interpolating ``percentile`` (hash-equal to DuckDB
+    ``quantile_cont``); both engines then compare identical doubles, so
+    bucket labels replay bit-for-bit.  ``method="approx"`` swaps in the
+    fixed-memory sketch; leaving ``method`` unset keeps exact and WARNS
+    at plan time (the documented escape-hatch contract,
+    :func:`_resolve_percentile_method`).
+
+    Scale: one aggregate computes the thresholds; the threshold table
+    is stratum-cardinality and broadcast back; labeling is map-side."""
+    if len(labels) != len(edges) + 1:
+        raise ValueError(
+            f"need len(labels) == len(edges)+1, got {len(labels)} labels "
+            f"for {len(edges)} edges"
+        )
+    fl = [float(e) for e in edges]
+    if any(not (0.0 < e < 1.0) for e in fl) or fl != sorted(fl):
+        raise ValueError(f"edges must be ascending in (0, 1), got {edges}")
+    method = _resolve_percentile_method("quantile_bucket", method)
+    keys = [by] if by else []
+    base = _spread(df)
+    sc = F.col(score_col).cast("double")
+    if method == "approx":
+        aggs = [
+            F.percentile_approx(sc, F.lit(e), F.lit(accuracy)).alias(f"__q{i}")
+            for i, e in enumerate(fl)
+        ]
+    else:
+        aggs = [
+            F.percentile(sc, F.lit(e)).alias(f"__q{i}")
+            for i, e in enumerate(fl)
+        ]
+    bounds = base.groupBy(*keys).agg(*aggs)
+    joined = (
+        base.join(F.broadcast(bounds), keys)
+        if keys
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    # build innermost-last so the LOWEST edge is the outermost WHEN —
+    # first match wins, ties inclusive toward the better bucket
+    label = F.lit(labels[-1])
+    for i in reversed(range(len(fl))):
+        label = F.when(sc <= F.col(f"__q{i}"), F.lit(labels[i])).otherwise(
+            label
+        )
+    return joined.withColumn(out_col, label).drop(
+        *[f"__q{i}" for i in range(len(fl))]
+    )
+
+
 def corpus_diff(
     new: DataFrame,
     baseline: DataFrame,
@@ -1634,6 +1703,145 @@ def decontaminate(
     """Drop contaminated documents (those flagged by ``contamination_flags``)."""
     flags = contamination_flags(
         df, benchmark, id_col, text_col, ngram_n, bench_text_col, unit
+    ).select(id_col)
+    return df.join(flags, on=id_col, how="left_anti")
+
+
+def bloom_contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngram_n: int = 8,
+    bench_text_col: str | None = None,
+    unit: str = "word",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination (the Dolma/NeMo-Curator shape):
+    benchmark n-grams are folded into an ``m_bits``-bit Bloom bitmap
+    (``k_hashes`` md5-derived positions per gram) and every corpus gram
+    is probed with pure integer Column math — no join ever touches the
+    corpus side.  Output matches ``contamination_flags``:
+    (id, n_flagged) for documents with ≥1 gram whose ``k_hashes`` bits
+    are all set.  Flags are a superset of the exact check (Bloom false
+    positives, rate ≈ (1 - e^(-k·n/m))^k); with the defaults and a
+    10k-gram benchmark that is ~1e-8 — and fully deterministic, so an
+    external oracle replays every flag (including any false positive)
+    bit-for-bit by recomputing the same md5 positions.
+
+    Scale: ``contamination_flags`` broadcasts the distinct benchmark
+    n-gram STRINGS and equi-joins the exploded corpus — fine for eval
+    suites, but a multi-GB broadcast for large holdout sets.  Here the
+    broadcast is the bitmap itself — ``m_bits/8`` bytes (128 KiB at the
+    default 2^20) regardless of benchmark size — attached via a 1-row
+    broadcast cross join, and the corpus side is map-only probing plus
+    one partial-aggregated groupBy(id).  Bit positions come from the
+    first 8 md5 hex chars of ``"{i}:{gram}"`` (the repo-standard
+    conv/CAST slice), so one md5 per (gram, hash) replays identically
+    in any engine.
+    """
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if k_hashes <= 0:
+        raise ValueError("k_hashes must be positive")
+
+    def grams(col: Column) -> Column:
+        if unit == "word":
+            return TX.word_ngrams(col, ngram_n)
+        return TX.shingles(col, ngram_n)
+
+    def bit_pos(g: Column, i: int) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), g)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+        )
+
+    spark = df.sparkSession
+    positions = sorted(
+        r["pos"]
+        for r in benchmark.select(
+            F.explode(grams(F.col(bench_text_col or text_col))).alias("g")
+        )
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[bit_pos(F.col("g"), i) for i in range(k_hashes)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        # bounded by min(k_hashes * |distinct benchmark grams|, m_bits)
+        # — the same benchmark-is-tiny assumption contamination_flags
+        # makes for its string broadcast, at 8 bytes per position.
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement fold into signed BIGINT for the Spark literal
+    words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+    bloom = spark.createDataFrame([(words,)], "bloom array<bigint>")
+
+    # per-bit masks as one literal array (bit 63 = the sign bit, hence
+    # the negative literal) — shift amounts must be Python ints in
+    # F.shiftright, so test word & mask[p%64] != 0 instead (the
+    # simhash64 idiom)
+    masks = F.array(
+        *[
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("bigint")
+            for j in range(64)
+        ]
+    )
+
+    def probe(g: Column, bm: Column) -> Column:
+        hit = F.lit(True)
+        for i in range(k_hashes):
+            p = bit_pos(g, i)
+            word = F.element_at(bm, F.shiftright(p, 6).cast("int") + 1)
+            mask = F.element_at(masks, (p % 64).cast("int") + 1)
+            hit = hit & (word.bitwiseAND(mask) != 0)
+        return hit
+
+    doc_grams = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(grams(F.col(text_col))).alias("g"),
+    )
+    return (
+        doc_grams.crossJoin(F.broadcast(bloom))
+        .filter(probe(F.col("g"), F.col("bloom")))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_flagged"))
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngram_n: int = 8,
+    bench_text_col: str | None = None,
+    unit: str = "word",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Drop documents flagged by ``bloom_contamination_flags`` (an
+    anti-join on the flagged ids; removals are a deterministic superset
+    of the exact ``decontaminate`` by the Bloom false-positive rate)."""
+    flags = bloom_contamination_flags(
+        df, benchmark, id_col, text_col, ngram_n, bench_text_col, unit,
+        m_bits, k_hashes,
     ).select(id_col)
     return df.join(flags, on=id_col, how="left_anti")
 
@@ -1843,6 +2051,87 @@ def line_dedup(
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(
             joiner,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("__text"),
+        F.count("*").alias("__n_kept"),
+    )
+    return (
+        base.select("id", F.size("segs").cast("bigint").alias("n_segments"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__text", F.lit("")).alias(text_col),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    delimiter: str = "\n",
+    max_df: int | None = None,
+    max_frac: float = 0.05,
+) -> DataFrame:
+    """RefinedWeb-style boilerplate removal: split every document into
+    literal-``delimiter`` lines and remove EVERY occurrence of any line
+    whose document frequency (number of distinct documents containing
+    it) exceeds the threshold — navigation chrome, cookie banners,
+    licence footers.  The threshold is ``max_df`` documents when given,
+    else ``ceil(max_frac * n_docs)``.  Distinct from ``line_dedup``,
+    which keeps the globally FIRST occurrence of each line; boilerplate
+    lines are junk in every copy, so none survive.
+
+    Output mirrors ``line_dedup``: one row per input document —
+    (id, text, n_segments, n_removed); text round-trips exactly through
+    the literal delimiter for the surviving lines.
+
+    Scale: the doc-frequency table is ``groupBy(line).count_distinct(id)``
+    — map-side partial aggregation collapses repeated lines per
+    partition before the shuffle.  The boilerplate set is by definition
+    tiny (only lines crossing a high-df bar survive the filter), so the
+    removal anti-join broadcasts in practice and AQE picks that up from
+    runtime stats; the corpus side is one explode + anti-join + one
+    groupBy(id) bounded by document size.  The corpus row count feeds
+    the fractional threshold through a 1-row broadcast cross join —
+    nothing corpus-sized is collected or windowed.
+    """
+    if max_df is not None and max_df <= 0:
+        raise ValueError("max_df must be positive")
+    if max_df is None and not (0.0 < max_frac <= 1.0):
+        raise ValueError("max_frac must be in (0, 1]")
+    arr = F.coalesce(
+        F.split(F.col(text_col), "\\Q" + delimiter + "\\E"),
+        F.array().cast("array<string>"),
+    )
+    base = _spread(df).select(F.col(id_col).alias("id"), arr.alias("segs"))
+    segs = base.select("id", F.posexplode("segs").alias("idx", "seg"))
+    docfreq = segs.groupBy("seg").agg(
+        F.count_distinct("id").alias("__df")
+    )
+    if max_df is not None:
+        bad = docfreq.filter(F.col("__df") > max_df).select("seg")
+    else:
+        n_docs = base.agg(F.count("*").alias("__n"))
+        bad = (
+            docfreq.crossJoin(F.broadcast(n_docs))
+            .filter(
+                F.col("__df")
+                > F.ceil(F.col("__n") * F.lit(float(max_frac)))
+            )
+            .select("seg")
+        )
+    kept = segs.join(bad, "seg", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            delimiter,
             F.transform(
                 F.array_sort(F.collect_list(F.struct("idx", "seg"))),
                 lambda s: s["seg"],
@@ -2741,16 +3030,19 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     """``{"stage": "corpus", "op": <name>, ...}`` — config-driven entry
     points for every corpus operator in this module: ``repetition``,
     ``hash_sample``, ``decontaminate``/``contamination_flags`` (word or
-    ``unit: char`` grams), ``semantic_decontaminate``/
+    ``unit: char`` grams), ``bloom_decontaminate``/
+    ``bloom_contamination_flags`` (fixed-size Bloom bitmap broadcast),
+    ``semantic_decontaminate``/
     ``semantic_contamination_flags``, ``chunk``, ``mixture``
     (target weights, or ``alpha`` for temperature), ``token_budget``,
-    ``line_dedup``, ``span_dedup``, ``pack`` (``tokens_col`` for BPE
+    ``line_dedup``, ``boilerplate_strip``, ``span_dedup``, ``pack``
+    (``tokens_col`` for BPE
     counts, ``boundaries`` for attention-mask metadata), ``profile``,
     ``split_assign``, ``cap``, ``shard_by_size``, ``quality_classify``,
     ``pii_scrub``, ``dsir`` + ``importance_resample``, ``upsample``,
     ``url_features``, ``url_normalize``, ``source_overlap``, ``html_extract``,
     ``gopher_filter``, ``repetition_filter``, ``diff``,
-    ``length_filter``, ``score_normalize``,
+    ``length_filter``, ``score_normalize``, ``quantile_bucket``,
     ``bpe_train``/``bpe_encode``, ``collocations``, ``perplexity``,
     ``bm25``.  Named-frame inputs (``benchmark``/``target``/``baseline``/
     ``queries``/``merges``) resolve through ``ctx`` from earlier
@@ -2774,6 +3066,19 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return fn(
             df, bench, id_col, text_col, int(spec.get("n", 8)),
             spec.get("benchmark_column"), spec.get("unit", "word"),
+        )
+    if op in ("bloom_decontaminate", "bloom_contamination_flags"):
+        bench = ctx.get(spec["benchmark"])
+        fn = (
+            bloom_decontaminate
+            if op == "bloom_decontaminate"
+            else bloom_contamination_flags
+        )
+        return fn(
+            df, bench, id_col, text_col, int(spec.get("n", 8)),
+            spec.get("benchmark_column"), spec.get("unit", "word"),
+            int(spec.get("m_bits", 1 << 20)),
+            int(spec.get("k_hashes", 4)),
         )
     if op in ("semantic_decontaminate", "semantic_contamination_flags"):
         bench = ctx.get(spec["benchmark"])
@@ -2810,6 +3115,13 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return line_dedup(
             df, id_col, text_col, spec.get("delimiter", "\n"),
             int(win) if win is not None else None,
+        )
+    if op == "boilerplate_strip":
+        mdf = spec.get("max_df")
+        return boilerplate_strip(
+            df, id_col, text_col, spec.get("delimiter", "\n"),
+            int(mdf) if mdf is not None else None,
+            float(spec.get("max_frac", 0.05)),
         )
     if op == "profile":
         return corpus_profile(
@@ -2905,6 +3217,14 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return mad_outliers(
             df, spec["score_col"], spec.get("by"),
             float(spec.get("c", 3.0)),
+            spec.get("method"), int(spec.get("accuracy", 10_000)),
+        )
+    if op == "quantile_bucket":
+        return quantile_bucket(
+            df, spec["score_col"], spec.get("by"),
+            tuple(spec.get("edges", (1 / 3, 2 / 3))),
+            tuple(spec.get("labels", ("head", "middle", "tail"))),
+            spec.get("out_col", "bucket"),
             spec.get("method"), int(spec.get("accuracy", 10_000)),
         )
     if op == "score_normalize":

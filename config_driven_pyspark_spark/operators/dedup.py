@@ -1048,21 +1048,27 @@ def simhash64(text: Column) -> Column:
     )
 
 
-def simhash_pairs(
-    df: DataFrame,
+def hamming_pairs(
+    codes: DataFrame,
     id_col: str,
-    text_col: str = "text",
+    code_col: str,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Hamming-distance ≤ k pairs via pigeonhole banding: split 64 bits into
-    k+1 chunks; any pair within distance k matches exactly on ≥1 chunk.
-    Candidates verified with exact ``bit_count(a XOR b)``.
-    """
+    """Hamming-distance ≤ k pairs over any packed 64-bit code column
+    (SimHash, image aHash, binary-quantized sketches) via pigeonhole
+    banding: split 64 bits into k+1 chunks; any pair within distance k
+    matches exactly on ≥1 chunk.  Candidates verified with exact
+    ``bit_count(a XOR b)``.  Output: (id_a, id_b, hamming), id_a < id_b.
+
+    Scale: the corpus is never self-joined — candidates come from the
+    equi-join on (chunk, key), fan-out bounded by Σ bucket² per band
+    key, and each code explodes to only k+1 rows.  The 100 TB shape for
+    any 64-bit perceptual fingerprint."""
     chunks = max_hamming + 1
     width = 64 // chunks
     sh = _materialize(
-        _spread(df).select(
-            F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+        _spread(codes).select(
+            F.col(id_col).alias("id"), F.col(code_col).alias("sh")
         )
     )
     banded = sh.select(
@@ -1094,6 +1100,21 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-distance ≤ k SimHash pairs — ``simhash64`` codes through
+    the generic pigeonhole ``hamming_pairs`` (identical plan to the
+    pre-r9 inline form)."""
+    codes = _spread(df).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
+    return hamming_pairs(codes, "id", "sh", max_hamming)
 
 
 def srp_planes(dim: int, bits: int, seed: int) -> list[list[float]]:
@@ -1260,7 +1281,8 @@ def embedding_pairs(
 
 def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "dedup", "method": "exact|ngram_jaccard|minhash_lsh|
-    simhash|embedding", "id_col": ..., "output": "dedup"|"pairs"|"clusters",
+    simhash|hamming|semdedup|embedding", "id_col": ...,
+    "output": "dedup"|"pairs"|"clusters",
     "keep_by": <SQL expr>?, ...}``.
 
     ``keep_by`` changes which duplicate survives in ``dedup``/``clusters``
@@ -1341,6 +1363,12 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
     elif method == "simhash":
         pairs = simhash_pairs(
             df, id_col, spec.get("column", "text"), int(spec.get("max_hamming", 3))
+        )
+    elif method == "hamming":
+        # precomputed packed 64-bit codes (e.g. multimodal.image_ahash)
+        pairs = hamming_pairs(
+            df, id_col, spec.get("column", "code"),
+            int(spec.get("max_hamming", 3)),
         )
     elif method == "semdedup":
         if out != "dedup" or keep_by:

@@ -332,6 +332,58 @@ def image_stats(
     return df.mapInPandas(compute, schema=_STATS_SCHEMA)
 
 
+_AHASH_SCHEMA = "media_id bigint, width int, height int, ahash bigint"
+
+
+def image_ahash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint — the LAION-style
+    image near-dup primitive: decode (BMP or PNG, magic-sniffed) →
+    nearest-neighbor resize to ``hash_size``ײ on real pixels → integer
+    grayscale ``(r+g+b) // 3`` → bit ``y*hash_size+x`` set iff
+    ``gray * n_cells > sum(grays)`` (exact integer mean comparison —
+    float-free, so an external oracle replays every bit) → packed
+    row-major into one signed 64-bit code.  Feed the codes to
+    ``dedup.hamming_pairs`` for sub-quadratic near-dup detection.
+
+    Scale: one Arrow-batched ``mapInPandas`` pass, map-only — the image
+    corpus streams through in batches, emitting 8 bytes per image; the
+    pair step on the codes is the banded Hamming join, never an image
+    self-join."""
+    import numpy as np
+
+    if hash_size <= 0 or hash_size * hash_size > 64:
+        raise ValueError("hash_size^2 must be in 1..64 bits")
+    n_cells = hash_size * hash_size
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "ahash": []}
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                arr = decode_image(payload)
+                small = resize_nearest(arr, hash_size, hash_size)
+                gray = small.astype("int64").sum(axis=-1) // 3
+                total = int(gray.sum())
+                code = 0
+                for y in range(hash_size):
+                    for x in range(hash_size):
+                        if int(gray[y, x]) * n_cells > total:
+                            code |= 1 << (y * hash_size + x)
+                if code >= 1 << 63:
+                    code -= 1 << 64
+                out["media_id"].append(int(mid))
+                out["height"].append(arr.shape[0])
+                out["width"].append(arr.shape[1])
+                out["ahash"].append(code)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(compute, schema=_AHASH_SCHEMA)
+
+
 # -- pure-stdlib PNG codec (8-bit RGB, non-interlaced) ----------------------
 #
 # PNG is decodable with zero codec dependencies because its only
@@ -778,5 +830,11 @@ def stage_multimodal(df: DataFrame, spec: dict) -> DataFrame:
         return audio_stats(
             df, spec.get("content_col", "content"),
             spec.get("id_col", "media_id"),
+        )
+    if op == "ahash":
+        return image_ahash(
+            df, spec.get("content_col", "content"),
+            spec.get("id_col", "media_id"),
+            int(spec.get("hash_size", 8)),
         )
     raise ValueError(f"Unknown multimodal op {op!r}")

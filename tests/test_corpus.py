@@ -1624,3 +1624,176 @@ def test_source_overlap_matrix(spark):
              for r in C.source_overlap(df, "source", "text",
                                        normalize=False).collect()}
     assert exact[("web", "wiki")] == 1
+
+
+# -- boilerplate strip (r9) --------------------------------------------------
+
+
+def test_boilerplate_strip_removes_every_occurrence(spark):
+    # "nav" appears in 3 of 4 docs -> over max_df=2 -> ALL copies removed,
+    # including the first (the contract line_dedup does NOT have)
+    df = spark.createDataFrame(
+        [(1, "nav\nbody one"), (2, "nav\nbody two"),
+         (3, "nav\nbody three"), (4, "body four")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in
+            C.boilerplate_strip(df, "id", max_df=2).collect()}
+    assert rows[1]["text"] == "body one" and rows[1]["n_removed"] == 1
+    assert rows[2]["text"] == "body two"
+    assert rows[3]["text"] == "body three"
+    assert rows[4]["text"] == "body four" and rows[4]["n_removed"] == 0
+    assert rows[1]["n_segments"] == 2
+
+
+def test_boilerplate_strip_under_threshold_kept(spark):
+    df = spark.createDataFrame(
+        [(1, "shared\na"), (2, "shared\nb"), (3, "c")],
+        "id long, text string",
+    )
+    # df("shared") = 2 is NOT > max_df=2 -> kept everywhere
+    rows = {r["id"]: r for r in
+            C.boilerplate_strip(df, "id", max_df=2).collect()}
+    assert rows[1]["text"] == "shared\na"
+    assert rows[2]["text"] == "shared\nb"
+
+
+def test_boilerplate_strip_fractional_threshold(spark):
+    # 10 docs; "footer" in 6 -> 6 > ceil(0.5*10)=5 -> stripped;
+    # "rare" in 4 -> kept
+    rows_in = [(i, ("footer\n" if i < 6 else "rare\n") + f"body {i}")
+               for i in range(10)]
+    df = spark.createDataFrame(rows_in, "id long, text string")
+    out = {r["id"]: r for r in
+           C.boilerplate_strip(df, "id", max_frac=0.5).collect()}
+    assert out[0]["text"] == "body 0" and out[0]["n_removed"] == 1
+    assert out[7]["text"] == "rare\nbody 7" and out[7]["n_removed"] == 0
+
+
+def test_boilerplate_strip_within_doc_multiplicity(spark):
+    # the bad line's EVERY occurrence goes, even repeats inside one doc
+    df = spark.createDataFrame(
+        [(1, "x\na\nx"), (2, "x\nb"), (3, "x\nc")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in
+            C.boilerplate_strip(df, "id", max_df=2).collect()}
+    assert rows[1]["text"] == "a" and rows[1]["n_removed"] == 2
+
+
+def test_boilerplate_strip_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    with pytest.raises(ValueError, match="max_df"):
+        C.boilerplate_strip(df, "id", max_df=0)
+    with pytest.raises(ValueError, match="max_frac"):
+        C.boilerplate_strip(df, "id", max_frac=0.0)
+
+
+# -- Bloom-filter decontamination (r9) ---------------------------------------
+
+
+def test_bloom_flags_match_exact_check(spark):
+    # at m=2^16 with a handful of benchmark grams the false-positive
+    # probability is ~1e-15, so Bloom flags == the exact broadcast-join
+    # flags on this fixture (both deterministic)
+    bench = to_df(spark, [{"id": 100, "text": "the quick brown fox jumps"}])
+    corpus = to_df(spark, [
+        {"id": 1, "text": "totally unrelated words here now"},
+        {"id": 2, "text": "prefix the quick brown fox suffix"},
+    ])
+    bloom = C.bloom_contamination_flags(
+        corpus, bench, "id", ngram_n=3, m_bits=1 << 16, k_hashes=4
+    )
+    assert {r["id"]: r["n_flagged"] for r in bloom.collect()} == {2: 2}
+    kept = C.bloom_decontaminate(
+        corpus, bench, "id", ngram_n=3, m_bits=1 << 16, k_hashes=4
+    )
+    assert [r["id"] for r in kept.collect()] == [1]
+
+
+def test_bloom_saturated_filter_flags_everything(spark):
+    # m=64 bits saturates (every word bit set, incl. the BIGINT sign
+    # bit) -> every corpus gram probes positive; pins the two's-
+    # complement packing + arithmetic-shift probe on negative words
+    bench = to_df(spark, [{
+        "id": 1,
+        "text": " ".join(f"w{i}" for i in range(300)),
+    }])
+    corpus = to_df(spark, [{"id": 7, "text": "zz yy xx ww vv"}])
+    out = C.bloom_contamination_flags(
+        corpus, bench, "id", ngram_n=3, m_bits=64, k_hashes=4
+    ).collect()
+    # 3 distinct 3-grams in a 5-token doc
+    assert out and out[0]["n_flagged"] == 3
+
+
+def test_bloom_char_unit_and_validation(spark):
+    bench = to_df(spark, [{"id": 1, "text": "abcdefghij"}])
+    corpus = to_df(spark, [{"id": 2, "text": "xx abcdefghij yy"},
+                           {"id": 3, "text": "nothing alike"}])
+    out = C.bloom_contamination_flags(
+        corpus, bench, "id", ngram_n=8, unit="char", m_bits=1 << 16
+    )
+    ids = {r["id"] for r in out.collect()}
+    assert 2 in ids and 3 not in ids
+    with pytest.raises(ValueError, match="m_bits"):
+        C.bloom_contamination_flags(corpus, bench, "id", m_bits=100)
+    with pytest.raises(ValueError, match="k_hashes"):
+        C.bloom_contamination_flags(corpus, bench, "id", k_hashes=0)
+    with pytest.raises(ValueError, match="unit"):
+        C.bloom_contamination_flags(corpus, bench, "id", unit="byte")
+
+
+# -- quantile bucketing (r9) -------------------------------------------------
+
+
+def test_quantile_bucket_terciles(spark):
+    # scores 1..9: exact tercile thresholds q(1/3)=3.667, q(2/3)=6.333
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10)], "id long, s double"
+    )
+    out = {r["id"]: r["bucket"] for r in
+           C.quantile_bucket(df, "s", method="exact").collect()}
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+
+def test_quantile_bucket_per_stratum_and_ties(spark):
+    # stratum A: all-equal scores -> every threshold == the value ->
+    # inclusive <= puts everything in the FIRST bucket
+    # stratum B: spread scores bucket within B's own distribution
+    rows = [(i, "A", 5.0) for i in range(3)] + [
+        (10, "B", 1.0), (11, "B", 2.0), (12, "B", 3.0)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, s double")
+    out = {r["id"]: r["bucket"] for r in
+           C.quantile_bucket(df, "s", by="g", method="exact").collect()}
+    assert all(out[i] == "head" for i in range(3))
+    assert (out[10], out[11], out[12]) == ("head", "middle", "tail")
+
+
+def test_quantile_bucket_custom_edges_and_validation(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, s double"
+    )
+    out = C.quantile_bucket(
+        df, "s", edges=(0.5,), labels=("keep", "drop"),
+        out_col="verdict", method="exact",
+    )
+    vals = {r["id"]: r["verdict"] for r in out.collect()}
+    assert vals[0] == "keep" and vals[9] == "drop"
+    with pytest.raises(ValueError, match="labels"):
+        C.quantile_bucket(df, "s", edges=(0.5,), labels=("a", "b", "c"),
+                          method="exact")
+    with pytest.raises(ValueError, match="edges"):
+        C.quantile_bucket(df, "s", edges=(0.9, 0.1), labels=("a", "b", "c"),
+                          method="exact")
+    with pytest.raises(ValueError, match="method"):
+        C.quantile_bucket(df, "s", method="bogus")
+
+
+def test_quantile_bucket_warns_without_method(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, s double")
+    with pytest.warns(UserWarning, match="quantile_bucket"):
+        C.quantile_bucket(df, "s")

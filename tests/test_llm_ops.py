@@ -2271,3 +2271,79 @@ def test_mmr_rerank_diversifies(spark):
         S.mmr_rerank(cand, corpus, queries, k=0)
     with pytest.raises(ValueError, match="candidates"):
         S.stage_similarity(corpus, {"method": "mmr"}, None)
+
+
+# -- image aHash + generic Hamming pairs (r9) --------------------------------
+
+
+def test_image_ahash_matches_independent_formula(spark):
+    """synthesize_bmp → image_ahash runs a real decode + resize; the
+    packed code equals an independent numpy replay of the documented
+    pixel formula (incl. the two's-complement sign-bit fold)."""
+    import numpy as np
+
+    ids = spark.range(6).select(F.col("id").alias("media_id"))
+    media = M.synthesize_bmp(ids, width=8, height=6)
+    got = {r["media_id"]: r for r in M.image_ahash(media).collect()}
+    ys, xs = np.mgrid[0:8, 0:8]
+    sy, sx = (ys * 6) // 8, xs
+    for mid in range(6):
+        gray = (
+            (mid * 7 + sx * 13 + sy * 17) % 256
+            + (mid * 11 + sx * 3 + sy * 5) % 256
+            + (mid * 13 + sx * 23 + sy * 29) % 256
+        ) // 3
+        total = int(gray.sum())
+        code = 0
+        for y in range(8):
+            for x in range(8):
+                if int(gray[y, x]) * 64 > total:
+                    code |= 1 << (y * 8 + x)
+        if code >= 1 << 63:
+            code -= 1 << 64
+        row = got[mid]
+        assert row["ahash"] == code, mid
+        assert (row["width"], row["height"]) == (8, 6)
+    with pytest.raises(ValueError, match="hash_size"):
+        M.image_ahash(media, hash_size=9)
+
+
+def test_image_ahash_identical_images_collide(spark):
+    # same pixels -> same code regardless of codec (BMP vs PNG)
+    ids = spark.range(3).select(F.col("id").alias("media_id"))
+    bmp = {r["media_id"]: r["ahash"]
+           for r in M.image_ahash(M.synthesize_bmp(ids)).collect()}
+    png = {r["media_id"]: r["ahash"]
+           for r in M.image_ahash(M.synthesize_png(ids)).collect()}
+    assert bmp == png
+
+
+def test_hamming_pairs_generic_codes(spark):
+    # constructed codes incl. a sign-bit (negative) one: 1 and 2 differ
+    # in 2 bits; 3 differs from 1 in bit 63 only (distance 1); 4 is far
+    c1 = 0b1111
+    c3 = c1 | (1 << 63)
+    if c3 >= 1 << 63:
+        c3 -= 1 << 64
+    df = spark.createDataFrame(
+        [(1, c1), (2, 0b0110), (3, c3), (4, 0x00FFFF0000)],
+        "id long, code long",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.hamming_pairs(df, "id", "code", max_hamming=3).collect()}
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 1
+    assert got[(2, 3)] == 3
+    assert not any(4 in p for p in got)
+
+
+def test_hamming_stage_dispatch_score(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, 1)], "id long, code long",
+    )
+    out = D.stage_dedup(df, {
+        "stage": "dedup", "method": "hamming", "id_col": "id",
+        "column": "code", "max_hamming": 3, "output": "pairs",
+    }).collect()
+    assert out[0]["hamming"] == 1
+    assert abs(out[0]["score"] - (1.0 - 1.0 / 64.0)) < 1e-12
