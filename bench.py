@@ -130,6 +130,7 @@ HEADLINE = [
     "q_boilerplate_strip",
     "q_bloom_decon",
     "q_image_ahash",
+    "q_perplexity_buckets",
 ]
 
 
@@ -240,10 +241,15 @@ def main() -> None:
     }
     try:
         if only:
-            raise OSError("subset run: keep the committed full record")
-        runs_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_runs_latest.json"
-        )
+            # subset runs keep the committed full record and write their
+            # detail to a side file instead (manual probes only — the
+            # driver never sets SPARK_GRAFT_ONLY)
+            runs_path = "/tmp/bench_subset_latest.json"
+        else:
+            runs_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_runs_latest.json",
+            )
         with open(runs_path, "w") as fh:
             json.dump(detail, fh, indent=1)
     except OSError:

@@ -1797,3 +1797,53 @@ def test_quantile_bucket_warns_without_method(spark):
     df = spark.createDataFrame([(1, 1.0)], "id long, s double")
     with pytest.warns(UserWarning, match="quantile_bucket"):
         C.quantile_bucket(df, "s")
+
+
+def test_repetition_filter_impls_identical(spark):
+    """r9 perf: the Arrow-batched pandas implementation must equal the
+    Column-expression reference bit-for-bit — including HALF_UP
+    9-decimal rounding (exercised by a 1/1024 char ratio whose 10th
+    decimal digit is an exact 5) and Java trim semantics (U+00A0 is NOT
+    trimmed) — on edge fixtures and on real corpus text."""
+    fix = spark.createDataFrame(
+        [
+            (1, "plain text with no repetition at all here"),
+            (2, "loop me " * 40),
+            (3, "a\n\na\n\nb\nc\nc"),
+            (4, ""),
+            (5, None),
+            (6, " padded \nline two"),   # Java trim keeps NBSP
+            # 341 distinct 2-char tokens + 2 trailing spaces = exactly
+            # 1024 chars; every 2-gram is distinct with mass 5, so
+            # top_2gram_char_frac = 5/1024 = 0.0048828125 — digit 10 is
+            # an exact 5 over an even digit 9: HALF_UP gives ...813,
+            # banker's would give ...812. The rounding-mode trap.
+            (7, " ".join(
+                a + b
+                for a in "abcdefghijklmn" for b in "abcdefghijklmnopqrstuvwxy"
+            )[: 341 * 3 - 1] + "  "),
+            (8, "one two"),                          # shorter than most n
+        ],
+        "id long, text string",
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inj = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" dup seg " * 12))
+            .otherwise(F.lit("")),
+        ),
+    ).select(F.col("doc_id").alias("id"), "text")
+    for frame in (fix, inj):
+        a = sorted(
+            C.repetition_filter(frame, impl="column").collect(),
+            key=lambda r: r["id"],
+        )
+        b = sorted(
+            C.repetition_filter(frame, impl="pandas").collect(),
+            key=lambda r: r["id"],
+        )
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    with pytest.raises(ValueError, match="impl"):
+        C.repetition_filter(fix, impl="numpy")

@@ -271,3 +271,27 @@ def test_crawl_curation_example(spark, tmp_path):
     dup_ids = sorted(i for i in ids if i % 17 == 0)
     assert len(dup_ids) <= 1                           # exact-dup leg
     assert all("utm_source" not in r["url_norm"] for r in rows)
+
+
+def test_benchmark_hygiene_example(spark):
+    """r9: the Dolma/CCNet back half — Bloom decontamination against a
+    held-out benchmark slice → self-trained bigram-LM scoring →
+    per-language quality terciles → tail drop — runs end-to-end from
+    YAML; src0 overlap is removed and roughly a third of each surviving
+    language lands in the dropped tail."""
+    with open(os.path.join(EXAMPLES, "benchmark_hygiene.yaml")) as fh:
+        out = Pipeline.from_yaml(fh.read()).run(
+            spark,
+            variables={"input": "/root/testdata/sf0.001/documents.parquet"},
+        )
+    rows = out.collect()
+    assert rows and set(out.columns) == {"doc_id", "lang", "avg_nll", "bucket"}
+    buckets = {r["bucket"] for r in rows}
+    assert buckets == {"head", "middle"}  # tail filtered out
+    # decontamination really dropped documents: survivors < the src<>src0 pool
+    n_pool = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("source <> 'src0'").count()
+    )
+    # head+middle ~= 2/3 of the decontaminated pool
+    assert 0 < len(rows) < n_pool
