@@ -2817,6 +2817,45 @@ def _bpe_pack_oracle(
     return "WITH " + ",".join(parts + ep) + "\n" + final
 
 
+def _bpe_fertility_oracle(
+    n_merges: int = 8, max_words: int = 10_000
+) -> str:
+    """q_tokenizer_fertility's replay: train (shared CTEs) + per-word
+    encode (the dwords/e0..e{n} chain from the pack oracle) + per-doc
+    token totals + the per-language docs/tokens/bytes roll-up."""
+    parts = _bpe_train_ctes(n_merges, max_words)
+    ep, _ = _bpe_encode_pack_parts(n_merges)
+    tail = f"""
+toks2 AS (
+  SELECT doc_id, lang, coalesce(text, '') AS text,
+         list_filter(string_split(text, ' '), x -> x != '') AS dw
+  FROM documents
+),
+dt AS (
+  SELECT doc_id, t.i AS pos, dw[t.i] AS word
+  FROM toks2, unnest(range(1, len(dw)+1)) AS t(i)
+),
+db AS (
+  SELECT doc_id, CAST(sum(len(e.syms)) AS BIGINT) AS n_toks
+  FROM dt JOIN e{n_merges} e USING (word) GROUP BY doc_id
+),
+perdoc AS (
+  SELECT t.doc_id, t.lang, strlen(t.text) AS n_b,
+         coalesce(db.n_toks, 0) AS n_toks
+  FROM toks2 t LEFT JOIN db USING (doc_id)
+)"""
+    final = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(n_b) AS BIGINT) AS n_bytes,
+       CASE WHEN sum(n_b) > 0
+            THEN round(CAST(sum(n_toks) AS DOUBLE)
+                       / CAST(sum(n_b) AS DOUBLE), 9)
+            ELSE 0.0 END AS tokens_per_byte
+FROM perdoc GROUP BY lang"""
+    return "WITH " + ",".join(parts + ep[:-1] + [tail]) + "\n" + final
+
+
 def _kmeans_ctes(k: int = 8, iters: int = 2) -> list[str]:
     """Chained-CTE replay of similarity.py::kmeans_clusters on top of
     ``unitv``: cent0 = the k lowest-id unit vectors; iteration t =
@@ -3473,6 +3512,43 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "avg_nll", "bucket")
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (bpe.py::tokenizer_stats, r9 —
+    the vocab/mixture diagnostic): train the 8-merge BPE table on the
+    corpus (q_bpe_vocab's exact model), encode every document, and
+    report docs / BPE tokens / UTF-8 bytes / tokens-per-byte by
+    language. A language the tokenizer fragments badly shows a higher
+    ratio — effectively fewer bytes per training-compute unit. One
+    Arrow-batched encode pass + one stratum aggregate; the oracle
+    replays training (chained CTEs) + per-word encode + the per-lang
+    roll-up."""
+    from config_driven_pyspark_spark.operators.bpe import (
+        bpe_train, tokenizer_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, "text", n_merges=8, max_words=10_000)
+    return tokenizer_stats(docs, merges, by="lang")
+
+
+def q_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (corpus op ``novelty``, r9 — the
+    duplication-pressure signal dedup misses): fraction of each
+    document's distinct word 3-grams that no OTHER document contains.
+    Template-heavy docs score low even when no two documents are
+    near-dups; long-tail unique content scores high. Two map-side-
+    combinable shuffles (gram document-frequency, per-doc roll-up);
+    the oracle recomputes both aggregates in SQL."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "novelty", "id_col": "doc_id",
+         "column": "text", "n": 3, "max_df": 1},
+        {"stage": "select", "columns": ["doc_id", "lang",
+                                        "n_distinct_grams", "n_novel",
+                                        "novelty"]},
+    ])
+
+
 def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup (multimodal.py::image_ahash +
     dedup.py::hamming_pairs, r9 — the LAION-style curation primitive,
@@ -3883,16 +3959,17 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 9: EMPTY by arithmetic.  Five new queries landed this round
+    # round 9: EMPTY by arithmetic.  Nine new queries landed this round
+    # and never-recorded names already self-front ahead of the stale
+    # sort; with the 46 r6-stale rows the VERDICT r8 ask #3 window
+    # budget (>= 46 re-greened) leaves exactly 4 spare slots
     # (q_html_extract, q_gopher_filter, q_repetition_filter,
-    # q_url_normalize, q_ivf_delete) and never-recorded names already
-    # self-front ahead of the stale sort; with the 46 r6-stale rows the
-    # VERDICT r8 ask #3 window budget (>= 46 re-greened) leaves exactly
-    # 4 spare slots, so one new query is DEFERRED below and the three
-    # r9-touched-but-default-identical queries (q_minhash_incremental,
-    # q_ann_recall, q_url_features — all re-verified hash-exact by the
-    # local scripts/check_oracle.py gate after the change) ride on their
-    # r8-green record until the next rotation.
+    # q_ivf_delete), so the other seven are DEFERRED below and the
+    # r9-touched-but-output-identical queries (q_minhash_incremental,
+    # q_ann_recall, q_url_features, and q_repetition_filter's
+    # pandas-impl switch — all re-verified hash-exact by the local
+    # scripts/check_oracle.py gate after each change) ride on their
+    # green records until the next rotation.
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
@@ -3908,6 +3985,8 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_bloom_decon",     # r9-new, locally hash-exact; fronts in r10
     "q_image_ahash",     # r9-new, locally hash-exact; fronts in r10
     "q_perplexity_buckets",  # r9-new, locally hash-exact; fronts in r10
+    "q_novelty_docs",    # r9-new, locally hash-exact; fronts in r10
+    "q_tokenizer_fertility",  # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4034,6 +4113,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_decon": q_bloom_decon,  # Bloom-bitmap decontamination, r9
         "q_image_ahash": q_image_ahash,  # perceptual image near-dup, r9
         "q_perplexity_buckets": q_perplexity_buckets,  # CCNet terciles, r9
+        "q_novelty_docs": q_novelty_docs,  # n-gram novelty signal, r9
+        "q_tokenizer_fertility": q_tokenizer_fertility,  # tokens/byte, r9
         "q_source_overlap": q_source_overlap,  # provenance matrix, r9
         "q_mmr_rerank": q_mmr_rerank,  # MMR diversity rerank, r9
         "q_gopher_filter": q_gopher_filter,  # rule-based screen, r9
@@ -6753,6 +6834,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, count(*) AS n_flagged FROM hit GROUP BY doc_id
         """,
+        "q_novelty_docs": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t != '') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, lang,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                                    for i in
+                                    range(1, greatest(len(w)-2, 1)+1)]) AS g
+              FROM toks
+            ),
+            dg AS (SELECT doc_id, tok FROM
+                     (SELECT doc_id, unnest(g) AS tok FROM grams)
+                   WHERE tok != ''),
+            gdf AS (SELECT tok, count(*) AS df FROM dg GROUP BY tok),
+            per AS (
+              SELECT doc_id, count(*) AS n_distinct_grams,
+                     sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS n_novel
+              FROM dg JOIN gdf USING (tok) GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang,
+                   CAST(coalesce(p.n_distinct_grams, 0) AS BIGINT)
+                     AS n_distinct_grams,
+                   CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+                   CASE WHEN coalesce(p.n_distinct_grams, 0) > 0
+                        THEN round(CAST(p.n_novel AS DOUBLE)
+                                   / CAST(p.n_distinct_grams AS DOUBLE), 9)
+                        ELSE 0.0 END AS novelty
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
         # q_bigram_perplexity's model CTEs + per-language quantile_cont
         # terciles on the average NLL; threshold comparisons can't be
         # flipped by interpolation ulp (see the query docstring)
@@ -6848,6 +6962,8 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_vocab": _bpe_vocab_oracle(8, 10_000),
         # train + encode + pack replay (see _bpe_pack_oracle)
         "q_bpe_pack": _bpe_pack_oracle(8, 10_000, 128),
+        # train + encode + per-lang fertility roll-up
+        "q_tokenizer_fertility": _bpe_fertility_oracle(8, 10_000),
         # six stages chained: mixture -> strip -> dedup -> decon -> BPE
         # train/encode -> pack, each block the standalone row's SQL
         # re-sourced from the previous CTE

@@ -131,6 +131,8 @@ HEADLINE = [
     "q_bloom_decon",
     "q_image_ahash",
     "q_perplexity_buckets",
+    "q_novelty_docs",
+    "q_tokenizer_fertility",
 ]
 
 

@@ -301,3 +301,41 @@ def apply_bpe(
     return df.withColumn(out_col, udf(F.col(text_col))).withColumn(
         f"n_{out_col}", F.size(out_col).cast("bigint")
     )
+
+
+def tokenizer_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | DataFrame,
+    by: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum tokenizer fertility report — the "how does this
+    tokenizer treat each language/source" diagnostic that drives vocab
+    and mixture decisions: document count, total BPE tokens, total
+    UTF-8 bytes, and ``tokens_per_byte`` (9-decimal rounded; a language
+    the tokenizer fragments badly shows a high ratio and effectively
+    gets fewer bytes per compute budget).
+
+    Scale: one map-only Arrow-batched encode pass (:func:`apply_bpe`)
+    plus a single stratum-keyed aggregate with map-side partials —
+    nothing corpus-sized moves."""
+    enc = apply_bpe(df, merges, text_col)
+    keys = [by] if by else []
+    agg = enc.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.sum(
+            F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+        ).cast("bigint").alias("n_bytes"),
+    )
+    return agg.withColumn(
+        "tokens_per_byte",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_bytes").cast("double"),
+                9,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -1550,6 +1550,84 @@ def length_filter(
     )
 
 
+def novelty_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngram_n: int = 8,
+    unit: str = "word",
+    max_df: int = 1,
+) -> DataFrame:
+    """Per-document n-gram novelty — the duplication-pressure /
+    memorization-risk signal: the fraction of a document's DISTINCT
+    n-grams that appear in at most ``max_df`` documents corpus-wide
+    (``max_df=1`` ⇒ the gram exists nowhere else).  Low novelty marks
+    template/boilerplate-heavy documents that exact and near dedup both
+    miss (each copy differs, but every PIECE is common); high novelty
+    marks unique long-tail content worth upweighting.  Adds
+    ``n_distinct_grams``, ``n_novel`` and ``novelty`` (9-decimal
+    rounded fraction; gram-less documents score 0.0).
+
+    Scale: two corpus-keyed shuffles, both map-side combinable — the
+    (id, gram) explode is distinct per document, so the gram
+    document-frequency table is ``groupBy(gram).count()``; the per-doc
+    roll-up re-keys on id.  Skewed grams (stop-phrase shingles)
+    collapse in the partial aggregate; nothing is collected."""
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    if max_df < 1:
+        raise ValueError("max_df must be >= 1")
+
+    def grams(col: Column) -> Column:
+        if unit == "word":
+            return TX.word_ngrams(col, ngram_n)
+        return TX.shingles(col, ngram_n)
+
+    # word_ngrams/shingles emit one degenerate '' gram for docs shorter
+    # than the window (sequence(0, 0) -> a single empty slice); a truly
+    # gram-less doc must score 0.0, not share the '' gram corpus-wide
+    doc_grams = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(grams(F.col(text_col))).alias("__g"),
+    ).where(F.col("__g") != "")
+    # (id, gram) pairs are distinct per doc, so count(*) per gram IS the
+    # document frequency
+    gram_df = doc_grams.groupBy("__g").agg(F.count("*").alias("__df"))
+    per_doc = (
+        doc_grams.join(gram_df, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("__df") <= max_df, 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        df.join(
+            per_doc.withColumnRenamed("__id", id_col), id_col, "left"
+        )
+        .withColumn(
+            "n_distinct_grams",
+            F.coalesce("n_distinct_grams", F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "n_novel", F.coalesce("n_novel", F.lit(0)).cast("bigint")
+        )
+        .withColumn(
+            "novelty",
+            F.when(
+                F.col("n_distinct_grams") > 0,
+                F.round(
+                    F.col("n_novel").cast("double")
+                    / F.col("n_distinct_grams").cast("double"),
+                    9,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def quantile_bucket(
     df: DataFrame,
     score_col: str,
@@ -3160,6 +3238,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     ``url_features``, ``url_normalize``, ``source_overlap``, ``html_extract``,
     ``gopher_filter``, ``repetition_filter``, ``diff``,
     ``length_filter``, ``score_normalize``, ``quantile_bucket``,
+    ``novelty``,
     ``bpe_train``/``bpe_encode``, ``collocations``, ``perplexity``,
     ``bm25``.  Named-frame inputs (``benchmark``/``target``/``baseline``/
     ``queries``/``merges``) resolve through ``ctx`` from earlier
@@ -3272,6 +3351,14 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             df, ctx.get(spec["merges"]), text_col,
             spec.get("out_col", "bpe_tokens"),
         )
+    if op == "bpe_stats":
+        from config_driven_pyspark_spark.operators.bpe import (
+            tokenizer_stats,
+        )
+
+        return tokenizer_stats(
+            df, ctx.get(spec["merges"]), spec.get("by"), text_col
+        )
     if op == "split_assign":
         return split_assign(
             df, spec.get("on", id_col), spec.get("splits"),
@@ -3338,6 +3425,11 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             df, spec["score_col"], spec.get("by"),
             float(spec.get("c", 3.0)),
             spec.get("method"), int(spec.get("accuracy", 10_000)),
+        )
+    if op == "novelty":
+        return novelty_score(
+            df, id_col, text_col, int(spec.get("n", 8)),
+            spec.get("unit", "word"), int(spec.get("max_df", 1)),
         )
     if op == "quantile_bucket":
         return quantile_bucket(

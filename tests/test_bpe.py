@@ -7,7 +7,11 @@ from __future__ import annotations
 import pytest
 
 from config_driven_pyspark_spark.operators import corpus as C
-from config_driven_pyspark_spark.operators.bpe import apply_bpe, bpe_train
+from config_driven_pyspark_spark.operators.bpe import (
+    apply_bpe,
+    bpe_train,
+    tokenizer_stats,
+)
 
 
 @pytest.fixture()
@@ -155,3 +159,27 @@ def test_bpe_stage_dispatch(spark, toy):
     )
     assert "bpe_tokens" in enc.columns and "n_bpe_tokens" in enc.columns
     assert enc.count() == 2
+
+
+def test_tokenizer_stats_fertility(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "low low low"), (2, "en", "lower"),
+         (3, "xx", "zq"), (4, "xx", None)],
+        "id long, lang string, text string",
+    )
+    merges = bpe_train(df, "text", n_merges=2, max_words=100)
+    out = {r["lang"]: r for r in
+           tokenizer_stats(df, merges, by="lang").collect()}
+    # totals equal an independent roll-up of apply_bpe
+    enc = {r["id"]: r["n_bpe_tokens"] for r in
+           apply_bpe(df, merges, "text").collect()}
+    assert out["en"]["n_bpe_tokens"] == enc[1] + enc[2]
+    assert out["en"]["n_docs"] == 2
+    assert out["en"]["n_bytes"] == len("low low low") + len("lower")
+    exp = (enc[1] + enc[2]) / out["en"]["n_bytes"]
+    assert abs(out["en"]["tokens_per_byte"] - round(exp, 9)) < 1e-12
+    # null text counts 0 tokens / 0 bytes but the doc is still counted
+    assert out["xx"]["n_docs"] == 2 and out["xx"]["n_bytes"] == 2
+    # whole-corpus (no stratum) mode
+    tot = tokenizer_stats(df, merges).collect()[0]
+    assert tot["n_docs"] == 4

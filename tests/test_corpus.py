@@ -1847,3 +1847,50 @@ def test_repetition_filter_impls_identical(spark):
         assert [r.asDict() for r in a] == [r.asDict() for r in b]
     with pytest.raises(ValueError, match="impl"):
         C.repetition_filter(fix, impl="numpy")
+
+
+def test_novelty_score_basic(spark):
+    # docs 1,2 share every 2-gram ("a b", "b c"); doc 3 is unique
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in
+           C.novelty_score(df, "id", ngram_n=2).collect()}
+    assert out[1]["novelty"] == 0.0 and out[1]["n_distinct_grams"] == 2
+    assert out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0 and out[3]["n_novel"] == 2
+
+
+def test_novelty_score_max_df_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "")],
+        "id long, text string",
+    )
+    # df("a b") = 3; with max_df=2 it is NOT novel, with max_df=3 it is
+    strict = {r["id"]: r["novelty"] for r in
+              C.novelty_score(df, "id", ngram_n=2, max_df=2).collect()}
+    loose = {r["id"]: r["novelty"] for r in
+             C.novelty_score(df, "id", ngram_n=2, max_df=3).collect()}
+    assert strict[1] == 0.0 and loose[1] == 1.0
+    # empty doc: zero grams, novelty 0.0, row preserved
+    assert strict[4] == 0.0
+    with pytest.raises(ValueError, match="max_df"):
+        C.novelty_score(df, "id", max_df=0)
+    with pytest.raises(ValueError, match="unit"):
+        C.novelty_score(df, "id", unit="byte")
+
+
+def test_novelty_boilerplate_vs_unique(spark):
+    # a template family: each doc differs (ids differ) but every piece
+    # is shared -> low novelty; one bespoke doc -> high novelty
+    tmpl = [(i, f"order {i} confirmed thanks for shopping with us today")
+            for i in range(5)]
+    df = spark.createDataFrame(
+        tmpl + [(99, "the quick brown fox jumps over the lazy dog")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["novelty"] for r in
+           C.novelty_score(df, "id", ngram_n=3).collect()}
+    assert out[99] == 1.0
+    assert all(out[i] < 0.5 for i in range(5))
