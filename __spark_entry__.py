@@ -1318,6 +1318,22 @@ def q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  unit="word")
 
 
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs (dedup.py::tfidf_cosine_pairs, r9 —
+    the idf-downweighted lexical near-dup: unlike Jaccard, shared
+    boilerplate/stop-material alone can't cross the threshold; only
+    shared DISTINCTIVE vocabulary scores). Vector space = whitespace
+    tokens with df ≤ 200; weights tf·ln(N/df) rounded to 9 decimals and
+    accumulated as exact DECIMAL products, so Spark and the oracle agree
+    bit-for-bit. Postings self-join on term → Σ df² work, never n²."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "dedup", "method": "tfidf_cosine", "id_col": "doc_id",
+         "column": "text", "threshold": 0.6, "max_df": 200,
+         "output": "pairs"},
+    ])
+
+
 def q_dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup dedup: word-5-gram Jaccard pairs → iterative
     hash-min connected components (operators/dedup.py
@@ -3987,6 +4003,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_perplexity_buckets",  # r9-new, locally hash-exact; fronts in r10
     "q_novelty_docs",    # r9-new, locally hash-exact; fronts in r10
     "q_tokenizer_fertility",  # r9-new, locally hash-exact; fronts in r10
+    "q_tfidf_pairs",     # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4148,6 +4165,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_lag_orders": q_window_lag_orders,
         "q_dedup_exact_docs": q_dedup_exact_docs,
         "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "q_tfidf_pairs": q_tfidf_pairs,  # idf-weighted lexical near-dup, r9
         "q_dedup_best_docs": q_dedup_best_docs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_dups": q_embedding_dups,
@@ -5323,6 +5341,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        """,
+        # TF-IDF cosine near-dup: rounded double weights become exact
+        # DECIMAL(18,9); norms/dots are exact decimal sums, so only the
+        # final double division is floating — identical expression text
+        # on both engines
+        "q_tfidf_pairs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t != '') AS w
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(w) AS tok FROM tok)
+              GROUP BY doc_id, tok
+            ),
+            dfs AS (
+              SELECT tok, count(*) AS dft FROM tf GROUP BY tok
+              HAVING count(*) <= 200
+            ),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+            ),
+            w AS (
+              SELECT doc_id, tok,
+                     CAST(round(CAST(tf AS DOUBLE)
+                                * ln(n_docs / CAST(dft AS DOUBLE)), 9)
+                          AS DECIMAL(18,9)) AS wt
+              FROM tf JOIN dfs USING (tok) CROSS JOIN stats
+            ),
+            norms AS (
+              SELECT doc_id, sum(wt * wt) AS ss FROM w GROUP BY doc_id
+            ),
+            dots AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     sum(a.wt * b.wt) AS dot
+              FROM w a JOIN w b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            scored AS (
+              SELECT id_a, id_b,
+                     round(CAST(dot AS DOUBLE)
+                           / sqrt(CAST(na.ss AS DOUBLE))
+                           / sqrt(CAST(nb.ss AS DOUBLE)), 9) AS cosine
+              FROM dots
+              JOIN norms na ON na.doc_id = id_a
+              JOIN norms nb ON nb.doc_id = id_b
+            )
+            SELECT id_a, id_b, cosine, cosine AS score
+            FROM scored WHERE cosine >= 0.6::DOUBLE
         """,
         "q_dedup_cluster_docs": _SHINGLES_CTE.replace(
             "WITH ", "WITH RECURSIVE ", 1

@@ -133,6 +133,7 @@ HEADLINE = [
     "q_perplexity_buckets",
     "q_novelty_docs",
     "q_tokenizer_fertility",
+    "q_tfidf_pairs",
 ]
 
 

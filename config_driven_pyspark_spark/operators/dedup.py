@@ -6,6 +6,9 @@ Capability gap vs the reference (SURVEY.md §2C). Methods:
                      raw columns); one shuffle, map-side combinable.
 - ``ngram_jaccard``— exact n-gram Jaccard pairs via shingle-explode +
                      self-join on shingle; fully SQL-expressible (oracle-able).
+- ``tfidf_cosine`` — cosine pairs over sparse TF-IDF token vectors via the
+                     term inverted index; idf-downweighted, so shared
+                     boilerplate alone can't cross the threshold.
 - ``minhash_lsh``  — MinHash signatures over shingles + banded LSH to
                      generate candidates, verified with true Jaccard. The
                      scale path: candidate generation is O(n·bands), never
@@ -585,6 +588,86 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Cosine-similar document pairs over sparse TF-IDF vectors via the
+    term inverted index — the classic pre-neural lexical near-dup, and
+    the complement of ``ngram_jaccard``: Jaccard scores raw OVERLAP, so
+    boilerplate-heavy pairs score high on stop-material alone, while
+    TF-IDF cosine downweights corpus-common terms (idf) so only shared
+    DISTINCTIVE vocabulary pushes a pair over the threshold.
+
+    The vector space is the whitespace-token vocabulary restricted to
+    terms with document frequency ≤ ``max_df`` (stop-terms leave the
+    space entirely — norms and dots agree, so a reported cosine is
+    exact within the restricted space, never a mix). weight(d, t) =
+    tf · ln(N / df_t) rounded to 9 decimals; norms and dot products
+    then accumulate DECIMAL(18, 9) products, which are exact and
+    order-independent, so the score is bit-replicable across engines
+    (the BM25 pattern, corpus.py:2784).
+
+    Scale: pairs come from the postings self-join on term — Σ df(t)²
+    work, never n², with ``max_df`` bounding the per-term quadratic
+    blowup; tf/df/norms are single map-side-combinable aggregates and
+    corpus size N is a 1-row broadcast. Nothing is collected."""
+    tok = TX.tokens(F.lower(F.col(text_col)))
+    tf = (
+        _spread(df)
+        .select(F.col(id_col).alias("__id"), F.explode(tok).alias("__t"))
+        .groupBy("__id", "__t")
+        .agg(F.count("*").cast("bigint").alias("__tf"))
+    )
+    dfs = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    if max_df is not None:
+        dfs = dfs.filter(F.col("__df") <= max_df)
+    stats = df.agg(F.count("*").cast("double").alias("__n_docs"))
+    w = _materialize(
+        tf.join(dfs, "__t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "__id",
+            "__t",
+            F.round(
+                F.col("__tf").cast("double")
+                * F.log(F.col("__n_docs") / F.col("__df").cast("double")),
+                9,
+            ).cast("decimal(18,9)").alias("__w"),
+        )
+    )
+    norms = w.groupBy("__id").agg(F.sum(F.col("__w") * F.col("__w")).alias("__ss"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, on="__t")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.__w") * F.col("b.__w")).alias("__dot"))
+    )
+    na = norms.select(F.col("__id").alias("id_a"), F.col("__ss").alias("__ssa"))
+    nb = norms.select(F.col("__id").alias("id_b"), F.col("__ss").alias("__ssb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("__dot").cast("double")
+                / F.sqrt(F.col("__ssa").cast("double"))
+                / F.sqrt(F.col("__ssb").cast("double")),
+                9,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -1280,8 +1363,8 @@ def embedding_pairs(
 
 
 def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
-    """``{"stage": "dedup", "method": "exact|ngram_jaccard|minhash_lsh|
-    simhash|hamming|semdedup|embedding", "id_col": ...,
+    """``{"stage": "dedup", "method": "exact|ngram_jaccard|tfidf_cosine|
+    minhash_lsh|simhash|hamming|semdedup|embedding", "id_col": ...,
     "output": "dedup"|"pairs"|"clusters",
     "keep_by": <SQL expr>?, ...}``.
 
@@ -1359,6 +1442,12 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
             int(spec.get("num_hashes", 64)), int(spec.get("bands", 16)),
             float(spec.get("threshold", 0.8)), spec.get("unit", "char"),
             spec.get("verify", True),
+        )
+    elif method == "tfidf_cosine":
+        pairs = tfidf_cosine_pairs(
+            df, id_col, spec.get("column", "text"),
+            float(spec.get("threshold", 0.6)),
+            spec.get("max_df", 1000),
         )
     elif method == "simhash":
         pairs = simhash_pairs(

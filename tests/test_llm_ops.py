@@ -155,6 +155,62 @@ def test_ngram_jaccard_finds_near_identical(spark, documents):
     assert planted_pair in found
 
 
+def test_tfidf_cosine_downweights_boilerplate(spark):
+    # docs 1/2 share ONLY corpus-common boilerplate (every doc has it);
+    # docs 3/4 share distinctive rare vocabulary. Jaccard would score
+    # both pairs equally; TF-IDF cosine must rank 3-4 far above 1-2.
+    boiler = "click here to accept cookies and continue"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha"),
+            (2, f"{boiler} bravo"),
+            (3, f"{boiler} quantum entanglement detector schematic"),
+            (4, f"{boiler} quantum entanglement detector blueprint"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.tfidf_cosine_pairs(
+            df, "doc_id", threshold=0.0, max_df=None
+        ).collect()
+    }
+    # boiler terms appear in EVERY doc -> idf = ln(1) = 0: the 1-2 pair
+    # scores exactly 0.0; 3-4 scores on the shared rare trigram alone
+    assert got[(1, 2)] == 0.0
+    assert got[(3, 4)] > 0.4
+    # exact duplicate -> cosine 1.0
+    dup = df.union(
+        spark.createDataFrame(
+            [(9, f"{boiler} quantum entanglement detector schematic")],
+            "doc_id long, text string",
+        )
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.tfidf_cosine_pairs(
+            dup, "doc_id", threshold=0.9, max_df=None
+        ).collect()
+    }
+    assert exact == {(3, 9): 1.0}
+
+
+def test_tfidf_cosine_max_df_prunes_space(spark):
+    # with max_df=1 every shared term leaves the space -> no pairs at all
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    assert D.tfidf_cosine_pairs(df, "doc_id", threshold=0.0, max_df=1).count() == 0
+    # stage wiring: pairs output carries the method-agnostic score column
+    out = D.stage_dedup(
+        df,
+        {"stage": "dedup", "method": "tfidf_cosine", "id_col": "doc_id",
+         "threshold": 0.0, "max_df": None, "output": "pairs"},
+    )
+    rows = out.collect()
+    assert rows and all(r["score"] == r["cosine"] for r in rows)
+
+
 def test_minhash_lsh_agrees_with_exact_jaccard(spark, documents):
     df = documents.limit(60)
     exact = {
