@@ -1781,6 +1781,46 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle embedding covariance matrix (similarity.py::
+    embedding_covariance, r9 — the dim²-bounded summary behind PCA /
+    whitening, and a snapshot-drift check for embedding distributions).
+    Sufficient statistics are exact DECIMAL(18,9) sums of 9-rounded
+    products collapsed map-side to dim² rows in one corpus pass; the
+    final combine is one fixed double expression, so every value is
+    bit-replicable in SQL."""
+    return _run(spark, [
+        _src(sf_dir, "embeddings"),
+        {"stage": "similarity", "method": "covariance",
+         "vec_col": "embedding", "dim": 64},
+        {"stage": "sort", "by": ["i", "j"]},
+    ])
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-4 covariance eigenvectors
+    (similarity.py::pca_train + pca_project, r9): the covariance
+    sufficient statistics aggregate corpus-side (one pass, dim²
+    rows), the 64×64 eigendecomposition runs driver-side in numpy
+    (k·dim-bounded collect, the kmeans pattern), and the projection is
+    one map-only Project of literal dot products. DECLARED ROWS-ONLY:
+    eigenvectors aren't SQL-expressible — the exact companion row is
+    ``q_embedding_covariance`` (the full input to the eigensolver,
+    hash-checked), and orthonormality / variance-ordering / whitening
+    invariants are pytest-pinned (tests/test_llm_ops.py)."""
+    from config_driven_pyspark_spark.operators.similarity import (
+        pca_project,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = pca_project(emb, "embedding", out_dim=4, dim=64)
+    return proj.select(
+        "vec_id",
+        *[F.round(F.col("proj").getItem(i), 6).alias(f"p{i}")
+          for i in range(4)],
+    )
+
+
 def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second multimodal surface: the resize path (operators/multimodal.py::
     resize_images) over binary content via Arrow-batched mapInPandas. The
@@ -4004,6 +4044,8 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_novelty_docs",    # r9-new, locally hash-exact; fronts in r10
     "q_tokenizer_fertility",  # r9-new, locally hash-exact; fronts in r10
     "q_tfidf_pairs",     # r9-new, locally hash-exact; fronts in r10
+    "q_embedding_covariance",  # r9-new, locally hash-exact; fronts in r10
+    "q_pca_project",     # r9-new, declared rows-only; fronts in r10
 ]
 
 
@@ -4166,6 +4208,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact_docs": q_dedup_exact_docs,
         "q_ngram_dedup_pairs": q_ngram_dedup_pairs,
         "q_tfidf_pairs": q_tfidf_pairs,  # idf-weighted lexical near-dup, r9
+        "q_embedding_covariance": q_embedding_covariance,  # PCA stats, r9
+        "q_pca_project": q_pca_project,  # rows-only; companion above, r9
         "q_dedup_best_docs": q_dedup_best_docs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_dups": q_embedding_dups,
@@ -5341,6 +5385,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        """,
+        # covariance: exact decimal sufficient statistics + one fixed
+        # double combine expression (identical text to the Spark plan);
+        # q_pca_project (rows-only) eigendecomposes exactly this matrix
+        "q_embedding_covariance": """
+            WITH v AS (
+              SELECT embedding AS e FROM embeddings
+              WHERE embedding IS NOT NULL
+            ),
+            sxx AS (
+              SELECT i, j,
+                     sum(CAST(round(CAST(e[i+1] AS DOUBLE)
+                                    * CAST(e[j+1] AS DOUBLE), 9)
+                              AS DECIMAL(18,9))) AS sxx
+              FROM v, unnest(range(0, 64)) t(i), unnest(range(0, 64)) u(j)
+              WHERE j >= i
+              GROUP BY i, j
+            ),
+            sx AS (
+              SELECT i,
+                     sum(CAST(round(CAST(e[i+1] AS DOUBLE), 9)
+                              AS DECIMAL(18,9))) AS sx
+              FROM v, unnest(range(0, 64)) t(i)
+              GROUP BY i
+            ),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)
+            SELECT CAST(sxx.i AS INT) AS i, CAST(sxx.j AS INT) AS j,
+                   round((CAST(sxx AS DOUBLE)
+                          - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE)
+                            / n) / n, 9) AS cov
+            FROM sxx
+            JOIN sx si ON si.i = sxx.i
+            JOIN sx sj ON sj.i = sxx.j
+            CROSS JOIN stats
+            ORDER BY i, j
         """,
         # TF-IDF cosine near-dup: rounded double weights become exact
         # DECIMAL(18,9); norms/dots are exact decimal sums, so only the

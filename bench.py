@@ -134,6 +134,8 @@ HEADLINE = [
     "q_novelty_docs",
     "q_tokenizer_fertility",
     "q_tfidf_pairs",
+    "q_embedding_covariance",
+    "q_pca_project",
 ]
 
 

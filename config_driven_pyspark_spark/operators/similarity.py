@@ -2118,9 +2118,190 @@ def project_embeddings(
     return df.withColumn("proj", proj)
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Probe the first non-null vector's length — one bounded driver job
+    at plan-build time (the project_embeddings pattern)."""
+    row = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if row is None:
+        raise ValueError(
+            f"no non-null '{vec_col}' row to infer the dimension from — "
+            "pass dim= explicitly"
+        )
+    return len(row[0])
+
+
+def _cov_parts(
+    df: DataFrame, vec_col: str, dim: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared covariance sufficient statistics over non-null vectors:
+    (sxx: i, j, sxx for i ≤ j), (sx: i, sx), (stats: 1-row n). All sums
+    accumulate 9-decimal-rounded doubles as DECIMAL(18, 9) — exact and
+    order-independent, so downstream covariances are bit-replicable.
+
+    Scale: ONE corpus pass each — the upper-triangle product explode is
+    dim·(dim+1)/2 structs per row collapsed map-side by the partial
+    aggregate, so shuffle volume is partitions × dim² rows, never
+    corpus-sized; means/count are ordinary combinable aggregates."""
+    rows = _spread(df.filter(F.col(vec_col).isNotNull()))
+    v = V.as_double(F.col(vec_col))
+    tri = F.flatten(
+        F.transform(
+            v,
+            lambda xi, i: F.transform(
+                F.slice(v, i + 1, dim),
+                lambda xj, lj: F.struct(
+                    i.alias("i"),
+                    (i + lj).alias("j"),
+                    F.round(xi * xj, 9)
+                    .cast("decimal(18,9)")
+                    .alias("p"),
+                ),
+            ),
+        )
+    )
+    sxx = (
+        rows.select(F.explode(tri).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.p").alias("sxx"))
+    )
+    sx = (
+        rows.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.round(F.col("x"), 9).cast("decimal(18,9)")).alias("sx"))
+    )
+    stats = rows.agg(F.count("*").cast("double").alias("n"))
+    return sxx, sx, stats
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", dim: Optional[int] = None
+) -> DataFrame:
+    """Upper-triangle empirical covariance matrix of a vector column —
+    (i, j, cov) for i ≤ j, cov = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n rounded to 9
+    decimals. The dim²-bounded summary that drives PCA/whitening (and a
+    drift check between corpus snapshots: embedding distributions that
+    move show up here long before downstream recall does).
+
+    Bit-replicable: sufficient statistics are exact DECIMAL sums of
+    9-rounded products (see ``_cov_parts``); the final combine is one
+    fixed double expression, so an external SQL engine reproduces every
+    value. Scale: one corpus pass, map-side-combined to dim² rows."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    sxx, sx, stats = _cov_parts(df, vec_col, dim)
+    si = sx.select(F.col("i"), F.col("sx").alias("__sxi"))
+    sj = sx.select(F.col("i").alias("j"), F.col("sx").alias("__sxj"))
+    return (
+        sxx.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.round(
+                (
+                    F.col("sxx").cast("double")
+                    - F.col("__sxi").cast("double")
+                    * F.col("__sxj").cast("double")
+                    / F.col("n")
+                )
+                / F.col("n"),
+                9,
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    whiten: bool = False,
+    dim: Optional[int] = None,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Distributed PCA fit: covariance sufficient statistics aggregate
+    corpus-side (one pass, dim²-bounded — ``_cov_parts``), then the
+    dim×dim eigendecomposition runs driver-side in numpy (the k·dim
+    collect pattern of ``kmeans_clusters``; a 1024-dim embedding's
+    covariance is 4 MB — never corpus-sized). Returns (mean,
+    components, eigenvalues): components are the top ``out_dim``
+    eigenvectors by descending eigenvalue, sign-fixed so each vector's
+    largest-|·| entry is positive (deterministic orientation);
+    ``whiten`` scales each component by 1/√λ (λ floored at 1e-12) so
+    projected dimensions have unit variance — the usual prep before
+    cosine ANN / SemDeDup on anisotropic embedding spaces."""
+    import numpy as np
+
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    if not 1 <= out_dim <= dim:
+        raise ValueError(f"out_dim must be in [1, {dim}], got {out_dim}")
+    sxx, sx, stats = _cov_parts(df, vec_col, dim)
+    n = float(stats.first()["n"])
+    if n < 2:
+        raise ValueError("pca_train needs >= 2 non-null vectors")
+    mean = np.zeros(dim)
+    for r in sx.collect():
+        mean[r["i"]] = float(r["sx"]) / n
+    cov = np.zeros((dim, dim))
+    for r in sxx.collect():
+        cov[r["i"], r["j"]] = float(r["sxx"])
+    # assemble covariance from sufficient stats, mirror the triangle
+    cov = (cov - np.outer(mean, mean) * n) / n
+    cov = np.triu(cov) + np.triu(cov, 1).T
+    vals, vecs = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:out_dim]  # top out_dim, descending
+    comps, eigs = [], []
+    for c in order:
+        vec = vecs[:, c].copy()
+        pivot = int(np.argmax(np.abs(vec)))   # first max on ties
+        if vec[pivot] < 0:
+            vec = -vec
+        lam = float(max(vals[c], 0.0))
+        if whiten:
+            vec = vec / np.sqrt(max(lam, 1e-12))
+        comps.append([float(x) for x in vec])
+        eigs.append(lam)
+    return [float(x) for x in mean], comps, eigs
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    whiten: bool = False,
+    dim: Optional[int] = None,
+    model: Optional[tuple] = None,
+) -> DataFrame:
+    """PCA projection: adds ``proj`` (``array<double>``, length
+    ``out_dim``) = Vᵀ(x − μ) with components from :func:`pca_train`
+    (pass ``model`` to reuse a fit — train once, project many). The
+    mean offset folds into a per-component scalar driver-side, so the
+    projection is ONE map-only whole-stage-codegen Project — dot
+    products against literal component arrays, no shuffle, no UDF
+    (the ``project_embeddings`` shape, with learned planes)."""
+    mean, comps, _ = model if model is not None else pca_train(
+        df, vec_col, out_dim, whiten, dim
+    )
+    if len(comps) != out_dim:
+        raise ValueError(
+            f"model has {len(comps)} components, out_dim={out_dim}"
+        )
+    offs = [sum(m * c for m, c in zip(mean, comp)) for comp in comps]
+    v = V.as_double(F.col(vec_col))
+    proj = F.array(
+        *[
+            V.dot(v, F.array(*[F.lit(x) for x in comp])) - F.lit(off)
+            for comp, off in zip(comps, offs)
+        ]
+    )
+    return df.withColumn("proj", proj)
+
+
 def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     """``{"stage": "similarity", "method": "brute_force"|"srp_lsh"|"ivf"|
-    "pq"|"ivfpq"|"project"|"quantize"|"dequantize", "k": 10,
+    "pq"|"ivfpq"|"project"|"covariance"|"pca"|"quantize"|"dequantize",
+    "k": 10,
     "queries": <stage name, default: self>, "id_col":
     ..., "vec_col": ..., "bits": 8, "n_centroids": 16, "nprobe": 4,
     "out_dim": 8 (project), "m"/"n_codes"/"codebooks"/"rerank" (pq, ivfpq —
@@ -2186,6 +2367,13 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
             ctx.get(spec["approx"]), ctx.get(spec["exact"]),
             spec.get("query_col", "query_id"),
             spec.get("fuse_id_col", "neighbor_id"),
+        )
+    if method == "covariance":
+        return embedding_covariance(df, vec_col, spec.get("dim"))
+    if method == "pca":
+        return pca_project(
+            df, vec_col, int(spec.get("out_dim", 8)),
+            bool(spec.get("whiten", False)), spec.get("dim"),
         )
     if method == "brute_force":
         return brute_force_topk(

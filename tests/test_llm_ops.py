@@ -1047,6 +1047,55 @@ def test_pq_rejects_indivisible_subspaces(spark, embeddings):
         S.pq_topk(embeddings, embeddings.limit(1), k=3, m=5)
 
 
+def test_embedding_covariance_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    sub = embeddings.limit(80)
+    X = np.array(
+        [r["embedding"] for r in sub.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in S.embedding_covariance(sub, "embedding").collect()
+    }
+    assert len(got) == 64 * 65 // 2  # upper triangle incl. diagonal
+    ref = (X.T @ X) / len(X) - np.outer(X.mean(0), X.mean(0))
+    for (i, j), c in got.items():
+        assert j >= i and abs(c - ref[i, j]) < 1e-8, (i, j)
+
+
+def test_pca_invariants_and_whitening(spark, embeddings):
+    import numpy as np
+
+    sub = embeddings.limit(120)
+    mean, comps, eigs = S.pca_train(sub, "embedding", out_dim=5)
+    C = np.array(comps)
+    # orthonormal rows, descending eigenvalues, positive pivot sign
+    assert np.allclose(C @ C.T, np.eye(5), atol=1e-8)
+    assert eigs == sorted(eigs, reverse=True) and eigs[-1] > 0
+    for row in C:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+    # projected variance reproduces the eigenvalues; whitening -> unit
+    P = np.array(
+        [r["proj"] for r in
+         S.pca_project(sub, "embedding", 5, model=(mean, comps, eigs))
+         .select("proj").collect()]
+    )
+    assert np.allclose(P.var(axis=0), eigs, rtol=1e-6)
+    PW = np.array(
+        [r["proj"] for r in
+         S.pca_project(sub, "embedding", 5, whiten=True)
+         .select("proj").collect()]
+    )
+    assert np.allclose(PW.var(axis=0), 1.0, rtol=1e-6)
+    # model reuse must demand matching out_dim
+    with pytest.raises(ValueError, match="components"):
+        S.pca_project(sub, "embedding", 3, model=(mean, comps, eigs))
+    with pytest.raises(ValueError, match="out_dim"):
+        S.pca_train(sub, "embedding", out_dim=65)
+
+
 def test_quantize_embeddings_roundtrip_and_ranking(spark, embeddings):
     """int8 SQ invariants: codes bounded to [-127, 127]; dequantized
     reconstruction within scale/2 per component; and cosine top-5 over
