@@ -2712,6 +2712,167 @@ def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer vocabulary (operators/unigram.py::
+    unigram_train, r9 — the SentencePiece-family counterpart to
+    q_bpe_vocab): frequency-derived piece table over the capped top-10k
+    word table — every ≤4-char substring at every position weighted by
+    word frequency, all single chars retained, top-100 multis by
+    (count DESC, piece ASC), score = round(ln(count/total), 9). Pure
+    Column expressions end-to-end; the oracle recomputes the identical
+    substring explode + top-k + score."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "unigram_train", "column": "text",
+         "vocab_size": 100, "max_piece_len": 4, "max_words": 10000},
+    ])
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi unigram segmentation of the whole corpus (operators/
+    unigram.py::unigram_encode, r9): every word's best segmentation
+    under the q_unigram_vocab log-probabilities via dynamic programming
+    — best[i] = max_j round(best[j] + score(word[j:i]), 9), ties to the
+    smallest j — run in an Arrow-batched pandas UDF with a per-batch
+    distinct-word memo. The per-step 9-decimal quantization puts Python
+    and SQL on the same value grid, so the oracle replays the DP as 16
+    unrolled window-argmax steps over the distinct-word table (the MMR
+    sequential-replay pattern) and reassembles documents in word order.
+    Output: doc_id, piece count, and the space-joined piece stream."""
+    from config_driven_pyspark_spark.operators.unigram import (
+        unigram_encode, unigram_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = unigram_train(docs, "text", vocab_size=100, max_piece_len=4)
+    enc = unigram_encode(docs, vocab, "text", max_piece_len=4,
+                         max_word_len=16)
+    return enc.select(
+        "doc_id",
+        F.col("n_unigram_tokens").alias("n_toks"),
+        F.concat_ws(" ", "unigram_tokens").alias("toks"),
+    )
+
+
+def _unigram_vocab_ctes(
+    vocab_size: int = 100, max_piece_len: int = 4, max_words: int = 10_000
+) -> str:
+    """Shared CTE block: word table -> piece counts -> retained vocab
+    with scores (the q_unigram_vocab model, reused by the encode DP)."""
+    return f"""wf AS MATERIALIZED (
+  SELECT w AS word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS w
+    FROM documents) GROUP BY w
+),
+wt AS (
+  SELECT word, freq FROM wf ORDER BY freq DESC, word LIMIT {max_words}
+),
+pc AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS count FROM (
+    SELECT freq, word[s:s+l-1] AS piece
+    FROM wt, unnest(range(1, strlen(word)+1)) t(s),
+             unnest(range(1, {max_piece_len}+1)) u(l)
+    WHERE s + l - 1 <= strlen(word)
+  ) GROUP BY piece
+),
+vocab0 AS (
+  SELECT piece, count FROM pc WHERE strlen(piece) = 1
+  UNION ALL
+  SELECT piece, count FROM (
+    SELECT piece, count FROM pc WHERE strlen(piece) >= 2
+    ORDER BY count DESC, piece LIMIT {vocab_size}) mk
+),
+tot AS (SELECT CAST(sum(count) AS BIGINT) AS total FROM vocab0),
+vocab AS MATERIALIZED (
+  SELECT piece, count,
+         round(ln(CAST(count AS DOUBLE) / CAST(total AS DOUBLE)), 9)
+           AS score
+  FROM vocab0 CROSS JOIN tot
+)"""
+
+
+def _unigram_encode_oracle(
+    vocab_size: int = 100,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    max_words: int = 10_000,
+) -> str:
+    """q_unigram_encode's replay: the vocab CTEs + the Viterbi DP
+    unrolled as max_word_len (cand, best) CTE pairs — step i joins the
+    reachable predecessor states, scores the closing piece (vocab hit,
+    or UNK −100.0 for a single out-of-vocab char), quantizes to the
+    9-decimal grid and keeps the window argmax (best DESC, j ASC =
+    smallest j on ties, exactly the Python loop's strict-greater
+    replacement) — then per-document reassembly in word order."""
+    parts = [_unigram_vocab_ctes(vocab_size, max_piece_len, max_words)]
+    parts.append(f"""
+dwords AS MATERIALIZED (
+  SELECT DISTINCT w AS word FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS w
+    FROM documents)
+),
+b0 AS MATERIALIZED (
+  SELECT word, CAST(0.0 AS DOUBLE) AS best, []::VARCHAR[] AS pieces
+  FROM dwords WHERE strlen(word) <= {max_word_len}
+)""")
+    for i in range(1, max_word_len + 1):
+        js = range(max(0, i - max_piece_len), i)
+        pred = "\n      UNION ALL ".join(
+            f"SELECT word, best, pieces, {j} AS j FROM b{j} "
+            f"WHERE strlen(word) >= {i}"
+            for j in js
+        )
+        parts.append(f"""
+c{i} AS (
+  SELECT b.word,
+         round(b.best + CASE WHEN v.piece IS NOT NULL THEN v.score
+                             ELSE -100.0 END, 9) AS best,
+         list_append(b.pieces, b.word[b.j+1:{i}]) AS pieces,
+         b.j AS j
+  FROM ({pred}) b
+  LEFT JOIN vocab v ON v.piece = b.word[b.j+1:{i}]
+  WHERE v.piece IS NOT NULL OR {i} - b.j = 1
+),
+b{i} AS MATERIALIZED (
+  SELECT word, best, pieces FROM (
+    SELECT word, best, pieces,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY best DESC, j ASC) AS rn
+    FROM c{i}) r WHERE rn = 1
+)""")
+    finals = "\n  UNION ALL ".join(
+        f"SELECT word, pieces FROM b{i} WHERE strlen(word) = {i}"
+        for i in range(1, max_word_len + 1)
+    )
+    parts.append(f"""
+seg AS (
+  {finals}
+  UNION ALL
+  SELECT word, string_split(word, '') AS pieces FROM dwords
+  WHERE strlen(word) > {max_word_len}
+),
+toks2 AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS dw
+  FROM documents
+),
+dt AS (
+  SELECT doc_id, t.i AS pos, dw[t.i] AS word
+  FROM toks2, unnest(range(1, len(dw)+1)) t(i)
+),
+agg AS (
+  SELECT doc_id, flatten(list(s.pieces ORDER BY dt.pos)) AS toks
+  FROM dt JOIN seg s USING (word) GROUP BY doc_id
+)""")
+    return (
+        "WITH " + ",".join(parts) + """
+SELECT d.doc_id,
+       CAST(coalesce(len(a.toks), 0) AS BIGINT) AS n_toks,
+       coalesce(array_to_string(a.toks, ' '), '') AS toks
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    )
+
+
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE tokenizer training as a config stage (operators/bpe.py::
     bpe_train, VERDICT r6 ask #4): per-character base symbols, 8 rounds
@@ -4046,6 +4207,8 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_tfidf_pairs",     # r9-new, locally hash-exact; fronts in r10
     "q_embedding_covariance",  # r9-new, locally hash-exact; fronts in r10
     "q_pca_project",     # r9-new, declared rows-only; fronts in r10
+    "q_unigram_vocab",   # r9-new, locally hash-exact; fronts in r10
+    "q_unigram_encode",  # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4229,6 +4392,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_mixture": q_temperature_mixture,
         "q_audio_decode": q_audio_decode,
         "q_bpe_vocab": q_bpe_vocab,
+        "q_unigram_vocab": q_unigram_vocab,  # SentencePiece-family, r9
+        "q_unigram_encode": q_unigram_encode,  # Viterbi segmentation, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7109,6 +7274,13 @@ def oracle_sql() -> dict[str, str]:
         # programmatically generated 8-round chained-CTE replay of BPE
         # training (see _bpe_vocab_oracle)
         "q_bpe_vocab": _bpe_vocab_oracle(8, 10_000),
+        # frequency-derived unigram vocab: substring explode + top-k
+        "q_unigram_vocab": (
+            "WITH " + _unigram_vocab_ctes(100, 4, 10_000)
+            + "\nSELECT piece, count, score FROM vocab"
+        ),
+        # vocab CTEs + 16 unrolled Viterbi steps + per-doc reassembly
+        "q_unigram_encode": _unigram_encode_oracle(100, 4, 16, 10_000),
         # train + encode + pack replay (see _bpe_pack_oracle)
         "q_bpe_pack": _bpe_pack_oracle(8, 10_000, 128),
         # train + encode + per-lang fertility roll-up

@@ -136,6 +136,8 @@ HEADLINE = [
     "q_tfidf_pairs",
     "q_embedding_covariance",
     "q_pca_project",
+    "q_unigram_vocab",
+    "q_unigram_encode",
 ]
 
 

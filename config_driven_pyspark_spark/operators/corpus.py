@@ -3239,7 +3239,8 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     ``gopher_filter``, ``repetition_filter``, ``diff``,
     ``length_filter``, ``score_normalize``, ``quantile_bucket``,
     ``novelty``,
-    ``bpe_train``/``bpe_encode``, ``collocations``, ``perplexity``,
+    ``bpe_train``/``bpe_encode``, ``unigram_train``/``unigram_encode``,
+    ``collocations``, ``perplexity``,
     ``bm25``.  Named-frame inputs (``benchmark``/``target``/``baseline``/
     ``queries``/``merges``) resolve through ``ctx`` from earlier
     ``name:``-tagged stages."""
@@ -3350,6 +3351,27 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return apply_bpe(
             df, ctx.get(spec["merges"]), text_col,
             spec.get("out_col", "bpe_tokens"),
+        )
+    if op == "unigram_train":
+        from config_driven_pyspark_spark.operators.unigram import (
+            unigram_train,
+        )
+
+        return unigram_train(
+            df, text_col, int(spec.get("vocab_size", 200)),
+            int(spec.get("max_piece_len", 4)),
+            int(spec.get("max_words", 10_000)),
+        )
+    if op == "unigram_encode":
+        from config_driven_pyspark_spark.operators.unigram import (
+            unigram_encode,
+        )
+
+        return unigram_encode(
+            df, ctx.get(spec["vocab"]), text_col,
+            spec.get("out_col", "unigram_tokens"),
+            int(spec.get("max_piece_len", 4)),
+            int(spec.get("max_word_len", 16)),
         )
     if op == "bpe_stats":
         from config_driven_pyspark_spark.operators.bpe import (
