@@ -2873,6 +2873,162 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer vocabulary (operators/wordpiece.py::
+    wordpiece_train, r9 — the BERT-family counterpart to q_bpe_vocab
+    and q_unigram_vocab): role-tagged frequency-derived piece table over
+    the capped top-10k word table — every ≤4-char substring at every
+    position, tagged cont=false at word starts / cont=true elsewhere,
+    weighted by word frequency; all single chars retained in both
+    roles, top-100 multis by (count DESC, piece ASC, cont ASC). Pure
+    Column expressions end-to-end; the oracle recomputes the identical
+    role-tagged explode + top-k."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "wordpiece_train", "column": "text",
+         "vocab_size": 100, "max_piece_len": 4, "max_words": 10000},
+    ])
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match-first WordPiece segmentation of the whole
+    corpus (operators/wordpiece.py::wordpiece_encode, r9): each word is
+    consumed left-to-right, always taking the longest (piece, cont)
+    vocabulary hit at the cursor; a word with any un-matchable position
+    (or longer than 16 chars) becomes a single [UNK] — the public BERT
+    WordPieceTokenizer contract, run in an Arrow-batched pandas UDF
+    with a per-batch distinct-word memo. Deterministic cursor advance
+    means the oracle replays it as 16 unrolled SQL steps (one
+    window-argmax per step picks the longest hit) over the
+    distinct-word table, then reassembles documents in word order.
+    Output: doc_id, piece count, and the space-joined piece stream."""
+    from config_driven_pyspark_spark.operators.wordpiece import (
+        wordpiece_encode, wordpiece_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = wordpiece_train(docs, "text", vocab_size=100, max_piece_len=4)
+    enc = wordpiece_encode(docs, vocab, "text", max_piece_len=4,
+                           max_word_len=16)
+    return enc.select(
+        "doc_id",
+        F.col("n_wordpiece_tokens").alias("n_toks"),
+        F.concat_ws(" ", "wordpiece_tokens").alias("toks"),
+    )
+
+
+def _wordpiece_vocab_ctes(
+    vocab_size: int = 100, max_piece_len: int = 4, max_words: int = 10_000
+) -> str:
+    """Shared CTE block: word table -> role-tagged piece counts ->
+    retained vocab (the q_wordpiece_vocab model, reused by the greedy
+    encode replay)."""
+    return f"""wf AS MATERIALIZED (
+  SELECT w AS word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS w
+    FROM documents) GROUP BY w
+),
+wt AS (
+  SELECT word, freq FROM wf ORDER BY freq DESC, word LIMIT {max_words}
+),
+pc AS (
+  SELECT piece, cont, CAST(sum(freq) AS BIGINT) AS count FROM (
+    SELECT freq, word[s:s+l-1] AS piece, s > 1 AS cont
+    FROM wt, unnest(range(1, strlen(word)+1)) t(s),
+             unnest(range(1, {max_piece_len}+1)) u(l)
+    WHERE s + l - 1 <= strlen(word)
+  ) GROUP BY piece, cont
+),
+vocab AS MATERIALIZED (
+  SELECT piece, cont, count FROM pc WHERE strlen(piece) = 1
+  UNION ALL
+  SELECT piece, cont, count FROM (
+    SELECT piece, cont, count FROM pc WHERE strlen(piece) >= 2
+    ORDER BY count DESC, piece, cont LIMIT {vocab_size}) mk
+)"""
+
+
+def _wordpiece_encode_oracle(
+    vocab_size: int = 100,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    max_words: int = 10_000,
+) -> str:
+    """q_wordpiece_encode's replay: the vocab CTEs + the greedy cursor
+    unrolled as max_word_len (cand, state) CTE pairs — step i generates
+    the 1..max_piece_len candidate substrings at each unfinished word's
+    cursor, left-joins the role-tagged vocab, and keeps the window
+    argmax (hit DESC, l DESC = the longest matching piece, exactly the
+    Python loop's first-hit-from-longest order); a cursor with no hit
+    marks the word failed = single [UNK] — then per-document reassembly
+    in word order."""
+    parts = [_wordpiece_vocab_ctes(vocab_size, max_piece_len, max_words)]
+    parts.append(f"""
+dwords AS MATERIALIZED (
+  SELECT DISTINCT w AS word FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS w
+    FROM documents)
+),
+b0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, []::VARCHAR[] AS toks, false AS failed
+  FROM dwords WHERE strlen(word) <= {max_word_len}
+)""")
+    for i in range(1, max_word_len + 1):
+        parts.append(f"""
+c{i} AS (
+  SELECT b.word, b.pos, b.toks, l.l,
+         CASE WHEN b.pos = 0 THEN '' ELSE '##' END
+           || b.word[b.pos+1 : b.pos+l.l] AS stored,
+         v.piece IS NOT NULL AS hit
+  FROM b{i-1} b
+  CROSS JOIN unnest(range(1, {max_piece_len}+1)) l(l)
+  LEFT JOIN vocab v
+    ON v.piece = b.word[b.pos+1 : b.pos+l.l] AND v.cont = (b.pos > 0)
+  WHERE NOT b.failed AND b.pos < strlen(b.word)
+    AND b.pos + l.l <= strlen(b.word)
+),
+b{i} AS MATERIALIZED (
+  SELECT word,
+         CASE WHEN hit THEN pos + l ELSE strlen(word) END AS pos,
+         CASE WHEN hit THEN list_append(toks, stored)
+              ELSE ['[UNK]'] END AS toks,
+         NOT hit AS failed
+  FROM (SELECT *, row_number() OVER (PARTITION BY word
+                  ORDER BY hit DESC, l DESC) AS rn FROM c{i}) r
+  WHERE rn = 1
+  UNION ALL
+  SELECT word, pos, toks, failed FROM b{i-1}
+  WHERE failed OR pos >= strlen(word)
+)""")
+    parts.append(f"""
+seg AS (
+  SELECT word, toks AS pieces FROM b{max_word_len}
+  UNION ALL
+  SELECT word, ['[UNK]'] AS pieces FROM dwords
+  WHERE strlen(word) > {max_word_len}
+),
+toks2 AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS dw
+  FROM documents
+),
+dt AS (
+  SELECT doc_id, t.i AS pos, dw[t.i] AS word
+  FROM toks2, unnest(range(1, len(dw)+1)) t(i)
+),
+agg AS (
+  SELECT doc_id, flatten(list(s.pieces ORDER BY dt.pos)) AS toks
+  FROM dt JOIN seg s USING (word) GROUP BY doc_id
+)""")
+    return (
+        "WITH " + ",".join(parts) + """
+SELECT d.doc_id,
+       CAST(coalesce(len(a.toks), 0) AS BIGINT) AS n_toks,
+       coalesce(array_to_string(a.toks, ' '), '') AS toks
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    )
+
+
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE tokenizer training as a config stage (operators/bpe.py::
     bpe_train, VERDICT r6 ask #4): per-character base symbols, 8 rounds
@@ -4209,6 +4365,8 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_pca_project",     # r9-new, declared rows-only; fronts in r10
     "q_unigram_vocab",   # r9-new, locally hash-exact; fronts in r10
     "q_unigram_encode",  # r9-new, locally hash-exact; fronts in r10
+    "q_wordpiece_vocab",   # r9-new, locally hash-exact; fronts in r10
+    "q_wordpiece_encode",  # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4394,6 +4552,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_vocab": q_bpe_vocab,
         "q_unigram_vocab": q_unigram_vocab,  # SentencePiece-family, r9
         "q_unigram_encode": q_unigram_encode,  # Viterbi segmentation, r9
+        "q_wordpiece_vocab": q_wordpiece_vocab,  # BERT-family, r9
+        "q_wordpiece_encode": q_wordpiece_encode,  # greedy longest-match, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7281,6 +7441,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab CTEs + 16 unrolled Viterbi steps + per-doc reassembly
         "q_unigram_encode": _unigram_encode_oracle(100, 4, 16, 10_000),
+        # role-tagged wordpiece vocab: (piece, cont) explode + top-k
+        "q_wordpiece_vocab": (
+            "WITH " + _wordpiece_vocab_ctes(100, 4, 10_000)
+            + "\nSELECT piece, cont, count FROM vocab"
+        ),
+        # vocab CTEs + 16 unrolled greedy-cursor steps + reassembly
+        "q_wordpiece_encode": _wordpiece_encode_oracle(100, 4, 16, 10_000),
         # train + encode + pack replay (see _bpe_pack_oracle)
         "q_bpe_pack": _bpe_pack_oracle(8, 10_000, 128),
         # train + encode + per-lang fertility roll-up

@@ -138,6 +138,8 @@ HEADLINE = [
     "q_pca_project",
     "q_unigram_vocab",
     "q_unigram_encode",
+    "q_wordpiece_vocab",
+    "q_wordpiece_encode",
 ]
 
 

@@ -3240,6 +3240,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     ``length_filter``, ``score_normalize``, ``quantile_bucket``,
     ``novelty``,
     ``bpe_train``/``bpe_encode``, ``unigram_train``/``unigram_encode``,
+    ``wordpiece_train``/``wordpiece_encode``,
     ``collocations``, ``perplexity``,
     ``bm25``.  Named-frame inputs (``benchmark``/``target``/``baseline``/
     ``queries``/``merges``) resolve through ``ctx`` from earlier
@@ -3370,6 +3371,27 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return unigram_encode(
             df, ctx.get(spec["vocab"]), text_col,
             spec.get("out_col", "unigram_tokens"),
+            int(spec.get("max_piece_len", 4)),
+            int(spec.get("max_word_len", 16)),
+        )
+    if op == "wordpiece_train":
+        from config_driven_pyspark_spark.operators.wordpiece import (
+            wordpiece_train,
+        )
+
+        return wordpiece_train(
+            df, text_col, int(spec.get("vocab_size", 200)),
+            int(spec.get("max_piece_len", 4)),
+            int(spec.get("max_words", 10_000)),
+        )
+    if op == "wordpiece_encode":
+        from config_driven_pyspark_spark.operators.wordpiece import (
+            wordpiece_encode,
+        )
+
+        return wordpiece_encode(
+            df, ctx.get(spec["vocab"]), text_col,
+            spec.get("out_col", "wordpiece_tokens"),
             int(spec.get("max_piece_len", 4)),
             int(spec.get("max_word_len", 16)),
         )
