@@ -2873,6 +2873,27 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings (operators/featurize.py::
+    hash_embed, r9 — Weinberger et al. 2009): every lowercased
+    unigram/bigram lands in one of 64 md5 buckets with an md5-derived
+    ±1 sign, per-bucket signed counts L2-normalize to a unit vector on
+    the 9-decimal grid — the dependency-free text→vector bridge into
+    the engine's whole ANN/k-means/SemDeDup stack. Pure Column math
+    (two map-side-combinable shuffles, no UDF); output is the exploded
+    (doc_id, idx, val) component table so every one of the 64·n values
+    is hash-checked."""
+    from config_driven_pyspark_spark.operators.featurize import hash_embed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = hash_embed(docs, "doc_id", "text", dim=64)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("idx", "val")
+    ).select(
+        "doc_id", F.col("idx").cast("bigint").alias("idx"), "val"
+    )
+
+
 def q_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece tokenizer vocabulary (operators/wordpiece.py::
     wordpiece_train, r9 — the BERT-family counterpart to q_bpe_vocab
@@ -4367,6 +4388,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_unigram_encode",  # r9-new, locally hash-exact; fronts in r10
     "q_wordpiece_vocab",   # r9-new, locally hash-exact; fronts in r10
     "q_wordpiece_encode",  # r9-new, locally hash-exact; fronts in r10
+    "q_hash_embed",        # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4554,6 +4576,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_encode": q_unigram_encode,  # Viterbi segmentation, r9
         "q_wordpiece_vocab": q_wordpiece_vocab,  # BERT-family, r9
         "q_wordpiece_encode": q_wordpiece_encode,  # greedy longest-match, r9
+        "q_hash_embed": q_hash_embed,  # feature-hashing embedder, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7448,6 +7471,47 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab CTEs + 16 unrolled greedy-cursor steps + reassembly
         "q_wordpiece_encode": _wordpiece_encode_oracle(100, 4, 16, 10_000),
+        # signed feature hashing: md5 bucket/sign, integer sums, unit norm
+        "q_hash_embed": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x != '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(t || list_transform(
+                       range(1, greatest(len(t), 1)),
+                       i -> t[i] || ' ' || t[i+1])) AS g
+              FROM toks
+            ),
+            hb AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+                       % 64 AS b,
+                     CASE WHEN CAST(concat('0x', substr(md5(g), 9, 1))
+                                    AS BIGINT) % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+              FROM grams
+            ),
+            pv AS (
+              SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+              FROM hb GROUP BY doc_id, b
+            ),
+            nrm AS (
+              SELECT doc_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS nrm
+              FROM pv GROUP BY doc_id
+            ),
+            dims AS (SELECT unnest(range(0, 64)) AS idx)
+            SELECT d.doc_id, dims.idx,
+                   round(coalesce(CAST(pv.v AS DOUBLE)
+                                  / nullif(nrm.nrm, 0.0), 0.0), 9) AS val
+            FROM documents d
+            CROSS JOIN dims
+            LEFT JOIN pv ON pv.doc_id = d.doc_id AND pv.b = dims.idx
+            LEFT JOIN nrm ON nrm.doc_id = d.doc_id
+        """,
         # train + encode + pack replay (see _bpe_pack_oracle)
         "q_bpe_pack": _bpe_pack_oracle(8, 10_000, 128),
         # train + encode + per-lang fertility roll-up

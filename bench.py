@@ -140,6 +140,7 @@ HEADLINE = [
     "q_unigram_encode",
     "q_wordpiece_vocab",
     "q_wordpiece_encode",
+    "q_hash_embed",
 ]
 
 

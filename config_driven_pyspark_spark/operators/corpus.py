@@ -3240,7 +3240,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     ``length_filter``, ``score_normalize``, ``quantile_bucket``,
     ``novelty``,
     ``bpe_train``/``bpe_encode``, ``unigram_train``/``unigram_encode``,
-    ``wordpiece_train``/``wordpiece_encode``,
+    ``wordpiece_train``/``wordpiece_encode``, ``hash_embed``,
     ``collocations``, ``perplexity``,
     ``bm25``.  Named-frame inputs (``benchmark``/``target``/``baseline``/
     ``queries``/``merges``) resolve through ``ctx`` from earlier
@@ -3373,6 +3373,16 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             spec.get("out_col", "unigram_tokens"),
             int(spec.get("max_piece_len", 4)),
             int(spec.get("max_word_len", 16)),
+        )
+    if op == "hash_embed":
+        from config_driven_pyspark_spark.operators.featurize import (
+            hash_embed,
+        )
+
+        return hash_embed(
+            df, id_col, text_col, int(spec.get("dim", 64)),
+            spec.get("out_col", "embedding"),
+            bool(spec.get("bigrams", True)),
         )
     if op == "wordpiece_train":
         from config_driven_pyspark_spark.operators.wordpiece import (
