@@ -78,6 +78,9 @@ def hash_embed(
     m = per.groupBy("__id").agg(
         F.map_from_entries(F.collect_list(F.struct("__b", "__v"))).alias("__m")
     )
+    # materialize the dense vector and its norm as their OWN columns so
+    # the interpreted higher-order aggregate runs once per row, not once
+    # per output component (a 65x re-evaluation otherwise)
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(
@@ -86,18 +89,20 @@ def hash_embed(
         ),
     )
     norm2 = F.aggregate(
-        vec, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        F.col("__vec"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
     )
     emb = F.when(
-        norm2 > 0,
+        F.col("__n") > 0,
         F.transform(
-            vec,
-            lambda x: F.round(
-                x.cast("double") / F.sqrt(norm2.cast("double")), 9
-            ),
+            F.col("__vec"),
+            lambda x: F.round(x.cast("double") / F.col("__n"), 9),
         ),
     ).otherwise(F.array_repeat(F.lit(0.0), dim))
-    embf = m.select("__id", emb.alias("__emb"))
+    embf = (
+        m.select("__id", vec.alias("__vec"))
+        .select("__id", "__vec", F.sqrt(norm2.cast("double")).alias("__n"))
+        .select("__id", emb.alias("__emb"))
+    )
     return (
         df.join(embf, df[id_col] == embf["__id"], "left")
         .withColumn(
