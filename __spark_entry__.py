@@ -2873,6 +2873,22 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-receipt manifest (operators/integrity.py::export_manifest,
+    r9): one row per source with exact row count, UTF-8 byte total, and
+    the order-independent bit_xor checksum of md5(id || '|' || text)
+    pair hashes — the export-validation primitive that proves a copied/
+    compacted/migrated corpus is byte-identical without comparing rows.
+    One map-side-combinable groupBy; XOR makes the checksum invariant
+    to row order and partitioning while the (id, content) pair hash
+    catches id-content mispairings per-column checksums miss."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "manifest", "by": "source",
+         "id_col": "doc_id", "column": "text"},
+    ])
+
+
 def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document embeddings (operators/featurize.py::
     hash_embed, r9 — Weinberger et al. 2009): every lowercased
@@ -4389,6 +4405,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_wordpiece_vocab",   # r9-new, locally hash-exact; fronts in r10
     "q_wordpiece_encode",  # r9-new, locally hash-exact; fronts in r10
     "q_hash_embed",        # r9-new, locally hash-exact; fronts in r10
+    "q_export_manifest",   # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4577,6 +4594,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wordpiece_vocab": q_wordpiece_vocab,  # BERT-family, r9
         "q_wordpiece_encode": q_wordpiece_encode,  # greedy longest-match, r9
         "q_hash_embed": q_hash_embed,  # feature-hashing embedder, r9
+        "q_export_manifest": q_export_manifest,  # shard receipts, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7471,6 +7489,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab CTEs + 16 unrolled greedy-cursor steps + reassembly
         "q_wordpiece_encode": _wordpiece_encode_oracle(100, 4, 16, 10_000),
+        # per-source receipt: count, byte total, XOR of pair hashes
+        "q_export_manifest": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(strlen(coalesce(text, ''))), 0)
+                        AS BIGINT) AS n_bytes,
+                   bit_xor(CAST(concat('0x', substr(md5(
+                     concat(CAST(doc_id AS VARCHAR), '|',
+                            coalesce(text, ''))), 1, 15)) AS BIGINT))
+                     AS checksum
+            FROM documents GROUP BY source
+        """,
         # signed feature hashing: md5 bucket/sign, integer sums, unit norm
         "q_hash_embed": """
             WITH toks AS (

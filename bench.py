@@ -141,6 +141,7 @@ HEADLINE = [
     "q_wordpiece_vocab",
     "q_wordpiece_encode",
     "q_hash_embed",
+    "q_export_manifest",
 ]
 
 

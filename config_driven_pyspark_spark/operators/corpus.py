@@ -3241,6 +3241,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     ``novelty``,
     ``bpe_train``/``bpe_encode``, ``unigram_train``/``unigram_encode``,
     ``wordpiece_train``/``wordpiece_encode``, ``hash_embed``,
+    ``manifest``/``manifest_diff``,
     ``collocations``, ``perplexity``,
     ``bm25``.  Named-frame inputs (``benchmark``/``target``/``baseline``/
     ``queries``/``merges``) resolve through ``ctx`` from earlier
@@ -3373,6 +3374,23 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             spec.get("out_col", "unigram_tokens"),
             int(spec.get("max_piece_len", 4)),
             int(spec.get("max_word_len", 16)),
+        )
+    if op == "manifest":
+        from config_driven_pyspark_spark.operators.integrity import (
+            export_manifest,
+        )
+
+        return export_manifest(
+            df, spec.get("by", "shard"), id_col, text_col
+        )
+    if op == "manifest_diff":
+        from config_driven_pyspark_spark.operators.integrity import (
+            manifest_diff,
+        )
+
+        return manifest_diff(
+            df, ctx.get(spec["manifest"]), spec.get("by", "shard"),
+            id_col, text_col,
         )
     if op == "hash_embed":
         from config_driven_pyspark_spark.operators.featurize import (
