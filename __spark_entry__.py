@@ -2873,6 +2873,23 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (operators/ordering.py::curriculum_order,
+    r9): every document's EXACT 0-based global position in
+    (n_chars ASC NULLS FIRST, doc_id) order plus its equal-width
+    4-phase stage — computed with the two-level pattern (approx-quantile
+    pre-buckets, n_buckets-row offset window, per-bucket parallel
+    row_number) instead of the one-task global window; bucket-boundary
+    drift is load-balance-only, pinned rank-identical across n_buckets
+    in tests. The oracle is the naive global window the operator
+    refuses to run."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "curriculum", "id_col": "doc_id",
+         "score_col": "n_chars", "n_buckets": 64, "n_phases": 4},
+    ]).select("doc_id", "n_chars", "curriculum_rank", "phase")
+
+
 def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-receipt manifest (operators/integrity.py::export_manifest,
     r9): one row per source with exact row count, UTF-8 byte total, and
@@ -4406,6 +4423,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_wordpiece_encode",  # r9-new, locally hash-exact; fronts in r10
     "q_hash_embed",        # r9-new, locally hash-exact; fronts in r10
     "q_export_manifest",   # r9-new, locally hash-exact; fronts in r10
+    "q_curriculum",        # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4595,6 +4613,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wordpiece_encode": q_wordpiece_encode,  # greedy longest-match, r9
         "q_hash_embed": q_hash_embed,  # feature-hashing embedder, r9
         "q_export_manifest": q_export_manifest,  # shard receipts, r9
+        "q_curriculum": q_curriculum,  # exact rank sans global sort, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7489,6 +7508,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab CTEs + 16 unrolled greedy-cursor steps + reassembly
         "q_wordpiece_encode": _wordpiece_encode_oracle(100, 4, 16, 10_000),
+        # the naive global window the two-level operator replaces
+        "q_curriculum": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            r AS (
+              SELECT doc_id, n_chars,
+                     CAST(row_number() OVER (
+                       ORDER BY n_chars ASC NULLS FIRST, doc_id) - 1
+                       AS BIGINT) AS curriculum_rank
+              FROM documents
+            )
+            SELECT doc_id, n_chars, curriculum_rank,
+                   CAST(floor(CAST(curriculum_rank * 4 AS DOUBLE)
+                              / CAST(n.n AS DOUBLE)) AS BIGINT) AS phase
+            FROM r CROSS JOIN n
+        """,
         # per-source receipt: count, byte total, XOR of pair hashes
         "q_export_manifest": """
             SELECT source,

@@ -142,6 +142,7 @@ HEADLINE = [
     "q_wordpiece_encode",
     "q_hash_embed",
     "q_export_manifest",
+    "q_curriculum",
 ]
 
 

@@ -3241,7 +3241,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     ``novelty``,
     ``bpe_train``/``bpe_encode``, ``unigram_train``/``unigram_encode``,
     ``wordpiece_train``/``wordpiece_encode``, ``hash_embed``,
-    ``manifest``/``manifest_diff``,
+    ``manifest``/``manifest_diff``, ``curriculum``,
     ``collocations``, ``perplexity``,
     ``bm25``.  Named-frame inputs (``benchmark``/``target``/``baseline``/
     ``queries``/``merges``) resolve through ``ctx`` from earlier
@@ -3374,6 +3374,17 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             spec.get("out_col", "unigram_tokens"),
             int(spec.get("max_piece_len", 4)),
             int(spec.get("max_word_len", 16)),
+        )
+    if op == "curriculum":
+        from config_driven_pyspark_spark.operators.ordering import (
+            curriculum_order,
+        )
+
+        return curriculum_order(
+            df, id_col, spec.get("score_col", "score"),
+            bool(spec.get("ascending", True)),
+            int(spec.get("n_buckets", 256)),
+            int(spec.get("n_phases", 1)),
         )
     if op == "manifest":
         from config_driven_pyspark_spark.operators.integrity import (
