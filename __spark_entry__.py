@@ -1318,6 +1318,23 @@ def q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  unit="word")
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs
+    (dedup.py::containment_pairs, r9): |A∩B| / min(|A|,|B|) over word
+    5-gram shingle sets — the doc-INSIDE-doc detector Jaccard
+    structurally misses (a fully-quoted short doc scores containment
+    1.0 but jaccard ≈ |A|/|B|). Directional containments are kept so
+    the contained side is identifiable. Same Σ df(s)² inverted-index
+    join as q_ngram_dedup_pairs; the oracle recomputes all three
+    coefficients from the shared shingle CTE."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "dedup", "method": "containment", "id_col": "doc_id",
+         "column": "text", "k": 5, "unit": "word", "threshold": 0.6,
+         "output": "pairs"},
+    ])
+
+
 def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine near-dup pairs (dedup.py::tfidf_cosine_pairs, r9 —
     the idf-downweighted lexical near-dup: unlike Jaccard, shared
@@ -4424,6 +4441,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_hash_embed",        # r9-new, locally hash-exact; fronts in r10
     "q_export_manifest",   # r9-new, locally hash-exact; fronts in r10
     "q_curriculum",        # r9-new, locally hash-exact; fronts in r10
+    "q_containment_pairs",  # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4614,6 +4632,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_embed": q_hash_embed,  # feature-hashing embedder, r9
         "q_export_manifest": q_export_manifest,  # shard receipts, r9
         "q_curriculum": q_curriculum,  # exact rank sans global sort, r9
+        "q_containment_pairs": q_containment_pairs,  # doc-in-doc, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -5770,6 +5789,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        """,
+        # overlap coefficient + directional containments, same shingles
+        "q_containment_pairs": _SHINGLES_CTE + """
+            SELECT id_a, id_b,
+                   round(c * 1.0 / sa.n, 6) AS containment_a,
+                   round(c * 1.0 / sb.n, 6) AS containment_b,
+                   round(c * 1.0 / least(sa.n, sb.n), 6) AS overlap,
+                   round(c * 1.0 / least(sa.n, sb.n), 6) AS score
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / least(sa.n, sb.n) >= 0.6
         """,
         # covariance: exact decimal sufficient statistics + one fixed
         # double combine expression (identical text to the Spark plan);

@@ -143,6 +143,7 @@ HEADLINE = [
     "q_hash_embed",
     "q_export_manifest",
     "q_curriculum",
+    "q_containment_pairs",
 ]
 
 

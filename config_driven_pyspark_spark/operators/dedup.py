@@ -559,6 +559,30 @@ def ngram_jaccard_pairs(
     8-byte xxhash64 values, not shingle strings (see ``_shingle_ex_df``):
     exact modulo hash collisions, which the birthday bound makes negligible.
     """
+    inter = _shingle_pair_counts(df, id_col, text_col, k, unit, max_df)
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    unit: str,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index intersection: ``(id_a, id_b, n_common,
+    n_a, n_b)`` for every pair sharing ≥ 1 (sub-``max_df``) shingle —
+    the Σ df(s)² core of both ``ngram_jaccard_pairs`` and
+    ``containment_pairs``. Sizes count ALL distinct shingles (the true
+    set sizes) even when ``max_df`` prunes the join side."""
     ex = _materialize(_shingle_ex_df(df, id_col, text_col, k, unit))
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     inverted = ex.select("id", F.col("h").alias("s"))
@@ -579,15 +603,47 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.9,
+    unit: str = "char",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Overlap-coefficient pairs via the same shingle inverted index —
+    the doc-INSIDE-doc detector Jaccard structurally misses: a quote,
+    repost-with-boilerplate, or prefix expansion whose 100 shingles all
+    appear in a 10,000-shingle container has jaccard ≈ 0.01 (union
+    dilution) but containment 1.0. Score is the overlap coefficient
+    ``|A∩B| / min(|A|, |B|)``; the directional coefficients
+    ``containment_a = |A∩B|/|A|`` and ``containment_b = |A∩B|/|B|`` are
+    kept alongside so callers can tell which side is the contained one
+    (the near-1.0 direction).
+
+    Scale: identical to ``ngram_jaccard_pairs`` — the Σ df(s)² postings
+    self-join, never n²; ``max_df`` bounds the per-shingle quadratic
+    blowup. NOTE ``max_df`` pruning can undercount ``n_common`` (sizes
+    stay exact), so pruned-mode containments are a lower bound — same
+    contract as the jaccard variant."""
+    inter = _shingle_pair_counts(df, id_col, text_col, k, unit, max_df)
+    small = F.least(F.col("n_a"), F.col("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        inter.withColumn("overlap", F.col("n_common") / small)
+        .filter(F.col("overlap") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_common") / F.col("n_a"), 6)
+            .alias("containment_a"),
+            F.round(F.col("n_common") / F.col("n_b"), 6)
+            .alias("containment_b"),
+            F.round("overlap", 6).alias("overlap"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -1363,7 +1419,7 @@ def embedding_pairs(
 
 
 def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
-    """``{"stage": "dedup", "method": "exact|ngram_jaccard|tfidf_cosine|
+    """``{"stage": "dedup", "method": "exact|ngram_jaccard|containment|tfidf_cosine|
     minhash_lsh|simhash|hamming|semdedup|embedding", "id_col": ...,
     "output": "dedup"|"pairs"|"clusters",
     "keep_by": <SQL expr>?, ...}``.
@@ -1443,6 +1499,12 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
             float(spec.get("threshold", 0.8)), spec.get("unit", "char"),
             spec.get("verify", True),
         )
+    elif method == "containment":
+        pairs = containment_pairs(
+            df, id_col, spec.get("column", "text"), int(spec.get("k", 5)),
+            float(spec.get("threshold", 0.9)), spec.get("unit", "char"),
+            spec.get("max_df"),
+        )
     elif method == "tfidf_cosine":
         pairs = tfidf_cosine_pairs(
             df, id_col, spec.get("column", "text"),
@@ -1488,6 +1550,8 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
         # method-agnostic similarity score (see docstring)
         if "jaccard" in pairs.columns:
             score = F.col("jaccard").cast("double")
+        elif "overlap" in pairs.columns:
+            score = F.col("overlap").cast("double")
         elif "cosine" in pairs.columns:
             score = F.col("cosine").cast("double")
         elif "hamming" in pairs.columns:

@@ -155,6 +155,54 @@ def test_ngram_jaccard_finds_near_identical(spark, documents):
     assert planted_pair in found
 
 
+def test_containment_catches_doc_inside_doc(spark, documents):
+    # plant a strict subset: the first 30 words of a long doc as its own
+    # doc — jaccard dilutes toward |A|/|B|, containment hits 1.0
+    big = documents.orderBy(F.desc("n_chars")).limit(1)
+    r = big.first()
+    words = [w for w in r["text"].split(" ") if w]
+    assert len(words) > 60, "fixture needs a long doc"
+    quote = " ".join(words[:30])
+    df = big.unionByName(spark.createDataFrame(
+        [(r["doc_id"] + 500_000, quote, r["lang"], r["source"], len(quote))],
+        big.schema,
+    ))
+    cont = {
+        (p["id_a"], p["id_b"]): p
+        for p in D.containment_pairs(
+            df, "doc_id", "text", k=5, threshold=0.9, unit="word"
+        ).collect()
+    }
+    key = (r["doc_id"], r["doc_id"] + 500_000)
+    assert key in cont
+    p = cont[key]
+    # the smaller side (b) is fully contained; overlap = max direction
+    assert p["containment_b"] == 1.0
+    assert p["overlap"] == 1.0
+    assert p["containment_a"] < 0.7
+    # jaccard misses the same pair at any usable threshold
+    jac = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=5, threshold=0.7, unit="word"
+    ).collect()
+    assert not jac
+
+
+def test_containment_stage_pairs_score_contract(spark, documents):
+    from config_driven_pyspark_spark.operators.dedup import stage_dedup
+
+    out = stage_dedup(documents, {
+        "method": "containment", "id_col": "doc_id", "column": "text",
+        "k": 5, "unit": "word", "threshold": 0.6, "output": "pairs",
+    })
+    rows = out.collect()
+    assert {"id_a", "id_b", "containment_a", "containment_b", "overlap",
+            "score"} <= set(out.columns)
+    for p in rows:
+        assert p["score"] == p["overlap"]
+        # overlap coefficient dominates both directional containments
+        assert p["overlap"] >= max(p["containment_a"], p["containment_b"])
+
+
 def test_tfidf_cosine_downweights_boilerplate(spark):
     # docs 1/2 share ONLY corpus-common boilerplate (every doc has it);
     # docs 3/4 share distinctive rare vocabulary. Jaccard would score
