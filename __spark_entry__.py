@@ -2890,6 +2890,24 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-triplet mining (similarity.py::
+    contrastive_triplets, r9): per anchor, the best in-band positive
+    (cosine ≥ 0.30 on this corpus's scale) and the top-3 SEMI-HARD
+    negatives ([0.22, 0.28) — informative but below the positive band,
+    the false-negative guard) from the exact k-NN pool. Bands are knobs;
+    at corpus scale the pool swaps to ivf_query_index(rerank=...) via
+    the stage's `pool:` input. Oracle replays pool → positive argmax →
+    banded negative top-3 with the shared 6-decimal cosine grid."""
+    return _run(spark, [
+        _src(sf_dir, "embeddings"),
+        {"stage": "similarity", "method": "contrastive", "k": 20,
+         "id_col": "vec_id", "vec_col": "embedding",
+         "pos_threshold": 0.30, "neg_lo": 0.22, "neg_hi": 0.28,
+         "n_neg": 3},
+    ])
+
+
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (operators/ordering.py::curriculum_order,
     r9): every document's EXACT 0-based global position in
@@ -4442,6 +4460,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_export_manifest",   # r9-new, locally hash-exact; fronts in r10
     "q_curriculum",        # r9-new, locally hash-exact; fronts in r10
     "q_containment_pairs",  # r9-new, locally hash-exact; fronts in r10
+    "q_contrastive_triplets",  # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4633,6 +4652,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_export_manifest": q_export_manifest,  # shard receipts, r9
         "q_curriculum": q_curriculum,  # exact rank sans global sort, r9
         "q_containment_pairs": q_containment_pairs,  # doc-in-doc, r9
+        "q_contrastive_triplets": q_contrastive_triplets,  # triplets, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7539,6 +7559,46 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab CTEs + 16 unrolled greedy-cursor steps + reassembly
         "q_wordpiece_encode": _wordpiece_encode_oracle(100, 4, 16, 10_000),
+        # pool -> in-band positive argmax -> semi-hard negative top-3
+        "q_contrastive_triplets": _COSINE_CTE + """
+            , sc AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     round(list_dot_product(a.u, b.u), 6) AS cosine
+              FROM unitv a JOIN unitv b ON a.vec_id <> b.vec_id
+            ),
+            pool AS (
+              SELECT query_id, neighbor_id, cosine FROM (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC,
+                                                   neighbor_id) AS rank
+                FROM sc) r WHERE rank <= 20
+            ),
+            pos AS (
+              SELECT query_id AS anchor_id,
+                     neighbor_id AS positive_id,
+                     cosine AS pos_cosine
+              FROM (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC,
+                                                   neighbor_id) AS rn
+                FROM pool WHERE cosine >= 0.30) p WHERE rn = 1
+            ),
+            neg AS (
+              SELECT query_id AS anchor_id,
+                     neighbor_id AS negative_id,
+                     cosine AS neg_cosine,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC,
+                                                      neighbor_id)
+                          AS BIGINT) AS neg_rank
+              FROM pool WHERE cosine >= 0.22 AND cosine < 0.28
+            )
+            SELECT anchor_id, positive_id, pos_cosine,
+                   negative_id, neg_cosine, neg_rank
+            FROM pos JOIN neg USING (anchor_id) WHERE neg_rank <= 3
+        """,
         # the naive global window the two-level operator replaces
         "q_curriculum": """
             WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

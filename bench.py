@@ -144,6 +144,7 @@ HEADLINE = [
     "q_export_manifest",
     "q_curriculum",
     "q_containment_pairs",
+    "q_contrastive_triplets",
 ]
 
 

@@ -1132,6 +1132,78 @@ def recall_at_k(
     )
 
 
+def contrastive_triplets(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+    pos_threshold: float = 0.9,
+    neg_lo: float = 0.5,
+    neg_hi: float = 0.8,
+    n_neg: int = 3,
+    pool: DataFrame | None = None,
+) -> DataFrame:
+    """(anchor, positive, semi-hard negative) training triplets for
+    contrastive/embedding-model fine-tuning, mined from each anchor's
+    k-NN pool: the positive is the highest-cosine neighbor at or above
+    ``pos_threshold`` (ties → smaller id); negatives are the top
+    ``n_neg`` neighbors inside the SEMI-HARD band
+    [``neg_lo``, ``neg_hi``) — close enough to be informative, below the
+    positive band so they are not unlabeled positives (the
+    false-negative guard); anchors missing either side emit nothing.
+    Output: one row per (anchor, negative) —
+    ``(anchor_id, positive_id, pos_cosine, negative_id, neg_cosine,
+    neg_rank)``.
+
+    ``pool`` swaps in any precomputed ``(query_id, neighbor_id, rank,
+    cosine)`` frame — e.g. ``ivf_query_index(rerank=...)`` output — so
+    the mining rides the persisted ANN tier at corpus scale; the default
+    is the exact ``brute_force_topk`` self-search (the oracle path).
+    Everything downstream of the pool is two filters, two |anchors|·k
+    windows and one join — negligible next to the search itself."""
+    if not (neg_lo < neg_hi <= pos_threshold):
+        raise ValueError(
+            "bands must satisfy neg_lo < neg_hi <= pos_threshold "
+            f"(got {neg_lo}, {neg_hi}, {pos_threshold})"
+        )
+    if n_neg <= 0:
+        raise ValueError("n_neg must be positive")
+    if pool is None:
+        pool = brute_force_topk(
+            corpus, corpus, k, id_col, vec_col, broadcast_queries=False
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    pos = (
+        pool.filter(F.col("cosine") >= pos_threshold)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("positive_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    neg = (
+        pool.filter(
+            (F.col("cosine") >= neg_lo) & (F.col("cosine") < neg_hi)
+        )
+        .withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("cosine").alias("neg_cosine"),
+            "neg_rank",
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "positive_id", "pos_cosine",
+        "negative_id", "neg_cosine", "neg_rank",
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     corpus: DataFrame,
@@ -2300,7 +2372,9 @@ def pca_project(
 
 def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     """``{"stage": "similarity", "method": "brute_force"|"srp_lsh"|"ivf"|
-    "pq"|"ivfpq"|"project"|"covariance"|"pca"|"quantize"|"dequantize",
+    "pq"|"ivfpq"|"project"|"covariance"|"pca"|"quantize"|"dequantize"|
+    "contrastive" (triplet mining — pos_threshold/neg_lo/neg_hi/n_neg,
+    optional pool: <named (query_id, neighbor_id, rank, cosine) stage>),
     "k": 10,
     "queries": <stage name, default: self>, "id_col":
     ..., "vec_col": ..., "bits": 8, "n_centroids": 16, "nprobe": 4,
@@ -2356,6 +2430,15 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
     if method == "ncm":
         return ncm_classify(
             df, id_col, vec_col, spec.get("label_col", "label")
+        )
+    if method == "contrastive":
+        return contrastive_triplets(
+            df, id_col, vec_col, k,
+            float(spec.get("pos_threshold", 0.9)),
+            float(spec.get("neg_lo", 0.5)),
+            float(spec.get("neg_hi", 0.8)),
+            int(spec.get("n_neg", 3)),
+            ctx.get(spec["pool"]) if (ctx and spec.get("pool")) else None,
         )
     if method == "recall":
         if ctx is None or not spec.get("approx") or not spec.get("exact"):

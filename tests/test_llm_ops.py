@@ -2500,3 +2500,59 @@ def test_hamming_stage_dispatch_score(spark):
     }).collect()
     assert out[0]["hamming"] == 1
     assert abs(out[0]["score"] - (1.0 - 1.0 / 64.0)) < 1e-12
+
+
+def test_contrastive_triplets_bands_and_ties(spark):
+    from config_driven_pyspark_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    # hand-built 2-d unit vectors: anchor 1 at 0deg; 2 at ~8deg (pos
+    # band); 3 at ~45deg and 4 at ~49deg (semi-hard band); 5 at 90deg
+    # (too far — excluded)
+    import math as m
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [m.cos(0.14), m.sin(0.14)]),
+        (3, [m.cos(0.79), m.sin(0.79)]),
+        (4, [m.cos(0.86), m.sin(0.86)]),
+        (5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    trip = contrastive_triplets(
+        df, k=10, pos_threshold=0.9, neg_lo=0.5, neg_hi=0.8, n_neg=2
+    )
+    by_anchor = {}
+    for r in trip.collect():
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    t1 = sorted(by_anchor[1], key=lambda r: r["neg_rank"])
+    assert [r["positive_id"] for r in t1] == [2, 2]
+    # semi-hard ordering: closest in-band negative first
+    assert [r["negative_id"] for r in t1] == [3, 4]
+    assert all(0.5 <= r["neg_cosine"] < 0.8 for r in t1)
+    assert all(r["pos_cosine"] >= 0.9 for r in t1)
+    # anchor 5 has no positive -> contributes nothing
+    assert 5 not in by_anchor
+
+
+def test_contrastive_triplets_validation_and_pool(spark):
+    from config_driven_pyspark_spark.operators.similarity import (
+        brute_force_topk,
+        contrastive_triplets,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(50)
+    with pytest.raises(ValueError, match="bands"):
+        contrastive_triplets(emb, pos_threshold=0.5, neg_lo=0.2, neg_hi=0.6)
+    with pytest.raises(ValueError, match="n_neg"):
+        contrastive_triplets(emb, n_neg=0)
+    # an explicit pool bypasses the internal search and gives the same
+    # answer as the default path
+    pool = brute_force_topk(emb, emb, 20, broadcast_queries=False)
+    a = contrastive_triplets(emb, k=20, pos_threshold=0.3,
+                             neg_lo=0.2, neg_hi=0.28).collect()
+    b = contrastive_triplets(emb, pool=pool, pos_threshold=0.3,
+                             neg_lo=0.2, neg_hi=0.28).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
