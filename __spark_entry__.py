@@ -2897,15 +2897,22 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives ([0.22, 0.28) — informative but below the positive band,
     the false-negative guard) from the exact k-NN pool. Bands are knobs;
     at corpus scale the pool swaps to ivf_query_index(rerank=...) via
-    the stage's `pool:` input. Oracle replays pool → positive argmax →
-    banded negative top-3 with the shared 6-decimal cosine grid."""
-    return _run(spark, [
-        _src(sf_dir, "embeddings"),
-        {"stage": "similarity", "method": "contrastive", "k": 20,
-         "id_col": "vec_id", "vec_col": "embedding",
-         "pos_threshold": 0.30, "neg_lo": 0.22, "neg_hi": 0.28,
-         "n_neg": 3},
-    ])
+    the stage's `pool:` input. Anchors are the vec_id < 200 batch (the
+    q_knn_cosine bounded-anchor precedent — mining cost is
+    |anchors|·|corpus|, and all-anchors exact search is the one shape
+    the docstring tells you not to ship). Oracle replays pool →
+    positive argmax → banded negative top-3 on the shared 6-decimal
+    cosine grid."""
+    from config_driven_pyspark_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return contrastive_triplets(
+        emb, "vec_id", "embedding", k=20,
+        pos_threshold=0.30, neg_lo=0.22, neg_hi=0.28, n_neg=3,
+        queries=emb.filter(F.col("vec_id") < 200),
+    )
 
 
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7565,6 +7572,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                      round(list_dot_product(a.u, b.u), 6) AS cosine
               FROM unitv a JOIN unitv b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 200
             ),
             pool AS (
               SELECT query_id, neighbor_id, cosine FROM (

@@ -1142,6 +1142,7 @@ def contrastive_triplets(
     neg_hi: float = 0.8,
     n_neg: int = 3,
     pool: DataFrame | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """(anchor, positive, semi-hard negative) training triplets for
     contrastive/embedding-model fine-tuning, mined from each anchor's
@@ -1158,9 +1159,12 @@ def contrastive_triplets(
     ``pool`` swaps in any precomputed ``(query_id, neighbor_id, rank,
     cosine)`` frame — e.g. ``ivf_query_index(rerank=...)`` output — so
     the mining rides the persisted ANN tier at corpus scale; the default
-    is the exact ``brute_force_topk`` self-search (the oracle path).
-    Everything downstream of the pool is two filters, two |anchors|·k
-    windows and one join — negligible next to the search itself."""
+    is the exact ``brute_force_topk`` search (the oracle path), against
+    ``queries`` anchors when given (broadcast — the usual bounded anchor
+    batch) else corpus-vs-itself (every doc an anchor; |corpus|² dot
+    products — use ``pool``/``queries`` past toy scale). Everything
+    downstream of the pool is two filters, two |anchors|·k windows and
+    one join — negligible next to the search itself."""
     if not (neg_lo < neg_hi <= pos_threshold):
         raise ValueError(
             "bands must satisfy neg_lo < neg_hi <= pos_threshold "
@@ -1170,7 +1174,9 @@ def contrastive_triplets(
         raise ValueError("n_neg must be positive")
     if pool is None:
         pool = brute_force_topk(
-            corpus, corpus, k, id_col, vec_col, broadcast_queries=False
+            corpus, queries if queries is not None else corpus,
+            k, id_col, vec_col,
+            broadcast_queries=queries is not None,
         )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -2439,6 +2445,7 @@ def stage_similarity(df: DataFrame, spec: dict, ctx=None) -> DataFrame:
             float(spec.get("neg_hi", 0.8)),
             int(spec.get("n_neg", 3)),
             ctx.get(spec["pool"]) if (ctx and spec.get("pool")) else None,
+            queries if spec.get("queries") else None,
         )
     if method == "recall":
         if ctx is None or not spec.get("approx") or not spec.get("exact"):
