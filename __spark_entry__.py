@@ -2890,6 +2890,24 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic readability features (functions/text.py::
+    flesch_reading_ease / fk_grade, r9 — Flesch 1948 / Kincaid 1975):
+    sentence runs [.!?]+ floored at 1, vowel-group syllable heuristic
+    floored at 1 per word, both public formulas as ONE fixed double
+    expression over integer counts — map-only, 0 exchanges,
+    streaming-safe, bit-replicable (the regexes sit in the RE2 ∩ Java
+    common subset the pii/html ops pinned)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        TX.sentence_count(F.col("text")).alias("n_sentences"),
+        TX.syllable_count(F.col("text")).alias("n_syllables"),
+        TX.flesch_reading_ease(F.col("text")).alias("flesch"),
+        TX.fk_grade(F.col("text")).alias("fk"),
+    )
+
+
 def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive training-triplet mining (similarity.py::
     contrastive_triplets, r9): per anchor, the best in-band positive
@@ -4468,6 +4486,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_curriculum",        # r9-new, locally hash-exact; fronts in r10
     "q_containment_pairs",  # r9-new, locally hash-exact; fronts in r10
     "q_contrastive_triplets",  # r9-new, locally hash-exact; fronts in r10
+    "q_readability",       # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4660,6 +4679,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curriculum": q_curriculum,  # exact rank sans global sort, r9
         "q_containment_pairs": q_containment_pairs,  # doc-in-doc, r9
         "q_contrastive_triplets": q_contrastive_triplets,  # triplets, r9
+        "q_readability": q_readability,  # Flesch/FK features, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7566,6 +7586,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab CTEs + 16 unrolled greedy-cursor steps + reassembly
         "q_wordpiece_encode": _wordpiece_encode_oracle(100, 4, 16, 10_000),
+        # integer counts -> one fixed double expression per score
+        "q_readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x != '')) AS w,
+                     CASE WHEN len(list_filter(string_split(text, ' '),
+                                               x -> x != '')) = 0 THEN 0
+                          ELSE greatest(1, len(regexp_extract_all(
+                                 text, '[.!?]+'))) END AS s,
+                     list_sum(list_transform(
+                       list_filter(string_split(text, ' '), x -> x != ''),
+                       wd -> greatest(1, len(regexp_extract_all(
+                               lower(wd), '[aeiouy]+'))))) AS y
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(s AS BIGINT) AS n_sentences,
+                   CAST(coalesce(y, 0) AS BIGINT) AS n_syllables,
+                   CASE WHEN w > 0 THEN round(
+                     206.835 - 1.015 * (w * 1.0 / s)
+                             - 84.6 * (y * 1.0 / w), 6) END AS flesch,
+                   CASE WHEN w > 0 THEN round(
+                     0.39 * (w * 1.0 / s)
+                     + 11.8 * (y * 1.0 / w) - 15.59, 6) END AS fk
+            FROM c
+        """,
         # pool -> in-band positive argmax -> semi-hard negative top-3
         "q_contrastive_triplets": _COSINE_CTE + """
             , sc AS (

@@ -145,6 +145,7 @@ HEADLINE = [
     "q_curriculum",
     "q_containment_pairs",
     "q_contrastive_triplets",
+    "q_readability",
 ]
 
 

@@ -69,6 +69,64 @@ def quality_score(text: Column) -> Column:
     return F.round(0.5 * length_term + 0.3 * punct_term + 0.2 * word_len_term, 6)
 
 
+def sentence_count(text: Column) -> Column:
+    """Sentence count = runs of terminal punctuation ``[.!?]+`` (floored
+    at 1 for any non-empty token stream — an unpunctuated fragment is
+    one sentence). Regex sits in the RE2 ∩ Java common subset."""
+    return F.when(token_count(text) == 0, F.lit(0)).otherwise(
+        F.greatest(F.lit(1), F.regexp_count(text, F.lit(r"[.!?]+")))
+    ).cast("bigint")
+
+
+def syllable_count(text: Column) -> Column:
+    """Heuristic syllable total: per word, the number of vowel-group
+    runs ``[aeiouy]+`` in the lowercased word, floored at 1 (the
+    standard dependency-free approximation under Flesch scoring)."""
+    return F.aggregate(
+        F.transform(
+            tokens(text),
+            lambda w: F.greatest(
+                F.lit(1), F.regexp_count(F.lower(w), F.lit(r"[aeiouy]+"))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("bigint")
+
+
+def flesch_reading_ease(text: Column) -> Column:
+    """Flesch reading ease (Flesch 1948, public formula):
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``,
+    rounded to 6 decimals; empty documents score null. Integer inputs +
+    one fixed double expression → bit-replicable across engines."""
+    w = token_count(text)
+    return F.when(
+        w > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (w / sentence_count(text))
+            - F.lit(84.6) * (syllable_count(text) / w),
+            6,
+        ),
+    )
+
+
+def fk_grade(text: Column) -> Column:
+    """Flesch–Kincaid grade level (Kincaid et al. 1975):
+    ``0.39·(words/sentences) + 11.8·(syllables/words) − 15.59``,
+    rounded to 6 decimals; empty documents score null."""
+    w = token_count(text)
+    return F.when(
+        w > 0,
+        F.round(
+            F.lit(0.39) * (w / sentence_count(text))
+            + F.lit(11.8) * (syllable_count(text) / w)
+            - F.lit(15.59),
+            6,
+        ),
+    )
+
+
 def lang_id(text: Column) -> Column:
     """Stopword-panel language guess; ties break by panel order, zero hits
     everywhere → 'und' (undetermined)."""
@@ -201,6 +259,10 @@ _TEXT_OPS = {
     "rolling_hash": rolling_hash,
     "redact": redact,
     "normalized": normalize,
+    "sentence_count": sentence_count,
+    "syllable_count": syllable_count,
+    "flesch_reading_ease": flesch_reading_ease,
+    "fk_grade": fk_grade,
 }
 
 

@@ -2556,3 +2556,39 @@ def test_contrastive_triplets_validation_and_pool(spark):
     b = contrastive_triplets(emb, pool=pool, pos_threshold=0.3,
                              neg_lo=0.2, neg_hi=0.28).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_readability_scores(spark):
+    t = "hello world. how are you? fine!! seventeen syllable counting"
+    df = spark.createDataFrame([(t,), ("",), (None,)], "text string")
+    out = df.select(
+        TX.sentence_count(F.col("text")).alias("s"),
+        TX.syllable_count(F.col("text")).alias("y"),
+        TX.flesch_reading_ease(F.col("text")).alias("fre"),
+        TX.fk_grade(F.col("text")).alias("fk"),
+    ).collect()
+    r = out[0]
+    assert (r["s"], r["y"]) == (3, 17)
+    w, s, y = 9, 3, 17
+    assert r["fre"] == round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6)
+    assert r["fk"] == round(0.39 * (w / s) + 11.8 * (y / w) - 15.59, 6)
+    # empty / null -> zero counts, null scores
+    assert out[1]["s"] == 0 and out[1]["fre"] is None
+    assert out[2]["fre"] is None
+    # unpunctuated fragment = one sentence
+    frag = spark.createDataFrame([("no punctuation here",)], "text string")
+    assert frag.select(TX.sentence_count(F.col("text"))).first()[0] == 1
+
+
+def test_readability_stage_wiring(spark, documents):
+    from config_driven_pyspark_spark.functions.text import stage_text
+
+    out = stage_text(documents.limit(20), {
+        "column": "text",
+        "ops": ["sentence_count", "flesch_reading_ease", "fk_grade"],
+    })
+    rows = out.collect()
+    assert {"sentence_count", "flesch_reading_ease", "fk_grade"} <= set(
+        out.columns
+    )
+    assert all(r["sentence_count"] >= 1 for r in rows)
