@@ -2890,6 +2890,27 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_word_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 bad-words blocklist screen (corpus.py::word_blocklist_filter,
+    r9 — Raffel et al. 2020 §2.2) in flag mode: exact lowercased-token
+    membership against a broadcast-literal word list (never substring —
+    'class' can't trip on a 3-letter entry), emitting the offending
+    count, the sorted distinct offenders (the audit column) and the
+    keep verdict at max_hits=2. Scan + Project, 0 exchanges, no UDF,
+    streaming-safe."""
+    out = _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "word_blocklist", "column": "text",
+         "words": ["join", "scan", "nosuchword"], "mode": "flag",
+         "max_hits": 2},
+    ])
+    return out.select(
+        "doc_id", "n_blocked",
+        F.concat_ws(" ", "blocked_words").alias("blocked"),
+        "keep",
+    )
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic readability features (functions/text.py::
     flesch_reading_ease / fk_grade, r9 — Flesch 1948 / Kincaid 1975):
@@ -4487,6 +4508,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_containment_pairs",  # r9-new, locally hash-exact; fronts in r10
     "q_contrastive_triplets",  # r9-new, locally hash-exact; fronts in r10
     "q_readability",       # r9-new, locally hash-exact; fronts in r10
+    "q_word_blocklist",    # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4680,6 +4702,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment_pairs": q_containment_pairs,  # doc-in-doc, r9
         "q_contrastive_triplets": q_contrastive_triplets,  # triplets, r9
         "q_readability": q_readability,  # Flesch/FK features, r9
+        "q_word_blocklist": q_word_blocklist,  # C4 bad-words rule, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7586,6 +7609,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab CTEs + 16 unrolled greedy-cursor steps + reassembly
         "q_wordpiece_encode": _wordpiece_encode_oracle(100, 4, 16, 10_000),
+        # exact lowercased-token membership vs the literal list
+        "q_word_blocklist": """
+            WITH h AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t IN ('join', 'scan', 'nosuchword'))
+                       AS hits
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(hits) AS BIGINT) AS n_blocked,
+                   coalesce(array_to_string(
+                     list_sort(list_distinct(hits)), ' '), '') AS blocked,
+                   len(hits) <= 2 AS keep
+            FROM h
+        """,
         # integer counts -> one fixed double expression per score
         "q_readability": """
             WITH c AS (

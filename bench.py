@@ -146,6 +146,7 @@ HEADLINE = [
     "q_containment_pairs",
     "q_contrastive_triplets",
     "q_readability",
+    "q_word_blocklist",
 ]
 
 

@@ -667,6 +667,50 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 )
 
 
+def word_blocklist_filter(
+    df: DataFrame,
+    words: list[str],
+    text_col: str = "text",
+    mode: str = "any",
+    max_hits: int = 0,
+) -> DataFrame:
+    """The C4 bad-words rule (Raffel et al. 2020 §2.2 — "removed any
+    page that contained any word on the 'List of Dirty, Naughty …'
+    blocklist") as one map-only stage: lowercased whitespace tokens are
+    membership-tested against the broadcast-literal ``words`` set and
+    the stage adds ``n_blocked`` (total offending-token count),
+    ``blocked_words`` (the sorted distinct offenders actually present —
+    the audit column) and ``keep``. ``mode="any"`` keeps only documents
+    with ``n_blocked <= max_hits`` (C4 semantics at the default 0);
+    ``mode="flag"`` keeps every row and just annotates.
+
+    Determinism: membership is exact token equality after ``lower()``
+    (no substring matching — 'class' never trips on 'ass'; compose with
+    ``normalize`` upstream for punctuation-glued hits). Scale: the word
+    list is a Column literal (a few thousand entries — the published
+    lists are ~2k), so the plan is scan + Project with 0 exchanges, no
+    UDF, streaming-safe."""
+    if mode not in ("any", "flag"):
+        raise ValueError(f"mode must be 'any' or 'flag', got {mode!r}")
+    if not words:
+        raise ValueError("words must be a non-empty list")
+    wl = sorted({w.lower() for w in words})
+    toks = F.coalesce(
+        TX.tokens(F.lower(F.col(text_col))),
+        F.array().cast("array<string>"),
+    )
+    hits = F.filter(toks, lambda t: t.isin(*wl))
+    out = df.withColumn(
+        "n_blocked", F.size(hits).cast("bigint")
+    ).withColumn(
+        "blocked_words",
+        F.array_sort(F.array_distinct(hits)),
+    ).withColumn("keep", F.col("n_blocked") <= max_hits)
+    if mode == "any":
+        return out.filter(F.col("keep"))
+    return out
+
+
 def gopher_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -3241,7 +3285,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     ``novelty``,
     ``bpe_train``/``bpe_encode``, ``unigram_train``/``unigram_encode``,
     ``wordpiece_train``/``wordpiece_encode``, ``hash_embed``,
-    ``manifest``/``manifest_diff``, ``curriculum``,
+    ``manifest``/``manifest_diff``, ``curriculum``, ``word_blocklist``,
     ``collocations``, ``perplexity``,
     ``bm25``.  Named-frame inputs (``benchmark``/``target``/``baseline``/
     ``queries``/``merges``) resolve through ``ctx`` from earlier
@@ -3480,6 +3524,11 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     if op == "html_extract":
         return html_extract(
             df, spec.get("html_col", "html"), spec.get("out_col", "text")
+        )
+    if op == "word_blocklist":
+        return word_blocklist_filter(
+            df, spec["words"], text_col,
+            spec.get("mode", "any"), int(spec.get("max_hits", 0)),
         )
     if op == "gopher_filter":
         return gopher_filter(

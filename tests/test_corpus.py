@@ -1894,3 +1894,40 @@ def test_novelty_boilerplate_vs_unique(spark):
            C.novelty_score(df, "id", ngram_n=3).collect()}
     assert out[99] == 1.0
     assert all(out[i] < 0.5 for i in range(5))
+
+
+def test_word_blocklist_filter(spark):
+    from config_driven_pyspark_spark.operators.corpus import (
+        word_blocklist_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a clean document"), (2, "one BADWORD here"),
+         (3, "badword badword other twice"), (4, "class assignment"),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    flagged = {r["doc_id"]: r for r in word_blocklist_filter(
+        df, ["badword", "ass"], mode="flag").collect()}
+    assert flagged[1]["n_blocked"] == 0 and flagged[1]["keep"]
+    # case-insensitive exact-token match
+    assert flagged[2]["n_blocked"] == 1
+    assert flagged[2]["blocked_words"] == ["badword"]
+    assert not flagged[2]["keep"]
+    assert flagged[3]["n_blocked"] == 2
+    assert flagged[3]["blocked_words"] == ["badword"]
+    # NEVER substring: 'class'/'assignment' don't trip on 'ass'
+    assert flagged[4]["n_blocked"] == 0 and flagged[4]["keep"]
+    # C4 mode drops offenders entirely
+    kept = {r["doc_id"] for r in word_blocklist_filter(
+        df, ["badword"]).collect()}
+    assert kept == {1, 4, 5}
+    # max_hits loosens the rule
+    kept2 = {r["doc_id"] for r in word_blocklist_filter(
+        df, ["badword"], max_hits=1).collect()}
+    assert kept2 == {1, 2, 4, 5}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mode"):
+        word_blocklist_filter(df, ["x"], mode="bogus")
+    with _pt.raises(ValueError, match="words"):
+        word_blocklist_filter(df, [])
