@@ -711,3 +711,50 @@ def test_csv_streaming_source_parity(spark, tmp_path):
     got = spark.table("csv_stream")
     cols = ["id", "name", "score", "bucket"]
     assert _collect_sorted(got, cols) == _collect_sorted(batch, cols)
+
+
+def test_r9_cleanup_ops_stream_batch_parity(spark, tmp_path):
+    """The round's late map-only additions — word_blocklist (flag mode)
+    and the readability text ops — are claimed streaming-safe in their
+    docstrings; a drained available_now stream must equal batch
+    row-for-row (both are pure Projects, so ids line up exactly)."""
+    docs = spark.createDataFrame(
+        [(i,
+          f"doc {i} body. question? badword" if i % 3 == 0
+          else f"doc {i} clean body words")
+         for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "r9_src")
+    docs.repartition(2).write.parquet(src)
+    stages = [
+        {"stage": "corpus", "op": "word_blocklist", "column": "text",
+         "words": ["badword"], "mode": "flag"},
+        {"stage": "text", "column": "text",
+         "ops": ["sentence_count", "flesch_reading_ease", "fk_grade"]},
+    ]
+    ddl = "doc_id bigint, text string"
+    batch = Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": src,
+         "schema": ddl},
+        *stages,
+    ]).run(spark)
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": src,
+         "schema": ddl, "streaming": True,
+         "options": {"maxFilesPerTrigger": "1"}},
+        *stages,
+        {"stage": "stream_sink", "format": "memory",
+         "query_name": "r9_cleanup", "output_mode": "append",
+         "checkpoint": str(tmp_path / "ckpt_r9"),
+         "trigger": "available_now", "await": True},
+    ]).run(spark)
+    got = spark.table("r9_cleanup")
+    key = lambda rows: sorted(
+        (r["doc_id"], r["n_blocked"], tuple(r["blocked_words"]), r["keep"],
+         r["sentence_count"], r["flesch_reading_ease"], r["fk_grade"])
+        for r in rows
+    )
+    assert key(got.collect()) == key(batch.collect())
+    flagged = [r for r in batch.collect() if r["n_blocked"] > 0]
+    assert flagged and all(not r["keep"] for r in flagged)
