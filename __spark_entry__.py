@@ -2890,6 +2890,29 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_e2e_curriculum_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third e2e composition row (r9 — the stage-composition bug net,
+    built entirely from this round's operators): C4 word-blocklist drop
+    (≤2 'customer' tokens survive) → Flesch/FK readability features →
+    null-score filter → exact FK-grade curriculum rank + 3 equal-width
+    phases → per-PHASE integrity receipts. Every receipt value (rows,
+    bytes, XOR pair-hash checksum) depends on every upstream stage, so
+    a drift anywhere in the chain flips the hash. Oracle re-derives the
+    chain as chained CTEs ending in the same manifest aggregate."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "word_blocklist", "column": "text",
+         "words": ["customer"], "max_hits": 2},
+        {"stage": "text", "column": "text",
+         "ops": ["flesch_reading_ease", "fk_grade"]},
+        {"stage": "filter", "predicate": "flesch_reading_ease IS NOT NULL"},
+        {"stage": "corpus", "op": "curriculum", "id_col": "doc_id",
+         "score_col": "fk_grade", "n_buckets": 32, "n_phases": 3},
+        {"stage": "corpus", "op": "manifest", "by": "phase",
+         "id_col": "doc_id", "column": "text"},
+    ])
+
+
 def q_word_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 bad-words blocklist screen (corpus.py::word_blocklist_filter,
     r9 — Raffel et al. 2020 §2.2) in flag mode: exact lowercased-token
@@ -4509,6 +4532,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_contrastive_triplets",  # r9-new, locally hash-exact; fronts in r10
     "q_readability",       # r9-new, locally hash-exact; fronts in r10
     "q_word_blocklist",    # r9-new, locally hash-exact; fronts in r10
+    "q_e2e_curriculum_export",  # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4703,6 +4727,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contrastive_triplets": q_contrastive_triplets,  # triplets, r9
         "q_readability": q_readability,  # Flesch/FK features, r9
         "q_word_blocklist": q_word_blocklist,  # C4 bad-words rule, r9
+        "q_e2e_curriculum_export": q_e2e_curriculum_export,  # e2e #3, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7609,6 +7634,57 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab CTEs + 16 unrolled greedy-cursor steps + reassembly
         "q_wordpiece_encode": _wordpiece_encode_oracle(100, 4, 16, 10_000),
+        # blocklist -> readability -> curriculum -> per-phase receipts
+        "q_e2e_curriculum_export": """
+            WITH blocked AS (
+              SELECT doc_id, text FROM documents
+              WHERE len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('customer'))) <= 2
+            ),
+            r AS (
+              SELECT doc_id, text,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x != '')) AS w,
+                     CASE WHEN len(list_filter(string_split(text, ' '),
+                                    x -> x != '')) = 0 THEN 0
+                          ELSE greatest(1, len(regexp_extract_all(
+                                 text, '[.!?]+'))) END AS s,
+                     list_sum(list_transform(
+                       list_filter(string_split(text, ' '), x -> x != ''),
+                       wd -> greatest(1, len(regexp_extract_all(
+                               lower(wd), '[aeiouy]+'))))) AS y
+              FROM blocked
+            ),
+            scored AS (
+              SELECT doc_id, text,
+                     round(0.39 * (w * 1.0 / s)
+                           + 11.8 * (y * 1.0 / w) - 15.59, 6) AS fk
+              FROM r WHERE w > 0
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+            ranked AS (
+              SELECT doc_id, text,
+                     CAST(row_number() OVER (
+                       ORDER BY fk ASC NULLS FIRST, doc_id) - 1
+                       AS BIGINT) AS rank
+              FROM scored
+            ),
+            ph AS (
+              SELECT doc_id, text,
+                     CAST(floor(CAST(rank * 3 AS DOUBLE)
+                                / CAST(n.n AS DOUBLE)) AS BIGINT) AS phase
+              FROM ranked CROSS JOIN n
+            )
+            SELECT phase,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(strlen(coalesce(text, ''))), 0)
+                        AS BIGINT) AS n_bytes,
+                   bit_xor(CAST(concat('0x', substr(md5(
+                     concat(CAST(doc_id AS VARCHAR), '|',
+                            coalesce(text, ''))), 1, 15)) AS BIGINT))
+                     AS checksum
+            FROM ph GROUP BY phase
+        """,
         # exact lowercased-token membership vs the literal list
         "q_word_blocklist": """
             WITH h AS (

@@ -147,6 +147,7 @@ HEADLINE = [
     "q_contrastive_triplets",
     "q_readability",
     "q_word_blocklist",
+    "q_e2e_curriculum_export",
 ]
 
 
