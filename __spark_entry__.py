@@ -2890,6 +2890,27 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-preserving RAG chunking (corpus.py::chunk_sentences,
+    r9): sentences (runs of `[^.!?]+[.!?]*`, trimmed) never split;
+    consecutive sentences group by floor(tokens-before / 32) — the
+    pack_sequences no-reset rule at document scope, so chunks end AT
+    sentence boundaries. The synthetic corpus carries no terminal
+    punctuation, so the row MINTS boundaries first (a period after
+    every 'row' token — the e2e mint+inject pattern), making most
+    documents genuinely multi-sentence/multi-chunk. Per-document window
+    + one groupBy; the oracle re-derives minting, extraction,
+    cumulative masses and the ordered re-join."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "with_columns", "columns": {
+            "text": "replace(text, ' row ', ' row. ')",
+        }},
+        {"stage": "corpus", "op": "chunk_sentences", "id_col": "doc_id",
+         "column": "text", "chunk_tokens": 32},
+    ])
+
+
 def q_e2e_curriculum_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third e2e composition row (r9 — the stage-composition bug net,
     built entirely from this round's operators): C4 word-blocklist drop
@@ -4533,6 +4554,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_readability",       # r9-new, locally hash-exact; fronts in r10
     "q_word_blocklist",    # r9-new, locally hash-exact; fronts in r10
     "q_e2e_curriculum_export",  # r9-new, locally hash-exact; fronts in r10
+    "q_chunk_sentences",   # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4728,6 +4750,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_readability": q_readability,  # Flesch/FK features, r9
         "q_word_blocklist": q_word_blocklist,  # C4 bad-words rule, r9
         "q_e2e_curriculum_export": q_e2e_curriculum_export,  # e2e #3, r9
+        "q_chunk_sentences": q_chunk_sentences,  # RAG chunking, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7634,6 +7657,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab CTEs + 16 unrolled greedy-cursor steps + reassembly
         "q_wordpiece_encode": _wordpiece_encode_oracle(100, 4, 16, 10_000),
+        # sentence extraction -> cumulative masses -> ordered re-join
+        "q_chunk_sentences": """
+            WITH sent AS (
+              SELECT doc_id, i, trim(arr[i]) AS sent
+              FROM (SELECT doc_id,
+                           regexp_extract_all(
+                             replace(text, ' row ', ' row. '),
+                             '[^.!?]+[.!?]*') AS arr
+                    FROM documents),
+                   unnest(range(1, len(arr)+1)) t(i)
+              WHERE trim(arr[i]) != ''
+            ),
+            tokc AS (
+              SELECT doc_id, i, sent,
+                     CAST(len(list_filter(string_split(sent, ' '),
+                                          x -> x != '')) AS BIGINT) AS nt
+              FROM sent
+            ),
+            cum AS (
+              SELECT *, CAST(coalesce(sum(nt) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS c
+              FROM tokc
+            )
+            SELECT doc_id,
+                   CAST(floor(c / 32.0) AS BIGINT) AS chunk_id,
+                   string_agg(sent, ' ' ORDER BY i) AS chunk_text,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_sentences
+            FROM cum GROUP BY doc_id, floor(c / 32.0)
+        """,
         # blocklist -> readability -> curriculum -> per-phase receipts
         "q_e2e_curriculum_export": """
             WITH blocked AS (

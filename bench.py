@@ -148,6 +148,7 @@ HEADLINE = [
     "q_readability",
     "q_word_blocklist",
     "q_e2e_curriculum_export",
+    "q_chunk_sentences",
 ]
 
 

@@ -2179,6 +2179,86 @@ def semantic_decontaminate(
     return df.join(flags, on=id_col, how="left_anti")
 
 
+def chunk_sentences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+) -> DataFrame:
+    """Sentence-preserving chunking — the RAG-ingest variant of
+    :func:`chunk_documents`: sentences are NEVER split mid-way; each
+    document's sentences (runs matching ``[^.!?]+[.!?]*``, space-trimmed,
+    empties dropped) group into chunks by
+    ``chunk_id = floor(tokens_before_sentence / chunk_tokens)`` — the
+    same no-reset cumulative rule ``pack_sequences`` uses, so a chunk
+    holds the consecutive sentences whose preceding token mass lies in
+    one ``chunk_tokens`` band (chunks end AT sentence boundaries and may
+    overshoot by at most one sentence). Output: ``(id, chunk_id,
+    chunk_text, n_tokens, n_sentences)``; chunk text is the
+    space-rejoined trimmed sentences. Gram-less documents emit nothing.
+
+    Determinism: the extraction regex sits in the RE2 ∩ Java common
+    subset; token counts are the repo-wide whitespace split; the
+    cumulative sum is a per-document ordered window (state bounded by
+    sentences-per-doc, the span_dedup bound), never corpus-wide.
+
+    Scale: one per-document window + one groupBy(id, chunk) whose
+    ordered re-join happens array-side after ``array_sort`` — two
+    shuffles both keyed by the doc id, fan-out = sentences/doc."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0
+            ),
+            # single-arg lambda on purpose: F.trim itself is two-arg
+            # (col, trim) and transform would feed the index into it
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    ex = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.coalesce(sents, F.array().cast("array<string>")))
+            .alias("pos", "sent"),
+        )
+        .withColumn("nt", F.size(TX.tokens(F.col("sent"))).cast("bigint"))
+    )
+    w = (
+        Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = ex.withColumn(
+        "chunk_id",
+        F.floor(
+            F.coalesce(F.sum("nt").over(w), F.lit(0)) / F.lit(chunk_tokens)
+        ).cast("bigint"),
+    )
+    return (
+        ch.groupBy("id", "chunk_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "sent", "nt"))
+            ).alias("parts"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_id",
+            F.array_join(
+                F.transform(F.col("parts"), lambda p: p["sent"]), " "
+            ).alias("chunk_text"),
+            F.aggregate(
+                F.col("parts"), F.lit(0).cast("bigint"),
+                lambda acc, p: acc + p["nt"],
+            ).alias("n_tokens"),
+            F.size("parts").cast("bigint").alias("n_sentences"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,
@@ -3286,6 +3366,7 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
     ``bpe_train``/``bpe_encode``, ``unigram_train``/``unigram_encode``,
     ``wordpiece_train``/``wordpiece_encode``, ``hash_embed``,
     ``manifest``/``manifest_diff``, ``curriculum``, ``word_blocklist``,
+    ``chunk_sentences``,
     ``collocations``, ``perplexity``,
     ``bm25``.  Named-frame inputs (``benchmark``/``target``/``baseline``/
     ``queries``/``merges``) resolve through ``ctx`` from earlier
@@ -3339,6 +3420,10 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         return chunk_documents(
             df, id_col, text_col, int(spec.get("chunk_size", 64)),
             spec.get("stride"),
+        )
+    if op == "chunk_sentences":
+        return chunk_sentences(
+            df, id_col, text_col, int(spec.get("chunk_tokens", 128)),
         )
     if op == "mixture":
         if spec.get("alpha") is not None and spec.get("weights") is None:

@@ -1931,3 +1931,51 @@ def test_word_blocklist_filter(spark):
         word_blocklist_filter(df, ["x"], mode="bogus")
     with _pt.raises(ValueError, match="words"):
         word_blocklist_filter(df, [])
+
+
+def test_chunk_sentences(spark):
+    from config_driven_pyspark_spark.operators.corpus import chunk_sentences
+
+    df = spark.createDataFrame(
+        [(1, "one two three. four five? six seven eight! nine"),
+         (2, ""), (3, None), (4, "no terminators at all")],
+        "doc_id long, text string",
+    )
+    # chunk_tokens=5: sentence token masses are 3,2,3,1 -> cum-before
+    # 0,3,5,8 -> chunks 0,0,1,1
+    out = {}
+    for r in chunk_sentences(df, "doc_id", chunk_tokens=5).collect():
+        out[(r["doc_id"], r["chunk_id"])] = r
+    assert out[(1, 0)]["chunk_text"] == "one two three. four five?"
+    assert out[(1, 0)]["n_tokens"] == 5 and out[(1, 0)]["n_sentences"] == 2
+    assert out[(1, 1)]["chunk_text"] == "six seven eight! nine"
+    assert out[(1, 1)]["n_tokens"] == 4
+    # sentences never split: a chunk may overshoot by one sentence
+    big = chunk_sentences(df.filter("doc_id = 1"), "doc_id",
+                          chunk_tokens=4).collect()
+    assert all("." not in c["chunk_text"][:-1]
+               or c["chunk_text"].count(".") <= c["n_sentences"]
+               for c in big)
+    # empty/null docs emit nothing; unpunctuated text = one sentence
+    assert not any(k[0] in (2, 3) for k in out)
+    assert out[(4, 0)]["n_sentences"] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError, match="chunk_tokens"):
+        chunk_sentences(df, "doc_id", chunk_tokens=0)
+
+
+def test_chunk_sentences_reassembles(spark):
+    from config_driven_pyspark_spark.operators.corpus import chunk_sentences
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(40)
+    ch = chunk_sentences(docs, "doc_id", chunk_tokens=32)
+    rows = ch.collect()
+    # every document's chunks, in chunk order, carry every token once
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        got.setdefault(r["doc_id"], []).extend(r["chunk_text"].split(" "))
+    for d in docs.collect():
+        toks = [t for t in d["text"].split(" ") if t]
+        if toks:
+            assert got[d["doc_id"]] == toks, d["doc_id"]
