@@ -2890,6 +2890,42 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_manifest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity-audit verdicts on a deliberately damaged copy
+    (integrity.py::manifest_diff, r9): the stored receipts come from
+    the pristine corpus; the 'copy' drops one source entirely
+    (missing), appends a byte to every doc_id % 13 == 0 text
+    (mismatch via bytes+checksum), and renames doc_id % 17 == 0 rows
+    to a ghost source (extra, plus mismatches where they left) — the
+    minted-fault pattern. Every verdict and every receipt value is
+    hash-checked; the oracle recomputes both manifests and the same
+    full-outer-join CASE."""
+    from config_driven_pyspark_spark.operators.integrity import (
+        export_manifest,
+        manifest_diff,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    receipts = export_manifest(docs, by="source", id_col="doc_id",
+                               text_col="text")
+    mutated = (
+        docs.filter(F.col("source") != "src0")
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.col("text"), F.lit("!")))
+            .otherwise(F.col("text")),
+        )
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 17 == 0, F.lit("ghost"))
+            .otherwise(F.col("source")),
+        )
+    )
+    return manifest_diff(mutated, receipts, by="source",
+                         id_col="doc_id", text_col="text")
+
+
 def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-preserving RAG chunking (corpus.py::chunk_sentences,
     r9): sentences (runs of `[^.!?]+[.!?]*`, trimmed) never split;
@@ -4555,6 +4591,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_word_blocklist",    # r9-new, locally hash-exact; fronts in r10
     "q_e2e_curriculum_export",  # r9-new, locally hash-exact; fronts in r10
     "q_chunk_sentences",   # r9-new, locally hash-exact; fronts in r10
+    "q_manifest_drift",    # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4751,6 +4788,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word_blocklist": q_word_blocklist,  # C4 bad-words rule, r9
         "q_e2e_curriculum_export": q_e2e_curriculum_export,  # e2e #3, r9
         "q_chunk_sentences": q_chunk_sentences,  # RAG chunking, r9
+        "q_manifest_drift": q_manifest_drift,  # audit verdicts, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7657,6 +7695,49 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab CTEs + 16 unrolled greedy-cursor steps + reassembly
         "q_wordpiece_encode": _wordpiece_encode_oracle(100, 4, 16, 10_000),
+        # two manifests + full outer join + the same verdict CASE
+        "q_manifest_drift": """
+            WITH expected AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS expected_rows,
+                     CAST(coalesce(sum(strlen(coalesce(text, ''))), 0)
+                          AS BIGINT) AS expected_bytes,
+                     bit_xor(CAST(concat('0x', substr(md5(
+                       concat(CAST(doc_id AS VARCHAR), '|',
+                              coalesce(text, ''))), 1, 15)) AS BIGINT))
+                       AS expected_checksum
+              FROM documents GROUP BY source
+            ),
+            mutated AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN text || '!'
+                          ELSE text END AS text,
+                     CASE WHEN doc_id % 17 = 0 THEN 'ghost'
+                          ELSE source END AS source
+              FROM documents WHERE source <> 'src0'
+            ),
+            actual AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(coalesce(sum(strlen(coalesce(text, ''))), 0)
+                          AS BIGINT) AS n_bytes,
+                     bit_xor(CAST(concat('0x', substr(md5(
+                       concat(CAST(doc_id AS VARCHAR), '|',
+                              coalesce(text, ''))), 1, 15)) AS BIGINT))
+                       AS checksum
+              FROM mutated GROUP BY source
+            )
+            SELECT coalesce(a.source, e.source) AS source,
+                   CASE WHEN a.n_rows IS NULL THEN 'missing'
+                        WHEN e.expected_rows IS NULL THEN 'extra'
+                        WHEN a.n_rows = e.expected_rows
+                         AND a.n_bytes = e.expected_bytes
+                         AND a.checksum = e.expected_checksum THEN 'ok'
+                        ELSE 'mismatch' END AS status,
+                   a.n_rows, a.n_bytes, a.checksum,
+                   e.expected_rows, e.expected_bytes, e.expected_checksum
+            FROM actual a FULL OUTER JOIN expected e USING (source)
+        """,
         # sentence extraction -> cumulative masses -> ordered re-join
         "q_chunk_sentences": """
             WITH sent AS (

@@ -149,6 +149,7 @@ HEADLINE = [
     "q_word_blocklist",
     "q_e2e_curriculum_export",
     "q_chunk_sentences",
+    "q_manifest_drift",
 ]
 
 
