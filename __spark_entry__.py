@@ -2890,6 +2890,29 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text→vector→ANN bridge end-to-end (r9 composition row):
+    hash_embed turns raw documents into 64-dim unit vectors, zero
+    vectors (gram-less docs) drop, and brute_force_topk returns each
+    sub-10 doc_id's exact top-5 cosine neighbors — no embeddings table
+    anywhere. Every stage is the already-hash-checked operator; this
+    row pins their COMPOSITION (the oracle rebuilds the vectors from
+    raw text and replays the same unit-normalize + 6-decimal-cosine
+    ranking)."""
+    from config_driven_pyspark_spark.operators.featurize import hash_embed
+    from config_driven_pyspark_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = (
+        hash_embed(docs, "doc_id", "text", dim=64)
+        .filter(F.exists("embedding", lambda x: x != 0.0))
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+    )
+    return brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
+
+
 def q_manifest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrity-audit verdicts on a deliberately damaged copy
     (integrity.py::manifest_diff, r9): the stored receipts come from
@@ -4592,6 +4615,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_e2e_curriculum_export",  # r9-new, locally hash-exact; fronts in r10
     "q_chunk_sentences",   # r9-new, locally hash-exact; fronts in r10
     "q_manifest_drift",    # r9-new, locally hash-exact; fronts in r10
+    "q_hash_embed_knn",    # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4789,6 +4813,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2e_curriculum_export": q_e2e_curriculum_export,  # e2e #3, r9
         "q_chunk_sentences": q_chunk_sentences,  # RAG chunking, r9
         "q_manifest_drift": q_manifest_drift,  # audit verdicts, r9
+        "q_hash_embed_knn": q_hash_embed_knn,  # text->vector->ANN, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7695,6 +7720,66 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab CTEs + 16 unrolled greedy-cursor steps + reassembly
         "q_wordpiece_encode": _wordpiece_encode_oracle(100, 4, 16, 10_000),
+        # rebuild hashed vectors from raw text, replay unit-norm + top-k
+        "q_hash_embed_knn": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x != '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(t || list_transform(
+                       range(1, greatest(len(t), 1)),
+                       i -> t[i] || ' ' || t[i+1])) AS g
+              FROM toks
+            ),
+            hb AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+                       % 64 AS b,
+                     CASE WHEN CAST(concat('0x', substr(md5(g), 9, 1))
+                                    AS BIGINT) % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+              FROM grams
+            ),
+            pv AS (
+              SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+              FROM hb GROUP BY doc_id, b
+            ),
+            nrm AS (
+              SELECT doc_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS nrm
+              FROM pv GROUP BY doc_id HAVING sum(v*v) > 0
+            ),
+            dims AS (SELECT unnest(range(0, 64)) AS idx),
+            comp AS (
+              SELECT nrm.doc_id, dims.idx,
+                     round(coalesce(CAST(pv.v AS DOUBLE) / nrm.nrm, 0.0),
+                           9) AS val
+              FROM nrm CROSS JOIN dims
+              LEFT JOIN pv ON pv.doc_id = nrm.doc_id AND pv.b = dims.idx
+            ),
+            vecs AS (
+              SELECT doc_id, list(val ORDER BY idx) AS e
+              FROM comp GROUP BY doc_id
+            ),
+            unitv AS (
+              SELECT doc_id,
+                     list_transform(e, x -> x
+                       / sqrt(list_dot_product(e, e))) AS u
+              FROM vecs
+            )
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+              SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                     round(list_dot_product(q.u, c.u), 6) AS cosine,
+                     row_number() OVER (PARTITION BY q.doc_id
+                       ORDER BY round(list_dot_product(q.u, c.u), 6) DESC,
+                                c.doc_id) AS rank
+              FROM unitv q JOIN unitv c ON q.doc_id <> c.doc_id
+              WHERE q.doc_id < 10
+            ) WHERE rank <= 5
+        """,
         # two manifests + full outer join + the same verdict CASE
         "q_manifest_drift": """
             WITH expected AS (

@@ -150,6 +150,7 @@ HEADLINE = [
     "q_e2e_curriculum_export",
     "q_chunk_sentences",
     "q_manifest_drift",
+    "q_hash_embed_knn",
 ]
 
 
