@@ -203,8 +203,8 @@ def test_web_curation_example(spark, tmp_path):
 
 
 def test_embedding_curation_example(spark):
-    """r8: NCM label filter then SemDeDup — survivors are a subset of
-    the label-consistent vectors, deduped within clusters."""
+    """r8+r9: NCM label filter → SemDeDup → contrastive triplets — every
+    id the triplets reference survived both curation stages."""
     from config_driven_pyspark_spark.operators import similarity as S
 
     with open(os.path.join(EXAMPLES, "embedding_curation.yaml")) as fh:
@@ -218,9 +218,18 @@ def test_embedding_curation_example(spark):
         r["vec_id"]
         for r in S.ncm_classify(emb).filter("correct").collect()
     }
-    got = {r["vec_id"] for r in result.collect()}
-    assert got and got <= good
-    assert set(result.columns) == set(emb.columns)
+    rows = result.collect()
+    assert rows
+    assert {"anchor_id", "positive_id", "pos_cosine", "negative_id",
+            "neg_cosine", "neg_rank"} == set(result.columns)
+    referenced = {r["anchor_id"] for r in rows} \
+        | {r["positive_id"] for r in rows} \
+        | {r["negative_id"] for r in rows}
+    assert referenced <= good
+    for r in rows:
+        assert r["pos_cosine"] >= 0.3
+        assert 0.2 <= r["neg_cosine"] < 0.28
+        assert 1 <= r["neg_rank"] <= 2
     result.unpersist()
 
 
