@@ -2890,6 +2890,24 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram NLL (corpus.py::bigram_perplexity
+    smoothing='kneser_ney', r9 — Kneser & Ney 1995, the KenLM-standard
+    smoothing): discounted ML term + continuation weight built from
+    DISTINCT-follower/preceder counts, fixing add-k's famous
+    'francisco' failure (frequent-but-predictable tokens no longer
+    inflate unseen contexts). Same capped-vocab/<unk> machinery and
+    9-decimal DECIMAL-summed NLL as q_bigram_perplexity; the three
+    N₁₊ statistics are one extra aggregate each over the bigram-type
+    table. Oracle replays the exact closed form."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "corpus", "op": "perplexity", "id_col": "doc_id",
+         "column": "text", "vocab_size": 500,
+         "smoothing": "kneser_ney", "discount": 0.75},
+    ])
+
+
 def q_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text→vector→ANN bridge end-to-end (r9 composition row):
     hash_embed turns raw documents into 64-dim unit vectors, zero
@@ -4616,6 +4634,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_chunk_sentences",   # r9-new, locally hash-exact; fronts in r10
     "q_manifest_drift",    # r9-new, locally hash-exact; fronts in r10
     "q_hash_embed_knn",    # r9-new, locally hash-exact; fronts in r10
+    "q_kn_perplexity",     # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4814,6 +4833,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_sentences": q_chunk_sentences,  # RAG chunking, r9
         "q_manifest_drift": q_manifest_drift,  # audit verdicts, r9
         "q_hash_embed_knn": q_hash_embed_knn,  # text->vector->ANN, r9
+        "q_kn_perplexity": q_kn_perplexity,  # Kneser-Ney NLL, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7720,6 +7740,52 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab CTEs + 16 unrolled greedy-cursor steps + reassembly
         "q_wordpiece_encode": _wordpiece_encode_oracle(100, 4, 16, 10_000),
+        # discounted ML + continuation weight from distinct-type counts
+        "q_kn_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t != '') AS w
+              FROM documents),
+            uni AS (
+              SELECT u.word, count(*) AS c
+              FROM (SELECT unnest(w) AS word FROM toks) u
+              GROUP BY u.word),
+            vocab AS (
+              SELECT word FROM uni ORDER BY c DESC, word ASC LIMIT 500),
+            bigraw AS (
+              SELECT doc_id, w[t.i] AS r1, w[t.i + 1] AS r2
+              FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+            big AS (
+              SELECT doc_id,
+                     COALESCE(v1.word, '<unk>') AS w1,
+                     COALESCE(v2.word, '<unk>') AS w2
+              FROM bigraw
+              LEFT JOIN vocab v1 ON bigraw.r1 = v1.word
+              LEFT JOIN vocab v2 ON bigraw.r2 = v2.word),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+            n1f AS (SELECT w1, count(*) AS n1f FROM c12 GROUP BY w1),
+            n1b AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY w2),
+            nt AS (SELECT count(*) AS nt FROM c12),
+            scored AS (
+              SELECT b.doc_id,
+                     CAST(round(-ln(
+                       greatest(c12.c12 - 0.75, 0.0) / c1.c1
+                       + 0.75 * n1f.n1f / c1.c1
+                         * (n1b.n1b / (SELECT nt FROM nt))
+                     ), 9) AS DECIMAL(18,9)) AS t
+              FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+              JOIN n1f USING (w1) JOIN n1b USING (w2)),
+            agg AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(t) AS DOUBLE) AS nll_sum
+              FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   COALESCE(a.nll_sum, 0.0) AS nll_sum
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         # rebuild hashed vectors from raw text, replay unit-norm + top-k
         "q_hash_embed_knn": """
             WITH toks AS (

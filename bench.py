@@ -151,6 +151,7 @@ HEADLINE = [
     "q_chunk_sentences",
     "q_manifest_drift",
     "q_hash_embed_knn",
+    "q_kn_perplexity",
 ]
 
 

@@ -2999,17 +2999,28 @@ def bigram_perplexity(
     text_col: str = "text",
     vocab_size: int = 10_000,
     k_smoothing: float = 0.5,
+    smoothing: str = "add_k",
+    discount: float = 0.75,
 ) -> DataFrame:
     """Per-document bigram language-model negative log-likelihood — the
     classic KenLM-style quality signal for training-data filtering
     (gibberish / boilerplate / wrong-language text scores high NLL
     against a model trained on the corpus itself).
 
-    Model: add-k-smoothed bigram LM trained on this corpus.
-    ``P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V)`` with the vocabulary
+    Model: a bigram LM trained on this corpus, with the vocabulary
     capped to the ``vocab_size`` most frequent tokens (ties: count desc,
-    token asc — deterministic) and everything else mapped to ``<unk>``;
-    ``V`` = |vocab| + 1 for ``<unk>``. Output: (doc_id, n_bigrams,
+    token asc — deterministic) and everything else mapped to ``<unk>``.
+    ``smoothing="add_k"`` (default): ``P(w2|w1) = (C(w1,w2) + k) /
+    (C(w1) + k·V)`` with ``V`` = |vocab| + 1 for ``<unk>``.
+    ``smoothing="kneser_ney"``: interpolated KN with fixed ``discount``
+    D (Kneser & Ney 1995; the KenLM standard) —
+    ``P(w2|w1) = max(C(w1,w2) − D, 0)/C(w1) + D·N₁₊(w1,·)/C(w1) ·
+    N₁₊(·,w2)/N_types`` where the continuation weight counts DISTINCT
+    followers/preceders, so frequent-but-predictable tokens ('francisco'
+    after 'san') stop inflating unrelated contexts — the well-known
+    failure of pure frequency smoothing. All three N₁₊ statistics are
+    one extra aggregate each over the SAME bigram-type table;
+    self-scoring keeps every term positive. Output: (doc_id, n_bigrams,
     nll_sum) where ``nll_sum = Σ −ln P`` over the document's bigrams.
     Per-bigram NLL terms are rounded to 9 decimals and summed as
     DECIMAL(18,9) — exact, order-independent addition (the BM25 trick) —
@@ -3075,16 +3086,40 @@ def bigram_perplexity(
             .otherwise(F.lit("<unk>")).alias("w2"),
         )
     )
+    if smoothing not in ("add_k", "kneser_ney"):
+        raise ValueError(
+            f"smoothing must be 'add_k' or 'kneser_ney', got {smoothing!r}"
+        )
     c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
     c1 = bi.groupBy("w1").agg(F.count("*").alias("__c1"))
-    model = c12.join(c1, "w1").crossJoin(F.broadcast(v_total))
-    nll_term = F.round(
-        -F.log(
-            (F.col("__c12") + F.lit(k))
-            / (F.col("__c1") + F.lit(k) * F.col("__v"))
-        ),
-        9,
-    ).cast("decimal(18,9)")
+    if smoothing == "kneser_ney":
+        d = float(discount)
+        c12 = _materialize(c12)
+        n1f = c12.groupBy("w1").agg(F.count("*").alias("__n1f"))
+        n1b = c12.groupBy("w2").agg(F.count("*").alias("__n1b"))
+        n_types = c12.agg(F.count("*").alias("__nt"))
+        model = (
+            c12.join(c1, "w1").join(n1f, "w1").join(n1b, "w2")
+            .crossJoin(F.broadcast(n_types))
+        )
+        nll_term = F.round(
+            -F.log(
+                F.greatest(F.col("__c12") - F.lit(d), F.lit(0.0))
+                / F.col("__c1")
+                + F.lit(d) * F.col("__n1f") / F.col("__c1")
+                * (F.col("__n1b") / F.col("__nt"))
+            ),
+            9,
+        ).cast("decimal(18,9)")
+    else:
+        model = c12.join(c1, "w1").crossJoin(F.broadcast(v_total))
+        nll_term = F.round(
+            -F.log(
+                (F.col("__c12") + F.lit(k))
+                / (F.col("__c1") + F.lit(k) * F.col("__v"))
+            ),
+            9,
+        ).cast("decimal(18,9)")
     per_doc = (
         bi.join(model, ["w1", "w2"])
         .groupBy("doc_id")
@@ -3697,6 +3732,8 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             df, id_col, text_col,
             int(spec.get("vocab_size", 10_000)),
             float(spec.get("k_smoothing", 0.5)),
+            spec.get("smoothing", "add_k"),
+            float(spec.get("discount", 0.75)),
         )
     if op == "perplexity_train":
         return bigram_lm_train(

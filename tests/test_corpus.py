@@ -1979,3 +1979,29 @@ def test_chunk_sentences_reassembles(spark):
         toks = [t for t in d["text"].split(" ") if t]
         if toks:
             assert got[d["doc_id"]] == toks, d["doc_id"]
+
+
+def test_kneser_ney_perplexity(spark):
+    from config_driven_pyspark_spark.operators.corpus import (
+        bigram_perplexity,
+    )
+    import math
+
+    # "a b" x2 and "a c": c1(a)=3, c12(a,b)=2, c12(a,c)=1,
+    # N1+(a,.)=2, N1+(.,b)=1, N1+(.,c)=1, N_types=2
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_perplexity(
+        df, vocab_size=10, smoothing="kneser_ney", discount=0.75
+    ).collect()}
+    d = 0.75
+    p_ab = max(2 - d, 0) / 3 + d * 2 / 3 * (1 / 2)
+    p_ac = max(1 - d, 0) / 3 + d * 2 / 3 * (1 / 2)
+    assert out[1]["nll_sum"] == round(-math.log(p_ab), 9)
+    assert out[3]["nll_sum"] == round(-math.log(p_ac), 9)
+    # KN scores the common continuation as likelier
+    assert out[1]["nll_sum"] < out[3]["nll_sum"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="smoothing"):
+        bigram_perplexity(df, smoothing="bogus")
