@@ -3015,15 +3015,16 @@ def q_word_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 bad-words blocklist screen (corpus.py::word_blocklist_filter,
     r9 — Raffel et al. 2020 §2.2) in flag mode: exact lowercased-token
     membership against a broadcast-literal word list (never substring —
-    'class' can't trip on a 3-letter entry), emitting the offending
-    count, the sorted distinct offenders (the audit column) and the
-    keep verdict at max_hits=2. Scan + Project, 0 exchanges, no UDF,
-    streaming-safe."""
+    'class' can't trip on a 3-letter entry; multi-word entries match as
+    consecutive token SEQUENCES via n-gram INSET tests, the published
+    list's phrase entries), emitting the offending count, the sorted
+    distinct offenders (the audit column) and the keep verdict at
+    max_hits=2. Scan + Project, 0 exchanges, no UDF, streaming-safe."""
     out = _run(spark, [
         _src(sf_dir, "documents"),
         {"stage": "corpus", "op": "word_blocklist", "column": "text",
-         "words": ["join", "scan", "nosuchword"], "mode": "flag",
-         "max_hits": 2},
+         "words": ["join", "scan", "nosuchword", "batch scan"],
+         "mode": "flag", "max_hits": 2},
     ])
     return out.select(
         "doc_id", "n_blocked",
@@ -7972,14 +7973,24 @@ def oracle_sql() -> dict[str, str]:
                      AS checksum
             FROM ph GROUP BY phase
         """,
-        # exact lowercased-token membership vs the literal list
+        # exact lowercased-token + consecutive-bigram membership
         "q_word_blocklist": """
-            WITH h AS (
+            WITH tk AS (
               SELECT doc_id,
                      list_filter(string_split(lower(text), ' '),
-                                 t -> t IN ('join', 'scan', 'nosuchword'))
-                       AS hits
+                                 x -> x != '') AS t
               FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_filter(t, x -> x IN ('join', 'scan',
+                                               'nosuchword'))
+                     || list_filter(
+                          list_transform(
+                            range(0, greatest(len(t) - 2, 0) + 1),
+                            i -> concat_ws(' ', t[i+1], t[i+2])),
+                          g -> g IN ('batch scan')) AS hits
+              FROM tk
             )
             SELECT doc_id,
                    CAST(len(hits) AS BIGINT) AS n_blocked,

@@ -684,22 +684,60 @@ def word_blocklist_filter(
     with ``n_blocked <= max_hits`` (C4 semantics at the default 0);
     ``mode="flag"`` keeps every row and just annotates.
 
+    Multi-word entries are matched as exact consecutive token SEQUENCES
+    (the published list has phrases): entries group by token length and
+    each length-n group membership-tests the document's word n-grams,
+    so a phrase can never match across a token it doesn't contain.
+
     Determinism: membership is exact token equality after ``lower()``
     (no substring matching — 'class' never trips on 'ass'; compose with
-    ``normalize`` upstream for punctuation-glued hits). Scale: the word
-    list is a Column literal (a few thousand entries — the published
-    lists are ~2k), so the plan is scan + Project with 0 exchanges, no
-    UDF, streaming-safe."""
+    ``normalize`` upstream for punctuation-glued hits). Scale: each
+    length group compiles to one INSET membership test (a hash set, not
+    per-entry expression nodes), so the plan is scan + Project with 0
+    exchanges, no UDF, streaming-safe."""
     if mode not in ("any", "flag"):
         raise ValueError(f"mode must be 'any' or 'flag', got {mode!r}")
     if not words:
         raise ValueError("words must be a non-empty list")
-    wl = sorted({w.lower() for w in words})
+    groups: dict[int, list[str]] = {}
+    for w in words:
+        parts = [t for t in w.lower().split(" ") if t]
+        if not parts:
+            raise ValueError("words must not contain blank entries")
+        groups.setdefault(len(parts), []).append(" ".join(parts))
     toks = F.coalesce(
         TX.tokens(F.lower(F.col(text_col))),
         F.array().cast("array<string>"),
     )
-    hits = F.filter(toks, lambda t: t.isin(*wl))
+    # single-arg lambdas built by factories: transform/filter dispatch on
+    # lambda ARITY (a second parameter — even a default — receives the
+    # element index), so closures must not add parameters
+    def _gram_at(n: int):
+        # element_at composition: F.slice rejects Column starts;
+        # out-of-range positions yield nulls concat_ws drops, and a
+        # short join (< n-1 spaces) can never equal an n-token phrase,
+        # so the size < n edge is inert
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+        )
+
+    def _in_set(pl: list[str]):
+        return lambda g: g.isin(*pl)
+
+    hit_arrays = []
+    for n in sorted(groups):
+        pl = sorted(set(groups[n]))
+        if n == 1:
+            grams = toks
+        else:
+            grams = F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
+                ),
+                _gram_at(n),
+            )
+        hit_arrays.append(F.filter(grams, _in_set(pl)))
+    hits = F.concat(*hit_arrays) if len(hit_arrays) > 1 else hit_arrays[0]
     out = df.withColumn(
         "n_blocked", F.size(hits).cast("bigint")
     ).withColumn(

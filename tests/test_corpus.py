@@ -2005,3 +2005,33 @@ def test_kneser_ney_perplexity(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="smoothing"):
         bigram_perplexity(df, smoothing="bogus")
+
+
+def test_word_blocklist_phrases(spark):
+    from config_driven_pyspark_spark.operators.corpus import (
+        word_blocklist_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "totally fine text"), (2, "contains the bad phrase here"),
+         (3, "bad phrase bad phrase twice"), (4, "bad then phrase split"),
+         (5, "phrase bad reversed")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in word_blocklist_filter(
+        df, ["Bad Phrase"], mode="flag").collect()}
+    assert out[1]["n_blocked"] == 0
+    assert out[2]["n_blocked"] == 1
+    assert out[2]["blocked_words"] == ["bad phrase"]
+    assert out[3]["n_blocked"] == 2
+    # sequence match only: split or reversed tokens never trip
+    assert out[4]["n_blocked"] == 0
+    assert out[5]["n_blocked"] == 0
+    # mixed single + phrase entries count independently
+    mixed = {r["doc_id"]: r for r in word_blocklist_filter(
+        df, ["bad phrase", "reversed"], mode="flag").collect()}
+    assert mixed[5]["n_blocked"] == 1
+    assert mixed[3]["blocked_words"] == ["bad phrase"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="blank"):
+        word_blocklist_filter(df, ["ok", "  "])
