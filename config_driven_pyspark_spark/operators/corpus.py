@@ -705,10 +705,18 @@ def word_blocklist_filter(
         if not parts:
             raise ValueError("words must not contain blank entries")
         groups.setdefault(len(parts), []).append(" ".join(parts))
-    toks = F.coalesce(
-        TX.tokens(F.lower(F.col(text_col))),
-        F.array().cast("array<string>"),
+    # materialize the token array as its own column: interpreted lambdas
+    # re-evaluate a referenced expression per element, so element_at over
+    # the raw split would re-tokenize the document at every gram position
+    # (measured 15x slower on the bench row)
+    df = df.withColumn(
+        "__bl_toks",
+        F.coalesce(
+            TX.tokens(F.lower(F.col(text_col))),
+            F.array().cast("array<string>"),
+        ),
     )
+    toks = F.col("__bl_toks")
     # single-arg lambdas built by factories: transform/filter dispatch on
     # lambda ARITY (a second parameter — even a default — receives the
     # element index), so closures must not add parameters
@@ -743,7 +751,7 @@ def word_blocklist_filter(
     ).withColumn(
         "blocked_words",
         F.array_sort(F.array_distinct(hits)),
-    ).withColumn("keep", F.col("n_blocked") <= max_hits)
+    ).withColumn("keep", F.col("n_blocked") <= max_hits).drop("__bl_toks")
     if mode == "any":
         return out.filter(F.col("keep"))
     return out
