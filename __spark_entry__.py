@@ -2890,6 +2890,27 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receipt mergeability (integrity.py::manifest_merge, r9): every
+    manifest field is a monoid (sums + commutative XOR), so receipts
+    computed over the even and odd doc_id halves FOLD into exactly the
+    whole-corpus receipts — incremental exports manifest each batch at
+    write time and never rescan history. The oracle is the whole-corpus
+    manifest query itself: the hash check IS the algebraic proof,
+    cross-engine."""
+    from config_driven_pyspark_spark.operators.integrity import (
+        export_manifest,
+        manifest_merge,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    even = export_manifest(docs.filter("doc_id % 2 = 0"), by="source",
+                           id_col="doc_id", text_col="text")
+    odd = export_manifest(docs.filter("doc_id % 2 = 1"), by="source",
+                          id_col="doc_id", text_col="text")
+    return manifest_merge(even, odd)
+
+
 def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram NLL (corpus.py::bigram_perplexity
     smoothing='kneser_ney', r9 — Kneser & Ney 1995, the KenLM-standard
@@ -4636,6 +4657,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_manifest_drift",    # r9-new, locally hash-exact; fronts in r10
     "q_hash_embed_knn",    # r9-new, locally hash-exact; fronts in r10
     "q_kn_perplexity",     # r9-new, locally hash-exact; fronts in r10
+    "q_manifest_merge",    # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4835,6 +4857,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_manifest_drift": q_manifest_drift,  # audit verdicts, r9
         "q_hash_embed_knn": q_hash_embed_knn,  # text->vector->ANN, r9
         "q_kn_perplexity": q_kn_perplexity,  # Kneser-Ney NLL, r9
+        "q_manifest_merge": q_manifest_merge,  # receipt monoid, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7972,6 +7995,18 @@ def oracle_sql() -> dict[str, str]:
                             coalesce(text, ''))), 1, 15)) AS BIGINT))
                      AS checksum
             FROM ph GROUP BY phase
+        """,
+        # merging disjoint-half receipts must equal the whole corpus
+        "q_manifest_merge": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(strlen(coalesce(text, ''))), 0)
+                        AS BIGINT) AS n_bytes,
+                   bit_xor(CAST(concat('0x', substr(md5(
+                     concat(CAST(doc_id AS VARCHAR), '|',
+                            coalesce(text, ''))), 1, 15)) AS BIGINT))
+                     AS checksum
+            FROM documents GROUP BY source
         """,
         # exact lowercased-token + consecutive-bigram membership
         "q_word_blocklist": """

@@ -152,6 +152,7 @@ HEADLINE = [
     "q_manifest_drift",
     "q_hash_embed_knn",
     "q_kn_perplexity",
+    "q_manifest_merge",
 ]
 
 

@@ -68,6 +68,29 @@ def export_manifest(
     )
 
 
+def manifest_merge(*manifests: DataFrame) -> DataFrame:
+    """Combine receipt tables computed over DISJOINT row sets into the
+    receipts of their union — without touching the data again. Every
+    receipt field is a monoid (count/byte sums add; the pair-hash XOR
+    is commutative-associative), which is the design reason XOR was
+    chosen over an order-sensitive digest: incremental exports can
+    manifest each batch at write time and fold receipts forever.
+    Overlapping inputs are the caller's contract violation (XOR would
+    cancel the duplicated pairs silently; the row counts would still
+    betray it)."""
+    if not manifests:
+        raise ValueError("manifest_merge needs at least one manifest")
+    by = manifests[0].columns[0]
+    out = manifests[0]
+    for m in manifests[1:]:
+        out = out.unionByName(m)
+    return out.groupBy(by).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        F.bit_xor("checksum").alias("checksum"),
+    )
+
+
 def manifest_diff(
     df: DataFrame,
     manifest: DataFrame,

@@ -105,3 +105,26 @@ def test_null_text_and_stage_wiring(spark, documents):
          "id_col": "doc_id", "manifest": "m", "input": "docs"},
     ]).run(spark)
     assert {r["status"] for r in out.collect()} == {"ok"}
+
+
+def test_manifest_merge_monoid(spark, documents):
+    from config_driven_pyspark_spark.operators.integrity import (
+        manifest_merge,
+    )
+
+    whole = {r["source"]: (r["n_rows"], r["n_bytes"], r["checksum"])
+             for r in export_manifest(documents, by="source").collect()}
+    parts = [export_manifest(documents.filter(f"doc_id % 3 = {i}"),
+                             by="source") for i in range(3)]
+    merged = {r["source"]: (r["n_rows"], r["n_bytes"], r["checksum"])
+              for r in manifest_merge(*parts).collect()}
+    assert merged == whole
+    # single-input merge is the identity
+    one = {r["source"]: (r["n_rows"], r["n_bytes"], r["checksum"])
+           for r in manifest_merge(parts[0]).collect()}
+    base = {r["source"]: (r["n_rows"], r["n_bytes"], r["checksum"])
+            for r in parts[0].collect()}
+    assert one == base
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one"):
+        manifest_merge()
