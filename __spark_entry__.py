@@ -2890,6 +2890,20 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confidence (functions/text.py::lang_margin, r9):
+    (best stopword-panel hits − runner-up hits) / tokens — the
+    mixed-language / stopword-free detector that turns lang_id into a
+    (label, confidence) pair; both come from the SAME panels so the
+    margin is exactly the tie-distance of the label decision. Map-only,
+    0 exchanges, streaming-safe."""
+    return _run(spark, [
+        _src(sf_dir, "documents"),
+        {"stage": "text", "column": "text",
+         "ops": ["lang_id", "lang_margin"]},
+    ]).select("doc_id", "lang_id", "lang_margin")
+
+
 def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Receipt mergeability (integrity.py::manifest_merge, r9): every
     manifest field is a monoid (sums + commutative XOR), so receipts
@@ -4658,6 +4672,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_hash_embed_knn",    # r9-new, locally hash-exact; fronts in r10
     "q_kn_perplexity",     # r9-new, locally hash-exact; fronts in r10
     "q_manifest_merge",    # r9-new, locally hash-exact; fronts in r10
+    "q_lang_margin",       # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4858,6 +4873,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_embed_knn": q_hash_embed_knn,  # text->vector->ANN, r9
         "q_kn_perplexity": q_kn_perplexity,  # Kneser-Ney NLL, r9
         "q_manifest_merge": q_manifest_merge,  # receipt monoid, r9
+        "q_lang_margin": q_lang_margin,  # lang-ID confidence, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -7995,6 +8011,29 @@ def oracle_sql() -> dict[str, str]:
                             coalesce(text, ''))), 1, 15)) AS BIGINT))
                      AS checksum
             FROM ph GROUP BY phase
+        """,
+        # same panels as q_lang_id + sorted-hit margin over token count
+        "q_lang_margin": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN h_en > 0 AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_es THEN 'en'
+                     WHEN h_fr > 0 AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+                     WHEN h_de > 0 AND h_de >= h_es THEN 'de'
+                     WHEN h_es > 0 THEN 'es'
+                     ELSE 'und'
+                   END AS lang_id,
+                   CASE WHEN nt > 0 THEN round(
+                     (sl[4] - sl[3]) * 1.0 / nt, 6) ELSE 0.0 END
+                     AS lang_margin
+            FROM (
+              SELECT doc_id, h_en, h_fr, h_de, h_es,
+                     list_sort([h_en, h_fr, h_de, h_es]) AS sl, nt
+              FROM (
+                SELECT doc_id, {_LANG_HIT_EXPRS},
+                       len(list_filter(string_split(lower(text), ' '),
+                                       t -> t != '')) AS nt
+                FROM documents)
+            )
         """,
         # merging disjoint-half receipts must equal the whole corpus
         "q_manifest_merge": """

@@ -153,6 +153,7 @@ HEADLINE = [
     "q_hash_embed_knn",
     "q_kn_perplexity",
     "q_manifest_merge",
+    "q_lang_margin",
 ]
 
 

@@ -69,6 +69,28 @@ def quality_score(text: Column) -> Column:
     return F.round(0.5 * length_term + 0.3 * punct_term + 0.2 * word_len_term, 6)
 
 
+def lang_margin(text: Column) -> Column:
+    """Language-ID confidence: (best stopword-panel hit count − runner-up
+    hit count) / token count, rounded to 6 decimals — near 0 for
+    mixed-language or stopword-free text (route to manual review / drop
+    under a Gopher-style rule), larger when one panel dominates. Uses
+    the same panels as :func:`lang_id`, so the pair gives a (label,
+    confidence) feature per document; empty documents score 0.0."""
+    scores = F.array_sort(
+        F.array(*[stopword_hits(text, w) for _, w in LANG_STOPWORDS])
+    )
+    n = len(LANG_STOPWORDS)
+    toks = token_count(text)
+    return F.when(
+        toks > 0,
+        F.round(
+            (F.element_at(scores, n) - F.element_at(scores, n - 1))
+            / toks,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
 def sentence_count(text: Column) -> Column:
     """Sentence count = runs of terminal punctuation ``[.!?]+`` (floored
     at 1 for any non-empty token stream — an unpunctuated fragment is
@@ -259,6 +281,7 @@ _TEXT_OPS = {
     "rolling_hash": rolling_hash,
     "redact": redact,
     "normalized": normalize,
+    "lang_margin": lang_margin,
     "sentence_count": sentence_count,
     "syllable_count": syllable_count,
     "flesch_reading_ease": flesch_reading_ease,

@@ -2592,3 +2592,26 @@ def test_readability_stage_wiring(spark, documents):
         out.columns
     )
     assert all(r["sentence_count"] >= 1 for r in rows)
+
+
+def test_lang_margin_confidence(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "the le der el word"),
+         (3, "no stopwords whatsoever here"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lid"),
+        TX.lang_margin(F.col("text")).alias("m"),
+    ).collect()}
+    # monolingual: en hits 4 ('the' x3 + 'and'... count occurrences:
+    # the,and,of,the,the -> 5 hits), runner-up 0 -> margin 5/8
+    assert out[1]["lid"] == "en" and out[1]["m"] == round(5 / 8, 6)
+    # one hit per panel -> margin 0 (tie) despite a confident-looking label
+    assert out[2]["m"] == 0.0
+    # stopword-free -> margin 0, label und
+    assert out[3]["lid"] == "und" and out[3]["m"] == 0.0
+    assert out[4]["m"] == 0.0
