@@ -2035,3 +2035,28 @@ def test_word_blocklist_phrases(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="blank"):
         word_blocklist_filter(df, ["ok", "  "])
+
+
+def test_r9_map_only_ops_have_no_exchange(spark):
+    """The round's claimed-map-only additions stay Exchange-free:
+    word_blocklist (flag), readability text ops, and lang_margin."""
+    from config_driven_pyspark_spark.functions import text as TXF
+    from config_driven_pyspark_spark.operators.corpus import (
+        word_blocklist_filter,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plans = {
+        "blocklist": word_blocklist_filter(
+            df, ["join", "bad phrase"], mode="flag"),
+        "readability": df.select(
+            TXF.sentence_count(F.col("text")),
+            TXF.flesch_reading_ease(F.col("text")),
+            TXF.fk_grade(F.col("text")),
+        ),
+        "lang_margin": df.select(TXF.lang_margin(F.col("text"))),
+    }
+    for name, frame in plans.items():
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, name
