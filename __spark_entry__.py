@@ -2890,6 +2890,25 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece fertility by language (bpe.py::token_stats over the
+    wordpiece encode, r9): the q_tokenizer_fertility diagnostic for the
+    SECOND tokenizer family — token_stats decouples the roll-up from
+    the BPE encode so all three families compare on one table. The
+    oracle composes the 16-step greedy-cursor replay with the same
+    stratum aggregate."""
+    from config_driven_pyspark_spark.operators.bpe import token_stats
+    from config_driven_pyspark_spark.operators.wordpiece import (
+        wordpiece_encode, wordpiece_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = wordpiece_train(docs, "text", vocab_size=100, max_piece_len=4)
+    enc = wordpiece_encode(docs, vocab, "text", max_piece_len=4,
+                           max_word_len=16)
+    return token_stats(enc, "n_wordpiece_tokens", by="lang")
+
+
 def q_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confidence (functions/text.py::lang_margin, r9):
     (best stopword-panel hits − runner-up hits) / tokens — the
@@ -4673,6 +4692,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_kn_perplexity",     # r9-new, locally hash-exact; fronts in r10
     "q_manifest_merge",    # r9-new, locally hash-exact; fronts in r10
     "q_lang_margin",       # r9-new, locally hash-exact; fronts in r10
+    "q_wordpiece_fertility",  # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4874,6 +4894,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kn_perplexity": q_kn_perplexity,  # Kneser-Ney NLL, r9
         "q_manifest_merge": q_manifest_merge,  # receipt monoid, r9
         "q_lang_margin": q_lang_margin,  # lang-ID confidence, r9
+        "q_wordpiece_fertility": q_wordpiece_fertility,  # 2nd family, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -8011,6 +8032,22 @@ def oracle_sql() -> dict[str, str]:
                             coalesce(text, ''))), 1, 15)) AS BIGINT))
                      AS checksum
             FROM ph GROUP BY phase
+        """,
+        # the 16-step greedy replay composed with the stratum roll-up
+        "q_wordpiece_fertility": f"""
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(e.n_toks) AS BIGINT) AS n_tokens,
+                   CAST(sum(strlen(coalesce(d.text, ''))) AS BIGINT)
+                     AS n_bytes,
+                   CASE WHEN sum(strlen(coalesce(d.text, ''))) > 0
+                        THEN round(sum(e.n_toks) * 1.0
+                                   / sum(strlen(coalesce(d.text, ''))), 9)
+                        ELSE 0.0 END AS tokens_per_byte
+            FROM documents d JOIN (
+              {_wordpiece_encode_oracle(100, 4, 16, 10_000)}
+            ) e USING (doc_id)
+            GROUP BY lang
         """,
         # same panels as q_lang_id + sorted-hit margin over token count
         "q_lang_margin": f"""

@@ -154,6 +154,7 @@ HEADLINE = [
     "q_kn_perplexity",
     "q_manifest_merge",
     "q_lang_margin",
+    "q_wordpiece_fertility",
 ]
 
 

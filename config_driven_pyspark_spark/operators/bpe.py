@@ -339,3 +339,38 @@ def tokenizer_stats(
             ),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def token_stats(
+    df: DataFrame,
+    count_col: str,
+    by: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`tokenizer_stats`' roll-up decoupled from the BPE encode —
+    the same per-stratum fertility report (docs, tokens, UTF-8 bytes,
+    9-decimal ``tokens_per_byte``) over ANY precomputed token-count
+    column, so ``unigram_encode``/``wordpiece_encode`` outputs (or an
+    external tokenizer's counts) feed the identical diagnostic and the
+    three tokenizer families compare on one table.
+
+    Scale: one stratum-keyed aggregate with map-side partials."""
+    keys = [by] if by else []
+    agg = df.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(count_col).cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+        ).cast("bigint").alias("n_bytes"),
+    )
+    return agg.withColumn(
+        "tokens_per_byte",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("n_bytes").cast("double"),
+                9,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -3644,6 +3644,12 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
             int(spec.get("max_piece_len", 4)),
             int(spec.get("max_word_len", 16)),
         )
+    if op == "token_stats":
+        from config_driven_pyspark_spark.operators.bpe import token_stats
+
+        return token_stats(
+            df, spec["count_col"], spec.get("by"), text_col
+        )
     if op == "bpe_stats":
         from config_driven_pyspark_spark.operators.bpe import (
             tokenizer_stats,

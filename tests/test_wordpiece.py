@@ -101,3 +101,22 @@ def test_stage_wiring_and_errors(spark, documents):
         W.wordpiece_train(documents, max_piece_len=0)
     with pytest.raises(ValueError, match="max_words"):
         W.wordpiece_train(documents, max_words=0)
+
+
+def test_token_stats_generic_rollup(spark, documents):
+    from config_driven_pyspark_spark.operators.bpe import token_stats
+
+    vocab = W.wordpiece_train(documents, vocab_size=50, max_piece_len=4)
+    enc = W.wordpiece_encode(documents, vocab)
+    out = {r["lang"]: r for r in token_stats(
+        enc, "n_wordpiece_tokens", by="lang").collect()}
+    total_docs = sum(r["n_docs"] for r in out.values())
+    assert total_docs == documents.count()
+    for lang, r in out.items():
+        assert r["n_tokens"] > 0 and r["n_bytes"] > 0
+        assert r["tokens_per_byte"] == round(
+            r["n_tokens"] / r["n_bytes"], 9)
+    # global (no stratum) roll-up sums to the same totals
+    g = token_stats(enc, "n_wordpiece_tokens").first()
+    assert g["n_docs"] == total_docs
+    assert g["n_tokens"] == sum(r["n_tokens"] for r in out.values())
