@@ -2909,6 +2909,25 @@ def q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(enc, "n_wordpiece_tokens", by="lang")
 
 
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fertility by language (bpe.py::token_stats over the
+    Viterbi encode, r9): the third tokenizer family on the same
+    fertility table as q_tokenizer_fertility (BPE) and
+    q_wordpiece_fertility — the cross-family vocab/mixture comparison.
+    Oracle composes the 16-step Viterbi replay with the stratum
+    roll-up."""
+    from config_driven_pyspark_spark.operators.bpe import token_stats
+    from config_driven_pyspark_spark.operators.unigram import (
+        unigram_encode, unigram_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = unigram_train(docs, "text", vocab_size=100, max_piece_len=4)
+    enc = unigram_encode(docs, vocab, "text", max_piece_len=4,
+                         max_word_len=16)
+    return token_stats(enc, "n_unigram_tokens", by="lang")
+
+
 def q_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confidence (functions/text.py::lang_margin, r9):
     (best stopword-panel hits − runner-up hits) / tokens — the
@@ -4693,6 +4712,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_manifest_merge",    # r9-new, locally hash-exact; fronts in r10
     "q_lang_margin",       # r9-new, locally hash-exact; fronts in r10
     "q_wordpiece_fertility",  # r9-new, locally hash-exact; fronts in r10
+    "q_unigram_fertility",  # r9-new, locally hash-exact; fronts in r10
 ]
 
 
@@ -4895,6 +4915,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_manifest_merge": q_manifest_merge,  # receipt monoid, r9
         "q_lang_margin": q_lang_margin,  # lang-ID confidence, r9
         "q_wordpiece_fertility": q_wordpiece_fertility,  # 2nd family, r9
+        "q_unigram_fertility": q_unigram_fertility,  # 3rd family, r9
         "q_bpe_pack": q_bpe_pack,
         "q_e2e_pretrain": q_e2e_pretrain,  # six-stage pipeline, r8
         "q_corpus_profile": q_corpus_profile,
@@ -8032,6 +8053,22 @@ def oracle_sql() -> dict[str, str]:
                             coalesce(text, ''))), 1, 15)) AS BIGINT))
                      AS checksum
             FROM ph GROUP BY phase
+        """,
+        # the 16-step Viterbi replay composed with the stratum roll-up
+        "q_unigram_fertility": f"""
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(e.n_toks) AS BIGINT) AS n_tokens,
+                   CAST(sum(strlen(coalesce(d.text, ''))) AS BIGINT)
+                     AS n_bytes,
+                   CASE WHEN sum(strlen(coalesce(d.text, ''))) > 0
+                        THEN round(sum(e.n_toks) * 1.0
+                                   / sum(strlen(coalesce(d.text, ''))), 9)
+                        ELSE 0.0 END AS tokens_per_byte
+            FROM documents d JOIN (
+              {_unigram_encode_oracle(100, 4, 16, 10_000)}
+            ) e USING (doc_id)
+            GROUP BY lang
         """,
         # the 16-step greedy replay composed with the stratum roll-up
         "q_wordpiece_fertility": f"""

@@ -155,6 +155,7 @@ HEADLINE = [
     "q_manifest_merge",
     "q_lang_margin",
     "q_wordpiece_fertility",
+    "q_unigram_fertility",
 ]
 
 
