@@ -2906,7 +2906,8 @@ def q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = wordpiece_train(docs, "text", vocab_size=100, max_piece_len=4)
     enc = wordpiece_encode(docs, vocab, "text", max_piece_len=4,
                            max_word_len=16)
-    return token_stats(enc, "n_wordpiece_tokens", by="lang")
+    return token_stats(enc, "n_wordpiece_tokens", by="lang",
+                       tokens_col="wordpiece_tokens")
 
 
 def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8077,6 +8078,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(e.n_toks) AS BIGINT) AS n_tokens,
                    CAST(sum(strlen(coalesce(d.text, ''))) AS BIGINT)
                      AS n_bytes,
+                   CAST(sum(len(list_filter(
+                     string_split(e.toks, ' '), t -> t = '[UNK]')))
+                     AS BIGINT) AS n_unk,
+                   CASE WHEN sum(e.n_toks) > 0
+                        THEN round(sum(len(list_filter(
+                               string_split(e.toks, ' '),
+                               t -> t = '[UNK]'))) * 1.0
+                               / sum(e.n_toks), 9)
+                        ELSE 0.0 END AS unk_rate,
                    CASE WHEN sum(strlen(coalesce(d.text, ''))) > 0
                         THEN round(sum(e.n_toks) * 1.0
                                    / sum(strlen(coalesce(d.text, ''))), 9)

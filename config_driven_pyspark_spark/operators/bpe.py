@@ -346,6 +346,8 @@ def token_stats(
     count_col: str,
     by: str | None = None,
     text_col: str = "text",
+    tokens_col: str | None = None,
+    unk_token: str = "[UNK]",
 ) -> DataFrame:
     """:func:`tokenizer_stats`' roll-up decoupled from the BPE encode —
     the same per-stratum fertility report (docs, tokens, UTF-8 bytes,
@@ -354,15 +356,44 @@ def token_stats(
     external tokenizer's counts) feed the identical diagnostic and the
     three tokenizer families compare on one table.
 
-    Scale: one stratum-keyed aggregate with map-side partials."""
+    With ``tokens_col`` set, also reports vocabulary COVERAGE:
+    ``n_unk`` (total ``unk_token`` pieces in that array column) and
+    ``unk_rate = round(n_unk / n_tokens, 9)`` — the per-stratum signal
+    that a language falls outside the trained vocabulary (WordPiece
+    collapses uncovered words to a single ``[UNK]``, so a high rate
+    here means silent content loss, not just fragmentation).
+
+    Scale: one stratum-keyed aggregate with map-side partials; the UNK
+    count is an array-side filter inside the same aggregate."""
     keys = [by] if by else []
-    agg = df.groupBy(*keys).agg(
+    aggs = [
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(count_col).cast("bigint").alias("n_tokens"),
         F.sum(
             F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
         ).cast("bigint").alias("n_bytes"),
-    )
+    ]
+    if tokens_col is not None:
+        aggs.append(
+            F.sum(
+                F.size(
+                    F.filter(F.col(tokens_col), lambda t: t == unk_token)
+                )
+            ).cast("bigint").alias("n_unk")
+        )
+    agg = df.groupBy(*keys).agg(*aggs)
+    if tokens_col is not None:
+        agg = agg.withColumn(
+            "unk_rate",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("n_unk").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    9,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
     return agg.withColumn(
         "tokens_per_byte",
         F.when(

@@ -3648,7 +3648,8 @@ def stage_corpus(df: DataFrame, spec: dict, ctx) -> DataFrame:
         from config_driven_pyspark_spark.operators.bpe import token_stats
 
         return token_stats(
-            df, spec["count_col"], spec.get("by"), text_col
+            df, spec["count_col"], spec.get("by"), text_col,
+            spec.get("tokens_col"), spec.get("unk_token", "[UNK]"),
         )
     if op == "bpe_stats":
         from config_driven_pyspark_spark.operators.bpe import (

@@ -120,3 +120,29 @@ def test_token_stats_generic_rollup(spark, documents):
     g = token_stats(enc, "n_wordpiece_tokens").first()
     assert g["n_docs"] == total_docs
     assert g["n_tokens"] == sum(r["n_tokens"] for r in out.values())
+
+
+def test_token_stats_unk_coverage(spark, documents):
+    from config_driven_pyspark_spark.operators.bpe import token_stats
+
+    # train on the corpus, encode FOREIGN text -> real UNKs counted
+    vocab = W.wordpiece_train(documents, vocab_size=50, max_piece_len=4)
+    foreign = spark.createDataFrame(
+        [(1, "zzqq zzqq word", "x"), (2, "all normal words", "x")],
+        "doc_id long, text string, lang string",
+    )
+    enc = W.wordpiece_encode(foreign, vocab)
+    expected_unk = sum(
+        t == W.UNK_TOKEN
+        for row in enc.collect() for t in row["wordpiece_tokens"]
+    )
+    assert expected_unk >= 2  # the two zzqq occurrences at minimum
+    r = token_stats(enc, "n_wordpiece_tokens", by="lang",
+                    tokens_col="wordpiece_tokens").first()
+    assert r["n_unk"] == expected_unk
+    assert r["unk_rate"] == round(expected_unk / r["n_tokens"], 9)
+    # self-trained corpus has full coverage: zero UNKs
+    self_enc = W.wordpiece_encode(documents, vocab)
+    s = token_stats(self_enc, "n_wordpiece_tokens",
+                    tokens_col="wordpiece_tokens").first()
+    assert s["n_unk"] == 0 and s["unk_rate"] == 0.0
