@@ -394,3 +394,83 @@ def test_bigram_perplexity_matches_python_reference(spark, texts, k):
         )
         assert got[i]["n_bigrams"] == len(bs), (i, texts)
         assert abs(got[i]["nll_sum"] - exp) < 1e-9, (i, texts)
+
+
+_WORDS = st.lists(
+    st.text(alphabet="abcz", min_size=1, max_size=8),
+    min_size=1, max_size=12,
+)
+
+
+@given(words=_WORDS)
+@settings(**SETTINGS)
+def test_unigram_encode_reassembles_any_corpus(spark, words):
+    from config_driven_pyspark_spark.operators import unigram as U
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    vocab = U.unigram_train(df, vocab_size=20, max_piece_len=3)
+    toks = U.unigram_encode(df, vocab, max_piece_len=3,
+                            max_word_len=8).first()["unigram_tokens"]
+    # Viterbi segmentation is a partition of the concatenated words
+    assert "".join(toks) == "".join(words)
+
+
+@given(words=_WORDS)
+@settings(**SETTINGS)
+def test_wordpiece_encode_roundtrip_or_unk(spark, words):
+    from config_driven_pyspark_spark.operators import wordpiece as W
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    vocab = W.wordpiece_train(df, vocab_size=20, max_piece_len=3)
+    toks = W.wordpiece_encode(df, vocab, max_piece_len=3,
+                              max_word_len=8).first()["wordpiece_tokens"]
+    # every word either reassembles exactly or is a single [UNK]
+    # (self-trained vocab: words <= max_word_len always reassemble)
+    out_words, cur = [], []
+    for t in toks:
+        if t == W.UNK_TOKEN:
+            assert not cur
+            out_words.append(None)
+        elif t.startswith("##"):
+            cur.append(t[2:])
+        else:
+            if cur:
+                out_words.append("".join(cur))
+            cur = [t]
+    if cur:
+        out_words.append("".join(cur))
+    for got, want in zip(out_words, words):
+        assert got == want or (got is None and len(want) > 8)
+    assert len(out_words) == len(words)
+
+
+@given(
+    words=_WORDS,
+    hay=st.lists(st.sampled_from(["aa", "bb", "aa bb", "zz cz a"]),
+                 min_size=1, max_size=3),
+)
+@settings(**SETTINGS)
+def test_blocklist_matches_python_reference(spark, words, hay):
+    from config_driven_pyspark_spark.operators.corpus import (
+        word_blocklist_filter,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = word_blocklist_filter(df, hay, mode="flag").first()
+    # python reference: count token-sequence occurrences per entry
+    toks = [w for w in text.lower().split(" ") if w]
+    expected = 0
+    offenders = set()
+    for entry in {" ".join(h.lower().split()) for h in hay}:
+        parts = entry.split(" ")
+        n = len(parts)
+        c = sum(toks[i:i + n] == parts
+                for i in range(max(len(toks) - n, 0) + 1))
+        expected += c
+        if c:
+            offenders.add(entry)
+    assert r["n_blocked"] == expected
+    assert set(r["blocked_words"]) == offenders
