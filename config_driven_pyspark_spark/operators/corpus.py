@@ -721,12 +721,13 @@ def word_blocklist_filter(
     # lambda ARITY (a second parameter — even a default — receives the
     # element index), so closures must not add parameters
     def _gram_at(n: int):
-        # element_at composition: F.slice rejects Column starts;
-        # out-of-range positions yield nulls concat_ws drops, and a
-        # short join (< n-1 spaces) can never equal an n-token phrase,
-        # so the size < n edge is inert
+        # try_element_at composition: F.slice rejects Column starts and
+        # plain element_at THROWS under ANSI when a doc is shorter than
+        # the phrase (hypothesis-caught); out-of-range positions yield
+        # nulls concat_ws drops, and a short join (< n-1 spaces) can
+        # never equal an n-token phrase, so the size < n edge is inert
         return lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            " ", *[F.try_element_at(toks, i + k + 1) for k in range(n)]
         )
 
     def _in_set(pl: list[str]):

@@ -2032,6 +2032,11 @@ def test_word_blocklist_phrases(spark):
         df, ["bad phrase", "reversed"], mode="flag").collect()}
     assert mixed[5]["n_blocked"] == 1
     assert mixed[3]["blocked_words"] == ["bad phrase"]
+    # regression (hypothesis-caught): a doc SHORTER than the phrase must
+    # not throw under ANSI element_at semantics
+    short = spark.createDataFrame([(9, "a")], "doc_id long, text string")
+    row = word_blocklist_filter(short, ["aa bb"], mode="flag").first()
+    assert row["n_blocked"] == 0 and row["keep"]
     import pytest as _pt
     with _pt.raises(ValueError, match="blank"):
         word_blocklist_filter(df, ["ok", "  "])
