@@ -4663,17 +4663,11 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 9: EMPTY by arithmetic.  Nine new queries landed this round
-    # and never-recorded names already self-front ahead of the stale
-    # sort; with the 46 r6-stale rows the VERDICT r8 ask #3 window
-    # budget (>= 46 re-greened) leaves exactly 4 spare slots
-    # (q_html_extract, q_gopher_filter, q_repetition_filter,
-    # q_ivf_delete), so the other seven are DEFERRED below and the
-    # r9-touched-but-output-identical queries (q_minhash_incremental,
-    # q_ann_recall, q_url_features, and q_repetition_filter's
-    # pandas-impl switch — all re-verified hash-exact by the local
-    # scripts/check_oracle.py gate after each change) ride on their
-    # green records until the next rotation.
+    # round 10: EMPTY.  The 32 never-driver-checked r9 queries self-front
+    # by the (1, -1) sort key (VERDICT r9 ask #1); r10 perf work
+    # (q_minhash_incremental / q_ann_recall / q_e2e_pretrain) is
+    # output-identical and re-verified by scripts/check_oracle.py after
+    # each change, so nothing needs hand-fronting.
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
@@ -4682,38 +4676,11 @@ _CHANGED_THIS_ROUND: list[str] = [
 # locally-verified new queries in rounds where the stale-cohort budget
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
-    "q_url_normalize",   # r9-new, locally hash-exact; fronts in r10
-    "q_source_overlap",  # r9-new, locally hash-exact; fronts in r10
-    "q_mmr_rerank",      # r9-new, locally hash-exact; fronts in r10
-    "q_boilerplate_strip",  # r9-new, locally hash-exact; fronts in r10
-    "q_bloom_decon",     # r9-new, locally hash-exact; fronts in r10
-    "q_image_ahash",     # r9-new, locally hash-exact; fronts in r10
-    "q_perplexity_buckets",  # r9-new, locally hash-exact; fronts in r10
-    "q_novelty_docs",    # r9-new, locally hash-exact; fronts in r10
-    "q_tokenizer_fertility",  # r9-new, locally hash-exact; fronts in r10
-    "q_tfidf_pairs",     # r9-new, locally hash-exact; fronts in r10
-    "q_embedding_covariance",  # r9-new, locally hash-exact; fronts in r10
-    "q_pca_project",     # r9-new, declared rows-only; fronts in r10
-    "q_unigram_vocab",   # r9-new, locally hash-exact; fronts in r10
-    "q_unigram_encode",  # r9-new, locally hash-exact; fronts in r10
-    "q_wordpiece_vocab",   # r9-new, locally hash-exact; fronts in r10
-    "q_wordpiece_encode",  # r9-new, locally hash-exact; fronts in r10
-    "q_hash_embed",        # r9-new, locally hash-exact; fronts in r10
-    "q_export_manifest",   # r9-new, locally hash-exact; fronts in r10
-    "q_curriculum",        # r9-new, locally hash-exact; fronts in r10
-    "q_containment_pairs",  # r9-new, locally hash-exact; fronts in r10
-    "q_contrastive_triplets",  # r9-new, locally hash-exact; fronts in r10
-    "q_readability",       # r9-new, locally hash-exact; fronts in r10
-    "q_word_blocklist",    # r9-new, locally hash-exact; fronts in r10
-    "q_e2e_curriculum_export",  # r9-new, locally hash-exact; fronts in r10
-    "q_chunk_sentences",   # r9-new, locally hash-exact; fronts in r10
-    "q_manifest_drift",    # r9-new, locally hash-exact; fronts in r10
-    "q_hash_embed_knn",    # r9-new, locally hash-exact; fronts in r10
-    "q_kn_perplexity",     # r9-new, locally hash-exact; fronts in r10
-    "q_manifest_merge",    # r9-new, locally hash-exact; fronts in r10
-    "q_lang_margin",       # r9-new, locally hash-exact; fronts in r10
-    "q_wordpiece_fertility",  # r9-new, locally hash-exact; fronts in r10
-    "q_unigram_fertility",  # r9-new, locally hash-exact; fronts in r10
+    # round 10: EMPTY.  All 32 r9-deferred queries must record a driver
+    # CORRECTNESS row this round (VERDICT r9 ask #1); they self-front as
+    # never-recorded.  Window budget: 32 r9-new + r10-new rows, remainder
+    # of the 50 slots goes to the stalest r7 rows; the r7 cohort
+    # completes across r11/r12 per the rotation contract.
 ]
 
 
