@@ -985,8 +985,10 @@ def minhash_incremental(
     signature is never probed).  Re-ingesting the batch after such a
     crash (at-least-once) duplicates rows in either table, which the
     probe tolerates by construction: banded candidates are
-    ``distinct()``, verify counts DISTINCT common shingle hashes, and
-    set sizes ride the deduplicated signature projection — so no store
+    ``distinct()``, verify dedups the common-shingle rows per
+    (pair, hash) before counting, and duplicated size rows can only
+    clone whole output pairs (``n_sh`` is functionally dependent on
+    the id), which the final pair-key dedup removes — so no store
     repair is ever required; partial appends self-heal on retry.
 
     Scale: the probe shuffles (band, bh) 8-byte keys — store
@@ -1043,17 +1045,19 @@ def minhash_incremental(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # count_distinct + sizes.distinct(): identical results on a clean
-    # store (shingle rows are distinct per (id, h) by construction) but
-    # tolerant of duplicated store rows from an at-least-once re-append
-    # after a crash — see the docstring's crash-safety contract
+    # Duplicate-tolerant verify (crash-safety contract): identical
+    # results on a clean store (shingle rows are distinct per (id, h)
+    # by construction) but tolerant of duplicated store rows from an
+    # at-least-once re-append after a crash.  count_distinct plans as
+    # partial-agg(pair, h) → exchange → final + pair count — map-side
+    # combine before the shuffle, so the tolerance costs one extra
+    # pair-bounded exchange, never a raw-row reshuffle (r10 A/B note).
     inter = (
         cand.join(ex_all.select(F.col("id").alias("id_a"), "h"), "id_a")
         .join(ex_all.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count_distinct("h").alias("n_common"))
     )
-    sizes = sizes.distinct()
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
@@ -1066,6 +1070,11 @@ def minhash_incremental(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        # n_sh is functionally dependent on id, so duplicated store
+        # size rows can only duplicate whole output pairs — this
+        # pair-key dedup replaces a sizes.distinct() exchange and runs
+        # exchange-free on the final join's partitioning
+        .dropDuplicates(["id_a", "id_b"])
     )
     # localCheckpoint BEFORE the append: the result must stay pinned to
     # the pre-append store state (same refreshByPath pitfall as
