@@ -279,22 +279,34 @@ def apply_bpe(
         return syms
 
     def encode(texts):
-        memo: dict[str, list[str]] = {}
-        res = []
-        for text in texts:
-            if text is None:
-                res.append([])
-                continue
-            doc: list[str] = []
-            for word in text.split(" "):
-                if not word:
-                    continue
-                enc = memo.get(word)
-                if enc is None:
-                    enc = memo[word] = encode_word(word)
-                doc.extend(enc)
-            res.append(doc)
-        return pd.Series(res)
+        # Vectorized batch body (r10): the replay itself is cheap —
+        # natural corpora repeat words heavily, so each batch holds few
+        # DISTINCT words — but a per-word Python loop over the word
+        # *instances* dominated the e2e pipeline (~18M instances / 31
+        # distinct at sf0.1, ~20 s).  Explode to a word Series (C),
+        # categorical-encode so that each distinct word replays
+        # exactly once, gather the encoded strings through the category
+        # codes (C), and re-join per document (C iteration).  Each
+        # distinct word replays the merge table once per batch.
+        s = texts.fillna("")
+        words = s.str.split(" ").explode()
+        words = words[words != ""]
+        if len(words):
+            cat = words.astype("category")
+            enc_strs = pd.Index(
+                [" ".join(encode_word(w)) for w in cat.cat.categories]
+            )
+            joined = (
+                pd.Series(
+                    enc_strs[cat.cat.codes], index=words.index, dtype=object
+                )
+                .groupby(level=0)
+                .agg(" ".join)
+            )
+        else:
+            joined = pd.Series([], dtype=object)
+        joined = joined.reindex(s.index, fill_value="")
+        return joined.map(lambda t: t.split(" ") if t else [])
 
     encode.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     udf = pandas_udf(encode, "array<string>")

@@ -32,3 +32,67 @@ def test_summary_line_has_no_per_query_map():
     assert "queries" not in json.loads(line)
     # even at 10x today's headline count the fixed-field line cannot grow
     assert len(line) < 200
+
+
+def test_merge_detail_rerun_can_only_lower_minima():
+    old = {
+        "runs": {"qa": [2.0, 1.5], "qb": [0.5]},
+        "min": {"qa": 1.5, "qb": 0.5},
+        "repeat_base": 2, "sf": 0.1, "total": 2.0,
+    }
+    noisy = {
+        "runs": {"qa": [6.0, 4.0], "qb": [0.4]},
+        "min": {"qa": 4.0, "qb": 0.4},
+        "repeat_base": 2, "sf": 0.1, "total": 4.4,
+    }
+    merged = bench.merge_detail(old, noisy)
+    # a contended rerun cannot clobber the quiet floor...
+    assert merged["min"]["qa"] == 1.5
+    # ...but a faster rerun still lowers it
+    assert merged["min"]["qb"] == 0.4
+    # histories concatenate; total re-derives from merged minima
+    assert merged["runs"]["qa"] == [2.0, 1.5, 6.0, 4.0]
+    assert merged["total"] == round(1.5 + 0.4, 3)
+
+
+def test_merge_detail_new_and_dropped_queries():
+    old = {
+        "runs": {"qa": [1.0], "q_gone": [9.0]},
+        "min": {"qa": 1.0, "q_gone": 9.0},
+        "repeat_base": 2, "sf": 0.1, "total": 10.0,
+    }
+    new = {
+        "runs": {"qa": [1.2], "q_new": [0.3]},
+        "min": {"qa": 1.2, "q_new": 0.3},
+        "repeat_base": 2, "sf": 0.1, "total": 1.5,
+    }
+    merged = bench.merge_detail(old, new)
+    # queries dropped from the headline set drop from the record;
+    # first-seen queries enter with their own runs
+    assert set(merged["min"]) == {"qa", "q_new"}
+    assert merged["min"] == {"qa": 1.0, "q_new": 0.3}
+
+
+def test_merge_detail_history_cap_keeps_floor():
+    old = {
+        "runs": {"qa": [0.9] + [5.0] * 9},
+        "min": {"qa": 0.9},
+        "repeat_base": 2, "sf": 0.1, "total": 0.9,
+    }
+    new = {
+        "runs": {"qa": [4.0, 4.1]},
+        "min": {"qa": 4.0},
+        "repeat_base": 2, "sf": 0.1, "total": 4.0,
+    }
+    merged = bench.merge_detail(old, new)
+    # the 0.9 run aged out of the capped history but the floor survives
+    assert len(merged["runs"]["qa"]) == 10
+    assert 0.9 not in merged["runs"]["qa"]
+    assert merged["min"]["qa"] == 0.9
+
+
+def test_merge_detail_no_prior_record():
+    new = {"runs": {"qa": [1.0]}, "min": {"qa": 1.0},
+           "repeat_base": 2, "sf": 0.1, "total": 1.0}
+    assert bench.merge_detail(None, new) is new
+    assert bench.merge_detail({}, new) is new
