@@ -156,6 +156,20 @@ HEADLINE = [
     "q_lang_margin",
     "q_wordpiece_fertility",
     "q_unigram_fertility",
+    # round 10 additions (VERDICT r9 ask #4): one representative per
+    # previously-unbenched family — UDF/UDAF/grouped-map/flat-map,
+    # time-series gap-fill, unpivot, embedding near-dup, SRP ANN,
+    # token-budget sampling, simhash (same per-query convention)
+    "q_pandas_udf_affine",
+    "q_udaf_median",
+    "q_grouped_map_first_events",
+    "q_flat_map_tokens",
+    "q_events_gapfill",
+    "q_unpivot_metrics",
+    "q_embedding_dups",
+    "q_srp_ann",
+    "q_token_budget",
+    "q_simhash_pairs",
 ]
 
 
