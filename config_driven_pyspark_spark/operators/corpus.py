@@ -2468,7 +2468,19 @@ def boilerplate_strip(
     groupBy(id) bounded by document size.  The corpus row count feeds
     the fractional threshold through a 1-row broadcast cross join —
     nothing corpus-sized is collected or windowed.
+
+    Batch-only BY NATURE: the doc-frequency threshold is a property of
+    the whole corpus, so a stream would never know a line's final df
+    (each micro-batch would strip against a different, growing
+    threshold). On a stream this raises — strip inside foreachBatch
+    against a batch-computed boilerplate set instead.
     """
+    if df.isStreaming:
+        raise ValueError(
+            "boilerplate_strip is batch-only: the doc-frequency "
+            "threshold is corpus-global. Compute the boilerplate line "
+            "set on a batch snapshot and strip in foreachBatch."
+        )
     if max_df is not None and max_df <= 0:
         raise ValueError("max_df must be positive")
     if max_df is None and not (0.0 < max_frac <= 1.0):

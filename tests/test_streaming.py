@@ -758,3 +758,75 @@ def test_r9_cleanup_ops_stream_batch_parity(spark, tmp_path):
     assert key(got.collect()) == key(batch.collect())
     flagged = [r for r in batch.collect() if r["n_blocked"] > 0]
     assert flagged and all(not r["keep"] for r in flagged)
+
+
+def test_r9_map_tier_stream_batch_parity(spark, tmp_path):
+    """Completes the r9 map-only tier (VERDICT r9 ask #6): url_normalize
+    (corpus stage) and lang_margin (text op) are pure Projects per their
+    docstrings, so the identical config stages must drain to the exact
+    batch rows on an available_now stream. (novelty is shuffle-bound and
+    boilerplate_strip batch-only by nature — guarded below.)"""
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                "the and is of a thing here now" if i % 2 == 0
+                else "el la de que y los una cosa",
+                f"HTTPS://Ex{i % 3}.COM:443/p{i}?utm_source=x&q={i}#frag",
+            )
+            for i in range(30)
+        ],
+        "doc_id bigint, text string, url string",
+    )
+    src = str(tmp_path / "r10_src")
+    docs.repartition(2).write.parquet(src)
+    stages = [
+        {"stage": "corpus", "op": "url_normalize", "url_col": "url"},
+        {"stage": "text", "column": "text", "ops": ["lang_margin"]},
+    ]
+    ddl = "doc_id bigint, text string, url string"
+    batch = Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": src,
+         "schema": ddl},
+        *stages,
+    ]).run(spark)
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": src,
+         "schema": ddl, "streaming": True,
+         "options": {"maxFilesPerTrigger": "1"}},
+        *stages,
+        {"stage": "stream_sink", "format": "memory",
+         "query_name": "r10_maps", "output_mode": "append",
+         "checkpoint": str(tmp_path / "ckpt_r10"),
+         "trigger": "available_now", "await": True},
+    ]).run(spark)
+    got = spark.table("r10_maps")
+    cols = ["doc_id", "url_norm", "lang_margin"]
+    assert _collect_sorted(got, cols) == _collect_sorted(batch, cols)
+    one = {r["doc_id"]: r for r in got.collect()}
+    # tracking param stripped, default port dropped, fragment gone,
+    # authority lowercased, surviving param kept
+    assert one[1]["url_norm"] == "https://ex1.com/p1?q=1"
+    assert all(r["lang_margin"] > 0 for r in one.values())
+
+
+def test_boilerplate_strip_is_batch_only(spark, tmp_path):
+    """boilerplate_strip's doc-frequency threshold is corpus-global —
+    a stream would strip each micro-batch against a different, growing
+    threshold, so the op refuses streaming input with an actionable
+    error instead of silently diverging from batch."""
+    import pytest as _pytest
+    from config_driven_pyspark_spark.operators.corpus import (
+        boilerplate_strip,
+    )
+
+    src = str(tmp_path / "bp_src")
+    spark.createDataFrame(
+        [(1, "nav\nbody one"), (2, "nav\nbody two")],
+        "doc_id bigint, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        src
+    )
+    with _pytest.raises(ValueError, match="batch-only"):
+        boilerplate_strip(stream, "doc_id")
