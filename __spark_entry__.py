@@ -1252,6 +1252,43 @@ def q_nested_transform_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flat_transform_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's config-driven usage example, end to end
+    (/root/reference/README.md:57-74): a flat YAML ``functions:`` map of
+    ``path: function_name`` driven through the ``transform`` stage, with
+    two custom functions registered BY NAME exactly as the README does
+    (``substr_first_four`` = ``F.substring(col, 0, 4)``, ``set_to_foo``
+    = ``F.lit("foo")``) plus the builtin ``trim`` resolved from the
+    ``pyspark.sql.functions`` namespace. ``tag`` is a missing leaf, so
+    the map also exercises the field-creation path (§2A #6). Every
+    output column is scalar and deterministic, so the whole parity-core
+    config surface is value-hashed against the oracle (VERDICT r9 ask
+    #7 — q_nested_transform_events is rows-only by design; this row is
+    the hash-checkable companion). Map-only single Project: 0 exchanges
+    at any scale."""
+    import yaml
+
+    cfg = yaml.safe_load(
+        """
+        functions:
+          event_type: substr_first_four
+          props: trim
+          tag: set_to_foo
+        """
+    )
+    pipe = Pipeline.from_config([
+        *_events_stages(sf_dir),
+        {"stage": "transform", "fields": cfg["functions"]},
+        {"stage": "select",
+         "columns": ["event_id", "user_id", "event_type", "props", "tag"]},
+    ])
+    pipe.register_function(
+        "substr_first_four", lambda col: F.substring(col, 0, 4)
+    )
+    pipe.register_function("set_to_foo", F.lit("foo"))
+    return pipe.run(spark)
+
+
 # -- LLM-data ---------------------------------------------------------------
 
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4831,6 +4868,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_csv_roundtrip": q_csv_roundtrip,
         # --- dedup / similarity / text / corpus / UDF families ---
         "q_nested_transform_events": q_nested_transform_events,
+        "q_flat_transform_events": q_flat_transform_events,
         "q_dedup_cluster_docs": q_dedup_cluster_docs,  # CC hardened in r4
         "q_minhash_pairs": q_minhash_pairs,
         "q_sessionize_events": q_sessionize_events,
@@ -5972,6 +6010,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "q_flat_transform_events": """
+            SELECT event_id,
+                   user_id,
+                   substring(event_type, 1, 4) AS event_type,
+                   trim(props) AS props,
+                   'foo' AS tag
+            FROM events
         """,
         "q_nested_transform_events": """
             SELECT event_id,

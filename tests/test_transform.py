@@ -383,3 +383,39 @@ def test_single_select_plan_shape(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("project") <= 1
     assert "exchange" not in plan.lower()
+
+
+def test_readme_yaml_example_config_drives_pipeline(spark):
+    """The reference README's config-driven example shape
+    (/root/reference/README.md:57-74) through Pipeline.from_yaml: a flat
+    ``functions:`` map with a builtin name, a registered custom Column
+    builder, and a registered literal Column — including creation of a
+    missing leaf."""
+    from config_driven_pyspark_spark import Pipeline
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "  padded  ", "longvalue")],
+        "id bigint, a string, b string",
+    )
+    df.createOrReplaceTempView("readme_src")
+    pipe = Pipeline.from_yaml(
+        """
+        pipeline:
+          - stage: sql
+            query: SELECT * FROM readme_src
+          - stage: transform
+            fields:
+              a: trim
+              b: substr_first_four
+              c: set_to_foo
+        """
+    )
+    pipe.register_function(
+        "substr_first_four", lambda col: F.substring(col, 0, 4)
+    )
+    pipe.register_function("set_to_foo", F.lit("foo"))
+    row = pipe.run(spark).collect()[0]
+    assert row["a"] == "padded"
+    assert row["b"] == "long"
+    assert row["c"] == "foo"
