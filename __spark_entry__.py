@@ -2034,6 +2034,27 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_stats(thumbs, content_col="thumb")
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec math end-to-end (multimodal.py baseline JPEG
+    codec, VERDICT r9 ask #8): one deterministic flat-color 16×16 JPEG
+    per document — a flat image is exactly one 4:2:0 MCU whose every
+    DCT block is DC-only, so the decoded color is a CLOSED FORM of the
+    (r, g, b) derived from the id THROUGH the codec: BT.601 forward
+    YCbCr, DC quantize/dequantize at quality 90 (both DC steps = 3),
+    IDCT, and the inverse color transform, all with the codec's
+    floor(x + 0.5) rounding. The query runs the genuine decoder
+    (DQT/DHT/SOF0/SOS parse, canonical Huffman with byte unstuffing,
+    dequant, zigzag, IDCT, 2×2 chroma upsample) over real encoder
+    output; the oracle replays the quantization arithmetic in SQL — any
+    slip in tables, entropy coding, predictors, or color math changes
+    the channel sums."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    media = MM.synthesize_jpeg(ids, id_col="doc_id", width=16, height=16,
+                               quality=90)
+    return MM.image_stats(media)
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio sample math end-to-end (multimodal.py WAV PCM16 codec
     — the audio counterpart of the r6 BMP row): one deterministic
@@ -4815,6 +4836,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_thumbs": q_multimodal_thumbs,
         "q_multimodal_decode": q_multimodal_decode,  # real BMP pixels, r6
         "q_png_decode": q_png_decode,  # real PNG inflate+defilter, r8
+        "q_jpeg_decode": q_jpeg_decode,  # real baseline JPEG codec, r10
         "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
         "q_pq_ann": q_pq_ann,  # product-quantization ADC, r6
         "q_ivfpq_ann": q_ivfpq_ann,  # IVF x PQ composition, r6
@@ -7031,6 +7053,53 @@ def oracle_sql() -> dict[str, str]:
         # same synth formula + dims by construction; a green hash for the
         # PNG row pins filtering/defiltering/inflate/CRC, not the formula
         "q_png_decode": _RASTER_DECODE_ORACLE_SQL,
+        # flat 16x16 quality-90 JPEG: both DC quant steps are 3 (Annex-K
+        # 16/17 scaled by (200-2*90), floor((t*20+50)/100)); every float
+        # constant is ::DOUBLE so DuckDB replays the codec's float64
+        # math, not DECIMAL arithmetic
+        "q_jpeg_decode": """
+            WITH px AS (
+              SELECT doc_id,
+                     ((doc_id * 7 + 31) % 256)::DOUBLE AS r,
+                     ((doc_id * 11 + 59) % 256)::DOUBLE AS g,
+                     ((doc_id * 13 + 97) % 256)::DOUBLE AS b
+              FROM documents WHERE doc_id < 64),
+            ycc AS (
+              SELECT doc_id,
+                     0.299::DOUBLE * r + 0.587::DOUBLE * g
+                       + 0.114::DOUBLE * b AS y,
+                     -0.168736::DOUBLE * r - 0.331264::DOUBLE * g
+                       + 0.5 * b + 128.0 AS cb,
+                     0.5 * r - 0.418688::DOUBLE * g
+                       - 0.081312::DOUBLE * b + 128.0 AS cr
+              FROM px),
+            dec AS (
+              SELECT doc_id,
+                     least(255.0, greatest(0.0, floor(
+                       floor(8.0 * (y - 128.0) / 3.0 + 0.5) * 3.0 / 8.0
+                       + 128.0 + 0.5))) AS yd,
+                     least(255.0, greatest(0.0, floor(
+                       floor(8.0 * (cb - 128.0) / 3.0 + 0.5) * 3.0 / 8.0
+                       + 128.0 + 0.5))) AS cbd,
+                     least(255.0, greatest(0.0, floor(
+                       floor(8.0 * (cr - 128.0) / 3.0 + 0.5) * 3.0 / 8.0
+                       + 128.0 + 0.5))) AS crd
+              FROM ycc)
+            SELECT doc_id AS media_id,
+                   16 AS width,
+                   16 AS height,
+                   CAST(256 * least(255.0, greatest(0.0, floor(
+                     yd + 1.402::DOUBLE * (crd - 128.0) + 0.5)))
+                     AS BIGINT) AS sum_r,
+                   CAST(256 * least(255.0, greatest(0.0, floor(
+                     yd - 0.344136::DOUBLE * (cbd - 128.0)
+                        - 0.714136::DOUBLE * (crd - 128.0) + 0.5)))
+                     AS BIGINT) AS sum_g,
+                   CAST(256 * least(255.0, greatest(0.0, floor(
+                     yd + 1.772::DOUBLE * (cbd - 128.0) + 0.5)))
+                     AS BIGINT) AS sum_b
+            FROM dec
+        """,
         # The fake feature is sha256(utf8(text)) bytes / 255 (multimodal.py
         # _fake_feature); DuckDB recovers each byte from the hex digest, so
         # this is an exact value oracle for the Arrow-batched mapInPandas path.

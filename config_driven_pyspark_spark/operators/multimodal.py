@@ -565,9 +565,12 @@ def decode_image(payload: bytes):
         return decode_bmp(payload)
     if payload is not None and payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise ValueError(
         f"unrecognized image magic {bytes(payload or b'')[:8]!r} — "
-        "dependency-free decode supports BMP and 8-bit RGB PNG"
+        "dependency-free decode supports BMP, 8-bit RGB PNG, and "
+        "baseline JPEG"
     )
 
 
@@ -596,6 +599,576 @@ def synthesize_png(
                     axis=-1,
                 ).astype("uint8")
                 content.append(encode_png(arr, filter_type=mid % 5))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "image",
+                    "content": content,
+                    "meta": [
+                        {"width": width, "height": height,
+                         "sample_rate": None, "n_frames": None}
+                    ] * len(pdf),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# -- pure-numpy baseline JPEG codec (JFIF, Huffman, 4:2:0) -------------------
+#
+# The dominant web image format, decoded dependency-free like the PNG/BMP
+# codecs (VERDICT r9 ask #8): real DQT/DHT/SOF0/SOS segment parsing, canonical
+# Huffman decode with byte-unstuffing and restart markers, dequant, zigzag,
+# float IDCT, chroma upsampling and YCbCr->RGB. The encoder emits baseline
+# JFIF with the Annex-K-style tables written into DQT/DHT (the decoder always
+# reads tables FROM the stream, so enc/dec are self-consistent by
+# construction). Python-loop entropy decode makes this the ORACLE tier —
+# exact, tiny-image-friendly; route bulk production decode through
+# decoder="real" (libjpeg-turbo integration point). Progressive (SOF2),
+# arithmetic (DAC), 12-bit and >3-component streams raise named gates.
+
+_JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+# (bits[1..16], values) per table class — standard baseline tables; the
+# decoder never assumes them (it parses DHT), they only seed the encoder
+_JPEG_HUFF = {
+    ("dc", 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("dc", 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("ac", 0): ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+        0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+        0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+        0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+        0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+        0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa,
+    ]),
+    ("ac", 1): ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+        0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+        0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+        0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+        0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+        0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+        0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+        0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa,
+    ]),
+}
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The 64 (row, col) pairs in JPEG zigzag order, derived (not typed):
+    diagonals by r+c; even diagonals run bottom-left -> top-right."""
+    return sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            -rc[0] if (rc[0] + rc[1]) % 2 == 0 else rc[0],
+        ),
+    )
+
+
+def _jpeg_quant(quality: int) -> tuple[list[int], list[int]]:
+    """Annex-K tables scaled by the libjpeg quality convention."""
+    if not 1 <= quality <= 100:
+        raise ValueError("JPEG quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def sc(tab):
+        return [min(255, max(1, (t * scale + 50) // 100)) for t in tab]
+    return sc(_JPEG_QL), sc(_JPEG_QC)
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return A
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) canonical assignment (ITU T.81 C.2)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size, appended bits) for a DC diff / AC value (T.81 F.1.2.1)."""
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(arr, quality: int = 90) -> bytes:
+    """uint8 H×W×3 RGB array -> baseline JFIF JPEG bytes, 4:2:0 chroma
+    subsampling, standard-table Huffman coding. Rounding convention is
+    ``floor(x + 0.5)`` at every quantization point (symmetric with the
+    decoder and replicable in plain SQL — the oracle-parity contract the
+    BMP/PNG/WAV codecs established)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype="float64")
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_jpeg expects an H x W x 3 array")
+    h, w = a.shape[:2]
+    # pad to MCU (16x16) multiples by edge replication
+    ph, pw = (-h) % 16, (-w) % 16
+    a = np.pad(a, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    H, W = a.shape[:2]
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    # 4:2:0: average each 2x2 chroma neighborhood
+    cb = (cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2]
+          + cb[1::2, 1::2]) / 4.0
+    cr = (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2]
+          + cr[1::2, 1::2]) / 4.0
+
+    ql, qc = _jpeg_quant(quality)
+    zz = _jpeg_zigzag()
+    A = _jpeg_dct_matrix()
+    # the Annex-K-style tables above are in NATURAL (row-major) order;
+    # quantize with them directly, and reorder to zigzag for the DQT
+    # segments (T.81 stores quant tables in zigzag order)
+    qlnat = np.array(ql, dtype="float64").reshape(8, 8)
+    qcnat = np.array(qc, dtype="float64").reshape(8, 8)
+    ql_zz = [ql[zr * 8 + zc] for zr, zc in zz]
+    qc_zz = [qc[zr * 8 + zc] for zr, zc in zz]
+
+    huff = {k: _huff_codes(*v) for k, v in _JPEG_HUFF.items()}
+    bw = _BitWriter()
+    pred = {"y": 0, "cb": 0, "cr": 0}
+
+    def put_block(plane, by, bx, qnat, comp, dc_tab, ac_tab):
+        block = plane[by:by + 8, bx:bx + 8] - 128.0
+        C = A @ block @ A.T
+        q = np.floor(C / qnat + 0.5).astype("int64")
+        seq = [int(q[zr, zc]) for zr, zc in zz]
+        diff = seq[0] - pred[comp]
+        pred[comp] = seq[0]
+        size, bits = _mag_bits(diff)
+        code, ln = dc_tab[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(bits, size)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and seq[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                code, ln = ac_tab[0x00]  # EOB
+                bw.put(code, ln)
+                break
+            while run > 15:
+                code, ln = ac_tab[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            size, bits = _mag_bits(seq[k])
+            code, ln = ac_tab[(run << 4) | size]
+            bw.put(code, ln)
+            bw.put(bits, size)
+            k += 1
+
+    for my in range(0, H, 16):
+        for mx in range(0, W, 16):
+            for dy in (0, 8):
+                for dx in (0, 8):
+                    put_block(y, my + dy, mx + dx, qlnat, "y",
+                              huff[("dc", 0)], huff[("ac", 0)])
+            put_block(cb, my // 2, mx // 2, qcnat, "cb",
+                      huff[("dc", 1)], huff[("ac", 1)])
+            put_block(cr, my // 2, mx // 2, qcnat, "cr",
+                      huff[("dc", 1)], huff[("ac", 1)])
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0x00]) + bytes(ql_zz))
+    out += seg(0xFFDB, bytes([0x01]) + bytes(qc_zz))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for (cls, tid), (bits, vals) in _JPEG_HUFF.items():
+        tc = 0 if cls == "dc" else 1
+        out += seg(0xFFC4, bytes([(tc << 4) | tid]) + bytes(bits)
+                   + bytes(vals))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-coded segment reader: byte-unstuffs FF00, stops at any
+    other marker (exposes it for RST handling)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("JPEG scan data ended inside a block")
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG scan data truncated")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                self.marker = nxt
+                self.pos += 1
+                raise ValueError("JPEG scan hit a marker mid-block")
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_and_expect_rst(self, idx: int) -> None:
+        """Byte-align and consume the next RSTn marker (T.81 restart)."""
+        self.n = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0:
+                m = self.data[self.pos + 1]
+                if 0xD0 <= m <= 0xD7:
+                    if m - 0xD0 != idx % 8:
+                        raise ValueError(
+                            f"JPEG restart marker out of order: "
+                            f"RST{m - 0xD0}, expected RST{idx % 8}"
+                        )
+                    self.pos += 2
+                    return
+                raise ValueError(f"expected RST marker, found FF{m:02x}")
+            self.pos += 1
+        raise ValueError("JPEG scan ended while seeking a restart marker")
+
+
+def _huff_decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value lookup for canonical decode."""
+    lut: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lut[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` received bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JFIF JPEG bytes -> uint8 H×W×3 RGB numpy array. Real
+    decode: segment walk, DQT/DHT table parse, canonical Huffman entropy
+    decode (byte unstuffing + restart markers), dequantization, inverse
+    zigzag, float IDCT, chroma upsampling (sample replication), BT.601
+    YCbCr->RGB with ``floor(x + 0.5)`` rounding. Supports baseline
+    sequential (SOF0), 8-bit, grayscale or 3-component YCbCr with
+    sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0). Progressive,
+    arithmetic-coded, 12-bit and CMYK streams raise named gates."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError(
+            f"not a JPEG: magic {bytes(payload or b'')[:2]!r}"
+        )
+    data = bytes(payload)
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    hts: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    scan_comps = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG segment desync at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (size,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + size]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit JPEG quant tables are not decoded "
+                        "dependency-free; route through decoder='real'"
+                    )
+                qt[tq] = list(body[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                hts[(tc, th)] = _huff_decode_tree(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG is not decoded dependency-free"
+                )
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK?) is not decoded "
+                    "dependency-free"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) is decoded "
+                f"dependency-free (got SOF marker FF{marker:02x}, e.g. "
+                "progressive/arithmetic); route through decoder='real'"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append({"id": cs, "td": tt >> 4, "ta": tt & 0x0F})
+            pos = pos + 2 + size
+            break
+        pos += 2 + size
+    if frame is None or scan_comps is None:
+        raise ValueError("JPEG stream missing SOF/SOS segment")
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    for sc in scan_comps:
+        by_id[sc["id"]]["td"] = sc["td"]
+        by_id[sc["id"]]["ta"] = sc["ta"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise NotImplementedError(
+            "JPEG sampling factors above 2 are not decoded dependency-free"
+        )
+    w, h = frame["w"], frame["h"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    zz = _jpeg_zigzag()
+    A = _jpeg_dct_matrix()
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        for c in comps
+    }
+    pred = {c["id"]: 0 for c in comps}
+    br = _BitReader(data, pos)
+
+    def huff_read(tree) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.bit()
+            length += 1
+            v = tree.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code in scan data")
+
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            br.align_and_expect_rst(m // restart_interval - 1)
+            for c in comps:
+                pred[c["id"]] = 0
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            dq = np.array(qt[c["tq"]], dtype="float64")
+            dc_tree = hts[(0, c["td"])]
+            ac_tree = hts[(1, c["ta"])]
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    size = huff_read(dc_tree)
+                    diff = _extend(br.bits(size), size)
+                    pred[c["id"]] += diff
+                    seq = np.zeros(64)
+                    seq[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = huff_read(ac_tree)
+                        run, sz = rs >> 4, rs & 0x0F
+                        if sz == 0:
+                            if run == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError(
+                                "JPEG AC run overflows the block"
+                            )
+                        seq[k] = _extend(br.bits(sz), sz)
+                        k += 1
+                    block = np.zeros((8, 8))
+                    deq = seq * dq
+                    for i, (zr, zc) in enumerate(zz):
+                        block[zr, zc] = deq[i]
+                    pix = A.T @ block @ A + 128.0
+                    py = (my * c["v"] + v) * 8
+                    px = (mx * c["h"] + hh) * 8
+                    planes[c["id"]][py:py + 8, px:px + 8] = pix
+
+    # clamp component samples, upsample to full resolution, crop
+    full = []
+    for c in comps:
+        p = np.clip(np.floor(planes[c["id"]] + 0.5), 0, 255)
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        yp = full[0]
+        rgb = np.stack([yp, yp, yp], axis=-1)
+    else:
+        yp, cbp, crp = full
+        r = yp + 1.402 * (crp - 128.0)
+        g = yp - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0)
+        b = yp + 1.772 * (cbp - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype("uint8")
+
+
+def synthesize_jpeg(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width: int = 16,
+    height: int = 16,
+    quality: int = 90,
+) -> DataFrame:
+    """Deterministic flat-color JPEGs: each image is a single uniform
+    RGB derived from the id. A flat 16×16 image is exactly one 4:2:0
+    MCU whose every DCT is DC-only, so the decoded color is a CLOSED
+    FORM of (r, g, b) through quantize/dequantize — the lossy-codec
+    analogue of the BMP/PNG closed-form oracles (quantization error and
+    all)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                color = np.array(
+                    [(mid * 7 + 31) % 256, (mid * 11 + 59) % 256,
+                     (mid * 13 + 97) % 256],
+                    dtype="uint8",
+                )
+                arr = np.tile(color, (height, width, 1))
+                content.append(encode_jpeg(arr, quality=quality))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
@@ -815,6 +1388,12 @@ def stage_multimodal(df: DataFrame, spec: dict) -> DataFrame:
         return synthesize_png(
             df, spec.get("id_col", "media_id"),
             int(spec.get("width", 8)), int(spec.get("height", 6)),
+        )
+    if op == "synthesize_jpeg":
+        return synthesize_jpeg(
+            df, spec.get("id_col", "media_id"),
+            int(spec.get("width", 16)), int(spec.get("height", 16)),
+            int(spec.get("quality", 90)),
         )
     if op == "synthesize_wav":
         return synthesize_wav(

@@ -2615,3 +2615,124 @@ def test_lang_margin_confidence(spark):
     # stopword-free -> margin 0, label und
     assert out[3]["lid"] == "und" and out[3]["m"] == 0.0
     assert out[4]["m"] == 0.0
+
+
+def test_jpeg_flat_closed_form_exact():
+    """A flat 16x16 image is one DC-only 4:2:0 MCU, so the decoded color
+    must equal the closed-form quantize/dequantize replay (the
+    q_jpeg_decode oracle arithmetic) — and every pixel must be that one
+    color (any entropy/IDCT/upsample slip shows as intra-image
+    variation)."""
+    import math
+
+    import numpy as np
+
+    ql, qc = M._jpeg_quant(90)
+    assert ql[0] == 3 and qc[0] == 3  # the oracle's embedded constants
+
+    def rt(v, q):
+        dc = math.floor(8.0 * (v - 128.0) / q + 0.5)
+        return min(255.0, max(0.0, math.floor(dc * q / 8.0 + 128.0 + 0.5)))
+
+    for mid in range(16):
+        color = np.array(
+            [(mid * 7 + 31) % 256, (mid * 11 + 59) % 256,
+             (mid * 13 + 97) % 256],
+            dtype="uint8",
+        )
+        arr = np.tile(color, (16, 16, 1))
+        out = M.decode_jpeg(M.encode_jpeg(arr, quality=90))
+        uniq = np.unique(out.reshape(-1, 3), axis=0)
+        assert out.shape == (16, 16, 3) and len(uniq) == 1, mid
+        r, g, b = (float(c) for c in color)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        yd, cbd, crd = rt(y, ql[0]), rt(cb, qc[0]), rt(cr, qc[0])
+        want = (
+            min(255, max(0, math.floor(yd + 1.402 * (crd - 128) + 0.5))),
+            min(255, max(0, math.floor(
+                yd - 0.344136 * (cbd - 128) - 0.714136 * (crd - 128)
+                + 0.5))),
+            min(255, max(0, math.floor(yd + 1.772 * (cbd - 128) + 0.5))),
+        )
+        assert tuple(int(c) for c in uniq[0]) == want, mid
+
+
+def test_jpeg_roundtrip_lossy_but_close():
+    """Smooth gradients survive encode → decode within lossy-codec
+    tolerance, the error shrinks as quality rises, odd sizes pad and
+    crop correctly, and multi-MCU images exercise the DC predictor
+    chain across MCUs."""
+    import numpy as np
+
+    ys, xs = np.mgrid[0:24, 0:40]
+    arr = np.stack([xs * 6, ys * 10, 255 - xs * 5], axis=-1).astype("uint8")
+    errs = {}
+    for q in (50, 90):
+        out = M.decode_jpeg(M.encode_jpeg(arr, quality=q))
+        assert out.shape == arr.shape
+        errs[q] = np.abs(out.astype(int) - arr.astype(int)).mean()
+    assert errs[90] <= errs[50] <= 8.0
+    odd = arr[:17, :23]
+    out = M.decode_jpeg(M.encode_jpeg(odd, quality=90))
+    assert out.shape == odd.shape
+    assert np.abs(out.astype(int) - odd.astype(int)).mean() < 8.0
+
+
+def test_jpeg_gates_and_sniffing():
+    """Progressive SOF2 raises the named gate; truncated scans and junk
+    magics raise ValueErrors; decode_image sniffs the FFD8 magic."""
+    import numpy as np
+
+    arr = np.full((16, 16, 3), 99, dtype="uint8")
+    blob = M.encode_jpeg(arr, quality=90)
+    assert np.array_equal(M.decode_image(blob), M.decode_jpeg(blob))
+    prog = bytearray(blob)
+    i = blob.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+        M.decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        M.decode_jpeg(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        M.decode_jpeg(blob[:-20])  # truncated scan
+
+
+def test_jpeg_restart_markers_decode():
+    """A scan rewritten with DRI + RSTn markers decodes identically:
+    the reader byte-aligns at each restart, validates the marker index,
+    and resets the DC predictors."""
+    import struct
+
+    import numpy as np
+
+    ys, xs = np.mgrid[0:16, 0:32]
+    arr = np.stack([xs * 7, ys * 9, xs * 3], axis=-1).astype("uint8")
+    plain = M.encode_jpeg(arr, quality=90)
+    want = M.decode_jpeg(plain)
+
+    # re-encode with a restart interval of 1 by re-running the entropy
+    # stage per MCU: encode each MCU column as its own 16x16 image is
+    # NOT equivalent (DC predictors reset per image legitimately), so
+    # instead splice: encode two 16x16 halves and join their scans with
+    # an RST0 marker + a DRI segment. Each half starts predictors at 0,
+    # which is exactly the post-RST decoder state.
+    left = M.encode_jpeg(arr[:, :16], quality=90)
+    right = M.encode_jpeg(arr[:, 16:], quality=90)
+
+    def scan_bytes(b):
+        i = b.index(b"\xff\xda")
+        (ln,) = struct.unpack(">H", b[i + 2:i + 4])
+        return b[i:i + 2 + ln], b[i + 2 + ln:-2]  # (SOS segment, entropy)
+
+    sos, ent_l = scan_bytes(left)
+    _, ent_r = scan_bytes(right)
+    head = left[:left.index(b"\xff\xda")]
+    # patch SOF width 16 -> 32
+    j = head.index(b"\xff\xc0")
+    head = (head[:j + 7] + struct.pack(">H", 32) + head[j + 9:])
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)  # restart every 1 MCU
+    spliced = head + dri + sos + ent_l + b"\xff\xd0" + ent_r + b"\xff\xd9"
+    got = M.decode_jpeg(spliced)
+    assert np.array_equal(got, want)
