@@ -7076,27 +7076,27 @@ def oracle_sql() -> dict[str, str]:
             dec AS (
               SELECT doc_id,
                      least(255.0, greatest(0.0, floor(
-                       floor(8.0 * (y - 128.0) / 3.0 + 0.5) * 3.0 / 8.0
+                       floor(round(8.0 * (y - 128.0) / 3.0, 9) + 0.5) * 3.0 / 8.0
                        + 128.0 + 0.5))) AS yd,
                      least(255.0, greatest(0.0, floor(
-                       floor(8.0 * (cb - 128.0) / 3.0 + 0.5) * 3.0 / 8.0
+                       floor(round(8.0 * (cb - 128.0) / 3.0, 9) + 0.5) * 3.0 / 8.0
                        + 128.0 + 0.5))) AS cbd,
                      least(255.0, greatest(0.0, floor(
-                       floor(8.0 * (cr - 128.0) / 3.0 + 0.5) * 3.0 / 8.0
+                       floor(round(8.0 * (cr - 128.0) / 3.0, 9) + 0.5) * 3.0 / 8.0
                        + 128.0 + 0.5))) AS crd
               FROM ycc)
             SELECT doc_id AS media_id,
                    16 AS width,
                    16 AS height,
                    CAST(256 * least(255.0, greatest(0.0, floor(
-                     yd + 1.402::DOUBLE * (crd - 128.0) + 0.5)))
+                     round(yd + 1.402::DOUBLE * (crd - 128.0), 9) + 0.5)))
                      AS BIGINT) AS sum_r,
                    CAST(256 * least(255.0, greatest(0.0, floor(
-                     yd - 0.344136::DOUBLE * (cbd - 128.0)
-                        - 0.714136::DOUBLE * (crd - 128.0) + 0.5)))
+                     round(yd - 0.344136::DOUBLE * (cbd - 128.0)
+                        - 0.714136::DOUBLE * (crd - 128.0), 9) + 0.5)))
                      AS BIGINT) AS sum_g,
                    CAST(256 * least(255.0, greatest(0.0, floor(
-                     yd + 1.772::DOUBLE * (cbd - 128.0) + 0.5)))
+                     round(yd + 1.772::DOUBLE * (cbd - 128.0), 9) + 0.5)))
                      AS BIGINT) AS sum_b
             FROM dec
         """,

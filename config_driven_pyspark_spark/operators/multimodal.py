@@ -814,7 +814,10 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     def put_block(plane, by, bx, qnat, comp, dc_tab, ac_tab):
         block = plane[by:by + 8, bx:bx + 8] - 128.0
         C = A @ block @ A.T
-        q = np.floor(C / qnat + 0.5).astype("int64")
+        # snap to the repo's 9-decimal grid before the half-up floor so
+        # the oracle's closed-form double replay can never straddle a
+        # rounding boundary on ~1e-12 DCT float noise
+        q = np.floor(np.round(C / qnat, 9) + 0.5).astype("int64")
         seq = [int(q[zr, zc]) for zr, zc in zz]
         diff = seq[0] - pred[comp]
         pred[comp] = seq[0]
@@ -1126,7 +1129,7 @@ def decode_jpeg(payload: bytes):
     # clamp component samples, upsample to full resolution, crop
     full = []
     for c in comps:
-        p = np.clip(np.floor(planes[c["id"]] + 0.5), 0, 255)
+        p = np.clip(np.floor(np.round(planes[c["id"]], 9) + 0.5), 0, 255)
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                       hmax // c["h"], axis=1)
         full.append(p[:h, :w])
@@ -1139,7 +1142,8 @@ def decode_jpeg(payload: bytes):
         g = yp - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0)
         b = yp + 1.772 * (cbp - 128.0)
         rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.floor(rgb + 0.5), 0, 255).astype("uint8")
+    # same 9-decimal snap as the encoder's quantize (oracle parity)
+    return np.clip(np.floor(np.round(rgb, 9) + 0.5), 0, 255).astype("uint8")
 
 
 def synthesize_jpeg(

@@ -2631,8 +2631,9 @@ def test_jpeg_flat_closed_form_exact():
     assert ql[0] == 3 and qc[0] == 3  # the oracle's embedded constants
 
     def rt(v, q):
-        dc = math.floor(8.0 * (v - 128.0) / q + 0.5)
-        return min(255.0, max(0.0, math.floor(dc * q / 8.0 + 128.0 + 0.5)))
+        dc = math.floor(round(8.0 * (v - 128.0) / q, 9) + 0.5)
+        return min(255.0, max(0.0, math.floor(
+            round(dc * q / 8.0 + 128.0, 9) + 0.5)))
 
     for mid in range(16):
         color = np.array(
@@ -2650,11 +2651,13 @@ def test_jpeg_flat_closed_form_exact():
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         yd, cbd, crd = rt(y, ql[0]), rt(cb, qc[0]), rt(cr, qc[0])
         want = (
-            min(255, max(0, math.floor(yd + 1.402 * (crd - 128) + 0.5))),
             min(255, max(0, math.floor(
-                yd - 0.344136 * (cbd - 128) - 0.714136 * (crd - 128)
-                + 0.5))),
-            min(255, max(0, math.floor(yd + 1.772 * (cbd - 128) + 0.5))),
+                round(yd + 1.402 * (crd - 128), 9) + 0.5))),
+            min(255, max(0, math.floor(
+                round(yd - 0.344136 * (cbd - 128)
+                      - 0.714136 * (crd - 128), 9) + 0.5))),
+            min(255, max(0, math.floor(
+                round(yd + 1.772 * (cbd - 128), 9) + 0.5))),
         )
         assert tuple(int(c) for c in uniq[0]) == want, mid
 

@@ -474,3 +474,50 @@ def test_blocklist_matches_python_reference(spark, words, hay):
             offenders.add(entry)
     assert r["n_blocked"] == expected
     assert set(r["blocked_words"]) == offenders
+
+
+def test_jpeg_flat_color_closed_form_any_color():
+    """Property: for ANY flat RGB color (clamp edges included), the
+    decoded 16x16 quality-90 JPEG is uniform and equals the closed-form
+    quantize/dequantize replay on the 9-decimal grid — the q_jpeg_decode
+    oracle arithmetic, so a counterexample here is a latent driver
+    hash-mismatch."""
+    import math
+
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from config_driven_pyspark_spark.operators import multimodal as M
+
+    ql, qc = M._jpeg_quant(90)
+
+    def rt(v, q):
+        dc = math.floor(round(8.0 * (v - 128.0) / q, 9) + 0.5)
+        return min(255.0, max(0.0, math.floor(
+            round(dc * q / 8.0 + 128.0, 9) + 0.5)))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.tuples(st.integers(0, 255), st.integers(0, 255),
+                     st.integers(0, 255)))
+    def check(color):
+        arr = np.tile(np.array(color, dtype="uint8"), (16, 16, 1))
+        out = M.decode_jpeg(M.encode_jpeg(arr, quality=90))
+        uniq = np.unique(out.reshape(-1, 3), axis=0)
+        assert len(uniq) == 1, color
+        r, g, b = (float(c) for c in color)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        yd, cbd, crd = rt(y, ql[0]), rt(cb, qc[0]), rt(cr, qc[0])
+        want = (
+            min(255, max(0, math.floor(
+                round(yd + 1.402 * (crd - 128), 9) + 0.5))),
+            min(255, max(0, math.floor(
+                round(yd - 0.344136 * (cbd - 128)
+                      - 0.714136 * (crd - 128), 9) + 0.5))),
+            min(255, max(0, math.floor(
+                round(yd + 1.772 * (cbd - 128), 9) + 0.5))),
+        )
+        assert tuple(int(c) for c in uniq[0]) == want, color
+
+    check()
