@@ -235,6 +235,41 @@ def bpe_train(
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
+def _encode_words_vectorized(texts, encode_word):
+    """Shared vectorized batch body for every word-level tokenizer encode
+    (BPE / unigram / WordPiece).  The per-word replay is cheap — natural
+    corpora repeat words heavily, so a batch holds few DISTINCT words —
+    but a per-word Python loop over the word *instances* dominated the
+    e2e pipeline (~18M instances / 31 distinct at sf0.1, ~20 s).
+    Explode to a word Series (C), categorical-encode so each distinct
+    word replays ``encode_word`` exactly once per batch, gather the
+    space-joined encodings through the category codes (C), and re-join
+    per document (C iteration).  Tokens cannot contain spaces (they are
+    concatenations of word characters), so the join/split roundtrip is
+    lossless."""
+    import pandas as pd
+
+    s = texts.fillna("")
+    words = s.str.split(" ").explode()
+    words = words[words != ""]
+    if len(words):
+        cat = words.astype("category")
+        enc_strs = pd.Index(
+            [" ".join(encode_word(w)) for w in cat.cat.categories]
+        )
+        joined = (
+            pd.Series(
+                enc_strs[cat.cat.codes], index=words.index, dtype=object
+            )
+            .groupby(level=0)
+            .agg(" ".join)
+        )
+    else:
+        joined = pd.Series([], dtype=object)
+    joined = joined.reindex(s.index, fill_value="")
+    return joined.map(lambda t: t.split(" ") if t else [])
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]] | DataFrame,
@@ -279,34 +314,7 @@ def apply_bpe(
         return syms
 
     def encode(texts):
-        # Vectorized batch body (r10): the replay itself is cheap —
-        # natural corpora repeat words heavily, so each batch holds few
-        # DISTINCT words — but a per-word Python loop over the word
-        # *instances* dominated the e2e pipeline (~18M instances / 31
-        # distinct at sf0.1, ~20 s).  Explode to a word Series (C),
-        # categorical-encode so that each distinct word replays
-        # exactly once, gather the encoded strings through the category
-        # codes (C), and re-join per document (C iteration).  Each
-        # distinct word replays the merge table once per batch.
-        s = texts.fillna("")
-        words = s.str.split(" ").explode()
-        words = words[words != ""]
-        if len(words):
-            cat = words.astype("category")
-            enc_strs = pd.Index(
-                [" ".join(encode_word(w)) for w in cat.cat.categories]
-            )
-            joined = (
-                pd.Series(
-                    enc_strs[cat.cat.codes], index=words.index, dtype=object
-                )
-                .groupby(level=0)
-                .agg(" ".join)
-            )
-        else:
-            joined = pd.Series([], dtype=object)
-        joined = joined.reindex(s.index, fill_value="")
-        return joined.map(lambda t: t.split(" ") if t else [])
+        return _encode_words_vectorized(texts, encode_word)
 
     encode.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     udf = pandas_udf(encode, "array<string>")

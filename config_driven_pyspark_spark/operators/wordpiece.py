@@ -43,6 +43,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from config_driven_pyspark_spark.operators.bpe import (
+    _encode_words_vectorized,
+)
+
 from config_driven_pyspark_spark.functions import text as TX
 from config_driven_pyspark_spark.operators.dedup import _spread
 
@@ -163,24 +167,10 @@ def wordpiece_encode(
     from pyspark.sql.functions import pandas_udf
 
     def encode(texts):
-        memo: dict[str, list[str]] = {}
-        res = []
-        for text in texts:
-            if text is None:
-                res.append([])
-                continue
-            doc: list[str] = []
-            for word in text.split(" "):
-                if not word:
-                    continue
-                enc = memo.get(word)
-                if enc is None:
-                    enc = memo[word] = _greedy(
-                        word, pieces, max_piece_len, max_word_len
-                    )
-                doc.extend(enc)
-            res.append(doc)
-        return pd.Series(res)
+        # shared vectorized batch body — see bpe._encode_words_vectorized
+        return _encode_words_vectorized(
+            texts, lambda word: _greedy( word, pieces, max_piece_len, max_word_len )
+        )
 
     encode.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     udf = pandas_udf(encode, "array<string>")
