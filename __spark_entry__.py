@@ -2055,6 +2055,26 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_stats(media)
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end (multimodal.py MJPEG-in-AVI
+    container + the r10 JPEG codec): one deterministic 8-frame flat-color
+    MJPEG AVI per document → genuine RIFF container walk (avih header,
+    movi chunk iteration) → every 3rd frame's JPEG payload entropy-decoded
+    to pixels → exact int64 channel sums per (media, frame). Frame f of
+    id is the flat color ((id·7+f·3+31)%256, (id·11+f·5+59)%256,
+    (id·13+f·7+97)%256), so the oracle replays the same closed-form
+    quantize/dequantize arithmetic as q_jpeg_decode per sampled frame —
+    any byte slip in the RIFF walk, chunk padding, frame ordering, or
+    entropy decode changes a sum. Skipped frames are never decoded (the
+    stride is applied on container payload slices), which is the shape
+    that matters when sampling 1-in-300 frames of 100 TB of video."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 32)
+    media = MM.synthesize_avi(ids, id_col="doc_id", n_frames=8,
+                              width=16, height=16, quality=90)
+    return MM.sample_frame_stats(media, every_n=3)
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio sample math end-to-end (multimodal.py WAV PCM16 codec
     — the audio counterpart of the r6 BMP row): one deterministic
@@ -4837,6 +4857,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_decode": q_multimodal_decode,  # real BMP pixels, r6
         "q_png_decode": q_png_decode,  # real PNG inflate+defilter, r8
         "q_jpeg_decode": q_jpeg_decode,  # real baseline JPEG codec, r10
+        "q_video_frames": q_video_frames,  # real MJPEG-AVI frame walk, r10
         "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
         "q_pq_ann": q_pq_ann,  # product-quantization ADC, r6
         "q_ivfpq_ann": q_ivfpq_ann,  # IVF x PQ composition, r6
@@ -7053,6 +7074,54 @@ def oracle_sql() -> dict[str, str]:
         # same synth formula + dims by construction; a green hash for the
         # PNG row pins filtering/defiltering/inflate/CRC, not the formula
         "q_png_decode": _RASTER_DECODE_ORACLE_SQL,
+        # every sampled frame (0, 3, 6) of every AVI replays the same
+        # quality-90 closed form as q_jpeg_decode with the per-frame color
+        "q_video_frames": """
+            WITH px AS (
+              SELECT doc_id, f,
+                     ((doc_id * 7 + f * 3 + 31) % 256)::DOUBLE AS r,
+                     ((doc_id * 11 + f * 5 + 59) % 256)::DOUBLE AS g,
+                     ((doc_id * 13 + f * 7 + 97) % 256)::DOUBLE AS b
+              FROM documents
+              CROSS JOIN (SELECT unnest([0, 3, 6]) AS f)
+              WHERE doc_id < 32),
+            ycc AS (
+              SELECT doc_id, f,
+                     0.299::DOUBLE * r + 0.587::DOUBLE * g
+                       + 0.114::DOUBLE * b AS y,
+                     -0.168736::DOUBLE * r - 0.331264::DOUBLE * g
+                       + 0.5 * b + 128.0 AS cb,
+                     0.5 * r - 0.418688::DOUBLE * g
+                       - 0.081312::DOUBLE * b + 128.0 AS cr
+              FROM px),
+            dec AS (
+              SELECT doc_id, f,
+                     least(255.0, greatest(0.0, floor(
+                       floor(round(8.0 * (y - 128.0) / 3.0, 9) + 0.5)
+                       * 3.0 / 8.0 + 128.0 + 0.5))) AS yd,
+                     least(255.0, greatest(0.0, floor(
+                       floor(round(8.0 * (cb - 128.0) / 3.0, 9) + 0.5)
+                       * 3.0 / 8.0 + 128.0 + 0.5))) AS cbd,
+                     least(255.0, greatest(0.0, floor(
+                       floor(round(8.0 * (cr - 128.0) / 3.0, 9) + 0.5)
+                       * 3.0 / 8.0 + 128.0 + 0.5))) AS crd
+              FROM ycc)
+            SELECT doc_id AS media_id,
+                   f AS frame_idx,
+                   16 AS width,
+                   16 AS height,
+                   CAST(256 * least(255.0, greatest(0.0, floor(
+                     round(yd + 1.402::DOUBLE * (crd - 128.0), 9) + 0.5)))
+                     AS BIGINT) AS sum_r,
+                   CAST(256 * least(255.0, greatest(0.0, floor(
+                     round(yd - 0.344136::DOUBLE * (cbd - 128.0)
+                        - 0.714136::DOUBLE * (crd - 128.0), 9) + 0.5)))
+                     AS BIGINT) AS sum_g,
+                   CAST(256 * least(255.0, greatest(0.0, floor(
+                     round(yd + 1.772::DOUBLE * (cbd - 128.0), 9) + 0.5)))
+                     AS BIGINT) AS sum_b
+            FROM dec
+        """,
         # flat 16x16 quality-90 JPEG: both DC quant steps are 3 (Annex-K
         # 16/17 scaled by (200-2*90), floor((t*20+50)/100)); every float
         # constant is ::DOUBLE so DuckDB replays the codec's float64

@@ -1188,6 +1188,201 @@ def synthesize_jpeg(
     return df.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+# -- minimal MJPEG-in-AVI container (RIFF) -----------------------------------
+#
+# With the baseline JPEG codec above, VIDEO frame sampling becomes real for
+# the one container+codec pair that needs zero dependencies: an AVI RIFF
+# walk (the WAV skill, different chunk names) yielding per-frame JPEG
+# payloads that decode_jpeg turns into pixels. Real-world codecs (H.264,
+# VP9, ...) stay honestly gated behind decoder="real" (ffmpeg integration
+# point).
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Wrap per-frame JPEG payloads in a minimal standards-shaped AVI:
+    RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+    '00dc'...) 'idx1'). Every frame is a keyframe ('00dc' + AVIIF_KEYFRAME
+    in idx1); chunks pad to even offsets per RIFF."""
+    import struct
+
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # usec per frame
+        max_bytes * fps,   # max bytes/sec (advisory)
+        0,                 # padding granularity
+        0x10,              # AVIF_HASINDEX
+        len(frames), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(frames), max_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = [chunk(b"00dc", f) for f in frames]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    # idx1 offsets are relative to the start of the 'movi' fourcc
+    idx, off = [], 4
+    for f, ch in zip(frames, movi_chunks):
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(f)))
+        off += len(ch)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi_frames(payload: bytes) -> tuple[dict, list[bytes]]:
+    """AVI RIFF walk -> (header dict, per-frame compressed payloads).
+    Verifies the RIFF/'AVI ' magic, parses avih (n_frames, width,
+    height), and iterates the 'movi' list's '00dc'/'00db' chunks. Frames
+    whose bytes are not baseline JPEG raise at decode time (the codec
+    gate lives in decode_image/decode_jpeg)."""
+    import struct
+
+    if (
+        payload is None or len(payload) < 12
+        or payload[:4] != b"RIFF" or payload[8:12] != b"AVI "
+    ):
+        raise ValueError(
+            f"not an AVI: magic {bytes(payload or b'')[:12]!r}"
+        )
+    data = bytes(payload)
+    header: dict = {}
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body_start = pos + 8
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif fourcc == b"avih":
+                vals = struct.unpack(
+                    "<IIIIIIIIII", data[body_start:body_start + 40]
+                )
+                header.update(
+                    n_frames=vals[4], width=vals[8], height=vals[9],
+                    usec_per_frame=vals[0],
+                )
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(data[body_start:body_start + size])
+            pos = body_start + size + (size % 2)
+
+    walk(12, len(data))
+    if not header:
+        raise ValueError("AVI stream missing the avih header chunk")
+    return header, frames
+
+
+def synthesize_avi(
+    df: DataFrame,
+    id_col: str = "media_id",
+    n_frames: int = 8,
+    width: int = 16,
+    height: int = 16,
+    fps: int = 10,
+    quality: int = 90,
+) -> DataFrame:
+    """Deterministic MJPEG AVIs: frame f of media id is the flat color
+    ((id*7 + f*3 + 31) % 256, (id*11 + f*5 + 59) % 256,
+    (id*13 + f*7 + 97) % 256) — per-frame colors ride the same
+    closed-form quantize/dequantize replay as :func:`synthesize_jpeg`,
+    so sampled-frame pixel stats are value-checkable end to end through
+    container walk + entropy decode."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                frames = []
+                for f in range(n_frames):
+                    color = np.array(
+                        [(mid * 7 + f * 3 + 31) % 256,
+                         (mid * 11 + f * 5 + 59) % 256,
+                         (mid * 13 + f * 7 + 97) % 256],
+                        dtype="uint8",
+                    )
+                    frames.append(encode_jpeg(
+                        np.tile(color, (height, width, 1)), quality=quality
+                    ))
+                content.append(encode_avi_mjpeg(frames, width, height, fps))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "video",
+                    "content": content,
+                    "meta": [
+                        {"width": width, "height": height,
+                         "sample_rate": None, "n_frames": n_frames}
+                    ] * len(pdf),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+_FRAME_STATS_SCHEMA = (
+    "media_id bigint, frame_idx int, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def sample_frame_stats(
+    df: DataFrame,
+    every_n: int = 1,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL video frame sampling + pixel stats: walk each AVI container,
+    keep frames at stride ``every_n``, decode each kept frame's JPEG
+    payload, and emit exact int64 channel sums per (media, frame) — the
+    float-free observable pinning the whole container+codec chain.
+    Python cost is per KEPT frame only (skipped frames are never
+    entropy-decoded — the container walk just slices payload bytes)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "width": [],
+                   "height": [], "sum_r": [], "sum_g": [], "sum_b": []}
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                _, frames = decode_avi_frames(payload)
+                for idx in range(0, len(frames), every_n):
+                    arr = decode_image(frames[idx])
+                    sums = arr.reshape(-1, 3).astype("int64").sum(axis=0)
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(idx)
+                    out["height"].append(arr.shape[0])
+                    out["width"].append(arr.shape[1])
+                    out["sum_r"].append(int(sums[0]))
+                    out["sum_g"].append(int(sums[1]))
+                    out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(compute, schema=_FRAME_STATS_SCHEMA)
+
+
 # -- pure-numpy WAV codec (PCM16 RIFF/WAVE) ---------------------------------
 #
 # The audio counterpart of the BMP codec: 16-bit PCM WAV is the one audio
@@ -1398,6 +1593,19 @@ def stage_multimodal(df: DataFrame, spec: dict) -> DataFrame:
             df, spec.get("id_col", "media_id"),
             int(spec.get("width", 16)), int(spec.get("height", 16)),
             int(spec.get("quality", 90)),
+        )
+    if op == "synthesize_avi":
+        return synthesize_avi(
+            df, spec.get("id_col", "media_id"),
+            int(spec.get("n_frames", 8)),
+            int(spec.get("width", 16)), int(spec.get("height", 16)),
+            int(spec.get("fps", 10)), int(spec.get("quality", 90)),
+        )
+    if op == "frame_stats":
+        return sample_frame_stats(
+            df, int(spec.get("every_n", 1)),
+            spec.get("content_col", "content"),
+            spec.get("id_col", "media_id"),
         )
     if op == "synthesize_wav":
         return synthesize_wav(
