@@ -2195,6 +2195,42 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC reader/writer driver coverage (r10 — the remaining Spark-core
+    columnar format after parquet, previously pytest-only): supplier is
+    written to scratch ORC through the sink stage with a partition
+    column, read back through the source stage (types persist natively,
+    no DDL needed), filtered so the partition-pruning path is exercised,
+    and aggregated. Lossless by format, so the oracle works straight off
+    the parquet source. Same scratch-dir lifecycle as q_csv_roundtrip."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_orc_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    _run(spark, [
+        _src(sf_dir, "supplier"),
+        {"stage": "sink", "format": "orc", "path": out_dir,
+         "mode": "overwrite", "partition_by": ["s_nationkey"]},
+    ])
+    return _run(spark, [
+        {"stage": "source", "format": "orc", "path": out_dir},
+        # partition-column type inference reads the directory key as INT;
+        # pin BIGINT so the output schema matches the parquet original
+        {"stage": "with_columns",
+         "columns": {"s_nationkey": "CAST(s_nationkey AS BIGINT)"}},
+        {"stage": "filter", "predicate": "s_nationkey < 13"},
+        {"stage": "aggregate", "group_by": ["s_nationkey"],
+         "aggs": {"n_suppliers": "count(*)",
+                  "first_supplier": "min(s_name)",
+                  "acct_total":
+                      "CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) "
+                      "AS DOUBLE)"}},
+    ])
+
+
 def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manual skew-salting exercised at the driver surface (relational.py::
     salted_join): orders join customer on a 4-way salted key — the left
@@ -4858,6 +4894,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_decode": q_png_decode,  # real PNG inflate+defilter, r8
         "q_jpeg_decode": q_jpeg_decode,  # real baseline JPEG codec, r10
         "q_video_frames": q_video_frames,  # real MJPEG-AVI frame walk, r10
+        "q_orc_roundtrip": q_orc_roundtrip,  # ORC sink/source, r10
         "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
         "q_pq_ann": q_pq_ann,  # product-quantization ADC, r6
         "q_ivfpq_ann": q_ivfpq_ann,  # IVF x PQ composition, r6
@@ -7074,6 +7111,16 @@ def oracle_sql() -> dict[str, str]:
         # same synth formula + dims by construction; a green hash for the
         # PNG row pins filtering/defiltering/inflate/CRC, not the formula
         "q_png_decode": _RASTER_DECODE_ORACLE_SQL,
+        "q_orc_roundtrip": """
+            SELECT s_nationkey,
+                   count(*) AS n_suppliers,
+                   min(s_name) AS first_supplier,
+                   CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     AS acct_total
+            FROM supplier
+            WHERE s_nationkey < 13
+            GROUP BY s_nationkey
+        """,
         # every sampled frame (0, 3, 6) of every AVI replays the same
         # quality-90 closed form as q_jpeg_decode with the per-frame color
         "q_video_frames": """
