@@ -2195,6 +2195,52 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC upsert over plain parquet (operators/table.py::
+    merge_upsert, r10 — the engine-native core of the delta-gated
+    capability): the target snapshot is orders with o_orderkey % 4 <> 3
+    (seeded fresh each run, so the merge is idempotent across driver
+    re-runs); the CDC batch is orders with o_orderkey % 8 IN (2, 3)
+    re-prioritized to 'X-MERGED' — % 8 = 2 rows match (updates),
+    % 8 = 3 rows are new (inserts), and matched rows with
+    o_orderkey % 16 = 10 carry a delete flag. The post-merge snapshot
+    aggregates per priority; the oracle replays the MERGE as
+    anti-join ∪ non-delete-batch in SQL. The swap is the
+    ivf_compact-style row-count-verified two-rename, so a short write
+    can never replace a good snapshot."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import merge_upsert
+
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_merge_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).parquet(target)
+    batch = (
+        orders.filter((F.col("o_orderkey") % 8).isin(2, 3))
+        .withColumn("o_orderpriority", F.lit("X-MERGED"))
+        .withColumn("is_deleted", F.col("o_orderkey") % 16 == 10)
+    )
+    merge_upsert(batch, target, ["o_orderkey"], delete_col="is_deleted")
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_price"),
+        )
+    )
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC reader/writer driver coverage (r10 — the remaining Spark-core
     columnar format after parquet, previously pytest-only): supplier is
@@ -4895,6 +4941,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jpeg_decode": q_jpeg_decode,  # real baseline JPEG codec, r10
         "q_video_frames": q_video_frames,  # real MJPEG-AVI frame walk, r10
         "q_orc_roundtrip": q_orc_roundtrip,  # ORC sink/source, r10
+        "q_merge_upsert": q_merge_upsert,  # CDC MERGE over parquet, r10
         "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
         "q_pq_ann": q_pq_ann,  # product-quantization ADC, r6
         "q_ivfpq_ann": q_ivfpq_ann,  # IVF x PQ composition, r6
@@ -7111,6 +7158,32 @@ def oracle_sql() -> dict[str, str]:
         # same synth formula + dims by construction; a green hash for the
         # PNG row pins filtering/defiltering/inflate/CRC, not the formula
         "q_png_decode": _RASTER_DECODE_ORACLE_SQL,
+        # MERGE replay: survivors (target anti batch keys) UNION the
+        # batch's non-delete rows, then the same aggregate
+        "q_merge_upsert": """
+            WITH target AS (
+              SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            batch AS (
+              SELECT o_orderkey, o_custkey,
+                     'X-MERGED' AS o_orderpriority, o_totalprice,
+                     (o_orderkey % 16 = 10) AS is_deleted
+              FROM orders WHERE o_orderkey % 8 IN (2, 3)),
+            merged AS (
+              SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+              FROM target
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+              FROM batch WHERE NOT is_deleted)
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM merged
+            GROUP BY o_orderpriority
+        """,
         "q_orc_roundtrip": """
             SELECT s_nationkey,
                    count(*) AS n_suppliers,

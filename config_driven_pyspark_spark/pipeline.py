@@ -249,7 +249,7 @@ class Pipeline:
             "top_k", "skew_report", "dedup", "similarity", "text",
             "multimodal", "corpus",
             "observe",
-            "udf", "grouped_map", "flat_map", "sink",
+            "udf", "grouped_map", "flat_map", "sink", "merge",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -419,6 +419,10 @@ class Pipeline:
             }[kind](df, spec)
         if kind == "sink":
             return stage_sink(df, spec)
+        if kind == "merge":
+            from config_driven_pyspark_spark.operators.table import stage_merge
+
+            return stage_merge(df, spec)
         raise ValueError(f"Unknown stage kind {kind!r}")
 
     def _batch_stages_fn(self, spec: dict):
