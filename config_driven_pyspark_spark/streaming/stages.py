@@ -218,7 +218,7 @@ def stage_stream_sink(
     df: DataFrame, spec: dict, batch_stages_fn=None
 ) -> DataFrame:
     """``{"stage": "stream_sink", "format": "memory"|"parquet"|"noop"|
-    "console"|"foreach_batch", "query_name": str?, "path": str?,
+    "console"|"foreach_batch"|"merge", "query_name": str?, "path": str?,
     "checkpoint": str?, "output_mode": "append"|"update"|"complete",
     "trigger": "available_now"|{"processing_time": "10 seconds"},
     "await": true?, "sink": {<batch sink spec>}?, "stages": [...]?}``.
@@ -253,7 +253,37 @@ def stage_stream_sink(
             "stage_stream_sink calls must pass batch_stages_fn)"
         )
     fmt = spec.get("format", "memory")
-    if fmt == "foreach_batch":
+    if fmt == "merge":
+        # streaming CDC ingestion — the foreachBatch-MERGE idiom table
+        # formats document, engine-native: every micro-batch upserts into
+        # the parquet snapshot at `path` via the atomic-swap merge_upsert
+        # (operators/table.py). Micro-batches apply sequentially, so a key
+        # updated across batches resolves to the latest batch's row.
+        from config_driven_pyspark_spark.operators.table import merge_upsert
+
+        if "path" not in spec or "keys" not in spec:
+            raise ValueError(
+                "stream_sink format merge requires `path` (the snapshot) "
+                "and `keys` (the match columns)"
+            )
+        if spec.get("output_mode", "append") != "append":
+            raise ValueError(
+                "stream_sink format merge only supports output_mode append "
+                "(the CDC batch stream)"
+            )
+
+        def _merge_handle(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_stages_fn is not None:
+                batch_df = batch_stages_fn(batch_df)
+            merge_upsert(
+                batch_df, spec["path"], list(spec["keys"]),
+                spec.get("delete_col"), spec.get("partition_by"),
+            )
+
+        writer = df.writeStream.foreachBatch(_merge_handle).outputMode(
+            "append"
+        )
+    elif fmt == "foreach_batch":
         from config_driven_pyspark_spark.sources.writers import stage_sink
 
         if "sink" not in spec:
@@ -286,7 +316,9 @@ def stage_stream_sink(
         writer = writer.queryName(spec["query_name"])
     if spec.get("checkpoint"):
         writer = writer.option("checkpointLocation", spec["checkpoint"])
-    if spec.get("path"):
+    if spec.get("path") and fmt != "merge":
+        # for format merge, `path` names the snapshot merge_upsert owns —
+        # it is not a sink option
         writer = writer.option("path", spec["path"])
     for key, value in (spec.get("options") or {}).items():
         writer = writer.option(key, value)

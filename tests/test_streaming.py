@@ -888,3 +888,42 @@ def test_stream_stream_join_parity(spark, tmp_path):
     cols = ["user_id", "click_id", "view_id"]
     assert _collect_sorted(got, cols) == _collect_sorted(batch, cols)
     assert got.count() > 0
+
+
+def test_streaming_cdc_merge_sink(spark, tmp_path):
+    """Streaming CDC ingestion: a file stream of upsert/delete events
+    drains micro-batch-by-micro-batch into a parquet snapshot through
+    stream_sink format=merge (the foreachBatch-MERGE idiom,
+    engine-native). Batches touch disjoint keys, so the final snapshot
+    equals one batch merge of all events."""
+    target = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id bigint, val string, qty bigint",
+    ).write.parquet(target)
+    # two event files = two micro-batches (maxFilesPerTrigger=1),
+    # disjoint key sets
+    ev = str(tmp_path / "events")
+    spark.createDataFrame(
+        [(2, "B2", 21, False), (5, "e", 50, False)],
+        "id bigint, val string, qty bigint, gone boolean",
+    ).coalesce(1).write.parquet(ev)
+    spark.createDataFrame(
+        [(3, "x", 0, True), (6, "f", 60, False)],
+        "id bigint, val string, qty bigint, gone boolean",
+    ).coalesce(1).write.mode("append").parquet(ev)
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": ev,
+         "schema": "id bigint, val string, qty bigint, gone boolean",
+         "streaming": True, "options": {"maxFilesPerTrigger": "1"}},
+        {"stage": "stream_sink", "format": "merge", "path": target,
+         "keys": ["id"], "delete_col": "gone",
+         "checkpoint": str(tmp_path / "ckpt_cdc"),
+         "trigger": "available_now", "await": True},
+    ]).run(spark)
+    got = {
+        r["id"]: (r["val"], r["qty"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: ("a", 10), 2: ("B2", 21), 4: ("d", 40),
+                   5: ("e", 50), 6: ("f", 60)}
