@@ -2241,6 +2241,62 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD versioned merge (operators/table.py::scd2_merge, r10 —
+    the history-keeping counterpart of q_merge_upsert): the dimension
+    snapshot seeds fresh each run as orders with o_orderkey % 4 <> 3
+    (valid_from 2024-01-01, all current); the day-2 batch is orders with
+    o_orderkey % 8 IN (2, 3, 6) at effective 2024-02-01 — % 16 = 2 rows
+    are byte-identical re-deliveries (SCD2 change detection must no-op
+    them), % 16 = 10 rows carry a delete flag (close without successor),
+    the rest re-prioritize to 'X-SCD2' (close + new version), and
+    % 8 = 3 keys are brand new (insert as current). Output aggregates
+    the post-merge snapshot per (is_current, priority) with an
+    open-interval count; the oracle replays close/keep/insert set
+    algebra in SQL. Same row-count-verified atomic swap as the upsert."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import scd2_merge
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_scd2_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 4 != 3)
+        .withColumn("valid_from", F.lit("2024-01-01").cast("date"))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+        .write.mode("overwrite").parquet(target)
+    )
+    batch = (
+        orders.filter((F.col("o_orderkey") % 8).isin(2, 3, 6))
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 16 == 2, F.col("o_orderpriority"))
+            .otherwise(F.lit("X-SCD2")),
+        )
+        .withColumn("effective_ts", F.lit("2024-02-01").cast("date"))
+        .withColumn("is_deleted", F.col("o_orderkey") % 16 == 10)
+    )
+    scd2_merge(batch, target, ["o_orderkey"], delete_col="is_deleted")
+    return (
+        spark.read.parquet(target)
+        .groupBy("is_current", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.sum(
+                F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_open"),
+        )
+    )
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC reader/writer driver coverage (r10 — the remaining Spark-core
     columnar format after parquet, previously pytest-only): supplier is
@@ -4942,6 +4998,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_video_frames": q_video_frames,  # real MJPEG-AVI frame walk, r10
         "q_orc_roundtrip": q_orc_roundtrip,  # ORC sink/source, r10
         "q_merge_upsert": q_merge_upsert,  # CDC MERGE over parquet, r10
+        "q_scd2_orders": q_scd2_orders,  # type-2 SCD versioned merge, r10
         "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
         "q_pq_ann": q_pq_ann,  # product-quantization ADC, r6
         "q_ivfpq_ann": q_ivfpq_ann,  # IVF x PQ composition, r6
@@ -7158,6 +7215,47 @@ def oracle_sql() -> dict[str, str]:
         # same synth formula + dims by construction; a green hash for the
         # PNG row pins filtering/defiltering/inflate/CRC, not the formula
         "q_png_decode": _RASTER_DECODE_ORACLE_SQL,
+        # SCD2 replay: kept-current / closed / new-version set algebra
+        "q_scd2_orders": """
+            WITH t0 AS (
+              SELECT o_orderkey AS k, o_orderpriority AS p,
+                     o_totalprice AS tp, DATE '2024-01-01' AS vf
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            b AS (
+              SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 16 = 2 THEN o_orderpriority
+                          ELSE 'X-SCD2' END AS p,
+                     o_totalprice AS tp,
+                     (o_orderkey % 16 = 10) AS gone
+              FROM orders WHERE o_orderkey % 8 IN (2, 3, 6)),
+            m AS (
+              SELECT t0.k, t0.p AS tp0, t0.tp AS tt0, t0.vf,
+                     b.p AS bp, b.tp AS bt, b.gone,
+                     b.k IS NOT NULL AS matched
+              FROM t0 LEFT JOIN b ON t0.k = b.k),
+            snap AS (
+              SELECT k, tp0 AS p, vf, CAST(NULL AS DATE) AS vt,
+                     TRUE AS is_current
+              FROM m WHERE NOT matched
+                 OR (NOT gone AND bp = tp0 AND bt = tt0)
+              UNION ALL
+              SELECT k, tp0 AS p, vf, DATE '2024-02-01' AS vt,
+                     FALSE AS is_current
+              FROM m WHERE matched AND (gone OR bp <> tp0 OR bt <> tt0)
+              UNION ALL
+              SELECT b.k, b.p, DATE '2024-02-01' AS vf,
+                     CAST(NULL AS DATE) AS vt, TRUE AS is_current
+              FROM b LEFT JOIN t0 ON b.k = t0.k
+              WHERE NOT b.gone
+                AND (t0.k IS NULL OR b.p <> t0.p OR b.tp <> t0.tp))
+            SELECT is_current, p AS o_orderpriority,
+                   count(*) AS n_rows,
+                   CAST(sum(k) AS BIGINT) AS sum_keys,
+                   CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_open
+            FROM snap
+            GROUP BY is_current, p
+        """,
         # MERGE replay: survivors (target anti batch keys) UNION the
         # batch's non-delete rows, then the same aggregate
         "q_merge_upsert": """

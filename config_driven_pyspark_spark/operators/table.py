@@ -38,6 +38,43 @@ def _fs(spark: SparkSession, path: str):
     return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _stage_verify_swap(
+    df: DataFrame,
+    target_path: str,
+    expected_rows: int,
+    partition_by: list[str] | None,
+    breakdown: str,
+) -> int:
+    """Write ``df`` to the sibling staging dir, verify the staged row
+    count equals ``expected_rows`` (a short write can never replace a
+    good snapshot), then atomically swap staging into ``target_path``
+    via two FS renames with rollback. Returns the staged count. The
+    caller must have cleared staging/backup debris first."""
+    spark = df.sparkSession
+    jvm, fs = _fs(spark, target_path)
+    staging = f"{target_path.rstrip('/')}__staging"
+    backup = f"{target_path.rstrip('/')}__premerge"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    n_after = spark.read.parquet(staging).count()
+    if n_after != expected_rows:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        raise ValueError(
+            f"merge staged {n_after} rows but {expected_rows} were "
+            f"expected {breakdown} — aborted, snapshot untouched"
+        )
+    p_target = jvm.org.apache.hadoop.fs.Path(target_path)
+    if not fs.rename(p_target, jvm.org.apache.hadoop.fs.Path(backup)):
+        raise IOError(f"could not move aside {target_path}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), p_target):
+        fs.rename(jvm.org.apache.hadoop.fs.Path(backup), p_target)
+        raise IOError(f"could not swap merged snapshot into {target_path!r}")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(backup), True)
+    return n_after
+
+
 def merge_upsert(
     source: DataFrame,
     target_path: str,
@@ -118,27 +155,12 @@ def merge_upsert(
     merged = survivors.unionByName(
         upserts.select(*target.columns), allowMissingColumns=False
     )
-    writer = merged.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-
-    n_after = spark.read.parquet(staging).count()
     expected = n_before - n_matched + n_updated + n_inserted
-    if n_after != expected:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-        raise ValueError(
-            f"merge staged {n_after} rows but {expected} were expected "
-            f"({n_before} - {n_matched} matched + {n_updated} updates + "
-            f"{n_inserted} inserts) — aborted, snapshot untouched"
-        )
-    p_target = jvm.org.apache.hadoop.fs.Path(target_path)
-    if not fs.rename(p_target, jvm.org.apache.hadoop.fs.Path(backup)):
-        raise IOError(f"could not move aside {target_path}")
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), p_target):
-        fs.rename(jvm.org.apache.hadoop.fs.Path(backup), p_target)
-        raise IOError(f"could not swap merged snapshot into {target_path!r}")
-    fs.delete(jvm.org.apache.hadoop.fs.Path(backup), True)
+    n_after = _stage_verify_swap(
+        merged, target_path, expected, partition_by,
+        f"({n_before} - {n_matched} matched + {n_updated} updates + "
+        f"{n_inserted} inserts)",
+    )
     return {"n_before": n_before, "n_matched": n_matched,
             "n_updated": n_updated, "n_inserted": n_inserted,
             "n_deleted": n_deleted, "n_after": n_after}
@@ -151,6 +173,184 @@ def stage_merge(df: DataFrame, spec: dict) -> DataFrame:
     snapshot so downstream stages read the new table state."""
     merge_upsert(
         df, spec["path"], list(spec["keys"]),
+        spec.get("delete_col"), spec.get("partition_by"),
+    )
+    return df.sparkSession.read.parquet(spec["path"])
+
+
+def scd2_merge(
+    source: DataFrame,
+    target_path: str,
+    keys: list[str],
+    ts_col: str = "effective_ts",
+    delete_col: str | None = None,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Type-2 slowly-changing-dimension merge over plain parquet — the
+    versioned counterpart of :func:`merge_upsert` (the warehouse-classic
+    history-keeping upsert):
+
+    - the snapshot carries every business column plus ``valid_from``,
+      ``valid_to`` (NULL = open) and ``is_current``;
+    - a CHANGED matched row closes the current version
+      (``valid_to`` = the batch row's ``ts_col``, ``is_current`` false)
+      and appends the new version;
+    - an UNCHANGED matched row is a no-op (standard SCD2 change
+      detection — re-delivered identical rows create no versions);
+    - an unmatched row inserts as a new current version;
+    - a ``delete_col``-flagged matched row closes without a successor;
+    - closed history rows are never touched.
+
+    ``source`` must carry the business columns plus ``ts_col`` (the
+    per-row effective time of the change). A missing target bootstraps
+    from the batch (day zero). Source keys must be unique per batch
+    (same MERGE ambiguity contract as :func:`merge_upsert`).
+
+    Change detection is a null-safe struct comparison over every
+    business column (``<=>`` recurses into struct fields), JVM-side.
+
+    Scale: the history partition is touched only by the final union
+    (never joined); the current partition joins the batch once
+    (full-outer on keys — AQE broadcasts the CDC side from runtime
+    stats); one partitioned rewrite with the row-count-verified atomic
+    swap. At very large history sizes, partition the snapshot by
+    ``is_current`` (pass ``partition_by=["is_current"]``) so readers of
+    the current view prune the history files entirely."""
+    from config_driven_pyspark_spark.operators.similarity import _fs_exists
+
+    if not keys:
+        raise ValueError("scd2_merge needs at least one key column")
+    spark = source.sparkSession
+    meta = {"valid_from", "valid_to", "is_current"}
+    for c in (*keys, ts_col):
+        if c not in source.columns:
+            raise ValueError(f"source is missing column {c!r}")
+    if meta & set(source.columns):
+        raise ValueError(
+            f"source must not carry the SCD2 metadata columns "
+            f"{sorted(meta & set(source.columns))} — the merge owns them"
+        )
+    n_src = source.count()
+    if source.select(*keys).distinct().count() != n_src:
+        raise ValueError(
+            "source has duplicate key rows — one key would version "
+            "more than once in a single batch; split the batch by "
+            "effective time first"
+        )
+    if delete_col is not None:
+        is_del = F.coalesce(F.col(delete_col), F.lit(False))
+        deletes = source.filter(is_del).drop(delete_col)
+        upserts = source.filter(~is_del).drop(delete_col)
+    else:
+        deletes = None
+        upserts = source
+    biz = [c for c in upserts.columns if c != ts_col and c not in keys]
+
+    jvm, fs = _fs(spark, target_path)
+    for stale in (f"{target_path.rstrip('/')}__staging",
+                  f"{target_path.rstrip('/')}__premerge"):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
+
+    def as_version(df: DataFrame) -> DataFrame:
+        return df.select(
+            *keys, *biz,
+            F.col(ts_col).alias("valid_from"),
+            F.lit(None).cast(df.schema[ts_col].dataType).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    if not _fs_exists(spark, target_path):
+        boot = as_version(upserts)
+        n = boot.count()
+        # bootstrap has no prior snapshot to swap aside — plain write
+        writer = boot.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target_path)
+        return {"n_closed": 0, "n_new_versions": n, "n_unchanged": 0,
+                "n_deleted": 0, "n_after": n}
+
+    target = spark.read.parquet(target_path)
+    missing = [c for c in (*keys, *biz, *meta) if c not in target.columns]
+    if missing:
+        raise ValueError(
+            f"target snapshot is missing columns {missing} — not an SCD2 "
+            "table produced by scd2_merge"
+        )
+    history = target.filter(~F.col("is_current"))
+    current = target.filter(F.col("is_current"))
+
+    src_all = (
+        upserts.withColumn("__del", F.lit(False)).unionByName(
+            deletes.withColumn("__del", F.lit(True))
+        ) if deletes is not None
+        else upserts.withColumn("__del", F.lit(False))
+    )
+    s = src_all.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in biz],
+        F.col(ts_col).alias("__ts"),
+        "__del",
+    )
+    joined = current.join(
+        s, [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys],
+        "full_outer",
+    )
+    matched = F.col("__ts").isNotNull() & F.col("is_current").isNotNull()
+    changed = matched & ~F.struct(*[F.col(c) for c in biz]).eqNullSafe(
+        F.struct(*[F.col(f"__s_{c}") for c in biz])
+    )
+    closing = matched & (changed | F.col("__del"))
+
+    n_closed = joined.filter(closing).count()
+    n_deleted = joined.filter(matched & F.col("__del")).count()
+    n_unchanged = joined.filter(
+        matched & ~changed & ~F.col("__del")
+    ).count()
+    n_current = current.count()
+    n_history = history.count()
+
+    kept_current = joined.filter(
+        F.col("__ts").isNull() | (matched & ~changed & ~F.col("__del"))
+    ).select(*keys, *biz, "valid_from", "valid_to", "is_current")
+    closed = joined.filter(closing).select(
+        *keys, *biz, "valid_from",
+        F.col("__ts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    new_versions = joined.filter(
+        ~F.col("__del") & F.col("__ts").isNotNull()
+        & (F.col("is_current").isNull() | changed)
+    ).select(
+        *[F.coalesce(F.col(f"__k_{k}"), F.col(k)).alias(k) for k in keys],
+        *[F.col(f"__s_{c}").alias(c) for c in biz],
+        F.col("__ts").alias("valid_from"),
+        F.lit(None).cast(joined.schema["__ts"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    n_new = n_src - (deletes.count() if deletes is not None else 0) \
+        - n_unchanged
+    merged = history.unionByName(kept_current).unionByName(
+        closed
+    ).unionByName(new_versions)
+    expected = n_history + n_current + n_new
+    n_after = _stage_verify_swap(
+        merged, target_path, expected, partition_by,
+        f"({n_history} history + {n_current} current + {n_new} new "
+        "versions)",
+    )
+    return {"n_closed": n_closed, "n_new_versions": n_new,
+            "n_unchanged": n_unchanged, "n_deleted": n_deleted,
+            "n_after": n_after}
+
+
+def stage_scd2(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "scd2", "path": ..., "keys": [...], "ts_col": ...,
+    "delete_col": name?, "partition_by": [...]?}`` — ``df`` is the CDC
+    batch; returns the post-merge versioned snapshot."""
+    scd2_merge(
+        df, spec["path"], list(spec["keys"]),
+        spec.get("ts_col", "effective_ts"),
         spec.get("delete_col"), spec.get("partition_by"),
     )
     return df.sparkSession.read.parquet(spec["path"])

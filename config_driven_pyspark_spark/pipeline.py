@@ -249,7 +249,7 @@ class Pipeline:
             "top_k", "skew_report", "dedup", "similarity", "text",
             "multimodal", "corpus",
             "observe",
-            "udf", "grouped_map", "flat_map", "sink", "merge",
+            "udf", "grouped_map", "flat_map", "sink", "merge", "scd2",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -423,6 +423,10 @@ class Pipeline:
             from config_driven_pyspark_spark.operators.table import stage_merge
 
             return stage_merge(df, spec)
+        if kind == "scd2":
+            from config_driven_pyspark_spark.operators.table import stage_scd2
+
+            return stage_scd2(df, spec)
         raise ValueError(f"Unknown stage kind {kind!r}")
 
     def _batch_stages_fn(self, spec: dict):

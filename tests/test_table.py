@@ -100,3 +100,99 @@ def test_merge_stage_returns_post_merge_snapshot(spark, tmp_path):
     ]).run(spark)
     row = out.collect()[0]
     assert (row["n"], row["total_qty"]) == (3, 10 + 21 + 50)
+
+
+def _scd2_snapshot(spark, rows):
+    return spark.createDataFrame(
+        rows, "id bigint, val string, qty bigint, eff string"
+    ).selectExpr("id", "val", "qty", "CAST(eff AS DATE) AS effective_ts")
+
+
+def test_scd2_merge_versions_changes(spark, tmp_path):
+    import datetime as dt
+
+    from config_driven_pyspark_spark.operators.table import scd2_merge
+
+    target = str(tmp_path / "dim")
+    day1 = _scd2_snapshot(spark, [
+        (1, "a", 10, "2024-01-01"), (2, "b", 20, "2024-01-01"),
+        (3, "c", 30, "2024-01-01"),
+    ])
+    stats = scd2_merge(day1, target, ["id"])
+    assert stats == {"n_closed": 0, "n_new_versions": 3, "n_unchanged": 0,
+                     "n_deleted": 0, "n_after": 3}
+
+    day2 = spark.createDataFrame(
+        [
+            (2, "B2", 21, "2024-02-01", False),  # changed -> close + new
+            (3, "c", 30, "2024-02-01", False),   # identical -> no-op
+            (4, "d", 40, "2024-02-01", False),   # new key -> insert
+            (1, "a", 10, "2024-02-01", True),    # delete -> close only
+        ],
+        "id bigint, val string, qty bigint, eff string, gone boolean",
+    ).selectExpr("id", "val", "qty", "CAST(eff AS DATE) AS effective_ts",
+                 "gone")
+    stats = scd2_merge(day2, target, ["id"], delete_col="gone")
+    # 5 rows: 1 closed-by-delete, 2 closed + 2's new version, 3 kept,
+    # 4 inserted
+    assert stats == {"n_closed": 2, "n_new_versions": 2, "n_unchanged": 1,
+                     "n_deleted": 1, "n_after": 5}
+
+    rows = spark.read.parquet(target).collect()
+    cur = {r["id"]: r for r in rows if r["is_current"]}
+    hist = sorted(
+        ((r["id"], r["val"], str(r["valid_to"])) for r in rows
+         if not r["is_current"])
+    )
+    # current: 2's new version, 3 untouched, 4 inserted; 1 deleted
+    assert set(cur) == {2, 3, 4}
+    assert (cur[2]["val"], cur[2]["qty"],
+            str(cur[2]["valid_from"])) == ("B2", 21, "2024-02-01")
+    assert str(cur[3]["valid_from"]) == "2024-01-01"  # no-op kept v1
+    assert cur[2]["valid_to"] is None
+    # history: 1 closed by delete, 2 closed by change
+    assert hist == [(1, "a", "2024-02-01"), (2, "b", "2024-02-01")]
+    assert isinstance(rows[0]["valid_from"], dt.date)
+
+
+def test_scd2_rejects_metadata_collision_and_dup_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from config_driven_pyspark_spark.operators.table import scd2_merge
+
+    target = str(tmp_path / "dim2")
+    bad = spark.createDataFrame(
+        [(1, "a", True)], "id bigint, val string, is_current boolean"
+    ).selectExpr("id", "val", "is_current",
+                 "CAST('2024-01-01' AS DATE) AS effective_ts")
+    with _pytest.raises(ValueError, match="metadata columns"):
+        scd2_merge(bad, target, ["id"])
+    dup = _scd2_snapshot(spark, [
+        (1, "a", 1, "2024-01-01"), (1, "b", 2, "2024-01-01"),
+    ])
+    with _pytest.raises(ValueError, match="duplicate key"):
+        scd2_merge(dup, target, ["id"])
+
+
+def test_scd2_stage_through_pipeline(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.table import scd2_merge
+
+    target = str(tmp_path / "dim3")
+    scd2_merge(
+        _scd2_snapshot(spark, [(1, "a", 10, "2024-01-01")]),
+        target, ["id"],
+    )
+    spark.createDataFrame(
+        [(1, "A", 11, "2024-03-01")],
+        "id bigint, val string, qty bigint, eff string",
+    ).selectExpr(
+        "id", "val", "qty", "CAST(eff AS DATE) AS effective_ts"
+    ).createOrReplaceTempView("scd2_batch")
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM scd2_batch"},
+        {"stage": "scd2", "path": target, "keys": ["id"]},
+        {"stage": "filter", "predicate": "is_current"},
+    ]).run(spark)
+    row = out.collect()[0]
+    assert (row["val"], row["qty"], str(row["valid_from"])) == (
+        "A", 11, "2024-03-01")
