@@ -170,6 +170,10 @@ HEADLINE = [
     "q_srp_ann",
     "q_token_budget",
     "q_simhash_pairs",
+    # round 10 late additions: table-maintenance family (MERGE/SCD2) and
+    # the real video container+codec chain
+    "q_merge_upsert",
+    "q_video_frames",
 ]
 
 

@@ -98,8 +98,19 @@ def merge_upsert(
     for k in keys:
         if k not in source.columns:
             raise ValueError(f"source is missing key column {k!r}")
-    n_src = source.count()
-    n_src_keys = source.select(*keys).distinct().count()
+    # one aggregate-only job for the batch stats (count + distinct keys
+    # + deletes together — never three passes over the batch)
+    src_stats = source.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("n_keys"),
+        (
+            F.sum(
+                F.coalesce(F.col(delete_col), F.lit(False)).cast("long")
+            ) if delete_col is not None else F.lit(0)
+        ).alias("n_del"),
+    ).collect()[0]
+    n_src, n_src_keys = int(src_stats["n"]), int(src_stats["n_keys"])
+    n_del_total = int(src_stats["n_del"] or 0)
     if n_src_keys != n_src:
         raise ValueError(
             f"source has {n_src - n_src_keys} duplicate key rows — a "
@@ -141,16 +152,32 @@ def merge_upsert(
             "schema"
         )
     src_keys = source.select(*keys)
-    n_before = target.count()
-    n_matched = target.join(src_keys, keys, "left_semi").count()
-    n_deleted = (
-        target.join(deletes.select(*keys), keys, "left_semi").count()
-        if deletes is not None else 0
+    # one snapshot pass for n_before / n_matched / n_deleted together:
+    # a left join against the (small, AQE-broadcast) batch keys + one
+    # aggregate — never three separate snapshot scans
+    probe = source.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        (
+            F.coalesce(F.col(delete_col), F.lit(False))
+            if delete_col is not None else F.lit(False)
+        ).alias("__del"),
     )
+    tgt_stats = target.join(
+        probe,
+        [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys],
+        "left",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("__del").isNotNull().cast("long")).alias("n_m"),
+        F.sum(F.coalesce(F.col("__del"), F.lit(False)).cast("long")).alias(
+            "n_d"
+        ),
+    ).collect()[0]
+    n_before = int(tgt_stats["n"])
+    n_matched = int(tgt_stats["n_m"] or 0)
+    n_deleted = int(tgt_stats["n_d"] or 0)
     n_updated = n_matched - n_deleted
-    n_inserted = n_src - n_matched - (
-        (deletes.count() - n_deleted) if deletes is not None else 0
-    )
+    n_inserted = n_src - n_matched - (n_del_total - n_deleted)
     survivors = target.join(src_keys, keys, "left_anti")
     merged = survivors.unionByName(
         upserts.select(*target.columns), allowMissingColumns=False
@@ -230,8 +257,12 @@ def scd2_merge(
             f"source must not carry the SCD2 metadata columns "
             f"{sorted(meta & set(source.columns))} — the merge owns them"
         )
-    n_src = source.count()
-    if source.select(*keys).distinct().count() != n_src:
+    batch_stats = source.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("n_keys"),
+    ).collect()[0]
+    n_src = int(batch_stats["n"])
+    if int(batch_stats["n_keys"]) != n_src:
         raise ValueError(
             "source has duplicate key rows — one key would version "
             "more than once in a single batch; split the batch by "
@@ -302,13 +333,25 @@ def scd2_merge(
     )
     closing = matched & (changed | F.col("__del"))
 
-    n_closed = joined.filter(closing).count()
-    n_deleted = joined.filter(matched & F.col("__del")).count()
-    n_unchanged = joined.filter(
-        matched & ~changed & ~F.col("__del")
-    ).count()
-    n_current = current.count()
-    n_history = history.count()
+    # two aggregate-only jobs for ALL the stats: one over the snapshot
+    # (total + current together), one over the probe join (closed /
+    # deleted / unchanged together) — never five separate scans
+    tgt_stats = target.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_current").cast("long")).alias("n_cur"),
+    ).collect()[0]
+    n_current = int(tgt_stats["n_cur"] or 0)
+    n_history = int(tgt_stats["n"]) - n_current
+    j_stats = joined.agg(
+        F.sum(closing.cast("long")).alias("n_closed"),
+        F.sum((matched & F.col("__del")).cast("long")).alias("n_del"),
+        F.sum(
+            (matched & ~changed & ~F.col("__del")).cast("long")
+        ).alias("n_same"),
+    ).collect()[0]
+    n_closed = int(j_stats["n_closed"] or 0)
+    n_deleted = int(j_stats["n_del"] or 0)
+    n_unchanged = int(j_stats["n_same"] or 0)
 
     kept_current = joined.filter(
         F.col("__ts").isNull() | (matched & ~changed & ~F.col("__del"))
