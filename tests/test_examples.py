@@ -341,3 +341,40 @@ def test_verified_export_example(spark, tmp_path):
                                  id_col="doc_id",
                                  text_col="text").collect()}
     assert "mismatch" in st or "missing" in st
+
+
+def test_cdc_snapshot_maintenance_example(spark, tmp_path):
+    """r10: one CDC batch maintains BOTH a flat current-state snapshot
+    (merge) and a versioned SCD2 dimension, end-to-end from YAML."""
+    snapshot = str(tmp_path / "snap")
+    dimension = str(tmp_path / "dim")
+    events = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id bigint, val string, qty bigint",
+    ).write.parquet(snapshot)
+    spark.createDataFrame(
+        [(2, "B2", 21, "2024-02-01", False),
+         (3, "c", 30, "2024-02-01", False),
+         (4, "d", 40, "2024-02-01", False),
+         (1, "a", 10, "2024-02-01", True)],
+        "id bigint, val string, qty bigint, eff string, gone boolean",
+    ).selectExpr("id", "val", "qty",
+                 "CAST(eff AS DATE) AS effective_ts",
+                 "gone AS is_deleted").write.parquet(events)
+
+    with open(os.path.join(
+            EXAMPLES, "cdc_snapshot_maintenance.yaml")) as fh:
+        audit = Pipeline.from_yaml(fh.read()).run(
+            spark, variables={"events": events, "snapshot": snapshot,
+                              "dimension": dimension},
+        )
+    assert audit.collect()[0]["n_rows"] == 3  # 2', 3, 4 (1 deleted)
+    snap = {r["id"]: r["val"]
+            for r in spark.read.parquet(snapshot).collect()}
+    assert snap == {2: "B2", 3: "c", 4: "d"}
+    dim = spark.read.parquet(dimension)
+    # day-zero bootstrap from the batch: non-delete rows became current
+    assert dim.filter("is_current").count() == 3
+    assert {r["id"] for r in dim.filter("is_current").collect()} == \
+        {2, 3, 4}
