@@ -196,3 +196,90 @@ def test_scd2_stage_through_pipeline(spark, tmp_path):
     row = out.collect()[0]
     assert (row["val"], row["qty"], str(row["valid_from"])) == (
         "A", 11, "2024-03-01")
+
+
+def test_merge_upsert_randomized_soak_vs_model(spark, tmp_path):
+    """Five randomized CDC batches (fixed seed) applied to one snapshot;
+    after every batch the parquet table equals a plain dict-based
+    reference model of MERGE semantics, and the reported stats add up."""
+    import random
+
+    rng = random.Random(20240815)
+    target = str(tmp_path / "soak")
+    model = {}
+    first = True
+    for step in range(5):
+        ids = rng.sample(range(1, 30), rng.randint(3, 8))
+        rows = [
+            (i, f"v{step}_{i}", rng.randint(0, 99),
+             rng.random() < 0.25)  # ~25% deletes
+            for i in ids
+        ]
+        batch = spark.createDataFrame(
+            rows, "id bigint, val string, qty bigint, gone boolean"
+        )
+        stats = merge_upsert(batch, target, ["id"], delete_col="gone")
+        for i, v, q, gone in rows:
+            if gone:
+                model.pop(i, None)
+            else:
+                model[i] = (v, q)
+        got = {
+            r["id"]: (r["val"], r["qty"])
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got == model, f"step {step}"
+        assert stats["n_after"] == len(model)
+        if first:
+            assert stats["n_before"] == 0
+            first = False
+        # conservation: after = before - deleted + inserted
+        assert stats["n_after"] == (
+            stats["n_before"] - stats["n_deleted"] + stats["n_inserted"]
+        )
+
+
+def test_scd2_randomized_soak_vs_model(spark, tmp_path):
+    """Three randomized daily batches into an SCD2 dimension; the
+    current view equals the flat reference model and closed versions
+    only ever grow."""
+    import random
+
+    from config_driven_pyspark_spark.operators.table import scd2_merge
+
+    rng = random.Random(99)
+    target = str(tmp_path / "dim_soak")
+    model = {}
+    n_hist = 0
+    for day in range(1, 4):
+        ids = rng.sample(range(1, 15), rng.randint(3, 6))
+        rows = []
+        for i in ids:
+            if i in model and rng.random() < 0.3:
+                val, qty = model[i]  # re-deliver identical -> no-op
+            else:
+                val, qty = f"d{day}_{i}", rng.randint(0, 9)
+            rows.append((i, val, qty, f"2024-01-{day:02d}",
+                         rng.random() < 0.2))
+        batch = spark.createDataFrame(
+            rows, "id bigint, val string, qty bigint, eff string, "
+                  "gone boolean",
+        ).selectExpr("id", "val", "qty",
+                     "CAST(eff AS DATE) AS effective_ts", "gone")
+        stats = scd2_merge(batch, target, ["id"], delete_col="gone")
+        for i, v, q, _e, gone in rows:
+            if gone:
+                if i in model:
+                    model.pop(i)
+            else:
+                model[i] = (v, q)
+        snap = spark.read.parquet(target).collect()
+        cur = {r["id"]: (r["val"], r["qty"]) for r in snap
+               if r["is_current"]}
+        assert cur == model, f"day {day}"
+        closed = sum(1 for r in snap if not r["is_current"])
+        assert closed >= n_hist  # history is append-only
+        n_hist = closed
+        assert all(r["valid_to"] is not None for r in snap
+                   if not r["is_current"])
+        assert stats["n_after"] == len(snap)
