@@ -221,9 +221,16 @@ def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake")
 
 def sample_frames(df: DataFrame, every_n: int = 10, decoder: str = "fake") -> DataFrame:
     """Stubbed video frame sampling: one output row per sampled frame index
-    (n_frames metadata drives fan-out); real ffmpeg decode wires in here."""
+    (n_frames metadata drives fan-out). For REAL frame sampling over
+    MJPEG-in-AVI payloads use :func:`sample_frame_stats` (r10 — container
+    walk + genuine JPEG decode); real-world codecs (H.264/VP9) wire in
+    here behind decoder="real"."""
     if decoder == "real":
-        raise NotImplementedError("real frame sampling requires ffmpeg bindings")
+        raise NotImplementedError(
+            "real frame sampling for compressed video codecs requires "
+            "ffmpeg bindings; MJPEG-in-AVI decodes dependency-free via "
+            "sample_frame_stats / multimodal op 'frame_stats'"
+        )
     exploded = df.select(
         "media_id",
         "content",
