@@ -2297,6 +2297,46 @@ def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate (operators/table.py::
+    incremental_agg, r10): a persisted per-(priority, status) order
+    report is maintained by FOLDING daily batches' monoid partials
+    (count / sum / min / max) into the stored table — at 100 TB of
+    history a refresh costs one batch scan + one snapshot merge, never a
+    re-aggregation. Two disjoint batches (o_orderkey % 3 = 0, then
+    % 3 <> 0) fold sequentially from a fresh store each run; the oracle
+    is the DIRECT aggregation over their union — the fold must be
+    indistinguishable from recomputation, which is exactly the monoid
+    law the operator depends on."""
+    import os
+    import shutil
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import incremental_agg
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_mv_orders_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    aggs = {
+        "n_orders": "count(*)",
+        "sum_keys": "sum(o_orderkey)",
+        "min_key": "min(o_orderkey)",
+        "max_key": "max(o_orderkey)",
+    }
+    keys = ["o_orderpriority", "o_orderstatus"]
+    incremental_agg(
+        orders.filter(F.col("o_orderkey") % 3 == 0), target, keys, aggs
+    )
+    return incremental_agg(
+        orders.filter(F.col("o_orderkey") % 3 != 0), target, keys, aggs
+    )
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC reader/writer driver coverage (r10 — the remaining Spark-core
     columnar format after parquet, previously pytest-only): supplier is
@@ -4999,6 +5039,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orc_roundtrip": q_orc_roundtrip,  # ORC sink/source, r10
         "q_merge_upsert": q_merge_upsert,  # CDC MERGE over parquet, r10
         "q_scd2_orders": q_scd2_orders,  # type-2 SCD versioned merge, r10
+        "q_incremental_agg_orders": q_incremental_agg_orders,  # monoid MV fold, r10
         "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
         "q_pq_ann": q_pq_ann,  # product-quantization ADC, r6
         "q_ivfpq_ann": q_ivfpq_ann,  # IVF x PQ composition, r6
@@ -7215,6 +7256,16 @@ def oracle_sql() -> dict[str, str]:
         # same synth formula + dims by construction; a green hash for the
         # PNG row pins filtering/defiltering/inflate/CRC, not the formula
         "q_png_decode": _RASTER_DECODE_ORACLE_SQL,
+        # the fold must equal direct aggregation over the batches' union
+        "q_incremental_agg_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   min(o_orderkey) AS min_key,
+                   max(o_orderkey) AS max_key
+            FROM orders
+            GROUP BY o_orderpriority, o_orderstatus
+        """,
         # SCD2 replay: kept-current / closed / new-version set algebra
         "q_scd2_orders": """
             WITH t0 AS (

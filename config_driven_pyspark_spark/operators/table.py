@@ -397,3 +397,123 @@ def stage_scd2(df: DataFrame, spec: dict) -> DataFrame:
         spec.get("delete_col"), spec.get("partition_by"),
     )
     return df.sparkSession.read.parquet(spec["path"])
+
+
+_MONOID_COMBINE = {
+    "sum": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    "count": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    "min": lambda a, b: F.least(a, b),
+    "max": lambda a, b: F.greatest(a, b),
+}
+
+
+def incremental_agg(
+    batch: DataFrame,
+    target_path: str,
+    keys: list[str],
+    aggs: dict[str, str],
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Incremental materialized aggregate — maintain a persisted groupBy
+    result by FOLDING each new batch's partial aggregates into the
+    stored table, never rescanning history (the classic materialized-
+    view maintenance move: at 100 TB of history a refresh costs one
+    batch scan + one snapshot-sized merge, not a re-aggregation).
+
+    ``aggs`` maps output column -> ``"fn(expr)"`` where fn is a MONOID
+    whose partials combine losslessly: ``sum``, ``count`` (combines by
+    +), ``min`` (least), ``max`` (greatest). Non-monoid aggregates
+    (avg, distinct counts, percentiles) are rejected with the fix
+    spelled out — store sum+count and derive avg at read time. Batches
+    must be DISJOINT slices of the fact stream (at-most-once delivery;
+    re-folding the same batch double-counts — the same single-writer
+    contract as :func:`merge_upsert`).
+
+    Returns the post-fold aggregate snapshot. Same row-count-verified
+    atomic-swap write as the other table maintainers."""
+    import re as _re
+
+    from config_driven_pyspark_spark.operators.similarity import _fs_exists
+
+    if not keys or not aggs:
+        raise ValueError("incremental_agg needs keys and aggs")
+    combiners = {}
+    exprs = []
+    for out, spec in aggs.items():
+        m = _re.match(r"\s*([a-zA-Z_]+)\s*\((.*)\)\s*$", spec)
+        fn = m.group(1).lower() if m else None
+        if fn not in _MONOID_COMBINE:
+            raise ValueError(
+                f"incremental_agg only folds monoid aggregates "
+                f"{sorted(_MONOID_COMBINE)}; {out!r} uses {spec!r} — for "
+                "avg store sum+count and divide at read time; distinct "
+                "counts and percentiles need sketches (approx_sketches)"
+            )
+        combiners[out] = _MONOID_COMBINE[fn]
+        exprs.append(F.expr(spec).alias(out))
+    partial = batch.groupBy(*[F.col(k) for k in keys]).agg(*exprs)
+
+    spark = batch.sparkSession
+    jvm, fs = _fs(spark, target_path)
+    for stale in (f"{target_path.rstrip('/')}__staging",
+                  f"{target_path.rstrip('/')}__premerge"):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
+    if not _fs_exists(spark, target_path):
+        writer = partial.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target_path)
+        return spark.read.parquet(target_path)
+
+    stored = spark.read.parquet(target_path)
+    missing = [c for c in (*keys, *aggs) if c not in stored.columns]
+    if missing:
+        raise ValueError(
+            f"stored aggregate at {target_path!r} is missing columns "
+            f"{missing} — not a snapshot produced by this aggs spec"
+        )
+    p = partial.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__p_{c}") for c in aggs],
+    )
+    folded = stored.join(
+        p, [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys],
+        "full_outer",
+    ).select(
+        *[F.coalesce(F.col(k), F.col(f"__k_{k}")).alias(k) for k in keys],
+        *[
+            F.when(
+                F.col(f"__p_{c}").isNull(), F.col(c)
+            ).when(
+                F.col(c).isNull(), F.col(f"__p_{c}")
+            ).otherwise(
+                combiners[c](F.col(c), F.col(f"__p_{c}"))
+            ).alias(c)
+            for c in aggs
+        ],
+    )
+    # expected rows = stored keys + batch-partial keys new to the store:
+    # one aggregate over the probe join (no extra scans)
+    counts = stored.join(
+        p, [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys],
+        "full_outer",
+    ).agg(
+        F.count("*").alias("n"),
+    ).collect()[0]
+    expected = int(counts["n"])
+    _stage_verify_swap(
+        folded, target_path, expected, partition_by,
+        "(stored keys + first-seen batch keys)",
+    )
+    return spark.read.parquet(target_path)
+
+
+def stage_incremental_agg(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "incremental_agg", "path": ..., "keys": [...],
+    "aggs": {out: "sum(expr)" | "count(*)" | "min(expr)" | "max(expr)"},
+    "partition_by": [...]?}`` — ``df`` is the new fact batch; returns
+    the post-fold aggregate snapshot."""
+    return incremental_agg(
+        df, spec["path"], list(spec["keys"]), dict(spec["aggs"]),
+        spec.get("partition_by"),
+    )

@@ -250,6 +250,7 @@ class Pipeline:
             "multimodal", "corpus",
             "observe",
             "udf", "grouped_map", "flat_map", "sink", "merge", "scd2",
+            "incremental_agg",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -427,6 +428,12 @@ class Pipeline:
             from config_driven_pyspark_spark.operators.table import stage_scd2
 
             return stage_scd2(df, spec)
+        if kind == "incremental_agg":
+            from config_driven_pyspark_spark.operators.table import (
+                stage_incremental_agg,
+            )
+
+            return stage_incremental_agg(df, spec)
         raise ValueError(f"Unknown stage kind {kind!r}")
 
     def _batch_stages_fn(self, spec: dict):

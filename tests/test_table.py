@@ -283,3 +283,56 @@ def test_scd2_randomized_soak_vs_model(spark, tmp_path):
         assert all(r["valid_to"] is not None for r in snap
                    if not r["is_current"])
         assert stats["n_after"] == len(snap)
+
+
+def test_incremental_agg_folds_batches(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.table import incremental_agg
+
+    target = str(tmp_path / "mv")
+    aggs = {"n": "count(*)", "total": "sum(qty)", "lo": "min(qty)",
+            "hi": "max(qty)"}
+    b1 = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "grp string, qty bigint"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 1), ("c", 7)], "grp string, qty bigint"
+    )
+    incremental_agg(b1, target, ["grp"], aggs)
+    out = incremental_agg(b2, target, ["grp"], aggs)
+    got = {r["grp"]: (r["n"], r["total"], r["lo"], r["hi"])
+           for r in out.collect()}
+    # folded result == one aggregation over the union
+    assert got == {"a": (3, 31, 1, 20), "b": (1, 5, 5, 5),
+                   "c": (1, 7, 7, 7)}
+
+
+def test_incremental_agg_rejects_non_monoid(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.table import incremental_agg
+
+    b = spark.createDataFrame([("a", 1)], "grp string, qty bigint")
+    with pytest.raises(ValueError, match="monoid"):
+        incremental_agg(b, str(tmp_path / "x"), ["grp"],
+                        {"m": "avg(qty)"})
+
+
+def test_incremental_agg_stage_and_soak_vs_full_recompute(spark, tmp_path):
+    import random
+
+    from config_driven_pyspark_spark.operators.table import incremental_agg
+
+    rng = random.Random(7)
+    target = str(tmp_path / "mv2")
+    aggs = {"n": "count(*)", "total": "sum(v)", "hi": "max(v)"}
+    seen = []
+    for _ in range(4):
+        rows = [(rng.choice("xyz"), rng.randint(-50, 50))
+                for _ in range(rng.randint(2, 9))]
+        seen += rows
+        batch = spark.createDataFrame(rows, "grp string, v bigint")
+        out = incremental_agg(batch, target, ["grp"], aggs)
+    import collections
+    model = collections.defaultdict(list)
+    for g, v in seen:
+        model[g].append(v)
+    got = {r["grp"]: (r["n"], r["total"], r["hi"]) for r in out.collect()}
+    assert got == {g: (len(vs), sum(vs), max(vs)) for g, vs in model.items()}
