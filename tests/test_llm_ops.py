@@ -2800,3 +2800,53 @@ def test_avi_frame_sampling_real_pixels(spark):
             round(yd + 1.402 * (crd - 128), 9) + 0.5)))
         assert row["sum_r"] == 256 * want_r, (mid, f)
         assert (row["width"], row["height"]) == (16, 16)
+
+
+def test_jpeg_grayscale_single_component_decodes():
+    """The decoder's generic MCU walker handles 1-component (grayscale)
+    baseline streams: a hand-assembled flat-gray 8x8 JPEG (SOI/DQT/SOF0
+    with one 1x1 component/DHT/SOS + one DC-only block) decodes to a
+    uniform gray replicated across RGB."""
+    import math
+    import struct
+
+    import numpy as np
+
+    ql, _ = M._jpeg_quant(90)
+    zz = M._jpeg_zigzag()
+    ql_zz = [ql[zr * 8 + zc] for zr, zc in zz]
+    huff_dc = M._huff_codes(*M._JPEG_HUFF[("dc", 0)])
+    huff_ac = M._huff_codes(*M._JPEG_HUFF[("ac", 0)])
+
+    gray = 180
+    dc = math.floor(round(8.0 * (gray - 128.0) / ql[0], 9) + 0.5)
+    bw = M._BitWriter()
+    size, bits = M._mag_bits(dc)
+    code, ln = huff_dc[size]
+    bw.put(code, ln)
+    if size:
+        bw.put(bits, size)
+    code, ln = huff_ac[0x00]  # EOB
+    bw.put(code, ln)
+    scan = bw.flush()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    blob = bytearray(b"\xff\xd8")
+    blob += seg(0xFFDB, bytes([0x00]) + bytes(ql_zz))
+    blob += seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    for (cls, tid), (bits_t, vals) in M._JPEG_HUFF.items():
+        if tid == 0:
+            tc = 0 if cls == "dc" else 1
+            blob += seg(0xFFC4, bytes([(tc << 4) | 0]) + bytes(bits_t)
+                        + bytes(vals))
+    blob += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    blob += scan + b"\xff\xd9"
+
+    out = M.decode_jpeg(bytes(blob))
+    assert out.shape == (8, 8, 3)
+    want = min(255, max(0, math.floor(
+        round(dc * ql[0] / 8.0 + 128.0, 9) + 0.5)))
+    uniq = np.unique(out.reshape(-1, 3), axis=0)
+    assert len(uniq) == 1 and tuple(uniq[0]) == (want, want, want)
