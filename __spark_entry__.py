@@ -2093,6 +2093,25 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_stats(half)
 
 
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-ratio audio resampling (multimodal.py::resample_audio,
+    r10 — the general-ratio counterpart of q_audio_decode's integer
+    decimation): the 64-sample 8 kHz test tone is linearly interpolated
+    to 12 kHz (95 frames) through a real decode → interpolate →
+    re-encode roundtrip, then exact int64 stats. The interpolation is
+    offset-shifted round-half-up INTEGER math — output frame j anchors
+    at the rational position j·8000/12000 — so the oracle replays every
+    resampled sample bit-for-bit from the tone formula; any slip in the
+    anchor arithmetic, the rounding convention, or the re-encode moves
+    a sum."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    media = MM.synthesize_wav(ids, id_col="doc_id", n_samples=64,
+                              sample_rate=8000)
+    out = MM.resample_audio(media, to_rate=12000)
+    return MM.audio_stats(out)
+
+
 _BM25_QUERIES = [
     (0, "spark table join"),
     (1, "fast filter value"),
@@ -5126,6 +5145,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_decon": q_semantic_decon,
         "q_temperature_mixture": q_temperature_mixture,
         "q_audio_decode": q_audio_decode,
+        "q_audio_resample": q_audio_resample,  # exact linear-interp resample, r10
         "q_bpe_vocab": q_bpe_vocab,
         "q_unigram_vocab": q_unigram_vocab,  # SentencePiece-family, r9
         "q_unigram_encode": q_unigram_encode,  # Viterbi segmentation, r9
@@ -8864,6 +8884,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # closed-form replay of synthesize_wav's integer tone decimated
         # by 2: s(i) = ((id*31 + i*57) % 4096) - 2048 over even i < 64
+        # every 12 kHz frame replays the tone formula through the exact
+        # offset-shifted round-half-up integer interpolation
+        "q_audio_resample": """
+            WITH ids AS (
+              SELECT doc_id AS media_id FROM documents WHERE doc_id < 64
+            ),
+            pos AS (
+              SELECT j.j, (j.j * 8000) // 12000 AS x0,
+                     (j.j * 8000) % 12000 AS r
+              FROM unnest(range(0, 95)) AS j(j)
+            ),
+            samp AS (
+              SELECT media_id,
+                     ((((media_id * 31 + pos.x0 * 57) % 4096) - 2048
+                       + 32768) * (12000 - pos.r)
+                      + (((media_id * 31
+                           + least(pos.x0 + 1, 63) * 57) % 4096) - 2048
+                         + 32768) * pos.r
+                      + 6000) // 12000 - 32768 AS s
+              FROM ids, pos
+            )
+            SELECT media_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(12000 AS INT) AS sample_rate,
+                   CAST(sum(s) AS BIGINT) AS sum_samples,
+                   CAST(sum(s * s) AS BIGINT) AS sum_squares,
+                   CAST(max(abs(s)) AS INT) AS peak_abs
+            FROM samp GROUP BY media_id
+        """,
         "q_audio_decode": """
             WITH ids AS (
               SELECT doc_id AS media_id FROM documents WHERE doc_id < 64

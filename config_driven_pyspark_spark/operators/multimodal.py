@@ -1540,6 +1540,65 @@ def downsample_audio(
     return df.mapInPandas(compute, schema=df.schema)
 
 
+
+def resample_audio(
+    df: DataFrame, to_rate: int, content_col: str = "content"
+) -> DataFrame:
+    """Linear-interpolation resampling to an arbitrary rate through a
+    real decode → interpolate → re-encode roundtrip — the general-ratio
+    counterpart of :func:`downsample_audio`'s integer decimation.
+
+    The interpolation is EXACT integer math (the external-oracle
+    contract all multimodal ops keep): output frame j sits at source
+    position j·from/to expressed as the rational (x0 = j·from // to,
+    r = j·from mod to), and
+
+        y = ((s0+32768)·(to−r) + (s1+32768)·r + to//2) // to − 32768
+
+    — the offset shift keeps every intermediate non-negative so floor
+    and truncating division agree across engines, weights sum to ``to``
+    so the offset cancels exactly, and +to//2 makes it round-half-up.
+    n_out = (n_in−1)·to//from + 1 (the last input frame is the last
+    anchor). Anti-alias filtering is a float DSP concern out of scope
+    for the exact-math path (same note as downsample_audio)."""
+    if to_rate <= 0:
+        raise ValueError("to_rate must be positive")
+
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for payload in pdf[content_col]:
+                arr, rate = decode_wav(payload)
+                n_in = arr.shape[0]
+                if n_in == 0:
+                    content.append(encode_wav(arr, to_rate))
+                    continue
+                n_out = (n_in - 1) * to_rate // rate + 1
+                j = np.arange(n_out, dtype="int64")
+                pos = j * rate
+                x0 = pos // to_rate
+                r = pos % to_rate
+                x1 = np.minimum(x0 + 1, n_in - 1)
+                s0 = arr[x0].astype("int64") + 32768
+                s1 = arr[x1].astype("int64") + 32768
+                y = (
+                    s0 * (to_rate - r)[:, None] + s1 * r[:, None]
+                    + to_rate // 2
+                ) // to_rate - 32768
+                content.append(
+                    encode_wav(y.astype("<i2"), to_rate)
+                )
+            out = pdf.copy()
+            out["content"] = content
+            out["meta"] = [
+                {**(m or {}), "sample_rate": to_rate} for m in pdf["meta"]
+            ]
+            yield out
+
+    return df.mapInPandas(compute, schema=MEDIA_SCHEMA)
+
 def audio_stats(
     df: DataFrame, content_col: str = "content", id_col: str = "media_id"
 ) -> DataFrame:
@@ -1623,6 +1682,10 @@ def stage_multimodal(df: DataFrame, spec: dict) -> DataFrame:
     if op == "downsample_audio":
         return downsample_audio(
             df, int(spec["factor"]), spec.get("content_col", "content")
+        )
+    if op == "resample_audio":
+        return resample_audio(
+            df, int(spec["to_rate"]), spec.get("content_col", "content")
         )
     if op == "audio_stats":
         return audio_stats(

@@ -2850,3 +2850,112 @@ def test_jpeg_grayscale_single_component_decodes():
         round(dc * ql[0] / 8.0 + 128.0, 9) + 0.5)))
     uniq = np.unique(out.reshape(-1, 3), axis=0)
     assert len(uniq) == 1 and tuple(uniq[0]) == (want, want, want)
+
+
+def test_jpeg_422_sampling_decodes():
+    """4:2:2 chroma (luma 2x1, chroma 1x1 — MCU 16x8) through the same
+    generic walker: a hand-assembled flat-color stream upsamples chroma
+    horizontally only and decodes to the uniform closed-form color."""
+    import math
+    import struct
+
+    import numpy as np
+
+    ql, qc = M._jpeg_quant(90)
+    zz = M._jpeg_zigzag()
+    huff = {k: M._huff_codes(*v) for k, v in M._JPEG_HUFF.items()}
+
+    r, g, b = 200.0, 60.0, 120.0
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    bw = M._BitWriter()
+
+    def put_dc_only(value, q, dc_t, ac_t, pred):
+        dc = math.floor(round(8.0 * (value - 128.0) / q, 9) + 0.5)
+        size, bits = M._mag_bits(dc - pred)
+        code, ln = huff[dc_t][size]
+        bw.put(code, ln)
+        if size:
+            bw.put(bits, size)
+        code, ln = huff[ac_t][0x00]
+        bw.put(code, ln)
+        return dc
+
+    # one 16x8 MCU: two luma blocks (DC diff chaining), one Cb, one Cr
+    p = put_dc_only(y, ql[0], ("dc", 0), ("ac", 0), 0)
+    put_dc_only(y, ql[0], ("dc", 0), ("ac", 0), p)
+    put_dc_only(cb, qc[0], ("dc", 1), ("ac", 1), 0)
+    put_dc_only(cr, qc[0], ("dc", 1), ("ac", 1), 0)
+    scan = bw.flush()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    ql_zz = [ql[zr * 8 + zc] for zr, zc in zz]
+    qc_zz = [qc[zr * 8 + zc] for zr, zc in zz]
+    blob = bytearray(b"\xff\xd8")
+    blob += seg(0xFFDB, bytes([0x00]) + bytes(ql_zz))
+    blob += seg(0xFFDB, bytes([0x01]) + bytes(qc_zz))
+    blob += seg(0xFFC0, struct.pack(">BHHB", 8, 8, 16, 3)
+                + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    for (cls, tid), (bits_t, vals) in M._JPEG_HUFF.items():
+        tc = 0 if cls == "dc" else 1
+        blob += seg(0xFFC4, bytes([(tc << 4) | tid]) + bytes(bits_t)
+                    + bytes(vals))
+    blob += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    blob += scan + b"\xff\xd9"
+
+    out = M.decode_jpeg(bytes(blob))
+    assert out.shape == (8, 16, 3)
+
+    def rt(v, q):
+        dc = math.floor(round(8.0 * (v - 128.0) / q, 9) + 0.5)
+        return min(255.0, max(0.0, math.floor(
+            round(dc * q / 8.0 + 128.0, 9) + 0.5)))
+
+    yd, cbd, crd = rt(y, ql[0]), rt(cb, qc[0]), rt(cr, qc[0])
+    want = (
+        min(255, max(0, math.floor(round(yd + 1.402 * (crd - 128), 9)
+                                   + 0.5))),
+        min(255, max(0, math.floor(round(
+            yd - 0.344136 * (cbd - 128) - 0.714136 * (crd - 128), 9)
+            + 0.5))),
+        min(255, max(0, math.floor(round(yd + 1.772 * (cbd - 128), 9)
+                                   + 0.5))),
+    )
+    uniq = np.unique(out.reshape(-1, 3), axis=0)
+    assert len(uniq) == 1 and tuple(uniq[0]) == want
+
+
+def test_resample_audio_exact_and_identity(spark):
+    """resample_audio: same-rate resampling is the identity (anchors
+    land exactly on input frames, r = 0 everywhere); upsampling matches
+    the offset-shifted integer closed form; the re-encoded rate rides
+    both the WAV header and the meta column."""
+    import numpy as np
+
+    ids = spark.range(3).select(F.col("id").alias("media_id"))
+    media = M.synthesize_wav(ids, n_samples=64, sample_rate=8000)
+    same = M.resample_audio(media, to_rate=8000).collect()
+    for row in same:
+        arr, rate = M.decode_wav(bytes(row["content"]))
+        i = np.arange(64, dtype="int64")
+        want = ((row["media_id"] * 31 + i * 57) % 4096) - 2048
+        assert rate == 8000 and np.array_equal(arr[:, 0], want)
+        assert row["meta"]["sample_rate"] == 8000
+    up = {r["media_id"]: r for r in
+          M.resample_audio(media, to_rate=12000).collect()}
+    for mid, row in up.items():
+        arr, rate = M.decode_wav(bytes(row["content"]))
+        assert rate == 12000 and arr.shape[0] == 95
+        i = np.arange(64, dtype="int64")
+        s = (((mid * 31 + i * 57) % 4096) - 2048).astype("int64")
+        j = np.arange(95, dtype="int64")
+        pos = j * 8000
+        x0, r = pos // 12000, pos % 12000
+        x1 = np.minimum(x0 + 1, 63)
+        want = ((s[x0] + 32768) * (12000 - r)
+                + (s[x1] + 32768) * r + 6000) // 12000 - 32768
+        assert np.array_equal(arr[:, 0].astype("int64"), want), mid
