@@ -336,3 +336,19 @@ def test_incremental_agg_stage_and_soak_vs_full_recompute(spark, tmp_path):
         model[g].append(v)
     got = {r["grp"]: (r["n"], r["total"], r["hi"]) for r in out.collect()}
     assert got == {g: (len(vs), sum(vs), max(vs)) for g, vs in model.items()}
+
+
+def test_incremental_agg_null_group_key_folds(spark, tmp_path):
+    """NULL grouping keys fold into one group across batches (the
+    eqNullSafe join contract) instead of forking a new NULL row per
+    fold."""
+    from config_driven_pyspark_spark.operators.table import incremental_agg
+
+    target = str(tmp_path / "mv_null")
+    aggs = {"n": "count(*)", "total": "sum(v)"}
+    b1 = spark.createDataFrame([(None, 1), ("a", 2)], "grp string, v bigint")
+    b2 = spark.createDataFrame([(None, 10)], "grp string, v bigint")
+    incremental_agg(b1, target, ["grp"], aggs)
+    out = incremental_agg(b2, target, ["grp"], aggs)
+    got = {r["grp"]: (r["n"], r["total"]) for r in out.collect()}
+    assert got == {None: (2, 11), "a": (1, 2)}
