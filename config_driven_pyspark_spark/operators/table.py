@@ -11,8 +11,9 @@ the same crash-safe atomic-swap discipline as
 - rewrite goes to a sibling staging directory,
 - the staged snapshot is row-count-verified BEFORE the swap (a short
   write can never replace a good snapshot),
-- the swap is two FS renames with rollback on failure,
-- debris from a crashed earlier merge is cleared up front.
+- the swap is FS renames with rollback on failure,
+- debris from a crashed earlier merge is RECOVERED (never deleted while
+  it is the only surviving copy) before the new merge starts.
 
 Semantics = the common MERGE INTO subset: match on ``keys``; matched
 rows are replaced by the source row (update-all), unmatched source rows
@@ -25,11 +26,32 @@ Scale: one anti-join of the snapshot against the batch keys (CDC
 batches are small next to snapshots — AQE broadcasts the build side
 from runtime stats) + one union + one partitioned write. The snapshot
 never collects; stats actions (counts) are aggregate-only jobs.
+
+Write amplification: when ``partition_by`` is set, the rewrite is
+PARTITION-SCOPED — the batch's touched partition values are derived
+with one small distinct (plus, when a partition column is not part of
+the match keys, one read-only semi-join to find the partitions matched
+rows currently live in), only those partition directories are rewritten
+and swapped, and untouched partition files stay byte-identical. That is
+the same file-skipping discipline Delta/Iceberg/Hudi MERGE applies at
+file granularity, here at partition granularity. Without
+``partition_by`` the whole snapshot is rewritten per batch — fine for
+aggregate-sized tables, a scale-killer for fact snapshots; partition
+large tables.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# a batch touching this many partitions is effectively a full rewrite —
+# fall back rather than drive thousands of per-partition renames
+_MAX_SCOPED_PARTITIONS = 4096
+
+# characters Spark/Hive escape in partition directory names
+# (ExternalCatalogUtils.escapePathName: control chars, '"', '#', '%',
+# ''', '*', '/', ':', '=', '?', '\\', DEL, '{', '[', ']', '^')
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f')
 
 
 def _fs(spark: SparkSession, path: str):
@@ -38,40 +60,246 @@ def _fs(spark: SparkSession, path: str):
     return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _hive_escape(value: str) -> str:
+    return "".join(
+        "%{:02X}".format(ord(ch))
+        if ch in _HIVE_ESCAPE_CHARS or ord(ch) < 0x20
+        else ch
+        for ch in value
+    )
+
+
+def _partition_dir(partition_by: list[str], str_vals: dict) -> str:
+    """Relative partition directory path (``p1=a/p2=b``) for one touched
+    partition, using Hive's escaping so it matches what Spark writes."""
+    segs = []
+    for c in partition_by:
+        v = str_vals[c]
+        seg = (
+            "__HIVE_DEFAULT_PARTITION__"
+            if v is None or v == ""
+            else _hive_escape(v)
+        )
+        segs.append(f"{_hive_escape(c)}={seg}")
+    return "/".join(segs)
+
+
+def _touched_partitions(
+    parts_src: DataFrame, partition_by: list[str]
+) -> tuple[list[str], Column] | None:
+    """Distinct touched partition values from ``parts_src`` (a frame of
+    just the partition columns). Returns ``(relative_dirs, prune_pred)``
+    or None when the touched set exceeds ``_MAX_SCOPED_PARTITIONS`` (the
+    caller falls back to a full rewrite). One small distinct job; the
+    collect is bounded by the touched-partition count."""
+    rows = (
+        parts_src.select(
+            *[F.col(c) for c in partition_by],
+            *[
+                F.col(c).cast("string").alias(f"__s_{c}")
+                for c in partition_by
+            ],
+        )
+        .distinct()
+        .limit(_MAX_SCOPED_PARTITIONS + 1)
+        .collect()
+    )
+    if len(rows) > _MAX_SCOPED_PARTITIONS:
+        return None
+    dirs = []
+    preds = []
+    for r in rows:
+        d = r.asDict()
+        dirs.append(
+            _partition_dir(partition_by, {c: d[f"__s_{c}"] for c in partition_by})
+        )
+        conj = None
+        for c in partition_by:
+            term = (
+                F.col(c).isNull()
+                if d[c] is None
+                else F.col(c).eqNullSafe(F.lit(d[c]))
+            )
+            conj = term if conj is None else (conj & term)
+        preds.append(conj)
+    pred = preds[0]
+    for p in preds[1:]:
+        pred = pred | p
+    return dirs, pred
+
+
+def _list_partition_dirs(spark: SparkSession, base: str, depth: int) -> list[str]:
+    """Relative ``p=v[/q=w...]`` directories actually present under
+    ``base``, to ``depth`` partition levels."""
+    jvm, fs = _fs(spark, base)
+    Path = jvm.org.apache.hadoop.fs.Path
+    rels = [""]
+    for _ in range(depth):
+        nxt = []
+        for rel in rels:
+            p = Path(base if not rel else f"{base}/{rel}")
+            if not fs.exists(p):
+                continue
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if st.isDirectory() and "=" in name:
+                    nxt.append(name if not rel else f"{rel}/{name}")
+        rels = nxt
+    return rels
+
+
+def _recover_crashed_swap(spark: SparkSession, target_path: str) -> None:
+    """Heal debris from a merge that crashed mid-swap BEFORE treating it
+    as garbage — the backup may be the ONLY surviving copy of the
+    snapshot, so it is restored, never deleted blind:
+
+    - target missing + ``__premerge`` present → the crash hit between
+      the two renames of a full swap; the backup IS the snapshot —
+      rename it back.
+    - both present (a partition-scoped crash) → restore every backed-up
+      partition directory whose target counterpart is missing (moved
+      aside but not yet re-promoted); backed-up partitions whose target
+      counterpart exists were already promoted and the backup copy is
+      then genuine debris.
+    - ``__staging`` with a live target → an unverified or unpromoted
+      staged write; debris.
+    - ``__staging`` with NO target and no backup → an unrecognizable
+      state this code never produces; refuse to guess rather than
+      bootstrap a fresh snapshot over someone's data.
+
+    A partition-scoped crash mid-promote can leave a mix of pre- and
+    post-merge partitions after recovery; re-running the SAME merge
+    batch heals it (upsert/SCD2 application is idempotent per key)."""
+    jvm, fs = _fs(spark, target_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    base = target_path.rstrip("/")
+    staging_p = Path(f"{base}__staging")
+    backup_p = Path(f"{base}__premerge")
+    target_p = Path(base)
+    if fs.exists(backup_p):
+        if not fs.exists(target_p):
+            if not fs.rename(backup_p, target_p):
+                raise IOError(
+                    f"found crashed-merge backup {base}__premerge but could "
+                    f"not restore it to {target_path!r}"
+                )
+        else:
+            _restore_missing_children(
+                fs, jvm.org.apache.hadoop.fs.Path, backup_p, target_p
+            )
+            fs.delete(backup_p, True)
+    if fs.exists(staging_p):
+        if not fs.exists(target_p):
+            raise IOError(
+                f"{target_path!r} is missing but a staging directory "
+                f"{base}__staging exists — refusing to clear it or "
+                "bootstrap over it; restore the snapshot manually"
+            )
+        fs.delete(staging_p, True)
+
+
+def _restore_missing_children(fs, Path, src_dir, dst_dir) -> None:
+    """Recursively rename children of ``src_dir`` missing under
+    ``dst_dir`` back into place (existing destinations win — they are
+    post-merge data promoted before the crash)."""
+    for st in fs.listStatus(src_dir):
+        name = st.getPath().getName()
+        dst_child = Path(f"{dst_dir.toString()}/{name}")
+        if not fs.exists(dst_child):
+            fs.rename(st.getPath(), dst_child)
+        elif st.isDirectory():
+            _restore_missing_children(fs, Path, st.getPath(), dst_child)
+
+
 def _stage_verify_swap(
     df: DataFrame,
     target_path: str,
     expected_rows: int,
     partition_by: list[str] | None,
     breakdown: str,
+    touched_dirs: list[str] | None = None,
 ) -> int:
     """Write ``df`` to the sibling staging dir, verify the staged row
     count equals ``expected_rows`` (a short write can never replace a
-    good snapshot), then atomically swap staging into ``target_path``
-    via two FS renames with rollback. Returns the staged count. The
-    caller must have cleared staging/backup debris first."""
+    good snapshot), then atomically swap staging into ``target_path``.
+    Returns the staged count. The caller must have run
+    :func:`_recover_crashed_swap` first.
+
+    Full mode (``touched_dirs`` None): two whole-directory renames with
+    rollback. Partition-scoped mode: only the ``touched_dirs`` partition
+    directories are moved aside and replaced — untouched partition files
+    are never rewritten, renamed, or even listed. Before any rename, the
+    staged partition directories are checked to be a subset of
+    ``touched_dirs`` (a partition value whose escaped directory name we
+    mispredicted would otherwise be silently dropped — abort with the
+    snapshot untouched instead)."""
     spark = df.sparkSession
     jvm, fs = _fs(spark, target_path)
-    staging = f"{target_path.rstrip('/')}__staging"
-    backup = f"{target_path.rstrip('/')}__premerge"
+    Path = jvm.org.apache.hadoop.fs.Path
+    base = target_path.rstrip("/")
+    staging = f"{base}__staging"
+    backup = f"{base}__premerge"
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    n_after = spark.read.parquet(staging).count()
+    # explicit schema: a scoped merge that deletes a whole partition
+    # stages ZERO files, which plain inference cannot read
+    n_after = spark.read.schema(df.schema).parquet(staging).count()
     if n_after != expected_rows:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        fs.delete(Path(staging), True)
         raise ValueError(
             f"merge staged {n_after} rows but {expected_rows} were "
             f"expected {breakdown} — aborted, snapshot untouched"
         )
-    p_target = jvm.org.apache.hadoop.fs.Path(target_path)
-    if not fs.rename(p_target, jvm.org.apache.hadoop.fs.Path(backup)):
-        raise IOError(f"could not move aside {target_path}")
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), p_target):
-        fs.rename(jvm.org.apache.hadoop.fs.Path(backup), p_target)
-        raise IOError(f"could not swap merged snapshot into {target_path!r}")
-    fs.delete(jvm.org.apache.hadoop.fs.Path(backup), True)
+    if touched_dirs is None:
+        if not fs.rename(Path(base), Path(backup)):
+            raise IOError(f"could not move aside {target_path}")
+        if not fs.rename(Path(staging), Path(base)):
+            fs.rename(Path(backup), Path(base))
+            raise IOError(
+                f"could not swap merged snapshot into {target_path!r}"
+            )
+        fs.delete(Path(backup), True)
+        return n_after
+
+    staged_dirs = _list_partition_dirs(spark, staging, len(partition_by))
+    unexpected = sorted(set(staged_dirs) - set(touched_dirs))
+    if unexpected:
+        fs.delete(Path(staging), True)
+        raise ValueError(
+            f"staged partition directories {unexpected[:5]} were not in "
+            "the computed touched set (partition value not path-"
+            "predictable — e.g. fractional timestamps); aborted with the "
+            "snapshot untouched. Use a string/int/date partition column "
+            "or unset partition_by for a full rewrite"
+        )
+    moved: list[str] = []
+    promoted: list[str] = []
+    try:
+        for d in touched_dirs:
+            src = Path(f"{base}/{d}")
+            if fs.exists(src):
+                dst = Path(f"{backup}/{d}")
+                fs.mkdirs(dst.getParent())
+                if not fs.rename(src, dst):
+                    raise IOError(f"could not move aside partition {d!r}")
+                moved.append(d)
+        for d in staged_dirs:
+            src = Path(f"{staging}/{d}")
+            dst = Path(f"{base}/{d}")
+            fs.mkdirs(dst.getParent())
+            if not fs.rename(src, dst):
+                raise IOError(f"could not promote staged partition {d!r}")
+            promoted.append(d)
+    except Exception:
+        for d in reversed(promoted):
+            fs.rename(Path(f"{base}/{d}"), Path(f"{staging}/{d}"))
+        for d in reversed(moved):
+            fs.rename(Path(f"{backup}/{d}"), Path(f"{base}/{d}"))
+        raise
+    fs.delete(Path(backup), True)
+    fs.delete(Path(staging), True)
     return n_after
 
 
@@ -84,9 +312,12 @@ def merge_upsert(
 ) -> dict:
     """Apply ``source`` (a CDC batch) to the parquet snapshot at
     ``target_path`` and atomically swap in the merged snapshot.
-    Returns the merge stats dict
-    ``{n_before, n_matched, n_updated, n_inserted, n_deleted, n_after}``
-    (every CDC job reports these; each is one aggregate-only action).
+    Returns the merge stats dict ``{n_before, n_matched, n_updated,
+    n_inserted, n_deleted, n_after, rewrite}`` where ``rewrite`` is
+    ``"partition"`` when only the batch's touched partitions were
+    rewritten (``partition_by`` set; see module docstring) and
+    ``"full"`` otherwise. Every stats number is one aggregate-only
+    action.
 
     A missing target bootstraps from the batch's non-delete rows — the
     day-zero case."""
@@ -102,7 +333,11 @@ def merge_upsert(
     # + deletes together — never three passes over the batch)
     src_stats = source.agg(
         F.count("*").alias("n"),
-        F.count_distinct(*[F.col(k) for k in keys]).alias("n_keys"),
+        # struct wrapper: count_distinct skips NULL arguments, but a
+        # NULL key row is a legitimate (single) match group here
+        F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias(
+            "n_keys"
+        ),
         (
             F.sum(
                 F.coalesce(F.col(delete_col), F.lit(False)).cast("long")
@@ -118,21 +353,13 @@ def merge_upsert(
             "ambiguity); dedupe the batch first"
         )
     if delete_col is not None:
-        deletes = source.filter(
-            F.coalesce(F.col(delete_col), F.lit(False))
-        ).drop(delete_col)
         upserts = source.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))
         ).drop(delete_col)
     else:
-        deletes = None
         upserts = source
 
-    jvm, fs = _fs(spark, target_path)
-    staging = f"{target_path.rstrip('/')}__staging"
-    backup = f"{target_path.rstrip('/')}__premerge"
-    for stale in (staging, backup):  # debris from a crashed earlier merge
-        fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
+    _recover_crashed_swap(spark, target_path)
 
     if not _fs_exists(spark, target_path):
         n_ins = upserts.count()
@@ -141,7 +368,8 @@ def merge_upsert(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_path)
         return {"n_before": 0, "n_matched": 0, "n_updated": 0,
-                "n_inserted": n_ins, "n_deleted": 0, "n_after": n_ins}
+                "n_inserted": n_ins, "n_deleted": 0, "n_after": n_ins,
+                "rewrite": "full"}
 
     target = spark.read.parquet(target_path)
     missing = [c for c in target.columns if c not in upserts.columns]
@@ -151,10 +379,40 @@ def merge_upsert(
             "MERGE replaces whole rows, so the batch must carry the full "
             "schema"
         )
-    src_keys = source.select(*keys)
-    # one snapshot pass for n_before / n_matched / n_deleted together:
-    # a left join against the (small, AQE-broadcast) batch keys + one
-    # aggregate — never three separate snapshot scans
+    # batch keys under join-safe aliases; reused by the stats probe, the
+    # (null-safe) survivors anti-join, and touched-partition discovery
+    bkeys = source.select(*[F.col(k).alias(f"__k_{k}") for k in keys])
+    key_cond = [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys]
+
+    touched = None
+    if partition_by:
+        parts_src = source.select(*partition_by)
+        if not set(partition_by) <= set(keys):
+            # a matched row may live in a partition the batch's NEW
+            # values don't name (the partition value itself changed) —
+            # find those with one read-only semi-join; the 100 TB win is
+            # write amplification, not this pruned read
+            parts_src = parts_src.unionByName(
+                target.join(bkeys, key_cond, "left_semi").select(
+                    *partition_by
+                )
+            )
+        touched = _touched_partitions(parts_src, partition_by)
+    if touched is not None:
+        touched_dirs, prune = touched
+        tgt_scope = target.filter(prune)
+        # full-table row count is a zero-column scan (row-group counts);
+        # the expensive passes below all run on the pruned scope only
+        n_before = target.count()
+    else:
+        touched_dirs = None
+        tgt_scope = target
+        n_before = None
+
+    # one scoped-snapshot pass for count / n_matched / n_deleted
+    # together: a left join against the (small, AQE-broadcast) batch
+    # keys + one aggregate — never three separate snapshot scans. Every
+    # matched row is inside the scope by construction of the touched set.
     probe = source.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
         (
@@ -162,35 +420,39 @@ def merge_upsert(
             if delete_col is not None else F.lit(False)
         ).alias("__del"),
     )
-    tgt_stats = target.join(
-        probe,
-        [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys],
-        "left",
-    ).agg(
+    tgt_stats = tgt_scope.join(probe, key_cond, "left").agg(
         F.count("*").alias("n"),
         F.sum(F.col("__del").isNotNull().cast("long")).alias("n_m"),
         F.sum(F.coalesce(F.col("__del"), F.lit(False)).cast("long")).alias(
             "n_d"
         ),
     ).collect()[0]
-    n_before = int(tgt_stats["n"])
+    n_scope = int(tgt_stats["n"])
+    if n_before is None:
+        n_before = n_scope
     n_matched = int(tgt_stats["n_m"] or 0)
     n_deleted = int(tgt_stats["n_d"] or 0)
     n_updated = n_matched - n_deleted
     n_inserted = n_src - n_matched - (n_del_total - n_deleted)
-    survivors = target.join(src_keys, keys, "left_anti")
+    # null-safe anti-join: a NULL-key target row matched null-safely by
+    # the stats probe must also be REMOVED here, or the staged count
+    # disagrees with expected and the merge aborts
+    survivors = tgt_scope.join(bkeys, key_cond, "left_anti")
     merged = survivors.unionByName(
         upserts.select(*target.columns), allowMissingColumns=False
     )
-    expected = n_before - n_matched + n_updated + n_inserted
-    n_after = _stage_verify_swap(
+    expected = n_scope - n_matched + (n_src - n_del_total)
+    staged = _stage_verify_swap(
         merged, target_path, expected, partition_by,
-        f"({n_before} - {n_matched} matched + {n_updated} updates + "
-        f"{n_inserted} inserts)",
+        f"({n_scope} in scope - {n_matched} matched + "
+        f"{n_src - n_del_total} upserts)",
+        touched_dirs=touched_dirs,
     )
+    n_after = n_before - n_scope + staged
     return {"n_before": n_before, "n_matched": n_matched,
             "n_updated": n_updated, "n_inserted": n_inserted,
-            "n_deleted": n_deleted, "n_after": n_after}
+            "n_deleted": n_deleted, "n_after": n_after,
+            "rewrite": "full" if touched_dirs is None else "partition"}
 
 
 def stage_merge(df: DataFrame, spec: dict) -> DataFrame:
@@ -240,9 +502,13 @@ def scd2_merge(
     (never joined); the current partition joins the batch once
     (full-outer on keys — AQE broadcasts the CDC side from runtime
     stats); one partitioned rewrite with the row-count-verified atomic
-    swap. At very large history sizes, partition the snapshot by
-    ``is_current`` (pass ``partition_by=["is_current"]``) so readers of
-    the current view prune the history files entirely."""
+    swap. When ``partition_by`` names key/business columns (a stable
+    dimension attribute like region), the rewrite is PARTITION-SCOPED:
+    only partitions holding matched current rows or receiving new
+    versions are rewritten, and history files in untouched partitions
+    stay byte-identical. Partitioning by the SCD2 metadata columns
+    (``is_current``/``valid_to``) still works but forces a full rewrite
+    — every merge moves rows across those partitions by design."""
     from config_driven_pyspark_spark.operators.similarity import _fs_exists
 
     if not keys:
@@ -259,7 +525,9 @@ def scd2_merge(
         )
     batch_stats = source.agg(
         F.count("*").alias("n"),
-        F.count_distinct(*[F.col(k) for k in keys]).alias("n_keys"),
+        F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias(
+            "n_keys"
+        ),
     ).collect()[0]
     n_src = int(batch_stats["n"])
     if int(batch_stats["n_keys"]) != n_src:
@@ -277,10 +545,7 @@ def scd2_merge(
         upserts = source
     biz = [c for c in upserts.columns if c != ts_col and c not in keys]
 
-    jvm, fs = _fs(spark, target_path)
-    for stale in (f"{target_path.rstrip('/')}__staging",
-                  f"{target_path.rstrip('/')}__premerge"):
-        fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
+    _recover_crashed_swap(spark, target_path)
 
     def as_version(df: DataFrame) -> DataFrame:
         return df.select(
@@ -299,17 +564,22 @@ def scd2_merge(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_path)
         return {"n_closed": 0, "n_new_versions": n, "n_unchanged": 0,
-                "n_deleted": 0, "n_after": n}
+                "n_deleted": 0, "n_after": n, "rewrite": "full"}
 
     target = spark.read.parquet(target_path)
+    # a snapshot partitioned by is_current reads the flag back as a
+    # STRING partition value (Spark's partition-type inference has no
+    # boolean case) — normalize, the merge owns this column
+    if dict(target.dtypes).get("is_current") == "string":
+        target = target.withColumn(
+            "is_current", F.col("is_current").cast("boolean")
+        )
     missing = [c for c in (*keys, *biz, *meta) if c not in target.columns]
     if missing:
         raise ValueError(
             f"target snapshot is missing columns {missing} — not an SCD2 "
             "table produced by scd2_merge"
         )
-    history = target.filter(~F.col("is_current"))
-    current = target.filter(F.col("is_current"))
 
     src_all = (
         upserts.withColumn("__del", F.lit(False)).unionByName(
@@ -317,31 +587,66 @@ def scd2_merge(
         ) if deletes is not None
         else upserts.withColumn("__del", F.lit(False))
     )
+    skeys = src_all.select(*[F.col(k).alias(f"__k_{k}") for k in keys])
+    key_cond = [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys]
+
+    # touched-partition discovery: only key/business partition columns
+    # scope (metadata columns move rows across partitions every merge)
+    touched = None
+    if partition_by and set(partition_by) <= set(keys) | set(biz):
+        if set(partition_by) <= set(keys):
+            # matched rows share the batch rows' key-derived partition
+            # values — deletes included, no snapshot read needed
+            parts_src = src_all.select(*partition_by)
+        else:
+            # a business partition value may CHANGE: new versions land
+            # at the batch's values, closed rows stay at the current
+            # rows' values — cover both (one pruned read-only semi-join)
+            parts_src = upserts.select(*partition_by).unionByName(
+                target.filter(F.col("is_current"))
+                .join(skeys, key_cond, "left_semi")
+                .select(*partition_by)
+            )
+        touched = _touched_partitions(parts_src, partition_by)
+    if touched is not None:
+        touched_dirs, prune = touched
+        tgt_scope = target.filter(prune)
+        n_total = target.count()
+    else:
+        touched_dirs = None
+        tgt_scope = target
+        n_total = None
+
+    # history rows in touched partitions ride along unchanged in the
+    # scoped rewrite; untouched partitions' history is never even read
+    history = tgt_scope.filter(~F.col("is_current"))
+    current = tgt_scope.filter(F.col("is_current"))
+
     s = src_all.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
         *[F.col(c).alias(f"__s_{c}") for c in biz],
         F.col(ts_col).alias("__ts"),
         "__del",
     )
-    joined = current.join(
-        s, [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys],
-        "full_outer",
-    )
+    joined = current.join(s, key_cond, "full_outer")
     matched = F.col("__ts").isNotNull() & F.col("is_current").isNotNull()
     changed = matched & ~F.struct(*[F.col(c) for c in biz]).eqNullSafe(
         F.struct(*[F.col(f"__s_{c}") for c in biz])
     )
     closing = matched & (changed | F.col("__del"))
 
-    # two aggregate-only jobs for ALL the stats: one over the snapshot
-    # (total + current together), one over the probe join (closed /
-    # deleted / unchanged together) — never five separate scans
-    tgt_stats = target.agg(
+    # two aggregate-only jobs for ALL the stats: one over the scoped
+    # snapshot (total + current together), one over the probe join
+    # (closed / deleted / unchanged together) — never five scans
+    tgt_stats = tgt_scope.agg(
         F.count("*").alias("n"),
         F.sum(F.col("is_current").cast("long")).alias("n_cur"),
     ).collect()[0]
     n_current = int(tgt_stats["n_cur"] or 0)
     n_history = int(tgt_stats["n"]) - n_current
+    n_scope = n_history + n_current
+    if n_total is None:
+        n_total = n_scope
     j_stats = joined.agg(
         F.sum(closing.cast("long")).alias("n_closed"),
         F.sum((matched & F.col("__del")).cast("long")).alias("n_del"),
@@ -377,14 +682,16 @@ def scd2_merge(
         closed
     ).unionByName(new_versions)
     expected = n_history + n_current + n_new
-    n_after = _stage_verify_swap(
+    staged = _stage_verify_swap(
         merged, target_path, expected, partition_by,
         f"({n_history} history + {n_current} current + {n_new} new "
         "versions)",
+        touched_dirs=touched_dirs,
     )
     return {"n_closed": n_closed, "n_new_versions": n_new,
             "n_unchanged": n_unchanged, "n_deleted": n_deleted,
-            "n_after": n_after}
+            "n_after": n_total - n_scope + staged,
+            "rewrite": "full" if touched_dirs is None else "partition"}
 
 
 def stage_scd2(df: DataFrame, spec: dict) -> DataFrame:
@@ -397,6 +704,50 @@ def stage_scd2(df: DataFrame, spec: dict) -> DataFrame:
         spec.get("delete_col"), spec.get("partition_by"),
     )
     return df.sparkSession.read.parquet(spec["path"])
+
+
+def scd2_read_asof(snapshot: DataFrame, ts) -> DataFrame:
+    """Point-in-time (as-of) read of an SCD2 snapshot: the rows whose
+    validity interval covers ``ts`` — ``valid_from <= ts AND (valid_to
+    IS NULL OR valid_to > ts)`` (half-open intervals, so the instant a
+    version closes its successor is the one in force). ``ts`` may be a
+    date/datetime or an ISO string; it is cast to the snapshot's
+    ``valid_from`` type so date tables and timestamp tables both
+    compare natively.
+
+    A plain filter: predicate pushdown prunes row groups on the
+    ``valid_from``/``valid_to`` parquet stats, and when the snapshot is
+    partitioned by ``is_current`` a current-time read prunes the history
+    files entirely. Metadata columns are kept — project them off
+    downstream if the business view is wanted."""
+    for c in ("valid_from", "valid_to", "is_current"):
+        if c not in snapshot.columns:
+            raise ValueError(
+                f"scd2_read_asof input is missing {c!r} — not an SCD2 "
+                "snapshot produced by scd2_merge"
+            )
+    t = F.lit(ts).cast(snapshot.schema["valid_from"].dataType)
+    return snapshot.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+
+
+def stage_scd2_asof(
+    df: DataFrame | None, spec: dict, spark: SparkSession | None = None
+) -> DataFrame:
+    """``{"stage": "scd2_asof", "ts": "2024-02-01", "path": ...?}`` —
+    as-of read of an SCD2 snapshot: from ``path`` when given (usable as
+    a pipeline's first, source-like stage), else ``df`` itself is the
+    versioned snapshot (e.g. straight after an ``scd2`` stage)."""
+    if "ts" not in spec:
+        raise ValueError("scd2_asof needs `ts` (the point-in-time)")
+    if spec.get("path"):
+        session = spark if spark is not None else df.sparkSession
+        snap = session.read.parquet(spec["path"])
+    else:
+        snap = df
+    return scd2_read_asof(snap, spec["ts"])
 
 
 _MONOID_COMBINE = {
@@ -423,11 +774,15 @@ def incremental_agg(
     ``aggs`` maps output column -> ``"fn(expr)"`` where fn is a MONOID
     whose partials combine losslessly: ``sum``, ``count`` (combines by
     +), ``min`` (least), ``max`` (greatest). Non-monoid aggregates
-    (avg, distinct counts, percentiles) are rejected with the fix
+    (avg, DISTINCT variants, percentiles) are rejected with the fix
     spelled out — store sum+count and derive avg at read time. Batches
     must be DISJOINT slices of the fact stream (at-most-once delivery;
     re-folding the same batch double-counts — the same single-writer
     contract as :func:`merge_upsert`).
+
+    ``partition_by`` must name key columns; the fold then rewrites only
+    the partitions holding the batch's groups (partition-scoped swap —
+    untouched partition files stay byte-identical).
 
     Returns the post-fold aggregate snapshot. Same row-count-verified
     atomic-swap write as the other table maintainers."""
@@ -437,6 +792,13 @@ def incremental_agg(
 
     if not keys or not aggs:
         raise ValueError("incremental_agg needs keys and aggs")
+    if partition_by and not set(partition_by) <= set(keys):
+        raise ValueError(
+            f"incremental_agg partition_by must name key columns (got "
+            f"{sorted(set(partition_by) - set(keys))}) — aggregate "
+            "values change on every fold, so partitioning by them would "
+            "move rows across partitions each batch"
+        )
     combiners = {}
     exprs = []
     for out, spec in aggs.items():
@@ -449,15 +811,21 @@ def incremental_agg(
                 "avg store sum+count and divide at read time; distinct "
                 "counts and percentiles need sketches (approx_sketches)"
             )
+        if m and _re.search(r"\bdistinct\b", m.group(2), _re.I):
+            # name-only gating would let count(DISTINCT x) fold with +
+            # and silently double-count across batches
+            raise ValueError(
+                f"{out!r} uses {spec!r}: DISTINCT aggregates are not "
+                "monoids under + — partials from different batches "
+                "overlap; use approx_sketches (HLL) for cross-batch "
+                "distinct counts"
+            )
         combiners[out] = _MONOID_COMBINE[fn]
         exprs.append(F.expr(spec).alias(out))
     partial = batch.groupBy(*[F.col(k) for k in keys]).agg(*exprs)
 
     spark = batch.sparkSession
-    jvm, fs = _fs(spark, target_path)
-    for stale in (f"{target_path.rstrip('/')}__staging",
-                  f"{target_path.rstrip('/')}__premerge"):
-        fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
+    _recover_crashed_swap(spark, target_path)
     if not _fs_exists(spark, target_path):
         writer = partial.write.mode("overwrite")
         if partition_by:
@@ -472,14 +840,28 @@ def incremental_agg(
             f"stored aggregate at {target_path!r} is missing columns "
             f"{missing} — not a snapshot produced by this aggs spec"
         )
+    # partition_by ⊆ keys, so every stored group the batch touches lives
+    # in a partition named by the batch's own partition values
+    touched = (
+        _touched_partitions(partial.select(*partition_by), partition_by)
+        if partition_by else None
+    )
+    if touched is not None:
+        touched_dirs, prune = touched
+        stored_scope = stored.filter(prune)
+    else:
+        touched_dirs = None
+        stored_scope = stored
     p = partial.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
         *[F.col(c).alias(f"__p_{c}") for c in aggs],
     )
-    folded = stored.join(
+    # ONE probe join shared by the fold and the expected-row count
+    joined = stored_scope.join(
         p, [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys],
         "full_outer",
-    ).select(
+    )
+    folded = joined.select(
         *[F.coalesce(F.col(k), F.col(f"__k_{k}")).alias(k) for k in keys],
         *[
             F.when(
@@ -492,18 +874,13 @@ def incremental_agg(
             for c in aggs
         ],
     )
-    # expected rows = stored keys + batch-partial keys new to the store:
-    # one aggregate over the probe join (no extra scans)
-    counts = stored.join(
-        p, [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys],
-        "full_outer",
-    ).agg(
-        F.count("*").alias("n"),
-    ).collect()[0]
-    expected = int(counts["n"])
+    # expected rows = scoped stored keys + batch-partial keys new to the
+    # store — an aggregate over the SAME joined frame, no second join
+    expected = int(joined.agg(F.count("*").alias("n")).collect()[0]["n"])
     _stage_verify_swap(
         folded, target_path, expected, partition_by,
-        "(stored keys + first-seen batch keys)",
+        "(stored keys in scope + first-seen batch keys)",
+        touched_dirs=touched_dirs,
     )
     return spark.read.parquet(target_path)
 

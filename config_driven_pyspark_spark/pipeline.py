@@ -250,7 +250,7 @@ class Pipeline:
             "multimodal", "corpus",
             "observe",
             "udf", "grouped_map", "flat_map", "sink", "merge", "scd2",
-            "incremental_agg",
+            "scd2_asof", "incremental_agg",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -267,6 +267,14 @@ class Pipeline:
             for alias, name in (spec.get("views") or {}).items():
                 ctx.get(name).createOrReplaceTempView(alias)
             return ctx.spark.sql(spec["query"])
+        if kind == "scd2_asof" and spec.get("path"):
+            # source-like when reading a persisted snapshot — usable as
+            # the first stage of a pipeline
+            from config_driven_pyspark_spark.operators.table import (
+                stage_scd2_asof,
+            )
+
+            return stage_scd2_asof(None, spec, spark=ctx.spark)
 
         df = ctx.resolve_input(spec)
 
@@ -428,6 +436,12 @@ class Pipeline:
             from config_driven_pyspark_spark.operators.table import stage_scd2
 
             return stage_scd2(df, spec)
+        if kind == "scd2_asof":
+            from config_driven_pyspark_spark.operators.table import (
+                stage_scd2_asof,
+            )
+
+            return stage_scd2_asof(df, spec)
         if kind == "incremental_agg":
             from config_driven_pyspark_spark.operators.table import (
                 stage_incremental_agg,

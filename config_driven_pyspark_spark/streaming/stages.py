@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -259,28 +259,79 @@ def stage_stream_sink(
         # the parquet snapshot at `path` via the atomic-swap merge_upsert
         # (operators/table.py). Micro-batches apply sequentially, so a key
         # updated across batches resolves to the latest batch's row.
+        # WITHIN a micro-batch, CDC streams routinely deliver several
+        # events for one key — `order_col` names the event-order column
+        # and the sink keeps only each key's latest event (highest
+        # order_col, NULLs last) before merging; without it, merge_upsert
+        # raises its duplicate-key error rather than picking arbitrarily.
         from config_driven_pyspark_spark.operators.table import merge_upsert
 
         if "path" not in spec or "keys" not in spec:
             raise ValueError(
                 "stream_sink format merge requires `path` (the snapshot) "
-                "and `keys` (the match columns)"
+                "and `keys` (the match columns); add `order_col` when a "
+                "micro-batch can carry several events per key"
             )
         if spec.get("output_mode", "append") != "append":
             raise ValueError(
                 "stream_sink format merge only supports output_mode append "
                 "(the CDC batch stream)"
             )
+        merge_keys = list(spec["keys"])
+        order_col = spec.get("order_col")
 
         def _merge_handle(batch_df: DataFrame, _batch_id: int) -> None:
             if batch_stages_fn is not None:
                 batch_df = batch_stages_fn(batch_df)
+            if order_col is not None:
+                w = Window.partitionBy(*merge_keys).orderBy(
+                    F.col(order_col).desc_nulls_last()
+                )
+                batch_df = (
+                    batch_df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
             merge_upsert(
-                batch_df, spec["path"], list(spec["keys"]),
+                batch_df, spec["path"], merge_keys,
                 spec.get("delete_col"), spec.get("partition_by"),
             )
 
         writer = df.writeStream.foreachBatch(_merge_handle).outputMode(
+            "append"
+        )
+    elif fmt == "incremental_agg":
+        # streaming materialized-view maintenance — every micro-batch's
+        # monoid partials FOLD into the persisted aggregate snapshot
+        # (operators/table.py::incremental_agg), so the MV tracks the
+        # stream without ever rescanning history. The checkpoint makes
+        # micro-batches disjoint slices of the stream, which is exactly
+        # the operator's at-most-once fold contract.
+        from config_driven_pyspark_spark.operators.table import (
+            incremental_agg,
+        )
+
+        if not all(k in spec for k in ("path", "keys", "aggs")):
+            raise ValueError(
+                "stream_sink format incremental_agg requires `path` (the "
+                "aggregate snapshot), `keys` and `aggs` (the monoid spec)"
+            )
+        if spec.get("output_mode", "append") != "append":
+            raise ValueError(
+                "stream_sink format incremental_agg only supports "
+                "output_mode append — the fact stream itself, not a "
+                "re-emitted aggregation (fold partials combine per batch)"
+            )
+
+        def _agg_handle(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_stages_fn is not None:
+                batch_df = batch_stages_fn(batch_df)
+            incremental_agg(
+                batch_df, spec["path"], list(spec["keys"]),
+                dict(spec["aggs"]), spec.get("partition_by"),
+            )
+
+        writer = df.writeStream.foreachBatch(_agg_handle).outputMode(
             "append"
         )
     elif fmt == "foreach_batch":
@@ -316,7 +367,7 @@ def stage_stream_sink(
         writer = writer.queryName(spec["query_name"])
     if spec.get("checkpoint"):
         writer = writer.option("checkpointLocation", spec["checkpoint"])
-    if spec.get("path") and fmt != "merge":
+    if spec.get("path") and fmt not in ("merge", "incremental_agg"):
         # for format merge, `path` names the snapshot merge_upsert owns —
         # it is not a sink option
         writer = writer.option("path", spec["path"])

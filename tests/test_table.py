@@ -31,7 +31,8 @@ def test_merge_upsert_update_insert_delete(spark, tmp_path):
     )
     stats = merge_upsert(batch, target, ["id"], delete_col="gone")
     assert stats == {"n_before": 3, "n_matched": 2, "n_updated": 1,
-                     "n_inserted": 1, "n_deleted": 1, "n_after": 3}
+                     "n_inserted": 1, "n_deleted": 1, "n_after": 3,
+                     "rewrite": "full"}
     got = {
         r["id"]: (r["val"], r["qty"])
         for r in spark.read.parquet(target).collect()
@@ -120,7 +121,7 @@ def test_scd2_merge_versions_changes(spark, tmp_path):
     ])
     stats = scd2_merge(day1, target, ["id"])
     assert stats == {"n_closed": 0, "n_new_versions": 3, "n_unchanged": 0,
-                     "n_deleted": 0, "n_after": 3}
+                     "n_deleted": 0, "n_after": 3, "rewrite": "full"}
 
     day2 = spark.createDataFrame(
         [
@@ -136,7 +137,7 @@ def test_scd2_merge_versions_changes(spark, tmp_path):
     # 5 rows: 1 closed-by-delete, 2 closed + 2's new version, 3 kept,
     # 4 inserted
     assert stats == {"n_closed": 2, "n_new_versions": 2, "n_unchanged": 1,
-                     "n_deleted": 1, "n_after": 5}
+                     "n_deleted": 1, "n_after": 5, "rewrite": "full"}
 
     rows = spark.read.parquet(target).collect()
     cur = {r["id"]: r for r in rows if r["is_current"]}
@@ -352,3 +353,357 @@ def test_incremental_agg_null_group_key_folds(spark, tmp_path):
     out = incremental_agg(b2, target, ["grp"], aggs)
     got = {r["grp"]: (r["n"], r["total"]) for r in out.collect()}
     assert got == {None: (2, 11), "a": (1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# round 11: partition-scoped rewrite, crash recovery, null keys, as-of reads
+# ---------------------------------------------------------------------------
+
+
+def _tree_fingerprint(root):
+    """relative path -> (size, mtime_ns) for every file under root —
+    byte-identity proxy for 'this partition was never rewritten'."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _psnapshot(spark, path, rows):
+    spark.createDataFrame(
+        rows, "id bigint, part string, qty bigint"
+    ).write.mode("overwrite").partitionBy("part").parquet(path)
+
+
+def test_merge_partition_scoped_leaves_untouched_partitions(spark, tmp_path):
+    """The round-11 headline contract: a CDC batch touching one
+    partition rewrites ONLY that partition directory — every file of the
+    untouched partitions is bit-for-bit the same inode (size+mtime), not
+    a rewritten copy."""
+    target = str(tmp_path / "pt")
+    _psnapshot(spark, target, [
+        (1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40),
+        (5, "c", 50),
+    ])
+    before_b = _tree_fingerprint(os.path.join(target, "part=b"))
+    before_c = _tree_fingerprint(os.path.join(target, "part=c"))
+    assert before_b and before_c
+    batch = spark.createDataFrame(
+        [(2, "a", 21, False), (6, "a", 60, False), (1, "a", 0, True)],
+        "id bigint, part string, qty bigint, gone boolean",
+    )
+    stats = merge_upsert(batch, target, ["id"], delete_col="gone",
+                         partition_by=["part"])
+    assert stats == {"n_before": 5, "n_matched": 2, "n_updated": 1,
+                     "n_inserted": 1, "n_deleted": 1, "n_after": 5,
+                     "rewrite": "partition"}
+    assert _tree_fingerprint(os.path.join(target, "part=b")) == before_b
+    assert _tree_fingerprint(os.path.join(target, "part=c")) == before_c
+    got = {r["id"]: (r["part"], r["qty"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {2: ("a", 21), 6: ("a", 60), 3: ("b", 30),
+                   4: ("b", 40), 5: ("c", 50)}
+    assert not os.path.exists(target + "__staging")
+    assert not os.path.exists(target + "__premerge")
+
+
+def test_merge_partition_scoped_value_change_moves_row(spark, tmp_path):
+    """When the partition column is NOT part of the match keys, an
+    update can MOVE a row across partitions; the old partition must be
+    rewritten too (semi-join discovery) or the old copy would survive."""
+    target = str(tmp_path / "pt2")
+    _psnapshot(spark, target, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    before_c = _tree_fingerprint(os.path.join(target, "part=c"))
+    batch = spark.createDataFrame(
+        [(1, "b", 11)], "id bigint, part string, qty bigint"
+    )
+    stats = merge_upsert(batch, target, ["id"], partition_by=["part"])
+    assert stats["rewrite"] == "partition"
+    got = {r["id"]: (r["part"], r["qty"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("b", 11), 2: ("b", 20), 3: ("c", 30)}
+    # c was in neither the batch's values nor the matched rows' homes
+    assert _tree_fingerprint(os.path.join(target, "part=c")) == before_c
+
+
+def test_merge_partition_scoped_full_partition_delete(spark, tmp_path):
+    """Deleting every row of a partition removes its directory outright
+    (no empty husk that would change the table's partition listing)."""
+    target = str(tmp_path / "pt3")
+    _psnapshot(spark, target, [(1, "a", 10), (2, "b", 20), (3, "b", 30)])
+    batch = spark.createDataFrame(
+        [(2, "b", 0, True), (3, "b", 0, True)],
+        "id bigint, part string, qty bigint, gone boolean",
+    )
+    stats = merge_upsert(batch, target, ["id"], delete_col="gone",
+                         partition_by=["part"])
+    assert stats["n_deleted"] == 2 and stats["n_after"] == 1
+    assert not os.path.exists(os.path.join(target, "part=b"))
+    assert [r["id"] for r in spark.read.parquet(target).collect()] == [1]
+
+
+def test_merge_partition_scoped_hive_escaped_values(spark, tmp_path):
+    """Partition values needing Hive path-escaping (':' '/' '=') and a
+    NULL partition value all round-trip through the scoped swap — the
+    computed directory names must match what Spark itself writes."""
+    target = str(tmp_path / "pt4")
+    rows = [(1, "a:b", 10), (2, "c/d", 20), (3, None, 30), (4, "e=f", 40)]
+    _psnapshot(spark, target, rows)
+    batch = spark.createDataFrame(
+        [(1, "a:b", 11), (3, None, 31), (5, "e=f", 50)],
+        "id bigint, part string, qty bigint",
+    )
+    stats = merge_upsert(batch, target, ["id"], partition_by=["part"])
+    assert stats["rewrite"] == "partition"
+    got = {r["id"]: (r["part"], r["qty"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a:b", 11), 2: ("c/d", 20), 3: (None, 31),
+                   4: ("e=f", 40), 5: ("e=f", 50)}
+
+
+def test_merge_partition_scoped_multilevel(spark, tmp_path):
+    """Two-level partitioning swaps nested leaf directories."""
+    target = str(tmp_path / "pt5")
+    spark.createDataFrame(
+        [(1, "x", 1, 10), (2, "x", 2, 20), (3, "y", 1, 30)],
+        "id bigint, p1 string, p2 bigint, qty bigint",
+    ).write.mode("overwrite").partitionBy("p1", "p2").parquet(target)
+    before = _tree_fingerprint(os.path.join(target, "p1=x", "p2=2"))
+    batch = spark.createDataFrame(
+        [(1, "x", 1, 11), (4, "y", 2, 40)],
+        "id bigint, p1 string, p2 bigint, qty bigint",
+    )
+    stats = merge_upsert(batch, target, ["id"], partition_by=["p1", "p2"])
+    assert stats["rewrite"] == "partition"
+    assert _tree_fingerprint(os.path.join(target, "p1=x", "p2=2")) == before
+    got = {r["id"]: (r["p1"], r["p2"], r["qty"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("x", 1, 11), 2: ("x", 2, 20), 3: ("y", 1, 30),
+                   4: ("y", 2, 40)}
+
+
+def test_merge_recovers_backup_when_target_missing(spark, tmp_path):
+    """ADVICE r10 (high): a crash between the two swap renames leaves
+    the snapshot ONLY in __premerge. The next merge must restore it —
+    never delete it as debris and silently bootstrap from the batch."""
+    target = str(tmp_path / "crash1")
+    _snapshot(spark, target, [(1, "a", 10), (2, "b", 20)])
+    os.rename(target, target + "__premerge")  # simulated mid-swap crash
+    os.makedirs(target + "__staging")         # staged dir also left over
+    batch = spark.createDataFrame(
+        [(2, "B", 21)], "id bigint, val string, qty bigint"
+    )
+    stats = merge_upsert(batch, target, ["id"])
+    # n_before=2 proves the old snapshot was recovered, not bootstrapped
+    assert stats["n_before"] == 2 and stats["n_after"] == 2
+    got = {r["id"]: r["val"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "B"}
+    assert not os.path.exists(target + "__premerge")
+
+
+def test_merge_restores_partition_backup_children(spark, tmp_path):
+    """Partition-mode crash during phase A: some partitions moved aside,
+    target still present. Recovery moves the missing partitions back."""
+    target = str(tmp_path / "crash2")
+    _psnapshot(spark, target, [(1, "a", 10), (2, "b", 20)])
+    os.makedirs(target + "__premerge")
+    os.rename(os.path.join(target, "part=b"),
+              os.path.join(target + "__premerge", "part=b"))
+    batch = spark.createDataFrame(
+        [(3, "a", 30)], "id bigint, part string, qty bigint"
+    )
+    stats = merge_upsert(batch, target, ["id"], partition_by=["part"])
+    got = {r["id"]: (r["part"], r["qty"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 10), 2: ("b", 20), 3: ("a", 30)}
+    assert stats["n_before"] == 2
+
+
+def test_merge_refuses_staging_only_state(spark, tmp_path):
+    """No target, no backup, but a staging dir: an unrecognizable state
+    this code never produces — refuse rather than bootstrap over it."""
+    target = str(tmp_path / "crash3")
+    os.makedirs(target + "__staging")
+    batch = spark.createDataFrame(
+        [(1, "a", 1)], "id bigint, val string, qty bigint"
+    )
+    with pytest.raises(IOError, match="refusing"):
+        merge_upsert(batch, target, ["id"])
+
+
+def test_merge_null_key_row_updates_not_aborts(spark, tmp_path):
+    """ADVICE r10 (medium): a NULL-key source row must null-safely
+    REPLACE the NULL-key target row — previously the stats probe counted
+    it matched but the name-equality anti-join kept the target row, so
+    the row-count verify aborted the whole merge."""
+    target = str(tmp_path / "nullk")
+    spark.createDataFrame(
+        [(None, "old", 1), (1, "a", 10)], "id bigint, val string, qty bigint"
+    ).write.mode("overwrite").parquet(target)
+    batch = spark.createDataFrame(
+        [(None, "new", 2)], "id bigint, val string, qty bigint"
+    )
+    stats = merge_upsert(batch, target, ["id"])
+    assert stats["n_matched"] == 1 and stats["n_updated"] == 1
+    got = {r["id"]: (r["val"], r["qty"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {None: ("new", 2), 1: ("a", 10)}
+
+
+def test_incremental_agg_rejects_distinct(spark, tmp_path):
+    """ADVICE r10 (medium): count(DISTINCT x) passes the function-name
+    allowlist but is NOT a monoid under + — it must be rejected, not
+    silently double-counted across batches."""
+    from config_driven_pyspark_spark.operators.table import incremental_agg
+
+    b = spark.createDataFrame([("a", 1)], "grp string, qty bigint")
+    for spec in ("count(distinct qty)", "sum(DISTINCT qty)"):
+        with pytest.raises(ValueError, match="DISTINCT"):
+            incremental_agg(b, str(tmp_path / "xd"), ["grp"], {"m": spec})
+
+
+def test_incremental_agg_partition_scoped_fold(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.table import incremental_agg
+
+    target = str(tmp_path / "mvp")
+    aggs = {"n": "count(*)", "total": "sum(v)"}
+    b1 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "grp string, v bigint"
+    )
+    incremental_agg(b1, target, ["grp"], aggs, partition_by=["grp"])
+    before_b = _tree_fingerprint(os.path.join(target, "grp=b"))
+    b2 = spark.createDataFrame([("a", 10), ("c", 7)], "grp string, v bigint")
+    out = incremental_agg(b2, target, ["grp"], aggs, partition_by=["grp"])
+    got = {r["grp"]: (r["n"], r["total"]) for r in out.collect()}
+    assert got == {"a": (3, 13), "b": (1, 5), "c": (1, 7)}
+    # group b was not in batch 2 -> its partition files never rewritten
+    assert _tree_fingerprint(os.path.join(target, "grp=b")) == before_b
+
+
+def test_incremental_agg_partition_by_must_be_keys(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.table import incremental_agg
+
+    b = spark.createDataFrame([("a", 1)], "grp string, v bigint")
+    with pytest.raises(ValueError, match="partition_by must name key"):
+        incremental_agg(b, str(tmp_path / "xp"), ["grp"],
+                        {"total": "sum(v)"}, partition_by=["total"])
+
+
+def _region_scd2(spark, rows):
+    return spark.createDataFrame(
+        rows, "id bigint, region string, val string, eff string"
+    ).selectExpr("id", "region", "val",
+                 "CAST(eff AS DATE) AS effective_ts")
+
+
+def test_scd2_partition_scoped_keeps_other_regions(spark, tmp_path):
+    """SCD2 partitioned by a stable business column: merging a batch
+    that only changes EU rows leaves every US partition file (current
+    AND history) bit-identical."""
+    from config_driven_pyspark_spark.operators.table import scd2_merge
+
+    target = str(tmp_path / "dimp")
+    scd2_merge(_region_scd2(spark, [
+        (1, "eu", "a", "2024-01-01"), (2, "us", "b", "2024-01-01"),
+        (3, "us", "c", "2024-01-01"),
+    ]), target, ["id"], partition_by=["region"])
+    # age the US partition with one change so it holds history too
+    scd2_merge(_region_scd2(spark, [(2, "us", "b2", "2024-01-15")]),
+               target, ["id"], partition_by=["region"])
+    before_us = _tree_fingerprint(os.path.join(target, "region=us"))
+    stats = scd2_merge(_region_scd2(spark, [
+        (1, "eu", "a2", "2024-02-01"),   # change -> close + new version
+        (4, "eu", "d", "2024-02-01"),    # new key
+    ]), target, ["id"], partition_by=["region"])
+    assert stats["rewrite"] == "partition"
+    assert stats["n_closed"] == 1 and stats["n_new_versions"] == 2
+    assert _tree_fingerprint(os.path.join(target, "region=us")) == before_us
+    snap = spark.read.parquet(target).collect()
+    cur = {r["id"]: (r["region"], r["val"]) for r in snap if r["is_current"]}
+    assert cur == {1: ("eu", "a2"), 2: ("us", "b2"), 3: ("us", "c"),
+                   4: ("eu", "d")}
+    assert stats["n_after"] == len(snap) == 6
+
+
+def test_scd2_metadata_partitioning_falls_back_to_full(spark, tmp_path):
+    """partition_by=["is_current"] still works — rows cross those
+    partitions every merge, so it takes the full-rewrite path."""
+    from config_driven_pyspark_spark.operators.table import scd2_merge
+
+    target = str(tmp_path / "dimc")
+    scd2_merge(_scd2_snapshot(spark, [(1, "a", 1, "2024-01-01")]),
+               target, ["id"], partition_by=["is_current"])
+    stats = scd2_merge(
+        _scd2_snapshot(spark, [(1, "a2", 2, "2024-02-01")]),
+        target, ["id"], partition_by=["is_current"],
+    )
+    assert stats["rewrite"] == "full"
+    # boolean partition values read back as strings (Spark partition
+    # inference has no boolean case) — readers cast; the merge does too
+    snap = spark.read.parquet(target).selectExpr(
+        "val", "CAST(is_current AS BOOLEAN) AS is_current"
+    ).collect()
+    assert {(r["val"], r["is_current"]) for r in snap} == {
+        ("a", False), ("a2", True)}
+    assert os.path.isdir(os.path.join(target, "is_current=true"))
+
+
+def test_scd2_read_asof_points_in_time(spark, tmp_path):
+    """As-of reads reconstruct the table at any instant: half-open
+    intervals mean the closing instant already belongs to the
+    successor version."""
+    from config_driven_pyspark_spark.operators.table import (
+        scd2_merge, scd2_read_asof,
+    )
+
+    target = str(tmp_path / "dimt")
+    scd2_merge(_scd2_snapshot(spark, [
+        (1, "v1", 10, "2024-01-01"), (2, "b", 20, "2024-01-01"),
+    ]), target, ["id"])
+    scd2_merge(_scd2_snapshot(spark, [(1, "v2", 11, "2024-02-01")]),
+               target, ["id"])
+    day2 = spark.createDataFrame(
+        [(2, "b", 20, "2024-03-01", True)],
+        "id bigint, val string, qty bigint, eff string, gone boolean",
+    ).selectExpr("id", "val", "qty", "CAST(eff AS DATE) AS effective_ts",
+                 "gone")
+    scd2_merge(day2, target, ["id"], delete_col="gone")
+    snap = spark.read.parquet(target)
+
+    def view(ts):
+        return {r["id"]: r["val"]
+                for r in scd2_read_asof(snap, ts).collect()}
+
+    assert view("2023-12-31") == {}                      # before history
+    assert view("2024-01-01") == {1: "v1", 2: "b"}
+    assert view("2024-01-31") == {1: "v1", 2: "b"}
+    assert view("2024-02-01") == {1: "v2", 2: "b"}       # closing instant
+    assert view("2024-06-01") == {1: "v2"}               # 2 deleted
+    import datetime as dt
+    assert view(dt.date(2024, 1, 15)) == {1: "v1", 2: "b"}
+
+
+def test_scd2_asof_stage_through_pipeline(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.table import scd2_merge
+
+    target = str(tmp_path / "dimt2")
+    scd2_merge(_scd2_snapshot(spark, [(1, "a", 10, "2024-01-01")]),
+               target, ["id"])
+    scd2_merge(_scd2_snapshot(spark, [(1, "A", 11, "2024-02-01")]),
+               target, ["id"])
+    out = Pipeline.from_config([
+        {"stage": "scd2_asof", "path": target, "ts": "2024-01-20"},
+        {"stage": "select", "columns": ["id", "val", "qty"]},
+    ]).run(spark)
+    assert [tuple(r) for r in out.collect()] == [(1, "a", 10)]
+
+
+def test_scd2_asof_rejects_non_scd2_input(spark):
+    from config_driven_pyspark_spark.operators.table import scd2_read_asof
+
+    plain = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError, match="not an SCD2"):
+        scd2_read_asof(plain, "2024-01-01")
