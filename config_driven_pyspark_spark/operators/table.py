@@ -128,6 +128,32 @@ def _touched_partitions(
     return dirs, pred
 
 
+def _layout_matches(
+    spark: SparkSession, target_path: str, partition_by: list[str]
+) -> bool:
+    """True when the snapshot on disk is actually laid out as
+    ``partition_by`` directories. A scoped swap against a mismatched
+    layout (unpartitioned files, or different/missing partition levels)
+    would leave the old copies in place next to the promoted partitions
+    — fall back to a full rewrite, which re-lays the table out."""
+    jvm, fs = _fs(spark, target_path)
+    p = jvm.org.apache.hadoop.fs.Path(target_path)
+    for col in partition_by:
+        kids = [
+            st for st in fs.listStatus(p)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if not kids:
+            return False
+        prefix = _hive_escape(col) + "="
+        if not all(
+            st.getPath().getName().startswith(prefix) for st in kids
+        ):
+            return False
+        p = kids[0].getPath()
+    return True
+
+
 def _list_partition_dirs(spark: SparkSession, base: str, depth: int) -> list[str]:
     """Relative ``p=v[/q=w...]`` directories actually present under
     ``base``, to ``depth`` partition levels."""
@@ -385,7 +411,7 @@ def merge_upsert(
     key_cond = [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys]
 
     touched = None
-    if partition_by:
+    if partition_by and _layout_matches(spark, target_path, partition_by):
         parts_src = source.select(*partition_by)
         if not set(partition_by) <= set(keys):
             # a matched row may live in a partition the batch's NEW
@@ -593,7 +619,11 @@ def scd2_merge(
     # touched-partition discovery: only key/business partition columns
     # scope (metadata columns move rows across partitions every merge)
     touched = None
-    if partition_by and set(partition_by) <= set(keys) | set(biz):
+    if (
+        partition_by
+        and set(partition_by) <= set(keys) | set(biz)
+        and _layout_matches(spark, target_path, partition_by)
+    ):
         if set(partition_by) <= set(keys):
             # matched rows share the batch rows' key-derived partition
             # values — deletes included, no snapshot read needed
@@ -844,7 +874,8 @@ def incremental_agg(
     # in a partition named by the batch's own partition values
     touched = (
         _touched_partitions(partial.select(*partition_by), partition_by)
-        if partition_by else None
+        if partition_by and _layout_matches(spark, target_path, partition_by)
+        else None
     )
     if touched is not None:
         touched_dirs, prune = touched

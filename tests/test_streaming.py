@@ -927,3 +927,101 @@ def test_streaming_cdc_merge_sink(spark, tmp_path):
     }
     assert got == {1: ("a", 10), 2: ("B2", 21), 4: ("d", 40),
                    5: ("e", 50), 6: ("f", 60)}
+
+
+def test_streaming_merge_sink_order_col_latest_wins(spark, tmp_path):
+    """CDC streams routinely deliver several events for one key inside a
+    single micro-batch; `order_col` collapses each key to its latest
+    event (highest seq) before the merge instead of failing on
+    merge_upsert's duplicate-key guard. A later micro-batch still
+    overrides an earlier one (sequential application)."""
+    target = str(tmp_path / "snap_oc")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id bigint, val string, qty bigint"
+    ).write.parquet(target)
+    ev = str(tmp_path / "events_oc")
+    # micro-batch 1: THREE events for key 1 (insert->update->update) and
+    # a delete-then-reinsert pair for key 2, interleaved out of order
+    spark.createDataFrame(
+        [
+            (1, "v2", 12, False, 102),
+            (1, "v1", 11, False, 101),
+            (2, "gone", 0, True, 103),
+            (1, "v3", 13, False, 104),
+            (2, "back", 22, False, 105),
+        ],
+        "id bigint, val string, qty bigint, gone boolean, seq bigint",
+    ).coalesce(1).write.parquet(ev)
+    # micro-batch 2: key 1 updated again — later batch wins over batch 1
+    spark.createDataFrame(
+        [(1, "v4", 14, False, 106)],
+        "id bigint, val string, qty bigint, gone boolean, seq bigint",
+    ).coalesce(1).write.mode("append").parquet(ev)
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": ev,
+         "schema": "id bigint, val string, qty bigint, gone boolean, "
+                   "seq bigint",
+         "streaming": True, "options": {"maxFilesPerTrigger": "1"}},
+        {"stage": "stream_sink", "format": "merge", "path": target,
+         "keys": ["id"], "delete_col": "gone", "order_col": "seq",
+         "checkpoint": str(tmp_path / "ckpt_oc"),
+         "trigger": "available_now", "await": True},
+    ]).run(spark)
+    # the snapshot keeps the TARGET schema — the batch's seq column is
+    # projected off by update-all MERGE; latest-wins shows in val/qty
+    got = {
+        r["id"]: (r["val"], r["qty"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: ("v4", 14), 2: ("back", 22)}
+
+
+def test_streaming_incremental_agg_sink_parity(spark, tmp_path):
+    """Streaming materialized-view maintenance (r11): a fact stream
+    drains micro-batch-by-micro-batch through stream_sink
+    format=incremental_agg; the folded snapshot must be
+    indistinguishable from (a) the same batches folded sequentially in
+    batch mode and (b) one direct aggregation over all facts — the
+    monoid law, now stream-maintained."""
+    from config_driven_pyspark_spark.operators.table import incremental_agg
+
+    facts1 = [("a", 1), ("a", 5), ("b", 2)]
+    facts2 = [("a", 7), ("c", 4), ("b", -3)]
+    facts3 = [("c", 9)]
+    ev = str(tmp_path / "facts")
+    for i, rows in enumerate([facts1, facts2, facts3]):
+        spark.createDataFrame(rows, "grp string, v bigint").coalesce(
+            1
+        ).write.mode("append" if i else "overwrite").parquet(ev)
+    aggs = {"n": "count(*)", "total": "sum(v)", "lo": "min(v)",
+            "hi": "max(v)"}
+    mv_stream = str(tmp_path / "mv_stream")
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": ev,
+         "schema": "grp string, v bigint", "streaming": True,
+         "options": {"maxFilesPerTrigger": "1"}},
+        {"stage": "stream_sink", "format": "incremental_agg",
+         "path": mv_stream, "keys": ["grp"], "aggs": aggs,
+         "checkpoint": str(tmp_path / "ckpt_mv"),
+         "trigger": "available_now", "await": True},
+    ]).run(spark)
+    # sequential batch folds of the same slices
+    mv_batch = str(tmp_path / "mv_batch")
+    for rows in [facts1, facts2, facts3]:
+        incremental_agg(
+            spark.createDataFrame(rows, "grp string, v bigint"),
+            mv_batch, ["grp"], aggs,
+        )
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    streamed = spark.read.parquet(mv_stream).select(
+        "grp", "n", "total", "lo", "hi")
+    batched = spark.read.parquet(mv_batch).select(
+        "grp", "n", "total", "lo", "hi")
+    direct = spark.createDataFrame(
+        facts1 + facts2 + facts3, "grp string, v bigint"
+    ).groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("v").alias("total"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    assert key(streamed.collect()) == key(batched.collect())
+    assert key(streamed.collect()) == key(direct.collect())

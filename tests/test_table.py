@@ -707,3 +707,26 @@ def test_scd2_asof_rejects_non_scd2_input(spark):
     plain = spark.createDataFrame([(1,)], "id bigint")
     with pytest.raises(ValueError, match="not an SCD2"):
         scd2_read_asof(plain, "2024-01-01")
+
+
+def test_merge_partition_by_on_unpartitioned_target_relays_out(
+    spark, tmp_path
+):
+    """Asking for partition_by against a target laid out flat (or by
+    other columns) must NOT scope the swap — old root files would
+    survive next to the promoted partition dirs as duplicates. It falls
+    back to a full rewrite that re-lays the table out."""
+    target = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id bigint, part string, qty bigint"
+    ).write.mode("overwrite").parquet(target)  # NOT partitioned
+    batch = spark.createDataFrame(
+        [(2, "b", 21)], "id bigint, part string, qty bigint"
+    )
+    stats = merge_upsert(batch, target, ["id"], partition_by=["part"])
+    assert stats["rewrite"] == "full"
+    got = {r["id"]: (r["part"], r["qty"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 10), 2: ("b", 21)}
+    # the fallback rewrite re-laid the snapshot out partitioned
+    assert os.path.isdir(os.path.join(target, "part=a"))
