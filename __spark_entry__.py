@@ -2356,6 +2356,216 @@ def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE (operators/table.py::merge_upsert +
+    _stage_verify_swap scoped mode, r11 — the VERDICT r10 headline ask):
+    the orders snapshot is partitioned by o_orderstatus; the CDC batch
+    touches ONLY status-'P' rows, so the merge derives the touched
+    partition set (one small distinct + a read-only semi-join, since the
+    partition column is not a match key), rewrites and swaps just those
+    partition directories, and leaves the 'F'/'O' partition files
+    byte-identical — the Delta/Iceberg/Hudi file-skipping discipline at
+    partition granularity, instead of r10's whole-snapshot rewrite. The
+    query asserts the scoped path actually ran (a silent fallback to
+    full rewrite would still hash-green); the byte-identity of untouched
+    partitions is pinned in tests/test_table.py."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import merge_upsert
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_mergep_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(target)
+    batch = (
+        orders.filter(
+            ((F.col("o_orderkey") % 8).isin(2, 3))
+            & (F.col("o_orderstatus") == "P")
+        )
+        .withColumn("o_orderpriority", F.lit("X-PART"))
+        .withColumn("is_deleted", F.col("o_orderkey") % 16 == 10)
+    )
+    stats = merge_upsert(
+        batch, target, ["o_orderkey"], delete_col="is_deleted",
+        partition_by=["o_orderstatus"],
+    )
+    assert stats["rewrite"] == "partition", stats
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_price"),
+        )
+    )
+
+
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time reads (operators/table.py::scd2_read_asof,
+    r11 — VERDICT r10 ask #5): the q_scd2_orders dimension (seeded
+    2024-01-01, day-2 batch merged at 2024-02-01) is read AS OF two
+    instants — 2024-01-15 must reconstruct the original day-1 table
+    exactly (every later change invisible), 2024-02-15 the post-merge
+    current view — each aggregated per priority and tagged. Half-open
+    validity intervals: a version closed at 02-01 is already replaced
+    at any ts >= 02-01. The filter is pushdown-friendly (plain
+    valid_from/valid_to predicates against parquet stats)."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import (
+        scd2_merge, scd2_read_asof,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_scd2asof_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    import shutil
+
+    shutil.rmtree(target, ignore_errors=True)
+    scd2_merge(
+        orders.filter(F.col("o_orderkey") % 4 != 3).withColumn(
+            "effective_ts", F.lit("2024-01-01").cast("date")
+        ),
+        target, ["o_orderkey"],
+    )
+    batch = (
+        orders.filter((F.col("o_orderkey") % 8).isin(2, 3, 6))
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 16 == 2, F.col("o_orderpriority"))
+            .otherwise(F.lit("X-SCD2")),
+        )
+        .withColumn("effective_ts", F.lit("2024-02-01").cast("date"))
+        .withColumn("is_deleted", F.col("o_orderkey") % 16 == 10)
+    )
+    scd2_merge(batch, target, ["o_orderkey"], delete_col="is_deleted")
+    snap = spark.read.parquet(target)
+
+    def view_at(ts: str) -> DataFrame:
+        return (
+            scd2_read_asof(snap, ts)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            )
+            .select(F.lit(ts).alias("asof_date"), "*")
+        )
+
+    return view_at("2024-01-15").unionByName(view_at("2024-02-15"))
+
+
+def q_e2e_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC composition (r11 — VERDICT r10 ask #6, the
+    q_e2e_pretrain pattern for the table family): ONE config pipeline
+    chains scd2 (customer dimension versioning: segment changes vs
+    identical re-deliveries) → partition-scoped merge (orders fact
+    snapshot: updates move across priority partitions, deletes drop) →
+    scd2_asof (the dimension as business-dated 2024-02-15) → join
+    (facts × point-in-time dimension) → two incremental_agg folds
+    (disjoint halves of the day's joined view into a persisted MV,
+    partition-scoped on the segment key). The oracle replays the whole
+    chain as chained CTEs and a direct aggregate — the MV fold must be
+    indistinguishable from recomputation (monoid law) AND the as-of
+    join must see exactly the day's dimension state."""
+    import os
+    import shutil
+    import tempfile
+
+    from config_driven_pyspark_spark import Pipeline
+    from config_driven_pyspark_spark.operators.table import (
+        merge_upsert, scd2_merge,
+    )
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    dim = os.path.join(tempfile.gettempdir(), f"cdp_e2ecdc_dim_{sf_tag}")
+    snap = os.path.join(tempfile.gettempdir(), f"cdp_e2ecdc_snap_{sf_tag}")
+    mv = os.path.join(tempfile.gettempdir(), f"cdp_e2ecdc_mv_{sf_tag}")
+    for p in (dim, snap, mv):
+        shutil.rmtree(p, ignore_errors=True)
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    # day-0 seeds: full dimension, fact snapshot partitioned by priority
+    scd2_merge(
+        cust.withColumn("effective_ts", F.lit("2024-01-01").cast("date")),
+        dim, ["c_custkey"],
+    )
+    merge_upsert(
+        orders.filter(F.col("o_orderkey") % 4 != 3), snap,
+        ["o_orderkey"], partition_by=["o_orderpriority"],
+    )
+    # day-1 CDC batches
+    (
+        cust.filter((F.col("c_custkey") % 5).isin(2, 3))
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 5 == 2, F.lit("X-SEG"))
+            .otherwise(F.col("c_mktsegment")),  # %5=3: identical no-op
+        )
+        .withColumn("effective_ts", F.lit("2024-02-01").cast("date"))
+        .createOrReplaceTempView("e2e_cdc_cust_batch")
+    )
+    (
+        orders.filter((F.col("o_orderkey") % 8).isin(2, 3))
+        .withColumn("o_orderpriority", F.lit("X-CDC"))
+        .withColumn("is_deleted", F.col("o_orderkey") % 16 == 10)
+        .createOrReplaceTempView("e2e_cdc_order_batch")
+    )
+    aggs = {
+        "n_orders": "count(*)",
+        "sum_keys": "sum(o_orderkey)",
+        "total_price": "sum(CAST(o_totalprice AS DECIMAL(18,2)))",
+    }
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM e2e_cdc_cust_batch"},
+        {"stage": "scd2", "path": dim, "keys": ["c_custkey"]},
+        {"stage": "sql", "query": "SELECT * FROM e2e_cdc_order_batch"},
+        {"stage": "merge", "path": snap, "keys": ["o_orderkey"],
+         "delete_col": "is_deleted", "partition_by": ["o_orderpriority"],
+         "name": "facts"},
+        {"stage": "scd2_asof", "path": dim, "ts": "2024-02-15"},
+        {"stage": "select", "columns": ["c_custkey", "c_mktsegment"]},
+        {"stage": "join", "right": "facts",
+         "on": "c_custkey = o_custkey", "how": "inner",
+         "broadcast": False, "name": "dayview"},
+        {"stage": "filter", "predicate": "o_orderkey % 2 = 0"},
+        {"stage": "incremental_agg", "path": mv,
+         "keys": ["c_mktsegment", "o_orderpriority"], "aggs": aggs,
+         "partition_by": ["c_mktsegment"]},
+        {"stage": "sql", "views": {"dv": "dayview"},
+         "query": "SELECT * FROM dv WHERE o_orderkey % 2 = 1"},
+        {"stage": "incremental_agg", "path": mv,
+         "keys": ["c_mktsegment", "o_orderpriority"], "aggs": aggs,
+         "partition_by": ["c_mktsegment"]},
+    ]).run(spark)
+    return out.select(
+        "c_mktsegment", "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("sum_keys").cast("bigint").alias("sum_keys"),
+        F.col("total_price").cast("double").alias("total_price"),
+    )
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC reader/writer driver coverage (r10 — the remaining Spark-core
     columnar format after parquet, previously pytest-only): supplier is
@@ -4938,11 +5148,14 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 10: EMPTY.  The 32 never-driver-checked r9 queries self-front
-    # by the (1, -1) sort key (VERDICT r9 ask #1); r10 perf work
-    # (q_minhash_incremental / q_ann_recall / q_e2e_pretrain) is
-    # output-identical and re-verified by scripts/check_oracle.py after
-    # each change, so nothing needs hand-fronting.
+    # round 11: EMPTY (VERDICT r10 ask #2).  The r11 table-maintenance
+    # work (partition-scoped rewrite, crash recovery, null-safe
+    # anti-join) is output-identical for the existing
+    # q_merge_upsert/q_scd2_orders/q_incremental_agg_orders rows
+    # (re-verified via scripts/check_oracle.py); the three r11-new rows
+    # (q_merge_partitioned, q_scd2_asof, q_e2e_cdc) self-front as
+    # never-recorded.  Window simulation: 3 new + 40 r7-stale + 7
+    # r8-stale = 50 — the full r7 cohort refreshes this round.
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
@@ -4951,11 +5164,10 @@ _CHANGED_THIS_ROUND: list[str] = [
 # locally-verified new queries in rounds where the stale-cohort budget
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
-    # round 10: EMPTY.  All 32 r9-deferred queries must record a driver
-    # CORRECTNESS row this round (VERDICT r9 ask #1); they self-front as
-    # never-recorded.  Window budget: 32 r9-new + r10-new rows, remainder
-    # of the 50 slots goes to the stalest r7 rows; the r7 cohort
-    # completes across r11/r12 per the rotation contract.
+    # round 11: EMPTY (VERDICT r10 ask #2).  The 3 new rows fit inside
+    # the 50-slot window alongside the entire 40-row r7-stale cohort
+    # (7 r8 rows fill the rest), so nothing needs demoting; after this
+    # round no query's latest check is older than r8.
 ]
 
 
@@ -5059,6 +5271,9 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,  # CDC MERGE over parquet, r10
         "q_scd2_orders": q_scd2_orders,  # type-2 SCD versioned merge, r10
         "q_incremental_agg_orders": q_incremental_agg_orders,  # monoid MV fold, r10
+        "q_merge_partitioned": q_merge_partitioned,  # partition-scoped MERGE, r11
+        "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
+        "q_e2e_cdc": q_e2e_cdc,  # merge+scd2+asof+join+MV composition, r11
         "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
         "q_pq_ann": q_pq_ann,  # product-quantization ADC, r6
         "q_ivfpq_ann": q_ivfpq_ann,  # IVF x PQ composition, r6
@@ -7352,6 +7567,101 @@ def oracle_sql() -> dict[str, str]:
                      AS total_price
             FROM merged
             GROUP BY o_orderpriority
+        """,
+        # partition-scoped MERGE replay: same survivors-∪-batch algebra as
+        # q_merge_upsert, restricted to the status-'P' CDC slice
+        "q_merge_partitioned": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            b AS (
+              SELECT o_orderkey, o_orderstatus,
+                     'X-PART' AS o_orderpriority, o_totalprice,
+                     (o_orderkey % 16 = 10) AS del
+              FROM orders
+              WHERE o_orderkey % 8 IN (2, 3) AND o_orderstatus = 'P'),
+            m AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM b WHERE NOT del)
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM m
+            GROUP BY o_orderstatus, o_orderpriority
+        """,
+        # as-of replay: 01-15 is the untouched day-1 seed; 02-15 is the
+        # post-merge current set (kept-unchanged ∪ changed/inserted new
+        # versions; deletes and closed versions invisible)
+        "q_scd2_asof": """
+            WITH t0 AS (
+              SELECT o_orderkey AS k, o_orderpriority AS p,
+                     o_totalprice AS tp
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            b AS (
+              SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 16 = 2 THEN o_orderpriority
+                          ELSE 'X-SCD2' END AS p,
+                     o_totalprice AS tp,
+                     (o_orderkey % 16 = 10) AS gone
+              FROM orders WHERE o_orderkey % 8 IN (2, 3, 6)),
+            post AS (
+              SELECT t0.k, t0.p
+              FROM t0 LEFT JOIN b ON t0.k = b.k
+              WHERE b.k IS NULL
+                 OR (NOT b.gone AND b.p = t0.p AND b.tp = t0.tp)
+              UNION ALL
+              SELECT b.k, b.p
+              FROM b LEFT JOIN t0 ON b.k = t0.k
+              WHERE NOT b.gone
+                AND (t0.k IS NULL OR b.p <> t0.p OR b.tp <> t0.tp))
+            SELECT '2024-01-15' AS asof_date, p AS o_orderpriority,
+                   count(*) AS n_rows,
+                   CAST(sum(k) AS BIGINT) AS sum_keys
+            FROM t0 GROUP BY p
+            UNION ALL
+            SELECT '2024-02-15' AS asof_date, p AS o_orderpriority,
+                   count(*) AS n_rows,
+                   CAST(sum(k) AS BIGINT) AS sum_keys
+            FROM post GROUP BY p
+        """,
+        # e2e CDC chain replay: merged fact snapshot × the 02-15 as-of
+        # dimension state, aggregated directly (the two MV folds must be
+        # indistinguishable from this single aggregate — monoid law)
+        "q_e2e_cdc": """
+            WITH snap0 AS (
+              SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            ob AS (
+              SELECT o_orderkey, o_custkey, 'X-CDC' AS o_orderpriority,
+                     o_totalprice, (o_orderkey % 16 = 10) AS del
+              FROM orders WHERE o_orderkey % 8 IN (2, 3)),
+            facts AS (
+              SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+              FROM snap0
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ob)
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+              FROM ob WHERE NOT del),
+            dim AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 5 = 2 THEN 'X-SEG'
+                          ELSE c_mktsegment END AS c_mktsegment
+              FROM customer)
+            SELECT d.c_mktsegment, f.o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(f.o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS total_price
+            FROM facts f JOIN dim d ON f.o_custkey = d.c_custkey
+            GROUP BY d.c_mktsegment, f.o_orderpriority
         """,
         "q_orc_roundtrip": """
             SELECT s_nationkey,

@@ -174,6 +174,10 @@ HEADLINE = [
     # the real video container+codec chain
     "q_merge_upsert",
     "q_video_frames",
+    # round 11: partition-scoped MERGE (write-amplification fix) and the
+    # full CDC composition chain (same per-query comparison convention)
+    "q_merge_partitioned",
+    "q_e2e_cdc",
 ]
 
 
@@ -297,6 +301,8 @@ def main() -> None:
         "repeat_base": repeat,
         "sf": sf,
         "total": total,
+        "fingerprint": _query_fingerprints(queries, headline),
+        "commits": [c for c in [_git_head()] if c],
     }
     try:
         if only:
@@ -325,6 +331,42 @@ def main() -> None:
     print(summary_line(total, sf, len(timings)), flush=True)
 
 
+def _query_fingerprints(queries: dict, names: list[str]) -> dict[str, str]:
+    """Per-query code fingerprint (md5 of the query function's own
+    source): merge_detail only carries a query's historical minimum
+    forward while its fingerprint is unchanged, so an all-time floor
+    recorded against OLD code can never mask a regression introduced by
+    editing the query. Package-internal changes don't move the
+    fingerprint — those are watched by the per-round BENCH_r{N} ratio
+    and settled with scripts/ab_query.py (the PLANS.md protocol)."""
+    import hashlib
+    import inspect
+
+    out = {}
+    for name in names:
+        try:
+            src = inspect.getsource(queries[name])
+        except (OSError, TypeError):
+            src = name  # builtins/lambdas: fall back to a stable token
+        out[name] = hashlib.md5(src.encode()).hexdigest()[:12]
+    return out
+
+
+def _git_head() -> str | None:
+    """Short HEAD sha for the committed record's audit trail (which
+    commits contributed runs to each floor)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
 def _load_detail(path: str) -> dict | None:
     try:
         with open(path) as fh:
@@ -344,13 +386,30 @@ def merge_detail(old: dict | None, new: dict) -> dict:
     per query, so the committed file stays reviewable) and queries
     dropped from the headline set drop from the record. ``total`` is
     re-derived from the merged minima so it always equals
-    ``sum(min.values())``."""
+    ``sum(min.values())``.
+
+    Floors only merge while the query's code FINGERPRINT matches
+    (ADVICE r10: an all-time minimum recorded against old code would
+    permanently mask a regression) — a query whose fingerprint changed
+    starts a fresh history from this run. Records written before
+    fingerprints existed merge as before (their floors predate any r11+
+    query edit)."""
     if not old or not isinstance(old.get("min"), dict):
         return new
     runs: dict[str, list[float]] = {}
     mins: dict[str, float] = {}
     old_runs = old.get("runs") or {}
+    old_fp = old.get("fingerprint") or {}
+    new_fp = new.get("fingerprint") or {}
     for name, new_runs in new["runs"].items():
+        same_code = (
+            name not in old_fp or name not in new_fp
+            or old_fp[name] == new_fp[name]
+        )
+        if not same_code:
+            runs[name] = list(new_runs)[-10:]
+            mins[name] = new["min"][name]
+            continue
         hist = list(old_runs.get(name) or []) + list(new_runs)
         runs[name] = hist[-10:]
         prior = old["min"].get(name)
@@ -360,12 +419,18 @@ def merge_detail(old: dict | None, new: dict) -> dict:
         # the capped history may have dropped the run that set the
         # floor — the merged min still keeps it
         mins[name] = floor
+    commits = [c for c in (old.get("commits") or []) if c]
+    for c in new.get("commits") or []:
+        if c and c not in commits:
+            commits.append(c)
     return {
         "runs": runs,
         "min": mins,
         "repeat_base": new.get("repeat_base"),
         "sf": new.get("sf"),
         "total": round(sum(mins.values()), 3),
+        "fingerprint": {**old_fp, **new_fp},
+        "commits": commits[-20:],
     }
 
 

@@ -565,9 +565,10 @@ def decode_png(payload: bytes):
 
 
 def decode_image(payload: bytes):
-    """Magic-sniffing raster decode: BMP (``BM``) or PNG (the 8-byte PNG
-    signature) → uint8 H×W×3 RGB array. The shared entry point for
-    stats/features over mixed image columns."""
+    """Magic-sniffing raster decode: BMP (``BM``), PNG (the 8-byte PNG
+    signature) or baseline JPEG (``FF D8``) → uint8 H×W×3 RGB array.
+    The shared entry point for stats/features over mixed image
+    columns."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload is not None and payload[: len(_PNG_SIG)] == _PNG_SIG:

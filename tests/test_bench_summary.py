@@ -96,3 +96,34 @@ def test_merge_detail_no_prior_record():
            "repeat_base": 2, "sf": 0.1, "total": 1.0}
     assert bench.merge_detail(None, new) is new
     assert bench.merge_detail({}, new) is new
+
+
+def test_merge_detail_fingerprint_mismatch_resets_floor():
+    """ADVICE r10: a historical minimum recorded against OLD query code
+    must not mask a regression — a changed fingerprint starts that
+    query's history fresh; matching (or pre-fingerprint) records still
+    merge minima."""
+    old = {
+        "runs": {"a": [1.0], "b": [1.0]},
+        "min": {"a": 1.0, "b": 1.0},
+        "fingerprint": {"a": "aaa", "b": "bbb"},
+        "commits": ["c1"],
+        "sf": 0.1, "repeat_base": 2, "total": 2.0,
+    }
+    new = {
+        "runs": {"a": [2.0], "b": [2.0]},
+        "min": {"a": 2.0, "b": 2.0},
+        "fingerprint": {"a": "aaa", "b": "CHANGED"},
+        "commits": ["c2"],
+        "sf": 0.1, "repeat_base": 2, "total": 4.0,
+    }
+    merged = bench.merge_detail(old, new)
+    assert merged["min"]["a"] == 1.0          # same code: floor kept
+    assert merged["min"]["b"] == 2.0          # changed code: fresh floor
+    assert merged["runs"]["b"] == [2.0]
+    assert merged["commits"] == ["c1", "c2"]
+    assert merged["total"] == 3.0
+    # records from before fingerprints existed merge as before
+    legacy = {"runs": {"a": [0.5]}, "min": {"a": 0.5}}
+    merged2 = bench.merge_detail(legacy, new)
+    assert merged2["min"]["a"] == 0.5
