@@ -1277,10 +1277,10 @@ def semdedup(
     df: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
-    n_clusters: int = 8,
+    n_clusters: int | str = 8,
     iters: int = 2,
     threshold: float = 0.95,
-    max_cluster_size: int | None = None,
+    max_cluster_size: int | None = 1024,
     srp_bits: int = 4,
     seed: int = 42,
 ) -> DataFrame:
@@ -1296,12 +1296,13 @@ def semdedup(
     Scale: the cluster step is the whole point — pairwise scoring
     drops from O(n²) to Σ|cluster|² with the equi-join on the cluster
     id; grow ``n_clusters`` with the corpus (SemDeDup uses ~10⁴-10⁵
-    clusters at web scale) to keep clusters bounded. Clusters can
-    still run hot (a skewed corpus can land half its rows in one
-    cluster no matter how many centroids exist): setting
-    ``max_cluster_size`` sub-buckets every cluster LARGER than it by a
-    seeded ``srp_bits``-bit random-hyperplane signature of the unit
-    vector, so the pair join keys on (cluster, bucket) and a hot
+    clusters at web scale) to keep clusters bounded —
+    ``n_clusters="auto"`` does it for you (one count job; ≈512 rows
+    per cluster, floor 8). Clusters can still run hot (a skewed corpus
+    can land half its rows in one cluster no matter how many centroids
+    exist): ``max_cluster_size`` sub-buckets every cluster LARGER than
+    it by a seeded ``srp_bits``-bit random-hyperplane signature of the
+    unit vector, so the pair join keys on (cluster, bucket) and a hot
     cluster's |c|² collapses to Σ|bucket|² — the guard is the
     :func:`embedding_pairs` SRP shape applied inside clusters.  The
     trade is explicit and the standard one: within an oversized
@@ -1309,7 +1310,12 @@ def semdedup(
     (identical vectors ALWAYS share a bucket; cosine-θ pairs collide
     with prob (1−θ/π)^srp_bits per the SRP bound — recall loss shows
     up as extra survivors, never lost rows).  Clusters at or under the
-    bound are exact as before.  Complement, not replacement,
+    bound are exact as before.  The guard is ON by default (1024 —
+    the r11 sf1 audit measured 52× wall on 10× rows with fixed
+    clusters and no bound: unbounded Σ|c|² is the same hazard class
+    as brute-force all-pairs, which is opt-in-gated too); pass
+    ``max_cluster_size=None`` for the unbounded exact tier on corpora
+    you know are small.  Complement, not replacement,
     of :func:`embedding_pairs`: that one reports cross-corpus dup
     PAIRS via hashing; this one enforces a survivor set via clustering
     — the two standard shapes of embedding-level dedup."""
@@ -1318,7 +1324,11 @@ def semdedup(
         kmeans_clusters,
     )
 
-    assign = kmeans_clusters(df, id_col, vec_col, n_clusters, iters)
+    if n_clusters == "auto":
+        # SemDeDup's own scaling rule: clusters grow with the corpus so
+        # Σ|cluster|² stays ~linear. ≈512 rows/cluster, floor 8.
+        n_clusters = max(8, -(-df.count() // 512))
+    assign = kmeans_clusters(df, id_col, vec_col, int(n_clusters), iters)
     unit = _materialize(
         df.select(
             F.col(id_col).alias("id"),
@@ -1336,25 +1346,34 @@ def semdedup(
             raise ValueError("max_cluster_size must be >= 1")
         if srp_bits < 1:
             raise ValueError("srp_bits must be >= 1 when sub-bucketing")
-        row = df.select(vec_col).first()
-        dim = len(row[0]) if row is not None and row[0] is not None else 1
-        planes = srp_planes(dim, srp_bits, seed)
-        # cluster sizes: one count over the assignment (k rows out),
-        # broadcast back; only OVERSIZED clusters pay the bucket split —
-        # everything else keeps the exact single-bucket path
+        # cluster sizes: one count over the materialized assignment
+        # (k rows out). When NO cluster exceeds the bound — the common
+        # small-corpus case — skip the bucket machinery entirely so the
+        # plan is identical to the exact tier (r11 A/B: the always-on
+        # bucket join cost 1.19x on a corpus that never triggered it).
         sizes = unit.groupBy("cluster").agg(F.count("*").alias("__csz"))
-        unit = (
-            unit.join(F.broadcast(sizes), "cluster")
-            .withColumn(
-                "bucket",
-                F.when(
-                    F.col("__csz") > max_cluster_size,
-                    V.hyperplane_signature(F.col("u"), planes),
-                ).otherwise(F.lit(-1)),
+        max_sz = sizes.agg(F.max("__csz")).collect()[0][0] or 0
+        if max_sz > max_cluster_size:
+            row = df.select(vec_col).first()
+            dim = (
+                len(row[0]) if row is not None and row[0] is not None else 1
             )
-            .drop("__csz")
-        )
-        join_keys = ["cluster", "bucket"]
+            planes = srp_planes(dim, srp_bits, seed)
+            # broadcast the k-row size table back; only OVERSIZED
+            # clusters pay the bucket split — the rest keep the exact
+            # single-bucket path
+            unit = (
+                unit.join(F.broadcast(sizes), "cluster")
+                .withColumn(
+                    "bucket",
+                    F.when(
+                        F.col("__csz") > max_cluster_size,
+                        V.hyperplane_signature(F.col("u"), planes),
+                    ).otherwise(F.lit(-1)),
+                )
+                .drop("__csz")
+            )
+            join_keys = ["cluster", "bucket"]
     a = unit.select(
         F.col("id").alias("id_a"), F.col("u").alias("ua"), *join_keys
     )
@@ -1537,10 +1556,13 @@ def stage_dedup(df: DataFrame, spec: dict) -> DataFrame:
                 "cluster-mate within threshold) — only output='dedup' "
                 "without keep_by; use method='embedding' for pairs"
             )
-        mcs = spec.get("max_cluster_size")
+        # guard defaults ON; spec'ing max_cluster_size: null opts into
+        # the unbounded exact tier explicitly
+        mcs = spec.get("max_cluster_size", 1024)
+        nc = spec.get("n_clusters", 8)
         return semdedup(
             df, id_col, spec.get("column", "embedding"),
-            int(spec.get("n_clusters", 8)), int(spec.get("iters", 2)),
+            nc if nc == "auto" else int(nc), int(spec.get("iters", 2)),
             float(spec.get("threshold", 0.95)),
             int(mcs) if mcs is not None else None,
             int(spec.get("srp_bits", 4)), int(spec.get("seed", 42)),

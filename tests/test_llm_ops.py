@@ -2334,15 +2334,51 @@ def test_semdedup_hot_cluster_guard(spark):
     # the join runs on (cluster, bucket): visible in the physical plan
     plan = guarded._jdf.queryExecution().executedPlan().toString()
     assert "bucket" in plan
+    # unbounded exact tier is an EXPLICIT opt-out now (r11: the sf1
+    # audit measured 52x wall on 10x rows with the guard off — the
+    # default is max_cluster_size=1024)
     unguarded_plan = D.semdedup(
         df, "vec_id", "embedding", n_clusters=2, iters=2,
-        threshold=0.999999,
+        threshold=0.999999, max_cluster_size=None,
     )._jdf.queryExecution().executedPlan().toString()
     assert "bucket" not in unguarded_plan
+    # default-guard run on small clusters: bucket column present but
+    # every cluster under the bound keeps the single-bucket (-1) path,
+    # so results equal the unguarded run exactly
+    default_ids = sorted(
+        r["vec_id"] for r in D.semdedup(
+            df, "vec_id", "embedding", n_clusters=2, iters=2,
+            threshold=0.999999,
+        ).collect()
+    )
+    exact_ids = sorted(
+        r["vec_id"] for r in D.semdedup(
+            df, "vec_id", "embedding", n_clusters=2, iters=2,
+            threshold=0.999999, max_cluster_size=None,
+        ).collect()
+    )
+    assert default_ids == exact_ids
     with pytest.raises(ValueError, match="max_cluster_size"):
         D.semdedup(df, "vec_id", max_cluster_size=0)
     with pytest.raises(ValueError, match="srp_bits"):
         D.semdedup(df, "vec_id", max_cluster_size=5, srp_bits=0)
+
+
+def test_semdedup_auto_clusters(spark):
+    """n_clusters='auto' derives the cluster count from the corpus size
+    (~512 rows/cluster, floor 8) — SemDeDup's own scaling rule, so the
+    pair workload stays ~linear instead of quadratic in N."""
+    import math
+
+    # non-wrapping fan of directions 0.02 rad apart: neighbor cosine
+    # cos(0.02) ~= 0.9998, safely under the 0.99999 threshold
+    rows = [(i, [math.cos(i * 0.02), math.sin(i * 0.02), 0.0])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = D.semdedup(df, "vec_id", "embedding", n_clusters="auto",
+                     iters=1, threshold=0.99999)
+    # 60 rows -> floor of 8 clusters; all distinct directions survive
+    assert out.count() == 60
 
 
 def test_ivf_delete_tombstone_lifecycle(spark, embeddings, tmp_path):
