@@ -2566,6 +2566,51 @@ def q_e2e_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/table.py::compact_table, r11 —
+    the lifecycle op CDC-maintained tables need: every merge batch adds
+    files, so scan overhead grows with ingest history). The snapshot
+    seeds FRAGMENTED — orders %4<>3 written as three separate appends
+    per status partition — then compacts to one file per partition
+    through the same scoped row-count-verified swap the merges use.
+    Compaction is content-preserving by construction, so the oracle is
+    simply the direct aggregate over the same rows; the query asserts
+    the file counts actually dropped and the scoped path ran (content
+    equality alone would hash-green a no-op)."""
+    import os
+    import shutil
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import compact_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_compact_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    base = orders.filter(F.col("o_orderkey") % 4 != 3)
+    for r in range(3):  # three ingest batches -> >= 3 files/partition
+        base.filter(F.col("o_orderkey") % 3 == r).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("o_orderstatus").parquet(target)
+    stats = compact_table(
+        spark, target, partition_by=["o_orderstatus"], min_files=2
+    )
+    assert stats["rewrite"] == "partition", stats
+    assert stats["files_after"] < stats["files_before"], stats
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+    )
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC reader/writer driver coverage (r10 — the remaining Spark-core
     columnar format after parquet, previously pytest-only): supplier is
@@ -5153,9 +5198,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # anti-join) is output-identical for the existing
     # q_merge_upsert/q_scd2_orders/q_incremental_agg_orders rows
     # (re-verified via scripts/check_oracle.py); the three r11-new rows
-    # (q_merge_partitioned, q_scd2_asof, q_e2e_cdc) self-front as
-    # never-recorded.  Window simulation: 3 new + 40 r7-stale + 7
-    # r8-stale = 50 — the full r7 cohort refreshes this round.
+    # (q_merge_partitioned, q_scd2_asof, q_e2e_cdc, q_table_compact)
+    # self-front as never-recorded.  Window simulation: 4 new + 40
+    # r7-stale (the ENTIRE r7 cohort) + 6 r8-stale = 50.
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
@@ -5164,9 +5209,9 @@ _CHANGED_THIS_ROUND: list[str] = [
 # locally-verified new queries in rounds where the stale-cohort budget
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
-    # round 11: EMPTY (VERDICT r10 ask #2).  The 3 new rows fit inside
+    # round 11: EMPTY (VERDICT r10 ask #2).  The 4 new rows fit inside
     # the 50-slot window alongside the entire 40-row r7-stale cohort
-    # (7 r8 rows fill the rest), so nothing needs demoting; after this
+    # (6 r8 rows fill the rest), so nothing needs demoting; after this
     # round no query's latest check is older than r8.
 ]
 
@@ -5274,6 +5319,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_partitioned": q_merge_partitioned,  # partition-scoped MERGE, r11
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,  # merge+scd2+asof+join+MV composition, r11
+        "q_table_compact": q_table_compact,  # small-file compaction, r11
         "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
         "q_pq_ann": q_pq_ann,  # product-quantization ADC, r6
         "q_ivfpq_ann": q_ivfpq_ann,  # IVF x PQ composition, r6
@@ -7662,6 +7708,17 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS total_price
             FROM facts f JOIN dim d ON f.o_custkey = d.c_custkey
             GROUP BY d.c_mktsegment, f.o_orderpriority
+        """,
+        # compaction is content-preserving by construction — the oracle
+        # is the direct aggregate; file-count/scope assertions live in
+        # the query body and tests/test_table.py
+        "q_table_compact": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+            FROM orders
+            WHERE o_orderkey % 4 <> 3
+            GROUP BY o_orderstatus, o_orderpriority
         """,
         "q_orc_roundtrip": """
             SELECT s_nationkey,

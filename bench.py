@@ -178,6 +178,7 @@ HEADLINE = [
     # full CDC composition chain (same per-query comparison convention)
     "q_merge_partitioned",
     "q_e2e_cdc",
+    "q_table_compact",
 ]
 
 

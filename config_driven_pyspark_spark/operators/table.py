@@ -244,6 +244,7 @@ def _stage_verify_swap(
     partition_by: list[str] | None,
     breakdown: str,
     touched_dirs: list[str] | None = None,
+    marker_batch_id: int | None = None,
 ) -> int:
     """Write ``df`` to the sibling staging dir, verify the staged row
     count equals ``expected_rows`` (a short write can never replace a
@@ -279,6 +280,11 @@ def _stage_verify_swap(
             f"expected {breakdown} — aborted, snapshot untouched"
         )
     if touched_dirs is None:
+        if marker_batch_id is not None:
+            # staged INSIDE staging before the swap: the single rename
+            # below commits data + batch marker atomically (underscore
+            # prefix = hidden to the parquet reader)
+            _write_batch_marker(spark, staging, marker_batch_id)
         if not fs.rename(Path(base), Path(backup)):
             raise IOError(f"could not move aside {target_path}")
         if not fs.rename(Path(staging), Path(base)):
@@ -324,6 +330,11 @@ def _stage_verify_swap(
         for d in reversed(moved):
             fs.rename(Path(f"{backup}/{d}"), Path(f"{base}/{d}"))
         raise
+    if marker_batch_id is not None:
+        # scoped swaps replace partition dirs, not the root — the
+        # marker updates right after the promote (the crash window
+        # between promote and marker is documented in incremental_agg)
+        _write_batch_marker(spark, base, marker_batch_id)
     fs.delete(Path(backup), True)
     fs.delete(Path(staging), True)
     return n_after
@@ -788,12 +799,49 @@ _MONOID_COMBINE = {
 }
 
 
+_BATCH_MARKER = "_last_batch_id"
+
+
+def _read_batch_marker(spark: SparkSession, target_path: str) -> int | None:
+    jvm, fs = _fs(spark, target_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{target_path.rstrip('/')}/{_BATCH_MARKER}"
+    )
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            stream.readAllBytes()
+            if hasattr(stream, "readAllBytes") else b""
+        )
+    finally:
+        stream.close()
+    try:
+        return int(data.decode().strip())
+    except ValueError:
+        return None
+
+
+def _write_batch_marker(spark: SparkSession, dir_path: str, batch_id: int):
+    jvm, fs = _fs(spark, dir_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{dir_path.rstrip('/')}/{_BATCH_MARKER}"
+    )
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(str(int(batch_id)).encode()))
+    finally:
+        out.close()
+
+
 def incremental_agg(
     batch: DataFrame,
     target_path: str,
     keys: list[str],
     aggs: dict[str, str],
     partition_by: list[str] | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Incremental materialized aggregate — maintain a persisted groupBy
     result by FOLDING each new batch's partial aggregates into the
@@ -813,6 +861,19 @@ def incremental_agg(
     ``partition_by`` must name key columns; the fold then rewrites only
     the partitions holding the batch's groups (partition-scoped swap —
     untouched partition files stay byte-identical).
+
+    ``batch_id`` (monotonically increasing, e.g. the foreachBatch epoch)
+    makes retried deliveries SAFE for this one retry-sensitive op: the
+    snapshot stores the last folded id in a ``_last_batch_id`` marker
+    (underscore-hidden from the parquet reader) and a fold whose id is
+    <= the stored one is skipped — the standard Structured Streaming
+    batch-id dedup idiom. In full-rewrite mode the marker rides inside
+    the staged directory, so ONE rename commits data + marker
+    atomically; in partition-scoped mode the marker is written
+    immediately after the partition promote, leaving a crash window of
+    one metadata write (a crash exactly there re-folds the touched
+    partitions on retry — strictly narrower than the unguarded
+    behavior, and absent in full mode).
 
     Returns the post-fold aggregate snapshot. Same row-count-verified
     atomic-swap write as the other table maintainers."""
@@ -856,11 +917,20 @@ def incremental_agg(
 
     spark = batch.sparkSession
     _recover_crashed_swap(spark, target_path)
+    if batch_id is not None and _fs_exists(spark, target_path):
+        last = _read_batch_marker(spark, target_path)
+        if last is not None and int(batch_id) <= last:
+            # retried delivery of an already-folded batch — skip
+            return spark.read.parquet(target_path)
     if not _fs_exists(spark, target_path):
         writer = partial.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_path)
+        if batch_id is not None:
+            # bootstrap is a plain overwrite, so a crash before this
+            # marker lands just re-bootstraps identically on retry
+            _write_batch_marker(spark, target_path, int(batch_id))
         return spark.read.parquet(target_path)
 
     stored = spark.read.parquet(target_path)
@@ -912,16 +982,137 @@ def incremental_agg(
         folded, target_path, expected, partition_by,
         "(stored keys in scope + first-seen batch keys)",
         touched_dirs=touched_dirs,
+        marker_batch_id=int(batch_id) if batch_id is not None else None,
     )
     return spark.read.parquet(target_path)
+
+
+def compact_table(
+    spark: SparkSession,
+    target_path: str,
+    partition_by: list[str] | None = None,
+    min_files: int = 2,
+    n_files: int = 1,
+) -> dict:
+    """Small-file compaction — the maintenance op every CDC-maintained
+    table eventually needs: each merge batch writes its own files, so a
+    partition accumulates one file per batch and scan/open overhead
+    grows with ingest history, not data size. Content-preserving by
+    construction (the same rows are rewritten through the row-count-
+    verified swap; a compaction can never change query results).
+
+    Partitioned mode (``partition_by``): one FS listing finds the
+    partitions holding >= ``min_files`` parquet files; ONLY those are
+    read (``basePath`` union of the touched directories — no
+    value-parsing, no full-table scan) and rewritten to one file per
+    partition (``repartition`` on the partition columns hashes each
+    value to a single task). Untouched partitions keep their files
+    byte-identical — the same scoped-swap discipline as the merges.
+
+    Unpartitioned mode: the snapshot coalesces to ``n_files`` behind
+    the full atomic swap.
+
+    Returns ``{files_before, files_after, n_partitions_compacted,
+    n_rows, rewrite}``. A no-op (nothing over the threshold) touches
+    nothing and reports itself as one."""
+    from config_driven_pyspark_spark.operators.similarity import _fs_exists
+
+    if min_files < 2:
+        raise ValueError("min_files must be >= 2 (1 file is compact)")
+    if n_files < 1:
+        raise ValueError("n_files must be >= 1")
+    if not _fs_exists(spark, target_path):
+        raise ValueError(f"no snapshot at {target_path!r} to compact")
+    _recover_crashed_swap(spark, target_path)
+    jvm, fs = _fs(spark, target_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    base = target_path.rstrip("/")
+
+    def _n_parquet_files(rel: str) -> int:
+        p = Path(base if not rel else f"{base}/{rel}")
+        return sum(
+            1 for st in fs.listStatus(p)
+            if not st.isDirectory()
+            and not st.getPath().getName().startswith(("_", "."))
+        )
+
+    if not partition_by:
+        files_before = _n_parquet_files("")
+        if files_before < min_files:
+            return {"files_before": files_before,
+                    "files_after": files_before,
+                    "n_partitions_compacted": 0, "n_rows": None,
+                    "rewrite": "none"}
+        snap = spark.read.parquet(base)
+        expected = snap.count()
+        _stage_verify_swap(
+            snap.coalesce(n_files), base, expected, None,
+            "(content-preserving compaction)",
+        )
+        return {"files_before": files_before,
+                "files_after": _n_parquet_files(""),
+                "n_partitions_compacted": 0, "n_rows": expected,
+                "rewrite": "full"}
+
+    if not _layout_matches(spark, base, partition_by):
+        raise ValueError(
+            f"{target_path!r} is not laid out by {partition_by} — "
+            "compact with the layout the snapshot actually has"
+        )
+    dirs = _list_partition_dirs(spark, base, len(partition_by))
+    counts = {d: _n_parquet_files(d) for d in dirs}
+    touched = sorted(d for d, n in counts.items() if n >= min_files)
+    files_before = sum(counts.values())
+    if not touched:
+        return {"files_before": files_before,
+                "files_after": files_before,
+                "n_partitions_compacted": 0, "n_rows": None,
+                "rewrite": "none"}
+    # read ONLY the oversized partitions; basePath keeps the partition
+    # columns without parsing directory names back into values
+    scope = spark.read.option("basePath", base).parquet(
+        *[f"{base}/{d}" for d in touched]
+    )
+    expected = scope.count()
+    _stage_verify_swap(
+        scope.repartition(*[F.col(c) for c in partition_by]),
+        base, expected, partition_by,
+        "(content-preserving compaction)",
+        touched_dirs=touched,
+    )
+    return {"files_before": files_before,
+            "files_after": sum(
+                _n_parquet_files(d)
+                for d in _list_partition_dirs(spark, base,
+                                              len(partition_by))
+            ),
+            "n_partitions_compacted": len(touched), "n_rows": expected,
+            "rewrite": "partition"}
+
+
+def stage_compact(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "compact", "path": ..., "partition_by": [...]?,
+    "min_files": 2?, "n_files": 1?}`` — compacts the snapshot at
+    ``path`` and returns it post-compaction (source-like: the input
+    frame passes through untouched when no path is given is NOT
+    supported — compaction always names its table)."""
+    compact_table(
+        df.sparkSession, spec["path"], spec.get("partition_by"),
+        int(spec.get("min_files", 2)), int(spec.get("n_files", 1)),
+    )
+    return df.sparkSession.read.parquet(spec["path"])
 
 
 def stage_incremental_agg(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "incremental_agg", "path": ..., "keys": [...],
     "aggs": {out: "sum(expr)" | "count(*)" | "min(expr)" | "max(expr)"},
-    "partition_by": [...]?}`` — ``df`` is the new fact batch; returns
-    the post-fold aggregate snapshot."""
+    "partition_by": [...]?, "batch_id": int?}`` — ``df`` is the new
+    fact batch; returns the post-fold aggregate snapshot. ``batch_id``
+    makes manual re-runs of the same batch skip instead of
+    double-folding (see :func:`incremental_agg`)."""
+    bid = spec.get("batch_id")
     return incremental_agg(
         df, spec["path"], list(spec["keys"]), dict(spec["aggs"]),
         spec.get("partition_by"),
+        batch_id=int(bid) if bid is not None else None,
     )

@@ -250,7 +250,7 @@ class Pipeline:
             "multimodal", "corpus",
             "observe",
             "udf", "grouped_map", "flat_map", "sink", "merge", "scd2",
-            "scd2_asof", "incremental_agg",
+            "scd2_asof", "incremental_agg", "compact",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -448,6 +448,12 @@ class Pipeline:
             )
 
             return stage_incremental_agg(df, spec)
+        if kind == "compact":
+            from config_driven_pyspark_spark.operators.table import (
+                stage_compact,
+            )
+
+            return stage_compact(df, spec)
         raise ValueError(f"Unknown stage kind {kind!r}")
 
     def _batch_stages_fn(self, spec: dict):

@@ -323,12 +323,18 @@ def stage_stream_sink(
                 "re-emitted aggregation (fold partials combine per batch)"
             )
 
-        def _agg_handle(batch_df: DataFrame, _batch_id: int) -> None:
+        def _agg_handle(batch_df: DataFrame, batch_id: int) -> None:
             if batch_stages_fn is not None:
                 batch_df = batch_stages_fn(batch_df)
+            # epoch id rides into the snapshot's _last_batch_id marker:
+            # a RETRIED micro-batch (failure after the fold committed
+            # but before the checkpoint advanced) skips instead of
+            # double-folding — the one retry-sensitive op in the family
+            # (merge/scd2 re-application is idempotent per key)
             incremental_agg(
                 batch_df, spec["path"], list(spec["keys"]),
                 dict(spec["aggs"]), spec.get("partition_by"),
+                batch_id=batch_id,
             )
 
         writer = df.writeStream.foreachBatch(_agg_handle).outputMode(

@@ -730,3 +730,132 @@ def test_merge_partition_by_on_unpartitioned_target_relays_out(
     assert got == {1: ("a", 10), 2: ("b", 21)}
     # the fallback rewrite re-laid the snapshot out partitioned
     assert os.path.isdir(os.path.join(target, "part=a"))
+
+
+def test_incremental_agg_batch_id_skips_retried_delivery(spark, tmp_path):
+    """Exactly-once fold under retries (r11): a batch_id <= the stored
+    marker is a retried delivery and must SKIP — re-folding the same
+    monoid partials double-counts. New ids fold normally."""
+    from config_driven_pyspark_spark.operators.table import incremental_agg
+
+    target = str(tmp_path / "mv_eo")
+    aggs = {"n": "count(*)", "total": "sum(v)"}
+    b1 = spark.createDataFrame([("a", 1), ("b", 2)], "grp string, v bigint")
+    b2 = spark.createDataFrame([("a", 10)], "grp string, v bigint")
+    incremental_agg(b1, target, ["grp"], aggs, batch_id=0)
+    incremental_agg(b2, target, ["grp"], aggs, batch_id=1)
+    # retried deliveries: same id, and an OLDER id
+    incremental_agg(b2, target, ["grp"], aggs, batch_id=1)
+    incremental_agg(b1, target, ["grp"], aggs, batch_id=0)
+    got = {r["grp"]: (r["n"], r["total"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {"a": (2, 11), "b": (1, 2)}
+    # a genuinely new id folds
+    out = incremental_agg(b2, target, ["grp"], aggs, batch_id=2)
+    got = {r["grp"]: (r["n"], r["total"]) for r in out.collect()}
+    assert got == {"a": (3, 21), "b": (1, 2)}
+
+
+def test_incremental_agg_batch_id_partition_scoped(spark, tmp_path):
+    """The marker also dedups retried folds in partition-scoped mode
+    (written right after the partition promote)."""
+    from config_driven_pyspark_spark.operators.table import incremental_agg
+
+    target = str(tmp_path / "mv_eop")
+    aggs = {"total": "sum(v)"}
+    b1 = spark.createDataFrame([("a", 1), ("b", 2)], "grp string, v bigint")
+    b2 = spark.createDataFrame([("a", 5)], "grp string, v bigint")
+    incremental_agg(b1, target, ["grp"], aggs, partition_by=["grp"],
+                    batch_id=0)
+    incremental_agg(b2, target, ["grp"], aggs, partition_by=["grp"],
+                    batch_id=1)
+    incremental_agg(b2, target, ["grp"], aggs, partition_by=["grp"],
+                    batch_id=1)  # retry: skip
+    got = {r["grp"]: r["total"]
+           for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 6, "b": 2}
+
+
+def test_compact_table_partitioned(spark, tmp_path):
+    """Compaction merges a partition's accumulated small files into one
+    while leaving already-compact partitions byte-identical — and the
+    content is unchanged by construction."""
+    from config_driven_pyspark_spark.operators.table import compact_table
+
+    target = str(tmp_path / "frag")
+    # partition a: 4 files (fragmented); partition b: 1 file (compact)
+    for i in range(4):
+        spark.createDataFrame(
+            [(10 * i + j, "a", j) for j in range(3)],
+            "id bigint, part string, qty bigint",
+        ).coalesce(1).write.mode("append").partitionBy("part").parquet(
+            target
+        )
+    spark.createDataFrame(
+        [(100, "b", 9)], "id bigint, part string, qty bigint"
+    ).coalesce(1).write.mode("append").partitionBy("part").parquet(target)
+    before = {r["id"]: (r["part"], r["qty"])
+              for r in spark.read.parquet(target).collect()}
+    before_b = _tree_fingerprint(os.path.join(target, "part=b"))
+    stats = compact_table(spark, target, partition_by=["part"],
+                          min_files=2)
+    assert stats["rewrite"] == "partition"
+    assert stats["n_partitions_compacted"] == 1
+    assert stats["files_after"] < stats["files_before"]
+    a_files = [f for f in os.listdir(os.path.join(target, "part=a"))
+               if f.endswith(".parquet")]
+    assert len(a_files) == 1
+    assert _tree_fingerprint(os.path.join(target, "part=b")) == before_b
+    after = {r["id"]: (r["part"], r["qty"])
+             for r in spark.read.parquet(target).collect()}
+    assert after == before  # content-preserving
+    # second pass is a no-op
+    stats2 = compact_table(spark, target, partition_by=["part"],
+                           min_files=2)
+    assert stats2["rewrite"] == "none"
+    assert stats2["n_partitions_compacted"] == 0
+
+
+def test_compact_table_unpartitioned_and_guards(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.table import compact_table
+
+    target = str(tmp_path / "frag2")
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, "x", i)], "id bigint, val string, qty bigint"
+        ).coalesce(1).write.mode("append").parquet(target)
+    before = {r["id"] for r in spark.read.parquet(target).collect()}
+    stats = compact_table(spark, target)
+    assert stats["files_before"] == 3 and stats["files_after"] == 1
+    assert {r["id"] for r in spark.read.parquet(target).collect()} == before
+    with pytest.raises(ValueError, match="min_files"):
+        compact_table(spark, target, min_files=1)
+    with pytest.raises(ValueError, match="no snapshot"):
+        compact_table(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="not laid out"):
+        compact_table(spark, target, partition_by=["val"])
+
+
+def test_compact_stage_after_merges(spark, tmp_path):
+    """The config-driven lifecycle: CDC merges fragment a partitioned
+    snapshot; a compact stage restores one file per partition without
+    changing a single row."""
+    target = str(tmp_path / "lifecycle")
+    _psnapshot(spark, target, [(1, "a", 10), (2, "b", 20)])
+    for step in range(3):
+        batch = spark.createDataFrame(
+            [(10 + step, "a", step)], "id bigint, part string, qty bigint"
+        )
+        merge_upsert(batch, target, ["id"], partition_by=["part"])
+    before = {r["id"]: (r["part"], r["qty"])
+              for r in spark.read.parquet(target).collect()}
+    spark.createDataFrame([(0,)], "x bigint").createOrReplaceTempView(
+        "dummy_compact"
+    )
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM dummy_compact"},
+        {"stage": "compact", "path": target, "partition_by": ["part"],
+         "min_files": 2},
+    ]).run(spark)
+    after = {r["id"]: (r["part"], r["qty"]) for r in out.collect()}
+    assert after == before
