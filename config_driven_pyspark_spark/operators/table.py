@@ -107,24 +107,36 @@ def _touched_partitions(
     if len(rows) > _MAX_SCOPED_PARTITIONS:
         return None
     dirs = []
-    preds = []
+    vals = []
     for r in rows:
         d = r.asDict()
         dirs.append(
             _partition_dir(partition_by, {c: d[f"__s_{c}"] for c in partition_by})
         )
-        conj = None
-        for c in partition_by:
-            term = (
-                F.col(c).isNull()
-                if d[c] is None
-                else F.col(c).eqNullSafe(F.lit(d[c]))
-            )
-            conj = term if conj is None else (conj & term)
-        preds.append(conj)
-    pred = preds[0]
-    for p in preds[1:]:
-        pred = pred | p
+        vals.append(tuple(d[c] for c in partition_by))
+    if len(partition_by) == 1:
+        # IN-list instead of an OR-chain: at thousands of touched
+        # partitions the chain bloats analysis/codegen, while In is a
+        # single partition-filter node the file index prunes on
+        col = F.col(partition_by[0])
+        non_null = [v[0] for v in vals if v[0] is not None]
+        pred = col.isin(non_null) if non_null else F.lit(False)
+        if any(v[0] is None for v in vals):
+            pred = pred | col.isNull()
+    else:
+        preds = []
+        for v in vals:
+            conj = None
+            for c, x in zip(partition_by, v):
+                term = (
+                    F.col(c).isNull()
+                    if x is None else F.col(c).eqNullSafe(F.lit(x))
+                )
+                conj = term if conj is None else (conj & term)
+            preds.append(conj)
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred | p
     return dirs, pred
 
 
@@ -346,6 +358,7 @@ def merge_upsert(
     keys: list[str],
     delete_col: str | None = None,
     partition_by: list[str] | None = None,
+    allow_new_columns: bool = False,
 ) -> dict:
     """Apply ``source`` (a CDC batch) to the parquet snapshot at
     ``target_path`` and atomically swap in the merged snapshot.
@@ -355,6 +368,16 @@ def merge_upsert(
     rewritten (``partition_by`` set; see module docstring) and
     ``"full"`` otherwise. Every stats number is one aggregate-only
     action.
+
+    Schema evolution: extra source columns are projected off by
+    default (update-all MERGE targets the snapshot's schema);
+    ``allow_new_columns=True`` instead APPENDS them to the snapshot —
+    survivors carry NULL, the Delta ``mergeSchema`` counterpart. Plain
+    parquet has no metadata-only column add, so an evolving merge
+    forces a FULL rewrite (a scoped swap would leave partitions with
+    divergent schemas, which plain directory reads resolve from one
+    file's footer); batches after the evolving one scope normally
+    again.
 
     A missing target bootstraps from the batch's non-delete rows — the
     day-zero case."""
@@ -416,13 +439,33 @@ def merge_upsert(
             "MERGE replaces whole rows, so the batch must carry the full "
             "schema"
         )
+    new_cols = (
+        [c for c in upserts.columns if c not in target.columns]
+        if allow_new_columns else []
+    )
+    if new_cols:
+        # append the evolved columns to the snapshot schema: survivors
+        # carry NULL; types come from the batch
+        target = target.select(
+            "*",
+            *[
+                F.lit(None).cast(upserts.schema[c].dataType).alias(c)
+                for c in new_cols
+            ],
+        )
     # batch keys under join-safe aliases; reused by the stats probe, the
     # (null-safe) survivors anti-join, and touched-partition discovery
     bkeys = source.select(*[F.col(k).alias(f"__k_{k}") for k in keys])
     key_cond = [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys]
 
     touched = None
-    if partition_by and _layout_matches(spark, target_path, partition_by):
+    # an evolving merge can't scope: old-schema files would survive in
+    # untouched partitions and a plain directory read resolves the
+    # schema from one file's footer
+    if (
+        partition_by and not new_cols
+        and _layout_matches(spark, target_path, partition_by)
+    ):
         parts_src = source.select(*partition_by)
         if not set(partition_by) <= set(keys):
             # a matched row may live in a partition the batch's NEW
@@ -494,12 +537,14 @@ def merge_upsert(
 
 def stage_merge(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "merge", "path": ..., "keys": [...],
-    "delete_col": name?, "partition_by": [...]?}`` — ``df`` is the CDC
-    batch; applies it to the snapshot and returns the POST-merge
-    snapshot so downstream stages read the new table state."""
+    "delete_col": name?, "partition_by": [...]?,
+    "allow_new_columns": bool?}`` — ``df`` is the CDC batch; applies it
+    to the snapshot and returns the POST-merge snapshot so downstream
+    stages read the new table state."""
     merge_upsert(
         df, spec["path"], list(spec["keys"]),
         spec.get("delete_col"), spec.get("partition_by"),
+        allow_new_columns=bool(spec.get("allow_new_columns", False)),
     )
     return df.sparkSession.read.parquet(spec["path"])
 

@@ -859,3 +859,37 @@ def test_compact_stage_after_merges(spark, tmp_path):
     ]).run(spark)
     after = {r["id"]: (r["part"], r["qty"]) for r in out.collect()}
     assert after == before
+
+
+def test_merge_schema_evolution_appends_new_columns(spark, tmp_path):
+    """allow_new_columns=True is the Delta mergeSchema counterpart:
+    extra batch columns APPEND to the snapshot (survivors NULL); the
+    default still projects them off. Plain parquet can't add columns by
+    metadata, so an evolving merge forces a full rewrite even with
+    partition_by — and scopes again on the next batch."""
+    target = str(tmp_path / "evo")
+    _psnapshot(spark, target, [(1, "a", 10), (2, "b", 20)])
+    batch = spark.createDataFrame(
+        [(2, "b", 21, "eu")],
+        "id bigint, part string, qty bigint, region string",
+    )
+    # default: extra column dropped, snapshot schema unchanged
+    merge_upsert(batch, target, ["id"], partition_by=["part"])
+    assert "region" not in spark.read.parquet(target).columns
+    # evolving merge: full rewrite, survivors NULL in the new column
+    stats = merge_upsert(batch, target, ["id"], partition_by=["part"],
+                         allow_new_columns=True)
+    assert stats["rewrite"] == "full"
+    got = {r["id"]: (r["qty"], r["region"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: (10, None), 2: (21, "eu")}
+    # post-evolution batches carry the full schema and scope again
+    b2 = spark.createDataFrame(
+        [(1, "a", 11, "us")],
+        "id bigint, part string, qty bigint, region string",
+    )
+    stats2 = merge_upsert(b2, target, ["id"], partition_by=["part"])
+    assert stats2["rewrite"] == "partition"
+    got = {r["id"]: (r["qty"], r["region"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: (11, "us"), 2: (21, "eu")}
