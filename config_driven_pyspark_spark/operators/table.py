@@ -106,13 +106,25 @@ def _touched_partitions(
     )
     if len(rows) > _MAX_SCOPED_PARTITIONS:
         return None
+    return _dirs_and_pred(partition_by, [r.asDict() for r in rows])
+
+
+def _dirs_and_pred(
+    partition_by: list[str], val_dicts: list[dict]
+) -> tuple[list[str], Column]:
+    """Relative dirs + prune predicate from touched-partition value
+    dicts (``{col: typed, "__s_<col>": str}``), deduped by directory."""
     dirs = []
     vals = []
-    for r in rows:
-        d = r.asDict()
-        dirs.append(
-            _partition_dir(partition_by, {c: d[f"__s_{c}"] for c in partition_by})
+    seen = set()
+    for d in val_dicts:
+        path = _partition_dir(
+            partition_by, {c: d[f"__s_{c}"] for c in partition_by}
         )
+        if path in seen:
+            continue
+        seen.add(path)
+        dirs.append(path)
         vals.append(tuple(d[c] for c in partition_by))
     if len(partition_by) == 1:
         # IN-list instead of an OR-chain: at thousands of touched
@@ -458,41 +470,20 @@ def merge_upsert(
     bkeys = source.select(*[F.col(k).alias(f"__k_{k}") for k in keys])
     key_cond = [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys]
 
-    touched = None
     # an evolving merge can't scope: old-schema files would survive in
     # untouched partitions and a plain directory read resolves the
     # schema from one file's footer
-    if (
-        partition_by and not new_cols
+    scoped = (
+        bool(partition_by) and not new_cols
         and _layout_matches(spark, target_path, partition_by)
-    ):
-        parts_src = source.select(*partition_by)
-        if not set(partition_by) <= set(keys):
-            # a matched row may live in a partition the batch's NEW
-            # values don't name (the partition value itself changed) —
-            # find those with one read-only semi-join; the 100 TB win is
-            # write amplification, not this pruned read
-            parts_src = parts_src.unionByName(
-                target.join(bkeys, key_cond, "left_semi").select(
-                    *partition_by
-                )
-            )
-        touched = _touched_partitions(parts_src, partition_by)
-    if touched is not None:
-        touched_dirs, prune = touched
-        tgt_scope = target.filter(prune)
-        # full-table row count is a zero-column scan (row-group counts);
-        # the expensive passes below all run on the pruned scope only
-        n_before = target.count()
-    else:
-        touched_dirs = None
-        tgt_scope = target
-        n_before = None
-
-    # one scoped-snapshot pass for count / n_matched / n_deleted
-    # together: a left join against the (small, AQE-broadcast) batch
-    # keys + one aggregate — never three separate snapshot scans. Every
-    # matched row is inside the scope by construction of the touched set.
+    )
+    # ONE snapshot pass for n_before / n_matched / n_deleted — a left
+    # join against the (small, AQE-broadcast) batch keys + one
+    # aggregate. In scoped mode the SAME pass also collects the
+    # partition values matched rows currently live in (an update can
+    # move a row out of a partition the batch's new values never name)
+    # — the r11 consolidation that removed the separate semi-join scan
+    # and count job which made scoped merges read the snapshot twice.
     probe = source.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
         (
@@ -500,18 +491,66 @@ def merge_upsert(
             if delete_col is not None else F.lit(False)
         ).alias("__del"),
     )
-    tgt_stats = tgt_scope.join(probe, key_cond, "left").agg(
+    need_old_parts = scoped and not set(partition_by) <= set(keys)
+    stat_aggs = [
         F.count("*").alias("n"),
         F.sum(F.col("__del").isNotNull().cast("long")).alias("n_m"),
         F.sum(F.coalesce(F.col("__del"), F.lit(False)).cast("long")).alias(
             "n_d"
         ),
+    ]
+    if need_old_parts:
+        stat_aggs.append(
+            F.collect_set(
+                F.when(
+                    F.col("__del").isNotNull(),
+                    F.struct(
+                        *[F.col(c).alias(c) for c in partition_by],
+                        *[
+                            F.col(c).cast("string").alias(f"__s_{c}")
+                            for c in partition_by
+                        ],
+                    ),
+                )
+            ).alias("__oldparts")
+        )
+    tgt_stats = target.join(probe, key_cond, "left").agg(
+        *stat_aggs
     ).collect()[0]
-    n_scope = int(tgt_stats["n"])
-    if n_before is None:
-        n_before = n_scope
+    n_before = int(tgt_stats["n"])
     n_matched = int(tgt_stats["n_m"] or 0)
     n_deleted = int(tgt_stats["n_d"] or 0)
+
+    touched = None
+    if scoped:
+        # partitions the batch writes into: one batch-sized distinct
+        new_parts = source.select(
+            *[F.col(c) for c in partition_by],
+            *[
+                F.col(c).cast("string").alias(f"__s_{c}")
+                for c in partition_by
+            ],
+        ).distinct().limit(_MAX_SCOPED_PARTITIONS + 1).collect()
+        vals = [r.asDict() for r in new_parts]
+        if need_old_parts:
+            vals.extend(r.asDict() for r in tgt_stats["__oldparts"] or [])
+        if len(new_parts) <= _MAX_SCOPED_PARTITIONS and len(vals) <= (
+            2 * _MAX_SCOPED_PARTITIONS
+        ):
+            touched = _dirs_and_pred(partition_by, vals)
+    if touched is not None:
+        touched_dirs, prune = touched
+        if len(touched_dirs) > _MAX_SCOPED_PARTITIONS:
+            touched_dirs, prune, touched = None, None, None
+    if touched is not None:
+        tgt_scope = target.filter(prune)
+        # rows inside the touched partitions: a partition-pruned,
+        # zero-column scan (row-group counts only)
+        n_scope = tgt_scope.count()
+    else:
+        touched_dirs = None
+        tgt_scope = target
+        n_scope = n_before
     n_updated = n_matched - n_deleted
     n_inserted = n_src - n_matched - (n_del_total - n_deleted)
     # null-safe anti-join: a NULL-key target row matched null-safely by
