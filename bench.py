@@ -179,6 +179,7 @@ HEADLINE = [
     "q_merge_partitioned",
     "q_e2e_cdc",
     "q_table_compact",
+    "q_scd2_asof",
 ]
 
 

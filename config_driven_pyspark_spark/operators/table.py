@@ -1077,6 +1077,8 @@ def compact_table(
     partition_by: list[str] | None = None,
     min_files: int = 2,
     n_files: int = 1,
+    sort_within: list[str] | None = None,
+    z_order_by: list[str] | None = None,
 ) -> dict:
     """Small-file compaction — the maintenance op every CDC-maintained
     table eventually needs: each merge batch writes its own files, so a
@@ -1096,6 +1098,14 @@ def compact_table(
     Unpartitioned mode: the snapshot coalesces to ``n_files`` behind
     the full atomic swap.
 
+    Compaction is also the natural moment to RECLUSTER: ``sort_within``
+    sorts rows inside each rewritten file (parquet min/max row-group
+    stats then prune point/range queries on those columns);
+    ``z_order_by`` is the multi-dimensional version (Morton curve over
+    quantile buckets — the same ``z_value`` the sink stage uses). Both
+    keep the op content-preserving; they only change row order inside
+    the rewritten files.
+
     Returns ``{files_before, files_after, n_partitions_compacted,
     n_rows, rewrite}``. A no-op (nothing over the threshold) touches
     nothing and reports itself as one."""
@@ -1105,6 +1115,23 @@ def compact_table(
         raise ValueError("min_files must be >= 2 (1 file is compact)")
     if n_files < 1:
         raise ValueError("n_files must be >= 1")
+    if sort_within and z_order_by:
+        raise ValueError("sort_within and z_order_by are exclusive")
+
+    def _cluster(df: DataFrame) -> DataFrame:
+        # the dynamic-partition writer re-sorts each task by the
+        # partition columns unless the child is ALREADY ordered by them
+        # — prefix the cluster sort so our row order survives the write
+        prefix = list(partition_by or [])
+        if z_order_by:
+            from config_driven_pyspark_spark.sources.writers import z_value
+
+            return df.withColumn(
+                "__z", z_value(df, list(z_order_by))
+            ).sortWithinPartitions(*prefix, "__z").drop("__z")
+        if sort_within:
+            return df.sortWithinPartitions(*prefix, *sort_within)
+        return df
     if not _fs_exists(spark, target_path):
         raise ValueError(f"no snapshot at {target_path!r} to compact")
     _recover_crashed_swap(spark, target_path)
@@ -1130,7 +1157,7 @@ def compact_table(
         snap = spark.read.parquet(base)
         expected = snap.count()
         _stage_verify_swap(
-            snap.coalesce(n_files), base, expected, None,
+            _cluster(snap.coalesce(n_files)), base, expected, None,
             "(content-preserving compaction)",
         )
         return {"files_before": files_before,
@@ -1159,7 +1186,7 @@ def compact_table(
     )
     expected = scope.count()
     _stage_verify_swap(
-        scope.repartition(*[F.col(c) for c in partition_by]),
+        _cluster(scope.repartition(*[F.col(c) for c in partition_by])),
         base, expected, partition_by,
         "(content-preserving compaction)",
         touched_dirs=touched,
@@ -1176,13 +1203,13 @@ def compact_table(
 
 def stage_compact(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "compact", "path": ..., "partition_by": [...]?,
-    "min_files": 2?, "n_files": 1?}`` — compacts the snapshot at
-    ``path`` and returns it post-compaction (source-like: the input
-    frame passes through untouched when no path is given is NOT
-    supported — compaction always names its table)."""
+    "min_files": 2?, "n_files": 1?, "sort_within": [...]?,
+    "z_order_by": [...]?}`` — compacts (and optionally reclusters) the
+    snapshot at ``path`` and returns it post-compaction."""
     compact_table(
         df.sparkSession, spec["path"], spec.get("partition_by"),
         int(spec.get("min_files", 2)), int(spec.get("n_files", 1)),
+        spec.get("sort_within"), spec.get("z_order_by"),
     )
     return df.sparkSession.read.parquet(spec["path"])
 

@@ -893,3 +893,50 @@ def test_merge_schema_evolution_appends_new_columns(spark, tmp_path):
     got = {r["id"]: (r["qty"], r["region"])
            for r in spark.read.parquet(target).collect()}
     assert got == {1: (11, "us"), 2: (21, "eu")}
+
+
+def test_compact_with_reclustering(spark, tmp_path):
+    """Compaction can recluster: sort_within orders rows inside the
+    rewritten file (parquet row-group stats then prune on that column)
+    while staying content-preserving; z_order_by composes the sink's
+    Morton helper the same way; the two are exclusive."""
+    from config_driven_pyspark_spark.operators.table import compact_table
+
+    target = str(tmp_path / "rc")
+    rows = [(i, "a", (i * 37) % 100) for i in range(50)]
+    for lo, hi in [(0, 17), (17, 34), (34, 50)]:
+        spark.createDataFrame(
+            rows[lo:hi], "id bigint, part string, qty bigint"
+        ).coalesce(1).write.mode("append").partitionBy("part").parquet(
+            target
+        )
+    before = {(r["id"], r["qty"])
+              for r in spark.read.parquet(target).collect()}
+    stats = compact_table(spark, target, partition_by=["part"],
+                          min_files=2, sort_within=["qty"])
+    assert stats["n_partitions_compacted"] == 1
+    after_df = spark.read.parquet(os.path.join(target, "part=a"))
+    assert {(r["id"], r["qty"]) for r in after_df.collect()} == before
+    # rows inside the single rewritten file are qty-ordered
+    qtys = [r["qty"] for r in after_df.collect()]
+    assert qtys == sorted(qtys)
+    with pytest.raises(ValueError, match="exclusive"):
+        compact_table(spark, target, partition_by=["part"],
+                      sort_within=["qty"], z_order_by=["id", "qty"])
+
+
+def test_compact_z_order(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.table import compact_table
+
+    target = str(tmp_path / "rz")
+    rows = [(i, float(i % 7), float((i * 13) % 11)) for i in range(60)]
+    for lo in (0, 30):
+        spark.createDataFrame(
+            rows[lo:lo + 30], "id bigint, x double, y double"
+        ).coalesce(1).write.mode("append").parquet(target)
+    before = {tuple(r) for r in spark.read.parquet(target).collect()}
+    stats = compact_table(spark, target, z_order_by=["x", "y"])
+    assert stats["files_after"] == 1
+    after = spark.read.parquet(target)
+    assert {tuple(r) for r in after.collect()} == before
+    assert "__z" not in after.columns  # helper column projected off
