@@ -38,6 +38,15 @@ file granularity, here at partition granularity. Without
 ``partition_by`` the whole snapshot is rewritten per batch — fine for
 aggregate-sized tables, a scale-killer for fact snapshots; partition
 large tables.
+
+Read amplification: when every partition column is a match key,
+matched rows provably live in batch-named partitions, so the stats
+probe also runs against the PRUNED scope — the full snapshot is
+touched only by one zero-column count (footer metadata). When a
+partition column is NOT a key, the probe prunes on the ``_key_stats``
+sidecar (per-partition min/max of each match key, maintained at swap
+time — Delta-style data skipping) and falls back to a full probe when
+the sidecar is missing or stale-wide.
 """
 
 from __future__ import annotations
@@ -52,6 +61,12 @@ _MAX_SCOPED_PARTITIONS = 4096
 # (ExternalCatalogUtils.escapePathName: control chars, '"', '#', '%',
 # ''', '*', '/', ':', '=', '?', '\\', DEL, '{', '[', ']', '^')
 _HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f')
+
+# dropped into the live root just before a FULL swap's first rename (so
+# it travels into the backup): a backup carrying it next to a live
+# target means the swap COMPLETED and the backup is pure debris.
+# Underscore prefix = invisible to the parquet reader.
+_FULL_SWAP_MARKER = "_premerge_full"
 
 
 def _fs(spark: SparkSession, path: str):
@@ -126,23 +141,42 @@ def _dirs_and_pred(
         seen.add(path)
         dirs.append(path)
         vals.append(tuple(d[c] for c in partition_by))
+    # '' and NULL are ONE equivalence class: both write to
+    # __HIVE_DEFAULT_PARTITION__ and rows already in that directory read
+    # back as NULL — a prune predicate matching only == '' would exclude
+    # those survivors from the scoped rewrite and silently drop them
+    # when the directory is swapped
+    def _null_class(x) -> bool:
+        return x is None or x == ""
+
+    def _null_term(c: str, x) -> Column:
+        # the == '' arm only when '' was actually observed (proves the
+        # column is string-typed — ANSI mode would error casting '' for
+        # a numeric partition column); NULL-only classes need only
+        # isNull, since __HIVE_DEFAULT_PARTITION__ reads back as NULL
+        term = F.col(c).isNull()
+        return term | (F.col(c) == F.lit("")) if x == "" else term
+
     if len(partition_by) == 1:
         # IN-list instead of an OR-chain: at thousands of touched
         # partitions the chain bloats analysis/codegen, while In is a
         # single partition-filter node the file index prunes on
         col = F.col(partition_by[0])
-        non_null = [v[0] for v in vals if v[0] is not None]
-        pred = col.isin(non_null) if non_null else F.lit(False)
-        if any(v[0] is None for v in vals):
-            pred = pred | col.isNull()
+        plain = [v[0] for v in vals if not _null_class(v[0])]
+        pred = col.isin(plain) if plain else F.lit(False)
+        nulls = [v[0] for v in vals if _null_class(v[0])]
+        if nulls:
+            pred = pred | _null_term(
+                partition_by[0], "" if "" in nulls else None
+            )
     else:
         preds = []
         for v in vals:
             conj = None
             for c, x in zip(partition_by, v):
                 term = (
-                    F.col(c).isNull()
-                    if x is None else F.col(c).eqNullSafe(F.lit(x))
+                    _null_term(c, x)
+                    if _null_class(x) else F.col(c).eqNullSafe(F.lit(x))
                 )
                 conj = term if conj is None else (conj & term)
             preds.append(conj)
@@ -150,6 +184,22 @@ def _dirs_and_pred(
         for p in preds[1:]:
             pred = pred | p
     return dirs, pred
+
+
+def _cast_void_cols(target: DataFrame, like: DataFrame) -> DataFrame:
+    """A partition column whose directories are all
+    ``__HIVE_DEFAULT_PARTITION__`` reads back as VOID — there are no
+    values to infer a type from (data columns are immune; their types
+    come from the parquet footers). Cast such columns to the batch's
+    type so key joins and struct comparisons analyze."""
+    voids = {c for c, t in target.dtypes if t == "void" and c in like.columns}
+    if not voids:
+        return target
+    return target.select(*[
+        F.col(c).cast(like.schema[c].dataType).alias(c) if c in voids
+        else F.col(c)
+        for c in target.columns
+    ])
 
 
 def _layout_matches(
@@ -206,11 +256,20 @@ def _recover_crashed_swap(spark: SparkSession, target_path: str) -> None:
     - target missing + ``__premerge`` present → the crash hit between
       the two renames of a full swap; the backup IS the snapshot —
       rename it back.
-    - both present (a partition-scoped crash) → restore every backed-up
-      partition directory whose target counterpart is missing (moved
-      aside but not yet re-promoted); backed-up partitions whose target
-      counterpart exists were already promoted and the backup copy is
-      then genuine debris.
+    - both present + the backup carries the ``_premerge_full`` marker
+      (dropped into the root just before a full swap's first rename) →
+      the full swap COMPLETED and only the backup delete was lost; the
+      backup is the entire PRE-merge snapshot and restoring any of it
+      would blend old rows into the new one — pure debris, delete.
+    - both present, no marker (a partition-scoped crash, or a legacy
+      backup) → restore every backed-up partition DIRECTORY whose
+      target counterpart is missing (moved aside but not yet
+      re-promoted). Only whole missing directories are ever renamed —
+      never individual files into an existing destination directory:
+      part-file names are job-unique, so a file-level restore into a
+      promoted partition would silently DUPLICATE its pre-merge rows.
+      A backed-up partition whose target counterpart exists was already
+      promoted; its backup copy is genuine debris.
     - ``__staging`` with a live target → an unverified or unpromoted
       staged write; debris.
     - ``__staging`` with NO target and no backup → an unrecognizable
@@ -233,8 +292,12 @@ def _recover_crashed_swap(spark: SparkSession, target_path: str) -> None:
                     f"found crashed-merge backup {base}__premerge but could "
                     f"not restore it to {target_path!r}"
                 )
+            # the mode marker travelled with the restored root — drop it
+            fs.delete(Path(f"{base}/{_FULL_SWAP_MARKER}"), False)
+        elif fs.exists(Path(f"{base}__premerge/{_FULL_SWAP_MARKER}")):
+            fs.delete(backup_p, True)
         else:
-            _restore_missing_children(
+            _restore_missing_dirs(
                 fs, jvm.org.apache.hadoop.fs.Path, backup_p, target_p
             )
             fs.delete(backup_p, True)
@@ -248,17 +311,23 @@ def _recover_crashed_swap(spark: SparkSession, target_path: str) -> None:
         fs.delete(staging_p, True)
 
 
-def _restore_missing_children(fs, Path, src_dir, dst_dir) -> None:
-    """Recursively rename children of ``src_dir`` missing under
-    ``dst_dir`` back into place (existing destinations win — they are
-    post-merge data promoted before the crash)."""
+def _restore_missing_dirs(fs, Path, src_dir, dst_dir) -> None:
+    """Rename whole child DIRECTORIES of ``src_dir`` missing under
+    ``dst_dir`` back into place; recurse where both sides have the
+    directory (an intermediate partition level whose leaves diverge).
+    Files are never restored: a leaf partition dir present on both
+    sides was promoted before the crash, and recursing into it finds
+    only its pre-merge data files, which are skipped — the fix for the
+    r11 blend bug where job-unique part-file names let pre-merge files
+    rename into already-promoted directories as duplicate rows."""
     for st in fs.listStatus(src_dir):
-        name = st.getPath().getName()
-        dst_child = Path(f"{dst_dir.toString()}/{name}")
+        if not st.isDirectory():
+            continue
+        dst_child = Path(f"{dst_dir.toString()}/{st.getPath().getName()}")
         if not fs.exists(dst_child):
             fs.rename(st.getPath(), dst_child)
-        elif st.isDirectory():
-            _restore_missing_children(fs, Path, st.getPath(), dst_child)
+        else:
+            _restore_missing_dirs(fs, Path, st.getPath(), dst_child)
 
 
 def _stage_verify_swap(
@@ -309,10 +378,17 @@ def _stage_verify_swap(
             # below commits data + batch marker atomically (underscore
             # prefix = hidden to the parquet reader)
             _write_batch_marker(spark, staging, marker_batch_id)
+        # mode marker into the live root — it travels with the rename,
+        # so a backup carrying it next to a live target proves the swap
+        # completed and recovery may delete the backup outright instead
+        # of resurrecting partitions the merge legitimately dropped
+        out = fs.create(Path(f"{base}/{_FULL_SWAP_MARKER}"), True)
+        out.close()
         if not fs.rename(Path(base), Path(backup)):
             raise IOError(f"could not move aside {target_path}")
         if not fs.rename(Path(staging), Path(base)):
             fs.rename(Path(backup), Path(base))
+            fs.delete(Path(f"{base}/{_FULL_SWAP_MARKER}"), False)
             raise IOError(
                 f"could not swap merged snapshot into {target_path!r}"
             )
@@ -443,7 +519,7 @@ def merge_upsert(
                 "n_inserted": n_ins, "n_deleted": 0, "n_after": n_ins,
                 "rewrite": "full"}
 
-    target = spark.read.parquet(target_path)
+    target = _cast_void_cols(spark.read.parquet(target_path), upserts)
     missing = [c for c in target.columns if c not in upserts.columns]
     if missing:
         raise ValueError(
@@ -492,6 +568,33 @@ def merge_upsert(
         ).alias("__del"),
     )
     need_old_parts = scoped and not set(partition_by) <= set(keys)
+
+    # r12 read-path fix: when every partition column IS a match key,
+    # matched target rows provably share the batch rows' partition
+    # values — discover the touched partitions FIRST (one batch-sized
+    # distinct, no snapshot read) and run the stats probe against the
+    # PRUNED scope. The full snapshot is then touched only by one
+    # zero-column count for n_before (row-group metadata, no column
+    # bytes) — r11 scoped the writes; this scopes the probe reads.
+    new_parts: list = []
+    touched = None
+    pre_pruned = False
+    if scoped:
+        new_parts = source.select(
+            *[F.col(c) for c in partition_by],
+            *[
+                F.col(c).cast("string").alias(f"__s_{c}")
+                for c in partition_by
+            ],
+        ).distinct().limit(_MAX_SCOPED_PARTITIONS + 1).collect()
+    if (
+        scoped and not need_old_parts
+        and len(new_parts) <= _MAX_SCOPED_PARTITIONS
+    ):
+        touched = _dirs_and_pred(
+            partition_by, [r.asDict() for r in new_parts]
+        )
+        pre_pruned = True
     stat_aggs = [
         F.count("*").alias("n"),
         F.sum(F.col("__del").isNotNull().cast("long")).alias("n_m"),
@@ -501,36 +604,41 @@ def merge_upsert(
     ]
     if need_old_parts:
         stat_aggs.append(
-            F.collect_set(
-                F.when(
-                    F.col("__del").isNotNull(),
-                    F.struct(
-                        *[F.col(c).alias(c) for c in partition_by],
-                        *[
-                            F.col(c).cast("string").alias(f"__s_{c}")
-                            for c in partition_by
-                        ],
-                    ),
-                )
+            # sliced IN the query: the fallback decision only needs to
+            # know the set exceeded 2*cap, so the driver never receives
+            # (and the final agg never ships) an unbounded array when a
+            # batch's matches span a huge partition count
+            F.slice(
+                F.collect_set(
+                    F.when(
+                        F.col("__del").isNotNull(),
+                        F.struct(
+                            *[F.col(c).alias(c) for c in partition_by],
+                            *[
+                                F.col(c).cast("string").alias(f"__s_{c}")
+                                for c in partition_by
+                            ],
+                        ),
+                    )
+                ),
+                1, 2 * _MAX_SCOPED_PARTITIONS + 1,
             ).alias("__oldparts")
         )
-    tgt_stats = target.join(probe, key_cond, "left").agg(
+    probe_src = target.filter(touched[1]) if pre_pruned else target
+    tgt_stats = probe_src.join(probe, key_cond, "left").agg(
         *stat_aggs
     ).collect()[0]
-    n_before = int(tgt_stats["n"])
     n_matched = int(tgt_stats["n_m"] or 0)
     n_deleted = int(tgt_stats["n_d"] or 0)
+    if pre_pruned:
+        # the probe ran over the pruned scope, so its count IS n_scope;
+        # n_before costs one zero-column scan (footer metadata only)
+        n_scope = int(tgt_stats["n"])
+        n_before = target.count()
+    else:
+        n_before = int(tgt_stats["n"])
 
-    touched = None
-    if scoped:
-        # partitions the batch writes into: one batch-sized distinct
-        new_parts = source.select(
-            *[F.col(c) for c in partition_by],
-            *[
-                F.col(c).cast("string").alias(f"__s_{c}")
-                for c in partition_by
-            ],
-        ).distinct().limit(_MAX_SCOPED_PARTITIONS + 1).collect()
+    if scoped and not pre_pruned:
         vals = [r.asDict() for r in new_parts]
         if need_old_parts:
             vals.extend(r.asDict() for r in tgt_stats["__oldparts"] or [])
@@ -538,15 +646,17 @@ def merge_upsert(
             2 * _MAX_SCOPED_PARTITIONS
         ):
             touched = _dirs_and_pred(partition_by, vals)
+        if touched is not None and len(touched[0]) > _MAX_SCOPED_PARTITIONS:
+            touched = None
     if touched is not None:
         touched_dirs, prune = touched
-        if len(touched_dirs) > _MAX_SCOPED_PARTITIONS:
-            touched_dirs, prune, touched = None, None, None
-    if touched is not None:
-        tgt_scope = target.filter(prune)
-        # rows inside the touched partitions: a partition-pruned,
-        # zero-column scan (row-group counts only)
-        n_scope = tgt_scope.count()
+        if pre_pruned:
+            tgt_scope = probe_src
+        else:
+            tgt_scope = target.filter(prune)
+            # rows inside the touched partitions: a partition-pruned,
+            # zero-column scan (row-group counts only)
+            n_scope = tgt_scope.count()
     else:
         touched_dirs = None
         tgt_scope = target
@@ -687,7 +797,7 @@ def scd2_merge(
         return {"n_closed": 0, "n_new_versions": n, "n_unchanged": 0,
                 "n_deleted": 0, "n_after": n, "rewrite": "full"}
 
-    target = spark.read.parquet(target_path)
+    target = _cast_void_cols(spark.read.parquet(target_path), upserts)
     # a snapshot partitioned by is_current reads the flag back as a
     # STRING partition value (Spark's partition-type inference has no
     # boolean case) — normalize, the merge owns this column
@@ -736,6 +846,9 @@ def scd2_merge(
     if touched is not None:
         touched_dirs, prune = touched
         tgt_scope = target.filter(prune)
+        # the ONLY full-snapshot touch in scoped mode: a zero-column
+        # count (row-group footer metadata, no column bytes) for the
+        # n_after stat — every join/aggregate below reads tgt_scope
         n_total = target.count()
     else:
         touched_dirs = None
@@ -895,10 +1008,21 @@ def _read_batch_marker(spark: SparkSession, target_path: str) -> int | None:
         return None
     stream = fs.open(p)
     try:
-        data = bytes(
-            stream.readAllBytes()
-            if hasattr(stream, "readAllBytes") else b""
-        )
+        try:
+            # portable full read (readAllBytes is Java 11+; silently
+            # returning nothing here would disable the retry dedup the
+            # marker exists for)
+            data = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        except Exception:
+            # byte-at-a-time fallback — the marker is ~10 bytes
+            out = []
+            b = stream.read()
+            while b != -1:
+                out.append(b)
+                b = stream.read()
+            data = bytes(out)
     finally:
         stream.close()
     try:
@@ -1017,7 +1141,7 @@ def incremental_agg(
             _write_batch_marker(spark, target_path, int(batch_id))
         return spark.read.parquet(target_path)
 
-    stored = spark.read.parquet(target_path)
+    stored = _cast_void_cols(spark.read.parquet(target_path), partial)
     missing = [c for c in (*keys, *aggs) if c not in stored.columns]
     if missing:
         raise ValueError(

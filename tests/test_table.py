@@ -940,3 +940,130 @@ def test_compact_z_order(spark, tmp_path):
     after = spark.read.parquet(target)
     assert {tuple(r) for r in after.collect()} == before
     assert "__z" not in after.columns  # helper column projected off
+
+
+# ---------------------------------------------------------------------------
+# r12 ADVICE fixes: crash recovery must never blend pre-merge files into a
+# live snapshot, and ''/NULL partition values are one equivalence class
+# ---------------------------------------------------------------------------
+
+
+def test_recovery_deletes_completed_full_swap_backup(spark, tmp_path):
+    """ADVICE r11 (high): a crash between a COMPLETED full swap and the
+    backup delete leaves both the new target and the whole pre-merge
+    snapshot in __premerge. Recovery must treat the backup as pure
+    debris — the old behavior renamed its (job-unique-named) part files
+    into the live table and doubled every pre-merge row."""
+    import shutil
+
+    target = str(tmp_path / "blend1")
+    _snapshot(spark, target, [(1, "a", 10), (2, "b", 20)])
+    # first merge rewrites the snapshot; then simulate the crash state:
+    # pre-merge copy in __premerge (with the full-swap marker the swap
+    # writes into the root pre-rename) next to the live post-merge table
+    batch1 = spark.createDataFrame(
+        [(2, "B", 21)], "id bigint, val string, qty bigint"
+    )
+    merge_upsert(batch1, target, ["id"])
+    shutil.copytree(target, target + "__premerge")
+    # rename the backup's part files so none collide (job-unique names)
+    bdir = target + "__premerge"
+    for i, f in enumerate(sorted(os.listdir(bdir))):
+        if f.startswith("part-"):
+            os.rename(os.path.join(bdir, f),
+                      os.path.join(bdir, f"part-old{i}.parquet"))
+    open(os.path.join(bdir, "_premerge_full"), "w").close()
+    batch2 = spark.createDataFrame(
+        [(3, "c", 30)], "id bigint, val string, qty bigint"
+    )
+    stats = merge_upsert(batch2, target, ["id"])
+    # n_before=2 proves no pre-merge rows were blended back in
+    assert stats["n_before"] == 2 and stats["n_after"] == 3
+    got = {r["id"]: r["val"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert not os.path.exists(target + "__premerge")
+
+
+def test_recovery_never_blends_promoted_partition(spark, tmp_path):
+    """ADVICE r11 (high), scoped variant: a crash between the partition
+    promote and the backup delete leaves the PRE-merge copy of a
+    promoted partition in __premerge. Recovery must not rename its
+    files into the (already post-merge) live partition directory."""
+    import shutil
+
+    target = str(tmp_path / "blend2")
+    _psnapshot(spark, target, [(1, "a", 10), (2, "a", 20), (3, "b", 30)])
+    # keep a pre-merge copy of part=a aside, then merge (rewrites a)
+    shutil.copytree(os.path.join(target, "part=a"), str(tmp_path / "prea"))
+    batch = spark.createDataFrame(
+        [(1, "a", 11)], "id bigint, part string, qty bigint"
+    )
+    merge_upsert(batch, target, ["id"], partition_by=["part"])
+    # simulate the crash: pre-merge part=a sits in the backup with
+    # job-unique file names that don't exist in the promoted directory
+    os.makedirs(target + "__premerge")
+    shutil.copytree(str(tmp_path / "prea"),
+                    os.path.join(target + "__premerge", "part=a"))
+    adir = os.path.join(target + "__premerge", "part=a")
+    for i, f in enumerate(sorted(os.listdir(adir))):
+        if f.startswith("part-"):
+            os.rename(os.path.join(adir, f),
+                      os.path.join(adir, f"part-old{i}.parquet"))
+    batch2 = spark.createDataFrame(
+        [(4, "b", 40)], "id bigint, part string, qty bigint"
+    )
+    stats = merge_upsert(batch2, target, ["id"], partition_by=["part"])
+    assert stats["n_before"] == 3  # not 5: part=a was NOT doubled
+    got = {r["id"]: (r["part"], r["qty"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 11), 2: ("a", 20), 3: ("b", 30),
+                   4: ("b", 40)}
+    assert not os.path.exists(target + "__premerge")
+
+
+def test_merge_empty_string_partition_value_keeps_survivors(spark, tmp_path):
+    """ADVICE r11 (medium): '' and NULL partition values share
+    __HIVE_DEFAULT_PARTITION__ and rows already there read back as
+    NULL. A batch touching the '' partition must still scope those
+    NULL-read survivors into the rewrite — the old == '' predicate
+    excluded them and the swap silently dropped every unmatched row in
+    that directory."""
+    target = str(tmp_path / "emptypart")
+    _psnapshot(spark, target, [(1, "", 10), (2, "", 20), (3, "z", 30)])
+    assert os.path.isdir(
+        os.path.join(target, "part=__HIVE_DEFAULT_PARTITION__")
+    )
+    before_z = _tree_fingerprint(os.path.join(target, "part=z"))
+    batch = spark.createDataFrame(
+        [(1, "", 11)], "id bigint, part string, qty bigint"
+    )
+    stats = merge_upsert(batch, target, ["id"], partition_by=["part"])
+    assert stats["rewrite"] == "partition"
+    got = {r["id"]: (r["part"], r["qty"])
+           for r in spark.read.parquet(target).collect()}
+    # survivors 2 and 3 kept; 1 updated ('' reads back as NULL)
+    assert got == {1: (None, 11), 2: (None, 20), 3: ("z", 30)}
+    assert _tree_fingerprint(os.path.join(target, "part=z")) == before_z
+
+
+def test_scd2_empty_string_partition_value(spark, tmp_path):
+    """Same ''/NULL equivalence through the scd2 scoped path."""
+    from config_driven_pyspark_spark.operators.table import scd2_merge
+
+    target = str(tmp_path / "scd2empty")
+    b1 = spark.createDataFrame(
+        [(1, "", "x", "2024-01-01"), (2, "", "y", "2024-01-01")],
+        "id bigint, region string, val string, effective_ts string",
+    )
+    scd2_merge(b1, target, ["id"], partition_by=["region"])
+    b2 = spark.createDataFrame(
+        [(1, "", "x2", "2024-02-01")],
+        "id bigint, region string, val string, effective_ts string",
+    )
+    stats = scd2_merge(b2, target, ["id"], partition_by=["region"])
+    assert stats["n_closed"] == 1 and stats["n_new_versions"] == 1
+    snap = spark.read.parquet(target)
+    cur = {r["id"]: r["val"]
+           for r in snap.filter("is_current").collect()}
+    assert cur == {1: "x2", 2: "y"}
+    assert snap.count() == 3
