@@ -101,12 +101,13 @@ def _partition_dir(partition_by: list[str], str_vals: dict) -> str:
 
 def _touched_partitions(
     parts_src: DataFrame, partition_by: list[str]
-) -> tuple[list[str], Column] | None:
+) -> tuple[list[str], Column, list[dict]] | None:
     """Distinct touched partition values from ``parts_src`` (a frame of
-    just the partition columns). Returns ``(relative_dirs, prune_pred)``
-    or None when the touched set exceeds ``_MAX_SCOPED_PARTITIONS`` (the
-    caller falls back to a full rewrite). One small distinct job; the
-    collect is bounded by the touched-partition count."""
+    just the partition columns). Returns ``(relative_dirs, prune_pred,
+    value_dicts)`` or None when the touched set exceeds
+    ``_MAX_SCOPED_PARTITIONS`` (the caller falls back to a full
+    rewrite). One small distinct job; the collect is bounded by the
+    touched-partition count."""
     rows = (
         parts_src.select(
             *[F.col(c) for c in partition_by],
@@ -121,7 +122,9 @@ def _touched_partitions(
     )
     if len(rows) > _MAX_SCOPED_PARTITIONS:
         return None
-    return _dirs_and_pred(partition_by, [r.asDict() for r in rows])
+    vals = [r.asDict() for r in rows]
+    dirs, pred = _dirs_and_pred(partition_by, vals)
+    return dirs, pred, vals
 
 
 def _dirs_and_pred(
@@ -338,6 +341,7 @@ def _stage_verify_swap(
     breakdown: str,
     touched_dirs: list[str] | None = None,
     marker_batch_id: int | None = None,
+    partition_markers: dict[str, int] | None = None,
 ) -> int:
     """Write ``df`` to the sibling staging dir, verify the staged row
     count equals ``expected_rows`` (a short write can never replace a
@@ -406,6 +410,22 @@ def _stage_verify_swap(
             "snapshot untouched. Use a string/int/date partition column "
             "or unset partition_by for a full rewrite"
         )
+    if marker_batch_id is not None:
+        # per-partition markers INSIDE the staged dirs: each promotes
+        # atomically with its partition's data in the rename below, so
+        # a crash at any point leaves every partition either pre-merge
+        # (no new marker) or post-merge (new marker) — never folded
+        # data without its marker
+        for d in staged_dirs:
+            _write_batch_marker(spark, f"{staging}/{d}", marker_batch_id)
+    elif partition_markers:
+        # content-preserving rewrites (compaction) carry the existing
+        # per-partition markers forward so retry dedup survives them
+        for d in staged_dirs:
+            if d in partition_markers:
+                _write_batch_marker(
+                    spark, f"{staging}/{d}", partition_markers[d]
+                )
     moved: list[str] = []
     promoted: list[str] = []
     try:
@@ -431,9 +451,10 @@ def _stage_verify_swap(
             fs.rename(Path(f"{backup}/{d}"), Path(f"{base}/{d}"))
         raise
     if marker_batch_id is not None:
-        # scoped swaps replace partition dirs, not the root — the
-        # marker updates right after the promote (the crash window
-        # between promote and marker is documented in incremental_agg)
+        # root marker is only the fast-path hint (skip the whole fold
+        # when <= last); the per-partition markers written above are
+        # authoritative, so losing this write to a crash re-checks
+        # per-partition and still skips — no double-fold window
         _write_batch_marker(spark, base, marker_batch_id)
     fs.delete(Path(backup), True)
     fs.delete(Path(staging), True)
@@ -844,7 +865,7 @@ def scd2_merge(
             )
         touched = _touched_partitions(parts_src, partition_by)
     if touched is not None:
-        touched_dirs, prune = touched
+        touched_dirs, prune, _ = touched
         tgt_scope = target.filter(prune)
         # the ONLY full-snapshot touch in scoped mode: a zero-column
         # count (row-group footer metadata, no column bytes) for the
@@ -1077,11 +1098,12 @@ def incremental_agg(
     <= the stored one is skipped — the standard Structured Streaming
     batch-id dedup idiom. In full-rewrite mode the marker rides inside
     the staged directory, so ONE rename commits data + marker
-    atomically; in partition-scoped mode the marker is written
-    immediately after the partition promote, leaving a crash window of
-    one metadata write (a crash exactly there re-folds the touched
-    partitions on retry — strictly narrower than the unguarded
-    behavior, and absent in full mode).
+    atomically; in partition-scoped mode every staged partition
+    carries its OWN marker, promoted atomically with its data by the
+    same directory rename, and a retry excludes partitions whose
+    marker is already >= batch_id — exactly-once per partition with no
+    crash window (the root marker is just the fast-path skip hint).
+    Compaction carries the markers through its rewrites.
 
     Returns the post-fold aggregate snapshot. Same row-count-verified
     atomic-swap write as the other table maintainers."""
@@ -1156,7 +1178,37 @@ def incremental_agg(
         else None
     )
     if touched is not None:
-        touched_dirs, prune = touched
+        touched_dirs, prune, touched_vals = touched
+        if batch_id is not None:
+            # per-partition markers promote atomically with their data
+            # (they ride the same directory rename, written into the
+            # staged dirs below) — a partition whose marker is already
+            # >= batch_id was folded by a crashed earlier delivery of
+            # THIS batch, so the retry excludes it: exactly-once per
+            # partition, closing the post-promote root-marker window
+            tbase = target_path.rstrip("/")
+            done = {
+                d for d in touched_dirs
+                if (m := _read_batch_marker(spark, f"{tbase}/{d}"))
+                is not None and int(batch_id) <= m
+            }
+            if done:
+                remaining = [
+                    v for v in touched_vals
+                    if _partition_dir(
+                        partition_by,
+                        {c: v[f"__s_{c}"] for c in partition_by},
+                    ) not in done
+                ]
+                if not remaining:
+                    # every touched partition already folded; only the
+                    # root hint was lost — restore it and skip
+                    _write_batch_marker(spark, tbase, int(batch_id))
+                    return spark.read.parquet(target_path)
+                touched_dirs, prune = _dirs_and_pred(
+                    partition_by, remaining
+                )
+                partial = partial.filter(prune)
         stored_scope = stored.filter(prune)
     else:
         touched_dirs = None
@@ -1283,6 +1335,9 @@ def compact_table(
         _stage_verify_swap(
             _cluster(snap.coalesce(n_files)), base, expected, None,
             "(content-preserving compaction)",
+            # the full swap replaces the root — carry the batch marker
+            # (incremental_agg retry dedup) through the rewrite
+            marker_batch_id=_read_batch_marker(spark, base),
         )
         return {"files_before": files_before,
                 "files_after": _n_parquet_files(""),
@@ -1309,11 +1364,17 @@ def compact_table(
         *[f"{base}/{d}" for d in touched]
     )
     expected = scope.count()
+    old_markers = {}
+    for d in touched:
+        m = _read_batch_marker(spark, f"{base}/{d}")
+        if m is not None:
+            old_markers[d] = m
     _stage_verify_swap(
         _cluster(scope.repartition(*[F.col(c) for c in partition_by])),
         base, expected, partition_by,
         "(content-preserving compaction)",
         touched_dirs=touched,
+        partition_markers=old_markers or None,
     )
     return {"files_before": files_before,
             "files_after": sum(

@@ -1067,3 +1067,92 @@ def test_scd2_empty_string_partition_value(spark, tmp_path):
            for r in snap.filter("is_current").collect()}
     assert cur == {1: "x2", 2: "y"}
     assert snap.count() == 3
+
+
+def test_incremental_agg_partial_promote_retry_exact_once(spark, tmp_path):
+    """ADVICE r11 (low): per-partition batch markers ride the partition
+    renames, so a retry after a crash that promoted SOME partitions
+    folds only the un-promoted ones — never double-counting a promoted
+    partition, with no post-promote marker window."""
+    import shutil
+
+    from config_driven_pyspark_spark.operators.table import (
+        _read_batch_marker, _write_batch_marker, incremental_agg,
+    )
+
+    target = str(tmp_path / "exactly_once")
+    b1 = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "part string, v bigint"
+    )
+    incremental_agg(b1, target, ["part"], {"total": "sum(v)"},
+                    partition_by=["part"], batch_id=1)
+    pre_b = str(tmp_path / "pre_b")
+    shutil.copytree(os.path.join(target, "part=b"), pre_b)
+    b2 = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "part string, v bigint"
+    )
+    incremental_agg(b2, target, ["part"], {"total": "sum(v)"},
+                    partition_by=["part"], batch_id=2)
+    # per-partition markers promoted with the data
+    assert _read_batch_marker(spark, os.path.join(target, "part=a")) == 2
+    # simulate the crash: partition b rolled back pre-fold (recovery
+    # restored it), root marker still at the previous batch
+    shutil.rmtree(os.path.join(target, "part=b"))
+    shutil.copytree(pre_b, os.path.join(target, "part=b"))
+    _write_batch_marker(spark, target, 1)
+    # retry of batch 2: partition a (marker 2) must be skipped,
+    # partition b re-folded
+    incremental_agg(b2, target, ["part"], {"total": "sum(v)"},
+                    partition_by=["part"], batch_id=2)
+    got = {r["part"]: r["total"]
+           for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 11, "b": 22}  # not a=12 (double fold)
+    # fully-promoted retry: only the root hint was lost
+    _write_batch_marker(spark, target, 1)
+    incremental_agg(b2, target, ["part"], {"total": "sum(v)"},
+                    partition_by=["part"], batch_id=2)
+    got = {r["part"]: r["total"]
+           for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 11, "b": 22}
+    assert _read_batch_marker(spark, target) == 2
+
+
+def test_compact_preserves_batch_markers(spark, tmp_path):
+    """Compaction is content-preserving INCLUDING the retry-dedup
+    markers: per-partition markers (scoped) and the root marker
+    (unpartitioned full swap) survive the rewrite."""
+    from config_driven_pyspark_spark.operators.table import (
+        _read_batch_marker, compact_table, incremental_agg,
+    )
+
+    target = str(tmp_path / "markers_kept")
+    b1 = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 20)], "part string, v bigint"
+    )
+    incremental_agg(b1, target, ["part"], {"total": "sum(v)"},
+                    partition_by=["part"], batch_id=6)
+    # second fold: the scoped swap stamps per-partition markers
+    incremental_agg(
+        spark.createDataFrame([("a", 1)], "part string, v bigint"),
+        target, ["part"], {"total": "sum(v)"},
+        partition_by=["part"], batch_id=7,
+    )
+    # force a second file into part=a so it is over the threshold
+    spark.createDataFrame([(99,)], "total bigint").coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(target, "part=a"))
+    stats = compact_table(spark, target, partition_by=["part"],
+                          min_files=2)
+    assert stats["n_partitions_compacted"] == 1
+    assert _read_batch_marker(spark, os.path.join(target, "part=a")) == 7
+    # unpartitioned: root marker rides the full swap
+    flat = str(tmp_path / "flat_markers")
+    incremental_agg(
+        spark.createDataFrame([("a", 1)], "k string, v bigint"),
+        flat, ["k"], {"total": "sum(v)"}, batch_id=3,
+    )
+    spark.createDataFrame([("b", 2, 2)], "k string, v bigint, total bigint"
+                          ).select("k", "total").coalesce(1).write.mode(
+        "append").parquet(flat)
+    compact_table(spark, flat, min_files=2)
+    assert _read_batch_marker(spark, flat) == 3
