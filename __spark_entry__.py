@@ -2410,6 +2410,62 @@ def q_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / column-level MERGE (operators/table.py::
+    merge_upsert update_set/match_condition, r12 — VERDICT r11 ask #3,
+    the Delta/Iceberg ``WHEN MATCHED AND cond THEN UPDATE SET``
+    surface): the orders snapshot is partitioned by o_orderstatus; the
+    CDC batch is the status-'P' o_orderkey % 8 IN (2, 3) slice,
+    unmodified. Matched rows update ONLY when
+    target.o_totalprice < 150000 and then update ONLY the listed
+    columns (priority tagged ``C|<source priority>``, price =
+    source + target, i.e. doubled); unlisted columns and
+    condition-false rows stay byte-identical; unmatched rows insert
+    as-is. The update_set leaves the partition column alone, so the
+    rewrite stays partition-scoped (asserted). The oracle replays the
+    CASE-driven UPDATE in DuckDB."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import merge_upsert
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_mergec_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(target)
+    batch = orders.filter(
+        ((F.col("o_orderkey") % 8).isin(2, 3))
+        & (F.col("o_orderstatus") == "P")
+    )
+    stats = merge_upsert(
+        batch, target, ["o_orderkey"],
+        partition_by=["o_orderstatus"],
+        update_set={
+            "o_orderpriority": "concat('C|', source.o_orderpriority)",
+            "o_totalprice": "source.o_totalprice + target.o_totalprice",
+        },
+        match_condition="target.o_totalprice < 150000.0",
+    )
+    assert stats["rewrite"] == "partition", stats
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_price"),
+        )
+    )
+
+
 def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 point-in-time reads (operators/table.py::scd2_read_asof,
     r11 — VERDICT r10 ask #5): the q_scd2_orders dimension (seeded
@@ -5193,14 +5249,15 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 11: EMPTY (VERDICT r10 ask #2).  The r11 table-maintenance
-    # work (partition-scoped rewrite, crash recovery, null-safe
-    # anti-join) is output-identical for the existing
-    # q_merge_upsert/q_scd2_orders/q_incremental_agg_orders rows
-    # (re-verified via scripts/check_oracle.py); the three r11-new rows
-    # (q_merge_partitioned, q_scd2_asof, q_e2e_cdc, q_table_compact)
-    # self-front as never-recorded.  Window simulation: 4 new + 40
-    # r7-stale (the ENTIRE r7 cohort) + 6 r8-stale = 50.
+    # round 12: EMPTY (VERDICT r11 ask #2).  The r12 table work (probe
+    # pruning, crash-recovery fix, ''/NULL partition scoping,
+    # per-partition batch markers, conditional merge) is
+    # output-identical for every existing table row (re-verified via
+    # scripts/check_oracle.py); the one r12-new row
+    # (q_merge_conditional) self-fronts as never-recorded.  Window
+    # simulation: 1 new + 44 r8-stale (the ENTIRE r8 cohort) + 5
+    # r9-oldest = 50 — after this round no row's latest check is older
+    # than r9.
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
@@ -5209,10 +5266,9 @@ _CHANGED_THIS_ROUND: list[str] = [
 # locally-verified new queries in rounds where the stale-cohort budget
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
-    # round 11: EMPTY (VERDICT r10 ask #2).  The 4 new rows fit inside
-    # the 50-slot window alongside the entire 40-row r7-stale cohort
-    # (6 r8 rows fill the rest), so nothing needs demoting; after this
-    # round no query's latest check is older than r8.
+    # round 12: EMPTY (VERDICT r11 ask #2).  The single new row fits
+    # inside the 50-slot window alongside the entire 44-row r8-stale
+    # cohort (5 r9 rows fill the rest), so nothing needs demoting.
 ]
 
 
@@ -5317,6 +5373,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_orders": q_scd2_orders,  # type-2 SCD versioned merge, r10
         "q_incremental_agg_orders": q_incremental_agg_orders,  # monoid MV fold, r10
         "q_merge_partitioned": q_merge_partitioned,  # partition-scoped MERGE, r11
+        "q_merge_conditional": q_merge_conditional,  # conditional UPDATE SET, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,  # merge+scd2+asof+join+MV composition, r11
         "q_table_compact": q_table_compact,  # small-file compaction, r11
@@ -7613,6 +7670,42 @@ def oracle_sql() -> dict[str, str]:
                      AS total_price
             FROM merged
             GROUP BY o_orderpriority
+        """,
+        # conditional MERGE replay: CASE-driven UPDATE — condition-true
+        # matches rewrite only the listed columns, condition-false rows
+        # pass through, unmatched batch rows insert
+        "q_merge_conditional": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            b AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders
+              WHERE o_orderkey % 8 IN (2, 3) AND o_orderstatus = 'P'),
+            m AS (
+              SELECT t.o_orderkey, t.o_orderstatus,
+                     CASE WHEN b.o_orderkey IS NOT NULL
+                               AND t.o_totalprice < 150000.0::DOUBLE
+                          THEN 'C|' || b.o_orderpriority
+                          ELSE t.o_orderpriority END AS o_orderpriority,
+                     CASE WHEN b.o_orderkey IS NOT NULL
+                               AND t.o_totalprice < 150000.0::DOUBLE
+                          THEN b.o_totalprice + t.o_totalprice
+                          ELSE t.o_totalprice END AS o_totalprice
+              FROM t LEFT JOIN b ON t.o_orderkey = b.o_orderkey
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t))
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM m
+            GROUP BY o_orderstatus, o_orderpriority
         """,
         # partition-scoped MERGE replay: same survivors-∪-batch algebra as
         # q_merge_upsert, restricted to the status-'P' CDC slice

@@ -180,6 +180,8 @@ HEADLINE = [
     "q_e2e_cdc",
     "q_table_compact",
     "q_scd2_asof",
+    # round 12: conditional / column-level MERGE (UPDATE SET + condition)
+    "q_merge_conditional",
 ]
 
 

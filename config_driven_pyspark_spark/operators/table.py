@@ -468,6 +468,10 @@ def merge_upsert(
     delete_col: str | None = None,
     partition_by: list[str] | None = None,
     allow_new_columns: bool = False,
+    update_set: dict[str, str] | None = None,
+    match_condition: str | None = None,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
 ) -> dict:
     """Apply ``source`` (a CDC batch) to the parquet snapshot at
     ``target_path`` and atomically swap in the merged snapshot.
@@ -477,6 +481,26 @@ def merge_upsert(
     rewritten (``partition_by`` set; see module docstring) and
     ``"full"`` otherwise. Every stats number is one aggregate-only
     action.
+
+    Conditional / column-level MERGE (the Delta/Iceberg ``WHEN MATCHED
+    [AND cond] THEN UPDATE SET col = expr`` surface):
+
+    - ``update_set`` maps target column -> SQL expression over
+      ``source.<col>`` / ``target.<col>``; matched rows update ONLY
+      those columns (each expression is cast to the stored column's
+      type so the snapshot schema never drifts) and keep every other
+      value. Match keys cannot be updated. Updating a partition column
+      forces a full rewrite (the new value is not known until the
+      expression evaluates, so partition scoping cannot be proven).
+    - ``match_condition`` is a SQL boolean over ``source.``/
+      ``target.``; matched rows update only when it is TRUE (NULL =
+      no update, standard SQL predicate semantics) and otherwise stay
+      byte-identical. Deletes (``delete_col``) are a separate clause
+      and stay unconditional on match, like Delta's
+      ``WHEN MATCHED THEN DELETE``.
+    - ``when_matched='none'`` ignores matches entirely (insert-only
+      merge; deletes still apply); ``when_not_matched='none'`` drops
+      unmatched source rows (update-only merge).
 
     Schema evolution: extra source columns are projected off by
     default (update-all MERGE targets the snapshot's schema);
@@ -494,6 +518,31 @@ def merge_upsert(
 
     if not keys:
         raise ValueError("merge_upsert needs at least one key column")
+    if when_matched not in ("update", "none"):
+        raise ValueError("when_matched must be 'update' or 'none'")
+    if when_not_matched not in ("insert", "none"):
+        raise ValueError("when_not_matched must be 'insert' or 'none'")
+    if when_matched == "none" and (update_set or match_condition):
+        raise ValueError(
+            "update_set/match_condition describe the UPDATE branch — "
+            "they need when_matched='update'"
+        )
+    if update_set:
+        bad = sorted(set(update_set) & set(keys))
+        if bad:
+            raise ValueError(
+                f"update_set must not touch match keys {bad} — updating "
+                "a key breaks merge idempotency; delete + insert instead"
+            )
+    conditional = (
+        update_set is not None or match_condition is not None
+        or when_matched != "update" or when_not_matched != "insert"
+    )
+    if conditional and allow_new_columns:
+        raise ValueError(
+            "allow_new_columns is only supported by the update-all merge "
+            "— a conditional merge targets the snapshot's own schema"
+        )
     spark = source.sparkSession
     for k in keys:
         if k not in source.columns:
@@ -531,6 +580,11 @@ def merge_upsert(
     _recover_crashed_swap(spark, target_path)
 
     if not _fs_exists(spark, target_path):
+        if when_not_matched == "none":
+            raise ValueError(
+                f"no snapshot at {target_path!r} and when_not_matched="
+                "'none' — an update-only merge has nothing to bootstrap"
+            )
         n_ins = upserts.count()
         writer = upserts.write.mode("overwrite")
         if partition_by:
@@ -542,12 +596,21 @@ def merge_upsert(
 
     target = _cast_void_cols(spark.read.parquet(target_path), upserts)
     missing = [c for c in target.columns if c not in upserts.columns]
-    if missing:
+    if missing and when_not_matched == "insert":
+        # update-only merges may carry a partial schema: only the keys
+        # plus whatever the update expressions reference
         raise ValueError(
             f"source is missing target columns {missing} — update-all "
-            "MERGE replaces whole rows, so the batch must carry the full "
-            "schema"
+            "replacement and inserts take whole rows, so the batch must "
+            "carry the full schema (or set when_not_matched='none')"
         )
+    if update_set:
+        unknown = sorted(set(update_set) - set(target.columns))
+        if unknown:
+            raise ValueError(
+                f"update_set names columns {unknown} not in the snapshot "
+                f"schema {target.columns}"
+            )
     new_cols = (
         [c for c in upserts.columns if c not in target.columns]
         if allow_new_columns else []
@@ -569,9 +632,12 @@ def merge_upsert(
 
     # an evolving merge can't scope: old-schema files would survive in
     # untouched partitions and a plain directory read resolves the
-    # schema from one file's footer
+    # schema from one file's footer. An update_set touching a partition
+    # column can't either: the new value is an expression result, so
+    # the touched set isn't known until evaluation.
     scoped = (
         bool(partition_by) and not new_cols
+        and not (update_set and set(update_set) & set(partition_by))
         and _layout_matches(spark, target_path, partition_by)
     )
     # ONE snapshot pass for n_before / n_matched / n_deleted — a left
@@ -682,22 +748,99 @@ def merge_upsert(
         touched_dirs = None
         tgt_scope = target
         n_scope = n_before
-    n_updated = n_matched - n_deleted
-    n_inserted = n_src - n_matched - (n_del_total - n_deleted)
-    # null-safe anti-join: a NULL-key target row matched null-safely by
-    # the stats probe must also be REMOVED here, or the staged count
-    # disagrees with expected and the merge aborts
-    survivors = tgt_scope.join(bkeys, key_cond, "left_anti")
-    merged = survivors.unionByName(
-        upserts.select(*target.columns), allowMissingColumns=False
+    n_inserted = (
+        n_src - n_matched - (n_del_total - n_deleted)
+        if when_not_matched == "insert" else 0
     )
-    expected = n_scope - n_matched + (n_src - n_del_total)
+    obs = None
+    if not conditional:
+        n_updated = n_matched - n_deleted
+        # null-safe anti-join: a NULL-key target row matched null-safely
+        # by the stats probe must also be REMOVED here, or the staged
+        # count disagrees with expected and the merge aborts
+        survivors = tgt_scope.join(bkeys, key_cond, "left_anti")
+        merged = survivors.unionByName(
+            upserts.select(*target.columns), allowMissingColumns=False
+        )
+        expected = n_scope - n_matched + (n_src - n_del_total)
+        breakdown = (
+            f"({n_scope} in scope - {n_matched} matched + "
+            f"{n_src - n_del_total} upserts)"
+        )
+    else:
+        # conditional branch: ONE full-outer join carries matched,
+        # target-only and source-only rows; per-column CASE picks the
+        # update expression / source value / target value. The aliases
+        # make `source.<col>` / `target.<col>` resolve natively inside
+        # user expressions — the same qualification Delta's MERGE uses.
+        from pyspark.sql import Observation
+
+        tgt_a = tgt_scope.withColumn("__t_ex", F.lit(True)).alias("target")
+        src_a = source.select(
+            "*",
+            (
+                F.coalesce(F.col(delete_col), F.lit(False))
+                if delete_col is not None else F.lit(False)
+            ).alias("__del"),
+            F.lit(True).alias("__s_ex"),
+        ).alias("source")
+        jcond = None
+        for k in keys:
+            term = F.col(f"target.{k}").eqNullSafe(F.col(f"source.{k}"))
+            jcond = term if jcond is None else (jcond & term)
+        joined = tgt_a.join(src_a, jcond, "full_outer")
+        is_matched = (
+            F.col("__t_ex").isNotNull() & F.col("__s_ex").isNotNull()
+        )
+        is_del = F.coalesce(F.col("__del"), F.lit(False))
+        cond = (
+            F.expr(match_condition) if match_condition else F.lit(True)
+        )
+        do_update = (
+            (is_matched & ~is_del & cond)
+            if when_matched == "update" else F.lit(False)
+        )
+        src_only = F.col("__t_ex").isNull()
+        keep = (
+            F.col("__s_ex").isNull()
+            | (is_matched & ~is_del)
+            | (src_only & ~is_del & F.lit(when_not_matched == "insert"))
+        )
+        out_cols = []
+        for c in target.columns:
+            if update_set and c in update_set:
+                # cast to the stored type so the snapshot schema never
+                # drifts under an expression's own result type
+                upd = F.expr(update_set[c]).cast(target.schema[c].dataType)
+            elif update_set is not None:
+                upd = F.col(f"target.{c}")
+            else:
+                upd = F.col(f"source.{c}")  # condition-gated update-all
+            ins = (
+                F.col(f"source.{c}")
+                if when_not_matched == "insert" else F.col(f"target.{c}")
+            )
+            out_cols.append(
+                F.when(src_only, ins).when(do_update, upd)
+                .otherwise(F.col(f"target.{c}")).alias(c)
+            )
+        # observed on the join node: n_updated is collected DURING the
+        # staging write (no second execution of the join)
+        obs = Observation()
+        merged = joined.observe(
+            obs, F.sum(do_update.cast("long")).alias("n_upd")
+        ).filter(keep).select(*out_cols)
+        expected = n_scope - n_deleted + n_inserted
+        breakdown = (
+            f"({n_scope} in scope - {n_deleted} deleted + "
+            f"{n_inserted} inserts)"
+        )
     staged = _stage_verify_swap(
-        merged, target_path, expected, partition_by,
-        f"({n_scope} in scope - {n_matched} matched + "
-        f"{n_src - n_del_total} upserts)",
+        merged, target_path, expected, partition_by, breakdown,
         touched_dirs=touched_dirs,
     )
+    if obs is not None:
+        n_updated = int(obs.get["n_upd"] or 0)
     n_after = n_before - n_scope + staged
     return {"n_before": n_before, "n_matched": n_matched,
             "n_updated": n_updated, "n_inserted": n_inserted,
@@ -708,13 +851,21 @@ def merge_upsert(
 def stage_merge(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "merge", "path": ..., "keys": [...],
     "delete_col": name?, "partition_by": [...]?,
-    "allow_new_columns": bool?}`` — ``df`` is the CDC batch; applies it
-    to the snapshot and returns the POST-merge snapshot so downstream
-    stages read the new table state."""
+    "allow_new_columns": bool?, "update_set": {col: expr}?,
+    "match_condition": expr?, "when_matched": "update"|"none"?,
+    "when_not_matched": "insert"|"none"?}`` — ``df`` is the CDC batch;
+    applies it to the snapshot and returns the POST-merge snapshot so
+    downstream stages read the new table state. ``update_set`` /
+    ``match_condition`` expressions reference ``source.<col>`` and
+    ``target.<col>``."""
     merge_upsert(
         df, spec["path"], list(spec["keys"]),
         spec.get("delete_col"), spec.get("partition_by"),
         allow_new_columns=bool(spec.get("allow_new_columns", False)),
+        update_set=spec.get("update_set"),
+        match_condition=spec.get("match_condition"),
+        when_matched=spec.get("when_matched", "update"),
+        when_not_matched=spec.get("when_not_matched", "insert"),
     )
     return df.sparkSession.read.parquet(spec["path"])
 

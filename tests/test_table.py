@@ -1156,3 +1156,125 @@ def test_compact_preserves_batch_markers(spark, tmp_path):
         "append").parquet(flat)
     compact_table(spark, flat, min_files=2)
     assert _read_batch_marker(spark, flat) == 3
+
+
+# ---------------------------------------------------------------------------
+# r12: conditional / column-level MERGE (VERDICT r11 ask #3)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_update_set_subset_and_condition(spark, tmp_path):
+    """WHEN MATCHED AND cond THEN UPDATE SET col = expr: listed columns
+    update from the expression (source+target mix), unlisted columns
+    keep target values, and a matched row failing the condition stays
+    value-identical."""
+    target = str(tmp_path / "cond1")
+    _snapshot(spark, target, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    batch = spark.createDataFrame(
+        [(1, "A", 100), (2, "B", 200), (4, "d", 40)],
+        "id bigint, val string, qty bigint",
+    )
+    stats = merge_upsert(
+        batch, target, ["id"],
+        update_set={"qty": "source.qty + target.qty"},
+        match_condition="target.qty < 15",
+    )
+    assert stats["n_matched"] == 2
+    assert stats["n_updated"] == 1     # only id=1 passes target.qty < 15
+    assert stats["n_inserted"] == 1
+    got = {r["id"]: (r["val"], r["qty"])
+           for r in spark.read.parquet(target).collect()}
+    # id=1: qty updated (100+10), val NOT in update_set -> keeps 'a'
+    # id=2: condition false -> fully unchanged
+    # id=4: unmatched -> inserted as-is
+    assert got == {1: ("a", 110), 2: ("b", 20), 3: ("c", 30),
+                   4: ("d", 40)}
+
+
+def test_merge_insert_only_and_update_only_modes(spark, tmp_path):
+    """when_matched='none' ignores matches (insert-only merge);
+    when_not_matched='none' drops unmatched source rows (update-only).
+    Deletes stay a separate, unconditional clause."""
+    t1 = str(tmp_path / "insonly")
+    _snapshot(spark, t1, [(1, "a", 10)])
+    batch = spark.createDataFrame(
+        [(1, "X", 99, False), (2, "b", 20, False), (3, "c", 30, True)],
+        "id bigint, val string, qty bigint, gone boolean",
+    )
+    stats = merge_upsert(batch, t1, ["id"], delete_col="gone",
+                         when_matched="none")
+    assert stats["n_updated"] == 0 and stats["n_inserted"] == 1
+    got = {r["id"]: r["val"] for r in spark.read.parquet(t1).collect()}
+    assert got == {1: "a", 2: "b"}  # 1 untouched, 3's delete unmatched
+
+    t2 = str(tmp_path / "updonly")
+    _snapshot(spark, t2, [(1, "a", 10), (2, "b", 20)])
+    batch2 = spark.createDataFrame(
+        [(1, 100), (9, 900)], "id bigint, qty bigint"
+    )
+    # update-only batches may carry a PARTIAL schema (keys + referenced)
+    stats = merge_upsert(batch2, t2, ["id"],
+                         update_set={"qty": "source.qty"},
+                         when_not_matched="none")
+    assert stats["n_updated"] == 1 and stats["n_inserted"] == 0
+    got = {r["id"]: (r["val"], r["qty"])
+           for r in spark.read.parquet(t2).collect()}
+    assert got == {1: ("a", 100), 2: ("b", 20)}  # 9 dropped
+
+
+def test_merge_conditional_scoped_leaves_untouched_partitions(
+    spark, tmp_path
+):
+    """The conditional branch rides the same partition-scoped swap:
+    untouched partition files stay bit-identical, and a condition-false
+    row inside a touched partition keeps its values."""
+    target = str(tmp_path / "condp")
+    _psnapshot(spark, target, [
+        (1, "a", 10), (2, "a", 99), (3, "b", 30), (4, "c", 40),
+    ])
+    before_b = _tree_fingerprint(os.path.join(target, "part=b"))
+    before_c = _tree_fingerprint(os.path.join(target, "part=c"))
+    batch = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 5)], "id bigint, part string, qty bigint"
+    )
+    stats = merge_upsert(
+        batch, target, ["id"], partition_by=["part"],
+        update_set={"qty": "target.qty + source.qty"},
+        match_condition="target.qty < 50",
+    )
+    assert stats["rewrite"] == "partition"
+    assert stats["n_updated"] == 1
+    got = {r["id"]: r["qty"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 15, 2: 99, 3: 30, 4: 40}
+    assert _tree_fingerprint(os.path.join(target, "part=b")) == before_b
+    assert _tree_fingerprint(os.path.join(target, "part=c")) == before_c
+
+
+def test_merge_update_set_guards(spark, tmp_path):
+    """Key updates are rejected; updating a partition column falls back
+    to a full rewrite (the touched set is unknowable pre-evaluation);
+    bad combos raise."""
+    target = str(tmp_path / "condg")
+    _psnapshot(spark, target, [(1, "a", 10), (2, "b", 20)])
+    batch = spark.createDataFrame(
+        [(1, "a", 5)], "id bigint, part string, qty bigint"
+    )
+    with pytest.raises(ValueError, match="match keys"):
+        merge_upsert(batch, target, ["id"],
+                     update_set={"id": "source.id + 1"})
+    with pytest.raises(ValueError, match="when_matched"):
+        merge_upsert(batch, target, ["id"], when_matched="none",
+                     update_set={"qty": "source.qty"})
+    with pytest.raises(ValueError, match="not in the snapshot"):
+        merge_upsert(batch, target, ["id"],
+                     update_set={"nope": "source.qty"})
+    stats = merge_upsert(
+        batch, target, ["id"], partition_by=["part"],
+        update_set={"part": "concat(target.part, '2')"},
+    )
+    assert stats["rewrite"] == "full"
+    got = {r["id"]: r["part"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a2", 2: "b"}
+    with pytest.raises(ValueError, match="nothing to bootstrap"):
+        merge_upsert(batch, str(tmp_path / "nope"), ["id"],
+                     when_not_matched="none")
