@@ -251,6 +251,51 @@ def _list_partition_dirs(spark: SparkSession, base: str, depth: int) -> list[str
     return rels
 
 
+def _partition_file_counts(
+    spark: SparkSession, base: str, depth: int
+) -> dict[str, int]:
+    """Data-file count per relative partition directory, from ONE
+    parallel listing. The alternative — one ``listStatus`` RPC per
+    partition directory in a serial driver loop — is 10⁴–10⁵ namenode
+    round-trips at 10⁴–10⁵ partitions before any compaction work
+    starts. ``df.inputFiles`` reuses Spark's own InMemoryFileIndex:
+    a driver thread pool below
+    ``spark.sql.sources.parallelPartitionDiscovery.threshold`` (32
+    dirs) and a distributed listing JOB above it — exactly the scale
+    path a 10⁵-partition table needs — shipped to Python as one string
+    array. Names decode back to the on-disk form (Path.toString
+    percent-encodes), so Hive-escaped directories round-trip."""
+    from urllib.parse import unquote, urlparse
+
+    jvm, fs = _fs(spark, base)
+    Path = jvm.org.apache.hadoop.fs.Path
+    qbase = unquote(
+        urlparse(fs.makeQualified(Path(base)).toString()).path
+    ).rstrip("/")
+    counts: dict[str, int] = {}
+    try:
+        files = spark.read.parquet(base).inputFiles()
+    except Exception:
+        # no readable data files (e.g. only _SUCCESS) — nothing to count
+        return counts
+    for full in files:
+        fp = unquote(urlparse(full).path)
+        if not fp.startswith(qbase + "/"):
+            continue
+        segs = fp[len(qbase) + 1:].split("/")
+        # exactly depth partition levels + the file itself; files at
+        # other depths (root markers, stray dirs) are not compactable
+        if len(segs) != depth + 1:
+            continue
+        if any("=" not in s for s in segs[:depth]):
+            continue
+        if segs[-1].startswith(("_", ".")):
+            continue
+        d = "/".join(segs[:depth])
+        counts[d] = counts.get(d, 0) + 1
+    return counts
+
+
 def _recover_crashed_swap(spark: SparkSession, target_path: str) -> None:
     """Heal debris from a merge that crashed mid-swap BEFORE treating it
     as garbage — the backup may be the ONLY surviving copy of the
@@ -1414,13 +1459,18 @@ def compact_table(
     construction (the same rows are rewritten through the row-count-
     verified swap; a compaction can never change query results).
 
-    Partitioned mode (``partition_by``): one FS listing finds the
-    partitions holding >= ``min_files`` parquet files; ONLY those are
-    read (``basePath`` union of the touched directories — no
+    Partitioned mode (``partition_by``): ONE recursive ``listFiles``
+    walk (not a listStatus RPC per partition — the r11 finding) finds
+    the partitions holding >= ``min_files`` parquet files; ONLY those
+    are read (``basePath`` union of the touched directories — no
     value-parsing, no full-table scan) and rewritten to one file per
     partition (``repartition`` on the partition columns hashes each
     value to a single task). Untouched partitions keep their files
     byte-identical — the same scoped-swap discipline as the merges.
+    Touched sets over ``_MAX_SCOPED_PARTITIONS`` compact worst-first
+    (most files) and defer the remainder to the next call
+    (``n_partitions_deferred`` in the result), bounding the
+    per-partition rename loop the same way the merges do.
 
     Unpartitioned mode: the snapshot coalesces to ``n_files`` behind
     the full atomic swap.
@@ -1479,7 +1529,8 @@ def compact_table(
         if files_before < min_files:
             return {"files_before": files_before,
                     "files_after": files_before,
-                    "n_partitions_compacted": 0, "n_rows": None,
+                    "n_partitions_compacted": 0,
+                    "n_partitions_deferred": 0, "n_rows": None,
                     "rewrite": "none"}
         snap = spark.read.parquet(base)
         expected = snap.count()
@@ -1492,7 +1543,8 @@ def compact_table(
         )
         return {"files_before": files_before,
                 "files_after": _n_parquet_files(""),
-                "n_partitions_compacted": 0, "n_rows": expected,
+                "n_partitions_compacted": 0,
+                "n_partitions_deferred": 0, "n_rows": expected,
                 "rewrite": "full"}
 
     if not _layout_matches(spark, base, partition_by):
@@ -1500,14 +1552,24 @@ def compact_table(
             f"{target_path!r} is not laid out by {partition_by} — "
             "compact with the layout the snapshot actually has"
         )
-    dirs = _list_partition_dirs(spark, base, len(partition_by))
-    counts = {d: _n_parquet_files(d) for d in dirs}
-    touched = sorted(d for d, n in counts.items() if n >= min_files)
+    # one recursive listing instead of a listStatus per partition (the
+    # r11 RPC-count finding); over-cap touched sets compact worst-first
+    # and defer the rest to the next call, the same bounded-rename
+    # discipline as the merges' _MAX_SCOPED_PARTITIONS fallback
+    counts = _partition_file_counts(spark, base, len(partition_by))
+    over = [(d, n) for d, n in counts.items() if n >= min_files]
     files_before = sum(counts.values())
+    deferred = 0
+    if len(over) > _MAX_SCOPED_PARTITIONS:
+        over.sort(key=lambda kv: (-kv[1], kv[0]))
+        deferred = len(over) - _MAX_SCOPED_PARTITIONS
+        over = over[:_MAX_SCOPED_PARTITIONS]
+    touched = sorted(d for d, _n in over)
     if not touched:
         return {"files_before": files_before,
                 "files_after": files_before,
-                "n_partitions_compacted": 0, "n_rows": None,
+                "n_partitions_compacted": 0,
+                "n_partitions_deferred": 0, "n_rows": None,
                 "rewrite": "none"}
     # read ONLY the oversized partitions; basePath keeps the partition
     # columns without parsing directory names back into values
@@ -1529,11 +1591,12 @@ def compact_table(
     )
     return {"files_before": files_before,
             "files_after": sum(
-                _n_parquet_files(d)
-                for d in _list_partition_dirs(spark, base,
-                                              len(partition_by))
+                _partition_file_counts(
+                    spark, base, len(partition_by)
+                ).values()
             ),
-            "n_partitions_compacted": len(touched), "n_rows": expected,
+            "n_partitions_compacted": len(touched),
+            "n_partitions_deferred": deferred, "n_rows": expected,
             "rewrite": "partition"}
 
 

@@ -1278,3 +1278,38 @@ def test_merge_update_set_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="nothing to bootstrap"):
         merge_upsert(batch, str(tmp_path / "nope"), ["id"],
                      when_not_matched="none")
+
+
+def test_compact_one_pass_listing_and_cap(spark, tmp_path, monkeypatch):
+    """r12: the partitioned compact counts files with ONE recursive
+    listFiles walk, and a touched set over the cap compacts worst-first
+    deferring the rest (bounded rename loop)."""
+    import config_driven_pyspark_spark.operators.table as T
+
+    target = str(tmp_path / "capped")
+    # part=a: 3 files, part=b: 2 files, part=c: 1 file
+    rows = {"a": 3, "b": 2, "c": 1}
+    for part, nf in rows.items():
+        for i in range(nf):
+            spark.createDataFrame(
+                [(ord(part) * 10 + i, part, i)],
+                "id bigint, part string, qty bigint",
+            ).coalesce(1).write.mode("append").partitionBy(
+                "part"
+            ).parquet(target)
+    before = {tuple(r) for r in spark.read.parquet(target).collect()}
+    monkeypatch.setattr(T, "_MAX_SCOPED_PARTITIONS", 1)
+    stats = T.compact_table(spark, target, partition_by=["part"],
+                            min_files=2)
+    # worst-first: only part=a (3 files) compacts; part=b defers
+    assert stats["n_partitions_compacted"] == 1
+    assert stats["n_partitions_deferred"] == 1
+    a_files = [f for f in os.listdir(os.path.join(target, "part=a"))
+               if f.endswith(".parquet")]
+    assert len(a_files) == 1
+    stats2 = T.compact_table(spark, target, partition_by=["part"],
+                             min_files=2)
+    assert stats2["n_partitions_compacted"] == 1  # deferred b, next call
+    assert stats2["n_partitions_deferred"] == 0
+    assert {tuple(r) for r in spark.read.parquet(target).collect()} \
+        == before
