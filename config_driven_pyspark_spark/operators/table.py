@@ -296,6 +296,213 @@ def _partition_file_counts(
     return counts
 
 
+# ---------------------------------------------------------------------------
+# _key_stats sidecar: per-partition min/max of each match key (Delta-style
+# data skipping for the merge stats probe when partition_by is NOT a subset
+# of the keys — the one case where the probe otherwise needs a full scan).
+#
+# Correctness discipline: a TOO-NARROW sidecar would hide a matched row and
+# turn an update into a duplicate insert, so every crash window must leave
+# the stats absent or too WIDE, never narrow:
+#   - scoped swaps WIDEN entries (least/greatest of old and staged) and
+#     write BEFORE the promote — a rollback or crash leaves wide stats;
+#   - full rewrites DELETE the sidecar before the swap and write exact
+#     stats only after it succeeds — a crash between leaves no sidecar,
+#     which reads as "probe everything";
+#   - whole-partition deletes keep the old (wide) entry;
+#   - scd2_merge/incremental_agg swaps on the same table delete the
+#     sidecar (they do not maintain it);
+#   - partitions on disk but missing from the sidecar are always probed.
+# Like Delta's log, the sidecar assumes no OTHER writer appends files
+# behind the merge's back (a plain .write.parquet overwrite removes the
+# whole directory, sidecar included, so that path stays safe).
+# ---------------------------------------------------------------------------
+
+_KEY_STATS_FILE = "_key_stats/stats.json"
+_SIDECAR_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "date", "boolean",
+}
+
+
+def _sidecar_supported(schema, keys: list[str]) -> bool:
+    for k in keys:
+        dt = schema[k].dataType.simpleString()
+        if dt not in _SIDECAR_TYPES and not dt.startswith("timestamp"):
+            return False
+    return True
+
+
+def _ser_stat(v):
+    """JSON-safe, ORDER-PRESERVING encoding: dates/timestamps to ISO
+    strings (lexicographic == chronological), numbers/strings/bools
+    native. Both sides of every comparison go through this, so mixed
+    representations never meet."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def _read_key_stats(spark: SparkSession, base: str) -> dict | None:
+    import json
+
+    jvm, fs = _fs(spark, base)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{base.rstrip('/')}/{_KEY_STATS_FILE}"
+    )
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        try:
+            data = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        except Exception:
+            out = []
+            b = stream.read()
+            while b != -1:
+                out.append(b)
+                b = stream.read()
+            data = bytes(out)
+    finally:
+        stream.close()
+    try:
+        return json.loads(data.decode())
+    except ValueError:
+        return None
+
+
+def _write_key_stats(spark: SparkSession, base: str, doc: dict) -> None:
+    """tmp-write + delete + rename: a crash mid-update leaves either the
+    old sidecar or none — never a torn file."""
+    import json
+
+    jvm, fs = _fs(spark, base)
+    Path = jvm.org.apache.hadoop.fs.Path
+    final = Path(f"{base.rstrip('/')}/{_KEY_STATS_FILE}")
+    tmp = Path(f"{base.rstrip('/')}/{_KEY_STATS_FILE}.tmp")
+    fs.mkdirs(final.getParent())
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(doc).encode()))
+    finally:
+        out.close()
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def _delete_key_stats(spark: SparkSession, base: str) -> None:
+    jvm, fs = _fs(spark, base)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{base.rstrip('/')}/{_KEY_STATS_FILE}"
+    ).getParent()
+    fs.delete(p, True)
+
+
+def _collect_partition_key_stats(
+    spark: SparkSession,
+    path: str,
+    schema,
+    partition_by: list[str],
+    keys: list[str],
+) -> dict[str, dict]:
+    """Per-partition ``{key: {min, max, has_null}}`` over the parquet at
+    ``path`` (a staged or live snapshot) — one aggregate job, collect
+    bounded by the partition count."""
+    df = spark.read.schema(schema).parquet(path)
+    aggs = []
+    for k in keys:
+        aggs += [
+            F.min(k).alias(f"__min_{k}"),
+            F.max(k).alias(f"__max_{k}"),
+            (F.sum(F.col(k).isNull().cast("long")) > 0).alias(f"__nul_{k}"),
+        ]
+    rows = (
+        df.groupBy(*[F.col(c) for c in partition_by])
+        .agg(*aggs)
+        .select(
+            *[
+                F.col(c).cast("string").alias(f"__s_{c}")
+                for c in partition_by
+            ],
+            *[c for k in keys
+              for c in (f"__min_{k}", f"__max_{k}", f"__nul_{k}")],
+        )
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        d = _partition_dir(
+            partition_by, {c: r[f"__s_{c}"] for c in partition_by}
+        )
+        out[d] = {
+            k: {
+                "min": _ser_stat(r[f"__min_{k}"]),
+                "max": _ser_stat(r[f"__max_{k}"]),
+                "has_null": bool(r[f"__nul_{k}"]),
+            }
+            for k in keys
+        }
+    return out
+
+
+def _widen_entry(old: dict | None, new: dict, keys: list[str]) -> dict:
+    """least/greatest union of two per-partition entries — the only
+    update rule whose crash windows are all safe (see block comment)."""
+    if old is None:
+        return new
+    out = {}
+    for k in keys:
+        o, n = old.get(k), new.get(k)
+        if o is None:
+            out[k] = n
+            continue
+        lo = [v for v in (o.get("min"), n.get("min")) if v is not None]
+        hi = [v for v in (o.get("max"), n.get("max")) if v is not None]
+        out[k] = {
+            "min": min(lo) if lo else None,
+            "max": max(hi) if hi else None,
+            "has_null": bool(o.get("has_null") or n.get("has_null")),
+        }
+    return out
+
+
+def _sidecar_candidates(
+    doc: dict,
+    disk_dirs: list[str],
+    keys: list[str],
+    batch_ranges: dict[str, tuple],
+) -> list[str]:
+    """Partition dirs the probe must read: every on-disk dir missing
+    from the sidecar, plus known dirs whose per-key ranges all
+    intersect the batch's. ``batch_ranges[k] = (min, max, has_null)``
+    with serialized values."""
+    parts = doc.get("partitions", {})
+    out = []
+    for d in disk_dirs:
+        e = parts.get(d)
+        if e is None:
+            out.append(d)
+            continue
+        ok = True
+        for k in keys:
+            bmin, bmax, bnull = batch_ranges[k]
+            ek = e.get(k) or {}
+            non_null = (
+                ek.get("min") is not None and bmin is not None
+                and ek["min"] <= bmax and ek["max"] >= bmin
+            )
+            if not (non_null or (ek.get("has_null") and bnull)):
+                ok = False
+                break
+        if ok:
+            out.append(d)
+    return out
+
+
 def _recover_crashed_swap(spark: SparkSession, target_path: str) -> None:
     """Heal debris from a merge that crashed mid-swap BEFORE treating it
     as garbage — the backup may be the ONLY surviving copy of the
@@ -387,6 +594,7 @@ def _stage_verify_swap(
     touched_dirs: list[str] | None = None,
     marker_batch_id: int | None = None,
     partition_markers: dict[str, int] | None = None,
+    pre_promote=None,
 ) -> int:
     """Write ``df`` to the sibling staging dir, verify the staged row
     count equals ``expected_rows`` (a short write can never replace a
@@ -471,6 +679,10 @@ def _stage_verify_swap(
                 _write_batch_marker(
                     spark, f"{staging}/{d}", partition_markers[d]
                 )
+    if pre_promote is not None:
+        # sidecar maintenance hook: runs with the verified staging path,
+        # BEFORE any rename (its writes must be crash-safe on rollback)
+        pre_promote(staging)
     moved: list[str] = []
     promoted: list[str] = []
     try:
@@ -592,8 +804,26 @@ def merge_upsert(
     for k in keys:
         if k not in source.columns:
             raise ValueError(f"source is missing key column {k!r}")
+    # when the partition columns are NOT all match keys, this table can
+    # use the _key_stats sidecar — fold the batch's per-key min/max
+    # (needed for the pruning decision) into the same stats pass
+    sidecar_able = (
+        bool(partition_by)
+        and not set(partition_by) <= set(keys)
+        and _sidecar_supported(source.schema, keys)
+    )
+    range_aggs = []
+    if sidecar_able:
+        for k in keys:
+            range_aggs += [
+                F.min(k).alias(f"__min_{k}"),
+                F.max(k).alias(f"__max_{k}"),
+                (F.sum(F.col(k).isNull().cast("long")) > 0).alias(
+                    f"__nul_{k}"
+                ),
+            ]
     # one aggregate-only job for the batch stats (count + distinct keys
-    # + deletes together — never three passes over the batch)
+    # + deletes + key ranges together — never four passes over the batch)
     src_stats = source.agg(
         F.count("*").alias("n"),
         # struct wrapper: count_distinct skips NULL arguments, but a
@@ -606,9 +836,18 @@ def merge_upsert(
                 F.coalesce(F.col(delete_col), F.lit(False)).cast("long")
             ) if delete_col is not None else F.lit(0)
         ).alias("n_del"),
+        *range_aggs,
     ).collect()[0]
     n_src, n_src_keys = int(src_stats["n"]), int(src_stats["n_keys"])
     n_del_total = int(src_stats["n_del"] or 0)
+    batch_ranges = {
+        k: (
+            _ser_stat(src_stats[f"__min_{k}"]),
+            _ser_stat(src_stats[f"__max_{k}"]),
+            bool(src_stats[f"__nul_{k}"]),
+        )
+        for k in keys
+    } if sidecar_able else None
     if n_src_keys != n_src:
         raise ValueError(
             f"source has {n_src - n_src_keys} duplicate key rows — a "
@@ -635,6 +874,17 @@ def merge_upsert(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_path)
+        if sidecar_able:
+            # day-zero exact stats: full sidecar coverage from the
+            # start, so the very next merge's probe can prune (a crash
+            # before this lands just means "probe everything" — safe)
+            _write_key_stats(spark, target_path.rstrip("/"), {
+                "version": 1, "keys": sorted(keys),
+                "partitions": _collect_partition_key_stats(
+                    spark, target_path, upserts.schema, partition_by,
+                    keys,
+                ),
+            })
         return {"n_before": 0, "n_matched": 0, "n_updated": 0,
                 "n_inserted": n_ins, "n_deleted": 0, "n_after": n_ins,
                 "rewrite": "full"}
@@ -727,6 +977,31 @@ def merge_upsert(
             partition_by, [r.asDict() for r in new_parts]
         )
         pre_pruned = True
+
+    # r12 ask #4: when the partition column is NOT a key, the probe
+    # genuinely needs the partitions matched rows could live in — the
+    # _key_stats sidecar (per-partition key ranges, maintained at swap
+    # time) prunes it to partitions whose ranges intersect the batch's;
+    # dirs missing from the sidecar are always probed, and an absent /
+    # differently-keyed sidecar falls back to the full probe.
+    base = target_path.rstrip("/")
+    doc = None
+    sidecar_dirs = None
+    if sidecar_able:
+        doc = _read_key_stats(spark, base)
+        if doc is not None and not (
+            doc.get("version") == 1 and doc.get("keys") == sorted(keys)
+        ):
+            doc = None
+        if doc is not None and scoped:
+            disk_dirs = _list_partition_dirs(
+                spark, base, len(partition_by)
+            )
+            cand = _sidecar_candidates(
+                doc, disk_dirs, keys, batch_ranges
+            )
+            if len(cand) < len(disk_dirs):
+                sidecar_dirs = cand
     stat_aggs = [
         F.count("*").alias("n"),
         F.sum(F.col("__del").isNotNull().cast("long")).alias("n_m"),
@@ -756,23 +1031,41 @@ def merge_upsert(
                 1, 2 * _MAX_SCOPED_PARTITIONS + 1,
             ).alias("__oldparts")
         )
-    probe_src = target.filter(touched[1]) if pre_pruned else target
-    tgt_stats = probe_src.join(probe, key_cond, "left").agg(
-        *stat_aggs
-    ).collect()[0]
-    n_matched = int(tgt_stats["n_m"] or 0)
-    n_deleted = int(tgt_stats["n_d"] or 0)
     if pre_pruned:
-        # the probe ran over the pruned scope, so its count IS n_scope;
-        # n_before costs one zero-column scan (footer metadata only)
-        n_scope = int(tgt_stats["n"])
+        probe_src = target.filter(touched[1])
+    elif sidecar_dirs is not None and not sidecar_dirs:
+        # no partition's key range intersects the batch: provably zero
+        # matches — skip the probe scan entirely
+        probe_src = None
+    elif sidecar_dirs is not None:
+        probe_src = spark.read.option("basePath", base).parquet(
+            *[f"{base}/{d}" for d in sidecar_dirs]
+        )
+    else:
+        probe_src = target
+    if probe_src is None:
+        tgt_stats = None
+        n_matched = n_deleted = 0
         n_before = target.count()
     else:
-        n_before = int(tgt_stats["n"])
+        tgt_stats = probe_src.join(probe, key_cond, "left").agg(
+            *stat_aggs
+        ).collect()[0]
+        n_matched = int(tgt_stats["n_m"] or 0)
+        n_deleted = int(tgt_stats["n_d"] or 0)
+        if pre_pruned or sidecar_dirs is not None:
+            # the probe ran over a pruned scope, so its count is not
+            # n_before — that costs one zero-column scan (row-group
+            # footer metadata only); under pre_pruned it IS n_scope
+            if pre_pruned:
+                n_scope = int(tgt_stats["n"])
+            n_before = target.count()
+        else:
+            n_before = int(tgt_stats["n"])
 
     if scoped and not pre_pruned:
         vals = [r.asDict() for r in new_parts]
-        if need_old_parts:
+        if need_old_parts and tgt_stats is not None:
             vals.extend(r.asDict() for r in tgt_stats["__oldparts"] or [])
         if len(new_parts) <= _MAX_SCOPED_PARTITIONS and len(vals) <= (
             2 * _MAX_SCOPED_PARTITIONS
@@ -880,10 +1173,47 @@ def merge_upsert(
             f"({n_scope} in scope - {n_deleted} deleted + "
             f"{n_inserted} inserts)"
         )
+    pre_promote = None
+    if sidecar_able and touched_dirs is not None:
+        # scoped swap: WIDEN the touched entries from the staged data
+        # and write BEFORE the promote (rollback/crash leaves stats too
+        # wide, never too narrow); whole-partition deletes keep their
+        # old wide entry; untouched partitions keep theirs
+        _doc = doc
+
+        def pre_promote(staging_path: str) -> None:
+            staged_stats = _collect_partition_key_stats(
+                spark, staging_path, merged.schema, partition_by, keys
+            )
+            parts = dict(
+                _doc["partitions"]
+            ) if _doc is not None else {}
+            for d in touched_dirs:
+                if d in staged_stats:
+                    parts[d] = _widen_entry(
+                        parts.get(d), staged_stats[d], keys
+                    )
+            _write_key_stats(spark, base, {
+                "version": 1, "keys": sorted(keys), "partitions": parts,
+            })
+    else:
+        # full rewrite, or a table this merge doesn't maintain stats
+        # for: a stale sidecar would be NARROW after the rewrite, which
+        # is the one unsafe direction — drop it before the swap (exact
+        # stats are rebuilt after a maintained full rewrite succeeds)
+        _delete_key_stats(spark, base)
     staged = _stage_verify_swap(
         merged, target_path, expected, partition_by, breakdown,
         touched_dirs=touched_dirs,
+        pre_promote=pre_promote,
     )
+    if sidecar_able and touched_dirs is None:
+        _write_key_stats(spark, base, {
+            "version": 1, "keys": sorted(keys),
+            "partitions": _collect_partition_key_stats(
+                spark, base, merged.schema, partition_by, keys
+            ),
+        })
     if obs is not None:
         n_updated = int(obs.get["n_upd"] or 0)
     n_after = n_before - n_scope + staged
@@ -1137,6 +1467,9 @@ def scd2_merge(
         closed
     ).unionByName(new_versions)
     expected = n_history + n_current + n_new
+    # scd2 does not maintain the merge _key_stats sidecar; a leftover
+    # one would go stale-NARROW under these rewrites — drop it
+    _delete_key_stats(spark, target_path.rstrip("/"))
     staged = _stage_verify_swap(
         merged, target_path, expected, partition_by,
         f"({n_history} history + {n_current} current + {n_new} new "
@@ -1434,6 +1767,9 @@ def incremental_agg(
     # expected rows = scoped stored keys + batch-partial keys new to the
     # store — an aggregate over the SAME joined frame, no second join
     expected = int(joined.agg(F.count("*").alias("n")).collect()[0]["n"])
+    # incremental_agg does not maintain the merge _key_stats sidecar;
+    # a leftover one would go stale-NARROW under these folds — drop it
+    _delete_key_stats(spark, target_path.rstrip("/"))
     _stage_verify_swap(
         folded, target_path, expected, partition_by,
         "(stored keys in scope + first-seen batch keys)",
