@@ -218,7 +218,8 @@ def stage_stream_sink(
     df: DataFrame, spec: dict, batch_stages_fn=None
 ) -> DataFrame:
     """``{"stage": "stream_sink", "format": "memory"|"parquet"|"noop"|
-    "console"|"foreach_batch"|"merge", "query_name": str?, "path": str?,
+    "console"|"foreach_batch"|"merge"|"scd2"|"incremental_agg",
+    "query_name": str?, "path": str?,
     "checkpoint": str?, "output_mode": "append"|"update"|"complete",
     "trigger": "available_now"|{"processing_time": "10 seconds"},
     "await": true?, "sink": {<batch sink spec>}?, "stages": [...]?}``.
@@ -338,6 +339,59 @@ def stage_stream_sink(
             )
 
         writer = df.writeStream.foreachBatch(_agg_handle).outputMode(
+            "append"
+        )
+    elif fmt == "scd2":
+        # streaming dimension versioning — each micro-batch of CDC
+        # events applies as a type-2 SCD merge
+        # (operators/table.py::scd2_merge): changed rows close the
+        # current version and append a new one, identical re-deliveries
+        # no-op via change detection, deletes close without successor.
+        # That change detection also makes a RETRIED micro-batch
+        # naturally idempotent (the re-applied rows are unchanged vs
+        # the now-current versions), so no batch-id marker is needed —
+        # unlike incremental_agg, whose folds are retry-sensitive.
+        # `order_col` keeps each key's latest event within a
+        # micro-batch (scd2_merge versions a key at most once per
+        # batch, the same ambiguity contract as MERGE).
+        from config_driven_pyspark_spark.operators.table import scd2_merge
+
+        if "path" not in spec or "keys" not in spec:
+            raise ValueError(
+                "stream_sink format scd2 requires `path` (the versioned "
+                "snapshot) and `keys`; add `order_col` when a micro-batch "
+                "can carry several events per key"
+            )
+        if spec.get("output_mode", "append") != "append":
+            raise ValueError(
+                "stream_sink format scd2 only supports output_mode append "
+                "(the CDC event stream)"
+            )
+        scd2_keys = list(spec["keys"])
+        scd2_order = spec.get("order_col")
+
+        def _scd2_handle(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_stages_fn is not None:
+                batch_df = batch_stages_fn(batch_df)
+            if scd2_order is not None:
+                w = Window.partitionBy(*scd2_keys).orderBy(
+                    F.col(scd2_order).desc_nulls_last()
+                )
+                batch_df = (
+                    batch_df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    # dropped AFTER dedup: keeping it would make the
+                    # event sequence a business column and every
+                    # re-delivery a spurious "change" version
+                    .drop("__rn", scd2_order)
+                )
+            scd2_merge(
+                batch_df, spec["path"], scd2_keys,
+                spec.get("ts_col", "effective_ts"),
+                spec.get("delete_col"), spec.get("partition_by"),
+            )
+
+        writer = df.writeStream.foreachBatch(_scd2_handle).outputMode(
             "append"
         )
     elif fmt == "foreach_batch":

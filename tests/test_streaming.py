@@ -1025,3 +1025,84 @@ def test_streaming_incremental_agg_sink_parity(spark, tmp_path):
     )
     assert key(streamed.collect()) == key(batched.collect())
     assert key(streamed.collect()) == key(direct.collect())
+
+
+def test_streaming_scd2_sink_parity(spark, tmp_path):
+    """Streaming dimension versioning (r12, VERDICT r11 ask #5): a CDC
+    event stream drains micro-batch-by-micro-batch through stream_sink
+    format=scd2; the versioned snapshot must equal the same batches
+    applied sequentially with scd2_merge in batch mode — closes,
+    no-ops, inserts, deletes and history all included."""
+    from config_driven_pyspark_spark.operators.table import scd2_merge
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id bigint, val string, eff string, gone boolean"
+        ).selectExpr("id", "val", "CAST(eff AS DATE) AS effective_ts",
+                     "gone")
+
+    b1 = [(1, "a", "2024-01-01", False), (2, "b", "2024-01-01", False)]
+    b2 = [(1, "A2", "2024-02-01", False),   # changed -> close + new
+          (2, "b", "2024-02-01", False),    # identical -> no-op
+          (3, "c", "2024-02-01", False)]    # new key
+    b3 = [(2, "b", "2024-03-01", True),     # delete -> close only
+          (1, "A3", "2024-03-01", False)]   # changed again
+    ev = str(tmp_path / "cdc_events")
+    for i, rows in enumerate([b1, b2, b3]):
+        mk(rows).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(ev)
+    dim_stream = str(tmp_path / "dim_stream")
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": ev,
+         "schema": "id bigint, val string, effective_ts date, "
+                   "gone boolean",
+         "streaming": True, "options": {"maxFilesPerTrigger": "1"}},
+        {"stage": "stream_sink", "format": "scd2", "path": dim_stream,
+         "keys": ["id"], "delete_col": "gone",
+         "checkpoint": str(tmp_path / "ckpt_scd2"),
+         "trigger": "available_now", "await": True},
+    ]).run(spark)
+    dim_batch = str(tmp_path / "dim_batch")
+    for rows in [b1, b2, b3]:
+        scd2_merge(mk(rows), dim_batch, ["id"], delete_col="gone")
+    cols = ["id", "val", "valid_from", "valid_to", "is_current"]
+    key = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select(*cols).collect()
+    )
+    streamed = spark.read.parquet(dim_stream)
+    batched = spark.read.parquet(dim_batch)
+    assert key(streamed) == key(batched)
+    # spot-check the final state is actually versioned
+    cur = {r["id"]: r["val"]
+           for r in streamed.filter("is_current").collect()}
+    assert cur == {1: "A3", 3: "c"}  # 2 deleted
+    # 1: a(closed), A2(closed), A3(cur); 2: b(closed by delete); 3: c
+    assert streamed.count() == 5
+
+
+def test_streaming_scd2_sink_order_col_dedup(spark, tmp_path):
+    """A micro-batch carrying several events per key keeps only the
+    latest (order_col), matching the merge sink's convention."""
+    ev = str(tmp_path / "cdc2")
+    spark.createDataFrame(
+        [(1, "v1", "2024-01-01", 1), (1, "v2", "2024-01-01", 2),
+         (2, "w", "2024-01-01", 1)],
+        "id bigint, val string, eff string, seq bigint",
+    ).selectExpr("id", "val", "CAST(eff AS DATE) AS effective_ts",
+                 "seq").coalesce(1).write.mode("overwrite").parquet(ev)
+    dim = str(tmp_path / "dim2")
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": ev,
+         "schema": "id bigint, val string, effective_ts date, "
+                   "seq bigint",
+         "streaming": True},
+        {"stage": "stream_sink", "format": "scd2", "path": dim,
+         "keys": ["id"], "order_col": "seq",
+         "checkpoint": str(tmp_path / "ckpt2"),
+         "trigger": "available_now", "await": True},
+    ]).run(spark)
+    got = {r["id"]: r["val"]
+           for r in spark.read.parquet(dim).filter("is_current")
+           .collect()}
+    assert got == {1: "v2", 2: "w"}
