@@ -144,9 +144,9 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def _raster_feature(payload: bytes, dim: int) -> list[float]:
-    """Real decoded-pixel features (BMP or PNG via magic sniff):
-    per-channel mean/255 (3), per-channel std/255 (3), then width/1024
-    and height/1024 — trimmed or zero-padded to ``dim``."""
+    """Real decoded-pixel features (BMP, PNG or baseline JPEG via magic
+    sniff): per-channel mean/255 (3), per-channel std/255 (3), then
+    width/1024 and height/1024 — trimmed or zero-padded to ``dim``."""
     arr = decode_image(payload).astype("float64")
     h, w = arr.shape[:2]
     feats = (
@@ -160,15 +160,21 @@ def _raster_feature(payload: bytes, dim: int) -> list[float]:
 def extract_features(df: DataFrame, decoder: str = "fake", dim: int = 8) -> DataFrame:
     """binary content → fixed-width feature vector via Arrow-batched
     ``mapInPandas`` (one Python roundtrip per Arrow batch, not per row).
-    ``decoder="bmp"`` / ``"png"`` compute features from REAL decoded
-    pixels (:func:`_raster_feature`); ``"fake"`` hashes the raw bytes."""
+    ``decoder="bmp"`` / ``"png"`` / ``"jpeg"`` / ``"image"`` compute
+    features from REAL decoded pixels (:func:`_raster_feature`, which
+    magic-sniffs all three formats — "image" is the explicit
+    mixed-column spelling); ``"fake"`` hashes the raw bytes."""
     if decoder == "real":
         raise NotImplementedError(
-            "real decode of formats beyond BMP/PNG requires codec libraries "
-            "(PIL/ffmpeg) not present in this environment; use decoder='bmp' "
-            "or 'png', or integrate by replacing _fake_feature"
+            "real decode of formats beyond BMP/PNG/baseline-JPEG requires "
+            "codec libraries (PIL/ffmpeg) not present in this environment; "
+            "use decoder='bmp'/'png'/'jpeg' (or 'image' for a mixed "
+            "column), or integrate by replacing _fake_feature"
         )
-    feature = _raster_feature if decoder in ("bmp", "png") else _fake_feature
+    feature = (
+        _raster_feature if decoder in ("bmp", "png", "jpeg", "image")
+        else _fake_feature
+    )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,19 +191,23 @@ def extract_features(df: DataFrame, decoder: str = "fake", dim: int = 8) -> Data
 
 
 def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
-    """Image resize. ``decoder="bmp"`` / ``"png"``: REAL — decode
-    (magic-sniffed), nearest-neighbor resize on actual pixels (integer
-    source mapping, see :func:`resize_nearest`), re-encode in the named
-    format into ``thumb``. ``"fake"``: deterministic pseudo-thumbnail
-    (hash of content) for formats without codec libs."""
+    """Image resize. ``decoder="bmp"`` / ``"png"`` / ``"jpeg"``: REAL —
+    decode (magic-sniffed, so a mixed column still decodes), nearest-
+    neighbor resize on actual pixels (integer source mapping, see
+    :func:`resize_nearest`), re-encode in the NAMED format into
+    ``thumb`` (jpeg thumbnails are baseline, quality 90). ``"fake"``:
+    deterministic pseudo-thumbnail (hash of content) for formats
+    without codec libs."""
     if decoder == "real":
         raise NotImplementedError(
-            "real resize of formats beyond BMP/PNG requires PIL/opencv; "
-            "use decoder='bmp' or 'png'"
+            "real resize of formats beyond BMP/PNG/baseline-JPEG requires "
+            "PIL/opencv; use decoder='bmp', 'png' or 'jpeg'"
         )
 
-    if decoder in ("bmp", "png"):
-        enc = encode_bmp if decoder == "bmp" else encode_png
+    if decoder in ("bmp", "png", "jpeg"):
+        enc = {
+            "bmp": encode_bmp, "png": encode_png, "jpeg": encode_jpeg,
+        }[decoder]
 
         def thumb(b):
             return enc(resize_nearest(decode_image(b), width, height))
@@ -1631,7 +1641,9 @@ def audio_stats(
 
 def stage_multimodal(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "multimodal", "op": "extract_features"|"resize"|
-    "sample_frames", "decoder": "fake"|"real", ...}``."""
+    "sample_frames"|..., "decoder": "fake"|"bmp"|"png"|"jpeg"|"image",
+    ...}`` — "image" magic-sniffs a mixed BMP/PNG/baseline-JPEG
+    column; "fake" hashes bytes for formats without codec libs."""
     op = spec.get("op", "extract_features")
     decoder = spec.get("decoder", "fake")
     if op == "extract_features":

@@ -2995,3 +2995,43 @@ def test_resample_audio_exact_and_identity(spark):
         want = ((s[x0] + 32768) * (12000 - r)
                 + (s[x1] + 32768) * r + 6000) // 12000 - 32768
         assert np.array_equal(arr[:, 0].astype("int64"), want), mid
+
+
+def test_jpeg_feature_and_thumbnail_surface(spark):
+    """r12 (VERDICT r11 ask #8): the baseline JPEG codec is exposed on
+    the feature/thumbnail surface — decoder='jpeg' decodes REAL pixels
+    (not a byte hash), resize re-encodes a baseline-JPEG thumb, and a
+    mixed BMP/PNG/JPEG column works via decoder='image' magic sniff."""
+    import numpy as np
+
+    arr = np.zeros((16, 16, 3), dtype="uint8")
+    arr[:, :, 1] = 128  # flat green: DC-only MCUs survive quantization
+    jpg = M.encode_jpeg(arr, quality=90)
+    media = spark.createDataFrame(
+        [(1, "image", jpg, None)], schema=M.MEDIA_SCHEMA
+    )
+    f = M.extract_features(media, decoder="jpeg", dim=8).collect()[0][
+        "feature"
+    ]
+    assert abs(f[1] - 128 / 255) < 0.02   # mean_g from decoded pixels
+    assert abs(f[0]) < 0.02 and abs(f[2]) < 0.02
+    assert abs(f[6] - 16 / 1024) < 1e-6   # real width metadata
+    thumb = M.resize_images(media, 8, 8, decoder="jpeg").collect()[0][
+        "thumb"
+    ]
+    assert bytes(thumb[:2]) == b"\xff\xd8"  # a real baseline JPEG
+    back = M.decode_jpeg(bytes(thumb))
+    assert back.shape == (8, 8, 3)
+    assert abs(int(back[:, :, 1].mean()) - 128) <= 3
+    # mixed column through the magic sniff
+    mixed = spark.createDataFrame(
+        [(1, "image", jpg, None),
+         (2, "image", M.encode_bmp(arr), None),
+         (3, "image", M.encode_png(arr), None)],
+        schema=M.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r["feature"]
+             for r in M.extract_features(
+                 mixed, decoder="image", dim=8).collect()}
+    for mid in (1, 2, 3):
+        assert abs(feats[mid][1] - 128 / 255) < 0.02, mid
