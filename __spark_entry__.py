@@ -2466,6 +2466,78 @@ def q_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-stats-sidecar MERGE probe pruning (operators/table.py
+    ``_key_stats``, r12 — VERDICT r11 ask #4, Delta-style data
+    skipping): the orders snapshot is partitioned by an ingest bucket
+    (``b<orderkey div 15000>`` — NOT a match key, each partition a
+    disjoint key range, the classic CDC layout), seeded through the
+    merge's own day-zero bootstrap so the sidecar starts with exact
+    per-partition key min/max. The CDC batch's keys live in ONE
+    bucket's range; the second merge's stats probe therefore reads
+    only the intersecting partition(s) instead of the full snapshot.
+    The query asserts the pruning DECISION is available and non-
+    trivial (sidecar present, candidate set smaller than the partition
+    listing) and that the rewrite stayed partition-scoped; the oracle
+    replays the merge algebra in SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import (
+        _list_partition_dirs, _read_key_stats, _ser_stat,
+        _sidecar_candidates, merge_upsert,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        *cols
+    ).withColumn(
+        "ingest",
+        F.format_string(
+            "b%03d", F.floor(F.col("o_orderkey") / 15000).cast("int")
+        ),
+    )
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_merges_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    merge_upsert(
+        orders.filter(F.col("o_orderkey") % 4 != 3), target,
+        ["o_orderkey"], partition_by=["ingest"],
+    )
+    batch = (
+        orders.filter(F.col("o_orderkey").between(15000, 21000))
+        .withColumn("o_orderpriority", F.lit("X-SIDE"))
+        .withColumn("is_deleted", F.col("o_orderkey") % 16 == 10)
+    )
+    doc = _read_key_stats(spark, target)
+    assert doc is not None and doc["keys"] == ["o_orderkey"], doc
+    dirs = _list_partition_dirs(spark, target, 1)
+    lo, hi = _ser_stat(15000), _ser_stat(21000)
+    cand = _sidecar_candidates(
+        doc, dirs, ["o_orderkey"], {"o_orderkey": (lo, hi, False)}
+    )
+    assert len(cand) < len(dirs), (cand, dirs)  # pruning is non-trivial
+    stats = merge_upsert(
+        batch, target, ["o_orderkey"], delete_col="is_deleted",
+        partition_by=["ingest"],
+    )
+    assert stats["rewrite"] == "partition", stats
+    return (
+        spark.read.parquet(target)
+        .groupBy("ingest", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_price"),
+        )
+    )
+
+
 def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 point-in-time reads (operators/table.py::scd2_read_asof,
     r11 — VERDICT r10 ask #5): the q_scd2_orders dimension (seeded
@@ -5253,11 +5325,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # pruning, crash-recovery fix, ''/NULL partition scoping,
     # per-partition batch markers, conditional merge) is
     # output-identical for every existing table row (re-verified via
-    # scripts/check_oracle.py); the one r12-new row
-    # (q_merge_conditional) self-fronts as never-recorded.  Window
-    # simulation: 1 new + 44 r8-stale (the ENTIRE r8 cohort) + 5
-    # r9-oldest = 50 — after this round no row's latest check is older
-    # than r9.
+    # scripts/check_oracle.py); the two r12-new rows
+    # (q_merge_conditional, q_merge_sidecar) self-front as
+    # never-recorded.  Window simulation: 2 new + 44 r8-stale (the
+    # ENTIRE r8 cohort) + 4 r9-oldest = 50 — after this round no row's
+    # latest check is older than r9.
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
@@ -5266,9 +5338,9 @@ _CHANGED_THIS_ROUND: list[str] = [
 # locally-verified new queries in rounds where the stale-cohort budget
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
-    # round 12: EMPTY (VERDICT r11 ask #2).  The single new row fits
-    # inside the 50-slot window alongside the entire 44-row r8-stale
-    # cohort (5 r9 rows fill the rest), so nothing needs demoting.
+    # round 12: EMPTY (VERDICT r11 ask #2).  Both new rows fit inside
+    # the 50-slot window alongside the entire 44-row r8-stale cohort
+    # (4 r9 rows fill the rest), so nothing needs demoting.
 ]
 
 
@@ -5374,6 +5446,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_agg_orders": q_incremental_agg_orders,  # monoid MV fold, r10
         "q_merge_partitioned": q_merge_partitioned,  # partition-scoped MERGE, r11
         "q_merge_conditional": q_merge_conditional,  # conditional UPDATE SET, r12
+        "q_merge_sidecar": q_merge_sidecar,  # key-stats probe pruning, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,  # merge+scd2+asof+join+MV composition, r11
         "q_table_compact": q_table_compact,  # small-file compaction, r11
@@ -7706,6 +7779,38 @@ def oracle_sql() -> dict[str, str]:
                      AS total_price
             FROM m
             GROUP BY o_orderstatus, o_orderpriority
+        """,
+        # sidecar-pruned MERGE replay: survivors-∪-batch algebra over the
+        # ingest-bucketed layout (the pruning only changes what the probe
+        # READS, never the result)
+        "q_merge_sidecar": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+                     printf('b%03d',
+                            CAST(floor(o_orderkey / 15000) AS INT))
+                       AS ingest
+              FROM orders),
+            t AS (SELECT * FROM o WHERE o_orderkey % 4 <> 3),
+            b AS (
+              SELECT o_orderkey, o_custkey, 'X-SIDE' AS o_orderpriority,
+                     o_totalprice, ingest,
+                     (o_orderkey % 16 = 10) AS del
+              FROM o WHERE o_orderkey BETWEEN 15000 AND 21000),
+            m AS (
+              SELECT o_orderkey, o_custkey, o_orderpriority,
+                     o_totalprice, ingest
+              FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderpriority,
+                     o_totalprice, ingest
+              FROM b WHERE NOT del)
+            SELECT ingest, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM m
+            GROUP BY ingest, o_orderpriority
         """,
         # partition-scoped MERGE replay: same survivors-∪-batch algebra as
         # q_merge_upsert, restricted to the status-'P' CDC slice

@@ -181,7 +181,9 @@ HEADLINE = [
     "q_table_compact",
     "q_scd2_asof",
     # round 12: conditional / column-level MERGE (UPDATE SET + condition)
+    # and sidecar-pruned probe over an ingest-bucketed layout
     "q_merge_conditional",
+    "q_merge_sidecar",
 ]
 
 
