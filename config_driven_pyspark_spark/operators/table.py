@@ -1301,11 +1301,35 @@ def scd2_merge(
             f"source must not carry the SCD2 metadata columns "
             f"{sorted(meta & set(source.columns))} — the merge owns them"
         )
+    # scd2 shares the merge _key_stats sidecar discipline: when the
+    # partition columns are business (not key) columns, the discovery
+    # semi-join can prune to key-range-intersecting partitions — fold
+    # the batch's per-key ranges into the same stats pass
+    sidecar_able = (
+        bool(partition_by)
+        and not set(partition_by) <= set(keys)
+        and all(
+            c in source.columns and c not in (ts_col,)
+            for c in partition_by
+        )
+        and _sidecar_supported(source.schema, keys)
+    )
+    range_aggs = []
+    if sidecar_able:
+        for k in keys:
+            range_aggs += [
+                F.min(k).alias(f"__min_{k}"),
+                F.max(k).alias(f"__max_{k}"),
+                (F.sum(F.col(k).isNull().cast("long")) > 0).alias(
+                    f"__nul_{k}"
+                ),
+            ]
     batch_stats = source.agg(
         F.count("*").alias("n"),
         F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias(
             "n_keys"
         ),
+        *range_aggs,
     ).collect()[0]
     n_src = int(batch_stats["n"])
     if int(batch_stats["n_keys"]) != n_src:
@@ -1314,6 +1338,14 @@ def scd2_merge(
             "more than once in a single batch; split the batch by "
             "effective time first"
         )
+    batch_ranges = {
+        k: (
+            _ser_stat(batch_stats[f"__min_{k}"]),
+            _ser_stat(batch_stats[f"__max_{k}"]),
+            bool(batch_stats[f"__nul_{k}"]),
+        )
+        for k in keys
+    } if sidecar_able else None
     if delete_col is not None:
         is_del = F.coalesce(F.col(delete_col), F.lit(False))
         deletes = source.filter(is_del).drop(delete_col)
@@ -1341,6 +1373,14 @@ def scd2_merge(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_path)
+        if sidecar_able:
+            # day-zero exact key stats (same discipline as merge_upsert)
+            _write_key_stats(spark, target_path.rstrip("/"), {
+                "version": 1, "keys": sorted(keys),
+                "partitions": _collect_partition_key_stats(
+                    spark, target_path, boot.schema, partition_by, keys,
+                ),
+            })
         return {"n_closed": 0, "n_new_versions": n, "n_unchanged": 0,
                 "n_deleted": 0, "n_after": n, "rewrite": "full"}
 
@@ -1370,6 +1410,14 @@ def scd2_merge(
 
     # touched-partition discovery: only key/business partition columns
     # scope (metadata columns move rows across partitions every merge)
+    base = target_path.rstrip("/")
+    doc = None
+    if sidecar_able:
+        doc = _read_key_stats(spark, base)
+        if doc is not None and not (
+            doc.get("version") == 1 and doc.get("keys") == sorted(keys)
+        ):
+            doc = None
     touched = None
     if (
         partition_by
@@ -1383,12 +1431,44 @@ def scd2_merge(
         else:
             # a business partition value may CHANGE: new versions land
             # at the batch's values, closed rows stay at the current
-            # rows' values — cover both (one pruned read-only semi-join)
-            parts_src = upserts.select(*partition_by).unionByName(
-                target.filter(F.col("is_current"))
-                .join(skeys, key_cond, "left_semi")
-                .select(*partition_by)
-            )
+            # rows' values — cover both with one read-only semi-join,
+            # PRUNED by the _key_stats sidecar when present: candidates
+            # are a superset of the partitions holding matching keys,
+            # so the semi-join over them still finds every matched
+            # current row (r12 — the scd2 read-path counterpart of the
+            # merge probe pruning)
+            cur = target.filter(F.col("is_current"))
+            if doc is not None:
+                disk_dirs = _list_partition_dirs(
+                    spark, base, len(partition_by)
+                )
+                cand = _sidecar_candidates(
+                    doc, disk_dirs, keys, batch_ranges
+                )
+                if not cand:
+                    # provably no matched rows anywhere
+                    cur = None
+                elif len(cand) < len(disk_dirs):
+                    scope_read = _cast_void_cols(
+                        spark.read.option("basePath", base).parquet(
+                            *[f"{base}/{d}" for d in cand]
+                        ),
+                        upserts,
+                    )
+                    if dict(scope_read.dtypes).get(
+                        "is_current"
+                    ) == "string":
+                        scope_read = scope_read.withColumn(
+                            "is_current",
+                            F.col("is_current").cast("boolean"),
+                        )
+                    cur = scope_read.filter(F.col("is_current"))
+            parts_src = upserts.select(*partition_by)
+            if cur is not None:
+                parts_src = parts_src.unionByName(
+                    cur.join(skeys, key_cond, "left_semi")
+                    .select(*partition_by)
+                )
         touched = _touched_partitions(parts_src, partition_by)
     if touched is not None:
         touched_dirs, prune, _ = touched
@@ -1467,15 +1547,45 @@ def scd2_merge(
         closed
     ).unionByName(new_versions)
     expected = n_history + n_current + n_new
-    # scd2 does not maintain the merge _key_stats sidecar; a leftover
-    # one would go stale-NARROW under these rewrites — drop it
-    _delete_key_stats(spark, target_path.rstrip("/"))
+    # sidecar maintenance (r12, same crash-wide discipline as
+    # merge_upsert): scoped swaps widen the touched entries before the
+    # promote; anything else drops the sidecar (stale = narrow =
+    # unsafe), with exact stats rebuilt after a maintained full rewrite
+    pre_promote = None
+    if sidecar_able and touched_dirs is not None:
+        _doc = doc
+
+        def pre_promote(staging_path: str) -> None:
+            staged_stats = _collect_partition_key_stats(
+                spark, staging_path, merged.schema, partition_by, keys
+            )
+            parts = dict(
+                _doc["partitions"]
+            ) if _doc is not None else {}
+            for d in touched_dirs:
+                if d in staged_stats:
+                    parts[d] = _widen_entry(
+                        parts.get(d), staged_stats[d], keys
+                    )
+            _write_key_stats(spark, base, {
+                "version": 1, "keys": sorted(keys), "partitions": parts,
+            })
+    else:
+        _delete_key_stats(spark, base)
     staged = _stage_verify_swap(
         merged, target_path, expected, partition_by,
         f"({n_history} history + {n_current} current + {n_new} new "
         "versions)",
         touched_dirs=touched_dirs,
+        pre_promote=pre_promote,
     )
+    if sidecar_able and touched_dirs is None:
+        _write_key_stats(spark, base, {
+            "version": 1, "keys": sorted(keys),
+            "partitions": _collect_partition_key_stats(
+                spark, base, merged.schema, partition_by, keys
+            ),
+        })
     return {"n_closed": n_closed, "n_new_versions": n_new,
             "n_unchanged": n_unchanged, "n_deleted": n_deleted,
             "n_after": n_total - n_scope + staged,

@@ -1490,3 +1490,56 @@ def test_sidecar_stale_guards(spark, tmp_path):
     )
     _delete_key_stats(spark, target)
     assert _read_key_stats(spark, target) is None
+
+
+def test_scd2_sidecar_prunes_discovery_and_stays_exact(spark, tmp_path):
+    """r12: scd2 on a business-column-partitioned dimension maintains
+    the _key_stats sidecar (bootstrap exact, scoped widen) and prunes
+    the discovery semi-join to key-range candidates — results identical
+    to the unpruned path, including closes in a partition the batch's
+    NEW values never name (a region move)."""
+    import shutil
+
+    from config_driven_pyspark_spark.operators.table import (
+        _read_key_stats, _sidecar_candidates, scd2_merge,
+    )
+
+    target = str(tmp_path / "scd2sc")
+    rows = [(i, "r1", f"v{i}", "2024-01-01") for i in range(1, 6)] + \
+           [(i, "r2", f"v{i}", "2024-01-01") for i in range(101, 106)]
+    mk = lambda rs: spark.createDataFrame(  # noqa: E731
+        rs, "id bigint, region string, val string, eff string"
+    ).selectExpr("id", "region", "val",
+                 "CAST(eff AS DATE) AS effective_ts")
+    scd2_merge(mk(rows), target, ["id"], partition_by=["region"])
+    doc = _read_key_stats(spark, target)
+    assert doc is not None and doc["keys"] == ["id"]
+    assert {"region=r1", "region=r2"} <= set(doc["partitions"])
+    # a batch whose keys live only in r2's range prunes discovery to r2
+    cand = _sidecar_candidates(
+        doc, ["region=r1", "region=r2"], ["id"], {"id": (101, 103, False)}
+    )
+    assert cand == ["region=r2"]
+    # key 101 MOVES region r2 -> r1: the close must land in r2 (found
+    # via the pruned semi-join), the new version in r1
+    b2 = mk([(101, "r1", "v101b", "2024-02-01")])
+    stats = scd2_merge(b2, target, ["id"], partition_by=["region"])
+    assert stats["rewrite"] == "partition"
+    assert stats["n_closed"] == 1 and stats["n_new_versions"] == 1
+    snap = spark.read.parquet(target)
+    r = {(x["id"], x["is_current"]): x["region"] for x in
+         snap.filter("id = 101").collect()}
+    assert r == {(101, False): "r2", (101, True): "r1"}
+    # widened entry now spans both partitions for key 101
+    doc2 = _read_key_stats(spark, target)
+    e = doc2["partitions"]["region=r1"]["id"]
+    assert e["min"] <= 1 and e["max"] >= 101
+    # stats-missing -> unpruned fallback stays exact
+    shutil.rmtree(os.path.join(target, "_key_stats"))
+    b3 = mk([(2, "r1", "v2b", "2024-03-01")])
+    stats = scd2_merge(b3, target, ["id"], partition_by=["region"])
+    assert stats["n_closed"] == 1 and stats["n_new_versions"] == 1
+    cur = {x["id"]: x["val"]
+           for x in spark.read.parquet(target)
+           .filter("is_current").collect()}
+    assert cur[2] == "v2b" and cur[101] == "v101b"
