@@ -2538,6 +2538,57 @@ def q_merge_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-sync MERGE with Delta's third clause
+    (operators/table.py::merge_upsert when_not_matched_by_source, r12):
+    the batch is the COMPLETE current status-'P' slice (%8 IN (2,3)),
+    so any target 'P' row absent from it is stale —
+    ``when_not_matched_by_source='delete'`` with
+    ``by_source_condition="target.o_orderstatus = 'P'"`` drops exactly
+    those, while non-'P' rows pass through untouched, matches
+    update-all and unmatched batch rows insert. The oracle replays the
+    three-clause algebra in SQL."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import merge_upsert
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_mergesync_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).parquet(target)
+    batch = (
+        orders.filter(
+            ((F.col("o_orderkey") % 8).isin(2, 3))
+            & (F.col("o_orderstatus") == "P")
+        )
+        .withColumn("o_orderpriority", F.lit("X-SYNC"))
+    )
+    stats = merge_upsert(
+        batch, target, ["o_orderkey"],
+        when_not_matched_by_source="delete",
+        by_source_condition="target.o_orderstatus = 'P'",
+    )
+    assert stats["rewrite"] == "full", stats
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_price"),
+        )
+    )
+
+
 def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 point-in-time reads (operators/table.py::scd2_read_asof,
     r11 — VERDICT r10 ask #5): the q_scd2_orders dimension (seeded
@@ -5325,10 +5376,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # pruning, crash-recovery fix, ''/NULL partition scoping,
     # per-partition batch markers, conditional merge) is
     # output-identical for every existing table row (re-verified via
-    # scripts/check_oracle.py); the two r12-new rows
-    # (q_merge_conditional, q_merge_sidecar) self-front as
-    # never-recorded.  Window simulation: 2 new + 44 r8-stale (the
-    # ENTIRE r8 cohort) + 4 r9-oldest = 50 — after this round no row's
+    # scripts/check_oracle.py); the three r12-new rows
+    # (q_merge_conditional, q_merge_sidecar, q_merge_sync) self-front
+    # as never-recorded.  Window simulation: 3 new + 44 r8-stale (the
+    # ENTIRE r8 cohort) + 3 r9-oldest = 50 — after this round no row's
     # latest check is older than r9.
 ]
 
@@ -5338,9 +5389,9 @@ _CHANGED_THIS_ROUND: list[str] = [
 # locally-verified new queries in rounds where the stale-cohort budget
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
-    # round 12: EMPTY (VERDICT r11 ask #2).  Both new rows fit inside
-    # the 50-slot window alongside the entire 44-row r8-stale cohort
-    # (4 r9 rows fill the rest), so nothing needs demoting.
+    # round 12: EMPTY (VERDICT r11 ask #2).  All three new rows fit
+    # inside the 50-slot window alongside the entire 44-row r8-stale
+    # cohort (3 r9 rows fill the rest), so nothing needs demoting.
 ]
 
 
@@ -5447,6 +5498,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_partitioned": q_merge_partitioned,  # partition-scoped MERGE, r11
         "q_merge_conditional": q_merge_conditional,  # conditional UPDATE SET, r12
         "q_merge_sidecar": q_merge_sidecar,  # key-stats probe pruning, r12
+        "q_merge_sync": q_merge_sync,  # not-matched-by-source clause, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,  # merge+scd2+asof+join+MV composition, r11
         "q_table_compact": q_table_compact,  # small-file compaction, r11
@@ -7772,6 +7824,37 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey, o_orderstatus, o_orderpriority,
                      o_totalprice
               FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t))
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM m
+            GROUP BY o_orderstatus, o_orderpriority
+        """,
+        # full-sync three-clause replay: matched -> batch row, unmatched
+        # batch -> insert, stale 'P' target rows (not in batch) -> delete,
+        # non-'P' unmatched targets pass through
+        "q_merge_sync": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            b AS (
+              SELECT o_orderkey, o_orderstatus,
+                     'X-SYNC' AS o_orderpriority, o_totalprice
+              FROM orders
+              WHERE o_orderkey % 8 IN (2, 3) AND o_orderstatus = 'P'),
+            m AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM t
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+                AND o_orderstatus <> 'P'
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM b)
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
                    CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,

@@ -180,10 +180,12 @@ HEADLINE = [
     "q_e2e_cdc",
     "q_table_compact",
     "q_scd2_asof",
-    # round 12: conditional / column-level MERGE (UPDATE SET + condition)
-    # and sidecar-pruned probe over an ingest-bucketed layout
+    # round 12: conditional / column-level MERGE (UPDATE SET + condition),
+    # sidecar-pruned probe over an ingest-bucketed layout, and the
+    # full-sync not-matched-by-source clause
     "q_merge_conditional",
     "q_merge_sidecar",
+    "q_merge_sync",
 ]
 
 
@@ -225,6 +227,13 @@ def main() -> None:
     headline = (
         [q for q in only.split(",") if q] if only else list(HEADLINE)
     )
+
+    # fingerprints computed at RUN START, not at record-write time:
+    # inspect.getsource reads the file on disk at the loaded code's
+    # line offsets, so an edit landing mid-run (r12 incident: 77
+    # fingerprints garbled, histories wrongly reset) would otherwise
+    # stamp the record with sources the run never executed
+    fingerprints = _query_fingerprints(queries, headline)
 
     # one untimed pass of every headline query at the smallest SF: identical
     # expression trees and schemas → the Janino codegen cache is hot for the
@@ -307,7 +316,7 @@ def main() -> None:
         "repeat_base": repeat,
         "sf": sf,
         "total": total,
-        "fingerprint": _query_fingerprints(queries, headline),
+        "fingerprint": fingerprints,
         "commits": [c for c in [_git_head()] if c],
     }
     try:

@@ -729,6 +729,9 @@ def merge_upsert(
     match_condition: str | None = None,
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    when_not_matched_by_source: str = "none",
+    by_source_condition: str | None = None,
+    by_source_set: dict[str, str] | None = None,
 ) -> dict:
     """Apply ``source`` (a CDC batch) to the parquet snapshot at
     ``target_path`` and atomically swap in the merged snapshot.
@@ -758,6 +761,14 @@ def merge_upsert(
     - ``when_matched='none'`` ignores matches entirely (insert-only
       merge; deletes still apply); ``when_not_matched='none'`` drops
       unmatched source rows (update-only merge).
+    - ``when_not_matched_by_source`` (Delta's third clause, the
+      full-sync surface): target rows with NO source match can
+      ``'delete'`` (drop stale rows) or ``'update'`` (apply
+      ``by_source_set`` — expressions over ``target.`` only, there is
+      no source row), optionally gated by ``by_source_condition``.
+      Every target row is potentially affected, so this mode forces a
+      FULL rewrite — the same physics as Delta. By-source deletes fold
+      into ``n_deleted`` and by-source updates into ``n_updated``.
 
     Schema evolution: extra source columns are projected off by
     default (update-all MERGE targets the snapshot's schema);
@@ -784,16 +795,34 @@ def merge_upsert(
             "update_set/match_condition describe the UPDATE branch — "
             "they need when_matched='update'"
         )
-    if update_set:
-        bad = sorted(set(update_set) & set(keys))
-        if bad:
-            raise ValueError(
-                f"update_set must not touch match keys {bad} — updating "
-                "a key breaks merge idempotency; delete + insert instead"
-            )
+    if when_not_matched_by_source not in ("none", "delete", "update"):
+        raise ValueError(
+            "when_not_matched_by_source must be 'none', 'delete' or "
+            "'update'"
+        )
+    if when_not_matched_by_source == "update" and not by_source_set:
+        raise ValueError(
+            "when_not_matched_by_source='update' needs by_source_set "
+            "({col: expr over target.*})"
+        )
+    if when_not_matched_by_source != "update" and by_source_set:
+        raise ValueError(
+            "by_source_set needs when_not_matched_by_source='update'"
+        )
+    by_source = when_not_matched_by_source != "none"
+    for us in (update_set, by_source_set):
+        if us:
+            bad = sorted(set(us) & set(keys))
+            if bad:
+                raise ValueError(
+                    f"update_set must not touch match keys {bad} — "
+                    "updating a key breaks merge idempotency; delete + "
+                    "insert instead"
+                )
     conditional = (
         update_set is not None or match_condition is not None
         or when_matched != "update" or when_not_matched != "insert"
+        or by_source
     )
     if conditional and allow_new_columns:
         raise ValueError(
@@ -899,13 +928,14 @@ def merge_upsert(
             "replacement and inserts take whole rows, so the batch must "
             "carry the full schema (or set when_not_matched='none')"
         )
-    if update_set:
-        unknown = sorted(set(update_set) - set(target.columns))
-        if unknown:
-            raise ValueError(
-                f"update_set names columns {unknown} not in the snapshot "
-                f"schema {target.columns}"
-            )
+    for us in (update_set, by_source_set):
+        if us:
+            unknown = sorted(set(us) - set(target.columns))
+            if unknown:
+                raise ValueError(
+                    f"update_set names columns {unknown} not in the "
+                    f"snapshot schema {target.columns}"
+                )
     new_cols = (
         [c for c in upserts.columns if c not in target.columns]
         if allow_new_columns else []
@@ -929,9 +959,11 @@ def merge_upsert(
     # untouched partitions and a plain directory read resolves the
     # schema from one file's footer. An update_set touching a partition
     # column can't either: the new value is an expression result, so
-    # the touched set isn't known until evaluation.
+    # the touched set isn't known until evaluation. A by-source clause
+    # can't either: target rows in EVERY partition are potentially
+    # affected (the same full-rewrite physics as Delta's clause).
     scoped = (
-        bool(partition_by) and not new_cols
+        bool(partition_by) and not new_cols and not by_source
         and not (update_set and set(update_set) & set(partition_by))
         and _layout_matches(spark, target_path, partition_by)
     )
@@ -1139,8 +1171,32 @@ def merge_upsert(
             if when_matched == "update" else F.lit(False)
         )
         src_only = F.col("__t_ex").isNull()
+        tgt_only = F.col("__s_ex").isNull()
+        bs_cond = (
+            F.expr(by_source_condition)
+            if by_source_condition else F.lit(True)
+        )
+        bs_delete = (
+            (tgt_only & bs_cond)
+            if when_not_matched_by_source == "delete" else F.lit(False)
+        )
+        bs_update = (
+            (tgt_only & bs_cond)
+            if when_not_matched_by_source == "update" else F.lit(False)
+        )
+        # the staged-count verification needs the by-source delete
+        # count BEFORE the write — one anti-join count, only in the
+        # (inherently full-scan) delete mode
+        n_bs_del = 0
+        if when_not_matched_by_source == "delete":
+            stale = tgt_scope.alias("target").join(
+                bkeys, key_cond, "left_anti"
+            )
+            if by_source_condition:
+                stale = stale.filter(F.expr(by_source_condition))
+            n_bs_del = stale.count()
         keep = (
-            F.col("__s_ex").isNull()
+            (tgt_only & ~bs_delete)
             | (is_matched & ~is_del)
             | (src_only & ~is_del & F.lit(when_not_matched == "insert"))
         )
@@ -1158,20 +1214,28 @@ def merge_upsert(
                 F.col(f"source.{c}")
                 if when_not_matched == "insert" else F.col(f"target.{c}")
             )
+            bs_val = (
+                F.expr(by_source_set[c]).cast(target.schema[c].dataType)
+                if by_source_set and c in by_source_set
+                else F.col(f"target.{c}")
+            )
             out_cols.append(
                 F.when(src_only, ins).when(do_update, upd)
+                .when(bs_update, bs_val)
                 .otherwise(F.col(f"target.{c}")).alias(c)
             )
         # observed on the join node: n_updated is collected DURING the
         # staging write (no second execution of the join)
         obs = Observation()
         merged = joined.observe(
-            obs, F.sum(do_update.cast("long")).alias("n_upd")
+            obs,
+            F.sum(do_update.cast("long")).alias("n_upd"),
+            F.sum(bs_update.cast("long")).alias("n_bs_upd"),
         ).filter(keep).select(*out_cols)
-        expected = n_scope - n_deleted + n_inserted
+        expected = n_scope - n_deleted - n_bs_del + n_inserted
         breakdown = (
-            f"({n_scope} in scope - {n_deleted} deleted + "
-            f"{n_inserted} inserts)"
+            f"({n_scope} in scope - {n_deleted} deleted - "
+            f"{n_bs_del} stale + {n_inserted} inserts)"
         )
     pre_promote = None
     if sidecar_able and touched_dirs is not None:
@@ -1215,7 +1279,11 @@ def merge_upsert(
             ),
         })
     if obs is not None:
-        n_updated = int(obs.get["n_upd"] or 0)
+        got = obs.get
+        # by-source deletes fold into n_deleted, by-source updates
+        # into n_updated (keeps the stats-dict shape stable)
+        n_updated = int(got["n_upd"] or 0) + int(got["n_bs_upd"] or 0)
+        n_deleted += n_bs_del
     n_after = n_before - n_scope + staged
     return {"n_before": n_before, "n_matched": n_matched,
             "n_updated": n_updated, "n_inserted": n_inserted,
@@ -1228,10 +1296,13 @@ def stage_merge(df: DataFrame, spec: dict) -> DataFrame:
     "delete_col": name?, "partition_by": [...]?,
     "allow_new_columns": bool?, "update_set": {col: expr}?,
     "match_condition": expr?, "when_matched": "update"|"none"?,
-    "when_not_matched": "insert"|"none"?}`` — ``df`` is the CDC batch;
-    applies it to the snapshot and returns the POST-merge snapshot so
-    downstream stages read the new table state. ``update_set`` /
-    ``match_condition`` expressions reference ``source.<col>`` and
+    "when_not_matched": "insert"|"none"?,
+    "when_not_matched_by_source": "none"|"delete"|"update"?,
+    "by_source_condition": expr?, "by_source_set": {col: expr}?}`` —
+    ``df`` is the CDC batch; applies it to the snapshot and returns the
+    POST-merge snapshot so downstream stages read the new table state.
+    ``update_set`` / ``match_condition`` expressions reference
+    ``source.<col>`` and ``target.<col>``; by-source expressions only
     ``target.<col>``."""
     merge_upsert(
         df, spec["path"], list(spec["keys"]),
@@ -1241,6 +1312,11 @@ def stage_merge(df: DataFrame, spec: dict) -> DataFrame:
         match_condition=spec.get("match_condition"),
         when_matched=spec.get("when_matched", "update"),
         when_not_matched=spec.get("when_not_matched", "insert"),
+        when_not_matched_by_source=spec.get(
+            "when_not_matched_by_source", "none"
+        ),
+        by_source_condition=spec.get("by_source_condition"),
+        by_source_set=spec.get("by_source_set"),
     )
     return df.sparkSession.read.parquet(spec["path"])
 

@@ -1543,3 +1543,59 @@ def test_scd2_sidecar_prunes_discovery_and_stays_exact(spark, tmp_path):
            for x in spark.read.parquet(target)
            .filter("is_current").collect()}
     assert cur[2] == "v2b" and cur[101] == "v101b"
+
+
+def test_merge_not_matched_by_source_delete_and_update(spark, tmp_path):
+    """r12: Delta's third clause. A full-sync batch deletes stale
+    target rows (optionally condition-gated) or stamps them via
+    by_source_set; both force a full rewrite."""
+    target = str(tmp_path / "bs1")
+    _snapshot(spark, target, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    batch = spark.createDataFrame(
+        [(1, "A", 11), (4, "d", 40)], "id bigint, val string, qty bigint"
+    )
+    stats = merge_upsert(
+        batch, target, ["id"],
+        when_not_matched_by_source="delete",
+        by_source_condition="target.qty < 25",
+    )
+    # 2 deleted (stale, qty<25); 3 kept (condition false); 1 updated;
+    # 4 inserted
+    assert stats["n_deleted"] == 1 and stats["n_inserted"] == 1
+    assert stats["rewrite"] == "full"
+    got = {r["id"]: (r["val"], r["qty"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("A", 11), 3: ("c", 30), 4: ("d", 40)}
+
+    t2 = str(tmp_path / "bs2")
+    _snapshot(spark, t2, [(1, "a", 10), (2, "b", 20)])
+    stats = merge_upsert(
+        spark.createDataFrame([(1, "A", 11)],
+                              "id bigint, val string, qty bigint"),
+        t2, ["id"],
+        when_not_matched_by_source="update",
+        by_source_set={"val": "concat('stale-', target.val)"},
+    )
+    assert stats["n_updated"] == 2  # 1 matched-updated + 1 by-source
+    got = {r["id"]: r["val"] for r in spark.read.parquet(t2).collect()}
+    assert got == {1: "A", 2: "stale-b"}
+    with pytest.raises(ValueError, match="needs by_source_set"):
+        merge_upsert(batch, t2, ["id"],
+                     when_not_matched_by_source="update")
+
+
+def test_merge_by_source_forces_full_on_partitioned(spark, tmp_path):
+    """The by-source clause touches every partition, so scoping is off
+    even on a partitioned layout (same physics as Delta)."""
+    target = str(tmp_path / "bs3")
+    _psnapshot(spark, target, [(1, "a", 10), (2, "b", 20)])
+    batch = spark.createDataFrame(
+        [(1, "a", 11)], "id bigint, part string, qty bigint"
+    )
+    stats = merge_upsert(
+        batch, target, ["id"], partition_by=["part"],
+        when_not_matched_by_source="delete",
+    )
+    assert stats["rewrite"] == "full"
+    got = {r["id"]: r["qty"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 11}  # 2 was stale -> deleted
