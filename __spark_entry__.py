@@ -2589,6 +2589,59 @@ def q_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone UPDATE WHERE + DELETE FROM over plain parquet
+    (operators/table.py::update_where/delete_where, r12): the
+    status-partitioned orders snapshot takes an in-place priority
+    backfill on the 'P' %8=2 slice, then a GDPR-style delete of the
+    'P' %16=10 slice — both partition-scoped rewrites through the same
+    row-count-verified swap (asserted; the ``table_update``/
+    ``table_delete`` config stages wrap these same functions, pinned in
+    tests/test_table.py). The oracle replays CASE-update-then-filter
+    in SQL."""
+    import os
+    import tempfile
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_mutate_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(target)
+    from config_driven_pyspark_spark.operators.table import (
+        delete_where, update_where,
+    )
+
+    stats_u = update_where(
+        spark, target,
+        {"o_orderpriority": "concat('U-', o_orderpriority)"},
+        "o_orderstatus = 'P' AND o_orderkey % 8 = 2",
+        partition_by=["o_orderstatus"],
+    )
+    assert stats_u["rewrite"] == "partition", stats_u
+    stats_d = delete_where(
+        spark, target,
+        "o_orderstatus = 'P' AND o_orderkey % 16 = 10",
+        partition_by=["o_orderstatus"],
+    )
+    assert stats_d["rewrite"] == "partition", stats_d
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_price"),
+        )
+    )
+
+
 def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 point-in-time reads (operators/table.py::scd2_read_asof,
     r11 — VERDICT r10 ask #5): the q_scd2_orders dimension (seeded
@@ -5376,11 +5429,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # pruning, crash-recovery fix, ''/NULL partition scoping,
     # per-partition batch markers, conditional merge) is
     # output-identical for every existing table row (re-verified via
-    # scripts/check_oracle.py); the three r12-new rows
-    # (q_merge_conditional, q_merge_sidecar, q_merge_sync) self-front
-    # as never-recorded.  Window simulation: 3 new + 44 r8-stale (the
-    # ENTIRE r8 cohort) + 3 r9-oldest = 50 — after this round no row's
-    # latest check is older than r9.
+    # scripts/check_oracle.py); the four r12-new rows
+    # (q_merge_conditional, q_merge_sidecar, q_merge_sync,
+    # q_table_mutate) self-front as never-recorded.  Window simulation:
+    # 4 new + 44 r8-stale (the ENTIRE r8 cohort) + 2 r9-oldest = 50 —
+    # after this round no row's latest check is older than r9.
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
@@ -5389,9 +5442,9 @@ _CHANGED_THIS_ROUND: list[str] = [
 # locally-verified new queries in rounds where the stale-cohort budget
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
-    # round 12: EMPTY (VERDICT r11 ask #2).  All three new rows fit
+    # round 12: EMPTY (VERDICT r11 ask #2).  All four new rows fit
     # inside the 50-slot window alongside the entire 44-row r8-stale
-    # cohort (3 r9 rows fill the rest), so nothing needs demoting.
+    # cohort (2 r9 rows fill the rest), so nothing needs demoting.
 ]
 
 
@@ -5499,6 +5552,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_conditional": q_merge_conditional,  # conditional UPDATE SET, r12
         "q_merge_sidecar": q_merge_sidecar,  # key-stats probe pruning, r12
         "q_merge_sync": q_merge_sync,  # not-matched-by-source clause, r12
+        "q_table_mutate": q_table_mutate,  # UPDATE WHERE + DELETE FROM, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,  # merge+scd2+asof+join+MV composition, r11
         "q_table_compact": q_table_compact,  # small-file compaction, r11
@@ -7824,6 +7878,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey, o_orderstatus, o_orderpriority,
                      o_totalprice
               FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t))
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM m
+            GROUP BY o_orderstatus, o_orderpriority
+        """,
+        # UPDATE-then-DELETE replay: CASE backfill on the 'P' %8=2 slice,
+        # then drop the 'P' %16=10 slice
+        "q_table_mutate": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            u AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderstatus = 'P' AND o_orderkey % 8 = 2
+                          THEN 'U-' || o_orderpriority
+                          ELSE o_orderpriority END AS o_orderpriority,
+                     o_totalprice
+              FROM t),
+            m AS (
+              SELECT * FROM u
+              WHERE NOT (o_orderstatus = 'P' AND o_orderkey % 16 = 10))
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
                    CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,

@@ -186,6 +186,7 @@ HEADLINE = [
     "q_merge_conditional",
     "q_merge_sidecar",
     "q_merge_sync",
+    "q_table_mutate",
 ]
 
 

@@ -2135,6 +2135,190 @@ def stage_compact(df: DataFrame, spec: dict) -> DataFrame:
     return df.sparkSession.read.parquet(spec["path"])
 
 
+def _mutate_where(
+    spark: SparkSession,
+    target_path: str,
+    condition: str,
+    set_exprs: dict[str, str] | None,
+    partition_by: list[str] | None,
+) -> dict:
+    """Shared core of :func:`delete_where` / :func:`update_where`."""
+    from config_driven_pyspark_spark.operators.similarity import _fs_exists
+
+    if not condition:
+        raise ValueError(
+            "a WHERE condition is required — to drop or rewrite a whole "
+            "table, overwrite it instead of mutating every row"
+        )
+    if not _fs_exists(spark, target_path):
+        raise ValueError(f"no snapshot at {target_path!r}")
+    _recover_crashed_swap(spark, target_path)
+    base = target_path.rstrip("/")
+    target = spark.read.parquet(target_path)
+    if set_exprs:
+        unknown = sorted(set(set_exprs) - set(target.columns))
+        if unknown:
+            raise ValueError(
+                f"set names columns {unknown} not in the snapshot schema "
+                f"{target.columns}"
+            )
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+
+    # scoping: an update writing a partition column can move rows to
+    # partitions the condition never named — full rewrite, like the
+    # merge's update_set guard
+    scoped = (
+        bool(partition_by)
+        and not (set_exprs and set(set_exprs) & set(partition_by))
+        and _layout_matches(spark, target_path, partition_by)
+    )
+    # ONE snapshot pass: n_before + n_matched + the partitions matching
+    # rows live in (sliced in-query, full-rewrite fallback over the cap)
+    stat_aggs = [
+        F.count("*").alias("n"),
+        F.sum(cond.cast("long")).alias("n_m"),
+    ]
+    if scoped:
+        stat_aggs.append(
+            F.slice(
+                F.collect_set(
+                    F.when(
+                        cond,
+                        F.struct(
+                            *[F.col(c).alias(c) for c in partition_by],
+                            *[
+                                F.col(c).cast("string").alias(f"__s_{c}")
+                                for c in partition_by
+                            ],
+                        ),
+                    )
+                ),
+                1, _MAX_SCOPED_PARTITIONS + 1,
+            ).alias("__parts")
+        )
+    stats = target.agg(*stat_aggs).collect()[0]
+    n_before = int(stats["n"])
+    n_matched = int(stats["n_m"] or 0)
+
+    touched_dirs = None
+    tgt_scope = target
+    n_scope = n_before
+    if scoped and n_matched:
+        vals = [r.asDict() for r in stats["__parts"] or []]
+        if len(vals) <= _MAX_SCOPED_PARTITIONS:
+            touched_dirs, prune = _dirs_and_pred(partition_by, vals)
+            tgt_scope = target.filter(prune)
+            n_scope = tgt_scope.count()
+    if n_matched == 0:
+        return {"n_before": n_before, "n_matched": 0,
+                "n_after": n_before, "rewrite": "none"}
+
+    if set_exprs is None:
+        out = tgt_scope.filter(~cond)
+        expected = n_scope - n_matched
+        breakdown = f"({n_scope} in scope - {n_matched} matched deletes)"
+    else:
+        out = tgt_scope.select(*[
+            F.when(
+                cond, F.expr(set_exprs[c]).cast(target.schema[c].dataType)
+            ).otherwise(F.col(c)).alias(c)
+            if c in set_exprs else F.col(c)
+            for c in target.columns
+        ])
+        expected = n_scope
+        breakdown = f"({n_scope} rows in scope, update keeps the count)"
+
+    # sidecar hygiene: an update touching the sidecar's key columns
+    # would make its ranges stale-NARROW (unsafe); deletes and
+    # other-column updates leave the ranges valid-or-wide
+    doc = _read_key_stats(spark, base)
+    if doc is not None and set_exprs and set(set_exprs) & set(
+        doc.get("keys") or []
+    ):
+        _delete_key_stats(spark, base)
+    # batch markers (incremental_agg retry dedup) survive the rewrite
+    markers = {}
+    if touched_dirs is not None:
+        for d in touched_dirs:
+            m = _read_batch_marker(spark, f"{base}/{d}")
+            if m is not None:
+                markers[d] = m
+    root_marker = (
+        _read_batch_marker(spark, base) if touched_dirs is None else None
+    )
+    _stage_verify_swap(
+        out, target_path, expected, partition_by, breakdown,
+        touched_dirs=touched_dirs,
+        marker_batch_id=root_marker,
+        partition_markers=markers or None,
+    )
+    n_after = n_before - (n_matched if set_exprs is None else 0)
+    return {"n_before": n_before, "n_matched": n_matched,
+            "n_after": n_after,
+            "rewrite": "full" if touched_dirs is None else "partition"}
+
+
+def delete_where(
+    spark: SparkSession,
+    target_path: str,
+    condition: str,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """``DELETE FROM <snapshot> WHERE <condition>`` over plain parquet —
+    the GDPR/right-to-be-forgotten staple. One snapshot pass finds the
+    match count AND the partitions matched rows live in; with
+    ``partition_by`` only those directories are rewritten and swapped
+    (untouched partition files stay byte-identical), through the same
+    row-count-verified crash-recovered swap as the merges. A zero-match
+    condition touches nothing (``rewrite: "none"``). Returns
+    ``{n_before, n_matched, n_after, rewrite}``."""
+    return _mutate_where(spark, target_path, condition, None, partition_by)
+
+
+def update_where(
+    spark: SparkSession,
+    target_path: str,
+    set_exprs: dict[str, str],
+    condition: str,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """``UPDATE <snapshot> SET col = expr WHERE <condition>`` — the
+    in-place backfill/correction surface. ``set_exprs`` values are SQL
+    expressions over the table's own columns, cast to each stored
+    column type so the snapshot schema never drifts. Updating a
+    partition column forces a full rewrite (rows may move to partitions
+    the condition never named); updating a ``_key_stats`` key column
+    drops the sidecar (its ranges would go stale-narrow). Same scoped
+    swap discipline as :func:`delete_where`."""
+    if not set_exprs:
+        raise ValueError("update_where needs set_exprs ({col: expr})")
+    return _mutate_where(
+        spark, target_path, condition, dict(set_exprs), partition_by
+    )
+
+
+def stage_table_delete(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "table_delete", "path": ..., "where": <condition>,
+    "partition_by": [...]?}`` — deletes matching rows from the snapshot
+    and returns the post-delete table."""
+    delete_where(
+        df.sparkSession, spec["path"], spec["where"],
+        spec.get("partition_by"),
+    )
+    return df.sparkSession.read.parquet(spec["path"])
+
+
+def stage_table_update(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "table_update", "path": ..., "set": {col: expr},
+    "where": <condition>, "partition_by": [...]?}`` — applies the
+    update and returns the post-update table."""
+    update_where(
+        df.sparkSession, spec["path"], dict(spec["set"]), spec["where"],
+        spec.get("partition_by"),
+    )
+    return df.sparkSession.read.parquet(spec["path"])
+
+
 def stage_incremental_agg(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "incremental_agg", "path": ..., "keys": [...],
     "aggs": {out: "sum(expr)" | "count(*)" | "min(expr)" | "max(expr)"},

@@ -251,6 +251,7 @@ class Pipeline:
             "observe",
             "udf", "grouped_map", "flat_map", "sink", "merge", "scd2",
             "scd2_asof", "incremental_agg", "compact",
+            "table_delete", "table_update",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -454,6 +455,18 @@ class Pipeline:
             )
 
             return stage_compact(df, spec)
+        if kind == "table_delete":
+            from config_driven_pyspark_spark.operators.table import (
+                stage_table_delete,
+            )
+
+            return stage_table_delete(df, spec)
+        if kind == "table_update":
+            from config_driven_pyspark_spark.operators.table import (
+                stage_table_update,
+            )
+
+            return stage_table_update(df, spec)
         raise ValueError(f"Unknown stage kind {kind!r}")
 
     def _batch_stages_fn(self, spec: dict):

@@ -1599,3 +1599,113 @@ def test_merge_by_source_forces_full_on_partitioned(spark, tmp_path):
     assert stats["rewrite"] == "full"
     got = {r["id"]: r["qty"] for r in spark.read.parquet(target).collect()}
     assert got == {1: 11}  # 2 was stale -> deleted
+
+
+# ---------------------------------------------------------------------------
+# r12: standalone DELETE FROM / UPDATE WHERE over plain parquet
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_partition_scoped(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.table import delete_where
+
+    target = str(tmp_path / "dw")
+    _psnapshot(spark, target, [
+        (1, "a", 10), (2, "a", 99), (3, "b", 30), (4, "c", 40),
+    ])
+    before_c = _tree_fingerprint(os.path.join(target, "part=c"))
+    stats = delete_where(spark, target, "qty < 35 AND part <> 'c'",
+                         partition_by=["part"])
+    assert stats == {"n_before": 4, "n_matched": 2, "n_after": 2,
+                     "rewrite": "partition"}
+    got = {r["id"] for r in spark.read.parquet(target).collect()}
+    assert got == {2, 4}
+    # partition c matched nothing -> byte-identical
+    assert _tree_fingerprint(os.path.join(target, "part=c")) == before_c
+    # zero-match condition touches nothing
+    stats = delete_where(spark, target, "qty > 1000",
+                         partition_by=["part"])
+    assert stats["rewrite"] == "none" and stats["n_after"] == 2
+
+
+def test_update_where_and_guards(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.table import (
+        delete_where, update_where,
+    )
+
+    target = str(tmp_path / "uw")
+    _psnapshot(spark, target, [(1, "a", 10), (2, "a", 20), (3, "b", 30)])
+    before_b = _tree_fingerprint(os.path.join(target, "part=b"))
+    stats = update_where(
+        spark, target, {"qty": "qty * 10"}, "part = 'a' AND qty <= 10",
+        partition_by=["part"],
+    )
+    assert stats["n_matched"] == 1 and stats["rewrite"] == "partition"
+    got = {r["id"]: r["qty"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 100, 2: 20, 3: 30}
+    assert _tree_fingerprint(os.path.join(target, "part=b")) == before_b
+    # updating the partition column forces a full rewrite (rows move)
+    stats = update_where(
+        spark, target, {"part": "'z'"}, "id = 3", partition_by=["part"]
+    )
+    assert stats["rewrite"] == "full"
+    assert {r["part"] for r in spark.read.parquet(target)
+            .filter("id = 3").collect()} == {"z"}
+    with pytest.raises(ValueError, match="WHERE condition is required"):
+        delete_where(spark, target, "", partition_by=["part"])
+    with pytest.raises(ValueError, match="not in the snapshot"):
+        update_where(spark, target, {"nope": "1"}, "id = 1")
+
+
+def test_table_delete_update_stages(spark, tmp_path):
+    target = str(tmp_path / "stg")
+    _snapshot(spark, target, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    spark.createDataFrame([(0,)], "x bigint").createOrReplaceTempView(
+        "dummy_mut"
+    )
+    out = Pipeline.from_config([
+        {"stage": "sql", "query": "SELECT * FROM dummy_mut"},
+        {"stage": "table_update", "path": target,
+         "set": {"val": "upper(val)"}, "where": "qty >= 20"},
+        {"stage": "table_delete", "path": target, "where": "qty = 30"},
+    ]).run(spark)
+    got = {r["id"]: r["val"] for r in out.collect()}
+    assert got == {1: "a", 2: "B"}
+
+
+def test_mutations_preserve_markers_and_sidecar_rules(spark, tmp_path):
+    """delete keeps batch markers and (wide-safe) sidecar entries;
+    an update touching a sidecar key column drops the sidecar."""
+    from config_driven_pyspark_spark.operators.table import (
+        _read_batch_marker, _read_key_stats, delete_where,
+        incremental_agg, merge_upsert, update_where,
+    )
+
+    mv = str(tmp_path / "mv")
+    incremental_agg(
+        spark.createDataFrame([("a", 1), ("b", 2)],
+                              "part string, v bigint"),
+        mv, ["part"], {"t": "sum(v)"}, partition_by=["part"], batch_id=1,
+    )
+    incremental_agg(
+        spark.createDataFrame([("a", 3)], "part string, v bigint"),
+        mv, ["part"], {"t": "sum(v)"}, partition_by=["part"], batch_id=2,
+    )
+    assert _read_batch_marker(spark, os.path.join(mv, "part=a")) == 2
+    delete_where(spark, mv, "t > 100", partition_by=["part"])  # no-op
+    update_where(spark, mv, {"t": "t"}, "part = 'a'",
+                 partition_by=["part"])
+    assert _read_batch_marker(spark, os.path.join(mv, "part=a")) == 2
+
+    tab = str(tmp_path / "sc")
+    merge_upsert(
+        spark.createDataFrame([(1, "a", 10), (101, "b", 20)],
+                              "id bigint, part string, qty bigint"),
+        tab, ["id"], partition_by=["part"],
+    )
+    assert _read_key_stats(spark, tab) is not None
+    delete_where(spark, tab, "qty = 10", partition_by=["part"])
+    assert _read_key_stats(spark, tab) is not None  # wide-safe, kept
+    update_where(spark, tab, {"id": "id + 1000"}, "qty = 20",
+                 partition_by=["part"])
+    assert _read_key_stats(spark, tab) is None  # key column -> dropped
