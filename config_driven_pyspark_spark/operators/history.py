@@ -1,0 +1,533 @@
+"""Table versioning: time travel, RESTORE, history, vacuum — over the
+plain-parquet snapshots maintained by ``operators/table.py``.
+
+Capability gap vs the reference (SURVEY.md §2C table maintenance):
+Delta/Iceberg/Hudi expose ``VERSION AS OF`` reads, ``RESTORE TABLE``
+and ``DESCRIBE HISTORY`` on top of their commit logs. The reference
+engine (timkins666/config-driven-pyspark) has no mutable-table story at
+all; this module provides the same user surface engine-native, reusing
+the atomic-swap machinery every mutating table op already runs through.
+
+Design — retention is the swap's backup directory, kept instead of
+deleted:
+
+- ``enable_table_history(path)`` drops ``<path>__history/_enabled``.
+  From then on EVERY mutating op (merge/scd2/incremental_agg/compact/
+  delete/update/restore) retains what it replaced: the swap's backup
+  directory — the whole pre-swap snapshot for a full rewrite, ONLY the
+  moved-aside partition directories for a partition-scoped one — is
+  renamed (never copied) into ``__history/v<N>`` and described by a
+  ``_manifest.json`` (op, mode, replaced/created partition dirs, staged
+  row count). Retained bytes therefore equal REPLACED bytes, exactly
+  Delta's cost model: storage grows with churn, not with table size,
+  and retention adds zero data copies to the write path.
+- Version ``N`` is the table state AFTER the swap that wrote entry
+  ``v<N>``; entry ``v<N>`` holds the pre-state of what that swap
+  replaced. Version 0 is the state when history was enabled.
+- ``read_table_version(path, W)`` reconstructs version ``W`` without
+  touching data files: walk entries ``N`` in ``(W .. current]``
+  ascending; the FIRST entry naming a partition dir resolves it (the
+  oldest change after ``W`` carries the state at ``W``); a dir first
+  CREATED by entry ``N`` is absent at ``W``; a full-mode entry resolves
+  everything at once; dirs no entry names are read live. The result is
+  a plain union of parquet scans — Catalyst prunes and pushes into
+  every branch.
+- Crash honesty: a ``v<N>.pending`` marker is created BEFORE the
+  swap's first rename and removed only after the manifest commits. A
+  crash in between leaves a permanent gap — ``read_table_version``
+  REFUSES versions older than any gap rather than silently
+  reconstructing state the crashed swap may have changed. In-process
+  failures roll back and remove their marker.
+- ``restore_table(path, W)`` materializes version ``W`` through the
+  same verified full swap — so a restore is itself a new version and
+  the pre-restore state stays reachable (Delta RESTORE semantics).
+- ``vacuum_table_history(path, keep_last=k)`` drops the oldest entries
+  (whole-directory deletes); reconstruction needs every entry newer
+  than the target, so readability truncates contiguously from the
+  bottom — never holes.
+
+Scale: begin/commit are O(1) FS renames + one tiny JSON per swap
+regardless of table size; reading version ``W`` lists ``__history``
+once (one RPC per retained version, bounded by ``keep_last``) and
+plans one parquet scan per resolved root.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_ENABLED_FILE = "_enabled"
+_MANIFEST_FILE = "_manifest.json"
+_V_RE = re.compile(r"^v(\d+)(\.pending)?$")
+
+
+def _hist_root(base: str) -> str:
+    return f"{base.rstrip('/')}__history"
+
+
+def _read_small(jvm, fs, path_str: str) -> bytes | None:
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        try:
+            return bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        except Exception:
+            out = []
+            b = stream.read()
+            while b != -1:
+                out.append(b)
+                b = stream.read()
+            return bytes(out)
+    finally:
+        stream.close()
+
+
+def _write_small(jvm, fs, path_str: str, data: bytes) -> None:
+    """tmp-write + rename: readers see the old file or the new one,
+    never a torn write."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    final = Path(path_str)
+    tmp = Path(path_str + ".tmp")
+    fs.mkdirs(final.getParent())
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def _scan_entries(jvm, fs, hist: str) -> tuple[dict[int, dict], set[int]]:
+    """One listing of ``__history``: ``{version: manifest}`` for
+    complete entries + the set of INCOMPLETE version numbers (a
+    ``.pending`` marker or a version dir without a manifest — crash
+    debris whose pre-state may be partial or lost)."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    hist_p = Path(hist)
+    complete: dict[int, dict] = {}
+    dirs: set[int] = set()
+    pending: set[int] = set()
+    if not fs.exists(hist_p):
+        return complete, set()
+    for st in fs.listStatus(hist_p):
+        m = _V_RE.match(st.getPath().getName())
+        if not m:
+            continue
+        n = int(m.group(1))
+        if m.group(2):
+            pending.add(n)
+        elif st.isDirectory():
+            dirs.add(n)
+    for n in dirs:
+        raw = _read_small(jvm, fs, f"{hist}/v{n}/{_MANIFEST_FILE}")
+        doc = None
+        if raw is not None:
+            try:
+                doc = json.loads(raw.decode())
+            except ValueError:
+                doc = None
+        if doc is not None and n not in pending:
+            complete[n] = doc
+        else:
+            pending.add(n)
+    return complete, pending
+
+
+def history_enabled(spark: SparkSession, target_path: str) -> bool:
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    jvm, fs = _fs(spark, target_path)
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{_hist_root(target_path)}/{_ENABLED_FILE}"
+        )
+    )
+
+
+def enable_table_history(
+    spark: SparkSession,
+    target_path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Start retaining versions for the snapshot at ``target_path``.
+    The current state becomes version 0; nothing is copied. The
+    partition layout is pinned — every later mutating op must use the
+    same ``partition_by`` (the scoped-swap machinery already enforces
+    the on-disk layout; history additionally needs it to interpret
+    entry directories). Idempotent; re-enabling after
+    ``disable_table_history`` starts a fresh v0."""
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    jvm, fs = _fs(spark, target_path)
+    doc = {"partition_by": list(partition_by or [])}
+    _write_small(
+        jvm, fs,
+        f"{_hist_root(target_path)}/{_ENABLED_FILE}",
+        json.dumps(doc).encode(),
+    )
+
+
+def disable_table_history(spark: SparkSession, target_path: str) -> None:
+    """Drop retention AND every retained version (whole-directory
+    delete). Mutating ops go back to deleting their backups."""
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    jvm, fs = _fs(spark, target_path)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(_hist_root(target_path)), True
+    )
+
+
+def _enabled_doc(jvm, fs, base: str) -> dict | None:
+    raw = _read_small(jvm, fs, f"{_hist_root(base)}/{_ENABLED_FILE}")
+    if raw is None:
+        return None
+    try:
+        return json.loads(raw.decode())
+    except ValueError:
+        return None
+
+
+def begin_retention(
+    spark: SparkSession,
+    base: str,
+    partition_by: list[str] | None,
+) -> int | None:
+    """Called by the swap BEFORE its first rename. Returns the version
+    number this swap will create (``.pending`` marker dropped so a
+    crash leaves a trace and never a silently-wrong history), or None
+    when history is not enabled for this table."""
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    jvm, fs = _fs(spark, base)
+    doc = _enabled_doc(jvm, fs, base)
+    if doc is None:
+        return None
+    pinned = doc.get("partition_by", [])
+    if list(partition_by or []) != pinned:
+        raise ValueError(
+            f"table history for {base!r} was enabled with partition_by="
+            f"{pinned} but this operation uses {list(partition_by or [])}"
+            " — history entries would be uninterpretable; disable and "
+            "re-enable history to change the layout"
+        )
+    hist = _hist_root(base)
+    complete, incomplete = _scan_entries(jvm, fs, hist)
+    version = max({0, *complete, *incomplete}) + 1
+    Path = jvm.org.apache.hadoop.fs.Path
+    out = fs.create(Path(f"{hist}/v{version}.pending"), True)
+    out.close()
+    return version
+
+
+def abort_retention(spark: SparkSession, base: str, version: int) -> None:
+    """In-process failure after ``begin_retention``: the swap rolled
+    every rename back, so the pending marker is removable — no gap."""
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    jvm, fs = _fs(spark, base)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{_hist_root(base)}/v{version}.pending"
+        ),
+        False,
+    )
+
+
+def commit_retention(
+    spark: SparkSession,
+    base: str,
+    version: int,
+    backup: str | None,
+    *,
+    op: str,
+    mode: str,
+    replaced: list[str],
+    created: list[str],
+    rows_staged: int,
+) -> None:
+    """Called by the swap where it would otherwise DELETE its backup:
+    rename the backup into ``__history/v<N>`` (no backup — a pure-
+    insert scoped swap — makes an empty entry), write the manifest,
+    clear the pending marker. Rename-only: retention never copies
+    data."""
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    jvm, fs = _fs(spark, base)
+    Path = jvm.org.apache.hadoop.fs.Path
+    hist = _hist_root(base)
+    vdir = Path(f"{hist}/v{version}")
+    if backup is not None and fs.exists(Path(backup)):
+        fs.mkdirs(vdir.getParent())
+        if not fs.rename(Path(backup), vdir):
+            raise IOError(
+                f"could not retain pre-swap backup {backup!r} as "
+                f"history version {version} of {base!r}"
+            )
+    else:
+        fs.mkdirs(vdir)
+    manifest = {
+        "version": version,
+        "op": op,
+        "mode": mode,
+        "replaced": sorted(replaced),
+        "created": sorted(created),
+        "rows_staged": int(rows_staged),
+    }
+    _write_small(
+        jvm, fs, f"{hist}/v{version}/{_MANIFEST_FILE}",
+        json.dumps(manifest).encode(),
+    )
+    fs.delete(Path(f"{hist}/v{version}.pending"), False)
+
+
+def _versions(
+    spark: SparkSession, base: str
+) -> tuple[dict[int, dict], int, int, list[str]]:
+    """(complete entries, current version, readable floor,
+    partition_by). Floor = the newest incomplete-or-missing version —
+    reconstruction below it would need an entry that is gone."""
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    jvm, fs = _fs(spark, base)
+    doc = _enabled_doc(jvm, fs, base)
+    if doc is None:
+        raise ValueError(
+            f"table history is not enabled for {base!r} — call "
+            "enable_table_history first (and note versions only exist "
+            "for swaps that ran after enabling)"
+        )
+    complete, incomplete = _scan_entries(jvm, fs, _hist_root(base))
+    current = max({0, *complete, *incomplete})
+    floor = 0
+    for n in range(current, 0, -1):
+        if n not in complete:
+            floor = n
+            break
+    return complete, current, floor, doc.get("partition_by", [])
+
+
+def table_current_version(spark: SparkSession, target_path: str) -> int:
+    return _versions(spark, target_path.rstrip("/"))[1]
+
+
+def read_table_version(
+    spark: SparkSession, target_path: str, version: int
+) -> DataFrame:
+    """The snapshot at ``target_path`` AS OF ``version`` — a plain
+    DataFrame unioning live partition directories (never changed since)
+    with retained pre-state directories, at zero data copies. Raises
+    for versions below the readable floor (vacuumed or lost to a
+    crashed swap) or above the current version."""
+    base = target_path.rstrip("/")
+    complete, current, floor, partition_by = _versions(spark, base)
+    if version > current or version < 0:
+        raise ValueError(
+            f"{base!r} is at version {current}; cannot read version "
+            f"{version}"
+        )
+    if version < floor:
+        raise ValueError(
+            f"versions below {floor} of {base!r} are unreadable (entry "
+            f"v{floor} was vacuumed or lost to a crashed swap)"
+        )
+    from config_driven_pyspark_spark.operators.table import (
+        _fs,
+        _list_partition_dirs,
+    )
+
+    hist = _hist_root(base)
+    resolved: dict[str, tuple[str, list[str]] | None] = {}
+    full_from: int | None = None
+    for n in sorted(k for k in complete if k > version):
+        man = complete[n]
+        if man["mode"] == "full":
+            full_from = n
+            break
+        root = f"{hist}/v{n}"
+        for d in man["replaced"]:
+            resolved.setdefault(d, (root, [d]))
+        for d in man["created"]:
+            resolved.setdefault(d, None)
+
+    sources: list[tuple[str, list[str]]] = []
+    by_root: dict[str, list[str]] = {}
+    for d, src in resolved.items():
+        if src is None:
+            continue
+        by_root.setdefault(src[0], []).append(d)
+    for root, dirs in sorted(by_root.items()):
+        sources.append((root, sorted(dirs)))
+    if full_from is not None:
+        # the full entry is the whole snapshot as of `full_from - 1`;
+        # any dir already resolved by an OLDER scoped entry wins, the
+        # rest come from here — and nothing live is older than this
+        root = f"{hist}/v{full_from}"
+        if partition_by:
+            dirs = [
+                d
+                for d in _list_partition_dirs(
+                    spark, root, len(partition_by)
+                )
+                if d not in resolved
+            ]
+            if dirs:
+                sources.append((root, sorted(dirs)))
+        else:
+            sources.append((root, []))
+    else:
+        if partition_by:
+            live = [
+                d
+                for d in _list_partition_dirs(
+                    spark, base, len(partition_by)
+                )
+                if d not in resolved
+            ]
+            if live:
+                sources.append((base, sorted(live)))
+        else:
+            sources.append((base, []))
+
+    frames: list[DataFrame] = []
+    for root, dirs in sources:
+        reader = spark.read.option("basePath", root)
+        if dirs:
+            frames.append(reader.parquet(*[f"{root}/{d}" for d in dirs]))
+        else:
+            frames.append(reader.parquet(root))
+    if not frames:
+        # every partition dir was created after `version` — the table
+        # was empty; shape the empty frame like the live snapshot
+        return spark.read.parquet(base).limit(0)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def table_history(spark: SparkSession, target_path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per retained version (op, rewrite
+    mode, replaced/created partition-dir counts, staged-scope row count)."""
+    complete, _cur, _floor, _pb = _versions(
+        spark, target_path.rstrip("/")
+    )
+    rows = [
+        (
+            int(n),
+            str(m["op"]),
+            str(m["mode"]),
+            len(m["replaced"]),
+            len(m["created"]),
+            int(m["rows_staged"]),
+        )
+        for n, m in sorted(complete.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version bigint, op string, mode string, n_replaced int, "
+        "n_created int, rows_staged bigint",
+    )
+
+
+def restore_table(
+    spark: SparkSession, target_path: str, version: int
+) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF: materialize ``version``
+    through the same verified full swap every merge uses — the restore
+    itself becomes a new version, so the pre-restore state stays
+    reachable. The ``_key_stats`` sidecar is dropped (its entries
+    describe the replaced state) and batch markers do not carry over
+    (the restored snapshot predates them)."""
+    from config_driven_pyspark_spark.operators.table import (
+        _delete_key_stats,
+        _recover_crashed_swap,
+        _stage_verify_swap,
+    )
+
+    base = target_path.rstrip("/")
+    _recover_crashed_swap(spark, base)
+    _complete, current, _floor, partition_by = _versions(spark, base)
+    df = read_table_version(spark, base, version)
+    n = df.count()
+    _stage_verify_swap(
+        df,
+        base,
+        n,
+        partition_by or None,
+        f"(restore of version {version})",
+        op="restore",
+    )
+    _delete_key_stats(spark, base)
+    return {
+        "restored_version": version,
+        "new_version": current + 1,
+        "n_rows": n,
+    }
+
+
+def vacuum_table_history(
+    spark: SparkSession, target_path: str, keep_last: int
+) -> dict:
+    """Drop the oldest retained versions, keeping ``keep_last``
+    newest complete entries (and any stale pending markers older than
+    the survivors). Whole-directory deletes; reconstruction truncates
+    contiguously — versions at or above the oldest surviving entry
+    minus one stay readable."""
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    base = target_path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    Path = jvm.org.apache.hadoop.fs.Path
+    hist = _hist_root(base)
+    complete, incomplete = _scan_entries(jvm, fs, hist)
+    keep = set(sorted(complete)[-keep_last:]) if keep_last else set()
+    cutoff = min(keep) if keep else max({0, *complete, *incomplete}) + 1
+    dropped = 0
+    for n in sorted(complete):
+        if n in keep:
+            continue
+        fs.delete(Path(f"{hist}/v{n}"), True)
+        dropped += 1
+    for n in sorted(incomplete):
+        if n < cutoff:
+            fs.delete(Path(f"{hist}/v{n}"), True)
+            fs.delete(Path(f"{hist}/v{n}.pending"), False)
+    return {"dropped": dropped, "kept": len(keep)}
+
+
+def stage_time_travel(df, spec: dict, spark: SparkSession | None = None):
+    """``{"stage": "time_travel", "path": ..., "version": W}`` —
+    source-like read of a retained version."""
+    s = spark if spark is not None else df.sparkSession
+    return read_table_version(s, spec["path"], int(spec["version"]))
+
+
+def stage_table_history(df, spec: dict, spark: SparkSession | None = None):
+    """``{"stage": "table_history", "path": ...}``."""
+    s = spark if spark is not None else df.sparkSession
+    return table_history(s, spec["path"])
+
+
+def stage_table_restore(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "table_restore", "path": ..., "version": W}`` —
+    restores, then (like merge/compact stages) returns the input frame
+    so pipelines can chain; pass ``"return": "table"`` to read the
+    restored snapshot instead."""
+    stats = restore_table(
+        df.sparkSession, spec["path"], int(spec["version"])
+    )
+    if spec.get("return") == "table":
+        return df.sparkSession.read.parquet(spec["path"].rstrip("/"))
+    _ = stats
+    return df

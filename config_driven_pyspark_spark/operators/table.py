@@ -595,6 +595,7 @@ def _stage_verify_swap(
     marker_batch_id: int | None = None,
     partition_markers: dict[str, int] | None = None,
     pre_promote=None,
+    op: str = "merge",
 ) -> int:
     """Write ``df`` to the sibling staging dir, verify the staged row
     count equals ``expected_rows`` (a short write can never replace a
@@ -629,6 +630,13 @@ def _stage_verify_swap(
             f"merge staged {n_after} rows but {expected_rows} were "
             f"expected {breakdown} — aborted, snapshot untouched"
         )
+    # version retention (operators/history.py): a pending marker drops
+    # BEFORE the first rename so a crash always leaves a trace; the
+    # backup is RENAMED into __history instead of deleted on success
+    from config_driven_pyspark_spark.operators import history as _hist
+
+    retain = _hist.begin_retention(spark, base, partition_by)
+
     if touched_dirs is None:
         if marker_batch_id is not None:
             # staged INSIDE staging before the swap: the single rename
@@ -642,20 +650,32 @@ def _stage_verify_swap(
         out = fs.create(Path(f"{base}/{_FULL_SWAP_MARKER}"), True)
         out.close()
         if not fs.rename(Path(base), Path(backup)):
+            if retain is not None:
+                _hist.abort_retention(spark, base, retain)
             raise IOError(f"could not move aside {target_path}")
         if not fs.rename(Path(staging), Path(base)):
             fs.rename(Path(backup), Path(base))
             fs.delete(Path(f"{base}/{_FULL_SWAP_MARKER}"), False)
+            if retain is not None:
+                _hist.abort_retention(spark, base, retain)
             raise IOError(
                 f"could not swap merged snapshot into {target_path!r}"
             )
-        fs.delete(Path(backup), True)
+        if retain is not None:
+            _hist.commit_retention(
+                spark, base, retain, backup, op=op, mode="full",
+                replaced=[], created=[], rows_staged=n_after,
+            )
+        else:
+            fs.delete(Path(backup), True)
         return n_after
 
     staged_dirs = _list_partition_dirs(spark, staging, len(partition_by))
     unexpected = sorted(set(staged_dirs) - set(touched_dirs))
     if unexpected:
         fs.delete(Path(staging), True)
+        if retain is not None:
+            _hist.abort_retention(spark, base, retain)
         raise ValueError(
             f"staged partition directories {unexpected[:5]} were not in "
             "the computed touched set (partition value not path-"
@@ -706,6 +726,8 @@ def _stage_verify_swap(
             fs.rename(Path(f"{base}/{d}"), Path(f"{staging}/{d}"))
         for d in reversed(moved):
             fs.rename(Path(f"{backup}/{d}"), Path(f"{base}/{d}"))
+        if retain is not None:
+            _hist.abort_retention(spark, base, retain)
         raise
     if marker_batch_id is not None:
         # root marker is only the fast-path hint (skip the whole fold
@@ -713,7 +735,15 @@ def _stage_verify_swap(
         # authoritative, so losing this write to a crash re-checks
         # per-partition and still skips — no double-fold window
         _write_batch_marker(spark, base, marker_batch_id)
-    fs.delete(Path(backup), True)
+    if retain is not None:
+        _hist.commit_retention(
+            spark, base, retain, backup, op=op, mode="partition",
+            replaced=moved,
+            created=[d for d in staged_dirs if d not in set(moved)],
+            rows_staged=n_after,
+        )
+    else:
+        fs.delete(Path(backup), True)
     fs.delete(Path(staging), True)
     return n_after
 
@@ -1270,6 +1300,7 @@ def merge_upsert(
         merged, target_path, expected, partition_by, breakdown,
         touched_dirs=touched_dirs,
         pre_promote=pre_promote,
+        op="merge",
     )
     if sidecar_able and touched_dirs is None:
         _write_key_stats(spark, base, {
@@ -1654,6 +1685,7 @@ def scd2_merge(
         "versions)",
         touched_dirs=touched_dirs,
         pre_promote=pre_promote,
+        op="scd2",
     )
     if sidecar_able and touched_dirs is None:
         _write_key_stats(spark, base, {
@@ -1961,6 +1993,7 @@ def incremental_agg(
         "(stored keys in scope + first-seen batch keys)",
         touched_dirs=touched_dirs,
         marker_batch_id=int(batch_id) if batch_id is not None else None,
+        op="incremental_agg",
     )
     return spark.read.parquet(target_path)
 
@@ -2062,6 +2095,7 @@ def compact_table(
             # the full swap replaces the root — carry the batch marker
             # (incremental_agg retry dedup) through the rewrite
             marker_batch_id=_read_batch_marker(spark, base),
+            op="compact",
         )
         return {"files_before": files_before,
                 "files_after": _n_parquet_files(""),
@@ -2110,6 +2144,7 @@ def compact_table(
         "(content-preserving compaction)",
         touched_dirs=touched,
         partition_markers=old_markers or None,
+        op="compact",
     )
     return {"files_before": files_before,
             "files_after": sum(
@@ -2251,6 +2286,7 @@ def _mutate_where(
         touched_dirs=touched_dirs,
         marker_batch_id=root_marker,
         partition_markers=markers or None,
+        op="delete" if set_exprs is None else "update",
     )
     n_after = n_before - (n_matched if set_exprs is None else 0)
     return {"n_before": n_before, "n_matched": n_matched,

@@ -252,6 +252,8 @@ class Pipeline:
             "udf", "grouped_map", "flat_map", "sink", "merge", "scd2",
             "scd2_asof", "incremental_agg", "compact",
             "table_delete", "table_update",
+            "time_travel", "table_history", "table_restore",
+            "vacuum_history",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -276,6 +278,21 @@ class Pipeline:
             )
 
             return stage_scd2_asof(None, spec, spark=ctx.spark)
+        if kind in ("time_travel", "table_history"):
+            # source-like: version reads and DESCRIBE HISTORY need only
+            # the snapshot path
+            from config_driven_pyspark_spark.operators import history as _H
+
+            fn = (
+                _H.stage_time_travel
+                if kind == "time_travel"
+                else _H.stage_table_history
+            )
+            return fn(
+                ctx.last if not spec.get("input") else ctx.get(spec["input"]),
+                spec,
+                spark=ctx.spark,
+            )
 
         df = ctx.resolve_input(spec)
 
@@ -467,6 +484,21 @@ class Pipeline:
             )
 
             return stage_table_update(df, spec)
+        if kind == "table_restore":
+            from config_driven_pyspark_spark.operators.history import (
+                stage_table_restore,
+            )
+
+            return stage_table_restore(df, spec)
+        if kind == "vacuum_history":
+            from config_driven_pyspark_spark.operators.history import (
+                vacuum_table_history,
+            )
+
+            vacuum_table_history(
+                df.sparkSession, spec["path"], int(spec["keep_last"])
+            )
+            return df
         raise ValueError(f"Unknown stage kind {kind!r}")
 
     def _batch_stages_fn(self, spec: dict):

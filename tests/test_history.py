@@ -1,0 +1,294 @@
+"""Table versioning: time travel / RESTORE / history / vacuum
+(operators/history.py)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from config_driven_pyspark_spark import Pipeline
+from config_driven_pyspark_spark.operators import history as H
+from config_driven_pyspark_spark.operators.table import (
+    compact_table,
+    delete_where,
+    merge_upsert,
+    update_where,
+)
+
+
+def _rows(df, cols=("k", "status", "val")):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _seed(spark, path, partitioned=True):
+    df = spark.createDataFrame(
+        [
+            (i, "P" if i % 3 == 0 else ("F" if i % 3 == 1 else "O"),
+             float(i))
+            for i in range(30)
+        ],
+        "k int, status string, val double",
+    )
+    w = df.write.mode("overwrite")
+    if partitioned:
+        w = w.partitionBy("status")
+    w.parquet(path)
+    return _rows(df)
+
+
+def test_versions_across_scoped_merges(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    v0 = _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    assert H.table_current_version(spark, tgt) == 0
+
+    batch = spark.createDataFrame(
+        [(0, "P", 100.0), (99, "P", 999.0)],
+        "k int, status string, val double",
+    )
+    stats = merge_upsert(batch, tgt, ["k"], partition_by=["status"])
+    assert stats["rewrite"] == "partition"
+    v1 = _rows(spark.read.parquet(tgt))
+
+    update_where(
+        spark, tgt, {"val": "val + 1000"}, "val < 5",
+        partition_by=["status"],
+    )
+    v2 = _rows(spark.read.parquet(tgt))
+    assert H.table_current_version(spark, tgt) == 2
+
+    for w, exp in [(0, v0), (1, v1), (2, v2)]:
+        assert _rows(H.read_table_version(spark, tgt, w)) == exp
+    with pytest.raises(ValueError, match="at version 2"):
+        H.read_table_version(spark, tgt, 3)
+
+
+def test_retention_stores_only_replaced_partitions(spark, tmp_path):
+    """Storage ∝ churn: a scoped merge touching only status=P retains
+    only that directory — untouched partitions are never copied."""
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    batch = spark.createDataFrame(
+        [(0, "P", 100.0)], "k int, status string, val double"
+    )
+    merge_upsert(batch, tgt, ["k"], partition_by=["status"])
+    entry = os.listdir(f"{tgt}__history/v1")
+    assert "status=P" in entry
+    assert "status=F" not in entry and "status=O" not in entry
+
+
+def test_created_partition_absent_at_older_versions(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    v0 = _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    batch = spark.createDataFrame(
+        [(200, "Z", 7.0)], "k int, status string, val double"
+    )
+    merge_upsert(batch, tgt, ["k"], partition_by=["status"])
+    assert _rows(H.read_table_version(spark, tgt, 0)) == v0
+    assert (200, "Z", 7.0) in _rows(H.read_table_version(spark, tgt, 1))
+
+
+def test_full_mode_and_unpartitioned(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k int, val double"
+    )
+    df.write.parquet(tgt)
+    H.enable_table_history(spark, tgt)
+    merge_upsert(
+        spark.createDataFrame([(1, 11.0), (50, 50.0)], "k int, val double"),
+        tgt, ["k"],
+    )
+    delete_where(spark, tgt, "k < 3")
+    got0 = sorted((r.k, r.val) for r in
+                  H.read_table_version(spark, tgt, 0).collect())
+    assert got0 == [(i, float(i)) for i in range(10)]
+    got1 = sorted((r.k, r.val) for r in
+                  H.read_table_version(spark, tgt, 1).collect())
+    assert (1, 11.0) in got1 and (50, 50.0) in got1 and len(got1) == 11
+    hist = {r.version: (r.op, r.mode)
+            for r in H.table_history(spark, tgt).collect()}
+    assert hist == {1: ("merge", "full"), 2: ("delete", "full")}
+
+
+def test_restore_is_a_new_version(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    merge_upsert(
+        spark.createDataFrame(
+            [(0, "P", 100.0)], "k int, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    v1 = _rows(spark.read.parquet(tgt))
+    delete_where(spark, tgt, "status = 'P'", partition_by=["status"])
+    v2 = _rows(spark.read.parquet(tgt))
+
+    out = H.restore_table(spark, tgt, 1)
+    assert out["new_version"] == 3
+    assert _rows(spark.read.parquet(tgt)) == v1
+    # pre-restore state still reachable
+    assert _rows(H.read_table_version(spark, tgt, 2)) == v2
+
+
+def test_compaction_is_a_content_preserving_version(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    for i in range(2):  # several merge batches -> several files
+        merge_upsert(
+            spark.createDataFrame(
+                [(1000 + i, "P", float(i))],
+                "k int, status string, val double",
+            ),
+            tgt, ["k"], partition_by=["status"],
+        )
+    v2 = _rows(spark.read.parquet(tgt))
+    compact_table(spark, tgt, partition_by=["status"], min_files=2)
+    assert H.table_current_version(spark, tgt) == 3
+    assert _rows(spark.read.parquet(tgt)) == v2
+    assert _rows(H.read_table_version(spark, tgt, 2)) == v2
+
+
+def test_vacuum_truncates_contiguously(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    states = [_rows(spark.read.parquet(tgt))]
+    for i in range(4):
+        merge_upsert(
+            spark.createDataFrame(
+                [(2000 + i, "P", float(i))],
+                "k int, status string, val double",
+            ),
+            tgt, ["k"], partition_by=["status"],
+        )
+        states.append(_rows(spark.read.parquet(tgt)))
+    out = H.vacuum_table_history(spark, tgt, keep_last=2)
+    assert out == {"dropped": 2, "kept": 2}
+    # readable: floor..current
+    assert _rows(H.read_table_version(spark, tgt, 2)) == states[2]
+    assert _rows(H.read_table_version(spark, tgt, 4)) == states[4]
+    with pytest.raises(ValueError, match="unreadable"):
+        H.read_table_version(spark, tgt, 1)
+
+
+def test_crash_gap_refuses_older_reads(spark, tmp_path):
+    """A stale .pending marker (crash between first rename and manifest
+    commit) permanently gates reconstruction below it — never a
+    silently-wrong as-of read."""
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    merge_upsert(
+        spark.createDataFrame(
+            [(0, "P", 100.0)], "k int, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    # simulate the crash trace
+    open(f"{tgt}__history/v2.pending", "w").close()
+    merge_upsert(
+        spark.createDataFrame(
+            [(1, "F", 200.0)], "k int, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )  # becomes v3
+    assert H.table_current_version(spark, tgt) == 3
+    v2_live = _rows(H.read_table_version(spark, tgt, 2))
+    assert (1, "F", 200.0) not in v2_live
+    with pytest.raises(ValueError, match="unreadable"):
+        H.read_table_version(spark, tgt, 1)
+
+
+def test_failed_swap_leaves_no_gap(spark, tmp_path):
+    """An in-process abort (staged-count mismatch happens before
+    retention; here: layout mismatch via partition_by) must not burn a
+    version."""
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    with pytest.raises(ValueError, match="partition_by"):
+        merge_upsert(
+            spark.createDataFrame(
+                [(0, "P", 1.0)], "k int, status string, val double"
+            ),
+            tgt, ["k"],  # no partition_by -> pinned-layout mismatch
+        )
+    assert H.table_current_version(spark, tgt) == 0
+    merge_upsert(
+        spark.createDataFrame(
+            [(0, "P", 1.0)], "k int, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    assert H.table_current_version(spark, tgt) == 1
+    assert not os.path.exists(f"{tgt}__history/v1.pending")
+
+
+def test_history_disabled_swaps_unchanged(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    merge_upsert(
+        spark.createDataFrame(
+            [(0, "P", 1.0)], "k int, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    assert not os.path.exists(f"{tgt}__history")
+
+
+def test_schema_evolution_preserves_old_versions(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k int, val double"
+    )
+    df.write.parquet(tgt)
+    H.enable_table_history(spark, tgt)
+    batch = spark.createDataFrame(
+        [(1, 11.0, "new")], "k int, val double, extra string"
+    )
+    merge_upsert(batch, tgt, ["k"], allow_new_columns=True)
+    old = H.read_table_version(spark, tgt, 0)
+    assert old.columns == ["k", "val"]
+    assert sorted((r.k, r.val) for r in old.collect()) == [
+        (i, float(i)) for i in range(5)
+    ]
+
+
+def test_pipeline_stages(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    merge_upsert(
+        spark.createDataFrame(
+            [(0, "P", 100.0)], "k int, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    got = Pipeline([
+        {"stage": "time_travel", "path": tgt, "version": 0},
+    ]).run(spark)
+    assert (0, "P", 0.0) in _rows(got)
+    hist = Pipeline([
+        {"stage": "table_history", "path": tgt},
+    ]).run(spark)
+    assert [r.version for r in hist.collect()] == [1]
+    restored = Pipeline([
+        {"stage": "source", "format": "parquet", "path": tgt,
+         "name": "t"},
+        {"stage": "table_restore", "path": tgt, "version": 0,
+         "return": "table"},
+    ]).run(spark)
+    assert (0, "P", 0.0) in _rows(restored)
+    Pipeline([
+        {"stage": "source", "format": "parquet", "path": tgt,
+         "name": "t"},
+        {"stage": "vacuum_history", "path": tgt, "keep_last": 1},
+    ]).run(spark)
+    assert H.table_current_version(spark, tgt) == 2
