@@ -2642,6 +2642,147 @@ def q_table_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table time travel (operators/history.py::read_table_version,
+    r12 — the Delta/Iceberg ``VERSION AS OF`` surface over plain
+    parquet): the status-partitioned orders snapshot enables history,
+    then takes two mutating ops — a CDC merge on the 'P' %8∈{2,3}
+    slice (updates + %16=10 deletes + %4=3 inserts) and a DELETE of
+    the 'O' %8=1 slice. Each swap RENAMES its replaced partition
+    directories into ``__history/v<N>`` (retained bytes = replaced
+    bytes — storage ∝ churn, zero extra copies on the write path), so
+    versions 0/1/2 reconstruct as unions of live + retained scans.
+    All three are read back, aggregated per (status, priority) and
+    tagged; the oracle replays each state in SQL. The scoped-swap path
+    is asserted, so a silent full-rewrite fallback cannot hash-green."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators import history as H
+    from config_driven_pyspark_spark.operators.table import (
+        delete_where, merge_upsert,
+    )
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_ttravel_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(target)
+    # reruns must start from version 0: drop any prior run's history
+    H.disable_table_history(spark, target)
+    H.enable_table_history(spark, target, ["o_orderstatus"])
+
+    batch = (
+        orders.filter(
+            ((F.col("o_orderkey") % 8).isin(2, 3))
+            & (F.col("o_orderstatus") == "P")
+        )
+        .withColumn("o_orderpriority", F.lit("T-TRAVEL"))
+        .withColumn("is_deleted", F.col("o_orderkey") % 16 == 10)
+    )
+    stats = merge_upsert(
+        batch, target, ["o_orderkey"], delete_col="is_deleted",
+        partition_by=["o_orderstatus"],
+    )
+    assert stats["rewrite"] == "partition", stats
+    stats_d = delete_where(
+        spark, target, "o_orderstatus = 'O' AND o_orderkey % 8 = 1",
+        partition_by=["o_orderstatus"],
+    )
+    assert stats_d["rewrite"] == "partition", stats_d
+    assert H.table_current_version(spark, target) == 2
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+                F.expr(
+                    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+                    "AS DOUBLE)"
+                ).alias("total_price"),
+            )
+            .withColumn("version", F.lit(version).cast("int"))
+        )
+
+    out = _agg(H.read_table_version(spark, target, 0), 0)
+    for v in (1, 2):
+        out = out.unionByName(
+            _agg(H.read_table_version(spark, target, v), v)
+        )
+    return out
+
+
+def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... VERSION AS OF (operators/history.py::
+    restore_table, r12): the status-partitioned orders snapshot
+    enables history, takes an in-place UPDATE (version 1), then
+    restores to version 0 — materialized through the same row-count-
+    verified full swap, so the restore is itself version 2 and the
+    pre-restore state stays reachable (asserted via a version-1 as-of
+    read and DESCRIBE HISTORY op sequence). The live table must equal
+    the original seed — the oracle aggregates the seed directly."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators import history as H
+    from config_driven_pyspark_spark.operators.table import update_where
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_restore_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(target)
+    H.disable_table_history(spark, target)
+    H.enable_table_history(spark, target, ["o_orderstatus"])
+
+    stats = update_where(
+        spark, target,
+        {"o_totalprice": "o_totalprice * 2",
+         "o_orderpriority": "concat('R-', o_orderpriority)"},
+        "o_orderstatus = 'P' AND o_orderkey % 8 = 2",
+        partition_by=["o_orderstatus"],
+    )
+    assert stats["rewrite"] == "partition", stats
+    res = H.restore_table(spark, target, 0)
+    assert res["new_version"] == 2, res
+    # the pre-restore state is still reachable as version 1
+    n_tagged = (
+        H.read_table_version(spark, target, 1)
+        .filter(F.col("o_orderpriority").startswith("R-"))
+        .count()
+    )
+    assert n_tagged == stats["n_matched"], (n_tagged, stats)
+    ops = [
+        (r.version, r.op, r.mode)
+        for r in H.table_history(spark, target)
+        .orderBy("version").collect()
+    ]
+    assert ops == [(1, "update", "partition"), (2, "restore", "full")], ops
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_price"),
+        )
+    )
+
+
 def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 point-in-time reads (operators/table.py::scd2_read_asof,
     r11 — VERDICT r10 ask #5): the q_scd2_orders dimension (seeded
@@ -5429,10 +5570,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # pruning, crash-recovery fix, ''/NULL partition scoping,
     # per-partition batch markers, conditional merge) is
     # output-identical for every existing table row (re-verified via
-    # scripts/check_oracle.py); the four r12-new rows
+    # scripts/check_oracle.py); the six r12-new rows
     # (q_merge_conditional, q_merge_sidecar, q_merge_sync,
-    # q_table_mutate) self-front as never-recorded.  Window simulation:
-    # 4 new + 44 r8-stale (the ENTIRE r8 cohort) + 2 r9-oldest = 50 —
+    # q_table_mutate, q_time_travel, q_table_restore) self-front as
+    # never-recorded.  Window simulation:
+    # 6 new + 44 r8-stale (the ENTIRE r8 cohort) = 50 —
     # after this round no row's latest check is older than r9.
 ]
 
@@ -5442,9 +5584,9 @@ _CHANGED_THIS_ROUND: list[str] = [
 # locally-verified new queries in rounds where the stale-cohort budget
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
-    # round 12: EMPTY (VERDICT r11 ask #2).  All four new rows fit
+    # round 12: EMPTY (VERDICT r11 ask #2).  All six new rows fit
     # inside the 50-slot window alongside the entire 44-row r8-stale
-    # cohort (2 r9 rows fill the rest), so nothing needs demoting.
+    # cohort, so nothing needs demoting.
 ]
 
 
@@ -5553,6 +5695,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_sidecar": q_merge_sidecar,  # key-stats probe pruning, r12
         "q_merge_sync": q_merge_sync,  # not-matched-by-source clause, r12
         "q_table_mutate": q_table_mutate,  # UPDATE WHERE + DELETE FROM, r12
+        "q_time_travel": q_time_travel,  # VERSION AS OF reads, r12
+        "q_table_restore": q_table_restore,  # RESTORE TABLE, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,  # merge+scd2+asof+join+MV composition, r11
         "q_table_compact": q_table_compact,  # small-file compaction, r11
@@ -7910,6 +8054,70 @@ def oracle_sql() -> dict[str, str]:
                      AS total_price
             FROM m
             GROUP BY o_orderstatus, o_orderpriority
+        """,
+        # three table states replayed in SQL: v0 = the seed, v1 = seed
+        # with the CDC merge applied (matched -> batch row, %16=10
+        # deletes, %8=3 inserts), v2 = v1 minus the deleted 'O' slice
+        "q_time_travel": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            b AS (
+              SELECT o_orderkey, o_orderstatus,
+                     'T-TRAVEL' AS o_orderpriority, o_totalprice,
+                     (o_orderkey % 16 = 10) AS is_deleted
+              FROM orders
+              WHERE o_orderkey % 8 IN (2, 3) AND o_orderstatus = 'P'),
+            v1 AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM t
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM b WHERE NOT is_deleted),
+            v2 AS (
+              SELECT * FROM v1
+              WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 8 = 1))
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price,
+                   0 AS version
+            FROM t GROUP BY o_orderstatus, o_orderpriority
+            UNION ALL
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price,
+                   1 AS version
+            FROM v1 GROUP BY o_orderstatus, o_orderpriority
+            UNION ALL
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price,
+                   2 AS version
+            FROM v2 GROUP BY o_orderstatus, o_orderpriority
+        """,
+        # a restore to version 0 must make the live table equal the
+        # seed — the oracle aggregates the seed directly
+        "q_table_restore": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3)
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM t GROUP BY o_orderstatus, o_orderpriority
         """,
         # full-sync three-clause replay: matched -> batch row, unmatched
         # batch -> insert, stale 'P' target rows (not in batch) -> delete,

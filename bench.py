@@ -187,6 +187,9 @@ HEADLINE = [
     "q_merge_sidecar",
     "q_merge_sync",
     "q_table_mutate",
+    # round 12 (cont.): table versioning — VERSION AS OF + RESTORE
+    "q_time_travel",
+    "q_table_restore",
 ]
 
 
