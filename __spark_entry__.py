@@ -2783,6 +2783,34 @@ def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (operators/expectations.py, r12 — the
+    Delta-CHECK / DLT-expectations surface): five declared invariants
+    over lineitem — three row-local CHECKs (strict NULL semantics: a
+    NULL expression is a violation) sharing ONE map-side-combinable
+    aggregate pass, plus two key-set uniqueness constraints
+    (count minus null-safe distinct count). The report shape is what a
+    contract test pins: passing constraints show 0, violated ones show
+    exact counts. ``mode='drop'`` compiles to a plain AND-of-predicates
+    filter (pushdown-eligible); ``mode='quarantine'`` splits invalid
+    rows into a side parquet with per-row violation tags — both pinned
+    in tests/test_expectations.py."""
+    from config_driven_pyspark_spark.operators.expectations import (
+        expectation_report,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return expectation_report(
+        li,
+        {
+            "qty_le_30": "l_quantity <= 30",
+            "discount_lt_5pct": "l_discount < 0.05",
+            "flag_known": "l_returnflag IN ('A', 'N', 'R')",
+        },
+        unique=[["l_orderkey"], ["l_orderkey", "l_linenumber"]],
+    )
+
+
 def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 point-in-time reads (operators/table.py::scd2_read_asof,
     r11 — VERDICT r10 ask #5): the q_scd2_orders dimension (seeded
@@ -5584,9 +5612,11 @@ _CHANGED_THIS_ROUND: list[str] = [
 # locally-verified new queries in rounds where the stale-cohort budget
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
-    # round 12: EMPTY (VERDICT r11 ask #2).  All six new rows fit
-    # inside the 50-slot window alongside the entire 44-row r8-stale
-    # cohort, so nothing needs demoting.
+    # round 12: the seventh new row would push one r8-stale row out of
+    # the 50-slot window (6 new + 44 r8 is exact); q_expectations is
+    # locally hash-verified (scripts/check_oracle.py, 5 rows exact) and
+    # self-fronts next round as never-recorded.
+    "q_expectations",
 ]
 
 
@@ -5794,6 +5824,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wordpiece_encode": q_wordpiece_encode,  # greedy longest-match, r9
         "q_hash_embed": q_hash_embed,  # feature-hashing embedder, r9
         "q_export_manifest": q_export_manifest,  # shard receipts, r9
+        "q_expectations": q_expectations,  # CHECK-constraint report, r12
         "q_curriculum": q_curriculum,  # exact rank sans global sort, r9
         "q_containment_pairs": q_containment_pairs,  # doc-in-doc, r9
         "q_contrastive_triplets": q_contrastive_triplets,  # triplets, r9
@@ -9616,6 +9647,44 @@ def oracle_sql() -> dict[str, str]:
             FROM r CROSS JOIN n
         """,
         # per-source receipt: count, byte total, XOR of pair hashes
+        # strict CHECK semantics: a NULL expression is a violation
+        # (NOT coalesce(expr, false)); uniqueness = count - distinct
+        "q_expectations": """
+            SELECT 'qty_le_30' AS constraint,
+                   CAST(sum(CASE WHEN NOT coalesce(l_quantity <= 30,
+                                                   false)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violations,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            UNION ALL
+            SELECT 'discount_lt_5pct',
+                   CAST(sum(CASE WHEN NOT coalesce(l_discount < 0.05,
+                                                   false)
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'flag_known',
+                   CAST(sum(CASE WHEN NOT coalesce(
+                                l_returnflag IN ('A', 'N', 'R'), false)
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'unique(l_orderkey)',
+                   CAST(count(*) - count(DISTINCT l_orderkey) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'unique(l_orderkey, l_linenumber)',
+                   CAST(count(*)
+                        - (SELECT count(*) FROM
+                           (SELECT DISTINCT l_orderkey, l_linenumber
+                            FROM lineitem)) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM lineitem
+        """,
         "q_export_manifest": """
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_rows,

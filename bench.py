@@ -187,9 +187,11 @@ HEADLINE = [
     "q_merge_sidecar",
     "q_merge_sync",
     "q_table_mutate",
-    # round 12 (cont.): table versioning — VERSION AS OF + RESTORE
+    # round 12 (cont.): table versioning — VERSION AS OF + RESTORE —
+    # and the CHECK-constraint expectations report
     "q_time_travel",
     "q_table_restore",
+    "q_expectations",
 ]
 
 

@@ -253,7 +253,7 @@ class Pipeline:
             "scd2_asof", "incremental_agg", "compact",
             "table_delete", "table_update",
             "time_travel", "table_history", "table_restore",
-            "vacuum_history",
+            "vacuum_history", "expect",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -490,6 +490,12 @@ class Pipeline:
             )
 
             return stage_table_restore(df, spec)
+        if kind == "expect":
+            from config_driven_pyspark_spark.operators.expectations import (
+                stage_expect,
+            )
+
+            return stage_expect(df, spec)
         if kind == "vacuum_history":
             from config_driven_pyspark_spark.operators.history import (
                 vacuum_table_history,
