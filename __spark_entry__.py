@@ -2783,6 +2783,64 @@ def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed (operators/history.py::table_changes, r12 —
+    Delta's ``table_changes`` surface): the status-partitioned orders
+    snapshot enables history and takes one CDC merge (the 'P'
+    %8∈{2,3} slice retagged ``T-CDF``, with %16=10 delete flags);
+    the 0→1 diff then classifies every changed row — %8=3 rows were
+    absent from the seed (``insert``), %16=10 matched rows left
+    (``delete``), the remaining matched rows changed priority
+    (``update_preimage``/``update_postimage`` pairs, null-safe
+    comparison so identical re-deliveries stay silent). The diff reads
+    ONLY the partition directories the merge touched (union of the
+    entry's replaced+created sets — one dir here, not the table), so
+    CDF cost scales with churn. Aggregated per (change type, status,
+    priority); the oracle replays the classification in SQL."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators import history as H
+    from config_driven_pyspark_spark.operators.table import merge_upsert
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_cdf_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(target)
+    H.disable_table_history(spark, target)
+    H.enable_table_history(spark, target, ["o_orderstatus"])
+    batch = (
+        orders.filter(
+            ((F.col("o_orderkey") % 8).isin(2, 3))
+            & (F.col("o_orderstatus") == "P")
+        )
+        .withColumn("o_orderpriority", F.lit("T-CDF"))
+        .withColumn("is_deleted", F.col("o_orderkey") % 16 == 10)
+    )
+    stats = merge_upsert(
+        batch, target, ["o_orderkey"], delete_col="is_deleted",
+        partition_by=["o_orderstatus"],
+    )
+    assert stats["rewrite"] == "partition", stats
+    ch = H.table_changes(spark, target, 0, 1, keys=["o_orderkey"])
+    return (
+        ch.groupBy("_change_type", "o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_price"),
+        )
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations (operators/expectations.py, r12 — the
     Delta-CHECK / DLT-expectations surface): five declared invariants
@@ -5612,11 +5670,13 @@ _CHANGED_THIS_ROUND: list[str] = [
 # locally-verified new queries in rounds where the stale-cohort budget
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
-    # round 12: the seventh new row would push one r8-stale row out of
-    # the 50-slot window (6 new + 44 r8 is exact); q_expectations is
-    # locally hash-verified (scripts/check_oracle.py, 5 rows exact) and
-    # self-fronts next round as never-recorded.
+    # round 12: the seventh+ new rows would push r8-stale rows out of
+    # the 50-slot window (6 new + 44 r8 is exact); both are locally
+    # hash-verified (scripts/check_oracle.py — q_expectations 5 rows,
+    # q_table_changes 12 rows, exact) and self-front next round as
+    # never-recorded.
     "q_expectations",
+    "q_table_changes",
 ]
 
 
@@ -5727,6 +5787,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_mutate": q_table_mutate,  # UPDATE WHERE + DELETE FROM, r12
         "q_time_travel": q_time_travel,  # VERSION AS OF reads, r12
         "q_table_restore": q_table_restore,  # RESTORE TABLE, r12
+        "q_table_changes": q_table_changes,  # Change Data Feed, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,  # merge+scd2+asof+join+MV composition, r11
         "q_table_compact": q_table_compact,  # small-file compaction, r11
@@ -8135,6 +8196,46 @@ def oracle_sql() -> dict[str, str]:
                      AS total_price,
                    2 AS version
             FROM v2 GROUP BY o_orderstatus, o_orderpriority
+        """,
+        # CDF classification replay: %8=3 batch rows were absent from
+        # the seed (insert), %16=10 matched rows left (delete), the
+        # rest of the matched slice changed priority (update pre/post)
+        "q_table_changes": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            ins AS (
+              SELECT o_orderkey, o_orderstatus,
+                     'T-CDF' AS o_orderpriority, o_totalprice
+              FROM orders
+              WHERE o_orderkey % 8 = 3 AND o_orderstatus = 'P'),
+            del AS (
+              SELECT * FROM t
+              WHERE o_orderstatus = 'P' AND o_orderkey % 16 = 10),
+            upd AS (
+              SELECT * FROM t
+              WHERE o_orderstatus = 'P' AND o_orderkey % 8 = 2
+                AND o_orderkey % 16 <> 10),
+            tagged AS (
+              SELECT 'insert' AS _change_type, o_orderstatus,
+                     o_orderpriority, o_orderkey, o_totalprice FROM ins
+              UNION ALL
+              SELECT 'delete', o_orderstatus, o_orderpriority,
+                     o_orderkey, o_totalprice FROM del
+              UNION ALL
+              SELECT 'update_preimage', o_orderstatus, o_orderpriority,
+                     o_orderkey, o_totalprice FROM upd
+              UNION ALL
+              SELECT 'update_postimage', o_orderstatus, 'T-CDF',
+                     o_orderkey, o_totalprice FROM upd)
+            SELECT _change_type, o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM tagged
+            GROUP BY _change_type, o_orderstatus, o_orderpriority
         """,
         # a restore to version 0 must make the live table equal the
         # seed — the oracle aggregates the seed directly

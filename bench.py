@@ -192,6 +192,7 @@ HEADLINE = [
     "q_time_travel",
     "q_table_restore",
     "q_expectations",
+    "q_table_changes",
 ]
 
 

@@ -57,7 +57,7 @@ from __future__ import annotations
 import json
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _ENABLED_FILE = "_enabled"
 _MANIFEST_FILE = "_manifest.json"
@@ -320,13 +320,18 @@ def table_current_version(spark: SparkSession, target_path: str) -> int:
 
 
 def read_table_version(
-    spark: SparkSession, target_path: str, version: int
+    spark: SparkSession,
+    target_path: str,
+    version: int,
+    _only_dirs: set[str] | None = None,
 ) -> DataFrame:
     """The snapshot at ``target_path`` AS OF ``version`` — a plain
     DataFrame unioning live partition directories (never changed since)
     with retained pre-state directories, at zero data copies. Raises
     for versions below the readable floor (vacuumed or lost to a
-    crashed swap) or above the current version."""
+    crashed swap) or above the current version. ``_only_dirs``
+    (internal, :func:`table_changes`) restricts a partitioned read to
+    the named partition directories."""
     base = target_path.rstrip("/")
     complete, current, floor, partition_by = _versions(spark, base)
     if version > current or version < 0:
@@ -397,6 +402,13 @@ def read_table_version(
         else:
             sources.append((base, []))
 
+    if _only_dirs is not None and partition_by:
+        sources = [
+            (root, [d for d in dirs if d in _only_dirs])
+            for root, dirs in sources
+        ]
+        sources = [s for s in sources if s[1]]
+
     frames: list[DataFrame] = []
     for root, dirs in sources:
         reader = spark.read.option("basePath", root)
@@ -435,6 +447,136 @@ def table_history(spark: SparkSession, target_path: str) -> DataFrame:
         rows,
         "version bigint, op string, mode string, n_replaced int, "
         "n_created int, rows_staged bigint",
+    )
+
+
+def table_changes(
+    spark: SparkSession,
+    target_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Change Data Feed: the rows that changed between two versions —
+    the Delta ``table_changes`` surface. The diff is computed ONLY over
+    the partition directories the intervening swaps actually touched
+    (union of each entry's replaced+created sets), so a single-partition
+    merge on a 10⁵-partition table diffs one directory, not the table.
+
+    Without ``keys``: multiset semantics — rows in ``to`` but not
+    ``from`` tagged ``_change_type='insert'``, the reverse ``'delete'``
+    (an updated row appears as one of each).
+
+    With ``keys`` (must be unique per version — the merge family's own
+    invariant): Delta CDF semantics — unmatched new keys ``insert``,
+    unmatched old keys ``delete``, matched-but-different rows emit an
+    ``update_preimage`` / ``update_postimage`` pair, identical rows are
+    silent. Comparison is null-safe over all shared columns."""
+    base = target_path.rstrip("/")
+    complete, current, floor, partition_by = _versions(spark, base)
+    if to_version is None:
+        to_version = current
+    if not (0 <= from_version <= to_version <= current):
+        raise ValueError(
+            f"need 0 <= from_version <= to_version <= {current} "
+            f"(got {from_version}..{to_version})"
+        )
+    if from_version < floor:
+        raise ValueError(
+            f"versions below {floor} of {base!r} are unreadable (entry "
+            f"v{floor} was vacuumed or lost to a crashed swap)"
+        )
+    scope: set[str] | None = None
+    if partition_by and from_version < to_version:
+        scope = set()
+        for n in range(from_version + 1, to_version + 1):
+            man = complete[n]
+            if man["mode"] == "full":
+                scope = None  # a full rewrite may have touched anything
+                break
+            scope |= set(man["replaced"]) | set(man["created"])
+    old = read_table_version(spark, base, from_version, _only_dirs=scope)
+    new = read_table_version(spark, base, to_version, _only_dirs=scope)
+    # align schemas across evolution (a column added between versions
+    # reads as NULL on the old side)
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    for c in old.columns:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+    cols = new.columns
+    old = old.select(*cols)
+    new = new.select(*cols)
+    if from_version == to_version:
+        return new.limit(0).withColumn("_change_type", F.lit("insert"))
+
+    if not keys:
+        ins = new.exceptAll(old).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        del_ = old.exceptAll(new).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return ins.unionByName(del_)
+
+    for k in keys:
+        if k not in cols:
+            raise ValueError(f"key column {k!r} not in the table")
+    non_keys = [c for c in cols if c not in keys]
+    # literal presence markers BEFORE the join: on the missing side of
+    # a full outer join every column reads NULL, including these — the
+    # only side-presence test that survives NULL key values
+    o = old.withColumn("__o_present", F.lit(True)).alias("o")
+    n = new.withColumn("__n_present", F.lit(True)).alias("n")
+    cond = None
+    for k in keys:
+        c = o[k].eqNullSafe(n[k])
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
+    o_present = o["__o_present"].isNotNull()
+    n_present = n["__n_present"].isNotNull()
+    same = None
+    for c in non_keys:
+        e = o[c].eqNullSafe(n[c])
+        same = e if same is None else same & e
+    if same is None:
+        same = F.lit(True)
+    ins = (
+        j.filter(~o_present)
+        .select(*[n[c] for c in cols])
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    del_ = (
+        j.filter(~n_present)
+        .select(*[o[c] for c in cols])
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    changed = j.filter(o_present & n_present & ~same)
+    pre = (
+        changed.select(*[o[c] for c in cols])
+        .withColumn("_change_type", F.lit("update_preimage"))
+    )
+    post = (
+        changed.select(*[n[c] for c in cols])
+        .withColumn("_change_type", F.lit("update_postimage"))
+    )
+    return ins.unionByName(del_).unionByName(pre).unionByName(post)
+
+
+def stage_table_changes(
+    df, spec: dict, spark: SparkSession | None = None
+):
+    """``{"stage": "table_changes", "path": ..., "from_version": V,
+    "to_version": W?, "keys": [...]?}`` — source-like CDF read."""
+    s = spark if spark is not None else df.sparkSession
+    return table_changes(
+        s,
+        spec["path"],
+        int(spec["from_version"]),
+        int(spec["to_version"]) if spec.get("to_version") is not None
+        else None,
+        list(spec["keys"]) if spec.get("keys") else None,
     )
 
 

@@ -8,6 +8,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from config_driven_pyspark_spark import Pipeline
 from config_driven_pyspark_spark.operators import history as H
 from config_driven_pyspark_spark.operators.table import (
@@ -292,3 +294,81 @@ def test_pipeline_stages(spark, tmp_path):
         {"stage": "vacuum_history", "path": tgt, "keep_last": 1},
     ]).run(spark)
     assert H.table_current_version(spark, tgt) == 2
+
+
+def test_table_changes_keyed(spark, tmp_path):
+    """Delta-CDF semantics: insert / delete / update pre+post pairs,
+    identical rows silent; the diff scope is only touched partitions."""
+    from config_driven_pyspark_spark.operators.history import (
+        table_changes,
+    )
+
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    batch = spark.createDataFrame(
+        [
+            (0, "P", 100.0),    # update (val changes)
+            (3, "P", 3.0),      # identical re-delivery -> silent
+            (99, "P", 999.0),   # insert
+            (6, "P", 0.0),      # delete
+        ],
+        "k int, status string, val double",
+    ).withColumn("gone", F.col("k") == 6)
+    merge_upsert(
+        batch, tgt, ["k"], delete_col="gone", partition_by=["status"],
+    )
+    ch = table_changes(spark, tgt, 0, 1, keys=["k"])
+    got = sorted(
+        (r.k, r._change_type, r.val) for r in ch.collect()
+    )
+    assert got == [
+        (0, "update_postimage", 100.0),
+        (0, "update_preimage", 0.0),
+        (6, "delete", 6.0),
+        (99, "insert", 999.0),
+    ]
+
+
+def test_table_changes_multiset_and_range(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.history import (
+        table_changes,
+    )
+
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    merge_upsert(
+        spark.createDataFrame(
+            [(0, "P", 100.0)], "k int, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    delete_where(spark, tgt, "k = 1", partition_by=["status"])
+    # keyless multiset diff across the whole 0->2 range
+    ch = table_changes(spark, tgt, 0, 2)
+    got = sorted((r.k, r._change_type) for r in ch.collect())
+    assert got == [(0, "delete"), (0, "insert"), (1, "delete")]
+    # empty range
+    assert table_changes(spark, tgt, 1, 1, keys=["k"]).count() == 0
+    # full range defaults to current
+    assert table_changes(spark, tgt, 0).count() == 3
+
+
+def test_table_changes_stage(spark, tmp_path):
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    merge_upsert(
+        spark.createDataFrame(
+            [(777, "Z", 7.0)], "k int, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    out = Pipeline([
+        {"stage": "table_changes", "path": tgt, "from_version": 0,
+         "keys": ["k"]},
+    ]).run(spark)
+    assert [(r.k, r._change_type) for r in out.collect()] == [
+        (777, "insert")
+    ]
