@@ -372,3 +372,49 @@ def test_table_changes_stage(spark, tmp_path):
     assert [(r.k, r._change_type) for r in out.collect()] == [
         (777, "insert")
     ]
+
+
+def test_streaming_merge_sink_is_versioned(spark, tmp_path):
+    """Composition: a stream_sink format=merge draining into a
+    history-enabled snapshot records one version per micro-batch, and
+    CDF over the whole range equals the net change."""
+    from config_driven_pyspark_spark.operators.history import (
+        table_changes,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    ddl = "k int, status string, val double"
+    # two source files -> maxFilesPerTrigger=1 forces two micro-batches
+    spark.createDataFrame([(1, "P", 1.0), (2, "O", 2.0)], ddl).coalesce(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame([(1, "P", 10.0), (3, "P", 3.0)], ddl).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+
+    Pipeline([
+        {"stage": "source", "format": "parquet", "path": src,
+         "streaming": True, "schema": ddl,
+         "options": {"maxFilesPerTrigger": "1"}},
+        {"stage": "stream_sink", "format": "merge", "path": tgt,
+         "keys": ["k"], "partition_by": ["status"],
+         "checkpoint": str(tmp_path / "ckpt"),
+         "trigger": "available_now"},
+    ]).run(spark)
+
+    assert H.table_current_version(spark, tgt) == 2
+    hist = H.table_history(spark, tgt).collect()
+    assert [r.op for r in hist] == ["merge", "merge"]
+    ch = table_changes(spark, tgt, 0, 2, keys=["k"])
+    got = {(r.k, r._change_type): r.val for r in ch.collect()}
+    # k=1 updated twice -> one pre/post pair 1.0->10.0 net;
+    # k=2 updated (2.0 over seed val 2.0 -> identical, silent);
+    # k=3 existed in seed (val 3.0) -> identical, silent
+    assert got == {
+        (1, "update_preimage"): 1.0,
+        (1, "update_postimage"): 10.0,
+    }
