@@ -2841,6 +2841,55 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE over plain parquet (operators/table.py::alter_table,
+    r12): rename + add-with-backfill + drop batched into ONE verified
+    full swap — plain parquet has no metadata-only schema change
+    (readers infer from footers), so an alter is honestly a rewrite
+    and batching the three alterations costs one pass, not three. The
+    add expression sees the post-rename frame including the column
+    about to drop (the replace-a-column flow). The oracle replays the
+    reshape in SQL."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import alter_table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_alter_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(target)
+    stats = alter_table(
+        spark, target,
+        add={"margin": "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 0.05 "
+                       "AS DOUBLE)",
+             "cust_bucket": "CAST(o_custkey % 10 AS INT)"},
+        rename={"o_orderpriority": "priority"},
+        drop=["o_custkey"],
+        partition_by=["o_orderstatus"],
+    )
+    assert stats["rewrite"] == "full" and stats["dropped"] == [
+        "o_custkey"
+    ], stats
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus", "priority", "cust_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.expr(
+                "CAST(sum(CAST(margin AS DECIMAL(18,4))) AS DOUBLE)"
+            ).alias("total_margin"),
+        )
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations (operators/expectations.py, r12 — the
     Delta-CHECK / DLT-expectations surface): five declared invariants
@@ -5674,12 +5723,14 @@ _CHANGED_THIS_ROUND: list[str] = [
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
     # round 12: the seventh+ new rows would push r8-stale rows out of
-    # the 50-slot window (6 new + 44 r8 is exact); both are locally
+    # the 50-slot window (6 new + 44 r8 is exact); all three are locally
     # hash-verified (scripts/check_oracle.py — q_expectations 5 rows,
-    # q_table_changes 12 rows, exact) and self-front next round as
+    # q_table_changes 12 rows, q_table_alter 150 rows, exact) and
+    # self-front next round as
     # never-recorded.
     "q_expectations",
     "q_table_changes",
+    "q_table_alter",
 ]
 
 
@@ -5791,6 +5842,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_travel": q_time_travel,  # VERSION AS OF reads, r12
         "q_table_restore": q_table_restore,  # RESTORE TABLE, r12
         "q_table_changes": q_table_changes,  # Change Data Feed, r12
+        "q_table_alter": q_table_alter,  # ALTER TABLE reshape, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,  # merge+scd2+asof+join+MV composition, r11
         "q_table_compact": q_table_compact,  # small-file compaction, r11
@@ -8199,6 +8251,23 @@ def oracle_sql() -> dict[str, str]:
                      AS total_price,
                    2 AS version
             FROM v2 GROUP BY o_orderstatus, o_orderpriority
+        """,
+        # the reshape replayed in SQL: rename -> add (sees the column
+        # about to drop) -> drop
+        "q_table_alter": """
+            WITH t AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_orderpriority AS priority,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 0.05
+                          AS DOUBLE) AS margin,
+                     CAST(o_custkey % 10 AS INT) AS cust_bucket
+              FROM orders WHERE o_orderkey % 4 <> 3)
+            SELECT o_orderstatus, priority, cust_bucket,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(margin AS DECIMAL(18,4))) AS DOUBLE)
+                     AS total_margin
+            FROM t GROUP BY o_orderstatus, priority, cust_bucket
         """,
         # CDF classification replay: %8=3 batch rows were absent from
         # the seed (insert), %16=10 matched rows left (delete), the

@@ -193,6 +193,7 @@ HEADLINE = [
     "q_table_restore",
     "q_expectations",
     "q_table_changes",
+    "q_table_alter",
 ]
 
 

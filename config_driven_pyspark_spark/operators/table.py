@@ -2170,6 +2170,106 @@ def stage_compact(df: DataFrame, spec: dict) -> DataFrame:
     return df.sparkSession.read.parquet(spec["path"])
 
 
+def alter_table(
+    spark: SparkSession,
+    target_path: str,
+    add: dict[str, str] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """``ALTER TABLE``: add (with a backfill expression), rename, and
+    drop columns on the parquet snapshot — one verified full swap.
+
+    Plain parquet has no metadata-only schema change (every reader
+    infers from file footers), so an alter is honestly a full rewrite —
+    the same physics as Delta's ``ALTER COLUMN`` variants that rewrite,
+    and the reason the three alterations batch into ONE pass here.
+    Application order: ``rename``, then ``add``, then ``drop`` — add
+    expressions see the post-rename frame INCLUDING columns about to
+    drop, so replacing a column (add the derived value, drop the
+    original) is one call. Partition columns cannot be dropped or
+    renamed (the directory layout IS the column — rewrite into a new
+    table to change it); ``add`` backfills every existing row with its
+    expression (use a literal for a plain default).
+
+    Batch markers survive (rows are only reshaped, so retry dedup
+    stays valid); the ``_key_stats`` sidecar drops (its key names/
+    ranges may no longer describe the snapshot). With table history
+    enabled the alter is a version like any other swap — time travel
+    returns the old shape, restore brings it back."""
+    add = dict(add or {})
+    rename = dict(rename or {})
+    drop = list(drop or [])
+    if not add and not rename and not drop:
+        raise ValueError("alter_table needs add, rename and/or drop")
+    base = target_path.rstrip("/")
+    _recover_crashed_swap(spark, base)
+    snap = spark.read.parquet(base)
+    cols = snap.columns
+    pcols = set(partition_by or [])
+    for old, new in rename.items():
+        if old not in cols:
+            raise ValueError(f"cannot rename {old!r}: not a column")
+        if old in pcols:
+            raise ValueError(
+                f"cannot rename partition column {old!r} — the "
+                "directory layout is the column; rewrite into a new "
+                "table instead"
+            )
+    post = [rename.get(c, c) for c in cols]
+    clash = sorted({c for c in post if post.count(c) > 1})
+    if clash:
+        raise ValueError(f"rename collides on {clash}")
+    for c in add:
+        if c in post:
+            raise ValueError(f"cannot add {c!r}: already a column")
+    for c in drop:
+        if c not in post:
+            raise ValueError(
+                f"cannot drop {c!r}: not a (post-rename) column"
+            )
+        if c in pcols:
+            raise ValueError(
+                f"cannot drop partition column {c!r} — the directory "
+                "layout is the column; rewrite into a new table instead"
+            )
+    n_before = snap.count()
+    out = snap
+    if rename:
+        out = out.withColumnsRenamed(rename)
+    for c, expr in add.items():
+        out = out.withColumn(c, F.expr(expr))
+    if drop:
+        out = out.drop(*drop)
+    _stage_verify_swap(
+        out, base, n_before, partition_by,
+        "(schema change preserves every row)",
+        marker_batch_id=_read_batch_marker(spark, base),
+        op="alter",
+    )
+    _delete_key_stats(spark, base)
+    return {
+        "n_rows": n_before,
+        "added": sorted(add),
+        "renamed": dict(rename),
+        "dropped": sorted(drop),
+        "rewrite": "full",
+    }
+
+
+def stage_alter(df: DataFrame, spec: dict) -> DataFrame:
+    """``{"stage": "alter", "path": ..., "add": {col: expr}?,
+    "rename": {old: new}?, "drop": [col]?, "partition_by": [...]?}`` —
+    alters the snapshot and returns it post-change."""
+    alter_table(
+        df.sparkSession, spec["path"],
+        spec.get("add"), spec.get("rename"), spec.get("drop"),
+        spec.get("partition_by"),
+    )
+    return df.sparkSession.read.parquet(spec["path"])
+
+
 def _mutate_where(
     spark: SparkSession,
     target_path: str,

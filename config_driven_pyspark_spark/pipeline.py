@@ -253,7 +253,7 @@ class Pipeline:
             "scd2_asof", "incremental_agg", "compact",
             "table_delete", "table_update",
             "time_travel", "table_history", "table_restore",
-            "vacuum_history", "expect", "table_changes",
+            "vacuum_history", "expect", "table_changes", "alter",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -496,6 +496,12 @@ class Pipeline:
             )
 
             return stage_expect(df, spec)
+        if kind == "alter":
+            from config_driven_pyspark_spark.operators.table import (
+                stage_alter,
+            )
+
+            return stage_alter(df, spec)
         if kind == "vacuum_history":
             from config_driven_pyspark_spark.operators.history import (
                 vacuum_table_history,

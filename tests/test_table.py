@@ -1709,3 +1709,71 @@ def test_mutations_preserve_markers_and_sidecar_rules(spark, tmp_path):
     update_where(spark, tab, {"id": "id + 1000"}, "qty = 20",
                  partition_by=["part"])
     assert _read_key_stats(spark, tab) is None  # key column -> dropped
+
+
+def test_alter_table_add_rename_drop(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.table import alter_table
+
+    target = str(tmp_path / "t")
+    _snapshot(spark, target, [(1, "a", 10), (2, "b", 20)])
+    out = alter_table(
+        spark, target,
+        add={"qty2": "qty * 2", "tag": "'x'"},
+        rename={"val": "label"},
+        drop=["qty"],
+    )
+    assert out == {"n_rows": 2, "added": ["qty2", "tag"],
+                   "renamed": {"val": "label"}, "dropped": ["qty"],
+                   "rewrite": "full"}
+    got = spark.read.parquet(target)
+    assert got.columns == ["id", "label", "qty2", "tag"]
+    rows = sorted((r.id, r.label, r.qty2, r.tag) for r in got.collect())
+    assert rows == [(1, "a", 20, "x"), (2, "b", 40, "x")]
+
+
+def test_alter_table_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from config_driven_pyspark_spark.operators.table import alter_table
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "P", 1.0)], "k int, status string, val double"
+    ).write.partitionBy("status").parquet(target)
+    with _pytest.raises(ValueError, match="partition column"):
+        alter_table(spark, target, drop=["status"],
+                    partition_by=["status"])
+    with _pytest.raises(ValueError, match="partition column"):
+        alter_table(spark, target, rename={"status": "s"},
+                    partition_by=["status"])
+    with _pytest.raises(ValueError, match="already a column"):
+        alter_table(spark, target, add={"val": "1"},
+                    partition_by=["status"])
+    with _pytest.raises(ValueError, match="collides"):
+        alter_table(spark, target, rename={"val": "k"},
+                    partition_by=["status"])
+    with _pytest.raises(ValueError, match="needs add"):
+        alter_table(spark, target, partition_by=["status"])
+
+
+def test_alter_table_versioned_and_partitioned(spark, tmp_path):
+    from config_driven_pyspark_spark.operators import history as H
+    from config_driven_pyspark_spark.operators.table import alter_table
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "P", 1.0), (2, "O", 2.0)], "k int, status string, val double"
+    ).write.partitionBy("status").parquet(target)
+    H.enable_table_history(spark, target, ["status"])
+    alter_table(
+        spark, target, add={"v2": "val * 10"},
+        partition_by=["status"],
+    )
+    assert H.read_table_version(spark, target, 0).columns == [
+        "k", "val", "status"
+    ]
+    live = spark.read.parquet(target)
+    assert "v2" in live.columns
+    assert {r.op for r in H.table_history(spark, target).collect()} == {
+        "alter"
+    }
