@@ -648,6 +648,24 @@ def vacuum_table_history(
     return {"dropped": dropped, "kept": len(keep)}
 
 
+def stage_enable_history(
+    df, spec: dict, spark: SparkSession | None = None
+):
+    """``{"stage": "enable_history", "path": ...,
+    "partition_by": [...]?}`` — source-like switch-on; the current
+    snapshot becomes version 0 and every later mutating stage retains
+    what it replaces. Passes the input frame through (or reads the
+    table when it opens a pipeline)."""
+    s = spark if spark is not None else df.sparkSession
+    enable_table_history(
+        s, spec["path"],
+        list(spec["partition_by"]) if spec.get("partition_by") else None,
+    )
+    if df is None:
+        return s.read.parquet(spec["path"].rstrip("/"))
+    return df
+
+
 def stage_time_travel(df, spec: dict, spark: SparkSession | None = None):
     """``{"stage": "time_travel", "path": ..., "version": W}`` —
     source-like read of a retained version."""

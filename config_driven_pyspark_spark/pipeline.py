@@ -254,6 +254,7 @@ class Pipeline:
             "table_delete", "table_update",
             "time_travel", "table_history", "table_restore",
             "vacuum_history", "expect", "table_changes", "alter",
+            "enable_history",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -278,15 +279,17 @@ class Pipeline:
             )
 
             return stage_scd2_asof(None, spec, spark=ctx.spark)
-        if kind in ("time_travel", "table_history", "table_changes"):
-            # source-like: version reads, DESCRIBE HISTORY and CDF need
-            # only the snapshot path
+        if kind in ("time_travel", "table_history", "table_changes",
+                    "enable_history"):
+            # source-like: version reads, DESCRIBE HISTORY, CDF and the
+            # retention switch need only the snapshot path
             from config_driven_pyspark_spark.operators import history as _H
 
             fn = {
                 "time_travel": _H.stage_time_travel,
                 "table_history": _H.stage_table_history,
                 "table_changes": _H.stage_table_changes,
+                "enable_history": _H.stage_enable_history,
             }[kind]
             return fn(
                 ctx.last if not spec.get("input") else ctx.get(spec["input"]),

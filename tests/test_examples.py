@@ -378,3 +378,60 @@ def test_cdc_snapshot_maintenance_example(spark, tmp_path):
     assert dim.filter("is_current").count() == 3
     assert {r["id"] for r in dim.filter("is_current").collect()} == \
         {2, 3, 4}
+
+
+def test_governed_versioned_table_example(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority",
+             "o_totalprice")
+    seed = str(tmp_path / "day0")
+    batch = str(tmp_path / "day1")
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.parquet(seed)
+    (
+        orders.filter(
+            (F.col("o_orderkey") % 8 == 2)
+            & (F.col("o_orderstatus") == "P")
+        )
+        .withColumn("o_orderpriority", F.lit("DAY1"))
+        # poison two rows so the expectations gate has work to do
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 64 == 2, F.lit(-1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .write.parquet(batch)
+    )
+    with open(
+        os.path.join(EXAMPLES, "governed_versioned_table.yaml")
+    ) as fh:
+        text = fh.read()
+    snapshot = str(tmp_path / "snap")
+    quarantine = str(tmp_path / "quar")
+    changes = Pipeline.from_yaml(text).run(
+        spark,
+        variables={"seed": seed, "batch": batch, "snapshot": snapshot,
+                   "quarantine": quarantine},
+    )
+    by_type = {
+        r["_change_type"]: r["cnt"]
+        for r in changes.groupBy("_change_type").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    # every clean DAY1 row updates its match pair; no inserts/deletes
+    assert set(by_type) == {"update_preimage", "update_postimage"}
+    assert by_type["update_preimage"] == by_type["update_postimage"] > 0
+    # quarantined rows carry the violated constraint name
+    quar = spark.read.parquet(quarantine)
+    assert quar.count() > 0
+    assert all(
+        r["_violations"] == ["positive_price"] for r in quar.collect()
+    )
+    # the poisoned rows never reached the snapshot
+    assert spark.read.parquet(snapshot).filter(
+        "o_totalprice < 0"
+    ).count() == 0
