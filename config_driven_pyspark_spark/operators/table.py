@@ -596,6 +596,7 @@ def _stage_verify_swap(
     partition_markers: dict[str, int] | None = None,
     pre_promote=None,
     op: str = "merge",
+    writer_options: dict | None = None,
 ) -> int:
     """Write ``df`` to the sibling staging dir, verify the staged row
     count equals ``expected_rows`` (a short write can never replace a
@@ -618,6 +619,8 @@ def _stage_verify_swap(
     staging = f"{base}__staging"
     backup = f"{base}__premerge"
     writer = df.write.mode("overwrite")
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
@@ -2006,6 +2009,8 @@ def compact_table(
     n_files: int = 1,
     sort_within: list[str] | None = None,
     z_order_by: list[str] | None = None,
+    bloom_filter_cols: list[str] | None = None,
+    bloom_filter_ndv: dict[str, int] | None = None,
 ) -> dict:
     """Small-file compaction — the maintenance op every CDC-maintained
     table eventually needs: each merge batch writes its own files, so a
@@ -2049,6 +2054,19 @@ def compact_table(
         raise ValueError("n_files must be >= 1")
     if sort_within and z_order_by:
         raise ValueError("sort_within and z_order_by are exclusive")
+    # compaction is also the natural moment to ADD parquet bloom
+    # filters to a CDC-maintained table: point-lookup file skipping on
+    # columns min/max stats can't separate (ids, hashes, urls); the
+    # merge family's own writes stay bloom-free (per-batch files are
+    # short-lived), the compacted long-lived files carry them
+    bloom_opts: dict[str, str] = {}
+    for c in bloom_filter_cols or []:
+        bloom_opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        ndv = (bloom_filter_ndv or {}).get(c)
+        if ndv:
+            bloom_opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(
+                int(ndv)
+            )
 
     def _cluster(df: DataFrame) -> DataFrame:
         # the dynamic-partition writer re-sorts each task by the
@@ -2096,6 +2114,7 @@ def compact_table(
             # (incremental_agg retry dedup) through the rewrite
             marker_batch_id=_read_batch_marker(spark, base),
             op="compact",
+            writer_options=bloom_opts or None,
         )
         return {"files_before": files_before,
                 "files_after": _n_parquet_files(""),
@@ -2145,6 +2164,7 @@ def compact_table(
         touched_dirs=touched,
         partition_markers=old_markers or None,
         op="compact",
+        writer_options=bloom_opts or None,
     )
     return {"files_before": files_before,
             "files_after": sum(
@@ -2160,12 +2180,15 @@ def compact_table(
 def stage_compact(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "compact", "path": ..., "partition_by": [...]?,
     "min_files": 2?, "n_files": 1?, "sort_within": [...]?,
-    "z_order_by": [...]?}`` — compacts (and optionally reclusters) the
-    snapshot at ``path`` and returns it post-compaction."""
+    "z_order_by": [...]?, "bloom_filter_cols": [...]?,
+    "bloom_filter_ndv": {col: n}?}`` — compacts (and optionally
+    reclusters / bloom-indexes) the snapshot at ``path`` and returns
+    it post-compaction."""
     compact_table(
         df.sparkSession, spec["path"], spec.get("partition_by"),
         int(spec.get("min_files", 2)), int(spec.get("n_files", 1)),
         spec.get("sort_within"), spec.get("z_order_by"),
+        spec.get("bloom_filter_cols"), spec.get("bloom_filter_ndv"),
     )
     return df.sparkSession.read.parquet(spec["path"])
 

@@ -66,7 +66,8 @@ def stage_sink(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "sink", "format": "parquet", "path": ..., "mode":
     "error"|"overwrite"|"append", "partition_by": [cols], "bucket_by":
     {"n": int, "cols": [...]}, "sort_by": [cols],
-    "sort_within_partitions": [cols], "table": name?, "options": {}}``.
+    "sort_within_partitions": [cols], "table": name?, "options": {},
+    "bloom_filter_cols": [cols]?, "bloom_filter_ndv": {col: n}?}``.
 
     ``sort_within_partitions`` clusters rows inside each output file
     (no shuffle — a per-partition sort) so parquet column min/max stats
@@ -108,6 +109,21 @@ def stage_sink(df: DataFrame, spec: dict) -> DataFrame:
         )
         for key, value in (spec.get("options") or {}).items():
             writer = writer.option(key, value)
+        # parquet bloom filters: point-lookup file skipping on columns
+        # whose values min/max stats can't separate (ids, hashes, urls)
+        # — the third clustering lever next to sort_within/z_order.
+        # ~1.2 MB default filter per column per row group; set the ndv
+        # hint to size it to the column's real cardinality
+        for c in spec.get("bloom_filter_cols") or []:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{c}", "true"
+            )
+            ndv = (spec.get("bloom_filter_ndv") or {}).get(c)
+            if ndv:
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{c}",
+                    str(int(ndv)),
+                )
         if spec.get("partition_by"):
             writer = writer.partitionBy(*spec["partition_by"])
         bucket = spec.get("bucket_by")
