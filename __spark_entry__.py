@@ -2981,6 +2981,92 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_at("2024-01-15").unionByName(view_at("2024-02-15"))
 
 
+def q_e2e_governed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end governed-table composition (r12, the
+    examples/governed_versioned_table.yaml flow as a verified row):
+    day-zero merge bootstraps a status-partitioned snapshot →
+    enable_history pins version 0 → the day-1 batch (priority-retagged
+    'P' %8=2 slice with %64=2 rows price-poisoned to -1) passes an
+    expectations QUARANTINE gate (violators to a side parquet with
+    per-row violation tags, clean rows flow) → scoped merge (version
+    1) → Change Data Feed 0→1. Output: three labeled sections —
+    quarantine counts per violated constraint, CDF counts per change
+    type, and the final snapshot per status — each also summing keys,
+    so one hash covers the gate, the merge, and the diff. The oracle
+    replays all three sections from the batch definition."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark import Pipeline
+    from config_driven_pyspark_spark.operators import history as H
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    snap = os.path.join(tempfile.gettempdir(), f"cdp_gov_snap_{sf_tag}")
+    quar = os.path.join(tempfile.gettempdir(), f"cdp_gov_quar_{sf_tag}")
+    seed = orders.filter(F.col("o_orderkey") % 4 != 3)
+    batch = (
+        orders.filter(
+            (F.col("o_orderkey") % 8 == 2)
+            & (F.col("o_orderstatus") == "P")
+        )
+        .withColumn("o_orderpriority", F.lit("DAY1"))
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 64 == 2, F.lit(-1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    seed.createOrReplaceTempView("gov_day0")
+    batch.createOrReplaceTempView("gov_day1")
+    # idempotent reruns: the day-zero merge bootstraps a fresh snapshot
+    import shutil
+
+    shutil.rmtree(snap, ignore_errors=True)
+    H.disable_table_history(spark, snap)
+    changes = Pipeline([
+        {"stage": "sql", "query": "SELECT * FROM gov_day0"},
+        {"stage": "merge", "path": snap, "keys": ["o_orderkey"],
+         "partition_by": ["o_orderstatus"]},
+        {"stage": "enable_history", "path": snap,
+         "partition_by": ["o_orderstatus"]},
+        {"stage": "sql", "query": "SELECT * FROM gov_day1"},
+        {"stage": "expect",
+         "constraints": {"positive_price": "o_totalprice > 0"},
+         "mode": "quarantine", "quarantine_path": quar},
+        {"stage": "merge", "path": snap, "keys": ["o_orderkey"],
+         "partition_by": ["o_orderstatus"]},
+        {"stage": "table_changes", "path": snap, "from_version": 0,
+         "to_version": 1, "keys": ["o_orderkey"]},
+    ]).run(spark)
+    assert H.table_current_version(spark, snap) == 1
+
+    def _section(df: DataFrame, section: str, key) -> DataFrame:
+        return df.groupBy(key.alias("key")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        ).withColumn("section", F.lit(section))
+
+    quarantined = spark.read.parquet(quar)
+    out = _section(
+        quarantined, "quarantine",
+        F.array_join(F.col("_violations"), ","),
+    )
+    out = out.unionByName(
+        _section(changes, "changes", F.col("_change_type"))
+    )
+    out = out.unionByName(
+        _section(
+            spark.read.parquet(snap), "final",
+            F.concat_ws("|", "o_orderstatus", "o_orderpriority"),
+        )
+    )
+    return out
+
+
 def q_e2e_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CDC composition (r11 — VERDICT r10 ask #6, the
     q_e2e_pretrain pattern for the table family): ONE config pipeline
@@ -5731,6 +5817,7 @@ _DEFER_THIS_ROUND: list[str] = [
     "q_expectations",
     "q_table_changes",
     "q_table_alter",
+    "q_e2e_governed",
 ]
 
 
@@ -5844,7 +5931,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_changes": q_table_changes,  # Change Data Feed, r12
         "q_table_alter": q_table_alter,  # ALTER TABLE reshape, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
-        "q_e2e_cdc": q_e2e_cdc,  # merge+scd2+asof+join+MV composition, r11
+        "q_e2e_cdc": q_e2e_cdc,
+        "q_e2e_governed": q_e2e_governed,  # expect->merge->CDF chain, r12  # merge+scd2+asof+join+MV composition, r11
         "q_table_compact": q_table_compact,  # small-file compaction, r11
         "q_bigram_perplexity": q_bigram_perplexity,  # bigram-LM NLL, r6
         "q_pq_ann": q_pq_ann,  # product-quantization ADC, r6
@@ -8453,6 +8541,45 @@ def oracle_sql() -> dict[str, str]:
         # e2e CDC chain replay: merged fact snapshot × the 02-15 as-of
         # dimension state, aggregated directly (the two MV folds must be
         # indistinguishable from this single aggregate — monoid law)
+        # three replayed sections: the quarantine slice (%64=2 poisoned
+        # rows), the CDF update pairs (clean matched rows retagged), and
+        # the final snapshot (seed with clean rows' priorities replaced)
+        "q_e2e_governed": """
+            WITH seed AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            slice AS (
+              SELECT o_orderkey, o_orderstatus
+              FROM orders
+              WHERE o_orderkey % 8 = 2 AND o_orderstatus = 'P'),
+            bad AS (SELECT * FROM slice WHERE o_orderkey % 64 = 2),
+            clean AS (SELECT * FROM slice WHERE o_orderkey % 64 <> 2),
+            final AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey IN (SELECT o_orderkey
+                                              FROM clean)
+                          THEN 'DAY1' ELSE o_orderpriority END
+                       AS o_orderpriority
+              FROM seed)
+            SELECT 'positive_price' AS key,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   'quarantine' AS section
+            FROM bad
+            UNION ALL
+            SELECT ct, CAST(count(*) AS BIGINT),
+                   CAST(sum(o_orderkey) AS BIGINT), 'changes'
+            FROM clean,
+                 (SELECT 'update_preimage' AS ct
+                  UNION ALL SELECT 'update_postimage') tags
+            GROUP BY ct
+            UNION ALL
+            SELECT o_orderstatus || '|' || o_orderpriority,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(o_orderkey) AS BIGINT), 'final'
+            FROM final
+            GROUP BY o_orderstatus || '|' || o_orderpriority
+        """,
         "q_e2e_cdc": """
             WITH snap0 AS (
               SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice

@@ -194,6 +194,7 @@ HEADLINE = [
     "q_expectations",
     "q_table_changes",
     "q_table_alter",
+    "q_e2e_governed",
 ]
 
 
