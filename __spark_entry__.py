@@ -5809,11 +5809,10 @@ _CHANGED_THIS_ROUND: list[str] = [
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
     # round 12: the seventh+ new rows would push r8-stale rows out of
-    # the 50-slot window (6 new + 44 r8 is exact); all three are locally
+    # the 50-slot window (6 new + 44 r8 is exact); all four are locally
     # hash-verified (scripts/check_oracle.py — q_expectations 5 rows,
-    # q_table_changes 12 rows, q_table_alter 150 rows, exact) and
-    # self-front next round as
-    # never-recorded.
+    # q_table_changes 12, q_table_alter 150, q_e2e_governed 19, exact)
+    # and self-front next round as never-recorded.
     "q_expectations",
     "q_table_changes",
     "q_table_alter",

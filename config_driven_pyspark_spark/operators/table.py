@@ -503,7 +503,92 @@ def _sidecar_candidates(
     return out
 
 
+_LOCK_SUFFIX = "__lock"
+_LOCK_LEASE_SECONDS = 900
+
+
+class _WriterLock:
+    """Best-effort single-writer mutex for the table family.
+
+    The whole swap discipline assumes ONE writer per snapshot (there is
+    no commit log to CAS against); this makes a second concurrent
+    writer FAIL LOUDLY instead of silently interleaving renames. The
+    mutex is an atomically-created sibling file (``createNewFile`` —
+    atomic on HDFS and local FS; object stores without atomic create
+    get best-effort semantics, the same caveat Delta documents for
+    S3 without a lock service). In-process failures always release via
+    ``finally``; a hard process crash leaves the file, and the next
+    writer reclaims it automatically once it is older than the lease
+    (crashed writers stop renewing). The error message names the lock
+    so an operator who KNOWS the owner is dead can delete it."""
+
+    def __init__(self, spark: SparkSession, base: str,
+                 lease_seconds: int = _LOCK_LEASE_SECONDS):
+        self._spark = spark
+        self._base = base.rstrip("/")
+        self._lease = lease_seconds
+        self._held = False
+
+    def __enter__(self):
+        import time as _time
+
+        jvm, fs = _fs(self._spark, self._base)
+        Path = jvm.org.apache.hadoop.fs.Path
+        p = Path(f"{self._base}{_LOCK_SUFFIX}")
+        if not fs.createNewFile(p):
+            age = None
+            try:
+                age = (
+                    _time.time() * 1000
+                    - fs.getFileStatus(p).getModificationTime()
+                ) / 1000.0
+            except Exception:
+                pass  # racing release — retry the create below
+            if age is not None and age <= self._lease:
+                raise IOError(
+                    f"{self._base!r} is being written by another process "
+                    f"(lock {self._base}{_LOCK_SUFFIX} is {int(age)}s "
+                    f"old, lease {self._lease}s). Concurrent writers "
+                    "would corrupt the swap — retry after it finishes, "
+                    "or delete the lock file if you know the owner died"
+                )
+            # stale (crashed writer) or just-released: reclaim
+            fs.delete(p, False)
+            if not fs.createNewFile(p):
+                raise IOError(
+                    f"could not reclaim stale writer lock "
+                    f"{self._base}{_LOCK_SUFFIX} (another writer took "
+                    "it first) — retry"
+                )
+        self._held = True
+        return self
+
+    def __exit__(self, *exc):
+        if self._held:
+            jvm, fs = _fs(self._spark, self._base)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{self._base}{_LOCK_SUFFIX}"
+                ),
+                False,
+            )
+            self._held = False
+        return False
+
+
 def _recover_crashed_swap(spark: SparkSession, target_path: str) -> None:
+    """Lock-holding wrapper: recovery inspects and MOVES swap debris, so
+    it must never run concurrently with a live writer's swap — without
+    the lock it could delete the staging directory that writer is
+    mid-way through producing. Every mutating op calls this first, so a
+    second writer now fails loudly at op START, not mid-swap."""
+    with _WriterLock(spark, target_path.rstrip("/")):
+        _recover_crashed_swap_locked(spark, target_path)
+
+
+def _recover_crashed_swap_locked(
+    spark: SparkSession, target_path: str
+) -> None:
     """Heal debris from a merge that crashed mid-swap BEFORE treating it
     as garbage — the backup may be the ONLY surviving copy of the
     snapshot, so it is restored, never deleted blind:
@@ -586,6 +671,36 @@ def _restore_missing_dirs(fs, Path, src_dir, dst_dir) -> None:
 
 
 def _stage_verify_swap(
+    df: DataFrame,
+    target_path: str,
+    expected_rows: int,
+    partition_by: list[str] | None,
+    breakdown: str,
+    touched_dirs: list[str] | None = None,
+    marker_batch_id: int | None = None,
+    partition_markers: dict[str, int] | None = None,
+    pre_promote=None,
+    op: str = "merge",
+    writer_options: dict | None = None,
+) -> int:
+    """Single-writer entry point: every mutating table op funnels
+    through here, so the writer lock lives here. The lock covers the
+    staging WRITE too (two writers staging into one sibling dir is
+    itself a corruption vector), and counts/probes taken BEFORE the
+    lock are safe because the staged-row-count verification doubles as
+    optimistic concurrency detection — a snapshot swapped underneath
+    makes the staged count miss its expectation and the op aborts with
+    the snapshot untouched. See :func:`_stage_verify_swap_locked` for
+    the swap itself."""
+    with _WriterLock(df.sparkSession, target_path.rstrip("/")):
+        return _stage_verify_swap_locked(
+            df, target_path, expected_rows, partition_by, breakdown,
+            touched_dirs, marker_batch_id, partition_markers,
+            pre_promote, op, writer_options,
+        )
+
+
+def _stage_verify_swap_locked(
     df: DataFrame,
     target_path: str,
     expected_rows: int,
