@@ -2723,11 +2723,14 @@ def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE TABLE ... VERSION AS OF (operators/history.py::
     restore_table, r12): the status-partitioned orders snapshot
     enables history, takes an in-place UPDATE (version 1), then
-    restores to version 0 — materialized through the same row-count-
-    verified full swap, so the restore is itself version 2 and the
-    pre-restore state stays reachable (asserted via a version-1 as-of
-    read and DESCRIBE HISTORY op sequence). The live table must equal
-    the original seed — the oracle aggregates the seed directly."""
+    restores to version 0 — PARTITION-SCOPED (the manifests name
+    exactly the diverged directories, so only the 'P' partition
+    rewrites from retained content; asserted), through the same
+    row-count-verified swap, so the restore is itself version 2 and
+    the pre-restore state stays reachable (asserted via a version-1
+    as-of read and DESCRIBE HISTORY op sequence). The live table must
+    equal the original seed — the oracle aggregates the seed
+    directly."""
     import os
     import tempfile
 
@@ -2769,7 +2772,9 @@ def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in H.table_history(spark, target)
         .orderBy("version").collect()
     ]
-    assert ops == [(1, "update", "partition"), (2, "restore", "full")], ops
+    assert ops == [
+        (1, "update", "partition"), (2, "restore", "partition"),
+    ], ops
     return (
         spark.read.parquet(target)
         .groupBy("o_orderstatus", "o_orderpriority")

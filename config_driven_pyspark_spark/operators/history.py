@@ -584,12 +584,23 @@ def restore_table(
     spark: SparkSession, target_path: str, version: int
 ) -> dict:
     """RESTORE TABLE ... TO VERSION AS OF: materialize ``version``
-    through the same verified full swap every merge uses — the restore
+    through the same verified swap every merge uses — the restore
     itself becomes a new version, so the pre-restore state stays
-    reachable. The ``_key_stats`` sidecar is dropped (its entries
-    describe the replaced state) and batch markers do not carry over
-    (the restored snapshot predates them)."""
+    reachable.
+
+    PARTITION-SCOPED when possible: the manifests between ``version``
+    and current name exactly the partition directories that diverged
+    (union of replaced+created), so only those are rewritten from
+    version-``version`` content — dirs created since are deleted,
+    untouched partition files stay byte-identical and restore cost is
+    ∝ churn, not table size. A full-mode entry in the range (or a
+    touched set past the scoped-partition cap) falls back to the full
+    rewrite. Restoring to the current version is a no-op
+    (``rewrite: "none"``). The ``_key_stats`` sidecar is dropped (its
+    entries describe the replaced state) and restored partitions do
+    not carry batch markers (the restored content predates them)."""
     from config_driven_pyspark_spark.operators.table import (
+        _MAX_SCOPED_PARTITIONS,
         _delete_key_stats,
         _recover_crashed_swap,
         _stage_verify_swap,
@@ -597,15 +608,36 @@ def restore_table(
 
     base = target_path.rstrip("/")
     _recover_crashed_swap(spark, base)
-    _complete, current, _floor, partition_by = _versions(spark, base)
-    df = read_table_version(spark, base, version)
+    complete, current, floor, partition_by = _versions(spark, base)
+    if version == current:
+        return {
+            "restored_version": version,
+            "new_version": current,
+            "n_rows": None,
+            "rewrite": "none",
+        }
+    scope: set[str] | None = None
+    if partition_by and floor <= version <= current:
+        scope = set()
+        for n_v in range(version + 1, current + 1):
+            man = complete.get(n_v)
+            if man is None or man["mode"] == "full":
+                scope = None
+                break
+            scope |= set(man["replaced"]) | set(man["created"])
+        if scope is not None and len(scope) > _MAX_SCOPED_PARTITIONS:
+            scope = None
+    df = read_table_version(spark, base, version, _only_dirs=scope)
     n = df.count()
     _stage_verify_swap(
         df,
         base,
         n,
         partition_by or None,
-        f"(restore of version {version})",
+        f"(restore of version {version}"
+        + (" — rows in the diverged partitions)" if scope is not None
+           else ")"),
+        touched_dirs=sorted(scope) if scope is not None else None,
         op="restore",
     )
     _delete_key_stats(spark, base)
@@ -613,6 +645,7 @@ def restore_table(
         "restored_version": version,
         "new_version": current + 1,
         "n_rows": n,
+        "rewrite": "full" if scope is None else "partition",
     }
 
 

@@ -418,3 +418,48 @@ def test_streaming_merge_sink_is_versioned(spark, tmp_path):
         (1, "update_preimage"): 1.0,
         (1, "update_postimage"): 10.0,
     }
+
+
+def test_restore_is_partition_scoped(spark, tmp_path):
+    """Restore rewrites ONLY the partitions that diverged since the
+    target version: untouched partition files stay byte-identical,
+    partitions created since are deleted, and restoring to the current
+    version is a no-op."""
+    import glob
+
+    tgt = str(tmp_path / "t")
+    v0 = _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+
+    def _fprints(d):
+        return {
+            f: (os.path.getsize(f), os.stat(f).st_mtime_ns)
+            for f in glob.glob(f"{tgt}/status={d}/part-*.parquet")
+        }
+
+    f_before, o_before = _fprints("F"), _fprints("O")
+    # v1 touches P only; v2 creates Z
+    merge_upsert(
+        spark.createDataFrame(
+            [(0, "P", 100.0)], "k int, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    merge_upsert(
+        spark.createDataFrame(
+            [(500, "Z", 5.0)], "k int, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    out = H.restore_table(spark, tgt, 0)
+    assert out["rewrite"] == "partition"
+    assert out["new_version"] == 3
+    assert _rows(spark.read.parquet(tgt)) == v0
+    assert not os.path.exists(f"{tgt}/status=Z")
+    # the F and O partitions were never rewritten by the restore
+    assert _fprints("F") == f_before and _fprints("O") == o_before
+    # restore to current = no-op, no version burned
+    noop = H.restore_table(spark, tgt, 3)
+    assert noop == {"restored_version": 3, "new_version": 3,
+                    "n_rows": None, "rewrite": "none"}
+    assert H.table_current_version(spark, tgt) == 3
