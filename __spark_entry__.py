@@ -2895,6 +2895,25 @@ def q_table_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE statistics (operators/stats.py, r12): per-column
+    row/null counts, stringified min/max and EXACT distinct counts
+    over lineitem — min/max/nulls for all columns ride one map-side-
+    combinable aggregate; each exact distinct is its own map-side-
+    combining groupBy (never count_distincts stacked into one
+    aggregate — the Expand lesson from operators/expectations.py); the
+    long-form melt is a distributed ``stack``, the report never
+    collects. The oracle replays every metric per column."""
+    from config_driven_pyspark_spark.operators.stats import analyze_table
+
+    return analyze_table(
+        spark,
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linenumber", "l_quantity"],
+        distinct="exact",
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations (operators/expectations.py, r12 — the
     Delta-CHECK / DLT-expectations surface): five declared invariants
@@ -5814,14 +5833,16 @@ _CHANGED_THIS_ROUND: list[str] = [
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
     # round 12: the seventh+ new rows would push r8-stale rows out of
-    # the 50-slot window (6 new + 44 r8 is exact); all four are locally
+    # the 50-slot window (6 new + 44 r8 is exact); all five are locally
     # hash-verified (scripts/check_oracle.py — q_expectations 5 rows,
-    # q_table_changes 12, q_table_alter 150, q_e2e_governed 19, exact)
+    # q_table_changes 12, q_table_alter 150, q_e2e_governed 19,
+    # q_table_analyze 3, exact)
     # and self-front next round as never-recorded.
     "q_expectations",
     "q_table_changes",
     "q_table_alter",
     "q_e2e_governed",
+    "q_table_analyze",
 ]
 
 
@@ -5934,6 +5955,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_restore": q_table_restore,  # RESTORE TABLE, r12
         "q_table_changes": q_table_changes,  # Change Data Feed, r12
         "q_table_alter": q_table_alter,  # ALTER TABLE reshape, r12
+        "q_table_analyze": q_table_analyze,  # ANALYZE statistics, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,
         "q_e2e_governed": q_e2e_governed,  # expect->merge->CDF chain, r12  # merge+scd2+asof+join+MV composition, r11
@@ -9951,6 +9973,34 @@ def oracle_sql() -> dict[str, str]:
             FROM r CROSS JOIN n
         """,
         # per-source receipt: count, byte total, XOR of pair hashes
+        # per-column metric replay; min/max stringified on both sides
+        "q_table_analyze": """
+            SELECT '' AS partition, 'l_returnflag' AS column,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(min(l_returnflag) AS VARCHAR) AS min_value,
+                   CAST(max(l_returnflag) AS VARCHAR) AS max_value,
+                   CAST(count(DISTINCT l_returnflag) AS BIGINT)
+                     AS n_distinct
+            FROM lineitem
+            UNION ALL
+            SELECT '', 'l_linenumber', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   CAST(min(l_linenumber) AS VARCHAR),
+                   CAST(max(l_linenumber) AS VARCHAR),
+                   CAST(count(DISTINCT l_linenumber) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT '', 'l_quantity', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   CAST(min(l_quantity) AS VARCHAR),
+                   CAST(max(l_quantity) AS VARCHAR),
+                   CAST(count(DISTINCT l_quantity) AS BIGINT)
+            FROM lineitem
+        """,
         # strict CHECK semantics: a NULL expression is a violation
         # (NOT coalesce(expr, false)); uniqueness = count - distinct
         "q_expectations": """

@@ -195,6 +195,7 @@ HEADLINE = [
     "q_table_changes",
     "q_table_alter",
     "q_e2e_governed",
+    "q_table_analyze",
 ]
 
 

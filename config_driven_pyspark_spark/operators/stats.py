@@ -1,0 +1,170 @@
+"""Table statistics: ANALYZE TABLE ... COMPUTE STATISTICS, engine-native.
+
+Capability gap vs the reference (SURVEY.md §2C table maintenance):
+warehouses expose per-partition / per-column statistics (row counts,
+null counts, min/max, distinct counts) as a first-class report — the
+input to capacity planning, skew diagnosis, and the manual end of
+cost-based decisions. This module computes the report as one long-form
+DataFrame:
+
+    (partition, column, n_rows, n_nulls, min_value, max_value,
+     n_distinct)
+
+``partition`` is the Hive-style dir string (``""`` for unpartitioned
+tables), ``min_value``/``max_value`` are stringified for a uniform
+schema, ``n_distinct`` excludes NULLs (SQL ``count(DISTINCT ...)``).
+
+Scale notes:
+- min/max/null counts for ALL columns ride ONE map-side-combinable
+  aggregate pass (grouped by the partition columns).
+- distinct counts default to ``distinct="approx"`` (HyperLogLog in the
+  same single pass). ``distinct="exact"`` runs ONE map-side-combining
+  groupBy per analyzed column instead of stacking count_distincts into
+  the shared aggregate — several DISTINCTs in one aggregate make
+  Catalyst Expand the scan, one input replica per distinct group (the
+  operators/expectations.py A/B: 2.15× slower at 10× rows).
+  ``distinct=None`` skips the column entirely.
+- the long-form melt is a Spark ``stack`` expression — the report never
+  collects; its size is (partitions × columns), the same as the report
+  itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def analyze_table(
+    spark: SparkSession,
+    target_path: str,
+    columns: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    distinct: str | None = "approx",
+) -> DataFrame:
+    """Statistics report for the parquet snapshot at ``target_path``
+    (see module docstring). ``columns`` defaults to every non-partition
+    column."""
+    if distinct not in (None, "approx", "exact"):
+        raise ValueError("distinct must be None, 'approx' or 'exact'")
+    df = spark.read.parquet(target_path.rstrip("/"))
+    return analyze_frame(df, columns, partition_by, distinct)
+
+
+def analyze_frame(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    distinct: str | None = "approx",
+) -> DataFrame:
+    """The same report over any frame (profile an intermediate result
+    before writing it)."""
+    if distinct not in (None, "approx", "exact"):
+        raise ValueError("distinct must be None, 'approx' or 'exact'")
+    pcols = list(partition_by or [])
+    for c in pcols:
+        if c not in df.columns:
+            raise ValueError(f"partition column {c!r} not in the frame")
+    cols = list(columns) if columns else [
+        c for c in df.columns if c not in pcols
+    ]
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in the frame")
+        if c in pcols:
+            raise ValueError(
+                f"column {c!r} is a partition column — it is the "
+                "report's grouping key, not a measured column"
+            )
+    if not cols:
+        raise ValueError("no columns to analyze")
+
+    part_expr = (
+        F.concat_ws(
+            "/",
+            *[
+                F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                for c in pcols
+            ],
+        )
+        if pcols
+        else F.lit("")
+    )
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+        if distinct == "approx":
+            aggs.append(
+                F.approx_count_distinct(F.col(c)).alias(f"__nd_{c}")
+            )
+    wide = df.groupBy(part_expr.alias("partition")).agg(*aggs)
+
+    # long-form melt: stack() keeps the report distributed
+    nd = "CAST(__nd_{c} AS STRING)" if distinct == "approx" else "NULL"
+    stacked = ", ".join(
+        f"'{c}', __nul_{c}, __min_{c}, __max_{c}, " + nd.format(c=c)
+        for c in cols
+    )
+    out = wide.selectExpr(
+        "partition",
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column, n_nulls, min_value, max_value, __nd)",
+    ).select(
+        "partition",
+        F.col("column"),
+        F.col("n_rows").cast("bigint"),
+        F.col("n_nulls").cast("bigint"),
+        "min_value",
+        "max_value",
+        F.col("__nd").cast("bigint").alias("n_distinct"),
+    )
+    if distinct != "exact":
+        return out
+    # exact distincts: one map-side-combining groupBy per column (see
+    # module docstring — never count_distincts stacked into one agg)
+    nd_frames = []
+    for c in cols:
+        nd_frames.append(
+            df.filter(F.col(c).isNotNull())
+            .groupBy(part_expr.alias("partition"), F.col(c))
+            .count()
+            .groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+            .withColumn("column", F.lit(c))
+        )
+    nd_all = nd_frames[0]
+    for f in nd_frames[1:]:
+        nd_all = nd_all.unionByName(f)
+    return (
+        out.drop("n_distinct")
+        .join(nd_all, ["partition", "column"], "left")
+        .select(
+            "partition", "column", "n_rows", "n_nulls",
+            "min_value", "max_value",
+            F.coalesce(F.col("n_distinct"), F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct"),
+        )
+    )
+
+
+def stage_analyze(df, spec: dict, spark: SparkSession | None = None):
+    """``{"stage": "analyze", "path": ...?, "columns": [...]?,
+    "partition_by": [...]?, "distinct": "approx"|"exact"|null}`` —
+    source-like with ``path`` (analyze the snapshot), otherwise
+    analyzes the incoming frame."""
+    s = spark if spark is not None else df.sparkSession
+    distinct = spec.get("distinct", "approx")
+    if spec.get("path"):
+        return analyze_table(
+            s, spec["path"], spec.get("columns"),
+            spec.get("partition_by"), distinct,
+        )
+    return analyze_frame(
+        df, spec.get("columns"), spec.get("partition_by"), distinct
+    )

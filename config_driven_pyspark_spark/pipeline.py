@@ -254,7 +254,7 @@ class Pipeline:
             "table_delete", "table_update",
             "time_travel", "table_history", "table_restore",
             "vacuum_history", "expect", "table_changes", "alter",
-            "enable_history",
+            "enable_history", "analyze",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -279,6 +279,13 @@ class Pipeline:
             )
 
             return stage_scd2_asof(None, spec, spark=ctx.spark)
+        if kind == "analyze" and spec.get("path"):
+            # source-like when analyzing a persisted snapshot
+            from config_driven_pyspark_spark.operators.stats import (
+                stage_analyze,
+            )
+
+            return stage_analyze(None, spec, spark=ctx.spark)
         if kind in ("time_travel", "table_history", "table_changes",
                     "enable_history"):
             # source-like: version reads, DESCRIBE HISTORY, CDF and the
@@ -505,6 +512,12 @@ class Pipeline:
             )
 
             return stage_alter(df, spec)
+        if kind == "analyze":
+            from config_driven_pyspark_spark.operators.stats import (
+                stage_analyze,
+            )
+
+            return stage_analyze(df, spec)
         if kind == "vacuum_history":
             from config_driven_pyspark_spark.operators.history import (
                 vacuum_table_history,

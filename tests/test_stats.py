@@ -1,0 +1,85 @@
+"""ANALYZE TABLE statistics (operators/stats.py)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from config_driven_pyspark_spark import Pipeline
+from config_driven_pyspark_spark.operators.stats import (
+    analyze_frame,
+    analyze_table,
+)
+
+
+@pytest.fixture()
+def snap(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [
+            (1, "P", 10.0), (2, "P", None), (3, "P", 10.0),
+            (4, "O", 5.0), (5, "O", 7.0),
+        ],
+        "k int, status string, val double",
+    ).write.partitionBy("status").parquet(path)
+    return path
+
+
+def test_analyze_exact(spark, snap):
+    rep = {
+        (r.partition, r.column): (
+            r.n_rows, r.n_nulls, r.min_value, r.max_value, r.n_distinct
+        )
+        for r in analyze_table(
+            spark, snap, partition_by=["status"], distinct="exact"
+        ).collect()
+    }
+    assert rep[("status=P", "val")] == (3, 1, "10.0", "10.0", 1)
+    assert rep[("status=P", "k")] == (3, 0, "1", "3", 3)
+    assert rep[("status=O", "val")] == (2, 0, "5.0", "7.0", 2)
+    assert rep[("status=O", "k")] == (2, 0, "4", "5", 2)
+
+
+def test_analyze_unpartitioned_and_approx(spark, tmp_path):
+    path = str(tmp_path / "u")
+    spark.range(1000).selectExpr(
+        "id", "cast(id % 7 as string) AS b"
+    ).write.parquet(path)
+    rep = {
+        r.column: r
+        for r in analyze_table(spark, path).collect()
+    }
+    assert rep["id"].partition == ""
+    assert rep["id"].n_rows == 1000
+    assert rep["b"].n_nulls == 0
+    # HLL estimate of 7 distinct values is exact at this cardinality
+    assert rep["b"].n_distinct == 7
+    none = analyze_table(spark, path, distinct=None).collect()
+    assert all(r.n_distinct is None for r in none)
+
+
+def test_analyze_guards(spark, snap):
+    with pytest.raises(ValueError, match="grouping key"):
+        analyze_table(
+            spark, snap, columns=["status"], partition_by=["status"]
+        )
+    with pytest.raises(ValueError, match="not in the frame"):
+        analyze_table(spark, snap, columns=["nope"])
+    with pytest.raises(ValueError, match="distinct must be"):
+        analyze_table(spark, snap, distinct="bogus")
+
+
+def test_analyze_stage_and_frame(spark, snap):
+    out = Pipeline([
+        {"stage": "analyze", "path": snap, "partition_by": ["status"],
+         "columns": ["k"], "distinct": "exact"},
+    ]).run(spark)
+    assert out.count() == 2
+    mid = Pipeline([
+        {"stage": "source", "format": "parquet", "path": snap},
+        {"stage": "filter", "predicate": "k <= 3"},
+        {"stage": "analyze", "columns": ["val"]},
+    ]).run(spark).collect()
+    assert len(mid) == 1 and mid[0].n_rows == 3
