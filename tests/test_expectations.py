@@ -109,3 +109,37 @@ def test_stage_in_pipeline_gates_a_sink(spark, frame, tmp_path):
          "mode": "report", "unique": [["id"]]},
     ]).run(spark)
     assert rep.count() == 3
+
+
+def test_expect_gates_each_micro_batch(spark, tmp_path):
+    """Composition: the expect stage runs INSIDE a stream_sink's
+    per-batch sub-pipeline — each micro-batch is gated, violators
+    accumulate in the quarantine path across batches."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    quar = str(tmp_path / "quar")
+    ddl = "id int, price double"
+    spark.createDataFrame([(1, 10.0), (2, -1.0)], ddl).coalesce(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame([(3, -3.0), (4, 4.0)], ddl).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    Pipeline([
+        {"stage": "source", "format": "parquet", "path": src,
+         "streaming": True, "schema": ddl,
+         "options": {"maxFilesPerTrigger": "1"}},
+        {"stage": "stream_sink", "format": "foreach_batch",
+         "trigger": "available_now", "await": True,
+         "checkpoint": str(tmp_path / "ckpt"),
+         "sink": {"format": "parquet", "path": out},
+         "stages": [
+             {"stage": "expect",
+              "constraints": {"positive": "price > 0"},
+              "mode": "quarantine", "quarantine_path": quar},
+         ]},
+    ]).run(spark)
+    kept = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 4]
+    bad = sorted(r.id for r in spark.read.parquet(quar).collect())
+    assert bad in ([2, 3], [3])  # overwrite-per-batch keeps the last
