@@ -100,12 +100,25 @@ def enforce_expectations(
     mode: str = "fail",
     quarantine_path: str | None = None,
     unique: list[list[str]] | None = None,
+    tolerance: float = 0.0,
 ) -> DataFrame:
     """Apply ``constraints`` with the chosen disposition; returns the
-    surviving frame (``report`` returns the report instead)."""
+    surviving frame (``report`` returns the report instead).
+    ``tolerance`` (``fail`` mode only) is the per-constraint violation
+    FRACTION the gate absorbs before raising — the DLT
+    expect-with-threshold shape for noisy feeds where a handful of bad
+    rows is expected but a broken upstream (violations spiking past
+    the threshold) must stop the pipeline."""
     if mode not in ("report", "fail", "drop", "quarantine"):
         raise ValueError(
             "mode must be 'report', 'fail', 'drop' or 'quarantine'"
+        )
+    if not (0.0 <= tolerance < 1.0):
+        raise ValueError("tolerance must be in [0, 1)")
+    if tolerance and mode != "fail":
+        raise ValueError(
+            "tolerance only applies to mode='fail' — drop/quarantine "
+            "already dispose of every violator, and report just counts"
         )
     if mode in ("drop", "quarantine"):
         if unique:
@@ -120,12 +133,17 @@ def enforce_expectations(
         return expectation_report(df, constraints, unique)
     if mode == "fail":
         rep = expectation_report(df, constraints, unique).collect()
-        bad = {r["constraint"]: r["n_violations"] for r in rep
-               if r["n_violations"]}
+        n = rep[0]["n_rows"] if rep else 0
+        bad = {
+            r["constraint"]: r["n_violations"]
+            for r in rep
+            if r["n_violations"] > tolerance * max(n, 1)
+        }
         if bad:
-            n = rep[0]["n_rows"]
             raise ValueError(
-                f"expectations failed on {n} rows: "
+                f"expectations failed on {n} rows"
+                + (f" (tolerance {tolerance:g})" if tolerance else "")
+                + ": "
                 + ", ".join(f"{k}: {v} violations"
                             for k, v in sorted(bad.items()))
             )
@@ -167,4 +185,5 @@ def stage_expect(df: DataFrame, spec: dict) -> DataFrame:
         unique=[list(u) for u in spec["unique"]]
         if spec.get("unique")
         else None,
+        tolerance=float(spec.get("tolerance", 0.0)),
     )

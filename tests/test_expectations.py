@@ -143,3 +143,22 @@ def test_expect_gates_each_micro_batch(spark, tmp_path):
     assert kept == [1, 4]
     bad = sorted(r.id for r in spark.read.parquet(quar).collect())
     assert bad in ([2, 3], [3])  # overwrite-per-batch keeps the last
+
+
+def test_fail_tolerance(spark, frame):
+    from config_driven_pyspark_spark.operators.expectations import (
+        enforce_expectations as enforce,
+    )
+
+    # 2/5 positive violations: a 40% threshold absorbs them, 39% not
+    ok = enforce(frame, {"positive": "price > 0"}, mode="fail",
+                 tolerance=0.4)
+    assert ok.count() == 5
+    with pytest.raises(ValueError, match=r"tolerance 0\.3"):
+        enforce(frame, {"positive": "price > 0"}, mode="fail",
+                tolerance=0.3)
+    with pytest.raises(ValueError, match="only applies"):
+        enforce(frame, {"positive": "price > 0"}, mode="drop",
+                tolerance=0.3)
+    with pytest.raises(ValueError, match="in \\[0, 1\\)"):
+        enforce(frame, {"positive": "price > 0"}, tolerance=1.5)
