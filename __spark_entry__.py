@@ -2895,6 +2895,82 @@ def q_table_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidecar-pruned reads (operators/table.py::scan_table, r12 — the
+    READ side of `_key_stats` data skipping): orders merge-bootstraps
+    into an ingest-bucketed snapshot (bucket = o_orderkey div 4096, so
+    day-zero sidecar ranges are selective), then a key-range scan and
+    a point lookup read ONLY the directories whose recorded o_orderkey
+    range intersects (asserted: the range touches ≤ 3 of the buckets,
+    the point lookup exactly 1) — Delta's data-skipping read path at
+    partition granularity, while the same predicate re-applies as a
+    real filter so results never depend on the sidecar. The oracle is
+    the plain filtered aggregate."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import (
+        merge_upsert, scan_table,
+    )
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    # scale-free layout: 8 ingest buckets regardless of SF (the oracle
+    # derives the same width from max(o_orderkey))
+    import math
+
+    maxk = base.agg(F.max("o_orderkey")).collect()[0][0]
+    width = int(math.ceil((maxk + 1) / 8.0))
+    orders = base.withColumn(
+        "bucket", F.expr(f"CAST(o_orderkey DIV {width} AS INT)")
+    )
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_tscan_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    import shutil
+
+    shutil.rmtree(target, ignore_errors=True)
+    merge_upsert(orders, target, ["o_orderkey"], partition_by=["bucket"])
+
+    lo, hi = 2 * width, 3 * width + width // 2  # spans buckets 2..3
+    ranged = scan_table(
+        spark, target, ["bucket"],
+        key_between={"o_orderkey": (lo, hi)},
+    )
+    dirs = {f.split("bucket=")[1].split("/")[0]
+            for f in ranged.inputFiles()}
+    assert len(dirs) <= 2, dirs  # 6 of the 8 directories skipped
+    point = scan_table(
+        spark, target, ["bucket"],
+        key_eq={"o_orderkey": 2 * width + width // 2},
+    )
+    pdirs = {f.split("bucket=")[1].split("/")[0]
+             for f in point.inputFiles()}
+    assert len(pdirs) <= 1, pdirs
+    return (
+        ranged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_price"),
+        )
+        .unionByName(
+            point.groupBy("o_orderstatus").agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+                F.expr(
+                    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+                    "AS DOUBLE)"
+                ).alias("total_price"),
+            )
+        )
+    )
+
+
 def q_table_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE statistics (operators/stats.py, r12): per-column
     row/null counts, stringified min/max and EXACT distinct counts
@@ -5833,16 +5909,17 @@ _CHANGED_THIS_ROUND: list[str] = [
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
     # round 12: the seventh+ new rows would push r8-stale rows out of
-    # the 50-slot window (6 new + 44 r8 is exact); all five are locally
+    # the 50-slot window (6 new + 44 r8 is exact); all six are locally
     # hash-verified (scripts/check_oracle.py — q_expectations 5 rows,
     # q_table_changes 12, q_table_alter 150, q_e2e_governed 19,
-    # q_table_analyze 3, exact)
+    # q_table_analyze 3, q_table_scan 4, exact)
     # and self-front next round as never-recorded.
     "q_expectations",
     "q_table_changes",
     "q_table_alter",
     "q_e2e_governed",
     "q_table_analyze",
+    "q_table_scan",
 ]
 
 
@@ -5955,6 +6032,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_restore": q_table_restore,  # RESTORE TABLE, r12
         "q_table_changes": q_table_changes,  # Change Data Feed, r12
         "q_table_alter": q_table_alter,  # ALTER TABLE reshape, r12
+        "q_table_scan": q_table_scan,  # sidecar-pruned reads, r12
         "q_table_analyze": q_table_analyze,  # ANALYZE statistics, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,
@@ -9973,6 +10051,36 @@ def oracle_sql() -> dict[str, str]:
             FROM r CROSS JOIN n
         """,
         # per-source receipt: count, byte total, XOR of pair hashes
+        # the same range + point predicates over the seeded snapshot;
+        # the scan's directory pruning cannot change results (the
+        # predicate re-applies as a filter), so a plain replay matches
+        "q_table_scan": """
+            WITH mx AS (
+              SELECT CAST(CEIL((max(o_orderkey) + 1) / 8.0) AS BIGINT)
+                       AS w
+              FROM orders),
+            r AS (
+              SELECT o.* FROM orders o, mx
+              WHERE o_orderkey
+                    BETWEEN 2 * w
+                        AND 3 * w + CAST(FLOOR(w / 2.0) AS BIGINT)),
+            p AS (
+              SELECT o.* FROM orders o, mx
+              WHERE o_orderkey
+                    = 2 * w + CAST(FLOOR(w / 2.0) AS BIGINT))
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM r GROUP BY o_orderstatus
+            UNION ALL
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(o_orderkey) AS BIGINT),
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM p GROUP BY o_orderstatus
+        """,
         # per-column metric replay; min/max stringified on both sides
         "q_table_analyze": """
             SELECT '' AS partition, 'l_returnflag' AS column,

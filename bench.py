@@ -196,6 +196,7 @@ HEADLINE = [
     "q_table_alter",
     "q_e2e_governed",
     "q_table_analyze",
+    "q_table_scan",
 ]
 
 

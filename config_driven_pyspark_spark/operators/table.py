@@ -2308,6 +2308,91 @@ def stage_compact(df: DataFrame, spec: dict) -> DataFrame:
     return df.sparkSession.read.parquet(spec["path"])
 
 
+def scan_table(
+    spark: SparkSession,
+    target_path: str,
+    partition_by: list[str],
+    key_eq: dict | None = None,
+    key_between: dict | None = None,
+) -> DataFrame:
+    """Sidecar-pruned read: the READ-side of ``_key_stats`` data
+    skipping. For point lookups / key ranges on columns that are NOT
+    partition columns, the per-partition key min/max the merges
+    maintain prunes the directory list BEFORE Spark ever plans the
+    scan — the Delta data-skipping read path at partition granularity.
+
+    ``key_eq = {col: value}`` / ``key_between = {col: (lo, hi)}``
+    constrain sidecar key columns; directories whose recorded range
+    cannot contain the value(s) are skipped, directories missing from
+    the sidecar are read (its maintenance discipline only ever leaves
+    it absent or too WIDE, never narrow — so pruning is always safe).
+    The same predicates are ALSO applied as a real filter, so results
+    are correct whether or not the sidecar exists; without one the
+    call degrades to a plain filtered read. Partition-column
+    predicates don't need this — express them as normal filters and
+    Spark's own partition pruning applies."""
+    if not partition_by:
+        raise ValueError(
+            "scan_table needs partition_by (unpartitioned tables have "
+            "no directories to skip — use a plain filtered read)"
+        )
+    key_eq = dict(key_eq or {})
+    key_between = dict(key_between or {})
+    if not key_eq and not key_between:
+        raise ValueError("scan_table needs key_eq and/or key_between")
+    overlap = sorted(set(key_eq) & set(key_between))
+    if overlap:
+        raise ValueError(f"columns in both key_eq and key_between: {overlap}")
+    base = target_path.rstrip("/")
+    ranges: dict[str, tuple] = {}
+    for c, v in key_eq.items():
+        if v is None:
+            raise ValueError(
+                f"key_eq[{c!r}] is None — NULL point lookups need a "
+                "plain `col IS NULL` filter, not range skipping"
+            )
+        ranges[c] = (_ser_stat(v), _ser_stat(v), False)
+    for c, (lo, hi) in key_between.items():
+        if lo is None or hi is None:
+            raise ValueError(f"key_between[{c!r}] needs non-null bounds")
+        ranges[c] = (_ser_stat(lo), _ser_stat(hi), False)
+
+    doc = _read_key_stats(spark, base)
+    dirs = _list_partition_dirs(spark, base, len(partition_by))
+    if doc is not None and set(ranges) <= set(doc.get("keys") or []):
+        keep = _sidecar_candidates(doc, dirs, list(ranges), ranges)
+    else:
+        keep = dirs  # no sidecar (or un-tracked columns): read all
+    if keep:
+        df = spark.read.option("basePath", base).parquet(
+            *[f"{base}/{d}" for d in sorted(keep)]
+        )
+    else:
+        df = spark.read.parquet(base).limit(0)
+    pred = None
+    for c, v in key_eq.items():
+        e = F.col(c) == F.lit(v)
+        pred = e if pred is None else pred & e
+    for c, (lo, hi) in key_between.items():
+        e = F.col(c).between(F.lit(lo), F.lit(hi))
+        pred = e if pred is None else pred & e
+    return df.filter(pred)
+
+
+def stage_table_scan(df, spec: dict, spark: SparkSession | None = None):
+    """``{"stage": "table_scan", "path": ..., "partition_by": [...],
+    "key_eq": {col: value}?, "key_between": {col: [lo, hi]}?}`` —
+    source-like sidecar-pruned read."""
+    s = spark if spark is not None else df.sparkSession
+    return scan_table(
+        s,
+        spec["path"],
+        list(spec["partition_by"]),
+        spec.get("key_eq"),
+        {c: tuple(v) for c, v in (spec.get("key_between") or {}).items()},
+    )
+
+
 def alter_table(
     spark: SparkSession,
     target_path: str,

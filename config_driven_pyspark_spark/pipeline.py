@@ -254,7 +254,7 @@ class Pipeline:
             "table_delete", "table_update",
             "time_travel", "table_history", "table_restore",
             "vacuum_history", "expect", "table_changes", "alter",
-            "enable_history", "analyze",
+            "enable_history", "analyze", "table_scan",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -286,6 +286,16 @@ class Pipeline:
             )
 
             return stage_analyze(None, spec, spark=ctx.spark)
+        if kind == "table_scan":
+            from config_driven_pyspark_spark.operators.table import (
+                stage_table_scan,
+            )
+
+            return stage_table_scan(
+                ctx.last if not spec.get("input") else ctx.get(spec["input"]),
+                spec,
+                spark=ctx.spark,
+            )
         if kind in ("time_travel", "table_history", "table_changes",
                     "enable_history"):
             # source-like: version reads, DESCRIBE HISTORY, CDF and the

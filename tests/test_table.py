@@ -1813,3 +1813,61 @@ def test_writer_lock_blocks_and_reclaims(spark, tmp_path):
         target, ["id"],
     )
     assert stats["n_after"] == 3
+
+
+def test_scan_table_prunes_with_sidecar(spark, tmp_path):
+    """Read-side data skipping: a key-range scan reads only the
+    partition directories whose sidecar range intersects; results
+    equal the plain filtered read; no sidecar degrades gracefully."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from config_driven_pyspark_spark.operators.table import (
+        merge_upsert, scan_table,
+    )
+
+    target = str(tmp_path / "t")
+    # key k is RANGE-correlated with the bucket partition, so sidecar
+    # ranges are selective: bucket b holds k in [1000*b, 1000*b+999]
+    df = spark.range(8000).selectExpr(
+        "id AS k",
+        "cast(id div 1000 as int) AS bucket",
+        "cast(id as double) AS val",
+    )
+    # merge-bootstrap the snapshot: day-zero stats cover EVERY
+    # partition (a plain write tracks nothing; later merges only widen
+    # the partitions they touch)
+    merge_upsert(df, target, ["k"], partition_by=["bucket"])
+    merge_upsert(
+        spark.createDataFrame([(5, 0, 5.5)],
+                              "k bigint, bucket int, val double"),
+        target, ["k"], partition_by=["bucket"],
+    )
+    assert os.path.exists(f"{target}/_key_stats/stats.json")
+
+    got = scan_table(
+        spark, target, ["bucket"], key_between={"k": (2500, 3200)}
+    )
+    exp = spark.read.parquet(target).filter("k BETWEEN 2500 AND 3200")
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in exp.collect()
+    )
+    touched = {f.split("bucket=")[1].split("/")[0]
+               for f in got.inputFiles()}
+    assert touched == {"2", "3"}  # 6 of 8 directories skipped
+
+    eq = scan_table(spark, target, ["bucket"], key_eq={"k": 5})
+    assert [r.val for r in eq.collect()] == [5.5]
+    assert len({f for f in eq.inputFiles()}) >= 1
+    eq_dirs = {f.split("bucket=")[1].split("/")[0]
+               for f in eq.inputFiles()}
+    assert eq_dirs == {"0"}
+
+    # untracked column or missing sidecar -> plain filtered read
+    all_dirs = scan_table(
+        spark, target, ["bucket"], key_eq={"val": 5.5}
+    )
+    assert all_dirs.count() == 1
+    with _pytest.raises(ValueError, match="needs key_eq"):
+        scan_table(spark, target, ["bucket"])
+    _ = F
