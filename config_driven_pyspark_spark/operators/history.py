@@ -274,6 +274,8 @@ def commit_retention(
             )
     else:
         fs.mkdirs(vdir)
+    import time as _time
+
     manifest = {
         "version": version,
         "op": op,
@@ -281,6 +283,10 @@ def commit_retention(
         "replaced": sorted(replaced),
         "created": sorted(created),
         "rows_staged": int(rows_staged),
+        # wall-clock commit time, consumed ONLY by age-based vacuum —
+        # deliberately absent from table_history output so the report
+        # stays deterministic/oracle-able
+        "ts": int(_time.time()),
     }
     _write_small(
         jvm, fs, f"{hist}/v{version}/{_MANIFEST_FILE}",
@@ -650,15 +656,30 @@ def restore_table(
 
 
 def vacuum_table_history(
-    spark: SparkSession, target_path: str, keep_last: int
+    spark: SparkSession,
+    target_path: str,
+    keep_last: int | None = None,
+    older_than_seconds: int | None = None,
 ) -> dict:
-    """Drop the oldest retained versions, keeping ``keep_last``
-    newest complete entries (and any stale pending markers older than
-    the survivors). Whole-directory deletes; reconstruction truncates
-    contiguously — versions at or above the oldest surviving entry
-    minus one stay readable."""
-    if keep_last < 0:
+    """Drop the oldest retained versions — keep the ``keep_last``
+    newest complete entries, and/or drop entries whose commit time is
+    more than ``older_than_seconds`` ago (Delta's retention-period
+    shape; at least one bound required, both combine as "drop what
+    violates either"). Entries are chronological, so both rules select
+    an oldest-first prefix and reconstruction truncates contiguously —
+    versions at or above the oldest surviving entry minus one stay
+    readable. Whole-directory deletes; stale pending markers older
+    than the survivors clear too."""
+    if keep_last is None and older_than_seconds is None:
+        raise ValueError(
+            "vacuum needs keep_last and/or older_than_seconds"
+        )
+    if keep_last is not None and keep_last < 0:
         raise ValueError("keep_last must be >= 0")
+    if older_than_seconds is not None and older_than_seconds < 0:
+        raise ValueError("older_than_seconds must be >= 0")
+    import time as _time
+
     from config_driven_pyspark_spark.operators.table import _fs
 
     base = target_path.rstrip("/")
@@ -666,7 +687,15 @@ def vacuum_table_history(
     Path = jvm.org.apache.hadoop.fs.Path
     hist = _hist_root(base)
     complete, incomplete = _scan_entries(jvm, fs, hist)
-    keep = set(sorted(complete)[-keep_last:]) if keep_last else set()
+    keep = set(complete)
+    if keep_last is not None:
+        keep &= set(sorted(complete)[-keep_last:]) if keep_last else set()
+    if older_than_seconds is not None:
+        # pre-upgrade manifests without ts count as infinitely old —
+        # they are by construction the oldest entries
+        min_ts = _time.time() - older_than_seconds
+        keep &= {n for n in complete
+                 if complete[n].get("ts", 0) >= min_ts}
     cutoff = min(keep) if keep else max({0, *complete, *incomplete}) + 1
     dropped = 0
     for n in sorted(complete):

@@ -534,7 +534,14 @@ class Pipeline:
             )
 
             vacuum_table_history(
-                df.sparkSession, spec["path"], int(spec["keep_last"])
+                df.sparkSession,
+                spec["path"],
+                int(spec["keep_last"])
+                if spec.get("keep_last") is not None
+                else None,
+                int(spec["older_than_seconds"])
+                if spec.get("older_than_seconds") is not None
+                else None,
             )
             return df
         raise ValueError(f"Unknown stage kind {kind!r}")

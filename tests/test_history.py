@@ -463,3 +463,39 @@ def test_restore_is_partition_scoped(spark, tmp_path):
     assert noop == {"restored_version": 3, "new_version": 3,
                     "n_rows": None, "rewrite": "none"}
     assert H.table_current_version(spark, tgt) == 3
+
+
+def test_vacuum_age_based(spark, tmp_path):
+    """older_than_seconds drops entries by commit age (chronological =
+    oldest-first prefix, so readability still truncates contiguously);
+    both bounds combine as drop-what-violates-either."""
+    import json
+
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    for i in range(3):
+        merge_upsert(
+            spark.createDataFrame(
+                [(3000 + i, "P", float(i))],
+                "k int, status string, val double",
+            ),
+            tgt, ["k"], partition_by=["status"],
+        )
+    # backdate v1 and v2 by a day (drop the Hadoop .crc the local FS
+    # keeps for the file we rewrite behind its back)
+    for v in (1, 2):
+        mf = f"{tgt}__history/v{v}/_manifest.json"
+        doc = json.load(open(mf))
+        doc["ts"] -= 86_400
+        json.dump(doc, open(mf, "w"))
+        crc = f"{tgt}__history/v{v}/._manifest.json.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+    out = H.vacuum_table_history(spark, tgt, older_than_seconds=3600)
+    assert out == {"dropped": 2, "kept": 1}
+    with pytest.raises(ValueError, match="unreadable"):
+        H.read_table_version(spark, tgt, 1)
+    assert H.read_table_version(spark, tgt, 2).count() > 0
+    with pytest.raises(ValueError, match="needs keep_last"):
+        H.vacuum_table_history(spark, tgt)
