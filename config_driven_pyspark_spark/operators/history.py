@@ -462,6 +462,7 @@ def table_changes(
     from_version: int,
     to_version: int | None = None,
     keys: list[str] | None = None,
+    per_version: bool = False,
 ) -> DataFrame:
     """Change Data Feed: the rows that changed between two versions —
     the Delta ``table_changes`` surface. The diff is computed ONLY over
@@ -477,8 +478,42 @@ def table_changes(
     invariant): Delta CDF semantics — unmatched new keys ``insert``,
     unmatched old keys ``delete``, matched-but-different rows emit an
     ``update_preimage`` / ``update_postimage`` pair, identical rows are
-    silent. Comparison is null-safe over all shared columns."""
+    silent. Comparison is null-safe over all shared columns.
+
+    ``per_version=True`` attributes every change to the swap that made
+    it: the range decomposes into consecutive (N-1, N) diffs, each
+    tagged ``_commit_version = N`` — Delta CDF's per-commit stream.
+    Each step's diff is scoped to ITS OWN entry's touched partitions,
+    so the total cost is Σ per-version churn, not versions × table. A
+    row updated twice appears once per updating version (the net diff
+    collapses it); the net rows equal the plain range diff applied in
+    order."""
     base = target_path.rstrip("/")
+    if per_version:
+        complete, current, floor, _pb = _versions(spark, base)
+        to_v = current if to_version is None else to_version
+        if not (0 <= from_version <= to_v <= current):
+            raise ValueError(
+                f"need 0 <= from_version <= to_version <= {current} "
+                f"(got {from_version}..{to_v})"
+            )
+        if from_version < floor:
+            raise ValueError(
+                f"versions below {floor} of {base!r} are unreadable "
+                f"(entry v{floor} was vacuumed or lost to a crashed "
+                "swap)"
+            )
+        out = None
+        for n in range(from_version + 1, to_v + 1):
+            step = table_changes(
+                spark, base, n - 1, n, keys
+            ).withColumn("_commit_version", F.lit(n).cast("int"))
+            out = step if out is None else out.unionByName(step)
+        if out is None:  # empty range
+            return table_changes(
+                spark, base, from_version, from_version, keys
+            ).withColumn("_commit_version", F.lit(None).cast("int"))
+        return out
     complete, current, floor, partition_by = _versions(spark, base)
     if to_version is None:
         to_version = current
@@ -574,7 +609,8 @@ def stage_table_changes(
     df, spec: dict, spark: SparkSession | None = None
 ):
     """``{"stage": "table_changes", "path": ..., "from_version": V,
-    "to_version": W?, "keys": [...]?}`` — source-like CDF read."""
+    "to_version": W?, "keys": [...]?, "per_version": bool?}`` —
+    source-like CDF read."""
     s = spark if spark is not None else df.sparkSession
     return table_changes(
         s,
@@ -583,6 +619,7 @@ def stage_table_changes(
         int(spec["to_version"]) if spec.get("to_version") is not None
         else None,
         list(spec["keys"]) if spec.get("keys") else None,
+        bool(spec.get("per_version", False)),
     )
 
 

@@ -499,3 +499,46 @@ def test_vacuum_age_based(spark, tmp_path):
     assert H.read_table_version(spark, tgt, 2).count() > 0
     with pytest.raises(ValueError, match="needs keep_last"):
         H.vacuum_table_history(spark, tgt)
+
+
+def test_table_changes_per_version(spark, tmp_path):
+    """per_version attributes each change to the swap that made it; a
+    key updated twice appears once per updating version."""
+    from config_driven_pyspark_spark.operators.history import (
+        table_changes,
+    )
+
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    merge_upsert(
+        spark.createDataFrame(
+            [(0, "P", 100.0), (700, "P", 7.0)],
+            "k int, status string, val double",
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    merge_upsert(
+        spark.createDataFrame(
+            [(0, "P", 200.0)], "k int, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    ch = table_changes(spark, tgt, 0, 2, keys=["k"], per_version=True)
+    got = sorted(
+        (r._commit_version, r.k, r._change_type, r.val)
+        for r in ch.collect()
+    )
+    assert got == [
+        (1, 0, "update_postimage", 100.0),
+        (1, 0, "update_preimage", 0.0),
+        (1, 700, "insert", 7.0),
+        (2, 0, "update_postimage", 200.0),
+        (2, 0, "update_preimage", 100.0),
+    ]
+    # plain range diff nets the double update into one pair
+    net = table_changes(spark, tgt, 0, 2, keys=["k"])
+    assert sorted((r.k, r._change_type) for r in net.collect()) == [
+        (0, "update_postimage"), (0, "update_preimage"),
+        (700, "insert"),
+    ]
