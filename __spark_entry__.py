@@ -3123,9 +3123,13 @@ def q_e2e_governed(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed.createOrReplaceTempView("gov_day0")
     batch.createOrReplaceTempView("gov_day1")
     # idempotent reruns: the day-zero merge bootstraps a fresh snapshot
+    # and the quarantine side-table starts empty (quarantine APPENDS by
+    # design — accumulation across runs is the production contract, but
+    # this query's oracle replays exactly one run)
     import shutil
 
     shutil.rmtree(snap, ignore_errors=True)
+    shutil.rmtree(quar, ignore_errors=True)
     H.disable_table_history(spark, snap)
     changes = Pipeline([
         {"stage": "sql", "query": "SELECT * FROM gov_day0"},
@@ -5890,16 +5894,24 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 12: EMPTY (VERDICT r11 ask #2).  The r12 table work (probe
-    # pruning, crash-recovery fix, ''/NULL partition scoping,
-    # per-partition batch markers, conditional merge) is
-    # output-identical for every existing table row (re-verified via
-    # scripts/check_oracle.py); the six r12-new rows
-    # (q_merge_conditional, q_merge_sidecar, q_merge_sync,
-    # q_table_mutate, q_time_travel, q_table_restore) self-front as
-    # never-recorded.  Window simulation:
-    # 6 new + 44 r8-stale (the ENTIRE r8 cohort) = 50 —
-    # after this round no row's latest check is older than r9.
+    # round 13: the six r12-late governed rows (deferred one rotation in
+    # r12, judge-verified hash-exact but never driver-recorded) are
+    # pinned to the very front per VERDICT r12 ask #2.  They would
+    # self-front as never-recorded anyway; listing them here makes the
+    # guarantee explicit and immune to any other never-recorded names.
+    "q_expectations",
+    "q_table_changes",
+    "q_table_alter",
+    "q_e2e_governed",
+    "q_table_analyze",
+    "q_table_scan",
+    # round 13 semantic changes: q_simhash_pairs gains a DuckDB oracle
+    # (VERDICT ask #6 — was rows-only), q_time_travel gains the
+    # TIMESTAMP AS OF read (ask #3), q_table_changes above also gains
+    # the _commit_timestamp column plumbing (version-keyed determinism
+    # preserved — see operators/history.py).
+    "q_simhash_pairs",
+    "q_time_travel",
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
@@ -5908,18 +5920,7 @@ _CHANGED_THIS_ROUND: list[str] = [
 # locally-verified new queries in rounds where the stale-cohort budget
 # is exact.
 _DEFER_THIS_ROUND: list[str] = [
-    # round 12: the seventh+ new rows would push r8-stale rows out of
-    # the 50-slot window (6 new + 44 r8 is exact); all six are locally
-    # hash-verified (scripts/check_oracle.py — q_expectations 5 rows,
-    # q_table_changes 12, q_table_alter 150, q_e2e_governed 19,
-    # q_table_analyze 3, q_table_scan 4, exact)
-    # and self-front next round as never-recorded.
-    "q_expectations",
-    "q_table_changes",
-    "q_table_alter",
-    "q_e2e_governed",
-    "q_table_analyze",
-    "q_table_scan",
+    # round 13: empty — the r12 deferrals front this round (see above).
 ]
 
 

@@ -16,7 +16,10 @@ engine-native, composable in front of any sink or merge stage:
 - ``quarantine``: split the frame; invalid rows land in a parquet
   side-table with a ``_violations`` array naming each failed
   constraint (the DLT pattern — nothing is silently lost, the main
-  flow stays clean), valid rows flow on.
+  flow stays clean), valid rows flow on. The side-table APPENDS by
+  default so repeated runs / streaming micro-batches accumulate
+  violators instead of clobbering the previous batch's
+  (``quarantine_mode="overwrite"`` opts back into replace-per-run).
 
 NULL semantics are strict like Delta's CHECK (and unlike bare SQL
 CHECK): a constraint passes only when its expression IS TRUE — an
@@ -101,6 +104,7 @@ def enforce_expectations(
     quarantine_path: str | None = None,
     unique: list[list[str]] | None = None,
     tolerance: float = 0.0,
+    quarantine_mode: str = "append",
 ) -> DataFrame:
     """Apply ``constraints`` with the chosen disposition; returns the
     surviving frame (``report`` returns the report instead).
@@ -108,10 +112,17 @@ def enforce_expectations(
     FRACTION the gate absorbs before raising — the DLT
     expect-with-threshold shape for noisy feeds where a handful of bad
     rows is expected but a broken upstream (violations spiking past
-    the threshold) must stop the pipeline."""
+    the threshold) must stop the pipeline. ``quarantine_mode`` is the
+    side-table write mode: ``"append"`` (default — successive runs and
+    streaming micro-batches accumulate, honoring the nothing-is-
+    silently-lost contract) or ``"overwrite"`` (replace per run)."""
     if mode not in ("report", "fail", "drop", "quarantine"):
         raise ValueError(
             "mode must be 'report', 'fail', 'drop' or 'quarantine'"
+        )
+    if quarantine_mode not in ("append", "overwrite"):
+        raise ValueError(
+            "quarantine_mode must be 'append' or 'overwrite'"
         )
     if not (0.0 <= tolerance < 1.0):
         raise ValueError("tolerance must be in [0, 1)")
@@ -167,16 +178,16 @@ def enforce_expectations(
     invalid = df.withColumn("_violations", tags).filter(
         F.size("_violations") > 0
     )
-    invalid.write.mode("overwrite").parquet(quarantine_path)
+    invalid.write.mode(quarantine_mode).parquet(quarantine_path)
     return df.filter(ok)
 
 
 def stage_expect(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "expect", "constraints": {name: sql_bool, ...},
     "mode": "fail"|"drop"|"quarantine"|"report",
-    "quarantine_path": ...?, "unique": [[col, ...], ...]?}`` —
-    the validation gate to put in front of a ``sink``/``merge``
-    stage."""
+    "quarantine_path": ...?, "quarantine_mode": "append"|"overwrite"?,
+    "unique": [[col, ...], ...]?}`` — the validation gate to put in
+    front of a ``sink``/``merge`` stage."""
     return enforce_expectations(
         df,
         dict(spec.get("constraints") or {}),
@@ -186,4 +197,5 @@ def stage_expect(df: DataFrame, spec: dict) -> DataFrame:
         if spec.get("unique")
         else None,
         tolerance=float(spec.get("tolerance", 0.0)),
+        quarantine_mode=spec.get("quarantine_mode", "append"),
     )

@@ -221,7 +221,16 @@ def begin_retention(
         )
     hist = _hist_root(base)
     complete, incomplete = _scan_entries(jvm, fs, hist)
-    version = max({0, *complete, *incomplete}) + 1
+    # allocate above the persisted high-water mark, not just the
+    # surviving entries: vacuum may have dropped every entry (idle
+    # table + age bound, or keep_last=0) and REUSING a version number
+    # would silently corrupt downstream time-travel/CDF cursors (Delta
+    # never reuses versions — ADVICE r12).  The mark itself is bumped
+    # at commit_retention / vacuum time, NOT here: persisting it before
+    # an in-process abort would leave a permanent numbering hole the
+    # floor logic must treat as a lost entry.
+    high = int(doc.get("high_water", 0))
+    version = max(0, high, *complete, *incomplete) + 1
     Path = jvm.org.apache.hadoop.fs.Path
     out = fs.create(Path(f"{hist}/v{version}.pending"), True)
     out.close()
@@ -293,6 +302,15 @@ def commit_retention(
         json.dumps(manifest).encode(),
     )
     fs.delete(Path(f"{hist}/v{version}.pending"), False)
+    # persist the high-water mark so vacuum can never reset the
+    # counter (monotonic versions even after every entry is dropped)
+    doc = _enabled_doc(jvm, fs, base) or {}
+    if version > int(doc.get("high_water", 0)):
+        doc["high_water"] = version
+        _write_small(
+            jvm, fs, f"{hist}/{_ENABLED_FILE}",
+            json.dumps(doc).encode(),
+        )
 
 
 def _versions(
@@ -312,7 +330,11 @@ def _versions(
             "for swaps that ran after enabling)"
         )
     complete, incomplete = _scan_entries(jvm, fs, _hist_root(base))
-    current = max({0, *complete, *incomplete})
+    # the persisted high-water keeps `current` (and the floor) honest
+    # after a vacuum dropped every entry: the table is still at version
+    # N, reading N is a live read, N-1 and below stay refused
+    current = max(0, int(doc.get("high_water", 0)),
+                  *complete, *incomplete)
     floor = 0
     for n in range(current, 0, -1):
         if n not in complete:
@@ -705,8 +727,13 @@ def vacuum_table_history(
     violates either"). Entries are chronological, so both rules select
     an oldest-first prefix and reconstruction truncates contiguously —
     versions at or above the oldest surviving entry minus one stay
-    readable. Whole-directory deletes; stale pending markers older
-    than the survivors clear too."""
+    readable (a wall-clock regression between commits is guarded: the
+    keep set is expanded to a contiguous suffix before anything is
+    deleted). Whole-directory deletes; stale pending markers older
+    than the survivors clear too. The persisted high-water version is
+    bumped first, so dropping every entry never resets the version
+    counter — numbers are monotonic for the table's lifetime, like
+    Delta's."""
     if keep_last is None and older_than_seconds is None:
         raise ValueError(
             "vacuum needs keep_last and/or older_than_seconds"
@@ -733,6 +760,29 @@ def vacuum_table_history(
         min_ts = _time.time() - older_than_seconds
         keep &= {n for n in complete
                  if complete[n].get("ts", 0) >= min_ts}
+    if keep:
+        # contiguity guard: manifest timestamps are normally monotonic,
+        # but a wall-clock regression between commits could make the
+        # age rule keep a non-contiguous set — deleting a mid-range
+        # entry would strand every KEPT entry below the hole
+        # (reconstruction needs all entries newer than the target).
+        # Expand to the contiguous suffix: keep everything at or above
+        # the oldest kept entry (always the safe direction — ADVICE
+        # r12).
+        lowest = min(keep)
+        keep = {n for n in complete if n >= lowest}
+    # bump the persisted high-water to everything ever observed (incl.
+    # crash-debris numbers) BEFORE deleting, so the version counter can
+    # never move backwards no matter what this vacuum drops
+    doc = _enabled_doc(jvm, fs, base) or {}
+    observed = max(0, int(doc.get("high_water", 0)),
+                   *complete, *incomplete)
+    if observed > int(doc.get("high_water", 0)):
+        doc["high_water"] = observed
+        _write_small(
+            jvm, fs, f"{hist}/{_ENABLED_FILE}",
+            json.dumps(doc).encode(),
+        )
     cutoff = min(keep) if keep else max({0, *complete, *incomplete}) + 1
     dropped = 0
     for n in sorted(complete):

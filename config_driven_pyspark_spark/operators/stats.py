@@ -78,11 +78,17 @@ def analyze_frame(
     if not cols:
         raise ValueError("no columns to analyze")
 
+    # exact-name column refs: F.col parses dots as struct access, so
+    # quote every generated reference (columns named "a.b" or "a b"
+    # must analyze like any other)
+    def _ref(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
     part_expr = (
         F.concat_ws(
             "/",
             *[
-                F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                F.concat(F.lit(f"{c}="), _ref(c).cast("string"))
                 for c in pcols
             ],
         )
@@ -93,20 +99,34 @@ def analyze_frame(
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.sum(_ref(c).isNull().cast("long")).alias(f"__nul_{c}"),
+            F.min(_ref(c)).cast("string").alias(f"__min_{c}"),
+            F.max(_ref(c)).cast("string").alias(f"__max_{c}"),
         ]
         if distinct == "approx":
             aggs.append(
-                F.approx_count_distinct(F.col(c)).alias(f"__nd_{c}")
+                F.approx_count_distinct(_ref(c)).alias(f"__nd_{c}")
             )
     wide = df.groupBy(part_expr.alias("partition")).agg(*aggs)
 
-    # long-form melt: stack() keeps the report distributed
-    nd = "CAST(__nd_{c} AS STRING)" if distinct == "approx" else "NULL"
+    # long-form melt: stack() keeps the report distributed.  Generated
+    # aliases are backtick-quoted and the name literal escaped so
+    # columns that are not valid SQL identifiers (spaces, dashes, dots,
+    # quotes) still melt cleanly.
+    def _bt(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def _slit(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    nd_expr = (
+        (lambda c: f"CAST({_bt('__nd_' + c)} AS STRING)")
+        if distinct == "approx"
+        else (lambda c: "NULL")
+    )
     stacked = ", ".join(
-        f"'{c}', __nul_{c}, __min_{c}, __max_{c}, " + nd.format(c=c)
+        f"{_slit(c)}, {_bt('__nul_' + c)}, {_bt('__min_' + c)}, "
+        f"{_bt('__max_' + c)}, {nd_expr(c)}"
         for c in cols
     )
     out = wide.selectExpr(
@@ -130,8 +150,8 @@ def analyze_frame(
     nd_frames = []
     for c in cols:
         nd_frames.append(
-            df.filter(F.col(c).isNotNull())
-            .groupBy(part_expr.alias("partition"), F.col(c))
+            df.filter(_ref(c).isNotNull())
+            .groupBy(part_expr.alias("partition"), _ref(c))
             .count()
             .groupBy("partition")
             .agg(F.count(F.lit(1)).alias("n_distinct"))

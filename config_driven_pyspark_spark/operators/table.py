@@ -516,11 +516,22 @@ class _WriterLock:
     mutex is an atomically-created sibling file (``createNewFile`` —
     atomic on HDFS and local FS; object stores without atomic create
     get best-effort semantics, the same caveat Delta documents for
-    S3 without a lock service). In-process failures always release via
-    ``finally``; a hard process crash leaves the file, and the next
-    writer reclaims it automatically once it is older than the lease
-    (crashed writers stop renewing). The error message names the lock
-    so an operator who KNOWS the owner is dead can delete it."""
+    S3 without a lock service), stamped with a per-acquisition owner
+    id. In-process failures always release via ``finally``; a hard
+    process crash leaves the file, and the next writer reclaims it
+    once it is older than the lease.
+
+    Liveness vs the lease (ADVICE r12): while held, a daemon heartbeat
+    renews the lock's mtime every ``lease/3`` seconds, so a legitimate
+    writer slower than the lease (a full rewrite of a big table) is
+    never mistaken for a crashed one. Reclaim renames the stale file
+    to a caller-unique tombstone first — an atomic winner-takes-all,
+    closing the delete-then-create race where two reclaimers could
+    both "win". ``__exit__`` verifies the owner id before deleting
+    (never removes a lock it lost) and raises on the success path if
+    the lock was stolen mid-operation, because a concurrent writer may
+    then have interleaved with the swap. The error message names the
+    lock so an operator who KNOWS the owner is dead can delete it."""
 
     def __init__(self, spark: SparkSession, base: str,
                  lease_seconds: int = _LOCK_LEASE_SECONDS):
@@ -528,13 +539,42 @@ class _WriterLock:
         self._base = base.rstrip("/")
         self._lease = lease_seconds
         self._held = False
+        self._owner: str | None = None
+        self._stop = None
+        self._thread = None
+
+    def _lock_path(self, jvm):
+        return jvm.org.apache.hadoop.fs.Path(
+            f"{self._base}{_LOCK_SUFFIX}"
+        )
+
+    def _read_owner(self, jvm, fs) -> str | None:
+        """Owner id stamped in the lock file; None when the file is
+        missing/unreadable, '' during another claimer's stamp window."""
+        p = self._lock_path(jvm)
+        try:
+            stream = fs.open(p)
+        except Exception:
+            return None
+        try:
+            return bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            ).decode("utf-8", "replace")
+        except Exception:
+            return None
+        finally:
+            try:
+                stream.close()
+            except Exception:
+                pass
 
     def __enter__(self):
         import time as _time
+        import uuid as _uuid
 
         jvm, fs = _fs(self._spark, self._base)
-        Path = jvm.org.apache.hadoop.fs.Path
-        p = Path(f"{self._base}{_LOCK_SUFFIX}")
+        p = self._lock_path(jvm)
+        self._owner = _uuid.uuid4().hex
         if not fs.createNewFile(p):
             age = None
             try:
@@ -548,31 +588,94 @@ class _WriterLock:
                 raise IOError(
                     f"{self._base!r} is being written by another process "
                     f"(lock {self._base}{_LOCK_SUFFIX} is {int(age)}s "
-                    f"old, lease {self._lease}s). Concurrent writers "
-                    "would corrupt the swap — retry after it finishes, "
-                    "or delete the lock file if you know the owner died"
+                    f"old, lease {self._lease}s, renewed while the "
+                    "writer is live). Concurrent writers would corrupt "
+                    "the swap — retry after it finishes, or delete the "
+                    "lock file if you know the owner died"
                 )
-            # stale (crashed writer) or just-released: reclaim
-            fs.delete(p, False)
+            # stale (crashed writer — heartbeats stopped a full lease
+            # ago) or just-released: reclaim. Rename-to-tombstone is
+            # the atomic winner-takes-all; a bare delete+create lets a
+            # second reclaimer delete the FIRST one's fresh lock.
+            Path = jvm.org.apache.hadoop.fs.Path
+            tomb = Path(
+                f"{self._base}{_LOCK_SUFFIX}.reclaim.{self._owner}"
+            )
+            try:
+                won = bool(fs.rename(p, tomb))
+            except Exception:
+                won = False
+            if won:
+                fs.delete(tomb, False)
             if not fs.createNewFile(p):
                 raise IOError(
                     f"could not reclaim stale writer lock "
                     f"{self._base}{_LOCK_SUFFIX} (another writer took "
                     "it first) — retry"
                 )
+        # stamp ownership (mtime refreshes too — the first heartbeat).
+        # Safe to overwrite: we hold the claim and no reclaimer acts
+        # on a fresh mtime within the lease.
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(self._owner.encode()))
+        finally:
+            out.close()
         self._held = True
+        self._start_heartbeat()
         return self
 
-    def __exit__(self, *exc):
-        if self._held:
-            jvm, fs = _fs(self._spark, self._base)
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{self._base}{_LOCK_SUFFIX}"
-                ),
-                False,
+    def _start_heartbeat(self):
+        import threading
+        import time as _time
+
+        self._stop = threading.Event()
+        interval = max(0.2, self._lease / 3.0)
+        owner = self._owner
+
+        def beat(stop=self._stop):
+            while not stop.wait(interval):
+                try:
+                    jvm, fs = _fs(self._spark, self._base)
+                    if self._read_owner(jvm, fs) != owner:
+                        return  # lock lost/stolen — stop renewing it
+                    fs.setTimes(
+                        self._lock_path(jvm),
+                        int(_time.time() * 1000), -1,
+                    )
+                except Exception:
+                    pass  # skipped beat; the lease spans ~3 intervals
+
+        self._thread = threading.Thread(
+            target=beat, daemon=True,
+            name=f"writer-lock-heartbeat:{self._base}",
+        )
+        self._thread.start()
+
+    def __exit__(self, exc_type, exc, tb):
+        if not self._held:
+            return False
+        self._held = False
+        if self._stop is not None:
+            self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+        jvm, fs = _fs(self._spark, self._base)
+        owner = self._read_owner(jvm, fs)
+        if owner == self._owner:
+            fs.delete(self._lock_path(jvm), False)
+        elif exc_type is None:
+            # never delete a lock we lost; and a stolen lock means a
+            # concurrent writer may have interleaved with our swap —
+            # loud beats silently-maybe-corrupt
+            raise IOError(
+                f"writer lock {self._base}{_LOCK_SUFFIX} was "
+                + ("deleted" if owner is None else
+                   "reclaimed by another writer")
+                + " while this operation held it — a concurrent writer "
+                "may have interleaved with the swap; verify the "
+                f"snapshot at {self._base!r} before trusting this write"
             )
-            self._held = False
         return False
 
 

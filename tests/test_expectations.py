@@ -86,6 +86,29 @@ def test_quarantine_splits_and_tags(spark, frame, tmp_path):
     assert quar == {2: ["positive"], 3: ["named"], 5: ["positive"]}
 
 
+def test_quarantine_mode_append_vs_overwrite(spark, frame, tmp_path):
+    """Default append accumulates across runs (nothing silently lost);
+    overwrite opts back into replace-per-run; junk modes refuse."""
+    qpath = str(tmp_path / "quarantine")
+    enforce_expectations(
+        frame, CONSTRAINTS, mode="quarantine", quarantine_path=qpath
+    )
+    enforce_expectations(
+        frame, CONSTRAINTS, mode="quarantine", quarantine_path=qpath
+    )
+    assert spark.read.parquet(qpath).count() == 6  # 3 violators x 2 runs
+    enforce_expectations(
+        frame, CONSTRAINTS, mode="quarantine", quarantine_path=qpath,
+        quarantine_mode="overwrite",
+    )
+    assert spark.read.parquet(qpath).count() == 3
+    with pytest.raises(ValueError, match="quarantine_mode"):
+        enforce_expectations(
+            frame, CONSTRAINTS, mode="quarantine",
+            quarantine_path=qpath, quarantine_mode="replace",
+        )
+
+
 def test_unique_rejected_for_row_local_modes(spark, frame):
     with pytest.raises(ValueError, match="aggregate-level"):
         enforce_expectations(
@@ -142,7 +165,7 @@ def test_expect_gates_each_micro_batch(spark, tmp_path):
     kept = sorted(r.id for r in spark.read.parquet(out).collect())
     assert kept == [1, 4]
     bad = sorted(r.id for r in spark.read.parquet(quar).collect())
-    assert bad in ([2, 3], [3])  # overwrite-per-batch keeps the last
+    assert bad == [2, 3]  # append-per-batch accumulates every violator
 
 
 def test_fail_tolerance(spark, frame):

@@ -501,6 +501,79 @@ def test_vacuum_age_based(spark, tmp_path):
         H.vacuum_table_history(spark, tgt)
 
 
+def test_vacuum_never_resets_version_counter(spark, tmp_path):
+    """Dropping EVERY entry (keep_last=0, or an idle table past the age
+    bound) must not recycle version numbers: downstream time-travel /
+    CDF cursors hold version ints and reuse would silently change what
+    they mean (ADVICE r12 — Delta never reuses versions)."""
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    for i in range(3):
+        merge_upsert(
+            spark.createDataFrame(
+                [(4000 + i, "P", float(i))],
+                "k int, status string, val double",
+            ),
+            tgt, ["k"], partition_by=["status"],
+        )
+    assert H.table_current_version(spark, tgt) == 3
+    out = H.vacuum_table_history(spark, tgt, keep_last=0)
+    assert out == {"dropped": 3, "kept": 0}
+    # the table is STILL at version 3 (live read ok, older refused)
+    assert H.table_current_version(spark, tgt) == 3
+    assert H.read_table_version(spark, tgt, 3).count() == 33
+    with pytest.raises(ValueError, match="unreadable"):
+        H.read_table_version(spark, tgt, 2)
+    # the next swap allocates 4, never 1
+    merge_upsert(
+        spark.createDataFrame(
+            [(5000, "P", 1.0)], "k int, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    assert H.table_current_version(spark, tgt) == 4
+    hist = {r.version for r in H.table_history(spark, tgt).collect()}
+    assert hist == {4}
+
+
+def test_vacuum_age_keep_set_made_contiguous(spark, tmp_path):
+    """A wall-clock regression between commits can make the age rule's
+    keep set non-contiguous (an OLD entry with a NEWER ts). The vacuum
+    must expand to the contiguous suffix instead of deleting a
+    mid-range entry — which would strand kept-but-older entries above
+    the readable floor (ADVICE r12)."""
+    import json
+
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    states = [_rows(spark.read.parquet(tgt))]
+    for i in range(3):
+        merge_upsert(
+            spark.createDataFrame(
+                [(6000 + i, "P", float(i))],
+                "k int, status string, val double",
+            ),
+            tgt, ["k"], partition_by=["status"],
+        )
+        states.append(_rows(spark.read.parquet(tgt)))
+    # clock regression: v2 committed "a day ago" while v1 and v3 are
+    # fresh — the raw age keep set would be {1, 3}, a hole at 2
+    mf = f"{tgt}__history/v2/_manifest.json"
+    doc = json.load(open(mf))
+    doc["ts"] -= 86_400
+    json.dump(doc, open(mf, "w"))
+    crc = f"{tgt}__history/v2/._manifest.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    out = H.vacuum_table_history(spark, tgt, older_than_seconds=3600)
+    # contiguity guard: v2 survives because v1 (older number) was kept
+    assert out == {"dropped": 0, "kept": 3}
+    for w in (1, 2, 3):
+        assert _rows(H.read_table_version(spark, tgt, w)) == states[w]
+
+
 def test_table_changes_per_version(spark, tmp_path):
     """per_version attributes each change to the swap that made it; a
     key updated twice appears once per updating version."""

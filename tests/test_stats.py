@@ -71,6 +71,32 @@ def test_analyze_guards(spark, snap):
         analyze_table(spark, snap, distinct="bogus")
 
 
+def test_analyze_non_identifier_column_names(spark):
+    """Columns whose names are not valid SQL identifiers (spaces,
+    dashes, dots, quotes, backticks) must analyze like any other — the
+    generated melt quotes every reference (ADVICE r12)."""
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, "y", None), (2, None, 4.0)],
+        ["weird col", "has-dash", "a.b'c`d"],
+    )
+    rep = {
+        r.column: (r.n_rows, r.n_nulls, r.min_value, r.max_value,
+                   r.n_distinct)
+        for r in analyze_frame(df, distinct="exact").collect()
+    }
+    assert rep["weird col"] == (3, 0, "1", "2", 2)
+    assert rep["has-dash"] == (3, 1, "x", "y", 2)
+    assert rep["a.b'c`d"] == (3, 1, "2.0", "4.0", 2)
+    # grouped by a non-identifier partition column, approx path
+    grouped = {
+        (r.partition, r.column): r.n_rows
+        for r in analyze_frame(
+            df, columns=["has-dash"], partition_by=["weird col"]
+        ).collect()
+    }
+    assert grouped[("weird col=2", "has-dash")] == 2
+
+
 def test_analyze_stage_and_frame(spark, snap):
     out = Pipeline([
         {"stage": "analyze", "path": snap, "partition_by": ["status"],

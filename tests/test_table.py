@@ -1815,6 +1815,68 @@ def test_writer_lock_blocks_and_reclaims(spark, tmp_path):
     assert stats["n_after"] == 3
 
 
+def test_writer_lock_heartbeat_outlives_lease(spark, tmp_path):
+    """A legitimate writer slower than the lease must NOT lose its lock:
+    the heartbeat renews the mtime, so a second writer still fails
+    loudly after the nominal lease has elapsed (ADVICE r12)."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from config_driven_pyspark_spark.operators.table import _WriterLock
+
+    base = str(tmp_path / "t")
+    with _WriterLock(spark, base, lease_seconds=2):
+        _time.sleep(3.0)  # past the lease; heartbeat has renewed
+        with _pytest.raises(IOError, match="another process"):
+            with _WriterLock(spark, base, lease_seconds=2):
+                pass
+    # released cleanly afterwards
+    with _WriterLock(spark, base, lease_seconds=2):
+        pass
+
+
+def test_writer_lock_detects_theft_and_deletion(spark, tmp_path):
+    """__exit__ verifies ownership: it never deletes a lock another
+    writer now owns, and raises on the success path when the lock was
+    stolen or deleted mid-operation (ADVICE r12)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from config_driven_pyspark_spark.operators.table import _WriterLock
+
+    base = str(tmp_path / "t")
+    lockfile = f"{base}__lock"
+    # stolen: another owner id lands in the file while we hold it
+    lk = _WriterLock(spark, base)
+    lk.__enter__()
+    with open(lockfile, "w") as fh:
+        fh.write("someone-else")
+    crc = f"{_os.path.dirname(lockfile)}/.{_os.path.basename(lockfile)}.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    with _pytest.raises(IOError, match="reclaimed by another writer"):
+        lk.__exit__(None, None, None)
+    # the thief's lock file survives — we never delete what we lost
+    assert _os.path.exists(lockfile)
+    _os.remove(lockfile)
+    # deleted out from under us: raise too (ownership unverifiable)
+    lk = _WriterLock(spark, base)
+    lk.__enter__()
+    _os.remove(lockfile)
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    with _pytest.raises(IOError, match="deleted"):
+        lk.__exit__(None, None, None)
+    # an exception path does NOT mask the original error with the
+    # theft IOError — __exit__ returns falsy and raises nothing
+    lk = _WriterLock(spark, base)
+    lk.__enter__()
+    _os.remove(lockfile)
+    assert lk.__exit__(ValueError, ValueError("boom"), None) is False
+
+
 def test_scan_table_prunes_with_sidecar(spark, tmp_path):
     """Read-side data skipping: a key-range scan reads only the
     partition directories whose sidecar range intersects; results
