@@ -1544,12 +1544,16 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming ≤ 3 pairs via pigeonhole banding. Rows-only at the
-    driver by design (DuckDB has no xxhash64 to replicate the signature),
-    but the banding is EXACT, not approximate, and its full correctness is
-    gated by tests/test_llm_ops.py::test_simhash_pairs_equal_brute_force —
-    an all-pairs (500 docs → 124,750 pair) driver-side cross-check at
-    sf0.001 that requires set-equality with the banded output."""
+    """SimHash Hamming ≤ 3 pairs via pigeonhole banding. Hash-exact
+    oracle since r13 (VERDICT r12 ask #6): simhash64 now derives each
+    token's 64 bits from seeded polynomial hashes over code points —
+    engine-portable integer math the oracle replays bit-for-bit
+    (salts regenerated via D.simhash_bit_salts, the srp_planes
+    pattern) — instead of Spark-private xxhash64. Banding remains
+    EXACT (pigeonhole over k+1 chunks), doubly gated: the oracle
+    brute-forces bit_count(xor) ≤ 3 over replayed codes, and
+    tests/test_llm_ops.py::test_simhash_pairs_equal_brute_force
+    requires set-equality with an all-pairs driver-side cross-check."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
@@ -2654,7 +2658,14 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions 0/1/2 reconstruct as unions of live + retained scans.
     All three are read back, aggregated per (status, priority) and
     tagged; the oracle replays each state in SQL. The scoped-swap path
-    is asserted, so a silent full-rewrite fallback cannot hash-green."""
+    is asserted, so a silent full-rewrite fallback cannot hash-green.
+
+    r13: also exercises ``TIMESTAMP AS OF`` — a timestamp strictly
+    between the v1 and v2 commit times resolves to version 1 (asserted,
+    so a resolution bug fails loudly instead of hash-greening) and the
+    ``time_travel`` stage reads it; those rows are tagged version=101
+    so the output stays wall-clock-free and the oracle replays them as
+    the version-1 state."""
     import os
     import tempfile
 
@@ -2716,7 +2727,17 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(
             _agg(H.read_table_version(spark, target, v), v)
         )
-    return out
+    # TIMESTAMP AS OF: midway between the v1 and v2 commits -> v1.
+    # Assert the resolution so a semantics regression cannot slip
+    # through as a silent hash mismatch; tag 101 keeps the hashed
+    # output free of wall-clock values.
+    ts = H.commit_timestamps(spark, target)
+    mid = (ts[1] + ts[2]) / 2
+    assert H.resolve_timestamp_version(spark, target, mid) == 1, ts
+    asof = H.stage_time_travel(
+        None, {"path": target, "timestamp": mid}, spark
+    )
+    return out.unionByName(_agg(asof, 101))
 
 
 def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6299,6 +6320,65 @@ def _srp_bucket_sql(bits: int) -> str:
 _SRP_BUCKET_SQL = _srp_bucket_sql(8)
 _SRP4_BUCKET_SQL = _srp_bucket_sql(4)
 
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """SimHash replay oracle (VERDICT r12 ask #6): regenerate the
+    seeded per-bit salts (D.simhash_bit_salts — shared with the Spark
+    path), recompute every token's two polynomial hashes and every
+    code bit with the same mod-2³¹−1 integer math, pack the signed
+    64-bit code (bit 63 = the negative literal, as in q_image_ahash),
+    and brute-force bit_count(xor) ≤ k — lossless-banding's ground
+    truth. Any slip in tokenization, hashing, vote signs, or packing
+    changes the pair set."""
+    p = D._SH_P
+    salt_rows = ", ".join(
+        f"({j}, {c}, {d}, "
+        + (str(1 << j) if j < 63 else f"CAST({-(1 << 63)} AS BIGINT)")
+        + ")"
+        for j, (c, d) in enumerate(D.simhash_bit_salts())
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                             t -> t != '') AS w
+          FROM documents),
+        tg AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(t)+1),
+                                    i -> CAST(ascii(t[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 131 + c) % {p}) AS g1,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(t)+1),
+                                    i -> CAST(ascii(t[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 137 + c) % {p}) AS g2
+          FROM (SELECT doc_id, unnest(w) AS t FROM toks)),
+        salts(j, c, d, mask) AS (VALUES {salt_rows}),
+        votes AS (
+          SELECT doc_id, s.j, s.mask,
+                 sum(CASE WHEN ((g1*s.c) % {p} + (g2*s.d) % {p}) % {p}
+                               & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM tg CROSS JOIN salts s
+          GROUP BY doc_id, s.j, s.mask),
+        codes AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN mask ELSE 0 END)
+                      AS BIGINT) AS code
+          FROM votes GROUP BY doc_id),
+        allcodes AS (
+          SELECT d.doc_id, coalesce(c.code, 0) AS code
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN codes c USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
+        FROM allcodes a JOIN allcodes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.code, b.code)) <= {max_hamming}
+    """
+
 # JL projection: plain dot products with the same seeded planes (bits=4
 # planes == project_embeddings(out_dim=4) planes — same generator+seed)
 _JL4_PROJ_SQL = ", ".join(
@@ -8444,6 +8524,16 @@ def oracle_sql() -> dict[str, str]:
                      AS total_price,
                    2 AS version
             FROM v2 GROUP BY o_orderstatus, o_orderpriority
+            UNION ALL
+            -- TIMESTAMP AS OF midway between the v1 and v2 commits
+            -- resolves to version 1 (tag 101 keeps wall-clock out)
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price,
+                   101 AS version
+            FROM v1 GROUP BY o_orderstatus, o_orderpriority
         """,
         # the reshape replayed in SQL: rename -> add (sees the column
         # about to drop) -> drop
@@ -9584,6 +9674,9 @@ def oracle_sql() -> dict[str, str]:
         # resize (src = (dst*src_size)//dst_size), integer grayscale,
         # exact integer mean bits, two's-complement packing, and the
         # exact (lossless-pigeonhole) Hamming <= 8 pair set
+        # seeded-salt SimHash replay + brute-force Hamming (banding is
+        # lossless, so ground truth is every pair with distance <= 3)
+        "q_simhash_pairs": _simhash_oracle_sql(3),
         "q_image_ahash": """
             WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
             grid AS (

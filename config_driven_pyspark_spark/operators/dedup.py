@@ -1153,32 +1153,85 @@ def _minhash_sign(
     return ex, sigs
 
 
+_SH_P = (1 << 31) - 1  # Mersenne prime: every product stays in BIGINT
+
+
+def simhash_bit_salts(
+    bits: int = 64, seed: int = 42
+) -> list[tuple[int, int]]:
+    """Per-bit (C_j, D_j) multipliers for :func:`simhash64` — seeded so
+    an external oracle regenerates the identical constants and
+    replicates every code bit-for-bit (the :func:`srp_planes`
+    pattern)."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _SH_P), rng.randrange(1, _SH_P))
+        for _ in range(bits)
+    ]
+
+
+def _polyhash(t: Column, base: int) -> Column:
+    """Polynomial rolling hash of a token's code points mod 2³¹−1 —
+    integer math both Spark and any ANSI-SQL engine evaluate
+    identically (no engine-private hash like xxhash64)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("bigint"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * base + c) % _SH_P,
+    )
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over whitespace tokens, pure Column expressions.
 
-    Per token: 64 hash bits (xxhash64 shifted); per bit: +1/−1 vote summed
-    with ``aggregate``+``zip_with``; sign of each vote → final bit.
-    """
+    Per token: two seeded polynomial hashes (g1, g2) of its code
+    points; bit j comes from the strongly-universal combination
+    ``((g1·C_j)%P + (g2·D_j)%P) % P & 1`` with the seeded per-bit salts
+    of :func:`simhash_bit_salts` — deliberately engine-portable integer
+    math (every product < 2⁶², no wrapping), so a DuckDB oracle can
+    replay the codes exactly; xxhash64 would pin the codes to Spark's
+    private implementation. Per bit: +1/−1 votes summed with
+    ``aggregate``+``zip_with`` (O(1) expression tree, codegen-friendly);
+    sign of each vote → final bit. Each token's g1/g2 are computed ONCE
+    (a transform to struct before the vote fold), not per bit."""
     toks = TX.tokens(F.lower(text))
-    # per-bit masks as one literal array (bit 63 is the sign bit, hence the
-    # negative literal); testing hash & mask != 0 ≡ the old
-    # shiftright(hash, j) & 1 == 1, but as a zip_with data loop instead of
-    # 64 unrolled WHEN expressions — same values, O(1) expression tree, so
-    # whole-stage codegen compiles in milliseconds not seconds
+    salts = simhash_bit_salts()
+    cs = F.array(*[F.lit(c).cast("bigint") for c, _ in salts])
+    ds = F.array(*[F.lit(d).cast("bigint") for _, d in salts])
+    # per-bit masks as one literal array (bit 63 is the sign bit, hence
+    # the negative literal)
     masks = F.array(
         *[
             F.lit((1 << j) if j < 63 else -(1 << 63)).cast("bigint")
             for j in range(64)
         ]
     )
-    bit_votes = F.aggregate(
+    tok_hashes = F.transform(
         toks,
+        lambda t: F.struct(
+            _polyhash(t, 131).alias("g1"), _polyhash(t, 137).alias("g2")
+        ),
+    )
+    bit_votes = F.aggregate(
+        tok_hashes,
         F.array_repeat(F.lit(0).cast("bigint"), 64),
-        lambda acc, t: F.zip_with(
+        lambda acc, g: F.zip_with(
             acc,
-            F.transform(
-                masks,
-                lambda m: F.when(F.xxhash64(t).bitwiseAND(m) != 0, 1)
+            F.zip_with(
+                cs,
+                ds,
+                lambda cj, dj: F.when(
+                    (
+                        ((g["g1"] * cj) % _SH_P + (g["g2"] * dj) % _SH_P)
+                        % _SH_P
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                )
                 .otherwise(-1)
                 .cast("bigint"),
             ),

@@ -41,6 +41,12 @@ deleted:
 - ``restore_table(path, W)`` materializes version ``W`` through the
   same verified full swap — so a restore is itself a new version and
   the pre-restore state stays reachable (Delta RESTORE semantics).
+- ``TIMESTAMP AS OF``: manifests record a wall-clock commit time and
+  the ``_enabled`` doc records the enable moment, so
+  ``resolve_timestamp_version`` maps a timestamp to the highest
+  version committed at or before it (Delta semantics); the
+  ``time_travel`` / ``table_restore`` stages accept ``timestamp`` and
+  per-version CDF can emit ``_commit_timestamp``.
 - ``vacuum_table_history(path, keep_last=k)`` drops the oldest entries
   (whole-directory deletes); reconstruction needs every entry newer
   than the target, so readability truncates contiguously from the
@@ -166,8 +172,15 @@ def enable_table_history(
     ``disable_table_history`` starts a fresh v0."""
     from config_driven_pyspark_spark.operators.table import _fs
 
+    import time as _time
+
     jvm, fs = _fs(spark, target_path)
-    doc = {"partition_by": list(partition_by or [])}
+    # enabled_ts anchors TIMESTAMP AS OF: version 0's commit time is
+    # the moment history started (timestamps before it cannot resolve)
+    doc = {
+        "partition_by": list(partition_by or []),
+        "enabled_ts": _time.time(),
+    }
     _write_small(
         jvm, fs,
         f"{_hist_root(target_path)}/{_ENABLED_FILE}",
@@ -292,10 +305,12 @@ def commit_retention(
         "replaced": sorted(replaced),
         "created": sorted(created),
         "rows_staged": int(rows_staged),
-        # wall-clock commit time, consumed ONLY by age-based vacuum —
-        # deliberately absent from table_history output so the report
-        # stays deterministic/oracle-able
-        "ts": int(_time.time()),
+        # wall-clock commit time (sub-second float so consecutive
+        # commits stay distinguishable), consumed by age-based vacuum
+        # and TIMESTAMP AS OF resolution — deliberately absent from
+        # table_history output so the report stays deterministic/
+        # oracle-able
+        "ts": _time.time(),
     }
     _write_small(
         jvm, fs, f"{hist}/v{version}/{_MANIFEST_FILE}",
@@ -345,6 +360,105 @@ def _versions(
 
 def table_current_version(spark: SparkSession, target_path: str) -> int:
     return _versions(spark, target_path.rstrip("/"))[1]
+
+
+def commit_timestamps(
+    spark: SparkSession, target_path: str
+) -> dict[int, float]:
+    """``{version: commit epoch-seconds}`` for every surviving entry,
+    plus version 0 mapped to the enable_table_history moment. Entries
+    written before timestamp support are absent (their manifests carry
+    no ``ts``)."""
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    base = target_path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    doc = _enabled_doc(jvm, fs, base)
+    if doc is None:
+        raise ValueError(
+            f"table history is not enabled for {base!r} — call "
+            "enable_table_history first"
+        )
+    complete, _incomplete = _scan_entries(jvm, fs, _hist_root(base))
+    out: dict[int, float] = {}
+    if doc.get("enabled_ts") is not None:
+        out[0] = float(doc["enabled_ts"])
+    for n, man in complete.items():
+        if man.get("ts") is not None:
+            out[n] = float(man["ts"])
+    return out
+
+
+def _parse_timestamp(ts) -> float:
+    """Epoch seconds from an int/float, or an ISO-8601 string (naive
+    strings are UTC — manifest commit times are ``time.time()``)."""
+    if isinstance(ts, bool):
+        raise ValueError(f"not a timestamp: {ts!r}")
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(str(ts))
+    except ValueError as e:
+        raise ValueError(
+            f"cannot parse timestamp {ts!r} — pass epoch seconds or an "
+            "ISO-8601 string (naive strings are interpreted as UTC)"
+        ) from e
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def resolve_timestamp_version(
+    spark: SparkSession, target_path: str, timestamp
+) -> int:
+    """``TIMESTAMP AS OF`` → version: the highest version whose commit
+    time is at or before ``timestamp`` (Delta semantics). Version 0's
+    time is the ``enable_table_history`` moment; earlier timestamps
+    raise. Vacuumed entries took their commit times with them — a
+    timestamp that can only be ordered against vacuumed versions
+    refuses rather than guessing (the subsequent read would refuse
+    those versions anyway)."""
+    base = target_path.rstrip("/")
+    t = _parse_timestamp(timestamp)
+    ts_by_v = commit_timestamps(spark, base)
+    complete, current, _floor, _pb = _versions(spark, base)
+    t0 = ts_by_v.get(0)
+    if t0 is not None and t < t0:
+        from datetime import datetime, timezone
+
+        iso = datetime.fromtimestamp(t0, tz=timezone.utc).isoformat()
+        raise ValueError(
+            f"timestamp is before {base!r}'s history begins "
+            f"(enabled {iso}) — nothing to read"
+        )
+    missing = [n for n in complete if n not in ts_by_v]
+    if missing:
+        raise ValueError(
+            f"history entries {sorted(missing)} of {base!r} predate "
+            "timestamp support (no commit time recorded) — use "
+            "VERSION AS OF for this table"
+        )
+    if complete and min(complete) > 1 and t < ts_by_v[min(complete)]:
+        # the timestamp falls among vacuumed entries: their commit
+        # times are gone, so WHICH dropped version it maps to is
+        # unknowable — and every candidate is below the readable floor
+        raise ValueError(
+            f"timestamp predates the oldest surviving history entry of "
+            f"{base!r} (older entries were vacuumed) — unreadable"
+        )
+    if not complete and current > 0:
+        raise ValueError(
+            f"every history entry of {base!r} was vacuumed — commit "
+            "times are gone; use VERSION AS OF (only the current "
+            f"version {current} is readable)"
+        )
+    best = 0
+    for n in sorted(complete):
+        if ts_by_v[n] <= t:
+            best = n
+    return best
 
 
 def read_table_version(
@@ -485,6 +599,7 @@ def table_changes(
     to_version: int | None = None,
     keys: list[str] | None = None,
     per_version: bool = False,
+    include_timestamp: bool = False,
 ) -> DataFrame:
     """Change Data Feed: the rows that changed between two versions —
     the Delta ``table_changes`` surface. The diff is computed ONLY over
@@ -505,12 +620,24 @@ def table_changes(
     ``per_version=True`` attributes every change to the swap that made
     it: the range decomposes into consecutive (N-1, N) diffs, each
     tagged ``_commit_version = N`` — Delta CDF's per-commit stream.
+    ``include_timestamp=True`` (per-version only — the net range diff
+    has no single commit per row) adds Delta CDF's third column,
+    ``_commit_timestamp``, from the entry's manifest commit time
+    (NULL for pre-upgrade entries without one). Note wall-clock values
+    are inherently non-deterministic across replays — keep the column
+    out of value-hashed comparisons.
     Each step's diff is scoped to ITS OWN entry's touched partitions,
     so the total cost is Σ per-version churn, not versions × table. A
     row updated twice appears once per updating version (the net diff
     collapses it); the net rows equal the plain range diff applied in
     order."""
     base = target_path.rstrip("/")
+    if include_timestamp and not per_version:
+        raise ValueError(
+            "include_timestamp requires per_version=True — the net "
+            "range diff collapses multiple commits per row, so no "
+            "single commit time applies"
+        )
     if per_version:
         complete, current, floor, _pb = _versions(spark, base)
         to_v = current if to_version is None else to_version
@@ -525,16 +652,31 @@ def table_changes(
                 f"(entry v{floor} was vacuumed or lost to a crashed "
                 "swap)"
             )
+
+        def _stamp(df: DataFrame, n: int | None) -> DataFrame:
+            if not include_timestamp:
+                return df
+            ts = complete.get(n, {}).get("ts") if n is not None else None
+            return df.withColumn(
+                "_commit_timestamp",
+                F.timestamp_seconds(F.lit(ts).cast("double")),
+            )
+
         out = None
         for n in range(from_version + 1, to_v + 1):
-            step = table_changes(
-                spark, base, n - 1, n, keys
-            ).withColumn("_commit_version", F.lit(n).cast("int"))
+            step = _stamp(
+                table_changes(spark, base, n - 1, n, keys)
+                .withColumn("_commit_version", F.lit(n).cast("int")),
+                n,
+            )
             out = step if out is None else out.unionByName(step)
         if out is None:  # empty range
-            return table_changes(
-                spark, base, from_version, from_version, keys
-            ).withColumn("_commit_version", F.lit(None).cast("int"))
+            return _stamp(
+                table_changes(
+                    spark, base, from_version, from_version, keys
+                ).withColumn("_commit_version", F.lit(None).cast("int")),
+                None,
+            )
         return out
     complete, current, floor, partition_by = _versions(spark, base)
     if to_version is None:
@@ -631,8 +773,8 @@ def stage_table_changes(
     df, spec: dict, spark: SparkSession | None = None
 ):
     """``{"stage": "table_changes", "path": ..., "from_version": V,
-    "to_version": W?, "keys": [...]?, "per_version": bool?}`` —
-    source-like CDF read."""
+    "to_version": W?, "keys": [...]?, "per_version": bool?,
+    "include_timestamp": bool?}`` — source-like CDF read."""
     s = spark if spark is not None else df.sparkSession
     return table_changes(
         s,
@@ -642,16 +784,19 @@ def stage_table_changes(
         else None,
         list(spec["keys"]) if spec.get("keys") else None,
         bool(spec.get("per_version", False)),
+        bool(spec.get("include_timestamp", False)),
     )
 
 
 def restore_table(
-    spark: SparkSession, target_path: str, version: int
+    spark: SparkSession, target_path: str, version: int | None = None,
+    timestamp=None,
 ) -> dict:
-    """RESTORE TABLE ... TO VERSION AS OF: materialize ``version``
-    through the same verified swap every merge uses — the restore
-    itself becomes a new version, so the pre-restore state stays
-    reachable.
+    """RESTORE TABLE ... TO VERSION AS OF / TIMESTAMP AS OF:
+    materialize ``version`` (or the version :func:`resolve_timestamp_
+    version` maps ``timestamp`` to — exactly one of the two) through
+    the same verified swap every merge uses — the restore itself
+    becomes a new version, so the pre-restore state stays reachable.
 
     PARTITION-SCOPED when possible: the manifests between ``version``
     and current name exactly the partition directories that diverged
@@ -672,6 +817,12 @@ def restore_table(
     )
 
     base = target_path.rstrip("/")
+    if (version is None) == (timestamp is None):
+        raise ValueError(
+            "restore_table needs exactly one of version / timestamp"
+        )
+    if timestamp is not None:
+        version = resolve_timestamp_version(spark, base, timestamp)
     _recover_crashed_swap(spark, base)
     complete, current, floor, partition_by = _versions(spark, base)
     if version == current:
@@ -816,10 +967,22 @@ def stage_enable_history(
 
 
 def stage_time_travel(df, spec: dict, spark: SparkSession | None = None):
-    """``{"stage": "time_travel", "path": ..., "version": W}`` —
-    source-like read of a retained version."""
+    """``{"stage": "time_travel", "path": ..., "version": W}`` or
+    ``{..., "timestamp": epoch-seconds | ISO-8601}`` — source-like read
+    of a retained version (``TIMESTAMP AS OF`` resolves to the highest
+    version committed at or before the timestamp)."""
     s = spark if spark is not None else df.sparkSession
-    return read_table_version(s, spec["path"], int(spec["version"]))
+    has_v = spec.get("version") is not None
+    has_t = spec.get("timestamp") is not None
+    if has_v == has_t:
+        raise ValueError(
+            "time_travel needs exactly one of version / timestamp"
+        )
+    version = (
+        int(spec["version"]) if has_v
+        else resolve_timestamp_version(s, spec["path"], spec["timestamp"])
+    )
+    return read_table_version(s, spec["path"], version)
 
 
 def stage_table_history(df, spec: dict, spark: SparkSession | None = None):
@@ -829,12 +992,14 @@ def stage_table_history(df, spec: dict, spark: SparkSession | None = None):
 
 
 def stage_table_restore(df: DataFrame, spec: dict) -> DataFrame:
-    """``{"stage": "table_restore", "path": ..., "version": W}`` —
-    restores, then (like merge/compact stages) returns the input frame
-    so pipelines can chain; pass ``"return": "table"`` to read the
-    restored snapshot instead."""
+    """``{"stage": "table_restore", "path": ..., "version": W}`` or
+    ``{..., "timestamp": ...}`` — restores, then (like merge/compact
+    stages) returns the input frame so pipelines can chain; pass
+    ``"return": "table"`` to read the restored snapshot instead."""
     stats = restore_table(
-        df.sparkSession, spec["path"], int(spec["version"])
+        df.sparkSession, spec["path"],
+        int(spec["version"]) if spec.get("version") is not None else None,
+        spec.get("timestamp"),
     )
     if spec.get("return") == "table":
         return df.sparkSession.read.parquet(spec["path"].rstrip("/"))
