@@ -2992,6 +2992,83 @@ def q_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-level data skipping (r13 — VERDICT r12 ask #1;
+    operators/table.py::_file_stats, compact_table, scan_table):
+    orders lands as a sink-written 4-bucket snapshot (16 shuffle tasks,
+    so every bucket holds several files), then compaction reclusters
+    each bucket into ~4 RANGE-DISJOINT files sorted by o_orderkey and
+    ``file_stats_keys`` builds the exact per-file key-range sidecar —
+    the opt-in bootstrap for tables the merge family never touched. A
+    narrow range read then opens a strict subset of the hot bucket's
+    files and nothing from the other buckets, and a point lookup at
+    most two files (one, unless the key sits exactly on a sampled file
+    boundary) — Delta data skipping BELOW directory granularity, with
+    no _key_stats involved (file ranges alone prune across buckets
+    too; both asserted via inputFiles so a silent no-skip run cannot
+    hash-green). The same predicates re-apply as real filters, so the
+    hashed output never depends on the sidecar; the oracle is the
+    plain filtered aggregate."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import (
+        compact_table, scan_table,
+    )
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    maxk = base.agg(F.max("o_orderkey")).collect()[0][0]
+    width = int(math.ceil((maxk + 1) / 4.0))
+    orders = base.withColumn(
+        "bucket", F.expr(f"CAST(o_orderkey DIV {width} AS INT)")
+    )
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_fskip_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    orders.repartition(16).write.partitionBy("bucket").parquet(target)
+    out = compact_table(
+        spark, target, ["bucket"], min_files=2, n_files=4,
+        sort_within=["o_orderkey"], file_stats_keys=["o_orderkey"],
+    )
+    assert out["rewrite"] == "partition", out
+
+    lo, hi = width + width // 8, width + width // 4  # inside bucket 1
+    ranged = scan_table(
+        spark, target, ["bucket"],
+        key_between={"o_orderkey": (lo, hi)},
+    )
+    rfiles = ranged.inputFiles()
+    rdirs = {f.split("bucket=")[1].split("/")[0] for f in rfiles}
+    assert rdirs == {"1"}, rdirs  # other buckets pruned by file ranges
+    n_disk = len([
+        f for f in os.listdir(f"{target}/bucket=1")
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ])
+    assert 1 <= len(rfiles) < n_disk, (len(rfiles), n_disk)
+    point = scan_table(
+        spark, target, ["bucket"],
+        key_eq={"o_orderkey": width + width // 2},
+    )
+    assert len(point.inputFiles()) <= 2, point.inputFiles()
+
+    def _agg(df: DataFrame, section: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_price"),
+        ).withColumn("section", F.lit(section))
+
+    return _agg(ranged, "range").unionByName(_agg(point, "point"))
+
+
 def q_table_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE statistics (operators/stats.py, r12): per-column
     row/null counts, stringified min/max and EXACT distinct counts
@@ -5933,6 +6010,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     # preserved — see operators/history.py).
     "q_simhash_pairs",
     "q_time_travel",
+    # round 13 new rows (would self-front as never-recorded anyway)
+    "q_file_skipping",
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
@@ -6055,6 +6134,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_changes": q_table_changes,  # Change Data Feed, r12
         "q_table_alter": q_table_alter,  # ALTER TABLE reshape, r12
         "q_table_scan": q_table_scan,  # sidecar-pruned reads, r12
+        "q_file_skipping": q_file_skipping,  # per-file data skipping, r13
         "q_table_analyze": q_table_analyze,  # ANALYZE statistics, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,
@@ -10173,6 +10253,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT),
                    CAST(sum(o_orderkey) AS BIGINT),
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM p GROUP BY o_orderstatus
+        """,
+        # file-skipping replay: same scale-free width/range derivation
+        # as q_table_scan but 4 buckets; output depends only on the
+        # filters (skipping correctness is assert-gated in the query)
+        "q_file_skipping": """
+            WITH mx AS (
+              SELECT CAST(CEIL((max(o_orderkey) + 1) / 4.0) AS BIGINT)
+                       AS w
+              FROM orders),
+            r AS (
+              SELECT o.* FROM orders o, mx
+              WHERE o_orderkey
+                    BETWEEN w + CAST(FLOOR(w / 8.0) AS BIGINT)
+                        AND w + CAST(FLOOR(w / 4.0) AS BIGINT)),
+            p AS (
+              SELECT o.* FROM orders o, mx
+              WHERE o_orderkey
+                    = w + CAST(FLOOR(w / 2.0) AS BIGINT))
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price,
+                   'range' AS section
+            FROM r GROUP BY o_orderstatus
+            UNION ALL
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(o_orderkey) AS BIGINT),
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+                   'point'
             FROM p GROUP BY o_orderstatus
         """,
         # per-column metric replay; min/max stringified on both sides

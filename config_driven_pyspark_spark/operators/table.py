@@ -251,11 +251,11 @@ def _list_partition_dirs(spark: SparkSession, base: str, depth: int) -> list[str
     return rels
 
 
-def _partition_file_counts(
+def _partition_files(
     spark: SparkSession, base: str, depth: int
-) -> dict[str, int]:
-    """Data-file count per relative partition directory, from ONE
-    parallel listing. The alternative — one ``listStatus`` RPC per
+) -> dict[str, list[str]]:
+    """Relative data-file paths per relative partition directory, from
+    ONE parallel listing. The alternative — one ``listStatus`` RPC per
     partition directory in a serial driver loop — is 10⁴–10⁵ namenode
     round-trips at 10⁴–10⁵ partitions before any compaction work
     starts. ``df.inputFiles`` reuses Spark's own InMemoryFileIndex:
@@ -272,19 +272,19 @@ def _partition_file_counts(
     qbase = unquote(
         urlparse(fs.makeQualified(Path(base)).toString()).path
     ).rstrip("/")
-    counts: dict[str, int] = {}
+    out: dict[str, list[str]] = {}
     try:
         files = spark.read.parquet(base).inputFiles()
     except Exception:
-        # no readable data files (e.g. only _SUCCESS) — nothing to count
-        return counts
+        # no readable data files (e.g. only _SUCCESS) — nothing to list
+        return out
     for full in files:
         fp = unquote(urlparse(full).path)
         if not fp.startswith(qbase + "/"):
             continue
         segs = fp[len(qbase) + 1:].split("/")
         # exactly depth partition levels + the file itself; files at
-        # other depths (root markers, stray dirs) are not compactable
+        # other depths (root markers, stray dirs) are not table data
         if len(segs) != depth + 1:
             continue
         if any("=" not in s for s in segs[:depth]):
@@ -292,8 +292,19 @@ def _partition_file_counts(
         if segs[-1].startswith(("_", ".")):
             continue
         d = "/".join(segs[:depth])
-        counts[d] = counts.get(d, 0) + 1
-    return counts
+        out.setdefault(d, []).append("/".join(segs))
+    return out
+
+
+def _partition_file_counts(
+    spark: SparkSession, base: str, depth: int
+) -> dict[str, int]:
+    """Data-file count per relative partition directory (see
+    :func:`_partition_files` — same single parallel listing)."""
+    return {
+        d: len(fl)
+        for d, fl in _partition_files(spark, base, depth).items()
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -395,11 +406,233 @@ def _write_key_stats(spark: SparkSession, base: str, doc: dict) -> None:
 
 
 def _delete_key_stats(spark: SparkSession, base: str) -> None:
+    """Drops BOTH key sidecars — every caller that invalidates the
+    partition-level stats (full rewrites, restores, alters, ops that
+    don't maintain them) invalidates the file-level ones for the same
+    reason."""
     jvm, fs = _fs(spark, base)
     p = jvm.org.apache.hadoop.fs.Path(
         f"{base.rstrip('/')}/{_KEY_STATS_FILE}"
     ).getParent()
     fs.delete(p, True)
+    fp = jvm.org.apache.hadoop.fs.Path(
+        f"{base.rstrip('/')}/{_FILE_STATS_FILE}"
+    ).getParent()
+    fs.delete(fp, True)
+
+
+# ---------------------------------------------------------------------------
+# _file_stats sidecar: per-FILE min/max of each match key — Delta-style file
+# skipping INSIDE a partition directory (r13, VERDICT r12 ask #1). The
+# partition-level _key_stats prunes which directories a probe/scan reads;
+# within a hot directory every file was still read. This sibling records
+# each data file's key ranges so the probe/scan reads only intersecting
+# files — the win compounds with compaction's sort_within / z_order_by,
+# which make files range-disjoint on the clustered key.
+#
+# Correctness discipline is SIMPLER than _key_stats because part files are
+# immutable once promoted (job-unique names, content never edited in
+# place): entries are EXACT, keyed by the file's base-relative path, and
+# every consumer treats an on-disk file with NO entry as "must read".
+# Crash windows therefore need no widening rule:
+#   - stats for staged files are written BEFORE the promote; if the swap
+#     rolls back, the entries name files that never appear — dead weight,
+#     never wrong (lookups go disk -> doc, not doc -> disk);
+#   - if the swap lands but the stats write was lost, the new files have
+#     no entries and are always read;
+#   - ops that rewrite files without maintaining the doc (update/delete,
+#     restore, alter) leave new files unknown (read) and old entries
+#     dangling (never consulted — their files are gone).
+# The doc is one JSON like Delta's checkpoint; past _MAX_FILE_STATS_FILES
+# entries maintenance drops it (a production port would shard it per
+# partition like Delta's multi-part checkpoints).
+# ---------------------------------------------------------------------------
+
+_FILE_STATS_FILE = "_file_stats/stats.json"
+_MAX_FILE_STATS_FILES = 100_000
+
+
+def _read_file_stats(spark: SparkSession, base: str) -> dict | None:
+    import json
+
+    jvm, fs = _fs(spark, base)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{base.rstrip('/')}/{_FILE_STATS_FILE}"
+    )
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    try:
+        doc = json.loads(data.decode())
+    except ValueError:
+        return None
+    if not (isinstance(doc, dict) and doc.get("version") == 1):
+        return None
+    return doc
+
+
+def _write_file_stats(spark: SparkSession, base: str, doc: dict) -> None:
+    """tmp-write + delete + rename, like :func:`_write_key_stats`."""
+    import json
+
+    jvm, fs = _fs(spark, base)
+    Path = jvm.org.apache.hadoop.fs.Path
+    final = Path(f"{base.rstrip('/')}/{_FILE_STATS_FILE}")
+    tmp = Path(f"{base.rstrip('/')}/{_FILE_STATS_FILE}.tmp")
+    fs.mkdirs(final.getParent())
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(doc).encode()))
+    finally:
+        out.close()
+    fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def _delete_file_stats(spark: SparkSession, base: str) -> None:
+    jvm, fs = _fs(spark, base)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{base.rstrip('/')}/{_FILE_STATS_FILE}"
+    ).getParent()
+    fs.delete(p, True)
+
+
+def _collect_file_key_stats(
+    spark: SparkSession, path: str, schema, keys: list[str]
+) -> dict[str, dict]:
+    """Per-file ``{key: {min, max, has_null}}`` over the parquet at
+    ``path`` (a staged or live snapshot), keyed by the file's
+    ``path``-relative name — one aggregate grouped by
+    ``input_file_name`` (map-side combining; collect bounded by the
+    file count). Relative paths survive the promote because the swap
+    renames whole partition directories: ``staging/p=1/part-x`` lands
+    at ``target/p=1/part-x``."""
+    from urllib.parse import unquote, urlparse
+
+    jvm, fs = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    qbase = unquote(
+        urlparse(fs.makeQualified(Path(path)).toString()).path
+    ).rstrip("/")
+    df = spark.read.schema(schema).parquet(path)
+    aggs = []
+    for k in keys:
+        aggs += [
+            F.min(k).alias(f"__min_{k}"),
+            F.max(k).alias(f"__max_{k}"),
+            (F.sum(F.col(k).isNull().cast("long")) > 0).alias(f"__nul_{k}"),
+        ]
+    rows = (
+        df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        fp = unquote(urlparse(r["__f"]).path)
+        if not fp.startswith(qbase + "/"):
+            continue
+        out[fp[len(qbase) + 1:]] = {
+            k: {
+                "min": _ser_stat(r[f"__min_{k}"]),
+                "max": _ser_stat(r[f"__max_{k}"]),
+                "has_null": bool(r[f"__nul_{k}"]),
+            }
+            for k in keys
+        }
+    return out
+
+
+def _update_file_stats(
+    spark: SparkSession,
+    base: str,
+    keys: list[str],
+    touched_dirs: list[str] | None,
+    staged: dict[str, dict],
+) -> None:
+    """Fold staged per-file entries into the sidecar: entries under the
+    touched dirs are dropped (their files are being swapped out),
+    everything else kept; ``touched_dirs=None`` (full rewrite) starts
+    from scratch. A doc keyed differently restarts from the staged
+    entries alone (old entries would describe other keys)."""
+    doc = _read_file_stats(spark, base)
+    files: dict[str, dict] = {}
+    if (
+        doc is not None
+        and doc.get("keys") == sorted(keys)
+        and touched_dirs is not None
+    ):
+        tset = set(touched_dirs)
+        files = {
+            rel: e
+            for rel, e in (doc.get("files") or {}).items()
+            if rel.rsplit("/", 1)[0] not in tset
+        }
+    files.update(staged)
+    if len(files) > _MAX_FILE_STATS_FILES:
+        # beyond the single-doc design point: drop rather than grow an
+        # unbounded driver-side JSON (consumers fall back to reading
+        # unknown files — always safe)
+        _delete_file_stats(spark, base)
+        return
+    _write_file_stats(
+        spark, base,
+        {"version": 1, "keys": sorted(keys), "files": files},
+    )
+
+
+def _file_skip_paths(
+    spark: SparkSession,
+    base: str,
+    dirs: list[str],
+    depth: int,
+    keys: list[str],
+    batch_ranges: dict[str, tuple],
+) -> list[str] | None:
+    """File-level skipping under the candidate ``dirs``: full paths of
+    every file that must be read — files with no sidecar entry (always
+    read) plus files whose recorded ranges intersect. Returns None when
+    nothing can be skipped (no valid doc, or no file pruned) so callers
+    keep the cheaper directory-granular read; an empty list is a proof
+    of zero matches."""
+    doc = _read_file_stats(spark, base)
+    if doc is None or not set(keys) <= set(doc.get("keys") or []):
+        return None
+    entries = doc.get("files") or {}
+    # list ONLY the candidate dirs: one listStatus RPC each while the
+    # scope is small (the common partition-pruned case), one parallel
+    # whole-table listing when it is not (never an RPC-per-partition
+    # loop over a 10⁵-dir table — the r11 finding)
+    if len(dirs) <= 32:
+        jvm, fs = _fs(spark, base)
+        Path = jvm.org.apache.hadoop.fs.Path
+        by_dir: dict[str, list[str]] = {}
+        for d in dirs:
+            p = Path(f"{base}/{d}")
+            if not fs.exists(p):
+                continue
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if st.isDirectory() or name.startswith(("_", ".")):
+                    continue
+                by_dir.setdefault(d, []).append(f"{d}/{name}")
+    else:
+        by_dir = _partition_files(spark, base, depth)
+    keep: list[str] = []
+    total = 0
+    for d in dirs:
+        for rel in by_dir.get(d, []):
+            total += 1
+            e = entries.get(rel)
+            if e is None or _ranges_intersect(e, keys, batch_ranges):
+                keep.append(f"{base}/{rel}")
+    if len(keep) == total:
+        return None
+    return sorted(keep)
 
 
 def _collect_partition_key_stats(
@@ -470,6 +703,25 @@ def _widen_entry(old: dict | None, new: dict, keys: list[str]) -> dict:
     return out
 
 
+def _ranges_intersect(
+    entry: dict, keys: list[str], batch_ranges: dict[str, tuple]
+) -> bool:
+    """True when EVERY key's recorded (min, max, has_null) could
+    contain a probed row — the shared test behind partition- and
+    file-level skipping. ``batch_ranges[k] = (min, max, has_null)``
+    with serialized values."""
+    for k in keys:
+        bmin, bmax, bnull = batch_ranges[k]
+        ek = entry.get(k) or {}
+        non_null = (
+            ek.get("min") is not None and bmin is not None
+            and ek["min"] <= bmax and ek["max"] >= bmin
+        )
+        if not (non_null or (ek.get("has_null") and bnull)):
+            return False
+    return True
+
+
 def _sidecar_candidates(
     doc: dict,
     disk_dirs: list[str],
@@ -481,26 +733,12 @@ def _sidecar_candidates(
     intersect the batch's. ``batch_ranges[k] = (min, max, has_null)``
     with serialized values."""
     parts = doc.get("partitions", {})
-    out = []
-    for d in disk_dirs:
-        e = parts.get(d)
-        if e is None:
-            out.append(d)
-            continue
-        ok = True
-        for k in keys:
-            bmin, bmax, bnull = batch_ranges[k]
-            ek = e.get(k) or {}
-            non_null = (
-                ek.get("min") is not None and bmin is not None
-                and ek["min"] <= bmax and ek["max"] >= bmin
-            )
-            if not (non_null or (ek.get("has_null") and bnull)):
-                ok = False
-                break
-        if ok:
-            out.append(d)
-    return out
+    return [
+        d
+        for d in disk_dirs
+        if parts.get(d) is None
+        or _ranges_intersect(parts[d], keys, batch_ranges)
+    ]
 
 
 _LOCK_SUFFIX = "__lock"
@@ -1165,6 +1403,12 @@ def merge_upsert(
                     keys,
                 ),
             })
+            _write_file_stats(spark, target_path.rstrip("/"), {
+                "version": 1, "keys": sorted(keys),
+                "files": _collect_file_key_stats(
+                    spark, target_path.rstrip("/"), upserts.schema, keys
+                ),
+            })
         return {"n_before": 0, "n_matched": 0, "n_updated": 0,
                 "n_inserted": n_ins, "n_deleted": 0, "n_after": n_ins,
                 "rewrite": "full"}
@@ -1321,9 +1565,23 @@ def merge_upsert(
         # matches — skip the probe scan entirely
         probe_src = None
     elif sidecar_dirs is not None:
-        probe_src = spark.read.option("basePath", base).parquet(
-            *[f"{base}/{d}" for d in sidecar_dirs]
+        # r13: within the candidate directories, the _file_stats
+        # sidecar prunes to the FILES whose key ranges intersect the
+        # batch's (files without an entry are always read)
+        file_paths = _file_skip_paths(
+            spark, base, sidecar_dirs, len(partition_by), keys,
+            batch_ranges,
         )
+        if file_paths is not None and not file_paths:
+            probe_src = None  # every candidate file provably misses
+        elif file_paths is not None:
+            probe_src = spark.read.option("basePath", base).parquet(
+                *file_paths
+            )
+        else:
+            probe_src = spark.read.option("basePath", base).parquet(
+                *[f"{base}/{d}" for d in sidecar_dirs]
+            )
     else:
         probe_src = target
     if probe_src is None:
@@ -1511,6 +1769,16 @@ def merge_upsert(
             _write_key_stats(spark, base, {
                 "version": 1, "keys": sorted(keys), "partitions": parts,
             })
+            # file-level sibling: staged files' exact ranges replace
+            # the touched dirs' old entries (relative paths survive
+            # the directory rename; a rollback leaves dead entries,
+            # never wrong ones)
+            _update_file_stats(
+                spark, base, keys, touched_dirs,
+                _collect_file_key_stats(
+                    spark, staging_path, merged.schema, keys
+                ),
+            )
     else:
         # full rewrite, or a table this merge doesn't maintain stats
         # for: a stale sidecar would be NARROW after the rewrite, which
@@ -1528,6 +1796,12 @@ def merge_upsert(
             "version": 1, "keys": sorted(keys),
             "partitions": _collect_partition_key_stats(
                 spark, base, merged.schema, partition_by, keys
+            ),
+        })
+        _write_file_stats(spark, base, {
+            "version": 1, "keys": sorted(keys),
+            "files": _collect_file_key_stats(
+                spark, base, merged.schema, keys
             ),
         })
     if obs is not None:
@@ -1709,6 +1983,12 @@ def scd2_merge(
                     spark, target_path, boot.schema, partition_by, keys,
                 ),
             })
+            _write_file_stats(spark, target_path.rstrip("/"), {
+                "version": 1, "keys": sorted(keys),
+                "files": _collect_file_key_stats(
+                    spark, target_path.rstrip("/"), boot.schema, keys
+                ),
+            })
         return {"n_closed": 0, "n_new_versions": n, "n_unchanged": 0,
                 "n_deleted": 0, "n_after": n, "rewrite": "full"}
 
@@ -1777,20 +2057,38 @@ def scd2_merge(
                     # provably no matched rows anywhere
                     cur = None
                 elif len(cand) < len(disk_dirs):
-                    scope_read = _cast_void_cols(
-                        spark.read.option("basePath", base).parquet(
-                            *[f"{base}/{d}" for d in cand]
-                        ),
-                        upserts,
+                    # r13: file-level skipping inside the candidate
+                    # dirs (same discipline as the merge probe)
+                    fpaths = _file_skip_paths(
+                        spark, base, cand, len(partition_by), keys,
+                        batch_ranges,
                     )
-                    if dict(scope_read.dtypes).get(
-                        "is_current"
-                    ) == "string":
-                        scope_read = scope_read.withColumn(
-                            "is_current",
-                            F.col("is_current").cast("boolean"),
+                    if fpaths is not None and not fpaths:
+                        cur = None
+                        scope_read = None
+                    elif fpaths is not None:
+                        scope_read = _cast_void_cols(
+                            spark.read.option("basePath", base).parquet(
+                                *fpaths
+                            ),
+                            upserts,
                         )
-                    cur = scope_read.filter(F.col("is_current"))
+                    else:
+                        scope_read = _cast_void_cols(
+                            spark.read.option("basePath", base).parquet(
+                                *[f"{base}/{d}" for d in cand]
+                            ),
+                            upserts,
+                        )
+                    if scope_read is not None:
+                        if dict(scope_read.dtypes).get(
+                            "is_current"
+                        ) == "string":
+                            scope_read = scope_read.withColumn(
+                                "is_current",
+                                F.col("is_current").cast("boolean"),
+                            )
+                        cur = scope_read.filter(F.col("is_current"))
             parts_src = upserts.select(*partition_by)
             if cur is not None:
                 parts_src = parts_src.unionByName(
@@ -1898,6 +2196,16 @@ def scd2_merge(
             _write_key_stats(spark, base, {
                 "version": 1, "keys": sorted(keys), "partitions": parts,
             })
+            # file-level sibling: staged files' exact ranges replace
+            # the touched dirs' old entries (relative paths survive
+            # the directory rename; a rollback leaves dead entries,
+            # never wrong ones)
+            _update_file_stats(
+                spark, base, keys, touched_dirs,
+                _collect_file_key_stats(
+                    spark, staging_path, merged.schema, keys
+                ),
+            )
     else:
         _delete_key_stats(spark, base)
     staged = _stage_verify_swap(
@@ -1913,6 +2221,12 @@ def scd2_merge(
             "version": 1, "keys": sorted(keys),
             "partitions": _collect_partition_key_stats(
                 spark, base, merged.schema, partition_by, keys
+            ),
+        })
+        _write_file_stats(spark, base, {
+            "version": 1, "keys": sorted(keys),
+            "files": _collect_file_key_stats(
+                spark, base, merged.schema, keys
             ),
         })
     return {"n_closed": n_closed, "n_new_versions": n_new,
@@ -2229,6 +2543,7 @@ def compact_table(
     z_order_by: list[str] | None = None,
     bloom_filter_cols: list[str] | None = None,
     bloom_filter_ndv: dict[str, int] | None = None,
+    file_stats_keys: list[str] | None = None,
 ) -> dict:
     """Small-file compaction — the maintenance op every CDC-maintained
     table eventually needs: each merge batch writes its own files, so a
@@ -2259,7 +2574,20 @@ def compact_table(
     ``z_order_by`` is the multi-dimensional version (Morton curve over
     quantile buckets — the same ``z_value`` the sink stage uses). Both
     keep the op content-preserving; they only change row order inside
-    the rewritten files.
+    the rewritten files. With a cluster spec, ``n_files > 1`` in
+    partitioned mode writes ~``n_files`` RANGE-DISJOINT files per
+    compacted partition (``repartitionByRange`` over partition columns
+    + cluster key), the layout ``_file_stats`` skipping exploits: a
+    point/range read inside a hot partition then opens only the
+    file(s) whose recorded key range intersects (Delta OPTIMIZE's
+    size-bounded clustered files, expressed as a file-count target).
+
+    ``file_stats_keys`` additionally (re)builds the per-file key-range
+    sidecar for those columns over the WHOLE table after the rewrite —
+    the explicit bootstrap for tables not maintained by the merge
+    family (sink-written snapshots). Without it, an existing
+    ``_file_stats`` doc is kept current for the compacted partitions
+    automatically.
 
     Returns ``{files_before, files_after, n_partitions_compacted,
     n_rows, rewrite}``. A no-op (nothing over the threshold) touches
@@ -2307,6 +2635,25 @@ def compact_table(
     Path = jvm.org.apache.hadoop.fs.Path
     base = target_path.rstrip("/")
 
+    def _rebuild_file_stats(fkeys: list[str]) -> None:
+        snap = spark.read.parquet(base)
+        missing = [k for k in fkeys if k not in snap.columns]
+        if missing:
+            raise ValueError(
+                f"file_stats_keys {missing} not in the table"
+            )
+        if not _sidecar_supported(snap.schema, fkeys):
+            raise ValueError(
+                f"file_stats_keys {fkeys} have types the sidecar "
+                "cannot order — only atomic orderable types"
+            )
+        _write_file_stats(spark, base, {
+            "version": 1, "keys": sorted(fkeys),
+            "files": _collect_file_key_stats(
+                spark, base, snap.schema, fkeys
+            ),
+        })
+
     def _n_parquet_files(rel: str) -> int:
         p = Path(base if not rel else f"{base}/{rel}")
         return sum(
@@ -2334,6 +2681,10 @@ def compact_table(
             op="compact",
             writer_options=bloom_opts or None,
         )
+        # the full swap replaced the root, old sidecars went with it;
+        # an explicit key list rebuilds exact per-file stats
+        if file_stats_keys:
+            _rebuild_file_stats(sorted(file_stats_keys))
         return {"files_before": files_before,
                 "files_after": _n_parquet_files(""),
                 "n_partitions_compacted": 0,
@@ -2375,15 +2726,61 @@ def compact_table(
         m = _read_batch_marker(spark, f"{base}/{d}")
         if m is not None:
             old_markers[d] = m
+    if n_files > 1 and (sort_within or z_order_by):
+        # ~n_files range-disjoint files per compacted partition: range-
+        # partition on (partition cols, cluster key) so each output
+        # file covers a contiguous key slice — what _file_stats
+        # skipping exploits. repartitionByRange samples once; the
+        # sortWithinPartitions keeps rows ordered inside each file.
+        if z_order_by:
+            from config_driven_pyspark_spark.sources.writers import (
+                z_value,
+            )
+
+            pre = scope.withColumn("__z", z_value(scope, list(z_order_by)))
+            out_df = pre.repartitionByRange(
+                n_files * len(touched), *partition_by, "__z"
+            ).sortWithinPartitions(*partition_by, "__z").drop("__z")
+        else:
+            out_df = scope.repartitionByRange(
+                n_files * len(touched), *partition_by, *sort_within
+            ).sortWithinPartitions(*partition_by, *sort_within)
+    else:
+        out_df = _cluster(
+            scope.repartition(*[F.col(c) for c in partition_by])
+        )
+    # keep an existing per-file sidecar current for the partitions this
+    # compaction rewrites (the merges bootstrapped it; compaction is
+    # where long-lived clustered files get their exact entries)
+    fdoc = _read_file_stats(spark, base)
+    fkeys = sorted(
+        (fdoc.get("keys") or []) if fdoc is not None else []
+    )
+    pre_promote = None
+    if (
+        fkeys
+        and all(k in scope.columns for k in fkeys)
+        and _sidecar_supported(scope.schema, fkeys)
+    ):
+        def pre_promote(staging_path: str, _fk=tuple(fkeys)) -> None:
+            _update_file_stats(
+                spark, base, list(_fk), touched,
+                _collect_file_key_stats(
+                    spark, staging_path, scope.schema, list(_fk)
+                ),
+            )
     _stage_verify_swap(
-        _cluster(scope.repartition(*[F.col(c) for c in partition_by])),
+        out_df,
         base, expected, partition_by,
         "(content-preserving compaction)",
         touched_dirs=touched,
         partition_markers=old_markers or None,
+        pre_promote=pre_promote,
         op="compact",
         writer_options=bloom_opts or None,
     )
+    if file_stats_keys:
+        _rebuild_file_stats(sorted(file_stats_keys))
     return {"files_before": files_before,
             "files_after": sum(
                 _partition_file_counts(
@@ -2399,14 +2796,16 @@ def stage_compact(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "compact", "path": ..., "partition_by": [...]?,
     "min_files": 2?, "n_files": 1?, "sort_within": [...]?,
     "z_order_by": [...]?, "bloom_filter_cols": [...]?,
-    "bloom_filter_ndv": {col: n}?}`` — compacts (and optionally
-    reclusters / bloom-indexes) the snapshot at ``path`` and returns
+    "bloom_filter_ndv": {col: n}?, "file_stats_keys": [...]?}`` —
+    compacts (and optionally reclusters / bloom-indexes / rebuilds the
+    per-file key-range sidecar) the snapshot at ``path`` and returns
     it post-compaction."""
     compact_table(
         df.sparkSession, spec["path"], spec.get("partition_by"),
         int(spec.get("min_files", 2)), int(spec.get("n_files", 1)),
         spec.get("sort_within"), spec.get("z_order_by"),
         spec.get("bloom_filter_cols"), spec.get("bloom_filter_ndv"),
+        spec.get("file_stats_keys"),
     )
     return df.sparkSession.read.parquet(spec["path"])
 
@@ -2418,11 +2817,13 @@ def scan_table(
     key_eq: dict | None = None,
     key_between: dict | None = None,
 ) -> DataFrame:
-    """Sidecar-pruned read: the READ-side of ``_key_stats`` data
-    skipping. For point lookups / key ranges on columns that are NOT
-    partition columns, the per-partition key min/max the merges
-    maintain prunes the directory list BEFORE Spark ever plans the
-    scan — the Delta data-skipping read path at partition granularity.
+    """Sidecar-pruned read: the READ-side of ``_key_stats`` /
+    ``_file_stats`` data skipping. For point lookups / key ranges on
+    columns that are NOT partition columns, the per-partition key
+    min/max the merges maintain prunes the directory list BEFORE Spark
+    ever plans the scan, and the per-file ranges then prune to the
+    intersecting FILES inside each kept directory — the Delta
+    data-skipping read path at both granularities (r13: file level).
 
     ``key_eq = {col: value}`` / ``key_between = {col: (lo, hi)}``
     constrain sidecar key columns; directories whose recorded range
@@ -2466,10 +2867,21 @@ def scan_table(
         keep = _sidecar_candidates(doc, dirs, list(ranges), ranges)
     else:
         keep = dirs  # no sidecar (or un-tracked columns): read all
+    # r13: file-level skipping INSIDE the kept directories — the
+    # _file_stats sidecar (per-file key ranges written at swap /
+    # compaction time) prunes to the files whose ranges intersect;
+    # files without an entry are always read, so this only ever
+    # narrows a read it is provably safe to narrow
+    paths = [f"{base}/{d}" for d in sorted(keep)]
     if keep:
-        df = spark.read.option("basePath", base).parquet(
-            *[f"{base}/{d}" for d in sorted(keep)]
+        fpaths = _file_skip_paths(
+            spark, base, sorted(keep), len(partition_by),
+            list(ranges), ranges,
         )
+        if fpaths is not None:
+            paths = fpaths
+    if paths:
+        df = spark.read.option("basePath", base).parquet(*paths)
     else:
         df = spark.read.parquet(base).limit(0)
     pred = None
