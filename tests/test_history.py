@@ -533,9 +533,12 @@ def test_timestamp_as_of(spark, tmp_path):
         spark, tgt, (ts[0] + ts[1]) / 2) == 0
     with pytest.raises(ValueError, match="history begins"):
         H.resolve_timestamp_version(spark, tgt, ts[0] - 10)
-    # ISO-8601 strings parse (naive = UTC)
-    iso = datetime.fromtimestamp(ts[1], tz=timezone.utc).replace(
-        tzinfo=None).isoformat()
+    # ISO-8601 strings parse (naive = UTC); use the midpoint, not the
+    # exact commit time — isoformat truncates to microseconds, which
+    # could round an exact boundary just below ts[1]
+    iso = datetime.fromtimestamp(
+        (ts[1] + ts[2]) / 2, tz=timezone.utc
+    ).replace(tzinfo=None).isoformat()
     assert H.resolve_timestamp_version(spark, tgt, iso) == 1
     with pytest.raises(ValueError, match="cannot parse"):
         H.resolve_timestamp_version(spark, tgt, "not-a-time")
