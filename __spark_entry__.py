@@ -2992,6 +2992,84 @@ def q_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDF consumption (r13 — VERDICT r12 ask #5;
+    operators/history.py::consume_table_changes + the changes_stream
+    stage): the Delta streaming-source idiom — a version-checkpointed
+    incremental pump — drained across two calls. Day-zero orders seed
+    a status-partitioned versioned snapshot; a DAY1 merge ('P' %8∈
+    {2,3}: updates + inserts) commits v1 and the FIRST pump call
+    (config stage, start_version=0) lands its per-version keyed CDF
+    rows in an append sink; a DAY2 merge ('O' %8=1 retag with %16=1
+    deletes) commits v2 and the SECOND call resumes from the persisted
+    cursor (asserted == 2 after) — each batch scoped to its versions'
+    touched partitions, cost ∝ churn. Output: sink rows aggregated per
+    (_commit_version, _change_type); the oracle replays both days'
+    change sets from the batch definitions. Parity with batch
+    ``table_changes`` is additionally pinned in
+    tests/test_streaming.py (drained ≡ batch, at-least-once retry,
+    vacuumed-cursor refusal)."""
+    import os
+    import shutil
+    import tempfile
+
+    from config_driven_pyspark_spark import Pipeline
+    from config_driven_pyspark_spark.operators import history as H
+    from config_driven_pyspark_spark.operators.table import merge_upsert
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    target = os.path.join(tempfile.gettempdir(),
+                          f"cdp_schg_target_{sf_tag}")
+    sink = os.path.join(tempfile.gettempdir(), f"cdp_schg_sink_{sf_tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"cdp_schg_ckpt_{sf_tag}")
+    for p in (target, sink, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(target)
+    H.disable_table_history(spark, target)
+    H.enable_table_history(spark, target, ["o_orderstatus"])
+
+    def pump():
+        Pipeline.from_config([
+            {"stage": "changes_stream", "path": target,
+             "checkpoint": ckpt, "keys": ["o_orderkey"],
+             "start_version": 0,
+             "sink": {"format": "parquet", "path": sink}},
+        ]).run(spark)
+
+    b1 = orders.filter(
+        ((F.col("o_orderkey") % 8).isin(2, 3))
+        & (F.col("o_orderstatus") == "P")
+    ).withColumn("o_orderpriority", F.lit("DAY1"))
+    merge_upsert(b1, target, ["o_orderkey"],
+                 partition_by=["o_orderstatus"])
+    pump()  # drains v1
+    b2 = (
+        orders.filter(
+            (F.col("o_orderkey") % 8 == 1)
+            & (F.col("o_orderstatus") == "O")
+        )
+        .withColumn("o_orderpriority", F.lit("DAY2"))
+        .withColumn("is_deleted", F.col("o_orderkey") % 16 == 1)
+    )
+    merge_upsert(b2, target, ["o_orderkey"], delete_col="is_deleted",
+                 partition_by=["o_orderstatus"])
+    pump()  # resumes from the cursor, drains v2
+    assert H.read_changes_cursor(spark, ckpt) == 2
+    return (
+        spark.read.parquet(sink)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+    )
+
+
 def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILE-level data skipping (r13 — VERDICT r12 ask #1;
     operators/table.py::_file_stats, compact_table, scan_table):
@@ -6012,6 +6090,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_time_travel",
     # round 13 new rows (would self-front as never-recorded anyway)
     "q_file_skipping",
+    "q_stream_changes",
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
@@ -6135,6 +6214,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_alter": q_table_alter,  # ALTER TABLE reshape, r12
         "q_table_scan": q_table_scan,  # sidecar-pruned reads, r12
         "q_file_skipping": q_file_skipping,  # per-file data skipping, r13
+        "q_stream_changes": q_stream_changes,  # streaming CDF pump, r13
         "q_table_analyze": q_table_analyze,  # ANALYZE statistics, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,
@@ -10254,6 +10334,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(o_orderkey) AS BIGINT),
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
             FROM p GROUP BY o_orderstatus
+        """,
+        # streaming CDF pump replay: both days' change sets derived
+        # from the batch definitions (v1: P %8=2 updates + %8=3
+        # inserts; v2: O %16=1 deletes + %16=9 updates); HAVING drops
+        # empty groups to match the grouped Spark output
+        "q_stream_changes": """
+            WITH u1 AS (SELECT o_orderkey FROM orders
+                        WHERE o_orderkey % 8 = 2
+                          AND o_orderstatus = 'P'),
+            i1 AS (SELECT o_orderkey FROM orders
+                   WHERE o_orderkey % 8 = 3 AND o_orderstatus = 'P'),
+            d2 AS (SELECT o_orderkey FROM orders
+                   WHERE o_orderkey % 16 = 1 AND o_orderstatus = 'O'),
+            u2 AS (SELECT o_orderkey FROM orders
+                   WHERE o_orderkey % 16 = 9 AND o_orderstatus = 'O')
+            SELECT CAST(1 AS INTEGER) AS _commit_version,
+                   'update_preimage' AS _change_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+            FROM u1 HAVING count(*) > 0
+            UNION ALL
+            SELECT CAST(1 AS INTEGER), 'update_postimage',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(o_orderkey) AS BIGINT)
+            FROM u1 HAVING count(*) > 0
+            UNION ALL
+            SELECT CAST(1 AS INTEGER), 'insert',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(o_orderkey) AS BIGINT)
+            FROM i1 HAVING count(*) > 0
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), 'delete',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(o_orderkey) AS BIGINT)
+            FROM d2 HAVING count(*) > 0
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), 'update_preimage',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(o_orderkey) AS BIGINT)
+            FROM u2 HAVING count(*) > 0
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), 'update_postimage',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(o_orderkey) AS BIGINT)
+            FROM u2 HAVING count(*) > 0
         """,
         # file-skipping replay: same scale-free width/range derivation
         # as q_table_scan but 4 buckets; output depends only on the

@@ -255,6 +255,7 @@ class Pipeline:
             "time_travel", "table_history", "table_restore",
             "vacuum_history", "expect", "table_changes", "alter",
             "enable_history", "analyze", "table_scan",
+            "changes_stream",
             "watermark", "time_window", "session_window", "stream_dedup",
             "stateful", "stream_sink", "asof_join", "streaming_asof_join",
             "range_join",
@@ -312,6 +313,22 @@ class Pipeline:
                 ctx.last if not spec.get("input") else ctx.get(spec["input"]),
                 spec,
                 spark=ctx.spark,
+            )
+        if kind == "changes_stream":
+            # source-like: the incremental CDF pump (version-
+            # checkpointed micro-batches through an optional
+            # sub-pipeline into a sink)
+            from config_driven_pyspark_spark.operators import history as _H
+
+            fn_sub = (
+                self._compile_sub_stages(list(spec["stages"]))
+                if spec.get("stages") else None
+            )
+            return _H.stage_changes_stream(
+                ctx.last if not spec.get("input") else ctx.get(spec["input"]),
+                spec,
+                spark=ctx.spark,
+                batch_stages_fn=fn_sub,
             )
 
         df = ctx.resolve_input(spec)
@@ -563,6 +580,13 @@ class Pipeline:
                 "stream_sink `stages` (per-micro-batch sub-pipeline) "
                 "requires format: foreach_batch"
             )
+        return self._compile_sub_stages(sub_specs)
+
+    def _compile_sub_stages(self, sub_specs: list):
+        """``batch_df -> DataFrame`` over a sub-pipeline spec list,
+        sharing this pipeline's function/UDF registries, each call a
+        fresh context seeded by the batch — used by ``stream_sink``
+        micro-batches and the ``changes_stream`` CDF pump."""
 
         def apply(batch_df: DataFrame) -> DataFrame:
             ctx = PipelineContext(batch_df.sparkSession)
