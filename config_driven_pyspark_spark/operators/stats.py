@@ -173,14 +173,146 @@ def analyze_frame(
     )
 
 
+_PLANNER_STATS_FILE = "_table_stats/stats.json"
+
+
+def save_table_stats(
+    spark: SparkSession,
+    target_path: str,
+    columns: list[str] | None = None,
+) -> dict:
+    """ANALYZE ... COMPUTE STATISTICS persisted for the planner (r13 —
+    VERDICT r12 ask #8): row count plus, per analyzed column, the
+    distinct count and heavy-hitter skew (``skew_x`` = hottest key's
+    rows / average key's rows — the :func:`~.relational.skew_report`
+    statistic), written as a JSON sidecar the join stage's ``auto``
+    mode consults. ADVISORY ONLY: query results never depend on it;
+    stale stats can only mis-tune placement (a broadcast that should
+    have shuffled, a salt that wasn't needed), the same contract as
+    any warehouse's CBO statistics.
+
+    Scale: one count plus one map-side-combining groupBy per analyzed
+    column (never count_distincts stacked into one aggregate — the
+    Expand lesson); the collect is two numbers per column."""
+    df = spark.read.parquet(target_path.rstrip("/"))
+    cols = list(columns) if columns else list(df.columns)
+    per: dict[str, dict] = {}
+    n = df.count()
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in the table")
+        row = (
+            df.groupBy(F.col("`" + c.replace("`", "``") + "`"))
+            .count()
+            .agg(
+                F.count(F.lit(1)).alias("d"),
+                F.max("count").alias("m"),
+            )
+            .collect()[0]
+        )
+        d, m = int(row["d"] or 0), int(row["m"] or 0)
+        per[c] = {
+            "n_distinct": d,
+            "skew_x": round(m / (n / d), 3) if n and d else 0.0,
+        }
+    doc = {"version": 1, "n_rows": int(n), "columns": per}
+    from config_driven_pyspark_spark.operators.history import _write_small
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    jvm, fs = _fs(spark, target_path)
+    import json
+
+    _write_small(
+        jvm, fs,
+        f"{target_path.rstrip('/')}/{_PLANNER_STATS_FILE}",
+        json.dumps(doc).encode(),
+    )
+    return doc
+
+
+def load_table_stats(spark: SparkSession, target_path: str) -> dict | None:
+    """The persisted planner stats, or None (absent/unreadable —
+    consumers fall back to un-hinted plans, zero behavior change)."""
+    from config_driven_pyspark_spark.operators.history import _read_small
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    import json
+
+    jvm, fs = _fs(spark, target_path)
+    raw = _read_small(
+        jvm, fs, f"{target_path.rstrip('/')}/{_PLANNER_STATS_FILE}"
+    )
+    if raw is None:
+        return None
+    try:
+        doc = json.loads(raw.decode())
+    except ValueError:
+        return None
+    if not (isinstance(doc, dict) and doc.get("version") == 1):
+        return None
+    return doc
+
+
+def plan_join_strategy(
+    left_stats: dict | None,
+    right_stats: dict | None,
+    keys: list[str] | None,
+    how: str = "inner",
+    broadcast_max_rows: int = 1_000_000,
+    skew_threshold: float = 16.0,
+    max_salt: int = 64,
+) -> dict:
+    """Stats-informed join placement (pure function — unit-testable):
+
+    - right side's recorded rows at or under ``broadcast_max_rows`` →
+      ``{"broadcast": True}`` (a broadcast-hash join removes the
+      fact-side shuffle; the threshold is rows because the persisted
+      stats are row-based — tune per deployment like
+      ``spark.sql.autoBroadcastJoinThreshold``);
+    - else, the LEFT side's hottest join key at or past
+      ``skew_threshold``× the average key → ``{"salt": s}`` with ``s``
+      the skew factor rounded up to a power of two, capped at
+      ``max_salt`` (only for inner/left joins with column-list keys —
+      :func:`~.relational.salted_join`'s domain);
+    - anything else (including ABSENT stats) → ``{}``: the un-hinted
+      plan, so tables without ANALYZE output behave exactly as before.
+    """
+    if (
+        right_stats is not None
+        and isinstance(right_stats.get("n_rows"), int)
+        and right_stats["n_rows"] <= broadcast_max_rows
+    ):
+        return {"broadcast": True}
+    if (
+        left_stats is not None
+        and keys
+        and how in ("inner", "left")
+    ):
+        skews = [
+            (left_stats.get("columns") or {}).get(k, {}).get("skew_x")
+            for k in keys
+        ]
+        skews = [s for s in skews if isinstance(s, (int, float))]
+        if skews and max(skews) >= skew_threshold:
+            salt = 2
+            while salt < min(max_salt, max(skews)):
+                salt *= 2
+            return {"salt": min(salt, max_salt)}
+    return {}
+
+
 def stage_analyze(df, spec: dict, spark: SparkSession | None = None):
     """``{"stage": "analyze", "path": ...?, "columns": [...]?,
-    "partition_by": [...]?, "distinct": "approx"|"exact"|null}`` —
-    source-like with ``path`` (analyze the snapshot), otherwise
-    analyzes the incoming frame."""
+    "partition_by": [...]?, "distinct": "approx"|"exact"|null,
+    "save": bool?}`` — source-like with ``path`` (analyze the
+    snapshot), otherwise analyzes the incoming frame. ``save: true``
+    (path mode) additionally persists the planner stats the join
+    stage's ``auto`` mode consults (:func:`save_table_stats`)."""
     s = spark if spark is not None else df.sparkSession
     distinct = spec.get("distinct", "approx")
     if spec.get("path"):
+        if spec.get("save"):
+            save_table_stats(s, spec["path"], spec.get("columns"))
         return analyze_table(
             s, spec["path"], spec.get("columns"),
             spec.get("partition_by"), distinct,

@@ -58,6 +58,28 @@ class PipelineContext:
         self.spark = spark
         self.frames: dict[str, DataFrame] = {}
         self.last: Optional[DataFrame] = None
+        # table-path provenance for DIRECT source reads (any transform
+        # clears it): the join stage's `auto` mode consults persisted
+        # planner stats only for frames that ARE their table
+        self.paths: dict[str, str] = {}
+        self.last_path: Optional[str] = None
+
+    def track_path(self, spec: dict) -> None:
+        """Called after every stage: remember the source path of a
+        plain batch source read, clear provenance otherwise."""
+        if (
+            spec.get("stage") == "source"
+            and spec.get("path")
+            and not spec.get("streaming")
+        ):
+            self.last_path = str(spec["path"])
+        else:
+            self.last_path = None
+        if spec.get("name"):
+            if self.last_path is not None:
+                self.paths[spec["name"]] = self.last_path
+            else:
+                self.paths.pop(spec["name"], None)
 
     def get(self, name: str) -> DataFrame:
         if name not in self.frames:
@@ -231,6 +253,7 @@ class Pipeline:
             spec = _substitute(dict(raw), variables)
             out = self._run_stage(ctx, spec)
             ctx.last = out
+            ctx.track_path(spec)
             if spec.get("name"):
                 ctx.frames[spec["name"]] = out
         if ctx.last is None:
@@ -350,7 +373,25 @@ class Pipeline:
         if kind == "rename":
             return R.stage_rename(df, spec)
         if kind == "join":
-            return R.stage_join(df, ctx.get(spec["right"]), spec)
+            left_stats = right_stats = None
+            if spec.get("auto"):
+                from config_driven_pyspark_spark.operators.stats import (
+                    load_table_stats,
+                )
+
+                lpath = (
+                    ctx.paths.get(spec["input"])
+                    if spec.get("input") else ctx.last_path
+                )
+                rpath = ctx.paths.get(spec["right"])
+                if lpath:
+                    left_stats = load_table_stats(ctx.spark, lpath)
+                if rpath:
+                    right_stats = load_table_stats(ctx.spark, rpath)
+            return R.stage_join(
+                df, ctx.get(spec["right"]), spec,
+                left_stats=left_stats, right_stats=right_stats,
+            )
         if kind in ("asof_join", "streaming_asof_join", "range_join"):
             from config_driven_pyspark_spark.operators import joins as J
 
@@ -595,6 +636,7 @@ class Pipeline:
                 sub = dict(raw)
                 out = self._run_stage(ctx, sub)
                 ctx.last = out
+                ctx.track_path(sub)
                 if sub.get("name"):
                     ctx.frames[sub["name"]] = out
             return ctx.last
