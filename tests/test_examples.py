@@ -435,3 +435,79 @@ def test_governed_versioned_table_example(spark, tmp_path):
     assert spark.read.parquet(snapshot).filter(
         "o_totalprice < 0"
     ).count() == 0
+
+
+def test_incremental_cdf_consumer_example(spark, tmp_path):
+    """The changes_stream consumer: first run drains v1; a later merge
+    plus a consumer-only rerun appends ONLY v2's changes (the cursor
+    resumed) — never reprocessing v1."""
+    from pyspark.sql import functions as F
+
+    from config_driven_pyspark_spark.operators import history as H
+    from config_driven_pyspark_spark.operators.table import merge_upsert
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority",
+             "o_totalprice")
+    seed = str(tmp_path / "day0")
+    batch = str(tmp_path / "day1")
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.parquet(seed)
+    (
+        orders.filter(
+            (F.col("o_orderkey") % 8 == 2)
+            & (F.col("o_orderstatus") == "P")
+        )
+        .withColumn("o_orderpriority", F.lit("DAY1"))
+        .write.parquet(batch)
+    )
+    with open(
+        os.path.join(EXAMPLES, "incremental_cdf_consumer.yaml")
+    ) as fh:
+        text = fh.read()
+    variables = {
+        "seed": seed, "batch": batch,
+        "snapshot": str(tmp_path / "snap"),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "downstream": str(tmp_path / "feed"),
+    }
+    feed = Pipeline.from_yaml(text).run(spark, variables=variables)
+    v1 = {
+        r["_change_type"]: r["cnt"]
+        for r in feed.groupBy("_change_type").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    assert set(v1) == {"update_postimage"}  # preimages filtered out
+    assert H.read_changes_cursor(
+        spark, variables["checkpoint"]) == 1
+    # day 2: a delete-carrying merge, then ONLY the consumer stages
+    day2 = (
+        orders.filter(
+            (F.col("o_orderkey") % 8 == 1)
+            & (F.col("o_orderstatus") == "O")
+        )
+        .withColumn("o_orderpriority", F.lit("DAY2"))
+        .withColumn("is_deleted", F.col("o_orderkey") % 16 == 1)
+    )
+    merge_upsert(day2, variables["snapshot"], ["o_orderkey"],
+                 delete_col="is_deleted",
+                 partition_by=["o_orderstatus"])
+    consumer_only = [
+        s for s in Pipeline.from_yaml(text).stages
+        if s.get("stage") in ("changes_stream",)
+    ]
+    Pipeline(consumer_only).run(spark, variables=variables)
+    feed2 = spark.read.parquet(variables["downstream"])
+    assert H.read_changes_cursor(
+        spark, variables["checkpoint"]) == 2
+    v2 = {
+        (r["_change_type"], r["_commit_version"]): r["cnt"]
+        for r in feed2.groupBy("_change_type", "_commit_version").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    # v1 rows unchanged (never reprocessed); v2 adds deletes + posts
+    assert v2[("update_postimage", 1)] == v1["update_postimage"]
+    assert ("delete", 2) in v2 and ("update_postimage", 2) in v2
+    assert ("update_preimage", 2) not in v2
