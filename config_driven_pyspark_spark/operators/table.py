@@ -451,6 +451,157 @@ def _delete_key_stats(spark: SparkSession, base: str) -> None:
 _FILE_STATS_FILE = "_file_stats/stats.json"
 _MAX_FILE_STATS_FILES = 100_000
 
+# per-file BLOOM membership (r13): ranges prune point lookups only on
+# range-CLUSTERED files; in the CDC steady state every merge writes
+# unsorted batch files whose min/max span the whole key space, so a
+# point lookup re-opens them all. A small per-(file, key) bloom — the
+# Delta bloom-index analog one level ABOVE parquet's row-group blooms
+# (those still require opening the footer) — prunes files by
+# membership. 1024 bits / 4 probes ≈ 1.2% false-positive at ~100 keys
+# per file, saturating harmlessly (FP→1 = "read it") on huge files.
+# The hash is engine-portable integer math (two polynomial hashes of
+# the value's STRING form combined with seeded salts mod 2³¹−1 — the
+# simhash64 construction), so the DRIVER probes lookup values in pure
+# Python, no Spark round-trip, and an external oracle could replay the
+# bits. NULLs are never bloom-tested (the has_null flag covers them).
+_BLOOM_BITS = 1024
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_HASHES = 4
+_BLOOM_P = (1 << 31) - 1
+# types whose Spark string cast equals the Python serialization below
+_BLOOM_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "string", "date",
+}
+# entries past this many files drop their blooms (doc-size guard; the
+# min/max ranges always stay)
+_MAX_BLOOM_FILES = 8192
+# batches with at most this many distinct keys ship their exact values
+# to the bloom test (one bounded collect); bigger batches prune by
+# range only
+_MAX_PROBE_VALUES = 256
+# files with more rows than this saturate a 1024-bit bloom (FP -> 1 =
+# dead weight), so they carry no bloom. This is the honest division of
+# labor: the sidecar bloom targets SMALL unsorted trickle-batch files
+# (where ranges span everything and compaction hasn't run yet);
+# compacted large files get range skipping + parquet's own row-group
+# blooms (compact_table's bloom_filter_cols), which size by ndv inside
+# the file.
+_BLOOM_MAX_ROWS = 200
+
+
+def _bloom_salts() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(7)
+    return [
+        (rng.randrange(1, _BLOOM_P), rng.randrange(1, _BLOOM_P))
+        for _ in range(_BLOOM_HASHES)
+    ]
+
+
+_BLOOM_SALTS = _bloom_salts()
+
+
+def _bloom_positions_py(value_str: str) -> list[int]:
+    """Bit positions for a serialized value — the pure-Python side of
+    the shared hash (must mirror the Column math in
+    :func:`_bloom_word_aggs` bit-for-bit)."""
+    g1 = g2 = 0
+    for ch in value_str:
+        c = ord(ch)
+        g1 = (g1 * 131 + c) % _BLOOM_P
+        g2 = (g2 * 137 + c) % _BLOOM_P
+    return [
+        ((g1 * c_i) % _BLOOM_P + (g2 * d_i) % _BLOOM_P)
+        % _BLOOM_P % _BLOOM_BITS
+        for c_i, d_i in _BLOOM_SALTS
+    ]
+
+
+def _bloom_prepare(df: DataFrame, keys: list[str]):
+    """(projected df, aggregate list): per row, each key's two
+    polynomial hashes and four bit positions are computed ONCE as
+    projected columns (never re-inlined into every word term — 16
+    words × 4 probes would otherwise replay the char fold ~128× per
+    row); the aggregates are then one cheap ``bit_or`` per 64-bit
+    word over column refs, riding the same
+    groupBy(input_file_name) pass as the min/max stats. NULL values
+    contribute no bits (tracked by has_null)."""
+    aggs = []
+    for key in keys:
+        qk = "`" + key.replace("`", "``") + "`"
+        s = F.col(qk).cast("string")
+
+        def _codes(i, _s=s):
+            # a plain closure, NOT a two-parameter transform lambda —
+            # F.transform treats (x, y) lambdas as (element, INDEX)
+            return F.ascii(F.substring(_s, i, F.lit(1))).cast("bigint")
+
+        codes = F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: _codes(i),
+        )
+        g1 = F.aggregate(
+            codes, F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * 131 + c) % _BLOOM_P,
+        )
+        g2 = F.aggregate(
+            codes, F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * 137 + c) % _BLOOM_P,
+        )
+        df = df.withColumn(f"__bg1_{key}", g1).withColumn(
+            f"__bg2_{key}", g2
+        )
+        for i, (c_i, d_i) in enumerate(_BLOOM_SALTS):
+            df = df.withColumn(
+                f"__bp_{key}_{i}",
+                (
+                    (F.col(f"`__bg1_{key}`") * c_i) % _BLOOM_P
+                    + (F.col(f"`__bg2_{key}`") * d_i) % _BLOOM_P
+                )
+                % _BLOOM_P % _BLOOM_BITS,
+            )
+        for w in range(_BLOOM_WORDS):
+            terms = " | ".join(
+                f"IF({qk} IS NOT NULL AND `__bp_{key}_{i}` DIV 64 = {w},"
+                f" shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(`__bp_{key}_{i}` % 64 AS INT)),"
+                f" CAST(0 AS BIGINT))"
+                for i in range(_BLOOM_HASHES)
+            )
+            aggs.append(
+                F.expr(f"bit_or({terms})").alias(f"__bw_{key}_{w}")
+            )
+    return df, aggs
+
+
+def _bloom_encode(words: list[int]) -> str:
+    import base64
+    import struct
+
+    return base64.b64encode(
+        struct.pack(f">{_BLOOM_WORDS}q", *words)
+    ).decode()
+
+
+def _bloom_maybe_contains(b64: str, value_str: str) -> bool:
+    """False ⇒ the value is PROVABLY absent from the file; True means
+    maybe (bloom semantics). Unreadable blooms answer True — the safe
+    direction."""
+    import base64
+    import struct
+
+    try:
+        words = struct.unpack(
+            f">{_BLOOM_WORDS}q", base64.b64decode(b64)
+        )
+    except Exception:
+        return True
+    for p in _bloom_positions_py(value_str):
+        if not (words[p // 64] >> (p % 64)) & 1:
+            return False
+    return True
+
 
 def _read_file_stats(spark: SparkSession, base: str) -> dict | None:
     import json
@@ -521,13 +672,23 @@ def _collect_file_key_stats(
         urlparse(fs.makeQualified(Path(path)).toString()).path
     ).rstrip("/")
     df = spark.read.schema(schema).parquet(path)
-    aggs = []
+    # "bloom" is the entry's side-channel field name — a key column
+    # actually called "bloom" would collide, so it opts the whole
+    # entry out of membership bits (ranges still work)
+    bloom_keys = [
+        k for k in keys
+        if schema[k].dataType.simpleString() in _BLOOM_TYPES
+    ] if "bloom" not in keys else []
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for k in keys:
         aggs += [
             F.min(k).alias(f"__min_{k}"),
             F.max(k).alias(f"__max_{k}"),
             (F.sum(F.col(k).isNull().cast("long")) > 0).alias(f"__nul_{k}"),
         ]
+    if bloom_keys:
+        df, bloom_aggs = _bloom_prepare(df, bloom_keys)
+        aggs += bloom_aggs
     rows = (
         df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     )
@@ -536,7 +697,7 @@ def _collect_file_key_stats(
         fp = unquote(urlparse(r["__f"]).path)
         if not fp.startswith(qbase + "/"):
             continue
-        out[fp[len(qbase) + 1:]] = {
+        entry = {
             k: {
                 "min": _ser_stat(r[f"__min_{k}"]),
                 "max": _ser_stat(r[f"__max_{k}"]),
@@ -544,6 +705,15 @@ def _collect_file_key_stats(
             }
             for k in keys
         }
+        if bloom_keys and int(r["__n_rows"]) <= _BLOOM_MAX_ROWS:
+            entry["bloom"] = {
+                k: _bloom_encode([
+                    int(r[f"__bw_{k}_{w}"] or 0)
+                    for w in range(_BLOOM_WORDS)
+                ])
+                for k in bloom_keys
+            }
+        out[fp[len(qbase) + 1:]] = entry
     return out
 
 
@@ -579,10 +749,54 @@ def _update_file_stats(
         # unknown files — always safe)
         _delete_file_stats(spark, base)
         return
+    if len(files) > _MAX_BLOOM_FILES:
+        # blooms are ~176 B/key/file — past this the doc gets heavy,
+        # so membership bits drop (pruning degrades to ranges, never
+        # wrong)
+        files = {
+            rel: {k: v for k, v in e.items() if k != "bloom"}
+            for rel, e in files.items()
+        }
     _write_file_stats(
         spark, base,
         {"version": 1, "keys": sorted(keys), "files": files},
     )
+
+
+def _bloom_admits(
+    entry: dict, keys: list[str], probe_values: dict[str, list] | None
+) -> bool:
+    """Membership test on top of the range test: False ⇒ NO probed
+    value of SOME key can be in this file (provably zero matches from
+    it). Applies only when the caller supplied the key's exact probe
+    values, the entry carries that key's bloom, the probe has no NULLs
+    (has_null handles those), and every probe value's SERIALIZED type
+    matches the entry's recorded min's — bloom equality depends on
+    exact string serialization, so a type-coerced lookup (float 5.0
+    against a bigint column) must fall back to ranges rather than
+    false-negative a file away. Ranges are comparison-based and keep
+    such lookups correct."""
+    if not probe_values:
+        return True
+    blooms = entry.get("bloom") or {}
+    for k in keys:
+        vals = probe_values.get(k)
+        b = blooms.get(k)
+        if vals is None or b is None or any(v is None for v in vals):
+            continue
+        ref = (entry.get(k) or {}).get("min")
+        svals = [_ser_stat(v) for v in vals]
+        if ref is None or any(
+            type(s) is not type(ref)
+            and not (isinstance(s, str) and isinstance(ref, str))
+            for s in svals
+        ):
+            continue
+        if not any(
+            _bloom_maybe_contains(b, str(s)) for s in svals
+        ):
+            return False
+    return True
 
 
 def _file_skip_paths(
@@ -592,10 +806,13 @@ def _file_skip_paths(
     depth: int,
     keys: list[str],
     batch_ranges: dict[str, tuple],
+    probe_values: dict[str, list] | None = None,
 ) -> list[str] | None:
     """File-level skipping under the candidate ``dirs``: full paths of
     every file that must be read — files with no sidecar entry (always
-    read) plus files whose recorded ranges intersect. Returns None when
+    read) plus files whose recorded ranges intersect AND whose bloom
+    (when present and the caller supplied exact ``probe_values`` for a
+    key) maybe-contains at least one probed value. Returns None when
     nothing can be skipped (no valid doc, or no file pruned) so callers
     keep the cheaper directory-granular read; an empty list is a proof
     of zero matches."""
@@ -628,7 +845,10 @@ def _file_skip_paths(
         for rel in by_dir.get(d, []):
             total += 1
             e = entries.get(rel)
-            if e is None or _ranges_intersect(e, keys, batch_ranges):
+            if e is None or (
+                _ranges_intersect(e, keys, batch_ranges)
+                and _bloom_admits(e, keys, probe_values)
+            ):
                 keep.append(f"{base}/{rel}")
     if len(keep) == total:
         return None
@@ -1630,6 +1850,14 @@ def merge_upsert(
             "target row would match more than one source row (the MERGE "
             "ambiguity); dedupe the batch first"
         )
+    # exact batch key VALUES for bloom-membership file skipping — one
+    # tiny extra job, and ONLY for small batches (the CDC trickle the
+    # bloom exists for): the collect is bounded by the already-known
+    # key count, never a collect_set building an unbounded buffer
+    probe_values = None
+    if sidecar_able and 0 < n_src_keys <= _MAX_PROBE_VALUES:
+        rows = source.select(*keys).distinct().collect()
+        probe_values = {k: [r[k] for r in rows] for k in keys}
     if delete_col is not None:
         upserts = source.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))
@@ -1825,10 +2053,12 @@ def merge_upsert(
     elif sidecar_dirs is not None:
         # r13: within the candidate directories, the _file_stats
         # sidecar prunes to the FILES whose key ranges intersect the
-        # batch's (files without an entry are always read)
+        # batch's — and, for small batches, whose bloom maybe-contains
+        # at least one exact batch key (files without an entry are
+        # always read)
         file_paths = _file_skip_paths(
             spark, base, sidecar_dirs, len(partition_by), keys,
-            batch_ranges,
+            batch_ranges, probe_values,
         )
         if file_paths is not None and not file_paths:
             probe_src = None  # every candidate file provably misses
@@ -2225,6 +2455,12 @@ def scd2_merge(
         )
         for k in keys
     } if sidecar_able else None
+    # exact batch key values for bloom-membership skipping (bounded by
+    # the known key count — same discipline as merge_upsert)
+    probe_values = None
+    if sidecar_able and 0 < int(batch_stats["n_keys"]) <= _MAX_PROBE_VALUES:
+        _rows = source.select(*keys).distinct().collect()
+        probe_values = {k: [r[k] for r in _rows] for k in keys}
     if delete_col is not None:
         is_del = F.coalesce(F.col(delete_col), F.lit(False))
         deletes = source.filter(is_del).drop(delete_col)
@@ -2335,10 +2571,11 @@ def scd2_merge(
                     cur = None
                 elif len(cand) < len(disk_dirs):
                     # r13: file-level skipping inside the candidate
-                    # dirs (same discipline as the merge probe)
+                    # dirs (same discipline as the merge probe, incl.
+                    # bloom membership for small batches)
                     fpaths = _file_skip_paths(
                         spark, base, cand, len(partition_by), keys,
-                        batch_ranges,
+                        batch_ranges, probe_values,
                     )
                     if fpaths is not None and not fpaths:
                         cur = None
@@ -3171,14 +3408,17 @@ def scan_table(
         keep = dirs  # no sidecar (or un-tracked columns): read all
     # r13: file-level skipping INSIDE the kept directories — the
     # _file_stats sidecar (per-file key ranges written at swap /
-    # compaction time) prunes to the files whose ranges intersect;
-    # files without an entry are always read, so this only ever
-    # narrows a read it is provably safe to narrow
+    # compaction time) prunes to the files whose ranges intersect and
+    # whose bloom maybe-contains a point-lookup value (membership
+    # pruning works even on UNSORTED files whose ranges span
+    # everything); files without an entry are always read, so this
+    # only ever narrows a read it is provably safe to narrow
     paths = [f"{base}/{d}" for d in sorted(keep)]
     if keep:
         fpaths = _file_skip_paths(
             spark, base, sorted(keep), len(partition_by),
             list(ranges), ranges,
+            probe_values={c: [v] for c, v in key_eq.items()},
         )
         if fpaths is not None:
             paths = fpaths

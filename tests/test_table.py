@@ -2141,6 +2141,141 @@ def test_file_stats_bootstrap_for_sink_written_tables(spark, tmp_path):
         )
 
 
+def test_bloom_positions_cross_engine(spark):
+    """The pure-Python bloom probe must mirror the Column-math bits
+    bit-for-bit — string, int, and date serializations."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from config_driven_pyspark_spark.operators.table import (
+        _BLOOM_WORDS, _bloom_positions_py, _bloom_prepare, _ser_stat,
+    )
+
+    samples = [
+        ("s", "hello world", "string"),
+        ("s", "", "string"),
+        ("k", 1234567890123, "bigint"),
+        ("k", -42, "bigint"),
+        ("d", datetime.date(2024, 2, 29), "date"),
+    ]
+    for col, val, typ in samples:
+        df = spark.createDataFrame([(val,)], f"{col} {typ}")
+        pdf, aggs = _bloom_prepare(df, [col])
+        row = pdf.agg(*aggs).collect()[0]
+        got = set()
+        for w in range(_BLOOM_WORDS):
+            word = int(row[f"__bw_{col}_{w}"] or 0)
+            for b in range(64):
+                if (word >> b) & 1:
+                    got.add(w * 64 + b)
+        want = set(_bloom_positions_py(str(_ser_stat(val))))
+        assert got == want, (val, sorted(got), sorted(want))
+
+
+def test_bloom_prunes_unsorted_point_lookups(spark, tmp_path):
+    """The bloom's reason to exist: UNSORTED files whose min/max span
+    the whole key space (every merge batch's natural layout) still
+    prune on point lookups; range queries can't and open them all.
+    Results always equal the plain filtered read; a type-coerced
+    lookup (float on a bigint key) falls back to ranges, never a
+    false-negative skip."""
+    from config_driven_pyspark_spark.operators.table import (
+        _file_skip_paths, _read_file_stats, merge_upsert, scan_table,
+    )
+
+    target = str(tmp_path / "b1")
+    # sparse EVEN keys so an in-range ABSENT key exists; ~62 rows per
+    # file keeps the 1024-bit blooms far from saturation
+    df = spark.range(1000).selectExpr(
+        "id * 2 AS k",
+        "cast(id % 2 as int) AS bucket",  # keys interleave buckets
+        "cast(id as double) AS val",
+    )
+    # hash-scattered bootstrap: every file's key range spans ~everything
+    merge_upsert(
+        df.repartition(8), target, ["k"], partition_by=["bucket"],
+    )
+    doc = _read_file_stats(spark, target)
+    b0 = [r for r in doc["files"] if r.startswith("bucket=0/")]
+    assert len(b0) >= 4
+    assert all("bloom" in doc["files"][r] for r in b0)
+    # ranges are useless here: every file's span covers the probe key
+    spans = [
+        (doc["files"][r]["k"]["min"], doc["files"][r]["k"]["max"])
+        for r in b0
+    ]
+    assert all(lo <= 1000 <= hi for lo, hi in spans)
+    got = scan_table(spark, target, ["bucket"], key_eq={"k": 1000})
+    assert [r.val for r in got.collect()] == [500.0]
+    opened = [f for f in got.inputFiles() if "bucket=0" in f]
+    # bloom membership pruned most files (tiny FP rate can admit 1-2)
+    assert 1 <= len(opened) <= 2 < len(b0)
+    # an IN-RANGE absent key (odd): every range admits, blooms reject
+    miss = scan_table(spark, target, ["bucket"], key_eq={"k": 1001})
+    assert miss.count() == 0 and len(miss.inputFiles()) <= 2
+    # a range query on unsorted files opens them all (ranges overlap)
+    rng = scan_table(
+        spark, target, ["bucket"], key_between={"k": (1000, 1004)}
+    )
+    assert sorted(r.k for r in rng.collect()) == [1000, 1002, 1004]
+    assert len([f for f in rng.inputFiles()
+                if "bucket=0" in f]) == len(b0)
+    # type-coerced lookup: float against bigint — bloom skipped, rows
+    # still correct (Spark's comparison coerces)
+    co = scan_table(spark, target, ["bucket"], key_eq={"k": 1000.0})
+    assert [r.val for r in co.collect()] == [500.0]
+    assert len([f for f in co.inputFiles()
+                if "bucket=0" in f]) == len(b0)
+    # the probe-side primitive: exact batch values prune files too
+    paths = _file_skip_paths(
+        spark, target, ["bucket=0"], 1, ["k"],
+        {"k": (1000, 1000, False)}, {"k": [1000]},
+    )
+    assert paths is not None and 1 <= len(paths) <= 2
+    # and an end-to-end small-batch merge stays exact through it
+    st = merge_upsert(
+        spark.createDataFrame(
+            [(1000, 0, -5.0)], "k bigint, bucket int, val double"
+        ),
+        target, ["k"], partition_by=["bucket"],
+    )
+    assert st["n_matched"] == 1 and st["n_updated"] == 1
+    assert spark.read.parquet(target).filter("k = 1000").collect()[
+        0
+    ].val == -5.0
+
+
+def test_bloom_dropped_past_cap_and_absent_is_safe(spark, tmp_path,
+                                                   monkeypatch):
+    """Past _MAX_BLOOM_FILES the doc keeps ranges but sheds blooms
+    (read-more, never read-less); entries without blooms behave like
+    r13-early range-only skipping."""
+    import config_driven_pyspark_spark.operators.table as T
+
+    target = str(tmp_path / "b2")
+    df = spark.range(1000).selectExpr(
+        "id AS k", "cast(id % 2 as int) AS bucket",
+        "cast(id as double) AS val",
+    )
+    T.merge_upsert(
+        df.repartition(4), target, ["k"], partition_by=["bucket"],
+    )
+    monkeypatch.setattr(T, "_MAX_BLOOM_FILES", 2)
+    st = T.merge_upsert(
+        spark.createDataFrame(
+            [(10, 0, -1.0)], "k bigint, bucket int, val double"
+        ),
+        target, ["k"], partition_by=["bucket"],
+    )
+    assert st["n_matched"] == 1
+    doc = T._read_file_stats(spark, target)
+    assert doc is not None
+    assert all("bloom" not in e for e in doc["files"].values())
+    got = T.scan_table(spark, target, ["bucket"], key_eq={"k": 10})
+    assert [r.val for r in got.collect()] == [-1.0]
+
+
 def test_writer_lock_blocks_and_reclaims(spark, tmp_path):
     """A live lock makes a second writer fail loudly; a stale lock
     (crashed writer past its lease) is reclaimed automatically; an
