@@ -245,9 +245,22 @@ def begin_retention(
     high = int(doc.get("high_water", 0))
     version = max(0, high, *complete, *incomplete) + 1
     Path = jvm.org.apache.hadoop.fs.Path
-    out = fs.create(Path(f"{hist}/v{version}.pending"), True)
-    out.close()
-    return version
+    # CAS allocation (r13): the pending marker's atomic createNewFile
+    # IS the compare-and-set — when two disjoint-scope writers race,
+    # the loser's create fails and it takes the next number, so
+    # concurrent versioned writers can never share a version. (While
+    # one swap is in flight, versions below its pending number refuse
+    # transiently — the same honest gap semantics a crash leaves,
+    # except the marker clears at commit.)
+    for _ in range(1000):
+        if fs.createNewFile(Path(f"{hist}/v{version}.pending")):
+            return version
+        version += 1
+    raise IOError(
+        f"could not allocate a history version for {base!r} after "
+        "1000 attempts — lock directory storm? inspect "
+        f"{hist}/v*.pending"
+    )
 
 
 def abort_retention(spark: SparkSession, base: str, version: int) -> None:
@@ -318,7 +331,11 @@ def commit_retention(
     )
     fs.delete(Path(f"{hist}/v{version}.pending"), False)
     # persist the high-water mark so vacuum can never reset the
-    # counter (monotonic versions even after every entry is dropped)
+    # counter (monotonic versions even after every entry is dropped).
+    # Two CONCURRENT committers can race this read-modify-write; a
+    # lost update only leaves high_water below a committed version,
+    # which is harmless — allocation also takes max over the surviving
+    # entries, and vacuum re-bumps from everything it observes.
     doc = _enabled_doc(jvm, fs, base) or {}
     if version > int(doc.get("high_water", 0)):
         doc["high_water"] = version
@@ -484,7 +501,8 @@ def read_table_version(
     if version < floor:
         raise ValueError(
             f"versions below {floor} of {base!r} are unreadable (entry "
-            f"v{floor} was vacuumed or lost to a crashed swap)"
+            f"v{floor} was vacuumed, lost to a crashed swap, or a "
+            "concurrent swap is in flight — retry if writers are live)"
         )
     from config_driven_pyspark_spark.operators.table import (
         _fs,
@@ -649,8 +667,9 @@ def table_changes(
         if from_version < floor:
             raise ValueError(
                 f"versions below {floor} of {base!r} are unreadable "
-                f"(entry v{floor} was vacuumed or lost to a crashed "
-                "swap)"
+                f"(entry v{floor} was vacuumed, lost to a crashed swap, "
+                "or a concurrent swap is in flight — retry if writers "
+                "are live)"
             )
 
         def _stamp(df: DataFrame, n: int | None) -> DataFrame:
@@ -689,7 +708,8 @@ def table_changes(
     if from_version < floor:
         raise ValueError(
             f"versions below {floor} of {base!r} are unreadable (entry "
-            f"v{floor} was vacuumed or lost to a crashed swap)"
+            f"v{floor} was vacuumed, lost to a crashed swap, or a "
+            "concurrent swap is in flight — retry if writers are live)"
         )
     scope: set[str] | None = None
     if partition_by and from_version < to_version:

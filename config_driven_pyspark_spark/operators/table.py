@@ -855,6 +855,25 @@ def _file_skip_paths(
     return sorted(keep)
 
 
+def _fresh_count(spark: SparkSession, base: str, attempts: int = 3) -> int:
+    """Zero-column snapshot count that tolerates a concurrent DISJOINT
+    writer's rename window: a file listed before that writer's swap
+    can vanish before its footer is read, failing the job spuriously.
+    Each retry builds a FRESH reader (the cached file index would
+    re-list the vanished file). Reporting stat only — the verified
+    swap itself never depends on it."""
+    import time as _time
+
+    for i in range(attempts):
+        try:
+            return spark.read.parquet(base).count()
+        except Exception:
+            if i == attempts - 1:
+                raise
+            _time.sleep(0.3)
+    raise AssertionError("unreachable")
+
+
 class _SidecarMutex:
     """Serializes the read-modify-write of the ``_key_stats`` /
     ``_file_stats`` JSON docs across CONCURRENT disjoint-scope writers
@@ -1477,14 +1496,17 @@ def _stage_verify_swap(
     writer_options: dict | None = None,
 ) -> int:
     """Writer-lock entry point: every mutating table op funnels through
-    here. r13: the lock is PARTITION-SCOPED for a non-versioned scoped
-    swap (scope = its touched dirs, staging/backup owner-suffixed so
-    concurrent writers never share sibling dirs) — two merges on
-    disjoint partitions proceed concurrently, overlapping scopes fail
-    loudly. Full rewrites take the global lock, and so do scoped swaps
-    on HISTORY-ENABLED tables: version allocation is max+1 over the
-    entries with no commit log to CAS against, so concurrent versioned
-    writers could collide numbers — serialized honestly instead.
+    here. r13: the lock is PARTITION-SCOPED for a scoped swap (scope =
+    its touched dirs, staging/backup owner-suffixed so concurrent
+    writers never share sibling dirs) — two merges on disjoint
+    partitions proceed concurrently, overlapping scopes fail loudly,
+    full rewrites take the global lock. HISTORY-ENABLED tables
+    participate too: version numbers are allocated by compare-and-set
+    on the pending marker's atomic create (operators/history.py::
+    begin_retention), so racing disjoint writers take distinct
+    versions; while one swap is in flight, reads below its pending
+    number refuse transiently (the same honest gap semantics a crash
+    leaves, cleared at commit).
 
     Counts/probes taken BEFORE the lock are safe because the staging
     write re-executes the plan against the live snapshot while the
@@ -1496,18 +1518,7 @@ def _stage_verify_swap(
     the swap itself."""
     spark = df.sparkSession
     base = target_path.rstrip("/")
-    scope = None
-    if touched_dirs is not None:
-        from config_driven_pyspark_spark.operators import (
-            history as _hist,
-        )
-
-        try:
-            versioned = _hist.history_enabled(spark, base)
-        except Exception:
-            versioned = True  # unknown state: serialize, never race
-        if not versioned:
-            scope = sorted(touched_dirs)
+    scope = sorted(touched_dirs) if touched_dirs is not None else None
     with _WriterLock(spark, base, scope=scope) as lk:
         return _stage_verify_swap_locked(
             df, target_path, expected_rows, partition_by, breakdown,
@@ -2075,7 +2086,7 @@ def merge_upsert(
     if probe_src is None:
         tgt_stats = None
         n_matched = n_deleted = 0
-        n_before = target.count()
+        n_before = _fresh_count(spark, base)
     else:
         tgt_stats = probe_src.join(probe, key_cond, "left").agg(
             *stat_aggs
@@ -2088,7 +2099,7 @@ def merge_upsert(
             # footer metadata only); under pre_pruned it IS n_scope
             if pre_pruned:
                 n_scope = int(tgt_stats["n"])
-            n_before = target.count()
+            n_before = _fresh_count(spark, base)
         else:
             n_before = int(tgt_stats["n"])
 
@@ -2616,7 +2627,7 @@ def scd2_merge(
         # the ONLY full-snapshot touch in scoped mode: a zero-column
         # count (row-group footer metadata, no column bytes) for the
         # n_after stat — every join/aggregate below reads tgt_scope
-        n_total = target.count()
+        n_total = _fresh_count(spark, target_path.rstrip("/"))
     else:
         touched_dirs = None
         tgt_scope = target

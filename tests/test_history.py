@@ -693,6 +693,69 @@ def test_vacuum_age_keep_set_made_contiguous(spark, tmp_path):
         assert _rows(H.read_table_version(spark, tgt, w)) == states[w]
 
 
+def test_concurrent_versioned_disjoint_merges(spark, tmp_path):
+    """r13: version numbers are allocated by CAS on the pending
+    marker's atomic create, so two DISJOINT scoped merges on a
+    history-enabled table run concurrently, take distinct versions,
+    and every version still reconstructs exactly."""
+    import threading
+
+    tgt = str(tmp_path / "t")
+    v0 = _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    errs: list = []
+
+    def run(status, key):
+        try:
+            merge_upsert(
+                spark.createDataFrame(
+                    [(key, status, -1.0)],
+                    "k int, status string, val double",
+                ),
+                tgt, ["k"], partition_by=["status"],
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=("P", 0))
+    t2 = threading.Thread(target=run, args=("O", 2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert H.table_current_version(spark, tgt) == 2
+    hist = sorted(
+        (r.version, r.mode)
+        for r in H.table_history(spark, tgt).collect()
+    )
+    assert hist == [(1, "partition"), (2, "partition")]
+    # v0 reconstructs exactly; v2 is the final state; v1 is the state
+    # after whichever writer committed first (scopes disjoint, so it
+    # differs from v0 in exactly one of the two keys)
+    assert _rows(H.read_table_version(spark, tgt, 0)) == v0
+    final = _rows(spark.read.parquet(tgt))
+    assert _rows(H.read_table_version(spark, tgt, 2)) == final
+    assert {r for r in final if r[2] == -1.0} == {
+        (0, "P", -1.0), (2, "O", -1.0)
+    }
+    v1 = _rows(H.read_table_version(spark, tgt, 1))
+    changed = {r for r in v1 if r[2] == -1.0}
+    assert changed in ({(0, "P", -1.0)}, {(2, "O", -1.0)})
+    # net CDF over the whole range sees both updates
+    chg = {
+        (r.k, r._change_type)
+        for r in H.table_changes(spark, tgt, 0, 2, keys=["k"]).collect()
+    }
+    assert chg == {
+        (0, "update_preimage"), (0, "update_postimage"),
+        (2, "update_preimage"), (2, "update_postimage"),
+    }
+    # no leftover markers or suffixed debris
+    import glob as _glob
+
+    assert not _glob.glob(f"{tgt}__history/*.pending")
+    assert not _glob.glob(f"{tgt}__staging*")
+    assert not _glob.glob(f"{tgt}__premerge*")
+
+
 def test_table_changes_per_version(spark, tmp_path):
     """per_version attributes each change to the swap that made it; a
     key updated twice appears once per updating version."""

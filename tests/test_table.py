@@ -1886,11 +1886,12 @@ def test_concurrent_disjoint_merges_both_commit(spark, tmp_path):
     ]
 
 
-def test_versioned_tables_serialize_writers(spark, tmp_path):
-    """History-enabled tables take the GLOBAL lock even for scoped
-    swaps (version allocation is max+1 with no commit log to CAS
-    against) — a live scoped entry blocks the merge; without history
-    the same merge coexists with the disjoint entry."""
+def test_versioned_tables_join_scoped_concurrency(spark, tmp_path):
+    """History-enabled tables participate in scoped concurrency (r13:
+    version allocation is CAS on the pending marker's atomic create):
+    a disjoint scoped entry coexists with a versioned merge, an
+    overlapping one still fails loudly, and a full rewrite (global
+    scope) conflicts with any live entry."""
     import pytest as _pytest
 
     from config_driven_pyspark_spark.operators import history as H
@@ -1905,24 +1906,34 @@ def test_versioned_tables_serialize_writers(spark, tmp_path):
         "cast(id as double) AS val",
     )
     merge_upsert(df, target, ["k"], partition_by=["bucket"])
-    batch = spark.createDataFrame(
-        [(10, 0, -1.0)], "k bigint, bucket int, val double"
-    )
+    H.enable_table_history(spark, target, ["bucket"])
     other = _WriterLock(spark, target, scope=["bucket=1"])
     other.__enter__()
     try:
-        # non-versioned: disjoint scopes coexist
-        st = merge_upsert(batch, target, ["k"],
-                          partition_by=["bucket"])
+        # versioned + disjoint: proceeds, takes its own version
+        st = merge_upsert(
+            spark.createDataFrame(
+                [(10, 0, -1.0)], "k bigint, bucket int, val double"
+            ),
+            target, ["k"], partition_by=["bucket"],
+        )
         assert st["rewrite"] == "partition"
-        # versioned: the swap needs the global lock -> conflict
-        H.enable_table_history(spark, target, ["bucket"])
+        assert H.table_current_version(spark, target) == 1
+        # versioned + overlapping: fails loudly
         with _pytest.raises(IOError, match="intersecting scope"):
             merge_upsert(
                 spark.createDataFrame(
-                    [(11, 0, -2.0)], "k bigint, bucket int, val double"
+                    [(600, 1, -2.0)], "k bigint, bucket int, val double"
                 ),
                 target, ["k"], partition_by=["bucket"],
+            )
+        # full rewrite conflicts with any live entry
+        with _pytest.raises(IOError, match="intersecting scope"):
+            merge_upsert(
+                spark.createDataFrame(
+                    [(11, 0, -3.0)], "k bigint, bucket int, val double"
+                ),
+                target, ["k"],  # no partition_by -> full rewrite
             )
     finally:
         other.__exit__(None, None, None)
