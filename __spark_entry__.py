@@ -3123,12 +3123,15 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rfiles = ranged.inputFiles()
     rdirs = {f.split("bucket=")[1].split("/")[0] for f in rfiles}
-    assert rdirs == {"1"}, rdirs  # other buckets pruned by file ranges
+    # only bucket-1 files may survive; a SPARSE key space (sf1's
+    # offset copies) can legitimately prune everything — the extreme
+    # skip — so empty is allowed, a silent no-skip is not
+    assert rdirs <= {"1"}, rdirs
     n_disk = len([
         f for f in os.listdir(f"{target}/bucket=1")
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     ])
-    assert 1 <= len(rfiles) < n_disk, (len(rfiles), n_disk)
+    assert len(rfiles) < n_disk, (len(rfiles), n_disk)
     point = scan_table(
         spark, target, ["bucket"],
         key_eq={"o_orderkey": width + width // 2},
