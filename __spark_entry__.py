@@ -2059,6 +2059,24 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_stats(media)
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL palette+LZW math end-to-end (multimodal.py GIF codec, r13):
+    one deterministic 8×6 test-pattern GIF per document — the same
+    integer pixel formula as the BMP/PNG rows, so one closed form
+    covers every lossless codec — encoded through a per-image palette
+    (np.unique) and genuine variable-width little-endian LZW, then
+    decoded back (logical-screen/descriptor parse, sub-block reassembly,
+    clear/EOI, dictionary growth) to exact int64 channel sums. Any slip
+    in palette order, bit packing, width bumps, or the KwKwK case
+    changes the sums. Interlace and >256-color paths stay gated
+    (pytest-pinned); the 4096-entry reset is pinned by the round-trip
+    test (these 48-pixel images never reach it)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    media = MM.synthesize_gif(ids, id_col="doc_id", width=8, height=6)
+    return MM.image_stats(media)
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling end-to-end (multimodal.py MJPEG-in-AVI
     container + the r10 JPEG codec): one deterministic 8-frame flat-color
@@ -6094,6 +6112,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 13 new rows (would self-front as never-recorded anyway)
     "q_file_skipping",
     "q_stream_changes",
+    "q_gif_decode",
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
@@ -6201,6 +6220,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_decode": q_multimodal_decode,  # real BMP pixels, r6
         "q_png_decode": q_png_decode,  # real PNG inflate+defilter, r8
         "q_jpeg_decode": q_jpeg_decode,  # real baseline JPEG codec, r10
+        "q_gif_decode": q_gif_decode,  # real palette+LZW GIF codec, r13
         "q_video_frames": q_video_frames,  # real MJPEG-AVI frame walk, r10
         "q_orc_roundtrip": q_orc_roundtrip,  # ORC sink/source, r10
         "q_merge_upsert": q_merge_upsert,  # CDC MERGE over parquet, r10
@@ -8496,6 +8516,24 @@ def oracle_sql() -> dict[str, str]:
         # synthesize_bmp's pixel formula sampled at the nearest-neighbor
         # source coordinates ((x*8)//4, (y*6)//3) = (2x, 2y) — integer
         # math only, so the channel sums are exact
+        # same closed-form pixel formula, full 8x6 grid (no resize)
+        "q_gif_decode": """
+            SELECT doc_id AS media_id,
+                   8 AS width,
+                   6 AS height,
+                   CAST(SUM((doc_id * 7  + sx * 13 + sy * 17) % 256) AS BIGINT)
+                     AS sum_r,
+                   CAST(SUM((doc_id * 11 + sx * 3  + sy * 5 ) % 256) AS BIGINT)
+                     AS sum_g,
+                   CAST(SUM((doc_id * 13 + sx * 23 + sy * 29) % 256) AS BIGINT)
+                     AS sum_b
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 64)
+            CROSS JOIN (
+                SELECT x.range AS sx, y.range AS sy
+                FROM range(0, 8) x, range(0, 6) y
+            )
+            GROUP BY doc_id
+        """,
         "q_multimodal_decode": _RASTER_DECODE_ORACLE_SQL,
         # same synth formula + dims by construction; a green hash for the
         # PNG row pins filtering/defiltering/inflate/CRC, not the formula

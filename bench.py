@@ -197,10 +197,12 @@ HEADLINE = [
     "q_e2e_governed",
     "q_table_analyze",
     "q_table_scan",
-    # round 13: per-file data skipping, the streaming CDF pump, and the
-    # TIMESTAMP AS OF extension rides the existing q_time_travel row
+    # round 13: per-file data skipping, the streaming CDF pump, the
+    # real GIF codec; the TIMESTAMP AS OF extension rides the existing
+    # q_time_travel row
     "q_file_skipping",
     "q_stream_changes",
+    "q_gif_decode",
 ]
 
 

@@ -16,6 +16,12 @@ shapes, partition sizing. Codecs:
   PCM16 RIFF/WAVE encoder/decoder with proper chunk walking, integer
   decimation, and exact int64 sample statistics (the audio counterpart
   of the BMP path). Compressed audio (MP3/AAC/OGG) stays gated.
+- GIF codec (r13) — REAL palette + LZW math, dependency-free: GIF89a
+  encode and GIF87a/89a first-frame decode with genuine variable-width
+  little-endian LZW (3..12-bit codes, clear/EOI, 4096-entry resets,
+  KwKwK, deferred-clear streams), global/local color tables, sub-block
+  framing. Interlaced images stay gated with a named error; >256-color
+  encodes refuse rather than quantizing silently.
 - ``decoder="fake"`` — deterministic hash-derived stand-ins for compressed
   formats (JPEG/MP4) whose codec libraries are not in this container;
   tests stay reproducible.
@@ -576,20 +582,288 @@ def decode_png(payload: bytes):
 
 def decode_image(payload: bytes):
     """Magic-sniffing raster decode: BMP (``BM``), PNG (the 8-byte PNG
-    signature) or baseline JPEG (``FF D8``) → uint8 H×W×3 RGB array.
-    The shared entry point for stats/features over mixed image
-    columns."""
+    signature), baseline JPEG (``FF D8``) or GIF (``GIF87a``/``GIF89a``,
+    first frame) → uint8 H×W×3 RGB array. The shared entry point for
+    stats/features over mixed image columns."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload is not None and payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
     if payload is not None and payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload is not None and payload[:4] == b"GIF8":
+        return decode_gif(payload)
     raise ValueError(
         f"unrecognized image magic {bytes(payload or b'')[:8]!r} — "
-        "dependency-free decode supports BMP, 8-bit RGB PNG, and "
-        "baseline JPEG"
+        "dependency-free decode supports BMP, 8-bit RGB PNG, baseline "
+        "JPEG, and non-interlaced GIF"
     )
+
+
+# -- pure-python GIF codec (palette + variable-width LZW) --------------------
+#
+# The palette-indexed web format (r13, closing another honest codec gate):
+# real logical-screen / image-descriptor parsing, global & local color
+# tables, 255-byte sub-block framing, and genuine GIF-LZW — little-endian
+# variable-width codes growing 3..12 bits with clear/EOI codes, dictionary
+# resets at 4096 entries, the KwKwK case, and deferred-clear streams
+# (full table, no reset) handled. Interlaced images raise a named gate;
+# animations decode their FIRST frame (decode_image's contract is one
+# raster — multi-frame sampling is the MJPEG-AVI path). Encoder emits
+# single-frame GIF89a with a power-of-two global color table built from
+# the image's distinct colors (≤256 — more raises, quantization is a
+# modeling choice this engine won't make silently).
+
+
+def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    buf = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    put(clear, width)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # encoder bumps one add AFTER the decoder's own count —
+            # the classic sync: decoder bumps at next == 1<<width,
+            # encoder at next == (1<<width)+1 (derivation in tests)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            put(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = (k,)
+    if w:
+        put(table[w], width)
+    put(eoi, width)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, n_pixels: int):
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit cursor, little-endian
+    total_bits = len(data) * 8
+
+    def get(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            raise ValueError("GIF LZW stream truncated")
+        v = 0
+        for i in range(width):
+            byte = data[(pos + i) >> 3]
+            v |= ((byte >> ((pos + i) & 7)) & 1) << i
+        pos += width
+        return v
+
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = get(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # decoder bumps one add BEFORE the encoder's own count
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def encode_gif(arr) -> bytes:
+    """uint8 H×W×3 → single-frame GIF89a with a global color table of
+    the image's distinct colors (must be ≤ 256)."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype="uint8")
+    h, w = arr.shape[0], arr.shape[1]
+    flat = arr.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"GIF needs a <=256-color palette, image has {len(palette)} "
+            "distinct colors — quantize explicitly first (this codec "
+            "never quantizes silently)"
+        )
+    n = 2
+    while (1 << n) < len(palette):
+        n += 1
+    mcs = max(2, n)
+    gct = bytearray()
+    for r, g, b in palette:
+        gct += bytes([int(r), int(g), int(b)])
+    gct += b"\x00" * (((1 << n) - len(palette)) * 3)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (7 << 4) | (n - 1))  # GCT flag, color res 8
+    out += b"\x00\x00"  # background index, aspect
+    out += gct
+    out.append(0x2C)  # image descriptor
+    out += b"\x00\x00\x00\x00"  # left, top
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x00)  # no LCT, not interlaced
+    out.append(mcs)
+    lzw = _lzw_encode_gif(indices, mcs)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """GIF87a/GIF89a → uint8 H×W×3 RGB of the FIRST image; interlaced
+    images raise a named gate."""
+    import numpy as np
+
+    data = bytes(payload)
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError(f"not a GIF: magic {data[:6]!r}")
+    try:
+        return _decode_gif_body(data)
+    except IndexError as e:
+        raise ValueError("truncated GIF stream") from e
+
+
+def _decode_gif_body(data: bytes):
+    import numpy as np
+
+    pos = 6
+    sw = int.from_bytes(data[pos:pos + 2], "little")
+    sh = int.from_bytes(data[pos + 2:pos + 4], "little")
+    packed = data[pos + 4]
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = data[pos:pos + size * 3]
+        pos += size * 3
+    _ = (sw, sh)
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(data[pos + 4:pos + 6], "little")
+            h = int.from_bytes(data[pos + 6:pos + 8], "little")
+            ipacked = data[pos + 8]
+            pos += 9
+            if ipacked & 0x40:
+                raise NotImplementedError(
+                    "interlaced GIF decode not implemented — "
+                    "de-interlace externally or re-encode sequential"
+                )
+            palette = gct
+            if ipacked & 0x80:
+                size = 2 << (ipacked & 0x07)
+                palette = data[pos:pos + size * 3]
+                pos += size * 3
+            if palette is None:
+                raise ValueError("GIF image has no color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode_gif(bytes(lzw), mcs, w * h), dtype="uint8"
+            ).astype("int64")
+            pal = np.frombuffer(palette, dtype="uint8").reshape(-1, 3)
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            return pal[idx].reshape(h, w, 3).copy()
+        elif block == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"unrecognized GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def synthesize_gif(
+    df: DataFrame, id_col: str = "media_id", width: int = 8, height: int = 6
+) -> DataFrame:
+    """Deterministic test-pattern GIFs: the SAME integer pixel formula
+    as :func:`synthesize_bmp`/:func:`synthesize_png` (one closed-form
+    oracle covers every lossless codec), palette-built per image."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys, xs = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            content = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                arr = np.stack(
+                    [
+                        (mid * 7 + xs * 13 + ys * 17) % 256,
+                        (mid * 11 + xs * 3 + ys * 5) % 256,
+                        (mid * 13 + xs * 23 + ys * 29) % 256,
+                    ],
+                    axis=-1,
+                ).astype("uint8")
+                content.append(encode_gif(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": "image",
+                    "content": content,
+                    "meta": [
+                        {"width": width, "height": height,
+                         "sample_rate": None, "n_frames": None}
+                    ] * len(pdf),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_png(

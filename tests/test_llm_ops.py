@@ -1945,6 +1945,9 @@ def test_png_rejects_corrupt_and_unsupported():
     assert np.array_equal(M.decode_image(M.encode_png(arr)), arr)
     assert np.array_equal(M.decode_image(M.encode_bmp(arr)), arr)
     with pytest.raises(ValueError, match="unrecognized image magic"):
+        M.decode_image(b"JUNKJUNK\x00\x00")
+    # GIF magic routes to the r13 codec; truncation is a named error
+    with pytest.raises(ValueError, match="truncated GIF"):
         M.decode_image(b"GIF89a\x00\x00")
 
 
@@ -3035,3 +3038,81 @@ def test_jpeg_feature_and_thumbnail_surface(spark):
                  mixed, decoder="image", dim=8).collect()}
     for mid in (1, 2, 3):
         assert abs(feats[mid][1] - 128 / 255) < 0.02, mid
+
+
+def test_gif_roundtrip_exact():
+    """encode_gif → decode_gif is the identity: small palettes, the
+    256-color maximum (8-bit codes growing to 12), streams long enough
+    to hit the 4096-entry dictionary RESET, and 1-pixel edges."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    # few colors / odd shapes
+    for h, w, ncol in [(6, 8, 5), (1, 1, 1), (1, 7, 3), (9, 4, 16)]:
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype="uint8")
+        idx = rng.integers(0, ncol, size=(h, w))
+        arr = pal[idx]
+        got = M.decode_gif(M.encode_gif(arr))
+        assert np.array_equal(got, arr), (h, w, ncol)
+    # 256 distinct colors: min code size 8, widths 9..12
+    pal = np.stack(
+        [np.arange(256), (np.arange(256) * 7) % 256,
+         (np.arange(256) * 13) % 256], axis=-1
+    ).astype("uint8")
+    idx = rng.integers(0, 256, size=(64, 64))
+    arr = pal[idx]
+    assert np.array_equal(M.decode_gif(M.encode_gif(arr)), arr)
+    # long low-entropy stream: forces dictionary growth past 4096 and
+    # a mid-stream CLEAR + reset
+    idx = rng.integers(0, 7, size=(128, 128))
+    pal7 = rng.integers(0, 256, size=(7, 3), dtype="uint8")
+    arr = pal7[idx]
+    assert np.array_equal(M.decode_gif(M.encode_gif(arr)), arr)
+
+
+def test_gif_gates_and_guards():
+    """Interlaced images raise the named gate; >256-color encodes
+    refuse rather than quantize; decode_image magic-sniffs GIFs; junk
+    blocks raise named errors."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(6, 8, 3), dtype="uint8")
+    blob = bytearray(M.encode_gif(arr))
+    assert np.array_equal(M.decode_image(bytes(blob)), arr)
+    # image descriptor at 6 (header) + 7 (LSD) + GCT; find 0x2C and
+    # flip the interlace bit in its packed byte (offset +9)
+    gct_n = 2 << (blob[10] & 0x07)
+    desc = 13 + gct_n * 3
+    assert blob[desc] == 0x2C
+    blob[desc + 9] |= 0x40
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        M.decode_gif(bytes(blob))
+    with _pytest.raises(ValueError, match="256-color palette"):
+        # a 16x16 smooth gradient RGB has 256 unique colors? build 257+
+        big = np.zeros((1, 300, 3), dtype="uint8")
+        big[0, :, 0] = np.arange(300) % 256
+        big[0, :, 1] = np.arange(300) // 256
+        M.encode_gif(big)
+    with _pytest.raises(ValueError, match="not a GIF"):
+        M.decode_gif(b"GIF00" + bytes(20))
+    # extensions (e.g. GCE) are skipped: splice a no-op extension in
+    ok = bytearray(M.encode_gif(arr))
+    ext = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    spliced = bytes(ok[:desc]) + ext + bytes(ok[desc:])
+    assert np.array_equal(M.decode_gif(spliced), arr)
+
+
+def test_gif_pipeline_real_pixels(spark):
+    """synthesize → decode → exact channel sums matches the closed
+    form (the multimodal Arrow plumbing end-to-end over GIF)."""
+    ids = spark.range(6).selectExpr("id AS media_id")
+    media = M.synthesize_gif(ids, id_col="media_id", width=8, height=6)
+    stats = {r.media_id: r for r in M.image_stats(media).collect()}
+    for mid in range(6):
+        exp_r = sum((mid * 7 + x * 13 + y * 17) % 256
+                    for x in range(8) for y in range(6))
+        assert stats[mid].sum_r == exp_r
+        assert (stats[mid].width, stats[mid].height) == (8, 6)
