@@ -794,14 +794,36 @@ def stage_table_changes(
 ):
     """``{"stage": "table_changes", "path": ..., "from_version": V,
     "to_version": W?, "keys": [...]?, "per_version": bool?,
-    "include_timestamp": bool?}`` — source-like CDF read."""
+    "include_timestamp": bool?}`` — source-like CDF read. Timestamps
+    work too (Delta's ``startingTimestamp``/``endingTimestamp``):
+    ``from_timestamp``/``to_timestamp`` resolve through
+    :func:`resolve_timestamp_version` (exactly one of version/timestamp
+    per bound)."""
     s = spark if spark is not None else df.sparkSession
+    base = spec["path"]
+
+    def bound(vkey: str, tkey: str, required: bool):
+        has_v = spec.get(vkey) is not None
+        has_t = spec.get(tkey) is not None
+        if has_v and has_t:
+            raise ValueError(
+                f"table_changes needs at most one of {vkey} / {tkey}"
+            )
+        if has_t:
+            return resolve_timestamp_version(s, base, spec[tkey])
+        if has_v:
+            return int(spec[vkey])
+        if required:
+            raise ValueError(
+                f"table_changes needs {vkey} or {tkey}"
+            )
+        return None
+
     return table_changes(
         s,
-        spec["path"],
-        int(spec["from_version"]),
-        int(spec["to_version"]) if spec.get("to_version") is not None
-        else None,
+        base,
+        bound("from_version", "from_timestamp", required=True),
+        bound("to_version", "to_timestamp", required=False),
         list(spec["keys"]) if spec.get("keys") else None,
         bool(spec.get("per_version", False)),
         bool(spec.get("include_timestamp", False)),

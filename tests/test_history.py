@@ -588,6 +588,46 @@ def test_timestamp_as_of_vacuumed_refuses(spark, tmp_path):
         H.resolve_timestamp_version(spark, tgt, ts[3] + 10)
 
 
+def test_table_changes_by_timestamp(spark, tmp_path):
+    """The table_changes stage accepts from_timestamp/to_timestamp
+    (Delta's startingTimestamp idiom): bounds resolve through
+    resolve_timestamp_version; mixing version and timestamp on one
+    bound refuses."""
+    tgt = str(tmp_path / "t")
+    _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    for i in range(2):
+        merge_upsert(
+            spark.createDataFrame(
+                [(7300 + i, "P", float(i))],
+                "k int, status string, val double",
+            ),
+            tgt, ["k"], partition_by=["status"],
+        )
+    ts = H.commit_timestamps(spark, tgt)
+    by_ts = H.stage_table_changes(
+        None,
+        {"path": tgt, "from_timestamp": (ts[0] + ts[1]) / 2,
+         "to_timestamp": ts[2] + 5, "keys": ["k"]},
+        spark,
+    )
+    by_v = H.stage_table_changes(
+        None, {"path": tgt, "from_version": 0, "to_version": 2,
+               "keys": ["k"]}, spark,
+    )
+    assert sorted(map(tuple, by_ts.collect())) == sorted(
+        map(tuple, by_v.collect())
+    )
+    with pytest.raises(ValueError, match="at most one"):
+        H.stage_table_changes(
+            None,
+            {"path": tgt, "from_version": 0, "from_timestamp": ts[1]},
+            spark,
+        )
+    with pytest.raises(ValueError, match="from_version or"):
+        H.stage_table_changes(None, {"path": tgt}, spark)
+
+
 def test_cdf_commit_timestamp(spark, tmp_path):
     """Per-version CDF can emit Delta's _commit_timestamp column from
     the manifest commit times; the net range diff refuses it."""
