@@ -6113,6 +6113,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_file_skipping",
     "q_stream_changes",
     "q_gif_decode",
+    # Window simulation (end of r13): 11 changed/new above + the 39
+    # oldest r9-stale rows fill the 50-slot window exactly; every
+    # remaining row's latest check is r9 or newer. Surface: 209
+    # declared / 207 oracled (rows-only: q_approx_sketches,
+    # q_pca_project — both with exact companions).
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
