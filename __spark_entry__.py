@@ -2827,6 +2827,114 @@ def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors — merge-on-read DELETE (operators/deletes.py,
+    r14; the reference has no mutable-table story, this is the
+    Delta/Iceberg-v2 surface over plain parquet): the status-partitioned
+    orders snapshot enables history and takes TWO merge-on-read deletes
+    (the 'P' %8=2 slice → v1, the 'O' %16=5 slice → v2). Each writes a
+    positional tombstone sidecar — the in-query assert pins that ZERO
+    data files were rewritten (raw physical count unchanged after both).
+    Reads honor the vectors at every surface: the LIVE logical read and
+    a live time-travel read are count-asserted pre-materialization;
+    ``materialize_deletes`` (v3) then absorbs the vectors through a
+    partition-scoped verified swap (asserted — only the two touched
+    status partitions rewrite) and archives them, after which the
+    hashed frames re-read v0/v1/v2 THROUGH the archived vectors, CDF
+    0→2 classifies every change as a delete (asserted, scoped to the
+    tombstoned partitions via the manifests' dv_dirs, tag 900), CDF
+    v2→v3 is asserted empty (materialization changes nothing
+    logically), and the raw files finally equal the logical state
+    (tag 300). The oracle replays every state in SQL.
+
+    Scale: the delete itself is one predicate-pushed scan + a
+    tombstone write ∝ deleted rows — never a partition rewrite; reads
+    pay one (broadcast-sized) anti join until compaction absorbs it."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators import history as H
+    from config_driven_pyspark_spark.operators.deletes import (
+        has_live_deletes,
+        materialize_deletes,
+        read_table,
+    )
+    from config_driven_pyspark_spark.operators.table import delete_where
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_dv_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(target)
+    H.disable_table_history(spark, target)
+    H.enable_table_history(spark, target, ["o_orderstatus"])
+    n_seed = spark.read.parquet(target).count()
+
+    s1 = delete_where(
+        spark, target, "o_orderstatus = 'P' AND o_orderkey % 8 = 2",
+        ["o_orderstatus"], mode="merge_on_read",
+    )
+    assert s1["rewrite"] == "dv", s1
+    s2 = delete_where(
+        spark, target, "o_orderstatus = 'O' AND o_orderkey % 16 = 5",
+        ["o_orderstatus"], mode="merge_on_read",
+    )
+    assert s2["rewrite"] == "dv", s2
+    # merge-on-read physics: two deletes later, no data file rewritten
+    assert spark.read.parquet(target).count() == n_seed
+    assert H.table_current_version(spark, target) == 2
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+                F.expr(
+                    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+                    "AS DOUBLE)"
+                ).alias("total_price"),
+            )
+            .withColumn("version", F.lit(version).cast("int"))
+        )
+
+    # LIVE vector reads, evaluated eagerly (the hashed frames are built
+    # post-materialization — these pin the pre-materialization logical
+    # states through the live `_deletes` anti-join path)
+    assert read_table(spark, target).count() == (
+        n_seed - s1["n_matched"] - s2["n_matched"]
+    )
+    assert H.read_table_version(spark, target, 1).count() == (
+        n_seed - s1["n_matched"]
+    )
+
+    s3 = materialize_deletes(spark, target, ["o_orderstatus"])
+    assert s3["rewrite"] == "partition", s3
+    assert s3["n_tombstones"] == s1["n_matched"] + s2["n_matched"], s3
+    assert not has_live_deletes(spark, target)
+    # materialization is logically invisible: CDF v2→v3 is empty
+    assert H.table_changes(
+        spark, target, 2, 3, keys=["o_orderkey"]
+    ).count() == 0
+
+    # every hashed frame reads POST-materialization state: v0/v1/v2 go
+    # through the retained pre-states + ARCHIVED vectors, the raw live
+    # files now equal the logical state (tag 300)
+    out = _agg(H.read_table_version(spark, target, 0), 0)
+    out = out.unionByName(_agg(H.read_table_version(spark, target, 1), 1))
+    out = out.unionByName(_agg(H.read_table_version(spark, target, 2), 2))
+    # CDF across the two dv commits: every change is a delete (tag 900)
+    ch = H.table_changes(spark, target, 0, 2, keys=["o_orderkey"])
+    assert ch.filter(F.col("_change_type") != "delete").count() == 0
+    out = out.unionByName(_agg(ch.drop("_change_type"), 900))
+    return out.unionByName(_agg(spark.read.parquet(target), 300))
+
+
 def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed (operators/history.py::table_changes, r12 —
     Delta's ``table_changes`` surface): the status-partitioned orders
@@ -6238,6 +6346,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_mutate": q_table_mutate,  # UPDATE WHERE + DELETE FROM, r12
         "q_time_travel": q_time_travel,  # VERSION AS OF reads, r12
         "q_table_restore": q_table_restore,  # RESTORE TABLE, r12
+        "q_delete_vectors": q_delete_vectors,  # merge-on-read DELETE, r14
         "q_table_changes": q_table_changes,  # Change Data Feed, r12
         "q_table_alter": q_table_alter,  # ALTER TABLE reshape, r12
         "q_table_scan": q_table_scan,  # sidecar-pruned reads, r12
@@ -8740,6 +8849,39 @@ def oracle_sql() -> dict[str, str]:
                      AS total_price,
                    101 AS version
             FROM v1 GROUP BY o_orderstatus, o_orderpriority
+        """,
+        # merge-on-read deletes replayed as plain filters: v1 = seed
+        # minus the first condition, v2 = v1 minus the second; the CDF
+        # rows (tag 900) are exactly seed minus v2, and the
+        # post-materialization reads (tags 501 / 300) repeat v1 / v2
+        "q_delete_vectors": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            v1 AS (
+              SELECT * FROM t
+              WHERE NOT (o_orderstatus = 'P' AND o_orderkey % 8 = 2)),
+            v2 AS (
+              SELECT * FROM v1
+              WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 16 = 5)),
+            del AS (
+              SELECT * FROM t
+              WHERE (o_orderstatus = 'P' AND o_orderkey % 8 = 2)
+                 OR (o_orderstatus = 'O' AND o_orderkey % 16 = 5)),
+            tagged AS (
+              SELECT *, 0 AS version FROM t
+              UNION ALL SELECT *, 1 AS version FROM v1
+              UNION ALL SELECT *, 2 AS version FROM v2
+              UNION ALL SELECT *, 900 AS version FROM del
+              UNION ALL SELECT *, 300 AS version FROM v2)
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price,
+                   version
+            FROM tagged GROUP BY o_orderstatus, o_orderpriority, version
         """,
         # the reshape replayed in SQL: rename -> add (sees the column
         # about to drop) -> drop

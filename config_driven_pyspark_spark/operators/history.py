@@ -288,6 +288,7 @@ def commit_retention(
     replaced: list[str],
     created: list[str],
     rows_staged: int,
+    dv_dirs: list[str] | None = None,
 ) -> None:
     """Called by the swap where it would otherwise DELETE its backup:
     rename the backup into ``__history/v<N>`` (no backup — a pure-
@@ -325,6 +326,11 @@ def commit_retention(
         # oracle-able
         "ts": _time.time(),
     }
+    if dv_dirs is not None:
+        # deletion-vector commits (mode "dv") replace no directories;
+        # the partitions holding tombstoned rows are recorded here so
+        # CDF / restore scoping still knows where the change lives
+        manifest["dv_dirs"] = sorted(dv_dirs)
     _write_small(
         jvm, fs, f"{hist}/v{version}/{_MANIFEST_FILE}",
         json.dumps(manifest).encode(),
@@ -569,13 +575,28 @@ def read_table_version(
         ]
         sources = [s for s in sources if s[1]]
 
+    # deletion vectors (operators/deletes.py): a version-W read honors
+    # exactly the tombstones committed at or before W — rows a later
+    # merge-on-read delete removed are still visible at W, and the
+    # anti join is applied PER FRAME (while ``_metadata`` is still
+    # resolvable on the raw scan), matching files by the rename-stable
+    # rel path wherever retention moved them
+    from config_driven_pyspark_spark.operators.deletes import (
+        _applicable_dv,
+        apply_deletion_vectors,
+    )
+
+    dv = _applicable_dv(spark, base, version, manifests=complete)
     frames: list[DataFrame] = []
     for root, dirs in sources:
         reader = spark.read.option("basePath", root)
         if dirs:
-            frames.append(reader.parquet(*[f"{root}/{d}" for d in dirs]))
+            frame = reader.parquet(*[f"{root}/{d}" for d in dirs])
         else:
-            frames.append(reader.parquet(root))
+            frame = reader.parquet(root)
+        if dv is not None:
+            frame = apply_deletion_vectors(frame, dv[0], dv[1])
+        frames.append(frame)
     if not frames:
         # every partition dir was created after `version` — the table
         # was empty; shape the empty frame like the live snapshot
@@ -719,7 +740,13 @@ def table_changes(
             if man["mode"] == "full":
                 scope = None  # a full rewrite may have touched anything
                 break
+            if man["mode"] == "dv" and man.get("dv_dirs") is None:
+                # a deletion vector whose touched-partition set exceeded
+                # the scoping cap — could have tombstoned anywhere
+                scope = None
+                break
             scope |= set(man["replaced"]) | set(man["created"])
+            scope |= set(man.get("dv_dirs") or [])
     old = read_table_version(spark, base, from_version, _only_dirs=scope)
     new = read_table_version(spark, base, to_version, _only_dirs=scope)
     # align schemas across evolution (a column added between versions
@@ -1037,6 +1064,17 @@ def restore_table(
     if timestamp is not None:
         version = resolve_timestamp_version(spark, base, timestamp)
     _recover_crashed_swap(spark, base)
+    from config_driven_pyspark_spark.operators.deletes import (
+        has_live_deletes,
+        materialize_deletes,
+    )
+
+    if has_live_deletes(spark, base):
+        # pending merge-on-read deletes: absorb them first so the
+        # restore's rewrite starts from materialized files and never
+        # leaves live vectors referencing files it replaced
+        _c0, _cur0, _f0, pb0 = _versions(spark, base)
+        materialize_deletes(spark, base, pb0 or None)
     complete, current, floor, partition_by = _versions(spark, base)
     if version == current:
         return {
@@ -1053,7 +1091,11 @@ def restore_table(
             if man is None or man["mode"] == "full":
                 scope = None
                 break
+            if man["mode"] == "dv" and man.get("dv_dirs") is None:
+                scope = None
+                break
             scope |= set(man["replaced"]) | set(man["created"])
+            scope |= set(man.get("dv_dirs") or [])
         if scope is not None and len(scope) > _MAX_SCOPED_PARTITIONS:
             scope = None
     df = read_table_version(spark, base, version, _only_dirs=scope)
@@ -1158,6 +1200,21 @@ def vacuum_table_history(
         if n < cutoff:
             fs.delete(Path(f"{hist}/v{n}"), True)
             fs.delete(Path(f"{hist}/v{n}.pending"), False)
+    # archived deletion vectors (operators/deletes.py): a vector
+    # materialized at version M is consulted only by reads of versions
+    # BELOW M — once the readable floor reaches M, nothing can need it
+    from config_driven_pyspark_spark.operators.deletes import (
+        _dv_archive_root,
+        _list_dv,
+    )
+
+    floor_after = (min(keep) - 1) if keep else max(
+        0, int(doc.get("high_water", 0)), *complete, *incomplete
+    )
+    arch = _dv_archive_root(base)
+    for e in _list_dv(spark, arch):
+        if e["mat"] is not None and e["mat"] <= floor_after:
+            fs.delete(Path(f"{arch}/{e['name']}"), True)
     return {"dropped": dropped, "kept": len(keep)}
 
 

@@ -1463,6 +1463,23 @@ def _recover_crashed_swap_locked(
         fs.delete(staging_p, True)
 
 
+def _absorb_pending_deletes(
+    spark: SparkSession, target_path: str, partition_by: list[str] | None
+) -> None:
+    """Rewriting-op preamble: absorb pending deletion vectors
+    (operators/deletes.py) BEFORE planning the rewrite — a rewrite that
+    read the raw files would resurrect tombstoned rows, and one that
+    replaced them would orphan the vectors. One FS listing when no
+    vector exists (the overwhelmingly common path)."""
+    from config_driven_pyspark_spark.operators.deletes import (
+        has_live_deletes,
+        materialize_deletes,
+    )
+
+    if has_live_deletes(spark, target_path):
+        materialize_deletes(spark, target_path, partition_by)
+
+
 def _restore_missing_dirs(fs, Path, src_dir, dst_dir) -> None:
     """Rename whole child DIRECTORIES of ``src_dir`` missing under
     ``dst_dir`` back into place; recurse where both sides have the
@@ -1877,6 +1894,7 @@ def merge_upsert(
         upserts = source
 
     _recover_crashed_swap(spark, target_path)
+    _absorb_pending_deletes(spark, target_path, partition_by)
 
     if not _fs_exists(spark, target_path):
         if when_not_matched == "none":
@@ -2482,6 +2500,7 @@ def scd2_merge(
     biz = [c for c in upserts.columns if c != ts_col and c not in keys]
 
     _recover_crashed_swap(spark, target_path)
+    _absorb_pending_deletes(spark, target_path, partition_by)
 
     def as_version(df: DataFrame) -> DataFrame:
         return df.select(
@@ -2973,6 +2992,7 @@ def incremental_agg(
 
     spark = batch.sparkSession
     _recover_crashed_swap(spark, target_path)
+    _absorb_pending_deletes(spark, target_path, partition_by)
     if batch_id is not None and _fs_exists(spark, target_path):
         last = _read_batch_marker(spark, target_path)
         if last is not None and int(batch_id) <= last:
@@ -3175,6 +3195,8 @@ def compact_table(
     if not _fs_exists(spark, target_path):
         raise ValueError(f"no snapshot at {target_path!r} to compact")
     _recover_crashed_swap(spark, target_path)
+    # compaction is ALSO the designated deletion-vector materializer
+    _absorb_pending_deletes(spark, target_path, partition_by)
     jvm, fs = _fs(spark, target_path)
     Path = jvm.org.apache.hadoop.fs.Path
     base = target_path.rstrip("/")
@@ -3435,6 +3457,16 @@ def scan_table(
             paths = fpaths
     if paths:
         df = spark.read.option("basePath", base).parquet(*paths)
+        # merge-on-read deletes (operators/deletes.py): tombstoned rows
+        # must not surface from a pruned read either
+        from config_driven_pyspark_spark.operators.deletes import (
+            _live_dv,
+            apply_deletion_vectors,
+        )
+
+        live = _live_dv(spark, base)
+        if live is not None:
+            df = apply_deletion_vectors(df, live[0], live[1])
     else:
         df = spark.read.parquet(base).limit(0)
     pred = None
@@ -3496,6 +3528,7 @@ def alter_table(
         raise ValueError("alter_table needs add, rename and/or drop")
     base = target_path.rstrip("/")
     _recover_crashed_swap(spark, base)
+    _absorb_pending_deletes(spark, base, partition_by)
     snap = spark.read.parquet(base)
     cols = snap.columns
     pcols = set(partition_by or [])
@@ -3579,6 +3612,7 @@ def _mutate_where(
     if not _fs_exists(spark, target_path):
         raise ValueError(f"no snapshot at {target_path!r}")
     _recover_crashed_swap(spark, target_path)
+    _absorb_pending_deletes(spark, target_path, partition_by)
     base = target_path.rstrip("/")
     target = spark.read.parquet(target_path)
     if set_exprs:
@@ -3690,6 +3724,7 @@ def delete_where(
     target_path: str,
     condition: str,
     partition_by: list[str] | None = None,
+    mode: str = "copy_on_write",
 ) -> dict:
     """``DELETE FROM <snapshot> WHERE <condition>`` over plain parquet —
     the GDPR/right-to-be-forgotten staple. One snapshot pass finds the
@@ -3698,7 +3733,26 @@ def delete_where(
     (untouched partition files stay byte-identical), through the same
     row-count-verified crash-recovered swap as the merges. A zero-match
     condition touches nothing (``rewrite: "none"``). Returns
-    ``{n_before, n_matched, n_after, rewrite}``."""
+    ``{n_before, n_matched, n_after, rewrite}``.
+
+    ``mode="merge_on_read"`` writes a positional DELETION VECTOR
+    instead of rewriting any data file (operators/deletes.py — the
+    Delta/Iceberg-v2 answer to "a 10-row delete in a 1 TB partition
+    rewrites 1 TB"): bytes written ∝ deleted rows; reads through
+    :func:`~config_driven_pyspark_spark.operators.deletes.read_table`,
+    ``scan_table``, time travel and CDF honor the tombstones; the next
+    compaction (or any rewriting op) materializes them."""
+    if mode == "merge_on_read":
+        from config_driven_pyspark_spark.operators.deletes import (
+            delete_where_dv,
+        )
+
+        return delete_where_dv(spark, target_path, condition, partition_by)
+    if mode != "copy_on_write":
+        raise ValueError(
+            f"unknown delete mode {mode!r} — use 'copy_on_write' or "
+            "'merge_on_read'"
+        )
     return _mutate_where(spark, target_path, condition, None, partition_by)
 
 
@@ -3726,13 +3780,17 @@ def update_where(
 
 def stage_table_delete(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "table_delete", "path": ..., "where": <condition>,
-    "partition_by": [...]?}`` — deletes matching rows from the snapshot
-    and returns the post-delete table."""
+    "partition_by": [...]?, "mode": "merge_on_read"?}`` — deletes
+    matching rows from the snapshot and returns the post-delete table
+    (deletion-vector-aware, so merge-on-read deletes are reflected)."""
     delete_where(
         df.sparkSession, spec["path"], spec["where"],
         spec.get("partition_by"),
+        mode=spec.get("mode", "copy_on_write"),
     )
-    return df.sparkSession.read.parquet(spec["path"])
+    from config_driven_pyspark_spark.operators.deletes import read_table
+
+    return read_table(df.sparkSession, spec["path"])
 
 
 def stage_table_update(df: DataFrame, spec: dict) -> DataFrame:

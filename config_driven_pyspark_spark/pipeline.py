@@ -275,6 +275,7 @@ class Pipeline:
             "udf", "grouped_map", "flat_map", "sink", "merge", "scd2",
             "scd2_asof", "incremental_agg", "compact",
             "table_delete", "table_update",
+            "table_read", "dv_materialize",
             "time_travel", "table_history", "table_restore",
             "vacuum_history", "expect", "table_changes", "alter",
             "enable_history", "analyze", "table_scan",
@@ -310,6 +311,18 @@ class Pipeline:
             )
 
             return stage_analyze(None, spec, spark=ctx.spark)
+        if kind == "table_read":
+            # source-like: the table's live LOGICAL state — a plain
+            # read with pending deletion vectors anti-joined away
+            from config_driven_pyspark_spark.operators.deletes import (
+                stage_table_read,
+            )
+
+            return stage_table_read(
+                ctx.last if not spec.get("input") else ctx.get(spec["input"]),
+                spec,
+                spark=ctx.spark,
+            )
         if kind == "table_scan":
             from config_driven_pyspark_spark.operators.table import (
                 stage_table_scan,
@@ -562,6 +575,12 @@ class Pipeline:
             )
 
             return stage_table_update(df, spec)
+        if kind == "dv_materialize":
+            from config_driven_pyspark_spark.operators.deletes import (
+                stage_dv_materialize,
+            )
+
+            return stage_dv_materialize(df, spec)
         if kind == "table_restore":
             from config_driven_pyspark_spark.operators.history import (
                 stage_table_restore,

@@ -1,0 +1,270 @@
+"""Deletion vectors (operators/deletes.py): merge-on-read DELETE,
+DV-aware reads (live / scan_table / time travel / CDF), materialization,
+and the rewriting-op absorb contract.
+
+The reference (timkins666/config-driven-pyspark) has no mutable-table
+story; these semantics pin the Delta/Iceberg-v2 deletion-vector model
+re-expressed over plain parquet + the engine's swap machinery.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from config_driven_pyspark_spark.operators.deletes import (
+    _dv_root,
+    _list_dv,
+    delete_where_dv,
+    has_live_deletes,
+    materialize_deletes,
+    read_table,
+)
+from config_driven_pyspark_spark.operators.history import (
+    enable_table_history,
+    read_table_version,
+    table_changes,
+    table_current_version,
+    table_history,
+    vacuum_table_history,
+)
+from config_driven_pyspark_spark.operators.table import (
+    delete_where,
+    merge_upsert,
+    scan_table,
+)
+
+
+def _mk(spark, path, n=40, parts=4, partition_by=True):
+    df = (
+        spark.range(0, n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % parts).cast("int").alias("p"),
+            (F.col("id") * 10).alias("v"),
+        )
+    )
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy("p")
+    w.parquet(path)
+    return ["p"] if partition_by else None
+
+
+def _ids(df):
+    return sorted(r["k"] for r in df.select("k").collect())
+
+
+def test_dv_delete_unpartitioned_live_read(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=20, partition_by=False)
+    res = delete_where(spark, path, "k % 5 = 0", mode="merge_on_read")
+    assert res == {
+        "n_before": 20, "n_matched": 4, "n_after": 16, "rewrite": "dv",
+    }
+    # no data file was touched: the raw read still has every row …
+    assert spark.read.parquet(path).count() == 20
+    # … the logical read doesn't
+    assert _ids(read_table(spark, path)) == [
+        k for k in range(20) if k % 5 != 0
+    ]
+    assert has_live_deletes(spark, path)
+
+
+def test_dv_delete_zero_match_writes_nothing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=10, partition_by=False)
+    res = delete_where(spark, path, "k > 999", mode="merge_on_read")
+    assert res["rewrite"] == "none"
+    assert not has_live_deletes(spark, path)
+
+
+def test_dv_deletes_accumulate_and_count_logically(spark, tmp_path):
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=30)
+    r1 = delete_where_dv(spark, path, "k < 10", pb)
+    assert (r1["n_before"], r1["n_matched"]) == (30, 10)
+    # second delete probes the LOGICAL state: k<12 matches only 10,11
+    r2 = delete_where_dv(spark, path, "k < 12", pb)
+    assert (r2["n_before"], r2["n_matched"], r2["n_after"]) == (20, 2, 18)
+    assert _ids(read_table(spark, path)) == list(range(12, 30))
+    assert len(_list_dv(spark, _dv_root(path))) == 2
+
+
+def test_dv_bytes_scale_with_deleted_rows_not_partition(spark, tmp_path):
+    """The headline property: a tiny delete writes tombstone bytes, not
+    a partition rewrite."""
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=4000, parts=2)
+
+    def du(root):
+        total = 0
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    part_bytes = du(f"{path}/p=0")
+    delete_where_dv(spark, path, "k = 42", pb)
+    dv_bytes = du(f"{path}/_deletes")
+    assert dv_bytes < part_bytes  # tombstones ≪ one partition
+    assert read_table(spark, path).count() == 3999
+    # and the data files are byte-identical (mtimes/sizes untouched)
+    assert spark.read.parquet(path).count() == 4000
+
+
+def test_dv_materialize_partition_scoped(spark, tmp_path):
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=40, parts=4)
+    delete_where_dv(spark, path, "k in (1, 5, 9)", pb)  # all p=1
+    before_p0 = sorted(os.listdir(f"{path}/p=0"))
+    res = materialize_deletes(spark, path, pb)
+    assert res["rewrite"] == "partition"
+    assert res["n_tombstones"] == 3
+    # untouched partitions keep their exact files
+    assert sorted(os.listdir(f"{path}/p=0")) == before_p0
+    # vectors are gone (unversioned → deleted), raw read is now logical
+    assert not has_live_deletes(spark, path)
+    assert spark.read.parquet(path).count() == 37
+    assert materialize_deletes(spark, path, pb)["rewrite"] == "none"
+
+
+def test_dv_scan_table_honors_tombstones(spark, tmp_path):
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=40, parts=4)
+    delete_where_dv(spark, path, "k = 17", pb)
+    got = scan_table(spark, path, pb, key_between={"k": (10, 20)})
+    assert _ids(got) == [k for k in range(10, 21) if k != 17]
+
+
+def test_dv_versioned_time_travel_and_cdf(spark, tmp_path):
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    enable_table_history(spark, path, pb)
+    res = delete_where_dv(spark, path, "k in (2, 4)", pb)  # version 1
+    assert res["rewrite"] == "dv"
+    assert table_current_version(spark, path) == 1
+    # time travel: v0 still sees the rows, v1 doesn't
+    assert _ids(read_table_version(spark, path, 0)) == list(range(20))
+    assert _ids(read_table_version(spark, path, 1)) == [
+        k for k in range(20) if k not in (2, 4)
+    ]
+    # CDF reports honest deletes, scoped to the tombstoned partition
+    ch = table_changes(spark, path, 0, 1, keys=["k"]).collect()
+    assert sorted((r["k"], r["_change_type"]) for r in ch) == [
+        (2, "delete"), (4, "delete"),
+    ]
+    # DESCRIBE HISTORY shows the dv commit
+    hist = {r["version"]: (r["op"], r["mode"])
+            for r in table_history(spark, path).collect()}
+    assert hist[1] == ("delete", "dv")
+
+
+def test_dv_versioned_materialize_keeps_old_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    enable_table_history(spark, path, pb)
+    delete_where_dv(spark, path, "k in (2, 4)", pb)        # v1
+    materialize_deletes(spark, path, pb)                    # v2
+    assert table_current_version(spark, path) == 2
+    assert not has_live_deletes(spark, path)
+    # archived vectors still serve the old versions
+    assert _ids(read_table_version(spark, path, 0)) == list(range(20))
+    assert 2 not in _ids(read_table_version(spark, path, 1))
+    assert _ids(read_table_version(spark, path, 1)) == _ids(
+        read_table_version(spark, path, 2)
+    )
+    # materialization is a physical no-op logically: CDF v1→v2 is empty
+    assert table_changes(spark, path, 1, 2, keys=["k"]).count() == 0
+    from config_driven_pyspark_spark.operators.deletes import (
+        _dv_archive_root,
+    )
+
+    # keep_last=1 keeps entry v2 → version 1 is STILL readable (v2
+    # holds its pre-state), so the archived vector must survive
+    vacuum_table_history(spark, path, keep_last=1)
+    assert len(_list_dv(spark, _dv_archive_root(path))) == 1
+    assert 2 not in _ids(read_table_version(spark, path, 1))
+    # dropping every entry leaves only the current version readable —
+    # nothing can need the vector anymore and vacuum reaps it
+    vacuum_table_history(spark, path, keep_last=0)
+    assert _list_dv(spark, _dv_archive_root(path)) == []
+
+
+def test_dv_restore_resurrects_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    enable_table_history(spark, path, pb)
+    delete_where_dv(spark, path, "k in (2, 4)", pb)  # v1
+    from config_driven_pyspark_spark.operators.history import restore_table
+
+    res = restore_table(spark, path, 0)
+    assert res["restored_version"] == 0
+    assert _ids(read_table(spark, path)) == list(range(20))
+    assert not has_live_deletes(spark, path)
+
+
+def test_rewriting_op_absorbs_pending_vectors(spark, tmp_path):
+    """A merge after a merge-on-read delete must not resurrect rows."""
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    delete_where_dv(spark, path, "k in (2, 4)", pb)
+    batch = spark.createDataFrame(
+        [(100, 0, 1000), (3, 1, 999)], "k long, p int, v long"
+    )
+    merge_upsert(batch, path, ["k"], partition_by=pb)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert 2 not in got and 4 not in got     # not resurrected
+    assert got[100] == 1000 and got[3] == 999
+    assert not has_live_deletes(spark, path)
+
+
+def test_dv_copy_on_write_delete_absorbs_first(spark, tmp_path):
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    delete_where_dv(spark, path, "k = 2", pb)
+    res = delete_where(spark, path, "k = 3", pb)  # CoW path
+    assert res["n_before"] == 19  # logical count, post-DV
+    assert _ids(spark.read.parquet(path)) == [
+        k for k in range(20) if k not in (2, 3)
+    ]
+
+
+def test_dv_partitioned_table_requires_partition_by(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=10, parts=2)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        delete_where_dv(spark, path, "k = 1", None)
+    with pytest.raises(ValueError, match="does not match"):
+        delete_where_dv(spark, path, "k = 1", ["nope"])
+
+
+def test_dv_full_materialize_versioned_self_heals(spark, tmp_path):
+    """Unpartitioned + versioned: the FULL swap carries `_deletes` into
+    the retained dir; archival must still land the vectors where old
+    versions find them."""
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=20, partition_by=False)
+    enable_table_history(spark, path, None)
+    delete_where_dv(spark, path, "k < 5", None)   # v1
+    materialize_deletes(spark, path, None)        # v2, full mode
+    assert _ids(read_table_version(spark, path, 0)) == list(range(20))
+    assert _ids(read_table_version(spark, path, 1)) == list(range(5, 20))
+    assert _ids(spark.read.parquet(path)) == list(range(5, 20))
+
+
+def test_dv_pipeline_stages(spark, tmp_path):
+    from config_driven_pyspark_spark.pipeline import Pipeline
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=20, partition_by=False)
+    out = Pipeline.from_config([
+        {"stage": "table_read", "path": path},
+        {"stage": "table_delete", "path": path, "where": "k < 15",
+         "mode": "merge_on_read"},
+        {"stage": "dv_materialize", "path": path},
+    ]).run(spark)
+    assert _ids(out) == list(range(15, 20))
+    assert _ids(spark.read.parquet(path)) == list(range(15, 20))
