@@ -1855,23 +1855,52 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def _pca_basis_path() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "cdp_pca_basis.parquet")
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection onto the top-4 covariance eigenvectors
-    (similarity.py::pca_train + pca_project, r9): the covariance
-    sufficient statistics aggregate corpus-side (one pass, dim²
-    rows), the 64×64 eigendecomposition runs driver-side in numpy
-    (k·dim-bounded collect, the kmeans pattern), and the projection is
-    one map-only Project of literal dot products. DECLARED ROWS-ONLY:
-    eigenvectors aren't SQL-expressible — the exact companion row is
-    ``q_embedding_covariance`` (the full input to the eigensolver,
-    hash-checked), and orthonormality / variance-ordering / whitening
-    invariants are pytest-pinned (tests/test_llm_ops.py)."""
+    (similarity.py::pca_train + pca_project, r9; HASH-EXACT since r14
+    — VERDICT r13 ask #7): the covariance sufficient statistics
+    aggregate corpus-side (one pass, dim² rows, DECIMAL-exact), the
+    64×64 eigendecomposition runs driver-side in numpy (k·dim-bounded
+    collect, the kmeans pattern), and the projection is one map-only
+    Project of literal dot products. The deterministic, sign-fixed
+    eigenbasis (and the folded mean offsets, computed with the same
+    Python expression order as pca_project) is PERSISTED as a tiny
+    parquet, and the oracle replays the projection as
+    ``list_dot_product`` against it — the q_jl_projection
+    literal-replay pattern with learned planes, closing the last
+    upgradeable rows-only row. The eigensolver's own input stays
+    hash-checked by ``q_embedding_covariance`` and its invariants
+    pytest-pinned (tests/test_llm_ops.py)."""
     from config_driven_pyspark_spark.operators.similarity import (
         pca_project,
+        pca_train,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    proj = pca_project(emb, "embedding", out_dim=4, dim=64)
+    model = pca_train(emb, "embedding", out_dim=4, dim=64)
+    mean, comps, _eigs = model
+    # identical expression to pca_project's offset fold — same Python
+    # float op order, bit-identical offsets
+    offs = [sum(m * c for m, c in zip(mean, comp)) for comp in comps]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "comp": list(range(len(comps))),
+            "w": comps,
+            "off": offs,
+        }),
+        _pca_basis_path(),
+    )
+    proj = pca_project(emb, "embedding", out_dim=4, dim=64, model=model)
     return proj.select(
         "vec_id",
         *[F.round(F.col("proj").getItem(i), 6).alias(f"p{i}")
@@ -2933,6 +2962,84 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert ch.filter(F.col("_change_type") != "delete").count() == 0
     out = out.unionByName(_agg(ch.drop("_change_type"), 900))
     return out.unionByName(_agg(spark.read.parquet(target), 300))
+
+
+def q_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE schema evolution (operators/table.py::merge_upsert
+    ``schema_evolution=True``, r14 — Delta's ``mergeSchema``): the
+    status-partitioned orders snapshot takes (1) an update-all merge
+    whose batch carries a NEW ``o_channel`` column (%8∈{1,2} updates +
+    %8=3 inserts) — the column auto-adds inside the merge's own
+    verified swap, survivors backfill NULL, and the evolving swap is
+    honestly FULL (asserted; plain parquet has no metadata-only add);
+    then (2) a CONDITIONAL update-only merge whose partial-schema batch
+    carries a second new column ``o_score`` — the snapshot first
+    evolves through alter_table's verified add-with-backfill swap and
+    the merge itself then scopes to the touched partitions (asserted
+    ``rewrite == "partition"``, so the two-swap path cannot silently
+    degrade to a full rewrite). Aggregated per (status, channel) with
+    the retag count and decimal-stable score sum; the oracle replays
+    both evolutions as plain SQL."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.table import merge_upsert
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_evolve_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(target)
+
+    b1 = orders.filter((F.col("o_orderkey") % 8).isin(1, 2, 3)).withColumn(
+        "o_channel",
+        F.concat(F.lit("CH-"), (F.col("o_orderkey") % 3).cast("string")),
+    )
+    s1 = merge_upsert(
+        b1, target, ["o_orderkey"], partition_by=["o_orderstatus"],
+        schema_evolution=True,
+    )
+    assert s1["rewrite"] == "full", s1
+
+    # partial-schema batch: keys + the partition column (scoping derives
+    # the touched set from the batch) + the evolving column — no
+    # priority/price, the update-only contract
+    b2 = orders.filter(F.col("o_orderkey") % 8 == 4).select(
+        "o_orderkey", "o_orderstatus",
+        ((F.col("o_orderkey") % 97).cast("double") / 10.0).alias("o_score"),
+    )
+    s2 = merge_upsert(
+        b2, target, ["o_orderkey"], partition_by=["o_orderstatus"],
+        schema_evolution=True,
+        update_set={
+            "o_score": "source.o_score",
+            "o_orderpriority": "concat('E-', target.o_orderpriority)",
+        },
+        when_not_matched="none",
+    )
+    assert s2["rewrite"] == "partition", s2
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus", "o_channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").startswith("E-"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_retagged"),
+            F.expr(
+                "CAST(sum(CAST(coalesce(o_score, 0.0) AS DECIMAL(18,2)))"
+                " AS DOUBLE)"
+            ).alias("score_sum"),
+        )
+    )
 
 
 def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6199,33 +6306,26 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window is guaranteed to re-verify them this round.  Reset this
 # list at the start of each round.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 13: the six r12-late governed rows (deferred one rotation in
-    # r12, judge-verified hash-exact but never driver-recorded) are
-    # pinned to the very front per VERDICT r12 ask #2.  They would
-    # self-front as never-recorded anyway; listing them here makes the
-    # guarantee explicit and immune to any other never-recorded names.
-    "q_expectations",
-    "q_table_changes",
-    "q_table_alter",
-    "q_e2e_governed",
-    "q_table_analyze",
-    "q_table_scan",
-    # round 13 semantic changes: q_simhash_pairs gains a DuckDB oracle
-    # (VERDICT ask #6 — was rows-only), q_time_travel gains the
-    # TIMESTAMP AS OF read (ask #3), q_table_changes above also gains
-    # the _commit_timestamp column plumbing (version-keyed determinism
-    # preserved — see operators/history.py).
-    "q_simhash_pairs",
-    "q_time_travel",
-    # round 13 new rows (would self-front as never-recorded anyway)
+    # round 14 new rows (would self-front as never-recorded anyway):
+    # deletion vectors + MERGE schema evolution
+    "q_delete_vectors",
+    "q_merge_evolve",
+    # round 14 semantic changes: q_pca_project gains its DuckDB oracle
+    # (VERDICT r13 ask #7 — persisted eigenbasis replayed as
+    # list_dot_product; was rows-only), q_file_skipping now reads the
+    # SHARDED _file_stats sidecar (ask #2), q_stream_changes' sink is
+    # exactly-once (ask #5 — version-named files + sink marker).
+    "q_pca_project",
     "q_file_skipping",
     "q_stream_changes",
-    "q_gif_decode",
-    # Window simulation (end of r13): 11 changed/new above + the 39
-    # oldest r9-stale rows fill the 50-slot window exactly; every
-    # remaining row's latest check is r9 or newer. Surface: 209
-    # declared / 207 oracled (rows-only: q_approx_sketches,
-    # q_pca_project — both with exact companions).
+    # Window plan (r14): 5 changed/new above + the 11 r9-stale rows
+    # (VERDICT ask #3: q_events_json, q_ivf_ann, q_streaming_asof,
+    # q_sink_roundtrip, q_source_cap, q_salted_join_orders,
+    # q_time_window_hourly, q_ivf_delete, q_html_extract,
+    # q_repetition_filter, q_gopher_filter) + the oldest r10 rows fill
+    # the 50-slot window. Surface: 211 declared / 210 oracled
+    # (rows-only: q_approx_sketches, by approximate nature — exact
+    # companions hash-green).
 ]
 
 # One-round back-of-queue demotions: names here sort BEHIND everything
@@ -6347,6 +6447,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_travel": q_time_travel,  # VERSION AS OF reads, r12
         "q_table_restore": q_table_restore,  # RESTORE TABLE, r12
         "q_delete_vectors": q_delete_vectors,  # merge-on-read DELETE, r14
+        "q_merge_evolve": q_merge_evolve,  # MERGE schema evolution, r14
         "q_table_changes": q_table_changes,  # Change Data Feed, r12
         "q_table_alter": q_table_alter,  # ALTER TABLE reshape, r12
         "q_table_scan": q_table_scan,  # sidecar-pruned reads, r12
@@ -8401,6 +8502,29 @@ def oracle_sql() -> dict[str, str]:
         "q_jl_projection": _COSINE_CTE + f"""
             SELECT vec_id, {_JL4_PROJ_SQL} FROM unitv
         """,
+        # PCA replay (r14): the engine persists its deterministic
+        # sign-fixed eigenbasis + folded mean offsets as a tiny parquet
+        # (written by the query itself, driver-side numpy) and the
+        # oracle recomputes every projection as list_dot_product
+        # against it — the JL literal-replay pattern with learned
+        # planes. The eigensolver's INPUT is independently hash-checked
+        # by q_embedding_covariance.
+        "q_pca_project": """
+            SELECT e.vec_id,
+                   round(list_dot_product(e.embedding::DOUBLE[], b0.w)
+                         - b0.off, 6) AS p0,
+                   round(list_dot_product(e.embedding::DOUBLE[], b1.w)
+                         - b1.off, 6) AS p1,
+                   round(list_dot_product(e.embedding::DOUBLE[], b2.w)
+                         - b2.off, 6) AS p2,
+                   round(list_dot_product(e.embedding::DOUBLE[], b3.w)
+                         - b3.off, 6) AS p3
+            FROM embeddings e
+            CROSS JOIN (SELECT w, off FROM '{p}' WHERE comp = 0) b0
+            CROSS JOIN (SELECT w, off FROM '{p}' WHERE comp = 1) b1
+            CROSS JOIN (SELECT w, off FROM '{p}' WHERE comp = 2) b2
+            CROSS JOIN (SELECT w, off FROM '{p}' WHERE comp = 3) b3
+        """.replace("{p}", _pca_basis_path()),
         # the oracle is the UNSALTED join: salting must be placement-only
         "q_salted_join_orders": """
             SELECT c_mktsegment,
@@ -8882,6 +9006,46 @@ def oracle_sql() -> dict[str, str]:
                      AS total_price,
                    version
             FROM tagged GROUP BY o_orderstatus, o_orderpriority, version
+        """,
+        # both schema evolutions replayed as SQL: the update-all merge
+        # with the new channel column, then the conditional update-only
+        # merge stamping scores + the E- retag on the %8=4 slice
+        "q_merge_evolve": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            b1 AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice,
+                     'CH-' || CAST(o_orderkey % 3 AS VARCHAR) AS o_channel
+              FROM orders WHERE o_orderkey % 8 IN (1, 2, 3)),
+            v1 AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice, NULL AS o_channel
+              FROM t
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b1)
+              UNION ALL
+              SELECT * FROM b1),
+            v2 AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 8 = 4
+                          THEN 'E-' || o_orderpriority
+                          ELSE o_orderpriority END AS o_orderpriority,
+                     o_totalprice, o_channel,
+                     CASE WHEN o_orderkey % 8 = 4
+                          THEN CAST(o_orderkey % 97 AS DOUBLE) / 10.0
+                          END AS o_score
+              FROM v1)
+            SELECT o_orderstatus, o_channel,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CASE WHEN o_orderpriority LIKE 'E-%'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_retagged,
+                   CAST(sum(CAST(coalesce(o_score, 0.0) AS DECIMAL(18,2)))
+                        AS DOUBLE) AS score_sum
+            FROM v2 GROUP BY o_orderstatus, o_channel
         """,
         # the reshape replayed in SQL: rename -> add (sees the column
         # about to drop) -> drop

@@ -2451,3 +2451,145 @@ def test_scan_table_prunes_with_sidecar(spark, tmp_path):
     with _pytest.raises(ValueError, match="needs key_eq"):
         scan_table(spark, target, ["bucket"])
     _ = F
+
+
+# --- MERGE schema evolution (r14 — VERDICT r13 ask #4) -----------------
+
+
+def _evo_seed(spark, path, partitioned=True):
+    df = spark.createDataFrame(
+        [(i, ["A", "B"][i % 2], float(i)) for i in range(20)],
+        "k long, p string, v double",
+    )
+    w = df.write.mode("overwrite")
+    if partitioned:
+        w = w.partitionBy("p")
+    w.parquet(path)
+
+
+def test_merge_schema_evolution_update_all(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _evo_seed(spark, path)
+    batch = spark.createDataFrame(
+        [(1, "B", 100.0, "web"), (40, "A", 400.0, "app")],
+        "k long, p string, v double, channel string",
+    )
+    stats = merge_upsert(
+        batch, path, ["k"], partition_by=["p"], schema_evolution=True,
+    )
+    assert stats["rewrite"] == "full"  # evolving merges can't scope
+    got = {r["k"]: r["channel"]
+           for r in spark.read.parquet(path).collect()}
+    assert got[1] == "web" and got[40] == "app"
+    assert got[0] is None  # survivors backfill NULL
+
+
+def test_merge_schema_evolution_conditional_via_alter(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.history import (
+        enable_table_history, table_history,
+    )
+
+    path = str(tmp_path / "t")
+    _evo_seed(spark, path)
+    enable_table_history(spark, path, ["p"])
+    batch = spark.createDataFrame(
+        [(2, "A", 2.5), (3, "B", 3.5)], "k long, p string, score double"
+    )
+    stats = merge_upsert(
+        batch, path, ["k"], partition_by=["p"],
+        schema_evolution=True,
+        update_set={"score": "source.score",
+                    "v": "target.v + source.score"},
+        when_not_matched="none",
+    )
+    # the alter evolved the snapshot (full swap, its own version), the
+    # conditional merge then scoped normally
+    assert stats["rewrite"] == "partition", stats
+    ops = [(r.op, r.mode) for r in table_history(spark, path)
+           .orderBy("version").collect()]
+    assert ops == [("alter", "full"), ("merge", "partition")], ops
+    got = {r["k"]: (r["score"], r["v"])
+           for r in spark.read.parquet(path).collect()}
+    assert got[2] == (2.5, 4.5) and got[3] == (3.5, 6.5)
+    assert got[0] == (None, 0.0)
+    # a second conditional evolving merge with NO new columns stays a
+    # plain scoped merge (no spurious alter version)
+    batch2 = spark.createDataFrame([(4, "A", 9.0)],
+                                   "k long, p string, score double")
+    merge_upsert(
+        batch2, path, ["k"], partition_by=["p"], schema_evolution=True,
+        update_set={"score": "source.score"}, when_not_matched="none",
+    )
+    ops2 = [r.op for r in table_history(spark, path)
+            .orderBy("version").collect()]
+    assert ops2 == ["alter", "merge", "merge"], ops2
+
+
+def test_merge_schema_evolution_type_conflict_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _evo_seed(spark, path)
+    batch = spark.createDataFrame(
+        [(1, "B", 7)], "k long, p string, v int"  # v is double on disk
+    )
+    with pytest.raises(ValueError, match="conflicting types"):
+        merge_upsert(batch, path, ["k"], partition_by=["p"],
+                     schema_evolution=True)
+
+
+def test_merge_schema_evolution_void_column_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _evo_seed(spark, path)
+    from pyspark.sql import functions as SF
+
+    batch = spark.createDataFrame(
+        [(1, "B", 1.0)], "k long, p string, v double"
+    ).withColumn("mystery", SF.lit(None))
+    with pytest.raises(ValueError, match="untyped"):
+        merge_upsert(batch, path, ["k"], partition_by=["p"],
+                     schema_evolution=True,
+                     update_set={"mystery": "source.mystery"},
+                     when_not_matched="none")
+
+
+def test_lock_wait_queues_overlapping_writers(spark, tmp_path):
+    """r14 (VERDICT r13 ask #8): with the opt-in lock wait, a second
+    writer on an OVERLAPPING scope queues behind the live lease
+    instead of erroring — both merges commit, versions stay distinct.
+    The default (wait 0) keeps the loud-failure contract."""
+    import threading
+
+    from config_driven_pyspark_spark.operators.history import (
+        enable_table_history, table_history,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, "A", float(i)) for i in range(10)],
+        "k long, p string, v double",
+    ).write.partitionBy("p").parquet(path)
+    enable_table_history(spark, path, ["p"])
+    spark.conf.set("spark.cdp.lock.wait_seconds", "120")
+    errs, done = [], []
+
+    def run(lo):
+        try:
+            batch = spark.createDataFrame(
+                [(lo, "A", -1.0)], "k long, p string, v double"
+            )
+            done.append(merge_upsert(batch, path, ["k"],
+                                     partition_by=["p"]))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    try:
+        t1 = threading.Thread(target=run, args=(3,))
+        t2 = threading.Thread(target=run, args=(7,))
+        t1.start(); t2.start(); t1.join(); t2.join()
+    finally:
+        spark.conf.set("spark.cdp.lock.wait_seconds", "0")
+    assert not errs, errs
+    assert len(done) == 2
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got[3] == -1.0 and got[7] == -1.0 and len(got) == 10
+    versions = [r.version for r in table_history(spark, path).collect()]
+    assert sorted(versions) == [1, 2]  # distinct, both committed
