@@ -2163,6 +2163,40 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_stats(out)
 
 
+def q_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law codec end-to-end (multimodal.py::encode_wav_mulaw /
+    decode_wav format-7 branch, r14 — VERDICT r13 ask #9): the
+    64-sample PCM16 test tone transcodes to a real mu-law RIFF/WAVE
+    (format code 7, 'fact' chunk, ones'-complemented 8-bit bytes) and
+    audio_stats decodes it back through the exact G.711 expansion.
+    mu-law is MEMORYLESS, so the oracle replays compress+expand as one
+    closed-form CASE ladder per sample — any slip in the bias, clip,
+    segment exponent, mantissa shift or complement moves a sum."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    media = MM.synthesize_wav(ids, id_col="doc_id", n_samples=64,
+                              sample_rate=8000)
+    return MM.audio_stats(MM.transcode_audio(media, "mulaw"))
+
+
+def q_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA-ADPCM codec end-to-end (multimodal.py::encode_wav_adpcm /
+    decode_wav format-0x11 branch, r14 — VERDICT r13 ask #9): the
+    64-sample test tone transcodes to a real 4-bit IMA-ADPCM RIFF/WAVE
+    (mono block: verbatim header sample + step-adaptive nibbles) and
+    audio_stats decodes the reconstruction. ADPCM is a per-block STATE
+    MACHINE, so the oracle replays the full encoder/decoder closed
+    loop — the 89-entry step table, nibble quantization, dequantized
+    predictor updates with clamps, and index adaptation — as a
+    63-step recursive CTE per media row; one wrong table entry or
+    clamp diverges every later sample."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 48)
+    media = MM.synthesize_wav(ids, id_col="doc_id", n_samples=64,
+                              sample_rate=8000)
+    return MM.audio_stats(MM.transcode_audio(media, "adpcm"))
+
+
 _BM25_QUERIES = [
     (0, "spark table join"),
     (1, "fast filter value"),
@@ -6318,6 +6352,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_pca_project",
     "q_file_skipping",
     "q_stream_changes",
+    # round 14 new codec rows (would self-front as never-recorded)
+    "q_mulaw_decode",
+    "q_adpcm_decode",
     # Window plan (r14): 5 changed/new above + the 11 r9-stale rows
     # (VERDICT ask #3: q_events_json, q_ivf_ann, q_streaming_asof,
     # q_sink_roundtrip, q_source_cap, q_salted_join_orders,
@@ -6544,7 +6581,9 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_decon": q_semantic_decon,
         "q_temperature_mixture": q_temperature_mixture,
         "q_audio_decode": q_audio_decode,
-        "q_audio_resample": q_audio_resample,  # exact linear-interp resample, r10
+        "q_audio_resample": q_audio_resample,
+        "q_mulaw_decode": q_mulaw_decode,  # G.711 codec, r14
+        "q_adpcm_decode": q_adpcm_decode,  # IMA-ADPCM codec, r14  # exact linear-interp resample, r10
         "q_bpe_vocab": q_bpe_vocab,
         "q_unigram_vocab": q_unigram_vocab,  # SentencePiece-family, r9
         "q_unigram_encode": q_unigram_encode,  # Viterbi segmentation, r9
@@ -6779,6 +6818,13 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
 
 # JL projection: plain dot products with the same seeded planes (bits=4
 # planes == project_embeddings(out_dim=4) planes — same generator+seed)
+_IMA_STEPS_SQL = "[" + ",".join(
+    str(x) for x in __import__(
+        "config_driven_pyspark_spark.operators.multimodal",
+        fromlist=["_IMA_STEP_TABLE"],
+    )._IMA_STEP_TABLE
+) + "]"
+
 _JL4_PROJ_SQL = ", ".join(
     "round(list_dot_product(u, [{vals}]::DOUBLE[]), 6) AS p{i}".format(
         vals=",".join(repr(x) for x in plane), i=i
@@ -11080,6 +11126,123 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(s * s) AS BIGINT) AS sum_squares,
                    CAST(max(abs(s)) AS INT) AS peak_abs
             FROM samp GROUP BY media_id
+        """,
+        # G.711 mu-law compress+expand replayed closed-form per sample:
+        # sign/clip/bias, segment exponent ladder, 4-bit mantissa,
+        # arithmetic inverse — memoryless, so no state recursion needed
+        "q_mulaw_decode": """
+            WITH ids AS (
+              SELECT doc_id AS media_id FROM documents WHERE doc_id < 64
+            ),
+            samp AS (
+              SELECT media_id,
+                     ((media_id * 31 + t.i * 57) % 4096) - 2048 AS s
+              FROM ids, unnest(range(0, 64)) AS t(i)
+            ),
+            enc AS (
+              SELECT media_id,
+                     CASE WHEN s < 0 THEN 1 ELSE 0 END AS sgn,
+                     least(abs(s), 32635) + 132 AS x
+              FROM samp
+            ),
+            e2 AS (
+              SELECT media_id, sgn, x,
+                     CASE WHEN x >= 16384 THEN 7 WHEN x >= 8192 THEN 6
+                          WHEN x >= 4096 THEN 5 WHEN x >= 2048 THEN 4
+                          WHEN x >= 1024 THEN 3 WHEN x >= 512 THEN 2
+                          WHEN x >= 256 THEN 1 ELSE 0 END AS e
+              FROM enc
+            ),
+            d AS (
+              SELECT media_id,
+                     (CASE WHEN sgn = 1 THEN -1 ELSE 1 END)
+                     * ((((x >> (e + 3)) & 15) * 8 + 132) * (1 << e)
+                        - 132) AS v
+              FROM e2
+            )
+            SELECT media_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(sum(v) AS BIGINT) AS sum_samples,
+                   CAST(sum(v * v) AS BIGINT) AS sum_squares,
+                   CAST(max(abs(v)) AS INT) AS peak_abs
+            FROM d GROUP BY media_id
+        """,
+        # IMA-ADPCM encoder/decoder closed loop replayed as a 63-step
+        # recursive CTE per media row: step-table lookup, 3-bit nibble
+        # quantization with residual subtraction, dequantized predictor
+        # update with clamps, index adaptation — one wrong table entry
+        # or clamp diverges every later sample
+        "q_adpcm_decode": f"""
+            WITH RECURSIVE ids AS (
+              SELECT doc_id AS media_id FROM documents WHERE doc_id < 48
+            ),
+            steps AS (
+              SELECT media_id, 0 AS t,
+                     CAST(((media_id * 31) % 4096) - 2048 AS BIGINT)
+                       AS pred,
+                     CAST(0 AS BIGINT) AS idx,
+                     CAST(((media_id * 31) % 4096) - 2048 AS BIGINT) AS v
+              FROM ids
+              UNION ALL
+              SELECT media_id, t,
+                     greatest(-32768, least(32767,
+                       CASE WHEN sgn = 1 THEN pred - dq
+                            ELSE pred + dq END)) AS pred,
+                     greatest(0, least(88, idx +
+                       CASE WHEN nib3 <= 3 THEN -1 WHEN nib3 = 4 THEN 2
+                            WHEN nib3 = 5 THEN 4 WHEN nib3 = 6 THEN 6
+                            ELSE 8 END)) AS idx,
+                     greatest(-32768, least(32767,
+                       CASE WHEN sgn = 1 THEN pred - dq
+                            ELSE pred + dq END)) AS v
+              FROM (
+                SELECT media_id, t, pred, idx, sgn,
+                       (b2 * 4 + b1 * 2 + b0) AS nib3,
+                       (stp >> 3) + b2 * stp + b1 * (stp >> 1)
+                         + b0 * (stp >> 2) AS dq
+                FROM (
+                  SELECT *, CASE WHEN r2 >= (stp >> 2) THEN 1 ELSE 0 END
+                            AS b0
+                  FROM (
+                    SELECT *,
+                           CASE WHEN r1 >= (stp >> 1) THEN 1 ELSE 0 END
+                             AS b1,
+                           r1 - CASE WHEN r1 >= (stp >> 1)
+                                     THEN (stp >> 1) ELSE 0 END AS r2
+                    FROM (
+                      SELECT *,
+                             CASE WHEN ad >= stp THEN 1 ELSE 0 END AS b2,
+                             ad - CASE WHEN ad >= stp THEN stp
+                                       ELSE 0 END AS r1
+                      FROM (
+                        SELECT media_id, t + 1 AS t, pred, idx,
+                               {_IMA_STEPS_SQL}[CAST(idx AS INT) + 1]
+                                 AS stp,
+                               CASE WHEN s - pred < 0 THEN 1 ELSE 0 END
+                                 AS sgn,
+                               abs(s - pred) AS ad
+                        FROM (
+                          SELECT *,
+                                 ((media_id * 31 + (t + 1) * 57) % 4096)
+                                   - 2048 AS s
+                          FROM steps WHERE t < 63
+                        )
+                      )
+                    )
+                  )
+                )
+              )
+            )
+            SELECT media_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(sum(v) AS BIGINT) AS sum_samples,
+                   CAST(sum(v * v) AS BIGINT) AS sum_squares,
+                   CAST(max(abs(v)) AS INT) AS peak_abs
+            FROM steps GROUP BY media_id
         """,
         # same threshold arithmetic as q_mixture_sample with w = sqrt(c)
         # (IEEE sqrt is correctly rounded — bit-identical across engines)

@@ -203,6 +203,13 @@ HEADLINE = [
     "q_file_skipping",
     "q_stream_changes",
     "q_gif_decode",
+    # round 14: deletion vectors (merge-on-read DELETE), MERGE schema
+    # evolution, and the two telephony codecs; the sharded sidecar and
+    # exactly-once sink ride q_file_skipping / q_stream_changes
+    "q_delete_vectors",
+    "q_merge_evolve",
+    "q_mulaw_decode",
+    "q_adpcm_decode",
 ]
 
 

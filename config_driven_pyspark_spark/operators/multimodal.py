@@ -1723,7 +1723,7 @@ def decode_wav(payload: bytes):
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data, fact_n = 12, None, b"", None, None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
@@ -1736,23 +1736,67 @@ def decode_wav(payload: bytes):
                     f"WAV 'fmt ' chunk is {len(body)} bytes, need >= 16"
                 )
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
+        elif cid == b"fact" and len(body) >= 4:
+            fact_n = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV payload missing fmt/data chunk")
-    audio_fmt, ch, rate, _br, _ba, bits = fmt
+    audio_fmt, ch, rate, _br, block_align, bits = fmt
+    if ch < 1:
+        raise ValueError(f"WAV 'fmt ' chunk declares {ch} channels")
+    if audio_fmt == 7 and bits == 8:
+        # G.711 mu-law (r14): exact integer expansion, no tables needed
+        arr = _mulaw_decode_arr(data)
+        if len(arr) % ch != 0:
+            raise ValueError(
+                f"mu-law data chunk is {len(data)} bytes — not a whole "
+                f"number of {ch}-channel frames"
+            )
+        return arr.reshape(-1, ch), rate
+    if audio_fmt == 0x11 and bits == 4:
+        # IMA-ADPCM (r14), mono block layout
+        if ch != 1:
+            raise NotImplementedError(
+                "IMA-ADPCM decode supports mono blocks dependency-free; "
+                "route multi-channel ADPCM through decoder='real'"
+            )
+        if len(fmt_body) >= 20:
+            spb = struct.unpack("<H", fmt_body[18:20])[0]
+        else:
+            spb = (block_align - 4) * 2 + 1
+        if block_align < 5 or spb < 2:
+            raise ValueError(
+                f"IMA-ADPCM fmt declares block_align={block_align}, "
+                f"samples_per_block={spb} — unparseable block layout"
+            )
+        total = fact_n
+        out: list[int] = []
+        for off in range(0, len(data), block_align):
+            block = data[off:off + block_align]
+            if len(block) < 4:
+                break
+            want = spb
+            if total is not None:
+                want = min(spb, total - len(out))
+                if want <= 0:
+                    break
+            avail = 1 + (len(block) - 4) * 2
+            out.extend(_ima_decode_block(block, min(want, avail)))
+        arr = np.asarray(out, dtype="<i2")
+        return arr.reshape(-1, 1), rate
     if audio_fmt != 1 or bits != 16:
         raise NotImplementedError(
-            f"only PCM16 WAV is decodable dependency-free (got format "
-            f"{audio_fmt}, {bits}-bit); route compressed audio through "
+            f"PCM16, G.711 mu-law and mono IMA-ADPCM WAV are decodable "
+            f"dependency-free (got format {audio_fmt}, {bits}-bit); "
+            "route compressed audio (MP3/AAC/OGG) through "
             "decoder='real' (ffmpeg integration point)"
         )
     # malformed-input diagnostics in the RIFF-check style (ADVICE r7:
     # ch=0 previously hit ZeroDivisionError in reshape, and a ragged
     # data length failed inside frombuffer/reshape)
-    if ch < 1:
-        raise ValueError(f"WAV 'fmt ' chunk declares {ch} channels")
     if len(data) % (2 * ch) != 0:
         raise ValueError(
             f"WAV data chunk is {len(data)} bytes — not a whole number "
@@ -1760,6 +1804,225 @@ def decode_wav(payload: bytes):
         )
     arr = np.frombuffer(data, dtype="<i2")
     return arr.reshape(-1, ch), rate
+
+
+# -- G.711 mu-law + IMA-ADPCM (r14 — VERDICT r13 ask #9) ---------------------
+#
+# The two classic telephony/container codecs whose math is pure integer
+# tables — decodable dependency-free like PCM16, closing the most-hit
+# audio NotImplementedError gates. mu-law (WAV format 7) is MEMORYLESS
+# (one closed-form expression per byte — an external oracle replays it
+# as plain CASE math); IMA-ADPCM (WAV format 0x11) is a 4-bit
+# step-adaptive state machine per block (the oracle replays it as a
+# recursive CTE). MP3/AAC/OGG remain honestly gated.
+
+_MULAW_BIAS = 0x84  # 132
+_MULAW_CLIP = 32635
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _mulaw_encode_arr(samples):
+    """int16 array → mu-law bytes (ITU G.711): sign + clip + bias,
+    exponent = floor(log2(x)) − 7 (exact — inputs are small ints and
+    powers of two are IEEE-exact), 4-bit mantissa, ones' complement."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="int64")
+    sign = np.where(s < 0, 0x80, 0)
+    x = np.minimum(np.abs(s), _MULAW_CLIP) + _MULAW_BIAS
+    exp = np.maximum(np.floor(np.log2(x)).astype("int64") - 7, 0)
+    mant = (x >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype("uint8")
+
+
+def _mulaw_decode_arr(data):
+    """mu-law bytes → int16 array: the exact inverse table, computed
+    arithmetically (mag = ((mant·8 + 132) << exp) − 132)."""
+    import numpy as np
+
+    u = (~np.frombuffer(bytes(data), dtype="uint8").astype("int64")) & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype("<i2")
+
+
+def encode_wav_mulaw(samples, sample_rate: int) -> bytes:
+    """Encode an (n,) / (n, ch) int16 array as a G.711 mu-law RIFF/WAVE
+    blob (format code 7, 8 bits/sample, with the spec-required 'fact'
+    chunk). Lossy by design — :func:`decode_wav` returns the exact
+    G.711 expansion."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="int64")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    payload = _mulaw_encode_arr(arr.reshape(-1)).tobytes()
+    fmt = struct.pack(
+        "<HHIIHHH", 7, ch, sample_rate, sample_rate * ch, ch, 8, 0
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _ima_encode_block(samples) -> bytes:
+    """One mono IMA-ADPCM block: 4-byte header (sample 0 verbatim as
+    int16 + start index 0) then one 4-bit nibble per remaining sample,
+    low nibble first, zero-padded to whole bytes."""
+    import struct
+
+    pred, idx = int(samples[0]), 0
+    nibbles = []
+    for s in samples[1:]:
+        st = _IMA_STEP_TABLE[idx]
+        diff = int(s) - pred
+        nib = 8 if diff < 0 else 0
+        if diff < 0:
+            diff = -diff
+        if diff >= st:
+            nib |= 4
+            diff -= st
+        if diff >= st >> 1:
+            nib |= 2
+            diff -= st >> 1
+        if diff >= st >> 2:
+            nib |= 1
+        pred, idx = _ima_reconstruct(pred, idx, nib)
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4)
+        for i in range(0, len(nibbles), 2)
+    )
+    return struct.pack("<hBB", int(samples[0]), 0, 0) + packed
+
+
+def _ima_reconstruct(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """Shared encoder/decoder state step — the encoder tracks exactly
+    what the decoder will reconstruct (the ADPCM closed loop)."""
+    st = _IMA_STEP_TABLE[idx]
+    diffq = st >> 3
+    if nib & 4:
+        diffq += st
+    if nib & 2:
+        diffq += st >> 1
+    if nib & 1:
+        diffq += st >> 2
+    pred = pred - diffq if nib & 8 else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib & 7]))
+    return pred, idx
+
+
+def _ima_decode_block(block: bytes, n_samples: int) -> list[int]:
+    import struct
+
+    pred, idx, _res = struct.unpack("<hBB", block[:4])
+    out = [pred]
+    for i in range(n_samples - 1):
+        byte = block[4 + (i >> 1)]
+        nib = (byte >> 4) if i & 1 else (byte & 0x0F)
+        pred, idx = _ima_reconstruct(pred, idx, nib)
+        out.append(pred)
+    return out
+
+
+def encode_wav_adpcm(
+    samples, sample_rate: int, block_samples: int = 505
+) -> bytes:
+    """Encode a MONO int16 array as an IMA-ADPCM RIFF/WAVE blob (format
+    code 0x11, 4 bits/sample, standard mono block layout). The last
+    block may carry fewer samples; its true count rides the 'fact'
+    chunk (total frames), which the decoder honors."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="int64").reshape(-1)
+    n = len(arr)
+    if n == 0:
+        raise ValueError("encode_wav_adpcm needs at least one sample")
+    if block_samples < 2:
+        raise ValueError("block_samples must be >= 2")
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    blocks = []
+    for off in range(0, n, block_samples):
+        blk = _ima_encode_block(arr[off:off + block_samples])
+        blocks.append(blk.ljust(block_align, b"\x00"))
+    payload = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        sample_rate * block_align // block_samples, block_align, 4,
+        2, block_samples,
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def transcode_audio(
+    df: DataFrame, codec: str, content_col: str = "content"
+) -> DataFrame:
+    """Real decode → re-encode through another WAV codec: ``"mulaw"``
+    (G.711), ``"adpcm"`` (IMA mono), ``"pcm16"``. Arrow-batched
+    mapInPandas like every codec op; sample_rate is preserved. The
+    roundtrip is LOSSY for mulaw/adpcm by nature — downstream
+    :func:`audio_stats` observes the expanded samples, which an
+    external oracle can replay from pure integer math."""
+    import numpy as np
+
+    if codec not in ("mulaw", "adpcm", "pcm16"):
+        raise ValueError(
+            f"unknown audio codec {codec!r} — mulaw, adpcm or pcm16"
+        )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for payload in pdf[content_col]:
+                arr, rate = decode_wav(bytes(payload))
+                if codec == "mulaw":
+                    content.append(encode_wav_mulaw(arr, rate))
+                elif codec == "adpcm":
+                    if arr.shape[1] != 1:
+                        raise ValueError(
+                            "adpcm transcode supports mono only"
+                        )
+                    content.append(
+                        encode_wav_adpcm(arr.reshape(-1), rate)
+                    )
+                else:
+                    content.append(encode_wav(arr.astype("<i2"), rate))
+            out = pdf.copy()
+            out[content_col] = content
+            yield out
+
+    _ = np
+    return df.mapInPandas(compute, schema=df.schema)
 
 
 def synthesize_wav(
@@ -1969,6 +2232,10 @@ def stage_multimodal(df: DataFrame, spec: dict) -> DataFrame:
     if op == "downsample_audio":
         return downsample_audio(
             df, int(spec["factor"]), spec.get("content_col", "content")
+        )
+    if op == "transcode_audio":
+        return transcode_audio(
+            df, spec["codec"], spec.get("content_col", "content")
         )
     if op == "resample_audio":
         return resample_audio(

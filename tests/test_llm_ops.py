@@ -3116,3 +3116,90 @@ def test_gif_pipeline_real_pixels(spark):
                     for x in range(8) for y in range(6))
         assert stats[mid].sum_r == exp_r
         assert (stats[mid].width, stats[mid].height) == (8, 6)
+
+
+# --- G.711 mu-law + IMA-ADPCM codecs (r14 — VERDICT r13 ask #9) --------
+
+
+def test_mulaw_roundtrip_matches_g711_expansion():
+    import numpy as np
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    s = np.array(
+        [0, 1, -1, 131, -132, 2047, -2048, 32767, -32768, 500, -500],
+        dtype="<i2",
+    )
+    wav = MM.encode_wav_mulaw(s, 8000)
+    arr, rate = MM.decode_wav(wav)
+    assert rate == 8000 and arr.shape == (len(s), 1)
+
+    def ref(x):
+        sgn = x < 0
+        v = min(abs(int(x)), 32635) + 132
+        e = 0
+        while v >= (256 << e) and e < 7:
+            e += 1
+        mag = ((((v >> (e + 3)) & 15) * 8) + 132) * (1 << e) - 132
+        return -mag if sgn else mag
+
+    assert [int(v) for v in arr.reshape(-1)] == [ref(x) for x in s]
+    # mu-law error bound: within one quantization step of the input
+    err = np.abs(arr.reshape(-1).astype(int)
+                 - np.clip(s.astype(int), -32635, 32635))
+    assert int(err.max()) <= 1024
+
+
+def test_adpcm_roundtrip_multiblock_and_error_bound():
+    import numpy as np
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(7)
+    s = np.cumsum(rng.randint(-300, 300, size=1300)).clip(
+        -30000, 30000
+    ).astype("<i2")
+    wav = MM.encode_wav_adpcm(s, 16000)  # 3 blocks at 505 samples
+    arr, rate = MM.decode_wav(wav)
+    assert rate == 16000 and arr.shape == (1300, 1)
+    # block boundaries restart from a verbatim header sample
+    for off in (0, 505, 1010):
+        assert int(arr[off, 0]) == int(s[off])
+    # smooth signals track closely (step-adaptive quantizer)
+    err = np.abs(arr.reshape(-1).astype(int) - s.astype(int))
+    assert int(err.max()) < 2048
+
+
+def test_transcode_audio_stage_and_gates(spark):
+    import numpy as np
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+    from config_driven_pyspark_spark.pipeline import Pipeline
+
+    ids = spark.range(0, 4).select(F.col("id").alias("media_id"))
+    media = MM.synthesize_wav(ids, n_samples=32, sample_rate=8000)
+    out = MM.audio_stats(MM.transcode_audio(media, "mulaw")).collect()
+    assert len(out) == 4 and all(r["n_samples"] == 32 for r in out)
+    # stereo ADPCM refuses (mono block layout only)
+    import pytest as _pytest
+
+    stereo_media = spark.createDataFrame(
+        [(1, "audio", bytearray(MM.encode_wav(
+            np.zeros((8, 2), dtype="<i2"), 8000)), None)],
+        MM.MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="mono"):
+        MM.transcode_audio(stereo_media, "adpcm").collect()
+    # unknown codec name refuses loudly
+    with _pytest.raises(ValueError, match="unknown audio codec"):
+        MM.transcode_audio(media, "mp3")
+    # compressed formats stay honestly gated in decode_wav
+    import struct
+
+    fake = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)
+            + b"data" + struct.pack("<I", 0))
+    with _pytest.raises(NotImplementedError, match="decoder='real'"):
+        MM.decode_wav(fake)
+    _ = Pipeline
