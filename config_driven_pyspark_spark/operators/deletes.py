@@ -141,9 +141,13 @@ def _dv_frame(
         )
     paths = [f"{root}/{e['name']}" for root, e in entries]
     dv = spark.read.schema(_DV_SCHEMA).parquet(*paths)
-    # two deletes may tombstone the same physical row (overlapping
-    # conditions) — the anti join is idempotent but counts are not
-    return dv.distinct(), nsegs.pop()
+    if len(paths) > 1:
+        # two deletes may tombstone the same physical row (overlapping
+        # conditions) — the anti join is idempotent but counts are not.
+        # WITHIN one vector rows are unique by construction, so the
+        # single-vector case (the common read) skips the exchange.
+        dv = dv.distinct()
+    return dv, nsegs.pop()
 
 
 def apply_deletion_vectors(

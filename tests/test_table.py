@@ -2259,8 +2259,11 @@ def test_bloom_prunes_unsorted_point_lookups(spark, tmp_path):
 
 def test_bloom_dropped_past_cap_and_absent_is_safe(spark, tmp_path,
                                                    monkeypatch):
-    """Past _MAX_BLOOM_FILES the doc keeps ranges but sheds blooms
-    (read-more, never read-less); entries without blooms behave like
+    """Past _MAX_BLOOM_FILES a SHARD keeps ranges but sheds blooms
+    (read-more, never read-less) — r14: the cap is per partition
+    directory (the sharded sidecar's RMW unit), so only the shard the
+    scoped commit rewrites past the cap degrades; untouched shards
+    keep their membership bits. Entries without blooms behave like
     r13-early range-only skipping."""
     import config_driven_pyspark_spark.operators.table as T
 
@@ -2272,7 +2275,7 @@ def test_bloom_dropped_past_cap_and_absent_is_safe(spark, tmp_path,
     T.merge_upsert(
         df.repartition(4), target, ["k"], partition_by=["bucket"],
     )
-    monkeypatch.setattr(T, "_MAX_BLOOM_FILES", 2)
+    monkeypatch.setattr(T, "_MAX_BLOOM_FILES", 1)
     st = T.merge_upsert(
         spark.createDataFrame(
             [(10, 0, -1.0)], "k bigint, bucket int, val double"
@@ -2282,7 +2285,16 @@ def test_bloom_dropped_past_cap_and_absent_is_safe(spark, tmp_path,
     assert st["n_matched"] == 1
     doc = T._read_file_stats(spark, target)
     assert doc is not None
-    assert all("bloom" not in e for e in doc["files"].values())
+    by_dir = {}
+    for rel, e in doc["files"].items():
+        by_dir.setdefault(rel.rsplit("/", 1)[0], []).append(e)
+    # the cap applies AT SHARD WRITE TIME: the bucket this merge
+    # rewrote staged > cap files, so ITS shard shed blooms; the
+    # untouched bucket's shard (written under the default cap at
+    # bootstrap) legitimately keeps them
+    assert len(by_dir["bucket=0"]) > 1
+    assert all("bloom" not in e for e in by_dir["bucket=0"])
+    assert any("bloom" in e for e in by_dir["bucket=1"])
     got = T.scan_table(spark, target, ["bucket"], key_eq={"k": 10})
     assert [r.val for r in got.collect()] == [-1.0]
 
