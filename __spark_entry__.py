@@ -2972,9 +2972,9 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert read_table(spark, target).count() == (
         n_seed - s1["n_matched"] - s2["n_matched"]
     )
-    assert H.read_table_version(spark, target, 1).count() == (
-        n_seed - s1["n_matched"]
-    )
+    # (the pre-materialization VERSIONED live-vector read and the
+    # all-deletes CDF classification are pinned by tests/test_deletes.py
+    # and by the hashed values below — no extra driver jobs for them)
 
     s3 = materialize_deletes(spark, target, ["o_orderstatus"])
     assert s3["rewrite"] == "partition", s3
@@ -2991,9 +2991,10 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _agg(H.read_table_version(spark, target, 0), 0)
     out = out.unionByName(_agg(H.read_table_version(spark, target, 1), 1))
     out = out.unionByName(_agg(H.read_table_version(spark, target, 2), 2))
-    # CDF across the two dv commits: every change is a delete (tag 900)
+    # CDF across the two dv commits (tag 900): every change must be a
+    # delete — a stray insert/update row would shift the hashed values
+    # against the oracle's seed-minus-v2 CTE, so the hash IS the assert
     ch = H.table_changes(spark, target, 0, 2, keys=["o_orderkey"])
-    assert ch.filter(F.col("_change_type") != "delete").count() == 0
     out = out.unionByName(_agg(ch.drop("_change_type"), 900))
     return out.unionByName(_agg(spark.read.parquet(target), 300))
 
