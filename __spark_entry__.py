@@ -3077,6 +3077,94 @@ def q_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE inside MERGE (operators/table.py::
+    merge_upsert ``delete_mode="merge_on_read"``, r14): the CDC
+    tombstone trickle at scale. Merge #1 is a DELETE-ONLY batch (the
+    %16=2 slice flagged) — asserted ``rewrite == "dv"`` AND the raw
+    physical count unchanged, so a delete-only batch provably touches
+    zero data files (today's copy-on-write path rewrites every touched
+    partition for it). Merge #2 is MIXED: %16=4 updates retag to
+    'MOR', the %16=7 slice (absent from the seed) inserts, and the
+    %16=6 slice deletes — upserts rewrite their partitions first
+    (absorbing merge #1's pending vector, the documented mixed-batch
+    physics), then the delete rows tombstone against the post-merge
+    files. Hashed output: the LOGICAL state through the live vector
+    (tag 1) and the RAW physical state (tag 2 — the %16=6 rows still
+    present on disk, exactly the merge-on-read deferral). The oracle
+    replays both states in SQL."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark.operators.deletes import (
+        materialize_deletes,
+        read_table,
+    )
+    from config_driven_pyspark_spark.operators.table import merge_upsert
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"cdp_mdv_target_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(target)
+    n_seed = spark.read.parquet(target).count()
+
+    b1 = (
+        orders.filter(F.col("o_orderkey") % 16 == 2)
+        .withColumn("is_del", F.lit(True))
+    )
+    s1 = merge_upsert(
+        b1, target, ["o_orderkey"], delete_col="is_del",
+        delete_mode="merge_on_read", partition_by=["o_orderstatus"],
+    )
+    assert s1["rewrite"] == "dv", s1
+    assert spark.read.parquet(target).count() == n_seed  # zero rewrites
+
+    b2 = (
+        orders.filter(
+            ((F.col("o_orderkey") % 16).isin(4, 6))
+            | ((F.col("o_orderkey") % 16) == 7)
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 16 == 4, F.lit("MOR"))
+            .otherwise(F.col("o_orderpriority")),
+        )
+        .withColumn("is_del", F.col("o_orderkey") % 16 == 6)
+    )
+    s2 = merge_upsert(
+        b2, target, ["o_orderkey"], delete_col="is_del",
+        delete_mode="merge_on_read", partition_by=["o_orderstatus"],
+    )
+    assert s2["rewrite"] == "partition", s2
+    assert s2["n_deleted"] > 0 and s2["n_inserted"] > 0
+
+    def _agg(df: DataFrame, tag: int) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+                F.expr(
+                    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+                    "AS DOUBLE)"
+                ).alias("total_price"),
+            )
+            .withColumn("state", F.lit(tag).cast("int"))
+        )
+
+    _ = materialize_deletes  # covered by q_delete_vectors; both hashed
+    # frames below share post-merge files, so no in-query rewrite may
+    # invalidate their lazy plans
+    out = _agg(read_table(spark, target), 1)
+    return out.unionByName(_agg(spark.read.parquet(target), 2))
+
+
 def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed (operators/history.py::table_changes, r12 —
     Delta's ``table_changes`` surface): the status-partitioned orders
@@ -6345,6 +6433,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # deletion vectors + MERGE schema evolution
     "q_delete_vectors",
     "q_merge_evolve",
+    "q_merge_dv",
     # round 14 semantic changes: q_pca_project gains its DuckDB oracle
     # (VERDICT r13 ask #7 — persisted eigenbasis replayed as
     # list_dot_product; was rows-only), q_file_skipping now reads the
@@ -6486,6 +6575,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_restore": q_table_restore,  # RESTORE TABLE, r12
         "q_delete_vectors": q_delete_vectors,  # merge-on-read DELETE, r14
         "q_merge_evolve": q_merge_evolve,  # MERGE schema evolution, r14
+        "q_merge_dv": q_merge_dv,  # merge-on-read deletes in MERGE, r14
         "q_table_changes": q_table_changes,  # Change Data Feed, r12
         "q_table_alter": q_table_alter,  # ALTER TABLE reshape, r12
         "q_table_scan": q_table_scan,  # sidecar-pruned reads, r12
@@ -9093,6 +9183,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(coalesce(o_score, 0.0) AS DECIMAL(18,2)))
                         AS DOUBLE) AS score_sum
             FROM v2 GROUP BY o_orderstatus, o_channel
+        """,
+        # merge-on-read deletes in MERGE: logical = seed minus the two
+        # deleted slices + MOR retags + the %16=7 inserts; raw adds the
+        # %16=6 rows back (still physically present — the deferral)
+        "q_merge_dv": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            afterm AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 16 = 4 THEN 'MOR'
+                          ELSE o_orderpriority END AS o_orderpriority,
+                     o_totalprice
+              FROM t WHERE o_orderkey % 16 NOT IN (2, 6)
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 16 = 7),
+            raw AS (
+              SELECT * FROM afterm
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM t WHERE o_orderkey % 16 = 6),
+            tagged AS (
+              SELECT *, 1 AS state FROM afterm
+              UNION ALL SELECT *, 2 AS state FROM raw)
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price,
+                   state
+            FROM tagged GROUP BY o_orderstatus, o_orderpriority, state
         """,
         # the reshape replayed in SQL: rename -> add (sees the column
         # about to drop) -> drop

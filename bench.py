@@ -208,6 +208,7 @@ HEADLINE = [
     # exactly-once sink ride q_file_skipping / q_stream_changes
     "q_delete_vectors",
     "q_merge_evolve",
+    "q_merge_dv",
     "q_mulaw_decode",
     "q_adpcm_decode",
 ]

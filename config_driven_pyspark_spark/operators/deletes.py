@@ -113,6 +113,32 @@ def has_live_deletes(spark: SparkSession, target_path: str) -> bool:
     return bool(_list_dv(spark, _dv_root(target_path.rstrip("/"))))
 
 
+_DV_STAGING_LEASE_S = 900  # matches the writer-lock lease
+
+
+def _gc_dv_staging(spark: SparkSession, base: str) -> None:
+    """Reap `staging-*` dirs a CRASHED dv delete left in `_deletes`
+    (never published → never applied; a LIVE writer's staging is
+    younger than the lock lease, so age-gate like lock GC)."""
+    import time as _time
+
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    root = _dv_root(base)
+    jvm, fs = _fs(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    p = Path(root)
+    if not fs.exists(p):
+        return
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("staging-")):
+            continue
+        age = (_time.time() * 1000 - st.getModificationTime()) / 1000.0
+        if age > _DV_STAGING_LEASE_S:
+            fs.delete(st.getPath(), True)
+
+
 def _rel_expr(nseg: int):
     """The file-identity Column: last ``nseg`` path segments of
     ``_metadata.file_path`` (partition dirs + file name) — the part of
@@ -255,6 +281,67 @@ def delete_where_dv(
     the rows, CDF reports them as deletes), and touches ZERO data
     files. Returns ``{n_before, n_matched, n_after, rewrite: "dv"}``.
     A zero-match condition writes nothing (``rewrite: "none"``)."""
+    if not condition:
+        raise ValueError(
+            "a WHERE condition is required — to drop a whole table, "
+            "overwrite it instead of tombstoning every row"
+        )
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    return _dv_delete_core(
+        spark, target_path, partition_by,
+        lambda df: (df, cond), what=repr(condition),
+    )
+
+
+def delete_matching_dv(
+    spark: SparkSession,
+    target_path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Merge-on-read delete BY KEY SET — the CDC-tombstone shape: every
+    target row whose ``keys`` match a row of ``keys_df`` is tombstoned
+    (null-safe, like the merge's own key match), no data file touched.
+    This is what a delete-only merge batch wants at scale: the batch is
+    small (broadcast side of the membership join), the target scan is
+    one predicate-pruned pass, and the write is ∝ deleted rows — used
+    by ``merge_upsert(delete_mode="merge_on_read")``."""
+    for k in keys:
+        if k not in keys_df.columns:
+            raise ValueError(f"keys_df is missing key column {k!r}")
+    marked = keys_df.select(
+        *[F.col(k).alias(f"__del_{k}") for k in keys]
+    ).distinct().withColumn("__del", F.lit(True))
+
+    def attach(df: DataFrame):
+        cond = None
+        for k in keys:
+            e = df[k].eqNullSafe(marked[f"__del_{k}"])
+            cond = e if cond is None else cond & e
+        joined = df.join(marked, cond, "left").drop(
+            *[f"__del_{k}" for k in keys]
+        )
+        return joined, F.col("__del").isNotNull()
+
+    out = _dv_delete_core(
+        spark, target_path, partition_by, attach,
+        what=f"keys in batch ({keys})",
+    )
+    return out
+
+
+def _dv_delete_core(
+    spark: SparkSession,
+    target_path: str,
+    partition_by: list[str] | None,
+    attach,
+    what: str,
+) -> dict:
+    """Shared merge-on-read delete machinery: ``attach(keyed_df) ->
+    (df, cond Column)`` supplies the match — a SQL predicate
+    (:func:`delete_where_dv`) or a key-set membership join
+    (:func:`delete_matching_dv`)."""
     from config_driven_pyspark_spark.operators import history as _hist
     from config_driven_pyspark_spark.operators.table import (
         _MAX_SCOPED_PARTITIONS,
@@ -265,18 +352,13 @@ def delete_where_dv(
         _recover_crashed_swap,
     )
 
-    if not condition:
-        raise ValueError(
-            "a WHERE condition is required — to drop a whole table, "
-            "overwrite it instead of tombstoning every row"
-        )
     base = target_path.rstrip("/")
     jvm, fs = _fs(spark, base)
     Path = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(Path(base)):
         raise ValueError(f"no snapshot at {target_path!r}")
     _recover_crashed_swap(spark, base)
-    cond = F.coalesce(F.expr(condition), F.lit(False))
+    _gc_dv_staging(spark, base)
     scoped = bool(partition_by) and _layout_matches(
         spark, base, partition_by
     )
@@ -306,6 +388,7 @@ def delete_where_dv(
         """(n_total, n_matched, partition-dir list | None) in ONE pass —
         the _mutate_where probe shape, over the DV-filtered state so
         already-tombstoned rows never re-match."""
+        df, cond = attach(df)
         aggs = [
             F.count("*").alias("n"),
             F.sum(cond.cast("long")).alias("n_m"),
@@ -378,12 +461,13 @@ def delete_where_dv(
             dirs is None or not set(dirs) <= set(scope)
         ):
             raise IOError(
-                f"rows matching {condition!r} moved outside the probed "
+                f"rows matching {what} moved outside the probed "
                 f"partition scope while acquiring the lock (concurrent "
                 "writer) — retry the delete"
             )
+        live2, cond = attach(live)
         tomb = (
-            live.filter(cond)
+            live2.filter(cond)
             .select(
                 F.col("__dv_rel").alias("rel_path"),
                 F.col("__dv_ri").alias("row_index"),
@@ -455,6 +539,7 @@ def materialize_deletes(
         return {"n_vectors": 0, "n_tombstones": 0, "n_after": None,
                 "rewrite": "none"}
     _recover_crashed_swap(spark, base)
+    _gc_dv_staging(spark, base)
     jvm, fs = _fs(spark, base)
     Path = jvm.org.apache.hadoop.fs.Path
     dv, nseg = _dv_frame(

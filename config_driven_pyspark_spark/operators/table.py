@@ -1930,6 +1930,7 @@ def merge_upsert(
     target_path: str,
     keys: list[str],
     delete_col: str | None = None,
+    delete_mode: str = "copy_on_write",
     partition_by: list[str] | None = None,
     allow_new_columns: bool = False,
     schema_evolution: bool = False,
@@ -1996,6 +1997,17 @@ def merge_upsert(
     file's footer); batches after the evolving one scope normally
     again.
 
+    ``delete_mode="merge_on_read"`` (r14): the batch's delete rows
+    tombstone their matched target rows through a DELETION VECTOR
+    (operators/deletes.py) instead of participating in the rewrite —
+    and when the batch is DELETE-ONLY the merge touches ZERO data
+    files (the CDC-tombstone trickle at scale: today a delete-only
+    batch rewrites every touched partition). Upserts, if any, merge
+    FIRST (their rewrite would otherwise absorb the fresh vector), the
+    vector is written against the post-merge state, and the stats fold
+    both phases. Incompatible with the by-source clause (those deletes
+    target rows NOT in the batch — full-rewrite physics either way).
+
     A missing target bootstraps from the batch's non-delete rows — the
     day-zero case."""
     from config_driven_pyspark_spark.operators.similarity import _fs_exists
@@ -2035,6 +2047,22 @@ def merge_upsert(
                     "updating a key breaks merge idempotency; delete + "
                     "insert instead"
                 )
+    if delete_mode not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(
+            f"unknown delete_mode {delete_mode!r} — 'copy_on_write' or "
+            "'merge_on_read'"
+        )
+    if delete_mode == "merge_on_read" and delete_col is None:
+        raise ValueError(
+            "delete_mode='merge_on_read' needs delete_col (it changes "
+            "how the batch's DELETE rows apply)"
+        )
+    if delete_mode == "merge_on_read" and when_not_matched_by_source != "none":
+        raise ValueError(
+            "delete_mode='merge_on_read' is incompatible with "
+            "when_not_matched_by_source — by-source deletes target rows "
+            "NOT in the batch, which is full-rewrite physics either way"
+        )
     conditional = (
         update_set is not None or match_condition is not None
         or when_matched != "update" or when_not_matched != "insert"
@@ -2116,6 +2144,52 @@ def merge_upsert(
         ).drop(delete_col)
     else:
         upserts = source
+
+    if delete_mode == "merge_on_read" and _fs_exists(spark, target_path):
+        from config_driven_pyspark_spark.operators.deletes import (
+            delete_matching_dv,
+        )
+
+        del_keys = (
+            source.filter(F.coalesce(F.col(delete_col), F.lit(False)))
+            .select(*keys)
+        )
+        # upserts FIRST (their rewrite would absorb a just-written
+        # vector), each phase on the batch slice that drives it; a
+        # delete-only batch skips the merge machinery entirely
+        n_up = upserts.limit(1).count()
+        if n_up:
+            stats = merge_upsert(
+                upserts, target_path, keys,
+                partition_by=partition_by,
+                allow_new_columns=allow_new_columns,
+                schema_evolution=schema_evolution,
+                update_set=update_set,
+                match_condition=match_condition,
+                when_matched=when_matched,
+                when_not_matched=when_not_matched,
+            )
+        else:
+            stats = {"n_before": None, "n_matched": 0, "n_updated": 0,
+                     "n_inserted": 0, "n_deleted": 0, "n_after": None,
+                     "rewrite": "none"}
+        dv = delete_matching_dv(
+            spark, target_path, del_keys, keys, partition_by
+        )
+        return {
+            "n_before": (
+                stats["n_before"] if stats["n_before"] is not None
+                else dv["n_before"]
+            ),
+            "n_matched": stats["n_matched"],
+            "n_updated": stats["n_updated"],
+            "n_inserted": stats["n_inserted"],
+            "n_deleted": dv["n_matched"],
+            "n_after": dv["n_after"],
+            "rewrite": (
+                "dv" if stats["rewrite"] == "none" else stats["rewrite"]
+            ),
+        }
 
     _recover_crashed_swap(spark, target_path)
     _absorb_pending_deletes(spark, target_path, partition_by)
@@ -2643,7 +2717,9 @@ def stage_merge(df: DataFrame, spec: dict) -> DataFrame:
     ``target.<col>``."""
     merge_upsert(
         df, spec["path"], list(spec["keys"]),
-        spec.get("delete_col"), spec.get("partition_by"),
+        spec.get("delete_col"),
+        partition_by=spec.get("partition_by"),
+        delete_mode=spec.get("delete_mode", "copy_on_write"),
         allow_new_columns=bool(spec.get("allow_new_columns", False)),
         schema_evolution=bool(spec.get("schema_evolution", False)),
         update_set=spec.get("update_set"),

@@ -268,3 +268,117 @@ def test_dv_pipeline_stages(spark, tmp_path):
     ]).run(spark)
     assert _ids(out) == list(range(15, 20))
     assert _ids(spark.read.parquet(path)) == list(range(15, 20))
+
+
+def test_crashed_dv_staging_is_reaped(spark, tmp_path):
+    """A crashed dv delete's staging dir (never published, never
+    applied) is age-gated GC'd by the next delete/materialize — young
+    staging (a live writer's) survives."""
+    import os
+    import time
+
+    from config_driven_pyspark_spark.operators.deletes import (
+        _dv_root,
+        _gc_dv_staging,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=10, partition_by=False)
+    delete_where_dv(spark, path, "k = 1", None)
+    young = f"{_dv_root(path)}/staging-young"
+    old = f"{_dv_root(path)}/staging-old"
+    os.makedirs(young)
+    os.makedirs(old)
+    past = time.time() - 3600
+    os.utime(old, (past, past))
+    _gc_dv_staging(spark, path)
+    assert not os.path.exists(old)
+    assert os.path.exists(young)
+    # and the live vector was untouched
+    assert _ids(read_table(spark, path)) == [k for k in range(10) if k != 1]
+
+
+# --- merge_upsert(delete_mode="merge_on_read") -------------------------
+
+
+def test_merge_delete_only_batch_writes_vector(spark, tmp_path):
+    """A delete-only CDC batch touches ZERO data files: the merge
+    becomes one deletion vector."""
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    batch = spark.createDataFrame(
+        [(2, 0, 20, True), (5, 1, 50, True)],
+        "k long, p int, v long, is_del boolean",
+    )
+    stats = merge_upsert(
+        batch, path, ["k"], delete_col="is_del",
+        delete_mode="merge_on_read", partition_by=pb,
+    )
+    assert stats["rewrite"] == "dv", stats
+    assert stats["n_deleted"] == 2 and stats["n_after"] == 18
+    assert spark.read.parquet(path).count() == 20  # no file rewritten
+    assert _ids(read_table(spark, path)) == [
+        k for k in range(20) if k not in (2, 5)
+    ]
+
+
+def test_merge_mixed_batch_upserts_then_vectors(spark, tmp_path):
+    """Mixed batch: upserts rewrite their partitions FIRST, then the
+    delete rows tombstone against the post-merge files — including a
+    delete in a partition the upsert just rewrote."""
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    batch = spark.createDataFrame(
+        [
+            (3, 1, 999, False),   # update in p=1
+            (100, 0, 1000, False),  # insert into p=0
+            (5, 1, 50, True),     # delete in p=1 (the rewritten one)
+            (4, 0, 40, True),     # delete in p=0 (also rewritten)
+        ],
+        "k long, p int, v long, is_del boolean",
+    )
+    stats = merge_upsert(
+        batch, path, ["k"], delete_col="is_del",
+        delete_mode="merge_on_read", partition_by=pb,
+    )
+    assert stats["rewrite"] == "partition", stats
+    assert stats["n_deleted"] == 2 and stats["n_inserted"] == 1
+    got = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
+    assert got[3] == 999 and got[100] == 1000
+    assert 5 not in got and 4 not in got
+    assert len(got) == 19  # 20 - 2 deletes + 1 insert
+    assert has_live_deletes(spark, path)
+    # materialization converges physical to logical
+    materialize_deletes(spark, path, pb)
+    assert spark.read.parquet(path).count() == 19
+
+
+def test_merge_delete_mode_validations(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=10, partition_by=False)
+    batch = spark.createDataFrame([(1, 1)], "k long, v long")
+    with pytest.raises(ValueError, match="needs delete_col"):
+        merge_upsert(batch, path, ["k"], delete_mode="merge_on_read")
+    with pytest.raises(ValueError, match="unknown delete_mode"):
+        merge_upsert(batch, path, ["k"], delete_col="d",
+                     delete_mode="nope")
+    b2 = spark.createDataFrame([(1, 1, True)], "k long, v long, d boolean")
+    with pytest.raises(ValueError, match="incompatible"):
+        merge_upsert(b2, path, ["k"], delete_col="d",
+                     delete_mode="merge_on_read",
+                     when_not_matched_by_source="delete")
+
+
+def test_merge_dv_bootstrap_falls_back(spark, tmp_path):
+    """Missing target: nothing to tombstone — the day-zero bootstrap
+    runs the normal path on the batch's non-delete rows."""
+    path = str(tmp_path / "missing")
+    batch = spark.createDataFrame(
+        [(1, 10, False), (2, 20, True)], "k long, v long, is_del boolean"
+    )
+    stats = merge_upsert(
+        batch, path, ["k"], delete_col="is_del",
+        delete_mode="merge_on_read",
+    )
+    assert stats["n_inserted"] == 1
+    assert _ids(spark.read.parquet(path)) == [1]
