@@ -3165,6 +3165,84 @@ def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(_agg(spark.read.parquet(target), 2))
 
 
+def q_e2e_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end erasure composition (r14 — the
+    examples/gdpr_erasure_dv.yaml flow as a verified row, chaining the
+    round's three new capabilities through the CONFIG surface): day-zero
+    merge bootstraps a status-partitioned snapshot → enable_history →
+    a SCHEMA-EVOLVING merge (the %16∈{1,2} slice gains ``o_channel``,
+    survivors backfill NULL — version 1) → a MERGE-ON-READ delete of
+    the %16=2 slice (a deletion vector, version 2 — asserted to touch
+    ZERO data files: the raw count stays the seed count) → Change Data
+    Feed 0→2, which must read THROUGH both the evolution (old side
+    aligned with a NULL channel, so unchanged rows stay silent) and the
+    vector (the erased slice surfaces as honest deletes with their
+    pre-images). Output: the audit per change type + the live
+    vector-filtered state per (status, channel); the oracle replays
+    both sections from the slice definitions."""
+    import os
+    import shutil
+    import tempfile
+
+    from config_driven_pyspark_spark import Pipeline
+    from config_driven_pyspark_spark.operators import history as H
+    from config_driven_pyspark_spark.operators.deletes import read_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    snap = os.path.join(tempfile.gettempdir(), f"cdp_erase_snap_{sf_tag}")
+    seed = orders.filter(F.col("o_orderkey") % 4 != 3)
+    evolve = (
+        orders.filter((F.col("o_orderkey") % 16).isin(1, 2))
+        .withColumn(
+            "o_channel",
+            F.concat(F.lit("CH-"),
+                     (F.col("o_orderkey") % 3).cast("string")),
+        )
+    )
+    seed.createOrReplaceTempView("erase_day0")
+    evolve.createOrReplaceTempView("erase_day1")
+    shutil.rmtree(snap, ignore_errors=True)
+    H.disable_table_history(spark, snap)
+    n_seed = seed.count()
+    audit = Pipeline([
+        {"stage": "sql", "query": "SELECT * FROM erase_day0"},
+        {"stage": "merge", "path": snap, "keys": ["o_orderkey"],
+         "partition_by": ["o_orderstatus"]},
+        {"stage": "enable_history", "path": snap,
+         "partition_by": ["o_orderstatus"]},
+        {"stage": "sql", "query": "SELECT * FROM erase_day1"},
+        {"stage": "merge", "path": snap, "keys": ["o_orderkey"],
+         "partition_by": ["o_orderstatus"], "schema_evolution": True},
+        {"stage": "table_delete", "path": snap,
+         "where": "o_orderkey % 16 = 2",
+         "partition_by": ["o_orderstatus"], "mode": "merge_on_read"},
+        {"stage": "table_changes", "path": snap, "from_version": 0,
+         "to_version": 2, "keys": ["o_orderkey"]},
+    ]).run(spark)
+    assert H.table_current_version(spark, snap) == 2
+    # merge-on-read physics: the erasure wrote a vector, not files
+    assert spark.read.parquet(snap).count() == n_seed
+
+    def _section(df: DataFrame, section: str, key) -> DataFrame:
+        return df.groupBy(key.alias("key")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        ).withColumn("section", F.lit(section))
+
+    out = _section(audit, "audit", F.col("_change_type"))
+    live = read_table(spark, snap)
+    return out.unionByName(_section(
+        live, "live",
+        F.concat(
+            F.col("o_orderstatus"), F.lit("|"),
+            F.coalesce(F.col("o_channel"), F.lit("none")),
+        ),
+    ))
+
+
 def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed (operators/history.py::table_changes, r12 —
     Delta's ``table_changes`` surface): the status-partitioned orders
@@ -6434,6 +6512,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_delete_vectors",
     "q_merge_evolve",
     "q_merge_dv",
+    "q_e2e_erasure",
     # round 14 semantic changes: q_pca_project gains its DuckDB oracle
     # (VERDICT r13 ask #7 — persisted eigenbasis replayed as
     # list_dot_product; was rows-only), q_file_skipping now reads the
@@ -6576,6 +6655,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delete_vectors": q_delete_vectors,  # merge-on-read DELETE, r14
         "q_merge_evolve": q_merge_evolve,  # MERGE schema evolution, r14
         "q_merge_dv": q_merge_dv,  # merge-on-read deletes in MERGE, r14
+        "q_e2e_erasure": q_e2e_erasure,  # erasure composition, r14
         "q_table_changes": q_table_changes,  # Change Data Feed, r12
         "q_table_alter": q_table_alter,  # ALTER TABLE reshape, r12
         "q_table_scan": q_table_scan,  # sidecar-pruned reads, r12
@@ -9183,6 +9263,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(coalesce(o_score, 0.0) AS DECIMAL(18,2)))
                         AS DOUBLE) AS score_sum
             FROM v2 GROUP BY o_orderstatus, o_channel
+        """,
+        # the erasure composition: audit = CDF 0->2 through evolution
+        # (update pairs for the channel-gaining survivors) and the
+        # vector (deletes for the erased slice); live = seed minus the
+        # erased slice with the channel on the %16=1 survivors
+        "q_e2e_erasure": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 4 <> 3),
+            upd AS (SELECT * FROM t WHERE o_orderkey % 16 = 1),
+            del AS (SELECT * FROM t WHERE o_orderkey % 16 = 2),
+            live AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 16 = 1
+                          THEN 'CH-' || CAST(o_orderkey % 3 AS VARCHAR)
+                          END AS o_channel
+              FROM t WHERE o_orderkey % 16 <> 2),
+            sections AS (
+              SELECT 'update_preimage' AS key, o_orderkey,
+                     'audit' AS section FROM upd
+              UNION ALL
+              SELECT 'update_postimage', o_orderkey, 'audit' FROM upd
+              UNION ALL
+              SELECT 'delete', o_orderkey, 'audit' FROM del
+              UNION ALL
+              SELECT o_orderstatus || '|' || coalesce(o_channel, 'none'),
+                     o_orderkey, 'live'
+              FROM live)
+            SELECT key, count(*) AS n_rows,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                   section
+            FROM sections GROUP BY key, section
         """,
         # merge-on-read deletes in MERGE: logical = seed minus the two
         # deleted slices + MOR retags + the %16=7 inserts; raw adds the

@@ -209,6 +209,7 @@ HEADLINE = [
     "q_delete_vectors",
     "q_merge_evolve",
     "q_merge_dv",
+    "q_e2e_erasure",
     "q_mulaw_decode",
     "q_adpcm_decode",
 ]

@@ -511,3 +511,50 @@ def test_incremental_cdf_consumer_example(spark, tmp_path):
     assert v2[("update_postimage", 1)] == v1["update_postimage"]
     assert ("delete", 2) in v2 and ("update_postimage", 2) in v2
     assert ("update_preimage", 2) not in v2
+
+
+def test_gdpr_erasure_dv_example(spark, tmp_path):
+    """Deletion-vector erasure: the delete touches no data files, the
+    audit CDF reports every erased row, materialization converges the
+    physical files, and the final read is the erased state."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority",
+             "o_totalprice")
+    seed = str(tmp_path / "subjects")
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.parquet(seed)
+    with open(os.path.join(EXAMPLES, "gdpr_erasure_dv.yaml")) as fh:
+        text = fh.read()
+    variables = {
+        "seed": seed,
+        "table": str(tmp_path / "table"),
+        "audit": str(tmp_path / "audit"),
+    }
+    out = Pipeline.from_yaml(text).run(spark, variables=variables)
+    erased = {
+        int(r["o_orderkey"])
+        for r in orders.filter(
+            (F.col("o_orderkey") % 16 == 2)
+            & (F.col("o_orderkey") % 4 != 3)
+        ).collect()
+    }
+    live = {int(r["o_orderkey"]) for r in out.collect()}
+    assert erased and not (erased & live)
+    # the audit trail carries one honest delete per erased subject
+    audit = spark.read.parquet(variables["audit"])
+    got = {
+        int(r["o_orderkey"])
+        for r in audit.filter("_change_type = 'delete'").collect()
+    }
+    assert got == erased
+    # materialization cleaned the raw files too
+    raw = {
+        int(r["o_orderkey"])
+        for r in spark.read.parquet(variables["table"]).collect()
+    }
+    assert not (erased & raw)
+    _ = _os
