@@ -295,7 +295,9 @@ def stage_stream_sink(
                 )
             merge_upsert(
                 batch_df, spec["path"], merge_keys,
-                spec.get("delete_col"), spec.get("partition_by"),
+                spec.get("delete_col"),
+                delete_mode=spec.get("delete_mode", "copy_on_write"),
+                partition_by=spec.get("partition_by"),
             )
 
         writer = df.writeStream.foreachBatch(_merge_handle).outputMode(
