@@ -2197,6 +2197,24 @@ def q_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_stats(MM.transcode_audio(media, "adpcm"))
 
 
+def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real FLAC codec end-to-end (multimodal.py::encode_flac /
+    decode_flac, r14 — the lossless archival audio format,
+    dependency-free): the 64-sample PCM16 test tone transcodes to a
+    genuine FLAC stream (STREAMINFO with the spec MD5, fixed-blocksize
+    frame with UTF-8 frame number + CRC-8, best-FIXED-predictor
+    subframe, Rice residuals, frame CRC-16) and audio_stats decodes it
+    back. FLAC is LOSSLESS, so the oracle is the roundtrip IDENTITY
+    (the PNG/GIF pattern): the stats must equal the tone formula's —
+    any slip in bit packing, prediction order, Rice coding, either CRC
+    or the MD5 check breaks the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    media = MM.synthesize_wav(ids, id_col="doc_id", n_samples=64,
+                              sample_rate=8000)
+    return MM.audio_stats(MM.transcode_audio(media, "flac"))
+
+
 _BM25_QUERIES = [
     (0, "spark table join"),
     (1, "fast filter value"),
@@ -6524,6 +6542,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 14 new codec rows (would self-front as never-recorded)
     "q_mulaw_decode",
     "q_adpcm_decode",
+    "q_flac_decode",
     # Window plan (r14): 5 changed/new above + the 11 r9-stale rows
     # (VERDICT ask #3: q_events_json, q_ivf_ann, q_streaming_asof,
     # q_sink_roundtrip, q_source_cap, q_salted_join_orders,
@@ -6754,7 +6773,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_decode": q_audio_decode,
         "q_audio_resample": q_audio_resample,
         "q_mulaw_decode": q_mulaw_decode,  # G.711 codec, r14
-        "q_adpcm_decode": q_adpcm_decode,  # IMA-ADPCM codec, r14  # exact linear-interp resample, r10
+        "q_adpcm_decode": q_adpcm_decode,  # IMA-ADPCM codec, r14
+        "q_flac_decode": q_flac_decode,  # FLAC codec, r14  # exact linear-interp resample, r10
         "q_bpe_vocab": q_bpe_vocab,
         "q_unigram_vocab": q_unigram_vocab,  # SentencePiece-family, r9
         "q_unigram_encode": q_unigram_encode,  # Viterbi segmentation, r9
@@ -11361,6 +11381,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_samples,
                    CAST(1 AS INT) AS n_channels,
                    CAST(4000 AS INT) AS sample_rate,
+                   CAST(sum(s) AS BIGINT) AS sum_samples,
+                   CAST(sum(s * s) AS BIGINT) AS sum_squares,
+                   CAST(max(abs(s)) AS INT) AS peak_abs
+            FROM samp GROUP BY media_id
+        """,
+        # FLAC is lossless: the roundtrip identity makes the oracle the
+        # tone formula itself (the PNG/GIF pattern for audio)
+        "q_flac_decode": """
+            WITH ids AS (
+              SELECT doc_id AS media_id FROM documents WHERE doc_id < 64
+            ),
+            samp AS (
+              SELECT media_id,
+                     ((media_id * 31 + t.i * 57) % 4096) - 2048 AS s
+              FROM ids, unnest(range(0, 64)) AS t(i)
+            )
+            SELECT media_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(8000 AS INT) AS sample_rate,
                    CAST(sum(s) AS BIGINT) AS sum_samples,
                    CAST(sum(s * s) AS BIGINT) AS sum_squares,
                    CAST(max(abs(s)) AS INT) AS peak_abs

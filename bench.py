@@ -212,6 +212,7 @@ HEADLINE = [
     "q_e2e_erasure",
     "q_mulaw_decode",
     "q_adpcm_decode",
+    "q_flac_decode",
 ]
 
 

@@ -1984,27 +1984,454 @@ def encode_wav_adpcm(
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+# -- FLAC subset codec (r14) -------------------------------------------------
+#
+# Lossless archival audio, dependency-free: a real FLAC writer/reader
+# for the mono 16-bit fixed-blocksize subset — STREAMINFO with the
+# spec's MD5 of the raw samples, frame headers with UTF-8 frame
+# numbers and CRC-8, CONSTANT / VERBATIM / FIXED(0-4) subframes, Rice
+# residuals (4- and 5-bit parameter variants, escape partitions), and
+# the frame CRC-16. Because FLAC is LOSSLESS, the external oracle is
+# the roundtrip identity (the PNG/GIF pattern): synthesize → encode →
+# decode must reproduce the tone formula bit-for-bit, so any slip in
+# bit packing, prediction, Rice coding or either CRC breaks the hash.
+# LPC subframes and multi-channel streams are honestly gated.
+
+_FLAC_CRC8_POLY = 0x07     # x^8 + x^2 + x + 1
+_FLAC_CRC16_POLY = 0x8005  # x^16 + x^15 + x^2 + 1
+# binomial coefficients of the fixed predictors: residual order o is
+# the o-th difference of the signal
+_FLAC_FIXED_COEF = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ _FLAC_CRC8_POLY if crc & 0x80
+                   else crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ _FLAC_CRC16_POLY if crc & 0x8000
+                   else crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBits:
+    """MSB-first bit writer (the FLAC bit order)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, bits: int) -> None:
+        if bits:
+            self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+            self.n += bits
+            while self.n >= 8:
+                self.n -= 8
+                self.buf.append((self.acc >> self.n) & 0xFF)
+        # keep acc bounded
+        self.acc &= (1 << self.n) - 1 if self.n else 0
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+class _FlacReader:
+    """MSB-first bit reader with loud truncation errors."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos  # byte position
+        self.bit = 0
+
+    def take(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC payload truncated mid-frame")
+            out = (out << 1) | (
+                (self.data[self.pos] >> (7 - self.bit)) & 1
+            )
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+    def take_signed(self, bits: int) -> int:
+        v = self.take(bits)
+        return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+    def take_unary(self) -> int:
+        q = 0
+        while self.take(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding (plain UTF-8 for the
+    values a sane stream reaches)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits = n.bit_length()
+    nbytes = 2
+    while bits > (7 - nbytes) + 6 * (nbytes - 1):
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _read_utf8_number(r: _FlacReader) -> int:
+    first = r.take(8)
+    if first < 0x80:
+        return first
+    nbytes = 0
+    mask = 0x80
+    while first & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("invalid FLAC frame-number coding")
+    n = first & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        b = r.take(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC frame-number continuation")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+def _zigzag(r: int) -> int:
+    return (r << 1) if r >= 0 else (-(r << 1) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if not (u & 1) else -((u + 1) >> 1)
+
+
+def encode_flac(samples, sample_rate: int, block_size: int = 4096) -> bytes:
+    """Encode a MONO int16 array as a real FLAC stream (fixed-blocksize
+    frames, FIXED(0-2) predictor chosen per block by least absolute
+    residual — deterministic, CONSTANT for flat blocks — Rice
+    partition order 0). Lossless: :func:`decode_flac` reproduces the
+    input exactly (and verifies both CRCs plus STREAMINFO's MD5)."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="int64").reshape(-1)
+    n = len(arr)
+    if n == 0:
+        raise ValueError("encode_flac needs at least one sample")
+    if block_size < 16:
+        raise ValueError("block_size must be >= 16")
+    raw = arr.astype("<i2").tobytes()
+    md5 = hashlib.md5(raw).digest()
+    # STREAMINFO (34 bytes)
+    si = _FlacBits()
+    si.put(block_size, 16)
+    si.put(block_size, 16)
+    si.put(0, 24)  # min framesize unknown
+    si.put(0, 24)  # max framesize unknown
+    si.put(sample_rate, 20)
+    si.put(0, 3)   # channels - 1
+    si.put(15, 5)  # bits per sample - 1
+    si.put(n, 36)
+    si.align()  # 144 bits = 18 bytes exactly; align is a no-op guard
+    streaminfo = si.bytes() + md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80])  # last metadata block, type 0 (STREAMINFO)
+    out += struct.pack(">I", len(streaminfo))[1:]
+    out += streaminfo
+
+    for fno, off in enumerate(range(0, n, block_size)):
+        blk = arr[off:off + block_size]
+        bs = len(blk)
+        hdr = bytearray()
+        hdr += bytes([0xFF, 0xF8])  # sync 11111111 111110, res 0, fixed
+        hdr += bytes([0x70])        # blocksize code 0111 (16-bit), rate 0000
+        hdr += bytes([0x08])        # channel 0000, size 100 (16-bit), res 0
+        hdr += _utf8_number(fno)
+        hdr += struct.pack(">H", bs - 1)
+        hdr.append(_flac_crc8(bytes(hdr)))
+        bits = _FlacBits()
+        for b in hdr:
+            bits.put(b, 8)
+        # subframe: CONSTANT for flat blocks, else best FIXED 0..2
+        if bs > 1 and int(blk.min()) == int(blk.max()):
+            bits.put(0, 1)
+            bits.put(0, 6)   # CONSTANT
+            bits.put(0, 1)   # no wasted bits
+            bits.put(int(blk[0]) & 0xFFFF, 16)
+        else:
+            best, best_res = None, None
+            for order in (0, 1, 2):
+                if bs <= order:
+                    continue
+                res = blk.copy()
+                for _ in range(order):
+                    res = np.diff(res)
+                score = int(np.abs(res).sum())
+                if best is None or score < best[0]:
+                    best, best_res = (score, order), res
+            order = best[1]
+            bits.put(0, 1)
+            bits.put(0b001000 | order, 6)  # FIXED(order)
+            bits.put(0, 1)
+            for w in blk[:order]:
+                bits.put(int(w) & 0xFFFF, 16)
+            res = [int(x) for x in best_res]
+            # deterministic Rice parameter (method 00, partition order 0)
+            total_u = sum(_zigzag(r) for r in res)
+            k = 0
+            while len(res) and (len(res) << (k + 1)) < total_u and k < 14:
+                k += 1
+            bits.put(0, 2)   # coding method 00 (4-bit rice)
+            bits.put(0, 4)   # partition order 0
+            bits.put(k, 4)
+            for r in res:
+                u = _zigzag(r)
+                bits.put_unary(u >> k)
+                bits.put(u, k)
+        bits.align()
+        frame = bits.bytes()
+        out += frame + struct.pack(">H", _flac_crc16(frame))
+    return bytes(out)
+
+
+def decode_flac(payload: bytes):
+    """Decode a mono FLAC stream → ((n, 1) int16 array, sample_rate).
+    Handles CONSTANT / VERBATIM / FIXED(0-4) subframes, both Rice
+    methods incl. escape partitions and any partition order; verifies
+    the header CRC-8, frame CRC-16 and STREAMINFO MD5. LPC subframes
+    and multi-channel streams raise the named gate."""
+    import hashlib
+
+    import numpy as np
+
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC metadata truncated")
+        head = payload[pos]
+        size = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + size]
+        if head & 0x7F == 0:
+            streaminfo = body
+        pos += 4 + size
+        if head & 0x80:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("FLAC stream missing STREAMINFO")
+    r = _FlacReader(streaminfo)
+    r.take(16)  # min blocksize
+    r.take(16)  # max blocksize
+    r.take(24)
+    r.take(24)
+    rate = r.take(20)
+    channels = r.take(3) + 1
+    bps = r.take(5) + 1
+    total = r.take(36)
+    md5 = streaminfo[18:34]
+    if channels != 1:
+        raise NotImplementedError(
+            f"FLAC decode supports mono dependency-free (stream has "
+            f"{channels} channels); route through decoder='real'"
+        )
+    if bps != 16:
+        raise NotImplementedError(
+            f"FLAC decode supports 16-bit samples dependency-free "
+            f"(stream is {bps}-bit); route through decoder='real'"
+        )
+    out: list[int] = []
+    while pos < len(payload) and len(out) < total:
+        frame_start = pos
+        r = _FlacReader(payload, pos)
+        sync = r.take(14)
+        if sync != 0x3FFE:
+            raise ValueError("bad FLAC frame sync")
+        r.take(1)  # reserved
+        r.take(1)  # blocking strategy
+        bs_code = r.take(4)
+        rate_code = r.take(4)
+        chan = r.take(4)
+        size_code = r.take(3)
+        r.take(1)
+        if chan != 0:
+            raise NotImplementedError(
+                "FLAC decode supports mono frames dependency-free"
+            )
+        if size_code not in (0, 0b100):
+            raise NotImplementedError(
+                "FLAC decode supports 16-bit frames dependency-free"
+            )
+        _read_utf8_number(r)
+        if bs_code == 6:
+            bs = r.take(8) + 1
+        elif bs_code == 7:
+            bs = r.take(16) + 1
+        elif bs_code == 1:
+            bs = 192
+        elif 2 <= bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 8:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved FLAC block-size code")
+        if rate_code == 12:
+            r.take(8)
+        elif rate_code in (13, 14):
+            r.take(16)
+        hdr_end = r.pos  # CRC-8 covers the header up to here
+        crc8 = r.take(8)
+        if _flac_crc8(payload[frame_start:hdr_end]) != crc8:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        # subframe
+        if r.take(1):
+            raise ValueError("invalid FLAC subframe padding bit")
+        stype = r.take(6)
+        wasted = 0
+        if r.take(1):
+            wasted = 1 + r.take_unary()
+        eff = 16 - wasted
+        if stype == 0:
+            blk = [r.take_signed(eff)] * bs
+        elif stype == 1:
+            blk = [r.take_signed(eff) for _ in range(bs)]
+        elif 8 <= stype <= 12:
+            order = stype - 8
+            warm = [r.take_signed(eff) for _ in range(order)]
+            method = r.take(2)
+            if method > 1:
+                raise ValueError("reserved FLAC residual coding method")
+            pbits = 5 if method else 4
+            escape = (1 << pbits) - 1
+            porder = r.take(4)
+            res: list[int] = []
+            nparts = 1 << porder
+            for part in range(nparts):
+                cnt = bs >> porder
+                if part == 0:
+                    cnt -= order
+                k = r.take(pbits)
+                if k == escape:
+                    raw_bits = r.take(5)
+                    res.extend(
+                        r.take_signed(raw_bits) if raw_bits else 0
+                        for _ in range(cnt)
+                    )
+                else:
+                    for _ in range(cnt):
+                        u = (r.take_unary() << k) | r.take(k)
+                        res.append(_unzigzag(u))
+            blk = list(warm)
+            coef = _FLAC_FIXED_COEF[order]
+            for x in res:
+                pred = sum(
+                    c * blk[-i - 1] for i, c in enumerate(coef)
+                )
+                blk.append(x + pred)
+        elif stype >= 32:
+            raise NotImplementedError(
+                "FLAC LPC subframes are not decodable dependency-free "
+                "here — re-encode with fixed predictors or route "
+                "through decoder='real'"
+            )
+        else:
+            raise ValueError(f"reserved FLAC subframe type {stype}")
+        if wasted:
+            blk = [x << wasted for x in blk]
+        r.align()
+        crc16 = (payload[r.pos] << 8) | payload[r.pos + 1]
+        if _flac_crc16(payload[frame_start:r.pos]) != crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = r.pos + 2
+        out.extend(blk)
+    arr = np.asarray(out[: total or len(out)], dtype="<i2")
+    if total and hashlib.md5(
+        arr.astype("<i2").tobytes()
+    ).digest() != md5 and md5 != b"\x00" * 16:
+        raise ValueError("FLAC MD5 mismatch — decoded audio corrupt")
+    return arr.reshape(-1, 1), rate
+
+
+def decode_audio(payload: bytes):
+    """Container sniff: RIFF/WAVE → :func:`decode_wav` (PCM16 /
+    mu-law / IMA-ADPCM), fLaC → :func:`decode_flac`. Every audio op
+    reads through this, so WAV and FLAC content mix freely in one
+    column."""
+    payload = bytes(payload)
+    if payload[:4] == b"fLaC":
+        return decode_flac(payload)
+    return decode_wav(payload)
+
+
 def transcode_audio(
     df: DataFrame, codec: str, content_col: str = "content"
 ) -> DataFrame:
-    """Real decode → re-encode through another WAV codec: ``"mulaw"``
-    (G.711), ``"adpcm"`` (IMA mono), ``"pcm16"``. Arrow-batched
+    """Real decode → re-encode through another audio codec:
+    ``"mulaw"`` (G.711), ``"adpcm"`` (IMA mono), ``"flac"``
+    (lossless), ``"pcm16"``. Arrow-batched
     mapInPandas like every codec op; sample_rate is preserved. The
     roundtrip is LOSSY for mulaw/adpcm by nature — downstream
     :func:`audio_stats` observes the expanded samples, which an
     external oracle can replay from pure integer math."""
     import numpy as np
 
-    if codec not in ("mulaw", "adpcm", "pcm16"):
+    if codec not in ("mulaw", "adpcm", "flac", "pcm16"):
         raise ValueError(
-            f"unknown audio codec {codec!r} — mulaw, adpcm or pcm16"
+            f"unknown audio codec {codec!r} — mulaw, adpcm, flac or "
+            "pcm16"
         )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = []
             for payload in pdf[content_col]:
-                arr, rate = decode_wav(bytes(payload))
+                arr, rate = decode_audio(bytes(payload))
                 if codec == "mulaw":
                     content.append(encode_wav_mulaw(arr, rate))
                 elif codec == "adpcm":
@@ -2015,6 +2442,12 @@ def transcode_audio(
                     content.append(
                         encode_wav_adpcm(arr.reshape(-1), rate)
                     )
+                elif codec == "flac":
+                    if arr.shape[1] != 1:
+                        raise ValueError(
+                            "flac transcode supports mono only"
+                        )
+                    content.append(encode_flac(arr.reshape(-1), rate))
                 else:
                     content.append(encode_wav(arr.astype("<i2"), rate))
             out = pdf.copy()
@@ -2079,7 +2512,7 @@ def downsample_audio(
         for pdf in batches:
             content = []
             for payload in pdf[content_col]:
-                arr, rate = decode_wav(payload)
+                arr, rate = decode_audio(payload)
                 content.append(encode_wav(arr[::factor], rate // factor))
             pdf = pdf.copy()
             pdf[content_col] = content
@@ -2118,7 +2551,7 @@ def resample_audio(
         for pdf in batches:
             content = []
             for payload in pdf[content_col]:
-                arr, rate = decode_wav(payload)
+                arr, rate = decode_audio(payload)
                 n_in = arr.shape[0]
                 if n_in == 0:
                     content.append(encode_wav(arr, to_rate))
@@ -2162,7 +2595,7 @@ def audio_stats(
                 "sum_samples", "sum_squares", "peak_abs",
             )}
             for mid, payload in zip(pdf[id_col], pdf[content_col]):
-                arr, rate = decode_wav(payload)
+                arr, rate = decode_audio(payload)
                 a = arr.astype("int64")
                 out["media_id"].append(int(mid))
                 out["n_samples"].append(int(arr.shape[0]))

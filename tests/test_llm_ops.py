@@ -3203,3 +3203,48 @@ def test_transcode_audio_stage_and_gates(spark):
     with _pytest.raises(NotImplementedError, match="decoder='real'"):
         MM.decode_wav(fake)
     _ = Pipeline
+
+
+def test_flac_roundtrip_lossless_and_crc():
+    import numpy as np
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(11)
+    for n in (1, 64, 200, 9000):
+        s = np.cumsum(rng.randint(-300, 300, size=n)).clip(
+            -32000, 32000
+        ).astype("<i2")
+        arr, rate = MM.decode_flac(MM.encode_flac(s, 22050))
+        assert rate == 22050 and (arr.reshape(-1) == s).all(), n
+    # constant block takes the CONSTANT subframe and stays exact
+    c = np.full(500, -7, dtype="<i2")
+    arr, _ = MM.decode_flac(MM.encode_flac(c, 8000))
+    assert (arr.reshape(-1) == c).all()
+    # extremes survive the zigzag/rice path
+    x = np.array([-32768, 32767, 0, -1, 1] * 40, dtype="<i2")
+    arr, _ = MM.decode_flac(MM.encode_flac(x, 8000))
+    assert (arr.reshape(-1) == x).all()
+    # a flipped payload bit is CAUGHT, never silently wrong
+    import pytest as _pytest
+
+    bad = bytearray(MM.encode_flac(x, 8000))
+    bad[-3] ^= 0x40
+    with _pytest.raises(ValueError, match="CRC|MD5"):
+        MM.decode_flac(bytes(bad))
+    # non-FLAC payloads refuse loudly
+    with _pytest.raises(ValueError, match="not a FLAC"):
+        MM.decode_flac(b"RIFFxxxxWAVE")
+
+
+def test_flac_transcode_stage_and_audio_stats(spark):
+    from pyspark.sql import functions as SF
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    ids = spark.range(0, 3).select(SF.col("id").alias("media_id"))
+    media = MM.synthesize_wav(ids, n_samples=48, sample_rate=8000)
+    out = MM.audio_stats(MM.transcode_audio(media, "flac")).collect()
+    ref = MM.audio_stats(media).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(out) == key(ref)  # lossless: identical exact stats
