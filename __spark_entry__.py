@@ -89,6 +89,25 @@ def _run(spark: SparkSession, stages: list[dict]) -> DataFrame:
     return Pipeline.from_config(stages).run(spark)
 
 
+def _fresh_tmp(*paths: str) -> None:
+    """Reset a tmp-table base dir AND its governance siblings.
+
+    Every governed table at ``<base>`` keeps its writer-lock entries in a
+    SIBLING dir ``<base>__lock.d`` and its version history in
+    ``<base>__history`` (operators/table.py). Neither is inside the data
+    dir, so neither ``shutil.rmtree(base)`` nor Spark's
+    ``mode("overwrite")`` clears them — a SIGKILLed prior harness run can
+    leave an orphaned lock entry that looks live for its full 900 s lease
+    and poisons the next run (the r14 BENCH crash). Every tmp-table row's
+    setup must reset all three.
+    """
+    import shutil
+
+    for p in paths:
+        for d in (p, p + "__lock.d", p + "__history"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -2341,6 +2360,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_merge_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).parquet(target)
@@ -2388,6 +2408,7 @@ def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_scd2_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     (
         orders.filter(F.col("o_orderkey") % 4 != 3)
         .withColumn("valid_from", F.lit("2024-01-01").cast("date"))
@@ -2443,7 +2464,7 @@ def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_mv_orders_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    shutil.rmtree(target, ignore_errors=True)
+    _fresh_tmp(target)
     aggs = {
         "n_orders": "count(*)",
         "sum_keys": "sum(o_orderkey)",
@@ -2484,6 +2505,7 @@ def q_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_mergep_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(target)
@@ -2539,6 +2561,7 @@ def q_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_mergec_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(target)
@@ -2605,7 +2628,7 @@ def q_merge_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_merges_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    shutil.rmtree(target, ignore_errors=True)
+    _fresh_tmp(target)
     merge_upsert(
         orders.filter(F.col("o_orderkey") % 4 != 3), target,
         ["o_orderkey"], partition_by=["ingest"],
@@ -2663,6 +2686,7 @@ def q_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_mergesync_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).parquet(target)
@@ -2712,6 +2736,7 @@ def q_table_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_mutate_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(target)
@@ -2780,6 +2805,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_ttravel_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(target)
@@ -2864,6 +2890,7 @@ def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_restore_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(target)
@@ -2949,6 +2976,7 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_dv_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(target)
@@ -3045,6 +3073,7 @@ def q_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_evolve_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(target)
@@ -3127,6 +3156,7 @@ def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_mdv_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(target)
@@ -3222,7 +3252,7 @@ def q_e2e_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed.createOrReplaceTempView("erase_day0")
     evolve.createOrReplaceTempView("erase_day1")
-    shutil.rmtree(snap, ignore_errors=True)
+    _fresh_tmp(snap)
     H.disable_table_history(spark, snap)
     n_seed = seed.count()
     audit = Pipeline([
@@ -3288,6 +3318,7 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_cdf_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(target)
@@ -3340,6 +3371,7 @@ def q_table_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_alter_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    _fresh_tmp(target)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(target)
@@ -3404,7 +3436,7 @@ def q_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import shutil
 
-    shutil.rmtree(target, ignore_errors=True)
+    _fresh_tmp(target)
     merge_upsert(orders, target, ["o_orderkey"], partition_by=["bucket"])
 
     lo, hi = 2 * width, 3 * width + width // 2  # spans buckets 2..3
@@ -3477,8 +3509,7 @@ def q_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                           f"cdp_schg_target_{sf_tag}")
     sink = os.path.join(tempfile.gettempdir(), f"cdp_schg_sink_{sf_tag}")
     ckpt = os.path.join(tempfile.gettempdir(), f"cdp_schg_ckpt_{sf_tag}")
-    for p in (target, sink, ckpt):
-        shutil.rmtree(p, ignore_errors=True)
+    _fresh_tmp(target, sink, ckpt)
     orders.filter(F.col("o_orderkey") % 4 != 3).write.mode(
         "overwrite"
     ).partitionBy("o_orderstatus").parquet(target)
@@ -3560,7 +3591,7 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_fskip_target_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    shutil.rmtree(target, ignore_errors=True)
+    _fresh_tmp(target)
     orders.repartition(16).write.partitionBy("bucket").parquet(target)
     out = compact_table(
         spark, target, ["bucket"], min_files=2, n_files=4,
@@ -3678,7 +3709,7 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import shutil
 
-    shutil.rmtree(target, ignore_errors=True)
+    _fresh_tmp(target)
     scd2_merge(
         orders.filter(F.col("o_orderkey") % 4 != 3).withColumn(
             "effective_ts", F.lit("2024-01-01").cast("date")
@@ -3759,8 +3790,7 @@ def q_e2e_governed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this query's oracle replays exactly one run)
     import shutil
 
-    shutil.rmtree(snap, ignore_errors=True)
-    shutil.rmtree(quar, ignore_errors=True)
+    _fresh_tmp(snap, quar)
     H.disable_table_history(spark, snap)
     changes = Pipeline([
         {"stage": "sql", "query": "SELECT * FROM gov_day0"},
@@ -3828,8 +3858,7 @@ def q_e2e_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = os.path.join(tempfile.gettempdir(), f"cdp_e2ecdc_dim_{sf_tag}")
     snap = os.path.join(tempfile.gettempdir(), f"cdp_e2ecdc_snap_{sf_tag}")
     mv = os.path.join(tempfile.gettempdir(), f"cdp_e2ecdc_mv_{sf_tag}")
-    for p in (dim, snap, mv):
-        shutil.rmtree(p, ignore_errors=True)
+    _fresh_tmp(dim, snap, mv)
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
@@ -3922,7 +3951,7 @@ def q_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"cdp_compact_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    shutil.rmtree(target, ignore_errors=True)
+    _fresh_tmp(target)
     base = orders.filter(F.col("o_orderkey") % 4 != 3)
     for r in range(3):  # three ingest batches -> >= 3 files/partition
         base.filter(F.col("o_orderkey") % 3 == r).coalesce(1).write.mode(

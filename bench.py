@@ -226,6 +226,21 @@ def main() -> None:
     except ValueError:  # non-sf<N> dir name; sf is informational only
         sf = None
 
+    # start from a clean slate: sweep cdp_* tmp debris no live harness
+    # process can own (newest mtime older than the 900 s writer-lock
+    # lease). A SIGKILLed prior run's orphaned lock entry crashed the
+    # entire r14 bench record — this plus the per-row _fresh_tmp resets
+    # makes the fixed /tmp/cdp_* paths safe across harness generations.
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scripts"))
+        from clean_tmp import sweep as _sweep_tmp
+
+        _sweep_tmp(verbose=False)
+    except Exception:
+        pass  # the sweep is hygiene, never a reason to skip the bench
+
     spark = build_session(
         app_name="config-driven-pyspark-bench",
         master=f"local[{cpus}]",
@@ -233,6 +248,11 @@ def main() -> None:
         confs={
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
             "spark.ui.enabled": "false",
+            # bounded commit-retry on writer-lock conflicts: a stale-but-
+            # unexpired lock entry (crashed sibling harness) must delay a
+            # table row, not abort the whole record (r14 finding #1)
+            "spark.cdp.lock.wait_seconds": os.environ.get(
+                "SPARK_GRAFT_LOCK_WAIT", "120"),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -269,11 +289,20 @@ def main() -> None:
     # Measured: doc-dedup queries drop ~4s of pure compile with data cost
     # unchanged. Skippable via SPARK_GRAFT_NO_WARMUP=1 to see cold numbers.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    errors: dict[str, str] = {}
     if not os.environ.get("SPARK_GRAFT_NO_WARMUP") and os.path.isdir(warm_dir):
         for name in headline:
-            queries[name](spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            # one poisoned row must never abort the whole record (the
+            # r14 crash: an orphaned writer lock killed the warmup pass
+            # and the round shipped no bench number at all) — record the
+            # error, keep warming the rest; the timed pass still gets a
+            # chance (merely cold) and re-records any persistent failure
+            try:
+                queries[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"warmup: {e!r}"[:500]
         # drop the warmup pass's persisted intermediates so the timed run
         # starts with an empty block manager (no memory pressure carryover)
         spark.catalog.clearCache()
@@ -320,7 +349,20 @@ def main() -> None:
             fn = queries[name]
             runs = spreads[name]
             start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001
+                # isolate the failure: record it, stop re-running this
+                # row, keep timing the rest, still emit the summary —
+                # a partial record beats the r14 outcome (rc=1, nothing)
+                errors[name] = f"timed: {e!r}"[:500]
+                budgets[name] = len(runs)  # drop from further passes
+                if not os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
+                    spark.catalog.clearCache()
+                    spark._jvm.System.gc()
+                continue
             runs.append(round(time.perf_counter() - start, 3))
             if len(runs) == 1 and repeat > 1 and runs[0] > SLOW_CUTOFF:
                 budgets[name] = max(budgets[name], 3)
@@ -343,7 +385,8 @@ def main() -> None:
                 spark.catalog.clearCache()
                 spark._jvm.System.gc()
     for name in headline:
-        timings[name] = min(spreads[name])
+        if spreads[name]:  # rows that errored on every pass have no runs
+            timings[name] = min(spreads[name])
 
     total = round(sum(timings.values()), 3)
     # Per-run spreads persist ONLY to bench_runs_latest.json (committed, so
@@ -352,13 +395,14 @@ def main() -> None:
     # both streams, and in r6 (stdout) and r7 (stderr) the ~3 kB detail line
     # displaced the summary line out of the capture window (parsed:null).
     detail = {
-        "runs": spreads,
+        "runs": {n: r for n, r in spreads.items() if r},
+        "errors": errors,
         "min": timings,
         # trimmed means alongside minima (VERDICT r12 ask #7): the min
         # is the reproducible data-throughput floor, the trimmed mean
         # is the expected cost under load — judge regressions against
         # whichever question is being asked
-        "tmean": {n: _tmean(r) for n, r in spreads.items()},
+        "tmean": {n: _tmean(r) for n, r in spreads.items() if r},
         "repeat_base": repeat,
         "sf": sf,
         "total": total,
@@ -490,6 +534,20 @@ def merge_detail(old: dict | None, new: dict) -> dict:
         # the capped history may have dropped the run that set the
         # floor — the merged min still keeps it
         mins[name] = floor
+    # rows that ERRORED this run (isolated failure, not dropped from
+    # the headline set) keep their committed history untouched — a
+    # transient harness failure must not erase a query's floor record
+    for name in new.get("errors") or {}:
+        if name in runs or name not in old["min"]:
+            continue
+        if (name in old_fp and name in new_fp
+                and old_fp[name] != new_fp[name]):
+            continue  # code changed AND errored: no floor to carry
+        hist = list(old_runs.get(name) or [])
+        if not hist:
+            continue
+        runs[name] = hist
+        mins[name] = old["min"][name]
     commits = [c for c in (old.get("commits") or []) if c]
     for c in new.get("commits") or []:
         if c and c not in commits:

@@ -1472,11 +1472,19 @@ def _retry_on_lock_conflict(fn):
     (a file listed before the rename vanishing before its footer is
     read — the :func:`_fresh_count` class of failure). Structural
     failures (count-mismatch aborts, layout errors) propagate
-    immediately."""
+    immediately.
+
+    Transient classification is scoped to the TARGET table (ADVICE
+    r14): a read-race error is retried only when its message
+    references a path under the op's own ``target_path`` AND the
+    target base still exists — a mistyped SOURCE path or a genuinely
+    missing foreign file raises immediately instead of burning the
+    whole wait budget obscuring the real failure."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
+        import os as _os
         import time as _time
 
         first = args[0] if args else None
@@ -1485,12 +1493,35 @@ def _retry_on_lock_conflict(fn):
             wait = float(spark.conf.get(_LOCK_WAIT_CONF, "0") or 0)
         except Exception:
             wait = 0.0
+        target = kwargs.get("target_path")
+        if target is None and len(args) >= 2 and isinstance(args[1], str):
+            target = args[1]
         deadline = _time.monotonic() + max(0.0, wait)
         delay = 0.5
         transient = (
             "FAILED_READ_FILE", "FILE_NOT_EXIST", "PATH_NOT_FOUND",
             "FileNotFoundException", "UNABLE_TO_INFER_SCHEMA",
         )
+
+        def _is_target_race(msg: str) -> bool:
+            if not any(t in msg for t in transient):
+                return False
+            tnorm = str(target or "").rstrip("/")
+            if not tnorm:
+                return False
+            # error paths may carry a scheme (file:/tmp/…) — compare on
+            # the scheme-less suffix so both spellings match
+            if tnorm.lstrip("/") not in msg.replace("\\", "/"):
+                return False
+            # local targets: if the base itself is gone, that is not a
+            # competitor's swap rename racing the read — fail loudly
+            if "://" not in tnorm and not _os.path.exists(
+                tnorm.split(":", 1)[-1] if tnorm.startswith("file:")
+                else tnorm
+            ):
+                return False
+            return True
+
         while True:
             try:
                 return fn(*args, **kwargs)
@@ -1500,10 +1531,7 @@ def _retry_on_lock_conflict(fn):
                     raise
             except Exception as e:  # noqa: BLE001
                 now = _time.monotonic()
-                msg = str(e)
-                if now >= deadline or not any(
-                    t in msg for t in transient
-                ):
+                if now >= deadline or not _is_target_race(str(e)):
                     raise
             _time.sleep(max(0.05, min(delay, 5.0, deadline - now)))
             delay *= 1.7

@@ -79,6 +79,10 @@ def main() -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # bounded writer-lock retry: a stale-but-unexpired lock entry
+        # from a crashed sibling harness delays a table row instead of
+        # failing it (the r14 bench crash class)
+        .config("spark.cdp.lock.wait_seconds", "120")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
