@@ -613,6 +613,11 @@ def materialize_deletes(
         marker_batch_id=root_marker,
         partition_markers=markers or None,
         op="dv_materialize",
+        # re-checked under the swap lock (ADVICE r14): a vector
+        # committed after the listing above would be silently lost by
+        # this rewrite — the swap aborts retryably unless the live
+        # _deletes listing still equals exactly the absorbed set
+        dv_expected=[e["name"] for e in entries],
     )
     if _hist.history_enabled(spark, base):
         from config_driven_pyspark_spark.operators.history import _hist_root

@@ -1750,6 +1750,7 @@ def _stage_verify_swap(
     pre_promote=None,
     op: str = "merge",
     writer_options: dict | None = None,
+    dv_expected: list[str] | None = None,
 ) -> int:
     """Writer-lock entry point: every mutating table op funnels through
     here. r13: the lock is PARTITION-SCOPED for a scoped swap (scope =
@@ -1771,11 +1772,42 @@ def _stage_verify_swap(
     the same partitions) makes the staged count miss its expectation
     and the op aborts with the snapshot untouched (optimistic
     concurrency detection). See :func:`_stage_verify_swap_locked` for
-    the swap itself."""
+    the swap itself.
+
+    The one mutation that count-verification CANNOT catch is a
+    merge-on-read DELETE racing the pre-lock window (ADVICE r14): a
+    deletion-vector commit changes NO data files, so a rewrite planned
+    before it would re-read the raw files — resurrecting the
+    just-tombstoned rows into newly named part files while the
+    vector's rel_paths point at replaced files (the anti join never
+    matches again, a silent un-delete). So the ``_deletes`` listing is
+    RE-CHECKED here, under the lock: every rewriting op absorbs
+    pending vectors in its preamble, so the live listing must be
+    empty — except ``dv_materialize``, whose own absorbed entries are
+    still on disk mid-swap and are passed in as ``dv_expected``. A
+    mismatch aborts with the retryable :class:`_LockConflict` (the
+    snapshot untouched); the opt-in wait budget re-runs the op from
+    scratch, re-absorbing the late vector."""
     spark = df.sparkSession
     base = target_path.rstrip("/")
     scope = sorted(touched_dirs) if touched_dirs is not None else None
     with _WriterLock(spark, base, scope=scope) as lk:
+        from config_driven_pyspark_spark.operators.deletes import (
+            _dv_root, _list_dv,
+        )
+
+        live = sorted(e["name"] for e in _list_dv(spark, _dv_root(base)))
+        want = sorted(dv_expected or [])
+        if live != want:
+            raise _LockConflict(
+                f"deletion vector(s) {sorted(set(live) - set(want))} of "
+                f"{base!r} were committed after this {op!r} planned its "
+                "rewrite — proceeding would resurrect the tombstoned "
+                "rows (a DV commit changes no data files, so the staged "
+                "count cannot catch it). Re-run the op (it re-absorbs "
+                "pending vectors first), or set "
+                f"{_LOCK_WAIT_CONF!r} to retry automatically"
+            )
         return _stage_verify_swap_locked(
             df, target_path, expected_rows, partition_by, breakdown,
             touched_dirs, marker_batch_id, partition_markers,

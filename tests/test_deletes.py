@@ -382,3 +382,96 @@ def test_merge_dv_bootstrap_falls_back(spark, tmp_path):
     )
     assert stats["n_inserted"] == 1
     assert _ids(spark.read.parquet(path)) == [1]
+
+
+# ---------------------------------------------------------------------------
+# late-DV swap guard (r15 — ADVICE r14 medium): a deletion vector that
+# commits AFTER an op listed/absorbed pending vectors but BEFORE its swap
+# lock must abort the swap retryably — the staged-count check cannot see
+# it (a DV write changes no data files) and proceeding would resurrect
+# the tombstoned rows into newly named files, permanently orphaning the
+# vector (silent un-delete, data-loss-grade for GDPR erasure).
+# ---------------------------------------------------------------------------
+
+def test_swap_aborts_when_dv_lands_in_planning_window(spark, tmp_path):
+    from unittest import mock
+
+    from config_driven_pyspark_spark.operators import table as T
+
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    # simulate the race deterministically: the vector is already live,
+    # and the op's absorb preamble "loses" to it (no-op), exactly the
+    # state a racer's commit in the planning window produces
+    delete_where_dv(spark, path, "k in (2, 4)", pb)
+    batch = spark.createDataFrame([(3, 1, 999)], "k long, p int, v long")
+    with mock.patch.object(T, "_absorb_pending_deletes"):
+        with pytest.raises(IOError, match="deletion vector"):
+            merge_upsert(batch, path, ["k"], partition_by=pb)
+    # the abort left the snapshot untouched: vector still live, rows
+    # still logically deleted, and the unpatched re-run (what the
+    # bounded retry does) absorbs and succeeds
+    assert has_live_deletes(spark, path)
+    merge_upsert(batch, path, ["k"], partition_by=pb)
+    got = _ids(spark.read.parquet(path))
+    assert 2 not in got and 4 not in got
+    assert not has_live_deletes(spark, path)
+
+
+def test_materialize_aborts_on_vector_beyond_absorbed_set(spark, tmp_path):
+    """dv_materialize passes its absorbed entry names as dv_expected;
+    a LIVE listing with anything extra (a racer's vector) must abort."""
+    from config_driven_pyspark_spark.operators import table as T
+
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    delete_where_dv(spark, path, "k = 2", pb)
+    live = [e["name"] for e in _list_dv(spark, _dv_root(path))]
+    assert len(live) == 1
+    df = spark.read.parquet(path)
+    n = df.count()
+    # expected set missing the live vector -> retryable conflict
+    with pytest.raises(IOError, match="deletion vector"):
+        T._stage_verify_swap(
+            df, path, n, pb, "(guard test)", op="dv_materialize",
+            dv_expected=[],
+        )
+    # expected set == live listing -> the swap proceeds
+    staged = T._stage_verify_swap(
+        df, path, n, pb, "(guard test)", op="dv_materialize",
+        dv_expected=live,
+    )
+    assert staged == n
+
+
+def test_late_dv_conflict_is_retryable(spark, tmp_path):
+    """The guard raises _LockConflict, so the opt-in wait budget
+    re-runs the op from scratch and it self-heals by re-absorbing."""
+    from config_driven_pyspark_spark.operators import table as T
+
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    delete_where_dv(spark, path, "k = 4", pb)
+    batch = spark.createDataFrame([(5, 1, 555)], "k long, p int, v long")
+    calls = {"n": 0}
+    real = T._absorb_pending_deletes
+
+    def flaky_absorb(*a, **kw):
+        # first attempt: the absorb "loses the race" (no-op); the
+        # retry's fresh run absorbs for real
+        calls["n"] += 1
+        if calls["n"] > 1:
+            real(*a, **kw)
+
+    from unittest import mock
+
+    spark.conf.set("spark.cdp.lock.wait_seconds", "30")
+    try:
+        with mock.patch.object(T, "_absorb_pending_deletes", flaky_absorb):
+            merge_upsert(batch, path, ["k"], partition_by=pb)
+    finally:
+        spark.conf.unset("spark.cdp.lock.wait_seconds")
+    assert calls["n"] >= 2
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert 4 not in got and got[5] == 555
+    assert not has_live_deletes(spark, path)
