@@ -2287,7 +2287,9 @@ def decode_flac(payload: bytes):
             f"(stream is {bps}-bit); route through decoder='real'"
         )
     out: list[int] = []
-    while pos < len(payload) and len(out) < total:
+    # total == 0 is LEGAL in STREAMINFO ("unknown length") — decode
+    # until the payload runs out rather than silently returning nothing
+    while pos < len(payload) and (total == 0 or len(out) < total):
         frame_start = pos
         r = _FlacReader(payload, pos)
         sync = r.take(14)
@@ -2385,15 +2387,21 @@ def decode_flac(payload: bytes):
         if wasted:
             blk = [x << wasted for x in blk]
         r.align()
+        if r.pos + 1 >= len(payload):
+            # a payload cut at the frame boundary must fail the same
+            # loud way as one cut mid-frame, not with an IndexError
+            raise ValueError("FLAC payload truncated mid-frame")
         crc16 = (payload[r.pos] << 8) | payload[r.pos + 1]
         if _flac_crc16(payload[frame_start:r.pos]) != crc16:
             raise ValueError("FLAC frame CRC-16 mismatch")
         pos = r.pos + 2
         out.extend(blk)
     arr = np.asarray(out[: total or len(out)], dtype="<i2")
-    if total and hashlib.md5(
+    # the MD5 integrity check applies whenever STREAMINFO carries one,
+    # including unknown-length (total == 0) streams
+    if md5 != b"\x00" * 16 and hashlib.md5(
         arr.astype("<i2").tobytes()
-    ).digest() != md5 and md5 != b"\x00" * 16:
+    ).digest() != md5:
         raise ValueError("FLAC MD5 mismatch — decoded audio corrupt")
     return arr.reshape(-1, 1), rate
 

@@ -2068,6 +2068,19 @@ def merge_upsert(
     both phases. Incompatible with the by-source clause (those deletes
     target rows NOT in the batch — full-rewrite physics either way).
 
+    Two mixed-batch consequences to plan around (ADVICE r14): (1) COST
+    — the upsert phase is a copy-on-write merge whose preamble
+    materializes ALL pending deletion vectors, so in a steady CDC
+    stream of mixed batches every batch pays a materialization
+    rewrite; the zero-data-file advantage holds for DELETE-ONLY
+    batches (route tombstone trickles separately, or raise the
+    coalesce/materialize cadence — operators/deletes.py). (2)
+    PRECEDENCE — a key appearing in BOTH the upsert and delete slices
+    of one batch is two source rows with the same key, which the
+    duplicate-key guard rejects loudly before either phase runs
+    ("dedupe the batch first"); there is no silent delete-wins
+    ordering to rely on.
+
     A missing target bootstraps from the batch's non-delete rows — the
     day-zero case."""
     from config_driven_pyspark_spark.operators.similarity import _fs_exists

@@ -475,3 +475,20 @@ def test_late_dv_conflict_is_retryable(spark, tmp_path):
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert 4 not in got and got[5] == 555
     assert not has_live_deletes(spark, path)
+
+
+def test_merge_dv_same_key_in_both_slices_rejected(spark, tmp_path):
+    """Docstring contract (ADVICE r14): a key in BOTH the upsert and
+    delete slices of one merge_on_read batch is a duplicate key row —
+    rejected loudly before either phase, never a silent delete-wins."""
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    batch = spark.createDataFrame(
+        [(3, 1, 999, False), (3, 1, 0, True)],
+        "k long, p int, v long, is_del boolean",
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert(
+            batch, path, ["k"], partition_by=pb,
+            delete_col="is_del", delete_mode="merge_on_read",
+        )

@@ -3248,3 +3248,41 @@ def test_flac_transcode_stage_and_audio_stats(spark):
     ref = MM.audio_stats(media).collect()
     key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
     assert key(out) == key(ref)  # lossless: identical exact stats
+
+
+def test_flac_frame_boundary_truncation_and_unknown_total():
+    """ADVICE r14: a payload cut AT the frame boundary (CRC-16 bytes
+    missing) must raise the documented truncation ValueError, not
+    IndexError; STREAMINFO total_samples=0 (legal: 'unknown length')
+    must decode until the payload ends, not return silence."""
+    import numpy as np
+    import pytest as _pytest
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    s = np.cumsum(
+        np.random.RandomState(5).randint(-200, 200, size=300)
+    ).clip(-32000, 32000).astype("<i2")
+    enc = MM.encode_flac(s, 16000)
+
+    # cut 1 then 2 bytes off the tail: the final frame's CRC-16 read
+    # goes out of bounds — loud truncation, never IndexError
+    for cut in (1, 2):
+        with _pytest.raises(ValueError, match="truncated"):
+            MM.decode_flac(enc[:-cut])
+
+    # zero the 36-bit total_samples field (STREAMINFO bits 108..143 =
+    # payload bytes 21..25: low nibble of 21, all of 22-25) — a legal
+    # "unknown length" stream; the MD5 is still present and must verify
+    unk = bytearray(enc)
+    unk[21] &= 0xF0
+    unk[22:26] = b"\x00\x00\x00\x00"
+    arr, rate = MM.decode_flac(bytes(unk))
+    assert rate == 16000
+    assert (arr.reshape(-1) == s).all()
+
+    # corruption in an unknown-length stream is still caught by MD5
+    bad = bytearray(unk)
+    bad[-3] ^= 0x40
+    with _pytest.raises(ValueError, match="CRC|MD5"):
+        MM.decode_flac(bytes(bad))
