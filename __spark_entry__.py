@@ -3553,6 +3553,110 @@ def q_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming merge-on-read ingestion end-to-end (r15 — VERDICT r14
+    ask #4; streaming/stages.py stream_sink format=merge with
+    ``delete_mode='merge_on_read'`` + operators/deletes.py): a
+    micro-batched TOMBSTONE stream (three delete-only files,
+    maxFilesPerTrigger=1) drains into a versioned status-partitioned
+    snapshot — each micro-batch commits ONE deletion vector and
+    touches ZERO data files (asserted: the raw physical row count
+    never moves across three delete versions). ``coalesce_deletes``
+    (r15 — VERDICT r14 ask #3) then folds the three vectors into one
+    with no rewrite and a logically EMPTY commit (CDF diff across the
+    coalesce version asserted 0). The batch CDF audit across the
+    stream's versions reports exactly the tombstoned slices. Output is
+    ORDER-INDEPENDENT (slices keyed by o_orderkey % 16, not commit
+    version) because Spark's file source does not guarantee
+    micro-batch file order; version count, vector fan-in (3 → 1), and
+    zero-rewrite physics are assert-gated in-query. The oracle replays
+    the slices straight off orders. Streaming-drained ≡ batch-applied
+    parity is additionally pinned in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from config_driven_pyspark_spark import Pipeline
+    from config_driven_pyspark_spark.operators import history as H
+    from config_driven_pyspark_spark.operators.deletes import (
+        _dv_root, _list_dv, coalesce_deletes, read_table,
+    )
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    target = os.path.join(tempfile.gettempdir(), f"cdp_sdv_target_{sf_tag}")
+    ev = os.path.join(tempfile.gettempdir(), f"cdp_sdv_events_{sf_tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"cdp_sdv_ckpt_{sf_tag}")
+    _fresh_tmp(target, ev, ckpt)
+
+    seed = orders.filter(F.col("o_orderkey") % 4 != 3)
+    seed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+        target
+    )
+    H.disable_table_history(spark, target)
+    H.enable_table_history(spark, target, ["o_orderstatus"])
+    n_seed = spark.read.parquet(target).count()
+
+    # three delete-only micro-batch files — the CDC tombstone trickle
+    for i, s in enumerate((2, 5, 9)):
+        (
+            seed.filter(F.col("o_orderkey") % 16 == s)
+            .select("o_orderkey")
+            .withColumn("is_del", F.lit(True))
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(ev)
+        )
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": ev,
+         "schema": "o_orderkey bigint, is_del boolean",
+         "streaming": True, "options": {"maxFilesPerTrigger": "1"}},
+        {"stage": "stream_sink", "format": "merge", "path": target,
+         "keys": ["o_orderkey"], "delete_col": "is_del",
+         "delete_mode": "merge_on_read",
+         "partition_by": ["o_orderstatus"],
+         "checkpoint": ckpt, "trigger": "available_now", "await": True},
+    ]).run(spark)
+
+    # merge-on-read physics: three versions, three vectors, ZERO
+    # data-file rewrites — the raw physical count never moved
+    assert H.table_current_version(spark, target) == 3
+    assert len(_list_dv(spark, _dv_root(target))) == 3
+    assert spark.read.parquet(target).count() == n_seed
+    res = coalesce_deletes(spark, target, ["o_orderstatus"])
+    assert res["n_vectors_in"] == 3 and res["version"] == 4, res
+    assert len(_list_dv(spark, _dv_root(target))) == 1
+    assert spark.read.parquet(target).count() == n_seed  # still no rewrite
+    # the coalesce is logically invisible: empty CDF diff across v4
+    assert H.table_changes(spark, target, 3, 4).count() == 0
+
+    cdf = H.table_changes(spark, target, 0, 3)
+    audit = (
+        cdf.groupBy(
+            F.col("_change_type").alias("part"),
+            (F.col("o_orderkey") % 16).cast("bigint").alias("slice"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+    )
+    live = (
+        read_table(spark, target)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+        .select(
+            F.lit("live").alias("part"),
+            F.lit(-1).cast("bigint").alias("slice"),
+            "n_rows", "sum_keys",
+        )
+    )
+    return audit.unionByName(live)
+
+
 def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILE-level data skipping (r13 — VERDICT r12 ask #1;
     operators/table.py::_file_stats, compact_table, scan_table):
@@ -6709,6 +6813,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_scan": q_table_scan,  # sidecar-pruned reads, r12
         "q_file_skipping": q_file_skipping,  # per-file data skipping, r13
         "q_stream_changes": q_stream_changes,  # streaming CDF pump, r13
+        "q_stream_dv": q_stream_dv,  # streaming merge-on-read + coalesce, r15
         "q_table_analyze": q_table_analyze,  # ANALYZE statistics, r12
         "q_scd2_asof": q_scd2_asof,  # SCD2 point-in-time reads, r11
         "q_e2e_cdc": q_e2e_cdc,
@@ -11020,6 +11125,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(o_orderkey) AS BIGINT),
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
             FROM p GROUP BY o_orderstatus
+        """,
+        # streaming merge-on-read replay: the tombstoned slices (seed
+        # keys %16 in 2/5/9) as CDF delete groups, keyed by slice so
+        # the result is independent of micro-batch commit order, plus
+        # the final live state; the zero-rewrite / vector-fan-in /
+        # empty-coalesce-diff physics are assert-gated in the query
+        "q_stream_dv": """
+            WITH seed AS (
+              SELECT o_orderkey FROM orders WHERE o_orderkey % 4 <> 3)
+            SELECT 'delete' AS part,
+                   CAST(o_orderkey % 16 AS BIGINT) AS slice,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+            FROM seed WHERE o_orderkey % 16 IN (2, 5, 9)
+            GROUP BY o_orderkey % 16
+            UNION ALL
+            SELECT 'live', CAST(-1 AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(o_orderkey) AS BIGINT)
+            FROM seed WHERE o_orderkey % 16 NOT IN (2, 5, 9)
         """,
         # streaming CDF pump replay: both days' change sets derived
         # from the batch definitions (v1: P %8=2 updates + %8=3

@@ -213,6 +213,10 @@ HEADLINE = [
     "q_mulaw_decode",
     "q_adpcm_decode",
     "q_flac_decode",
+    # round 15: streaming merge-on-read ingestion + deletion-vector
+    # coalesce; the harness lock hygiene and swap-time DV re-check ride
+    # the existing table rows
+    "q_stream_dv",
 ]
 
 

@@ -510,6 +510,121 @@ def _dv_delete_core(
     }
 
 
+def coalesce_deletes(
+    spark: SparkSession,
+    target_path: str,
+    partition_by: list[str] | None = None,
+    min_vectors: int = 2,
+) -> dict:
+    """Merge all PENDING deletion vectors into ONE — no data rewrite.
+
+    A tombstone trickle (daily GDPR erasure batches) leaves one
+    ``_deletes/dv_*`` dir per delete batch, and every DV-aware read
+    lists and unions all of them (VERDICT r14 gap #2). Coalescing caps
+    that read-side fan-in at ONE vector without paying
+    :func:`materialize_deletes`'s data-file rewrites: union+distinct
+    the pending tombstones (bytes ∝ tombstones, never table size),
+    publish them as one new vector, retire the inputs.
+
+    Versioned tables commit the coalesce like a delete (new version
+    ``V``): the coalesced vector carries ``v=V`` and the inputs are
+    ARCHIVED under ``__history/_dv`` tagged ``_m{V}``, so reads below
+    ``V`` still consult the originals while reads at or past ``V`` use
+    only the coalesced one — union(inputs) == coalesced, every version
+    sees the same logical state, and the CDF diff across ``V`` is
+    empty (``dv_dirs=[]`` keeps CDF/restore scoping tight).
+    Unversioned tables delete the inputs after the coalesced vector is
+    live; a crash in the window leaves duplicate tombstones, which the
+    anti join dedupes (``_dv_frame`` is distinct across vectors).
+
+    Returns ``{n_vectors_in, n_tombstones, n_vectors_out, version}``
+    (``version`` None when unversioned or no-op).
+    """
+    from config_driven_pyspark_spark.operators import history as _hist
+    from config_driven_pyspark_spark.operators.table import (
+        _WriterLock,
+        _fs,
+        _recover_crashed_swap,
+    )
+
+    base = target_path.rstrip("/")
+    jvm, fs = _fs(spark, base)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(Path(base)):
+        raise ValueError(f"no snapshot at {target_path!r}")
+    if len(_list_dv(spark, _dv_root(base))) < max(2, min_vectors):
+        return {"n_vectors_in": 0, "n_tombstones": 0,
+                "n_vectors_out": 0, "version": None}
+    _recover_crashed_swap(spark, base)
+    _gc_dv_staging(spark, base)
+    # the coalesce touches only `_deletes` but must not interleave with
+    # a rewrite's absorb/swap — global lock, the op is tombstone-sized
+    with _WriterLock(spark, base, scope=None):
+        entries = _list_dv(spark, _dv_root(base))  # authoritative
+        if len(entries) < max(2, min_vectors):
+            return {"n_vectors_in": 0, "n_tombstones": 0,
+                    "n_vectors_out": 0, "version": None}
+        dv, nseg = _dv_frame(
+            spark, [(_dv_root(base), e) for e in entries]
+        )
+        if nseg != len(partition_by or []) + 1:
+            raise ValueError(
+                f"deletion vectors of {base!r} were written at "
+                f"partition depth {nseg - 1} but coalesce_deletes was "
+                f"called with partition_by={partition_by} — pass the "
+                "table's real partition columns"
+            )
+        n_tomb = dv.count()
+        tmp = f"{_dv_root(base)}/staging-{uuid.uuid4().hex[:8]}"
+        dv.coalesce(1).write.mode("overwrite").parquet(tmp)
+        n_staged = spark.read.schema(_DV_SCHEMA).parquet(tmp).count()
+        if n_staged != n_tomb:
+            fs.delete(Path(tmp), True)
+            raise ValueError(
+                f"staged {n_staged} coalesced tombstones but the "
+                f"pending vectors hold {n_tomb} — aborted, inputs "
+                "untouched"
+            )
+        retain = _hist.begin_retention(spark, base, partition_by)
+        name = f"dv_v{retain or 0:06d}_s{nseg}_{uuid.uuid4().hex[:8]}"
+        if not fs.rename(Path(tmp), Path(f"{_dv_root(base)}/{name}")):
+            fs.delete(Path(tmp), True)
+            if retain is not None:
+                _hist.abort_retention(spark, base, retain)
+            raise IOError(
+                f"could not publish coalesced deletion vector {name!r} "
+                f"for {base!r}"
+            )
+        if retain is not None:
+            arch = _dv_archive_root(base)
+            fs.mkdirs(Path(arch))
+            for e in entries:
+                new = re.sub(
+                    r"_s(\d+)_", rf"_s\1_m{retain:06d}_",
+                    e["name"], count=1,
+                )
+                if not fs.rename(
+                    Path(f"{_dv_root(base)}/{e['name']}"),
+                    Path(f"{arch}/{new}"),
+                ):
+                    raise IOError(
+                        f"coalesced input vector {e['name']!r} of "
+                        f"{base!r} could not be archived — older "
+                        "versions would double-apply; fix the "
+                        "filesystem and re-run coalesce_deletes"
+                    )
+            _hist.commit_retention(
+                spark, base, retain, None, op="coalesce", mode="dv",
+                replaced=[], created=[], rows_staged=n_tomb,
+                dv_dirs=[],
+            )
+        else:
+            for e in entries:
+                fs.delete(Path(f"{_dv_root(base)}/{e['name']}"), True)
+    return {"n_vectors_in": len(entries), "n_tombstones": n_tomb,
+            "n_vectors_out": 1, "version": retain}
+
+
 def materialize_deletes(
     spark: SparkSession,
     target_path: str,
@@ -676,3 +791,40 @@ def stage_dv_materialize(df: DataFrame, spec: dict) -> DataFrame:
         df.sparkSession, spec["path"], spec.get("partition_by")
     )
     return read_table(df.sparkSession, spec["path"])
+
+
+def stage_dv_coalesce(
+    df, spec: dict, spark: SparkSession | None = None
+) -> DataFrame:
+    """``{"stage": "dv_coalesce", "path": ..., "partition_by": [...]?,
+    "min_vectors": N?}`` — merges pending deletion vectors into one
+    (no data rewrite) and returns the table's live state. Source-like:
+    usable as a pipeline's first stage."""
+    s = spark if spark is not None else df.sparkSession
+    coalesce_deletes(
+        s, spec["path"], spec.get("partition_by"),
+        min_vectors=int(spec.get("min_vectors", 2)),
+    )
+    return read_table(s, spec["path"])
+
+
+def dv_housekeeping(
+    spark: SparkSession,
+    target_path: str,
+    partition_by: list[str] | None,
+    coalesce_after: int | None = None,
+    materialize_after: int | None = None,
+) -> None:
+    """Post-delete vector hygiene for trickle workloads: when the
+    pending-vector count reaches ``materialize_after``, absorb them
+    into file rewrites; else when it reaches ``coalesce_after``, merge
+    them into one vector (no rewrite). Config delete stages expose
+    both knobs so a daily GDPR pipeline self-bounds its read-side
+    vector fan-in without a separate maintenance job."""
+    if not coalesce_after and not materialize_after:
+        return
+    n = len(_list_dv(spark, _dv_root(target_path.rstrip("/"))))
+    if materialize_after and n >= materialize_after:
+        materialize_deletes(spark, target_path, partition_by)
+    elif coalesce_after and n >= coalesce_after:
+        coalesce_deletes(spark, target_path, partition_by)

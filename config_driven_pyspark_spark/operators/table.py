@@ -4211,16 +4211,28 @@ def update_where(
 
 def stage_table_delete(df: DataFrame, spec: dict) -> DataFrame:
     """``{"stage": "table_delete", "path": ..., "where": <condition>,
-    "partition_by": [...]?, "mode": "merge_on_read"?}`` — deletes
+    "partition_by": [...]?, "mode": "merge_on_read"?,
+    "coalesce_after": N?, "materialize_after": N?}`` — deletes
     matching rows from the snapshot and returns the post-delete table
-    (deletion-vector-aware, so merge-on-read deletes are reflected)."""
+    (deletion-vector-aware, so merge-on-read deletes are reflected).
+    The ``*_after`` knobs bound a tombstone trickle's vector fan-in:
+    once the pending-vector count reaches the threshold the stage
+    coalesces (one vector, no rewrite) or materializes (file
+    rewrites) before returning."""
     delete_where(
         df.sparkSession, spec["path"], spec["where"],
         spec.get("partition_by"),
         mode=spec.get("mode", "copy_on_write"),
     )
-    from config_driven_pyspark_spark.operators.deletes import read_table
+    from config_driven_pyspark_spark.operators.deletes import (
+        dv_housekeeping, read_table,
+    )
 
+    dv_housekeeping(
+        df.sparkSession, spec["path"], spec.get("partition_by"),
+        coalesce_after=spec.get("coalesce_after"),
+        materialize_after=spec.get("materialize_after"),
+    )
     return read_table(df.sparkSession, spec["path"])
 
 

@@ -275,7 +275,7 @@ class Pipeline:
             "udf", "grouped_map", "flat_map", "sink", "merge", "scd2",
             "scd2_asof", "incremental_agg", "compact",
             "table_delete", "table_update",
-            "table_read", "dv_materialize",
+            "table_read", "dv_materialize", "dv_coalesce",
             "time_travel", "table_history", "table_restore",
             "vacuum_history", "expect", "table_changes", "alter",
             "enable_history", "analyze", "table_scan",
@@ -319,6 +319,17 @@ class Pipeline:
             )
 
             return stage_table_read(
+                ctx.last if not spec.get("input") else ctx.get(spec["input"]),
+                spec,
+                spark=ctx.spark,
+            )
+        if kind == "dv_coalesce":
+            # source-like: pure table maintenance, needs only the path
+            from config_driven_pyspark_spark.operators.deletes import (
+                stage_dv_coalesce,
+            )
+
+            return stage_dv_coalesce(
                 ctx.last if not spec.get("input") else ctx.get(spec["input"]),
                 spec,
                 spark=ctx.spark,

@@ -492,3 +492,125 @@ def test_merge_dv_same_key_in_both_slices_rejected(spark, tmp_path):
             batch, path, ["k"], partition_by=pb,
             delete_col="is_del", delete_mode="merge_on_read",
         )
+
+
+# ---------------------------------------------------------------------------
+# deletion-vector coalesce (r15 — VERDICT r14 ask #3): a tombstone
+# trickle must not accumulate unbounded read-side vector fan-in
+# ---------------------------------------------------------------------------
+
+def test_dv_trickle_coalesce_caps_fanin_at_one_vector(spark, tmp_path):
+    """~50 trickle deletes -> coalesce -> reads touch ONE vector dir."""
+    from config_driven_pyspark_spark.operators.deletes import (
+        coalesce_deletes,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=200, parts=1, partition_by=False)
+    for i in range(50):
+        delete_where_dv(spark, path, f"k = {i * 3}", None)
+    assert len(_list_dv(spark, _dv_root(path))) == 50
+    res = coalesce_deletes(spark, path)
+    assert res["n_vectors_in"] == 50 and res["n_vectors_out"] == 1
+    assert res["n_tombstones"] == 50
+    live = _list_dv(spark, _dv_root(path))
+    assert len(live) == 1  # reads now list/union exactly one dir
+    got = _ids(read_table(spark, path))
+    assert got == [k for k in range(200) if k % 3 != 0 or k >= 150]
+
+
+def test_dv_coalesce_noop_below_threshold(spark, tmp_path):
+    from config_driven_pyspark_spark.operators.deletes import (
+        coalesce_deletes,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=20, parts=1, partition_by=False)
+    delete_where_dv(spark, path, "k = 2", None)
+    res = coalesce_deletes(spark, path)
+    assert res["n_vectors_out"] == 0 and res["version"] is None
+    assert len(_list_dv(spark, _dv_root(path))) == 1
+
+
+def test_dv_coalesce_versioned_preserves_time_travel(spark, tmp_path):
+    """Versioned coalesce commits like a delete: inputs archived with
+    the coalesce version, every older version reads unchanged, the CDF
+    diff across the coalesce version is empty, and a later materialize
+    + vacuum still behave."""
+    from config_driven_pyspark_spark.operators.deletes import (
+        coalesce_deletes,
+    )
+
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=40, parts=2)
+    enable_table_history(spark, path, pb)
+    delete_where_dv(spark, path, "k = 2", pb)   # v1
+    delete_where_dv(spark, path, "k = 5", pb)   # v2
+    delete_where_dv(spark, path, "k = 8", pb)   # v3
+    res = coalesce_deletes(spark, path, pb)     # v4
+    assert res["version"] == 4 and res["n_tombstones"] == 3
+    assert len(_list_dv(spark, _dv_root(path))) == 1
+    # every version reads the state its deletes left
+    assert _ids(read_table_version(spark, path, 0)) == list(range(40))
+    assert 2 not in _ids(read_table_version(spark, path, 1))
+    assert _ids(read_table_version(spark, path, 2)) == [
+        k for k in range(40) if k not in (2, 5)
+    ]
+    expect = [k for k in range(40) if k not in (2, 5, 8)]
+    assert _ids(read_table_version(spark, path, 3)) == expect
+    assert _ids(read_table_version(spark, path, 4)) == expect
+    assert _ids(read_table(spark, path)) == expect
+    # the coalesce is logically invisible: CDF across v4 is empty
+    assert table_changes(spark, path, 3, 4).count() == 0
+    # and a later materialize absorbs the coalesced vector normally
+    materialize_deletes(spark, path, pb)
+    assert not has_live_deletes(spark, path)
+    assert _ids(spark.read.parquet(path)) == expect
+    assert _ids(read_table_version(spark, path, 2)) == [
+        k for k in range(40) if k not in (2, 5)
+    ]
+
+
+def test_dv_housekeeping_knobs(spark, tmp_path):
+    """table_delete's coalesce_after/materialize_after bound the
+    trickle from inside the config pipeline."""
+    from config_driven_pyspark_spark import Pipeline
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=100, parts=1, partition_by=False)
+    for i in range(4):
+        Pipeline([
+            {"stage": "table_read", "path": path},
+            {"stage": "table_delete", "path": path,
+             "where": f"k = {i}", "mode": "merge_on_read",
+             "coalesce_after": 3},
+        ]).run(spark)
+    # 3rd delete tripped the coalesce (3 -> 1), 4th added one more
+    assert len(_list_dv(spark, _dv_root(path))) == 2
+    # materialize_after takes precedence and clears everything
+    Pipeline([
+        {"stage": "table_read", "path": path},
+        {"stage": "table_delete", "path": path,
+         "where": "k = 50", "mode": "merge_on_read",
+         "coalesce_after": 3, "materialize_after": 3},
+    ]).run(spark)
+    assert not has_live_deletes(spark, path)
+    assert _ids(spark.read.parquet(path)) == [
+        k for k in range(100) if k not in (0, 1, 2, 3, 50)
+    ]
+
+
+def test_dv_coalesce_stage(spark, tmp_path):
+    from config_driven_pyspark_spark import Pipeline
+
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    delete_where_dv(spark, path, "k = 2", pb)
+    delete_where_dv(spark, path, "k = 4", pb)
+    out = Pipeline([
+        {"stage": "dv_coalesce", "path": path, "partition_by": pb},
+    ]).run(spark)
+    assert len(_list_dv(spark, _dv_root(path))) == 1
+    assert sorted(r["k"] for r in out.select("k").collect()) == [
+        k for k in range(20) if k not in (2, 4)
+    ]

@@ -1309,3 +1309,67 @@ def test_changes_stream_exactly_once_parquet_sink(spark, tmp_path):
     )
     assert rows3 == rows1
     assert not os.path.exists(debris)
+
+
+def test_streaming_dv_merge_sink_parity_with_batch(spark, tmp_path):
+    """Streaming merge-on-read ingestion (r15): delete-only tombstone
+    micro-batches drained through stream_sink format=merge with
+    delete_mode='merge_on_read' must (a) leave every data file
+    untouched, (b) commit one deletion vector per micro-batch, and
+    (c) land the exact logical state the same batches produce applied
+    sequentially in batch mode."""
+    from config_driven_pyspark_spark.operators.deletes import (
+        _dv_root, _list_dv, read_table,
+    )
+    from config_driven_pyspark_spark.operators.table import merge_upsert
+
+    seed = spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 10) for i in range(30)],
+        "id bigint, p string, v bigint",
+    )
+    batches = [[2, 5], [8, 11, 14], [17]]
+
+    # batch arm: sequential merge_on_read application
+    b_target = str(tmp_path / "batch_snap")
+    seed.write.partitionBy("p").parquet(b_target)
+    for keys in batches:
+        merge_upsert(
+            spark.createDataFrame(
+                [(k, True) for k in keys], "id bigint, gone boolean"
+            ),
+            b_target, ["id"], "gone",
+            delete_mode="merge_on_read", partition_by=["p"],
+        )
+
+    # streaming arm: same batches as micro-batch files
+    s_target = str(tmp_path / "stream_snap")
+    seed.write.partitionBy("p").parquet(s_target)
+    n_files_before = len(
+        [f for f in spark.read.parquet(s_target).inputFiles()]
+    )
+    ev = str(tmp_path / "tombstones")
+    for i, keys in enumerate(batches):
+        spark.createDataFrame(
+            [(k, True) for k in keys], "id bigint, gone boolean"
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(ev)
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": ev,
+         "schema": "id bigint, gone boolean",
+         "streaming": True, "options": {"maxFilesPerTrigger": "1"}},
+        {"stage": "stream_sink", "format": "merge", "path": s_target,
+         "keys": ["id"], "delete_col": "gone",
+         "delete_mode": "merge_on_read", "partition_by": ["p"],
+         "checkpoint": str(tmp_path / "ckpt_dv"),
+         "trigger": "available_now", "await": True},
+    ]).run(spark)
+
+    # (a) zero data-file rewrites, (b) one vector per micro-batch
+    assert len(spark.read.parquet(s_target).inputFiles()) == n_files_before
+    assert spark.read.parquet(s_target).count() == 30
+    assert len(_list_dv(spark, _dv_root(s_target))) == len(batches)
+    # (c) drained ≡ batch-applied
+    deleted = {k for b in batches for k in b}
+    want = sorted(i for i in range(30) if i not in deleted)
+    got_s = sorted(r["id"] for r in read_table(spark, s_target).collect())
+    got_b = sorted(r["id"] for r in read_table(spark, b_target).collect())
+    assert got_s == want and got_b == want
