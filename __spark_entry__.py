@@ -2234,6 +2234,26 @@ def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_stats(MM.transcode_audio(media, "flac"))
 
 
+def q_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO FLAC end-to-end (r15 — VERDICT r14 ask #8;
+    multimodal.py::encode_flac/decode_flac): two deterministic
+    channels per id (L and R tone formulas) roundtrip WAV → FLAC →
+    stats through every stereo channel assignment — the encoder picks
+    independent / left-side / right-side / mid-side PER BLOCK by
+    residual cost (the L/R formulas decorrelate differently per id, so
+    the corpus exercises several assignments), side subframes carry
+    the spec's 17 bits, and decode reconstructs via the mid/side
+    identity. FLAC is LOSSLESS, so the oracle is the roundtrip
+    IDENTITY over both channels' integer formulas — any slip in the
+    stereo bit depths, the assignment nibble, or the reconstruction
+    algebra breaks the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    media = MM.synthesize_wav(ids, id_col="doc_id", n_samples=64,
+                              sample_rate=8000, channels=2)
+    return MM.audio_stats(MM.transcode_audio(media, "flac"))
+
+
 _BM25_QUERIES = [
     (0, "spark table join"),
     (1, "fast filter value"),
@@ -6909,6 +6929,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mulaw_decode": q_mulaw_decode,  # G.711 codec, r14
         "q_adpcm_decode": q_adpcm_decode,  # IMA-ADPCM codec, r14
         "q_flac_decode": q_flac_decode,  # FLAC codec, r14  # exact linear-interp resample, r10
+        "q_flac_stereo": q_flac_stereo,  # stereo FLAC (4 channel modes), r15
         "q_bpe_vocab": q_bpe_vocab,
         "q_unigram_vocab": q_unigram_vocab,  # SentencePiece-family, r9
         "q_unigram_encode": q_unigram_encode,  # Viterbi segmentation, r9
@@ -11558,6 +11579,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(s) AS BIGINT) AS sum_samples,
                    CAST(sum(s * s) AS BIGINT) AS sum_squares,
                    CAST(max(abs(s)) AS INT) AS peak_abs
+            FROM samp GROUP BY media_id
+        """,
+        # stereo FLAC roundtrip identity: both channels' tone formulas
+        # folded per id (interleaved stats = channel-wise sums)
+        "q_flac_stereo": """
+            WITH ids AS (
+              SELECT doc_id AS media_id FROM documents WHERE doc_id < 64
+            ),
+            samp AS (
+              SELECT media_id,
+                     ((media_id * 31 + t.i * 57) % 4096) - 2048 AS l,
+                     ((media_id * 13 + t.i * 29) % 4096) - 2048 AS r
+              FROM ids, unnest(range(0, 64)) AS t(i)
+            )
+            SELECT media_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(2 AS INT) AS n_channels,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(sum(l + r) AS BIGINT) AS sum_samples,
+                   CAST(sum(l * l + r * r) AS BIGINT) AS sum_squares,
+                   CAST(max(greatest(abs(l), abs(r))) AS INT) AS peak_abs
             FROM samp GROUP BY media_id
         """,
         # G.711 mu-law compress+expand replayed closed-form per sample:

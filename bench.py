@@ -215,8 +215,9 @@ HEADLINE = [
     "q_flac_decode",
     # round 15: streaming merge-on-read ingestion + deletion-vector
     # coalesce; the harness lock hygiene and swap-time DV re-check ride
-    # the existing table rows
+    # the existing table rows; stereo FLAC closes the most-hit audio gate
     "q_stream_dv",
+    "q_flac_stereo",
 ]
 
 

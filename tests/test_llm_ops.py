@@ -3286,3 +3286,81 @@ def test_flac_frame_boundary_truncation_and_unknown_total():
     bad[-3] ^= 0x40
     with _pytest.raises(ValueError, match="CRC|MD5"):
         MM.decode_flac(bytes(bad))
+
+
+def test_flac_stereo_all_channel_assignments():
+    """Stereo FLAC (r15): every channel assignment — independent,
+    left/side, right/side, mid/side (17-bit side subframes) — must
+    roundtrip losslessly, 'auto' must pick per block by residual cost,
+    and mono streams must stay byte-compatible."""
+    import numpy as np
+    import pytest as _pytest
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(17)
+    n = 3000
+    base = np.cumsum(rng.randint(-300, 300, n)).clip(-30000, 30000)
+    cases = {
+        # correlated channels: mid/side compresses best
+        "correlated": np.column_stack(
+            [base, base + rng.randint(-40, 40, n)]
+        ),
+        # independent noise: independent assignment wins
+        "noise": rng.randint(-32768, 32767, (n, 2)),
+        # flat left channel: CONSTANT subframe inside a stereo frame
+        "flat_left": np.column_stack([np.full(n, -5), base]),
+        # int16 extremes through the 17-bit side path
+        "extremes": np.array(
+            [[-32768, 32767], [32767, -32768], [0, -1]] * 1000
+        ),
+    }
+    for name, s in cases.items():
+        s = np.clip(s, -32768, 32767).astype("<i2")
+        for mode in ("auto", "independent", "left_side",
+                     "right_side", "mid_side"):
+            arr, rate = MM.decode_flac(
+                MM.encode_flac(s, 44100, stereo_mode=mode)
+            )
+            assert rate == 44100 and arr.shape == s.shape
+            assert (arr == s).all(), (name, mode)
+    # per-frame assignment switching: small blocks, mixed content
+    s = np.clip(
+        np.column_stack([base, rng.randint(-32768, 32767, n)]),
+        -32768, 32767,
+    ).astype("<i2")
+    arr, _ = MM.decode_flac(MM.encode_flac(s, 8000, block_size=256))
+    assert (arr == s).all()
+    # corrupted stereo payload is caught, never silently wrong
+    bad = bytearray(MM.encode_flac(s, 8000))
+    bad[-4] ^= 0x20
+    with _pytest.raises(ValueError, match="CRC|MD5"):
+        MM.decode_flac(bytes(bad))
+    # unknown mode refuses loudly
+    with _pytest.raises(ValueError, match="stereo_mode"):
+        MM.encode_flac(s, 8000, stereo_mode="surround")
+    # >2 channels refuse with the named gate
+    with _pytest.raises(ValueError, match="mono or"):
+        MM.encode_flac(np.zeros((10, 3), dtype="<i2"), 8000)
+
+
+def test_flac_stereo_transcode_stage(spark):
+    """transcode_audio('flac') accepts stereo payloads now; the
+    stats observe both channels."""
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    ids = spark.range(0, 4).selectExpr("id AS media_id")
+    media = MM.synthesize_wav(ids, n_samples=32, sample_rate=8000,
+                              channels=2)
+    rows = MM.audio_stats(MM.transcode_audio(media, "flac")).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_channels"] == 2 and r["n_samples"] == 32
+        # identity vs the synthesis formulas
+        i = list(range(32))
+        left = [((r["media_id"] * 31 + x * 57) % 4096) - 2048 for x in i]
+        right = [((r["media_id"] * 13 + x * 29) % 4096) - 2048 for x in i]
+        assert r["sum_samples"] == sum(left) + sum(right)
+        assert r["sum_squares"] == (
+            sum(v * v for v in left) + sum(v * v for v in right)
+        )
