@@ -2254,6 +2254,27 @@ def q_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_stats(MM.transcode_audio(media, "flac"))
 
 
+def q_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC LPC-subframe decode (r15 — the most-hit remaining audio
+    gate closed; multimodal.py::_flac_dec_subframe stype>=32): stereo
+    test tones encode through GENUINE LPC subframes (QLP precision /
+    signed shift / signed coefficient fields per spec; the encoder's
+    ``use_lpc`` knob carries fixed-equivalent quantized coefficients,
+    so the roundtrip stays lossless while the bitstream takes the LPC
+    path a real-world FLAC file takes) and decode back via pure
+    integer QLP prediction ``(Σ c_j·x[i-1-j]) >> shift``. Oracle =
+    roundtrip identity over both channels' tone formulas — any slip in
+    the precision/shift/coefficient parsing or the prediction algebra
+    breaks the hash. Float Levinson-Durbin ANALYSIS (choosing optimal
+    coefficients) stays honestly out of scope; decoding any
+    fixed-blocksize 16-bit mono/stereo FLAC, LPC included, does not."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    media = MM.synthesize_wav(ids, id_col="doc_id", n_samples=64,
+                              sample_rate=8000, channels=2)
+    return MM.audio_stats(MM.transcode_audio(media, "flac_lpc"))
+
+
 _BM25_QUERIES = [
     (0, "spark table join"),
     (1, "fast filter value"),
@@ -6930,6 +6951,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_adpcm_decode": q_adpcm_decode,  # IMA-ADPCM codec, r14
         "q_flac_decode": q_flac_decode,  # FLAC codec, r14  # exact linear-interp resample, r10
         "q_flac_stereo": q_flac_stereo,  # stereo FLAC (4 channel modes), r15
+        "q_flac_lpc": q_flac_lpc,  # LPC-subframe decode path, r15
         "q_bpe_vocab": q_bpe_vocab,
         "q_unigram_vocab": q_unigram_vocab,  # SentencePiece-family, r9
         "q_unigram_encode": q_unigram_encode,  # Viterbi segmentation, r9
@@ -11584,6 +11606,28 @@ def oracle_sql() -> dict[str, str]:
         # stereo FLAC roundtrip identity: both channels' tone formulas
         # folded per id (interleaved stats = channel-wise sums)
         "q_flac_stereo": """
+            WITH ids AS (
+              SELECT doc_id AS media_id FROM documents WHERE doc_id < 64
+            ),
+            samp AS (
+              SELECT media_id,
+                     ((media_id * 31 + t.i * 57) % 4096) - 2048 AS l,
+                     ((media_id * 13 + t.i * 29) % 4096) - 2048 AS r
+              FROM ids, unnest(range(0, 64)) AS t(i)
+            )
+            SELECT media_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(2 AS INT) AS n_channels,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(sum(l + r) AS BIGINT) AS sum_samples,
+                   CAST(sum(l * l + r * r) AS BIGINT) AS sum_squares,
+                   CAST(max(greatest(abs(l), abs(r))) AS INT) AS peak_abs
+            FROM samp GROUP BY media_id
+        """,
+        # LPC-path roundtrip identity: same stereo formulas — the
+        # bitstream takes genuine LPC subframes, the decode must
+        # reproduce them exactly
+        "q_flac_lpc": """
             WITH ids AS (
               SELECT doc_id AS media_id FROM documents WHERE doc_id < 64
             ),

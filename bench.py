@@ -218,6 +218,7 @@ HEADLINE = [
     # the existing table rows; stereo FLAC closes the most-hit audio gate
     "q_stream_dv",
     "q_flac_stereo",
+    "q_flac_lpc",
 ]
 
 

@@ -1984,18 +1984,23 @@ def encode_wav_adpcm(
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
-# -- FLAC subset codec (r14) -------------------------------------------------
+# -- FLAC subset codec (r14, stereo + LPC decode r15) ------------------------
 #
 # Lossless archival audio, dependency-free: a real FLAC writer/reader
-# for the mono 16-bit fixed-blocksize subset — STREAMINFO with the
-# spec's MD5 of the raw samples, frame headers with UTF-8 frame
-# numbers and CRC-8, CONSTANT / VERBATIM / FIXED(0-4) subframes, Rice
-# residuals (4- and 5-bit parameter variants, escape partitions), and
-# the frame CRC-16. Because FLAC is LOSSLESS, the external oracle is
-# the roundtrip identity (the PNG/GIF pattern): synthesize → encode →
-# decode must reproduce the tone formula bit-for-bit, so any slip in
-# bit packing, prediction, Rice coding or either CRC breaks the hash.
-# LPC subframes and multi-channel streams are honestly gated.
+# for the 16-bit fixed-blocksize subset, mono and stereo — STREAMINFO
+# with the spec's MD5 of the (interleaved) raw samples, frame headers
+# with UTF-8 frame numbers and CRC-8, CONSTANT / VERBATIM / FIXED(0-4)
+# subframes, LPC(1-32) subframes on DECODE (QLP integer prediction;
+# the encoder emits them via the use_lpc knob with fixed-equivalent
+# quantized coefficients — float Levinson-Durbin analysis stays out of
+# scope), all four stereo channel assignments with 17-bit side
+# subframes, Rice residuals (4- and 5-bit parameter variants, escape
+# partitions), and the frame CRC-16. Because FLAC is LOSSLESS, the
+# external oracle is the roundtrip identity (the PNG/GIF pattern):
+# synthesize → encode → decode must reproduce the tone formula
+# bit-for-bit, so any slip in bit packing, prediction, Rice coding or
+# either CRC breaks the hash. >2 channels and non-16-bit streams are
+# honestly gated.
 
 _FLAC_CRC8_POLY = 0x07     # x^8 + x^2 + x + 1
 _FLAC_CRC16_POLY = 0x8005  # x^16 + x^15 + x^2 + 1
@@ -2167,26 +2172,10 @@ def _flac_fixed_cost(blk) -> tuple[int, int, "object"]:
     return best[0], best[1], best_res
 
 
-def _flac_enc_subframe(bits: "_FlacBits", blk, bps: int) -> None:
-    """One subframe at ``bps`` bits (a stereo pair's SIDE channel
-    carries bps+1 — FLAC spec): CONSTANT for flat blocks, else best
-    FIXED(0-2), Rice method 00 / partition order 0."""
-    bs = len(blk)
-    mask = (1 << bps) - 1
-    if bs > 1 and int(min(blk)) == int(max(blk)):
-        bits.put(0, 1)
-        bits.put(0, 6)   # CONSTANT
-        bits.put(0, 1)   # no wasted bits
-        bits.put(int(blk[0]) & mask, bps)
-        return
-    _score, order, best_res = _flac_fixed_cost(blk)
-    bits.put(0, 1)
-    bits.put(0b001000 | order, 6)  # FIXED(order)
-    bits.put(0, 1)
-    for w in blk[:order]:
-        bits.put(int(w) & mask, bps)
-    res = [int(x) for x in best_res]
-    # deterministic Rice parameter (method 00, partition order 0)
+def _flac_enc_residual(bits: "_FlacBits", res: list[int]) -> None:
+    """Rice-code a residual list: deterministic parameter, coding
+    method 00 (4-bit Rice), partition order 0 — shared by the FIXED
+    and LPC subframe writers."""
     total_u = sum(_zigzag(r) for r in res)
     k = 0
     while len(res) and (len(res) << (k + 1)) < total_u and k < 14:
@@ -2198,6 +2187,68 @@ def _flac_enc_subframe(bits: "_FlacBits", blk, bps: int) -> None:
         u = _zigzag(r)
         bits.put_unary(u >> k)
         bits.put(u, k)
+
+
+# the FIXED predictors re-expressed as quantized LPC coefficients —
+# used by the use_lpc test/coverage knob: scaling by 1<<shift keeps
+# the prediction EXACTLY the fixed predictor's (no rounding), so the
+# roundtrip stays lossless while the bitstream takes the LPC path
+_FLAC_LPC_FROM_FIXED = {1: [1], 2: [2, -1]}
+
+
+def _flac_enc_subframe(
+    bits: "_FlacBits", blk, bps: int, use_lpc: bool = False
+) -> None:
+    """One subframe at ``bps`` bits (a stereo pair's SIDE channel
+    carries bps+1 — FLAC spec): CONSTANT for flat blocks, else best
+    FIXED(0-2) — or, with ``use_lpc``, a genuine LPC subframe carrying
+    the equivalent quantized coefficients (QLP precision/shift/coef
+    fields per spec) — Rice method 00 / partition order 0."""
+    bs = len(blk)
+    mask = (1 << bps) - 1
+    if bs > 1 and int(min(blk)) == int(max(blk)):
+        bits.put(0, 1)
+        bits.put(0, 6)   # CONSTANT
+        bits.put(0, 1)   # no wasted bits
+        bits.put(int(blk[0]) & mask, bps)
+        return
+    _score, order, best_res = _flac_fixed_cost(blk)
+    if use_lpc and bs > 1:
+        import numpy as np
+
+        order = max(1, order)  # LPC order is 1-based
+        coefs = _FLAC_LPC_FROM_FIXED.get(order, [0])
+        arr = np.asarray(blk, dtype="int64")
+        shift = 4
+        qcoefs = [c << shift for c in coefs]
+        res = [
+            int(arr[i]) - (
+                sum(
+                    q * int(arr[i - 1 - j]) for j, q in enumerate(qcoefs)
+                ) >> shift
+            )
+            for i in range(order, bs)
+        ]
+        # signed width that fits every quantized coefficient (+1 sign
+        # bit; e.g. coef 2<<4 = 32 needs 7 bits — 6 would wrap to -32)
+        prec = max(2, max(abs(q).bit_length() + 1 for q in qcoefs))
+        bits.put(0, 1)
+        bits.put(0b100000 | (order - 1), 6)  # LPC(order)
+        bits.put(0, 1)
+        for w in arr[:order]:
+            bits.put(int(w) & mask, bps)
+        bits.put(prec - 1, 4)
+        bits.put(shift, 5)  # signed field, value is non-negative
+        for q in qcoefs:
+            bits.put(q & ((1 << prec) - 1), prec)
+        _flac_enc_residual(bits, res)
+        return
+    bits.put(0, 1)
+    bits.put(0b001000 | order, 6)  # FIXED(order)
+    bits.put(0, 1)
+    for w in blk[:order]:
+        bits.put(int(w) & mask, bps)
+    _flac_enc_residual(bits, [int(x) for x in best_res])
 
 
 # frame-header channel-assignment nibbles (FLAC spec §frame header)
@@ -2213,6 +2264,7 @@ def encode_flac(
     sample_rate: int,
     block_size: int = 4096,
     stereo_mode: str = "auto",
+    use_lpc: bool = False,
 ) -> bytes:
     """Encode an int16 array — ``(n,)`` mono or ``(n, 2)`` stereo — as
     a real FLAC stream (fixed-blocksize frames, FIXED(0-2) predictor
@@ -2312,17 +2364,52 @@ def encode_flac(
         for b in hdr:
             bits.put(b, 8)
         for sub_blk, sub_bps in subs:
-            _flac_enc_subframe(bits, sub_blk, sub_bps)
+            _flac_enc_subframe(bits, sub_blk, sub_bps, use_lpc=use_lpc)
         bits.align()
         frame = bits.bytes()
         out += frame + struct.pack(">H", _flac_crc16(frame))
     return bytes(out)
 
 
+def _flac_dec_residual(
+    r: "_FlacReader", bs: int, order: int
+) -> list[int]:
+    """Decode a subframe's Rice-coded residual: both coding methods
+    (4-bit / 5-bit Rice) incl. escape partitions and any partition
+    order — shared by the FIXED and LPC readers."""
+    method = r.take(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 5 if method else 4
+    escape = (1 << pbits) - 1
+    porder = r.take(4)
+    res: list[int] = []
+    nparts = 1 << porder
+    for part in range(nparts):
+        cnt = bs >> porder
+        if part == 0:
+            cnt -= order
+        k = r.take(pbits)
+        if k == escape:
+            raw_bits = r.take(5)
+            res.extend(
+                r.take_signed(raw_bits) if raw_bits else 0
+                for _ in range(cnt)
+            )
+        else:
+            for _ in range(cnt):
+                u = (r.take_unary() << k) | r.take(k)
+                res.append(_unzigzag(u))
+    return res
+
+
 def _flac_dec_subframe(r: "_FlacReader", bs: int, bps: int) -> list[int]:
     """Decode one subframe at ``bps`` bits: CONSTANT / VERBATIM /
-    FIXED(0-4), both Rice methods incl. escape partitions and any
-    partition order. LPC raises the named gate."""
+    FIXED(0-4) / LPC(1-32) (r15 — QLP-coefficient prediction is pure
+    integer math: warmup, precision, signed shift, signed coefficients,
+    ``pred = (Σ c_j · x[i-1-j]) >> shift``; only LPC *encoding* needs
+    float analysis), both Rice methods incl. escape partitions and any
+    partition order."""
     if r.take(1):
         raise ValueError("invalid FLAC subframe padding bit")
     stype = r.take(6)
@@ -2337,29 +2424,7 @@ def _flac_dec_subframe(r: "_FlacReader", bs: int, bps: int) -> list[int]:
     elif 8 <= stype <= 12:
         order = stype - 8
         warm = [r.take_signed(eff) for _ in range(order)]
-        method = r.take(2)
-        if method > 1:
-            raise ValueError("reserved FLAC residual coding method")
-        pbits = 5 if method else 4
-        escape = (1 << pbits) - 1
-        porder = r.take(4)
-        res: list[int] = []
-        nparts = 1 << porder
-        for part in range(nparts):
-            cnt = bs >> porder
-            if part == 0:
-                cnt -= order
-            k = r.take(pbits)
-            if k == escape:
-                raw_bits = r.take(5)
-                res.extend(
-                    r.take_signed(raw_bits) if raw_bits else 0
-                    for _ in range(cnt)
-                )
-            else:
-                for _ in range(cnt):
-                    u = (r.take_unary() << k) | r.take(k)
-                    res.append(_unzigzag(u))
+        res = _flac_dec_residual(r, bs, order)
         blk = list(warm)
         coef = _FLAC_FIXED_COEF[order]
         for x in res:
@@ -2368,11 +2433,24 @@ def _flac_dec_subframe(r: "_FlacReader", bs: int, bps: int) -> list[int]:
             )
             blk.append(x + pred)
     elif stype >= 32:
-        raise NotImplementedError(
-            "FLAC LPC subframes are not decodable dependency-free "
-            "here — re-encode with fixed predictors or route "
-            "through decoder='real'"
-        )
+        order = (stype & 31) + 1
+        warm = [r.take_signed(eff) for _ in range(order)]
+        prec = r.take(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC QLP precision code")
+        shift = r.take_signed(5)
+        if shift < 0:
+            # the field is signed per spec but negative shifts are
+            # reserved in practice (libFLAC refuses them too)
+            raise ValueError("negative FLAC QLP shift")
+        coefs = [r.take_signed(prec) for _ in range(order)]
+        res = _flac_dec_residual(r, bs, order)
+        blk = list(warm)
+        for x in res:
+            pred = sum(
+                c * blk[-j - 1] for j, c in enumerate(coefs)
+            ) >> shift
+            blk.append(x + pred)
     else:
         raise ValueError(f"reserved FLAC subframe type {stype}")
     if wasted:
@@ -2382,13 +2460,15 @@ def _flac_dec_subframe(r: "_FlacReader", bs: int, bps: int) -> list[int]:
 
 def decode_flac(payload: bytes):
     """Decode a mono or STEREO FLAC stream → ((n, channels) int16
-    array, sample_rate). Handles CONSTANT / VERBATIM / FIXED(0-4)
-    subframes, both Rice methods incl. escape partitions and any
-    partition order, and every stereo channel assignment — independent,
-    left/side, right/side, mid/side (r15; 17-bit side per the spec,
-    per-frame assignment switching); verifies the header CRC-8, frame
-    CRC-16 and STREAMINFO's interleaved MD5. LPC subframes and >2
-    channels raise the named gate."""
+    array, sample_rate). Handles CONSTANT / VERBATIM / FIXED(0-4) /
+    LPC(1-32) subframes (r15 — QLP prediction is integer math, fully
+    decodable dependency-free), both Rice methods incl. escape
+    partitions and any partition order, and every stereo channel
+    assignment — independent, left/side, right/side, mid/side (r15;
+    17-bit side per the spec, per-frame assignment switching); verifies
+    the header CRC-8, frame CRC-16 and STREAMINFO's interleaved MD5.
+    Streams with >2 channels or non-16-bit samples raise the named
+    gate."""
     import hashlib
 
     import numpy as np
@@ -2564,10 +2644,10 @@ def transcode_audio(
     external oracle can replay from pure integer math."""
     import numpy as np
 
-    if codec not in ("mulaw", "adpcm", "flac", "pcm16"):
+    if codec not in ("mulaw", "adpcm", "flac", "flac_lpc", "pcm16"):
         raise ValueError(
-            f"unknown audio codec {codec!r} — mulaw, adpcm, flac or "
-            "pcm16"
+            f"unknown audio codec {codec!r} — mulaw, adpcm, flac, "
+            "flac_lpc or pcm16"
         )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2585,7 +2665,7 @@ def transcode_audio(
                     content.append(
                         encode_wav_adpcm(arr.reshape(-1), rate)
                     )
-                elif codec == "flac":
+                elif codec in ("flac", "flac_lpc"):
                     if arr.shape[1] > 2:
                         raise ValueError(
                             "flac transcode supports mono/stereo only"
@@ -2593,6 +2673,7 @@ def transcode_audio(
                     content.append(encode_flac(
                         arr.reshape(-1) if arr.shape[1] == 1 else arr,
                         rate,
+                        use_lpc=(codec == "flac_lpc"),
                     ))
                 else:
                     content.append(encode_wav(arr.astype("<i2"), rate))

@@ -3364,3 +3364,37 @@ def test_flac_stereo_transcode_stage(spark):
         assert r["sum_squares"] == (
             sum(v * v for v in left) + sum(v * v for v in right)
         )
+
+
+def test_flac_lpc_subframe_decode():
+    """LPC(1-32) subframes decode via integer QLP prediction (r15):
+    lossless roundtrip mono + stereo through genuine LPC bitstreams,
+    corruption caught, and malformed QLP fields refuse loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(23)
+    n = 2000
+    base = np.cumsum(rng.randint(-200, 200, n)).clip(-30000, 30000)
+    m = base.astype("<i2")
+    enc = MM.encode_flac(m, 16000, use_lpc=True, block_size=512)
+    arr, rate = MM.decode_flac(enc)
+    assert rate == 16000 and (arr.reshape(-1) == m).all()
+    s = np.clip(
+        np.column_stack([base, base + rng.randint(-50, 50, n)]),
+        -32768, 32767,
+    ).astype("<i2")
+    for mode in ("auto", "mid_side", "left_side"):
+        arr, _ = MM.decode_flac(
+            MM.encode_flac(s, 8000, stereo_mode=mode, use_lpc=True)
+        )
+        assert (arr == s).all(), mode
+    bad = bytearray(enc)
+    bad[-6] ^= 0x04
+    with _pytest.raises(ValueError, match="CRC|MD5"):
+        MM.decode_flac(bytes(bad))
+    # unknown codec error names flac_lpc as a valid option now
+    with _pytest.raises(ValueError, match="flac_lpc"):
+        MM.transcode_audio(None, "opus")
