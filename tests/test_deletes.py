@@ -614,3 +614,34 @@ def test_dv_coalesce_stage(spark, tmp_path):
     assert sorted(r["k"] for r in out.select("k").collect()) == [
         k for k in range(20) if k not in (2, 4)
     ]
+
+
+def test_dv_coalesce_archives_reaped_by_vacuum(spark, tmp_path):
+    """The coalesce's archived input vectors carry the coalesce version
+    as their materialization tag, so vacuum reaps them exactly when no
+    readable version predates the coalesce — same lifecycle as
+    materialize's archives."""
+    from config_driven_pyspark_spark.operators.deletes import (
+        _dv_archive_root, coalesce_deletes,
+    )
+
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=40, parts=2)
+    enable_table_history(spark, path, pb)
+    delete_where_dv(spark, path, "k = 2", pb)   # v1
+    delete_where_dv(spark, path, "k = 5", pb)   # v2
+    res = coalesce_deletes(spark, path, pb)     # v3, archives 2 inputs
+    assert res["version"] == 3
+    assert len(_list_dv(spark, _dv_archive_root(path))) == 2
+    # keep_last=1 keeps entry v3, whose retained pre-state makes v2
+    # still READABLE (floor = min(keep) - 1 = 2 < mat 3) — the
+    # archived inputs must survive
+    vacuum_table_history(spark, path, keep_last=1)
+    assert len(_list_dv(spark, _dv_archive_root(path))) == 2
+    expect = [k for k in range(40) if k not in (2, 5)]
+    assert _ids(read_table(spark, path)) == expect
+    # dropping every entry lifts the floor past the coalesce version —
+    # nothing can read below it, the archived inputs are reaped
+    vacuum_table_history(spark, path, keep_last=0)
+    assert len(_list_dv(spark, _dv_archive_root(path))) == 0
+    assert _ids(read_table(spark, path)) == expect

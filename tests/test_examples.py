@@ -558,3 +558,39 @@ def test_gdpr_erasure_dv_example(spark, tmp_path):
     }
     assert not (erased & raw)
     _ = _os
+
+
+def test_gdpr_trickle_coalesce_example(spark, tmp_path):
+    """Trickle erasure with self-bounding vector fan-in: three daily
+    merge-on-read deletes, the third trips coalesce_after=3, and the
+    final state reads all three erasures through ONE vector dir."""
+    from pyspark.sql import functions as F
+
+    from config_driven_pyspark_spark.operators.deletes import (
+        _dv_root, _list_dv,
+    )
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    seed = str(tmp_path / "day0")
+    orders.filter(F.col("o_orderkey") % 4 != 3).write.parquet(seed)
+    variables = {"seed": seed, "table": str(tmp_path / "table")}
+    with open(os.path.join(EXAMPLES, "gdpr_trickle_coalesce.yaml")) as fh:
+        out = Pipeline.from_yaml(fh.read()).run(spark, variables=variables)
+    erased = {
+        int(r["o_orderkey"])
+        for r in orders.filter(
+            (F.col("o_orderkey") % 4 != 3)
+            & (F.col("o_orderkey") % 32).isin(2, 7, 13)
+        ).collect()
+    }
+    live = {int(r["o_orderkey"]) for r in out.collect()}
+    assert erased and not (erased & live)
+    # the fan-in is bounded: one vector dir, zero data rewrites
+    assert len(_list_dv(spark, _dv_root(variables["table"]))) == 1
+    raw = {
+        int(r["o_orderkey"])
+        for r in spark.read.parquet(variables["table"]).collect()
+    }
+    assert erased <= raw  # merge-on-read: raw files untouched
