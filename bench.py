@@ -561,6 +561,8 @@ def merge_detail(old: dict | None, new: dict) -> dict:
     return {
         "runs": runs,
         "min": mins,
+        # this run's per-query errors ride along (empty = clean run)
+        "errors": dict(new.get("errors") or {}),
         # re-derived from the merged (capped) histories, so the
         # committed statistic always matches the runs it sits beside
         "tmean": {n: _tmean(r) for n, r in runs.items()},
