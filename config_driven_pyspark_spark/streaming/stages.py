@@ -299,6 +299,24 @@ def stage_stream_sink(
                 delete_mode=spec.get("delete_mode", "copy_on_write"),
                 partition_by=spec.get("partition_by"),
             )
+            # a long-running tombstone stream under merge_on_read
+            # accumulates one deletion vector per micro-batch — the
+            # same self-bounding knobs as the batch table_delete stage
+            # (coalesce_after: fold pending vectors into one, no data
+            # rewrite; materialize_after: absorb into file rewrites)
+            if spec.get("coalesce_after") or spec.get(
+                "materialize_after"
+            ):
+                from config_driven_pyspark_spark.operators.deletes import (
+                    dv_housekeeping,
+                )
+
+                dv_housekeeping(
+                    batch_df.sparkSession, spec["path"],
+                    spec.get("partition_by"),
+                    coalesce_after=spec.get("coalesce_after"),
+                    materialize_after=spec.get("materialize_after"),
+                )
 
         writer = df.writeStream.foreachBatch(_merge_handle).outputMode(
             "append"

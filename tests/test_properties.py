@@ -521,3 +521,63 @@ def test_jpeg_flat_color_closed_form_any_color():
         assert tuple(int(c) for c in uniq[0]) == want, color
 
     check()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=700),
+    block=st.sampled_from([16, 64, 256, 4096]),
+    stereo=st.booleans(),
+    lpc=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_flac_roundtrip_property(n, block, stereo, lpc, seed):
+    """FLAC is lossless for ANY int16 signal, every channel/subframe/
+    blocksize combination — encode(decode(x)) == x, no Spark needed."""
+    import numpy as np
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(seed)
+    kind = seed % 3
+    if kind == 0:       # random walk (FIXED-1/2 territory)
+        sig = np.cumsum(rng.randint(-500, 500, n)).clip(-32768, 32767)
+    elif kind == 1:     # white noise (verbatim/rice escape territory)
+        sig = rng.randint(-32768, 32768, n)
+    else:               # near-constant with spikes
+        sig = np.full(n, int(rng.randint(-100, 100)))
+        if n > 3:
+            sig[rng.randint(0, n, max(1, n // 50))] = 32767
+    if stereo:
+        other = np.roll(sig, 1) + rng.randint(-3, 4, n)
+        sig = np.column_stack([sig, np.clip(other, -32768, 32767)])
+    sig = sig.astype("<i2")
+    enc = MM.encode_flac(sig, 8000, block_size=block, use_lpc=lpc)
+    arr, rate = MM.decode_flac(enc)
+    assert rate == 8000
+    want = sig if stereo else sig.reshape(-1, 1)
+    assert arr.shape == want.shape
+    assert (arr == want).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_mulaw_adpcm_decode_bounds_property(n, seed):
+    """Lossy telephony codecs: expansion stays in int16 range and the
+    mu-law compand error is bounded by the largest segment's step
+    (<= 1007 by the G.711 ladder) for ANY input."""
+    import numpy as np
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(seed)
+    sig = rng.randint(-32768, 32768, n).astype("<i2")
+    arr, rate = MM.decode_wav(MM.encode_wav_mulaw(sig.reshape(-1, 1), 8000))
+    assert rate == 8000 and arr.shape == (n, 1)
+    assert int(np.abs(arr.astype("int64").reshape(-1) - sig).max()) <= 1007
+    arr2, _ = MM.decode_wav(MM.encode_wav_adpcm(sig, 8000))
+    assert arr2.shape == (n, 1)
+    assert arr2.dtype == np.dtype("<i2") or arr2.dtype == np.dtype("int16")

@@ -1373,3 +1373,42 @@ def test_streaming_dv_merge_sink_parity_with_batch(spark, tmp_path):
     got_s = sorted(r["id"] for r in read_table(spark, s_target).collect())
     got_b = sorted(r["id"] for r in read_table(spark, b_target).collect())
     assert got_s == want and got_b == want
+
+
+def test_streaming_dv_merge_sink_coalesce_after(spark, tmp_path):
+    """A long tombstone stream self-bounds its vector fan-in: with
+    coalesce_after=3, four micro-batches end at two vector dirs (the
+    third tripped the fold) instead of four — same knob as the batch
+    table_delete stage, zero data files rewritten either way."""
+    from config_driven_pyspark_spark.operators.deletes import (
+        _dv_root, _list_dv, read_table,
+    )
+
+    target = str(tmp_path / "snap_ca")
+    spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 10) for i in range(40)],
+        "id bigint, p string, v bigint",
+    ).write.partitionBy("p").parquet(target)
+    n_files = len(spark.read.parquet(target).inputFiles())
+    ev = str(tmp_path / "tomb_ca")
+    batches = [[1], [4], [7], [10]]
+    for i, keys in enumerate(batches):
+        spark.createDataFrame(
+            [(k, True) for k in keys], "id bigint, gone boolean"
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(ev)
+    Pipeline.from_config([
+        {"stage": "source", "format": "parquet", "path": ev,
+         "schema": "id bigint, gone boolean",
+         "streaming": True, "options": {"maxFilesPerTrigger": "1"}},
+        {"stage": "stream_sink", "format": "merge", "path": target,
+         "keys": ["id"], "delete_col": "gone",
+         "delete_mode": "merge_on_read", "partition_by": ["p"],
+         "coalesce_after": 3,
+         "checkpoint": str(tmp_path / "ckpt_ca"),
+         "trigger": "available_now", "await": True},
+    ]).run(spark)
+    # batch 3 tripped the fold (3 -> 1), batch 4 added one more
+    assert len(_list_dv(spark, _dv_root(target))) == 2
+    assert len(spark.read.parquet(target).inputFiles()) == n_files
+    got = sorted(r["id"] for r in read_table(spark, target).collect())
+    assert got == [i for i in range(40) if i not in (1, 4, 7, 10)]
