@@ -2086,6 +2086,24 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_stats(thumbs, content_col="thumb")
 
 
+def q_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7 INTERLACED PNG end-to-end (r15; multimodal.py::decode_png
+    interlace=1 — seven independently-filtered sub-images scattered on
+    the pass grid, empty passes contributing no bytes): the same
+    closed-form test pattern encodes through Adam7 with each image's
+    scanline filter still ``id % 5``, so the corpus exercises filters
+    × passes; the decode → resize → re-decode chain and the shared
+    raster oracle are identical to q_png_decode by construction —
+    interlacing is lossless packaging, so any slip in the pass grid,
+    sub-image defiltering, or byte accounting breaks the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    media = MM.synthesize_png(ids, id_col="doc_id", width=8, height=6,
+                              interlaced=True)
+    thumbs = MM.resize_images(media, width=4, height=3, decoder="png")
+    return MM.image_stats(thumbs, content_col="thumb")
+
+
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec math end-to-end (multimodal.py baseline JPEG
     codec, VERDICT r9 ask #8): one deterministic flat-color 16×16 JPEG
@@ -2116,12 +2134,28 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded back (logical-screen/descriptor parse, sub-block reassembly,
     clear/EOI, dictionary growth) to exact int64 channel sums. Any slip
     in palette order, bit packing, width bumps, or the KwKwK case
-    changes the sums. Interlace and >256-color paths stay gated
-    (pytest-pinned); the 4096-entry reset is pinned by the round-trip
-    test (these 48-pixel images never reach it)."""
+    changes the sums. Interlaced storage decodes via the four-pass
+    scatter (r15 — q_gif_interlaced); >256-color encodes still refuse
+    (quantization is a modeling choice); the 4096-entry reset is
+    pinned by the round-trip test (these 48-pixel images never reach
+    it)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
     media = MM.synthesize_gif(ids, id_col="doc_id", width=8, height=6)
+    return MM.image_stats(media)
+
+
+def q_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLACED GIF end-to-end (r15; multimodal.py::decode_gif four-
+    pass de-interlace — rows stored every-8th-from-0 / every-8th-from-4
+    / every-4th-from-2 / every-2nd-from-1, scattered back on decode):
+    the same closed-form test pattern through interlaced storage; the
+    oracle is the shared raster closed form — a mis-ordered or dropped
+    pass permutes rows and breaks the sums."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 64)
+    media = MM.synthesize_gif(ids, id_col="doc_id", width=8, height=6,
+                              interlaced=True)
     return MM.image_stats(media)
 
 
@@ -2273,6 +2307,23 @@ def q_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synthesize_wav(ids, id_col="doc_id", n_samples=64,
                               sample_rate=8000, channels=2)
     return MM.audio_stats(MM.transcode_audio(media, "flac_lpc"))
+
+
+def q_adpcm_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO IMA-ADPCM end-to-end (r15; multimodal.py word-interleaved
+    block layout — a 4-byte header per channel, then 4-byte words of 8
+    nibbles alternating L/R): the two-channel test tones transcode
+    through real stereo ADPCM blocks and decode back. The channels'
+    step-adaptive state machines are INDEPENDENT per spec, so the
+    oracle replays each channel's 64-step recursion separately (the
+    mono q_adpcm_decode recursion, parameterized by the channel's tone
+    multipliers) and folds both — any slip in the header pair, the
+    word interleave, or either state machine breaks the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id").filter(F.col("doc_id") < 48)
+    media = MM.synthesize_wav(ids, id_col="doc_id", n_samples=64,
+                              sample_rate=8000, channels=2)
+    return MM.audio_stats(MM.transcode_audio(media, "adpcm"))
 
 
 _BM25_QUERIES = [
@@ -6831,8 +6882,10 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_thumbs": q_multimodal_thumbs,
         "q_multimodal_decode": q_multimodal_decode,  # real BMP pixels, r6
         "q_png_decode": q_png_decode,  # real PNG inflate+defilter, r8
+        "q_png_adam7": q_png_adam7,  # Adam7 interlaced PNG, r15
         "q_jpeg_decode": q_jpeg_decode,  # real baseline JPEG codec, r10
         "q_gif_decode": q_gif_decode,  # real palette+LZW GIF codec, r13
+        "q_gif_interlaced": q_gif_interlaced,  # 4-pass de-interlace, r15
         "q_video_frames": q_video_frames,  # real MJPEG-AVI frame walk, r10
         "q_orc_roundtrip": q_orc_roundtrip,  # ORC sink/source, r10
         "q_merge_upsert": q_merge_upsert,  # CDC MERGE over parquet, r10
@@ -6952,6 +7005,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flac_decode": q_flac_decode,  # FLAC codec, r14  # exact linear-interp resample, r10
         "q_flac_stereo": q_flac_stereo,  # stereo FLAC (4 channel modes), r15
         "q_flac_lpc": q_flac_lpc,  # LPC-subframe decode path, r15
+        "q_adpcm_stereo": q_adpcm_stereo,  # stereo IMA-ADPCM blocks, r15
         "q_bpe_vocab": q_bpe_vocab,
         "q_unigram_vocab": q_unigram_vocab,  # SentencePiece-family, r9
         "q_unigram_encode": q_unigram_encode,  # Viterbi segmentation, r9
@@ -7192,6 +7246,74 @@ _IMA_STEPS_SQL = "[" + ",".join(
         fromlist=["_IMA_STEP_TABLE"],
     )._IMA_STEP_TABLE
 ) + "]"
+
+def _adpcm_steps_cte(name: str, id_mul: int, t_mul: int, n: int) -> str:
+    """One channel's IMA-ADPCM state-machine replay as a recursive CTE
+    (r15 — the mono q_adpcm_decode recursion, parameterized by the
+    tone-formula multipliers so the STEREO row can replay the two
+    independent channel state machines): tone sample s(t) =
+    ((media_id*id_mul + t*t_mul) % 4096) - 2048; emits (media_id, t,
+    v) for t in [0, n)."""
+    return f"""
+            {name} AS (
+              SELECT media_id, 0 AS t,
+                     CAST(((media_id * {id_mul}) % 4096) - 2048 AS BIGINT)
+                       AS pred,
+                     CAST(0 AS BIGINT) AS idx,
+                     CAST(((media_id * {id_mul}) % 4096) - 2048 AS BIGINT)
+                       AS v
+              FROM ids
+              UNION ALL
+              SELECT media_id, t,
+                     greatest(-32768, least(32767,
+                       CASE WHEN sgn = 1 THEN pred - dq
+                            ELSE pred + dq END)) AS pred,
+                     greatest(0, least(88, idx +
+                       CASE WHEN nib3 <= 3 THEN -1 WHEN nib3 = 4 THEN 2
+                            WHEN nib3 = 5 THEN 4 WHEN nib3 = 6 THEN 6
+                            ELSE 8 END)) AS idx,
+                     greatest(-32768, least(32767,
+                       CASE WHEN sgn = 1 THEN pred - dq
+                            ELSE pred + dq END)) AS v
+              FROM (
+                SELECT media_id, t, pred, idx, sgn,
+                       (b2 * 4 + b1 * 2 + b0) AS nib3,
+                       (stp >> 3) + b2 * stp + b1 * (stp >> 1)
+                         + b0 * (stp >> 2) AS dq
+                FROM (
+                  SELECT *, CASE WHEN r2 >= (stp >> 2) THEN 1 ELSE 0 END
+                            AS b0
+                  FROM (
+                    SELECT *,
+                           CASE WHEN r1 >= (stp >> 1) THEN 1 ELSE 0 END
+                             AS b1,
+                           r1 - CASE WHEN r1 >= (stp >> 1)
+                                     THEN (stp >> 1) ELSE 0 END AS r2
+                    FROM (
+                      SELECT *,
+                             CASE WHEN ad >= stp THEN 1 ELSE 0 END AS b2,
+                             ad - CASE WHEN ad >= stp THEN stp
+                                       ELSE 0 END AS r1
+                      FROM (
+                        SELECT media_id, t + 1 AS t, pred, idx,
+                               {_IMA_STEPS_SQL}[CAST(idx AS INT) + 1]
+                                 AS stp,
+                               CASE WHEN s - pred < 0 THEN 1 ELSE 0 END
+                                 AS sgn,
+                               abs(s - pred) AS ad
+                        FROM (
+                          SELECT *,
+                                 ((media_id * {id_mul} + (t + 1)
+                                   * {t_mul}) % 4096) - 2048 AS s
+                          FROM {name} WHERE t < {n - 1}
+                        )
+                      )
+                    )
+                  )
+                )
+              )
+            )"""
+
 
 _JL4_PROJ_SQL = ", ".join(
     "round(list_dot_product(u, [{vals}]::DOUBLE[]), 6) AS p{i}".format(
@@ -9186,10 +9308,30 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY doc_id
         """,
+        # interlacing is lossless row re-ordering — identical sums
+        "q_gif_interlaced": """
+            SELECT doc_id AS media_id,
+                   8 AS width,
+                   6 AS height,
+                   CAST(SUM((doc_id * 7  + sx * 13 + sy * 17) % 256) AS BIGINT)
+                     AS sum_r,
+                   CAST(SUM((doc_id * 11 + sx * 3  + sy * 5 ) % 256) AS BIGINT)
+                     AS sum_g,
+                   CAST(SUM((doc_id * 13 + sx * 23 + sy * 29) % 256) AS BIGINT)
+                     AS sum_b
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 64)
+            CROSS JOIN (
+                SELECT x.range AS sx, y.range AS sy
+                FROM range(0, 8) x, range(0, 6) y
+            )
+            GROUP BY doc_id
+        """,
         "q_multimodal_decode": _RASTER_DECODE_ORACLE_SQL,
         # same synth formula + dims by construction; a green hash for the
         # PNG row pins filtering/defiltering/inflate/CRC, not the formula
         "q_png_decode": _RASTER_DECODE_ORACLE_SQL,
+        # Adam7 is lossless packaging — same closed form
+        "q_png_adam7": _RASTER_DECODE_ORACLE_SQL,
         # the fold must equal direct aggregation over the batches' union
         "q_incremental_agg_orders": """
             SELECT o_orderpriority, o_orderstatus,
@@ -11693,6 +11835,27 @@ def oracle_sql() -> dict[str, str]:
         # quantization with residual subtraction, dequantized predictor
         # update with clamps, index adaptation — one wrong table entry
         # or clamp diverges every later sample
+        # stereo ADPCM: per-channel recursive state-machine replays
+        # (channels are independent per spec), folded per id; audio
+        # stats count FRAMES, so n_samples halves the union rows
+        "q_adpcm_stereo": f"""
+            WITH RECURSIVE ids AS (
+              SELECT doc_id AS media_id FROM documents WHERE doc_id < 48
+            ),{_adpcm_steps_cte("steps_l", 31, 57, 64)},{_adpcm_steps_cte("steps_r", 13, 29, 64)},
+            u AS (
+              SELECT media_id, v FROM steps_l
+              UNION ALL
+              SELECT media_id, v FROM steps_r
+            )
+            SELECT media_id,
+                   CAST(count(*) / 2 AS BIGINT) AS n_samples,
+                   CAST(2 AS INT) AS n_channels,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(sum(v) AS BIGINT) AS sum_samples,
+                   CAST(sum(v * v) AS BIGINT) AS sum_squares,
+                   CAST(max(abs(v)) AS INT) AS peak_abs
+            FROM u GROUP BY media_id
+        """,
         "q_adpcm_decode": f"""
             WITH RECURSIVE ids AS (
               SELECT doc_id AS media_id FROM documents WHERE doc_id < 48

@@ -219,6 +219,11 @@ HEADLINE = [
     "q_stream_dv",
     "q_flac_stereo",
     "q_flac_lpc",
+    # round 15 (cont.): the interlaced/stereo format gates closed —
+    # Adam7 PNG, four-pass GIF, word-interleaved stereo ADPCM
+    "q_png_adam7",
+    "q_gif_interlaced",
+    "q_adpcm_stereo",
 ]
 
 

@@ -433,26 +433,24 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(arr, filter_type: int = 0) -> bytes:
-    """uint8 H×W×3 RGB array → PNG bytes (color type 2 truecolor, bit
-    depth 8, non-interlaced). ``filter_type`` 0-4 applies that scanline
-    filter to every row (0 = None; Sub/Up/Average/Paeth exist both to
-    shrink the IDAT and to exercise every defilter path in tests —
-    decoded pixels are identical whichever is used). Filtering is
-    vectorized: each filter only references ORIGINAL pixel bytes
-    (left/up/up-left neighbors), so uint8 wraparound subtraction over
-    shifted views is the whole computation."""
-    import struct
-    import zlib
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) —
+# shared by the encoder (sub-image extraction) and decoder (scatter)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
+
+def _png_filter_rows(arr, filter_type: int):
+    """Apply one scanline filter to an H×W×3 image → (h, 1+w*3) bytes
+    (filter byte + filtered row). Each filter references ORIGINAL
+    pixel bytes only, so uint8 wraparound subtraction over shifted
+    views is the whole computation. Shared by the sequential writer
+    (whole image) and the Adam7 writer (per sub-image — each pass
+    filters independently per spec)."""
     import numpy as np
 
-    arr = np.asarray(arr, dtype="uint8")
-    if arr.ndim != 3 or arr.shape[2] != 3:
-        raise ValueError(f"expected H×W×3 RGB array, got shape {arr.shape}")
-    if filter_type not in range(5):
-        raise ValueError(f"PNG filter type must be 0-4, got {filter_type}")
-    h, w, _ = arr.shape
+    h, w = arr.shape[0], arr.shape[1]
     rows = arr.reshape(h, w * 3)
     left = np.zeros_like(rows)
     left[:, 3:] = rows[:, :-3]  # recon of the pixel to the left (a)
@@ -480,10 +478,42 @@ def encode_png(arr, filter_type: int = 0) -> bytes:
             (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
         ).astype("uint8")
         filt = rows - pred
-    raw = np.concatenate(
+    return np.concatenate(
         [np.full((h, 1), filter_type, dtype="uint8"), filt], axis=1
-    ).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    )
+
+
+def encode_png(arr, filter_type: int = 0, interlaced: bool = False) -> bytes:
+    """uint8 H×W×3 RGB array → PNG bytes (color type 2 truecolor, bit
+    depth 8). ``filter_type`` 0-4 applies that scanline filter to
+    every row (0 = None; Sub/Up/Average/Paeth exist both to shrink the
+    IDAT and to exercise every defilter path in tests — decoded pixels
+    are identical whichever is used). ``interlaced`` writes the seven
+    Adam7 passes (r15), each filtered independently per spec; empty
+    passes contribute no bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype="uint8")
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected H×W×3 RGB array, got shape {arr.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"PNG filter type must be 0-4, got {filter_type}")
+    h, w, _ = arr.shape
+    if interlaced:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = arr[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(
+                    _png_filter_rows(sub, filter_type).tobytes()
+                )
+        raw = b"".join(parts)
+    else:
+        raw = _png_filter_rows(arr, filter_type).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlaced else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -529,9 +559,9 @@ def decode_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG payload missing IHDR/IDAT chunk")
     w, h, depth, color, comp, fmeth, interlace = ihdr
-    if depth != 8 or color != 2 or interlace != 0:
+    if depth != 8 or color != 2 or interlace not in (0, 1):
         raise NotImplementedError(
-            f"only 8-bit truecolor non-interlaced PNG is decoded "
+            f"only 8-bit truecolor PNG (sequential or Adam7) is decoded "
             f"dependency-free (got depth={depth} color_type={color} "
             f"interlace={interlace}); route other PNGs through "
             "decoder='real' (PIL integration point)"
@@ -541,12 +571,46 @@ def decode_png(payload: bytes):
             f"invalid PNG compression/filter method {comp}/{fmeth}"
         )
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype="uint8")
-    stride = w * 3 + 1
-    if raw.size != stride * h:
+    if interlace == 0:
+        stride = w * 3 + 1
+        if raw.size != stride * h:
+            raise ValueError(
+                f"PNG pixel data is {raw.size} bytes, expected {stride * h}"
+            )
+        return _png_defilter(raw, h, w).reshape(h, w, 3).copy()
+    # Adam7 (r15): seven independently-filtered sub-images concatenated
+    # in the IDAT stream, scattered onto the pass grid; empty passes
+    # contribute no bytes (not even filter bytes)
+    out = np.zeros((h, w, 3), dtype="uint8")
+    off = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        need = (pw * 3 + 1) * ph
+        if off + need > raw.size:
+            raise ValueError(
+                f"PNG Adam7 pixel data truncated (need {need} more "
+                f"bytes at offset {off}, have {raw.size - off})"
+            )
+        sub = _png_defilter(raw[off:off + need], ph, pw)
+        out[y0::ys, x0::xs] = sub.reshape(ph, pw, 3)
+        off += need
+    if off != raw.size:
         raise ValueError(
-            f"PNG pixel data is {raw.size} bytes, expected {stride * h}"
+            f"PNG Adam7 pixel data has {raw.size - off} trailing bytes"
         )
-    lines = raw.reshape(h, stride)
+    return out
+
+
+def _png_defilter(raw, h: int, w: int):
+    """Reverse one image's scanline filters → (h, w*3) uint8. Shared
+    by the sequential path (whole image) and each Adam7 sub-image
+    (independently filtered per spec)."""
+    import numpy as np
+
+    lines = raw.reshape(h, w * 3 + 1)
     recon = np.zeros((h, w * 3), dtype="uint8")
     prior = np.zeros(w * 3, dtype="int32")
     for y in range(h):
@@ -577,7 +641,7 @@ def decode_png(payload: bytes):
             raise ValueError(f"invalid PNG scanline filter type {ft}")
         recon[y] = cur.astype("uint8")
         prior = cur
-    return recon.reshape(h, w, 3).copy()
+    return recon
 
 
 def decode_image(payload: bytes):
@@ -711,13 +775,21 @@ def _lzw_decode_gif(data: bytes, min_code_size: int, n_pixels: int):
     return bytes(out[:n_pixels])
 
 
-def encode_gif(arr) -> bytes:
+def encode_gif(arr, interlaced: bool = False) -> bytes:
     """uint8 H×W×3 → single-frame GIF89a with a global color table of
-    the image's distinct colors (must be ≤ 256)."""
+    the image's distinct colors (must be ≤ 256). ``interlaced`` stores
+    the rows in the GIF89a four-pass order and sets the flag (r15 —
+    exercises the decoder's de-interlace path)."""
     import numpy as np
 
     arr = np.asarray(arr, dtype="uint8")
     h, w = arr.shape[0], arr.shape[1]
+    if interlaced:
+        order = np.concatenate([
+            np.arange(0, h, 8), np.arange(4, h, 8),
+            np.arange(2, h, 4), np.arange(1, h, 2),
+        ])
+        arr = arr[order]
     flat = arr.reshape(-1, 3)
     palette, indices = np.unique(flat, axis=0, return_inverse=True)
     if len(palette) > 256:
@@ -742,7 +814,7 @@ def encode_gif(arr) -> bytes:
     out.append(0x2C)  # image descriptor
     out += b"\x00\x00\x00\x00"  # left, top
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out.append(0x00)  # no LCT, not interlaced
+    out.append(0x40 if interlaced else 0x00)  # no LCT; interlace flag
     out.append(mcs)
     lzw = _lzw_encode_gif(indices, mcs)
     for i in range(0, len(lzw), 255):
@@ -755,7 +827,7 @@ def encode_gif(arr) -> bytes:
 
 def decode_gif(payload: bytes):
     """GIF87a/GIF89a → uint8 H×W×3 RGB of the FIRST image; interlaced
-    images raise a named gate."""
+    images de-interlace via the four-pass row scatter (r15)."""
     import numpy as np
 
     data = bytes(payload)
@@ -794,11 +866,7 @@ def _decode_gif_body(data: bytes):
             h = int.from_bytes(data[pos + 6:pos + 8], "little")
             ipacked = data[pos + 8]
             pos += 9
-            if ipacked & 0x40:
-                raise NotImplementedError(
-                    "interlaced GIF decode not implemented — "
-                    "de-interlace externally or re-encode sequential"
-                )
+            interlaced = bool(ipacked & 0x40)
             palette = gct
             if ipacked & 0x80:
                 size = 2 << (ipacked & 0x07)
@@ -820,7 +888,20 @@ def _decode_gif_body(data: bytes):
             pal = np.frombuffer(palette, dtype="uint8").reshape(-1, 3)
             if int(idx.max(initial=0)) >= len(pal):
                 raise ValueError("GIF pixel index outside color table")
-            return pal[idx].reshape(h, w, 3).copy()
+            img = pal[idx].reshape(h, w, 3).copy()
+            if interlaced:
+                # GIF89a interlace (r15): rows are STORED in four
+                # passes — every 8th from 0, every 8th from 4, every
+                # 4th from 2, every 2nd from 1 — de-interlace by
+                # scattering the stored row sequence to those targets
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2),
+                ])
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return img
         elif block == 0x3B:  # trailer before any image
             break
         else:
@@ -829,11 +910,13 @@ def _decode_gif_body(data: bytes):
 
 
 def synthesize_gif(
-    df: DataFrame, id_col: str = "media_id", width: int = 8, height: int = 6
+    df: DataFrame, id_col: str = "media_id", width: int = 8, height: int = 6,
+    interlaced: bool = False,
 ) -> DataFrame:
     """Deterministic test-pattern GIFs: the SAME integer pixel formula
     as :func:`synthesize_bmp`/:func:`synthesize_png` (one closed-form
-    oracle covers every lossless codec), palette-built per image."""
+    oracle covers every lossless codec), palette-built per image;
+    ``interlaced`` stores rows in the GIF89a four-pass order (r15)."""
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -850,7 +933,7 @@ def synthesize_gif(
                     ],
                     axis=-1,
                 ).astype("uint8")
-                content.append(encode_gif(arr))
+                content.append(encode_gif(arr, interlaced=interlaced))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
@@ -867,13 +950,15 @@ def synthesize_gif(
 
 
 def synthesize_png(
-    df: DataFrame, id_col: str = "media_id", width: int = 8, height: int = 6
+    df: DataFrame, id_col: str = "media_id", width: int = 8, height: int = 6,
+    interlaced: bool = False,
 ) -> DataFrame:
     """Deterministic test-pattern PNGs: the SAME integer pixel formula as
     :func:`synthesize_bmp` (one closed-form oracle covers both codecs),
     but each row's scanline filter is ``id % 5`` — so a corpus of ≥5
     images exercises every PNG defilter path (None/Sub/Up/Average/
-    Paeth), and any defilter slip corrupts that image's pixel sums."""
+    Paeth), and any defilter slip corrupts that image's pixel sums.
+    ``interlaced`` emits Adam7 streams (r15) — filters × passes."""
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -890,7 +975,9 @@ def synthesize_png(
                     ],
                     axis=-1,
                 ).astype("uint8")
-                content.append(encode_png(arr, filter_type=mid % 5))
+                content.append(encode_png(
+                    arr, filter_type=mid % 5, interlaced=interlaced
+                ))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
@@ -1757,36 +1844,45 @@ def decode_wav(payload: bytes):
             )
         return arr.reshape(-1, ch), rate
     if audio_fmt == 0x11 and bits == 4:
-        # IMA-ADPCM (r14), mono block layout
-        if ch != 1:
+        # IMA-ADPCM (r14; stereo r15): mono blocks are header + nibble
+        # stream; stereo blocks carry one 4-byte header per channel
+        # then 4-byte words (8 nibbles = 8 samples) ALTERNATING
+        # channels — word-granular interleave per the WAV spec
+        if ch > 2:
             raise NotImplementedError(
-                "IMA-ADPCM decode supports mono blocks dependency-free; "
-                "route multi-channel ADPCM through decoder='real'"
+                f"IMA-ADPCM decode supports mono/stereo blocks "
+                f"dependency-free (stream has {ch} channels); route "
+                "through decoder='real'"
             )
         if len(fmt_body) >= 20:
             spb = struct.unpack("<H", fmt_body[18:20])[0]
         else:
-            spb = (block_align - 4) * 2 + 1
-        if block_align < 5 or spb < 2:
+            spb = (block_align - 4 * ch) * 2 // ch + 1
+        if block_align < 4 * ch + 1 or spb < 2:
             raise ValueError(
                 f"IMA-ADPCM fmt declares block_align={block_align}, "
                 f"samples_per_block={spb} — unparseable block layout"
             )
         total = fact_n
-        out: list[int] = []
+        out: list = []  # mono: ints; stereo: (L, R) frame tuples
         for off in range(0, len(data), block_align):
             block = data[off:off + block_align]
-            if len(block) < 4:
+            if len(block) < 4 * ch:
                 break
             want = spb
             if total is not None:
                 want = min(spb, total - len(out))
                 if want <= 0:
                     break
-            avail = 1 + (len(block) - 4) * 2
-            out.extend(_ima_decode_block(block, min(want, avail)))
+            avail = 1 + (len(block) - 4 * ch) * 2 // ch
+            if ch == 1:
+                out.extend(_ima_decode_block(block, min(want, avail)))
+            else:
+                out.extend(
+                    _ima_decode_block_stereo(block, min(want, avail))
+                )
         arr = np.asarray(out, dtype="<i2")
-        return arr.reshape(-1, 1), rate
+        return arr.reshape(-1, ch), rate
     if audio_fmt != 1 or bits != 16:
         raise NotImplementedError(
             f"PCM16, G.711 mu-law and mono IMA-ADPCM WAV are decodable "
@@ -1888,33 +1984,13 @@ def _ima_encode_block(samples) -> bytes:
     """One mono IMA-ADPCM block: 4-byte header (sample 0 verbatim as
     int16 + start index 0) then one 4-bit nibble per remaining sample,
     low nibble first, zero-padded to whole bytes."""
-    import struct
-
-    pred, idx = int(samples[0]), 0
-    nibbles = []
-    for s in samples[1:]:
-        st = _IMA_STEP_TABLE[idx]
-        diff = int(s) - pred
-        nib = 8 if diff < 0 else 0
-        if diff < 0:
-            diff = -diff
-        if diff >= st:
-            nib |= 4
-            diff -= st
-        if diff >= st >> 1:
-            nib |= 2
-            diff -= st >> 1
-        if diff >= st >> 2:
-            nib |= 1
-        pred, idx = _ima_reconstruct(pred, idx, nib)
-        nibbles.append(nib)
+    hdr, nibbles = _ima_encode_channel(samples)
     if len(nibbles) % 2:
         nibbles.append(0)
-    packed = bytes(
+    return hdr + bytes(
         nibbles[i] | (nibbles[i + 1] << 4)
         for i in range(0, len(nibbles), 2)
     )
-    return struct.pack("<hBB", int(samples[0]), 0, 0) + packed
 
 
 def _ima_reconstruct(pred: int, idx: int, nib: int) -> tuple[int, int]:
@@ -1947,31 +2023,121 @@ def _ima_decode_block(block: bytes, n_samples: int) -> list[int]:
     return out
 
 
+def _ima_decode_block_stereo(block: bytes, n_frames: int) -> list:
+    """One STEREO IMA-ADPCM block (r15): a 4-byte header per channel,
+    then 4-byte words of 8 nibbles alternating L/R — returns (L, R)
+    frame tuples."""
+    import struct
+
+    pred_l, idx_l, _r0 = struct.unpack("<hBB", block[0:4])
+    pred_r, idx_r, _r1 = struct.unpack("<hBB", block[4:8])
+    left, right = [pred_l], [pred_r]
+    body = block[8:]
+    for g in range(len(body) // 8):
+        if len(left) >= n_frames:
+            break
+        wl = body[g * 8:g * 8 + 4]
+        wr = body[g * 8 + 4:g * 8 + 8]
+        for k in range(8):
+            byte = wl[k >> 1]
+            nib = (byte >> 4) if k & 1 else byte & 0x0F
+            pred_l, idx_l = _ima_reconstruct(pred_l, idx_l, nib)
+            left.append(pred_l)
+            byte = wr[k >> 1]
+            nib = (byte >> 4) if k & 1 else byte & 0x0F
+            pred_r, idx_r = _ima_reconstruct(pred_r, idx_r, nib)
+            right.append(pred_r)
+    return list(zip(left[:n_frames], right[:n_frames]))
+
+
+def _ima_encode_channel(samples) -> tuple[bytes, list[int]]:
+    """(4-byte header, nibble list) for one channel's block samples —
+    the shared core of the mono and stereo writers."""
+    import struct
+
+    pred, idx = int(samples[0]), 0
+    nibbles = []
+    for s in samples[1:]:
+        st = _IMA_STEP_TABLE[idx]
+        diff = int(s) - pred
+        nib = 8 if diff < 0 else 0
+        if diff < 0:
+            diff = -diff
+        if diff >= st:
+            nib |= 4
+            diff -= st
+        if diff >= st >> 1:
+            nib |= 2
+            diff -= st >> 1
+        if diff >= st >> 2:
+            nib |= 1
+        pred, idx = _ima_reconstruct(pred, idx, nib)
+        nibbles.append(nib)
+    return struct.pack("<hBB", int(samples[0]), 0, 0), nibbles
+
+
 def encode_wav_adpcm(
     samples, sample_rate: int, block_samples: int = 505
 ) -> bytes:
-    """Encode a MONO int16 array as an IMA-ADPCM RIFF/WAVE blob (format
-    code 0x11, 4 bits/sample, standard mono block layout). The last
-    block may carry fewer samples; its true count rides the 'fact'
-    chunk (total frames), which the decoder honors."""
+    """Encode an int16 array — ``(n,)`` mono or ``(n, 2)`` stereo
+    (r15) — as an IMA-ADPCM RIFF/WAVE blob (format code 0x11, 4
+    bits/sample; stereo uses the spec's word-interleaved block layout,
+    which needs ``block_samples - 1`` divisible by 8). The last block
+    may carry fewer samples; its true count rides the 'fact' chunk
+    (total frames), which the decoder honors."""
     import struct
 
     import numpy as np
 
-    arr = np.asarray(samples, dtype="int64").reshape(-1)
-    n = len(arr)
+    arr = np.asarray(samples, dtype="int64")
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    if arr.ndim != 2 or arr.shape[1] not in (1, 2):
+        raise ValueError(
+            "encode_wav_adpcm takes (n,) mono or (n, 2) stereo"
+        )
+    n, ch = arr.shape
     if n == 0:
         raise ValueError("encode_wav_adpcm needs at least one sample")
     if block_samples < 2:
         raise ValueError("block_samples must be >= 2")
-    block_align = 4 + (block_samples - 1 + 1) // 2
+    if ch == 2 and (block_samples - 1) % 8:
+        raise ValueError(
+            "stereo IMA-ADPCM needs block_samples = 8k+1 (nibbles "
+            "interleave in whole 4-byte words per channel)"
+        )
+    if ch == 1:
+        block_align = 4 + (block_samples - 1 + 1) // 2
+    else:
+        block_align = 8 + (block_samples - 1)  # (spb-1)/2 bytes x 2 ch
     blocks = []
     for off in range(0, n, block_samples):
-        blk = _ima_encode_block(arr[off:off + block_samples])
+        if ch == 1:
+            hdr, nibbles = _ima_encode_channel(arr[off:off + block_samples, 0])
+            if len(nibbles) % 2:
+                nibbles.append(0)
+            blk = hdr + bytes(
+                nibbles[i] | (nibbles[i + 1] << 4)
+                for i in range(0, len(nibbles), 2)
+            )
+        else:
+            hdr_l, nib_l = _ima_encode_channel(arr[off:off + block_samples, 0])
+            hdr_r, nib_r = _ima_encode_channel(arr[off:off + block_samples, 1])
+            while len(nib_l) % 8:
+                nib_l.append(0)
+                nib_r.append(0)
+            body = bytearray()
+            for g in range(0, len(nib_l), 8):
+                for nibs in (nib_l, nib_r):
+                    body += bytes(
+                        nibs[g + i] | (nibs[g + i + 1] << 4)
+                        for i in range(0, 8, 2)
+                    )
+            blk = hdr_l + hdr_r + bytes(body)
         blocks.append(blk.ljust(block_align, b"\x00"))
     payload = b"".join(blocks)
     fmt = struct.pack(
-        "<HHIIHHHH", 0x11, 1, sample_rate,
+        "<HHIIHHHH", 0x11, ch, sample_rate,
         sample_rate * block_align // block_samples, block_align, 4,
         2, block_samples,
     )
@@ -2658,13 +2824,14 @@ def transcode_audio(
                 if codec == "mulaw":
                     content.append(encode_wav_mulaw(arr, rate))
                 elif codec == "adpcm":
-                    if arr.shape[1] != 1:
+                    if arr.shape[1] > 2:
                         raise ValueError(
-                            "adpcm transcode supports mono only"
+                            "adpcm transcode supports mono/stereo only"
                         )
-                    content.append(
-                        encode_wav_adpcm(arr.reshape(-1), rate)
-                    )
+                    content.append(encode_wav_adpcm(
+                        arr.reshape(-1) if arr.shape[1] == 1 else arr,
+                        rate,
+                    ))
                 elif codec in ("flac", "flac_lpc"):
                     if arr.shape[1] > 2:
                         raise ValueError(

@@ -3082,14 +3082,20 @@ def test_gif_gates_and_guards():
     arr = rng.integers(0, 256, size=(6, 8, 3), dtype="uint8")
     blob = bytearray(M.encode_gif(arr))
     assert np.array_equal(M.decode_image(bytes(blob)), arr)
-    # image descriptor at 6 (header) + 7 (LSD) + GCT; find 0x2C and
-    # flip the interlace bit in its packed byte (offset +9)
+    # r15: interlaced GIFs decode via the four-pass row scatter —
+    # flipping the flag on SEQUENTIALLY-stored rows must re-order them
+    # (proves the flag is honored), and a genuine interlaced encode
+    # roundtrips exactly
     gct_n = 2 << (blob[10] & 0x07)
     desc = 13 + gct_n * 3
     assert blob[desc] == 0x2C
     blob[desc + 9] |= 0x40
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        M.decode_gif(bytes(blob))
+    scrambled = M.decode_gif(bytes(blob))
+    assert scrambled.shape == arr.shape
+    assert not np.array_equal(scrambled, arr)  # flag honored
+    assert np.array_equal(
+        M.decode_gif(M.encode_gif(arr, interlaced=True)), arr
+    )
     with _pytest.raises(ValueError, match="256-color palette"):
         # a 16x16 smooth gradient RGB has 256 unique colors? build 257+
         big = np.zeros((1, 300, 3), dtype="uint8")
@@ -3180,7 +3186,8 @@ def test_transcode_audio_stage_and_gates(spark):
     media = MM.synthesize_wav(ids, n_samples=32, sample_rate=8000)
     out = MM.audio_stats(MM.transcode_audio(media, "mulaw")).collect()
     assert len(out) == 4 and all(r["n_samples"] == 32 for r in out)
-    # stereo ADPCM refuses (mono block layout only)
+    # r15: stereo ADPCM transcodes (word-interleaved block layout);
+    # >2 channels still refuse
     import pytest as _pytest
 
     stereo_media = spark.createDataFrame(
@@ -3188,8 +3195,17 @@ def test_transcode_audio_stage_and_gates(spark):
             np.zeros((8, 2), dtype="<i2"), 8000)), None)],
         MM.MEDIA_SCHEMA,
     )
-    with _pytest.raises(Exception, match="mono"):
-        MM.transcode_audio(stereo_media, "adpcm").collect()
+    st = MM.audio_stats(
+        MM.transcode_audio(stereo_media, "adpcm")
+    ).collect()
+    assert st[0]["n_channels"] == 2 and st[0]["n_samples"] == 8
+    tri_media = spark.createDataFrame(
+        [(1, "audio", bytearray(MM.encode_wav(
+            np.zeros((8, 3), dtype="<i2"), 8000)), None)],
+        MM.MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="mono/stereo"):
+        MM.transcode_audio(tri_media, "adpcm").collect()
     # unknown codec name refuses loudly
     with _pytest.raises(ValueError, match="unknown audio codec"):
         MM.transcode_audio(media, "mp3")
@@ -3398,3 +3414,82 @@ def test_flac_lpc_subframe_decode():
     # unknown codec error names flac_lpc as a valid option now
     with _pytest.raises(ValueError, match="flac_lpc"):
         MM.transcode_audio(None, "opus")
+
+
+def test_png_adam7_roundtrip_all_filters():
+    """Adam7 interlaced PNG (r15): seven independently-filtered
+    sub-images scattered on the pass grid — roundtrip identity across
+    awkward sizes (passes emptying out) and every scanline filter."""
+    import numpy as np
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(31)
+    for h, w in ((1, 1), (2, 3), (7, 7), (8, 9), (33, 17), (1, 64)):
+        img = rng.randint(0, 256, (h, w, 3)).astype("uint8")
+        for ft in range(5):
+            back = MM.decode_png(
+                MM.encode_png(img, filter_type=ft, interlaced=True)
+            )
+            assert (back == img).all(), (h, w, ft)
+    # truncated Adam7 pixel data fails loudly, never a silent partial
+    import pytest as _pytest
+    import struct
+    import zlib
+
+    img = rng.randint(0, 256, (16, 16, 3)).astype("uint8")
+    blob = MM.encode_png(img, interlaced=True)
+    # rebuild with the IDAT cut short (re-deflate a truncated stream)
+    sig = blob[:8]
+    pos, chunks = 8, []
+    while pos + 12 <= len(blob):
+        (size,) = struct.unpack(">I", blob[pos:pos + 4])
+        ctype = blob[pos + 4:pos + 8]
+        body = blob[pos + 8:pos + 8 + size]
+        chunks.append((ctype, body))
+        pos += 12 + size
+    out = bytearray(sig)
+    for ctype, body in chunks:
+        if ctype == b"IDAT":
+            body = zlib.compress(zlib.decompress(body)[:-7], 9)
+        out += struct.pack(">I", len(body)) + ctype + body
+        out += struct.pack(">I", zlib.crc32(ctype + body))
+    with _pytest.raises(ValueError, match="truncated"):
+        MM.decode_png(bytes(out))
+
+
+def test_gif_interlaced_roundtrip_sizes():
+    """Four-pass GIF de-interlace across heights that stress every
+    pass-emptiness combination."""
+    import numpy as np
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(37)
+    for h in (1, 2, 3, 4, 5, 7, 8, 9, 16, 31):
+        img = (rng.randint(0, 5, (h, 6, 3)) * 50).astype("uint8")
+        back = MM.decode_gif(MM.encode_gif(img, interlaced=True))
+        assert (back == img).all(), h
+
+
+def test_adpcm_stereo_channel_independence():
+    """Stereo IMA-ADPCM (r15): the two channels' state machines are
+    independent per spec, so each decoded channel must equal its
+    mono-encoded twin bit-for-bit (the closed loop is deterministic);
+    block boundaries and the fact-chunk tail are exercised."""
+    import numpy as np
+
+    from config_driven_pyspark_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(41)
+    for n in (1, 2, 505, 506, 1400):
+        left = np.cumsum(rng.randint(-200, 200, n)).clip(-30000, 30000)
+        right = np.cumsum(rng.randint(-400, 400, n)).clip(-30000, 30000)
+        s = np.column_stack([left, right]).astype("<i2")
+        arr, rate = MM.decode_wav(MM.encode_wav_adpcm(s, 8000))
+        assert rate == 8000 and arr.shape == (n, 2)
+        for c, chan in enumerate((left, right)):
+            mono, _ = MM.decode_wav(
+                MM.encode_wav_adpcm(chan.astype("<i2"), 8000)
+            )
+            assert (arr[:, c] == mono.reshape(-1)).all(), (n, c)
