@@ -114,6 +114,10 @@ def has_live_deletes(spark: SparkSession, target_path: str) -> bool:
 
 
 _DV_STAGING_LEASE_S = 900  # matches the writer-lock lease
+# Referenced-file cap for the single-pass delete's under-lock existence
+# check (one collected rel_path per touched file): above it, the delete
+# re-probes under the lock instead (one extra pass over the target).
+_DV_FILE_CAP = 10_000
 
 
 def _gc_dv_staging(spark: SparkSession, base: str) -> None:
@@ -345,6 +349,7 @@ def _dv_delete_core(
     from config_driven_pyspark_spark.operators import history as _hist
     from config_driven_pyspark_spark.operators.table import (
         _MAX_SCOPED_PARTITIONS,
+        _LockConflict,
         _WriterLock,
         _dirs_and_pred,
         _fs,
@@ -444,47 +449,138 @@ def _dv_delete_core(
             )
         return keyed
 
-    # pre-lock probe ONLY sizes the lock scope; everything is recomputed
-    # under the lock against the then-live snapshot
-    _n0, n_m0, dirs0 = probe(keyed_live())
-    if n_m0 == 0:
-        return {"n_before": _n0, "n_matched": 0, "n_after": _n0,
-                "rewrite": "none"}
-    scope = sorted(dirs0) if dirs0 is not None else None
-    with _WriterLock(spark, base, scope=scope):
-        live = keyed_live()
-        n_before, n_matched, dirs = probe(live)
-        if n_matched == 0:
-            return {"n_before": n_before, "n_matched": 0,
-                    "n_after": n_before, "rewrite": "none"}
-        if scope is not None and (
-            dirs is None or not set(dirs) <= set(scope)
-        ):
-            raise IOError(
-                f"rows matching {what} moved outside the probed "
-                f"partition scope while acquiring the lock (concurrent "
-                "writer) — retry the delete"
-            )
-        live2, cond = attach(live)
-        tomb = (
-            live2.filter(cond)
-            .select(
-                F.col("__dv_rel").alias("rel_path"),
-                F.col("__dv_ri").alias("row_index"),
-            )
+    # r15 single-pass flow (guide §1.2): the old shape paid THREE full
+    # passes over the target — a pre-lock probe (lock scope), an
+    # under-lock re-probe (authoritative counts), and the tombstone
+    # write. Now the first pass IS the write: scan+match+stage the
+    # tombstones pre-lock, with n_before/n_matched OBSERVED on the same
+    # execution, derive the lock scope from the STAGED tombstones, and
+    # under the lock validate with filesystem listings (no data pass)
+    # that nothing the tombstones depend on moved in the window:
+    #   (a) the `_deletes` listing still equals the set the scan
+    #       anti-joined — a racer's vector in the window would skew
+    #       n_matched and double-count already-deleted rows;
+    #   (b) every file the staged tombstones reference still exists —
+    #       every mutating op swaps whole partition directories with
+    #       job-unique part-file names, so any commit touching the
+    #       scope since our scan removes at least one referenced name,
+    #       and parquet files are immutable, so existence ⇒ unchanged
+    #       content (the tombstones' row indexes still mean the same
+    #       rows).
+    # Either failure aborts with the retryable conflict, staging
+    # removed. A referenced-file set above _DV_FILE_CAP falls back to
+    # the pre-r15 under-lock re-probe (one extra pass).
+    dv_seen = sorted(e["name"] for e in _list_dv(spark, _dv_root(base)))
+    from pyspark.sql import Observation
+
+    live2, cond = attach(keyed_live())
+    obs = Observation()
+    tomb = (
+        live2.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cond.cast("long")).alias("n_m"),
         )
-        # no leading dot: Spark's reader silently ignores dot-paths even
-        # when named explicitly, which would zero the staged count
-        tmp = f"{_dv_root(base)}/staging-{uuid.uuid4().hex[:8]}"
-        tomb.write.mode("overwrite").parquet(tmp)
-        n_staged = spark.read.schema(_DV_SCHEMA).parquet(tmp).count()
-        if n_staged != n_matched:
+        .filter(cond)
+        .select(
+            F.col("__dv_rel").alias("rel_path"),
+            F.col("__dv_ri").alias("row_index"),
+        )
+    )
+    # no leading dot: Spark's reader silently ignores dot-paths even
+    # when named explicitly, which would zero the staged count
+    tmp = f"{_dv_root(base)}/staging-{uuid.uuid4().hex[:8]}"
+    tomb.write.mode("overwrite").parquet(tmp)
+    got = obs.get
+    n_before = int(got["n"])
+    n_matched = int(got["n_m"] or 0)
+    if n_matched == 0:
+        fs.delete(Path(tmp), True)
+        return {"n_before": n_before, "n_matched": 0,
+                "n_after": n_before, "rewrite": "none"}
+    staged = spark.read.schema(_DV_SCHEMA).parquet(tmp)
+    # tombstone-sized jobs: durability check (the staged files read
+    # back whole), the partition dirs the vector actually touches, and
+    # the referenced-file set for the under-lock existence check
+    saggs = [F.count(F.lit(1)).alias("n")]
+    if scoped:
+        saggs.append(
+            F.slice(
+                F.collect_set(
+                    F.concat_ws(
+                        "/",
+                        F.slice(F.split("rel_path", "/"), 1, nseg - 1),
+                    )
+                ),
+                1, _MAX_SCOPED_PARTITIONS + 1,
+            ).alias("__dirs")
+        )
+    srow = staged.agg(*saggs).collect()[0]
+    n_staged = int(srow["n"])
+    if n_staged != n_matched:
+        fs.delete(Path(tmp), True)
+        raise ValueError(
+            f"staged {n_staged} tombstones but {n_matched} rows "
+            "matched the probe — snapshot changed underneath; "
+            "aborted, nothing deleted"
+        )
+    dirs = None
+    if scoped and len(srow["__dirs"]) <= _MAX_SCOPED_PARTITIONS:
+        dirs = sorted(srow["__dirs"])
+    scope = list(dirs) if dirs is not None else None
+    rel_files = [
+        r["rel_path"]
+        for r in staged.select("rel_path").distinct()
+        .limit(_DV_FILE_CAP + 1).collect()
+    ]
+    with _WriterLock(spark, base, scope=scope):
+        now = sorted(e["name"] for e in _list_dv(spark, _dv_root(base)))
+        if now != dv_seen:
             fs.delete(Path(tmp), True)
-            raise ValueError(
-                f"staged {n_staged} tombstones but {n_matched} rows "
-                "matched the probe — snapshot changed underneath; "
-                "aborted, nothing deleted"
+            raise _LockConflict(
+                f"deletion vector(s) of {base!r} changed while this "
+                f"delete ({what}) staged its tombstones — its counts "
+                "and matches were computed against the earlier vector "
+                "set; re-run the delete (it re-reads the live state), "
+                "or set the lock wait to retry automatically"
             )
+        if len(rel_files) <= _DV_FILE_CAP:
+            by_dir: dict[str, set] = {}
+            for rel in rel_files:
+                d, _, name = rel.rpartition("/")
+                by_dir.setdefault(d, set()).add(name)
+            for d, names in sorted(by_dir.items()):
+                p = Path(f"{base}/{d}" if d else base)
+                listing = (
+                    {st.getPath().getName() for st in fs.listStatus(p)}
+                    if fs.exists(p) else set()
+                )
+                if not names <= listing:
+                    fs.delete(Path(tmp), True)
+                    raise _LockConflict(
+                        f"files holding rows matching {what} were "
+                        "replaced while this delete staged its "
+                        f"tombstones (partition {d or '.'!r} of "
+                        f"{base!r} committed underneath) — re-run the "
+                        "delete, or set the lock wait to retry "
+                        "automatically"
+                    )
+        else:
+            # huge delete: one authoritative re-probe under the lock
+            # (the pre-r15 cost, only above the file cap)
+            n_b2, n_m2, dirs2 = probe(keyed_live())
+            if n_m2 != n_staged or (
+                scope is not None
+                and (dirs2 is None or not set(dirs2) <= set(scope))
+            ):
+                fs.delete(Path(tmp), True)
+                raise _LockConflict(
+                    f"rows matching {what} moved while this delete "
+                    f"staged its tombstones (concurrent writer on "
+                    f"{base!r}) — re-run the delete, or set the lock "
+                    "wait to retry automatically"
+                )
+            n_before, n_matched = n_b2, n_m2
         retain = _hist.begin_retention(spark, base, partition_by)
         name = (
             f"dv_v{retain or 0:06d}_s{nseg}_{uuid.uuid4().hex[:8]}"
@@ -694,7 +790,6 @@ def materialize_deletes(
         if touched is not None
         else spark.read.parquet(base)
     )
-    n_scope = scan.count()
     keyed = scan.select(
         "*",
         _rel_expr(nseg).alias("__dv_rel"),
@@ -708,8 +803,17 @@ def materialize_deletes(
         keyed["__dv_ri"] == d["__t_ri"]
     )
     # dead = tombstones that still hit live rows (a vector whose file a
-    # crash-recovered swap already replaced hits nothing — harmless)
-    n_dead = keyed.join(d, jcond, "left_semi").count()
+    # crash-recovered swap already replaced hits nothing — harmless).
+    # ONE pass for n_scope + n_dead (r15, guide §1.2): tombstones are
+    # distinct per (rel_path, row_index), so the left join is row-
+    # preserving and count(*) over it IS the scope count the old
+    # zero-column scan measured separately.
+    prow = keyed.join(d, jcond, "left").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__t_rel").isNotNull().cast("long")).alias("n_dead"),
+    ).collect()[0]
+    n_scope = int(prow["n"])
+    n_dead = int(prow["n_dead"] or 0)
     n_tomb = dv.count()
     out = keyed.join(d, jcond, "left_anti").drop("__dv_rel", "__dv_ri")
     markers: dict[str, int] = {}

@@ -1085,50 +1085,24 @@ class _SidecarMutex:
         return False
 
 
-def _collect_partition_key_stats(
-    spark: SparkSession,
-    path: str,
-    schema,
-    partition_by: list[str],
-    keys: list[str],
+def _derive_partition_stats(
+    staged_files: dict[str, dict], keys: list[str]
 ) -> dict[str, dict]:
-    """Per-partition ``{key: {min, max, has_null}}`` over the parquet at
-    ``path`` (a staged or live snapshot) — one aggregate job, collect
-    bounded by the partition count."""
-    df = spark.read.schema(schema).parquet(path)
-    aggs = []
-    for k in keys:
-        aggs += [
-            F.min(k).alias(f"__min_{k}"),
-            F.max(k).alias(f"__max_{k}"),
-            (F.sum(F.col(k).isNull().cast("long")) > 0).alias(f"__nul_{k}"),
-        ]
-    rows = (
-        df.groupBy(*[F.col(c) for c in partition_by])
-        .agg(*aggs)
-        .select(
-            *[
-                F.col(c).cast("string").alias(f"__s_{c}")
-                for c in partition_by
-            ],
-            *[c for k in keys
-              for c in (f"__min_{k}", f"__max_{k}", f"__nul_{k}")],
-        )
-        .collect()
-    )
+    """Per-partition key stats DERIVED from the per-file entries of the
+    same snapshot: a partition's {min, max, has_null} is exactly the
+    widened union of its files' (the same serialized-value ordering
+    every sidecar comparison — ``_ranges_intersect``, ``_widen_entry``
+    — already uses), so collecting them with a second aggregate job was
+    a second full pass over the staged data (r15, guide §1.2). Keys are
+    the files' own partition-directory names, which is what the staged-
+    dirs-⊆-touched check has already validated by the time these are
+    written."""
     out: dict[str, dict] = {}
-    for r in rows:
-        d = _partition_dir(
-            partition_by, {c: r[f"__s_{c}"] for c in partition_by}
+    for rel, entry in staged_files.items():
+        d = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        out[d] = _widen_entry(
+            out.get(d), {k: dict(entry.get(k) or {}) for k in keys}, keys
         )
-        out[d] = {
-            k: {
-                "min": _ser_stat(r[f"__min_{k}"]),
-                "max": _ser_stat(r[f"__max_{k}"]),
-                "has_null": bool(r[f"__nul_{k}"]),
-            }
-            for k in keys
-        }
     return out
 
 
@@ -1198,6 +1172,11 @@ _LOCK_LEASE_SECONDS = 900
 # ask #8): seconds a writer queues behind a LIVE conflicting lock
 # before failing. Default 0 keeps the loud-failure contract.
 _LOCK_WAIT_CONF = "spark.cdp.lock.wait_seconds"
+# Spark-conf key restoring the pre-r15 staged-count READ-BACK (a second
+# pass over the staged files) instead of the observed-on-write count:
+# only the file-readability property differs — see the block comment in
+# :func:`_stage_verify_swap_locked`.
+_VERIFY_READBACK_CONF = "spark.cdp.verify.readback"
 
 
 class _LockConflict(IOError):
@@ -1851,15 +1830,38 @@ def _stage_verify_swap_locked(
     base = target_path.rstrip("/")
     staging = f"{base}__staging{suffix}"
     backup = f"{base}__premerge{suffix}"
-    writer = df.write.mode("overwrite")
+    # staged-count verification (guide §1.2: remove passes): the count
+    # is OBSERVED on the staging write's own execution instead of read
+    # back in a second pass over the staged files. The optimistic-
+    # concurrency check is unchanged — the staging write re-executes
+    # the plan against the then-live snapshot and the observed count is
+    # measured on THAT execution, so a snapshot swapped after the probe
+    # still misses `expected_rows` and aborts with the target
+    # untouched. What the observation does NOT re-verify is staged-file
+    # READABILITY (footer integrity); `spark.cdp.verify.readback=true`
+    # restores the old read-back for storage you don't trust.
+    readback = str(
+        spark.conf.get(_VERIFY_READBACK_CONF, "false")
+    ).lower() == "true"
+    obs = None
+    to_write = df
+    if not readback:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        to_write = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    writer = to_write.write.mode("overwrite")
     for k, v in (writer_options or {}).items():
         writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    # explicit schema: a scoped merge that deletes a whole partition
-    # stages ZERO files, which plain inference cannot read
-    n_after = spark.read.schema(df.schema).parquet(staging).count()
+    if obs is not None:
+        n_after = int(obs.get["n"])
+    else:
+        # explicit schema: a scoped merge that deletes a whole partition
+        # stages ZERO files, which plain inference cannot read
+        n_after = spark.read.schema(df.schema).parquet(staging).count()
     if n_after != expected_rows:
         fs.delete(Path(staging), True)
         raise ValueError(
@@ -2281,19 +2283,19 @@ def merge_upsert(
         if sidecar_able:
             # day-zero exact stats: full sidecar coverage from the
             # start, so the very next merge's probe can prune (a crash
-            # before this lands just means "probe everything" — safe)
+            # before this lands just means "probe everything" — safe).
+            # One stats pass: partition entries derive from the
+            # per-file ones (r15)
+            files = _collect_file_key_stats(
+                spark, target_path.rstrip("/"), upserts.schema, keys
+            )
             _write_key_stats(spark, target_path.rstrip("/"), {
                 "version": 1, "keys": sorted(keys),
-                "partitions": _collect_partition_key_stats(
-                    spark, target_path, upserts.schema, partition_by,
-                    keys,
-                ),
+                "partitions": _derive_partition_stats(files, keys),
             })
             _write_file_stats(spark, target_path.rstrip("/"), {
                 "version": 2, "keys": sorted(keys),
-                "files": _collect_file_key_stats(
-                    spark, target_path.rstrip("/"), upserts.schema, keys
-                ),
+                "files": files,
             })
         return {"n_before": 0, "n_matched": 0, "n_updated": 0,
                 "n_inserted": n_ins, "n_deleted": 0, "n_after": n_ins,
@@ -2692,16 +2694,16 @@ def merge_upsert(
         # old wide entry; untouched partitions keep theirs
 
         def pre_promote(staging_path: str) -> None:
-            staged_stats = _collect_partition_key_stats(
-                spark, staging_path, merged.schema, partition_by, keys
-            )
-            # file-level sibling: staged files' exact ranges replace
-            # the touched dirs' old entries (relative paths survive
-            # the directory rename; a rollback leaves dead entries,
-            # never wrong ones)
+            # ONE stats pass over the staged files: the per-file exact
+            # ranges replace the touched dirs' old entries (relative
+            # paths survive the directory rename; a rollback leaves
+            # dead entries, never wrong ones), and the partition-level
+            # entries are derived from them rather than re-aggregated
+            # in a second full pass (r15)
             staged_files = _collect_file_key_stats(
                 spark, staging_path, merged.schema, keys
             )
+            staged_stats = _derive_partition_stats(staged_files, keys)
             # the docs are shared across CONCURRENT disjoint-scope
             # writers (r13): re-read and rewrite them under the
             # sidecar mutex — an interleaved read-modify-write could
@@ -2749,17 +2751,15 @@ def merge_upsert(
         op="merge",
     )
     if sidecar_able and touched_dirs is None:
+        # one stats pass: partition entries derive from per-file (r15)
+        files = _collect_file_key_stats(spark, base, merged.schema, keys)
         _write_key_stats(spark, base, {
             "version": 1, "keys": sorted(keys),
-            "partitions": _collect_partition_key_stats(
-                spark, base, merged.schema, partition_by, keys
-            ),
+            "partitions": _derive_partition_stats(files, keys),
         })
         _write_file_stats(spark, base, {
             "version": 2, "keys": sorted(keys),
-            "files": _collect_file_key_stats(
-                spark, base, merged.schema, keys
-            ),
+            "files": files,
         })
     if obs is not None:
         got = obs.get
@@ -2945,18 +2945,18 @@ def scd2_merge(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_path)
         if sidecar_able:
-            # day-zero exact key stats (same discipline as merge_upsert)
+            # day-zero exact key stats (same discipline as merge_upsert;
+            # one stats pass — partition entries derive from per-file)
+            files = _collect_file_key_stats(
+                spark, target_path.rstrip("/"), boot.schema, keys
+            )
             _write_key_stats(spark, target_path.rstrip("/"), {
                 "version": 1, "keys": sorted(keys),
-                "partitions": _collect_partition_key_stats(
-                    spark, target_path, boot.schema, partition_by, keys,
-                ),
+                "partitions": _derive_partition_stats(files, keys),
             })
             _write_file_stats(spark, target_path.rstrip("/"), {
                 "version": 2, "keys": sorted(keys),
-                "files": _collect_file_key_stats(
-                    spark, target_path.rstrip("/"), boot.schema, keys
-                ),
+                "files": files,
             })
         return {"n_closed": 0, "n_new_versions": n, "n_unchanged": 0,
                 "n_deleted": 0, "n_after": n, "rewrite": "full"}
@@ -3151,16 +3151,16 @@ def scd2_merge(
     if sidecar_able and touched_dirs is not None:
 
         def pre_promote(staging_path: str) -> None:
-            staged_stats = _collect_partition_key_stats(
-                spark, staging_path, merged.schema, partition_by, keys
-            )
-            # file-level sibling: staged files' exact ranges replace
-            # the touched dirs' old entries (relative paths survive
-            # the directory rename; a rollback leaves dead entries,
-            # never wrong ones)
+            # ONE stats pass over the staged files: the per-file exact
+            # ranges replace the touched dirs' old entries (relative
+            # paths survive the directory rename; a rollback leaves
+            # dead entries, never wrong ones), and the partition-level
+            # entries are derived from them rather than re-aggregated
+            # in a second full pass (r15)
             staged_files = _collect_file_key_stats(
                 spark, staging_path, merged.schema, keys
             )
+            staged_stats = _derive_partition_stats(staged_files, keys)
             # the docs are shared across CONCURRENT disjoint-scope
             # writers (r13): re-read and rewrite them under the
             # sidecar mutex — an interleaved read-modify-write could
@@ -3206,17 +3206,15 @@ def scd2_merge(
         op="scd2",
     )
     if sidecar_able and touched_dirs is None:
+        # one stats pass: partition entries derive from per-file (r15)
+        files = _collect_file_key_stats(spark, base, merged.schema, keys)
         _write_key_stats(spark, base, {
             "version": 1, "keys": sorted(keys),
-            "partitions": _collect_partition_key_stats(
-                spark, base, merged.schema, partition_by, keys
-            ),
+            "partitions": _derive_partition_stats(files, keys),
         })
         _write_file_stats(spark, base, {
             "version": 2, "keys": sorted(keys),
-            "files": _collect_file_key_stats(
-                spark, base, merged.schema, keys
-            ),
+            "files": files,
         })
     return {"n_closed": n_closed, "n_new_versions": n_new,
             "n_unchanged": n_unchanged, "n_deleted": n_deleted,

@@ -645,3 +645,91 @@ def test_dv_coalesce_archives_reaped_by_vacuum(spark, tmp_path):
     vacuum_table_history(spark, path, keep_last=0)
     assert len(_list_dv(spark, _dv_archive_root(path))) == 0
     assert _ids(read_table(spark, path)) == expect
+
+
+def test_single_pass_delete_aborts_on_late_vector(spark, tmp_path):
+    """r15 single-pass delete: a vector published between the tombstone
+    staging and the lock must abort retryably — n_before/n_matched were
+    observed against the earlier vector set — with the staging removed
+    and the snapshot untouched; a plain re-run succeeds."""
+    from unittest import mock
+
+    from config_driven_pyspark_spark.operators import deletes as D
+
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    real = D._list_dv
+    state = {"calls": 0}
+
+    def racy_list(s, root):
+        out = real(s, root)
+        state["calls"] += 1
+        if state["calls"] >= 3 and root == _dv_root(path):
+            # the under-lock re-listing sees a racer's vector the
+            # pre-staging listing (call #1/#2) did not
+            out = out + [{"name": "dv_v000000_s2_deadbeef",
+                          "version": 0, "nseg": 2, "mat": None}]
+        return out
+
+    with mock.patch.object(D, "_list_dv", racy_list):
+        with pytest.raises(IOError, match="changed while this delete"):
+            delete_where_dv(spark, path, "k in (2, 4)", pb)
+    # abort left nothing behind: no vector, no staging debris, rows live
+    assert not has_live_deletes(spark, path)
+    assert not [
+        d for d in os.listdir(_dv_root(path)) if d.startswith("staging-")
+    ]
+    assert _ids(read_table(spark, path)) == list(range(20))
+    stats = delete_where_dv(spark, path, "k in (2, 4)", pb)
+    assert stats["n_matched"] == 2
+    assert _ids(read_table(spark, path)) == [
+        k for k in range(20) if k not in (2, 4)
+    ]
+
+
+def test_single_pass_delete_aborts_on_replaced_file(spark, tmp_path):
+    """r15 single-pass delete: a referenced data file replaced between
+    the tombstone staging and the lock fails the under-lock existence
+    check (every mutating op swaps whole partition dirs with job-unique
+    part names), aborting retryably with the snapshot untouched."""
+    import glob
+    import shutil
+
+    from config_driven_pyspark_spark.operators import table as T
+
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    real_lock = T._WriterLock
+    state = {"fired": False}
+
+    class RacyLock(real_lock):
+        def __enter__(self):
+            out = super().__enter__()
+            if not state["fired"]:
+                state["fired"] = True
+                # simulate a concurrent swap of partition p=0: its part
+                # file names all change (job-unique names)
+                for f in glob.glob(f"{path}/p=0/part-*"):
+                    shutil.move(
+                        f, f"{os.path.dirname(f)}/swapped-"
+                        f"{os.path.basename(f)[5:]}"
+                    )
+            return out
+
+    from unittest import mock
+
+    with mock.patch.object(T, "_WriterLock", RacyLock):
+        with pytest.raises(IOError, match="replaced while this delete"):
+            delete_where_dv(spark, path, "k in (2, 4)", pb)
+    assert not has_live_deletes(spark, path)
+    assert not [
+        d for d in os.listdir(_dv_root(path)) if d.startswith("staging-")
+    ]
+    # the "swap" above renamed files, not rows — the table still holds
+    # every row and a clean re-run deletes exactly the matched ones
+    assert _ids(spark.read.parquet(path)) == list(range(20))
+    stats = delete_where_dv(spark, path, "k in (2, 4)", pb)
+    assert stats["n_matched"] == 2
+    assert _ids(read_table(spark, path)) == [
+        k for k in range(20) if k not in (2, 4)
+    ]

@@ -2605,3 +2605,29 @@ def test_lock_wait_queues_overlapping_writers(spark, tmp_path):
     assert got[3] == -1.0 and got[7] == -1.0 and len(got) == 10
     versions = [r.version for r in table_history(spark, path).collect()]
     assert sorted(versions) == [1, 2]  # distinct, both committed
+
+
+def test_swap_verify_readback_conf(spark, tmp_path):
+    """r15: the staged-count verification defaults to an Observation on
+    the staging write's own execution; spark.cdp.verify.readback=true
+    restores the second-pass read-back. Both must verify and commit the
+    same merge."""
+    from config_driven_pyspark_spark.operators.table import merge_upsert
+
+    for i, conf in enumerate(("true", "false")):
+        target = str(tmp_path / f"t{i}")
+        _snapshot(spark, target, [(1, "a", 10), (2, "b", 20)])
+        spark.conf.set("spark.cdp.verify.readback", conf)
+        try:
+            batch = spark.createDataFrame(
+                [(2, "b2", 21), (3, "c", 30)],
+                "id bigint, val string, qty bigint",
+            )
+            stats = merge_upsert(batch, target, ["id"])
+        finally:
+            spark.conf.unset("spark.cdp.verify.readback")
+        assert stats["n_after"] == 3 and stats["n_updated"] == 1
+        got = sorted(
+            (r["id"], r["val"]) for r in spark.read.parquet(target).collect()
+        )
+        assert got == [(1, "a"), (2, "b2"), (3, "c")]
