@@ -814,18 +814,17 @@ def _collect_file_key_stats(
             F.max(k).alias(f"__max_{k}"),
             (F.sum(F.col(k).isNull().cast("long")) > 0).alias(f"__nul_{k}"),
         ]
-    if bloom_keys:
-        df, bloom_aggs = _bloom_prepare(df, bloom_keys)
-        aggs += bloom_aggs
     rows = (
         df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     )
     out: dict[str, dict] = {}
+    small: list[str] = []
     for r in rows:
         fp = unquote(urlparse(r["__f"]).path)
         if not fp.startswith(qbase + "/"):
             continue
-        entry = {
+        rel = fp[len(qbase) + 1:]
+        out[rel] = {
             k: {
                 "min": _ser_stat(r[f"__min_{k}"]),
                 "max": _ser_stat(r[f"__max_{k}"]),
@@ -834,14 +833,36 @@ def _collect_file_key_stats(
             for k in keys
         }
         if bloom_keys and int(r["__n_rows"]) <= _BLOOM_MAX_ROWS:
-            entry["bloom"] = {
+            small.append(rel)
+    # membership blooms exist only for files small enough not to
+    # saturate them (<= _BLOOM_MAX_ROWS) — so the per-row hash fold
+    # runs in a SECOND pass restricted to exactly those files (r15,
+    # guide §1.2): a bulk merge whose staged files are all large pays
+    # zero bloom hashing (the old single pass hashed every staged row
+    # and then threw the words away at the driver), while the CDC
+    # trickle the blooms exist for pays a read bounded by
+    # small-file rows.
+    if small:
+        bdf = spark.read.schema(schema).option("basePath", path).parquet(
+            *[f"{path.rstrip('/')}/{rel}" for rel in small]
+        )
+        bdf, bloom_aggs = _bloom_prepare(bdf, bloom_keys)
+        brows = (
+            bdf.groupBy(F.input_file_name().alias("__f"))
+            .agg(*bloom_aggs).collect()
+        )
+        for r in brows:
+            fp = unquote(urlparse(r["__f"]).path)
+            rel = fp[len(qbase) + 1:]
+            if rel not in out:
+                continue
+            out[rel]["bloom"] = {
                 k: _bloom_encode([
                     int(r[f"__bw_{k}_{w}"] or 0)
                     for w in range(_BLOOM_WORDS)
                 ])
                 for k in bloom_keys
             }
-        out[fp[len(qbase) + 1:]] = entry
     return out
 
 
