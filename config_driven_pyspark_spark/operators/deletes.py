@@ -672,8 +672,16 @@ def coalesce_deletes(
             )
         n_tomb = dv.count()
         tmp = f"{_dv_root(base)}/staging-{uuid.uuid4().hex[:8]}"
-        dv.coalesce(1).write.mode("overwrite").parquet(tmp)
-        n_staged = spark.read.schema(_DV_SCHEMA).parquet(tmp).count()
+        from pyspark.sql import Observation
+
+        # staged count observed on the write's own execution (r15) —
+        # comparing it to the separately-counted n_tomb keeps the
+        # cross-execution consistency check without a third read
+        cobs = Observation()
+        dv.observe(cobs, F.count(F.lit(1)).alias("n")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        n_staged = int(cobs.get["n"])
         if n_staged != n_tomb:
             fs.delete(Path(tmp), True)
             raise ValueError(

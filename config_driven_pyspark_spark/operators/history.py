@@ -764,13 +764,32 @@ def table_changes(
         return new.limit(0).withColumn("_change_type", F.lit("insert"))
 
     if not keys:
-        ins = new.exceptAll(old).withColumn(
-            "_change_type", F.lit("insert")
+        # multiset diff in ONE pass over each side (r15, guide §1.2):
+        # the old exceptAll pair read both version frames twice (and
+        # each frame is itself a union of retained dirs + DV anti
+        # joins). Signed counts give the same multiset: a row with
+        # net count d surfaces as d inserts (d > 0) or -d deletes.
+        w = new.withColumn("__w", F.lit(1)).unionByName(
+            old.withColumn("__w", F.lit(-1))
         )
-        del_ = old.exceptAll(new).withColumn(
-            "_change_type", F.lit("delete")
+        g = (
+            w.groupBy(*cols)
+            .agg(F.sum("__w").alias("__d"))
+            .filter(F.col("__d") != 0)
         )
-        return ins.unionByName(del_)
+        return (
+            g.select(
+                *cols,
+                F.when(F.col("__d") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete")).alias("_change_type"),
+                F.explode(
+                    F.sequence(
+                        F.lit(1), F.abs(F.col("__d")).cast("int")
+                    )
+                ).alias("__i"),
+            )
+            .drop("__i")
+        )
 
     for k in keys:
         if k not in cols:
@@ -794,26 +813,30 @@ def table_changes(
         same = e if same is None else same & e
     if same is None:
         same = F.lit(True)
-    ins = (
-        j.filter(~o_present)
-        .select(*[n[c] for c in cols])
-        .withColumn("_change_type", F.lit("insert"))
+    # ONE execution of the join (r15, guide §1.2): the old four-branch
+    # union (insert/delete/pre/post each filtering the same join)
+    # re-executed the full-outer join once per branch — classify each
+    # joined row instead and explode the update pair
+    def _row(side, tag: str):
+        return F.struct(
+            *[side[c].alias(c) for c in cols],
+            F.lit(tag).alias("_change_type"),
+        )
+
+    arr = (
+        F.when(~o_present, F.array(_row(n, "insert")))
+        .when(~n_present, F.array(_row(o, "delete")))
+        .otherwise(
+            F.array(
+                _row(o, "update_preimage"), _row(n, "update_postimage")
+            )
+        )
     )
-    del_ = (
-        j.filter(~n_present)
-        .select(*[o[c] for c in cols])
-        .withColumn("_change_type", F.lit("delete"))
+    return (
+        j.filter(~o_present | ~n_present | ~same)
+        .select(F.explode(arr).alias("__r"))
+        .select("__r.*")
     )
-    changed = j.filter(o_present & n_present & ~same)
-    pre = (
-        changed.select(*[o[c] for c in cols])
-        .withColumn("_change_type", F.lit("update_preimage"))
-    )
-    post = (
-        changed.select(*[n[c] for c in cols])
-        .withColumn("_change_type", F.lit("update_postimage"))
-    )
-    return ins.unionByName(del_).unionByName(pre).unionByName(post)
 
 
 def stage_table_changes(

@@ -2252,9 +2252,10 @@ def merge_upsert(
         )
         # upserts FIRST (their rewrite would absorb a just-written
         # vector), each phase on the batch slice that drives it; a
-        # delete-only batch skips the merge machinery entirely
-        n_up = upserts.limit(1).count()
-        if n_up:
+        # delete-only batch skips the merge machinery entirely. The
+        # batch-stats pass above already counted the non-delete rows —
+        # no extra job (r15)
+        if n_src - n_del_total > 0:
             stats = merge_upsert(
                 upserts, target_path, keys,
                 partition_by=partition_by,
