@@ -51,6 +51,8 @@ the sidecar is missing or stale-wide.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 # a batch touching this many partitions is effectively a full rewrite —
@@ -1574,15 +1576,19 @@ def _find_swap_debris(
     legacy = fs.exists(Path(f"{base}__staging")) or fs.exists(
         Path(f"{base}__premerge")
     )
-    parent = Path(base).getParent()
+    # server-side glob instead of listing the whole parent directory:
+    # this runs on EVERY op start, and iterating a listStatus of e.g.
+    # /tmp from Python costs several py4j round-trips per sibling
+    # entry (r15 — measured ~0.2s per call on a busy parent). Glob
+    # metacharacters in the table path itself are escaped.
+    esc = re.sub(r"([*?\[\]{}\\])", r"\\\1", base)
     name = Path(base).getName()
     owners: set[str] = set()
-    if parent is not None and fs.exists(parent):
-        for st in fs.listStatus(parent):
+    for pref in ("__staging-", "__premerge-"):
+        sts = fs.globStatus(Path(f"{esc}{pref}*"))
+        for st in sts or []:
             n = st.getPath().getName()
-            for pref in (f"{name}__staging-", f"{name}__premerge-"):
-                if n.startswith(pref):
-                    owners.add(n[len(pref):])
+            owners.add(n[len(name) + len(pref):])
     if owners:
         owners -= _live_lock_owners(spark, base)
     return legacy, sorted(owners)
