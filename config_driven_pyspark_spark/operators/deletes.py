@@ -114,10 +114,65 @@ def has_live_deletes(spark: SparkSession, target_path: str) -> bool:
 
 
 _DV_STAGING_LEASE_S = 900  # matches the writer-lock lease
-# Referenced-file cap for the single-pass delete's under-lock existence
-# check (one collected rel_path per touched file): above it, the delete
-# re-probes under the lock instead (one extra pass over the target).
+# Data-file cap for the single-pass delete's fingerprint validation
+# (one listed file name per data file): above it, the delete re-stages
+# its tombstones under the lock instead (one extra pass over the
+# target, the pre-r15 cost — only for >10k-file tables).
 _DV_FILE_CAP = 10_000
+
+
+def _data_fingerprint(
+    spark: SparkSession, base: str, nseg: int, cap: int | None = None
+) -> dict[str, frozenset] | None:
+    """``{relative partition dir: frozenset(data file names)}`` for the
+    snapshot at ``base``, walked to the table's partition depth
+    (``nseg - 1`` directory levels). Underscore/dot names are skipped at
+    every level — exactly the entries Spark's parquet reader ignores —
+    so the fingerprint covers precisely the files a scan would read.
+
+    Because every mutating op swaps whole partition directories with
+    job-unique part-file names and parquet files are immutable,
+    fingerprint equality across a window PROVES no data commit landed
+    in it: a commit anywhere — replaced files, a new partition dir, new
+    files in a dir the delete references nothing in (ADVICE r15) —
+    changes at least one name. Returns None above ``cap`` files (too
+    big to fingerprint cheaply; the caller falls back to re-staging
+    under the lock)."""
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    if cap is None:
+        cap = _DV_FILE_CAP  # read at call time so tests can lower it
+    jvm, fs = _fs(spark, base)
+    Path = jvm.org.apache.hadoop.fs.Path
+    dirs = [""]
+    for _ in range(nseg - 1):
+        nxt = []
+        for rel in dirs:
+            p = Path(base if not rel else f"{base}/{rel}")
+            if not fs.exists(p):
+                continue
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if st.isDirectory() and name[:1] not in ("_", "."):
+                    nxt.append(name if not rel else f"{rel}/{name}")
+        dirs = nxt
+    out: dict[str, frozenset] = {}
+    total = 0
+    for rel in dirs:
+        p = Path(base if not rel else f"{base}/{rel}")
+        if not fs.exists(p):
+            continue
+        names = {
+            st.getPath().getName()
+            for st in fs.listStatus(p)
+            if not st.isDirectory()
+            and st.getPath().getName()[:1] not in ("_", ".")
+        }
+        total += len(names)
+        if total > cap:
+            return None
+        out[rel] = frozenset(names)
+    return out
 
 
 def _gc_dv_staging(spark: SparkSession, base: str) -> None:
@@ -258,8 +313,16 @@ def _applicable_dv(
 
         hist = _hist_root(base)
         for k, man in manifests.items():
+            # op "dv_materialize", or any rewrite that FOLDED pending
+            # vectors into its own swap (r16 merge fold — flagged
+            # `dv_absorbed` in the manifest): a crash between its
+            # full-mode swap and the archive rename leaves the vectors
+            # inside the retained v<k> dir
             if not (
-                man.get("op") == "dv_materialize"
+                (
+                    man.get("op") == "dv_materialize"
+                    or man.get("dv_absorbed")
+                )
                 and man.get("mode") == "full"
                 and version < k
             ):
@@ -351,7 +414,6 @@ def _dv_delete_core(
         _MAX_SCOPED_PARTITIONS,
         _LockConflict,
         _WriterLock,
-        _dirs_and_pred,
         _fs,
         _layout_matches,
         _recover_crashed_swap,
@@ -389,41 +451,6 @@ def _dv_delete_core(
             "file names are only unique within a directory)"
         )
 
-    def probe(df: DataFrame):
-        """(n_total, n_matched, partition-dir list | None) in ONE pass —
-        the _mutate_where probe shape, over the DV-filtered state so
-        already-tombstoned rows never re-match."""
-        df, cond = attach(df)
-        aggs = [
-            F.count("*").alias("n"),
-            F.sum(cond.cast("long")).alias("n_m"),
-        ]
-        if scoped:
-            aggs.append(
-                F.slice(
-                    F.collect_set(
-                        F.when(
-                            cond,
-                            F.struct(
-                                *[F.col(c).alias(c) for c in partition_by],
-                                *[
-                                    F.col(c).cast("string").alias(f"__s_{c}")
-                                    for c in partition_by
-                                ],
-                            ),
-                        )
-                    ),
-                    1, _MAX_SCOPED_PARTITIONS + 1,
-                ).alias("__parts")
-            )
-        row = df.agg(*aggs).collect()[0]
-        dirs = None
-        if scoped:
-            vals = [r.asDict() for r in row["__parts"] or []]
-            if len(vals) <= _MAX_SCOPED_PARTITIONS:
-                dirs, _pred = _dirs_and_pred(partition_by, vals)
-        return int(row["n"]), int(row["n_m"] or 0), dirs
-
     def keyed_live() -> DataFrame:
         """The live logical state with each row's (rel_path, row_index)
         identity MATERIALIZED as ordinary columns — computed on the raw
@@ -449,59 +476,59 @@ def _dv_delete_core(
             )
         return keyed
 
-    # r15 single-pass flow (guide §1.2): the old shape paid THREE full
-    # passes over the target — a pre-lock probe (lock scope), an
+    # r15/r16 single-pass flow (guide §1.2): the old shape paid THREE
+    # full passes over the target — a pre-lock probe (lock scope), an
     # under-lock re-probe (authoritative counts), and the tombstone
     # write. Now the first pass IS the write: scan+match+stage the
     # tombstones pre-lock, with n_before/n_matched OBSERVED on the same
     # execution, derive the lock scope from the STAGED tombstones, and
     # under the lock validate with filesystem listings (no data pass)
-    # that nothing the tombstones depend on moved in the window:
+    # that nothing the scan depended on moved in the window:
     #   (a) the `_deletes` listing still equals the set the scan
     #       anti-joined — a racer's vector in the window would skew
     #       n_matched and double-count already-deleted rows;
-    #   (b) every file the staged tombstones reference still exists —
-    #       every mutating op swaps whole partition directories with
-    #       job-unique part-file names, so any commit touching the
-    #       scope since our scan removes at least one referenced name,
-    #       and parquet files are immutable, so existence ⇒ unchanged
-    #       content (the tombstones' row indexes still mean the same
-    #       rows).
+    #   (b) the table's WHOLE data-file fingerprint (dir → file-name
+    #       set, `_data_fingerprint`) is unchanged — every mutating op
+    #       swaps whole partition directories with job-unique part
+    #       names and parquet files are immutable, so equality proves
+    #       no data commit landed anywhere in the window: not on the
+    #       referenced files, not in a new partition dir, not in a dir
+    #       the staged tombstones reference no files in (the two
+    #       ADVICE-r15 escapes of the per-referenced-file check this
+    #       replaces — a commit the old check missed could add
+    #       predicate-matching rows that silently survive, or strand
+    #       tombstones pointing at replaced names).
     # Either failure aborts with the retryable conflict, staging
-    # removed. A referenced-file set above _DV_FILE_CAP falls back to
-    # the pre-r15 under-lock re-probe (one extra pass).
-    dv_seen = sorted(e["name"] for e in _list_dv(spark, _dv_root(base)))
+    # removed. A table above _DV_FILE_CAP data files skips the
+    # fingerprint and instead RE-STAGES the tombstones under the lock —
+    # the publish is then computed against the locked live state, so
+    # no window exists at all (one extra pass, only for huge tables).
     from pyspark.sql import Observation
 
-    live2, cond = attach(keyed_live())
-    obs = Observation()
-    tomb = (
-        live2.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.sum(cond.cast("long")).alias("n_m"),
+    def _stage_tombstones() -> tuple[str, int, int]:
+        live2, cond = attach(keyed_live())
+        obs = Observation()
+        tomb = (
+            live2.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cond.cast("long")).alias("n_m"),
+            )
+            .filter(cond)
+            .select(
+                F.col("__dv_rel").alias("rel_path"),
+                F.col("__dv_ri").alias("row_index"),
+            )
         )
-        .filter(cond)
-        .select(
-            F.col("__dv_rel").alias("rel_path"),
-            F.col("__dv_ri").alias("row_index"),
-        )
-    )
-    # no leading dot: Spark's reader silently ignores dot-paths even
-    # when named explicitly, which would zero the staged count
-    tmp = f"{_dv_root(base)}/staging-{uuid.uuid4().hex[:8]}"
-    tomb.write.mode("overwrite").parquet(tmp)
-    got = obs.get
-    n_before = int(got["n"])
-    n_matched = int(got["n_m"] or 0)
-    if n_matched == 0:
-        fs.delete(Path(tmp), True)
-        return {"n_before": n_before, "n_matched": 0,
-                "n_after": n_before, "rewrite": "none"}
-    staged = spark.read.schema(_DV_SCHEMA).parquet(tmp)
-    # tombstone-sized jobs: durability check (the staged files read
-    # back whole), the partition dirs the vector actually touches, and
-    # the referenced-file set for the under-lock existence check
+        # no leading dot: Spark's reader silently ignores dot-paths
+        # even when named explicitly, which would zero the staged count
+        t = f"{_dv_root(base)}/staging-{uuid.uuid4().hex[:8]}"
+        tomb.write.mode("overwrite").parquet(t)
+        got = obs.get
+        return t, int(got["n"]), int(got["n_m"] or 0)
+
+    # tombstone-sized job: durability check (the staged files read back
+    # whole) + the partition dirs the vector actually touches
     saggs = [F.count(F.lit(1)).alias("n")]
     if scoped:
         saggs.append(
@@ -515,8 +542,24 @@ def _dv_delete_core(
                 1, _MAX_SCOPED_PARTITIONS + 1,
             ).alias("__dirs")
         )
-    srow = staged.agg(*saggs).collect()[0]
-    n_staged = int(srow["n"])
+
+    def _staged_info(t: str) -> tuple[int, list[str] | None]:
+        staged = spark.read.schema(_DV_SCHEMA).parquet(t)
+        srow = staged.agg(*saggs).collect()[0]
+        n_st = int(srow["n"])
+        d = None
+        if scoped and len(srow["__dirs"]) <= _MAX_SCOPED_PARTITIONS:
+            d = sorted(srow["__dirs"])
+        return n_st, d
+
+    fp0 = _data_fingerprint(spark, base, nseg)
+    dv_seen = sorted(e["name"] for e in _list_dv(spark, _dv_root(base)))
+    tmp, n_before, n_matched = _stage_tombstones()
+    if n_matched == 0:
+        fs.delete(Path(tmp), True)
+        return {"n_before": n_before, "n_matched": 0,
+                "n_after": n_before, "rewrite": "none"}
+    n_staged, dirs = _staged_info(tmp)
     if n_staged != n_matched:
         fs.delete(Path(tmp), True)
         raise ValueError(
@@ -524,15 +567,7 @@ def _dv_delete_core(
             "matched the probe — snapshot changed underneath; "
             "aborted, nothing deleted"
         )
-    dirs = None
-    if scoped and len(srow["__dirs"]) <= _MAX_SCOPED_PARTITIONS:
-        dirs = sorted(srow["__dirs"])
     scope = list(dirs) if dirs is not None else None
-    rel_files = [
-        r["rel_path"]
-        for r in staged.select("rel_path").distinct()
-        .limit(_DV_FILE_CAP + 1).collect()
-    ]
     with _WriterLock(spark, base, scope=scope):
         now = sorted(e["name"] for e in _list_dv(spark, _dv_root(base)))
         if now != dv_seen:
@@ -544,34 +579,38 @@ def _dv_delete_core(
                 "set; re-run the delete (it re-reads the live state), "
                 "or set the lock wait to retry automatically"
             )
-        if len(rel_files) <= _DV_FILE_CAP:
-            by_dir: dict[str, set] = {}
-            for rel in rel_files:
-                d, _, name = rel.rpartition("/")
-                by_dir.setdefault(d, set()).add(name)
-            for d, names in sorted(by_dir.items()):
-                p = Path(f"{base}/{d}" if d else base)
-                listing = (
-                    {st.getPath().getName() for st in fs.listStatus(p)}
-                    if fs.exists(p) else set()
+        if fp0 is not None:
+            if _data_fingerprint(spark, base, nseg) != fp0:
+                fs.delete(Path(tmp), True)
+                raise _LockConflict(
+                    f"data files of {base!r} were committed while this "
+                    f"delete ({what}) staged its tombstones — the "
+                    "staged matches and counts no longer describe the "
+                    "live snapshot; re-run the delete (it re-reads the "
+                    "live state), or set the lock wait to retry "
+                    "automatically"
                 )
-                if not names <= listing:
-                    fs.delete(Path(tmp), True)
-                    raise _LockConflict(
-                        f"files holding rows matching {what} were "
-                        "replaced while this delete staged its "
-                        f"tombstones (partition {d or '.'!r} of "
-                        f"{base!r} committed underneath) — re-run the "
-                        "delete, or set the lock wait to retry "
-                        "automatically"
-                    )
         else:
-            # huge delete: one authoritative re-probe under the lock
-            # (the pre-r15 cost, only above the file cap)
-            n_b2, n_m2, dirs2 = probe(keyed_live())
-            if n_m2 != n_staged or (
-                scope is not None
-                and (dirs2 is None or not set(dirs2) <= set(scope))
+            # huge table (>_DV_FILE_CAP files): re-stage under the lock
+            # — authoritative against the locked state, so a
+            # count-preserving rewrite in the window can never publish
+            # tombstones against dead file names (ADVICE r15)
+            fs.delete(Path(tmp), True)
+            tmp, n_before, n_matched = _stage_tombstones()
+            if n_matched == 0:
+                fs.delete(Path(tmp), True)
+                return {"n_before": n_before, "n_matched": 0,
+                        "n_after": n_before, "rewrite": "none"}
+            n_staged, dirs2 = _staged_info(tmp)
+            if n_staged != n_matched:
+                fs.delete(Path(tmp), True)
+                raise ValueError(
+                    f"staged {n_staged} tombstones but {n_matched} "
+                    "rows matched the probe — snapshot changed "
+                    "underneath; aborted, nothing deleted"
+                )
+            if scope is not None and (
+                dirs2 is None or not set(dirs2) <= set(scope)
             ):
                 fs.delete(Path(tmp), True)
                 raise _LockConflict(
@@ -580,7 +619,7 @@ def _dv_delete_core(
                     f"{base!r}) — re-run the delete, or set the lock "
                     "wait to retry automatically"
                 )
-            n_before, n_matched = n_b2, n_m2
+            dirs = dirs2
         retain = _hist.begin_retention(spark, base, partition_by)
         name = (
             f"dv_v{retain or 0:06d}_s{nseg}_{uuid.uuid4().hex[:8]}"
@@ -729,6 +768,58 @@ def coalesce_deletes(
             "n_vectors_out": 1, "version": retain}
 
 
+def _archive_absorbed(
+    spark: SparkSession,
+    base: str,
+    entries: list[dict],
+    full_swap: bool,
+    what: str = "materialize_deletes",
+) -> None:
+    """Post-swap bookkeeping for pending vectors a rewrite ABSORBED
+    (materialization, or a merge folding pending vectors into its own
+    rewrite — r16): archive them under ``__history/_dv`` re-tagged with
+    the just-committed version (older versions still consult them;
+    reads at or past it see the rewritten files) on versioned tables,
+    delete them on unversioned ones. ``full_swap``: the swap renamed
+    the whole pre-state — ``_deletes`` included — into the retained
+    version dir, so the vectors to archive now live there; a scoped
+    swap left them in the live ``_deletes`` dir."""
+    from config_driven_pyspark_spark.operators import history as _hist
+    from config_driven_pyspark_spark.operators.table import _fs
+
+    jvm, fs = _fs(spark, base)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if _hist.history_enabled(spark, base):
+        from config_driven_pyspark_spark.operators.history import _hist_root
+
+        mat = _hist.table_current_version(spark, base)
+        arch = _dv_archive_root(base)
+        fs.mkdirs(Path(arch))
+        src_root = (
+            f"{_hist_root(base)}/v{mat}/{_DV_DIRNAME}"
+            if full_swap
+            else _dv_root(base)
+        )
+        for e in entries:
+            # re-tag with the absorbing version so vacuum knows when
+            # no readable version needs this vector anymore
+            new = re.sub(
+                r"_s(\d+)_", rf"_s\1_m{mat:06d}_", e["name"], count=1
+            )
+            if not fs.rename(
+                Path(f"{src_root}/{e['name']}"), Path(f"{arch}/{new}")
+            ):
+                raise IOError(
+                    f"absorbed deletion vector {e['name']!r} of "
+                    f"{base!r} could not be archived from {src_root!r} "
+                    "— older versions would read resurrected rows; "
+                    f"fix the filesystem and re-run {what}"
+                )
+    else:
+        for e in entries:
+            fs.delete(Path(f"{_dv_root(base)}/{e['name']}"), True)
+
+
 def materialize_deletes(
     spark: SparkSession,
     target_path: str,
@@ -846,39 +937,10 @@ def materialize_deletes(
         # _deletes listing still equals exactly the absorbed set
         dv_expected=[e["name"] for e in entries],
     )
-    if _hist.history_enabled(spark, base):
-        from config_driven_pyspark_spark.operators.history import _hist_root
-
-        mat = _hist.table_current_version(spark, base)
-        arch = _dv_archive_root(base)
-        fs.mkdirs(Path(arch))
-        # a FULL-mode swap renamed the whole pre-state — `_deletes`
-        # included — into the retained version dir, so the vectors to
-        # archive now live there; a scoped swap left them in the live
-        # `_deletes` dir
-        src_root = (
-            f"{_hist_root(base)}/v{mat}/{_DV_DIRNAME}"
-            if touched is None
-            else _dv_root(base)
-        )
-        for e in entries:
-            # re-tag with the materialization version so vacuum knows
-            # when no readable version needs this vector anymore
-            new = re.sub(
-                r"_s(\d+)_", rf"_s\1_m{mat:06d}_", e["name"], count=1
-            )
-            if not fs.rename(
-                Path(f"{src_root}/{e['name']}"), Path(f"{arch}/{new}")
-            ):
-                raise IOError(
-                    f"materialized deletion vector {e['name']!r} of "
-                    f"{base!r} could not be archived from {src_root!r} "
-                    "— older versions would read resurrected rows; "
-                    "fix the filesystem and re-run materialize_deletes"
-                )
-    else:
-        for e in entries:
-            fs.delete(Path(f"{_dv_root(base)}/{e['name']}"), True)
+    _archive_absorbed(
+        spark, base, entries, full_swap=touched is None,
+        what="materialize_deletes",
+    )
     # the _deletes dir itself stays (empty) — harmless, one listing
     return {
         "n_vectors": len(entries),

@@ -67,6 +67,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _ENABLED_FILE = "_enabled"
 _MANIFEST_FILE = "_manifest.json"
+# per-row expansion bound for the keyless CDF multiset diff (ADVICE
+# r15): a row's net multiplicity explodes in chunks of this many, so
+# no single row ever materializes an array ∝ its duplicate count
+_KEYLESS_CDF_CHUNK = 65_536
 _V_RE = re.compile(r"^v(\d+)(\.pending)?$")
 
 
@@ -289,6 +293,7 @@ def commit_retention(
     created: list[str],
     rows_staged: int,
     dv_dirs: list[str] | None = None,
+    dv_absorbed: list[str] | None = None,
 ) -> None:
     """Called by the swap where it would otherwise DELETE its backup:
     rename the backup into ``__history/v<N>`` (no backup — a pure-
@@ -331,6 +336,12 @@ def commit_retention(
         # the partitions holding tombstoned rows are recorded here so
         # CDF / restore scoping still knows where the change lives
         manifest["dv_dirs"] = sorted(dv_dirs)
+    if dv_absorbed:
+        # this rewrite ABSORBED the named pending vectors (r16 merge
+        # fold / dv_materialize): a crash between a full-mode swap and
+        # the archive rename leaves them inside the retained version
+        # dir — _applicable_dv self-heals from this flag
+        manifest["dv_absorbed"] = sorted(dv_absorbed)
     _write_small(
         jvm, fs, f"{hist}/v{version}/{_MANIFEST_FILE}",
         json.dumps(manifest).encode(),
@@ -777,14 +788,40 @@ def table_changes(
             .agg(F.sum("__w").alias("__d"))
             .filter(F.col("__d") != 0)
         )
+        # bounded two-level expansion (ADVICE r15 — r16): a single
+        # sequence sized by a row's whole net multiplicity builds one
+        # in-memory array ∝ |d| (hundreds of MB for a bulk delete of
+        # heavily duplicated rows) and a cast to int silently overflows
+        # past 2^31. Chunk it instead: an outer sequence over
+        # ceil(|d|/CHUNK) chunk indexes, an inner sequence of at most
+        # CHUNK per chunk — long arithmetic throughout, per-row array
+        # bytes bounded by CHUNK regardless of the multiplicity.
+        CHUNK = _KEYLESS_CDF_CHUNK
         return (
             g.select(
                 *cols,
                 F.when(F.col("__d") > 0, F.lit("insert"))
                 .otherwise(F.lit("delete")).alias("_change_type"),
+                F.abs(F.col("__d")).cast("long").alias("__n"),
+            )
+            .select(
+                *cols, "_change_type", "__n",
                 F.explode(
                     F.sequence(
-                        F.lit(1), F.abs(F.col("__d")).cast("int")
+                        F.lit(0).cast("long"),
+                        F.floor((F.col("__n") - 1) / F.lit(CHUNK)),
+                    )
+                ).alias("__c"),
+            )
+            .select(
+                *cols, "_change_type",
+                F.explode(
+                    F.sequence(
+                        F.lit(1).cast("long"),
+                        F.least(
+                            F.lit(CHUNK).cast("long"),
+                            F.col("__n") - F.col("__c") * F.lit(CHUNK),
+                        ),
                     )
                 ).alias("__i"),
             )

@@ -101,9 +101,22 @@ def brute_force_topk(
     cosine); self-matches excluded.
 
     Plan shape: corpus stays partitioned as-is; the (small) query set is
-    broadcast, scoring is a map-side nested loop, and the window top-k
-    shuffles only ``|queries| × |corpus|`` scored rows reduced by a
-    per-partition partial sort (AQE coalesces the tail).
+    broadcast, scoring is a map-side nested loop, and the shuffle into
+    the final per-query ranking is bounded by the PARTIAL top-k: Spark
+    inserts a two-level ``WindowGroupLimit`` around the exchange (the
+    ``rank <= k`` filter over a row_number window), so each map
+    partition ships at most ``k`` rows per query — the exchange carries
+    ``O(k × |queries| × partitions)`` narrow rows, never the raw
+    ``|queries| × |corpus|`` cross product.
+
+    DECLARED SCALE BOUNDARY: the scoring itself is exact brute force —
+    ``O(|corpus| × |queries|)`` dot products on the map side. That is
+    the row's declared semantics (exact top-k, no index); it is the
+    right tool for small query sets over any corpus size (cost is one
+    corpus pass per ~thousands of queries), and the wrong tool for
+    query sets that scale with the corpus — route those through the
+    IVF/PQ/SRP index paths in this module and rerank (``_rerank_exact``)
+    when exactness matters.
     """
     # CPU-heavy per-pair scoring must not inherit a small input file count
     # (one parquet file -> one task); a no-op at real scale

@@ -396,21 +396,36 @@ def test_merge_dv_bootstrap_falls_back(spark, tmp_path):
 def test_swap_aborts_when_dv_lands_in_planning_window(spark, tmp_path):
     from unittest import mock
 
-    from config_driven_pyspark_spark.operators import table as T
+    from config_driven_pyspark_spark.operators import deletes as D
 
     path = str(tmp_path / "t")
     pb = _mk(spark, path, n=20, parts=2)
     # simulate the race deterministically: the vector is already live,
-    # and the op's absorb preamble "loses" to it (no-op), exactly the
-    # state a racer's commit in the planning window produces
+    # but the merge's PLANNING listing (the r16 fold's vector
+    # discovery) "loses" to it and sees an empty set — exactly the
+    # state a racer's commit in the planning window produces. The
+    # swap's under-lock listing then shows a vector the fold never
+    # absorbed → retryable abort.
     delete_where_dv(spark, path, "k in (2, 4)", pb)
     batch = spark.createDataFrame([(3, 1, 999)], "k long, p int, v long")
-    with mock.patch.object(T, "_absorb_pending_deletes"):
+    real = D._list_dv
+    state = {"blanked": 0}
+
+    def racy_list(s, root):
+        out = real(s, root)
+        if root == _dv_root(path) and state["blanked"] < 1:
+            state["blanked"] += 1
+            return []
+        return out
+
+    with mock.patch.object(D, "_list_dv", racy_list):
         with pytest.raises(IOError, match="deletion vector"):
             merge_upsert(batch, path, ["k"], partition_by=pb)
+    assert state["blanked"] == 1
     # the abort left the snapshot untouched: vector still live, rows
     # still logically deleted, and the unpatched re-run (what the
-    # bounded retry does) absorbs and succeeds
+    # bounded retry does) folds the vector into its own rewrite and
+    # succeeds
     assert has_live_deletes(spark, path)
     merge_upsert(batch, path, ["k"], partition_by=pb)
     got = _ids(spark.read.parquet(path))
@@ -446,32 +461,35 @@ def test_materialize_aborts_on_vector_beyond_absorbed_set(spark, tmp_path):
 
 def test_late_dv_conflict_is_retryable(spark, tmp_path):
     """The guard raises _LockConflict, so the opt-in wait budget
-    re-runs the op from scratch and it self-heals by re-absorbing."""
-    from config_driven_pyspark_spark.operators import table as T
+    re-runs the op from scratch and it self-heals: the retry's fresh
+    planning sees the vector and folds it into its own rewrite."""
+    from config_driven_pyspark_spark.operators import deletes as D
 
     path = str(tmp_path / "t")
     pb = _mk(spark, path, n=20, parts=2)
     delete_where_dv(spark, path, "k = 4", pb)
     batch = spark.createDataFrame([(5, 1, 555)], "k long, p int, v long")
-    calls = {"n": 0}
-    real = T._absorb_pending_deletes
+    real = D._list_dv
+    state = {"blanked": 0}
 
-    def flaky_absorb(*a, **kw):
-        # first attempt: the absorb "loses the race" (no-op); the
-        # retry's fresh run absorbs for real
-        calls["n"] += 1
-        if calls["n"] > 1:
-            real(*a, **kw)
+    def racy_list(s, root):
+        # first planning listing "loses the race" (sees no vector);
+        # every later listing — the swap check, the retry — is real
+        out = real(s, root)
+        if root == _dv_root(path) and state["blanked"] < 1:
+            state["blanked"] += 1
+            return []
+        return out
 
     from unittest import mock
 
     spark.conf.set("spark.cdp.lock.wait_seconds", "30")
     try:
-        with mock.patch.object(T, "_absorb_pending_deletes", flaky_absorb):
+        with mock.patch.object(D, "_list_dv", racy_list):
             merge_upsert(batch, path, ["k"], partition_by=pb)
     finally:
         spark.conf.unset("spark.cdp.lock.wait_seconds")
-    assert calls["n"] >= 2
+    assert state["blanked"] == 1
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert 4 not in got and got[5] == 555
     assert not has_live_deletes(spark, path)
@@ -688,10 +706,11 @@ def test_single_pass_delete_aborts_on_late_vector(spark, tmp_path):
 
 
 def test_single_pass_delete_aborts_on_replaced_file(spark, tmp_path):
-    """r15 single-pass delete: a referenced data file replaced between
-    the tombstone staging and the lock fails the under-lock existence
-    check (every mutating op swaps whole partition dirs with job-unique
-    part names), aborting retryably with the snapshot untouched."""
+    """r15/r16 single-pass delete: a referenced data file replaced
+    between the tombstone staging and the lock fails the under-lock
+    data-file fingerprint check (every mutating op swaps whole
+    partition dirs with job-unique part names), aborting retryably
+    with the snapshot untouched."""
     import glob
     import shutil
 
@@ -719,7 +738,7 @@ def test_single_pass_delete_aborts_on_replaced_file(spark, tmp_path):
     from unittest import mock
 
     with mock.patch.object(T, "_WriterLock", RacyLock):
-        with pytest.raises(IOError, match="replaced while this delete"):
+        with pytest.raises(IOError, match="committed while this delete"):
             delete_where_dv(spark, path, "k in (2, 4)", pb)
     assert not has_live_deletes(spark, path)
     assert not [
@@ -733,3 +752,195 @@ def test_single_pass_delete_aborts_on_replaced_file(spark, tmp_path):
     assert _ids(read_table(spark, path)) == [
         k for k in range(20) if k not in (2, 4)
     ]
+
+
+def test_single_pass_delete_aborts_on_new_partition_commit(spark, tmp_path):
+    """r16 (ADVICE r15 high #1): a concurrent commit that ADDS
+    predicate-matching rows in a partition dir the staged tombstones
+    reference NO files in (here: a brand-new dir) must abort — the old
+    per-referenced-file existence check could not see it, so the delete
+    would publish stale counts while the new matching rows survive.
+    The whole-table data-file fingerprint catches any such commit."""
+    import glob
+    import shutil
+    from unittest import mock
+
+    from config_driven_pyspark_spark.operators import table as T
+
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    real_lock = T._WriterLock
+    state = {"fired": False}
+
+    class RacyLock(real_lock):
+        def __enter__(self):
+            out = super().__enter__()
+            if not state["fired"]:
+                state["fired"] = True
+                # simulate a concurrent commit creating partition p=2
+                # (valid parquet — a copied data file; the partition
+                # value comes from the dir name)
+                src = glob.glob(f"{path}/p=0/part-*")[0]
+                os.makedirs(f"{path}/p=2")
+                shutil.copy(src, f"{path}/p=2/{os.path.basename(src)}")
+            return out
+
+    with mock.patch.object(T, "_WriterLock", RacyLock):
+        with pytest.raises(IOError, match="committed while this delete"):
+            delete_where_dv(spark, path, "k in (2, 4)", pb)
+    assert not has_live_deletes(spark, path)
+    assert not [
+        d for d in os.listdir(_dv_root(path)) if d.startswith("staging-")
+    ]
+    # the re-run sees the racer's rows and tombstones ALL matches —
+    # including any copies now living in p=2 (the copied part file
+    # holds whatever slice of p=0 the seed write put in it)
+    pre_ids = _ids(spark.read.parquet(path))
+    stats = delete_where_dv(spark, path, "k in (2, 4)", pb)
+    assert stats["n_matched"] == sum(1 for k in pre_ids if k in (2, 4))
+    assert stats["n_matched"] >= 2
+    assert _ids(read_table(spark, path)) == [
+        k for k in pre_ids if k not in (2, 4)
+    ]
+
+
+def test_single_pass_delete_restages_under_lock_above_cap(
+    spark, tmp_path, monkeypatch
+):
+    """r16 (ADVICE r15 high #2): above the fingerprint file cap the
+    delete RE-STAGES its tombstones under the lock, so a
+    count-preserving rewrite in the window (same matched count, new
+    job-unique names — the case the old count-only re-probe passed)
+    can never publish tombstones against dead file names: the
+    published vector is computed from the locked live state and the
+    rows are really gone."""
+    import glob
+    import shutil
+    from unittest import mock
+
+    from config_driven_pyspark_spark.operators import deletes as D
+    from config_driven_pyspark_spark.operators import table as T
+
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    monkeypatch.setattr(D, "_DV_FILE_CAP", 0)  # force the fallback
+    real_lock = T._WriterLock
+    state = {"fired": False}
+
+    class RacyLock(real_lock):
+        def __enter__(self):
+            out = super().__enter__()
+            if not state["fired"]:
+                state["fired"] = True
+                # count-preserving rewrite: every p=0 file re-named
+                # (rows identical — exactly what a compaction or an
+                # unrelated-column update produces)
+                for f in glob.glob(f"{path}/p=0/part-*"):
+                    shutil.move(
+                        f, f"{os.path.dirname(f)}/swapped-"
+                        f"{os.path.basename(f)[5:]}"
+                    )
+            return out
+
+    with mock.patch.object(T, "_WriterLock", RacyLock):
+        stats = delete_where_dv(spark, path, "k in (2, 4)", pb)
+    assert stats["n_matched"] == 2 and stats["n_after"] == 18
+    # the vector references the LIVE (renamed) files: the rows are
+    # logically gone, not silently surviving against dead names
+    assert _ids(read_table(spark, path)) == [
+        k for k in range(20) if k not in (2, 4)
+    ]
+    assert spark.read.parquet(path).count() == 20  # still no rewrite
+
+
+# ---------------------------------------------------------------------------
+# r16 merge fold (VERDICT r15 #1): pending vectors absorb into the
+# merge's OWN rewrite — no separate materialize_deletes pass
+# ---------------------------------------------------------------------------
+
+
+def test_merge_folds_pending_vectors_versioned_scoped(spark, tmp_path):
+    """A merge over pending vectors absorbs them in its own swap: no
+    separate dv_materialize version, vectors archived re-tagged with
+    the MERGE's version, time travel below it still applies them, and
+    CDF across the merge reports only the merge's own changes."""
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    enable_table_history(spark, path, pb)
+    delete_where_dv(spark, path, "k in (2, 4)", pb)     # v1
+    batch = spark.createDataFrame(
+        [(3, 1, 999), (100, 0, 1000)], "k long, p int, v long"
+    )
+    stats = merge_upsert(batch, path, ["k"], partition_by=pb)  # v2
+    assert stats["rewrite"] == "partition", stats
+    assert stats["n_before"] == 18  # logical count, post-DV
+    # ONE version for the merge — no interposed materialize commit
+    assert table_current_version(spark, path) == 2
+    assert not has_live_deletes(spark, path)
+    # the fold's rewrite physically absorbed the tombstones
+    assert _ids(spark.read.parquet(path)) == sorted(
+        [k for k in range(20) if k not in (2, 4)] + [100]
+    )
+    # time travel: v0 pre-delete; v1 applies the ARCHIVED vectors
+    assert _ids(read_table_version(spark, path, 0)) == list(range(20))
+    assert _ids(read_table_version(spark, path, 1)) == [
+        k for k in range(20) if k not in (2, 4)
+    ]
+    # CDF across the merge: only the merge's own changes — the
+    # absorbed tombstones are invisible (they committed at v1)
+    chg = table_changes(spark, path, 1, 2, keys=["k"])
+    types = {
+        (r["k"], r["_change_type"])
+        for r in chg.select("k", "_change_type").collect()
+    }
+    assert (100, "insert") in types
+    assert (3, "update_postimage") in types
+    assert not any(k in (2, 4) for k, _t in types)
+    # and the v0 -> v1 diff still reports the deletes
+    d01 = table_changes(spark, path, 0, 1, keys=["k"])
+    assert sorted(
+        r["k"] for r in d01.filter("_change_type = 'delete'").collect()
+    ) == [2, 4]
+
+
+def test_merge_folds_pending_vectors_versioned_full(spark, tmp_path):
+    """Unpartitioned + versioned: the merge's FULL swap carries
+    `_deletes` into the retained dir; archival from there (flagged
+    dv_absorbed in the manifest) keeps old versions reading through
+    the vectors."""
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=20, partition_by=False)
+    enable_table_history(spark, path, None)
+    delete_where_dv(spark, path, "k < 5", None)   # v1
+    batch = spark.createDataFrame(
+        [(100, 0, 1000)], "k long, p int, v long"
+    )
+    merge_upsert(batch, path, ["k"])              # v2, full swap
+    assert table_current_version(spark, path) == 2
+    assert not has_live_deletes(spark, path)
+    assert _ids(read_table_version(spark, path, 0)) == list(range(20))
+    assert _ids(read_table_version(spark, path, 1)) == list(range(5, 20))
+    assert _ids(spark.read.parquet(path)) == list(range(5, 20)) + [100]
+
+
+def test_merge_fold_skips_separate_materialize_pass(spark, tmp_path):
+    """The fold's whole point: materialize_deletes is NOT invoked by a
+    merge over pending vectors — the absorb happens inside the merge's
+    own staged write."""
+    from unittest import mock
+
+    from config_driven_pyspark_spark.operators import deletes as D
+    from config_driven_pyspark_spark.operators import table as T
+
+    path = str(tmp_path / "t")
+    pb = _mk(spark, path, n=20, parts=2)
+    delete_where_dv(spark, path, "k in (2, 4)", pb)
+    batch = spark.createDataFrame([(3, 1, 999)], "k long, p int, v long")
+    with mock.patch.object(
+        D, "materialize_deletes",
+        side_effect=AssertionError("fold must not materialize"),
+    ):
+        merge_upsert(batch, path, ["k"], partition_by=pb)
+    assert not has_live_deletes(spark, path)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert 2 not in got and 4 not in got and got[3] == 999

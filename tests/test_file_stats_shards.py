@@ -134,3 +134,36 @@ def test_mismatched_key_shard_reads_as_unknown(spark, tmp_path):
         os.remove(crc)
     entries = T._read_file_stats_shards(spark, base, ["p=0", "p=1"], ["k"])
     assert all(rel.startswith("p=1/") for rel in entries)
+
+
+def test_file_stats_collect_cap_leaves_no_sidecar(spark, tmp_path, monkeypatch):
+    """r16 (VERDICT r15 #7): above _FILE_STATS_MAX_FILES the per-file
+    stats collect returns None and every maintenance site leaves NO
+    sidecar behind (absent stats probe everything; a stale or partial
+    sidecar could lose rows). Cap patched to 0 so any real snapshot
+    exceeds it; the merges stay correct without stats."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(T, "_FILE_STATS_MAX_FILES", 0)
+    base = str(tmp_path / "t")
+    seed = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    # bootstrap (sidecar-able: partition col not a key) must skip both docs
+    T.merge_upsert(seed, base, ["k"], partition_by=["p"])
+    assert T._read_key_stats(spark, base) is None
+    assert T._read_file_stats_meta(spark, base) is None
+    # a follow-up scoped merge still works (probe-everything path) and
+    # still leaves no stats
+    batch = spark.createDataFrame([(3, 1, 999)], "k long, p int, v long")
+    stats = T.merge_upsert(batch, base, ["k"], partition_by=["p"])
+    assert stats["n_updated"] == 1
+    got = {r["k"]: r["v"] for r in spark.read.parquet(base).collect()}
+    assert got[3] == 999 and len(got) == 40
+    assert T._read_key_stats(spark, base) is None
+    assert T._read_file_stats_meta(spark, base) is None
+    # and the direct collect reports the overflow as None
+    snap = spark.read.parquet(base)
+    assert T._collect_file_key_stats(spark, base, snap.schema, ["k"]) is None

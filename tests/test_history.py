@@ -837,3 +837,41 @@ def test_table_changes_per_version(spark, tmp_path):
         (0, "update_postimage"), (0, "update_preimage"),
         (700, "insert"),
     ]
+
+
+def test_keyless_diff_chunked_expansion(spark, tmp_path, monkeypatch):
+    """r16 (ADVICE r15): the keyless multiset diff explodes a row's net
+    multiplicity in bounded CHUNKs — a heavily duplicated row (bulk
+    delete of identical rows) must not materialize one array ∝ its
+    duplicate count. Patch the chunk tiny so the multi-chunk path runs
+    on real data, and pin the exact multiset either side of it."""
+    from config_driven_pyspark_spark.operators import history as H2
+    from config_driven_pyspark_spark.operators.history import table_changes
+
+    monkeypatch.setattr(H2, "_KEYLESS_CDF_CHUNK", 7)
+    tgt = str(tmp_path / "t")
+    # 100 identical rows + 3 identical others
+    df = spark.range(103).selectExpr(
+        "CASE WHEN id < 100 THEN 1 ELSE 2 END AS k",
+        "'x' AS status",
+        "0.5 AS val",
+    )
+    df.write.mode("overwrite").partitionBy("status").parquet(tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    # bulk delete of the duplicated slice: net multiplicity -100 for
+    # the k=1 row value (14+ chunks at CHUNK=7), -3 for k=2
+    delete_where(spark, tgt, "k = 1", partition_by=["status"])
+    ch = table_changes(spark, tgt, 0, 1)
+    got = [(r.k, r._change_type) for r in ch.collect()]
+    assert sorted(got) == [(1, "delete")] * 100
+    # and a mixed insert/delete diff still balances exactly
+    merge_upsert(
+        spark.createDataFrame(
+            [(9, "x", 1.0)], "k bigint, status string, val double"
+        ),
+        tgt, ["k"], partition_by=["status"],
+    )
+    ch2 = table_changes(spark, tgt, 1, 2)
+    assert [(r.k, r._change_type) for r in ch2.collect()] == [
+        (9, "insert")
+    ]
