@@ -2659,13 +2659,22 @@ def span_dedup(
     )
     # per-position window fingerprints, built array-side: one 8-byte long
     # per position instead of an exploded row carrying the whole token
-    # array (explode-then-slice copies O(n) tokens per window row)
+    # array (explode-then-slice copies O(n) tokens per window row).
+    # xxhash64 over the sliced ARRAY directly (r16): hashing the slice
+    # structurally (length + elements) skips materializing a ~window×
+    # avg-token-length concat string per position — O(window·|text|)
+    # string building dropped from the hot loop; equal window contents
+    # still hash equal (and token-boundary info is now part of the
+    # hash, where concat_ws(" ") relied on tokens never containing
+    # spaces). The hash value itself is engine-internal: first-
+    # occurrence selection compares CONTENT-equal windows, which is
+    # what the oracle replays.
     keys = F.when(
         F.size("w") >= window,
         F.transform(
             F.sequence(F.lit(0), F.size("w") - window),
             lambda i: F.xxhash64(
-                F.concat_ws(" ", F.slice(F.col("w"), i.cast("int") + 1, window))
+                F.slice(F.col("w"), i.cast("int") + 1, window)
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))

@@ -54,19 +54,49 @@ def _spread(df: DataFrame) -> DataFrame:
     only triggers for small/few-file reads, where it's cheap.
 
     Deliberately avoids the RDD API (``df.rdd.getNumPartitions``): it is
-    unavailable under Spark Connect and forces a plan conversion. File
-    count via ``inputFiles()`` is a plan-metadata read that works on both
+    unavailable under Spark Connect and forces a plan conversion (under
+    AQE it would even EXECUTE the upstream shuffle stages). File count
+    via ``inputFiles()`` is a plan-metadata read that works on both
     classic and Connect sessions; streaming inputs (no file listing, no
     repartition-before-shuffle need) pass through untouched.
+
+    r16 (guide §2.4 — remove shuffles outright): ``inputFiles()`` sees
+    through persists and repartitions to the SOURCE files, so in a
+    chained pipeline every downstream operator used to re-pay a full
+    repartition of data that was already spread — measured 0.96 s vs
+    0.46 s for the bpe corpus pass over the persisted corpus at sf0.1,
+    once per operator in the e2e chains. Skip the repartition when the
+    frame is itself persisted, or its plan contains a persisted or
+    explicitly repartitioned intermediate: a cached plan's output keeps
+    the static shuffle partitioning (Spark leaves
+    ``canChangeCachedPlanOutputPartitioning`` off, so AQE never
+    coalesces it below ``spark.sql.shuffle.partitions``), and an
+    explicit repartition IS the spread. Shuffle markers that AQE can
+    coalesce to data-proportional counts (plain aggregates, joins,
+    windows) deliberately do NOT skip — at sf-small they coalesce to a
+    handful of partitions and the repartition is load-bearing for the
+    CPU-heavy expressions this guards.
     """
     if df.isStreaming:
         return df
+    try:
+        lvl = df.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            return df
+    except Exception:  # Connect: storageLevel RPC may be unavailable
+        pass
     try:
         n_files = len(df.inputFiles())
     except Exception:  # non-file-backed plans (createDataFrame, views)
         return df
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     if 0 < n_files < target:
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            if "InMemoryRelation" in plan or "Repartition" in plan:
+                return df
+        except Exception:  # Connect has no _jdf — keep the old behavior
+            pass
         return df.repartition(target)
     return df
 
