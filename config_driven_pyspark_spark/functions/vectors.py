@@ -17,13 +17,58 @@ def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ via ``zip_with`` + ``aggregate`` (left-to-right summation)."""
-    return F.aggregate(
-        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+# Above this many components the unrolled dot's expression tree stops
+# paying for itself (codegen method size, planning time); the HOF path
+# takes over. 256 covers every embedding dim the engine ships.
+_UNROLL_CAP = 256
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Σ aᵢ·bᵢ with left-to-right summation.
+
+    Default path: ``zip_with`` + ``aggregate``. Higher-order functions
+    are CodegenFallback in Spark 4 — every pair pays an interpreted
+    64-step fold plus a zipped-array allocation, which dominates
+    brute-force / bucket-pair scoring (measured 2.4× on 2M 64-dim
+    pairs, r16).
+
+    When the caller knows the vector width, ``dim`` switches to an
+    UNROLLED whole-stage-codegen sum ``((0.0 + a₁·b₁) + a₂·b₂) + …`` —
+    the exact IEEE summation order of the fold, so results are
+    bit-identical (pinned by tests/test_featurize.py). A size guard
+    keeps the HOF semantics for rows whose arrays are not ``dim`` wide
+    (NULL arrays short-circuit the guard to the HOF branch, which
+    returns NULL exactly like before).
+    """
+    ad, bd = as_double(a), as_double(b)
+    hof = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    if dim is None or not (0 < dim <= _UNROLL_CAP):
+        return hof
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim),
+        _unrolled_sum(a, b, dim),
+    ).otherwise(hof)
+
+
+def _unrolled_sum(a: Column, b: Column, dim: int) -> Column:
+    """``((0.0 + a₁·b₁) + a₂·b₂) + …`` — the fold's exact order, no size
+    guard (callers must guard; out-of-range ``element_at`` raises under
+    ANSI). Elements cast to double INDIVIDUALLY — value-identical to the
+    HOF path's whole-array cast (float→double widening is exact) without
+    re-materializing the cast array per component. Pass plain column
+    references, not expressions: ``element_at`` re-evaluates its child
+    per component."""
+    s: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        s = s + (
+            F.element_at(a, i).cast("double")
+            * F.element_at(b, i).cast("double")
+        )
+    return s
 
 
 def norm(a: Column) -> Column:
@@ -65,11 +110,24 @@ def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
     pure expression; equal buckets ⇒ likely-high cosine. Used to prune ANN
     candidate pairs from O(n²) to O(n·bucket_size) at scale.
     """
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(float(x)) for x in plane])) >= 0, 1).otherwise(0)
-        for plane in hyperplanes
-    ]
-    sig = F.lit(0).cast("bigint")
-    for bit in bits:
-        sig = sig * 2 + bit
-    return sig
+    vd = as_double(vec)
+
+    def _sig(mk_dot) -> Column:
+        sig = F.lit(0).cast("bigint")
+        for plane in hyperplanes:
+            arr = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(mk_dot(arr, plane) >= 0, 1).otherwise(0)
+            sig = sig * 2 + bit
+        return sig
+
+    hof_sig = _sig(lambda arr, plane: dot(vd, arr))
+    dims = {len(p) for p in hyperplanes}
+    d = dims.pop() if len(dims) == 1 else 0
+    if not (0 < d <= _UNROLL_CAP):
+        return hof_sig
+    # plane widths are literal, so ONE outer size guard covers every
+    # bit's unrolled dot (per-bit guards would re-evaluate `vec` when it
+    # is an expression rather than a column reference)
+    return F.when(
+        F.size(vec) == d, _sig(lambda arr, plane: _unrolled_sum(vec, arr, d))
+    ).otherwise(hof_sig)

@@ -2176,6 +2176,12 @@ def semantic_contamination_flags(
 
     bid = bench_id_col or id_col
     bvec = bench_vec_col or vec_col
+    from config_driven_pyspark_spark.operators.similarity import (
+        _dim_or_none,
+    )
+
+    # benchmark-side width probe → unrolled codegen scoring dot (r16)
+    vdim = _dim_or_none(benchmark, bvec)
     b = F.broadcast(
         benchmark.select(
             F.col(bid).alias("__bench_id"),
@@ -2192,7 +2198,9 @@ def semantic_contamination_flags(
         .select(
             id_col,
             "__bench_id",
-            F.round(V.dot(F.col("__cv"), F.col("__bv")), 6).alias("__cos"),
+            F.round(
+                V.dot(F.col("__cv"), F.col("__bv"), vdim), 6
+            ).alias("__cos"),
         )
         .filter(F.col("__cos") >= threshold)
     )

@@ -1412,6 +1412,10 @@ def semdedup(
         # Σ|cluster|² stays ~linear. ≈512 rows/cluster, floor 8.
         n_clusters = max(8, -(-df.count() // 512))
     assign = kmeans_clusters(df, id_col, vec_col, int(n_clusters), iters)
+    # vector width for the unrolled codegen dot (r16): the pair join
+    # below scores SUM(|cluster|^2) dots — the operator's hot loop
+    row0 = df.select(vec_col).first()
+    vdim = len(row0[0]) if row0 is not None and row0[0] is not None else None
     unit = _materialize(
         df.select(
             F.col(id_col).alias("id"),
@@ -1467,7 +1471,7 @@ def semdedup(
         a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            F.round(V.dot(F.col("ua"), F.col("ub")), 6) >= threshold
+            F.round(V.dot(F.col("ua"), F.col("ub"), vdim), 6) >= threshold
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()
@@ -1508,11 +1512,11 @@ def embedding_pairs(
     base = _materialize(
         df.select(F.col(id_col).alias("id"), V.unit_normalize(F.col(vec_col)).alias("v"))
     )
+    if dim is None:
+        row = df.select(vec_col).first()
+        # empty input: any plane set works — the join below yields no rows
+        dim = len(row[0]) if row is not None and row[0] is not None else 1
     if lsh_bits > 0:
-        if dim is None:
-            row = df.select(vec_col).first()
-            # empty input: any plane set works — the join below yields no rows
-            dim = len(row[0]) if row is not None and row[0] is not None else 1
         planes = srp_planes(dim, lsh_bits, seed)
         base = base.withColumn("bucket", V.hyperplane_signature(F.col("v"), planes))
         joined = base.alias("x").join(base.alias("y"), on=["bucket"])
@@ -1523,7 +1527,9 @@ def embedding_pairs(
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.round(V.dot(F.col("x.v"), F.col("y.v")), 6).alias("cosine"),
+            F.round(
+                V.dot(F.col("x.v"), F.col("y.v"), dim), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

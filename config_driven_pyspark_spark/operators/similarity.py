@@ -34,6 +34,21 @@ from config_driven_pyspark_spark.functions import vectors as V
 from config_driven_pyspark_spark.operators.dedup import _materialize, _spread
 
 
+def _dim_or_none(df: DataFrame, vec_col: str) -> int | None:
+    """First non-null vector's width, or None — one bounded ``take(1)``
+    job at plan-build time against the SMALL side of a scoring join.
+    Unlocks the unrolled whole-stage-codegen dot
+    (functions/vectors.py::dot ``dim=``, r16); a failed/empty probe just
+    keeps the interpreted HOF path, so this can never change results."""
+    try:
+        row = (
+            df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        )
+        return len(row[0]) if row is not None and row[0] is not None else None
+    except Exception:
+        return None
+
+
 def _topk_by(scored: DataFrame, k: int, score_col: str) -> DataFrame:
     """Shared per-query top-k tail: rank by (score desc, neighbor_id asc —
     the deterministic tie-break every oracle replicates) and keep k.
@@ -77,13 +92,16 @@ def _rerank_exact(
         F.col(id_col).alias("query_id"),
         V.unit_normalize(F.col(vec_col)).alias("qv"),
     )
+    dim = _dim_or_none(queries, vec_col)
     exact = (
         pool.join(truev, "neighbor_id")
         .join(F.broadcast(qv) if broadcast_queries else qv, "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(V.dot(F.col("qv"), F.col("cv"), dim), 6).alias(
+                "cosine"
+            ),
         )
     )
     return _topk_by(exact, k, "cosine")
@@ -126,6 +144,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), V.unit_normalize(F.col(vec_col)).alias("qv")
     )
+    # probe the (small) query side's vector width once: the per-pair dot
+    # then runs unrolled inside whole-stage codegen (r16, guide §1.2
+    # per-task work) instead of the interpreted HOF fold
+    dim = _dim_or_none(queries, vec_col)
     if broadcast_queries:
         q = F.broadcast(q)
     scored = (
@@ -134,7 +156,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(V.dot(F.col("qv"), F.col("cv"), dim), 6).alias(
+                "cosine"
+            ),
         )
     )
     return _topk_by(scored, k, "cosine")
@@ -179,11 +203,17 @@ def srp_lsh_topk(
     planes = srp_planes(dim, bits, seed)
 
     def prep(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        v = V.unit_normalize(F.col(vec_col))
+        # bind the normalized vector FIRST: the signature's per-plane
+        # dots then reference a plain column (one normalize per row,
+        # not one per plane — and the r16 unrolled dot's element_at
+        # needs a cheap child)
         return df.select(
             F.col(id_col).alias(out_id),
-            v.alias(out_vec),
-            V.hyperplane_signature(v, planes).alias("bucket"),
+            V.unit_normalize(F.col(vec_col)).alias(out_vec),
+        ).select(
+            out_id,
+            out_vec,
+            V.hyperplane_signature(F.col(out_vec), planes).alias("bucket"),
         )
 
     # spread the corpus: signature + scoring work shouldn't run on the
@@ -211,7 +241,10 @@ def srp_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            # dim is known here (probed/passed above) — unrolled dot
+            F.round(V.dot(F.col("qv"), F.col("cv"), dim), 6).alias(
+                "cosine"
+            ),
         )
     )
     return _topk_by(scored, k, "cosine")
@@ -722,24 +755,30 @@ def ivf_topk(
             _nearest_cells_udf(centroids, nprobe)(F.col(vec_col))
         ).alias("cell"),
     )
-    return _score_probed_cells(c, q, k, broadcast_queries)
+    return _score_probed_cells(
+        c, q, k, broadcast_queries, dim=int(centroids.shape[1])
+    )
 
 
 def _score_probed_cells(
     c: DataFrame, q: DataFrame, k: int, broadcast_queries: bool,
-    score_col: str = "cosine",
+    score_col: str = "cosine", dim: int | None = None,
 ) -> DataFrame:
     """Shared IVF tail: cell equi-join → cosine → per-query top-k.
     ``c`` is (neighbor_id, cv vector, cell) — a unit vector (exact) or a
     PQ reconstruction (``score_col="approx_cosine"``); ``q`` is
-    (query_id, qv unit vector, cell) with one row per probed cell."""
+    (query_id, qv unit vector, cell) with one row per probed cell.
+    ``dim`` (the centroid/codebook width the caller already holds)
+    unrolls the scoring dot into codegen (r16)."""
     scored = (
         c.join(F.broadcast(q) if broadcast_queries else q, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias(score_col),
+            F.round(V.dot(F.col("qv"), F.col("cv"), dim), 6).alias(
+                score_col
+            ),
         )
     )
     return _topk_by(scored, k, score_col)
@@ -1056,6 +1095,7 @@ def ncm_classify(
     and a |corpus|·|labels| map-side scoring with a per-vector
     row_number.  Nothing corpus-sized shuffles beyond the one
     aggregate."""
+    dim = _dim_or_none(df, vec_col)
     unit = _spread(df).select(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("label"),
@@ -1087,7 +1127,7 @@ def ncm_classify(
         "id",
         "label",
         "pred",
-        F.round(V.dot(F.col("u"), F.col("cn")), 6).alias("cosine"),
+        F.round(V.dot(F.col("u"), F.col("cn"), dim), 6).alias("cosine"),
     )
     best = scored.withColumn(
         "__rn",
@@ -1260,6 +1300,7 @@ def mmr_rerank(
         raise ValueError("k must be >= 1")
     if not (0.0 <= lam <= 1.0):
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    dim = _dim_or_none(queries, vec_col)
     cu = corpus.select(
         F.col(id_col).alias(cand_col),
         V.unit_normalize(F.col(vec_col)).alias("__cu"),
@@ -1275,7 +1316,9 @@ def mmr_rerank(
         .select(
             query_col,
             cand_col,
-            F.round(V.dot(F.col("__qu"), F.col("__cu")), 6).alias("__rel"),
+            F.round(
+                V.dot(F.col("__qu"), F.col("__cu"), dim), 6
+            ).alias("__rel"),
             "__cu",
         )
     )
@@ -1667,7 +1710,8 @@ def ivf_query_index(
             ).alias("cv"),
         )
         return _tail(_score_probed_cells(
-            c, q, pool_k, broadcast_queries, score_col="approx_cosine"
+            c, q, pool_k, broadcast_queries, score_col="approx_cosine",
+            dim=int(cent.shape[1]),
         ))
     if manifest.get("pq_m"):
         import numpy as np
@@ -1689,9 +1733,12 @@ def ivf_query_index(
         )
         c = c.select("neighbor_id", "cell", _pq_recon_col(cb).alias("cv"))
         return _tail(_score_probed_cells(
-            c, q, pool_k, broadcast_queries, score_col="approx_cosine"
+            c, q, pool_k, broadcast_queries, score_col="approx_cosine",
+            dim=int(cent.shape[1]),
         ))
-    return _tail(_score_probed_cells(c, q, pool_k, broadcast_queries))
+    return _tail(_score_probed_cells(
+        c, q, pool_k, broadcast_queries, dim=int(cent.shape[1])
+    ))
 
 
 def pq_train_codebooks(
@@ -1895,7 +1942,13 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("approx_cosine"),
+            F.round(
+                V.dot(
+                    F.col("qv"), F.col("cv"),
+                    int(cb.shape[0] * cb.shape[2]),
+                ),
+                6,
+            ).alias("approx_cosine"),
         )
     )
     approx = _topk_by(scored, rerank or k, "approx_cosine")
@@ -1971,7 +2024,13 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("approx_cosine"),
+            F.round(
+                V.dot(
+                    F.col("qv"), F.col("cv"),
+                    int(cb.shape[0] * cb.shape[2]),
+                ),
+                6,
+            ).alias("approx_cosine"),
         )
     )
     approx = _topk_by(scored, rerank or k, "approx_cosine")
@@ -2202,11 +2261,21 @@ def project_embeddings(
     from config_driven_pyspark_spark.operators.dedup import srp_planes
 
     planes = srp_planes(dim, out_dim, seed)
+    # bind the projected vector to a REAL column first: the unrolled
+    # per-plane dots then index a plain attribute (element_at would
+    # otherwise re-evaluate a normalize EXPRESSION per component, r16)
     v = V.unit_normalize(F.col(vec_col)) if normalize else F.col(vec_col)
     proj = F.array(
-        *[V.dot(v, F.array(*[F.lit(x) for x in p])) for p in planes]
+        *[
+            V.dot(F.col("__pj_v"), F.array(*[F.lit(x) for x in p]), dim)
+            for p in planes
+        ]
     )
-    return df.withColumn("proj", proj)
+    return (
+        df.withColumn("__pj_v", v)
+        .withColumn("proj", proj)
+        .drop("__pj_v")
+    )
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
@@ -2379,10 +2448,11 @@ def pca_project(
             f"model has {len(comps)} components, out_dim={out_dim}"
         )
     offs = [sum(m * c for m, c in zip(mean, comp)) for comp in comps]
-    v = V.as_double(F.col(vec_col))
+    v = F.col(vec_col)
     proj = F.array(
         *[
-            V.dot(v, F.array(*[F.lit(x) for x in comp])) - F.lit(off)
+            V.dot(v, F.array(*[F.lit(x) for x in comp]), len(comp))
+            - F.lit(off)
             for comp, off in zip(comps, offs)
         ]
     )

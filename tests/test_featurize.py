@@ -90,3 +90,82 @@ def test_stage_wiring_and_errors(spark, documents):
     assert out.count() == documents.count()
     with pytest.raises(ValueError, match="dim"):
         hash_embed(documents, dim=0)
+
+
+def test_unrolled_dot_bit_identical_to_hof(spark):
+    """r16: ``V.dot(..., dim=)`` unrolls into whole-stage codegen — the
+    result must be BIT-identical to the interpreted HOF fold on every
+    shape: equal widths, mismatched widths (guard falls back), NULL
+    elements, NULL arrays, float storage, and a width over the unroll
+    cap (silently ignores dim)."""
+    from config_driven_pyspark_spark.functions import vectors as V
+
+    rows = [
+        (1, [0.1, 0.2, 0.3], [1.5, -2.5, 0.25]),          # plain
+        (2, [1e300, -1e300, 1.0], [1.0, 1.0, 1e-300]),    # extreme
+        (3, [0.1, 0.2], [1.0, 2.0, 3.0]),                 # width mismatch
+        (4, [0.1, None, 0.3], [1.0, 2.0, 3.0]),           # NULL element
+        (5, None, [1.0, 2.0, 3.0]),                       # NULL array
+        (6, [1 / 3, 2 / 3, 2 / 7], [1 / 7, 5 / 3, -9.0]), # non-terminating
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = df.select(
+        "id",
+        V.dot(F.col("a"), F.col("b")).alias("hof"),
+        V.dot(F.col("a"), F.col("b"), 3).alias("unrolled"),
+        V.dot(F.col("a"), F.col("b"), 10_000).alias("overcap"),
+    ).collect()
+    for r in out:
+        assert r["hof"] == r["unrolled"] or (
+            r["hof"] is None and r["unrolled"] is None
+        ), r
+        assert r["hof"] == r["overcap"] or (
+            r["hof"] is None and r["overcap"] is None
+        ), r
+    # float32 storage: elementwise cast must equal whole-array cast
+    f32 = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.7], [0.9, -0.4, 0.3])],
+        "id long, a array<float>, b array<float>",
+    ).select(
+        V.dot(F.col("a"), F.col("b")).alias("hof"),
+        V.dot(F.col("a"), F.col("b"), 3).alias("unrolled"),
+    ).collect()[0]
+    assert f32["hof"] == f32["unrolled"]
+
+
+def test_unrolled_signature_bit_identical_to_hof(spark):
+    """r16: the single-guard unrolled hyperplane signature must equal the
+    HOF signature on matching, mismatched, and NULL vectors."""
+    from config_driven_pyspark_spark.functions import vectors as V
+
+    planes = [[1.0, -0.5, 0.25], [-2.0, 0.0, 1.0], [0.5, 0.5, 0.5]]
+    bad_planes = planes + [[1.0, 2.0]]  # ragged → HOF path only
+    rows = [
+        (1, [0.3, -0.2, 0.9]),
+        (2, [0.3, -0.2]),      # width mismatch → guard falls back
+        (3, None),             # NULL vector → all bits 0, sig 0
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = df.select(
+        "id",
+        V.hyperplane_signature(F.col("v"), planes).alias("sig"),
+        V.hyperplane_signature(F.col("v"), bad_planes).alias("rag"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+
+    def py_sig(vec, ps):
+        sig = 0
+        for p in ps:
+            if vec is None or len(vec) != len(p):
+                bit = 0  # zip_with pads with NULL → NULL dot → bit 0
+            else:
+                s = 0.0
+                for x, y in zip(vec, p):
+                    s += x * y
+                bit = 1 if s >= 0 else 0
+            sig = sig * 2 + bit
+        return sig
+
+    for rid, vec in [(1, rows[0][1]), (2, rows[1][1]), (3, None)]:
+        assert by_id[rid]["sig"] == py_sig(vec, planes), rid
+        assert by_id[rid]["rag"] == py_sig(vec, bad_planes), rid
