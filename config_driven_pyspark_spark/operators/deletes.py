@@ -61,6 +61,7 @@ the bounded partition-value probe shared with ``delete_where``
 
 from __future__ import annotations
 
+import json
 import re
 import uuid
 
@@ -85,22 +86,38 @@ def _list_dv(spark: SparkSession, root: str) -> list[dict]:
     """Parsed deletion-vector entries under ``root`` (a ``_deletes`` or
     archive dir): ``{name, version, nseg, mat}``. Unparseable names are
     ignored (never silently applied)."""
-    from config_driven_pyspark_spark.operators.table import _fs
+    from config_driven_pyspark_spark.operators.table import (
+        _fs,
+        _local_path,
+    )
 
     jvm, fs = _fs(spark, root)
-    Path = jvm.org.apache.hadoop.fs.Path
-    p = Path(root)
-    if not fs.exists(p):
-        return []
+    lp = _local_path(fs, root)
+    if lp is not None:  # local fast path (r16): one scandir, no py4j
+        import os as _os
+
+        try:
+            with _os.scandir(lp) as it:
+                names = [e.name for e in it if e.is_dir()]
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+    else:
+        Path = jvm.org.apache.hadoop.fs.Path
+        p = Path(root)
+        if not fs.exists(p):
+            return []
+        names = [
+            st.getPath().getName()
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+        ]
     out = []
-    for st in fs.listStatus(p):
-        if not st.isDirectory():
-            continue
-        m = _DV_RE.match(st.getPath().getName())
+    for name in names:
+        m = _DV_RE.match(name)
         if not m:
             continue
         out.append({
-            "name": st.getPath().getName(),
+            "name": name,
             "version": int(m.group(1)),
             "nseg": int(m.group(2)),
             "mat": int(m.group(3)) if m.group(3) else None,
@@ -451,12 +468,17 @@ def _dv_delete_core(
             "file names are only unique within a directory)"
         )
 
+    tbl_schema: list = []  # table schema seen by the LAST scan (r16:
+    # recorded in the version manifest so historical reads skip
+    # schema inference; the authoritative pass's view wins)
+
     def keyed_live() -> DataFrame:
         """The live logical state with each row's (rel_path, row_index)
         identity MATERIALIZED as ordinary columns — computed on the raw
         scan, because ``_metadata`` stops resolving once the DV anti
         join (itself a file scan on the right) enters the plan."""
         scan = spark.read.parquet(base)
+        tbl_schema[:] = [scan.schema]
         keyed = scan.select(
             "*",
             _rel_expr(nseg).alias("__dv_rel"),
@@ -636,6 +658,12 @@ def _dv_delete_core(
                 spark, base, retain, None, op="delete", mode="dv",
                 replaced=[], created=[], rows_staged=n_matched,
                 dv_dirs=sorted(dirs) if dirs is not None else None,
+                schema_json=(
+                    json.dumps(
+                        _hist._nullable_schema(tbl_schema[0]).jsonValue()
+                    )
+                    if tbl_schema else None
+                ),
             )
     return {
         "n_before": n_before,

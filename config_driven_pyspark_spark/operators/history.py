@@ -79,6 +79,15 @@ def _hist_root(base: str) -> str:
 
 
 def _read_small(jvm, fs, path_str: str) -> bytes | None:
+    from config_driven_pyspark_spark.operators.table import _local_path
+
+    lp = _local_path(fs, path_str)
+    if lp is not None:  # local fast path (r16): 1 syscall vs 4 py4j RPCs
+        try:
+            with open(lp, "rb") as fh:
+                return fh.read()
+        except (FileNotFoundError, IsADirectoryError, NotADirectoryError):
+            return None
     p = jvm.org.apache.hadoop.fs.Path(path_str)
     if not fs.exists(p):
         return None
@@ -100,8 +109,27 @@ def _read_small(jvm, fs, path_str: str) -> bytes | None:
 
 
 def _write_small(jvm, fs, path_str: str, data: bytes) -> None:
-    """tmp-write + rename: readers see the old file or the new one,
-    never a torn write."""
+    """tmp-write + atomic replace: readers see the old file or the new
+    one, never a torn write. Local fast path mirrors
+    ``table._small_write`` (os.replace + stale-``.crc`` hygiene)."""
+    import os as _os
+
+    from config_driven_pyspark_spark.operators.table import _local_path
+
+    lp = _local_path(fs, path_str)
+    if lp is not None:
+        d, name = _os.path.split(lp)
+        _os.makedirs(d or "/", exist_ok=True)
+        tmp = f"{lp}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        for side in (f"{d}/.{name}.crc", f"{d}/.{name}.tmp.crc"):
+            try:
+                _os.remove(side)
+            except OSError:
+                pass
+        _os.replace(tmp, lp)
+        return
     Path = jvm.org.apache.hadoop.fs.Path
     final = Path(path_str)
     tmp = Path(path_str + ".tmp")
@@ -120,21 +148,39 @@ def _scan_entries(jvm, fs, hist: str) -> tuple[dict[int, dict], set[int]]:
     complete entries + the set of INCOMPLETE version numbers (a
     ``.pending`` marker or a version dir without a manifest — crash
     debris whose pre-state may be partial or lost)."""
-    Path = jvm.org.apache.hadoop.fs.Path
-    hist_p = Path(hist)
+    from config_driven_pyspark_spark.operators.table import _local_path
+
     complete: dict[int, dict] = {}
     dirs: set[int] = set()
     pending: set[int] = set()
-    if not fs.exists(hist_p):
-        return complete, set()
-    for st in fs.listStatus(hist_p):
-        m = _V_RE.match(st.getPath().getName())
+    lp = _local_path(fs, hist)
+    if lp is not None:
+        # local fast path (r16): one scandir replaces listStatus plus
+        # 2-3 py4j attribute RPCs per entry
+        import os as _os
+
+        try:
+            with _os.scandir(lp) as it:
+                entries = [(e.name, e.is_dir()) for e in it]
+        except (FileNotFoundError, NotADirectoryError):
+            return complete, set()
+    else:
+        Path = jvm.org.apache.hadoop.fs.Path
+        hist_p = Path(hist)
+        if not fs.exists(hist_p):
+            return complete, set()
+        entries = [
+            (st.getPath().getName(), st.isDirectory())
+            for st in fs.listStatus(hist_p)
+        ]
+    for name, is_dir in entries:
+        m = _V_RE.match(name)
         if not m:
             continue
         n = int(m.group(1))
         if m.group(2):
             pending.add(n)
-        elif st.isDirectory():
+        elif is_dir:
             dirs.add(n)
     for n in dirs:
         raw = _read_small(jvm, fs, f"{hist}/v{n}/{_MANIFEST_FILE}")
@@ -281,6 +327,57 @@ def abort_retention(spark: SparkSession, base: str, version: int) -> None:
     )
 
 
+def _nullable_schema(dt):
+    """Recursively relax nullability — a manifest-recorded schema is
+    applied to files written by MANY swaps whose staged nullability may
+    have differed; reading a null-bearing file through a non-nullable
+    user schema is the classic silent-wrong-results trap, while
+    nullable-everywhere merely matches what parquet inference reports."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType([
+            StructField(f.name, _nullable_schema(f.dataType), True,
+                        f.metadata)
+            for f in dt.fields
+        ])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable_schema(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _nullable_schema(dt.keyType), _nullable_schema(dt.valueType),
+            True,
+        )
+    return dt
+
+
+def _manifest_schema(complete: dict[int, dict], version: int):
+    """The table schema AS OF ``version``, reconstructed from recorded
+    manifests (r16): version v's schema is the schema staged by the
+    swap that created v (schema changes always force FULL rewrites, so
+    every live file at v conforms); mode-``dv`` commits touch no data
+    files and inherit v-1's. Returns None — callers fall back to
+    parquet inference — when the chain reaches a manifest without a
+    recorded schema (pre-r16 entry) or a vacuumed version."""
+    from pyspark.sql.types import StructType
+
+    v = version
+    while v > 0:
+        man = complete.get(v)
+        if man is None:
+            return None
+        js = man.get("schema")
+        if js:
+            try:
+                return StructType.fromJson(json.loads(js))
+            except Exception:  # unparseable → behave like an old entry
+                return None
+        if man.get("mode") != "dv":
+            return None
+        v -= 1
+    return None
+
+
 def commit_retention(
     spark: SparkSession,
     base: str,
@@ -294,6 +391,7 @@ def commit_retention(
     rows_staged: int,
     dv_dirs: list[str] | None = None,
     dv_absorbed: list[str] | None = None,
+    schema_json: str | None = None,
 ) -> None:
     """Called by the swap where it would otherwise DELETE its backup:
     rename the backup into ``__history/v<N>`` (no backup — a pure-
@@ -342,6 +440,11 @@ def commit_retention(
         # the archive rename leaves them inside the retained version
         # dir — _applicable_dv self-heals from this flag
         manifest["dv_absorbed"] = sorted(dv_absorbed)
+    if schema_json is not None:
+        # the STAGED schema = the table schema at this version (r16):
+        # read_table_version / table_changes read historical roots with
+        # it instead of paying a parquet schema-inference pass per root
+        manifest["schema"] = schema_json
     _write_small(
         jvm, fs, f"{hist}/v{version}/{_MANIFEST_FILE}",
         json.dumps(manifest).encode(),
@@ -600,7 +703,19 @@ def read_table_version(
     dv = _applicable_dv(spark, base, version, manifests=complete)
     frames: list[DataFrame] = []
     for root, dirs in sources:
+        # recorded-manifest schema (r16): the live base holds the
+        # CURRENT version's files; root __history/v<n> holds the
+        # pre-state of swap n, i.e. version n-1's files. A miss (old
+        # manifest, vacuumed chain) falls back to parquet inference.
+        if root == base:
+            sch = _manifest_schema(complete, current)
+        else:
+            sch = _manifest_schema(
+                complete, int(root.rsplit("/v", 1)[1]) - 1
+            )
         reader = spark.read.option("basePath", root)
+        if sch is not None:
+            reader = reader.schema(sch)
         if dirs:
             frame = reader.parquet(*[f"{root}/{d}" for d in dirs])
         else:
@@ -611,7 +726,9 @@ def read_table_version(
     if not frames:
         # every partition dir was created after `version` — the table
         # was empty; shape the empty frame like the live snapshot
-        return spark.read.parquet(base).limit(0)
+        sch = _manifest_schema(complete, current)
+        reader = spark.read.schema(sch) if sch is not None else spark.read
+        return reader.parquet(base).limit(0)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)

@@ -530,12 +530,20 @@ def _cached_meta(spark: SparkSession, path: str, loader):
 
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
-    """True iff ``path`` exists, via the Hadoop FileSystem API — works for
-    any Spark-readable scheme (local, HDFS, s3a...), unlike os.path."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+    """True iff ``path`` exists — any Spark-readable scheme (local,
+    HDFS, s3a...); local paths short-circuit to one os.stat (r16)."""
+    import os as _os
+
+    from config_driven_pyspark_spark.operators.table import (
+        _fs,
+        _local_path,
+    )
+
+    jvm, fs = _fs(spark, path)
+    lp = _local_path(fs, path)
+    if lp is not None:
+        return _os.path.exists(lp)
+    return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(path)))
 
 
 def _corpus_fingerprint(corpus: DataFrame) -> Optional[str]:

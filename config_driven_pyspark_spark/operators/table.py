@@ -51,6 +51,7 @@ the sidecar is missing or stale-wide.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -72,9 +73,131 @@ _FULL_SWAP_MARKER = "_premerge_full"
 
 
 def _fs(spark: SparkSession, path: str):
+    """(jvm, FileSystem) for ``path`` — cached per (session, scheme):
+    ``getFileSystem`` returns the same JVM object for a scheme anyway,
+    so the repeated Path-construction/lookup round trips (measured ~4 ms
+    × dozens per lifecycle op, r16) buy nothing."""
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
+    # cache key: the explicit scheme, or "" for schemeless paths (those
+    # resolve against fs.defaultFS, which need not be the local fs)
+    head = path.split("/", 1)[0]
+    scheme = head[:-1] if head.endswith(":") and head[:-1].isalpha() else (
+        path.split("://", 1)[0] if "://" in path else ""
+    )
+    try:
+        cache = spark._cdp_fs_cache
+    except AttributeError:
+        cache = spark._cdp_fs_cache = {}
+    fs = cache.get(scheme)
+    if fs is None:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        cache[scheme] = fs
+    return jvm, fs
+
+
+# fs-proxy id → (proxy ref, is-local); the ref pins the py4j object so
+# the id can never be reused while cached
+_FS_LOCAL: dict[int, tuple] = {}
+
+
+def _fs_is_local(fs) -> bool:
+    ent = _FS_LOCAL.get(id(fs))
+    if ent is None:
+        try:
+            local = str(fs.getScheme()) == "file"
+        except Exception:
+            local = False
+        _FS_LOCAL[id(fs)] = ent = (fs, local)
+    return ent[1]
+
+
+def _local_path(fs, path_str: str) -> str | None:
+    """Plain filesystem path when ``fs`` is the local filesystem and
+    ``path_str`` carries no foreign scheme — the small-metadata fast
+    path then uses Python I/O (one syscall) instead of 3-6 py4j round
+    trips per read/write/list. None keeps the Hadoop path (remote
+    schemes, exotic configs): behavior there is byte-identical."""
+    if "://" in path_str:
+        return None
+    if not _fs_is_local(fs):
+        return None
+    if path_str.startswith("file:"):
+        return path_str[5:] or "/"
+    return path_str
+
+
+def _small_read(spark: SparkSession, path_str: str) -> bytes | None:
+    """Whole small file, or None when absent/unreadable. Local fast
+    path: one Python open (the Hadoop route costs 4+ py4j round trips —
+    exists, open, read, close — measured ~9 ms each, × dozens per
+    lifecycle op, r16)."""
+    jvm, fs = _fs(spark, path_str)
+    lp = _local_path(fs, path_str)
+    if lp is not None:
+        try:
+            with open(lp, "rb") as fh:
+                return fh.read()
+        except (FileNotFoundError, IsADirectoryError, NotADirectoryError):
+            return None
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    try:
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            try:
+                return bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            except Exception:
+                out = []
+                b = stream.read()
+                while b != -1:
+                    out.append(b)
+                    b = stream.read()
+                return bytes(out)
+        finally:
+            stream.close()
+    except Exception:
+        return None
+
+
+def _small_write(spark: SparkSession, path_str: str, data: bytes) -> None:
+    """tmp-write + atomic replace: readers see the old file or the new
+    one, never a torn write. Local fast path uses ``os.replace`` (a
+    genuinely atomic overwrite — the Hadoop route's delete+rename has a
+    no-file window) and drops any stale ``.crc`` sidecar a previous
+    Hadoop-side write left (the checksummed LocalFileSystem would
+    otherwise refuse the new bytes)."""
+    import os as _os
+
+    jvm, fs = _fs(spark, path_str)
+    lp = _local_path(fs, path_str)
+    if lp is not None:
+        d, name = _os.path.split(lp)
+        _os.makedirs(d or "/", exist_ok=True)
+        tmp = f"{lp}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        for side in (f"{d}/.{name}.crc", f"{d}/.{name}.tmp.crc"):
+            try:
+                _os.remove(side)
+            except OSError:
+                pass
+        _os.replace(tmp, lp)
+        return
+    Path = jvm.org.apache.hadoop.fs.Path
+    final = Path(path_str)
+    tmp = Path(path_str + ".tmp")
+    fs.mkdirs(final.getParent())
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    fs.delete(final, False)
+    fs.rename(tmp, final)
 
 
 def _hive_escape(value: str) -> str:
@@ -310,17 +433,34 @@ def _list_partition_dirs(spark: SparkSession, base: str, depth: int) -> list[str
     """Relative ``p=v[/q=w...]`` directories actually present under
     ``base``, to ``depth`` partition levels."""
     jvm, fs = _fs(spark, base)
-    Path = jvm.org.apache.hadoop.fs.Path
+    lp = _local_path(fs, base)
     rels = [""]
     for _ in range(depth):
         nxt = []
         for rel in rels:
-            p = Path(base if not rel else f"{base}/{rel}")
-            if not fs.exists(p):
-                continue
-            for st in fs.listStatus(p):
-                name = st.getPath().getName()
-                if st.isDirectory() and "=" in name:
+            full = base if not rel else f"{base}/{rel}"
+            if lp is not None:  # local fast path (r16): scandir
+                import os as _os
+
+                lfull = lp if not rel else f"{lp}/{rel}"
+                try:
+                    with _os.scandir(lfull) as it:
+                        kids = [
+                            (e.name, e.is_dir()) for e in it
+                        ]
+                except (FileNotFoundError, NotADirectoryError):
+                    continue
+            else:
+                Path = jvm.org.apache.hadoop.fs.Path
+                p = Path(full)
+                if not fs.exists(p):
+                    continue
+                kids = [
+                    (st.getPath().getName(), st.isDirectory())
+                    for st in fs.listStatus(p)
+                ]
+            for name, is_dir in kids:
+                if is_dir and "=" in name:
                     nxt.append(name if not rel else f"{rel}/{name}")
         rels = nxt
     return rels
@@ -432,29 +572,9 @@ def _ser_stat(v):
 
 
 def _read_key_stats(spark: SparkSession, base: str) -> dict | None:
-    import json
-
-    jvm, fs = _fs(spark, base)
-    p = jvm.org.apache.hadoop.fs.Path(
-        f"{base.rstrip('/')}/{_KEY_STATS_FILE}"
-    )
-    if not fs.exists(p):
+    data = _small_read(spark, f"{base.rstrip('/')}/{_KEY_STATS_FILE}")
+    if data is None:
         return None
-    stream = fs.open(p)
-    try:
-        try:
-            data = bytes(
-                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            )
-        except Exception:
-            out = []
-            b = stream.read()
-            while b != -1:
-                out.append(b)
-                b = stream.read()
-            data = bytes(out)
-    finally:
-        stream.close()
     try:
         return json.loads(data.decode())
     except ValueError:
@@ -462,22 +582,12 @@ def _read_key_stats(spark: SparkSession, base: str) -> dict | None:
 
 
 def _write_key_stats(spark: SparkSession, base: str, doc: dict) -> None:
-    """tmp-write + delete + rename: a crash mid-update leaves either the
-    old sidecar or none — never a torn file."""
-    import json
-
-    jvm, fs = _fs(spark, base)
-    Path = jvm.org.apache.hadoop.fs.Path
-    final = Path(f"{base.rstrip('/')}/{_KEY_STATS_FILE}")
-    tmp = Path(f"{base.rstrip('/')}/{_KEY_STATS_FILE}.tmp")
-    fs.mkdirs(final.getParent())
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(json.dumps(doc).encode()))
-    finally:
-        out.close()
-    fs.delete(final, False)
-    fs.rename(tmp, final)
+    """tmp-write + atomic replace (:func:`_small_write`): a crash
+    mid-update leaves either the old sidecar or none — never torn."""
+    _small_write(
+        spark, f"{base.rstrip('/')}/{_KEY_STATS_FILE}",
+        json.dumps(doc).encode(),
+    )
 
 
 def _delete_key_stats(spark: SparkSession, base: str) -> None:
@@ -704,24 +814,11 @@ def _shard_name(d: str) -> str:
 
 
 def _read_json_doc(spark: SparkSession, path: str) -> dict | None:
-    import json
-
-    jvm, fs = _fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    try:
-        if not fs.exists(p):
-            return None
-        stream = fs.open(p)
-        try:
-            data = bytes(
-                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            )
-        finally:
-            stream.close()
-    except Exception:
-        # unreadable (torn write, checksum mismatch) = absent — every
-        # consumer treats a missing doc as "read everything", the safe
-        # direction
+    # unreadable (torn write, checksum mismatch) = absent — every
+    # consumer treats a missing doc as "read everything", the safe
+    # direction
+    data = _small_read(spark, path)
+    if data is None:
         return None
     try:
         doc = json.loads(data.decode())
@@ -731,21 +828,8 @@ def _read_json_doc(spark: SparkSession, path: str) -> dict | None:
 
 
 def _write_json_doc(spark: SparkSession, path: str, doc: dict) -> None:
-    """tmp-write + delete + rename, like :func:`_write_key_stats`."""
-    import json
-
-    jvm, fs = _fs(spark, path)
-    Path = jvm.org.apache.hadoop.fs.Path
-    final = Path(path)
-    tmp = Path(path + ".tmp")
-    fs.mkdirs(final.getParent())
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(json.dumps(doc).encode()))
-    finally:
-        out.close()
-    fs.delete(final, False)
-    fs.rename(tmp, final)
+    """tmp-write + atomic replace, like :func:`_write_key_stats`."""
+    _small_write(spark, path, json.dumps(doc).encode())
 
 
 def _read_file_stats_meta(spark: SparkSession, base: str) -> dict | None:
@@ -2031,6 +2115,9 @@ def _stage_verify_swap_locked(
                 spark, base, retain, backup, op=op, mode="full",
                 replaced=[], created=[], rows_staged=n_after,
                 dv_absorbed=dv_absorbed,
+                schema_json=json.dumps(
+                    _hist._nullable_schema(df.schema).jsonValue()
+                ),
             )
         else:
             fs.delete(Path(backup), True)
@@ -2108,6 +2195,9 @@ def _stage_verify_swap_locked(
             created=[d for d in staged_dirs if d not in set(moved)],
             rows_staged=n_after,
             dv_absorbed=dv_absorbed,
+            schema_json=json.dumps(
+                _hist._nullable_schema(df.schema).jsonValue()
+            ),
         )
     else:
         fs.delete(Path(backup), True)
@@ -3636,31 +3726,11 @@ _BATCH_MARKER = "_last_batch_id"
 
 
 def _read_batch_marker(spark: SparkSession, target_path: str) -> int | None:
-    jvm, fs = _fs(spark, target_path)
-    p = jvm.org.apache.hadoop.fs.Path(
-        f"{target_path.rstrip('/')}/{_BATCH_MARKER}"
+    data = _small_read(
+        spark, f"{target_path.rstrip('/')}/{_BATCH_MARKER}"
     )
-    if not fs.exists(p):
+    if data is None:
         return None
-    stream = fs.open(p)
-    try:
-        try:
-            # portable full read (readAllBytes is Java 11+; silently
-            # returning nothing here would disable the retry dedup the
-            # marker exists for)
-            data = bytes(
-                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            )
-        except Exception:
-            # byte-at-a-time fallback — the marker is ~10 bytes
-            out = []
-            b = stream.read()
-            while b != -1:
-                out.append(b)
-                b = stream.read()
-            data = bytes(out)
-    finally:
-        stream.close()
     try:
         return int(data.decode().strip())
     except ValueError:
@@ -3668,15 +3738,10 @@ def _read_batch_marker(spark: SparkSession, target_path: str) -> int | None:
 
 
 def _write_batch_marker(spark: SparkSession, dir_path: str, batch_id: int):
-    jvm, fs = _fs(spark, dir_path)
-    p = jvm.org.apache.hadoop.fs.Path(
-        f"{dir_path.rstrip('/')}/{_BATCH_MARKER}"
+    _small_write(
+        spark, f"{dir_path.rstrip('/')}/{_BATCH_MARKER}",
+        str(int(batch_id)).encode(),
     )
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(str(int(batch_id)).encode()))
-    finally:
-        out.close()
 
 
 @_retry_on_lock_conflict

@@ -875,3 +875,53 @@ def test_keyless_diff_chunked_expansion(spark, tmp_path, monkeypatch):
     assert [(r.k, r._change_type) for r in ch2.collect()] == [
         (9, "insert")
     ]
+
+
+def test_manifest_records_schema_and_reads_use_it(spark, tmp_path):
+    """r16: version manifests record the staged schema (nullable-
+    relaxed) so historical reads skip parquet schema inference; dv-mode
+    entries inherit it by walk-back; entries WITHOUT a recorded schema
+    (pre-r16) still read correctly via inference."""
+    import json as _json
+
+    from config_driven_pyspark_spark.operators.deletes import (
+        delete_where_dv,
+    )
+
+    tgt = str(tmp_path / "t")
+    expect = _seed(spark, tgt)
+    H.enable_table_history(spark, tgt, ["status"])
+    batch = spark.createDataFrame(
+        [(1, "F", 101.0)], "k int, status string, val double"
+    )
+    merge_upsert(batch, tgt, ["k"], partition_by=["status"])  # v1
+    man1 = _json.loads(
+        open(f"{tgt}__history/v1/_manifest.json").read()
+    ) if os.path.exists(f"{tgt}__history/v1/_manifest.json") else None
+    assert man1 is not None and "schema" in man1, man1
+    fields = {
+        f["name"]: f for f in _json.loads(man1["schema"])["fields"]
+    }
+    assert set(fields) == {"k", "status", "val"}
+    assert all(f["nullable"] for f in fields.values())
+
+    # dv commit records the scan schema; older versions stay exact
+    delete_where_dv(spark, tgt, "k = 4", ["status"])  # v2, mode dv
+    man2 = _json.loads(open(f"{tgt}__history/v2/_manifest.json").read())
+    assert man2["mode"] == "dv" and "schema" in man2
+    v0 = H.read_table_version(spark, tgt, 0)
+    assert _rows(v0) == expect
+    # partition columns append LAST on read — identical to inference
+    assert [f.name for f in v0.schema.fields] == ["k", "val", "status"]
+
+    # strip the recorded schemas (simulate pre-r16 manifests): reads
+    # must fall back to inference and return the same rows
+    for v in (1, 2):
+        p = f"{tgt}__history/v{v}/_manifest.json"
+        doc = _json.loads(open(p).read())
+        doc.pop("schema", None)
+        open(p, "w").write(_json.dumps(doc))
+        crc = f"{tgt}__history/v{v}/._manifest.json.crc"
+        if os.path.exists(crc):  # hadoop LocalFileSystem checksum sidecar
+            os.remove(crc)
+    assert _rows(H.read_table_version(spark, tgt, 0)) == expect
